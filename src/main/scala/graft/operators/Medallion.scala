@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.Tables
+
+/** Medallion (bronze → silver → gold) operators, re-expressing the
+  * reference pipeline's semantics on the testdata star schema.
+  *
+  * Reference mapping:
+  *  - bronze: spark_jobs/mongo_to_iceberg.py:143-169 reads nested Mongo
+  *    order documents (order_id, items[], shipping_address{...}) and
+  *    lands them in a catalog table. [[bronzeOrderDocs]] assembles the
+  *    same document shape from the relational tables (orders +
+  *    lineitem → items array) — schema-on-write document assembly.
+  *  - silver: spark_jobs/silver_transformation.py:104-112 rebuilds the
+  *    shipping_address struct adding a literal country. [[silverEnrich]]
+  *    does the identical struct surgery on the address analog
+  *    (customer → nation → region).
+  *  - gold: spark_jobs/gold_reporting.py:117-131 groups by
+  *    (city, country), aggregates sum(total_amount) AS total_revenue,
+  *    count(order_id) AS order_count, orders by revenue desc.
+  *    [[goldSalesReport]] is the same plan shape.
+  *
+  * Scale notes: nation/region are broadcast (tiny dims — no shuffle of
+  * the fact side); the orders→customer join shuffles on the customer
+  * key only once; document assembly groups lineitem by order key — a
+  * single hash aggregation whose partial (map-side) combine keeps the
+  * shuffle proportional to distinct orders, not line items.
+  */
+object Medallion {
+
+  /** Decimal-exact sum surfaced as double: associative decimal addition
+    * makes the result independent of partition order (cross-engine and
+    * cross-run deterministic), unlike a naive double sum. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Assemble nested order documents (the Mongo/bronze document shape):
+    * one row per order with an `items` array of structs. */
+  def bronzeOrderDocs(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val items = lineitem.select(
+      col("l_orderkey"),
+      struct(
+        col("l_partkey").as("product_id"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("unit_price")
+      ).as("item"))
+    orders
+      .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(collect_list(col("item")).as("items"))
+  }
+
+  /** Flattened verification view of the bronze documents (array results
+    * hash poorly across engines; the oracle checks the roll-up). */
+  def bronzeVerification(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .agg(
+        count(col("l_orderkey")).as("item_count"),
+        dsum(col("l_extendedprice")).as("items_total"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Silver: rebuild the shipping-address struct, adding the literal
+    * country — identical struct surgery to the reference silver job. */
+  def silverEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    val withAddr = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"),
+        struct(
+          col("n_name").as("city"),
+          col("r_name").as("state"),
+          col("c_custkey").cast("string").as("zip")
+        ).as("shipping_address"))
+    // The reference's transformation verbatim: rebuild the struct with a
+    // country literal appended (silver_transformation.py:104-112).
+    withAddr
+      .withColumn("shipping_address",
+        struct(
+          col("shipping_address.city"),
+          col("shipping_address.state"),
+          col("shipping_address.zip"),
+          lit("INDIA").as("country")))
+  }
+
+  /** Flattened silver output for the oracle. */
+  def silverVerification(spark: SparkSession, dir: String): DataFrame =
+    silverEnrich(spark, dir)
+      .select(
+        col("c_custkey"),
+        col("shipping_address.city").as("city"),
+        col("shipping_address.state").as("state"),
+        col("shipping_address.zip").as("zip"),
+        col("shipping_address.country").as("country"))
+      .orderBy(col("c_custkey"))
+
+  /** Gold: revenue report by (city, country) — the reference gold job's
+    * exact plan shape (groupBy struct fields → sum/count → order desc). */
+  def goldSalesReport(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val silver = silverEnrich(spark, dir)
+    orders
+      .join(silver, col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        col("shipping_address.city").as("city"),
+        col("shipping_address.country").as("country"))
+      .agg(
+        dsum(col("o_totalprice")).as("total_revenue"),
+        count(col("o_orderkey")).as("order_count"))
+      .orderBy(col("total_revenue").desc, col("city"))
+  }
+
+  /** SQL catalog access — the query_iceberg.ipynb path: register the
+    * scale-factor dir as a namespace and query it with SQL. */
+  def sqlCatalogQuery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+}

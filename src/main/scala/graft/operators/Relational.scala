@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.Tables
+
+/** Relational query surface: the analytics a lakehouse user runs over
+  * the catalog (reference: spark_jobs/query_iceberg.ipynb +
+  * gold_reporting.py generalized to a full query core).
+  *
+  * Every query is a declarative DataFrame plan — Catalyst gets full
+  * freedom for pushdown / pruning / join reordering, and AQE re-plans
+  * at runtime. Dimension tables are explicitly broadcast; fact-fact
+  * joins shuffle once on their join key. All money/quantity sums use
+  * decimal-cast accumulation so results are partition-order independent
+  * (see SURVEY.md §3).
+  */
+object Relational {
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** TPC-H Q1-style pricing summary: single scan, map-side partial agg,
+    * 6-group output. The filter reaches the parquet reader as a pushed
+    * predicate; only 7 of 11 lineitem columns are read. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style: segment filter → 3-way join → revenue top-10.
+    * customer is filtered before the join (pushdown), orders↔lineitem
+    * shuffle on the order key; final top-k is TakeOrderedAndProject —
+    * no global sort materialization. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1999-01-01 00:00:00")))
+    val line = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1999-01-01 00:00:00")))
+    line
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: local-supplier revenue by nation. region/nation/
+    * supplier broadcast; the two fact tables shuffle once each. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    val line = Tables.lineitem(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    line
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust,
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Predicate + projection pushdown: the parquet scan must read only
+    * (l_shipdate, l_returnflag, l_linestatus, l_quantity) with both
+    * filters in PushedFilters. */
+  def qFilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00")) &&
+        col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("l_linestatus"))
+
+  /** Global top-k: sort+limit fuses to TakeOrderedAndProject — each
+    * partition keeps k rows, driver merges k·p rows, never a full sort. */
+  def qTopkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  /** Distinct + count-distinct per group (expand + two-phase agg). */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Window rank: top-3 orders per customer. Single shuffle on the
+    * partition key; rank ordering is fully tie-broken for determinism. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Left-semi join (EXISTS): customers having a finished order. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fOrders = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    Tables.customer(spark, dir)
+      .join(fOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no finished order. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+
+  /** Rollup: (status, priority) hierarchy with subtotals + grand total. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Pivot order status → columns (one wide agg, single shuffle). */
+  def qPivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+      .orderBy(col("o_orderpriority"))
+
+  /** Scalar subquery: orders above the global average price. The
+    * average is computed decimal-exact then broadcast as a literal. */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val avgExpr = (sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType) /
+      count(lit(1))).as("global_avg")
+    val above = orders.join(broadcast(orders.agg(avgExpr)))
+      .filter(col("o_totalprice") > col("global_avg"))
+    above
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_above"), dsum(col("o_totalprice")).as("sum_above"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** As-of join: for each purchase event, the nearest prior click by
+    * the same user. Composed as a union + running last-value window —
+    * one shuffle on user_id, no range-explosion join. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val tagged = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Time-bucketed event aggregation — the batch twin of the streaming
+    * tumbling-window plan (streaming/EventStream.scala). */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(dsum(col("value"), 6), 4).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Gap-based sessionization: session boundary when >30 min idle.
+    * lag + running sum over one user_id shuffle — the batch twin of the
+    * stateful streaming sessionizer. */
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = 1800L
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Semi-structured prop extraction: JSON field → typed agg. */
+  def qEventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1 pricing summary: one row per (returnflag, linestatus)") {
+    val rows = Relational.q1PricingSummary(spark, sf).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 0))
+    assert(rows.forall(r => r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price")))
+  }
+
+  test("q1 plan pushes the shipdate filter into the parquet scan") {
+    val formatted = Relational.q1PricingSummary(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters") && formatted.contains("l_shipdate"))
+    // column pruning: the scan must not read unneeded columns
+    assert(!formatted.contains("l_suppkey"))
+  }
+
+  test("topk orders is price-descending and capped") {
+    val rows = Relational.qTopkOrders(spark, sf).collect()
+    assert(rows.length === 15)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("window rank keeps at most 3 orders per customer") {
+    val df = Relational.qWindowRank(spark, sf)
+    val maxPerCust = df.groupBy("o_custkey").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxPerCust <= 3)
+  }
+
+  test("semi and anti joins partition the customer set") {
+    val semi = Relational.qSemiJoin(spark, sf).count()
+    val anti = Relational.qAntiJoin(spark, sf).count()
+    val all = Tables.customer(spark, sf).count()
+    assert(semi + anti === all)
+  }
+
+  test("q5 plan broadcasts dimensions") {
+    val plan = Relational.q5LocalSupplier(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("sessionize: session bounds ordered, events conserved") {
+    val sess = Relational.qEventsSessionize(spark, sf).cache()
+    val nEvents = sess.agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    assert(nEvents === Tables.events(spark, sf).count())
+    import org.apache.spark.sql.functions.col
+    assert(sess.filter(col("session_end") < col("session_start")).count() === 0)
+    sess.unpersist()
+  }
+
+  test("asof join: last click precedes the purchase") {
+    import org.apache.spark.sql.functions.col
+    val df = Relational.qAsofJoin(spark, sf)
+    assert(df.filter(col("last_click_ts") > col("ts")).count() === 0)
+  }
+}
