@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Medallion, Relational}
+import graft.operators.{Dedup, Medallion, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7
   * (build plan). Each `queries` entry has a DuckDB `oracleSql` twin
@@ -38,6 +38,22 @@ object SparkEntry {
     "q_events_hourly" -> (Relational.qEventsHourly _),
     "q_events_sessionize" -> (Relational.qEventsSessionize _),
     "q_events_json" -> (Relational.qEventsJson _),
+    // §2.C — deduplication
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    // §2.D — similarity search
+    "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopk(s, d)),
+    "ann_lsh_bucketed" -> ((s, d) => Similarity.annLshTopk(s, d)),
+    // §2.E — text analysis
+    "text_langid" -> (TextAnalysis.textLangid _),
+    "text_quality" -> (TextAnalysis.textQuality _),
+    "text_tokens" -> (TextAnalysis.textTokens _),
+    "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    // §2.F — multimodal
+    "multimodal_features" -> (Multimodal.multimodalFeatures _),
   )
 
   /** DuckDB-runnable ANSI SQL twins (same table names, same aliases,
@@ -211,5 +227,161 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // §2.C — deduplication. Shared fragments (SURVEY.md §3): tokens =
+    // regexp_extract_all(lower(text),'([a-z0-9]+)',1); shingles =
+    // distinct 3-token windows; h62(x) = md5_number_lower(x) // 4.
+    "dedup_exact" ->
+      """WITH d AS (SELECT doc_id,
+        |  md5(array_to_string(regexp_extract_all(lower(text),'([a-z0-9]+)',1),' ')) gh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY gh) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY gh) AS is_dup
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []
+        |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END sh FROM tk),
+        |ss AS (SELECT doc_id, sh, len(sh) n_sh FROM s WHERE len(sh) > 0),
+        |p AS (SELECT doc_id, unnest(sh) g0 FROM ss),
+        |ph AS (SELECT doc_id, CAST(md5_number_lower(g0) // 4 AS BIGINT) g FROM p),
+        |c AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+        |  FROM ph a JOIN ph b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) jaccard
+        |  FROM c JOIN ss sa ON c.doc_a = sa.doc_id JOIN ss sb ON c.doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []
+        |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END sh FROM tk),
+        |ss AS (SELECT doc_id, sh, len(sh) n_sh FROM s WHERE len(sh) > 0),
+        |sig AS (SELECT doc_id, sh, n_sh,
+        |  [list_min([CAST(md5_number_lower(i::VARCHAR || '|' || x) // 4 AS BIGINT) for x in sh]) for i in range(0,16)] sg
+        |  FROM ss),
+        |bands AS (SELECT doc_id, unnest([{'band': b,
+        |    'bkey': md5(array_to_string(list_transform(sg[b*4+1:b*4+4], v -> v::VARCHAR), ','))}
+        |  for b in range(0,4)]) u FROM sig),
+        |bb AS (SELECT doc_id, u.band band, u.bkey bkey FROM bands),
+        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |v AS (SELECT doc_a, doc_b, len(list_intersect(sa.sh, sb.sh)) common, sa.n_sh na, sb.n_sh nb
+        |  FROM cand JOIN ss sa ON doc_a = sa.doc_id JOIN ss sb ON doc_b = sb.doc_id),
+        |j AS (SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) jaccard FROM v)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |e AS (SELECT doc_id, toks, list_distinct(toks) dt FROM tk),
+        |en AS (SELECT doc_id, [{'h': CAST(md5_number_lower(t) // 4 AS BIGINT),
+        |    'c': CAST(len(list_filter(toks, x -> x = t)) AS BIGINT)} for t in dt] entries FROM e),
+        |sm AS (SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([e2.c *
+        |      (CASE WHEN ((e2.h >> b) & 1) = 1 THEN 1 ELSE -1 END) for e2 in entries]) >= 0
+        |    THEN (1::BIGINT << b) ELSE 0::BIGINT END for b in range(0,48)]) AS BIGINT) sim FROM en),
+        |banded AS (SELECT doc_id, sim,
+        |  unnest([{'band': k, 'bval': (sim >> (k*12)) & 4095} for k in range(0,4)]) u FROM sm),
+        |bb AS (SELECT doc_id, sim, u.band band, u.bval bval FROM banded),
+        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, a.sim sim_a, b.sim sim_b
+        |  FROM bb a JOIN bb b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming FROM cand
+        |WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH q AS (SELECT vec_id, label,
+        |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+        |p AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
+        |  round(CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x))
+        |           * list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)), 6) cosine
+        |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // §2.D — similarity search
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id,
+        |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+        |s AS (SELECT qq.vec_id q_id, e.vec_id vec_id,
+        |  round(CAST(list_sum(list_transform(list_zip(qq.v, e.v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(list_sum(list_transform(qq.v, x -> x*x))
+        |           * list_sum(list_transform(e.v, x -> x*x)) AS DOUBLE)), 6) cosine
+        |  FROM (SELECT * FROM q WHERE vec_id < 5) qq CROSS JOIN q e),
+        |r AS (SELECT q_id, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM s)
+        |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_lsh_bucketed" ->
+      """WITH q AS (SELECT vec_id,
+        |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+        |planes AS (SELECT r1.range t, r2.range p, r3.range d,
+        |  ((CAST(md5_number_lower(r1.range::VARCHAR || '_' || r2.range::VARCHAR || '_' || r3.range::VARCHAR) // 4 AS BIGINT) & 1)*2 - 1) sgn
+        |  FROM range(0,4) r1, range(0,6) r2, range(0,64) r3),
+        |ev AS (SELECT vec_id, unnest(v) val, unnest(range(0, len(v))) d FROM q),
+        |dots AS (SELECT e.vec_id, pl.t, pl.p, sum(e.val * pl.sgn) s
+        |  FROM ev e JOIN planes pl ON e.d = pl.d GROUP BY 1, 2, 3),
+        |bb AS (SELECT vec_id, t, CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) bucket
+        |  FROM dots GROUP BY 1, 2),
+        |qb AS (SELECT vec_id q_id, t, bucket FROM bb WHERE vec_id < 5),
+        |cand AS (SELECT DISTINCT q_id, bb.vec_id vec_id FROM qb JOIN bb ON qb.t = bb.t AND qb.bucket = bb.bucket),
+        |s AS (SELECT q_id, cand.vec_id,
+        |  round(CAST(list_sum(list_transform(list_zip(qv.v, ev.v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(list_sum(list_transform(qv.v, x -> x*x))
+        |           * list_sum(list_transform(ev.v, x -> x*x)) AS DOUBLE)), 6) cosine
+        |  FROM cand JOIN q qv ON cand.q_id = qv.vec_id JOIN q ev ON cand.vec_id = ev.vec_id),
+        |r AS (SELECT q_id, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM s)
+        |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    // §2.E — text analysis
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(regexp_extract_all(lower(text),'([a-z0-9]+)',1)) dt FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_intersect(dt, ['the','and','of','to','a','in','is','you','that','it'])) AS s_en,
+        |  len(list_intersect(dt, ['el','la','de','que','y','en','un','los','se','no'])) AS s_es,
+        |  len(list_intersect(dt, ['le','la','de','et','les','des','en','un','du','une'])) AS s_fr,
+        |  len(list_intersect(dt, ['der','die','und','in','den','von','zu','das','mit','sich'])) AS s_de
+        |  FROM t)
+        |SELECT doc_id, s_en, s_es, s_fr, s_de,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+        |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, length(text) n_chars,
+        |  regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks,
+        |  len(regexp_extract_all(text, '([^a-z0-9 ])', 1)) n_punct FROM documents),
+        |u AS (SELECT doc_id, n_chars, n_punct, len(toks) n_tokens,
+        |  len(list_filter(toks, tk -> list_contains(['the','and','of','to','a','in','is','you','that','it'], tk))) n_stop,
+        |  list_sum(list_transform(toks, tk -> length(tk))) tok_chars FROM t)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |  round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS mean_tok_len,
+        |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+        |    + 0.3 * (1.0 - least(1.0, 10.0 * CAST(n_punct AS DOUBLE) / n_chars))
+        |    + 0.3 * least(1.0, 5.0 * CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id, length(text) AS n_chars, octet_length(encode(text)) AS n_bytes,
+        |  len(regexp_extract_all(text, '(\S+)', 1)) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS word_tokens,
+        |  len(regexp_extract_all(lower(text), '([a-z]+|[0-9]|[^a-z0-9\s])', 1)) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |  array_to_string(regexp_extract_all(lower(text),'([a-z0-9]+)',1), ' ') nt,
+        |  regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents)
+        |SELECT doc_id, md5(nt) AS fp_md5,
+        |  CAST(md5_number_lower(nt) // 4 AS BIGINT) AS fp_h62,
+        |  len(CASE WHEN len(toks)<3 THEN []
+        |    ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END) AS n_shingles
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // §2.F — multimodal
+    "multimodal_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5,
+        |  lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

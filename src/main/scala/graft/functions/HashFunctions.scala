@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime for [[Md5Lower64]]: the little-endian signed 64-bit read of
+  * md5-digest bytes [8..16). This is bit-identical (modulo two's
+  * complement) to DuckDB's `md5_number_lower`, which is the oracle twin
+  * used by every hash-bearing query (SURVEY.md §3).
+  *
+  * Kept as a plain object with no companion class so scalac emits a
+  * static forwarder — generated Java (whole-stage codegen) calls
+  * `graft.functions.HashImpl.md5Lower64(bytes)` directly.
+  */
+object HashImpl {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Lower64(bytes: Array[Byte]): Long = {
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(bytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+}
+
+/** Native Catalyst expression: 64-bit hash of a string via md5.
+  *
+  * Value = signed little-endian int64 of md5 bytes [8..16), i.e. the
+  * two's-complement view of DuckDB `md5_number_lower`. A native
+  * `Expression` with `doGenCode` (not a UDF) so it inlines into
+  * whole-stage codegen — at 100 TB the hash sits in the per-row hot
+  * path of dedup/minhash/LSH and must not break the codegen span.
+  */
+case class Md5Lower64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5lower64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.md5Lower64(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.md5Lower64($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Lower64 =
+    copy(child = newChild)
+}
+
+/** Column builders over [[Md5Lower64]]. */
+object HashFunctions {
+
+  /** Signed 64-bit md5-derived hash (two's-complement of DuckDB
+    * `md5_number_lower`). */
+  def md5Lower64(c: Column): Column =
+    GraftShim.column(Md5Lower64(GraftShim.expression(c)))
+
+  /** 62-bit non-negative hash: unsigned(md5Lower64) >>> 2.
+    *
+    * Both engines stay inside signed BIGINT range, so min/compare/modulo
+    * agree everywhere. DuckDB twin: `CAST(md5_number_lower(x) // 4 AS
+    * BIGINT)`.
+    */
+  def h62(c: Column): Column = shiftrightunsigned(md5Lower64(c), 2)
+
+  /** Seeded h62: `h62(seed | s)` — independent hash families for
+    * minhash signatures. DuckDB twin:
+    * `CAST(md5_number_lower(seed::VARCHAR || '|' || s) // 4 AS BIGINT)`. */
+  def h62Seeded(seed: Column, s: Column): Column =
+    h62(concat_ws("|", seed.cast("string"), s))
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** One decoded-media record flowing through the multimodal pipeline. */
+case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
+
+/** Deterministic stand-in for a decoded image/audio frame. */
+case class DecodedMedia(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    mean_byte: Double)
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed in explicit per-partition
+  * batches.
+  *
+  * The container has no image/audio codecs, so [[decodeStub]] is a
+  * clearly-marked deterministic fake (dimensions and stats derived
+  * from payload bytes). Everything AROUND the decode is real and is
+  * what matters at 100 TB: binary columns survive parquet round-trips,
+  * `mapPartitions` keeps decode batched per-partition with no
+  * driver involvement, and the feature schema is columnar-typed so
+  * downstream plans stay whole-stage-codegen'd.
+  */
+object Multimodal {
+
+  /** Synthesize the media table from `documents`: payload = utf-8
+    * bytes of text (an opaque blob as far as the pipeline cares),
+    * typed metadata struct alongside. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          lit("application/octet-stream").as("mime"),
+          octet_length(col("text")).as("n_bytes"),
+          col("source").as("origin")).as("meta"))
+
+  /** STUB — deterministic fake decode. A real deployment swaps this
+    * one function for an actual codec (e.g. JPEG decode); the
+    * surrounding batching/schema/partitioning is unchanged. */
+  def decodeStub(r: MediaRecord): DecodedMedia = {
+    val b = r.payload
+    val w = 1 + (b.headOption.getOrElse(0: Byte) & 0x3f)
+    val h = 1 + (if (b.length > 1) b(1) & 0x3f else 0)
+    val mean =
+      if (b.isEmpty) 0.0
+      else b.map(x => (x & 0xff).toLong).sum.toDouble / b.length
+    DecodedMedia(r.doc_id, w, h, 1 + b.length / 1024, mean)
+  }
+
+  /** Batched decode + feature extraction: one `mapPartitions` pass,
+    * iterator-to-iterator (no materialization of the partition). */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), lit("stub").as("kind"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(decodeStub))
+  }
+
+  /** Frame sampling: every `stride`-th 16-byte slice of the payload —
+    * pure binary `substring` arithmetic, no decode needed. */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor(octet_length(col("payload")) / (16 * stride)).cast("int")),
+          i => substring(col("payload"), lit(1) + i * (16 * stride), lit(16)))))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame")
+
+  /** `multimodal_features` — oracle-able byte-level features of the
+    * binary payload: length, md5, head-bytes hex. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("content_md5"),
+        lower(hex(substring(col("payload"), 1, 8))).as("head_hex"))
+      .orderBy("doc_id")
+}

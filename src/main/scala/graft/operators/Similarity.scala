@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashImpl, VectorFunctions}
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * - [[annCosineTopk]]: brute-force baseline — broadcast the (small)
+  *   query set against the corpus; per-partition scoring + global
+  *   top-k. The corpus is never shuffled: the only movement is the
+  *   broadcast and the final TakeOrdered.
+  * - [[annLshTopk]]: the 100 TB path — random-hyperplane LSH with L
+  *   hash tables of P planes. Candidates come from an equi-join on
+  *   (table, bucket), so scored pairs shrink from |Q|·n to
+  *   |Q|·n/2^P per table.
+  *
+  * Hyperplane signs are md5-derived (same [[HashImpl]] bytes the
+  * DuckDB oracle recomputes via `md5_number_lower`), pre-materialized
+  * driver-side into a literal sign matrix: per-row work is then pure
+  * integer HOF arithmetic inside whole-stage codegen.
+  */
+object Similarity {
+
+  val LshTables = 4
+  val LshPlanes = 6
+  val Dims = 64
+
+  /** ±1 hyperplane sign matrix, flat [table][plane][dim], derived from
+    * h62("t_p_d") parity — identical to the oracle's
+    * `(md5_number_lower(t||'_'||p||'_'||d) // 4 & 1) * 2 - 1`. */
+  lazy val signMatrix: Seq[Long] =
+    for {
+      t <- 0 until LshTables
+      p <- 0 until LshPlanes
+      d <- 0 until Dims
+    } yield (((HashImpl.md5Lower64(s"${t}_${p}_$d".getBytes("UTF-8")) >>> 2) & 1L) * 2L - 1L)
+
+  private def signLit: Column = typedlit(signMatrix)
+
+  /** LSH bucket ids (one per table) for a quantized vector `v`. */
+  private def buckets(v: Column): Column =
+    transform(
+      sequence(lit(0), lit(LshTables - 1)),
+      t => aggregate(
+        sequence(lit(0), lit(LshPlanes - 1)),
+        lit(0L),
+        (acc, p) => acc + when(
+          aggregate(
+            sequence(lit(0), lit(Dims - 1)),
+            lit(0L),
+            (a2, d) => a2 + element_at(v, d + 1)
+              * get(signLit, (t * LshPlanes + p) * Dims + d)) >= 0L,
+          call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))))
+
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("v"))
+
+  /** `ann_cosine_topk` — exact top-10 by quantized cosine for each
+    * query vector (vec_id < 5), brute force with a broadcast query
+    * side. */
+  def annCosineTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = quantized(spark, dir)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .select(
+        col("q_id"), col("vec_id"),
+        round(VectorFunctions.cosineQ(col("qv"), col("v")), 6).as("cosine"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "vec_id", "rnk", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** `ann_lsh_bucketed` — LSH-pruned top-k: candidates are corpus
+    * vectors sharing any (table, bucket) with the query; exact
+    * quantized cosine ranks within candidates. Ids-only shuffle for
+    * candidate generation; vectors re-join after dedup. */
+  def annLshTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = quantized(spark, dir)
+    val banded = e
+      .select(col("vec_id"), posexplode(buckets(col("v"))))
+      .withColumnRenamed("pos", "t")
+      .withColumnRenamed("col", "bucket")
+    val qb = banded.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+    val cand = qb.join(banded, Seq("t", "bucket"))
+      .select("q_id", "vec_id")
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e, "vec_id")
+      .select(
+        col("q_id"), col("vec_id"),
+        round(VectorFunctions.cosineQ(col("qv"), col("v")), 6).as("cosine"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "vec_id", "rnk", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+}

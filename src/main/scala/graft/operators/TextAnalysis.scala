@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * Everything is a declarative column expression (regex extraction +
+  * array higher-order functions) — no UDFs, no shuffle except the
+  * final presentation sort. At 100 TB these are pure map-side per-row
+  * CPU; throughput scales linearly with executors and the parquet scan
+  * prunes to (doc_id, text) only.
+  *
+  * Cross-engine determinism (SURVEY.md §3): token/shingle definitions
+  * are shared with the DuckDB oracles verbatim; all ratios are doubles
+  * computed from exact integer counts with identical expression trees,
+  * then round(…, 6).
+  */
+object TextAnalysis {
+
+  /** Tokenizer shared by every text operator AND every oracle:
+    * lowercase, extract runs of [a-z0-9]. */
+  val TokenPattern = "([a-z0-9]+)"
+
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(1))
+
+  /** Distinct n-token shingles ("w1 w2 w3") of a token array.
+    * Guarded: fewer than n tokens → empty (Spark's `sequence(1, k)`
+    * would otherwise run DESCENDING for k < 1 and fabricate shingles).
+    * DuckDB twin: `[array_to_string(t[i:i+n-1], ' ') for i in
+    * range(1, len(t)-n+2)]`. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+
+  /** Normalized text: tokens re-joined with single spaces — the
+    * canonical form used by exact dedup and fingerprinting. */
+  def normText(text: Column): Column = array_join(tokens(text), " ")
+
+  // Stopword lists for rule-based language ID. Deliberately tiny and
+  // hard-coded: the scoring must be a closed deterministic function so
+  // the DuckDB oracle can restate it exactly.
+  val StopEn = Seq("the", "and", "of", "to", "a", "in", "is", "you", "that", "it")
+  val StopEs = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no")
+  val StopFr = Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une")
+  val StopDe = Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich")
+
+  private def stopLit(words: Seq[String]): Column = array(words.map(lit): _*)
+
+  /** Distinct-stopword-hit score for one language. */
+  private def langScore(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks), stopLit(words)))
+
+  /** `text_langid` — rule-based language ID: score = number of
+    * DISTINCT stopwords of each language present; argmax with fixed
+    * priority en > es > fr > de on ties; 'und' when all zero. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        langScore(col("toks"), StopEn).as("s_en"),
+        langScore(col("toks"), StopEs).as("s_es"),
+        langScore(col("toks"), StopFr).as("s_fr"),
+        langScore(col("toks"), StopDe).as("s_de"))
+    t.withColumn(
+        "pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr")
+          && col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de")
+            && col("s_es") > 0, "es")
+          .when(col("s_fr") >= col("s_de") && col("s_fr") > 0, "fr")
+          .when(col("s_de") > 0, "de")
+          .otherwise("und"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_quality` — length / punctuation / stopword / token-shape
+    * heuristics plus a composite score, all from exact integer counts. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val punctPattern = "([^a-z0-9 ])"
+    val d = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        tokens(col("text")).as("toks"),
+        size(regexp_extract_all(col("text"), lit(punctPattern), lit(1))).as("n_punct"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_punct"),
+        size(col("toks")).as("n_tokens"),
+        size(filter(col("toks"), t => array_contains(stopLit(StopEn), t))).as("n_stop"),
+        aggregate(transform(col("toks"), length _), lit(0), (a, x) => a + x).as("tok_chars"))
+    d.select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        round(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        round(col("tok_chars").cast("double") / col("n_tokens"), 6).as("mean_tok_len"),
+        round(
+          lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 100.0)
+            + lit(0.3) * (lit(1.0) - least(lit(1.0), lit(10.0) * col("n_punct").cast("double") / col("n_chars")))
+            + lit(0.3) * least(lit(1.0), lit(5.0) * col("n_stop").cast("double") / col("n_tokens")),
+          6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_tokens` — token counts under three tokenizers: whitespace,
+    * word/[a-z0-9]-run, and a BPE-ish regex (letter runs, single
+    * digits, single punctuation marks). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        octet_length(col("text")).as("n_bytes"),
+        size(regexp_extract_all(col("text"), lit("(\\S+)"), lit(1))).as("ws_tokens"),
+        size(tokens(col("text"))).as("word_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("([a-z]+|[0-9]|[^a-z0-9\\s])"), lit(1)))
+          .as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** `text_fingerprint` — md5 + 62-bit hash of the normalized text,
+    * plus the distinct 3-shingle count (the dedup signature inputs). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normText(col("text")).as("nt"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        md5(col("nt")).as("fp_md5"),
+        HashFunctions.h62(col("nt")).as("fp_h62"),
+        size(shingles(col("toks"))).as("n_shingles"))
+      .orderBy("doc_id")
+}
