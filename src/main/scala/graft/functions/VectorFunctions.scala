@@ -24,9 +24,13 @@ object VectorFunctions {
   def quantize(v: Column, scale: Int = 1000): Column =
     transform(v, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — native
+    * codegen'd [[graft.functions.ArrayDotLong]] (HOF folds are
+    * interpreted; this is the per-pair hot path). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftShim.column(ArrayDotLong(
+      org.apache.spark.sql.GraftShim.expression(a),
+      org.apache.spark.sql.GraftShim.expression(b)))
 
   /** Exact integer squared L2 norm of a quantized vector. */
   def normSqQ(a: Column): Column = dotQ(a, a)

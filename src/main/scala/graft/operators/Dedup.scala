@@ -28,12 +28,23 @@ import graft.operators.TextAnalysis.{normText, shingles, tokens}
 object Dedup {
 
   /** Distinct 3-shingle sets per doc, with set size — the base relation
-    * for Jaccard and MinHash dedup. */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    * for Jaccard and MinHash dedup.
+    *
+    * Persisted (memory-and-disk): the relation is consumed 3+ times
+    * per query (postings/signatures + both sides of the verification
+    * join), and Spark re-executes an un-cached subtree once PER
+    * reference — worse, Catalyst's project-collapse would inline the
+    * regex+shingle expression into every consumer. The cache manager
+    * keys on the canonical plan, so the Jaccard and MinHash queries in
+    * one session share a single materialization. (At 100 TB the same
+    * role is played by writing the shingle table to storage once.) */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.parallel(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("n_sh", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.where(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+  }
 
   /** `dedup_exact` — canonical-id assignment by normalized-text md5.
     * One shuffle on the 128-bit group hash; min(doc_id) per group is
@@ -49,19 +60,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Expand a bucketed doc-list into ordered candidate pairs.
+    *
+    * Replaces the classic posting self-join: Spark computes each side
+    * of a self-join independently (no subtree reuse across the join),
+    * so joining a derived relation to itself evaluates the expensive
+    * upstream pipeline twice. Grouping to `collect_list` and
+    * double-exploding evaluates it ONCE and shuffles once. Pair count
+    * is Σ|bucket|² — identical to the self-join's output, bounded by
+    * bucket sizes, never n². (At 100 TB: cap or salt pathological hot
+    * buckets before expansion; bucket size is the skew knob.) */
+  private def expandPairs(buckets: DataFrame, docs: Column): DataFrame =
+    buckets
+      .where(size(docs) > 1)
+      .select(docs.as("ds"))
+      .select(col("ds"), explode(col("ds")).as("doc_a"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+
   /** `dedup_ngram_jaccard` — all pairs with 3-shingle Jaccard ≥ 0.5,
-    * found via an inverted index on the 62-bit shingle hash: postings
-    * self-join counts the intersection per pair directly, so work is
-    * bounded by posting-list sizes, never by n². */
+    * via an inverted index on the 62-bit shingle hash: bucket postings
+    * per shingle, expand in-bucket pairs, count shared shingles per
+    * pair, then one exact Jaccard from the per-doc set sizes. */
   def dedupNgramJaccard(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     val s = shingleSets(spark, dir)
-    val postings = s.select(
-      col("doc_id"),
-      explode(col("sh")).as("g0")).select(col("doc_id"), HashFunctions.h62(col("g0")).as("g"))
-    val common = postings.as("a")
-      .join(postings.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val buckets = s.select(col("doc_id"), explode(col("sh")).as("g0"))
+      .select(col("doc_id"), HashFunctions.h62(col("g0")).as("g"))
+      .groupBy("g").agg(collect_list(col("doc_id")).as("ds"))
+    val common = expandPairs(buckets, col("ds"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
     common
       .join(s.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
@@ -77,39 +104,44 @@ object Dedup {
   val MinhashBands = 4 // 4 bands × 4 rows
 
   /** Per-doc MinHash signature (16 seeded h62 minima) and LSH band
-    * keys — computed entirely with HOFs in one codegen'd projection:
-    * zero shuffle until the band-bucket join. */
+    * keys. Shape chosen for codegen: explode shingles once, compute
+    * all 16 seeded hashes as straight-line projected columns (native
+    * [[graft.functions.Md5Lower64]], whole-stage codegen), take 16
+    * `min` aggregates in ONE groupBy with map-side partial
+    * aggregation — the shuffle carries 16 longs per doc, not the
+    * shingle stream. (A HOF formulation would be one projection but
+    * runs interpreted — ~10× slower per row.) */
   private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val rows = MinhashSeeds / MinhashBands
-    val sig = shingleSets(spark, dir).withColumn(
-      "sig",
-      transform(
-        sequence(lit(0), lit(MinhashSeeds - 1)),
-        i => array_min(transform(col("sh"), sh => HashFunctions.h62Seeded(i, sh)))))
-    sig.select(
-      col("doc_id"), col("sh"), col("n_sh"),
-      posexplode(transform(
-        sequence(lit(0), lit(MinhashBands - 1)),
-        b => md5(array_join(
-          transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")),
-          ",")))))
+    val post = shingleSets(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s0"))
+    val hashed = post.select(
+      col("doc_id") +: (0 until MinhashSeeds).map(i =>
+        HashFunctions.h62Seeded(lit(i), col("s0")).as(s"h$i")): _*)
+    val sigs = hashed.groupBy("doc_id")
+      .agg(min("h0").as("sig0"),
+        (1 until MinhashSeeds).map(i => min(s"h$i").as(s"sig$i")): _*)
+    sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until MinhashBands).map(b =>
+        md5(concat_ws(",",
+          (b * rows until (b + 1) * rows).map(i => col(s"sig$i").cast("string")): _*))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
   }
 
   /** `dedup_minhash_lsh` — banded-LSH candidate pairs, verified with
-    * exact Jaccard ≥ 0.5. The band join shuffles O(n · bands) rows; the
-    * exact check runs per-candidate on the carried shingle arrays. */
+    * exact Jaccard ≥ 0.5. The band join shuffles O(n · bands) id/key
+    * rows; shingle arrays re-join only for surviving candidates. */
   def dedupMinhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val b = minhashBands(spark, dir)
-    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("bkey"),
-      col("sh").as("sha"), col("n_sh").as("na"))
-    val c = b.select(col("doc_id").as("doc_b"), col("band"), col("bkey"),
-      col("sh").as("shb"), col("n_sh").as("nb"))
-    a.join(c, Seq("band", "bkey"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sha", "shb", "na", "nb")
+    val s = shingleSets(spark, dir)
+    val buckets = minhashBands(spark, dir)
+      .groupBy("band", "bkey").agg(collect_list(col("doc_id")).as("ds"))
+    val cand = expandPairs(buckets, col("ds"))
       .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(s.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
@@ -121,33 +153,29 @@ object Dedup {
   val SimhashBits = 48
   val SimhashBands = 4 // 12 bits each → complete for Hamming ≤ 3
 
-  /** Per-doc 48-bit SimHash over token counts, as one codegen'd
-    * projection: distinct tokens with counts via HOFs, then a
-    * bit-majority fold. Ties (sum == 0) set the bit. */
-  private def simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn(
-        "entries",
-        transform(
-          array_distinct(col("toks")),
-          t => struct(
-            HashFunctions.h62(t).as("h"),
-            size(filter(col("toks"), x => x === t)).cast("long").as("c"))))
-      .withColumn(
-        "sim",
-        aggregate(
-          sequence(lit(0), lit(SimhashBits - 1)),
-          lit(0L),
-          (acc, b) => acc + when(
-            aggregate(
-              col("entries"),
-              lit(0L),
-              (a2, e) => a2 + e("c") * when(
-                call_function("shiftright", e("h"), b).bitwiseAND(lit(1L)) === 1L,
-                lit(1L)).otherwise(lit(-1L))) >= 0L,
-            call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))))
-      .select("doc_id", "sim")
+  /** Per-doc 48-bit SimHash over token counts. Shape chosen for
+    * codegen and scale: explode tokens → count per (doc, token) with
+    * map-side partial agg → one weighted-popcount aggregate per bit
+    * (48 codegen'd `sum(when…)` columns) → pack bits in a single
+    * projection. Bit b is set iff 2·Σ count·bit_b(h62(tok)) ≥ Σ count
+    * (i.e. the signed bit-majority, ties set the bit — identical to
+    * the oracle's ±1 fold). */
+  private def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // Σ_distinct count(tok)·bit_b(h) ≡ Σ_occurrences bit_b(h): summing
+    // per occurrence needs no (doc, tok) pre-aggregation — ONE shuffle
+    // keyed by doc_id, 49 codegen'd sum columns with map-side combine.
+    val occ = Tables.parallel(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), HashFunctions.h62(col("tok")).as("h"))
+    val bitSums = (0 until SimhashBits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b"))
+    val agg = occ.groupBy("doc_id")
+      .agg(count(lit(1)).as("t"), bitSums: _*)
+    val sim = (0 until SimhashBits)
+      .map(b => when(lit(2L) * col(s"s$b") - col("t") >= 0L, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("sim"))
+  }
 
   /** `dedup_simhash` — pairs at Hamming distance ≤ 3 in 48-bit SimHash
     * space, via 4 × 12-bit band buckets (pigeonhole: distance ≤ 3 ⇒ at
@@ -155,21 +183,25 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val s = simhash(spark, dir)
     val bits = SimhashBits / SimhashBands
-    val banded = s.select(
-      col("doc_id"), col("sim"),
+    // Carry (doc_id, sim) into the buckets as a struct: pairs come out
+    // with both signatures attached — no re-join against the simhash
+    // pipeline for the Hamming check.
+    val buckets = s.select(
+      struct(col("doc_id"), col("sim")).as("e"),
       posexplode(transform(
         sequence(lit(0), lit(SimhashBands - 1)),
         k => call_function("shiftright", col("sim"), k * bits)
           .bitwiseAND(lit((1L << bits) - 1)))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bval")
-    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bval"),
-      col("sim").as("sim_a"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bval"),
-      col("sim").as("sim_b"))
-    a.join(b, Seq("band", "bval"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b")
+      .groupBy(col("pos").as("band"), col("col").as("bval"))
+      .agg(collect_list(col("e")).as("ds"))
+    buckets
+      .where(size(col("ds")) > 1)
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming",
         call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))))
@@ -184,15 +216,19 @@ object Dedup {
     * the standard pre-partitioning; swap in LSH buckets from
     * [[Similarity]] for unlabeled corpora). */
   def dedupEmbedding(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    // Norms precomputed per vector (n rows), not per pair (n²/blocks).
+    val e = Tables.parallel(spark, Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"), VectorFunctions.quantize(col("embedding")).as("v"))
+      .withColumn("nsq", VectorFunctions.normSqQ(col("v")))
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"),
-        round(VectorFunctions.cosineQ(col("a.v"), col("b.v")), 6).as("cosine"))
+        round(
+          VectorFunctions.dotQ(col("a.v"), col("b.v")).cast("double")
+            / sqrt((col("a.nsq") * col("b.nsq")).cast("double")), 6).as("cosine"))
       .where(col("cosine") >= tau)
       .orderBy("vec_a", "vec_b")
   }

@@ -56,9 +56,18 @@ object Similarity {
               * get(signLit, (t * LshPlanes + p) * Dims + d)) >= 0L,
           call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))))
 
+  /** Quantized vectors + squared norms, persisted: referenced up to 4×
+    * per ANN query (bucketing, query side, both scoring joins); an
+    * un-cached plan would recompute quantization per reference. */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.parallel(spark, Tables.embeddings(spark, dir))
       .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("v"))
+      .withColumn("nsq", VectorFunctions.normSqQ(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Pairwise quantized cosine with precomputed squared norms. */
+  private def cosinePre(qv: Column, qn: Column, v: Column, n: Column): Column =
+    VectorFunctions.dotQ(qv, v).cast("double") / sqrt((qn * n).cast("double"))
 
   /** `ann_cosine_topk` — exact top-10 by quantized cosine for each
     * query vector (vec_id < 5), brute force with a broadcast query
@@ -66,11 +75,11 @@ object Similarity {
   def annCosineTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = quantized(spark, dir)
     val q = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nsq").as("qnsq"))
     val scored = e.crossJoin(broadcast(q))
       .select(
         col("q_id"), col("vec_id"),
-        round(VectorFunctions.cosineQ(col("qv"), col("v")), 6).as("cosine"))
+        round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
@@ -95,11 +104,11 @@ object Similarity {
       .select("q_id", "vec_id")
       .dropDuplicates("q_id", "vec_id")
     val scored = cand
-      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nsq").as("qnsq")), "q_id")
       .join(e, "vec_id")
       .select(
         col("q_id"), col("vec_id"),
-        round(VectorFunctions.cosineQ(col("qv"), col("v")), 6).as("cosine"))
+        round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))

@@ -42,6 +42,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Ensure a scan has at least the session's default parallelism.
+    *
+    * Parquet can't split inside a row group, so a small file arrives
+    * as ONE partition and any per-row-CPU-heavy pipeline (shingling,
+    * hashing, vector math) runs on one core. When the scan is already
+    * wide (the 100 TB case: thousands of splits) this is a no-op —
+    * no extra shuffle; when it's narrow, one cheap round-robin
+    * repartition unlocks every core. */
+  def parallel(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Register every table as a temp view so `spark.sql` works against
     * the scale-factor directory like a catalog namespace. */
   def registerAll(spark: SparkSession, dir: String): Unit =
