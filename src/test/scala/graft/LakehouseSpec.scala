@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{JsonDocSource, Lakehouse, Sinks, Tables}
+
+class LakehouseSpec extends SparkSpec {
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    d
+  }
+
+  test("createOrReplace + read round-trip, partitioned") {
+    val lake = new Lakehouse(spark, freshRoot())
+    val nation = Tables.nation(spark, sf)
+    lake.createOrReplace(nation, "nation", partitionBy = Seq("n_regionkey"))
+    assert(lake.read("nation").count() === nation.count())
+    assert(lake.read("nation").columns.toSet === nation.columns.toSet)
+  }
+
+  test("replace creates a new snapshot; time travel reads the old one") {
+    val lake = new Lakehouse(spark, freshRoot())
+    val orders = Tables.orders(spark, sf)
+    val s1 = lake.createOrReplace(orders.limit(10), "orders")
+    val s2 = lake.createOrReplace(orders.limit(25), "orders")
+    assert(s1 === 1L && s2 === 2L)
+    assert(lake.currentSnapshot("orders") === Some(2L))
+    assert(lake.read("orders").count() === 25)
+    assert(lake.readSnapshot("orders", s1).count() === 10)
+    assert(lake.snapshots("orders").map(_._1) === Seq(1L, 2L))
+  }
+
+  test("append writes only a delta dir and unions with history") {
+    val lake = new Lakehouse(spark, freshRoot())
+    val orders = Tables.orders(spark, sf)
+    lake.createOrReplace(orders.limit(10), "orders")
+    val s2 = lake.append(orders.limit(40).where(col("o_orderkey") > 1000), "orders")
+    val expected = 10 + orders.limit(40).where(col("o_orderkey") > 1000).count()
+    assert(lake.read("orders").count() === expected)
+    // the append snapshot references two dirs, the first references one
+    assert(lake.snapshots("orders").find(_._1 == s2).get._2.length === 2)
+  }
+
+  test("registerView exposes the table to spark.sql") {
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(Tables.region(spark, sf), "region_lake")
+    lake.registerView("region_lake")
+    assert(spark.sql("SELECT count(*) FROM region_lake").head().getLong(0) === 5)
+  }
+
+  test("sinks export csv and parquet with overwrite") {
+    val out = freshRoot()
+    val df = Tables.region(spark, sf)
+    Sinks.exportCsv(df, s"$out/r.csv")
+    Sinks.exportCsv(df, s"$out/r.csv") // overwrite works
+    Sinks.exportParquet(df, s"$out/r.parquet")
+    assert(spark.read.option("header", "true").csv(s"$out/r.csv").count() === 5)
+    assert(spark.read.parquet(s"$out/r.parquet").count() === 5)
+  }
+
+  test("medallion flow on document source: bronze docs → lakehouse → gold report") {
+    val lake = new Lakehouse(spark, freshRoot())
+    val fixture = getClass.getResource("/orders_fixture.jsonl").getPath
+    val docs = JsonDocSource.readValid(spark, fixture)
+    lake.createOrReplace(docs, "bronze_orders")
+    val gold = lake.read("bronze_orders")
+      .groupBy(col("shipping_address.city").as("city"))
+      .agg(sum("total_amount").as("total_revenue"), count("order_id").as("order_count"))
+      .orderBy(col("total_revenue").desc)
+    val top = gold.head()
+    assert(top.getAs[String]("city") === "Hyderabad")
+    assert(top.getAs[Long]("order_count") === 2L)
+  }
+}

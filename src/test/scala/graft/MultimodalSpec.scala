@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, MediaRecord}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media table: binary payload with consistent typed metadata") {
+    val df = Multimodal.mediaTable(spark, sf)
+    val bad = df.where(octet_length(col("payload")) =!= col("meta.n_bytes")).count()
+    assert(bad === 0)
+    assert(df.schema("payload").dataType.typeName === "binary")
+  }
+
+  test("decode pipeline: deterministic stub features via mapPartitions") {
+    val feats = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(feats.length === graft.sources.Tables.documents(spark, sf).count())
+    feats.foreach { f =>
+      assert(f.width >= 1 && f.width <= 64)
+      assert(f.height >= 1 && f.height <= 64)
+      assert(f.mean_byte >= 0.0 && f.mean_byte < 256.0)
+      assert(f.n_frames >= 1)
+    }
+    // determinism: a second run is byte-identical
+    val again = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(feats.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("decode stub is a pure function of the payload") {
+    val a = Multimodal.decodeStub(MediaRecord(1, "stub", "hello world".getBytes))
+    val b = Multimodal.decodeStub(MediaRecord(1, "stub", "hello world".getBytes))
+    assert(a === b)
+    assert(Multimodal.decodeStub(MediaRecord(2, "stub", Array.empty[Byte])).mean_byte === 0.0)
+  }
+
+  test("frame sampling slices the payload without decoding") {
+    val frames = Multimodal.frameSample(spark, sf)
+    assert(frames.where(octet_length(col("frame")) > 16).count() === 0)
+    assert(frames.groupBy("doc_id").count().where(col("count") < 1).count() === 0)
+  }
+
+  test("multimodal_features: md5 matches text md5 (payload is the utf-8 bytes)") {
+    val joined = Multimodal.multimodalFeatures(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf).select(col("doc_id"), md5(col("text")).as("want")), "doc_id")
+    assert(joined.where(col("content_md5") =!= col("want")).count() === 0)
+  }
+}

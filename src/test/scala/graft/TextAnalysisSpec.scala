@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: sliding windows, distinct, guarded under n tokens") {
+    val df = Seq("a b c d", "a b", "x y x y x y").toDF("text")
+      .select(TextAnalysis.shingles(TextAnalysis.tokens(col("text"))).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq("x y x", "y x y")) // distinct collapses repeats
+  }
+
+  test("langid: every doc gets a prediction from the closed label set") {
+    val rows = TextAnalysis.textLangid(spark, sf).collect()
+    assert(rows.length === graft.sources.Tables.documents(spark, sf).count())
+    val labels = Set("en", "es", "fr", "de", "und")
+    assert(rows.forall(r => labels.contains(r.getAs[String]("pred_lang"))))
+  }
+
+  test("quality: ratios bounded, composite score in [0, 1]") {
+    val rows = TextAnalysis.textQuality(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("punct_ratio") >= 0 && r.getAs[Double]("punct_ratio") <= 1)
+      assert(r.getAs[Double]("stop_ratio") >= 0 && r.getAs[Double]("stop_ratio") <= 1)
+      assert(r.getAs[Double]("quality") >= 0 && r.getAs[Double]("quality") <= 1)
+      assert(r.getAs[Double]("mean_tok_len") > 0)
+    }
+  }
+
+  test("token counts: bpe >= word tokenization, bytes == chars on ascii corpus") {
+    val rows = TextAnalysis.textTokens(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("bpe_tokens") >= r.getAs[Int]("word_tokens"))
+      assert(r.getAs[Int]("n_bytes") === r.getAs[Int]("n_chars"))
+    }
+  }
+
+  test("fingerprint: md5 shape and h62 range") {
+    val rows = TextAnalysis.textFingerprint(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("fp_md5").matches("[0-9a-f]{32}"))
+      assert(r.getAs[Long]("fp_h62") >= 0)
+    }
+    // identical normalized text ⇒ identical fingerprint, and distinct docs mostly distinct
+    assert(rows.map(_.getAs[Long]("fp_h62")).distinct.length > rows.length / 2)
+  }
+}
