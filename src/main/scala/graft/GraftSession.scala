@@ -15,6 +15,7 @@ object GraftSession {
   def builder(cores: Int = 32): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)

@@ -66,6 +66,14 @@ class FunctionsSpec extends SparkSpec {
     assert(df.head().getDouble(0) === 1.0)
   }
 
+  test("extensions expose native expressions to SQL") {
+    val h = spark.sql("SELECT md5lower64('abc') AS h").head().getLong(0)
+    assert(h === 8250560606382298838L)
+    val d = spark.sql("SELECT array_dot_long(array(1L,2L,3L), array(4L,5L,6L)) AS d")
+      .head().getLong(0)
+    assert(d === 32L)
+  }
+
   test("double-precision cosine agrees with quantized cosine to ~1e-3") {
     val e = graft.sources.Tables.embeddings(spark, sf).limit(20)
       .select(col("vec_id"), col("embedding"))
