@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/parquet-reader paths and the FS cache so
+    // per-query numbers measure the plans, not first-job init.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    graft.sources.Tables.names.foreach { t =>
+      try graft.sources.Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

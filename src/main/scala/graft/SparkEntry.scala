@@ -257,11 +257,16 @@ object SparkEntry {
         |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []
         |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END sh FROM tk),
         |ss AS (SELECT doc_id, sh, len(sh) n_sh FROM s WHERE len(sh) > 0),
-        |sig AS (SELECT doc_id, sh, n_sh,
-        |  [list_min([CAST(md5_number_lower(i::VARCHAR || '|' || x) // 4 AS BIGINT) for x in sh]) for i in range(0,16)] sg
-        |  FROM ss),
+        |seeds AS (SELECT r.range i,
+        |  ((CAST(md5_number_lower('minhash-a|' || r.range::VARCHAR) // 4 AS BIGINT) % 2147483646) + 1) a,
+        |  (CAST(md5_number_lower('minhash-b|' || r.range::VARCHAR) // 4 AS BIGINT) % 2147483647) b
+        |  FROM range(0,16) r),
+        |ph AS (SELECT doc_id, (CAST(md5_number_lower(unnest(sh)) // 4 AS BIGINT) % 2147483647) hp FROM ss),
+        |sg AS (SELECT doc_id, i, min((a * hp + b) % 2147483647) m
+        |  FROM ph CROSS JOIN seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(m::VARCHAR ORDER BY i) sgl FROM sg GROUP BY 1),
         |bands AS (SELECT doc_id, unnest([{'band': b,
-        |    'bkey': md5(array_to_string(list_transform(sg[b*4+1:b*4+4], v -> v::VARCHAR), ','))}
+        |    'bkey': md5(array_to_string(sgl[b*4+1:b*4+4], ','))}
         |  for b in range(0,4)]) u FROM sig),
         |bb AS (SELECT doc_id, u.band band, u.bkey bkey FROM bands),
         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b

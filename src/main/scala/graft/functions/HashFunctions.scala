@@ -122,4 +122,26 @@ object HashFunctions {
     * `CAST(md5_number_lower(seed::VARCHAR || '|' || s) // 4 AS BIGINT)`. */
   def h62Seeded(seed: Column, s: Column): Column =
     h62(concat_ws("|", seed.cast("string"), s))
+
+  /** Mersenne prime 2³¹−1: the modulus of the affine minhash family. */
+  val MixP: Long = 2147483647L
+
+  /** Seeded affine-mix constants, themselves md5-derived so the DuckDB
+    * oracle can regenerate them:
+    * aᵢ = h62("minhash-a|i") % (p−1) + 1 (never 0), bᵢ = h62("minhash-b|i") % p. */
+  def mixA(i: Int): Long =
+    ((HashImpl.md5Lower64(s"minhash-a|$i".getBytes("UTF-8")) >>> 2) % (MixP - 1)) + 1
+  def mixB(i: Int): Long =
+    (HashImpl.md5Lower64(s"minhash-b|$i".getBytes("UTF-8")) >>> 2) % MixP
+
+  /** One md5 per value, k cheap 2-universal mixes: gᵢ(x) =
+    * (aᵢ·(h62(x) mod p) + bᵢ) mod p, p = 2³¹−1. aᵢ·hp < 2⁶² so the
+    * arithmetic never overflows signed 64-bit — the same expression
+    * evaluates identically in DuckDB BIGINT SQL. ~16× fewer md5 calls
+    * than seeded-concat hashing on a 16-seed signature. */
+  def affineMix(hp: Column, i: Int): Column =
+    (lit(mixA(i)) * hp + lit(mixB(i))) % MixP
+
+  /** h62 reduced into the mix domain: h62(x) mod p. */
+  def h62ModP(c: Column): Column = h62(c) % MixP
 }

@@ -103,21 +103,23 @@ object Dedup {
   val MinhashSeeds = 16
   val MinhashBands = 4 // 4 bands × 4 rows
 
-  /** Per-doc MinHash signature (16 seeded h62 minima) and LSH band
-    * keys. Shape chosen for codegen: explode shingles once, compute
-    * all 16 seeded hashes as straight-line projected columns (native
-    * [[graft.functions.Md5Lower64]], whole-stage codegen), take 16
-    * `min` aggregates in ONE groupBy with map-side partial
-    * aggregation — the shuffle carries 16 longs per doc, not the
-    * shingle stream. (A HOF formulation would be one projection but
-    * runs interpreted — ~10× slower per row.) */
+  /** Per-doc MinHash signature (16 affine-mixed minima) and LSH band
+    * keys. Shape chosen for codegen: explode shingles once, ONE md5
+    * per shingle (native [[graft.functions.Md5Lower64]]) reduced mod
+    * 2³¹−1, then 16 two-universal affine mixes as straight-line
+    * projected columns and 16 `min` aggregates in ONE groupBy with
+    * map-side partial aggregation — the shuffle carries 16 longs per
+    * doc, not the shingle stream. (A HOF formulation would run
+    * interpreted — ~10× slower; per-seed md5s would cost 16× the
+    * hashing.) */
   private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val rows = MinhashSeeds / MinhashBands
     val post = shingleSets(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), HashFunctions.h62ModP(col("s0")).as("hp"))
     val hashed = post.select(
       col("doc_id") +: (0 until MinhashSeeds).map(i =>
-        HashFunctions.h62Seeded(lit(i), col("s0")).as(s"h$i")): _*)
+        HashFunctions.affineMix(col("hp"), i).as(s"h$i")): _*)
     val sigs = hashed.groupBy("doc_id")
       .agg(min("h0").as("sig0"),
         (1 until MinhashSeeds).map(i => min(s"h$i").as(s"sig$i")): _*)

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+
+/** Physical-plan audit: asserts the plan PROPERTIES the 100 TB design
+  * depends on — pushdown, pruning, broadcast placement, codegen spans,
+  * no accidental cartesian products — so a regression in plan shape
+  * fails CI even while results stay correct. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("brute-force ANN broadcasts the query side, never the corpus") {
+    val p = plan(Similarity.annCosineTopk(spark, sf))
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+  }
+
+  test("dedup candidate generation never plans a cartesian product") {
+    Seq(
+      Dedup.dedupNgramJaccard(spark, sf),
+      Dedup.dedupMinhashLsh(spark, sf),
+      Dedup.dedupSimhash(spark, sf)).foreach { df =>
+      assert(!plan(df).contains("CartesianProduct"), "O(n²) pair enumeration leaked in")
+    }
+  }
+
+  test("text pipelines prune the document scan to (doc_id, text)") {
+    val p = plan(TextAnalysis.textTokens(spark, sf))
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unneeded columns read: $readSchema")
+  }
+
+  test("multimodal features prune to (doc_id, text)") {
+    val readSchema = "ReadSchema: [^\n]*".r
+      .findFirstIn(plan(Multimodal.multimodalFeatures(spark, sf))).getOrElse("")
+    assert(!readSchema.contains("n_chars"), s"unneeded columns read: $readSchema")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan(Relational.qTopkOrders(spark, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("simhash aggregation runs as map-side partial + final aggregate pairs") {
+    val p = plan(Dedup.dedupSimhash(spark, sf))
+    // each logical groupBy must plan as a partial/final HashAggregate
+    // pair around its exchange — that's what bounds the shuffle to
+    // per-doc rows instead of the token stream
+    assert("HashAggregate".r.findAllIn(p).length >= 4, "expected partial+final aggregate pairs")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("filter + projection reach the parquet scan on the fact table") {
+    val p = plan(Relational.qFilterPushdown(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+  }
+}
