@@ -38,6 +38,10 @@ object SparkEntry {
     "q_events_hourly" -> (Relational.qEventsHourly _),
     "q_events_sessionize" -> (Relational.qEventsSessionize _),
     "q_events_json" -> (Relational.qEventsJson _),
+    "q_cube" -> (Relational.qCube _),
+    "q_string_agg" -> (Relational.qStringAgg _),
+    "q_set_ops" -> (Relational.qSetOps _),
+    "q_range_join" -> (Relational.qRangeJoin _),
     // §2.C — deduplication
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
@@ -227,6 +231,31 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_string_agg" ->
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_set_ops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+        |UNION ALL
+        |SELECT o_custkey, 'f_only' AS tag FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id, count(c.event_id) AS n_clicks_10m
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     // §2.C — deduplication. Shared fragments (SURVEY.md §3): tokens =
     // regexp_extract_all(lower(text),'([a-z0-9]+)',1); shingles =
     // distinct 3-token windows; h62(x) = md5_number_lower(x) // 4.

@@ -232,4 +232,67 @@ object Relational {
         sum(col("k")).as("sum_k"),
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
+
+  /** CUBE aggregation: all grouping-set combinations of
+    * (status, priority) in one pass. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Ordered string aggregation: deterministic listagg via
+    * collect_set → array_sort → join (no reliance on input order). */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("o_orderpriority")))).as("priorities"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Set operations: customers ordering in both statuses (INTERSECT)
+    * and high-value-only customers (EXCEPT), unioned with a tag. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val f = o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val open = o.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+    f.intersect(open).withColumn("tag", lit("both"))
+      .union(f.except(open).withColumn("tag", lit("f_only")))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  /** Range join at scale: clicks within the 10 minutes before each
+    * purchase, SAME user. The naive plan is an inequality join (per
+    * user cartesian); this one buckets time into 10-minute blocks and
+    * equi-joins on (user_id, bucket) with each purchase probing its
+    * own and the previous bucket — shuffle is keyed, bounded, and
+    * AQE-skew-splittable, which is the difference between O(n·k) and
+    * O(n²/users) at 100 TB. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val winMicros = 600L * 1000000L
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(
+        col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"),
+        floor(unix_micros(col("ts")) / winMicros).as("bucket"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"),
+        floor(unix_micros(col("ts")) / winMicros).as("b0"))
+      .select(col("user_id"), col("p_ts"), col("p_id"),
+        explode(array(col("b0") - 1, col("b0"))).as("bucket"))
+    purchases
+      .join(clicks,
+        purchases("user_id") === clicks("user_id")
+          && purchases("bucket") === clicks("bucket")
+          && col("c_ts") < col("p_ts")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"),
+        "left")
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(col("c_id")).as("n_clicks_10m"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -100,6 +100,18 @@ class Lakehouse(spark: SparkSession, root: String) {
     commit(table, snap, prev :+ dir)
   }
 
+  /** Copy-on-write MERGE (upsert): source rows replace target rows on
+    * key match, unmatched target rows survive, unmatched source rows
+    * insert. Commits one new snapshot; history stays time-travelable.
+    * (At 100 TB with partitioned tables, rewrite only the partitions
+    * the source touches — same plan, narrower createOrReplace.) */
+  def upsert(source: DataFrame, table: String, keyCols: Seq[String],
+      partitionBy: Seq[String] = Nil): Long = {
+    val keep = read(table).join(
+      source.select(keyCols.map(source(_)): _*).distinct(), keyCols, "left_anti")
+    createOrReplace(keep.unionByName(source), table, partitionBy)
+  }
+
   /** Read the current snapshot. */
   def read(table: String): DataFrame =
     readSnapshot(table, currentSnapshot(table)

@@ -42,6 +42,17 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.snapshots("orders").find(_._1 == s2).get._2.length === 2)
   }
 
+  test("upsert merges on key: updates win, unmatched rows survive, inserts land") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "kv")
+    lake.upsert(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "kv", Seq("k"))
+    val got = lake.read("kv").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // history preserved: snapshot 1 still has the pre-merge state
+    assert(lake.readSnapshot("kv", 1).count() === 2)
+  }
+
   test("registerView exposes the table to spark.sql") {
     val lake = new Lakehouse(spark, freshRoot())
     lake.createOrReplace(Tables.region(spark, sf), "region_lake")

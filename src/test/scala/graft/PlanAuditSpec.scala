@@ -55,6 +55,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("range join plans as an equi-join on (user, bucket), not a nested loop") {
+    val p = plan(Relational.qRangeJoin(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "time-bucketing failed: inequality join fell back to a per-row loop")
+  }
+
   test("filter + projection reach the parquet scan on the fact table") {
     val p = plan(Relational.qFilterPushdown(spark, sf))
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
