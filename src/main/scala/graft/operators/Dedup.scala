@@ -70,9 +70,15 @@ object Dedup {
     * is Σ|bucket|² — identical to the self-join's output, bounded by
     * bucket sizes, never n². (At 100 TB: cap or salt pathological hot
     * buckets before expansion; bucket size is the skew knob.) */
-  private def expandPairs(buckets: DataFrame, docs: Column): DataFrame =
+  private def expandPairs(
+      buckets: DataFrame, docs: Column, maxBucket: Int = Int.MaxValue): DataFrame =
     buckets
-      .where(size(docs) > 1)
+      // Skew knob: a pathological hot bucket (a boilerplate shingle
+      // shared by millions of docs) would emit |bucket|² pairs. The cap
+      // drops such buckets outright — at dedup thresholds a key that
+      // common carries no signal, and the bound makes worst-case
+      // shuffle size explicit. Default: uncapped (oracle-exact).
+      .where(size(docs) > 1 && size(docs) <= maxBucket)
       .select(docs.as("ds"))
       .select(col("ds"), explode(col("ds")).as("doc_a"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))

@@ -122,4 +122,52 @@ object EventStream {
     implicit val enc = Encoders.product[SessionEvent]
     events.select(col("user_id"), col("ts"), col("event_id")).as[SessionEvent]
   }
+
+  /** TRUE incremental sessionization for unbounded streams: the open
+    * session lives in the state store across micro-batches and is
+    * emitted only when closed — either by a later event beyond the
+    * gap, or by an event-time timeout once the watermark passes
+    * last-event + gap. Requires `withWatermark("ts", …)` upstream.
+    * State per key is ONE [[OpenSession]] (fixed-size), so state-store
+    * growth at 100 TB is bounded by concurrently-active users, not by
+    * events. */
+  def sessionizeStream(events: Dataset[SessionEvent]): Dataset[UserSession] = {
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[UserSession]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) => {
+          def gapExceeded(aMs: Long, bMs: Long): Boolean =
+            Math.floorDiv(bMs, 1000L) - Math.floorDiv(aMs, 1000L) > GapSeconds
+          val out = Seq.newBuilder[UserSession]
+          if (!it.hasNext) {
+            // timeout fired: watermark passed the open session's close
+            state.getOption.foreach { s =>
+              out += UserSession(userId, s.sessionId, s.n, s.start, s.last)
+            }
+            state.remove()
+          } else {
+            val evs = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            evs.foreach { e =>
+              open match {
+                case Some(s) if !gapExceeded(s.last.getTime, e.ts.getTime) =>
+                  open = Some(s.copy(n = s.n + 1, last = e.ts))
+                case Some(s) =>
+                  out += UserSession(userId, s.sessionId, s.n, s.start, s.last)
+                  open = Some(OpenSession(s.sessionId + 1, 1, e.ts, e.ts))
+                case None =>
+                  open = Some(OpenSession(1, 1, e.ts, e.ts))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + GapSeconds * 1000 + 1000)
+            }
+          }
+          out.result().iterator
+        })
+  }
 }

@@ -55,6 +55,21 @@ class RelationalSpec extends SparkSpec {
     sess.unpersist()
   }
 
+  test("generic AsofJoin operator reproduces the window-composed asof query") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "purchase"))
+    val generic = graft.operators.AsofJoin.join(
+      left = ev.where(col("event_type") === "purchase"),
+      right = ev.where(col("event_type") === "click"),
+      keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id", valueCol = "ts")
+      .select(col("event_id"), col("asof_ts").as("last_click_ts"))
+    val want = Relational.qAsofJoin(spark, sf)
+      .select(col("event_id"), col("last_click_ts"))
+    assert(generic.exceptAll(want).count() === 0)
+    assert(want.exceptAll(generic).count() === 0)
+  }
+
   test("asof join: last click precedes the purchase") {
     import org.apache.spark.sql.functions.col
     val df = Relational.qAsofJoin(spark, sf)

@@ -39,6 +39,42 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("incremental sessionization: open sessions survive micro-batches, close on gap or timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(user: Long, minute: Long, id: Long) =
+      graft.streaming.SessionEvent(user, new java.sql.Timestamp(minute * 60000L), id)
+
+    val source = MemoryStream[graft.streaming.SessionEvent]
+    val sessions = EventStream.sessionizeStream(
+      EventStream.toSessionEvents(
+        source.toDF().withWatermark("ts", "0 seconds")))
+    val q = sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 5 min apart — one OPEN session
+      source.addData(ev(1, 10, 1), ev(1, 15, 2))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() === 0, "open session must not emit")
+      // batch 2: 40 min later (> 30-min gap) → session 1 closes, session 2 opens
+      source.addData(ev(1, 55, 3))
+      q.processAllAvailable()
+      val closed = spark.table("sess_test").as[graft.streaming.UserSession].collect()
+      assert(closed.length === 1)
+      assert(closed.head.session_id === 1 && closed.head.n_events === 2)
+      // batch 3: an unrelated late-watermark event advances event time far
+      // enough that user 1's open session times out and flushes
+      source.addData(ev(2, 200, 4))
+      q.processAllAvailable()
+      source.addData(ev(2, 300, 5))
+      q.processAllAvailable()
+      val all = spark.table("sess_test").as[graft.streaming.UserSession].collect()
+      assert(all.exists(s => s.user_id == 1 && s.session_id == 2 && s.n_events == 1),
+        s"timeout flush missing: ${all.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("sessions respect the 30-minute gap invariant") {
     val sessions = EventStream.sessionize(
       EventStream.toSessionEvents(Tables.events(spark, sf))).collect()
