@@ -292,7 +292,8 @@ object SparkEntry {
         |  ((CAST(md5_number_lower('minhash-a|' || r.range::VARCHAR) // 4 AS BIGINT) % 2147483646) + 1) a,
         |  (CAST(md5_number_lower('minhash-b|' || r.range::VARCHAR) // 4 AS BIGINT) % 2147483647) b
         |  FROM range(0,16) r),
-        |ph AS (SELECT doc_id, (CAST(md5_number_lower(unnest(sh)) // 4 AS BIGINT) % 2147483647) hp FROM ss),
+        |pg AS (SELECT doc_id, CAST(md5_number_lower(unnest(sh)) // 4 AS BIGINT) g FROM ss),
+        |ph AS (SELECT doc_id, g % 2147483647 hp FROM pg),
         |sg AS (SELECT doc_id, i, min((a * hp + b) % 2147483647) m
         |  FROM ph CROSS JOIN seeds GROUP BY 1, 2),
         |sig AS (SELECT doc_id, list(m::VARCHAR ORDER BY i) sgl FROM sg GROUP BY 1),
@@ -302,8 +303,12 @@ object SparkEntry {
         |bb AS (SELECT doc_id, u.band band, u.bkey bkey FROM bands),
         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
         |  FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        |v AS (SELECT doc_a, doc_b, len(list_intersect(sa.sh, sb.sh)) common, sa.n_sh na, sb.n_sh nb
-        |  FROM cand JOIN ss sa ON doc_a = sa.doc_id JOIN ss sb ON doc_b = sb.doc_id),
+        |cm AS (SELECT c.doc_a, c.doc_b, count(*) common FROM cand c
+        |  JOIN pg a ON a.doc_id = c.doc_a JOIN pg b ON b.doc_id = c.doc_b AND b.g = a.g
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) n_sh FROM pg GROUP BY 1),
+        |v AS (SELECT cm.doc_a, cm.doc_b, cm.common, sa.n_sh na, sb.n_sh nb FROM cm
+        |  JOIN sz sa ON cm.doc_a = sa.doc_id JOIN sz sb ON cm.doc_b = sb.doc_id),
         |j AS (SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) jaccard FROM v)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,

@@ -27,23 +27,49 @@ import graft.operators.TextAnalysis.{normText, shingles, tokens}
   */
 object Dedup {
 
-  /** Distinct 3-shingle sets per doc, with set size — the base relation
-    * for Jaccard and MinHash dedup.
+  /** Hashed shingle postings (doc_id, g = h62(shingle)) — the shared
+    * base relation for Jaccard and MinHash dedup. Shingles are
+    * distinct per doc (native [[graft.functions.Shingles]]), so
+    * |postings(doc)| = |shingle set| and pairwise intersection counts
+    * come from an equi-join on g. Both engines derive g with the same
+    * md5 bytes, so hashed counts are value-exact cross-engine.
     *
-    * Persisted (memory-and-disk): the relation is consumed 3+ times
-    * per query (postings/signatures + both sides of the verification
-    * join), and Spark re-executes an un-cached subtree once PER
-    * reference — worse, Catalyst's project-collapse would inline the
-    * regex+shingle expression into every consumer. The cache manager
-    * keys on the canonical plan, so the Jaccard and MinHash queries in
-    * one session share a single materialization. (At 100 TB the same
-    * role is played by writing the shingle table to storage once.) */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.parallel(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+    * Persisted (memory-and-disk): consumed 3+ times per query and
+    * SHARED by the Jaccard and MinHash queries (cache keys on the
+    * canonical plan). Two long columns columnar-cache ~10× cheaper
+    * than string arrays — profiling showed caching shingle ARRAYS
+    * cost more than recomputing them. (At 100 TB the same role is a
+    * materialized posting table.) */
+  private def postings(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallel(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s0"))
+      .select(col("doc_id"), HashFunctions.h62(col("s0")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.where(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+
+  /** Distinct-shingle-set size per doc, from the postings cache. */
+  private def docSizes(posts: DataFrame): DataFrame =
+    posts.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+  /** Shared-shingle count per candidate pair, from the postings
+    * cache: each side's postings equi-joined on the shingle hash. */
+  private def commonCounts(cand: DataFrame, posts: DataFrame): DataFrame =
+    cand
+      .join(posts.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(posts.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+
+  /** Exact-Jaccard verification of candidate pairs against τ. */
+  private def verifyJaccard(cand: DataFrame, posts: DataFrame, tau: Double): DataFrame = {
+    val sizes = docSizes(posts)
+    commonCounts(cand, posts)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
+      .where(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** `dedup_exact` — canonical-id assignment by normalized-text md5.
@@ -89,16 +115,15 @@ object Dedup {
     * per shingle, expand in-bucket pairs, count shared shingles per
     * pair, then one exact Jaccard from the per-doc set sizes. */
   def dedupNgramJaccard(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val s = shingleSets(spark, dir)
-    val buckets = s.select(col("doc_id"), explode(col("sh")).as("g0"))
-      .select(col("doc_id"), HashFunctions.h62(col("g0")).as("g"))
-      .groupBy("g").agg(collect_list(col("doc_id")).as("ds"))
+    val posts = postings(spark, dir)
+    val sizes = docSizes(posts)
+    val buckets = posts.groupBy("g").agg(collect_list(col("doc_id")).as("ds"))
     val common = expandPairs(buckets, col("ds"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
     common
-      .join(s.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(s.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
       .where(col("jaccard") >= tau)
@@ -120,9 +145,8 @@ object Dedup {
     * hashing.) */
   private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val rows = MinhashSeeds / MinhashBands
-    val post = shingleSets(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), HashFunctions.h62ModP(col("s0")).as("hp"))
+    val post = postings(spark, dir)
+      .select(col("doc_id"), (col("g") % HashFunctions.MixP).as("hp"))
     val hashed = post.select(
       col("doc_id") +: (0 until MinhashSeeds).map(i =>
         HashFunctions.affineMix(col("hp"), i).as(s"h$i")): _*)
@@ -139,23 +163,15 @@ object Dedup {
   }
 
   /** `dedup_minhash_lsh` — banded-LSH candidate pairs, verified with
-    * exact Jaccard ≥ 0.5. The band join shuffles O(n · bands) id/key
-    * rows; shingle arrays re-join only for surviving candidates. */
+    * exact Jaccard ≥ 0.5 from the hashed-postings intersection (an
+    * equi-join on the shingle hash, only for surviving candidates). */
   def dedupMinhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val s = shingleSets(spark, dir)
+    val posts = postings(spark, dir)
     val buckets = minhashBands(spark, dir)
       .groupBy("band", "bkey").agg(collect_list(col("doc_id")).as("ds"))
     val cand = expandPairs(buckets, col("ds"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(s.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
-      .join(s.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard",
-        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
-      .where(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    verifyJaccard(cand, posts, tau)
   }
 
   val SimhashBits = 48

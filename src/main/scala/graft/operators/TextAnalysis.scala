@@ -29,16 +29,14 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenPattern), lit(1))
 
-  /** Distinct n-token shingles ("w1 w2 w3") of a token array.
-    * Guarded: fewer than n tokens → empty (Spark's `sequence(1, k)`
-    * would otherwise run DESCENDING for k < 1 and fabricate shingles).
-    * DuckDB twin: `[array_to_string(t[i:i+n-1], ' ') for i in
-    * range(1, len(t)-n+2)]`. */
+  /** Distinct n-token shingles ("w1 w2 w3") of a token array, as the
+    * native [[graft.functions.Shingles]] expression (the interpreted
+    * HOF chain dominated dedup runtime). Empty for fewer than n
+    * tokens. DuckDB twin: `[array_to_string(t[i:i+n-1], ' ') for i in
+    * range(1, len(t)-n+2)]` (list_distinct'ed). */
   def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))))
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.Shingles(org.apache.spark.sql.GraftShim.expression(toks), n))
 
   /** Normalized text: tokens re-joined with single spaces — the
     * canonical form used by exact dedup and fingerprinting. */
