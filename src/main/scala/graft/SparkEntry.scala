@@ -42,6 +42,7 @@ object SparkEntry {
     "q_string_agg" -> (Relational.qStringAgg _),
     "q_set_ops" -> (Relational.qSetOps _),
     "q_range_join" -> (Relational.qRangeJoin _),
+    "q_median_price" -> (Relational.qMedianPrice _),
     // §2.C — deduplication
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
@@ -51,6 +52,7 @@ object SparkEntry {
     // §2.D — similarity search
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopk(s, d)),
     "ann_lsh_bucketed" -> ((s, d) => Similarity.annLshTopk(s, d)),
+    "ann_ivf_topk" -> ((s, d) => Similarity.annIvfTopk(s, d)),
     // §2.E — text analysis
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -258,6 +260,16 @@ object SparkEntry {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "q_median_price" ->
+      """WITH r AS (SELECT o_orderstatus, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) rn,
+        |  count(*) OVER (PARTITION BY o_orderstatus) n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  round(CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS median_price,
+        |  max(n) AS n
+        |FROM r WHERE rn = (n+1)//2 OR rn = n//2 + 1
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // §2.C — deduplication. Shared fragments (SURVEY.md §3): tokens =
     // regexp_extract_all(lower(text),'([a-z0-9]+)',1); shingles =
     // distinct 3-token windows; h62(x) = md5_number_lower(x) // 4.
@@ -369,6 +381,27 @@ object SparkEntry {
         |    / sqrt(CAST(list_sum(list_transform(qv.v, x -> x*x))
         |           * list_sum(list_transform(ev.v, x -> x*x)) AS DOUBLE)), 6) cosine
         |  FROM cand JOIN q qv ON cand.q_id = qv.vec_id JOIN q ev ON cand.vec_id = ev.vec_id),
+        |r AS (SELECT q_id, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM s)
+        |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH q AS (SELECT vec_id,
+        |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+        |qn AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) nsq FROM q),
+        |cents AS (SELECT vec_id cent_id, v cv, nsq cn FROM qn WHERE vec_id < 8),
+        |da AS (SELECT e.vec_id, c.cent_id,
+        |  CAST(e.nsq + c.cn - 2 * list_sum(list_transform(list_zip(e.v, c.cv), z -> z[1]*z[2])) AS BIGINT) d2
+        |  FROM qn e CROSS JOIN cents c),
+        |ranked AS (SELECT vec_id, cent_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) crk FROM da),
+        |assign AS (SELECT vec_id, cent_id cell FROM ranked WHERE crk = 1),
+        |probes AS (SELECT vec_id q_id, cent_id cell FROM ranked WHERE crk <= 2 AND vec_id < 5),
+        |cand AS (SELECT DISTINCT q_id, assign.vec_id FROM probes JOIN assign ON probes.cell = assign.cell),
+        |s AS (SELECT q_id, cand.vec_id,
+        |  round(CAST(list_sum(list_transform(list_zip(qv.v, ev.v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(qv.nsq * ev.nsq AS DOUBLE)), 6) cosine
+        |  FROM cand JOIN qn qv ON cand.q_id = qv.vec_id JOIN qn ev ON cand.vec_id = ev.vec_id),
         |r AS (SELECT q_id, vec_id, cosine,
         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM s)
         |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10

@@ -264,6 +264,27 @@ object Relational {
       .orderBy(col("tag"), col("o_custkey"))
   }
 
+  /** Exact median (and quartiles) without engine-specific percentile
+    * functions: rank rows per group and average the middle one or two
+    * — integer ranks make the result bit-identical across engines,
+    * where native `percentile`/`quantile_cont` interpolation rules
+    * differ. One shuffle per group key. */
+  def qMedianPrice(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))).as("n"))
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division and the
+      // odd-middle rank comparison would silently never match.
+      .where(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(avg(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("median_price"),
+        max(col("n")).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Range join at scale: clicks within the 10 minutes before each
     * purchase, SAME user. The naive plan is an inequality join (per
     * user cartesian); this one buckets time into 10-minute blocks and

@@ -88,6 +88,54 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  val IvfCells = 8
+  val IvfProbes = 2
+
+  /** Cell assignment: nearest coarse centroid by exact integer
+    * quantized L2 (‖v‖² + ‖c‖² − 2·v·c). Centroids are the first
+    * [[IvfCells]] vectors — a deterministic stand-in for an offline
+    * k-means codebook (swap `cents` for trained centroids at scale;
+    * the plan is unchanged). `probes` > 1 returns the n nearest cells
+    * (query-side multi-probe). */
+  private def cells(vectors: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
+    val d2 = (col("nsq") + col("cn") - lit(2L) * VectorFunctions.dotQ(col("v"), col("cv")))
+    vectors.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nsq"), col("cent_id"), d2.as("d2"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))))
+      .where(col("crk") <= probes)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
+  /** `ann_ivf_topk` — inverted-file ANN: corpus vectors live in their
+    * nearest-centroid cell; a query scores only the vectors of its
+    * [[IvfProbes]] nearest cells. Candidate generation is an equi-join
+    * on cell id — the coarse quantizer bounds scored pairs by cell
+    * population, the IVF property that matters at 100 TB. */
+  def annIvfTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = quantized(spark, dir)
+    val cents = e.where(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nsq").as("cn"))
+    val assign = cells(e, cents, probes = 1)
+    val probes = cells(e.where(col("vec_id") < 5), cents, probes = IvfProbes)
+      .withColumnRenamed("vec_id", "q_id")
+    val cand = probes.join(assign, "cell")
+      .select("q_id", "vec_id")
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nsq").as("qnsq")), "q_id")
+      .join(e, "vec_id")
+      .select(
+        col("q_id"), col("vec_id"),
+        round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "vec_id", "rnk", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
   /** `ann_lsh_bucketed` — LSH-pruned top-k: candidates are corpus
     * vectors sharing any (table, bucket) with the query; exact
     * quantized cosine ranks within candidates. Ids-only shuffle for

@@ -42,6 +42,17 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.snapshots("orders").find(_._1 == s2).get._2.length === 2)
   }
 
+  test("partition-pruned read: a filter on the partition column skips other partitions") {
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(Tables.nation(spark, sf), "nation_p", partitionBy = Seq("n_regionkey"))
+    val q = lake.read("nation_p").where(org.apache.spark.sql.functions.col("n_regionkey") === 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("n_regionkey"),
+      s"partition filter not pushed:\n${plan.take(500)}")
+    assert(q.count() === Tables.nation(spark, sf)
+      .where(org.apache.spark.sql.functions.col("n_regionkey") === 2).count())
+  }
+
   test("upsert merges on key: updates win, unmatched rows survive, inserts land") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
