@@ -32,6 +32,24 @@ import graft.sources.Tables
   */
 object Medallion {
 
+  /** Run the whole reference pipeline operationally: bronze document
+    * table → silver enriched table → gold report, each committed as a
+    * lakehouse snapshot (create-or-replace, like the reference's
+    * `writeTo(...).createOrReplace()`), with the gold result also
+    * exported through the JDBC-analog sink (reference:
+    * gold_reporting.py:82, mode=overwrite). Returns the gold report
+    * read back FROM the lakehouse — the round-trip is part of the
+    * contract. */
+  def runPipeline(spark: SparkSession, dir: String, lakeRoot: String): DataFrame = {
+    val lake = new graft.sources.Lakehouse(spark, lakeRoot)
+    lake.createOrReplace(bronzeOrderDocs(spark, dir), "bronze_orders")
+    lake.createOrReplace(silverEnrich(spark, dir), "silver_customers")
+    lake.createOrReplace(goldSalesReport(spark, dir), "gold_sales")
+    graft.sources.Sinks.exportCsv(lake.read("gold_sales"), s"$lakeRoot/export/gold_sales_csv")
+    lake.registerView("gold_sales")
+    lake.read("gold_sales")
+  }
+
   /** Decimal-exact sum surfaced as double: associative decimal addition
     * makes the result independent of partition order (cross-engine and
     * cross-run deterministic), unlike a naive double sum. */

@@ -66,6 +66,21 @@ object Multimodal {
       .mapPartitions(_.map(decodeStub))
   }
 
+  /** Explicit batch-shaped decode — the `mapInPandas` execution model:
+    * the partition iterator is consumed in fixed-size record batches
+    * and each batch is handed to the (stubbed) decoder whole, which is
+    * how a real vectorized codec or model-inference step wants its
+    * input. Results are independent of batch boundaries (spec-checked)
+    * and only one batch is resident per task at a time. */
+  def decodeFeaturesBatched(
+      spark: SparkSession, dir: String, batchSize: Int = 64): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), lit("stub").as("kind"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(batch => batch.map(decodeStub)))
+  }
+
   /** Frame sampling: every `stride`-th 16-byte slice of the payload —
     * pure binary `substring` arithmetic, no decode needed. */
   def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame =

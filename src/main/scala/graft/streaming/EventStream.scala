@@ -67,6 +67,15 @@ object EventStream {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id: watermark-bounded state, so
+    * the dedup set never grows past the lateness horizon — the
+    * streaming twin of `dedup_exact`'s hash-group semantics for an
+    * at-least-once event feed. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
   val GapSeconds = 1800L
 
   /** Stateful gap-sessionization via `flatMapGroupsWithState`.

@@ -7,6 +7,17 @@ import graft.sources.Tables
 
 class MedallionSpec extends SparkSpec {
 
+  test("runPipeline: bronze → silver → gold land as lakehouse snapshots + csv export") {
+    val root = java.nio.file.Files.createTempDirectory("graft-medallion").toString
+    val gold = graft.operators.Medallion.runPipeline(spark, sf, root)
+    assert(gold.count() > 0)
+    val lake = new graft.sources.Lakehouse(spark, root)
+    assert(lake.read("bronze_orders").count() === graft.sources.Tables.orders(spark, sf).count())
+    assert(lake.read("silver_customers").count() === graft.sources.Tables.customer(spark, sf).count())
+    assert(spark.sql("SELECT count(*) FROM gold_sales").head().getLong(0) === gold.count())
+    assert(spark.read.option("header", "true").csv(s"$root/export/gold_sales_csv").count() === gold.count())
+  }
+
   test("bronze document assembly preserves order and item counts") {
     val docs = Medallion.bronzeOrderDocs(spark, sf).cache()
     val nOrders = Tables.orders(spark, sf).count()

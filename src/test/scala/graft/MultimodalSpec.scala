@@ -27,6 +27,14 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
 
+  test("batched decode is invariant to batch boundaries") {
+    val rec = Multimodal.decodeFeatures(spark, sf).collect().sortBy(_.doc_id).toSeq
+    val b7 = Multimodal.decodeFeaturesBatched(spark, sf, batchSize = 7).collect().sortBy(_.doc_id).toSeq
+    val b64 = Multimodal.decodeFeaturesBatched(spark, sf, batchSize = 64).collect().sortBy(_.doc_id).toSeq
+    assert(b7 === rec)
+    assert(b64 === rec)
+  }
+
   test("decode stub is a pure function of the payload") {
     val a = Multimodal.decodeStub(MediaRecord(1, "stub", "hello world".getBytes))
     val b = Multimodal.decodeStub(MediaRecord(1, "stub", "hello world".getBytes))

@@ -75,6 +75,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed event ids across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long)] // (event_id, minute)
+    val deduped = EventStream.dedupEvents(
+      source.toDF().toDF("event_id", "m")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_millis(m * 60000)")))
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, 10L), (2L, 10L), (1L, 11L)) // 1 duplicated in-batch
+      q.processAllAvailable()
+      source.addData((2L, 12L), (3L, 12L)) // 2 replayed across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessions respect the 30-minute gap invariant") {
     val sessions = EventStream.sessionize(
       EventStream.toSessionEvents(Tables.events(spark, sf))).collect()
