@@ -21,17 +21,45 @@ import org.apache.spark.sql.functions._
 object Curate {
 
   def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
-    val quality = TextAnalysis.textQuality(spark, dir)
-      .select(col("doc_id"), col("quality"))
-    val lang = TextAnalysis.textLangid(spark, dir)
-      .select(col("doc_id"), col("pred_lang"))
+    import TextAnalysis._
+    // Quality score and language ID from ONE scan + one tokenize pass
+    // (calling the two standalone queries would scan and regex the
+    // corpus twice for values this plan derives from the same token
+    // array). Expressions are identical to textQuality/textLangid, so
+    // the composed oracle is still the per-family oracles chained.
+    val toks = graft.sources.Tables.parallel(spark, graft.sources.Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        tokens(col("text")).as("toks"),
+        size(regexp_extract_all(col("text"), lit("([^a-z0-9 ])"), lit(1))).as("n_punct"))
+    val scored = toks.select(
+      col("doc_id"),
+      {
+        val nTokens = size(col("toks")).cast("double")
+        val nStop = size(filter(col("toks"),
+          t => array_contains(array(StopEn.map(lit): _*), t))).cast("double")
+        round(
+          lit(0.4) * least(lit(1.0), nTokens / 100.0)
+            + lit(0.3) * (lit(1.0) - least(lit(1.0), lit(10.0) * col("n_punct").cast("double") / col("n_chars")))
+            + lit(0.3) * least(lit(1.0), lit(5.0) * nStop / nTokens),
+          6).as("quality")
+      }, {
+        val dt = array_distinct(col("toks"))
+        def score(ws: Seq[String]) = size(array_intersect(dt, array(ws.map(lit): _*)))
+        val (sEn, sEs, sFr, sDe) = (score(StopEn), score(StopEs), score(StopFr), score(StopDe))
+        when(sEn >= sEs && sEn >= sFr && sEn >= sDe && sEn > 0, "en")
+          .when(sEs >= sFr && sEs >= sDe && sEs > 0, "es")
+          .when(sFr >= sDe && sFr > 0, "fr")
+          .when(sDe > 0, "de")
+          .otherwise("und").as("pred_lang")
+      })
     val dupLater = Dedup.dedupNgramJaccard(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
-    quality
-      .join(lang, "doc_id")
+    scored
       .where(col("quality") >= 0.5 && col("pred_lang") === "en")
       .join(dupLater, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), round(col("quality"), 6).as("quality"), col("pred_lang"))
+      .select(col("doc_id"), col("quality"), col("pred_lang"))
       .orderBy("doc_id")
   }
 }

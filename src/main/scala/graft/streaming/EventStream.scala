@@ -67,6 +67,27 @@ object EventStream {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-into-lakehouse: commit each micro-batch of a streaming
+    * DataFrame as an APPEND snapshot of a lakehouse table via
+    * `foreachBatch`. Appends write only the batch's files plus a
+    * manifest line, so commit cost is O(batch) regardless of table
+    * size, and every micro-batch remains individually
+    * time-travelable. Returns the started query (caller awaits). */
+  def streamToLakehouse(
+      df: DataFrame,
+      lake: graft.sources.Lakehouse,
+      table: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { lake.append(batch, table); () }
+      }
+      .start()
+
   /** Streaming exact dedup on event_id: watermark-bounded state, so
     * the dedup set never grows past the lateness horizon — the
     * streaming twin of `dedup_exact`'s hash-group semantics for an

@@ -75,6 +75,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamToLakehouse appends each micro-batch as a time-travelable snapshot") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-lake").toString
+    val lake = new graft.sources.Lakehouse(spark, root)
+    lake.createOrReplace(Seq.empty[(Long, String)].toDF("id", "v"), "stream_tbl")
+    val source = MemoryStream[(Long, String)]
+    source.addData((1L, "a"), (2L, "b"))
+    val q = EventStream.streamToLakehouse(
+      source.toDF().toDF("id", "v"), lake, "stream_tbl",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    try {
+      q.processAllAvailable()
+      source.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(lake.read("stream_tbl").count() === 3)
+      // each micro-batch is its own snapshot in history
+      assert(lake.snapshots("stream_tbl").length >= 3)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
