@@ -33,7 +33,12 @@ class Lakehouse(spark: SparkSession, root: String) {
 
   private def tableDir(table: String) = new Path(root, table)
   private def manifest(table: String) = new Path(tableDir(table), "_snapshots.jsonl")
-  private def currentPtr(table: String) = new Path(tableDir(table), "_current")
+
+  /** Branch pointer file — git/Nessie-style: a branch is just a named
+    * pointer into the shared snapshot history; `main` keeps the legacy
+    * `_current` filename. */
+  private def currentPtr(table: String, branch: String = "main") =
+    new Path(tableDir(table), if (branch == "main") "_current" else s"_branch_$branch")
 
   private def readLines(p: Path): Seq[String] =
     if (!fs.exists(p)) Seq.empty
@@ -59,17 +64,39 @@ class Lakehouse(spark: SparkSession, root: String) {
       (snap, dirs)
     }
 
-  def currentSnapshot(table: String): Option[Long] =
-    if (!fs.exists(currentPtr(table))) None
-    else Some(readLines(currentPtr(table)).head.trim.toLong)
+  def currentSnapshot(table: String, branch: String = "main"): Option[Long] =
+    if (!fs.exists(currentPtr(table, branch))) None
+    else Some(readLines(currentPtr(table, branch)).head.trim.toLong)
 
-  private def commit(table: String, snap: Long, dirs: Seq[String]): Long = {
+  private def commit(table: String, snap: Long, dirs: Seq[String], branch: String): Long = {
     val line = s"""{"snap":$snap,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]}"""
     writeFile(manifest(table), (readLines(manifest(table)) :+ line).mkString("\n") + "\n")
-    // Pointer swap last: readers resolve _current after the manifest
-    // and data dirs are durable, so a torn write can't expose a
-    // half-written snapshot.
-    writeFile(currentPtr(table), snap.toString)
+    // Pointer swap last: readers resolve the branch pointer after the
+    // manifest and data dirs are durable, so a torn write can't expose
+    // a half-written snapshot.
+    writeFile(currentPtr(table, branch), snap.toString)
+    snap
+  }
+
+  /** Create (or reset) a branch pointing at a snapshot — snapshots are
+    * immutable and shared, so branching is a one-file write. */
+  def createBranch(table: String, branch: String, fromSnap: Long): Unit = {
+    require(snapshots(table).exists(_._1 == fromSnap), s"$table has no snapshot $fromSnap")
+    writeFile(currentPtr(table, branch), fromSnap.toString)
+  }
+
+  def branches(table: String): Seq[String] = {
+    val names = fs.listStatus(tableDir(table)).toSeq.map(_.getPath.getName)
+    (if (names.contains("_current")) Seq("main") else Seq.empty) ++
+      names.filter(_.startsWith("_branch_")).map(_.stripPrefix("_branch_")).sorted
+  }
+
+  /** Fast-forward `into` to `from`'s snapshot (both share the same
+    * immutable history, so a merge is a pointer move). */
+  def mergeBranch(table: String, from: String, into: String = "main"): Long = {
+    val snap = currentSnapshot(table, from)
+      .getOrElse(throw new IllegalArgumentException(s"$table has no branch $from"))
+    writeFile(currentPtr(table, into), snap.toString)
     snap
   }
 
@@ -78,26 +105,28 @@ class Lakehouse(spark: SparkSession, root: String) {
 
   /** Create-or-replace: write a fresh data dir, commit a snapshot
     * containing ONLY it. Old snapshots stay readable (time travel). */
-  def createOrReplace(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
+  def createOrReplace(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
+      branch: String = "main"): Long = {
     val snap = nextSnap(table)
     val dir = s"data-$snap"
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new Path(tableDir(table), dir).toString)
-    commit(table, snap, Seq(dir))
+    commit(table, snap, Seq(dir), branch)
   }
 
   /** Append: write ONLY the delta as a new data dir; the new snapshot
-    * is previous dirs + delta. No data is rewritten. */
-  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
-    val prev = currentSnapshot(table)
+    * is the branch's previous dirs + delta. No data is rewritten. */
+  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
+      branch: String = "main"): Long = {
+    val prev = currentSnapshot(table, branch)
       .map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
     val snap = nextSnap(table)
     val dir = s"data-$snap"
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new Path(tableDir(table), dir).toString)
-    commit(table, snap, prev :+ dir)
+    commit(table, snap, prev :+ dir, branch)
   }
 
   /** Copy-on-write MERGE (upsert): source rows replace target rows on
@@ -112,10 +141,10 @@ class Lakehouse(spark: SparkSession, root: String) {
     createOrReplace(keep.unionByName(source), table, partitionBy)
   }
 
-  /** Read the current snapshot. */
-  def read(table: String): DataFrame =
-    readSnapshot(table, currentSnapshot(table)
-      .getOrElse(throw new IllegalArgumentException(s"no such table: $table")))
+  /** Read a branch's current snapshot. */
+  def read(table: String, branch: String = "main"): DataFrame =
+    readSnapshot(table, currentSnapshot(table, branch)
+      .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch")))
 
   /** Time travel: read any committed snapshot. */
   def readSnapshot(table: String, snap: Long): DataFrame = {

@@ -42,6 +42,19 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.snapshots("orders").find(_._1 == s2).get._2.length === 2)
   }
 
+  test("branches: isolated commits, time-shared history, fast-forward merge") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "b")            // snap 1 on main
+    lake.createBranch("b", "dev", fromSnap = 1)
+    lake.append(Seq((2L, "x")).toDF("k", "v"), "b", branch = "dev")     // snap 2 on dev
+    assert(lake.read("b").count() === 1, "main must not see dev commits")
+    assert(lake.read("b", "dev").count() === 2)
+    assert(lake.branches("b") === Seq("main", "dev").sorted || lake.branches("b") === Seq("main", "dev"))
+    lake.mergeBranch("b", from = "dev", into = "main")
+    assert(lake.read("b").count() === 2, "merge fast-forwards main")
+  }
+
   test("partition-pruned read: a filter on the partition column skips other partitions") {
     val lake = new Lakehouse(spark, freshRoot())
     lake.createOrReplace(Tables.nation(spark, sf), "nation_p", partitionBy = Seq("n_regionkey"))

@@ -7,6 +7,13 @@ import graft.sources.Tables
 
 class MedallionSpec extends SparkSpec {
 
+  test("catalog surface: SHOW TABLES lists the registered views") {
+    graft.sources.Tables.registerAll(spark, sf)
+    val tables = spark.sql("SHOW TABLES").collect().map(_.getAs[String]("tableName")).toSet
+    assert(graft.sources.Tables.names.toSet.subsetOf(tables))
+    assert(spark.sql("SELECT count(*) FROM region").head().getLong(0) === 5)
+  }
+
   test("runPipeline: bronze → silver → gold land as lakehouse snapshots + csv export") {
     val root = java.nio.file.Files.createTempDirectory("graft-medallion").toString
     val gold = graft.operators.Medallion.runPipeline(spark, sf, root)
