@@ -146,12 +146,23 @@ class Lakehouse(spark: SparkSession, root: String) {
     readSnapshot(table, currentSnapshot(table, branch)
       .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch")))
 
-  /** Time travel: read any committed snapshot. */
+  /** Time travel: read any committed snapshot. `mergeSchema` unions
+    * the data-dir schemas, so a column added by a later append is
+    * visible (null for pre-evolution rows) — Iceberg-style additive
+    * schema evolution without rewriting history. */
   def readSnapshot(table: String, snap: Long): DataFrame = {
     val dirs = snapshots(table).find(_._1 == snap)
       .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $snap"))._2
-    spark.read.parquet(dirs.map(d => new Path(tableDir(table), d).toString): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => new Path(tableDir(table), d).toString): _*)
   }
+
+  /** Compact a branch's snapshot: rewrite its (possibly many) delta
+    * dirs into ONE data dir and commit that as a new snapshot. Fixes
+    * the small-files problem of long append chains; history still
+    * time-travels to the pre-compaction snapshots. */
+  def compact(table: String, partitionBy: Seq[String] = Nil, branch: String = "main"): Long =
+    createOrReplace(read(table, branch), table, partitionBy, branch)
 
   /** Register the current snapshot as a temp view for SQL access —
     * the `SHOW TABLES` / `SELECT * FROM catalog.table` path. */

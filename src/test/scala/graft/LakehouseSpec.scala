@@ -42,6 +42,31 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.snapshots("orders").find(_._1 == s2).get._2.length === 2)
   }
 
+  test("schema evolution: appended column appears, old rows read null") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "evo")
+    lake.append(Seq((2L, "b", 9.5)).toDF("k", "v", "score"), "evo")
+    val got = lake.read("evo")
+    assert(got.columns.toSet === Set("k", "v", "score"))
+    assert(got.where(org.apache.spark.sql.functions.col("k") === 1)
+      .head().isNullAt(got.columns.indexOf("score")))
+  }
+
+  test("compact folds an append chain into one data dir, preserving data and history") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "c")
+    lake.append(Seq((2L, "b")).toDF("k", "v"), "c")
+    lake.append(Seq((3L, "c")).toDF("k", "v"), "c")
+    val before = lake.snapshots("c").last._2.length
+    assert(before === 3)
+    val snap = lake.compact("c")
+    assert(lake.snapshots("c").find(_._1 == snap).get._2.length === 1)
+    assert(lake.read("c").count() === 3)
+    assert(lake.readSnapshot("c", 3).count() === 3) // pre-compaction history intact
+  }
+
   test("branches: isolated commits, time-shared history, fast-forward merge") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._

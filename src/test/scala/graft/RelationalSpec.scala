@@ -55,6 +55,19 @@ class RelationalSpec extends SparkSpec {
     sess.unpersist()
   }
 
+  test("AsofJoin: left rows with no prior right row get null") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L)).toDF("k", "t", "id")
+      .select(col("k"), expr("timestamp_millis(t)").as("ts"), col("id"))
+    val right = Seq((1L, 150L, 20L, 7.5)).toDF("k", "t", "id", "v")
+      .select(col("k"), expr("timestamp_millis(t)").as("ts"), col("id"), col("v"))
+    val out = graft.operators.AsofJoin.join(left, right, Seq("k"), "ts", "id", "v")
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_v")), "first left row precedes all right rows")
+    assert(out(1).getDouble(out(1).fieldIndex("asof_v")) === 7.5)
+  }
+
   test("generic AsofJoin operator reproduces the window-composed asof query") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
