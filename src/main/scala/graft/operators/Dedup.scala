@@ -96,7 +96,7 @@ object Dedup {
     * is Σ|bucket|² — identical to the self-join's output, bounded by
     * bucket sizes, never n². (At 100 TB: cap or salt pathological hot
     * buckets before expansion; bucket size is the skew knob.) */
-  private def expandPairs(
+  private[graft] def expandPairs(
       buckets: DataFrame, docs: Column, maxBucket: Int = Int.MaxValue): DataFrame =
     buckets
       // Skew knob: a pathological hot bucket (a boilerplate shingle

@@ -38,6 +38,20 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("expandPairs emits all in-bucket pairs and the skew cap drops hot buckets") {
+    import spark.implicits._
+    val buckets = Seq(
+      Seq(1L, 2L, 3L), // 3 pairs
+      Seq(4L, 5L),     // 1 pair
+      Seq.empty[Long], // none
+      (100L to 120L)   // hot bucket: 21 docs, capped away
+    ).toDF("ds")
+    val uncapped = Dedup.expandPairs(buckets, col("ds")).count()
+    assert(uncapped === 3 + 1 + (21 * 20) / 2)
+    val capped = Dedup.expandPairs(buckets, col("ds"), maxBucket = 10).count()
+    assert(capped === 4, "hot bucket must be dropped, small buckets kept")
+  }
+
   test("embedding near-dup pairs stay within label blocks and over threshold") {
     val e = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"))
