@@ -19,18 +19,27 @@ object Bench {
     }
     // Best-of-2 per query: one timing run-to-run varies ±30% with
     // machine load; the min reflects the plan's steady-state cost.
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    var failed = List.empty[String]
+    def once(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // visible breakage: a throwing query must not silently "score"
+          // its time-to-crash as a fast benchmark result
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          if (!failed.contains(name)) failed ::= name
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+      name -> math.min(once(name, fn), once(name, fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -455,7 +455,7 @@ object SparkEntry {
     // §2.F — multimodal
     "multimodal_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5,
-        |  lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+        |  lower(substr(hex(encode(text)), 1, 16)) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
     // flagship composition — the quality/langid/ngram CTEs are the
     // verified oracles of those queries, chained.

@@ -34,13 +34,18 @@ object AsofJoin {
       tsCol: String,
       tieCol: String,
       valueCol: String): DataFrame = {
-    val leftCols = left.columns
-    val sel: Seq[Column] =
-      keys.map(col) ++ Seq(col(tsCol), col(tieCol))
+    // Every left column rides through the union (null-filled on right
+    // rows), so the output is left.* + asof_<valueCol> — no second
+    // join needed to recover the probe row's own data.
+    val anchor = (keys :+ tsCol :+ tieCol).toSet
+    val extras = left.columns.filterNot(anchor.contains).toSeq
+    val sel: Seq[Column] = keys.map(col) ++ Seq(col(tsCol), col(tieCol))
     val taggedRight = right.select(
-      sel :+ col(valueCol).as("__v") :+ lit(0).as("__side"): _*)
+      sel ++ extras.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+        :+ col(valueCol).as("__v") :+ lit(0).as("__side"): _*)
     val taggedLeft = left.select(
-      sel :+ lit(null).cast(right.schema(valueCol).dataType).as("__v")
+      sel ++ extras.map(col)
+        :+ lit(null).cast(right.schema(valueCol).dataType).as("__v")
         :+ lit(1).as("__side"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(tieCol))
@@ -49,6 +54,6 @@ object AsofJoin {
       .withColumn("__asof",
         last(when(col("__side") === 0, col("__v")), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(sel :+ col("__asof").as(s"asof_$valueCol"): _*)
+      .select(sel ++ extras.map(col) :+ col("__asof").as(s"asof_$valueCol"): _*)
   }
 }

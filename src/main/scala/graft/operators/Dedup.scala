@@ -59,10 +59,11 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
 
-  /** Exact-Jaccard verification of candidate pairs against τ. */
-  private def verifyJaccard(cand: DataFrame, posts: DataFrame, tau: Double): DataFrame = {
-    val sizes = docSizes(posts)
-    commonCounts(cand, posts)
+  /** Jaccard from per-pair intersection counts + per-doc set sizes:
+    * the single shared tail of both dedup paths (one definition of the
+    * formula, rounding, threshold, and ordering). */
+  private def jaccardFromCommon(common: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
+    common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard",
@@ -70,7 +71,10 @@ object Dedup {
       .where(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** Exact-Jaccard verification of candidate pairs against τ. */
+  private def verifyJaccard(cand: DataFrame, posts: DataFrame, tau: Double): DataFrame =
+    jaccardFromCommon(commonCounts(cand, posts), docSizes(posts), tau)
 
   /** `dedup_exact` — canonical-id assignment by normalized-text md5.
     * One shuffle on the 128-bit group hash; min(doc_id) per group is
@@ -116,19 +120,11 @@ object Dedup {
     * pair, then one exact Jaccard from the per-doc set sizes. */
   def dedupNgramJaccard(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     val posts = postings(spark, dir)
-    val sizes = docSizes(posts)
     val buckets = posts.groupBy("g").agg(collect_list(col("doc_id")).as("ds"))
     val common = expandPairs(buckets, col("ds"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
-      .where(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    jaccardFromCommon(common, docSizes(posts), tau)
   }
 
   val MinhashSeeds = 16

@@ -88,7 +88,9 @@ object Multimodal {
       .select(
         col("doc_id"),
         posexplode(transform(
-          sequence(lit(0), floor(octet_length(col("payload")) / (16 * stride)).cast("int")),
+          // (len-1) div frame: last index whose slice is non-empty — an
+          // exact-multiple payload must NOT emit a trailing empty frame
+          sequence(lit(0), floor((octet_length(col("payload")) - 1) / (16 * stride)).cast("int")),
           i => substring(col("payload"), lit(1) + i * (16 * stride), lit(16)))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame")

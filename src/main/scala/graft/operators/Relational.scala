@@ -196,7 +196,10 @@ object Relational {
       .groupBy(
         date_trunc("hour", col("ts")).as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(dsum(col("value"), 6), 4).as("sum_value"))
+      // unrounded: must stay value-identical to BOTH the DuckDB oracle
+      // and the streaming twin (EventStream.hourlyAgg), neither of
+      // which rounds — the decimal-cast sum is already deterministic
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
   /** Gap-based sessionization: session boundary when >30 min idle.

@@ -39,22 +39,22 @@ object Similarity {
       d <- 0 until Dims
     } yield (((HashImpl.md5Lower64(s"${t}_${p}_$d".getBytes("UTF-8")) >>> 2) & 1L) * 2L - 1L)
 
-  private def signLit: Column = typedlit(signMatrix)
+  /** One ±1 hyperplane as a literal long array (for native dotQ). */
+  private def plane(t: Int, p: Int): Column =
+    typedlit(signMatrix.slice((t * LshPlanes + p) * Dims, (t * LshPlanes + p + 1) * Dims))
 
-  /** LSH bucket ids (one per table) for a quantized vector `v`. */
+  /** LSH bucket ids (one per table) for a quantized vector `v`:
+    * 24 native [[VectorFunctions.dotQ]] calls against literal plane
+    * vectors, combined with straight-line when/sum columns — no
+    * interpreted HOF lambdas in the per-row hot path (the nested
+    * `aggregate` formulation was CodegenFallback, the exact pitfall
+    * [[graft.functions.ArrayDotLong]] exists to avoid). */
   private def buckets(v: Column): Column =
-    transform(
-      sequence(lit(0), lit(LshTables - 1)),
-      t => aggregate(
-        sequence(lit(0), lit(LshPlanes - 1)),
-        lit(0L),
-        (acc, p) => acc + when(
-          aggregate(
-            sequence(lit(0), lit(Dims - 1)),
-            lit(0L),
-            (a2, d) => a2 + element_at(v, d + 1)
-              * get(signLit, (t * LshPlanes + p) * Dims + d)) >= 0L,
-          call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))))
+    array((0 until LshTables).map { t =>
+      (0 until LshPlanes).map { p =>
+        when(VectorFunctions.dotQ(v, plane(t, p)) >= 0L, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
 
   /** Quantized vectors + squared norms, persisted: referenced up to 4×
     * per ANN query (bucketing, query side, both scoring joins); an

@@ -40,19 +40,34 @@ class Lakehouse(spark: SparkSession, root: String) {
   private def currentPtr(table: String, branch: String = "main") =
     new Path(tableDir(table), if (branch == "main") "_current" else s"_branch_$branch")
 
-  private def readLines(p: Path): Seq[String] =
-    if (!fs.exists(p)) Seq.empty
+  private def readLines(p: Path): Seq[String] = {
+    // crash-recovery: if the target is missing mid-swap, the complete
+    // temp written by writeFile is authoritative
+    val target =
+      if (fs.exists(p)) p
+      else new Path(p.getParent, p.getName + ".tmp")
+    if (!fs.exists(target)) Seq.empty
     else {
-      val in = fs.open(p)
+      val in = fs.open(target)
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
         .split("\n").toSeq.filter(_.nonEmpty)
       finally in.close()
     }
+  }
 
+  /** Durable file replace: write a temp file, then swap it in. A crash
+    * mid-write leaves either the previous complete file or the
+    * complete temp beside it — never a truncated manifest/pointer. The
+    * delete+rename pair is the narrowest non-atomic window a plain
+    * FileSystem offers (HDFS/local rename won't overwrite); readers
+    * fall back to the temp if the target vanished inside it. */
   private def writeFile(p: Path, content: String): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 
   /** Parsed manifest: snapshot id → data dirs composing it. */
@@ -65,8 +80,10 @@ class Lakehouse(spark: SparkSession, root: String) {
     }
 
   def currentSnapshot(table: String, branch: String = "main"): Option[Long] =
-    if (!fs.exists(currentPtr(table, branch))) None
-    else Some(readLines(currentPtr(table, branch)).head.trim.toLong)
+    readLines(currentPtr(table, branch)) match {
+      case Seq() => None
+      case lines => Some(lines.head.trim.toLong)
+    }
 
   private def commit(table: String, snap: Long, dirs: Seq[String], branch: String): Long = {
     val line = s"""{"snap":$snap,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]}"""
@@ -88,7 +105,8 @@ class Lakehouse(spark: SparkSession, root: String) {
   def branches(table: String): Seq[String] = {
     val names = fs.listStatus(tableDir(table)).toSeq.map(_.getPath.getName)
     (if (names.contains("_current")) Seq("main") else Seq.empty) ++
-      names.filter(_.startsWith("_branch_")).map(_.stripPrefix("_branch_")).sorted
+      names.filter(n => n.startsWith("_branch_") && !n.endsWith(".tmp"))
+        .map(_.stripPrefix("_branch_")).sorted
   }
 
   /** Fast-forward `into` to `from`'s snapshot (both share the same

@@ -172,21 +172,24 @@ object EventStream {
           def gapExceeded(aMs: Long, bMs: Long): Boolean =
             Math.floorDiv(bMs, 1000L) - Math.floorDiv(aMs, 1000L) > GapSeconds
           val out = Seq.newBuilder[UserSession]
-          if (!it.hasNext) {
-            // timeout fired: watermark passed the open session's close
-            state.getOption.foreach { s =>
+          if (state.hasTimedOut) {
+            // Timeout fired: emit the open session but KEEP the state as
+            // a closed marker (n = 0) so the per-user session counter
+            // survives — session_id must stay strictly increasing like
+            // the batch twin's cumulative numbering, never reset to 1.
+            state.getOption.filter(_.n > 0).foreach { s =>
               out += UserSession(userId, s.sessionId, s.n, s.start, s.last)
+              state.update(s.copy(n = 0))
             }
-            state.remove()
           } else {
             val evs = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
             var open = state.getOption
             evs.foreach { e =>
               open match {
-                case Some(s) if !gapExceeded(s.last.getTime, e.ts.getTime) =>
+                case Some(s) if s.n > 0 && !gapExceeded(s.last.getTime, e.ts.getTime) =>
                   open = Some(s.copy(n = s.n + 1, last = e.ts))
                 case Some(s) =>
-                  out += UserSession(userId, s.sessionId, s.n, s.start, s.last)
+                  if (s.n > 0) out += UserSession(userId, s.sessionId, s.n, s.start, s.last)
                   open = Some(OpenSession(s.sessionId + 1, 1, e.ts, e.ts))
                 case None =>
                   open = Some(OpenSession(1, 1, e.ts, e.ts))

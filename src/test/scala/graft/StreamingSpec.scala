@@ -72,6 +72,15 @@ class StreamingSpec extends SparkSpec {
       val all = spark.table("sess_test").as[graft.streaming.UserSession].collect()
       assert(all.exists(s => s.user_id == 1 && s.session_id == 2 && s.n_events == 1),
         s"timeout flush missing: ${all.mkString(", ")}")
+      // counter survives the timeout: the user's NEXT session must be
+      // id 3, never a reset to 1
+      source.addData(ev(1, 400, 6))
+      q.processAllAvailable()
+      source.addData(ev(2, 500, 7), ev(1, 500, 8))
+      q.processAllAvailable()
+      val later = spark.table("sess_test").as[graft.streaming.UserSession].collect()
+      assert(later.exists(s => s.user_id == 1 && s.session_id == 3),
+        s"session counter reset after timeout: ${later.filter(_.user_id == 1).mkString(", ")}")
     } finally q.stop()
   }
 
