@@ -159,12 +159,6 @@ object HashFunctions {
     */
   def h62(c: Column): Column = shiftrightunsigned(md5Lower64(c), 2)
 
-  /** Seeded h62: `h62(seed | s)` — independent hash families for
-    * minhash signatures. DuckDB twin:
-    * `CAST(md5_number_lower(seed::VARCHAR || '|' || s) // 4 AS BIGINT)`. */
-  def h62Seeded(seed: Column, s: Column): Column =
-    h62(concat_ws("|", seed.cast("string"), s))
-
   /** Mersenne prime 2³¹−1: the modulus of the affine minhash family. */
   val MixP: Long = 2147483647L
 
@@ -183,7 +177,4 @@ object HashFunctions {
     * than seeded-concat hashing on a 16-seed signature. */
   def affineMix(hp: Column, i: Int): Column =
     (lit(mixA(i)) * hp + lit(mixB(i))) % MixP
-
-  /** h62 reduced into the mix domain: h62(x) mod p. */
-  def h62ModP(c: Column): Column = h62(c) % MixP
 }

@@ -36,7 +36,9 @@ object VectorFunctions {
   def normSqQ(a: Column): Column = dotQ(a, a)
 
   /** Quantized cosine similarity — deterministic across engines:
-    * exact-integer dot and norms, one double division at the end. */
+    * exact-integer dot and norms, one double division at the end.
+    * (Operators precompute `normSqQ` per vector and divide by the
+    * product instead — use this form only for ad-hoc pairs.) */
   def cosineQ(a: Column, b: Column): Column =
     dotQ(a, b).cast("double") / sqrt((normSqQ(a) * normSqQ(b)).cast("double"))
 

@@ -188,6 +188,25 @@ class Lakehouse(spark: SparkSession, root: String) {
     read(table).createOrReplaceTempView(table)
 }
 
+/** Bucketed catalog tables: hash-bucket the join key at WRITE time so
+  * repeated equi-joins on that key are co-located — Spark reads
+  * matching buckets pairwise and plans the join with no Exchange on
+  * either side. At 100 TB this converts every fact-fact join on the
+  * bucketing key from a full shuffle into a local merge, the single
+  * biggest recurring-cost lever in §4 (spec proves the shuffle-free
+  * plan). Uses the session catalog (`saveAsTable`), the only write
+  * path that records bucketing metadata. */
+object Bucketed {
+  def write(df: DataFrame, table: String, bucketCols: Seq[String], nBuckets: Int,
+      path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+}
+
 /** Generic single-table sinks — the JDBC-export analog of the
   * reference's gold layer (reference: gold_reporting.py:82 jdbc
   * write, mode=overwrite). Overwrite-mode csv/parquet directories;

@@ -61,6 +61,31 @@ class PlanAuditSpec extends SparkSpec {
       "time-bucketing failed: inequality join fell back to a per-row loop")
   }
 
+  test("bucketed tables co-locate the join: no Exchange on either side") {
+    import graft.sources.{Bucketed, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    Bucketed.write(Tables.orders(spark, sf), "orders_bkt", Seq("o_custkey"), 8, s"$root/o")
+    Bucketed.write(Tables.customer(spark, sf), "customer_bkt", Seq("c_custkey"), 8, s"$root/c")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the planner must choose between a shuffled
+      // and a bucket-local merge join — the co-location is what's under test
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bkt").join(
+        spark.table("customer_bkt"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n${p.take(600)}")
+      assert(p.contains("Bucketed: true"), s"bucketing not used:\n${p.take(600)}")
+      assert(joined.count() === Tables.orders(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+
   test("filter + projection reach the parquet scan on the fact table") {
     val p = plan(Relational.qFilterPushdown(spark, sf))
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
