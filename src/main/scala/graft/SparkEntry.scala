@@ -43,6 +43,9 @@ object SparkEntry {
     "q_set_ops" -> (Relational.qSetOps _),
     "q_range_join" -> (Relational.qRangeJoin _),
     "q_median_price" -> (Relational.qMedianPrice _),
+    "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
+    "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     // §2.C — deduplication
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
@@ -270,6 +273,41 @@ object SparkEntry {
         |  max(n) AS n
         |FROM r WHERE rn = (n+1)//2 OR rn = n//2 + 1
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin,
     // §2.C — deduplication. Shared fragments (SURVEY.md §3): tokens =
     // regexp_extract_all(lower(text),'([a-z0-9]+)',1); shingles =
     // distinct 3-token windows; h62(x) = md5_number_lower(x) // 4.

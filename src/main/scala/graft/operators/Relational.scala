@@ -267,6 +267,56 @@ object Relational {
       .orderBy(col("tag"), col("o_custkey"))
   }
 
+  /** TPC-H Q7 shape: shipping volume between two nations by year —
+    * double-sided dimension filter pushed through broadcast joins,
+    * grouped on (supp_nation, cust_nation, year). */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q10 shape: top customers by returned-item revenue —
+    * filtered fact join + group + global top-k. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q18 shape: large-quantity orders — aggregated HAVING
+    * subquery feeding a semi-join back onto the fact tables. */
+  def q18LargeOrders(spark: SparkSession, dir: String, minQty: Int = 150): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === big("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
   /** Exact median (and quartiles) without engine-specific percentile
     * functions: rank rows per group and average the middle one or two
     * — integer ranks make the result bit-identical across engines,
