@@ -46,6 +46,8 @@ object SparkEntry {
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q_events_funnel" -> (Relational.qEventsFunnel _),
+    "q_running_total" -> (Relational.qRunningTotal _),
     // §2.C — deduplication
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
@@ -60,6 +62,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
+    "text_top_ngrams" -> ((s, d) => TextAnalysis.textTopNgrams(s, d)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     // §2.F — multimodal
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
@@ -308,6 +311,25 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 25""".stripMargin,
+    "q_events_funnel" ->
+      """WITH ta AS (SELECT user_id, min(ts) t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+        |tb AS (SELECT e.user_id, min(e.ts) t_click FROM events e JOIN ta ON e.user_id = ta.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > ta.t_view GROUP BY 1),
+        |tc AS (SELECT e.user_id, min(e.ts) t_purchase FROM events e JOIN tb ON e.user_id = tb.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > tb.t_click GROUP BY 1)
+        |SELECT ta.user_id,
+        |  tb.user_id IS NOT NULL AS reached_click,
+        |  tc.user_id IS NOT NULL AS reached_purchase
+        |FROM ta LEFT JOIN tb ON ta.user_id = tb.user_id
+        |LEFT JOIN tc ON ta.user_id = tc.user_id
+        |ORDER BY ta.user_id""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey <= 200
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     // §2.C — deduplication. Shared fragments (SURVEY.md §3): tokens =
     // regexp_extract_all(lower(text),'([a-z0-9]+)',1); shingles =
     // distinct 3-token windows; h62(x) = md5_number_lower(x) // 4.
@@ -481,6 +503,13 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS word_tokens,
         |  len(regexp_extract_all(lower(text), '([a-z]+|[0-9]|[^a-z0-9\s])', 1)) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_top_ngrams" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []
+        |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END sh FROM tk),
+        |e AS (SELECT unnest(sh) shingle FROM s)
+        |SELECT shingle, count(*) AS doc_freq FROM e
+        |GROUP BY shingle ORDER BY doc_freq DESC, shingle LIMIT 50""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |  array_to_string(regexp_extract_all(lower(text),'([a-z0-9]+)',1), ' ') nt,

@@ -317,6 +317,46 @@ object Relational {
       .limit(25)
   }
 
+  /** Funnel analysis: users progressing view → click → purchase in
+    * strict event-time order. Three keyed aggregations chained by
+    * conditional minima — each stage is one shuffle on user_id, never
+    * a per-user sequence scan on the driver. */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val tA = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val tB = ev.where(col("event_type") === "click").join(tA, "user_id")
+      .where(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val tC = ev.where(col("event_type") === "purchase").join(tB, "user_id")
+      .where(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    tA.join(tB.select("user_id", "t_click"), Seq("user_id"), "left")
+      .join(tC.select("user_id", "t_purchase"), Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("t_click").isNotNull.as("reached_click"),
+        col("t_purchase").isNotNull.as("reached_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Running totals: cumulative revenue per customer in order-date
+    * order — one shuffle on the partition key, a frame-bounded window
+    * sum inside it. */
+  def qRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.orders(spark, dir)
+      .where(col("o_custkey") <= 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   /** Exact median (and quartiles) without engine-specific percentile
     * functions: rank rows per group and average the middle one or two
     * — integer ranks make the result bit-identical across engines,

@@ -123,6 +123,19 @@ object TextAnalysis {
           .as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** `text_top_ngrams` — corpus vocabulary analysis: the 50 most
+    * document-frequent 3-shingles. Shuffle carries (shingle, 1) pairs
+    * with map-side combine; the top-k is a TakeOrdered, not a full
+    * sort. The everyday corpus-inspection query of a training-data
+    * pipeline (boilerplate detection, contamination screening). */
+  def textTopNgrams(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.parallel(spark, Tables.documents(spark, dir))
+      .select(explode(shingles(tokens(col("text")))).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle"))
+      .limit(k)
+
   /** `text_fingerprint` — md5 + 62-bit hash of the normalized text,
     * plus the distinct 3-shingle count (the dedup signature inputs). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
