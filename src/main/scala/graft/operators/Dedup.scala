@@ -118,10 +118,11 @@ object Dedup {
     * via an inverted index on the 62-bit shingle hash: bucket postings
     * per shingle, expand in-bucket pairs, count shared shingles per
     * pair, then one exact Jaccard from the per-doc set sizes. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, dir: String, tau: Double = 0.5,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val posts = postings(spark, dir)
     val buckets = posts.groupBy("g").agg(collect_list(col("doc_id")).as("ds"))
-    val common = expandPairs(buckets, col("ds"))
+    val common = expandPairs(buckets, col("ds"), maxBucket)
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
     jaccardFromCommon(common, docSizes(posts), tau)
@@ -161,11 +162,12 @@ object Dedup {
   /** `dedup_minhash_lsh` — banded-LSH candidate pairs, verified with
     * exact Jaccard ≥ 0.5 from the hashed-postings intersection (an
     * equi-join on the shingle hash, only for surviving candidates). */
-  def dedupMinhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+  def dedupMinhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val posts = postings(spark, dir)
     val buckets = minhashBands(spark, dir)
       .groupBy("band", "bkey").agg(collect_list(col("doc_id")).as("ds"))
-    val cand = expandPairs(buckets, col("ds"))
+    val cand = expandPairs(buckets, col("ds"), maxBucket)
       .dropDuplicates("doc_a", "doc_b")
     verifyJaccard(cand, posts, tau)
   }
@@ -200,7 +202,8 @@ object Dedup {
   /** `dedup_simhash` — pairs at Hamming distance ≤ 3 in 48-bit SimHash
     * space, via 4 × 12-bit band buckets (pigeonhole: distance ≤ 3 ⇒ at
     * least one identical band, so the join is complete, never O(n²)). */
-  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val s = simhash(spark, dir)
     val bits = SimhashBits / SimhashBands
     // Carry (doc_id, sim) into the buckets as a struct: pairs come out
@@ -215,7 +218,7 @@ object Dedup {
       .groupBy(col("pos").as("band"), col("col").as("bval"))
       .agg(collect_list(col("e")).as("ds"))
     buckets
-      .where(size(col("ds")) > 1)
+      .where(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(col("ds"), explode(col("ds")).as("a"))
       .select(col("a"), explode(col("ds")).as("b"))
       .where(col("a.doc_id") < col("b.doc_id"))
