@@ -88,6 +88,24 @@ object EventStream {
       }
       .start()
 
+  /** Stream-stream interval join: purchases enriched with the same
+    * user's clicks from the preceding 10 minutes — the streaming twin
+    * of `q_range_join`. Both sides are watermarked so Spark can bound
+    * the join state: buffered clicks are evicted once the watermark
+    * passes their ts + 10 min; state is O(in-flight window), never
+    * O(stream). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    p.join(c,
+      col("user_id") === col("c_user")
+        && col("c_ts") < col("p_ts")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("click_id"), col("c_ts"))
+  }
+
   /** Streaming exact dedup on event_id: watermark-bounded state, so
     * the dedup set never grows past the lateness horizon — the
     * streaming twin of `dedup_exact`'s hash-group semantics for an

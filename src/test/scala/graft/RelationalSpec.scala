@@ -55,6 +55,16 @@ class RelationalSpec extends SparkSpec {
     sess.unpersist()
   }
 
+  test("approx_count_distinct tracks exact distinct counts within its error bound") {
+    import org.apache.spark.sql.functions._
+    val both = Tables.orders(spark, sf).agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), rsd = 0.05).as("approx")).head()
+    val (exact, approx) = (both.getLong(0), both.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx=$approx exact=$exact drifted past 3x the 5% target rsd")
+  }
+
   test("AsofJoin: left rows with no prior right row get null") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -106,6 +106,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def df(s: MemoryStream[(Long, Long, Long)]) = // (event_id, user_id, minute)
+      s.toDF().toDF("event_id", "user_id", "m")
+        .withColumn("ts", expr("timestamp_millis(m * 60000)")).drop("m")
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val joined = EventStream.clickPurchaseJoin(df(clicks), df(purchases))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 7L, 100L), (2L, 7L, 94L), (3L, 8L, 100L))
+      purchases.addData((10L, 7L, 105L)) // click 1 in window (5m), click 2 out (11m), click 3 wrong user
+      q.processAllAvailable()
+      val got = spark.table("ssj_test").select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((10L, 1L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
