@@ -3,13 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // The engine's own tuned session (AQE, Kryo, broadcast threshold,
+    // UTC) — benching a plain default session would measure plans the
+    // library never actually runs with.
+    val spark = GraftSession.local(cores = cpus)
     // Warm the JVM/codegen/parquet-reader paths and the FS cache so
     // per-query numbers measure the plans, not first-job init.
     spark.range(1000000L).selectExpr("sum(id)").collect()
