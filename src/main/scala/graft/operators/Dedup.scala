@@ -122,10 +122,21 @@ object Dedup {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val posts = postings(spark, dir)
     val buckets = posts.groupBy("g").agg(collect_list(col("doc_id")).as("ds"))
-    val common = expandPairs(buckets, col("ds"), maxBucket)
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-    jaccardFromCommon(common, docSizes(posts), tau)
+    if (maxBucket == Int.MaxValue) {
+      // Uncapped: expansion counts ARE the exact intersection counts.
+      val common = expandPairs(buckets, col("ds"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("common"))
+      jaccardFromCommon(common, docSizes(posts), tau)
+    } else {
+      // Capped: the cap may only PRUNE candidates, never deflate the
+      // score of a surviving pair — so candidates come from capped
+      // buckets but the exact intersection is recomputed from the
+      // full postings (same contract as the MinHash path).
+      val cand = expandPairs(buckets, col("ds"), maxBucket)
+        .dropDuplicates("doc_a", "doc_b")
+      verifyJaccard(cand, posts, tau)
+    }
   }
 
   val MinhashSeeds = 16

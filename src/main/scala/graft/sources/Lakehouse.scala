@@ -198,13 +198,15 @@ class Lakehouse(spark: SparkSession, root: String) {
   * path that records bucketing metadata. */
 object Bucketed {
   def write(df: DataFrame, table: String, bucketCols: Seq[String], nBuckets: Int,
-      path: String): Unit =
+      path: String): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write needs at least one bucket column")
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .option("path", path)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+  }
 }
 
 /** Generic single-table sinks — the JDBC-export analog of the

@@ -38,6 +38,17 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("capped ngram jaccard only prunes pairs — surviving scores stay exact") {
+    val full = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    val capped = Dedup.dedupNgramJaccard(spark, sf, maxBucket = 4).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    capped.foreach { case (pair, jac) =>
+      assert(full.get(pair).contains(jac),
+        s"capped pair $pair has deflated/extra score $jac vs ${full.get(pair)}")
+    }
+  }
+
   test("expandPairs emits all in-bucket pairs and the skew cap drops hot buckets") {
     import spark.implicits._
     val buckets = Seq(

@@ -63,11 +63,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("bucketed tables co-locate the join: no Exchange on either side") {
     import graft.sources.{Bucketed, Tables}
-    val root = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
-    Bucketed.write(Tables.orders(spark, sf), "orders_bkt", Seq("o_custkey"), 8, s"$root/o")
-    Bucketed.write(Tables.customer(spark, sf), "customer_bkt", Seq("c_custkey"), 8, s"$root/c")
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketed")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
+      Bucketed.write(Tables.orders(spark, sf), "orders_bkt", Seq("o_custkey"), 8, s"$root/o")
+      Bucketed.write(Tables.customer(spark, sf), "customer_bkt", Seq("c_custkey"), 8, s"$root/c")
       // disable broadcast so the planner must choose between a shuffled
       // and a bucket-local merge join — the co-location is what's under test
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -83,6 +83,7 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
       spark.sql("DROP TABLE IF EXISTS customer_bkt")
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }
   }
 
