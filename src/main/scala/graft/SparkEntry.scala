@@ -58,6 +58,9 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopk(s, d)),
     "ann_lsh_bucketed" -> ((s, d) => Similarity.annLshTopk(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.annIvfTopk(s, d)),
+    "ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiprobe(s, d)),
+    // spec-only (k-means training isn't SQL-restatable → rows-only check)
+    "ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(s, d)),
     // §2.E — text analysis
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -435,6 +438,30 @@ object SparkEntry {
         |bb AS (SELECT vec_id, t, CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) bucket
         |  FROM dots GROUP BY 1, 2),
         |qb AS (SELECT vec_id q_id, t, bucket FROM bb WHERE vec_id < 5),
+        |cand AS (SELECT DISTINCT q_id, bb.vec_id vec_id FROM qb JOIN bb ON qb.t = bb.t AND qb.bucket = bb.bucket),
+        |s AS (SELECT q_id, cand.vec_id,
+        |  round(CAST(list_sum(list_transform(list_zip(qv.v, ev.v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(list_sum(list_transform(qv.v, x -> x*x))
+        |           * list_sum(list_transform(ev.v, x -> x*x)) AS DOUBLE)), 6) cosine
+        |  FROM cand JOIN q qv ON cand.q_id = qv.vec_id JOIN q ev ON cand.vec_id = ev.vec_id),
+        |r AS (SELECT q_id, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM s)
+        |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_lsh_multiprobe" ->
+      """WITH q AS (SELECT vec_id,
+        |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+        |planes AS (SELECT r1.range t, r2.range p, r3.range d,
+        |  ((CAST(md5_number_lower(r1.range::VARCHAR || '_' || r2.range::VARCHAR || '_' || r3.range::VARCHAR) // 4 AS BIGINT) & 1)*2 - 1) sgn
+        |  FROM range(0,4) r1, range(0,6) r2, range(0,64) r3),
+        |ev AS (SELECT vec_id, unnest(v) val, unnest(range(0, len(v))) d FROM q),
+        |dots AS (SELECT e.vec_id, pl.t, pl.p, sum(e.val * pl.sgn) s
+        |  FROM ev e JOIN planes pl ON e.d = pl.d GROUP BY 1, 2, 3),
+        |bb AS (SELECT vec_id, t, CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) bucket
+        |  FROM dots GROUP BY 1, 2),
+        |qb AS (SELECT vec_id q_id, t,
+        |  unnest([bucket] || [xor(bucket, (1::BIGINT << pp)) for pp in range(0,6)]) bucket
+        |  FROM bb WHERE vec_id < 5),
         |cand AS (SELECT DISTINCT q_id, bb.vec_id vec_id FROM qb JOIN bb ON qb.t = bb.t AND qb.bucket = bb.bucket),
         |s AS (SELECT q_id, cand.vec_id,
         |  round(CAST(list_sum(list_transform(list_zip(qv.v, ev.v), z -> z[1]*z[2])) AS DOUBLE)

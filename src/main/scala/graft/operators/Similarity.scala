@@ -136,6 +136,79 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** `ann_lsh_multiprobe` — multi-probe LSH: each query probes its own
+    * bucket PLUS every 1-bit-flip neighbor per table (the vectors most
+    * likely separated by a single near-orthogonal hyperplane), lifting
+    * recall for free query-side — corpus state and shuffle shape are
+    * unchanged, only the tiny probe set grows ×(P+1). */
+  def annLshMultiprobe(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = quantized(spark, dir)
+    val banded = e
+      .select(col("vec_id"), posexplode(buckets(col("v"))))
+      .withColumnRenamed("pos", "t")
+      .withColumnRenamed("col", "bucket")
+    val qProbes = banded.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("t"),
+        explode(array(col("bucket") +: (0 until LshPlanes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    val cand = qProbes.join(banded, Seq("t", "bucket"))
+      .select("q_id", "vec_id")
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nsq").as("qnsq")), "q_id")
+      .join(e, "vec_id")
+      .select(
+        col("q_id"), col("vec_id"),
+        round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "vec_id", "rnk", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** `ann_ivf_trained` — IVF over a TRAINED coarse codebook: k-means
+    * (fixed seed, MLlib) replaces the deterministic stand-in
+    * centroids; assignment/probing/scoring reuse the exact cell plan
+    * of [[annIvfTopk]]. Spec-only (k-means iterations aren't
+    * SQL-restatable): the driver records a rows-only check and the
+    * spec measures recall vs brute force. */
+  def annIvfTrained(spark: SparkSession, dir: String, k: Int = 10,
+      nCells: Int = IvfCells): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = quantized(spark, dir)
+    val feat = e.select(col("vec_id"),
+      array_to_vector(col("v").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(feat)
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.map(x => math.round(x)))
+    }.toSeq
+    val centsDf = broadcast(spark.createDataFrame(cents)
+      .toDF("cent_id", "cv")
+      .withColumn("cn", VectorFunctions.dotQ(col("cv"), col("cv"))))
+    val assign = cells(e, centsDf, probes = 1)
+    val probes = cells(e.where(col("vec_id") < 5), centsDf, probes = IvfProbes)
+      .withColumnRenamed("vec_id", "q_id")
+    val cand = probes.join(assign, "cell")
+      .select("q_id", "vec_id")
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nsq").as("qnsq")), "q_id")
+      .join(e, "vec_id")
+      .select(
+        col("q_id"), col("vec_id"),
+        round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "vec_id", "rnk", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
   /** `ann_lsh_bucketed` — LSH-pruned top-k: candidates are corpus
     * vectors sharing any (table, bucket) with the query; exact
     * quantized cosine ranks within candidates. Ids-only shuffle for

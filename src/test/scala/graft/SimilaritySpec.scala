@@ -33,6 +33,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("multi-probe LSH recall is at least single-probe recall") {
+    val brute = Similarity.annCosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val single = Similarity.annLshTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val multi = Similarity.annLshMultiprobe(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val rs = (single intersect brute).size.toDouble / brute.size
+    val rm = (multi intersect brute).size.toDouble / brute.size
+    info(f"recall single=$rs%.2f multi=$rm%.2f")
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+  }
+
+  test("trained-codebook IVF finds each query and returns ranked results") {
+    val rows = Similarity.annIvfTrained(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQuery.size === 5)
+    byQuery.foreach { case (q, rs) =>
+      val first = rs.minBy(_.getAs[Int]("rnk"))
+      assert(first.getAs[Long]("vec_id") === q, s"query $q must find itself")
+      assert(first.getAs[Double]("cosine") === 1.0)
+    }
+  }
+
   test("sign matrix is deterministic and balanced-ish") {
     val m = Similarity.signMatrix
     assert(m.length === 4 * 6 * 64)
