@@ -186,61 +186,77 @@ object Dedup {
   val SimhashBits = 48
   val SimhashBands = 4 // 12 bits each → complete for Hamming ≤ 3
 
-  /** Per-doc 48-bit SimHash over token counts. Shape chosen for
-    * codegen and scale: explode tokens → count per (doc, token) with
-    * map-side partial agg → one weighted-popcount aggregate per bit
-    * (48 codegen'd `sum(when…)` columns) → pack bits in a single
-    * projection. Bit b is set iff 2·Σ count·bit_b(h62(tok)) ≥ Σ count
-    * (i.e. the signed bit-majority, ties set the bit — identical to
-    * the oracle's ±1 fold). */
-  private def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // Σ_distinct count(tok)·bit_b(h) ≡ Σ_occurrences bit_b(h): summing
-    // per occurrence needs no (doc, tok) pre-aggregation — ONE shuffle
-    // keyed by doc_id, 49 codegen'd sum columns with map-side combine.
-    val occ = Tables.parallel(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), HashFunctions.h62(col("tok")).as("h"))
-    val bitSums = (0 until SimhashBits).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b"))
-    val agg = occ.groupBy("doc_id")
-      .agg(count(lit(1)).as("t"), bitSums: _*)
-    val sim = (0 until SimhashBits)
-      .map(b => when(lit(2L) * col(s"s$b") - col("t") >= 0L, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("sim"))
-  }
-
   /** `dedup_simhash` — pairs at Hamming distance ≤ 3 in 48-bit SimHash
     * space, via 4 × 12-bit band buckets (pigeonhole: distance ≤ 3 ⇒ at
-    * least one identical band, so the join is complete, never O(n²)). */
+    * least one identical band, so the join is complete, never O(n²)).
+    *
+    * Exact-dup collapse first: documents with identical normalized
+    * text have identical token counts, hence IDENTICAL simhash —
+    * hamming between any two docs equals hamming between their group
+    * representatives. The signature/banding pipeline therefore runs at
+    * unique-text cardinality and pairs expand back through group
+    * members: in a 16×-duplicated stress corpus this is a 16× cut in
+    * signature work and a 256× cut in band-bucket pressure, with
+    * provably identical output (the DuckDB oracle still computes
+    * per-doc). */
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3,
       maxBucket: Int = Int.MaxValue): DataFrame = {
-    val s = simhash(spark, dir)
     val bits = SimhashBits / SimhashBands
-    // Carry (doc_id, sim) into the buckets as a struct: pairs come out
-    // with both signatures attached — no re-join against the simhash
-    // pipeline for the Hamming check.
-    val buckets = s.select(
-      struct(col("doc_id"), col("sim")).as("e"),
+    val groups = Tables.parallel(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), normText(col("text")).as("nt"))
+      .groupBy("nt")
+      .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures at group cardinality (tokens of normalized text ==
+    // tokens of the original text by construction of the tokenizer)
+    val sims = groups
+      .select(col("gid"), explode(tokens(col("nt"))).as("tok"))
+      .select(col("gid"), HashFunctions.h62(col("tok")).as("h"))
+      .groupBy("gid")
+      .agg(count(lit(1)).as("t"),
+        (0 until SimhashBits).map(b =>
+          sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b")): _*)
+    val simCol = (0 until SimhashBits)
+      .map(b => when(lit(2L) * col(s"s$b") - col("t") >= 0L, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val gsim = sims.select(col("gid"), simCol.as("sim"))
+    // inter-group candidates via banded buckets of group signatures
+    val buckets = gsim.select(
+      struct(col("gid"), col("sim")).as("e"),
       posexplode(transform(
         sequence(lit(0), lit(SimhashBands - 1)),
         k => call_function("shiftright", col("sim"), k * bits)
           .bitwiseAND(lit((1L << bits) - 1)))))
       .groupBy(col("pos").as("band"), col("col").as("bval"))
       .agg(collect_list(col("e")).as("ds"))
-    buckets
+    val groupPairs = buckets
       .where(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(col("ds"), explode(col("ds")).as("a"))
       .select(col("a"), explode(col("ds")).as("b"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .where(col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
         col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .dropDuplicates("ga", "gb")
       .withColumn("hamming",
         call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+    val inter = groupPairs
+      .join(groups.select(col("gid").as("ga"), col("members").as("ma")), "ga")
+      .join(groups.select(col("gid").as("gb"), col("members").as("mb")), "gb")
+      .select(col("hamming"), explode(col("ma")).as("x"), col("mb"))
+      .select(col("hamming"), col("x"), explode(col("mb")).as("y"))
+      .select(
+        least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
+        col("hamming"))
+    // intra-group pairs: identical text ⇒ hamming 0
+    val intra = groups.where(size(col("members")) > 1)
+      .select(col("members"), explode(col("members")).as("x"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .where(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), lit(0).as("hamming"))
+    inter.unionByName(intra)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 
