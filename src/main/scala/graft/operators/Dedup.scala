@@ -27,12 +27,27 @@ import graft.operators.TextAnalysis.{normText, shingles, tokens}
   */
 object Dedup {
 
-  /** Hashed shingle postings (doc_id, g = h62(shingle)) — the shared
-    * base relation for Jaccard and MinHash dedup. Shingles are
-    * distinct per doc (native [[graft.functions.Shingles]]), so
-    * |postings(doc)| = |shingle set| and pairwise intersection counts
-    * come from an equi-join on g. Both engines derive g with the same
-    * md5 bytes, so hashed counts are value-exact cross-engine.
+  /** Exact-dup groups by normalized text: (nt, gid = min doc_id,
+    * members). Identical normalized text ⇒ identical shingle set ⇒
+    * identical Jaccard/MinHash/SimHash behavior, so every signature
+    * pipeline runs at GROUP cardinality and expands pairs back through
+    * members at the end — on dup-heavy corpora this collapses the
+    * expensive middle of the pipeline by the duplication factor.
+    * Persisted and shared by all three dedup queries. */
+  private def dupGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallel(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), normText(col("text")).as("nt"))
+      .groupBy("nt")
+      .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Hashed shingle postings at group cardinality (gid, g =
+    * h62(shingle)) — the shared base relation for Jaccard and MinHash
+    * dedup. Shingles are distinct per text (native
+    * [[graft.functions.Shingles]]), so |postings(gid)| = |shingle set|
+    * and pairwise intersection counts come from an equi-join on g.
+    * Both engines derive g from the same md5 bytes, so hashed counts
+    * are value-exact cross-engine.
     *
     * Persisted (memory-and-disk): consumed 3+ times per query and
     * SHARED by the Jaccard and MinHash queries (cache keys on the
@@ -41,38 +56,64 @@ object Dedup {
     * cost more than recomputing them. (At 100 TB the same role is a
     * materialized posting table.) */
   private def postings(spark: SparkSession, dir: String): DataFrame =
-    Tables.parallel(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s0"))
-      .select(col("doc_id"), HashFunctions.h62(col("s0")).as("g"))
+    dupGroups(spark, dir)
+      .select(col("gid"), explode(shingles(tokens(col("nt")))).as("s0"))
+      .select(col("gid"), HashFunctions.h62(col("s0")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Distinct-shingle-set size per doc, from the postings cache. */
+  /** Distinct-shingle-set size per group, from the postings cache. */
   private def docSizes(posts: DataFrame): DataFrame =
-    posts.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    posts.groupBy("gid").agg(count(lit(1)).as("n_sh"))
 
-  /** Shared-shingle count per candidate pair, from the postings
+  /** Shared-shingle count per candidate group pair, from the postings
     * cache: each side's postings equi-joined on the shingle hash. */
   private def commonCounts(cand: DataFrame, posts: DataFrame): DataFrame =
     cand
-      .join(posts.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(posts.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy("doc_a", "doc_b")
+      .join(posts.select(col("gid").as("ga"), col("g")), "ga")
+      .join(posts.select(col("gid").as("gb"), col("g")), Seq("gb", "g"))
+      .groupBy("ga", "gb")
       .agg(count(lit(1)).as("common"))
 
-  /** Jaccard from per-pair intersection counts + per-doc set sizes:
-    * the single shared tail of both dedup paths (one definition of the
-    * formula, rounding, threshold, and ordering). */
+  /** Expand qualifying GROUP pairs (ga, gb, value) into ordered doc
+    * pairs through group members, and add intra-group pairs with
+    * `selfValue` (identical text ⇒ Jaccard 1.0 / Hamming 0) for every
+    * group that has at least one shingle (groups below the shingle
+    * threshold are outside the pipeline, like the oracle's
+    * `len(sh) > 0` filter). */
+  private def expandGroupPairs(
+      groupPairs: DataFrame, groups: DataFrame, eligibleGids: DataFrame,
+      valueCol: String, selfValue: Column): DataFrame = {
+    val inter = groupPairs
+      .join(groups.select(col("gid").as("ga"), col("members").as("ma")), "ga")
+      .join(groups.select(col("gid").as("gb"), col("members").as("mb")), "gb")
+      .select(col(valueCol), explode(col("ma")).as("x"), col("mb"))
+      .select(col(valueCol), col("x"), explode(col("mb")).as("y"))
+      .select(
+        least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
+        col(valueCol))
+    val eligible = groups.join(eligibleGids.select("gid").distinct(), "gid")
+    val intra = eligible.where(size(col("members")) > 1)
+      .select(col("members"), explode(col("members")).as("x"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .where(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), selfValue.as(valueCol))
+    inter.unionByName(intra).orderBy("doc_a", "doc_b")
+  }
+
+  /** Jaccard from per-group-pair intersection counts + per-group set
+    * sizes: the single shared tail of both dedup paths (one definition
+    * of the formula, rounding, and threshold). */
   private def jaccardFromCommon(common: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
     common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .join(sizes.select(col("gid").as("ga"), col("n_sh").as("na")), "ga")
+      .join(sizes.select(col("gid").as("gb"), col("n_sh").as("nb")), "gb")
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
       .where(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      .select("ga", "gb", "jaccard")
 
-  /** Exact-Jaccard verification of candidate pairs against τ. */
+  /** Exact-Jaccard verification of candidate group pairs against τ. */
   private def verifyJaccard(cand: DataFrame, posts: DataFrame, tau: Double): DataFrame =
     jaccardFromCommon(commonCounts(cand, posts), docSizes(posts), tau)
 
@@ -120,23 +161,27 @@ object Dedup {
     * pair, then one exact Jaccard from the per-doc set sizes. */
   def dedupNgramJaccard(spark: SparkSession, dir: String, tau: Double = 0.5,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val groups = dupGroups(spark, dir)
     val posts = postings(spark, dir)
-    val buckets = posts.groupBy("g").agg(collect_list(col("doc_id")).as("ds"))
-    if (maxBucket == Int.MaxValue) {
-      // Uncapped: expansion counts ARE the exact intersection counts.
-      val common = expandPairs(buckets, col("ds"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("common"))
-      jaccardFromCommon(common, docSizes(posts), tau)
-    } else {
-      // Capped: the cap may only PRUNE candidates, never deflate the
-      // score of a surviving pair — so candidates come from capped
-      // buckets but the exact intersection is recomputed from the
-      // full postings (same contract as the MinHash path).
-      val cand = expandPairs(buckets, col("ds"), maxBucket)
-        .dropDuplicates("doc_a", "doc_b")
-      verifyJaccard(cand, posts, tau)
-    }
+    val buckets = posts.groupBy("g").agg(collect_list(col("gid")).as("ds"))
+    val groupPairs =
+      if (maxBucket == Int.MaxValue) {
+        // Uncapped: expansion counts ARE the exact intersection counts.
+        val common = expandPairs(buckets, col("ds"))
+          .groupBy(col("doc_a").as("ga"), col("doc_b").as("gb"))
+          .agg(count(lit(1)).as("common"))
+        jaccardFromCommon(common, docSizes(posts), tau)
+      } else {
+        // Capped: the cap may only PRUNE candidates, never deflate the
+        // score of a surviving pair — so candidates come from capped
+        // buckets but the exact intersection is recomputed from the
+        // full postings (same contract as the MinHash path).
+        val cand = expandPairs(buckets, col("ds"), maxBucket)
+          .select(col("doc_a").as("ga"), col("doc_b").as("gb"))
+          .dropDuplicates("ga", "gb")
+        verifyJaccard(cand, posts, tau)
+      }
+    expandGroupPairs(groupPairs, groups, posts, "jaccard", lit(1.0))
   }
 
   val MinhashSeeds = 16
@@ -154,15 +199,15 @@ object Dedup {
   private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val rows = MinhashSeeds / MinhashBands
     val post = postings(spark, dir)
-      .select(col("doc_id"), (col("g") % HashFunctions.MixP).as("hp"))
+      .select(col("gid"), (col("g") % HashFunctions.MixP).as("hp"))
     val hashed = post.select(
-      col("doc_id") +: (0 until MinhashSeeds).map(i =>
+      col("gid") +: (0 until MinhashSeeds).map(i =>
         HashFunctions.affineMix(col("hp"), i).as(s"h$i")): _*)
-    val sigs = hashed.groupBy("doc_id")
+    val sigs = hashed.groupBy("gid")
       .agg(min("h0").as("sig0"),
         (1 until MinhashSeeds).map(i => min(s"h$i").as(s"sig$i")): _*)
     sigs.select(
-      col("doc_id"),
+      col("gid"),
       posexplode(array((0 until MinhashBands).map(b =>
         md5(concat_ws(",",
           (b * rows until (b + 1) * rows).map(i => col(s"sig$i").cast("string")): _*))): _*)))
@@ -170,17 +215,19 @@ object Dedup {
       .withColumnRenamed("col", "bkey")
   }
 
-  /** `dedup_minhash_lsh` — banded-LSH candidate pairs, verified with
-    * exact Jaccard ≥ 0.5 from the hashed-postings intersection (an
-    * equi-join on the shingle hash, only for surviving candidates). */
+  /** `dedup_minhash_lsh` — banded-LSH candidate group pairs, verified
+    * with exact Jaccard ≥ 0.5 from the hashed-postings intersection,
+    * then expanded through dup-group members. */
   def dedupMinhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val groups = dupGroups(spark, dir)
     val posts = postings(spark, dir)
     val buckets = minhashBands(spark, dir)
-      .groupBy("band", "bkey").agg(collect_list(col("doc_id")).as("ds"))
+      .groupBy("band", "bkey").agg(collect_list(col("gid")).as("ds"))
     val cand = expandPairs(buckets, col("ds"), maxBucket)
-      .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(cand, posts, tau)
+      .select(col("doc_a").as("ga"), col("doc_b").as("gb"))
+      .dropDuplicates("ga", "gb")
+    expandGroupPairs(verifyJaccard(cand, posts, tau), groups, posts, "jaccard", lit(1.0))
   }
 
   val SimhashBits = 48
@@ -202,11 +249,7 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val bits = SimhashBits / SimhashBands
-    val groups = Tables.parallel(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), normText(col("text")).as("nt"))
-      .groupBy("nt")
-      .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("members"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = dupGroups(spark, dir)
     // signatures at group cardinality (tokens of normalized text ==
     // tokens of the original text by construction of the tokenizer)
     val sims = groups
@@ -238,26 +281,9 @@ object Dedup {
         col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
       .dropDuplicates("ga", "gb")
       .withColumn("hamming",
-        call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))))
+        call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
-    val inter = groupPairs
-      .join(groups.select(col("gid").as("ga"), col("members").as("ma")), "ga")
-      .join(groups.select(col("gid").as("gb"), col("members").as("mb")), "gb")
-      .select(col("hamming"), explode(col("ma")).as("x"), col("mb"))
-      .select(col("hamming"), col("x"), explode(col("mb")).as("y"))
-      .select(
-        least(col("x"), col("y")).as("doc_a"),
-        greatest(col("x"), col("y")).as("doc_b"),
-        col("hamming"))
-    // intra-group pairs: identical text ⇒ hamming 0
-    val intra = groups.where(size(col("members")) > 1)
-      .select(col("members"), explode(col("members")).as("x"))
-      .select(col("x"), explode(col("members")).as("y"))
-      .where(col("x") < col("y"))
-      .select(col("x").as("doc_a"), col("y").as("doc_b"), lit(0).as("hamming"))
-    inter.unionByName(intra)
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
-      .orderBy("doc_a", "doc_b")
+    expandGroupPairs(groupPairs, groups, gsim, "hamming", lit(0))
   }
 
   /** `dedup_embedding` — embedding near-dup pairs: quantized cosine
