@@ -389,7 +389,7 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
-        |e AS (SELECT doc_id, toks, list_distinct(toks) dt FROM tk),
+        |e AS (SELECT doc_id, toks, list_distinct(toks) dt FROM tk WHERE len(toks) > 0),
         |en AS (SELECT doc_id, [{'h': CAST(md5_number_lower(t) // 4 AS BIGINT),
         |    'c': CAST(len(list_filter(toks, x -> x = t)) AS BIGINT)} for t in dt] entries FROM e),
         |sm AS (SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([e2.c *

@@ -77,12 +77,19 @@ object Dedup {
   /** Expand qualifying GROUP pairs (ga, gb, value) into ordered doc
     * pairs through group members, and add intra-group pairs with
     * `selfValue` (identical text ⇒ Jaccard 1.0 / Hamming 0) for every
-    * group that has at least one shingle (groups below the shingle
-    * threshold are outside the pipeline, like the oracle's
-    * `len(sh) > 0` filter). */
+    * group the signature pipeline covers (`eligibleGids`: groups whose
+    * text yields at least one shingle (Jaccard/MinHash) or token
+    * (SimHash) — matching each oracle's own eligibility).
+    *
+    * `maxBucket` bounds the intra expansion through the same
+    * [[expandPairs]] cap it bounds band buckets with: a dup group
+    * larger than the cap is skipped outright (NOTE the cap's unit
+    * post-collapse is unique-text GROUPS per band bucket, but MEMBER
+    * docs per dup group — a group of a million identical boilerplate
+    * docs is exactly what the cap exists to refuse to square). */
   private def expandGroupPairs(
       groupPairs: DataFrame, groups: DataFrame, eligibleGids: DataFrame,
-      valueCol: String, selfValue: Column): DataFrame = {
+      valueCol: String, selfValue: Column, maxBucket: Int): DataFrame = {
     val inter = groupPairs
       .join(groups.select(col("gid").as("ga"), col("members").as("ma")), "ga")
       .join(groups.select(col("gid").as("gb"), col("members").as("mb")), "gb")
@@ -93,11 +100,8 @@ object Dedup {
         greatest(col("x"), col("y")).as("doc_b"),
         col(valueCol))
     val eligible = groups.join(eligibleGids.select("gid").distinct(), "gid")
-    val intra = eligible.where(size(col("members")) > 1)
-      .select(col("members"), explode(col("members")).as("x"))
-      .select(col("x"), explode(col("members")).as("y"))
-      .where(col("x") < col("y"))
-      .select(col("x").as("doc_a"), col("y").as("doc_b"), selfValue.as(valueCol))
+    val intra = expandPairs(eligible, col("members"), maxBucket)
+      .select(col("doc_a"), col("doc_b"), selfValue.as(valueCol))
     inter.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
@@ -181,7 +185,7 @@ object Dedup {
           .dropDuplicates("ga", "gb")
         verifyJaccard(cand, posts, tau)
       }
-    expandGroupPairs(groupPairs, groups, posts, "jaccard", lit(1.0))
+    expandGroupPairs(groupPairs, groups, posts, "jaccard", lit(1.0), maxBucket)
   }
 
   val MinhashSeeds = 16
@@ -227,7 +231,7 @@ object Dedup {
     val cand = expandPairs(buckets, col("ds"), maxBucket)
       .select(col("doc_a").as("ga"), col("doc_b").as("gb"))
       .dropDuplicates("ga", "gb")
-    expandGroupPairs(verifyJaccard(cand, posts, tau), groups, posts, "jaccard", lit(1.0))
+    expandGroupPairs(verifyJaccard(cand, posts, tau), groups, posts, "jaccard", lit(1.0), maxBucket)
   }
 
   val SimhashBits = 48
@@ -283,7 +287,11 @@ object Dedup {
       .withColumn("hamming",
         call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
-    expandGroupPairs(groupPairs, groups, gsim, "hamming", lit(0))
+    // eligibility from the cached groups (≥1 token), NOT from gsim —
+    // reusing gsim here would re-execute the whole signature
+    // aggregation a second time for the intra branch
+    val tokenful = groups.where(size(tokens(col("nt"))) > 0).select("gid")
+    expandGroupPairs(groupPairs, groups, tokenful, "hamming", lit(0), maxBucket)
   }
 
   /** `dedup_embedding` — embedding near-dup pairs: quantized cosine
