@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.functions.{HashFunctions, HashImpl, VectorFunctions}
+import graft.operators.TextAnalysis
+
+/** Property-based checks: the native Catalyst expressions must agree
+  * with straightforward reference implementations on randomized
+  * inputs — the codegen'd hot paths are only fast versions of simple
+  * definitions, and these properties pin that equivalence. */
+class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  private val seed = org.scalacheck.rng.Seed(42L)
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.iterate((g.pureApply(Gen.Parameters.default, seed), seed.next)) {
+      case (_, s) => (g.pureApply(Gen.Parameters.default, s), s.next)
+    }.map(_._1).take(n).toSeq
+
+  test("ArrayDotLong equals the naive zip-multiply-sum on random vectors") {
+    val vecs = sample(for {
+      n <- Gen.choose(0, 80)
+      a <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+      b <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+    } yield (a, b), 60)
+    val df = vecs.toDF("a", "b")
+      .select(col("a"), col("b"), VectorFunctions.dotQ(col("a"), col("b")).as("got"))
+    df.collect().foreach { r =>
+      val want = r.getSeq[Long](0).zip(r.getSeq[Long](1)).map { case (x, y) => x * y }.sum
+      assert(r.getLong(2) === want)
+    }
+  }
+
+  test("Shingles equals the naive sliding-window-distinct on random token lists") {
+    val tokss = sample(for {
+      n <- Gen.choose(0, 30)
+      t <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "x9"))
+    } yield t, 60)
+    val df = tokss.toDF("toks")
+      .select(col("toks"), TextAnalysis.shingles(col("toks")).as("got"))
+    df.collect().foreach { r =>
+      val toks = r.getSeq[String](0)
+      val want =
+        if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      assert(r.getSeq[String](1) === want, s"toks=$toks")
+    }
+  }
+
+  test("Md5Lower64 kernel equals MessageDigest-based reference on random strings") {
+    val strs = sample(Gen.asciiPrintableStr.map(_.take(64)), 80)
+    strs.foreach { s =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      var want = 0L
+      var i = 15
+      while (i >= 8) { want = (want << 8) | (d(i) & 0xffL); i -= 1 }
+      assert(HashImpl.md5Lower64(s.getBytes("UTF-8")) === want, s"input=$s")
+    }
+  }
+
+  test("affine mix family stays inside [0, p) and distinct seeds disagree somewhere") {
+    val hs = sample(Gen.choose(0L, (1L << 62) - 1), 40).map(_ % HashFunctions.MixP)
+    val df = hs.toDF("hp").select(
+      col("hp") +: (0 until 16).map(i => HashFunctions.affineMix(col("hp"), i).as(s"g$i")): _*)
+    val rows = df.collect()
+    rows.foreach { r =>
+      (1 to 16).foreach { i =>
+        val g = r.getLong(i)
+        assert(g >= 0 && g < HashFunctions.MixP)
+      }
+    }
+    // the 16 mixes are not all identical functions
+    val firstRowMixes = rows.head.toSeq.drop(1).distinct
+    assert(firstRowMixes.length > 8)
+  }
+}
