@@ -228,8 +228,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sessions AS (
         |  SELECT user_id, ts,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM marked
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
@@ -239,8 +239,8 @@ object SparkEntry {
         |ORDER BY user_id, session_id""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k,
-        |  max(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS max_k
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

@@ -388,20 +388,23 @@ object Relational {
   def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val winMicros = 600L * 1000000L
     val ev = Tables.events(spark, dir)
+    // The two sides derive from the same scan; rename user_id on each so
+    // the join condition is structurally unambiguous (no reliance on the
+    // analyzer's trivially-true-self-join disambiguation heuristic).
     val clicks = ev.where(col("event_type") === "click")
       .select(
-        col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"),
-        floor(unix_micros(col("ts")) / winMicros).as("bucket"))
+        col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"),
+        floor(unix_micros(col("ts")) / winMicros).as("c_bucket"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(
-        col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"),
         floor(unix_micros(col("ts")) / winMicros).as("b0"))
-      .select(col("user_id"), col("p_ts"), col("p_id"),
-        explode(array(col("b0") - 1, col("b0"))).as("bucket"))
+      .select(col("p_user"), col("p_ts"), col("p_id"),
+        explode(array(col("b0") - 1, col("b0"))).as("p_bucket"))
     purchases
       .join(clicks,
-        purchases("user_id") === clicks("user_id")
-          && purchases("bucket") === clicks("bucket")
+        col("p_user") === col("c_user")
+          && col("p_bucket") === col("c_bucket")
           && col("c_ts") < col("p_ts")
           && col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"),
         "left")
