@@ -404,13 +404,23 @@ object SparkEntry {
         |WHERE bit_count(xor(sim_a, sim_b)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
-      """WITH q AS (SELECT vec_id, label,
+      """WITH q AS (SELECT vec_id,
         |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
-        |p AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
-        |  round(CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) AS DOUBLE)
-        |    / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x))
-        |           * list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)), 6) cosine
-        |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |planes AS (SELECT r1.range t, r2.range p, r3.range d,
+        |  ((CAST(md5_number_lower(r1.range::VARCHAR || '_' || r2.range::VARCHAR || '_' || r3.range::VARCHAR) // 4 AS BIGINT) & 1)*2 - 1) sgn
+        |  FROM range(0,4) r1, range(0,6) r2, range(0,64) r3),
+        |ev AS (SELECT vec_id, unnest(v) val, unnest(range(0, len(v))) d FROM q),
+        |dots AS (SELECT e.vec_id, pl.t, pl.p, sum(e.val * pl.sgn) s
+        |  FROM ev e JOIN planes pl ON e.d = pl.d GROUP BY 1, 2, 3),
+        |bb AS (SELECT vec_id, t, CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) bucket
+        |  FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
+        |  FROM bb a JOIN bb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |p AS (SELECT vec_a, vec_b,
+        |  round(CAST(list_sum(list_transform(list_zip(av.v, bv.v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(list_sum(list_transform(av.v, x -> x*x))
+        |           * list_sum(list_transform(bv.v, x -> x*x)) AS DOUBLE)), 6) cosine
+        |  FROM cand JOIN q av ON cand.vec_a = av.vec_id JOIN q bv ON cand.vec_b = bv.vec_id)
         |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
     // §2.D — similarity search

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, VectorFunctions}
-import graft.sources.Tables
+import graft.sources.{Memo, Tables}
 import graft.operators.TextAnalysis.{normText, shingles, tokens}
 
 /** Deduplication operators over `documents` (text) and `embeddings`
@@ -35,11 +35,12 @@ object Dedup {
     * expensive middle of the pipeline by the duplication factor.
     * Persisted and shared by all three dedup queries. */
   private def dupGroups(spark: SparkSession, dir: String): DataFrame =
-    Tables.parallel(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), normText(col("text")).as("nt"))
-      .groupBy("nt")
-      .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("members"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Memo.persisted(spark, s"dedup.dupGroups|$dir") {
+      Tables.parallel(spark, Tables.documents(spark, dir))
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+        .groupBy("nt")
+        .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("members"))
+    }
 
   /** Hashed shingle postings at group cardinality (gid, g =
     * h62(shingle)) — the shared base relation for Jaccard and MinHash
@@ -56,10 +57,40 @@ object Dedup {
     * cost more than recomputing them. (At 100 TB the same role is a
     * materialized posting table.) */
   private def postings(spark: SparkSession, dir: String): DataFrame =
-    dupGroups(spark, dir)
-      .select(col("gid"), explode(shingles(tokens(col("nt")))).as("s0"))
-      .select(col("gid"), HashFunctions.h62(col("s0")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Memo.persisted(spark, s"dedup.postings|$dir") {
+      dupGroups(spark, dir)
+        .select(col("gid"), explode(shingles(tokens(col("nt")))).as("s0"))
+        .select(col("gid"), HashFunctions.h62(col("s0")).as("g"))
+    }
+
+  /** Prefix postings — the document-frequency pruning that makes the
+    * inverted index survive a hot boilerplate shingle at 100 TB.
+    *
+    * Prefix-filtering principle (AllPairs/PPJoin): under ANY global
+    * order on shingles, two sets with J(a,b) ≥ τ share at least
+    * ⌈τ·max(|a|,|b|)⌉ elements, so their FIRST common element (in that
+    * order) sits within the first L(d) = |d| − ⌈τ·|d|⌉ + 1 elements of
+    * each side. Candidates generated from only those prefix postings
+    * are therefore provably complete for the τ threshold — and with
+    * the order chosen as (document frequency ASC, hash), a shingle
+    * shared by n documents is the LAST element of every large doc's
+    * sorted set, so its posting list stops feeding n²-pair buckets.
+    * Scores stay exact because verification always recounts from FULL
+    * postings. The ε guards fp rounding of τ·|d| upward (a too-short
+    * prefix would break completeness; a too-long one only prunes
+    * less). */
+  private def prefixPostings(spark: SparkSession, dir: String, tau: Double): DataFrame =
+    Memo.persisted(spark, s"dedup.prefixPostings|$tau|$dir") {
+      val posts = postings(spark, dir)
+      val df = posts.groupBy("g").agg(count(lit(1)).as("df"))
+      posts
+        .join(df, "g")
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("gid").orderBy(col("df"), col("g"))))
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("gid")))
+        .where(col("pos") <= col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)) + 1)
+        .select("gid", "g")
+    }
 
   /** Distinct-shingle-set size per group, from the postings cache. */
   private def docSizes(posts: DataFrame): DataFrame =
@@ -159,33 +190,41 @@ object Dedup {
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
 
+  /** Finite default skew cap for candidate buckets. With prefix
+    * filtering in place a bucket this hot is already pathological
+    * (≥ 10k documents sharing one of their RAREST shingles / an
+    * identical signature band after exact-dup collapse); the cap's
+    * prune-only contract (candidates may be dropped, surviving scores
+    * are always exact) makes the worst-case shuffle explicit instead
+    * of quadratic. Never binds at the oracle scale factors. */
+  val DefaultMaxBucket = 10000
+
+  /** Candidate group pairs for τ-thresholded Jaccard, from PREFIX
+    * postings buckets ([[prefixPostings]]) — provably complete for the
+    * threshold, immune to hot boilerplate shingles. Exposed for the
+    * candidate-volume spec. */
+  private[graft] def jaccardCandidates(spark: SparkSession, dir: String, tau: Double,
+      maxBucket: Int): DataFrame = {
+    val buckets = prefixPostings(spark, dir, tau)
+      .groupBy("g").agg(collect_list(col("gid")).as("ds"))
+    expandPairs(buckets, col("ds"), maxBucket)
+      .select(col("doc_a").as("ga"), col("doc_b").as("gb"))
+      .dropDuplicates("ga", "gb")
+  }
+
   /** `dedup_ngram_jaccard` — all pairs with 3-shingle Jaccard ≥ 0.5,
-    * via an inverted index on the 62-bit shingle hash: bucket postings
-    * per shingle, expand in-bucket pairs, count shared shingles per
-    * pair, then one exact Jaccard from the per-doc set sizes. */
+    * via a PREFIX-FILTERED inverted index on the 62-bit shingle hash:
+    * bucket only each doc's L(d) rarest shingles (complete for τ —
+    * see [[prefixPostings]]), expand in-bucket pairs, then verify with
+    * exact Jaccard recounted from the full postings. Output is
+    * identical to the unpruned index; a boilerplate shingle shared by
+    * n docs no longer feeds an n²-pair bucket. */
   def dedupNgramJaccard(spark: SparkSession, dir: String, tau: Double = 0.5,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val groups = dupGroups(spark, dir)
     val posts = postings(spark, dir)
-    val buckets = posts.groupBy("g").agg(collect_list(col("gid")).as("ds"))
-    val groupPairs =
-      if (maxBucket == Int.MaxValue) {
-        // Uncapped: expansion counts ARE the exact intersection counts.
-        val common = expandPairs(buckets, col("ds"))
-          .groupBy(col("doc_a").as("ga"), col("doc_b").as("gb"))
-          .agg(count(lit(1)).as("common"))
-        jaccardFromCommon(common, docSizes(posts), tau)
-      } else {
-        // Capped: the cap may only PRUNE candidates, never deflate the
-        // score of a surviving pair — so candidates come from capped
-        // buckets but the exact intersection is recomputed from the
-        // full postings (same contract as the MinHash path).
-        val cand = expandPairs(buckets, col("ds"), maxBucket)
-          .select(col("doc_a").as("ga"), col("doc_b").as("gb"))
-          .dropDuplicates("ga", "gb")
-        verifyJaccard(cand, posts, tau)
-      }
-    expandGroupPairs(groupPairs, groups, posts, "jaccard", lit(1.0), maxBucket)
+    val cand = jaccardCandidates(spark, dir, tau, maxBucket)
+    expandGroupPairs(verifyJaccard(cand, posts, tau), groups, posts, "jaccard", lit(1.0), maxBucket)
   }
 
   val MinhashSeeds = 16
@@ -223,7 +262,7 @@ object Dedup {
     * with exact Jaccard ≥ 0.5 from the hashed-postings intersection,
     * then expanded through dup-group members. */
   def dedupMinhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val groups = dupGroups(spark, dir)
     val posts = postings(spark, dir)
     val buckets = minhashBands(spark, dir)
@@ -251,7 +290,7 @@ object Dedup {
     * provably identical output (the DuckDB oracle still computes
     * per-doc). */
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bits = SimhashBits / SimhashBands
     val groups = dupGroups(spark, dir)
     // signatures at group cardinality (tokens of normalized text ==
@@ -295,24 +334,37 @@ object Dedup {
   }
 
   /** `dedup_embedding` — embedding near-dup pairs: quantized cosine
-    * ≥ 0.4 within `label` blocks. Blocking turns the O(n²) pair space
-    * into per-label partitions (at 100 TB: cluster/label assignment is
-    * the standard pre-partitioning; swap in LSH buckets from
-    * [[Similarity]] for unlabeled corpora). */
-  def dedupEmbedding(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
-    // Norms precomputed per vector (n rows), not per pair (n²/blocks).
-    val e = Tables.parallel(spark, Tables.embeddings(spark, dir))
-      .select(col("vec_id"), col("label"), VectorFunctions.quantize(col("embedding")).as("v"))
-      .withColumn("nsq", VectorFunctions.normSqQ(col("v")))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    * ≥ 0.4 among candidates sharing a random-hyperplane LSH bucket
+    * (the [[Similarity.buckets]] tables, reused verbatim — one bucket
+    * definition across ANN search and dedup, one oracle restatement).
+    *
+    * This replaces label blocking: with a small label vocabulary that
+    * was Σ(n/L)² ≈ O(n²/L) pairs, not a real bucketing. LSH buckets
+    * shrink with corpus size per bucket-bit and candidate pairs come
+    * from the same bucketize-expand shape as text dedup — one
+    * evaluation of the upstream pipeline, one keyed shuffle, skew
+    * capped. Both scoring sides read the Memo-persisted quantized
+    * relation, so quantization/norms compute once (the self-join
+    * recompute anti-pattern §4 documents). */
+  def dedupEmbedding(spark: SparkSession, dir: String, tau: Double = 0.4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val e = Similarity.quantized(spark, dir)
+    val banded = e
+      .select(col("vec_id"), posexplode(Similarity.buckets(col("v"))))
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"))
+    val cand = expandPairs(
+        banded.groupBy("t", "bucket").agg(collect_list(col("vec_id")).as("ds")),
+        col("ds"), maxBucket)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nsq").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nsq").as("nb")), "vec_b")
       .select(
-        col("a.vec_id").as("vec_a"),
-        col("b.vec_id").as("vec_b"),
+        col("vec_a"), col("vec_b"),
         round(
-          VectorFunctions.dotQ(col("a.v"), col("b.v")).cast("double")
-            / sqrt((col("a.nsq") * col("b.nsq")).cast("double")), 6).as("cosine"))
+          VectorFunctions.dotQ(col("va"), col("vb")).cast("double")
+            / sqrt((col("na") * col("nb")).cast("double")), 6).as("cosine"))
       .where(col("cosine") >= tau)
       .orderBy("vec_a", "vec_b")
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashImpl, VectorFunctions}
-import graft.sources.Tables
+import graft.sources.{Memo, Tables}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -49,25 +49,79 @@ object Similarity {
     * interpreted HOF lambdas in the per-row hot path (the nested
     * `aggregate` formulation was CodegenFallback, the exact pitfall
     * [[graft.functions.ArrayDotLong]] exists to avoid). */
-  private def buckets(v: Column): Column =
+  private[graft] def buckets(v: Column): Column =
     array((0 until LshTables).map { t =>
       (0 until LshPlanes).map { p =>
         when(VectorFunctions.dotQ(v, plane(t, p)) >= 0L, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
 
-  /** Quantized vectors + squared norms, persisted: referenced up to 4×
-    * per ANN query (bucketing, query side, both scoring joins); an
-    * un-cached plan would recompute quantization per reference. */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.parallel(spark, Tables.embeddings(spark, dir))
-      .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("v"))
-      .withColumn("nsq", VectorFunctions.normSqQ(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Quantized vectors + squared norms, persisted ONCE per (session,
+    * dir) via [[Memo]]: referenced up to 4× per ANN query (bucketing,
+    * query side, both scoring joins) and shared with
+    * [[Dedup.dedupEmbedding]]; an un-cached plan would recompute
+    * quantization per reference. */
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
+    Memo.persisted(spark, s"similarity.quantized|$dir") {
+      Tables.parallel(spark, Tables.embeddings(spark, dir))
+        .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("v"))
+        .withColumn("nsq", VectorFunctions.normSqQ(col("v")))
+    }
 
   /** Pairwise quantized cosine with precomputed squared norms. */
-  private def cosinePre(qv: Column, qn: Column, v: Column, n: Column): Column =
+  private[graft] def cosinePre(qv: Column, qn: Column, v: Column, n: Column): Column =
     VectorFunctions.dotQ(qv, v).cast("double") / sqrt((qn * n).cast("double"))
+
+  /** Scale-safe top-k tail shared by every ANN variant.
+    *
+    * The previous tail — `row_number() OVER (PARTITION BY q_id)` —
+    * shuffled EVERY scored row to one task per query: for brute force
+    * that is the whole corpus's scores through a single reducer, the
+    * classic 100 TB hot-partition killer. Here each input partition
+    * first reduces to at most k rows per query with a bounded heap
+    * (map-side, no shuffle), so the one keyed shuffle carries
+    * ≤ k × partitions rows per query, and the final per-query merge is
+    * a partially-aggregated `collect_list` over that bounded set —
+    * never a Window, never a corpus-sized partition.
+    *
+    * Ordering matches the oracles exactly: cosine DESC, vec_id ASC
+    * (the negated-cosine struct sort is that order, totally and
+    * deterministically, because (q_id, vec_id) pairs are unique). */
+  private[graft] def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // head of the queue = worst kept row = first to evict
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.by { case (c, id) => (-c, id) }
+    val local = scored
+      .select(col("q_id").cast("long"), col("vec_id").cast("long"), col("cosine").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { rows =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        rows.foreach { case (q, id, c) =>
+          val h = heaps.getOrElseUpdate(
+            q, scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          if (h.size < k) h.enqueue((c, id))
+          else if (worstFirst.lt((c, id), h.head)) { h.dequeue(); h.enqueue((c, id)) }
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (c, id) => (q, id, c) }
+        }
+      }
+      .toDF("q_id", "vec_id", "cosine")
+    local
+      .groupBy("q_id")
+      .agg(slice(
+        sort_array(collect_list(struct(
+          (-col("cosine")).as("nc"), col("vec_id").as("vec_id"), col("cosine").as("cosine")))),
+        1, k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"), col("col.vec_id").as("vec_id"),
+        (col("pos") + 1).as("rnk"), col("col.cosine").as("cosine"))
+      .orderBy("q_id", "rnk")
+  }
 
   /** `ann_cosine_topk` — exact top-10 by quantized cosine for each
     * query vector (vec_id < 5), brute force with a broadcast query
@@ -80,12 +134,7 @@ object Similarity {
       .select(
         col("q_id"), col("vec_id"),
         round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .where(col("rnk") <= k)
-      .select("q_id", "vec_id", "rnk", "cosine")
-      .orderBy("q_id", "rnk")
+    topkPerQuery(scored, k)
   }
 
   val IvfCells = 8
@@ -128,12 +177,7 @@ object Similarity {
       .select(
         col("q_id"), col("vec_id"),
         round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .where(col("rnk") <= k)
-      .select("q_id", "vec_id", "rnk", "cosine")
-      .orderBy("q_id", "rnk")
+    topkPerQuery(scored, k)
   }
 
   /** `ann_lsh_multiprobe` — multi-probe LSH: each query probes its own
@@ -160,12 +204,7 @@ object Similarity {
       .select(
         col("q_id"), col("vec_id"),
         round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .where(col("rnk") <= k)
-      .select("q_id", "vec_id", "rnk", "cosine")
-      .orderBy("q_id", "rnk")
+    topkPerQuery(scored, k)
   }
 
   /** `ann_ivf_trained` — IVF over a TRAINED coarse codebook: k-means
@@ -201,12 +240,7 @@ object Similarity {
       .select(
         col("q_id"), col("vec_id"),
         round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .where(col("rnk") <= k)
-      .select("q_id", "vec_id", "rnk", "cosine")
-      .orderBy("q_id", "rnk")
+    topkPerQuery(scored, k)
   }
 
   /** `ann_lsh_bucketed` — LSH-pruned top-k: candidates are corpus
@@ -230,11 +264,6 @@ object Similarity {
       .select(
         col("q_id"), col("vec_id"),
         round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .where(col("rnk") <= k)
-      .select("q_id", "vec_id", "rnk", "cosine")
-      .orderBy("q_id", "rnk")
+    topkPerQuery(scored, k)
   }
 }

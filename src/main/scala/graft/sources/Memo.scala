@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Session-scoped memo of persisted derived relations.
+  *
+  * Several operator families share expensive derived bases (dup
+  * groups, hashed shingle postings, quantized vectors). Calling
+  * `persist()` inside each builder per invocation registered a fresh
+  * cache handle every call — repeated queries re-registered the same
+  * canonical plan ("Asked to cache already cached data" warnings) and
+  * handles accumulated for the driver's lifetime. This memo hands all
+  * callers ONE persisted DataFrame per (session, key), so the cache is
+  * registered once and releasable deterministically.
+  *
+  * At 100 TB the same role is a materialized intermediate table; the
+  * memo is the local-session analog of writing it once and reading it
+  * everywhere.
+  */
+object Memo {
+  private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Build-once persisted relation for `key` within `spark`'s lifetime. */
+  def persisted(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent((spark, key), _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist and forget every relation memoized under `spark` —
+    * call when a long-lived driver is done with a scale-factor dir. */
+  def release(spark: SparkSession): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
+}

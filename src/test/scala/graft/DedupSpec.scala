@@ -63,14 +63,56 @@ class DedupSpec extends SparkSpec {
     assert(capped === 4, "hot bucket must be dropped, small buckets kept")
   }
 
-  test("embedding near-dup pairs stay within label blocks and over threshold") {
-    val e = graft.sources.Tables.embeddings(spark, sf)
-      .select(col("vec_id"), col("label"))
-    val pairs = Dedup.dedupEmbedding(spark, sf, tau = 0.3)
-    val withLabels = pairs
-      .join(e.select(col("vec_id").as("vec_a"), col("label").as("la")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("label").as("lb")), "vec_b")
-    assert(withLabels.where(col("la") =!= col("lb")).count() === 0)
-    assert(pairs.collect().forall(_.getAs[Double]("cosine") >= 0.3))
+  test("embedding near-dup pairs are exact-precision against brute force; recall reported") {
+    import graft.functions.VectorFunctions
+    val q = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("v"))
+      .withColumn("nsq", VectorFunctions.normSqQ(col("v")))
+    // brute-force ground truth at the same τ (test-only O(n²) join)
+    val tau = 0.4
+    val brute = q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(VectorFunctions.dotQ(col("a.v"), col("b.v")).cast("double")
+          / sqrt((col("a.nsq") * col("b.nsq")).cast("double")), 6).as("cosine"))
+      .where(col("cosine") >= tau)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val lsh = Dedup.dedupEmbedding(spark, sf, tau)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(lsh.subsetOf(brute), s"LSH emitted pairs below τ: ${lsh -- brute}")
+    assert(lsh.nonEmpty, "expected near-dup embedding pairs at sf0.001")
+    info(f"embedding LSH-block recall vs brute force: ${lsh.size.toDouble / brute.size}%.2f (${lsh.size}/${brute.size})")
+  }
+
+  test("prefix filtering starves a hot boilerplate shingle's bucket without losing true pairs") {
+    import spark.implicits._
+    val boiler = (1L to 300L).map { i =>
+      (i, ((1 to 8).map(j => s"u$i" + ('a' + j - 1).toChar) :+ "common boiler plate").mkString(" "))
+    }
+    val planted = Seq(
+      (9001L, (1 to 12).map(j => s"w$j").mkString(" ")),
+      (9002L, ((1 to 11).map(j => s"w$j") :+ "x12").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
+    try {
+      (boiler ++ planted).toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      // Every boilerplate doc shares the shingle "common boiler plate"
+      // (df=300) but nothing rare: an unpruned inverted index would
+      // expand 300·299/2 = 44,850 candidate pairs from that bucket.
+      // The prefix keeps only each doc's 5 rarest of 9 shingles, so
+      // the hot shingle indexes nothing, and the only candidate left
+      // is the planted rare-shingle pair — which prefix filtering must
+      // keep (completeness) and verification must score exactly.
+      val cands = Dedup.jaccardCandidates(spark, dir, tau = 0.5, maxBucket = Dedup.DefaultMaxBucket)
+        .collect().map(r => (r.getAs[Long]("ga"), r.getAs[Long]("gb"))).toSet
+      assert(cands === Set((9001L, 9002L)),
+        s"expected exactly the planted candidate, got ${cands.size} candidates")
+      val pairs = Dedup.dedupNgramJaccard(spark, dir).collect()
+      assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+        === Seq((9001L, 9002L)))
+      assert(math.abs(pairs.head.getAs[Double]("jaccard") - 9.0 / 11.0) < 1e-5)
+    } finally {
+      graft.sources.Memo.release(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 }

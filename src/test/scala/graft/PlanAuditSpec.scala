@@ -19,6 +19,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "query side must broadcast")
   }
 
+  test("ANN top-k tail is partial-aggregated, never a per-query Window over the corpus") {
+    // row_number() OVER (PARTITION BY q_id) funnels every scored row
+    // through ONE task per query — at 100 TB a single reducer receives
+    // the whole corpus's scores. The tail must instead reduce per
+    // partition (bounded heap) and merge with a partially-aggregated
+    // collect_list, so no Window appears anywhere in the plan.
+    Seq(
+      Similarity.annCosineTopk(spark, sf),
+      Similarity.annLshTopk(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Window"), "scored rows still rank through a per-query Window")
+      assert(p.contains("ObjectHashAggregate"),
+        "expected partial/final collect_list aggregation in the top-k merge")
+    }
+  }
+
   test("dedup candidate generation never plans a cartesian product") {
     Seq(
       Dedup.dedupNgramJaccard(spark, sf),
