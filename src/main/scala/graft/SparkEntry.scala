@@ -21,6 +21,7 @@ object SparkEntry {
     "silver_enrich" -> (Medallion.silverVerification _),
     "gold_sales_report" -> (Medallion.goldSalesReport _),
     "sql_catalog_query" -> (Medallion.sqlCatalogQuery _),
+    "sql_lakehouse_ddl" -> (Medallion.sqlLakehouseDdl _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -59,7 +60,8 @@ object SparkEntry {
     "ann_lsh_bucketed" -> ((s, d) => Similarity.annLshTopk(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.annIvfTopk(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiprobe(s, d)),
-    // spec-only (k-means training isn't SQL-restatable → rows-only check)
+    // training isn't SQL-restatable, but the trained centroids are
+    // captured into a literal-VALUES oracle (see oracleSql ++ below)
     "ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(s, d)),
     // §2.E — text analysis
     "text_langid" -> (TextAnalysis.textLangid _),
@@ -74,8 +76,14 @@ object SparkEntry {
   )
 
   /** DuckDB-runnable ANSI SQL twins (same table names, same aliases,
-    * same deterministic arithmetic — SURVEY.md §3). */
-  def oracleSql: Map[String, String] = Map(
+    * same deterministic arithmetic — SURVEY.md §3). The trained-IVF
+    * oracle is appended dynamically: Verify dumps this map AFTER the
+    * queries run, so the k-means centroids the query actually used are
+    * restated as a literal VALUES table. */
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ Similarity.trainedOracleSql.map("ann_ivf_trained" -> _)
+
+  private def staticOracleSql: Map[String, String] = Map(
     "bronze_orders_nested" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  count(l_orderkey) AS item_count,
@@ -104,6 +112,21 @@ object SparkEntry {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    // create(F) → append(O) → merge(keys of custkey%97=0, doubled price)
+    "sql_lakehouse_ddl" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderstatus IN ('F','O')),
+        |src AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_custkey % 97 = 0),
+        |merged AS (SELECT * FROM src
+        |  UNION ALL
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey))
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -32,13 +32,15 @@ object Curate {
         col("doc_id"),
         length(col("text")).as("n_chars"),
         tokens(col("text")).as("toks"),
+        // codegen-side counts from the raw text (no HOF lambda —
+        // see TextAnalysis.textQuality)
+        stopCount(col("text")).as("n_stop"),
         size(regexp_extract_all(col("text"), lit("([^a-z0-9 ])"), lit(1))).as("n_punct"))
     val scored = toks.select(
       col("doc_id"),
       {
         val nTokens = size(col("toks")).cast("double")
-        val nStop = size(filter(col("toks"),
-          t => array_contains(array(StopEn.map(lit): _*), t))).cast("double")
+        val nStop = col("n_stop").cast("double")
         round(
           lit(0.4) * least(lit(1.0), nTokens / 100.0)
             + lit(0.3) * (lit(1.0) - least(lit(1.0), lit(10.0) * col("n_punct").cast("double") / col("n_chars")))

@@ -153,4 +153,38 @@ object Medallion {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin)
   }
+
+  /** `sql_lakehouse_ddl` — the SQL DDL/DML lifecycle of a lakehouse
+    * table (the reference's `CREATE OR REPLACE` / `INSERT` / catalog
+    * listing notebook surface, query_iceberg.ipynb): create a table
+    * from a SQL SELECT, append a second SQL SELECT, upsert a third
+    * through the MERGE-shaped SQL plan ([[graft.sources.Lakehouse
+    * .sqlMerge]]), then aggregate the final state through the
+    * registered view — all driver-checkable because every step is a
+    * deterministic function of `orders`. */
+  def sqlLakehouseDdl(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-sqlddl").toString
+    val lake = new graft.sources.Lakehouse(spark, root)
+    // CREATE TABLE AS
+    lake.createOrReplace(spark.sql(
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'"),
+      "lh_orders")
+    // INSERT INTO (append)
+    lake.append(spark.sql(
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'"),
+      "lh_orders")
+    // MERGE INTO: matched keys update (doubled price), unmatched insert
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |FROM orders WHERE o_custkey % 97 = 0""".stripMargin)
+      .createOrReplaceTempView("merge_src")
+    lake.sqlMerge("lh_orders", "merge_src", Seq("o_orderkey"))
+    spark.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lh_orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
 }

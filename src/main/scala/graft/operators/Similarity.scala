@@ -213,6 +213,51 @@ object Similarity {
     * of [[annIvfTopk]]. Spec-only (k-means iterations aren't
     * SQL-restatable): the driver records a rows-only check and the
     * spec measures recall vs brute force. */
+  /** Rounded centroids of the most recent [[annIvfTrained]] run —
+    * captured so the DuckDB oracle can restate the exact trained
+    * codebook as a literal VALUES table (training itself isn't
+    * SQL-restatable, but assignment/probing/scoring over the trained
+    * centroids is; Verify dumps `oracleSql` AFTER running the queries,
+    * so the captured centroids are the run's own). */
+  private val lastTrained =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Long])]]()
+
+  /** DuckDB restatement of the last trained-IVF run: the captured
+    * centroids as literal VALUES feeding the same assignment/probe/
+    * score/topk pipeline as the `ann_ivf_topk` oracle. None until
+    * [[annIvfTrained]] has run in this process. */
+  def trainedOracleSql: Option[String] = {
+    val it = lastTrained.values().iterator()
+    if (!it.hasNext) None
+    else {
+      val values = it.next().map { case (id, cv) =>
+        s"($id, [${cv.mkString(",")}])"
+      }.mkString(", ")
+      Some(
+        s"""WITH q AS (SELECT vec_id,
+           |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+           |qn AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) nsq FROM q),
+           |cents AS (SELECT cent_id, cv, list_sum(list_transform(cv, x -> x*x)) cn
+           |  FROM (VALUES $values) c(cent_id, cv)),
+           |da AS (SELECT e.vec_id, c.cent_id,
+           |  CAST(e.nsq + c.cn - 2 * list_sum(list_transform(list_zip(e.v, c.cv), z -> z[1]*z[2])) AS BIGINT) d2
+           |  FROM qn e CROSS JOIN cents c),
+           |ranked AS (SELECT vec_id, cent_id,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) crk FROM da),
+           |assign AS (SELECT vec_id, cent_id cell FROM ranked WHERE crk = 1),
+           |probes AS (SELECT vec_id q_id, cent_id cell FROM ranked WHERE crk <= 2 AND vec_id < 5),
+           |cand AS (SELECT DISTINCT q_id, assign.vec_id FROM probes JOIN assign ON probes.cell = assign.cell),
+           |s AS (SELECT q_id, cand.vec_id,
+           |  round(CAST(list_sum(list_transform(list_zip(qv.v, ev.v), z -> z[1]*z[2])) AS DOUBLE)
+           |    / sqrt(CAST(qv.nsq * ev.nsq AS DOUBLE)), 6) cosine
+           |  FROM cand JOIN qn qv ON cand.q_id = qv.vec_id JOIN qn ev ON cand.vec_id = ev.vec_id),
+           |r AS (SELECT q_id, vec_id, cosine,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM s)
+           |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+           |ORDER BY q_id, rnk""".stripMargin)
+    }
+  }
+
   def annIvfTrained(spark: SparkSession, dir: String, k: Int = 10,
       nCells: Int = IvfCells): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -225,6 +270,7 @@ object Similarity {
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i.toLong, c.toArray.map(x => math.round(x)))
     }.toSeq
+    lastTrained.put(dir, cents.map { case (i, cv) => (i, cv.toSeq) })
     val centsDf = broadcast(spark.createDataFrame(cents)
       .toDF("cent_id", "cv")
       .withColumn("cn", VectorFunctions.dotQ(col("cv"), col("cv"))))

@@ -52,6 +52,18 @@ object TextAnalysis {
 
   private def stopLit(words: Seq[String]): Column = array(words.map(lit): _*)
 
+  /** Regex matching one whole token equal to an EN stopword: the
+    * lookarounds pin both token boundaries (tokens are maximal
+    * [a-z0-9]+ runs), so `regexp_count` over the raw text equals
+    * `len(list_filter(toks, in set))` — without materializing the
+    * token array or running an interpreted HOF lambda (`filter`/
+    * `aggregate`/`transform` are CodegenFallback; regex expressions
+    * code-generate). Alternation order is safe under backtracking. */
+  val StopEnPattern: String = "(?<![a-z0-9])(?:" + StopEn.mkString("|") + ")(?![a-z0-9])"
+
+  /** Count of EN-stopword tokens, computed codegen-side from text. */
+  def stopCount(text: Column): Column = regexp_count(lower(text), lit(StopEnPattern))
+
   /** Distinct-stopword-hit score for one language. */
   private def langScore(toks: Column, words: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), stopLit(words)))
@@ -81,20 +93,25 @@ object TextAnalysis {
   }
 
   /** `text_quality` — length / punctuation / stopword / token-shape
-    * heuristics plus a composite score, all from exact integer counts. */
+    * heuristics plus a composite score, all from exact integer counts.
+    *
+    * Every count is a regex expression over the raw text — no token
+    * array is materialized and no higher-order lambda runs (HOFs are
+    * CodegenFallback; these stay inside whole-stage codegen):
+    * `n_tokens` counts token runs, `n_stop` counts whole-token
+    * stopword matches ([[StopEnPattern]]), and `tok_chars` (sum of
+    * token lengths) is the length of the text with every non-token
+    * char removed. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val punctPattern = "([^a-z0-9 ])"
     val d = Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
-        tokens(col("text")).as("toks"),
-        size(regexp_extract_all(col("text"), lit(punctPattern), lit(1))).as("n_punct"))
-      .select(
-        col("doc_id"), col("n_chars"), col("n_punct"),
-        size(col("toks")).as("n_tokens"),
-        size(filter(col("toks"), t => array_contains(stopLit(StopEn), t))).as("n_stop"),
-        aggregate(transform(col("toks"), length _), lit(0), (a, x) => a + x).as("tok_chars"))
+        size(regexp_extract_all(col("text"), lit(punctPattern), lit(1))).as("n_punct"),
+        regexp_count(lower(col("text")), lit(TokenPattern)).as("n_tokens"),
+        stopCount(col("text")).as("n_stop"),
+        length(regexp_replace(lower(col("text")), lit("[^a-z0-9]"), lit(""))).as("tok_chars"))
     d.select(
         col("doc_id"), col("n_chars"), col("n_tokens"),
         round(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),

@@ -34,6 +34,9 @@ class Lakehouse(spark: SparkSession, root: String) {
   private def tableDir(table: String) = new Path(root, table)
   private def manifest(table: String) = new Path(tableDir(table), "_snapshots.jsonl")
 
+  /** The table's directory (for inspection/specs). */
+  def tableRoot(table: String): Path = tableDir(table)
+
   /** Branch pointer file — git/Nessie-style: a branch is just a named
     * pointer into the shared snapshot history; `main` keeps the legacy
     * `_current` filename. */
@@ -70,7 +73,11 @@ class Lakehouse(spark: SparkSession, root: String) {
     fs.rename(tmp, p)
   }
 
-  /** Parsed manifest: snapshot id → data dirs composing it. */
+  /** Parsed manifest: snapshot id → data entries composing it. An
+    * entry is either a whole data dir ("data-3") or, after a
+    * partition-scoped upsert, a partition leaf inside one
+    * ("data-3/p=2") — the granularity that lets a MERGE rewrite one
+    * partition while every other partition keeps its original files. */
   def snapshots(table: String): Seq[(Long, Seq[String])] =
     readLines(manifest(table)).map { line =>
       val snap = """"snap":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
@@ -78,6 +85,20 @@ class Lakehouse(spark: SparkSession, root: String) {
         .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
       (snap, dirs)
     }
+
+  /** Relative partition-leaf subdirs (k=v[/k=v…]) of a data dir, to
+    * `depth` partition levels. */
+  private def leafDirs(dataDir: Path, depth: Int): Seq[String] = {
+    def walk(p: Path, d: Int): Seq[String] =
+      if (d == 0) Seq("")
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => walk(s.getPath, d - 1).map {
+          case "" => s.getPath.getName
+          case rest => s"${s.getPath.getName}/$rest"
+        })
+    walk(dataDir, depth).filter(_.nonEmpty)
+  }
 
   def currentSnapshot(table: String, branch: String = "main"): Option[Long] =
     readLines(currentPtr(table, branch)) match {
@@ -130,6 +151,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new Path(tableDir(table), dir).toString)
+    writeStats(table, dir)
     commit(table, snap, Seq(dir), branch)
   }
 
@@ -144,19 +166,228 @@ class Lakehouse(spark: SparkSession, root: String) {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new Path(tableDir(table), dir).toString)
+    writeStats(table, dir)
     commit(table, snap, prev :+ dir, branch)
+  }
+
+  // ---- file-level data skipping (Iceberg-manifest-stats analog) ----
+
+  /** Per-file min/max column stats for a freshly written data dir,
+    * stored as `_stats.jsonl` inside it (underscore-prefixed files are
+    * invisible to parquet discovery). One line per (file, column) for
+    * long/double/string leaf columns. In a real deployment the write
+    * tasks would emit these for free from the parquet footers; the
+    * one extra scan here is the sandbox analog of that bookkeeping. */
+  private def writeStats(table: String, dir: String): Unit = {
+    val dataDir = new Path(tableDir(table), dir)
+    val df = spark.read.parquet(dataDir.toString)
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
+    val statCols = df.schema.fields.collect {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType) => (f.name, "long")
+      case f if Seq(FloatType, DoubleType).contains(f.dataType) => (f.name, "double")
+      case f if f.dataType == StringType => (f.name, "string")
+    }
+    if (statCols.isEmpty) return
+    val aggs = statCols.flatMap { case (c, _) =>
+      Seq(min(col(c)).cast("string").as(s"lo_$c"), max(col(c)).cast("string").as(s"hi_$c"))
+    }
+    val rows = df.groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*).collect()
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c => c.toString
+    }
+    // key stats by the table-relative path ("data-N/…"), independent of
+    // how the runtime renders the file URI scheme
+    val marker = "/" + dir + "/"
+    val lines = for {
+      r <- rows.toSeq
+      f = r.getAs[String]("f")
+      idx = f.indexOf(marker)
+      if idx >= 0
+      rel = f.substring(idx + 1)
+      (c, t) <- statCols
+      lo = r.getAs[String](s"lo_$c")
+      hi = r.getAs[String](s"hi_$c")
+      if lo != null
+      // oversized string bounds (e.g. full document text) would bloat
+      // the manifest; absence of a line just disables skipping there
+      if t != "string" || (lo.length <= 128 && hi.length <= 128)
+    } yield s"""{"file":"${esc(rel)}","col":"${esc(c)}","t":"$t","lo":"${esc(lo)}","hi":"${esc(hi)}"}"""
+    writeFile(new Path(dataDir, "_stats.jsonl"), lines.mkString("\n") + "\n")
+  }
+
+  private def unesc(s: String) =
+    s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Parsed `(file, col, type, lo, hi)` stats lines of one data dir. */
+  private def readStats(table: String, dataDir: String): Seq[(String, String, String, String, String)] =
+    readLines(new Path(new Path(tableDir(table), dataDir), "_stats.jsonl")).flatMap { line =>
+      val m = """\{"file":"(.*)","col":"(.*)","t":"(.*)","lo":"(.*)","hi":"(.*)"\}""".r
+      m.findFirstMatchIn(line).map(g =>
+        (unesc(g.group(1)), unesc(g.group(2)), g.group(3), unesc(g.group(4)), unesc(g.group(5))))
+    }
+
+  /** Range read with FILE-LEVEL data skipping: files whose recorded
+    * [min,max] for `colName` cannot intersect [lo,hi] are never opened
+    * (files without stats are conservatively kept); the residual
+    * predicate then filters exactly. The Iceberg-manifest data-skipping
+    * property: a time/key-range query over a long append chain reads
+    * the few files that can match, not the table. Unpartitioned tables
+    * only (partitioned reads already prune by partition dir). */
+  def prunedRead(table: String, colName: String, lo: Any, hi: Any,
+      branch: String = "main"): DataFrame = {
+    val snap = currentSnapshot(table, branch)
+      .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+    val entries = snapshots(table).find(_._1 == snap).get._2
+    require(entries.forall(!_.contains("/")), "prunedRead supports unpartitioned tables")
+    def overlaps(t: String, fLo: String, fHi: String): Boolean = t match {
+      case "long" => !(hi.toString.toLong < fLo.toLong || lo.toString.toLong > fHi.toLong)
+      case "double" => !(hi.toString.toDouble < fLo.toDouble || lo.toString.toDouble > fHi.toDouble)
+      case _ => !(hi.toString < fLo || lo.toString > fHi)
+    }
+    val keptFiles = entries.flatMap { dir =>
+      val stats = readStats(table, dir).filter(_._2 == colName)
+      val byFile = stats.groupBy(_._1)
+      val allFiles = fs.listStatus(new Path(tableDir(table), dir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s"$dir/${s.getPath.getName}")
+      allFiles.filter { f =>
+        byFile.get(f).forall(_.exists { case (_, _, t, fLo, fHi) => overlaps(t, fLo, fHi) })
+      }
+    }
+    import org.apache.spark.sql.functions.{col, lit}
+    val empty = keptFiles.isEmpty
+    val base =
+      if (empty) read(table, branch) // degenerate: no matching files — filter yields 0 rows
+      else spark.read.option("mergeSchema", "true")
+        .parquet(keptFiles.map(f => new Path(tableDir(table), f).toString): _*)
+    base.where(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
+
+  // ---- snapshot expiry / GC ----
+
+  /** Expire old snapshots: keep the most recent `keepLast` plus every
+    * snapshot a branch pointer references, drop the rest from the
+    * manifest, and DELETE data dirs (or partition leaf dirs) no
+    * surviving snapshot references. The `expire_snapshots` analog —
+    * without it a long-lived table's history grows without bound.
+    * Expired snapshots become unreadable; live branches and time
+    * travel among kept snapshots are untouched. */
+  def expireSnapshots(table: String, keepLast: Int): Unit = {
+    val snaps = snapshots(table)
+    val branchRefs = branches(table).flatMap(b => currentSnapshot(table, b)).toSet
+    val keepIds = snaps.map(_._1).sorted.takeRight(math.max(keepLast, 1)).toSet ++ branchRefs
+    val kept = snaps.filter(s => keepIds.contains(s._1))
+    val live = kept.flatMap(_._2).toSet
+    // rewrite the manifest first (a crash after leaves only unreferenced
+    // data behind, never a referenced-but-deleted dir)
+    val lines = kept.map { case (snap, dirs) =>
+      s"""{"snap":$snap,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]}"""
+    }
+    writeFile(manifest(table), lines.mkString("\n") + "\n")
+    val dataDirs = fs.listStatus(tableDir(table)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
+    dataDirs.foreach { d =>
+      val name = d.getPath.getName
+      if (live.contains(name)) () // whole dir referenced
+      else {
+        val leafRefs = live.filter(_.startsWith(name + "/")).map(_.stripPrefix(name + "/"))
+        if (leafRefs.isEmpty) fs.delete(d.getPath, true)
+        else
+          // partially referenced: delete only the dead partition leaves
+          leafDirs(d.getPath, depth = leafRefs.map(_.count(_ == '/') + 1).max)
+            .filterNot(leafRefs.contains)
+            .foreach(l => fs.delete(new Path(d.getPath, l), true))
+      }
+    }
+  }
+
+  // ---- SQL surface (SHOW TABLES / MERGE-shaped DML over views) ----
+
+  /** Catalog listing — the `SHOW TABLES IN nessie.sales` analog
+    * (reference: query_iceberg.ipynb): one row per lakehouse table
+    * with its current snapshot, snapshot count, and branches. */
+  def tablesDf(): DataFrame = {
+    val rows = fs.listStatus(new Path(root)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+      .filter(t => fs.exists(manifest(t)))
+      .map { t =>
+        (t, currentSnapshot(t).getOrElse(-1L), snapshots(t).size.toLong,
+          branches(t).mkString(","))
+      }
+    spark.createDataFrame(rows)
+      .toDF("table_name", "current_snapshot", "n_snapshots", "branches")
+  }
+
+  /** MERGE-shaped SQL DML: upsert `sourceView` (a registered view)
+    * into a lakehouse table through a pure-SQL merge plan —
+    * `MERGE INTO t USING s ON keys WHEN MATCHED UPDATE ALL WHEN NOT
+    * MATCHED INSERT ALL` expressed over the registered views — and
+    * commit the result as a new snapshot. */
+  def sqlMerge(table: String, sourceView: String, keyCols: Seq[String],
+      partitionBy: Seq[String] = Nil): Long = {
+    registerView(table)
+    val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+    val merged = spark.sql(
+      s"""SELECT * FROM $sourceView
+         |UNION ALL
+         |SELECT t.* FROM $table t LEFT ANTI JOIN $sourceView s ON $on""".stripMargin)
+    val snap =
+      if (partitionBy.nonEmpty) upsert(spark.table(sourceView), table, keyCols, partitionBy)
+      else createOrReplace(merged, table)
+    registerView(table)
+    snap
   }
 
   /** Copy-on-write MERGE (upsert): source rows replace target rows on
     * key match, unmatched target rows survive, unmatched source rows
     * insert. Commits one new snapshot; history stays time-travelable.
-    * (At 100 TB with partitioned tables, rewrite only the partitions
-    * the source touches — same plan, narrower createOrReplace.) */
+    *
+    * PARTITION-SCOPED when `partitionBy` is given (the property the
+    * reference gets from Iceberg's copy-on-write —
+    * mongo_to_iceberg.py:140): only the partitions the source touches
+    * are merged and rewritten into the new data dir; every untouched
+    * partition's ORIGINAL leaf dir is carried into the new snapshot
+    * by reference, byte-identical. At 100 TB a one-partition MERGE
+    * costs one partition's rewrite, not a table rewrite. */
   def upsert(source: DataFrame, table: String, keyCols: Seq[String],
       partitionBy: Seq[String] = Nil): Long = {
-    val keep = read(table).join(
-      source.select(keyCols.map(source(_)): _*).distinct(), keyCols, "left_anti")
-    createOrReplace(keep.unionByName(source), table, partitionBy)
+    if (partitionBy.isEmpty) {
+      val keep = read(table).join(
+        source.select(keyCols.map(source(_)): _*).distinct(), keyCols, "left_anti")
+      return createOrReplace(keep.unionByName(source), table, partitionBy)
+    }
+    val branch = "main"
+    val prev = currentSnapshot(table, branch)
+      .map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
+    // merge = (target rows in touched partitions that lose on key) ∪ source;
+    // the semi join restricts the merge input to the touched partitions
+    val touched = source.select(partitionBy.map(source(_)): _*).distinct()
+    val targetTouched = read(table, branch).join(touched, partitionBy, "left_semi")
+    val merged = targetTouched
+      .join(source.select(keyCols.map(source(_)): _*).distinct(), keyCols, "left_anti")
+      .unionByName(source)
+    val snap = nextSnap(table)
+    val dir = s"data-$snap"
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+      .parquet(new Path(tableDir(table), dir).toString)
+    writeStats(table, dir)
+    // the delta dir's partition leaves ARE the touched set, in Spark's
+    // own path encoding — classify prior entries against those names,
+    // so no value re-encoding can ever disagree with what was written
+    val touchedLeaves = leafDirs(new Path(tableDir(table), dir), partitionBy.length).toSet
+    val kept = prev.flatMap { entry =>
+      val slash = entry.indexOf('/')
+      if (slash >= 0) {
+        // already a partition leaf: keep unless superseded
+        if (touchedLeaves.contains(entry.substring(slash + 1))) Nil else Seq(entry)
+      } else {
+        // whole data dir: explode into leaves and keep the untouched ones
+        leafDirs(new Path(tableDir(table), entry), partitionBy.length)
+          .filterNot(touchedLeaves.contains).map(l => s"$entry/$l")
+      }
+    }
+    commit(table, snap, kept :+ dir, branch)
   }
 
   /** Read a branch's current snapshot. */
@@ -167,12 +398,26 @@ class Lakehouse(spark: SparkSession, root: String) {
   /** Time travel: read any committed snapshot. `mergeSchema` unions
     * the data-dir schemas, so a column added by a later append is
     * visible (null for pre-evolution rows) — Iceberg-style additive
-    * schema evolution without rewriting history. */
+    * schema evolution without rewriting history.
+    *
+    * Entries are read one GROUP per data dir: a whole-dir entry reads
+    * the dir root (partition discovery relative to it), and partition
+    * leaf entries of one data dir read together with `basePath` at
+    * the dir root so the partition columns resolve identically. The
+    * per-dir reads then union by name (missing columns → null), which
+    * both preserves partition pruning inside each scan and makes a
+    * mixed whole-dir/leaf snapshot (post-upsert) read seamlessly. */
   def readSnapshot(table: String, snap: Long): DataFrame = {
     val dirs = snapshots(table).find(_._1 == snap)
       .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $snap"))._2
-    spark.read.option("mergeSchema", "true")
-      .parquet(dirs.map(d => new Path(tableDir(table), d).toString): _*)
+    val groups = dirs.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    val reads = groups.map { case (dataDir, entries) =>
+      val base = new Path(tableDir(table), dataDir)
+      if (entries.contains(dataDir)) spark.read.option("mergeSchema", "true").parquet(base.toString)
+      else spark.read.option("mergeSchema", "true").option("basePath", base.toString)
+        .parquet(entries.map(e => new Path(tableDir(table), e).toString): _*)
+    }
+    reads.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Compact a branch's snapshot: rewrite its (possibly many) delta
@@ -219,4 +464,18 @@ object Sinks {
 
   def exportParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** The actual `.format("jdbc")` writer of the reference's gold layer
+    * (gold_reporting.py:127 writes the report to Postgres,
+    * mode=overwrite). Exercised offline in the spec against embedded
+    * Derby (on Spark's classpath); on a cluster, point `url`/`driver`
+    * at the warehouse. */
+  def exportJdbc(df: DataFrame, url: String, table: String,
+      driver: String = "org.apache.derby.jdbc.EmbeddedDriver"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", driver)
+      .save()
 }

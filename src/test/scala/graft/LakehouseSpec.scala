@@ -119,6 +119,104 @@ class LakehouseSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/r.parquet").count() === 5)
   }
 
+  test("partition-scoped upsert rewrites only touched partitions; others keep their original files") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p3"))
+        .toDF("k", "v", "p"), "pt", partitionBy = Seq("p"))
+    // snapshot-1 file inventory per partition (path, length, mtime)
+    def files(entrySuffix: String): Seq[(String, Long, Long)] = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      val dir = new org.apache.hadoop.fs.Path(lake.tableRoot("pt"), entrySuffix)
+      fs.listStatus(dir).toSeq.filter(_.isFile).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+    }
+    val p2Before = files("data-1/p=p2")
+    val p3Before = files("data-1/p=p3")
+    // touch ONLY p1: update k=2, insert k=9
+    lake.upsert(Seq((2L, "B", "p1"), (9L, "z", "p1")).toDF("k", "v", "p"),
+      "pt", keyCols = Seq("k"), partitionBy = Seq("p"))
+    val got = lake.read("pt").select("k", "v", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "a", "p1"), (2L, "B", "p1"), (9L, "z", "p1"),
+      (3L, "c", "p2"), (4L, "d", "p3")))
+    // untouched partitions are THE SAME FILES (path+size+mtime), referenced from snapshot 2
+    assert(files("data-1/p=p2") === p2Before)
+    assert(files("data-1/p=p3") === p3Before)
+    val entries = lake.snapshots("pt").find(_._1 == 2L).get._2
+    assert(entries.contains("data-1/p=p2") && entries.contains("data-1/p=p3"))
+    assert(entries.contains("data-2") && !entries.exists(_ == "data-1"))
+    // history: snapshot 1 still reads the pre-merge state
+    assert(lake.readSnapshot("pt", 1L).count() === 4)
+  }
+
+  test("snapshot expiry deletes orphaned data, keeps current + branch-referenced history") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "ex")   // snap 1
+    lake.createBranch("ex", "pin", fromSnap = 1)
+    lake.createOrReplace(Seq((2L, "b")).toDF("k", "v"), "ex")   // snap 2
+    lake.createOrReplace(Seq((3L, "c")).toDF("k", "v"), "ex")   // snap 3
+    lake.createOrReplace(Seq((4L, "d")).toDF("k", "v"), "ex")   // snap 4
+    lake.expireSnapshots("ex", keepLast = 2)
+    // snaps 3,4 kept by recency; snap 1 kept by the pin branch; snap 2 expired
+    assert(lake.snapshots("ex").map(_._1) === Seq(1L, 3L, 4L))
+    intercept[IllegalArgumentException] { lake.readSnapshot("ex", 2L) }
+    assert(lake.read("ex").collect().map(_.getLong(0)).toSeq === Seq(4L))
+    assert(lake.read("ex", "pin").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // snap 2's data dir is gone from disk; kept dirs remain
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lake.tableRoot("ex"), "data-2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(lake.tableRoot("ex"), "data-1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(lake.tableRoot("ex"), "data-4")))
+  }
+
+  test("file-level data skipping: a key-range read opens only overlapping files") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    // 4 appends of disjoint key ranges → 4 files with disjoint min/max
+    lake.createOrReplace((0L until 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), "sk")
+    (1 to 3).foreach { i =>
+      lake.append((i * 100L until (i + 1) * 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), "sk")
+    }
+    val pruned = lake.prunedRead("sk", "k", 250L, 260L)
+    assert(pruned.inputFiles.length === 1,
+      s"expected 1 of 4 files after stats pruning, read ${pruned.inputFiles.length}")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq === (250L to 260L).toSeq)
+    // conservative on a column with no overlap constraint violated
+    assert(lake.prunedRead("sk", "k", 0L, 399L).count() === 400L)
+  }
+
+  test("SQL surface: tablesDf lists tables; sqlMerge upserts through a SQL plan") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "mt")
+    Seq((2L, "B"), (3L, "c")).toDF("k", "v").createOrReplaceTempView("mt_src")
+    lake.sqlMerge("mt", "mt_src", Seq("k"))
+    assert(spark.sql("SELECT v FROM mt WHERE k = 2").head().getString(0) === "B")
+    assert(spark.table("mt").count() === 3)
+    val listing = lake.tablesDf().collect()
+    val row = listing.find(_.getAs[String]("table_name") == "mt").get
+    assert(row.getAs[Long]("current_snapshot") === 2L)
+    assert(row.getAs[Long]("n_snapshots") === 2L)
+    assert(row.getAs[String]("branches").contains("main"))
+  }
+
+  test("jdbc sink round-trips the gold report through embedded Derby") {
+    val dbDir = freshRoot()
+    val url = s"jdbc:derby:$dbDir/goldb;create=true"
+    val gold = graft.operators.Medallion.goldSalesReport(spark, sf)
+    Sinks.exportJdbc(gold, url, "gold_sales")
+    Sinks.exportJdbc(gold, url, "gold_sales") // overwrite mode works
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "gold_sales")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+    assert(back.count() === gold.count())
+    assert(back.agg(sum("order_count")).head().getLong(0)
+      === gold.agg(sum("order_count")).head().getLong(0))
+  }
+
   test("medallion flow on document source: bronze docs → lakehouse → gold report") {
     val lake = new Lakehouse(spark, freshRoot())
     val fixture = getClass.getResource("/orders_fixture.jsonl").getPath

@@ -44,6 +44,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("text quality scoring has no interpreted HOF lambdas in the plan") {
+    // transform/aggregate/filter lambdas are CodegenFallback — per-row
+    // hot paths must stay inside whole-stage codegen (regex + length
+    // expressions code-generate; lambdafunction nodes do not)
+    val p = plan(TextAnalysis.textQuality(spark, sf))
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      "interpreted higher-order function leaked into the quality hot path")
+  }
+
   test("text pipelines prune the document scan to (doc_id, text)") {
     val p = plan(TextAnalysis.textTokens(spark, sf))
     val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
