@@ -15,8 +15,10 @@ object Bench {
       try graft.sources.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    // Best-of-2 per query: one timing run-to-run varies ±30% with
-    // machine load; the min reflects the plan's steady-state cost.
+    // Best-of-3 per query: one timing run-to-run varies ±30% with
+    // machine load (round 2's recorded bench was 2.5× inflated by a
+    // competing process); the min of three is the outlier guard —
+    // a load spike must hit all three passes to corrupt the number.
     var failed = List.empty[String]
     def once(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -31,13 +33,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(name, fn), once(name, fn))
+      name -> Seq.fill(3)(once(name, fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Release the per-dir persisted bases (dup groups, postings,
+    // quantized vectors): a long-lived driver crossing scale-factor
+    // dirs must not accumulate caches forever.
+    graft.sources.Memo.release(spark)
     spark.stop()
   }
 }

@@ -48,6 +48,8 @@ object SparkEntry {
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "q_events_funnel" -> (Relational.qEventsFunnel _),
+    "q14_promo_effect" -> (Relational.q14PromoEffect _),
+    "q19_discounted_revenue" -> (Relational.q19DiscountedRevenue _),
     "q_running_total" -> (Relational.qRunningTotal _),
     // §2.C — deduplication
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -138,6 +140,22 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT round(100.0
+        |    * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |  6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-02-01 00:00:00'""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

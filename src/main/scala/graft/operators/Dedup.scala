@@ -82,14 +82,31 @@ object Dedup {
   private def prefixPostings(spark: SparkSession, dir: String, tau: Double): DataFrame =
     Memo.persisted(spark, s"dedup.prefixPostings|$tau|$dir") {
       val posts = postings(spark, dir)
-      val df = posts.groupBy("g").agg(count(lit(1)).as("df"))
-      posts
-        .join(df, "g")
-        .withColumn("pos",
-          row_number().over(Window.partitionBy("gid").orderBy(col("df"), col("g"))))
-        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("gid")))
-        .where(col("pos") <= col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)) + 1)
-        .select("gid", "g")
+      // One pass, two keyed groupBys, zero joins and zero windows
+      // (round 2's df-join + two-windows build cost ~2× on this path):
+      // df and the per-shingle posting list come out of ONE groupBy on
+      // g, explode carries (df, g) back to per-doc rows, and the prefix
+      // is a sort_array + slice inside the gid aggregation — per-doc
+      // shingle sets are bounded, so the sorted array is small. The
+      // (df ASC, g ASC) struct sort is the same global order the window
+      // version ranked by; candidate completeness only needs the order
+      // to be GLOBAL and CONSISTENT, and verification recounts exact
+      // Jaccard from full postings, so output is unchanged.
+      // (100 TB note: the per-g collect_list materializes a hot
+      // shingle's group list on one reducer — post exact-dup collapse
+      // that is unique-TEXT cardinality, and a key hot enough to hurt
+      // is exactly what the df-descending prefix then discards.)
+      posts.groupBy("g")
+        .agg(count(lit(1)).as("df"), collect_list(col("gid")).as("gids"))
+        .select(col("g"), col("df"), explode(col("gids")).as("gid"))
+        .groupBy("gid")
+        .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sdg"))
+        .select(col("gid"),
+          explode(slice(col("sdg"), lit(1),
+            greatest(lit(0),
+              size(col("sdg")) - ceil(lit(tau) * size(col("sdg")) - lit(1e-9)) + 1)
+              .cast("int"))).as("e"))
+        .select(col("gid"), col("e.g").as("g"))
     }
 
   /** Distinct-shingle-set size per group, from the postings cache. */
@@ -178,7 +195,7 @@ object Dedup {
     * buckets before expansion; bucket size is the skew knob.) */
   private[graft] def expandPairs(
       buckets: DataFrame, docs: Column, maxBucket: Int = Int.MaxValue): DataFrame =
-    buckets
+    observeCapDrops(buckets, docs, maxBucket)
       // Skew knob: a pathological hot bucket (a boilerplate shingle
       // shared by millions of docs) would emit |bucket|² pairs. The cap
       // drops such buckets outright — at dedup thresholds a key that
@@ -189,6 +206,24 @@ object Dedup {
       .select(col("ds"), explode(col("ds")).as("doc_a"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
+
+  private val capObsId = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Make skew-cap drops OBSERVABLE: the DuckDB oracles are uncapped,
+    * so a bucket beyond `maxBucket` silently diverging engine from
+    * oracle must never be silent. An `observe` node (free — piggybacks
+    * on the job, no extra pass) counts dropped buckets; the session
+    * listener logs a warning with the worst bucket size whenever the
+    * count is non-zero. Never fires at the tested scale factors. */
+  private[graft] def observeCapDrops(
+      buckets: DataFrame, docs: Column, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) buckets
+    else {
+      CapDropListener.ensure(buckets.sparkSession)
+      buckets.observe(s"graft.capdrop.${capObsId.incrementAndGet()}",
+        sum(when(size(docs) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(size(docs)).as("max_bucket_size"))
+    }
 
   /** Finite default skew cap for candidate buckets. With prefix
     * filtering in place a bucket this hot is already pathological
@@ -289,6 +324,38 @@ object Dedup {
     * signature work and a 256× cut in band-bucket pressure, with
     * provably identical output (the DuckDB oracle still computes
     * per-doc). */
+  /** Listener backing [[Dedup.observeCapDrops]]: surfaces skew-cap
+    * candidate drops as log warnings at job completion (observed
+    * metrics arrive via QueryExecutionListener — no extra job). */
+  private[graft] object CapDropListener
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    private val registered =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+    /** Count of drop events seen (spec hook). */
+    val dropEvents = new java.util.concurrent.atomic.AtomicLong()
+
+    def ensure(spark: SparkSession): Unit =
+      if (registered.add(spark)) spark.listenerManager.register(this)
+
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) =>
+        if (name.startsWith("graft.capdrop.") && !row.isNullAt(0)) {
+          val dropped = row.getLong(0)
+          if (dropped > 0) {
+            dropEvents.addAndGet(dropped)
+            log.warn(s"dedup skew cap dropped $dropped candidate bucket(s) " +
+              s"(largest: ${row.get(1)} members): results may undercount pairs " +
+              "vs an uncapped oracle; raise maxBucket to verify")
+          }
+        }
+      }
+
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bits = SimhashBits / SimhashBands
@@ -315,7 +382,7 @@ object Dedup {
           .bitwiseAND(lit((1L << bits) - 1)))))
       .groupBy(col("pos").as("band"), col("col").as("bval"))
       .agg(collect_list(col("e")).as("ds"))
-    val groupPairs = buckets
+    val groupPairs = observeCapDrops(buckets, col("ds"), maxBucket)
       .where(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(col("ds"), explode(col("ds")).as("a"))
       .select(col("a"), explode(col("ds")).as("b"))

@@ -412,4 +412,38 @@ object Relational {
       .agg(count(col("c_id")).as("n_clicks_10m"))
       .orderBy(col("event_id"))
   }
+
+  /** TPC-H Q14 shape: promo-type revenue share over one ship month.
+    * `part` is a dimension — broadcast to the (month-filtered) fact
+    * scan, so the only data movement is one month of lineitem through
+    * a map-side hash join and a scalar aggregate; the shipdate range
+    * reaches the parquet reader as a pushed predicate. */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= to_timestamp(lit("1998-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1998-02-01 00:00:00")))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0)
+          * dsum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0)), 4)
+          / dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4),
+        6).as("promo_revenue"))
+
+  /** TPC-H Q19 shape: discounted revenue under OR'd (brand, size,
+    * quantity) predicate triples. The disjunction can't prune the fact
+    * scan, but the dimension side broadcasts and the whole filter is
+    * one codegen'd predicate over the joined row — no shuffle at all
+    * besides the final scalar agg. */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 11))
+          || (col("p_brand") === "Brand#4" && col("p_size").between(10, 30)
+            && col("l_quantity").between(10, 20))
+          || (col("p_brand") === "Brand#17" && col("p_size").between(20, 50)
+            && col("l_quantity").between(20, 35)))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
 }

@@ -72,56 +72,33 @@ object Similarity {
   private[graft] def cosinePre(qv: Column, qn: Column, v: Column, n: Column): Column =
     VectorFunctions.dotQ(qv, v).cast("double") / sqrt((qn * n).cast("double"))
 
-  /** Scale-safe top-k tail shared by every ANN variant.
+  /** Scale-safe top-k tail shared by every ANN variant: ONE groupBy on
+    * q_id with the native bounded-heap aggregate
+    * [[graft.functions.TopKByScore]].
     *
-    * The previous tail — `row_number() OVER (PARTITION BY q_id)` —
-    * shuffled EVERY scored row to one task per query: for brute force
-    * that is the whole corpus's scores through a single reducer, the
-    * classic 100 TB hot-partition killer. Here each input partition
-    * first reduces to at most k rows per query with a bounded heap
-    * (map-side, no shuffle), so the one keyed shuffle carries
-    * ≤ k × partitions rows per query, and the final per-query merge is
-    * a partially-aggregated `collect_list` over that bounded set —
-    * never a Window, never a corpus-sized partition.
+    * The naive tails both fail at 100 TB: `row_number() OVER
+    * (PARTITION BY q_id)` ships every scored row to one reducer per
+    * query (the classic hot-partition killer), and `collect_list` does
+    * not reduce at the partial stage, so its shuffle still carries the
+    * whole corpus's scores. The TypedImperativeAggregate's PARTIAL
+    * state is the k-bounded heap itself — map-side combine caps memory
+    * and shuffle at k rows per query per input partition — and unlike
+    * round 2's typed `mapPartitions` heap it reads scored rows straight
+    * from unsafe format (no Dataset-encoder boundary at the hottest
+    * point of the brute-force path).
     *
-    * Ordering matches the oracles exactly: cosine DESC, vec_id ASC
-    * (the negated-cosine struct sort is that order, totally and
-    * deterministically, because (q_id, vec_id) pairs are unique). */
-  private[graft] def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    // head of the queue = worst kept row = first to evict
-    val worstFirst: Ordering[(Double, Long)] =
-      Ordering.by { case (c, id) => (-c, id) }
-    val local = scored
-      .select(col("q_id").cast("long"), col("vec_id").cast("long"), col("cosine").cast("double"))
-      .as[(Long, Long, Double)]
-      .mapPartitions { rows =>
-        val heaps = scala.collection.mutable.HashMap
-          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-        rows.foreach { case (q, id, c) =>
-          val h = heaps.getOrElseUpdate(
-            q, scala.collection.mutable.PriorityQueue.empty(worstFirst))
-          if (h.size < k) h.enqueue((c, id))
-          else if (worstFirst.lt((c, id), h.head)) { h.dequeue(); h.enqueue((c, id)) }
-        }
-        heaps.iterator.flatMap { case (q, h) =>
-          h.iterator.map { case (c, id) => (q, id, c) }
-        }
-      }
-      .toDF("q_id", "vec_id", "cosine")
-    local
+    * Ordering matches the oracles exactly: cosine DESC, vec_id ASC,
+    * total and deterministic because (q_id, vec_id) pairs are unique. */
+  private[graft] def topkPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy("q_id")
-      .agg(slice(
-        sort_array(collect_list(struct(
-          (-col("cosine")).as("nc"), col("vec_id").as("vec_id"), col("cosine").as("cosine")))),
-        1, k).as("top"))
+      .agg(graft.functions.TopKAgg.topK(
+        col("cosine").cast("double"), col("vec_id").cast("long"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(
         col("q_id"), col("col.vec_id").as("vec_id"),
         (col("pos") + 1).as("rnk"), col("col.cosine").as("cosine"))
       .orderBy("q_id", "rnk")
-  }
 
   /** `ann_cosine_topk` — exact top-10 by quantized cosine for each
     * query vector (vec_id < 5), brute force with a broadcast query
@@ -222,19 +199,24 @@ object Similarity {
   private val lastTrained =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Long])]]()
 
+  /** Dir of the most recent [[annIvfTrained]] run: Verify/Bench run
+    * all queries against ONE dir and dump oracles afterwards, so "the
+    * latest run's dir" is exactly whose centroids the oracle must
+    * restate — a multi-scale JVM (e.g. the bench crossing sf dirs)
+    * must not leak another dir's codebook into the dump. */
+  @volatile private var lastTrainedDir: Option[String] = None
+
   /** DuckDB restatement of the last trained-IVF run: the captured
     * centroids as literal VALUES feeding the same assignment/probe/
     * score/topk pipeline as the `ann_ivf_topk` oracle. None until
     * [[annIvfTrained]] has run in this process. */
   def trainedOracleSql: Option[String] = {
-    val it = lastTrained.values().iterator()
-    if (!it.hasNext) None
-    else {
-      val values = it.next().map { case (id, cv) =>
+    val entry = lastTrainedDir.flatMap(d => Option(lastTrained.get(d)))
+    entry.map { cents =>
+      val values = cents.map { case (id, cv) =>
         s"($id, [${cv.mkString(",")}])"
       }.mkString(", ")
-      Some(
-        s"""WITH q AS (SELECT vec_id,
+      s"""WITH q AS (SELECT vec_id,
            |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
            |qn AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) nsq FROM q),
            |cents AS (SELECT cent_id, cv, list_sum(list_transform(cv, x -> x*x)) cn
@@ -254,7 +236,7 @@ object Similarity {
            |r AS (SELECT q_id, vec_id, cosine,
            |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM s)
            |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
-           |ORDER BY q_id, rnk""".stripMargin)
+           |ORDER BY q_id, rnk""".stripMargin
     }
   }
 
@@ -271,6 +253,7 @@ object Similarity {
       (i.toLong, c.toArray.map(x => math.round(x)))
     }.toSeq
     lastTrained.put(dir, cents.map { case (i, cv) => (i, cv.toSeq) })
+    lastTrainedDir = Some(dir)
     val centsDf = broadcast(spark.createDataFrame(cents)
       .toDF("cent_id", "cv")
       .withColumn("cn", VectorFunctions.dotQ(col("cv"), col("cv"))))

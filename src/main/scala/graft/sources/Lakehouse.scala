@@ -86,6 +86,13 @@ class Lakehouse(spark: SparkSession, root: String) {
       (snap, dirs)
     }
 
+  /** Streaming batch ids recorded in commit metadata (see
+    * [[appendOnce]]) — the commit-dedup ledger that makes the
+    * stream→lakehouse sink exactly-once across restarts. */
+  def committedBatches(table: String): Set[Long] =
+    readLines(manifest(table)).flatMap(l =>
+      """"batch":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)).toSet
+
   /** Relative partition-leaf subdirs (k=v[/k=v…]) of a data dir, to
     * `depth` partition levels. */
   private def leafDirs(dataDir: Path, depth: Int): Seq[String] = {
@@ -106,14 +113,103 @@ class Lakehouse(spark: SparkSession, root: String) {
       case lines => Some(lines.head.trim.toLong)
     }
 
-  private def commit(table: String, snap: Long, dirs: Seq[String], branch: String): Long = {
-    val line = s"""{"snap":$snap,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]}"""
-    writeFile(manifest(table), (readLines(manifest(table)) :+ line).mkString("\n") + "\n")
-    // Pointer swap last: readers resolve the branch pointer after the
-    // manifest and data dirs are durable, so a torn write can't expose
-    // a half-written snapshot.
-    writeFile(currentPtr(table, branch), snap.toString)
-    snap
+  /** Optimistic-concurrency commit (the Nessie-role piece the
+    * reference gets from its catalog —
+    * mongo_to_iceberg.py:82-85 `NessieCatalog` ref commits).
+    *
+    * `expectedBase` is the branch snapshot the writer computed its
+    * delta against: inside the per-table critical section the branch
+    * pointer is re-read, and if another writer advanced it the commit
+    * throws [[CommitConflictException]] instead of silently losing
+    * that writer's snapshot — callers ([[append]]/[[upsert]]/
+    * [[deleteWhere]]) recompute against the new base and retry.
+    * `None` = unconditional (create-or-replace: last writer wins by
+    * design). A duplicate snap id in the manifest is always a
+    * conflict, whatever `expectedBase` says.
+    *
+    * Scope of the guarantee: in-JVM writers are fully serialized by
+    * the table lock (the local/driver deployment); cross-process
+    * writers get snap-id collision safety from the atomic
+    * [[reserveSnap]] marker files, while the base re-check narrows —
+    * but cannot close, on a plain FileSystem — the pointer-swap race.
+    * True multi-driver commits need a coordination service; that
+    * external role is exactly what Nessie is. */
+  private def commit(table: String, snap: Long, dirs: Seq[String], branch: String,
+      expectedBase: Option[Option[Long]] = None, batch: Option[Long] = None): Long =
+    tableLock(table).synchronized {
+      expectedBase.foreach { base =>
+        val cur = currentSnapshot(table, branch)
+        if (cur != base)
+          throw new CommitConflictException(
+            s"$table@$branch moved $base -> $cur under writer of snapshot $snap")
+      }
+      if (snapshots(table).exists(_._1 == snap))
+        throw new CommitConflictException(s"$table already has a snapshot $snap")
+      val meta = batch.map(b => s""","batch":$b""").getOrElse("")
+      val line = s"""{"snap":$snap,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]$meta}"""
+      writeFile(manifest(table), (readLines(manifest(table)) :+ line).mkString("\n") + "\n")
+      // Pointer swap last: readers resolve the branch pointer after the
+      // manifest and data dirs are durable, so a torn write can't expose
+      // a half-written snapshot.
+      writeFile(currentPtr(table, branch), snap.toString)
+      fs.delete(reserveMarker(table, snap), false)
+      snap
+    }
+
+  /** Per-table intra-JVM commit lock (keyed by absolute table path, so
+    * two Lakehouse handles on the same root serialize together). */
+  private def tableLock(table: String): Object =
+    Lakehouse.locks.computeIfAbsent(
+      new Path(root, table).toString, _ => new Object)
+
+  private def reserveMarker(table: String, snap: Long): Path =
+    new Path(tableDir(table), s"_reserve-$snap")
+
+  /** Allocate a snapshot id no concurrent writer can also hold: the
+    * marker file is created with overwrite=false — atomic on local FS
+    * and HDFS — so even cross-process writers can never write the same
+    * `data-<n>` dir. The marker is removed on commit (the manifest
+    * line then owns the id) or on abort. */
+  private def reserveSnap(table: String): Long = tableLock(table).synchronized {
+    fs.mkdirs(tableDir(table))
+    var n = nextSnap(table)
+    var done = false
+    while (!done) {
+      try {
+        val out = fs.create(reserveMarker(table, n), false)
+        out.close()
+        done = true
+      } catch { case _: java.io.IOException => n += 1 }
+    }
+    n
+  }
+
+  /** Run `body` against the branch's current base snapshot, retrying
+    * with a freshly-read base when a concurrent writer wins the
+    * commit race. `body` must recompute everything downstream of the
+    * base it is handed (that is the optimistic-concurrency contract). */
+  private def retryingCommit(table: String, branch: String, attempts: Int = 20)
+      (body: Option[Long] => Long): Long = {
+    var last: CommitConflictException = null
+    var i = 0
+    while (i < attempts) {
+      val base = currentSnapshot(table, branch)
+      try return body(base)
+      catch {
+        case e: CommitConflictException =>
+          last = e; i += 1
+          // jittered backoff: N writers fighting for the same branch
+          // otherwise re-collide in lockstep
+          Thread.sleep(scala.util.Random.nextInt(50 * i + 1).toLong)
+      }
+    }
+    throw last
+  }
+
+  /** Drop an aborted writer's data dir + reservation marker. */
+  private def abortSnap(table: String, snap: Long, dir: String): Unit = {
+    fs.delete(new Path(tableDir(table), dir), true)
+    fs.delete(reserveMarker(table, snap), false)
   }
 
   /** Create (or reset) a branch pointing at a snapshot — snapshots are
@@ -142,33 +238,64 @@ class Lakehouse(spark: SparkSession, root: String) {
   private def nextSnap(table: String): Long =
     snapshots(table).map(_._1).foldLeft(0L)(math.max) + 1
 
-  /** Create-or-replace: write a fresh data dir, commit a snapshot
-    * containing ONLY it. Old snapshots stay readable (time travel). */
-  def createOrReplace(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
-      branch: String = "main"): Long = {
-    val snap = nextSnap(table)
-    val dir = s"data-$snap"
+  private def writeDataDir(df: DataFrame, table: String, dir: String,
+      partitionBy: Seq[String]): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new Path(tableDir(table), dir).toString)
     writeStats(table, dir)
-    commit(table, snap, Seq(dir), branch)
+  }
+
+  /** Create-or-replace: write a fresh data dir, commit a snapshot
+    * containing ONLY it. Old snapshots stay readable (time travel).
+    * Unconditional (no base expectation): REPLACE is last-writer-wins
+    * by definition, but the reserved snap id still guarantees no two
+    * writers ever share a data dir. */
+  def createOrReplace(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
+      branch: String = "main"): Long = {
+    val snap = reserveSnap(table)
+    val dir = s"data-$snap"
+    try {
+      writeDataDir(df, table, dir, partitionBy)
+      commit(table, snap, Seq(dir), branch)
+    } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
   }
 
   /** Append: write ONLY the delta as a new data dir; the new snapshot
-    * is the branch's previous dirs + delta. No data is rewritten. */
+    * is the branch's previous dirs + delta. No data is rewritten, and
+    * a concurrent writer's commit triggers recompute-and-retry rather
+    * than a lost snapshot (see [[commit]]). */
   def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
-      branch: String = "main"): Long = {
-    val prev = currentSnapshot(table, branch)
-      .map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
-    val snap = nextSnap(table)
+      branch: String = "main"): Long = retryingCommit(table, branch) { base =>
+    val prev = base.map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
+    val snap = reserveSnap(table)
     val dir = s"data-$snap"
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(new Path(tableDir(table), dir).toString)
-    writeStats(table, dir)
-    commit(table, snap, prev :+ dir, branch)
+    try {
+      writeDataDir(df, table, dir, partitionBy)
+      commit(table, snap, prev :+ dir, branch, Some(base))
+    } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
   }
+
+  /** Idempotent append keyed by a streaming micro-batch id, recorded
+    * in the commit metadata — the Iceberg-writer property that makes
+    * `foreachBatch` restarts exactly-once: a replayed batch finds its
+    * id in the manifest and commits nothing. Safe under concurrency:
+    * a same-batch race loses the conditional commit, retries, and then
+    * sees the winner's batch id in the ledger. */
+  def appendOnce(df: DataFrame, table: String, batchId: Long,
+      partitionBy: Seq[String] = Nil, branch: String = "main"): Long =
+    retryingCommit(table, branch) { base =>
+      if (committedBatches(table).contains(batchId)) base.getOrElse(-1L)
+      else {
+        val prev = base.map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
+        val snap = reserveSnap(table)
+        val dir = s"data-$snap"
+        try {
+          writeDataDir(df, table, dir, partitionBy)
+          commit(table, snap, prev :+ dir, branch, Some(base), batch = Some(batchId))
+        } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+      }
+    }
 
   // ---- file-level data skipping (Iceberg-manifest-stats analog) ----
 
@@ -180,6 +307,13 @@ class Lakehouse(spark: SparkSession, root: String) {
     * one extra scan here is the sandbox analog of that bookkeeping. */
   private def writeStats(table: String, dir: String): Unit = {
     val dataDir = new Path(tableDir(table), dir)
+    // a write of zero rows (e.g. a delete that empties every touched
+    // partition) leaves no parquet files — nothing to record
+    def hasParquetFile(p: Path): Boolean =
+      fs.listStatus(p).exists(s =>
+        (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
+          (s.isDirectory && hasParquetFile(s.getPath)))
+    if (!hasParquetFile(dataDir)) return
     val df = spark.read.parquet(dataDir.toString)
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
@@ -227,42 +361,232 @@ class Lakehouse(spark: SparkSession, root: String) {
         (unesc(g.group(1)), unesc(g.group(2)), g.group(3), unesc(g.group(4)), unesc(g.group(5))))
     }
 
-  /** Range read with FILE-LEVEL data skipping: files whose recorded
-    * [min,max] for `colName` cannot intersect [lo,hi] are never opened
-    * (files without stats are conservatively kept); the residual
-    * predicate then filters exactly. The Iceberg-manifest data-skipping
-    * property: a time/key-range query over a long append chain reads
-    * the few files that can match, not the table. Unpartitioned tables
-    * only (partitioned reads already prune by partition dir). */
-  def prunedRead(table: String, colName: String, lo: Any, hi: Any,
+  /** A conjunct usable for file skipping: column, comparison op, and
+    * literal value, extracted from the predicate AFTER analyzing it
+    * against the table's relation (Spark 4 Columns carry ColumnNode
+    * trees, so the only reliable way to see typed comparisons is to
+    * run the analyzer — `relation.where(pred)` analyzes without
+    * executing). Anything unrecognized (OR trees, expressions over the
+    * column, UDFs, subqueries) contributes no pruning — conservatively
+    * correct, the residual predicate still filters exactly. Casts are
+    * looked through only when numeric→numeric (monotone, so min/max
+    * comparison stays sound). */
+  private def skippableConjuncts(pred: org.apache.spark.sql.Column,
+      relation: DataFrame): Seq[(String, String, Any)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    def name(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case c: Cast if c.child.dataType.isInstanceOf[NumericType] &&
+        c.dataType.isInstanceOf[NumericType] => name(c.child)
+      case _ => None
+    }
+    def litVal(e: Expression): Option[Any] = e match {
+      case Literal(null, _) => None
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => Some(v.toString)
+      case Literal(v, t) if t.isInstanceOf[NumericType] => Some(v)
+      case c: Cast if c.dataType.isInstanceOf[NumericType] => litVal(c.child)
+      case _ => None
+    }
+    def walk(e: Expression): Seq[(String, String, Any)] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a, b) =>
+        (name(a).zip(litVal(b)).map { case (n, v) => (n, "=", v) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => (n, "=", v) }).toSeq
+      case GreaterThan(a, b) =>
+        (name(a).zip(litVal(b)).map { case (n, v) => (n, ">", v) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => (n, "<", v) }).toSeq
+      case GreaterThanOrEqual(a, b) =>
+        (name(a).zip(litVal(b)).map { case (n, v) => (n, ">=", v) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => (n, "<=", v) }).toSeq
+      case LessThan(a, b) =>
+        (name(a).zip(litVal(b)).map { case (n, v) => (n, "<", v) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => (n, ">", v) }).toSeq
+      case LessThanOrEqual(a, b) =>
+        (name(a).zip(litVal(b)).map { case (n, v) => (n, "<=", v) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => (n, ">=", v) }).toSeq
+      case _ => Seq.empty
+    }
+    relation.where(pred).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .map(walk).getOrElse(Seq.empty)
+  }
+
+  /** Can a file whose recorded [fLo, fHi] for the conjunct's column
+    * possibly contain a matching row? Numeric stats compare through
+    * BigDecimal (a long-typed column tested against a double literal
+    * must not compare lexically); string stats compare as strings. */
+  private def rangeMayMatch(t: String, fLo: String, fHi: String,
+      op: String, v: Any): Boolean = {
+    def cmp(bound: String): Int =
+      if (t == "string") bound.compareTo(v.toString)
+      else BigDecimal(bound).compare(BigDecimal(v.toString))
+    op match {
+      case "=" => cmp(fLo) <= 0 && cmp(fHi) >= 0
+      case ">" => cmp(fHi) > 0
+      case ">=" => cmp(fHi) >= 0
+      case "<" => cmp(fLo) < 0
+      case "<=" => cmp(fLo) <= 0
+      case _ => true
+    }
+  }
+
+  /** Files under a snapshot entry (whole dir or partition leaf) that
+    * may contain rows matching every conjunct, as table-relative
+    * paths. Stats live in the entry's data-dir root keyed by relative
+    * path — so partition leaves look up the same ledger. Files with no
+    * recorded stats for a conjunct's column are conservatively kept.
+    * Partition columns appear in the stats like any other column
+    * (their per-file min=max=the partition value), so partition
+    * pruning falls out of the same mechanism. */
+  private def matchingFiles(table: String, entry: String,
+      conjuncts: Seq[(String, String, Any)]): Seq[String] = {
+    val dataDir = entry.takeWhile(_ != '/')
+    val stats = readStats(table, dataDir)
+    val byFileCol = stats.groupBy(s => (s._1, s._2))
+    def walkFiles(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap {
+        case s if s.isFile && s.getPath.getName.endsWith(".parquet") => Seq(s.getPath)
+        case s if s.isDirectory && !s.getPath.getName.startsWith("_") => walkFiles(s.getPath)
+        case _ => Seq.empty
+      }
+    val entryPath = new Path(tableDir(table), entry)
+    if (!fs.exists(entryPath)) return Seq.empty
+    walkFiles(entryPath).map { p =>
+      val full = p.toString
+      val marker = "/" + dataDir + "/"
+      full.substring(full.indexOf(marker) + 1)
+    }.filter { rel =>
+      conjuncts.forall { case (c, op, v) =>
+        byFileCol.get((rel, c)).forall(_.exists { case (_, _, t, fLo, fHi) =>
+          rangeMayMatch(t, fLo, fHi, op, v)
+        })
+      }
+    }
+  }
+
+  /** Filtered read with FILE-LEVEL data skipping on every scan: the
+    * predicate's AND-of-comparison conjuncts are tested against the
+    * `_stats.jsonl` min/max ledger and files that cannot contain a
+    * match are never opened; the full predicate then filters exactly.
+    * The Iceberg-manifest data-skipping property: a time/key-range
+    * query over a long append chain reads the few files that can
+    * match, not the table. Works on partitioned and unpartitioned
+    * tables alike (partition-column conjuncts prune through the same
+    * stats). This is the default filtered-scan path — `prunedRead` is
+    * the range-shaped convenience over it. */
+  def readWhere(pred: org.apache.spark.sql.Column, table: String,
       branch: String = "main"): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val snap = currentSnapshot(table, branch)
       .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
     val entries = snapshots(table).find(_._1 == snap).get._2
-    require(entries.forall(!_.contains("/")), "prunedRead supports unpartitioned tables")
-    def overlaps(t: String, fLo: String, fHi: String): Boolean = t match {
-      case "long" => !(hi.toString.toLong < fLo.toLong || lo.toString.toLong > fHi.toLong)
-      case "double" => !(hi.toString.toDouble < fLo.toDouble || lo.toString.toDouble > fHi.toDouble)
-      case _ => !(hi.toString < fLo || lo.toString > fHi)
+    val conjuncts = skippableConjuncts(pred, read(table, branch))
+    val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    val reads = byDataDir.flatMap { case (dataDir, dirEntries) =>
+      val files = dirEntries.flatMap(matchingFiles(table, _, conjuncts)).distinct
+      if (files.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .option("basePath", new Path(tableDir(table), dataDir).toString)
+        .parquet(files.map(f => new Path(tableDir(table), f).toString): _*))
     }
-    val keptFiles = entries.flatMap { dir =>
-      val stats = readStats(table, dir).filter(_._2 == colName)
-      val byFile = stats.groupBy(_._1)
-      val allFiles = fs.listStatus(new Path(tableDir(table), dir)).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => s"$dir/${s.getPath.getName}")
-      allFiles.filter { f =>
-        byFile.get(f).forall(_.exists { case (_, _, t, fLo, fHi) => overlaps(t, fLo, fHi) })
+    if (reads.isEmpty)
+      // no file can match: an empty relation with the table's schema
+      // (where(false) folds to an empty LocalTableScan — zero I/O)
+      read(table, branch).where(lit(false))
+    else reads.reduce(_.unionByName(_, allowMissingColumns = true)).where(pred)
+  }
+
+  /** Range read via [[readWhere]] — kept as the time/key-range
+    * convenience API. */
+  def prunedRead(table: String, colName: String, lo: Any, hi: Any,
+      branch: String = "main"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    readWhere(col(colName) >= lit(lo) && col(colName) <= lit(hi), table, branch)
+  }
+
+  // ---- row-level DELETE (copy-on-write) ----
+
+  /** Row-level `DELETE WHERE`: copy-on-write at snapshot-entry
+    * granularity. Entries whose stats prove no row can match are
+    * carried into the new snapshot BY REFERENCE (byte-identical, never
+    * rewritten); only entries that may contain matches are re-written
+    * minus the deleted rows. With partitioned tables and a predicate
+    * on the partition column, this is exactly Iceberg's
+    * partition-level copy-on-write delete; with range predicates on a
+    * long append chain it touches the few dirs that can match. */
+  def deleteWhere(pred: org.apache.spark.sql.Column, table: String,
+      partitionBy: Seq[String] = Nil, branch: String = "main"): Long =
+    retryingCommit(table, branch) { base =>
+      import org.apache.spark.sql.functions.not
+      val rawEntries = base.map(c => snapshots(table).find(_._1 == c).get._2)
+        .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+      val conjuncts = skippableConjuncts(pred, readBase(table, base))
+      // partitioned: classify at partition-LEAF granularity, so a
+      // delete that can only hit some partitions carries every other
+      // partition by reference (same property as partition-scoped
+      // upsert), instead of rewriting the whole dir
+      val entries =
+        if (partitionBy.isEmpty) rawEntries
+        else rawEntries.flatMap { e =>
+          if (e.contains("/")) Seq(e)
+          else {
+            val leaves = leafDirs(new Path(tableDir(table), e), partitionBy.length)
+            require(leaves.nonEmpty ||
+              !fs.listStatus(new Path(tableDir(table), e))
+                .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
+              s"$table/$e was not written with partitionBy=${partitionBy.mkString(",")}; " +
+                "compact(table, partitionBy) first, then deleteWhere")
+            leaves.map(l => s"$e/$l")
+          }
+        }
+      val (touched, clean) = entries.partition(e => matchingFiles(table, e, conjuncts).nonEmpty)
+      if (touched.isEmpty) base.get // nothing can match: no-op commit-free
+      else {
+        val byDataDir = touched.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+        val touchedRows = byDataDir.map { case (dataDir, dirEntries) =>
+          spark.read.option("mergeSchema", "true")
+            .option("basePath", new Path(tableDir(table), dataDir).toString)
+            .parquet(dirEntries.map(e => new Path(tableDir(table), e).toString): _*)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        val survivors = touchedRows.where(not(pred))
+        val snap = reserveSnap(table)
+        val dir = s"data-$snap"
+        try {
+          writeDataDir(survivors, table, dir, partitionBy)
+          // a partitioned write of ZERO survivors leaves no parquet
+          // files — committing the bare dir would break snapshot reads
+          def hasParquet(p: Path): Boolean =
+            fs.listStatus(p).exists(s =>
+              (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
+                (s.isDirectory && hasParquet(s.getPath)))
+          if (hasParquet(new Path(tableDir(table), dir)))
+            commit(table, snap, clean :+ dir, branch, Some(base))
+          else if (clean.nonEmpty) {
+            val committed = commit(table, snap, clean, branch, Some(base))
+            fs.delete(new Path(tableDir(table), dir), true)
+            committed
+          } else commit(table, snap, clean :+ dir, branch, Some(base))
+        } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
       }
     }
-    import org.apache.spark.sql.functions.{col, lit}
-    val empty = keptFiles.isEmpty
-    val base =
-      if (empty) read(table, branch) // degenerate: no matching files — filter yields 0 rows
-      else spark.read.option("mergeSchema", "true")
-        .parquet(keptFiles.map(f => new Path(tableDir(table), f).toString): _*)
-    base.where(col(colName) >= lit(lo) && col(colName) <= lit(hi))
-  }
+
+  /** MERGE … WHEN MATCHED THEN DELETE: target rows whose key matches a
+    * source row are removed (the Iceberg v2 merge-delete shape). The
+    * whole table anti-joins against the (small, distinct) key set —
+    * broadcast-able at scale; rewrite is one new snapshot. */
+  def deleteByKey(source: DataFrame, table: String, keyCols: Seq[String],
+      partitionBy: Seq[String] = Nil, branch: String = "main"): Long =
+    retryingCommit(table, branch) { base =>
+      val keep = readBase(table, base).join(
+        source.select(keyCols.map(source(_)): _*).distinct(), keyCols, "left_anti")
+      val snap = reserveSnap(table)
+      val dir = s"data-$snap"
+      try {
+        writeDataDir(keep, table, dir, partitionBy)
+        commit(table, snap, Seq(dir), branch, Some(base))
+      } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+    }
 
   // ---- snapshot expiry / GC ----
 
@@ -351,44 +675,90 @@ class Lakehouse(spark: SparkSession, root: String) {
     * by reference, byte-identical. At 100 TB a one-partition MERGE
     * costs one partition's rewrite, not a table rewrite. */
   def upsert(source: DataFrame, table: String, keyCols: Seq[String],
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, branch: String = "main"): Long = {
     if (partitionBy.isEmpty) {
-      val keep = read(table).join(
-        source.select(keyCols.map(source(_)): _*).distinct(), keyCols, "left_anti")
-      return createOrReplace(keep.unionByName(source), table, partitionBy)
-    }
-    val branch = "main"
-    val prev = currentSnapshot(table, branch)
-      .map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
-    // merge = (target rows in touched partitions that lose on key) ∪ source;
-    // the semi join restricts the merge input to the touched partitions
-    val touched = source.select(partitionBy.map(source(_)): _*).distinct()
-    val targetTouched = read(table, branch).join(touched, partitionBy, "left_semi")
-    val merged = targetTouched
-      .join(source.select(keyCols.map(source(_)): _*).distinct(), keyCols, "left_anti")
-      .unionByName(source)
-    val snap = nextSnap(table)
-    val dir = s"data-$snap"
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
-      .parquet(new Path(tableDir(table), dir).toString)
-    writeStats(table, dir)
-    // the delta dir's partition leaves ARE the touched set, in Spark's
-    // own path encoding — classify prior entries against those names,
-    // so no value re-encoding can ever disagree with what was written
-    val touchedLeaves = leafDirs(new Path(tableDir(table), dir), partitionBy.length).toSet
-    val kept = prev.flatMap { entry =>
-      val slash = entry.indexOf('/')
-      if (slash >= 0) {
-        // already a partition leaf: keep unless superseded
-        if (touchedLeaves.contains(entry.substring(slash + 1))) Nil else Seq(entry)
-      } else {
-        // whole data dir: explode into leaves and keep the untouched ones
-        leafDirs(new Path(tableDir(table), entry), partitionBy.length)
-          .filterNot(touchedLeaves.contains).map(l => s"$entry/$l")
+      return retryingCommit(table, branch) { base =>
+        val keep = readBase(table, base).join(
+          source.select(keyCols.map(source(_)): _*).distinct(), keyCols, "left_anti")
+        val snap = reserveSnap(table)
+        val dir = s"data-$snap"
+        try {
+          writeDataDir(keep.unionByName(source), table, dir, Nil)
+          commit(table, snap, Seq(dir), branch, Some(base))
+        } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
       }
     }
-    commit(table, snap, kept :+ dir, branch)
+    retryingCommit(table, branch) { base =>
+      val prev = base.map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
+      val target = readBase(table, base)
+      val sourceKeys = source.select(keyCols.map(source(_)): _*).distinct()
+      // Touched partitions = the partitions the source writes into ∪
+      // the partitions its keys currently LIVE in. The second set is
+      // what makes a partition-moving key correct: without it the old
+      // row survives by reference in its untouched partition and the
+      // table ends up with duplicate keys. Finding it is a key
+      // semi-join over the target (read-only, pushdown applies); the
+      // REWRITE stays touched-partitions-only.
+      val touched = source.select(partitionBy.map(source(_)): _*).distinct()
+        .unionByName(
+          target.join(sourceKeys, keyCols, "left_semi")
+            .select(partitionBy.map(target(_)): _*).distinct())
+        .distinct()
+      val targetTouched = target.join(touched, partitionBy, "left_semi")
+      val merged = targetTouched
+        .join(sourceKeys, keyCols, "left_anti")
+        .unionByName(source)
+      val snap = reserveSnap(table)
+      val dir = s"data-$snap"
+      try {
+        merged.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+          .parquet(new Path(tableDir(table), dir).toString)
+        writeStats(table, dir)
+        // Touched-partition names come from TWO sources: the delta
+        // dir's written leaves (Spark's own path encoding — can never
+        // disagree with what was written), plus the path-encoded
+        // touched VALUES — needed because a partition whose every row
+        // lost on key writes no leaf at all, yet its old leaf must
+        // still be superseded (not carried by reference).
+        val writtenLeaves = leafDirs(new Path(tableDir(table), dir), partitionBy.length).toSet
+        val encodedLeaves = touched.collect().map { row =>
+          partitionBy.zipWithIndex.map { case (c, i) =>
+            val v = row.get(i)
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(c, if (v == null) null else v.toString)
+          }.mkString("/")
+        }.toSet
+        val touchedLeaves = writtenLeaves ++ encodedLeaves
+        val kept = prev.flatMap { entry =>
+          val slash = entry.indexOf('/')
+          if (slash >= 0) {
+            // already a partition leaf: keep unless superseded
+            if (touchedLeaves.contains(entry.substring(slash + 1))) Nil else Seq(entry)
+          } else {
+            // whole data dir: explode into leaves and keep the untouched ones
+            val leaves = leafDirs(new Path(tableDir(table), entry), partitionBy.length)
+            // a prior dir with rows but NO partition leaves was written
+            // under a different (or no) partition layout — exploding it
+            // would silently drop its rows from the new snapshot
+            require(leaves.nonEmpty ||
+              !fs.listStatus(new Path(tableDir(table), entry))
+                .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
+              s"$table/$entry was not written with partitionBy=${partitionBy.mkString(",")}; " +
+                "compact(table, partitionBy) first, then upsert")
+            leaves.filterNot(touchedLeaves.contains).map(l => s"$entry/$l")
+          }
+        }
+        commit(table, snap, kept :+ dir, branch, Some(base))
+      } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+    }
   }
+
+  /** Read the snapshot a writer is basing a commit on (empty relation
+    * with the source's schema when the table doesn't exist yet is not
+    * needed — callers only base on existing tables). */
+  private def readBase(table: String, base: Option[Long]): DataFrame =
+    base.map(readSnapshot(table, _)).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
 
   /** Read a branch's current snapshot. */
   def read(table: String, branch: String = "main"): DataFrame =
@@ -427,10 +797,30 @@ class Lakehouse(spark: SparkSession, root: String) {
   def compact(table: String, partitionBy: Seq[String] = Nil, branch: String = "main"): Long =
     createOrReplace(read(table, branch), table, partitionBy, branch)
 
+  /** SQL `DELETE FROM table WHERE …` — parses the clause and routes
+    * through [[deleteWhere]]'s stat-pruned copy-on-write. */
+  def sqlDelete(table: String, whereClause: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    val snap = deleteWhere(org.apache.spark.sql.functions.expr(whereClause), table, partitionBy)
+    registerView(table)
+    snap
+  }
+
   /** Register the current snapshot as a temp view for SQL access —
     * the `SHOW TABLES` / `SELECT * FROM catalog.table` path. */
   def registerView(table: String): Unit =
     read(table).createOrReplaceTempView(table)
+}
+
+/** Thrown when a conditional commit loses the optimistic-concurrency
+  * race (the branch moved under the writer); writers recompute against
+  * the new base and retry. */
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+object Lakehouse {
+  /** Intra-JVM per-table commit locks, keyed by absolute table path. */
+  private[sources] val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }
 
 /** Bucketed catalog tables: hash-bucket the join key at WRITE time so

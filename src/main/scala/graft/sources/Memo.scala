@@ -23,9 +23,30 @@ import java.util.concurrent.ConcurrentHashMap
 object Memo {
   private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Build-once persisted relation for `key` within `spark`'s lifetime. */
-  def persisted(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((spark, key), _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+  /** Build-once persisted relation for `key` within `spark`'s lifetime.
+    *
+    * CONTRACT: the data under any directory baked into `key` is
+    * immutable for the session (the testdata layout and lakehouse
+    * data dirs both are). Rewriting a memoized dir in-session serves
+    * stale results — call [[release]] first (DedupSpec's rewrite test
+    * does exactly that).
+    *
+    * get-then-putIfAbsent rather than `computeIfAbsent`: builders
+    * legitimately memoize their own upstream bases (prefix postings →
+    * postings → dup groups), and a nested `computeIfAbsent` on the
+    * same map throws "Recursive update" whenever the two keys land in
+    * the same bin. The race cost is bounded: a losing concurrent
+    * builder unpersists its duplicate and adopts the winner's. */
+  def persisted(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (spark, key)
+    val existing = cache.get(k)
+    if (existing != null) existing
+    else {
+      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = cache.putIfAbsent(k, built)
+      if (prev != null) { built.unpersist(blocking = false); prev } else built
+    }
+  }
 
   /** Unpersist and forget every relation memoized under `spark` —
     * call when a long-lived driver is done with a scale-factor dir. */

@@ -72,7 +72,14 @@ object EventStream {
     * `foreachBatch`. Appends write only the batch's files plus a
     * manifest line, so commit cost is O(batch) regardless of table
     * size, and every micro-batch remains individually
-    * time-travelable. Returns the started query (caller awaits). */
+    * time-travelable.
+    *
+    * EXACTLY-ONCE: the micro-batch id is recorded in the commit
+    * metadata ([[graft.sources.Lakehouse.appendOnce]]), so a restart
+    * that replays a batch (foreachBatch is at-least-once) finds the id
+    * already committed and appends nothing — the same commit-metadata
+    * dedup Iceberg's streaming writer does. Returns the started query
+    * (caller awaits). */
   def streamToLakehouse(
       df: DataFrame,
       lake: graft.sources.Lakehouse,
@@ -84,7 +91,7 @@ object EventStream {
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) { lake.append(batch, table); () }
+        if (!batch.isEmpty) { lake.appendOnce(batch, table, batchId); () }
       }
       .start()
 

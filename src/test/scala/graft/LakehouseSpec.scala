@@ -230,4 +230,140 @@ class LakehouseSpec extends SparkSpec {
     assert(top.getAs[String]("city") === "Hyderabad")
     assert(top.getAs[Long]("order_count") === 2L)
   }
+
+  test("concurrent appends: optimistic commits retry, no snapshot is lost") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((0L, "seed")).toDF("k", "v"), "cc")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val writers = (1 to 6).map { i =>
+      Future { lake.append(Seq((i.toLong, s"w$i")).toDF("k", "v"), "cc") }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    // every writer's row survives — a lost read-modify-write commit
+    // would silently drop one
+    assert(lake.read("cc").count() === 7L)
+    assert(lake.read("cc").select("k").collect().map(_.getLong(0)).toSet === (0L to 6L).toSet)
+    // 7 committed snapshots, all distinct ids, no leftover reservations
+    assert(lake.snapshots("cc").map(_._1).distinct.length === 7)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(lake.tableRoot("cc")).exists(_.getPath.getName.startsWith("_reserve-")))
+  }
+
+  test("appendOnce is exactly-once: a replayed micro-batch id commits nothing") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.appendOnce(Seq((1L, "a")).toDF("k", "v"), "eo", batchId = 0L)
+    lake.appendOnce(Seq((2L, "b")).toDF("k", "v"), "eo", batchId = 1L)
+    val snapBefore = lake.currentSnapshot("eo")
+    // restart replays batch 1 (foreachBatch is at-least-once)
+    lake.appendOnce(Seq((2L, "b")).toDF("k", "v"), "eo", batchId = 1L)
+    assert(lake.currentSnapshot("eo") === snapBefore)
+    assert(lake.read("eo").count() === 2L)
+    assert(lake.committedBatches("eo") === Set(0L, 1L))
+  }
+
+  test("deleteWhere on a partition predicate rewrites nothing: untouched partitions carry by reference") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p3"))
+        .toDF("k", "v", "p"), "dp", partitionBy = Seq("p"))
+    def files(suffix: String): Seq[(String, Long, Long)] = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(lake.tableRoot("dp"), suffix)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+    }
+    val p2Before = files("data-1/p=p2")
+    lake.deleteWhere(col("p") === "p1", "dp", partitionBy = Seq("p"))
+    assert(lake.read("dp").select("k").collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    // p2's original files survive byte-identical, referenced from snapshot 2
+    assert(files("data-1/p=p2") === p2Before)
+    val entries = lake.snapshots("dp").find(_._1 == 2L).get._2
+    assert(entries.contains("data-1/p=p2") && entries.contains("data-1/p=p3"))
+    assert(!entries.exists(_.endsWith("p=p1")))
+    // history: snapshot 1 still has the deleted rows
+    assert(lake.readSnapshot("dp", 1L).count() === 4L)
+  }
+
+  test("deleteWhere range predicate touches only overlapping dirs of an append chain") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace((0L until 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), "dr")
+    (1 to 3).foreach { i =>
+      lake.append((i * 100L until (i + 1) * 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), "dr")
+    }
+    lake.deleteWhere(col("k") >= 250L && col("k") < 260L, "dr")
+    assert(lake.read("dr").count() === 390L)
+    // dirs 1,2,4 (ranges 0-99, 100-199, 300-399) carried by reference
+    val entries = lake.snapshots("dr").find(_._1 == 5L).get._2
+    assert(entries.count(_.startsWith("data-")) === 4)
+    assert(entries.contains("data-1") && entries.contains("data-2") && entries.contains("data-4"))
+    assert(!entries.contains("data-3"))
+    assert(lake.read("dr").where(col("k") >= 250L && col("k") < 260L).count() === 0L)
+  }
+
+  test("deleteByKey removes matched keys (MERGE WHEN MATCHED DELETE)") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "dk")
+    lake.deleteByKey(Seq((2L, "ignored")).toDF("k", "x"), "dk", keyCols = Seq("k"))
+    assert(lake.read("dk").select("k").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("readWhere prunes files through multi-conjunct predicates incl. strings") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      (0L until 100L).map(k => (k, if (k < 50) "alpha" else "beta")).toDF("k", "tag").coalesce(1), "rw")
+    lake.append(
+      (100L until 200L).map(k => (k, "gamma")).toDF("k", "tag").coalesce(1), "rw")
+    // k-range restricts to file 2; tag equality can only match file 2
+    val got = lake.readWhere(col("k") >= 150L && col("tag") === "gamma", "rw")
+    assert(got.inputFiles.length === 1)
+    assert(got.count() === 50L)
+    // a tag that matches no file's [min,max] reads zero files
+    val none = lake.readWhere(col("tag") === "zzz", "rw")
+    assert(none.inputFiles.length === 0)
+    assert(none.count() === 0L)
+    assert(none.columns.toSet === Set("k", "tag"))
+  }
+
+  test("upsert detects a key that moved partitions: the old row is removed too") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, "a", "p1"), (3L, "c", "p2"), (4L, "d", "p3")).toDF("k", "v", "p"),
+      "mv", partitionBy = Seq("p"))
+    // key 3 moves p2 -> p1: without moved-key detection the p2 copy
+    // survives by reference and the table ends up with duplicate keys
+    lake.upsert(Seq((3L, "C", "p1")).toDF("k", "v", "p"), "mv",
+      keyCols = Seq("k"), partitionBy = Seq("p"))
+    val got = lake.read("mv").select("k", "v", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "a", "p1"), (3L, "C", "p1"), (4L, "d", "p3")))
+    // untouched p3 still carried by reference
+    assert(lake.snapshots("mv").find(_._1 == 2L).get._2.contains("data-1/p=p3"))
+  }
+
+  test("upsert with partitionBy over an unpartitioned table errors instead of dropping rows") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"), "lm")
+    val e = intercept[IllegalArgumentException] {
+      lake.upsert(Seq((1L, "A", "p1")).toDF("k", "v", "p"), "lm",
+        keyCols = Seq("k"), partitionBy = Seq("p"))
+    }
+    assert(e.getMessage.contains("compact"))
+    // the prescribed fix works: compact into the partition layout, then upsert
+    lake.compact("lm", partitionBy = Seq("p"))
+    lake.upsert(Seq((1L, "A", "p1")).toDF("k", "v", "p"), "lm",
+      keyCols = Seq("k"), partitionBy = Seq("p"))
+    val got = lake.read("lm").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "A"), (2L, "b")))
+  }
 }
