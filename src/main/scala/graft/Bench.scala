@@ -12,7 +12,11 @@ object Bench {
     // per-query numbers measure the plans, not first-job init.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     graft.sources.Tables.names.foreach { t =>
-      try graft.sources.Tables.load(spark, sfDir, t).count()
+      // events needs the nanos-aware reader; a raw parquet read throws
+      try (t match {
+        case "events" => graft.sources.Tables.events(spark, sfDir)
+        case n => graft.sources.Tables.load(spark, sfDir, n)
+      }).count()
       catch { case _: Throwable => () }
     }
     // Best-of-3 per query: one timing run-to-run varies ±30% with

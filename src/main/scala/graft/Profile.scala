@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch stage-level profiler (not part of the driver contract). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(32)
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROF $name%-28s ${(System.nanoTime()-t0)/1e9}%6.2f s  rows=$n")
+    }
+    import graft.operators.Dedup
+    val m = Dedup.getClass.getDeclaredMethods
+    def call(n: String, a: Object*): org.apache.spark.sql.DataFrame = {
+      val meth = m.find(_.getName == n).get
+      meth.setAccessible(true)
+      meth.invoke(Dedup, a: _*).asInstanceOf[org.apache.spark.sql.DataFrame]
+    }
+    t("dupGroups")(call("dupGroups", spark, dir).count())
+    t("postings")(call("postings", spark, dir).count())
+    t("prefixPostings")(call("prefixPostings", spark, dir, java.lang.Double.valueOf(0.5)).count())
+    t("candidates")(Dedup.jaccardCandidates(spark, dir, 0.5, 10000).count())
+    t("full query 1st")(Dedup.dedupNgramJaccard(spark, dir).count())
+    t("full query 2nd")(Dedup.dedupNgramJaccard(spark, dir).count())
+    t("curate 1st")(graft.operators.Curate.pipelineCurate(spark, dir).count())
+    t("curate 2nd")(graft.operators.Curate.pipelineCurate(spark, dir).count())
+    spark.stop()
+  }
+}

@@ -101,12 +101,15 @@ object Dedup {
         .select(col("g"), col("df"), explode(col("gids")).as("gid"))
         .groupBy("gid")
         .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sdg"))
-        .select(col("gid"),
-          explode(slice(col("sdg"), lit(1),
+        .select(col("gid"), size(col("sdg")).as("n_sh"),
+          posexplode(slice(col("sdg"), lit(1),
             greatest(lit(0),
               size(col("sdg")) - ceil(lit(tau) * size(col("sdg")) - lit(1e-9)) + 1)
-              .cast("int"))).as("e"))
-        .select(col("gid"), col("e.g").as("g"))
+              .cast("int"))))
+        // pos: 1-based rank of the shingle in the doc's (df, g) global
+        // order — the PPJoin positional-filter input; n_sh: set size
+        .select(col("gid"), col("col.g").as("g"),
+          (col("pos") + 1).as("pos"), col("n_sh"))
     }
 
   /** Distinct-shingle-set size per group, from the postings cache. */
@@ -236,15 +239,42 @@ object Dedup {
 
   /** Candidate group pairs for τ-thresholded Jaccard, from PREFIX
     * postings buckets ([[prefixPostings]]) — provably complete for the
-    * threshold, immune to hot boilerplate shingles. Exposed for the
-    * candidate-volume spec. */
+    * threshold, immune to hot boilerplate shingles — then pruned by
+    * the PPJoin POSITIONAL FILTER before any verification work.
+    *
+    * J(a,b) ≥ τ ⇔ |a∩b| ≥ α = ⌈τ/(1+τ)·(|a|+|b|)⌉. For the FIRST
+    * common shingle (in the global (df, g) order) at ranks (pa, pb),
+    * the overlap is at most 1 + min(|a|−pa, |b|−pb); a sub-τ pair
+    * whose first common shingle lies outside a prefix is already
+    * prefix-pruned, so taking max of that bound over the pair's
+    * common PREFIX shingles and requiring it to reach α never drops a
+    * true pair (the max includes the first-common-shingle occurrence,
+    * whose bound is valid). At pa=pb=1 the bound degenerates to
+    * min(|a|,|b|) — i.e. the classic size filter falls out for free.
+    * On templated corpora (many shared mid-frequency shingles) this
+    * prunes the candidate set by an order of magnitude, which shrinks
+    * the exact-verification join by the same factor. */
   private[graft] def jaccardCandidates(spark: SparkSession, dir: String, tau: Double,
       maxBucket: Int): DataFrame = {
     val buckets = prefixPostings(spark, dir, tau)
-      .groupBy("g").agg(collect_list(col("gid")).as("ds"))
-    expandPairs(buckets, col("ds"), maxBucket)
-      .select(col("doc_a").as("ga"), col("doc_b").as("gb"))
-      .dropDuplicates("ga", "gb")
+      .groupBy("g")
+      .agg(collect_list(struct(col("gid"), col("pos"), col("n_sh"))).as("ds"))
+    val occ = observeCapDrops(buckets, col("ds"), maxBucket)
+      .where(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .where(col("a.gid") < col("b.gid"))
+      .select(
+        col("a.gid").as("ga"), col("b.gid").as("gb"),
+        (lit(1) + least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")))
+          .as("ubound"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+    occ
+      .groupBy("ga", "gb")
+      .agg(max(col("ubound")).as("ub"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .where(col("ub") >=
+        ceil(lit(tau / (1 + tau)) * (col("na") + col("nb")) - lit(1e-9)))
+      .select("ga", "gb")
   }
 
   /** `dedup_ngram_jaccard` — all pairs with 3-shingle Jaccard ≥ 0.5,

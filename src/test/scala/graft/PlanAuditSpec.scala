@@ -22,16 +22,22 @@ class PlanAuditSpec extends SparkSpec {
   test("ANN top-k tail is partial-aggregated, never a per-query Window over the corpus") {
     // row_number() OVER (PARTITION BY q_id) funnels every scored row
     // through ONE task per query — at 100 TB a single reducer receives
-    // the whole corpus's scores. The tail must instead reduce per
-    // partition (bounded heap) and merge with a partially-aggregated
-    // collect_list, so no Window appears anywhere in the plan.
+    // the whole corpus's scores. The tail must instead be the native
+    // bounded-heap aggregate (TopKByScore): partial state ≤ k rows per
+    // query per partition, ObjectHashAggregate partial/final pair, no
+    // Window anywhere — and no Dataset-encoder boundary (the round-2
+    // mapPartitions heap deserialized every scored row out of
+    // Tungsten).
     Seq(
       Similarity.annCosineTopk(spark, sf),
       Similarity.annLshTopk(spark, sf)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("Window"), "scored rows still rank through a per-query Window")
       assert(p.contains("ObjectHashAggregate"),
-        "expected partial/final collect_list aggregation in the top-k merge")
+        "expected the TypedImperativeAggregate top-k (ObjectHashAggregate)")
+      assert(p.contains("topk_by_score"), "expected the native bounded-heap aggregate")
+      assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"),
+        "an encoder boundary is back in the ANN hot path")
     }
   }
 

@@ -77,4 +77,24 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     val firstRowMixes = rows.head.toSeq.drop(1).distinct
     assert(firstRowMixes.length > 8)
   }
+
+  test("TopKByScore equals sort-and-take per group on random scored rows (incl. merge path)") {
+    val rows = sample(for {
+      q <- Gen.choose(0L, 6L)
+      c <- Gen.choose(-1000, 1000).map(_ / 997.0)
+    } yield (q, c), 400).zipWithIndex
+      .map { case ((q, c), i) => (q, i.toLong, c) }
+    val k = 5
+    // many input partitions force partial heaps + serialize/merge
+    val scored = rows.toDF("q_id", "vec_id", "cosine").repartition(13)
+    val got = graft.operators.Similarity.topkPerQuery(scored, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getDouble(3)))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      rs.map { case (_, id, c) => (c, id) }
+        .sorted(Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) })
+        .take(k).zipWithIndex
+        .map { case ((c, id), i) => (q, id, (i + 1).toLong, c) }
+    }.sortBy(t => (t._1, t._3))
+    assert(got.toSeq === want)
+  }
 }
