@@ -123,10 +123,11 @@ object SparkEntry {
         |merged AS (SELECT * FROM src
         |  UNION ALL
         |  SELECT b.* FROM base b
-        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey))
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey)),
+        |deleted AS (SELECT * FROM merged WHERE NOT (o_orderkey % 7 = 0))
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM merged
+        |FROM deleted
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "q1_pricing_summary" ->

@@ -143,8 +143,71 @@ case class Shingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native codegen'd intersection count of two SORTED `array<long>`
+  * columns — a tight two-pointer merge, no per-element allocation.
+  *
+  * This is the Jaccard VERIFICATION hot path: with candidate pairs
+  * already pruned (prefix + positional filters), counting |a∩b| per
+  * pair via this expression replaces a double equi-join of the full
+  * posting lists + groupBy — millions of exploded rows and an extra
+  * shuffle become one codegen'd loop per pair over two small sorted
+  * arrays riding the existing candidate shuffle. Inputs MUST be
+  * sorted ascending and duplicate-free (postings are: distinct
+  * shingle hashes through `sort_array`). */
+case class ArraySortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0; var j = 0; var c = 0L
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      val m = ctx.freshName("m"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0, $j = 0;
+         |long $c = 0L;
+         |int $n = $a.numElements(), $m = $b.numElements();
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArraySortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column builders over [[Md5Lower64]]. */
 object HashFunctions {
+
+  /** Intersection count of two sorted duplicate-free long arrays
+    * (native [[ArraySortedIntersectCount]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftShim.column(ArraySortedIntersectCount(
+      GraftShim.expression(a), GraftShim.expression(b)))
 
   /** Signed 64-bit md5-derived hash (two's-complement of DuckDB
     * `md5_number_lower`). */

@@ -112,18 +112,15 @@ object Dedup {
           (col("pos") + 1).as("pos"), col("n_sh"))
     }
 
-  /** Distinct-shingle-set size per group, from the postings cache. */
-  private def docSizes(posts: DataFrame): DataFrame =
-    posts.groupBy("gid").agg(count(lit(1)).as("n_sh"))
-
-  /** Shared-shingle count per candidate group pair, from the postings
-    * cache: each side's postings equi-joined on the shingle hash. */
-  private def commonCounts(cand: DataFrame, posts: DataFrame): DataFrame =
-    cand
-      .join(posts.select(col("gid").as("ga"), col("g")), "ga")
-      .join(posts.select(col("gid").as("gb"), col("g")), Seq("gb", "g"))
-      .groupBy("ga", "gb")
-      .agg(count(lit(1)).as("common"))
+  /** Sorted full posting ARRAYS at group cardinality — the
+    * verification-side view of [[postings]]. Tiny relative to the
+    * corpus (one ~n_sh-long array per unique text), persisted because
+    * both scoring joins and the minhash path read it. */
+  private def postingArrays(spark: SparkSession, dir: String): DataFrame =
+    Memo.persisted(spark, s"dedup.postingArrays|$dir") {
+      postings(spark, dir).groupBy("gid")
+        .agg(sort_array(collect_list(col("g"))).as("gs"))
+    }
 
   /** Expand qualifying GROUP pairs (ga, gb, value) into ordered doc
     * pairs through group members, and add intra-group pairs with
@@ -156,21 +153,29 @@ object Dedup {
     inter.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
-  /** Jaccard from per-group-pair intersection counts + per-group set
-    * sizes: the single shared tail of both dedup paths (one definition
-    * of the formula, rounding, and threshold). */
-  private def jaccardFromCommon(common: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
-    common
-      .join(sizes.select(col("gid").as("ga"), col("n_sh").as("na")), "ga")
-      .join(sizes.select(col("gid").as("gb"), col("n_sh").as("nb")), "gb")
+  /** Exact-Jaccard verification of candidate group pairs against τ:
+    * join each side's SORTED posting array (group cardinality — two
+    * broadcast-size lookups at any scale, since candidates already
+    * shrank through prefix + positional filters) and count the
+    * intersection with the native codegen'd two-pointer merge
+    * [[graft.functions.ArraySortedIntersectCount]]. Replaces the
+    * round-2 shape — candidate × posting double equi-join + groupBy —
+    * whose exploded intermediate (|pairs| × set size rows) and extra
+    * keyed shuffle dominated the Jaccard path's cost. */
+  private def verifyJaccard(spark: SparkSession, dir: String,
+      cand: DataFrame, tau: Double): DataFrame = {
+    val arr = postingArrays(spark, dir)
+    cand
+      .join(arr.select(col("gid").as("ga"), col("gs").as("ga_s")), "ga")
+      .join(arr.select(col("gid").as("gb"), col("gs").as("gb_s")), "gb")
+      .withColumn("common",
+        graft.functions.HashFunctions.sortedIntersectCount(col("ga_s"), col("gb_s")))
       .withColumn("jaccard",
-        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
+        round(col("common").cast("double")
+          / (size(col("ga_s")) + size(col("gb_s")) - col("common")), 6))
       .where(col("jaccard") >= tau)
       .select("ga", "gb", "jaccard")
-
-  /** Exact-Jaccard verification of candidate group pairs against τ. */
-  private def verifyJaccard(cand: DataFrame, posts: DataFrame, tau: Double): DataFrame =
-    jaccardFromCommon(commonCounts(cand, posts), docSizes(posts), tau)
+  }
 
   /** `dedup_exact` — canonical-id assignment by normalized-text md5.
     * One shuffle on the 128-bit group hash; min(doc_id) per group is
@@ -287,9 +292,9 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String, tau: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val groups = dupGroups(spark, dir)
-    val posts = postings(spark, dir)
     val cand = jaccardCandidates(spark, dir, tau, maxBucket)
-    expandGroupPairs(verifyJaccard(cand, posts, tau), groups, posts, "jaccard", lit(1.0), maxBucket)
+    expandGroupPairs(verifyJaccard(spark, dir, cand, tau), groups,
+      postingArrays(spark, dir), "jaccard", lit(1.0), maxBucket)
   }
 
   val MinhashSeeds = 16
@@ -329,13 +334,13 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val groups = dupGroups(spark, dir)
-    val posts = postings(spark, dir)
     val buckets = minhashBands(spark, dir)
       .groupBy("band", "bkey").agg(collect_list(col("gid")).as("ds"))
     val cand = expandPairs(buckets, col("ds"), maxBucket)
       .select(col("doc_a").as("ga"), col("doc_b").as("gb"))
       .dropDuplicates("ga", "gb")
-    expandGroupPairs(verifyJaccard(cand, posts, tau), groups, posts, "jaccard", lit(1.0), maxBucket)
+    expandGroupPairs(verifyJaccard(spark, dir, cand, tau), groups,
+      postingArrays(spark, dir), "jaccard", lit(1.0), maxBucket)
   }
 
   val SimhashBits = 48

@@ -180,6 +180,8 @@ object Medallion {
         |FROM orders WHERE o_custkey % 97 = 0""".stripMargin)
       .createOrReplaceTempView("merge_src")
     lake.sqlMerge("lh_orders", "merge_src", Seq("o_orderkey"))
+    // DELETE FROM … WHERE (row-level copy-on-write, new snapshot)
+    lake.sqlDelete("lh_orders", "o_orderkey % 7 = 0")
     spark.sql(
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

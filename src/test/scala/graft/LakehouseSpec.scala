@@ -349,6 +349,45 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.snapshots("mv").find(_._1 == 2L).get._2.contains("data-1/p=p3"))
   }
 
+  test("readChanges reads only the appended delta between snapshots; rejects rewritten intervals") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    val s1 = lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "cdc")
+    val s2 = lake.append(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), "cdc")
+    val s3 = lake.append(Seq((4L, "d")).toDF("k", "v"), "cdc")
+    assert(lake.readChanges("cdc", s1, s2).select("k").collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L))
+    assert(lake.readChanges("cdc", s1, s3).select("k").collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L, 4L))
+    assert(lake.readChanges("cdc", s3, s3).count() === 0L)
+    // the delta scan must touch only the delta dirs
+    assert(lake.readChanges("cdc", s2, s3).inputFiles.forall(_.contains("data-3")))
+    // a rewrite (upsert) between snapshots breaks append-only: refuse
+    val s4 = lake.upsert(Seq((2L, "B")).toDF("k", "v"), "cdc", keyCols = Seq("k"))
+    val e = intercept[IllegalArgumentException] { lake.readChanges("cdc", s3, s4) }
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("compactClustered makes file stats selective: interleaved keys go from all-files to one-file reads") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    // 4 appended files, each spanning the WHOLE key range (stride 4):
+    // min/max stats are useless, every range read opens all 4 files
+    (0 to 3).foreach { i =>
+      lake.append((0L until 100L).map(j => (j * 4 + i, s"v$i-$j")).toDF("k", "v").coalesce(1), "cl")
+    }
+    val before = lake.prunedRead("cl", "k", 100L, 110L)
+    assert(before.inputFiles.length === 4, "interleaved files: stats cannot prune")
+    assert(before.count() === 11L)
+    // cluster on k: 4 range-disjoint files; the same read opens 1
+    lake.compactClustered("cl", Seq("k"), nFiles = 4)
+    val after = lake.prunedRead("cl", "k", 100L, 110L)
+    assert(after.inputFiles.length === 1,
+      s"clustered table should prune to 1 file, read ${after.inputFiles.length}")
+    assert(after.count() === 11L)
+    assert(lake.read("cl").count() === 400L)
+  }
+
   test("upsert with partitionBy over an unpartitioned table errors instead of dropping rows") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._

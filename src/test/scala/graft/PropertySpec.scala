@@ -78,6 +78,21 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(firstRowMixes.length > 8)
   }
 
+  test("ArraySortedIntersectCount equals set intersection on random sorted distinct arrays") {
+    val pairs = sample(for {
+      n <- Gen.choose(0, 60)
+      m <- Gen.choose(0, 60)
+      a <- Gen.listOfN(n, Gen.choose(0L, 80L))
+      b <- Gen.listOfN(m, Gen.choose(0L, 80L))
+    } yield (a.distinct.sorted, b.distinct.sorted), 60)
+    val df = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), HashFunctions.sortedIntersectCount(col("a"), col("b")).as("got"))
+    df.collect().foreach { r =>
+      val want = r.getSeq[Long](0).toSet.intersect(r.getSeq[Long](1).toSet).size.toLong
+      assert(r.getLong(2) === want)
+    }
+  }
+
   test("TopKByScore equals sort-and-take per group on random scored rows (incl. merge path)") {
     val rows = sample(for {
       q <- Gen.choose(0L, 6L)
