@@ -26,6 +26,22 @@ object Profile {
     t("full query 2nd")(Dedup.dedupNgramJaccard(spark, dir).count())
     t("curate 1st")(graft.operators.Curate.pipelineCurate(spark, dir).count())
     t("curate 2nd")(graft.operators.Curate.pipelineCurate(spark, dir).count())
+    // simhash stage dissection
+    locally {
+      import graft.operators.TextAnalysis.{tokens => toks}
+      val groups = call("dupGroups", spark, dir)
+      val hashed = groups
+        .select(col("gid"), explode(toks(col("nt"))).as("tok"))
+        .select(col("gid"), graft.functions.HashFunctions.h62(col("tok")).as("h"))
+      t("simhash tokenize+hash")(hashed.count())
+      val sims = hashed.groupBy("gid")
+        .agg(count(lit(1)).as("t"),
+          (0 until 48).map(b =>
+            sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b")): _*)
+      t("simhash 48-agg")(sims.count())
+      t("simhash full 1st")(graft.operators.Dedup.dedupSimhash(spark, dir).count())
+      t("simhash full 2nd")(graft.operators.Dedup.dedupSimhash(spark, dir).count())
+    }
     spark.stop()
   }
 }

@@ -75,6 +75,10 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     // flagship composition: quality gate → language gate → dedup drop
     "pipeline_curate" -> (Curate.pipelineCurate _),
+    // training-mix rebalance: deterministic hash-stratified sampling
+    "pipeline_sample" -> (Curate.pipelineSample _),
+    // concat-then-chunk sequence packing (block-local running sums)
+    "pipeline_pack" -> ((s, d) => Curate.pipelinePack(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twins (same table names, same aliases,
@@ -546,6 +550,35 @@ object SparkEntry {
         |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
     // §2.E — text analysis
+    "pipeline_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(regexp_extract_all(lower(text),'([a-z0-9]+)',1)) dt FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_intersect(dt, ['the','and','of','to','a','in','is','you','that','it'])) AS s_en,
+        |  len(list_intersect(dt, ['el','la','de','que','y','en','un','los','se','no'])) AS s_es,
+        |  len(list_intersect(dt, ['le','la','de','et','les','des','en','un','du','une'])) AS s_fr,
+        |  len(list_intersect(dt, ['der','die','und','in','den','von','zu','das','mit','sich'])) AS s_de
+        |  FROM t),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+        |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS pred_lang FROM s)
+        |SELECT doc_id, pred_lang FROM l
+        |WHERE CAST(md5_number_lower('sample|' || doc_id::VARCHAR) // 4 AS BIGINT) % 1000
+        |  < CASE WHEN pred_lang = 'en' THEN 250 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text),'([a-z0-9]+)',1)) n_tok,
+        |  CAST(floor(doc_id / 1000.0) AS BIGINT) blk FROM documents),
+        |c AS (SELECT doc_id, n_tok, blk,
+        |  sum(n_tok) OVER (PARTITION BY blk ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM t)
+        |SELECT blk, CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS win,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM c GROUP BY blk, win
+        |ORDER BY blk, win""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id,
         |  list_distinct(regexp_extract_all(lower(text),'([a-z0-9]+)',1)) dt FROM documents),

@@ -64,4 +64,71 @@ object Curate {
       .select(col("doc_id"), col("quality"), col("pred_lang"))
       .orderBy("doc_id")
   }
+
+  /** `pipeline_sample` — deterministic hash-stratified sampling: the
+    * standard rebalance step of a training mix (downsample the
+    * dominant language, keep the rest). Selection is a pure hash
+    * gate — keep iff h62("sample|" + doc_id) mod 1000 < rate(lang) —
+    * so the sample is reproducible run-to-run, independent of
+    * partitioning and row order, needs NO driver-side RNG state, and
+    * is exactly restatable in SQL (seeded `sample()` clauses never
+    * agree across engines; a salted hash always does). At 100 TB this
+    * is a map-only filter fused into the scan — no shuffle at all
+    * before the output sort. */
+  def pipelineSample(spark: SparkSession, dir: String): DataFrame = {
+    import TextAnalysis._
+    val langed = graft.sources.Tables.parallel(
+        spark, graft.sources.Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("dt"))
+      .select(
+        col("doc_id"), {
+          def score(ws: Seq[String]) = size(array_intersect(col("dt"), array(ws.map(lit): _*)))
+          val (sEn, sEs, sFr, sDe) = (score(StopEn), score(StopEs), score(StopFr), score(StopDe))
+          when(sEn >= sEs && sEn >= sFr && sEn >= sDe && sEn > 0, "en")
+            .when(sEs >= sFr && sEs >= sDe && sEs > 0, "es")
+            .when(sFr >= sDe && sFr > 0, "fr")
+            .when(sDe > 0, "de")
+            .otherwise("und").as("pred_lang")
+        })
+    langed
+      .withColumn("gate", graft.functions.HashFunctions.h62(
+        concat(lit("sample|"), col("doc_id").cast("string"))) % 1000)
+      .where(col("gate") < when(col("pred_lang") === "en", 250).otherwise(1000))
+      .select("doc_id", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  /** `pipeline_pack` — sequence packing for pretraining batches:
+    * documents are concatenated in doc_id order and chunked into
+    * fixed token windows (the GPT-style concat-then-chunk pipeline);
+    * a doc belongs to the window its first token lands in. Output is
+    * per-window occupancy (doc count + token sum).
+    *
+    * Scale shape: packing is inherently sequential, so a single
+    * global cumulative sum would serialize the corpus through one
+    * window partition — the classic 100 TB killer. Instead docs pack
+    * within fixed BLOCKS of 1000 ids: each block's running sum is an
+    * independent window partition (parallel, bounded), and window ids
+    * are (block, window-within-block). Cost: at most one partially
+    * filled window per block — the standard bounded-waste trade of
+    * distributed packing. */
+  def pipelinePack(spark: SparkSession, dir: String,
+      ctxTokens: Int = 4096, blockDocs: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = graft.sources.Tables.parallel(
+        spark, graft.sources.Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        regexp_count(lower(col("text")), lit(TextAnalysis.TokenPattern)).as("n_tok"))
+      .withColumn("blk", floor(col("doc_id") / blockDocs))
+    val cum = t.withColumn("cum",
+      sum(col("n_tok")).over(
+        Window.partitionBy("blk").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum
+      .withColumn("win", floor((col("cum") - col("n_tok")) / lit(ctxTokens.toDouble)))
+      .groupBy("blk", "win")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .orderBy("blk", "win")
+  }
 }
