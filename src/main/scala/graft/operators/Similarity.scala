@@ -157,6 +157,18 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
+  /** Banded (vec_id, table, bucket) LSH index over the quantized
+    * corpus, memoized per (session, dir): ONE bucket table shared by
+    * both LSH ANN variants and embedding dedup — at scale this is the
+    * materialized index table every consumer reads. */
+  private[graft] def bandedTable(spark: SparkSession, dir: String): DataFrame =
+    Memo.persisted(spark, s"similarity.banded|$dir") {
+      quantized(spark, dir)
+        .select(col("vec_id"), posexplode(buckets(col("v"))))
+        .withColumnRenamed("pos", "t")
+        .withColumnRenamed("col", "bucket")
+    }
+
   /** `ann_lsh_multiprobe` — multi-probe LSH: each query probes its own
     * bucket PLUS every 1-bit-flip neighbor per table (the vectors most
     * likely separated by a single near-orthogonal hyperplane), lifting
@@ -164,10 +176,7 @@ object Similarity {
     * unchanged, only the tiny probe set grows ×(P+1). */
   def annLshMultiprobe(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = quantized(spark, dir)
-    val banded = e
-      .select(col("vec_id"), posexplode(buckets(col("v"))))
-      .withColumnRenamed("pos", "t")
-      .withColumnRenamed("col", "bucket")
+    val banded = bandedTable(spark, dir)
     val qProbes = banded.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("t"),
         explode(array(col("bucket") +: (0 until LshPlanes).map(p =>
@@ -278,10 +287,7 @@ object Similarity {
     * candidate generation; vectors re-join after dedup. */
   def annLshTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = quantized(spark, dir)
-    val banded = e
-      .select(col("vec_id"), posexplode(buckets(col("v"))))
-      .withColumnRenamed("pos", "t")
-      .withColumnRenamed("col", "bucket")
+    val banded = bandedTable(spark, dir)
     val qb = banded.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
     val cand = qb.join(banded, Seq("t", "bucket"))
