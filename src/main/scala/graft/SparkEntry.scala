@@ -50,6 +50,8 @@ object SparkEntry {
     "q_events_funnel" -> (Relational.qEventsFunnel _),
     "q14_promo_effect" -> (Relational.q14PromoEffect _),
     "q19_discounted_revenue" -> (Relational.q19DiscountedRevenue _),
+    "q13_order_distribution" -> (Relational.q13OrderDistribution _),
+    "q17_small_quantity" -> (Relational.q17SmallQuantity _),
     "q_running_total" -> (Relational.qRunningTotal _),
     // §2.C — deduplication
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -145,6 +147,21 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) qty, l_extendedprice FROM lineitem),
+        |stats AS (SELECT l_partkey AS a_partkey, CAST(sum(qty) AS BIGINT) sum_qty, count(*) cnt
+        |  FROM l GROUP BY l_partkey),
+        |sel AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2' AND p_type = 'ECONOMY')
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM l JOIN sel ON l_partkey = p_partkey JOIN stats ON l_partkey = a_partkey
+        |WHERE 5 * qty * cnt < sum_qty""".stripMargin,
     "q14_promo_effect" ->
       """SELECT round(100.0
         |    * CAST(sum(CASE WHEN p_type = 'PROMO'

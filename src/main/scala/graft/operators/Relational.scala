@@ -430,6 +430,47 @@ object Relational {
           / dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4),
         6).as("promo_revenue"))
 
+  /** TPC-H Q13 shape: distribution of orders-per-customer. Two
+    * aggregations chained — count per customer over a LEFT join (so
+    * zero-order customers keep count 0), then a histogram over those
+    * counts. Both aggregate map-side first; neither shuffle carries
+    * more than one row per customer. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17 shape: revenue lost to small-quantity orders of
+    * selected parts. The correlated scalar subquery (per-part average
+    * quantity) becomes a pre-aggregated relation joined back on
+    * partkey — one extra map-side-combined aggregation instead of a
+    * per-row subquery execution; the part filter broadcasts.
+    *
+    * The `qty < 0.2·avg(qty)` threshold is restated as the exact
+    * integer inequality `5·qty·cnt < sum(qty)` (quantities are
+    * integral): engine-exact, where a decimal-vs-double average could
+    * flip boundary rows between Spark and the oracle. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+    val stats = l.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    val smallParts = broadcast(Tables.part(spark, dir)
+      .where(col("p_brand") === "Brand#2" && col("p_type") === "ECONOMY")
+      .select("p_partkey"))
+    l.join(smallParts, col("l_partkey") === col("p_partkey"))
+      .join(stats, col("l_partkey") === col("a_partkey"))
+      .where(lit(5L) * col("qty") * col("cnt") < col("sum_qty"))
+      .agg(round(dsum(col("l_extendedprice"), 2) / 7.0, 6).as("avg_yearly"))
+  }
+
   /** TPC-H Q19 shape: discounted revenue under OR'd (brand, size,
     * quantity) predicate triples. The disjunction can't prune the fact
     * scan, but the dimension side broadcasts and the whole filter is
