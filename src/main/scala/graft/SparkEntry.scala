@@ -81,6 +81,8 @@ object SparkEntry {
     "pipeline_sample" -> (Curate.pipelineSample _),
     // concat-then-chunk sequence packing (block-local running sums)
     "pipeline_pack" -> ((s, d) => Curate.pipelinePack(s, d)),
+    // full curate -> sample -> pack training-mix flow, one plan
+    "pipeline_train_mix" -> ((s, d) => Curate.pipelineTrainMix(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twins (same table names, same aliases,
@@ -694,5 +696,55 @@ object SparkEntry {
         |WHERE q.quality >= 0.5 AND lang.pred_lang = 'en'
         |  AND q.doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY q.doc_id""".stripMargin,
+    "pipeline_train_mix" ->
+      """WITH t AS (SELECT doc_id, length(text) n_chars,
+        |  regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks,
+        |  len(regexp_extract_all(text, '([^a-z0-9 ])', 1)) n_punct FROM documents),
+        |u AS (SELECT doc_id, n_chars, n_punct, len(toks) n_tokens,
+        |  len(list_filter(toks, tk -> list_contains(['the','and','of','to','a','in','is','you','that','it'], tk))) n_stop
+        |  FROM t),
+        |q AS (SELECT doc_id,
+        |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+        |    + 0.3 * (1.0 - least(1.0, 10.0 * CAST(n_punct AS DOUBLE) / n_chars))
+        |    + 0.3 * least(1.0, 5.0 * CAST(n_stop AS DOUBLE) / n_tokens), 6) quality FROM u),
+        |dtk AS (SELECT doc_id, list_distinct(toks) dt FROM t),
+        |l AS (SELECT doc_id,
+        |  len(list_intersect(dt, ['the','and','of','to','a','in','is','you','that','it'])) s_en,
+        |  len(list_intersect(dt, ['el','la','de','que','y','en','un','los','se','no'])) s_es,
+        |  len(list_intersect(dt, ['le','la','de','et','les','des','en','un','du','une'])) s_fr,
+        |  len(list_intersect(dt, ['der','die','und','in','den','von','zu','das','mit','sich'])) s_de
+        |  FROM dtk),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+        |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS pred_lang FROM l),
+        |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []
+        |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END sh FROM t),
+        |ss AS (SELECT doc_id, sh, len(sh) n_sh FROM s WHERE len(sh) > 0),
+        |p AS (SELECT doc_id, unnest(sh) g0 FROM ss),
+        |ph AS (SELECT doc_id, CAST(md5_number_lower(g0) // 4 AS BIGINT) g FROM p),
+        |c AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+        |  FROM ph a JOIN ph b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) jaccard
+        |  FROM c JOIN ss sa ON c.doc_a = sa.doc_id JOIN ss sb ON c.doc_b = sb.doc_id),
+        |dup AS (SELECT DISTINCT doc_b AS doc_id FROM j WHERE jaccard >= 0.5),
+        |kept AS (SELECT q.doc_id
+        |  FROM q JOIN lang ON q.doc_id = lang.doc_id
+        |  WHERE q.quality >= 0.5 AND lang.pred_lang = 'en'
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM dup)),
+        |samp AS (SELECT doc_id FROM kept
+        |  WHERE CAST(md5_number_lower('sample|' || doc_id::VARCHAR) // 4 AS BIGINT) % 1000 < 250),
+        |tok AS (SELECT t.doc_id, len(t.toks) n_tok,
+        |  CAST(floor(t.doc_id / 1000.0) AS BIGINT) blk
+        |  FROM t JOIN samp ON t.doc_id = samp.doc_id),
+        |cumt AS (SELECT doc_id, n_tok, blk,
+        |  sum(n_tok) OVER (PARTITION BY blk ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM tok)
+        |SELECT blk, CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS win,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM cumt GROUP BY blk, win
+        |ORDER BY blk, win""".stripMargin,
   )
 }

@@ -98,6 +98,41 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** `pipeline_train_mix` — the full training-data flow as ONE
+    * declarative plan: quality gate → language gate → near-dup drop
+    * ([[pipelineCurate]]) → 25% hash-stratified sample
+    * ([[pipelineSample]]'s gate) → sequence packing occupancy
+    * ([[pipelinePack]]'s block-local windows). What actually runs
+    * before a pretraining job; every stage reuses the exact arithmetic
+    * of its standalone query, so the oracle is the standalone oracles
+    * chained as CTEs. Catalyst fuses the gates into the scan side and
+    * the only shuffles are the dedup pipeline's keyed ones, the
+    * sample-join, and one block-partitioned window. */
+  def pipelineTrainMix(spark: SparkSession, dir: String,
+      ctxTokens: Int = 4096, blockDocs: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sampled = pipelineCurate(spark, dir)
+      .where(graft.functions.HashFunctions.h62(
+        concat(lit("sample|"), col("doc_id").cast("string"))) % 1000 < 250)
+      .select("doc_id")
+    val toks = graft.sources.Tables.parallel(
+        spark, graft.sources.Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        regexp_count(lower(col("text")), lit(TextAnalysis.TokenPattern)).as("n_tok"))
+      .join(sampled, "doc_id")
+      .withColumn("blk", floor(col("doc_id") / blockDocs))
+    toks
+      .withColumn("cum",
+        sum(col("n_tok")).over(
+          Window.partitionBy("blk").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("win", floor((col("cum") - col("n_tok")) / lit(ctxTokens.toDouble)))
+      .groupBy("blk", "win")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .orderBy("blk", "win")
+  }
+
   /** `pipeline_pack` — sequence packing for pretraining batches:
     * documents are concatenated in doc_id order and chunked into
     * fixed token windows (the GPT-style concat-then-chunk pipeline);

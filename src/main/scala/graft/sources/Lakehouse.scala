@@ -626,6 +626,31 @@ class Lakehouse(spark: SparkSession, root: String) {
     }
   }
 
+  /** Vacuum orphans (the `remove_orphan_files` analog): delete data
+    * dirs NO manifest line references — the leavings of writers that
+    * died between data write and commit — plus reservation markers
+    * older than `staleMillis` (a live writer holds its marker only
+    * for one write+commit). Never touches referenced data: committed
+    * snapshots, branches, and time travel are unaffected. Returns the
+    * deleted paths. */
+  def removeOrphans(table: String, staleMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+    val referenced = snapshots(table).flatMap(_._2).map(_.takeWhile(_ != '/')).toSet
+    val now = System.currentTimeMillis()
+    val removed = Seq.newBuilder[String]
+    fs.listStatus(tableDir(table)).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("data-") && !referenced.contains(name)) {
+        fs.delete(st.getPath, true)
+        removed += name
+      } else if (st.isFile && name.startsWith("_reserve-")
+          && now - st.getModificationTime > staleMillis) {
+        fs.delete(st.getPath, false)
+        removed += name
+      }
+    }
+    removed.result()
+  }
+
   // ---- SQL surface (SHOW TABLES / MERGE-shaped DML over views) ----
 
   /** Catalog listing — the `SHOW TABLES IN nessie.sales` analog

@@ -388,6 +388,24 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.read("cl").count() === 400L)
   }
 
+  test("removeOrphans deletes uncommitted data dirs and stale markers, never referenced data") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "vac")
+    lake.append(Seq((2L, "b")).toDF("k", "v"), "vac")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    // a writer that died after writing data but before committing
+    val orphan = new org.apache.hadoop.fs.Path(lake.tableRoot("vac"), "data-99")
+    Seq((9L, "x")).toDF("k", "v").write.parquet(orphan.toString)
+    val staleMarker = new org.apache.hadoop.fs.Path(lake.tableRoot("vac"), "_reserve-99")
+    fs.create(staleMarker, true).close()
+    val removed = lake.removeOrphans("vac", staleMillis = -1)
+    assert(removed.toSet === Set("data-99", "_reserve-99"))
+    assert(!fs.exists(orphan) && !fs.exists(staleMarker))
+    assert(lake.read("vac").count() === 2L)
+    assert(lake.readSnapshot("vac", 1L).count() === 1L)
+  }
+
   test("upsert with partitionBy over an unpartitioned table errors instead of dropping rows") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._

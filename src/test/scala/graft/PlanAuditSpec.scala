@@ -122,4 +122,18 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Relational.qFilterPushdown(spark, sf))
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
   }
+
+  test("part-dimension star joins broadcast the dimension; Q14 pushes the month filter to the fact scan") {
+    Seq(
+      Relational.q14PromoEffect(spark, sf),
+      Relational.q19DiscountedRevenue(spark, sf),
+      Relational.q17SmallQuantity(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), "part dimension must broadcast")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    }
+    val q14 = plan(Relational.q14PromoEffect(spark, sf))
+    assert(q14.contains("PushedFilters") && q14.contains("l_shipdate"),
+      "the ship-month range must reach the parquet reader")
+  }
 }
