@@ -301,53 +301,113 @@ class Lakehouse(spark: SparkSession, root: String) {
 
   /** Per-file min/max column stats for a freshly written data dir,
     * stored as `_stats.jsonl` inside it (underscore-prefixed files are
-    * invisible to parquet discovery). One line per (file, column) for
-    * long/double/string leaf columns. In a real deployment the write
-    * tasks would emit these for free from the parquet footers; the
-    * one extra scan here is the sandbox analog of that bookkeeping. */
+    * invisible to parquet discovery). One line per (file, column).
+    *
+    * Read from the PARQUET FOOTERS — pure metadata I/O, no row is ever
+    * scanned — exactly where a production table format gets its
+    * manifest stats. Recorded columns: un-annotated int32/int64 and
+    * float/double primitives ("long"/"double") and UTF8 binaries
+    * ("string", ASCII-only bounds ≤ 128 chars — parquet orders binary
+    * stats by unsigned bytes, which agrees with Java string order only
+    * on ASCII, and oversized bounds would bloat the manifest); doubles
+    * with NaN bounds are dropped. Partition columns never appear in
+    * the files, so their values are recorded from the `k=v` path
+    * segments (min = max = the literal) — which is how partition
+    * pruning rides the same [[readWhere]] mechanism. Absence of a line
+    * just disables skipping for that (file, column). */
   private def writeStats(table: String, dir: String): Unit = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
     val dataDir = new Path(tableDir(table), dir)
-    // a write of zero rows (e.g. a delete that empties every touched
-    // partition) leaves no parquet files — nothing to record
-    def hasParquetFile(p: Path): Boolean =
-      fs.listStatus(p).exists(s =>
-        (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
-          (s.isDirectory && hasParquetFile(s.getPath)))
-    if (!hasParquetFile(dataDir)) return
-    val df = spark.read.parquet(dataDir.toString)
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
-    val statCols = df.schema.fields.collect {
-      case f if Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType) => (f.name, "long")
-      case f if Seq(FloatType, DoubleType).contains(f.dataType) => (f.name, "double")
-      case f if f.dataType == StringType => (f.name, "string")
-    }
-    if (statCols.isEmpty) return
-    val aggs = statCols.flatMap { case (c, _) =>
-      Seq(min(col(c)).cast("string").as(s"lo_$c"), max(col(c)).cast("string").as(s"hi_$c"))
-    }
-    val rows = df.groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*).collect()
+    def parquetFiles(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap {
+        case s if s.isFile && s.getPath.getName.endsWith(".parquet") => Seq(s.getPath)
+        case s if s.isDirectory && !s.getPath.getName.startsWith("_") => parquetFiles(s.getPath)
+        case _ => Seq.empty
+      }
+    val files = parquetFiles(dataDir)
+    if (files.isEmpty) return // zero-row write (e.g. a delete emptied every partition)
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c => c.toString
     }
-    // key stats by the table-relative path ("data-N/…"), independent of
-    // how the runtime renders the file URI scheme
+    val isAscii = (s: String) => s.forall(c => c >= ' ' && c < 127)
+    val conf = spark.sparkContext.hadoopConfiguration
     val marker = "/" + dir + "/"
-    val lines = for {
-      r <- rows.toSeq
-      f = r.getAs[String]("f")
-      idx = f.indexOf(marker)
-      if idx >= 0
-      rel = f.substring(idx + 1)
-      (c, t) <- statCols
-      lo = r.getAs[String](s"lo_$c")
-      hi = r.getAs[String](s"hi_$c")
-      if lo != null
-      // oversized string bounds (e.g. full document text) would bloat
-      // the manifest; absence of a line just disables skipping there
-      if t != "string" || (lo.length <= 128 && hi.length <= 128)
-    } yield s"""{"file":"${esc(rel)}","col":"${esc(c)}","t":"$t","lo":"${esc(lo)}","hi":"${esc(hi)}"}"""
-    writeFile(new Path(dataDir, "_stats.jsonl"), lines.mkString("\n") + "\n")
+    val lines = files.flatMap { file =>
+      val full = file.toString
+      val rel = full.substring(full.indexOf(marker) + 1)
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val footer = reader.getFooter
+        // (column name, type tag) for flat stat-able primitives
+        val fields = footer.getFileMetaData.getSchema.getFields.asScala.collect {
+          case f if f.isPrimitive =>
+            val p = f.asPrimitiveType()
+            val ann = p.getLogicalTypeAnnotation
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            val tag = p.getPrimitiveTypeName match {
+              case INT32 | INT64
+                if ann == null || ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] => "long"
+              case FLOAT | DOUBLE if ann == null => "double"
+              case BINARY if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] => "string"
+              case _ => ""
+            }
+            (p.getName, tag)
+        }.filter(_._2.nonEmpty).toMap
+        // fold row-group chunk stats into per-file bounds; a single
+        // chunk without usable stats kills that column's bound for the
+        // whole file (a partial bound would wrongly skip rows)
+        val acc = scala.collection.mutable.Map.empty[String, (String, String, String)]
+        val dead = scala.collection.mutable.Set.empty[String]
+        footer.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala.foreach { chunk =>
+            val name = chunk.getPath.toDotString
+            fields.get(name).filterNot(_ => dead.contains(name)).foreach { t =>
+              val st = chunk.getStatistics
+              val usable = st != null && st.hasNonNullValue
+              val bounds = if (!usable) None else {
+                val (lo, hi) = t match {
+                  case "string" =>
+                    (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                      st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                  case _ => (st.genericGetMin.toString, st.genericGetMax.toString)
+                }
+                val ok = t match {
+                  case "double" => !(lo == "NaN" || hi == "NaN")
+                  case "string" => lo.length <= 128 && hi.length <= 128 && isAscii(lo) && isAscii(hi)
+                  case _ => true
+                }
+                if (ok) Some((lo, hi)) else None
+              }
+              bounds match {
+                case Some((lo, hi)) => acc.updateWith(name) {
+                  case None => Some((t, lo, hi))
+                  case Some((_, plo, phi)) =>
+                    def less(a: String, b: String) =
+                      if (t == "string") a < b else BigDecimal(a) < BigDecimal(b)
+                    Some((t, if (less(lo, plo)) lo else plo, if (less(phi, hi)) hi else phi))
+                }
+                case None => dead += name; acc.remove(name)
+              }
+            }
+          }
+        }
+        // partition values from the path: data-N/k=v/... segments
+        val partStats = rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
+          val Array(k, raw) = seg.split("=", 2)
+          val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw)
+          val t = if (scala.util.Try(v.toLong).isSuccess) "long"
+            else if (scala.util.Try(v.toDouble).isSuccess) "double" else "string"
+          (k, (t, v, v))
+        }
+        (acc.toSeq ++ partStats).map { case (c, (t, lo, hi)) =>
+          s"""{"file":"${esc(rel)}","col":"${esc(c)}","t":"$t","lo":"${esc(lo)}","hi":"${esc(hi)}"}"""
+        }
+      } finally reader.close()
+    }
+    if (lines.nonEmpty) writeFile(new Path(dataDir, "_stats.jsonl"), lines.mkString("\n") + "\n")
   }
 
   private def unesc(s: String) =
