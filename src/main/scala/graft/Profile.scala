@@ -41,6 +41,24 @@ object Profile {
       t("simhash 48-agg")(sims.count())
       t("simhash full 1st")(graft.operators.Dedup.dedupSimhash(spark, dir).count())
       t("simhash full 2nd")(graft.operators.Dedup.dedupSimhash(spark, dir).count())
+      val gsim = call("simhashSigs", spark, dir)
+      t("simhash sigs (memo)")(gsim.count())
+      val buckets = gsim.select(
+        struct(col("gid"), col("sim")).as("e"),
+        posexplode(transform(
+          sequence(lit(0), lit(3)),
+          k => call_function("shiftright", col("sim"), k * 12)
+            .bitwiseAND(lit((1L << 12) - 1)))))
+        .groupBy(col("pos").as("band"), col("col").as("bval"))
+        .agg(collect_list(col("e")).as("ds"))
+      val gp = buckets
+        .where(size(col("ds")) > 1)
+        .select(col("ds"), explode(col("ds")).as("a"))
+        .select(col("a"), explode(col("ds")).as("b"))
+        .where(col("a.gid") < col("b.gid"))
+      t("simhash raw pairs")(gp.count())
+      t("simhash dedup pairs")(gp.select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+        .dropDuplicates("ga", "gb").count())
     }
     spark.stop()
   }

