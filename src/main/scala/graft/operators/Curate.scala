@@ -20,14 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+  /** Quality score + language ID from ONE scan + one tokenize pass —
+    * a plain DataFrame→DataFrame transform over (doc_id, text), so the
+    * SAME projection runs on a batch scan or a streaming source
+    * unchanged (stateless, codegen-side — StreamingSpec pins the
+    * batch/stream equivalence). Expressions are identical to
+    * textQuality/textLangid, so composed oracles are still the
+    * per-family oracles chained. */
+  def gates(docs: DataFrame): DataFrame = {
     import TextAnalysis._
-    // Quality score and language ID from ONE scan + one tokenize pass
-    // (calling the two standalone queries would scan and regex the
-    // corpus twice for values this plan derives from the same token
-    // array). Expressions are identical to textQuality/textLangid, so
-    // the composed oracle is still the per-family oracles chained.
-    val toks = graft.sources.Tables.parallel(spark, graft.sources.Tables.documents(spark, dir))
+    val toks = docs
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
@@ -36,15 +38,15 @@ object Curate {
         // see TextAnalysis.textQuality)
         stopCount(col("text")).as("n_stop"),
         size(regexp_extract_all(col("text"), lit("([^a-z0-9 ])"), lit(1))).as("n_punct"))
-    val scored = toks.select(
+    toks.select(
       col("doc_id"),
       {
         val nTokens = size(col("toks")).cast("double")
         val nStop = col("n_stop").cast("double")
         round(
           lit(0.4) * least(lit(1.0), nTokens / 100.0)
-            + lit(0.3) * (lit(1.0) - least(lit(1.0), lit(10.0) * col("n_punct").cast("double") / col("n_chars")))
-            + lit(0.3) * least(lit(1.0), lit(5.0) * nStop / nTokens),
+            + lit(0.3) * (lit(1.0) - least(lit(1.0), try_divide(lit(10.0) * col("n_punct").cast("double"), col("n_chars"))))
+            + lit(0.3) * least(lit(1.0), try_divide(lit(5.0) * nStop, nTokens)),
           6).as("quality")
       }, {
         val dt = array_distinct(col("toks"))
@@ -56,6 +58,11 @@ object Curate {
           .when(sDe > 0, "de")
           .otherwise("und").as("pred_lang")
       })
+  }
+
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = gates(
+      graft.sources.Tables.parallel(spark, graft.sources.Tables.documents(spark, dir)))
     val dupLater = Dedup.dedupNgramJaccard(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
     scored

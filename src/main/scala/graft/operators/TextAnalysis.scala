@@ -114,13 +114,13 @@ object TextAnalysis {
         length(regexp_replace(lower(col("text")), lit("[^a-z0-9]"), lit(""))).as("tok_chars"))
     d.select(
         col("doc_id"), col("n_chars"), col("n_tokens"),
-        round(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
-        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
-        round(col("tok_chars").cast("double") / col("n_tokens"), 6).as("mean_tok_len"),
+        round(try_divide(col("n_punct").cast("double"), col("n_chars")), 6).as("punct_ratio"),
+        round(try_divide(col("n_stop").cast("double"), col("n_tokens")), 6).as("stop_ratio"),
+        round(try_divide(col("tok_chars").cast("double"), col("n_tokens")), 6).as("mean_tok_len"),
         round(
           lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 100.0)
-            + lit(0.3) * (lit(1.0) - least(lit(1.0), lit(10.0) * col("n_punct").cast("double") / col("n_chars")))
-            + lit(0.3) * least(lit(1.0), lit(5.0) * col("n_stop").cast("double") / col("n_tokens")),
+            + lit(0.3) * (lit(1.0) - least(lit(1.0), try_divide(lit(10.0) * col("n_punct").cast("double"), col("n_chars"))))
+            + lit(0.3) * least(lit(1.0), try_divide(lit(5.0) * col("n_stop").cast("double"), col("n_tokens"))),
           6).as("quality"))
       .orderBy("doc_id")
   }

@@ -115,4 +115,21 @@ class DedupSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("skew-cap drops are observable: the listener records capped buckets") {
+    import spark.implicits._
+    // one bucket of 3 docs against maxBucket=2: dropped, and loudly so
+    val buckets = Seq((1L, Seq(10L, 11L, 12L)), (2L, Seq(20L, 21L)))
+      .toDF("key", "ds")
+    val before = Dedup.CapDropListener.dropEvents.get()
+    val pairs = Dedup.expandPairs(buckets, col("ds"), maxBucket = 2).collect()
+    // the capped bucket contributes no pairs; the small one survives
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((20L, 21L)))
+    // observed metrics arrive via the async listener bus
+    val deadline = System.currentTimeMillis() + 10000
+    while (Dedup.CapDropListener.dropEvents.get() <= before
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(Dedup.CapDropListener.dropEvents.get() > before,
+      "a dropped bucket must surface through the cap-drop listener")
+  }
 }

@@ -332,6 +332,23 @@ class LakehouseSpec extends SparkSpec {
     assert(none.columns.toSet === Set("k", "tag"))
   }
 
+  test("readWhere stays correct when the predicate cannot prune (OR trees, column arithmetic)") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace((0L until 50L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), "np")
+    lake.append((50L until 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), "np")
+    // OR: no conjunct is extractable — all files read, result exact
+    val orRead = lake.readWhere(col("k") === 5L || col("k") === 95L, "np")
+    assert(orRead.collect().map(_.getLong(0)).toSet === Set(5L, 95L))
+    assert(orRead.inputFiles.length === 2)
+    // column arithmetic: not a plain comparison — conservative, exact
+    assert(lake.readWhere(col("k") % 10 === 0, "np").count() === 10L)
+    // mixed: the AND'd plain conjunct still prunes to one file
+    val mixed = lake.readWhere(col("k") >= 80L && col("k") % 2 === 0, "np")
+    assert(mixed.inputFiles.length === 1)
+    assert(mixed.count() === 10L)
+  }
+
   test("upsert detects a key that moved partitions: the old row is removed too") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._

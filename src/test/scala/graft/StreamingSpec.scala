@@ -134,6 +134,31 @@ class StreamingSpec extends SparkSpec {
     assert(lake.read("eo_tbl").count() === countAfterRun1)
   }
 
+  test("curate gates run identically on a stream and on a batch (same codegen'd projection)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and that is it you see"),
+      (2L, "el perro y el gato se fueron a la casa de los vecinos en un dia"),
+      (3L, "!!!###$$$ %%%"),
+      (4L, "the " * 60 + "of and to a in is you that it"))
+      .map { case (id, t) => (id, t.trim) }
+    val batchOut = graft.operators.Curate.gates(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val source = MemoryStream[(Long, String)]
+    source.addData(docs: _*)
+    val q = graft.operators.Curate.gates(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gates_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamOut = spark.table("gates_stream")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(streamOut === batchOut)
+      assert(streamOut.exists(_._3 == "en") && streamOut.exists(_._3 == "es"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with in-window clicks only") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
