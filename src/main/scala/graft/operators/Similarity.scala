@@ -249,18 +249,27 @@ object Similarity {
     }
   }
 
+  /** Trained k-means codebooks per (session, dir): a coarse quantizer
+    * is an OFFLINE artifact — trained once, reused by every query
+    * against the corpus (retraining per query would be as wrong at
+    * scale as re-bucketing the corpus per query). Deterministic:
+    * fixed seed, fixed iteration count. */
+  private val codebooks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Seq[(Long, Array[Long])]]()
+
   def annIvfTrained(spark: SparkSession, dir: String, k: Int = 10,
       nCells: Int = IvfCells): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
     import org.apache.spark.ml.functions.array_to_vector
     val e = quantized(spark, dir)
-    val feat = e.select(col("vec_id"),
-      array_to_vector(col("v").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(feat)
-    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i.toLong, c.toArray.map(x => math.round(x)))
-    }.toSeq
+    val cents = codebooks.computeIfAbsent((spark, dir, nCells), _ => {
+      val feat = e.select(col("vec_id"),
+        array_to_vector(col("v").cast("array<double>")).as("features"))
+      val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(feat)
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i.toLong, c.toArray.map(x => math.round(x)))
+      }.toSeq
+    })
     lastTrained.put(dir, cents.map { case (i, cv) => (i, cv.toSeq) })
     lastTrainedDir = Some(dir)
     val centsDf = broadcast(spark.createDataFrame(cents)
