@@ -60,9 +60,16 @@ object Curate {
       })
   }
 
+  /** Memoized gate scores for the corpus at `dir` — shared by
+    * pipeline_curate and pipeline_train_mix (one scan + regex pass,
+    * many consumers; the signature-table pattern of SURVEY §4). */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Memo.persisted(spark, s"curate.scored|$dir") {
+      gates(graft.sources.Tables.parallel(spark, graft.sources.Tables.documents(spark, dir)))
+    }
+
   def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
-    val scored = gates(
-      graft.sources.Tables.parallel(spark, graft.sources.Tables.documents(spark, dir)))
+    val scored = scoredDocs(spark, dir)
     val dupLater = Dedup.dedupNgramJaccard(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
     scored
