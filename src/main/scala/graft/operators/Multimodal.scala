@@ -16,6 +16,13 @@ case class DecodedMedia(
     n_frames: Int,
     mean_byte: Double)
 
+/** A fixed-size thumbnail produced by the (stubbed) resize stage. */
+case class ResizedMedia(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    thumb: Array[Byte])
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed in explicit per-partition
   * batches.
@@ -79,6 +86,32 @@ object Multimodal {
       .select(col("doc_id"), lit("stub").as("kind"), col("payload"))
       .as[MediaRecord]
       .mapPartitions(_.grouped(batchSize).flatMap(batch => batch.map(decodeStub)))
+  }
+
+  /** Resize: deterministic nearest-neighbor downsample of the payload
+    * to a `tw`×`th` byte thumbnail (byte i of the thumb = payload byte
+    * at the proportional offset). The codec-free stand-in for an image
+    * resize — swap the per-record function for a real resampler; the
+    * batching, schema (fixed-size binary thumb), and partitioning are
+    * the real thing. */
+  def resizeStub(r: MediaRecord, tw: Int, th: Int): ResizedMedia = {
+    val n = tw * th
+    val b = r.payload
+    val thumb = Array.tabulate(n) { i =>
+      if (b.isEmpty) 0: Byte else b(((i.toLong * b.length) / n).toInt)
+    }
+    ResizedMedia(r.doc_id, tw, th, thumb)
+  }
+
+  /** Batched resize pass — same iterator-to-iterator shape as
+    * [[decodeFeatures]]. */
+  def resizeThumbs(spark: SparkSession, dir: String,
+      tw: Int = 8, th: Int = 8): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), lit("stub").as("kind"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(resizeStub(_, tw, th)))
   }
 
   /** Frame sampling: every `stride`-th 16-byte slice of the payload —

@@ -48,6 +48,18 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.groupBy("doc_id").count().where(col("count") < 1).count() === 0)
   }
 
+  test("resize produces fixed-size deterministic thumbnails for every record") {
+    val thumbs = Multimodal.resizeThumbs(spark, sf, tw = 8, th = 8).collect()
+    assert(thumbs.nonEmpty)
+    assert(thumbs.forall(t => t.thumb.length === 64 && t.width === 8 && t.height === 8))
+    // pure function of the payload: same input, same thumb
+    val a = Multimodal.resizeStub(MediaRecord(1, "stub", "some payload bytes".getBytes), 4, 4)
+    val b = Multimodal.resizeStub(MediaRecord(1, "stub", "some payload bytes".getBytes), 4, 4)
+    assert(a.thumb.toSeq === b.thumb.toSeq)
+    // the thumb is a proportional sample, so first byte = first payload byte
+    assert(a.thumb.head === "some payload bytes".getBytes.head)
+  }
+
   test("multimodal_features: md5 matches text md5 (payload is the utf-8 bytes)") {
     val joined = Multimodal.multimodalFeatures(spark, sf)
       .join(graft.sources.Tables.documents(spark, sf).select(col("doc_id"), md5(col("text")).as("want")), "doc_id")
