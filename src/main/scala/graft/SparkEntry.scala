@@ -83,6 +83,8 @@ object SparkEntry {
     "pipeline_pack" -> ((s, d) => Curate.pipelinePack(s, d)),
     // full curate -> sample -> pack training-mix flow, one plan
     "pipeline_train_mix" -> ((s, d) => Curate.pipelineTrainMix(s, d)),
+    // benchmark-decontamination: exact shingle overlap vs holdout
+    "pipeline_decontaminate" -> ((s, d) => Dedup.pipelineDecontaminate(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twins (same table names, same aliases,
@@ -569,6 +571,17 @@ object SparkEntry {
         |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
     // §2.E — text analysis
+    "pipeline_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []
+        |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END sh FROM tk),
+        |ph AS (SELECT doc_id, CAST(md5_number_lower(unnest(sh)) // 4 AS BIGINT) g FROM s),
+        |hold AS (SELECT DISTINCT g FROM ph WHERE doc_id % 97 = 0),
+        |contam AS (SELECT DISTINCT ph.doc_id FROM ph JOIN hold ON ph.g = hold.g
+        |  WHERE ph.doc_id % 97 <> 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_sample" ->
       """WITH t AS (SELECT doc_id,
         |  list_distinct(regexp_extract_all(lower(text),'([a-z0-9]+)',1)) dt FROM documents),

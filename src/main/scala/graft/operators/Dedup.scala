@@ -297,6 +297,32 @@ object Dedup {
       postingArrays(spark, dir), "jaccard", lit(1.0), maxBucket)
   }
 
+  /** `pipeline_decontaminate` — benchmark-contamination removal: drop
+    * every training document sharing ANY 3-shingle with the holdout
+    * set (docs with doc_id ≡ 0 mod `mod` stand in for the benchmark).
+    * The named decontamination step of real pretraining pipelines
+    * (exact n-gram overlap against eval sets).
+    *
+    * Shape: holdout shingles are benchmark-sized (tiny next to the
+    * corpus) — candidate detection is an equi-join of the postings
+    * against that small distinct set (broadcast at scale), then an
+    * anti-join drops contaminated groups; everything runs at
+    * unique-text group cardinality through the shared Memo'd postings.
+    * A doc with no shingles can't intersect and survives. */
+  def pipelineDecontaminate(spark: SparkSession, dir: String, mod: Long = 97): DataFrame = {
+    val groups = dupGroups(spark, dir)
+    val posts = postings(spark, dir)
+    val docs = groups.select(col("gid"), explode(col("members")).as("doc_id"))
+    val holdoutGids = docs.where(col("doc_id") % mod === 0).select("gid").distinct()
+    val holdShingles = posts.join(holdoutGids, "gid").select("g").distinct()
+    val contamGids = posts.join(holdShingles, "g").select("gid").distinct()
+    docs
+      .where(col("doc_id") % mod =!= 0)
+      .join(contamGids, Seq("gid"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val MinhashSeeds = 16
   val MinhashBands = 4 // 4 bands × 4 rows
 
