@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Adversarial dedup stress harness (SURVEY §5): 16 identical copies
+  * of the sf0.1 corpus (80k docs / 160k vectors, the dup-heaviest
+  * possible regime) — exact-dup collapse must absorb the 16× blowup.
+  * Run: `sbt "Test/runMain graft.Stress"`. Not part of `sbt test`
+  * (minutes-long by design).
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = 16
+    val spark = GraftSession.local(32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stress").toString
+    val docs = graft.sources.Tables.documents(spark, base)
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val docsN = (0 until copies).map(i =>
+      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
+        col("text"), col("source"))).reduce(_.unionByName(_))
+    docsN.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = graft.sources.Tables.embeddings(spark, base)
+    val m = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val embN = (0 until copies).map { i =>
+      val cols = (col("vec_id") + lit(i * m)).as("vec_id") +:
+        emb.columns.filterNot(_ == "vec_id").map(col).toSeq
+      emb.select(cols: _*)
+    }.reduce(_.unionByName(_))
+    embN.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val rows = f
+      println(f"STRESS $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1f s  rows=$rows")
+    }
+    import graft.operators.{Curate, Dedup}
+    t("dedup_exact")(Dedup.dedupExact(spark, dir).where(col("is_dup")).count())
+    t("dedup_ngram_jaccard")(Dedup.dedupNgramJaccard(spark, dir).count())
+    t("dedup_minhash_lsh")(Dedup.dedupMinhashLsh(spark, dir).count())
+    t("dedup_simhash")(Dedup.dedupSimhash(spark, dir).count())
+    t("dedup_embedding")(Dedup.dedupEmbedding(spark, dir).count())
+    t("pipeline_decontam")(Dedup.pipelineDecontaminate(spark, dir).count())
+    t("pipeline_curate")(Curate.pipelineCurate(spark, dir).count())
+    graft.sources.Memo.release(spark)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    spark.stop()
+  }
+}
