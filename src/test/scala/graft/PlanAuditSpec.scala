@@ -45,7 +45,9 @@ class PlanAuditSpec extends SparkSpec {
     Seq(
       Dedup.dedupNgramJaccard(spark, sf),
       Dedup.dedupMinhashLsh(spark, sf),
-      Dedup.dedupSimhash(spark, sf)).foreach { df =>
+      Dedup.dedupSimhash(spark, sf),
+      Dedup.dedupEmbedding(spark, sf),
+      Dedup.pipelineDecontaminate(spark, sf)).foreach { df =>
       assert(!plan(df).contains("CartesianProduct"), "O(n²) pair enumeration leaked in")
     }
   }
