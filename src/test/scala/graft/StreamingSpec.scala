@@ -159,6 +159,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end: streamed docs flow through curate gates into an exactly-once lakehouse table") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-curate").toString
+    val lake = new graft.sources.Lakehouse(spark, root)
+    lake.createOrReplace(
+      Seq.empty[(Long, Double, String)].toDF("doc_id", "quality", "pred_lang"), "curated")
+    val source = MemoryStream[(Long, String)]
+    source.addData(
+      (1L, "the quick brown fox jumps over the lazy dog and that is it you know " * 3),
+      (2L, "el perro y el gato se fueron a la casa de los vecinos en un dia"),
+      (3L, "%%% !!! ###"))
+    val gated = graft.operators.Curate.gates(source.toDF().toDF("doc_id", "text"))
+      .where(col("quality") >= 0.5 && col("pred_lang") === "en")
+    val q = EventStream.streamToLakehouse(gated, lake, "curated",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    try {
+      q.processAllAvailable()
+      // only the high-quality English doc lands
+      val rows = lake.read("curated").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L))
+      assert(rows.head.getString(2) === "en")
+      assert(lake.committedBatches("curated").nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with in-window clicks only") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
