@@ -219,6 +219,38 @@ class Lakehouse(spark: SparkSession, root: String) {
     writeFile(currentPtr(table, branch), fromSnap.toString)
   }
 
+  /** Roll a branch back to an earlier snapshot (the Iceberg
+    * `rollback_to_snapshot` analog): snapshots are immutable, so
+    * undoing a bad write is one pointer move — the rolled-past
+    * snapshots stay in history until [[expireSnapshots]]. */
+  def rollback(table: String, snap: Long, branch: String = "main"): Unit =
+    tableLock(table).synchronized {
+      require(snapshots(table).exists(_._1 == snap), s"$table has no snapshot $snap")
+      writeFile(currentPtr(table, branch), snap.toString)
+    }
+
+  /** Table history as a DataFrame (the `DESCRIBE HISTORY` analog):
+    * one row per committed snapshot with its entry count, whether it
+    * is any branch's current snapshot, and the streaming batch id in
+    * its commit metadata (null if none). */
+  def history(table: String): DataFrame = {
+    val heads = branches(table)
+      .flatMap(b => currentSnapshot(table, b).map(_ -> b))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.mkString(",")).toMap
+    val batchBySnap = readLines(manifest(table)).flatMap { l =>
+      for {
+        s <- """"snap":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+        b <- """"batch":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+      } yield s -> b
+    }.toMap
+    val rows = snapshots(table).map { case (snap, dirs) =>
+      (snap, dirs.length.toLong, heads.getOrElse(snap, ""),
+        batchBySnap.get(snap).map(_.toString).getOrElse(""))
+    }
+    spark.createDataFrame(rows)
+      .toDF("snapshot_id", "n_entries", "current_of", "stream_batch")
+  }
+
   def branches(table: String): Seq[String] = {
     val names = fs.listStatus(tableDir(table)).toSeq.map(_.getPath.getName)
     (if (names.contains("_current")) Seq("main") else Seq.empty) ++

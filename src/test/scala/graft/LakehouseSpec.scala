@@ -426,6 +426,28 @@ class LakehouseSpec extends SparkSpec {
     assert(pruned.inputFiles.forall(f => f.contains("data-2")))
   }
 
+  test("rollback moves the branch pointer back; history lists every snapshot with metadata") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "rb")
+    lake.append(Seq((2L, "bad")).toDF("k", "v"), "rb")
+    lake.appendOnce(Seq((3L, "c")).toDF("k", "v"), "rb", batchId = 7L)
+    assert(lake.read("rb").count() === 3L)
+    lake.rollback("rb", 1L)
+    assert(lake.read("rb").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // rolled-past snapshots remain readable history
+    assert(lake.readSnapshot("rb", 3L).count() === 3L)
+    val h = lake.history("rb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq.sortBy(_._1)
+    assert(h.map(_._1) === Seq(1L, 2L, 3L))
+    assert(h.head._3 === "main")          // rollback target is main's current
+    assert(h(2)._4 === "7")               // stream batch id surfaces
+    assert(h(2)._2 === 3L)                // snapshot 3 references 3 entries
+    // writes after rollback fork cleanly from the restored base
+    lake.append(Seq((9L, "z")).toDF("k", "v"), "rb")
+    assert(lake.read("rb").collect().map(_.getLong(0)).toSet === Set(1L, 9L))
+  }
+
   test("removeOrphans deletes uncommitted data dirs and stale markers, never referenced data") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
