@@ -36,14 +36,29 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Ambient-load self-defense (rounds 2 and 3 both recorded numbers
+    // inflated 1.5-3x by competing processes): snapshot /proc/loadavg
+    // before and after, publish it IN the JSON so a recorded bench
+    // carries its own validity evidence, and warn loudly when the box
+    // wasn't idle so the run gets re-done instead of trusted.
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = load1()
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> Seq.fill(3)(once(name, fn)).min
     }
+    val loadEnd = load1()
+    val hostCpus = Runtime.getRuntime.availableProcessors()
+    if (math.max(loadStart, loadEnd) > hostCpus / 4.0)
+      System.err.println(
+        f"[bench] WARNING: 1-min load average $loadStart%.1f -> $loadEnd%.1f on $hostCpus CPUs " +
+          "— the box was not idle; these timings are load-contaminated, re-run before recording")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","loadavg":{"start":$loadStart,"end":$loadEnd,"cpus":$hostCpus}}""")
     // Release the per-dir persisted bases (dup groups, postings,
     // quantized vectors): a long-lived driver crossing scale-factor
     // dirs must not accumulate caches forever.

@@ -174,14 +174,21 @@ object Medallion {
     lake.append(spark.sql(
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'"),
       "lh_orders")
-    // MERGE INTO: matched keys update (doubled price), unmatched insert
+    // MERGE INTO / DELETE FROM as PARSED SQL statements — the
+    // GraftSqlParser injection routes them through the lakehouse's
+    // snapshot-committing sqlMerge/sqlDelete (the reference issues the
+    // same statements through Iceberg's parser extensions)
+    lake.registerView("lh_orders")
     spark.sql(
       """SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
         |FROM orders WHERE o_custkey % 97 = 0""".stripMargin)
       .createOrReplaceTempView("merge_src")
-    lake.sqlMerge("lh_orders", "merge_src", Seq("o_orderkey"))
-    // DELETE FROM … WHERE (row-level copy-on-write, new snapshot)
-    lake.sqlDelete("lh_orders", "o_orderkey % 7 = 0")
+    spark.sql(
+      """MERGE INTO lh_orders USING merge_src
+        |ON lh_orders.o_orderkey = merge_src.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM lh_orders WHERE o_orderkey % 7 = 0")
     spark.sql(
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -275,7 +275,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new Path(tableDir(table), dir).toString)
-    writeStats(table, dir)
+    writeStats(table, dir, df.schema)
   }
 
   /** Create-or-replace: write a fresh data dir, commit a snapshot
@@ -347,7 +347,8 @@ class Lakehouse(spark: SparkSession, root: String) {
     * segments (min = max = the literal) — which is how partition
     * pruning rides the same [[readWhere]] mechanism. Absence of a line
     * just disables skipping for that (file, column). */
-  private def writeStats(table: String, dir: String): Unit = {
+  private def writeStats(table: String, dir: String,
+      writerSchema: org.apache.spark.sql.types.StructType): Unit = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -359,6 +360,12 @@ class Lakehouse(spark: SparkSession, root: String) {
         case s if s.isDirectory && !s.getPath.getName.startsWith("_") => parquetFiles(s.getPath)
         case _ => Seq.empty
       }
+    // Record the writer's schema next to the data: readers re-open the
+    // dir with this EXPLICIT schema, so partition values keep their
+    // declared types (Spark's path-value type inference would read a
+    // StringType partition holding "9" back as an int — silently
+    // changing the table's schema and its comparison semantics).
+    writeFile(new Path(dataDir, "_schema.json"), writerSchema.json)
     val files = parquetFiles(dataDir)
     if (files.isEmpty) return // zero-row write (e.g. a delete emptied every partition)
     def esc(s: String) = s.flatMap {
@@ -407,7 +414,10 @@ class Lakehouse(spark: SparkSession, root: String) {
                   case _ => (st.genericGetMin.toString, st.genericGetMax.toString)
                 }
                 val ok = t match {
-                  case "double" => !(lo == "NaN" || hi == "NaN")
+                  // non-finite bounds are useless for range tests and
+                  // crash BigDecimal parsing downstream — drop them all
+                  case "double" => scala.util.Try(lo.toDouble).toOption.exists(_.isFinite) &&
+                    scala.util.Try(hi.toDouble).toOption.exists(_.isFinite)
                   case "string" => lo.length <= 128 && hi.length <= 128 && isAscii(lo) && isAscii(hi)
                   case _ => true
                 }
@@ -417,22 +427,45 @@ class Lakehouse(spark: SparkSession, root: String) {
                 case Some((lo, hi)) => acc.updateWith(name) {
                   case None => Some((t, lo, hi))
                   case Some((_, plo, phi)) =>
-                    def less(a: String, b: String) =
-                      if (t == "string") a < b else BigDecimal(a) < BigDecimal(b)
-                    Some((t, if (less(lo, plo)) lo else plo, if (less(phi, hi)) hi else phi))
+                    // an unparseable numeric bound kills the column's
+                    // stat for this file (conservative) instead of
+                    // failing the whole append
+                    scala.util.Try {
+                      def less(a: String, b: String) =
+                        if (t == "string") a < b else BigDecimal(a) < BigDecimal(b)
+                      (t, if (less(lo, plo)) lo else plo, if (less(phi, hi)) hi else phi)
+                    }.toOption.orElse { dead += name; None }
                 }
                 case None => dead += name; acc.remove(name)
               }
             }
           }
         }
-        // partition values from the path: data-N/k=v/... segments
-        val partStats = rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
+        // Partition values from the path: data-N/k=v/... segments. The
+        // stat TYPE comes from the writer's schema, never from whether
+        // the value happens to parse as a number — a StringType
+        // partition column holding "9"/"10" typed "long" would make
+        // rangeMayMatch compare numerically while the engine compares
+        // lexically ("9" > "10" is TRUE as strings), wrongly skipping
+        // matching files. Unmapped types record no stat (no pruning,
+        // conservatively correct).
+        import org.apache.spark.sql.types._
+        val schemaTag: Map[String, String] = writerSchema.fields.map { f =>
+          f.name -> (f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => "long"
+            case FloatType | DoubleType => "double"
+            case StringType => "string"
+            case _ => ""
+          })
+        }.toMap
+        val partStats = rel.split("/").dropRight(1).filter(_.contains("=")).flatMap { seg =>
           val Array(k, raw) = seg.split("=", 2)
           val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw)
-          val t = if (scala.util.Try(v.toLong).isSuccess) "long"
-            else if (scala.util.Try(v.toDouble).isSuccess) "double" else "string"
-          (k, (t, v, v))
+          schemaTag.getOrElse(k, "") match {
+            case "" => None
+            case _ if v == "__HIVE_DEFAULT_PARTITION__" => None // null partition: no bound
+            case t => Some((k, (t, v, v)))
+          }
         }
         (acc.toSeq ++ partStats).map { case (c, (t, lo, hi)) =>
           s"""{"file":"${esc(rel)}","col":"${esc(c)}","t":"$t","lo":"${esc(lo)}","hi":"${esc(hi)}"}"""
@@ -444,6 +477,33 @@ class Lakehouse(spark: SparkSession, root: String) {
 
   private def unesc(s: String) =
     s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** The schema the writer of `dataDir` declared (see [[writeStats]]);
+    * None for dirs predating schema recording. */
+  private def dirSchema(table: String, dataDir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val lines = readLines(new Path(new Path(tableDir(table), dataDir), "_schema.json"))
+    if (lines.isEmpty) None
+    else scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromJson(lines.mkString("\n"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+  }
+
+  /** Open one data dir's entries (whole dir, partition leaves, or an
+    * explicit file list) with the dir's RECORDED writer schema when
+    * available — partition columns then resolve to their declared
+    * types instead of path-value inference (a string partition of
+    * numeric-looking values must stay a string). Falls back to
+    * mergeSchema inference for unrecorded dirs. */
+  private def openDirGroup(table: String, dataDir: String, paths: Seq[String]): DataFrame = {
+    val base = new Path(tableDir(table), dataDir)
+    val reader = dirSchema(table, dataDir) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read.option("mergeSchema", "true")
+    }
+    if (paths == Seq(dataDir)) reader.parquet(base.toString)
+    else reader.option("basePath", base.toString)
+      .parquet(paths.map(e => new Path(tableDir(table), e).toString): _*)
+  }
 
   /** Parsed `(file, col, type, lo, hi)` stats lines of one data dir. */
   private def readStats(table: String, dataDir: String): Seq[(String, String, String, String, String)] =
@@ -509,7 +569,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     * BigDecimal (a long-typed column tested against a double literal
     * must not compare lexically); string stats compare as strings. */
   private def rangeMayMatch(t: String, fLo: String, fHi: String,
-      op: String, v: Any): Boolean = {
+      op: String, v: Any): Boolean = scala.util.Try {
     def cmp(bound: String): Int =
       if (t == "string") bound.compareTo(v.toString)
       else BigDecimal(bound).compare(BigDecimal(v.toString))
@@ -521,7 +581,10 @@ class Lakehouse(spark: SparkSession, root: String) {
       case "<=" => cmp(fLo) <= 0
       case _ => true
     }
-  }
+    // an unparseable bound/literal pairing (e.g. a non-numeric string
+    // literal coerced against a numeric column) must degrade to
+    // "may match" — no pruning — never crash the read
+  }.getOrElse(true)
 
   /** Files under a snapshot entry (whole dir or partition leaf) that
     * may contain rows matching every conjunct, as table-relative
@@ -578,9 +641,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     val reads = byDataDir.flatMap { case (dataDir, dirEntries) =>
       val files = dirEntries.flatMap(matchingFiles(table, _, conjuncts)).distinct
       if (files.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .option("basePath", new Path(tableDir(table), dataDir).toString)
-        .parquet(files.map(f => new Path(tableDir(table), f).toString): _*))
+      else Some(openDirGroup(table, dataDir, files))
     }
     if (reads.isEmpty)
       // no file can match: an empty relation with the table's schema
@@ -610,7 +671,7 @@ class Lakehouse(spark: SparkSession, root: String) {
   def deleteWhere(pred: org.apache.spark.sql.Column, table: String,
       partitionBy: Seq[String] = Nil, branch: String = "main"): Long =
     retryingCommit(table, branch) { base =>
-      import org.apache.spark.sql.functions.not
+      import org.apache.spark.sql.functions.{coalesce, lit}
       val rawEntries = base.map(c => snapshots(table).find(_._1 == c).get._2)
         .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
       val conjuncts = skippableConjuncts(pred, readBase(table, base))
@@ -637,11 +698,15 @@ class Lakehouse(spark: SparkSession, root: String) {
       else {
         val byDataDir = touched.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
         val touchedRows = byDataDir.map { case (dataDir, dirEntries) =>
-          spark.read.option("mergeSchema", "true")
-            .option("basePath", new Path(tableDir(table), dataDir).toString)
-            .parquet(dirEntries.map(e => new Path(tableDir(table), e).toString): _*)
+          openDirGroup(table, dataDir, dirEntries)
         }.reduce(_.unionByName(_, allowMissingColumns = true))
-        val survivors = touchedRows.where(not(pred))
+        // SQL DELETE semantics: remove rows where pred is TRUE — a row
+        // where pred evaluates to NULL (e.g. a NULL column under `===`)
+        // SURVIVES. `where(not(pred))` would silently drop such rows
+        // (NOT(NULL) = NULL filters them out), and inconsistently so:
+        // the same row is kept whenever its file is stat-classified
+        // clean and carried by reference.
+        val survivors = touchedRows.where(coalesce(pred, lit(false)) =!= lit(true))
         val snap = reserveSnap(table)
         val dir = s"data-$snap"
         try {
@@ -658,7 +723,14 @@ class Lakehouse(spark: SparkSession, root: String) {
             val committed = commit(table, snap, clean, branch, Some(base))
             fs.delete(new Path(tableDir(table), dir), true)
             committed
-          } else commit(table, snap, clean :+ dir, branch, Some(base))
+          } else {
+            // every row deleted and nothing carried: a bare partitioned
+            // dir (only _SUCCESS) would break snapshot reads, so
+            // rewrite it as an empty UNPARTITIONED parquet dir — which
+            // always writes one schema-bearing file
+            writeDataDir(survivors.limit(0), table, dir, Nil)
+            commit(table, snap, Seq(dir), branch, Some(base))
+          }
         } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
       }
     }
@@ -726,18 +798,35 @@ class Lakehouse(spark: SparkSession, root: String) {
     * snapshots, branches, and time travel are unaffected. Returns the
     * deleted paths. */
   def removeOrphans(table: String, staleMillis: Long = 24L * 3600 * 1000): Seq[String] = {
-    val referenced = snapshots(table).flatMap(_._2).map(_.takeWhile(_ != '/')).toSet
     val now = System.currentTimeMillis()
     val removed = Seq.newBuilder[String]
-    fs.listStatus(tableDir(table)).foreach { st =>
+    val listing = fs.listStatus(tableDir(table)).toSeq
+    // Pass 1: stale reservation markers (a live writer holds its marker
+    // only for one write+commit; older = a dead writer's leftovers).
+    listing.foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("data-") && !referenced.contains(name)) {
-        fs.delete(st.getPath, true)
-        removed += name
-      } else if (st.isFile && name.startsWith("_reserve-")
+      if (st.isFile && name.startsWith("_reserve-")
           && now - st.getModificationTime > staleMillis) {
         fs.delete(st.getPath, false)
         removed += name
+      }
+    }
+    // Pass 2: unreferenced data dirs — but NEVER one whose _reserve-N
+    // marker still exists: a concurrent writer between writeDataDir and
+    // commit holds a fresh marker while its dir is still unreferenced,
+    // and vacuuming it would let the subsequent commit reference
+    // deleted data (a corrupted table). The marker is deleted only
+    // AFTER the manifest line lands, so re-reading the manifest at
+    // delete time closes the marker-just-removed window too.
+    listing.foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("data-")
+          && !fs.exists(new Path(tableDir(table), "_reserve-" + name.stripPrefix("data-")))) {
+        val referencedNow = snapshots(table).flatMap(_._2).map(_.takeWhile(_ != '/')).toSet
+        if (!referencedNow.contains(name) && fs.exists(st.getPath)) {
+          fs.delete(st.getPath, true)
+          removed += name
+        }
       }
     }
     removed.result()
@@ -830,7 +919,7 @@ class Lakehouse(spark: SparkSession, root: String) {
       try {
         merged.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
           .parquet(new Path(tableDir(table), dir).toString)
-        writeStats(table, dir)
+        writeStats(table, dir, merged.schema)
         // Touched-partition names come from TWO sources: the delta
         // dir's written leaves (Spark's own path encoding — can never
         // disagree with what was written), plus the path-encoded
@@ -899,10 +988,8 @@ class Lakehouse(spark: SparkSession, root: String) {
       .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $snap"))._2
     val groups = dirs.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
     val reads = groups.map { case (dataDir, entries) =>
-      val base = new Path(tableDir(table), dataDir)
-      if (entries.contains(dataDir)) spark.read.option("mergeSchema", "true").parquet(base.toString)
-      else spark.read.option("mergeSchema", "true").option("basePath", base.toString)
-        .parquet(entries.map(e => new Path(tableDir(table), e).toString): _*)
+      if (entries.contains(dataDir)) openDirGroup(table, dataDir, Seq(dataDir))
+      else openDirGroup(table, dataDir, entries)
     }
     reads.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -957,11 +1044,8 @@ class Lakehouse(spark: SparkSession, root: String) {
     else {
       val groups = added.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
       groups.map { case (dataDir, entries) =>
-        val basePath = new Path(tableDir(table), dataDir)
-        if (entries.contains(dataDir))
-          spark.read.option("mergeSchema", "true").parquet(basePath.toString)
-        else spark.read.option("mergeSchema", "true").option("basePath", basePath.toString)
-          .parquet(entries.map(e => new Path(tableDir(table), e).toString): _*)
+        if (entries.contains(dataDir)) openDirGroup(table, dataDir, Seq(dataDir))
+        else openDirGroup(table, dataDir, entries)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
@@ -976,9 +1060,14 @@ class Lakehouse(spark: SparkSession, root: String) {
   }
 
   /** Register the current snapshot as a temp view for SQL access —
-    * the `SHOW TABLES` / `SELECT * FROM catalog.table` path. */
-  def registerView(table: String): Unit =
+    * the `SHOW TABLES` / `SELECT * FROM catalog.table` path — and make
+    * the table addressable by parsed SQL DML (`MERGE INTO` /
+    * `DELETE FROM`, see [[GraftSqlParser]]). `partitionBy` is the
+    * layout DML rewrites preserve. */
+  def registerView(table: String, partitionBy: Seq[String] = Nil): Unit = {
     read(table).createOrReplaceTempView(table)
+    LakehouseRegistry.register(table, this, partitionBy)
+  }
 }
 
 /** Thrown when a conditional commit loses the optimistic-concurrency

@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+/** SQL DML over lakehouse tables — the surface the reference gets from
+  * Iceberg's SparkSessionExtensions (reference: gold_reporting.py:70
+  * `IcebergSparkSessionExtensions` is what makes `MERGE INTO` /
+  * `DELETE FROM` real SQL there). [[graft.GraftExtensions]] injects
+  * [[GraftSqlParser]], which intercepts the two DML statements for
+  * REGISTERED lakehouse views and routes them through the snapshot-
+  * committing [[Lakehouse.sqlMerge]]/[[Lakehouse.sqlDelete]] paths;
+  * every other statement delegates untouched to Spark's parser.
+  */
+object LakehouseRegistry {
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, (Lakehouse, Seq[String])]()
+
+  /** Register `view` as DML-addressable, with the partition layout its
+    * copy-on-write rewrites should preserve. */
+  def register(view: String, lake: Lakehouse, partitionBy: Seq[String] = Nil): Unit =
+    tables.put(view.toLowerCase(java.util.Locale.ROOT), (lake, partitionBy))
+
+  def lookup(view: String): Option[(Lakehouse, Seq[String])] =
+    Option(tables.get(view.toLowerCase(java.util.Locale.ROOT)))
+}
+
+/** `DELETE FROM <lakehouse view> WHERE <pred>` — copy-on-write delete
+  * committed as a new snapshot; returns the snapshot id. */
+case class LakehouseDeleteCommand(view: String, whereClause: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, partitionBy) = LakehouseRegistry.lookup(view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    Seq(Row(lake.sqlDelete(view, whereClause, partitionBy)))
+  }
+}
+
+/** `MERGE INTO <lakehouse view> USING <view> ON t.k = s.k [AND …]
+  * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` —
+  * the canonical upsert-all shape, committed as a new snapshot. */
+case class LakehouseMergeCommand(view: String, sourceView: String, keyCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, partitionBy) = LakehouseRegistry.lookup(view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    Seq(Row(lake.sqlMerge(view, sourceView, keyCols, partitionBy)))
+  }
+}
+
+/** Thin statement front-end: recognizes the two lakehouse DML shapes
+  * against REGISTERED views, delegates everything else (including DML
+  * on unregistered tables — Spark's own analyzer then reports its
+  * usual v2-table error) to the session's default parser. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val DeleteRe =
+    """(?is)\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val MergeRe =
+    ("""(?is)\s*MERGE\s+INTO\s+([A-Za-z_]\w*)\s+USING\s+([A-Za-z_]\w*)\s+ON\s+(.+?)""" +
+      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
+      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+  private val OnConjunct =
+    """(?i)\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*""".r
+
+  /** Equality key columns of the ON clause when every conjunct is
+    * `t.k = s.k` with matching column names; None = not the canonical
+    * shape, let Spark's parser handle (and reject) it. */
+  private def keyColsOf(on: String, target: String, source: String): Option[Seq[String]] = {
+    val conjuncts = on.split("(?i)\\s+AND\\s+").toSeq
+    val keys = conjuncts.map {
+      case OnConjunct(q1, c1, q2, c2)
+        if c1.equalsIgnoreCase(c2) &&
+          Seq(q1, q2).forall(q => q == null ||
+            q.equalsIgnoreCase(target) || q.equalsIgnoreCase(source)) => Some(c1)
+      case _ => None
+    }
+    if (keys.forall(_.isDefined)) Some(keys.flatten) else None
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case DeleteRe(table, where) if LakehouseRegistry.lookup(table).isDefined =>
+      LakehouseDeleteCommand(table, where)
+    case MergeRe(table, source, on) if LakehouseRegistry.lookup(table).isDefined =>
+      keyColsOf(on, table, source) match {
+        case Some(keys) if keys.nonEmpty => LakehouseMergeCommand(table, source, keys)
+        case _ => throw new UnsupportedOperationException(
+          s"lakehouse MERGE supports ON <equi-key conjunction> " +
+            s"WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *; got: ON $on")
+      }
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

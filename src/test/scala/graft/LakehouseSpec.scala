@@ -483,4 +483,114 @@ class LakehouseSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === Set((1L, "A"), (2L, "b")))
   }
+
+  test("parsed SQL DML: DELETE FROM and MERGE INTO execute over registered lakehouse views") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "dml")
+    lake.registerView("dml")
+    // DELETE FROM parses, routes through the copy-on-write delete, and
+    // commits a snapshot (returned as the command's result row)
+    val delSnap = spark.sql("DELETE FROM dml WHERE k = 2").collect().head.getLong(0)
+    assert(delSnap === 2L)
+    assert(lake.read("dml").select("k").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // MERGE INTO upserts: k=3 updates, k=9 inserts
+    Seq((3L, "C"), (9L, "z")).toDF("k", "v").createOrReplaceTempView("dml_src")
+    spark.sql(
+      """MERGE INTO dml USING dml_src ON dml.k = dml_src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val got = lake.read("dml").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a"), (3L, "C"), (9L, "z")))
+    // the SQL view tracks the post-DML snapshot
+    assert(spark.sql("SELECT count(*) n FROM dml").head().getLong(0) === 3L)
+    // history: create + delete + merge = 3 snapshots
+    assert(lake.snapshots("dml").length >= 3)
+    // statements over UNregistered tables delegate to Spark's parser
+    Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("plain_view")
+    intercept[Exception] { spark.sql("DELETE FROM plain_view WHERE k = 1") }
+    // non-canonical MERGE over a lakehouse view is rejected loudly
+    intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO dml USING dml_src ON dml.k > dml_src.k
+          |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+  }
+
+  test("DELETE keeps rows where the predicate is NULL (SQL semantics, not NOT(pred))") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    // v is null for k=3: `v === "a"` evaluates NULL there, and SQL
+    // DELETE only removes rows where the predicate is TRUE
+    lake.createOrReplace(
+      Seq((1L, Some("a")), (2L, Some("b")), (3L, None)).toDF("k", "v"), "nd")
+    lake.deleteWhere(col("v") === "a", "nd")
+    assert(lake.read("nd").select("k").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    // same semantics through the SQL surface
+    lake.sqlDelete("nd", "v = 'b'")
+    assert(lake.read("nd").select("k").collect().map(_.getLong(0)).toSet === Set(3L))
+  }
+
+  test("string partition column with numeric-looking values prunes lexically, not numerically") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, "9"), (2L, "10")).toDF("k", "p"), "sp", partitionBy = Seq("p"))
+    // lexically "9" > "10", so the p="9" partition MUST be read; a
+    // parseability-typed stat would compare 9 > 10 numerically and skip it
+    val got = lake.readWhere(col("p") > "10", "sp")
+    assert(got.collect().map(_.getLong(0)).toSet === Set(1L))
+    // and equality still prunes to the single matching partition file
+    assert(lake.readWhere(col("p") === "10", "sp").inputFiles.length === 1)
+  }
+
+  test("removeOrphans never deletes a data dir whose reserve marker is live") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "vr")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    // a writer mid-flight: data written, commit not yet done, marker fresh
+    val inflight = new org.apache.hadoop.fs.Path(lake.tableRoot("vr"), "data-50")
+    Seq((5L, "x")).toDF("k", "v").write.parquet(inflight.toString)
+    fs.create(new org.apache.hadoop.fs.Path(lake.tableRoot("vr"), "_reserve-50"), true).close()
+    // even with staleMillis making everything "stale-aged", the live
+    // marker itself is fresh only by mtime — use a large staleMillis so
+    // the marker survives pass 1, which must then protect the dir
+    val removed = lake.removeOrphans("vr", staleMillis = 3600 * 1000L)
+    assert(!removed.contains("data-50") && fs.exists(inflight),
+      "vacuum deleted an in-flight writer's data dir")
+    // once the writer is truly dead (marker stale), both go
+    val removed2 = lake.removeOrphans("vr", staleMillis = -1)
+    assert(removed2.toSet === Set("_reserve-50", "data-50"))
+  }
+
+  test("non-finite double stats and non-numeric literals degrade to no-pruning, never crash") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    // Infinity bounds: append must not throw folding row-group stats
+    lake.createOrReplace(
+      Seq((1L, Double.PositiveInfinity), (2L, 1.5), (3L, Double.NegativeInfinity))
+        .toDF("k", "x"), "inf")
+    lake.append(Seq((4L, 2.5)).toDF("k", "x"), "inf")
+    // readWhere over the Infinity-bounded file: no crash, exact result
+    assert(lake.readWhere(col("x") > 1.0, "inf").count() === 3L)
+    // non-numeric string literal coerced against a numeric column: the
+    // eager driver-side prune inside readWhere must degrade to
+    // may-match instead of throwing NumberFormatException (executing
+    // the comparison is the engine's ANSI business, not the prune's)
+    val df = lake.readWhere(col("k") === "abc", "inf")
+    assert(df.columns.contains("k"))
+  }
+
+  test("deleting every row of a partitioned table leaves a readable empty snapshot") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, "p1"), (2L, "p2")).toDF("k", "p"), "wipe", partitionBy = Seq("p"))
+    lake.deleteWhere(col("k") >= 0L, "wipe", partitionBy = Seq("p"))
+    assert(lake.read("wipe").count() === 0L)
+    assert(lake.read("wipe").columns.contains("k"))
+    // history before the wipe still time-travels
+    assert(lake.readSnapshot("wipe", 1L).count() === 2L)
+  }
 }
