@@ -117,13 +117,61 @@ object Similarity {
   val IvfCells = 8
   val IvfProbes = 2
 
-  /** Cell assignment: nearest coarse centroid by exact integer
-    * quantized L2 (‖v‖² + ‖c‖² − 2·v·c). Centroids are the first
-    * [[IvfCells]] vectors — a deterministic stand-in for an offline
-    * k-means codebook (swap `cents` for trained centroids at scale;
-    * the plan is unchanged). `probes` > 1 returns the n nearest cells
-    * (query-side multi-probe). */
-  private def cells(vectors: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
+  /** CORPUS-side cell assignment: nearest coarse centroid by exact
+    * integer quantized L2 (‖v‖² + ‖c‖² − 2·v·c), computed as a pure
+    * MAP-SIDE ARGMIN projection — `least` over one (d2, cent_id)
+    * struct per centroid, each d2 a native [[VectorFunctions.dotQ]]
+    * against a literal centroid array. Zero shuffle, zero Window: the
+    * round-3 formulation (crossJoin + `row_number` over a per-vector
+    * Window) shuffled n × nCells rows just to rank them — invisible at
+    * 8 cells locally, the plan's only unforced shuffle at √n cells ×
+    * 100 TB. Struct comparison orders by (d2, cent_id), so ties break
+    * to the smaller centroid id — identical to the window ranking the
+    * oracle restates. */
+  private[graft] def assignCells(vectors: DataFrame,
+      cents: Seq[(Long, Array[Long])]): DataFrame = {
+    val structs = cents.map { case (id, cv) =>
+      val cn = cv.map(x => x * x).sum
+      struct(
+        (col("nsq") + lit(cn) - lit(2L) * VectorFunctions.dotQ(col("v"), typedlit(cv.toSeq)))
+          .as("d2"),
+        lit(id).as("cent_id"))
+    }
+    vectors.select(col("vec_id"), least(structs: _*).getField("cent_id").as("cell"))
+  }
+
+  /** Two-nearest-cell corpus assignment (IVF multi-assignment / SOAR
+    * shape): each corpus vector is indexed under its nearest AND
+    * second-nearest centroid, which rescues the boundary vectors a
+    * single Voronoi cell cuts off from their neighbors — the standard
+    * recall lever when the corpus has weak cluster structure. Still a
+    * pure map-side projection: a second `least` pass with the winner's
+    * cent_id masked to MaxValue, then a 2-row explode. No shuffle, no
+    * Window; index size doubles (the explicit space-for-recall trade). */
+  private[graft] def assignCells2(vectors: DataFrame,
+      cents: Seq[(Long, Array[Long])]): DataFrame = {
+    def structsOf(mask: Option[Column]) = cents.map { case (id, cv) =>
+      val cn = cv.map(x => x * x).sum
+      val d2 = col("nsq") + lit(cn) - lit(2L) * VectorFunctions.dotQ(col("v"), typedlit(cv.toSeq))
+      val d2m = mask match {
+        case Some(m) => when(m === id, lit(Long.MaxValue)).otherwise(d2)
+        case None => d2
+      }
+      struct(d2m.as("d2"), lit(id).as("cent_id"))
+    }
+    vectors
+      .select(col("vec_id"), col("v"), col("nsq"),
+        least(structsOf(None): _*).getField("cent_id").as("c1"))
+      .select(col("vec_id"), col("c1"),
+        least(structsOf(Some(col("c1"))): _*).getField("cent_id").as("c2"))
+      .select(col("vec_id"), explode(array(col("c1"), col("c2"))).as("cell"))
+  }
+
+  /** QUERY-side multi-probe ranking: the `probes` nearest cells per
+    * query vector. Input is the handful of query vectors, so the
+    * crossJoin × Window here is over |Q| × nCells rows — the Window
+    * stays banned from the corpus-side assignment ([[assignCells]]). */
+  private def probeCells(vectors: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
     val d2 = (col("nsq") + col("cn") - lit(2L) * VectorFunctions.dotQ(col("v"), col("cv")))
     vectors.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nsq"), col("cent_id"), d2.as("d2"))
@@ -133,17 +181,36 @@ object Similarity {
       .select(col("vec_id"), col("cent_id").as("cell"))
   }
 
+  /** Centroid DataFrame (broadcastable) from a driver-side codebook. */
+  private def centsDf(spark: SparkSession, cents: Seq[(Long, Array[Long])]): DataFrame =
+    broadcast(spark.createDataFrame(cents.map { case (i, cv) => (i, cv.toSeq) })
+      .toDF("cent_id", "cv")
+      .withColumn("cn", VectorFunctions.dotQ(col("cv"), col("cv"))))
+
+  /** Deterministic stand-in codebook: the first [[IvfCells]] quantized
+    * vectors, fetched driver-side once per (session, dir) — a codebook
+    * is an offline artifact like the trained one, so the one-time
+    * driver fetch is the same class as k-means centroid extraction. */
+  private val stubCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(Long, Array[Long])]]()
+
+  private[graft] def stubCodebook(spark: SparkSession, dir: String): Seq[(Long, Array[Long])] =
+    stubCodebooks.computeIfAbsent((spark, dir), _ =>
+      quantized(spark, dir).where(col("vec_id") < IvfCells)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq)
+
   /** `ann_ivf_topk` — inverted-file ANN: corpus vectors live in their
-    * nearest-centroid cell; a query scores only the vectors of its
-    * [[IvfProbes]] nearest cells. Candidate generation is an equi-join
-    * on cell id — the coarse quantizer bounds scored pairs by cell
-    * population, the IVF property that matters at 100 TB. */
+    * nearest-centroid cell (map-side argmin, no shuffle); a query
+    * scores only the vectors of its [[IvfProbes]] nearest cells.
+    * Candidate generation is an equi-join on cell id — the coarse
+    * quantizer bounds scored pairs by cell population, the IVF
+    * property that matters at 100 TB. */
   def annIvfTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = quantized(spark, dir)
-    val cents = e.where(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nsq").as("cn"))
-    val assign = cells(e, cents, probes = 1)
-    val probes = cells(e.where(col("vec_id") < 5), cents, probes = IvfProbes)
+    val cb = stubCodebook(spark, dir)
+    val assign = assignCells(e, cb)
+    val probes = probeCells(e.where(col("vec_id") < 5), centsDf(spark, cb), IvfProbes)
       .withColumnRenamed("vec_id", "q_id")
     val cand = probes.join(assign, "cell")
       .select("q_id", "vec_id")
@@ -174,16 +241,22 @@ object Similarity {
     * likely separated by a single near-orthogonal hyperplane), lifting
     * recall for free query-side — corpus state and shuffle shape are
     * unchanged, only the tiny probe set grows ×(P+1). */
-  def annLshMultiprobe(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = quantized(spark, dir)
+  /** Candidate set of the multi-probe LSH variant (factored out so the
+    * recall spec can compare candidate BUDGETS across ANN variants). */
+  private[graft] def multiprobeCandidates(spark: SparkSession, dir: String): DataFrame = {
     val banded = bandedTable(spark, dir)
     val qProbes = banded.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("t"),
         explode(array(col("bucket") +: (0 until LshPlanes).map(p =>
           col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
-    val cand = qProbes.join(banded, Seq("t", "bucket"))
+    qProbes.join(banded, Seq("t", "bucket"))
       .select("q_id", "vec_id")
       .dropDuplicates("q_id", "vec_id")
+  }
+
+  def annLshMultiprobe(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = quantized(spark, dir)
+    val cand = multiprobeCandidates(spark, dir)
     val scored = cand
       .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nsq").as("qnsq")), "q_id")
       .join(e, "vec_id")
@@ -206,7 +279,7 @@ object Similarity {
     * centroids is; Verify dumps `oracleSql` AFTER running the queries,
     * so the captured centroids are the run's own). */
   private val lastTrained =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Long])]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[(Long, Seq[Long])], Int)]()
 
   /** Dir of the most recent [[annIvfTrained]] run: Verify/Bench run
     * all queries against ONE dir and dump oracles afterwards, so "the
@@ -221,7 +294,7 @@ object Similarity {
     * [[annIvfTrained]] has run in this process. */
   def trainedOracleSql: Option[String] = {
     val entry = lastTrainedDir.flatMap(d => Option(lastTrained.get(d)))
-    entry.map { cents =>
+    entry.map { case (cents, probes) =>
       val values = cents.map { case (id, cv) =>
         s"($id, [${cv.mkString(",")}])"
       }.mkString(", ")
@@ -235,8 +308,8 @@ object Similarity {
            |  FROM qn e CROSS JOIN cents c),
            |ranked AS (SELECT vec_id, cent_id,
            |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) crk FROM da),
-           |assign AS (SELECT vec_id, cent_id cell FROM ranked WHERE crk = 1),
-           |probes AS (SELECT vec_id q_id, cent_id cell FROM ranked WHERE crk <= 2 AND vec_id < 5),
+           |assign AS (SELECT vec_id, cent_id cell FROM ranked WHERE crk <= 2),
+           |probes AS (SELECT vec_id q_id, cent_id cell FROM ranked WHERE crk <= $probes AND vec_id < 5),
            |cand AS (SELECT DISTINCT q_id, assign.vec_id FROM probes JOIN assign ON probes.cell = assign.cell),
            |s AS (SELECT q_id, cand.vec_id,
            |  round(CAST(list_sum(list_transform(list_zip(qv.v, ev.v), z -> z[1]*z[2])) AS DOUBLE)
@@ -257,30 +330,59 @@ object Similarity {
   private val codebooks =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Seq[(Long, Array[Long])]]()
 
-  def annIvfTrained(spark: SparkSession, dir: String, k: Int = 10,
-      nCells: Int = IvfCells): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = quantized(spark, dir)
-    val cents = codebooks.computeIfAbsent((spark, dir, nCells), _ => {
+  /** Query-side probe count for a k-cell codebook: grows with the
+    * codebook (nprobe ≈ k/8) so recall holds as cells shrink — the
+    * fixed [[IvfProbes]] that suits 8 coarse cells would starve a
+    * √n-cell codebook. */
+  private[graft] def trainedProbes(nCells: Int): Int =
+    math.max(IvfProbes, math.ceil(nCells / 6.0).toInt)
+
+  /** HONEST trained codebook size: k = max(8, ⌈√n⌉) cells over the
+    * corpus — the classical IVF sizing (cell population ≈ √n, probe
+    * cost ≈ probes·√n). `nCells = 0` (the default) selects it. */
+  /** Train (or fetch the memoized) k-means codebook for `dir`. */
+  private[graft] def trainedCodebook(spark: SparkSession, dir: String,
+      nCells: Int = 0): Seq[(Long, Array[Long])] =
+    codebooks.computeIfAbsent((spark, dir, nCells), _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = quantized(spark, dir)
+      val kCells =
+        if (nCells > 0) nCells
+        else math.max(IvfCells, math.ceil(math.sqrt(e.count().toDouble)).toInt)
       val feat = e.select(col("vec_id"),
         array_to_vector(col("v").cast("array<double>")).as("features"))
-      val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(feat)
+      val model = new KMeans().setK(kCells).setSeed(42L).setMaxIter(20).fit(feat)
       model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i.toLong, c.toArray.map(x => math.round(x)))
       }.toSeq
     })
-    lastTrained.put(dir, cents.map { case (i, cv) => (i, cv.toSeq) })
-    lastTrainedDir = Some(dir)
-    val centsDf = broadcast(spark.createDataFrame(cents)
-      .toDF("cent_id", "cv")
-      .withColumn("cn", VectorFunctions.dotQ(col("cv"), col("cv"))))
-    val assign = cells(e, centsDf, probes = 1)
-    val probes = cells(e.where(col("vec_id") < 5), centsDf, probes = IvfProbes)
+
+  /** Candidate set of the trained-IVF variant: probe the query's
+    * nearest cells, equi-join against the map-side cell assignment. */
+  private[graft] def trainedCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val cents = trainedCodebook(spark, dir)
+    trainedCandidatesFor(quantized(spark, dir), cents, trainedProbes(cents.length), spark)
+  }
+
+  private def trainedCandidatesFor(e: DataFrame, cents: Seq[(Long, Array[Long])],
+      nProbes: Int, spark: SparkSession): DataFrame = {
+    val assign = assignCells2(e, cents)
+    val probes = probeCells(e.where(col("vec_id") < 5), centsDf(spark, cents), nProbes)
       .withColumnRenamed("vec_id", "q_id")
-    val cand = probes.join(assign, "cell")
+    probes.join(assign, "cell")
       .select("q_id", "vec_id")
       .dropDuplicates("q_id", "vec_id")
+  }
+
+  def annIvfTrained(spark: SparkSession, dir: String, k: Int = 10,
+      nCells: Int = 0): DataFrame = {
+    val e = quantized(spark, dir)
+    val cents = trainedCodebook(spark, dir, nCells)
+    val nProbes = trainedProbes(cents.length)
+    lastTrained.put(dir, (cents.map { case (i, cv) => (i, cv.toSeq) }, nProbes))
+    lastTrainedDir = Some(dir)
+    val cand = trainedCandidatesFor(e, cents, nProbes, spark)
     val scored = cand
       .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nsq").as("qnsq")), "q_id")
       .join(e, "vec_id")

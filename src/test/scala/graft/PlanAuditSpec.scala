@@ -41,6 +41,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("IVF cell assignment is a map-side argmin: no Window, no Exchange over the corpus") {
+    // round 3 ranked cells with row_number() over a per-vector Window
+    // after a crossJoin — shuffling n × nCells rows for an argmin a
+    // projection computes in place. At √n cells × 100 TB that Window
+    // was the plan's only unforced shuffle; only the tiny QUERY side
+    // may still rank its probes through a Window.
+    val e = Similarity.quantized(spark, sf)
+    Seq(
+      Similarity.assignCells(e, Similarity.stubCodebook(spark, sf)),
+      Similarity.assignCells2(e, Similarity.trainedCodebook(spark, sf))).foreach { assign =>
+      // audit the assignment subplan ABOVE the memoized quantized-
+      // vector cache (the cache's own build plan legitimately contains
+      // the one-time narrow-scan repartition)
+      val p = plan(assign).split("InMemoryRelation").head
+      assert(!p.contains("Window"), "corpus cell assignment ranks through a Window again")
+      assert(!p.contains("Exchange"), "corpus cell assignment shuffles")
+    }
+  }
+
   test("dedup candidate generation never plans a cartesian product") {
     Seq(
       Dedup.dedupNgramJaccard(spark, sf),

@@ -57,6 +57,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trained-IVF codebook is honest: sqrt-n cells, and recall@10 beats multi-probe LSH near its candidate budget") {
+    // the codebook must be the real sizing, not a smoke-test k
+    val n = Similarity.quantized(spark, sf).count()
+    val cents = Similarity.trainedCodebook(spark, sf)
+    assert(cents.length === math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt),
+      s"codebook has ${cents.length} cells for a $n-vector corpus")
+    val brute = Similarity.annCosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val trained = Similarity.annIvfTrained(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val multi = Similarity.annLshMultiprobe(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val rTrained = (trained intersect brute).size.toDouble / brute.size
+    val rMulti = (multi intersect brute).size.toDouble / brute.size
+    // candidate budgets: the comparison is only honest if trained IVF
+    // isn't buying recall with a silently larger scored-pair bill
+    val candTrained = Similarity.trainedCandidates(spark, sf).count()
+    val candMulti = Similarity.multiprobeCandidates(spark, sf).count()
+    info(f"recall trained=$rTrained%.2f multi=$rMulti%.2f " +
+      f"candidates trained=$candTrained multi=$candMulti")
+    assert(rTrained >= rMulti,
+      f"trained-IVF recall $rTrained%.2f fell below multi-probe LSH $rMulti%.2f")
+    assert(rTrained >= 0.7, f"trained-IVF recall@10 floor: $rTrained%.2f < 0.7")
+    assert(candTrained <= (candMulti * 3) / 2,
+      s"trained-IVF candidate budget $candTrained exceeds 1.5x multi-probe's $candMulti")
+  }
+
   test("sign matrix is deterministic and balanced-ish") {
     val m = Similarity.signMatrix
     assert(m.length === 4 * 6 * 64)
