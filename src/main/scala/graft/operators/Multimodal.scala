@@ -50,9 +50,9 @@ object Multimodal {
           octet_length(col("text")).as("n_bytes"),
           col("source").as("origin")).as("meta"))
 
-  /** STUB — deterministic fake decode. A real deployment swaps this
-    * one function for an actual codec (e.g. JPEG decode); the
-    * surrounding batching/schema/partitioning is unchanged. */
+  /** STUB — deterministic fake decode for payloads no JDK codec
+    * handles. A real deployment swaps this one function for an actual
+    * codec; the surrounding batching/schema/partitioning is unchanged. */
   def decodeStub(r: MediaRecord): DecodedMedia = {
     val b = r.payload
     val w = 1 + (b.headOption.getOrElse(0: Byte) & 0x3f)
@@ -63,14 +63,48 @@ object Multimodal {
     DecodedMedia(r.doc_id, w, h, 1 + b.length / 1024, mean)
   }
 
+  /** REAL image decode via `javax.imageio` (ships in the JDK — PNG/
+    * BMP/GIF need no external codec): width/height from the decoded
+    * raster, `mean_byte` = mean over per-pixel channel means (a
+    * deterministic pixel checksum). Payloads ImageIO does not
+    * recognize fall back to [[decodeStub]], so mixed media batches
+    * flow through one pass. In-memory decode only (`setUseCache
+    * (false)`: no per-record temp files on executors). */
+  def decodeRecord(r: MediaRecord): DecodedMedia = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+      catch { case _: Throwable => None }
+    img match {
+      case Some(i) if i.getWidth > 0 && i.getHeight > 0 =>
+        var sum = 0.0
+        var y = 0
+        while (y < i.getHeight) {
+          var x = 0
+          while (x < i.getWidth) {
+            val rgb = i.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        DecodedMedia(r.doc_id, i.getWidth, i.getHeight, 1,
+          sum / (i.getWidth.toLong * i.getHeight))
+      case _ => decodeStub(r)
+    }
+  }
+
   /** Batched decode + feature extraction: one `mapPartitions` pass,
     * iterator-to-iterator (no materialization of the partition). */
-  def decodeFeatures(spark: SparkSession, dir: String): Dataset[DecodedMedia] = {
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[DecodedMedia] =
+    decode(spark, mediaTable(spark, dir)
+      .select(col("doc_id"), lit("media").as("kind"), col("payload")))
+
+  /** Decode an arbitrary media relation (doc_id, kind, payload) —
+    * ImageIO for recognized image bytes, stub otherwise. */
+  def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
-    mediaTable(spark, dir)
-      .select(col("doc_id"), lit("stub").as("kind"), col("payload"))
-      .as[MediaRecord]
-      .mapPartitions(_.map(decodeStub))
+    media.as[MediaRecord].mapPartitions(_.map(decodeRecord))
   }
 
   /** Explicit batch-shaped decode — the `mapInPandas` execution model:
@@ -83,9 +117,9 @@ object Multimodal {
       spark: SparkSession, dir: String, batchSize: Int = 64): Dataset[DecodedMedia] = {
     import spark.implicits._
     mediaTable(spark, dir)
-      .select(col("doc_id"), lit("stub").as("kind"), col("payload"))
+      .select(col("doc_id"), lit("media").as("kind"), col("payload"))
       .as[MediaRecord]
-      .mapPartitions(_.grouped(batchSize).flatMap(batch => batch.map(decodeStub)))
+      .mapPartitions(_.grouped(batchSize).flatMap(batch => batch.map(decodeRecord)))
   }
 
   /** Resize: deterministic nearest-neighbor downsample of the payload

@@ -86,6 +86,23 @@ class Lakehouse(spark: SparkSession, root: String) {
       (snap, dirs)
     }
 
+  /** Merge-on-read delete (tombstone) dirs per snapshot, in commit
+    * order. A tombstone `_deletes-M` holds the DELETED KEY rows
+    * (equality deletes: its columns ARE the key columns) and applies
+    * to data dirs `data-N` with N < M only — the Iceberg v2
+    * sequence-number rule, which is what lets a later append
+    * legitimately re-insert a deleted key. */
+  def snapshotDeletes(table: String): Map[Long, Seq[String]] =
+    readLines(manifest(table)).flatMap { line =>
+      """"snap":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong).map { snap =>
+        val dels = """"deletes":\[([^\]]*)\]""".r.findFirstMatchIn(line)
+          .map(_.group(1).split(",").toSeq
+            .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+          .getOrElse(Seq.empty)
+        snap -> dels
+      }
+    }.toMap
+
   /** Streaming batch ids recorded in commit metadata (see
     * [[appendOnce]]) — the commit-dedup ledger that makes the
     * stream→lakehouse sink exactly-once across restarts. */
@@ -135,7 +152,8 @@ class Lakehouse(spark: SparkSession, root: String) {
     * True multi-driver commits need a coordination service; that
     * external role is exactly what Nessie is. */
   private def commit(table: String, snap: Long, dirs: Seq[String], branch: String,
-      expectedBase: Option[Option[Long]] = None, batch: Option[Long] = None): Long =
+      expectedBase: Option[Option[Long]] = None, batch: Option[Long] = None,
+      deletes: Seq[String] = Nil): Long =
     tableLock(table).synchronized {
       expectedBase.foreach { base =>
         val cur = currentSnapshot(table, branch)
@@ -145,7 +163,9 @@ class Lakehouse(spark: SparkSession, root: String) {
       }
       if (snapshots(table).exists(_._1 == snap))
         throw new CommitConflictException(s"$table already has a snapshot $snap")
-      val meta = batch.map(b => s""","batch":$b""").getOrElse("")
+      val meta = batch.map(b => s""","batch":$b""").getOrElse("") +
+        (if (deletes.isEmpty) ""
+         else s""","deletes":[${deletes.map(d => s""""$d"""").mkString(",")}]""")
       val line = s"""{"snap":$snap,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]$meta}"""
       writeFile(manifest(table), (readLines(manifest(table)) :+ line).mkString("\n") + "\n")
       // Pointer swap last: readers resolve the branch pointer after the
@@ -300,13 +320,39 @@ class Lakehouse(spark: SparkSession, root: String) {
   def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
       branch: String = "main"): Long = retryingCommit(table, branch) { base =>
     val prev = base.map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
+    val prevDeletes = base.map(c => snapshotDeletes(table).getOrElse(c, Seq.empty)).getOrElse(Nil)
     val snap = reserveSnap(table)
     val dir = s"data-$snap"
     try {
       writeDataDir(df, table, dir, partitionBy)
-      commit(table, snap, prev :+ dir, branch, Some(base))
+      // carried tombstones never touch this append's rows: data-snap's
+      // sequence is above every carried tombstone's
+      commit(table, snap, prev :+ dir, branch, Some(base), deletes = prevDeletes)
     } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
   }
+
+  /** MERGE-ON-READ delete (the Iceberg v2 equality-delete-file shape):
+    * write the distinct key rows as a `_deletes-<snap>` tombstone next
+    * to the data and commit a snapshot referencing the SAME data
+    * entries plus the tombstone — zero data files are rewritten, so a
+    * point delete in a hot partition costs O(deleted keys), not a
+    * partition rewrite. Readers anti-join tombstones against data dirs
+    * of LOWER sequence only, so a later append may re-insert a deleted
+    * key; [[compact]] materializes tombstones away. The copy-on-write
+    * [[deleteWhere]]/[[deleteByKey]] remain the read-optimized path. */
+  def deleteByKeyMor(keys: DataFrame, table: String, branch: String = "main"): Long =
+    retryingCommit(table, branch) { base =>
+      val prev = base.map(c => snapshots(table).find(_._1 == c).get._2)
+        .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+      val prevDeletes = base.map(c => snapshotDeletes(table).getOrElse(c, Seq.empty)).getOrElse(Nil)
+      val snap = reserveSnap(table)
+      val dir = s"_deletes-$snap"
+      try {
+        keys.distinct().write.mode(SaveMode.Overwrite)
+          .parquet(new Path(tableDir(table), dir).toString)
+        commit(table, snap, prev, branch, Some(base), deletes = prevDeletes :+ dir)
+      } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+    }
 
   /** Idempotent append keyed by a streaming micro-batch id, recorded
     * in the commit metadata — the Iceberg-writer property that makes
@@ -320,11 +366,14 @@ class Lakehouse(spark: SparkSession, root: String) {
       if (committedBatches(table).contains(batchId)) base.getOrElse(-1L)
       else {
         val prev = base.map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
+        val prevDeletes =
+          base.map(c => snapshotDeletes(table).getOrElse(c, Seq.empty)).getOrElse(Nil)
         val snap = reserveSnap(table)
         val dir = s"data-$snap"
         try {
           writeDataDir(df, table, dir, partitionBy)
-          commit(table, snap, prev :+ dir, branch, Some(base), batch = Some(batchId))
+          commit(table, snap, prev :+ dir, branch, Some(base), batch = Some(batchId),
+            deletes = prevDeletes)
         } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
       }
     }
@@ -638,10 +687,11 @@ class Lakehouse(spark: SparkSession, root: String) {
     val entries = snapshots(table).find(_._1 == snap).get._2
     val conjuncts = skippableConjuncts(pred, read(table, branch))
     val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    val dels = tombstones(table, snap)
     val reads = byDataDir.flatMap { case (dataDir, dirEntries) =>
       val files = dirEntries.flatMap(matchingFiles(table, _, conjuncts)).distinct
       if (files.isEmpty) None
-      else Some(openDirGroup(table, dataDir, files))
+      else Some(applyTombstones(openDirGroup(table, dataDir, files), dataDir, dels))
     }
     if (reads.isEmpty)
       // no file can match: an empty relation with the table's schema
@@ -694,11 +744,16 @@ class Lakehouse(spark: SparkSession, root: String) {
           }
         }
       val (touched, clean) = entries.partition(e => matchingFiles(table, e, conjuncts).nonEmpty)
+      val baseDeletes = snapshotDeletes(table).getOrElse(base.get, Seq.empty)
       if (touched.isEmpty) base.get // nothing can match: no-op commit-free
       else {
+        val dels = tombstones(table, base.get)
         val byDataDir = touched.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+        // tombstones must filter the rewrite input: the rewritten dir's
+        // HIGHER sequence ends their applicability, so a missed
+        // anti-join here would resurrect MoR-deleted rows
         val touchedRows = byDataDir.map { case (dataDir, dirEntries) =>
-          openDirGroup(table, dataDir, dirEntries)
+          applyTombstones(openDirGroup(table, dataDir, dirEntries), dataDir, dels)
         }.reduce(_.unionByName(_, allowMissingColumns = true))
         // SQL DELETE semantics: remove rows where pred is TRUE — a row
         // where pred evaluates to NULL (e.g. a NULL column under `===`)
@@ -718,9 +773,9 @@ class Lakehouse(spark: SparkSession, root: String) {
               (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
                 (s.isDirectory && hasParquet(s.getPath)))
           if (hasParquet(new Path(tableDir(table), dir)))
-            commit(table, snap, clean :+ dir, branch, Some(base))
+            commit(table, snap, clean :+ dir, branch, Some(base), deletes = baseDeletes)
           else if (clean.nonEmpty) {
-            val committed = commit(table, snap, clean, branch, Some(base))
+            val committed = commit(table, snap, clean, branch, Some(base), deletes = baseDeletes)
             fs.delete(new Path(tableDir(table), dir), true)
             committed
           } else {
@@ -768,11 +823,20 @@ class Lakehouse(spark: SparkSession, root: String) {
     val kept = snaps.filter(s => keepIds.contains(s._1))
     val live = kept.flatMap(_._2).toSet
     // rewrite the manifest first (a crash after leaves only unreferenced
-    // data behind, never a referenced-but-deleted dir)
-    val lines = kept.map { case (snap, dirs) =>
-      s"""{"snap":$snap,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]}"""
+    // data behind, never a referenced-but-deleted dir); kept snapshots
+    // keep their ORIGINAL lines — batch ids (exactly-once ledger) and
+    // tombstone references must survive expiry
+    val lines = readLines(manifest(table)).filter { line =>
+      """"snap":(\d+)""".r.findFirstMatchIn(line).exists(m => keepIds.contains(m.group(1).toLong))
     }
+    val liveDeletes = kept.flatMap(s => snapshotDeletes(table).getOrElse(s._1, Seq.empty)).toSet
     writeFile(manifest(table), lines.mkString("\n") + "\n")
+    // tombstone dirs no kept snapshot references
+    fs.listStatus(tableDir(table)).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("_deletes-") && !liveDeletes.contains(name))
+        fs.delete(st.getPath, true)
+    }
     val dataDirs = fs.listStatus(tableDir(table)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
     dataDirs.foreach { d =>
@@ -820,9 +884,14 @@ class Lakehouse(spark: SparkSession, root: String) {
     // delete time closes the marker-just-removed window too.
     listing.foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("data-")
-          && !fs.exists(new Path(tableDir(table), "_reserve-" + name.stripPrefix("data-")))) {
-        val referencedNow = snapshots(table).flatMap(_._2).map(_.takeWhile(_ != '/')).toSet
+      val isData = name.startsWith("data-")
+      val isTombstone = name.startsWith("_deletes-")
+      val snapOf = name.stripPrefix("data-").stripPrefix("_deletes-")
+      if (st.isDirectory && (isData || isTombstone)
+          && !fs.exists(new Path(tableDir(table), "_reserve-" + snapOf))) {
+        val referencedNow =
+          if (isData) snapshots(table).flatMap(_._2).map(_.takeWhile(_ != '/')).toSet
+          else snapshotDeletes(table).values.flatten.toSet
         if (!referencedNow.contains(name) && fs.exists(st.getPath)) {
           fs.delete(st.getPath, true)
           removed += name
@@ -896,6 +965,8 @@ class Lakehouse(spark: SparkSession, root: String) {
     }
     retryingCommit(table, branch) { base =>
       val prev = base.map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
+      val prevDeletes =
+        base.map(c => snapshotDeletes(table).getOrElse(c, Seq.empty)).getOrElse(Nil)
       val target = readBase(table, base)
       val sourceKeys = source.select(keyCols.map(source(_)): _*).distinct()
       // Touched partitions = the partitions the source writes into ∪
@@ -954,7 +1025,9 @@ class Lakehouse(spark: SparkSession, root: String) {
             leaves.filterNot(touchedLeaves.contains).map(l => s"$entry/$l")
           }
         }
-        commit(table, snap, kept :+ dir, branch, Some(base))
+        // carried-by-reference leaves still need the base's tombstones
+        // (the rewritten dir's higher sequence exempts it from them)
+        commit(table, snap, kept :+ dir, branch, Some(base), deletes = prevDeletes)
       } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
     }
   }
@@ -987,11 +1060,33 @@ class Lakehouse(spark: SparkSession, root: String) {
     val dirs = snapshots(table).find(_._1 == snap)
       .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $snap"))._2
     val groups = dirs.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    val dels = tombstones(table, snap)
     val reads = groups.map { case (dataDir, entries) =>
-      if (entries.contains(dataDir)) openDirGroup(table, dataDir, Seq(dataDir))
-      else openDirGroup(table, dataDir, entries)
+      val df =
+        if (entries.contains(dataDir)) openDirGroup(table, dataDir, Seq(dataDir))
+        else openDirGroup(table, dataDir, entries)
+      applyTombstones(df, dataDir, dels)
     }
     reads.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Tombstone (sequence, key-rows) pairs a snapshot references, in
+    * commit order. */
+  private def tombstones(table: String, snap: Long): Seq[(Long, DataFrame)] =
+    snapshotDeletes(table).getOrElse(snap, Seq.empty).map { d =>
+      (d.stripPrefix("_deletes-").toLong,
+        spark.read.parquet(new Path(tableDir(table), d).toString))
+    }
+
+  /** Anti-join the tombstones that apply to `dataDir` (those with a
+    * HIGHER sequence — the Iceberg v2 rule that lets later appends
+    * re-insert deleted keys). Key sets are small: broadcast. */
+  private def applyTombstones(df: DataFrame, dataDir: String,
+      dels: Seq[(Long, DataFrame)]): DataFrame = {
+    val seqNo = dataDir.stripPrefix("data-").toLong
+    dels.filter(_._1 > seqNo).foldLeft(df) { case (d, (_, keys)) =>
+      d.join(org.apache.spark.sql.functions.broadcast(keys), keys.columns.toSeq, "left_anti")
+    }
   }
 
   /** Compact a branch's snapshot: rewrite its (possibly many) delta
@@ -1021,6 +1116,45 @@ class Lakehouse(spark: SparkSession, root: String) {
     createOrReplace(clustered, table, Nil, branch)
   }
 
+  /** Z-ORDER clustered compaction (the `rewrite_data_files` +
+    * zorder(a, b) analog): rewrite the branch's snapshot clustered on
+    * the INTERLEAVED bits of two numeric columns, so each output file
+    * covers a small rectangle of the (a, b) value space and the
+    * per-file min/max ledger prunes [[readWhere]] on EITHER column —
+    * where [[compactClustered]]'s single sort order prunes only its
+    * leading key. Each column is min/max-normalized to 16 bits (one
+    * 2-row aggregate; bounds are metadata-scale) and the 32-bit Morton
+    * code is straight-line shift/mask arithmetic inside codegen; the
+    * range partitioner then cuts the Z-curve into `nFiles` contiguous
+    * runs. At 100 TB this is the read-amplification lever for tables
+    * queried by two independent keys (e.g. time AND tenant). */
+  def compactZOrdered(table: String, cols: Seq[String], nFiles: Int,
+      branch: String = "main"): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft, shiftright}
+    require(cols.length == 2, "z-order clustering interleaves exactly two columns")
+    require(nFiles > 0, "need a positive file count")
+    val df = read(table, branch)
+    val Seq(a, b) = cols
+    val bounds = df.agg(
+      min(col(a).cast("double")), max(col(a).cast("double")),
+      min(col(b).cast("double")), max(col(b).cast("double"))).head()
+    def norm(c: String, lo: Double, hi: Double) =
+      if (!(hi > lo)) lit(0L)
+      else ((col(c).cast("double") - lit(lo)) * lit(65535.0 / (hi - lo))).cast("long")
+    val na = norm(a, bounds.getDouble(0), bounds.getDouble(1))
+    val nb = norm(b, bounds.getDouble(2), bounds.getDouble(3))
+    val z = (0 until 16).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(na, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(nb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    createOrReplace(clustered, table, Nil, branch)
+  }
+
   /** Incremental read (the Iceberg incremental-append-scan analog):
     * rows ADDED between two committed snapshots, i.e. the data
     * entries `toSnap` references that `fromSnap` does not. For a
@@ -1039,6 +1173,10 @@ class Lakehouse(spark: SparkSession, root: String) {
     require(from.forall(to.contains),
       s"$table: $fromSnap -> $toSnap is not an append-only interval " +
         "(a replace/merge/delete rewrote data); consume the full snapshot instead")
+    require(snapshotDeletes(table).getOrElse(fromSnap, Seq.empty) ==
+      snapshotDeletes(table).getOrElse(toSnap, Seq.empty),
+      s"$table: $fromSnap -> $toSnap added merge-on-read tombstones " +
+        "(rows were deleted); consume the full snapshot instead")
     val added = to.filterNot(from.toSet)
     if (added.isEmpty) readSnapshot(table, toSnap).where(lit(false))
     else {

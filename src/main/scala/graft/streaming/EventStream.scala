@@ -101,7 +101,8 @@ object EventStream {
     * the join state: buffered clicks are evicted once the watermark
     * passes their ts + 10 min; state is O(in-flight window), never
     * O(stream). */
-  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", "10 minutes")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
     val p = purchases.withWatermark("ts", "10 minutes")
@@ -109,9 +110,21 @@ object EventStream {
     p.join(c,
       col("user_id") === col("c_user")
         && col("c_ts") < col("p_ts")
-        && col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"),
+      joinType)
       .select(col("purchase_id"), col("user_id"), col("p_ts"), col("click_id"), col("c_ts"))
   }
+
+  /** LEFT-OUTER streaming interval join: every purchase emits exactly
+    * once — with its in-window clicks when they exist, or with NULL
+    * click columns once the watermark passes the purchase's window and
+    * no click can still arrive. The inner variant silently drops
+    * click-less purchases, which is the first live-funnel surprise;
+    * the outer row is held in state only until the watermark closes
+    * its 10-minute window, so state stays O(in-flight), never
+    * O(stream). */
+  def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clickPurchaseJoin(clicks, purchases, "leftOuter")
 
   /** Streaming exact dedup on event_id: watermark-bounded state, so
     * the dedup set never grows past the lateness horizon — the

@@ -517,6 +517,87 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("compactZOrdered prunes file reads on EITHER of two interleaved columns") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    // two independent keys; four appends that each span BOTH full
+    // ranges, so per-file stats are useless before clustering
+    val rows = (0 until 4096).map(i => (i.toLong, (i % 64).toLong, ((i * 37) % 64).toLong))
+    rows.grouped(1024).zipWithIndex.foreach { case (chunk, i) =>
+      val df = chunk.toDF("id", "x", "y").repartition(1)
+      if (i == 0) lake.createOrReplace(df, "zo") else lake.append(df, "zo")
+    }
+    val predX = col("x") < 8L
+    val predY = col("y") < 8L
+    assert(lake.readWhere(predX, "zo").inputFiles.length === 4,
+      "interleaved appends: x stats should prune nothing")
+    assert(lake.readWhere(predY, "zo").inputFiles.length === 4)
+    val wantX = lake.read("zo").where(predX).collect().map(_.getLong(0)).toSet
+    val wantY = lake.read("zo").where(predY).collect().map(_.getLong(0)).toSet
+    lake.compactZOrdered("zo", Seq("x", "y"), nFiles = 16)
+    val gotX = lake.readWhere(predX, "zo")
+    val gotY = lake.readWhere(predY, "zo")
+    // a 1/8-range predicate on either column must touch at most half
+    // the files (single-sort clustering would prune only its lead key)
+    assert(gotX.inputFiles.length <= 8,
+      s"x-predicate read ${gotX.inputFiles.length} of 16 z-ordered files")
+    assert(gotY.inputFiles.length <= 8,
+      s"y-predicate read ${gotY.inputFiles.length} of 16 z-ordered files")
+    // and the pruned reads stay exact
+    assert(gotX.collect().map(_.getLong(0)).toSet === wantX)
+    assert(gotY.collect().map(_.getLong(0)).toSet === wantY)
+  }
+
+  test("merge-on-read delete: zero data files touched, keys gone at read, time travel intact, compaction materializes") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "mor")
+    lake.append(Seq((3L, "c"), (4L, "d")).toDF("k", "v"), "mor")
+    def dataFiles(): Set[String] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+        fs.listStatus(p).toSeq.flatMap {
+          case s if s.isFile && s.getPath.getName.endsWith(".parquet") => Seq(s.getPath.toString)
+          case s if s.isDirectory => walk(s.getPath)
+          case _ => Seq.empty
+        }
+      fs.listStatus(lake.tableRoot("mor")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
+        .flatMap(s => walk(s.getPath)).map(f => (f, fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(f)).getModificationTime).toString).toSet
+    }
+    val before = dataFiles()
+    val morSnap = lake.deleteByKeyMor(Seq(Tuple1(2L)).toDF("k"), "mor")
+    // the delete wrote a tombstone, not a data rewrite
+    assert(dataFiles() === before, "merge-on-read delete rewrote data files")
+    assert(lake.snapshotDeletes("mor")(morSnap) === Seq(s"_deletes-$morSnap"))
+    assert(lake.read("mor").select("k").collect().map(_.getLong(0)).toSet === Set(1L, 3L, 4L))
+    // stat-pruned reads apply the tombstone too
+    assert(lake.readWhere(col("k") === 2L, "mor").count() === 0L)
+    // time travel BEFORE the delete still sees the key
+    assert(lake.readSnapshot("mor", morSnap - 1).select("k").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
+    // a LATER append legitimately re-inserts the key (sequence rule)
+    lake.append(Seq((2L, "b2")).toDF("k", "v"), "mor")
+    val reinserted = lake.read("mor").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(reinserted === Set((1L, "a"), (3L, "c"), (4L, "d"), (2L, "b2")))
+    // copy-on-write deleteWhere must not resurrect MoR-deleted rows
+    lake.deleteByKeyMor(Seq(Tuple1(4L)).toDF("k"), "mor")
+    lake.deleteWhere(col("k") === 3L, "mor")
+    assert(lake.read("mor").collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b2")))
+    // compaction materializes tombstones away
+    val compacted = lake.compact("mor")
+    assert(lake.snapshotDeletes("mor").getOrElse(compacted, Seq.empty) === Seq.empty)
+    assert(lake.read("mor").collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b2")))
+    // expiry of pre-compaction history garbage-collects the tombstone dirs
+    lake.expireSnapshots("mor", keepLast = 1)
+    assert(!fs.listStatus(lake.tableRoot("mor"))
+      .exists(_.getPath.getName.startsWith("_deletes-")), "orphan tombstone dirs survive expiry")
+    assert(lake.read("mor").count() === 2L)
+  }
+
   test("DELETE keeps rows where the predicate is NULL (SQL semantics, not NOT(pred))") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._

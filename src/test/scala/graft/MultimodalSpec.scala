@@ -42,6 +42,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeStub(MediaRecord(2, "stub", Array.empty[Byte])).mean_byte === 0.0)
   }
 
+  test("real PNG payloads decode through ImageIO: exact dimensions and pixel mean") {
+    import spark.implicits._
+    // a 5x3 image with known channel values, PNG-encoded in memory
+    def png(w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (rgb._1 << 16) | (rgb._2 << 8) | rgb._3)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "image/png", png(5, 3, (10, 20, 30))),   // mean channel = 20
+      MediaRecord(2L, "image/png", png(2, 2, (255, 255, 255))), // mean = 255
+      MediaRecord(3L, "text", "not an image at all".getBytes("UTF-8"))) // stub fallback
+    val got = Multimodal.decode(spark, media.toDS().toDF("doc_id", "kind", "payload"))
+      .collect().sortBy(_.doc_id)
+    assert(got(0).width === 5 && got(0).height === 3 && got(0).n_frames === 1)
+    assert(math.abs(got(0).mean_byte - 20.0) < 1e-9, s"pixel mean: ${got(0).mean_byte}")
+    assert(got(1).width === 2 && got(1).height === 2 && got(1).mean_byte === 255.0)
+    // unrecognized bytes keep the deterministic stub semantics
+    assert(got(2) === Multimodal.decodeStub(media(2)))
+  }
+
   test("frame sampling slices the payload without decoding") {
     val frames = Multimodal.frameSample(spark, sf)
     assert(frames.where(octet_length(col("frame")) > 16).count() === 0)

@@ -209,6 +209,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits click-less purchases with nulls exactly once after the watermark closes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def df(s: MemoryStream[(Long, Long, Long)]) = // (event_id, user_id, minute)
+      s.toDF().toDF("event_id", "user_id", "m")
+        .withColumn("ts", expr("timestamp_millis(m * 60000)")).drop("m")
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val joined = EventStream.clickPurchaseJoinOuter(df(clicks), df(purchases))
+    val q = joined.writeStream.format("memory").queryName("ssj_outer_test")
+      .outputMode("append").start()
+    try {
+      // purchase 10 has an in-window click; purchase 11 (user 9) has none
+      clicks.addData((1L, 7L, 100L))
+      purchases.addData((10L, 7L, 105L), (11L, 9L, 105L))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past purchase 11's window, twice
+      // (outer results flush on the watermark move of a later batch)
+      clicks.addData((4L, 5L, 140L))
+      purchases.addData((12L, 5L, 141L))
+      q.processAllAvailable()
+      clicks.addData((5L, 6L, 170L))
+      purchases.addData((13L, 6L, 171L))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer_test").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      // matched purchase unchanged
+      assert(rows.contains((10L, Some(1L))), s"matched row missing: ${rows.mkString(", ")}")
+      // the click-less purchase emits once, with null click columns
+      val outer = rows.filter(_._1 == 11L)
+      assert(outer === Seq((11L, None)),
+        s"click-less purchase must emit exactly once with nulls: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
