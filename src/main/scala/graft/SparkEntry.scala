@@ -59,6 +59,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    // near-dup pairs -> keep-one clusters (connected components)
+    "dedup_components" -> ((s, d) => Dedup.dedupComponents(s, d)),
     // §2.D — similarity search
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopk(s, d)),
     "ann_lsh_bucketed" -> ((s, d) => Similarity.annLshTopk(s, d)),
@@ -73,6 +75,8 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_top_ngrams" -> ((s, d) => TextAnalysis.textTopNgrams(s, d)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    // corpus-unigram LM quality proxy (perplexity-bucketing signal)
+    "text_unigram_logprob" -> (TextAnalysis.textUnigramLogprob _),
     // §2.F — multimodal
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     // flagship composition: quality gate → language gate → dedup drop
@@ -425,6 +429,28 @@ object SparkEntry {
         |  FROM c JOIN ss sa ON c.doc_a = sa.doc_id JOIN ss sb ON c.doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []
+        |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END sh FROM tk),
+        |ss AS (SELECT doc_id, sh, len(sh) n_sh FROM s WHERE len(sh) > 0),
+        |p AS (SELECT doc_id, unnest(sh) g0 FROM ss),
+        |ph AS (SELECT doc_id, CAST(md5_number_lower(g0) // 4 AS BIGINT) g FROM p),
+        |c AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+        |  FROM ph a JOIN ph b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) jaccard
+        |  FROM c JOIN ss sa ON c.doc_a = sa.doc_id JOIN ss sb ON c.doc_b = sb.doc_id),
+        |e AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |ee AS (SELECT doc_a v, doc_b u FROM e UNION SELECT doc_b, doc_a FROM e),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM (SELECT DISTINCT v FROM ee)
+        |  UNION
+        |  SELECT ee.v, reach.r FROM ee JOIN reach ON ee.u = reach.v),
+        |comp AS (SELECT v doc_id, min(r) rep_id FROM reach GROUP BY v),
+        |cs AS (SELECT rep_id, count(*) csize FROM comp GROUP BY rep_id)
+        |SELECT doc_id, comp.rep_id, csize FROM comp JOIN cs USING (rep_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
         |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []
@@ -668,6 +694,18 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5,
         |  lower(substr(hex(encode(text)), 1, 16)) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) tok FROM tk),
+        |f AS (SELECT tok, count(*) tf FROM t GROUP BY tok),
+        |tt AS (SELECT sum(tf) tt FROM f),
+        |sc AS (SELECT doc_id, count(*) n_tokens,
+        |  round(avg(-log2(CAST(tf AS DOUBLE) / CAST(tt AS DOUBLE))), 6) mean_nll
+        |  FROM t JOIN f USING (tok) CROSS JOIN tt GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(mean_nll, 0.0) AS mean_nll
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // flagship composition — the quality/langid/ngram CTEs are the
     // verified oracles of those queries, chained.
     "pipeline_curate" ->

@@ -191,6 +191,73 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into KEEP-ONE clusters (a real pipeline
+    * drops all but one representative per component, not one side of
+    * each pair: pairs (a,b),(b,c) must collapse to ONE survivor even
+    * though (a,c) was never emitted).
+    *
+    * Min-label propagation with POINTER JUMPING: each round first
+    * takes the min label over graph neighbors (one keyed join +
+    * map-side-combined min agg), then short-circuits chains with
+    * l(v) ← l(l(v)) (a self-lookup join) — label paths halve each
+    * round, so convergence is O(log diameter) rounds, not O(diameter);
+    * a 1M-doc boilerplate chain converges in ~20 rounds. Per round
+    * the shuffles are keyed joins on node/label ids — never an
+    * all-pairs product — and the label table is one row per node
+    * touched by any pair (dup-cluster members only, a small fraction
+    * of the corpus). Convergence is CHECKED (changed-label count),
+    * with a hard round cap as the safety net. */
+  private[graft] def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val p = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+    val edges = p.unionByName(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("v", "u")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy("v")
+      .agg(least(col("v"), min(col("u"))).as("l"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // neighbor-min: smallest label among v's neighbors
+      val nmin = edges
+        .join(labels.select(col("v").as("u"), col("l").as("ul")), "u")
+        .groupBy("v").agg(min(col("ul")).as("nl"))
+      val viaNeighbors = labels.join(nmin, Seq("v"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+      // pointer jump: adopt the label of your label (halves chains)
+      val next = viaNeighbors
+        .join(viaNeighbors.select(col("v").as("l"), col("l").as("ll")), Seq("l"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("ll"), col("l"))).as("l"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("l", "prev"), "v")
+        .where(col("l") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    labels.select(col("v").as("doc_id"), col("l").as("rep_id"))
+  }
+
+  /** `dedup_components` — the keep-one-per-cluster view of near-dup
+    * detection: connected components over the Jaccard ≥ τ pair graph,
+    * one row per clustered doc with its component representative
+    * (min doc_id) and component size. Downstream, `keep = docs
+    * anti-join (doc_id ≠ rep_id)` is the actual dedup drop step. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val comp = connectedComponents(
+      dedupNgramJaccard(spark, dir).select("doc_a", "doc_b"))
+    val sizes = comp.groupBy("rep_id").agg(count(lit(1)).as("csize"))
+    comp.join(sizes, "rep_id")
+      .select(col("doc_id"), col("rep_id"), col("csize"))
+      .orderBy("doc_id")
+  }
+
   /** Expand a bucketed doc-list into ordered candidate pairs.
     *
     * Replaces the classic posting self-join: Spark computes each side

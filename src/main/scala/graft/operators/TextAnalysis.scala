@@ -164,4 +164,37 @@ object TextAnalysis {
         HashFunctions.h62(col("nt")).as("fp_h62"),
         size(shingles(col("toks"))).as("n_shingles"))
       .orderBy("doc_id")
+
+  /** `text_unigram_logprob` — corpus-LM quality proxy (the CCNet-style
+    * language-model filter restated as a unigram model): score each
+    * document by the mean negative log2-probability of its tokens
+    * under the corpus's own unigram distribution. Boilerplate-heavy
+    * docs (all high-frequency tokens) score LOW, lexically unusual
+    * docs score HIGH — the standard perplexity-bucketing signal for
+    * training-mix curation.
+    *
+    * Scale shape: the frequency table is vocabulary-sized (Zipf —
+    * optimizer broadcasts it when small; a keyed equi-join on the
+    * token otherwise), both aggregations map-side combine, and the
+    * grand total rides a 1-row broadcast cross join. No window, no
+    * driver loop. */
+  def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).as("tt"))
+    val scored = toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log2(col("tf").cast("double") / col("tt").cast("double"))), 6)
+          .as("mean_nll"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
+      .orderBy("doc_id")
+  }
 }

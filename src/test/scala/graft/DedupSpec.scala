@@ -116,6 +116,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: chains collapse through pointer jumping, cliques stay separate") {
+    import spark.implicits._
+    // a 12-node CHAIN (worst case for plain propagation: diameter 11,
+    // pointer jumping must converge well under the round cap), plus a
+    // separate triangle and an isolated pair
+    val chain = (100L until 111L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((1L, 2L), (2L, 3L), (1L, 3L), (50L, 51L)))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (100L to 111L).foreach(v => assert(comp(v) === 100L, s"chain node $v"))
+    Seq(1L, 2L, 3L).foreach(v => assert(comp(v) === 1L))
+    assert(comp(50L) === 50L && comp(51L) === 50L)
+    assert(comp.size === 17)
+  }
+
+  test("dedup_components groups every jaccard pair under one representative") {
+    val pairs = Dedup.dedupNgramJaccard(spark, sf).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rep = comp.map(c => c._1 -> c._2).toMap
+    // both ends of every near-dup pair share a component
+    pairs.foreach { case (a, b) => assert(rep(a) === rep(b), s"pair ($a,$b) split") }
+    // representatives are component minima and members count up
+    comp.groupBy(_._2).foreach { case (r, ms) =>
+      assert(ms.map(_._1).min === r, s"rep $r is not the min of its cluster")
+      assert(ms.head._3 === ms.length, s"cluster $r size mismatch")
+    }
+  }
+
   test("skew-cap drops are observable: the listener records capped buckets") {
     import spark.implicits._
     // one bucket of 3 docs against maxBucket=2: dropped, and loudly so

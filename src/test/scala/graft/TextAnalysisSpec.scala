@@ -50,4 +50,23 @@ class TextAnalysisSpec extends SparkSpec {
     // identical normalized text ⇒ identical fingerprint, and distinct docs mostly distinct
     assert(rows.map(_.getAs[Long]("fp_h62")).distinct.length > rows.length / 2)
   }
+
+  test("unigram logprob: consistent token counts, scores bounded by corpus information content") {
+    val nll = TextAnalysis.textUnigramLogprob(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_nll")))
+      .toMap
+    val counts = TextAnalysis.textTokens(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("word_tokens")).toMap
+    assert(nll.keySet === counts.keySet)
+    val totalTokens = counts.values.map(_.toLong).sum
+    val maxInfo = math.log(totalTokens.toDouble) / math.log(2.0) // rarest token: tf = 1
+    nll.foreach { case (id, (n, score)) =>
+      assert(n === counts(id).toLong, s"doc $id token count")
+      if (n == 0) assert(score === 0.0)
+      else assert(score > 0.0 && score <= maxInfo + 1e-6,
+        s"doc $id mean_nll $score outside (0, log2(total)]")
+    }
+    // the signal separates documents (not a constant)
+    assert(nll.values.map(_._2).toSet.size > 1)
+  }
 }
