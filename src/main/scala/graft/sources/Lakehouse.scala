@@ -790,6 +790,50 @@ class Lakehouse(spark: SparkSession, root: String) {
       }
     }
 
+  /** Predicate-driven MERGE-ON-READ delete: record the (file, row
+    * position) of every row the predicate matches as a POSITIONAL
+    * tombstone (`_deletes-<snap>` with columns `__file`, `__pos`) —
+    * zero data files rewritten, arbitrary predicates (not just keys).
+    * The scan that finds positions is itself stat-pruned (only files
+    * whose min/max may match are opened) and tombstone-filtered
+    * (already-deleted rows don't re-tombstone). Readers anti-join on
+    * the scan's `_metadata` path + row index; file paths are immutable
+    * once written, so later appends are untouched by construction, and
+    * [[compact]] materializes positions away like any tombstone. The
+    * copy-on-write [[deleteWhere]] remains the read-optimized path —
+    * this is the write-optimized one for hot tables. */
+  def deleteWhereMor(pred: org.apache.spark.sql.Column, table: String,
+      branch: String = "main"): Long =
+    retryingCommit(table, branch) { base =>
+      import org.apache.spark.sql.functions.col
+      val entries = base.map(c => snapshots(table).find(_._1 == c).get._2)
+        .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+      val prevDeletes = snapshotDeletes(table).getOrElse(base.get, Seq.empty)
+      val conjuncts = skippableConjuncts(pred, readBase(table, base))
+      val dels = tombstones(table, base.get)
+      val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      val hits = byDataDir.flatMap { case (dataDir, dirEntries) =>
+        val files = dirEntries.flatMap(matchingFiles(table, _, conjuncts)).distinct
+        if (files.isEmpty) None
+        else Some(
+          applyTombstones(openDirGroup(table, dataDir, files), dataDir, dels)
+            .where(pred)
+            .select(
+              col("_metadata.file_path").as("__file"),
+              col("_metadata.row_index").as("__pos")))
+      }
+      if (hits.isEmpty) base.get // stats prove nothing can match: no-op
+      else {
+        val snap = reserveSnap(table)
+        val dir = s"_deletes-$snap"
+        try {
+          hits.reduce(_.unionByName(_)).write.mode(SaveMode.Overwrite)
+            .parquet(new Path(tableDir(table), dir).toString)
+          commit(table, snap, entries, branch, Some(base), deletes = prevDeletes :+ dir)
+        } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+      }
+    }
+
   /** MERGE … WHEN MATCHED THEN DELETE: target rows whose key matches a
     * source row are removed (the Iceberg v2 merge-delete shape). The
     * whole table anti-joins against the (small, distinct) key set —
@@ -1080,12 +1124,24 @@ class Lakehouse(spark: SparkSession, root: String) {
 
   /** Anti-join the tombstones that apply to `dataDir` (those with a
     * HIGHER sequence — the Iceberg v2 rule that lets later appends
-    * re-insert deleted keys). Key sets are small: broadcast. */
+    * re-insert deleted keys). Two tombstone kinds, told apart by their
+    * schema: EQUALITY tombstones (columns = the key columns) anti-join
+    * on values; POSITIONAL tombstones (`__file`, `__pos` — the
+    * Iceberg v2 position-delete-file shape) anti-join on the scan's
+    * `_metadata` file path + row index, surgically removing exactly
+    * the rows a predicate matched at delete time. Tombstone sets are
+    * deleted-row-sized: broadcast. */
   private def applyTombstones(df: DataFrame, dataDir: String,
       dels: Seq[(Long, DataFrame)]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val seqNo = dataDir.stripPrefix("data-").toLong
     dels.filter(_._1 > seqNo).foldLeft(df) { case (d, (_, keys)) =>
-      d.join(org.apache.spark.sql.functions.broadcast(keys), keys.columns.toSeq, "left_anti")
+      if (keys.columns.toSeq == Seq("__file", "__pos"))
+        d.withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(broadcast(keys), Seq("__file", "__pos"), "left_anti")
+          .drop("__file", "__pos")
+      else d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
     }
   }
 
@@ -1115,6 +1171,42 @@ class Lakehouse(spark: SparkSession, root: String) {
       .sortWithinPartitions(sortCols.map(col): _*)
     createOrReplace(clustered, table, Nil, branch)
   }
+
+  /** INCREMENTAL bin-pack compaction (the `rewrite_data_files`
+    * binpack-strategy analog): fold only the snapshot entries SMALLER
+    * than `smallBytes` into one new data dir and carry every larger
+    * entry into the new snapshot BY REFERENCE, byte-identical. A
+    * long-running append chain accumulates small delta dirs; this
+    * fixes exactly that — cost O(small files), independent of table
+    * size — where [[compact]] rewrites everything. Size comes from
+    * filesystem metadata (no scan); tombstones are materialized into
+    * the folded rows (the new dir outranks them) and carried for the
+    * referenced ones. */
+  def compactBinPack(table: String, smallBytes: Long, branch: String = "main"): Long =
+    retryingCommit(table, branch) { base =>
+      val entries = base.map(c => snapshots(table).find(_._1 == c).get._2)
+        .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+      val prevDeletes = snapshotDeletes(table).getOrElse(base.get, Seq.empty)
+      val sized = entries.map { e =>
+        (e, fs.getContentSummary(new Path(tableDir(table), e)).getLength)
+      }
+      val (small, big) = sized.partition(_._2 < smallBytes)
+      if (small.length <= 1) base.get // nothing worth folding: no-op
+      else {
+        val dels = tombstones(table, base.get)
+        val byDataDir = small.map(_._1).groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+        val folded = byDataDir.map { case (dataDir, dirEntries) =>
+          applyTombstones(openDirGroup(table, dataDir,
+            if (dirEntries.contains(dataDir)) Seq(dataDir) else dirEntries), dataDir, dels)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        val snap = reserveSnap(table)
+        val dir = s"data-$snap"
+        try {
+          writeDataDir(folded, table, dir, Nil)
+          commit(table, snap, big.map(_._1) :+ dir, branch, Some(base), deletes = prevDeletes)
+        } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+      }
+    }
 
   /** Z-ORDER clustered compaction (the `rewrite_data_files` +
     * zorder(a, b) analog): rewrite the branch's snapshot clustered on

@@ -517,6 +517,32 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("compactBinPack folds only small dirs; large dirs carry by reference, byte-identical") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    // one big dir (many rows) + three tiny appends
+    lake.createOrReplace((0L until 5000L).map(i => (i, s"v$i")).toDF("k", "v").repartition(1), "bp")
+    lake.append(Seq((9001L, "x")).toDF("k", "v"), "bp")
+    lake.append(Seq((9002L, "y")).toDF("k", "v"), "bp")
+    lake.append(Seq((9003L, "z")).toDF("k", "v"), "bp")
+    val bigDirSize = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(lake.tableRoot("bp"), "data-1")).getLength
+    val bigMtimes = fs.listStatus(new org.apache.hadoop.fs.Path(lake.tableRoot("bp"), "data-1"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val snap = lake.compactBinPack("bp", smallBytes = bigDirSize / 2)
+    val entries = lake.snapshots("bp").find(_._1 == snap).get._2
+    // big dir carried by reference, small dirs folded into ONE new dir
+    assert(entries.contains("data-1"), s"big dir must be referenced untouched: $entries")
+    assert(entries.length === 2, s"three small dirs should fold to one: $entries")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(lake.tableRoot("bp"), "data-1"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap === bigMtimes,
+      "big dir files were rewritten")
+    assert(lake.read("bp").count() === 5003L)
+    // folding again is a no-op (only one small dir remains)
+    assert(lake.compactBinPack("bp", smallBytes = bigDirSize / 2) === snap)
+  }
+
   test("compactZOrdered prunes file reads on EITHER of two interleaved columns") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
@@ -596,6 +622,39 @@ class LakehouseSpec extends SparkSpec {
     assert(!fs.listStatus(lake.tableRoot("mor"))
       .exists(_.getPath.getName.startsWith("_deletes-")), "orphan tombstone dirs survive expiry")
     assert(lake.read("mor").count() === 2L)
+  }
+
+  test("positional merge-on-read delete: predicate delete with zero data files rewritten") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "pmor")
+    lake.append(Seq((3L, "b"), (4L, "c")).toDF("k", "v"), "pmor")
+    def dataFileCount(): Int =
+      fs.listStatus(lake.tableRoot("pmor")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
+        .flatMap(s => fs.listStatus(s.getPath))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val filesBefore = dataFileCount()
+    // arbitrary predicate (not a key): both dirs hold a matching row
+    val snap = lake.deleteWhereMor(col("v") === "b", "pmor")
+    assert(dataFileCount() === filesBefore, "positional MoR delete rewrote data files")
+    assert(lake.snapshotDeletes("pmor")(snap) === Seq(s"_deletes-$snap"))
+    assert(lake.read("pmor").select("k").collect().map(_.getLong(0)).toSet === Set(1L, 4L))
+    // stat-pruned path applies positions too
+    assert(lake.readWhere(col("k") <= 2L, "pmor").count() === 1L)
+    // time travel before the delete is intact
+    assert(lake.readSnapshot("pmor", snap - 1).count() === 4L)
+    // later appends are untouched by the positional tombstone
+    lake.append(Seq((5L, "b")).toDF("k", "v"), "pmor")
+    assert(lake.read("pmor").select("k").collect().map(_.getLong(0)).toSet === Set(1L, 4L, 5L))
+    // CoW delete over a positionally-tombstoned table doesn't resurrect
+    lake.deleteWhere(col("k") === 4L, "pmor")
+    assert(lake.read("pmor").select("k").collect().map(_.getLong(0)).toSet === Set(1L, 5L))
+    // compaction materializes the positions away
+    val compacted = lake.compact("pmor")
+    assert(lake.snapshotDeletes("pmor").getOrElse(compacted, Seq.empty) === Seq.empty)
+    assert(lake.read("pmor").select("k").collect().map(_.getLong(0)).toSet === Set(1L, 5L))
   }
 
   test("DELETE keeps rows where the predicate is NULL (SQL semantics, not NOT(pred))") {

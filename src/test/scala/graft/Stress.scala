@@ -35,6 +35,9 @@ object Stress {
     import graft.operators.{Curate, Dedup}
     t("dedup_exact")(Dedup.dedupExact(spark, dir).where(col("is_dup")).count())
     t("dedup_ngram_jaccard")(Dedup.dedupNgramJaccard(spark, dir).count())
+    // components over the 600k+-edge pair graph: 16-clique clusters
+    // must converge in a couple of pointer-jump rounds
+    t("dedup_components")(Dedup.dedupComponents(spark, dir).count())
     t("dedup_minhash_lsh")(Dedup.dedupMinhashLsh(spark, dir).count())
     t("dedup_simhash")(Dedup.dedupSimhash(spark, dir).count())
     t("dedup_embedding")(Dedup.dedupEmbedding(spark, dir).count())
