@@ -210,6 +210,16 @@ object Dedup {
     * with a hard round cap as the safety net. */
   private[graft] def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    // AQE materializes every exchange of every round as its own
+    // sub-job — pure scheduling overhead on the (small) label table,
+    // and there is nothing adaptive to learn from a fixed iterative
+    // plan. Turn it off for the loop, restore after. (The label table
+    // is bounded by clustered docs, orders of magnitude below the
+    // corpus, so static planning is safe at any scale.)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val p = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
     val edges = p.unionByName(
       p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -225,23 +235,31 @@ object Dedup {
       val nmin = edges
         .join(labels.select(col("v").as("u"), col("l").as("ul")), "u")
         .groupBy("v").agg(min(col("ul")).as("nl"))
-      val viaNeighbors = labels.join(nmin, Seq("v"), "left")
-        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-      // pointer jump: adopt the label of your label (halves chains)
-      val next = viaNeighbors
-        .join(viaNeighbors.select(col("v").as("l"), col("l").as("ll")), Seq("l"), "left")
-        .select(col("v"), least(col("l"), coalesce(col("ll"), col("l"))).as("l"))
+      val viaNeighbors = labels.withColumnRenamed("l", "prev")
+        .join(nmin, Seq("v"), "left")
+        .select(col("v"), col("prev"),
+          least(col("prev"), coalesce(col("nl"), col("prev"))).as("l"))
+      // pointer jump: adopt the label of your label (halves chains);
+      // prev rides along so convergence needs no extra re-join. The
+      // jump is a SELF-join — persist its input or Spark recomputes
+      // the neighbor-min subplan once per side.
+      val vn = viaNeighbors.persist(StorageLevel.MEMORY_AND_DISK)
+      val next = vn
+        .join(vn.select(col("v").as("l"), col("l").as("ll")), Seq("l"), "left")
+        .select(col("v"), col("prev"),
+          least(col("l"), coalesce(col("ll"), col("l"))).as("l"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("l", "prev"), "v")
-        .where(col("l") =!= col("prev")).count()
+      val changed = next.where(col("l") =!= col("prev")).count()
       labels.unpersist()
-      labels = next
+      vn.unpersist()
+      labels = next.select("v", "l")
       converged = changed == 0
       round += 1
     }
     edges.unpersist()
     require(converged, s"connected components did not converge in $maxRounds rounds")
     labels.select(col("v").as("doc_id"), col("l").as("rep_id"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** `dedup_components` — the keep-one-per-cluster view of near-dup
@@ -250,8 +268,12 @@ object Dedup {
     * (min doc_id) and component size. Downstream, `keep = docs
     * anti-join (doc_id ≠ rep_id)` is the actual dedup drop step. */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val comp = connectedComponents(
-      dedupNgramJaccard(spark, dir).select("doc_a", "doc_b"))
+    // the converged label table is a derived signature table like the
+    // postings — memoized per (session, dir) so repeated consumers
+    // (and the curate-side drop step) share one materialization
+    val comp = Memo.persisted(spark, s"dedup.components|$dir") {
+      connectedComponents(dedupNgramJaccard(spark, dir).select("doc_a", "doc_b"))
+    }
     val sizes = comp.groupBy("rep_id").agg(count(lit(1)).as("csize"))
     comp.join(sizes, "rep_id")
       .select(col("doc_id"), col("rep_id"), col("csize"))
