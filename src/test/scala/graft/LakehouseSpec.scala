@@ -624,6 +624,20 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.read("mor").count() === 2L)
   }
 
+  test("CDC readChanges refuses an interval that added merge-on-read tombstones") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    val s1 = lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "cdm")
+    val s2 = lake.deleteByKeyMor(Seq(Tuple1(1L)).toDF("k"), "cdm")
+    val s3 = lake.append(Seq((3L, "c")).toDF("k", "v"), "cdm")
+    // dirs are append-only across s1 -> s3, but rows were DELETED: the
+    // incremental scan must refuse rather than silently skip the delete
+    val e = intercept[IllegalArgumentException] { lake.readChanges("cdm", s1, s3) }
+    assert(e.getMessage.contains("tombstones"))
+    // within the tombstone-stable interval the delta reads fine
+    assert(lake.readChanges("cdm", s2, s3).collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
   test("positional merge-on-read delete: predicate delete with zero data files rewritten") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
