@@ -83,6 +83,8 @@ object SparkEntry {
     "pipeline_curate" -> (Curate.pipelineCurate _),
     // training-mix rebalance: deterministic hash-stratified sampling
     "pipeline_sample" -> (Curate.pipelineSample _),
+    // temperature-based mixture rebalance (share^(1/T) language mix)
+    "pipeline_mix_temperature" -> ((s, d) => Curate.pipelineMixTemperature(s, d)),
     // concat-then-chunk sequence packing (block-local running sums)
     "pipeline_pack" -> ((s, d) => Curate.pipelinePack(s, d)),
     // full curate -> sample -> pack training-mix flow, one plan
@@ -625,6 +627,28 @@ object SparkEntry {
         |SELECT doc_id, pred_lang FROM l
         |WHERE CAST(md5_number_lower('sample|' || doc_id::VARCHAR) // 4 AS BIGINT) % 1000
         |  < CASE WHEN pred_lang = 'en' THEN 250 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_mix_temperature" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(regexp_extract_all(lower(text),'([a-z0-9]+)',1)) dt FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_intersect(dt, ['the','and','of','to','a','in','is','you','that','it'])) AS s_en,
+        |  len(list_intersect(dt, ['el','la','de','que','y','en','un','los','se','no'])) AS s_es,
+        |  len(list_intersect(dt, ['le','la','de','et','les','des','en','un','du','une'])) AS s_fr,
+        |  len(list_intersect(dt, ['der','die','und','in','den','von','zu','das','mit','sich'])) AS s_de
+        |  FROM t),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+        |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS pred_lang FROM s),
+        |cnt AS (SELECT pred_lang, count(*) c FROM l GROUP BY pred_lang),
+        |mn AS (SELECT min(c) cmin FROM cnt),
+        |th AS (SELECT pred_lang,
+        |  CAST(round(pow(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE), 0.5) * 1000000.0, 0) AS BIGINT) kth
+        |  FROM cnt CROSS JOIN mn)
+        |SELECT l.doc_id, l.pred_lang FROM l JOIN th USING (pred_lang)
+        |WHERE CAST(md5_number_lower('mix|' || doc_id::VARCHAR) // 4 AS BIGINT) % 1000000 < kth
         |ORDER BY doc_id""".stripMargin,
     "pipeline_pack" ->
       """WITH t AS (SELECT doc_id,

@@ -89,9 +89,12 @@ object Curate {
     * agree across engines; a salted hash always does). At 100 TB this
     * is a map-only filter fused into the scan — no shuffle at all
     * before the output sort. */
-  def pipelineSample(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, pred_lang) for the corpus — the language projection
+    * shared by the sampling/mixing operators (identical arithmetic to
+    * textLangid, so composed oracles chain the langid CTEs). */
+  private def langedDocs(spark: SparkSession, dir: String): DataFrame = {
     import TextAnalysis._
-    val langed = graft.sources.Tables.parallel(
+    graft.sources.Tables.parallel(
         spark, graft.sources.Tables.documents(spark, dir))
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("dt"))
       .select(
@@ -104,10 +107,44 @@ object Curate {
             .when(sDe > 0, "de")
             .otherwise("und").as("pred_lang")
         })
-    langed
+  }
+
+  def pipelineSample(spark: SparkSession, dir: String): DataFrame =
+    langedDocs(spark, dir)
       .withColumn("gate", graft.functions.HashFunctions.h62(
         concat(lit("sample|"), col("doc_id").cast("string"))) % 1000)
       .where(col("gate") < when(col("pred_lang") === "en", 250).otherwise(1000))
+      .select("doc_id", "pred_lang")
+      .orderBy("doc_id")
+
+  /** `pipeline_mix_temperature` — temperature-based mixture
+    * rebalancing (the multilingual-corpus sampling rule of the GPT-3/
+    * PaLM data recipes): with language share s_l, the target mix is
+    * ∝ s_l^(1/T), realized downsample-only with keep probability
+    * keep_l = (s_min / s_l)^(1 − 1/T) — the rarest language keeps
+    * everything, dominant languages shed mass, and the kept corpus's
+    * language proportions are exactly the temperature mix. T = 1 is a
+    * no-op, T → ∞ approaches a uniform mix.
+    *
+    * Selection is the same deterministic hash gate as
+    * [[pipelineSample]] (keep iff h62("mix|"+doc_id) mod 10⁶ < the
+    * micro-threshold), so the sample is reproducible, partition/
+    * order-independent, and exactly SQL-restatable. Scale shape: one
+    * language-count aggregate (map-side combined, |langs| rows
+    * broadcast back) and a map-only filter fused into the scan. */
+  def pipelineMixTemperature(spark: SparkSession, dir: String,
+      temperature: Double = 2.0): DataFrame = {
+    val langed = langedDocs(spark, dir)
+    val counts = langed.groupBy("pred_lang").agg(count(lit(1)).as("c"))
+    val minC = counts.agg(min(col("c")).as("cmin"))
+    val thresholds = counts.crossJoin(broadcast(minC))
+      .select(
+        col("pred_lang"),
+        round(pow(col("cmin").cast("double") / col("c").cast("double"),
+          1.0 - 1.0 / temperature) * 1000000.0, 0).cast("long").as("kth"))
+    langed.join(broadcast(thresholds), "pred_lang")
+      .where(graft.functions.HashFunctions.h62(
+        concat(lit("mix|"), col("doc_id").cast("string"))) % 1000000 < col("kth"))
       .select("doc_id", "pred_lang")
       .orderBy("doc_id")
   }

@@ -69,4 +69,25 @@ class TextAnalysisSpec extends SparkSpec {
     // the signal separates documents (not a constant)
     assert(nll.values.map(_._2).toSet.size > 1)
   }
+
+  test("temperature mix: rarest language keeps everything, dominant languages shed toward the T=2 mix") {
+    val all = TextAnalysis.textLangid(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("pred_lang")))
+    val mixed = graft.operators.Curate.pipelineMixTemperature(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(mixed.map(_._1).toSet.subsetOf(all.map(_._1).toSet))
+    val c = all.groupBy(_._2).view.mapValues(_.length).toMap
+    val k = mixed.groupBy(_._2).view.mapValues(_.length).toMap
+    val cmin = c.values.min
+    // every minimal-share language is kept in full (keep prob 1)
+    c.filter(_._2 == cmin).keys.foreach(lang =>
+      assert(k.getOrElse(lang, 0) === cmin, s"rarest language $lang must keep everything"))
+    // kept counts track n * sqrt(cmin/n) within hash-gate noise
+    c.foreach { case (lang, n) =>
+      val expected = n * math.sqrt(cmin.toDouble / n)
+      val tol = math.max(3.0, 4 * math.sqrt(expected))
+      assert(math.abs(k.getOrElse(lang, 0) - expected) <= tol,
+        s"$lang kept ${k.getOrElse(lang, 0)} of $n, expected ~$expected")
+    }
+  }
 }
