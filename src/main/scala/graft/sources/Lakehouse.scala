@@ -263,12 +263,14 @@ class Lakehouse(spark: SparkSession, root: String) {
         b <- """"batch":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
       } yield s -> b
     }.toMap
+    val delsBySnap = snapshotDeletes(table)
     val rows = snapshots(table).map { case (snap, dirs) =>
       (snap, dirs.length.toLong, heads.getOrElse(snap, ""),
-        batchBySnap.get(snap).map(_.toString).getOrElse(""))
+        batchBySnap.get(snap).map(_.toString).getOrElse(""),
+        delsBySnap.getOrElse(snap, Seq.empty).length.toLong)
     }
     spark.createDataFrame(rows)
-      .toDF("snapshot_id", "n_entries", "current_of", "stream_batch")
+      .toDF("snapshot_id", "n_entries", "current_of", "stream_batch", "n_delete_files")
   }
 
   def branches(table: String): Seq[String] = {
@@ -1135,14 +1137,19 @@ class Lakehouse(spark: SparkSession, root: String) {
       dels: Seq[(Long, DataFrame)]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val seqNo = dataDir.stripPrefix("data-").toLong
-    dels.filter(_._1 > seqNo).foldLeft(df) { case (d, (_, keys)) =>
-      if (keys.columns.toSeq == Seq("__file", "__pos"))
-        d.withColumn("__file", col("_metadata.file_path"))
-          .withColumn("__pos", col("_metadata.row_index"))
-          .join(broadcast(keys), Seq("__file", "__pos"), "left_anti")
-          .drop("__file", "__pos")
-      else d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+    val applicable = dels.filter(_._1 > seqNo)
+    val anyPositional = applicable.exists(_._2.columns.toSeq == Seq("__file", "__pos"))
+    // `_metadata` resolves only directly on the file scan — materialize
+    // path+index ONCE before any anti-join (a second positional
+    // tombstone could not re-derive them after the first join)
+    val base =
+      if (!anyPositional) df
+      else df.withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+    val filtered = applicable.foldLeft(base) { case (d, (_, keys)) =>
+      d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
     }
+    if (anyPositional) filtered.drop("__file", "__pos") else filtered
   }
 
   /** Compact a branch's snapshot: rewrite its (possibly many) delta
@@ -1285,6 +1292,14 @@ class Lakehouse(spark: SparkSession, root: String) {
   def sqlDelete(table: String, whereClause: String,
       partitionBy: Seq[String] = Nil): Long = {
     val snap = deleteWhere(org.apache.spark.sql.functions.expr(whereClause), table, partitionBy)
+    registerView(table, partitionBy)
+    snap
+  }
+
+  /** SQL DELETE routed through the write-optimized MERGE-ON-READ path
+    * ([[deleteWhereMor]]): positional tombstones, zero data rewritten. */
+  def sqlDeleteMor(table: String, whereClause: String): Long = {
+    val snap = deleteWhereMor(org.apache.spark.sql.functions.expr(whereClause), table)
     registerView(table)
     snap
   }

@@ -665,10 +665,16 @@ class LakehouseSpec extends SparkSpec {
     // CoW delete over a positionally-tombstoned table doesn't resurrect
     lake.deleteWhere(col("k") === 4L, "pmor")
     assert(lake.read("pmor").select("k").collect().map(_.getLong(0)).toSet === Set(1L, 5L))
+    // SQL surface of the MoR path + tombstones visible in history
+    lake.sqlDeleteMor("pmor", "k = 5")
+    assert(lake.read("pmor").select("k").collect().map(_.getLong(0)).toSet === Set(1L))
+    val hist = lake.history("pmor").collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(hist.values.max >= 1L, "history must surface merge-on-read delete files")
     // compaction materializes the positions away
     val compacted = lake.compact("pmor")
     assert(lake.snapshotDeletes("pmor").getOrElse(compacted, Seq.empty) === Seq.empty)
-    assert(lake.read("pmor").select("k").collect().map(_.getLong(0)).toSet === Set(1L, 5L))
+    assert(lake.read("pmor").select("k").collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
   test("DELETE keeps rows where the predicate is NULL (SQL semantics, not NOT(pred))") {
