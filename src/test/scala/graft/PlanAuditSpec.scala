@@ -88,6 +88,22 @@ class PlanAuditSpec extends SparkSpec {
       s"unneeded columns read: $readSchema")
   }
 
+  test("unigram-logprob and temperature-mix prune the documents scan to (doc_id, text)") {
+    Seq(
+      TextAnalysis.textUnigramLogprob(spark, sf),
+      graft.operators.Curate.pipelineMixTemperature(spark, sf)).foreach { df =>
+      val p = plan(df)
+      val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toSeq
+      assert(readSchemas.nonEmpty && readSchemas.exists(_.contains("text")),
+        s"expected a (doc_id, text) scan: $readSchemas")
+      // EVERY scan is pruned to at most (doc_id, text) — no other column
+      readSchemas.foreach(rs =>
+        assert(!rs.contains("source") && !rs.contains("lang"),
+          s"unneeded columns read: $rs"))
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("multimodal features prune to (doc_id, text)") {
     val readSchema = "ReadSchema: [^\n]*".r
       .findFirstIn(plan(Multimodal.multimodalFeatures(spark, sf))).getOrElse("")
