@@ -252,6 +252,33 @@ class LakehouseSpec extends SparkSpec {
     assert(!fs.listStatus(lake.tableRoot("cc")).exists(_.getPath.getName.startsWith("_reserve-")))
   }
 
+  test("concurrent MoR deletes racing appends: no commit lost, tombstones apply consistently") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"), "ccm")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    // 3 writers append NEW keys while 3 writers MoR-delete SEED keys
+    val writers =
+      (1 to 3).map { i =>
+        Future { lake.append(Seq((100L + i, s"a$i")).toDF("k", "v"), "ccm") }
+      } ++ (1 to 3).map { i =>
+        Future { lake.deleteByKeyMor(Seq(Tuple1(i.toLong)).toDF("k"), "ccm") }
+      }
+    Await.result(Future.sequence(writers), 120.seconds)
+    // every append survived, every MoR-deleted seed key is gone
+    val got = lake.read("ccm").select("k").collect().map(_.getLong(0)).toSet
+    assert(got === ((0L until 10L).toSet -- Set(1L, 2L, 3L)) ++ Set(101L, 102L, 103L))
+    // the current snapshot carries all three tombstones
+    val cur = lake.currentSnapshot("ccm").get
+    assert(lake.snapshotDeletes("ccm")(cur).length === 3)
+    // 7 distinct committed snapshots, no leftover reservations
+    assert(lake.snapshots("ccm").map(_._1).distinct.length === 7)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(lake.tableRoot("ccm")).exists(_.getPath.getName.startsWith("_reserve-")))
+  }
+
   test("appendOnce is exactly-once: a replayed micro-batch id commits nothing") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
