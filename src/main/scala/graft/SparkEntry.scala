@@ -81,6 +81,8 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     // flagship composition: quality gate → language gate → dedup drop
     "pipeline_curate" -> (Curate.pipelineCurate _),
+    // cluster-accurate variant: keep-one-per-component drop
+    "pipeline_curate_cc" -> (Curate.pipelineCurateCc _),
     // training-mix rebalance: deterministic hash-stratified sampling
     "pipeline_sample" -> (Curate.pipelineSample _),
     // temperature-based mixture rebalance (share^(1/T) language mix)
@@ -771,6 +773,58 @@ object SparkEntry {
         |WHERE q.quality >= 0.5 AND lang.pred_lang = 'en'
         |  AND q.doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY q.doc_id""".stripMargin,
+    // cluster-accurate curate: same gate CTEs, components closure for
+    // the drop (keep min gated doc per connected near-dup component)
+    "pipeline_curate_cc" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, length(text) n_chars,
+        |  regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks,
+        |  len(regexp_extract_all(text, '([^a-z0-9 ])', 1)) n_punct FROM documents),
+        |u AS (SELECT doc_id, n_chars, n_punct, len(toks) n_tokens,
+        |  len(list_filter(toks, tk -> list_contains(['the','and','of','to','a','in','is','you','that','it'], tk))) n_stop
+        |  FROM t),
+        |q AS (SELECT doc_id,
+        |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+        |    + 0.3 * (1.0 - least(1.0, 10.0 * CAST(n_punct AS DOUBLE) / n_chars))
+        |    + 0.3 * least(1.0, 5.0 * CAST(n_stop AS DOUBLE) / n_tokens), 6) quality FROM u),
+        |dtk AS (SELECT doc_id, list_distinct(toks) dt FROM t),
+        |l AS (SELECT doc_id,
+        |  len(list_intersect(dt, ['the','and','of','to','a','in','is','you','that','it'])) s_en,
+        |  len(list_intersect(dt, ['el','la','de','que','y','en','un','los','se','no'])) s_es,
+        |  len(list_intersect(dt, ['le','la','de','et','les','des','en','un','du','une'])) s_fr,
+        |  len(list_intersect(dt, ['der','die','und','in','den','von','zu','das','mit','sich'])) s_de
+        |  FROM dtk),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+        |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS pred_lang FROM l),
+        |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []
+        |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END sh FROM t),
+        |ss AS (SELECT doc_id, sh, len(sh) n_sh FROM s WHERE len(sh) > 0),
+        |p AS (SELECT doc_id, unnest(sh) g0 FROM ss),
+        |ph AS (SELECT doc_id, CAST(md5_number_lower(g0) // 4 AS BIGINT) g FROM p),
+        |c AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+        |  FROM ph a JOIN ph b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) jaccard
+        |  FROM c JOIN ss sa ON c.doc_a = sa.doc_id JOIN ss sb ON c.doc_b = sb.doc_id),
+        |e AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |ee AS (SELECT doc_a v, doc_b u FROM e UNION SELECT doc_b, doc_a FROM e),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM (SELECT DISTINCT v FROM ee)
+        |  UNION
+        |  SELECT ee.v, reach.r FROM ee JOIN reach ON ee.u = reach.v),
+        |comp AS (SELECT v doc_id, min(r) rep_id FROM reach GROUP BY v),
+        |gated AS (SELECT q.doc_id, q.quality, lang.pred_lang
+        |  FROM q JOIN lang ON q.doc_id = lang.doc_id
+        |  WHERE q.quality >= 0.5 AND lang.pred_lang = 'en'),
+        |gc AS (SELECT gated.doc_id, gated.quality, gated.pred_lang,
+        |  coalesce(comp.rep_id, gated.doc_id) clid
+        |  FROM gated LEFT JOIN comp ON gated.doc_id = comp.doc_id),
+        |keep AS (SELECT clid, min(doc_id) doc_id FROM gc GROUP BY clid)
+        |SELECT gc.doc_id, gc.quality, gc.pred_lang
+        |FROM gc JOIN keep ON gc.clid = keep.clid AND gc.doc_id = keep.doc_id
+        |ORDER BY gc.doc_id""".stripMargin,
     "pipeline_train_mix" ->
       """WITH t AS (SELECT doc_id, length(text) n_chars,
         |  regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks,

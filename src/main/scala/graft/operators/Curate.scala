@@ -89,6 +89,29 @@ object Curate {
     * agree across engines; a salted hash always does). At 100 TB this
     * is a map-only filter fused into the scan — no shuffle at all
     * before the output sort. */
+  /** `pipeline_curate_cc` — curation with the CLUSTER-ACCURATE dedup
+    * drop: among gate-passing docs, keep exactly one representative
+    * (the min doc_id) per connected near-dup component
+    * ([[Dedup.dedupComponents]]). The pair-based drop of
+    * [[pipelineCurate]] keeps a doc iff it is never the LARGER side of
+    * a pair — on a chain-shaped cluster a–b, b–c that keeps only a,
+    * but on b–c, c–d (b smallest in all its pairs, yet not alone) both
+    * rules agree only by luck; components make "one survivor per
+    * cluster" exact. Shape: the memoized component table joins the
+    * gated docs (broadcast-size label table), one (cluster, min)
+    * aggregate, one semi-join back — all keyed. */
+  def pipelineCurateCc(spark: SparkSession, dir: String): DataFrame = {
+    val scored = scoredDocs(spark, dir)
+      .where(col("quality") >= 0.5 && col("pred_lang") === "en")
+    val comp = Dedup.dedupComponents(spark, dir).select("doc_id", "rep_id")
+    val clustered = scored.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("rep_id"), col("doc_id")))
+    val keep = clustered.groupBy("cluster").agg(min(col("doc_id")).as("doc_id"))
+    clustered.join(keep, Seq("cluster", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("quality"), col("pred_lang"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, pred_lang) for the corpus — the language projection
     * shared by the sampling/mixing operators (identical arithmetic to
     * textLangid, so composed oracles chain the langid CTEs). */
