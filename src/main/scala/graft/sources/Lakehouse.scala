@@ -341,7 +341,9 @@ class Lakehouse(spark: SparkSession, root: String) {
     * partition rewrite. Readers anti-join tombstones against data dirs
     * of LOWER sequence only, so a later append may re-insert a deleted
     * key; [[compact]] materializes tombstones away. The copy-on-write
-    * [[deleteWhere]]/[[deleteByKey]] remain the read-optimized path. */
+    * [[deleteWhere]]/[[deleteByKey]] remain the read-optimized path.
+    * NULL key values match NULL data values (null-safe `<=>` at read —
+    * Iceberg equality-delete semantics). */
   def deleteByKeyMor(keys: DataFrame, table: String, branch: String = "main"): Long =
     retryingCommit(table, branch) { base =>
       val prev = base.map(c => snapshots(table).find(_._1 == c).get._2)
@@ -862,7 +864,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     * without it a long-lived table's history grows without bound.
     * Expired snapshots become unreadable; live branches and time
     * travel among kept snapshots are untouched. */
-  def expireSnapshots(table: String, keepLast: Int): Unit = {
+  def expireSnapshots(table: String, keepLast: Int): Unit = tableLock(table).synchronized {
     val snaps = snapshots(table)
     val branchRefs = branches(table).flatMap(b => currentSnapshot(table, b)).toSet
     val keepIds = snaps.map(_._1).sorted.takeRight(math.max(keepLast, 1)).toSet ++ branchRefs
@@ -877,14 +879,25 @@ class Lakehouse(spark: SparkSession, root: String) {
     }
     val liveDeletes = kept.flatMap(s => snapshotDeletes(table).getOrElse(s._1, Seq.empty)).toSet
     writeFile(manifest(table), lines.mkString("\n") + "\n")
+    // Unreferenced dirs with a LIVE _reserve-N marker are an in-flight
+    // writer's (a MoR delete between tombstone write and commit, an
+    // append between data write and commit) — expiring them would let
+    // the subsequent commit reference deleted files. Skip them here
+    // exactly as [[removeOrphans]] pass 2 does; they become ordinary
+    // orphans if the writer dies.
+    def inFlight(name: String): Boolean =
+      fs.exists(new Path(tableDir(table),
+        "_reserve-" + name.stripPrefix("data-").stripPrefix("_deletes-")))
     // tombstone dirs no kept snapshot references
     fs.listStatus(tableDir(table)).foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("_deletes-") && !liveDeletes.contains(name))
+      if (st.isDirectory && name.startsWith("_deletes-") && !liveDeletes.contains(name)
+          && !inFlight(name))
         fs.delete(st.getPath, true)
     }
     val dataDirs = fs.listStatus(tableDir(table)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
+      .filterNot(s => inFlight(s.getPath.getName))
     dataDirs.foreach { d =>
       val name = d.getPath.getName
       if (live.contains(name)) () // whole dir referenced
@@ -928,17 +941,26 @@ class Lakehouse(spark: SparkSession, root: String) {
     // deleted data (a corrupted table). The marker is deleted only
     // AFTER the manifest line lands, so re-reading the manifest at
     // delete time closes the marker-just-removed window too.
-    listing.foreach { st =>
+    val candidates = listing.filter { st =>
       val name = st.getPath.getName
-      val isData = name.startsWith("data-")
-      val isTombstone = name.startsWith("_deletes-")
-      val snapOf = name.stripPrefix("data-").stripPrefix("_deletes-")
-      if (st.isDirectory && (isData || isTombstone)
-          && !fs.exists(new Path(tableDir(table), "_reserve-" + snapOf))) {
-        val referencedNow =
-          if (isData) snapshots(table).flatMap(_._2).map(_.takeWhile(_ != '/')).toSet
-          else snapshotDeletes(table).values.flatten.toSet
-        if (!referencedNow.contains(name) && fs.exists(st.getPath)) {
+      st.isDirectory && (name.startsWith("data-") || name.startsWith("_deletes-")) &&
+        !fs.exists(new Path(tableDir(table),
+          "_reserve-" + name.stripPrefix("data-").stripPrefix("_deletes-")))
+    }
+    if (candidates.nonEmpty) {
+      // ONE manifest read for the whole candidate batch, taken AFTER
+      // every marker check: a marker that vanished before its check
+      // means the writer's manifest line was already durable (markers
+      // drop only after the line lands), so this read still closes the
+      // marker-just-removed window — without the old O(dirs × manifest
+      // lines) re-read inside the loop.
+      val dataRefs = snapshots(table).flatMap(_._2).map(_.takeWhile(_ != '/')).toSet
+      val delRefs = snapshotDeletes(table).values.flatten.toSet
+      candidates.foreach { st =>
+        val name = st.getPath.getName
+        val referenced =
+          if (name.startsWith("data-")) dataRefs.contains(name) else delRefs.contains(name)
+        if (!referenced && fs.exists(st.getPath)) {
           fs.delete(st.getPath, true)
           removed += name
         }
@@ -971,7 +993,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     * commit the result as a new snapshot. */
   def sqlMerge(table: String, sourceView: String, keyCols: Seq[String],
       partitionBy: Seq[String] = Nil): Long = {
-    registerView(table)
+    registerView(table, partitionBy)
     val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
     val merged = spark.sql(
       s"""SELECT * FROM $sourceView
@@ -980,7 +1002,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     val snap =
       if (partitionBy.nonEmpty) upsert(spark.table(sourceView), table, keyCols, partitionBy)
       else createOrReplace(merged, table)
-    registerView(table)
+    registerView(table, partitionBy)
     snap
   }
 
@@ -1146,8 +1168,14 @@ class Lakehouse(spark: SparkSession, root: String) {
       if (!anyPositional) df
       else df.withColumn("__file", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
+    // NULL-SAFE equality (<=>): Iceberg equality-delete semantics treat
+    // a NULL tombstone value as matching NULL data values — a plain
+    // equality anti-join would silently no-op a null-key delete.
     val filtered = applicable.foldLeft(base) { case (d, (_, keys)) =>
-      d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+      val kcols = keys.columns.toSeq
+      val ts = keys.toDF(kcols.map("__ts_" + _): _*)
+      val cond = kcols.map(c => d(c) <=> ts("__ts_" + c)).reduce(_ && _)
+      d.join(broadcast(ts), cond, "left_anti")
     }
     if (anyPositional) filtered.drop("__file", "__pos") else filtered
   }
@@ -1311,7 +1339,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     * layout DML rewrites preserve. */
   def registerView(table: String, partitionBy: Seq[String] = Nil): Unit = {
     read(table).createOrReplaceTempView(table)
-    LakehouseRegistry.register(table, this, partitionBy)
+    LakehouseRegistry.register(spark, table, this, partitionBy)
   }
 }
 

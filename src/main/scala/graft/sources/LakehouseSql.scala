@@ -18,27 +18,39 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * every other statement delegates untouched to Spark's parser.
   */
 object LakehouseRegistry {
+  // keyed by (session UUID, lowercase view name): two sessions over two
+  // lakehouse roots can register the same view name without routing
+  // each other's DML to whichever registered last
   private val tables =
-    new java.util.concurrent.ConcurrentHashMap[String, (Lakehouse, Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Lakehouse, Seq[String])]()
 
-  /** Register `view` as DML-addressable, with the partition layout its
-    * copy-on-write rewrites should preserve. */
-  def register(view: String, lake: Lakehouse, partitionBy: Seq[String] = Nil): Unit =
-    tables.put(view.toLowerCase(java.util.Locale.ROOT), (lake, partitionBy))
+  private def key(spark: SparkSession, view: String): (SparkSession, String) =
+    (spark, view.toLowerCase(java.util.Locale.ROOT))
 
-  def lookup(view: String): Option[(Lakehouse, Seq[String])] =
-    Option(tables.get(view.toLowerCase(java.util.Locale.ROOT)))
+  /** Register `view` as DML-addressable in `spark`, with the partition
+    * layout its copy-on-write rewrites should preserve. */
+  def register(spark: SparkSession, view: String, lake: Lakehouse,
+      partitionBy: Seq[String] = Nil): Unit =
+    tables.put(key(spark, view), (lake, partitionBy))
+
+  def lookup(spark: SparkSession, view: String): Option[(Lakehouse, Seq[String])] =
+    Option(tables.get(key(spark, view)))
+
+  /** Parser-time check: is `view` registered in the ACTIVE session? */
+  def isRegistered(view: String): Boolean =
+    SparkSession.getActiveSession.exists(s => lookup(s, view).isDefined)
 }
 
-/** `DELETE FROM <lakehouse view> WHERE <pred>` — copy-on-write delete
-  * committed as a new snapshot; returns the snapshot id. */
-case class LakehouseDeleteCommand(view: String, whereClause: String)
+/** `DELETE FROM <lakehouse view> [WHERE <pred>]` — copy-on-write delete
+  * committed as a new snapshot; no WHERE deletes every row (the form
+  * Iceberg supports); returns the snapshot id. */
+case class LakehouseDeleteCommand(view: String, whereClause: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (lake, partitionBy) = LakehouseRegistry.lookup(view)
+    val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
       .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
-    Seq(Row(lake.sqlDelete(view, whereClause, partitionBy)))
+    Seq(Row(lake.sqlDelete(view, whereClause.getOrElse("true"), partitionBy)))
   }
 }
 
@@ -49,7 +61,7 @@ case class LakehouseMergeCommand(view: String, sourceView: String, keyCols: Seq[
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (lake, partitionBy) = LakehouseRegistry.lookup(view)
+    val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
       .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
     Seq(Row(lake.sqlMerge(view, sourceView, keyCols, partitionBy)))
   }
@@ -61,12 +73,15 @@ case class LakehouseMergeCommand(view: String, sourceView: String, keyCols: Seq[
   * usual v2-table error) to the session's default parser. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  // names may be backquoted; DELETE's WHERE is optional (no WHERE =
+  // full-table delete, the form Iceberg supports)
   private val DeleteRe =
-    """(?is)\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s+WHERE\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*DELETE\s+FROM\s+`?([A-Za-z_]\w*)`?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val MergeRe =
-    ("""(?is)\s*MERGE\s+INTO\s+([A-Za-z_]\w*)\s+USING\s+([A-Za-z_]\w*)\s+ON\s+(.+?)""" +
+    ("""(?is)\s*MERGE\s+INTO\s+`?([A-Za-z_]\w*)`?\s+USING\s+`?([A-Za-z_]\w*)`?\s+ON\s+(.+?)""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+  private val SubqueryRe = """(?is).*\(\s*SELECT\b.*""".r
   private val OnConjunct =
     """(?i)\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*""".r
 
@@ -86,9 +101,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case DeleteRe(table, where) if LakehouseRegistry.lookup(table).isDefined =>
-      LakehouseDeleteCommand(table, where)
-    case MergeRe(table, source, on) if LakehouseRegistry.lookup(table).isDefined =>
+    case DeleteRe(table, where) if LakehouseRegistry.isRegistered(table) =>
+      if (where != null && SubqueryRe.matches(where))
+        throw new UnsupportedOperationException(
+          s"lakehouse DELETE supports row-local WHERE predicates, not subqueries; " +
+            s"got: WHERE $where")
+      LakehouseDeleteCommand(table, Option(where))
+    case MergeRe(table, source, on) if LakehouseRegistry.isRegistered(table) =>
       keyColsOf(on, table, source) match {
         case Some(keys) if keys.nonEmpty => LakehouseMergeCommand(table, source, keys)
         case _ => throw new UnsupportedOperationException(

@@ -769,6 +769,102 @@ class LakehouseSpec extends SparkSpec {
     assert(df.columns.contains("k"))
   }
 
+  test("expireSnapshots never deletes an in-flight writer's dirs (live reserve marker)") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "exr")
+    lake.append(Seq((3L, "c")).toDF("k", "v"), "exr")
+    val root = lake.tableRoot("exr")
+    // simulate in-flight writers caught between file write and commit:
+    // a MoR delete's tombstone and an append's data dir, markers live
+    fs.create(new org.apache.hadoop.fs.Path(root, "_reserve-99"), false).close()
+    Seq(Tuple1(1L)).toDF("k").write
+      .parquet(new org.apache.hadoop.fs.Path(root, "_deletes-99").toString)
+    fs.create(new org.apache.hadoop.fs.Path(root, "_reserve-98"), false).close()
+    Seq((4L, "d")).toDF("k", "v").write
+      .parquet(new org.apache.hadoop.fs.Path(root, "data-98").toString)
+    lake.expireSnapshots("exr", keepLast = 1)
+    // both survive expiry: their commits can still land safely
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_deletes-99")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "data-98")))
+    assert(lake.read("exr").count() === 3L)
+    // once the markers drop without a commit they are ordinary garbage
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_reserve-99"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_reserve-98"), false)
+    lake.expireSnapshots("exr", keepLast = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_deletes-99")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "data-98")))
+  }
+
+  test("parsed DML preserves the registered partition layout across statements") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"), "pml",
+      partitionBy = Seq("p"))
+    lake.registerView("pml", Seq("p"))
+    Seq((2L, "B", "p2")).toDF("k", "v", "p").createOrReplaceTempView("pml_src")
+    spark.sql(
+      """MERGE INTO pml USING pml_src ON pml.k = pml_src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // partition-scoped merge: untouched p1 leaf carried by reference
+    assert(lake.snapshots("pml").last._2.exists(_.contains("p=p1")))
+    // the MERGE must NOT clobber the registration's layout: a second
+    // parsed statement still rewrites partition-scoped
+    spark.sql("DELETE FROM pml WHERE k = 1").collect()
+    assert(lake.snapshots("pml").last._2.exists(_.contains("p=p2")))
+    val got = lake.read("pml").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((2L, "B")))
+  }
+
+  test("MoR equality delete with a NULL key removes NULL-key rows (null-safe match)") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((Option(1L), "a"), (Option.empty[Long], "b"), (Option(3L), "c")).toDF("k", "v"), "nk")
+    lake.deleteByKeyMor(Seq(Tuple1(Option.empty[Long])).toDF("k"), "nk")
+    assert(lake.read("nk").select("v").collect().map(_.getString(0)).toSet === Set("a", "c"))
+    // non-null keys unaffected by the null-safe comparison
+    lake.deleteByKeyMor(Seq(Tuple1(Option(1L))).toDF("k"), "nk")
+    assert(lake.read("nk").select("v").collect().map(_.getString(0)).toSet === Set("c"))
+  }
+
+  test("DELETE FROM without WHERE wipes the table; backquoted names and subqueries handled") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "fulldel")
+    lake.registerView("fulldel")
+    // subquery WHERE: rejected with a clear message at parse time, not
+    // a downstream expr() failure
+    intercept[UnsupportedOperationException] {
+      spark.sql("DELETE FROM fulldel WHERE k IN (SELECT k FROM fulldel)")
+    }
+    // backquoted name + no WHERE = full-table delete (Iceberg's form)
+    spark.sql("DELETE FROM `fulldel`").collect()
+    assert(lake.read("fulldel").count() === 0L)
+    assert(lake.readSnapshot("fulldel", 1L).count() === 2L) // time travel intact
+  }
+
+  test("DML registry is session-scoped: same-named views in two sessions route to their own lakes") {
+    val s2 = spark.newSession()
+    val lakeA = new Lakehouse(spark, freshRoot())
+    val lakeB = new Lakehouse(s2, freshRoot())
+    import spark.implicits._
+    lakeA.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "iso")
+    lakeA.registerView("iso")
+    lakeB.createOrReplace(
+      s2.range(5).withColumnRenamed("id", "k").withColumn("v", lit("x")), "iso")
+    lakeB.registerView("iso")
+    // each session's DML hits its own lake, not whoever registered last
+    spark.sql("DELETE FROM iso WHERE k = 1").collect()
+    s2.sql("DELETE FROM iso WHERE k < 3").collect()
+    assert(lakeA.read("iso").count() === 1L)
+    assert(lakeB.read("iso").count() === 2L)
+  }
+
   test("deleting every row of a partitioned table leaves a readable empty snapshot") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
