@@ -53,6 +53,18 @@ object SparkEntry {
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
     "q17_small_quantity" -> (Relational.q17SmallQuantity _),
     "q_running_total" -> (Relational.qRunningTotal _),
+    "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _),
+    "q4_order_priority" -> (Relational.q4OrderPriority _),
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
+    "q9_product_profit" -> (Relational.q9ProductProfit _),
+    "q11_important_stock" -> (Relational.q11ImportantStock _),
+    "q12_shipping_classes" -> (Relational.q12ShippingClasses _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q16_parts_suppliers" -> (Relational.q16PartsSuppliers _),
+    "q20_part_promotion" -> (Relational.q20PartPromotion _),
+    "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers _),
+    "q22_sales_opportunity" -> (Relational.q22SalesOpportunity _),
     // §2.C — deduplication
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
@@ -190,6 +202,160 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH supply AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |euro AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |sel AS (SELECT p_partkey, p_name FROM part WHERE p_size = 15 AND p_type = 'LARGE'),
+        |joined AS (SELECT * FROM supply JOIN euro ON l_suppkey = s_suppkey
+        |  JOIN sel ON l_partkey = p_partkey),
+        |best AS (SELECT l_partkey AS b_partkey, min(supply_cost) AS best_cost
+        |  FROM joined GROUP BY l_partkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+        |FROM joined JOIN best ON l_partkey = b_partkey AND supply_cost = best_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |  6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY year(o_orderdate)
+        |ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      """WITH supplied AS (SELECT l_partkey, l_extendedprice
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'),
+        |per_part AS (SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |  FROM supplied GROUP BY l_partkey),
+        |total AS (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+        |    AS threshold FROM supplied)
+        |SELECT l_partkey, value FROM per_part, total
+        |WHERE value > threshold
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q12_shipping_classes" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_parts_suppliers" ->
+      """WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |kept AS (SELECT * FROM rel WHERE NOT EXISTS
+        |  (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey AND s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM kept JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_part_promotion" ->
+      """WITH supply AS (SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_partkey, l_suppkey),
+        |totals AS (SELECT l_partkey AS t_partkey, sum(qty) AS total_qty
+        |  FROM supply GROUP BY l_partkey),
+        |dominant AS (SELECT DISTINCT l_suppkey FROM supply
+        |  JOIN totals ON l_partkey = t_partkey WHERE 2 * qty > total_qty)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_5'
+        |  AND EXISTS (SELECT 1 FROM dominant WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_name""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per_order AS (SELECT l_orderkey AS g_orderkey,
+        |    count(DISTINCT l_suppkey) AS nsupp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+        |  FROM li GROUP BY l_orderkey),
+        |target AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+        |SELECT s_name, count(*) AS numwait
+        |FROM target
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN per_order ON l_orderkey = g_orderkey
+        |WHERE n_name = 'NATION_1' AND nsupp >= 2 AND nlate = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH cset AS (SELECT * FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |avg_bal AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS avg_bal FROM cset WHERE c_acctbal > 0)
+        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cset, avg_bal
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY cntrycode""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
