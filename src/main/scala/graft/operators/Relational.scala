@@ -516,11 +516,14 @@ object Relational {
       .agg(min(col("l_extendedprice")).as("supply_cost"))
       .join(euro, col("l_suppkey") === col("s_suppkey"))
       .join(parts, col("l_partkey") === col("p_partkey"))
-    val best = supply.groupBy(col("l_partkey").as("b_partkey"))
-      .agg(min(col("supply_cost")).as("best_cost"))
+    // correlated MIN as a keyed window over the POST-AGG relation
+    // (bounded by suppliers-per-part) — an agg + join-back would
+    // recompute the whole fact scan on both sides (no subtree reuse
+    // across self-joins, §4)
+    val w = Window.partitionBy(col("l_partkey"))
     supply
-      .join(best, col("l_partkey") === col("b_partkey")
-        && col("supply_cost") === col("best_cost"))
+      .withColumn("best_cost", min(col("supply_cost")).over(w))
+      .where(col("supply_cost") === col("best_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
         col("p_name"), col("supply_cost"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -614,15 +617,19 @@ object Relational {
       .join(Tables.nation(spark, dir).where(col("n_name") === "NATION_7"),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey"))
-    val supplied = Tables.lineitem(spark, dir)
+    // the scalar total rides a global window over the POST-AGG per-part
+    // relation (one row per part) — kept DECIMAL inside the window so
+    // the sum is associative-exact, cast to double only at the compare.
+    // A scalar-agg + broadcast join-back would scan the fact twice.
+    val perPart = Tables.lineitem(spark, dir)
       .join(natSupp, col("l_suppkey") === col("s_suppkey"))
-    val perPart = supplied.groupBy(col("l_partkey"))
-      .agg(dsum(col("l_extendedprice"), 2).as("value"))
-    val total = supplied.agg(
-      (dsum(col("l_extendedprice"), 2) * lit(0.001)).as("threshold"))
-    perPart.join(broadcast(total))
-      .where(col("value") > col("threshold"))
-      .select(col("l_partkey"), col("value"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("value_dec"))
+    perPart
+      .withColumn("total_dec", sum(col("value_dec")).over(Window.partitionBy()))
+      .where(col("value_dec").cast(DoubleType)
+        > col("total_dec").cast(DoubleType) * lit(0.001))
+      .select(col("l_partkey"), col("value_dec").cast(DoubleType).as("value"))
       .orderBy(col("value").desc, col("l_partkey"))
   }
 
@@ -653,8 +660,12 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("total_revenue"))
-    val best = revenue.agg(max(col("total_revenue")).as("max_revenue"))
-    revenue.join(broadcast(best), col("total_revenue") === col("max_revenue"))
+    // scalar MAX via a global window over the one-row-per-supplier agg
+    // (max is order-exact) — not an agg + join-back that would rescan
+    // the quarter's lineitems twice
+    revenue
+      .withColumn("max_revenue", max(col("total_revenue")).over(Window.partitionBy()))
+      .where(col("total_revenue") === col("max_revenue"))
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))
@@ -694,10 +705,12 @@ object Relational {
       .join(smallParts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("qty"))
-    val totals = supply.groupBy(col("l_partkey").as("t_partkey"))
-      .agg(sum(col("qty")).as("total_qty"))
+    // per-part total as a keyed window over the post-agg supply rollup
+    // (exact integer sum, bounded by suppliers-per-part) — one fact
+    // scan instead of the join-back's two
     val dominant = supply
-      .join(totals, col("l_partkey") === col("t_partkey"))
+      .withColumn("total_qty",
+        sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
       .where(lit(2L) * col("qty") > col("total_qty"))
       .select("l_suppkey").distinct()
     Tables.supplier(spark, dir)
@@ -724,19 +737,22 @@ object Relational {
       .join(ordersF, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val perOrder = li.groupBy(col("l_orderkey").as("g_orderkey"))
-      .agg(
-        countDistinct(col("l_suppkey")).as("nsupp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
     val natSupp = broadcast(Tables.supplier(spark, dir)
       .join(Tables.nation(spark, dir).where(col("n_name") === "NATION_1"),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name"))
-    li.where(col("late"))
+    // the EXISTS / NOT-EXISTS pair rides ONE keyed window over the
+    // order's lineitems (distinct suppliers / distinct late suppliers
+    // per order, bounded by lineitems-per-order) — an agg + join-back
+    // would recompute the lineitem×orders join on both sides
+    val w = Window.partitionBy(col("l_orderkey"))
+    li
+      .withColumn("nsupp", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("nlate",
+        size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+      .where(col("late") && col("nsupp") >= 2 && col("nlate") === 1)
       .select("l_orderkey", "l_suppkey").distinct()
       .join(natSupp, col("l_suppkey") === col("s_suppkey"))
-      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
-      .where(col("nsupp") >= 2 && col("nlate") === 1)
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

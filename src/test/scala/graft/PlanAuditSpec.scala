@@ -173,4 +173,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(q14.contains("PushedFilters") && q14.contains("l_shipdate"),
       "the ship-month range must reach the parquet reader")
   }
+
+  test("round-5 TPC-H shapes scan each fact table exactly ONCE (no diamond recompute)") {
+    // q2/q11/q15/q20/q21 have a correlated-aggregate diamond (per-group
+    // MIN/SUM/MAX joined back to the detail). Spark gives no subtree
+    // reuse across a self-join, so an agg + join-back scans the fact
+    // TWICE; these plans must instead carry the correlate as a keyed
+    // (or post-agg global) window — one scan, exact types inside the
+    // window. q22's customer double-scan is the deliberate exception:
+    // its scalar rides a broadcast, because windowing RAW customer rows
+    // would single-partition them.
+    val diamonds = Seq(
+      "q2" -> Relational.q2MinCostSupplier(spark, sf),
+      "q11" -> Relational.q11ImportantStock(spark, sf),
+      "q15" -> Relational.q15TopSupplier(spark, sf),
+      "q20" -> Relational.q20PartPromotion(spark, sf),
+      "q21" -> Relational.q21WaitingSuppliers(spark, sf))
+    diamonds.foreach { case (name, df) =>
+      val p = plan(df)
+      assert(p.split("lineitem\\.parquet").length - 1 === 1,
+        s"$name scans lineitem more than once (diamond recompute is back)")
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+    // q21's order join must also stay single-scan
+    val q21 = plan(Relational.q21WaitingSuppliers(spark, sf))
+    assert(q21.split("orders\\.parquet").length - 1 === 1)
+  }
+
+  test("round-5 scan-heavy shapes push their predicates to the parquet reader") {
+    val q6 = plan(Relational.q6ForecastRevenue(spark, sf))
+    assert(q6.contains("PushedFilters") && q6.contains("l_shipdate")
+      && q6.contains("l_discount") && q6.contains("l_quantity"),
+      "q6's date/discount/quantity filters must all reach the scan")
+    Seq(
+      Relational.q4OrderPriority(spark, sf),
+      Relational.q8MarketShare(spark, sf),
+      Relational.q9ProductProfit(spark, sf),
+      Relational.q12ShippingClasses(spark, sf),
+      Relational.q16PartsSuppliers(spark, sf)).foreach { df =>
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
 }
