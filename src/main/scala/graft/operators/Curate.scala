@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation: the flagship composition of the
@@ -97,17 +98,20 @@ object Curate {
     * a pair — on a chain-shaped cluster a–b, b–c that keeps only a,
     * but on b–c, c–d (b smallest in all its pairs, yet not alone) both
     * rules agree only by luck; components make "one survivor per
-    * cluster" exact. Shape: the memoized component table joins the
-    * gated docs (broadcast-size label table), one (cluster, min)
-    * aggregate, one semi-join back — all keyed. */
+    * cluster" exact. Shape: the memoized component LABEL table joins
+    * the gated docs (broadcast-size), then keep-one-per-cluster is a
+    * keyed window MIN (doc survives iff it is its cluster's smallest
+    * id) — one window shuffle, no groupBy + semi-join diamond that
+    * would recompute the joined relation on both sides. */
   def pipelineCurateCc(spark: SparkSession, dir: String): DataFrame = {
     val scored = scoredDocs(spark, dir)
       .where(col("quality") >= 0.5 && col("pred_lang") === "en")
-    val comp = Dedup.dedupComponents(spark, dir).select("doc_id", "rep_id")
-    val clustered = scored.join(comp, Seq("doc_id"), "left")
+    val labels = Dedup.componentLabels(spark, dir)
+    scored.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("rep_id"), col("doc_id")))
-    val keep = clustered.groupBy("cluster").agg(min(col("doc_id")).as("doc_id"))
-    clustered.join(keep, Seq("cluster", "doc_id"), "left_semi")
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("cluster"))))
+      .where(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("quality"), col("pred_lang"))
       .orderBy("doc_id")
   }

@@ -267,18 +267,24 @@ object Dedup {
     * one row per clustered doc with its component representative
     * (min doc_id) and component size. Downstream, `keep = docs
     * anti-join (doc_id ≠ rep_id)` is the actual dedup drop step. */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    // the converged label table is a derived signature table like the
-    // postings — memoized per (session, dir) so repeated consumers
-    // (and the curate-side drop step) share one materialization
-    val comp = Memo.persisted(spark, s"dedup.components|$dir") {
+  /** The converged component label table (doc_id, rep_id) — a derived
+    * signature table like the postings, memoized per (session, dir) so
+    * repeated consumers (and the curate-side drop step) share one
+    * materialization. */
+  private[graft] def componentLabels(spark: SparkSession, dir: String): DataFrame =
+    Memo.persisted(spark, s"dedup.components|$dir") {
       connectedComponents(dedupNgramJaccard(spark, dir).select("doc_a", "doc_b"))
     }
-    val sizes = comp.groupBy("rep_id").agg(count(lit(1)).as("csize"))
-    comp.join(sizes, "rep_id")
+
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    // component size as a keyed window over the label table — a
+    // groupBy + join-back would re-read the table on both sides of
+    // the join (one extra shuffle + join stage for the same rows)
+    componentLabels(spark, dir)
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy(col("rep_id"))))
       .select(col("doc_id"), col("rep_id"), col("csize"))
       .orderBy("doc_id")
-  }
 
   /** Expand a bucketed doc-list into ordered candidate pairs.
     *
