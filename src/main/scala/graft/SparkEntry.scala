@@ -144,7 +144,8 @@ object SparkEntry {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
-    // create(F) → append(O) → merge(keys of custkey%97=0, doubled price)
+    // create(F) → INSERT(O) → MERGE(custkey%97, doubled) → UPDATE(+1
+    // on orderkey%11) → DELETE(orderkey%7) — all parsed SQL DML
     "sql_lakehouse_ddl" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
         |  FROM orders WHERE o_orderstatus IN ('F','O')),
@@ -154,7 +155,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT b.* FROM base b
         |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey)),
-        |deleted AS (SELECT * FROM merged WHERE NOT (o_orderkey % 7 = 0))
+        |updated AS (SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1 ELSE o_totalprice END
+        |    AS o_totalprice FROM merged),
+        |deleted AS (SELECT * FROM updated WHERE NOT (o_orderkey % 7 = 0))
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM deleted

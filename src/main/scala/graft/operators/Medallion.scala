@@ -170,15 +170,15 @@ object Medallion {
     lake.createOrReplace(spark.sql(
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'"),
       "lh_orders")
-    // INSERT INTO (append)
-    lake.append(spark.sql(
-      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'"),
-      "lh_orders")
-    // MERGE INTO / DELETE FROM as PARSED SQL statements — the
-    // GraftSqlParser injection routes them through the lakehouse's
-    // snapshot-committing sqlMerge/sqlDelete (the reference issues the
-    // same statements through Iceberg's parser extensions)
+    // INSERT INTO / MERGE INTO / UPDATE / DELETE FROM as PARSED SQL
+    // statements — the GraftSqlParser injection routes them through
+    // the lakehouse's snapshot-committing DML paths (the reference
+    // issues the same statements through Iceberg's parser extensions)
     lake.registerView("lh_orders")
+    spark.sql(
+      """INSERT INTO lh_orders
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin)
     spark.sql(
       """SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
         |FROM orders WHERE o_custkey % 97 = 0""".stripMargin)
@@ -188,6 +188,7 @@ object Medallion {
         |ON lh_orders.o_orderkey = merge_src.o_orderkey
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("UPDATE lh_orders SET o_totalprice = o_totalprice + 1 WHERE o_orderkey % 11 = 0")
     spark.sql("DELETE FROM lh_orders WHERE o_orderkey % 7 = 0")
     spark.sql(
       """SELECT o_orderstatus, count(*) AS n,

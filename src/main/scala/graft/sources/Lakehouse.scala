@@ -794,6 +794,65 @@ class Lakehouse(spark: SparkSession, root: String) {
       }
     }
 
+  /** Copy-on-write UPDATE (the Iceberg `UPDATE t SET … WHERE …`
+    * analog): rewrite ONLY the entries whose file stats say the
+    * predicate may match — every provably-clean entry (and, when
+    * partitioned, every clean partition leaf) carries into the new
+    * snapshot by reference, byte-identical. All SET right-hand sides
+    * evaluate against the ORIGINAL row in one projection (SQL
+    * semantics: `SET a = b, b = a` swaps), values are cast back to the
+    * column's declared type (no silent schema drift), and rows where
+    * the predicate is NULL or false keep their values. */
+  def updateWhere(assignments: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column, table: String,
+      partitionBy: Seq[String] = Nil, branch: String = "main"): Long =
+    retryingCommit(table, branch) { base =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+      val rawEntries = base.map(c => snapshots(table).find(_._1 == c).get._2)
+        .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+      val conjuncts = skippableConjuncts(pred, readBase(table, base))
+      val entries =
+        if (partitionBy.isEmpty) rawEntries
+        else rawEntries.flatMap { e =>
+          if (e.contains("/")) Seq(e)
+          else {
+            val leaves = leafDirs(new Path(tableDir(table), e), partitionBy.length)
+            require(leaves.nonEmpty ||
+              !fs.listStatus(new Path(tableDir(table), e))
+                .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
+              s"$table/$e was not written with partitionBy=${partitionBy.mkString(",")}; " +
+                "compact(table, partitionBy) first, then updateWhere")
+            leaves.map(l => s"$e/$l")
+          }
+        }
+      val (touched, clean) = entries.partition(e => matchingFiles(table, e, conjuncts).nonEmpty)
+      val baseDeletes = snapshotDeletes(table).getOrElse(base.get, Seq.empty)
+      if (touched.isEmpty) base.get // stats prove nothing can match: no-op
+      else {
+        val dels = tombstones(table, base.get)
+        val byDataDir = touched.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+        val touchedRows = byDataDir.map { case (dataDir, dirEntries) =>
+          applyTombstones(openDirGroup(table, dataDir, dirEntries), dataDir, dels)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        val byName = assignments.toMap
+        val unknown = byName.keySet -- touchedRows.columns.toSet
+        require(unknown.isEmpty, s"UPDATE sets unknown column(s): ${unknown.mkString(", ")}")
+        val cond = coalesce(pred, lit(false))
+        val updated = touchedRows.select(touchedRows.schema.fields.map { f =>
+          byName.get(f.name) match {
+            case Some(e) => when(cond, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+        val snap = reserveSnap(table)
+        val dir = s"data-$snap"
+        try {
+          writeDataDir(updated, table, dir, partitionBy)
+          commit(table, snap, clean :+ dir, branch, Some(base), deletes = baseDeletes)
+        } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+      }
+    }
+
   /** Predicate-driven MERGE-ON-READ delete: record the (file, row
     * position) of every row the predicate matches as a POSITIONAL
     * tombstone (`_deletes-<snap>` with columns `__file`, `__pos`) —
@@ -1329,6 +1388,56 @@ class Lakehouse(spark: SparkSession, root: String) {
   def sqlDeleteMor(table: String, whereClause: String): Long = {
     val snap = deleteWhereMor(org.apache.spark.sql.functions.expr(whereClause), table)
     registerView(table)
+    snap
+  }
+
+  /** Split `s` on commas at paren/quote depth 0 — SET-clause
+    * assignments whose right-hand sides contain function calls or
+    * string literals with commas stay intact. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var start = 0
+    for (i <- s.indices) s(i) match {
+      case '\'' => inStr = !inStr
+      case '(' if !inStr => depth += 1
+      case ')' if !inStr => depth -= 1
+      case ',' if !inStr && depth == 0 => parts += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    parts += s.substring(start)
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val Assignment = """(?s)\s*`?([A-Za-z_]\w*)`?\s*=\s*(.+)""".r
+
+  /** SQL `UPDATE table SET col = expr[, …] [WHERE pred]` — parses the
+    * assignments and routes through [[updateWhere]]'s stat-pruned
+    * copy-on-write rewrite. No WHERE updates every row. */
+  def sqlUpdate(table: String, setClause: String, whereClause: Option[String],
+      partitionBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.expr
+    val assignments = splitTopLevel(setClause).map {
+      case Assignment(c, rhs) => c -> expr(rhs)
+      case other => throw new IllegalArgumentException(
+        s"UPDATE SET expects `col = expr`; got: $other")
+    }
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    val snap = updateWhere(assignments, expr(whereClause.getOrElse("true")), table, partitionBy)
+    registerView(table, partitionBy)
+    snap
+  }
+
+  /** SQL `INSERT INTO table <query>` — appends the query's rows as a
+    * new delta dir (O(rows inserted), nothing rewritten). Columns map
+    * POSITIONALLY onto the table schema, the SQL rule for INSERT
+    * without a column list. */
+  def sqlInsert(table: String, query: String, partitionBy: Seq[String] = Nil): Long = {
+    val df = spark.sql(query)
+    val cols = read(table).columns
+    require(df.columns.length == cols.length,
+      s"INSERT INTO $table needs ${cols.length} columns, query has ${df.columns.length}")
+    val snap = append(df.toDF(cols.toSeq: _*), table, partitionBy)
+    registerView(table, partitionBy)
     snap
   }
 

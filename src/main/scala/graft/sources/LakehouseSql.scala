@@ -54,6 +54,30 @@ case class LakehouseDeleteCommand(view: String, whereClause: Option[String])
   }
 }
 
+/** `UPDATE <lakehouse view> SET col = expr[, …] [WHERE <pred>]` —
+  * stat-pruned copy-on-write update committed as a new snapshot. */
+case class LakehouseUpdateCommand(view: String, setClause: String,
+    whereClause: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    Seq(Row(lake.sqlUpdate(view, setClause, whereClause, partitionBy)))
+  }
+}
+
+/** `INSERT INTO <lakehouse view> <SELECT …|VALUES …>` — O(rows) append
+  * committed as a new snapshot; columns map positionally. */
+case class LakehouseInsertCommand(view: String, query: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    Seq(Row(lake.sqlInsert(view, query, partitionBy)))
+  }
+}
+
 /** `MERGE INTO <lakehouse view> USING <view> ON t.k = s.k [AND …]
   * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` —
   * the canonical upsert-all shape, committed as a new snapshot. */
@@ -82,6 +106,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
   private val SubqueryRe = """(?is).*\(\s*SELECT\b.*""".r
+  private val UpdateRe =
+    """(?is)\s*UPDATE\s+`?([A-Za-z_]\w*)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val InsertRe =
+    """(?is)\s*INSERT\s+INTO\s+`?([A-Za-z_]\w*)`?\s+((?:SELECT|VALUES|FROM|WITH|TABLE)\b.+?)\s*;?\s*""".r
   private val OnConjunct =
     """(?i)\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*""".r
 
@@ -107,6 +135,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           s"lakehouse DELETE supports row-local WHERE predicates, not subqueries; " +
             s"got: WHERE $where")
       LakehouseDeleteCommand(table, Option(where))
+    case UpdateRe(table, set, where) if LakehouseRegistry.isRegistered(table) =>
+      if (where != null && SubqueryRe.matches(where))
+        throw new UnsupportedOperationException(
+          s"lakehouse UPDATE supports row-local WHERE predicates, not subqueries; " +
+            s"got: WHERE $where")
+      LakehouseUpdateCommand(table, set, Option(where))
+    case InsertRe(table, query) if LakehouseRegistry.isRegistered(table) =>
+      LakehouseInsertCommand(table, query)
     case MergeRe(table, source, on) if LakehouseRegistry.isRegistered(table) =>
       keyColsOf(on, table, source) match {
         case Some(keys) if keys.nonEmpty => LakehouseMergeCommand(table, source, keys)

@@ -848,6 +848,62 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.readSnapshot("fulldel", 1L).count() === 2L) // time travel intact
   }
 
+  test("updateWhere: SET reads original values, NULL-pred rows survive, clean entries carry by reference") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    // two appends so stats can prove one dir clean
+    lake.createOrReplace(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "x", "v"), "upd")
+    lake.append(Seq((100L, 1000L, "z")).toDF("k", "x", "v"), "upd")
+    val mtimes = fs.listStatus(new org.apache.hadoop.fs.Path(lake.tableRoot("upd"), "data-2"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    // swap semantics: SET k = x, x = k must use ORIGINAL values on both
+    // right-hand sides; k < 50 stat-prunes data-2 (min k = 100)
+    lake.updateWhere(Seq("k" -> col("x"), "x" -> col("k")), col("k") < 50L, "upd")
+    val got = lake.read("upd").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 1L), (20L, 2L), (100L, 1000L)))
+    // the clean dir carried byte-identical (same entry, untouched files)
+    assert(lake.snapshots("upd").last._2.contains("data-2"))
+    fs.listStatus(new org.apache.hadoop.fs.Path(lake.tableRoot("upd"), "data-2")).foreach { s =>
+      assert(s.getModificationTime === mtimes(s.getPath.getName), "clean dir was rewritten")
+    }
+    // NULL predicate rows keep their values (SQL UPDATE semantics)
+    val lake2 = new Lakehouse(spark, freshRoot())
+    lake2.createOrReplace(
+      Seq((Option(1L), "a"), (Option.empty[Long], "b")).toDF("k", "v"), "nu")
+    lake2.updateWhere(Seq("v" -> lit("UPDATED")), col("k") === 1L, "nu")
+    val gotNu = lake2.read("nu").collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(gotNu === Set((Some(1L), "UPDATED"), (None, "b")))
+  }
+
+  test("parsed UPDATE and INSERT INTO execute over registered lakehouse views") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "x", "v"), "udml")
+    lake.registerView("udml")
+    // UPDATE with WHERE: only k=2 changes; RHS cast back to the column type
+    spark.sql("UPDATE udml SET x = x * 2, v = 'B' WHERE k = 2").collect()
+    assert(lake.read("udml").collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      === Set((1L, 10.0, "a"), (2L, 40.0, "B")))
+    // INSERT INTO … VALUES appends positionally as a new delta dir
+    val entriesBefore = lake.snapshots("udml").last._2.length
+    spark.sql("INSERT INTO udml VALUES (3, 30.0, 'c'), (4, 40.0, 'd')").collect()
+    assert(lake.read("udml").count() === 4L)
+    assert(lake.snapshots("udml").last._2.length === entriesBefore + 1, "INSERT must be O(1) append")
+    // INSERT INTO … SELECT
+    spark.sql("INSERT INTO udml SELECT k + 10, x, v FROM udml WHERE k <= 2").collect()
+    assert(lake.read("udml").where(col("k") > 10).count() === 2L)
+    // UPDATE without WHERE touches every row
+    spark.sql("UPDATE udml SET v = 'all'").collect()
+    assert(lake.read("udml").where(col("v") === "all").count() === 6L)
+    // history time-travels across all of it
+    assert(lake.readSnapshot("udml", 1L).count() === 2L)
+    // subquery WHERE rejected at parse time
+    intercept[UnsupportedOperationException] {
+      spark.sql("UPDATE udml SET v = 'x' WHERE k IN (SELECT k FROM udml)")
+    }
+  }
+
   test("DML registry is session-scoped: same-named views in two sessions route to their own lakes") {
     val s2 = spark.newSession()
     val lakeA = new Lakehouse(spark, freshRoot())
