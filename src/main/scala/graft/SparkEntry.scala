@@ -73,6 +73,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     // near-dup pairs -> keep-one clusters (connected components)
     "dedup_components" -> ((s, d) => Dedup.dedupComponents(s, d)),
+    // duplicate-span removal (C4/CCNet sub-document dedup)
+    "dedup_spans" -> ((s, d) => Dedup.dedupSpans(s, d)),
     // §2.D — similarity search
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopk(s, d)),
     "ann_lsh_bucketed" -> ((s, d) => Similarity.annLshTopk(s, d)),
@@ -87,6 +89,7 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_top_ngrams" -> ((s, d) => TextAnalysis.textTopNgrams(s, d)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    "text_rep_ngrams" -> (TextAnalysis.textRepNgrams _),
     // corpus-unigram LM quality proxy (perplexity-bucketing signal)
     "text_unigram_logprob" -> (TextAnalysis.textUnigramLogprob _),
     // §2.F — multimodal
@@ -902,6 +905,35 @@ object SparkEntry {
         |  coalesce(mean_nll, 0.0) AS mean_nll
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "text_rep_ngrams" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(greatest(len(toks) - 2, 0) AS BIGINT) n_ngrams,
+        |  CAST(len(CASE WHEN len(toks)<3 THEN []
+        |    ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END) AS BIGINT) n_distinct
+        |  FROM tk)
+        |SELECT doc_id, n_ngrams, n_distinct,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6) AS rep_ratio
+        |FROM s WHERE n_ngrams > 0
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_spans" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) ts FROM documents),
+        |nz AS (SELECT doc_id, ts FROM tk WHERE len(ts) > 0),
+        |sl AS (SELECT doc_id,
+        |    [{'no': CAST((s-1)//8 AS BIGINT), 'seg': array_to_string(ts[s:s+7], ' ')}
+        |      for s in range(1, len(ts)+1, 8)] AS sgs FROM nz),
+        |un AS (SELECT doc_id, unnest(sgs) AS sg FROM sl),
+        |segs AS (SELECT doc_id, sg.no AS seg_no, sg.seg AS seg FROM un),
+        |firsts AS (SELECT CAST(md5_number_lower(seg) // 4 AS BIGINT) gh,
+        |    min(doc_id * 1000000 + seg_no) AS first_key
+        |  FROM segs GROUP BY 1),
+        |rep AS (SELECT doc_id, count(*) AS n_segs,
+        |    sum(CASE WHEN doc_id * 1000000 + seg_no = first_key THEN 1 ELSE 0 END) AS n_kept
+        |  FROM segs JOIN firsts ON CAST(md5_number_lower(seg) // 4 AS BIGINT) = gh
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_segs, n_kept,
+        |  round(CAST(n_kept AS DOUBLE) / n_segs, 6) AS kept_ratio
+        |FROM rep ORDER BY doc_id""".stripMargin,
     // flagship composition — the quality/langid/ngram CTEs are the
     // verified oracles of those queries, chained.
     "pipeline_curate" ->

@@ -191,6 +191,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** `dedup_spans` — duplicate-SPAN removal (the C4 "three-sentence
+    * span" / CCNet paragraph-dedup step, on fixed `spanTokens`-token
+    * segments since this corpus has no sentence marks): a span is
+    * dropped from every document except its FIRST corpus occurrence
+    * (min (doc_id, seg_no)), and each document reports how much of it
+    * survived. Sub-document granularity is the point — exact/near
+    * dedup keeps boilerplate that repeats INSIDE otherwise-unique
+    * docs; span dedup removes exactly that.
+    *
+    * Shape: segmentation is `sequence` + `posexplode` + `slice` +
+    * `array_join` — straight-line codegen'd expressions, no
+    * interpreted HOF lambdas; first-occurrence is ONE keyed window
+    * over the span hash (shuffle O(spans), partition = one span's
+    * occurrences); the report re-aggregates by doc. At 100 TB: two
+    * keyed shuffles, both map-side combinable, no pairwise blowup. */
+  def dedupSpans(spark: SparkSession, dir: String, spanTokens: Int = 8): DataFrame = {
+    val segs = Tables.parallel(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"),
+        posexplode(sequence(lit(0L), ((size(col("ts")) - 1) / spanTokens).cast("long"))))
+      .select(col("doc_id"), col("col").as("seg_no"),
+        array_join(
+          slice(col("ts"), col("col").cast("int") * spanTokens + 1, lit(spanTokens)), " ")
+          .as("seg"))
+    // first corpus occurrence per span: min (doc_id, seg_no) as one
+    // packed key over a window on the span hash
+    val key = col("doc_id") * lit(1000000L) + col("seg_no")
+    val flagged = segs
+      .withColumn("first_key",
+        min(key).over(Window.partitionBy(HashFunctions.h62(col("seg")))))
+      .withColumn("kept", key === col("first_key"))
+    flagged.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_ratio",
+        round(col("n_kept").cast("double") / col("n_segs"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS into KEEP-ONE clusters (a real pipeline
     * drops all but one representative per component, not one side of

@@ -197,4 +197,25 @@ object TextAnalysis {
         coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
       .orderBy("doc_id")
   }
+
+  /** `text_rep_ngrams` — within-document repetition scoring (the
+    * Gopher "fraction of duplicate n-grams" quality filter): a doc
+    * whose 3-grams are mostly repeats of each other is boilerplate /
+    * spam, even when the doc as a whole is corpus-unique. Entirely
+    * map-only — the native distinct-[[shingles]] expression and the
+    * token count come from ONE projection per row, no explode, no
+    * shuffle before the output sort. The complement of [[graft
+    * .operators.Dedup.dedupSpans]]: that catches repetition ACROSS
+    * docs, this catches it INSIDE one. */
+  def textRepNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - 2, lit(0)).cast("long").as("n_ngrams"),
+        size(shingles(col("toks"))).cast("long").as("n_distinct"))
+      .where(col("n_ngrams") > 0)
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
 }

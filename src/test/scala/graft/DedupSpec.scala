@@ -163,4 +163,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.CapDropListener.dropEvents.get() > before,
       "a dropped bucket must surface through the cap-drop listener")
   }
+
+  test("span dedup keeps each distinct span exactly once corpus-wide") {
+    import graft.operators.TextAnalysis.tokens
+    val rep = Dedup.dedupSpans(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .where(size(tokens(col("text"))) > 0).count()
+    assert(rep.length.toLong === docs, "one report row per non-empty doc")
+    rep.foreach { r =>
+      // an exact-duplicate doc later in id order legitimately keeps 0
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_segs"))
+      val ratio = r.getAs[Double]("kept_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // the minimum doc_id owes nothing to earlier docs: it keeps every
+    // span that isn't an internal repeat, so at least one
+    val first = rep.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_kept") >= 1L)
+    // global invariant: total kept spans == distinct span hashes
+    val segs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(posexplode(sequence(lit(0L), ((size(col("ts")) - 1) / 8).cast("long"))),
+        col("ts"))
+      .select(array_join(slice(col("ts"), col("col").cast("int") * 8 + 1, lit(8)), " ").as("seg"))
+    val distinctSpans = segs.select(graft.functions.HashFunctions.h62(col("seg"))).distinct().count()
+    assert(rep.map(_.getAs[Long]("n_kept")).sum === distinctSpans)
+  }
 }

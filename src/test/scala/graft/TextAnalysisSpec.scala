@@ -90,4 +90,24 @@ class TextAnalysisSpec extends SparkSpec {
         s"$lang kept ${k.getOrElse(lang, 0)} of $n, expected ~$expected")
     }
   }
+
+  test("repetition scorer: bounds hold, and a synthetic loop scores maximally repetitive") {
+    import org.apache.spark.sql.functions._
+    val rep = TextAnalysis.textRepNgrams(spark, sf).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") >= 1L)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_ngrams"))
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+    }
+    // synthetic sanity on the same expressions: "x y x y x y …" has
+    // only 2 distinct 3-grams however long it runs
+    import graft.operators.TextAnalysis.{shingles, tokens}
+    val loop = Seq(Seq.fill(50)("x y").mkString(" ")).toDF("text")
+      .select(size(shingles(tokens(col("text")))).as("nd"),
+        (size(tokens(col("text"))) - 2).as("total"))
+      .head()
+    assert(loop.getInt(0) === 2 && loop.getInt(1) === 98)
+  }
 }
