@@ -43,6 +43,10 @@ object Stress {
     t("dedup_embedding")(Dedup.dedupEmbedding(spark, dir).count())
     t("pipeline_decontam")(Dedup.pipelineDecontaminate(spark, dir).count())
     t("pipeline_curate")(Curate.pipelineCurate(spark, dir).count())
+    t("pipeline_curate_cc")(Curate.pipelineCurateCc(spark, dir).count())
+    // span dedup at 16×: every span repeats 16 times across copies, so
+    // kept spans stay at the single-copy count while segment rows 16×
+    t("dedup_spans")(Dedup.dedupSpans(spark, dir).count())
     graft.sources.Memo.release(spark)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()
