@@ -528,6 +528,10 @@ class Lakehouse(spark: SparkSession, root: String) {
     if (lines.nonEmpty) writeFile(new Path(dataDir, "_stats.jsonl"), lines.mkString("\n") + "\n")
   }
 
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c => c.toString
+  }
+
   private def unesc(s: String) =
     s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
 
@@ -559,6 +563,93 @@ class Lakehouse(spark: SparkSession, root: String) {
   }
 
   /** Parsed `(file, col, type, lo, hi)` stats lines of one data dir. */
+  /** Record per-file BLOOM membership sets for `cols` across the
+    * branch's current snapshot — the point-lookup skipping that
+    * min/max bounds can never give on UNCLUSTERED keys (a random key
+    * interleaved across files spans every file's range; its hash hits
+    * ~1 file's bloom). The Iceberg puffin/bloom-filter analog: one
+    * narrow scan per data dir builds `collect_set(h62(value) mod
+    * bits)` per (file, column) — metadata-sized for point-queryable
+    * keys — stored as `_bloom.jsonl` beside the stats; [[readWhere]]
+    * then skips files whose bloom provably excludes an equality
+    * conjunct's literal. Supported column types: integral and string
+    * (their cast-to-string canonical form is engine-stable); others
+    * are ignored. Re-run after compaction — new dirs carry no blooms
+    * (absent = no pruning, conservatively correct). */
+  def addBloom(table: String, cols: Seq[String], bits: Int = 4096,
+      branch: String = "main"): Unit = {
+    import org.apache.spark.sql.functions.{col, collect_set, pmod, lit}
+    import org.apache.spark.sql.types._
+    val snap = currentSnapshot(table, branch)
+      .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+    val entries = snapshots(table).find(_._1 == snap).get._2
+    entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).foreach {
+      case (dataDir, dirEntries) =>
+        val df = openDirGroup(table, dataDir,
+          if (dirEntries.contains(dataDir)) Seq(dataDir) else dirEntries)
+        val tag: Map[String, String] = df.schema.fields.map { f =>
+          f.name -> (f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => "long"
+            case StringType => "string"
+            case _ => ""
+          })
+        }.toMap
+        val usable = cols.filter(c => tag.getOrElse(c, "").nonEmpty)
+        if (usable.nonEmpty) {
+          val aggs = usable.map(c => collect_set(
+            pmod(graft.functions.HashFunctions.h62(col(c).cast("string")), lit(bits.toLong)))
+            .as(s"__b_$c"))
+          val rows = df
+            .select(col("_metadata.file_path").as("__file") +: usable.map(col): _*)
+            .groupBy("__file")
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+          val marker = "/" + dataDir + "/"
+          val lines = rows.flatMap { r =>
+            val full = r.getString(0)
+            val rel = full.substring(full.indexOf(marker) + 1)
+            usable.zipWithIndex.map { case (c, i) =>
+              val set = r.getSeq[Long](i + 1).sorted.mkString(",")
+              s"""{"file":"${jsonEsc(rel)}","col":"${jsonEsc(c)}","t":"${tag(c)}","bits":$bits,"set":"$set"}"""
+            }
+          }
+          writeFile(new Path(new Path(tableDir(table), dataDir), "_bloom.jsonl"),
+            lines.mkString("\n") + "\n")
+        }
+    }
+  }
+
+  /** Parsed `_bloom.jsonl` of a data dir: (file, col, type, bits,
+    * membership positions). */
+  private def readBlooms(table: String,
+      dataDir: String): Seq[(String, String, String, Long, Set[Long])] =
+    readLines(new Path(new Path(tableDir(table), dataDir), "_bloom.jsonl")).flatMap { line =>
+      val m = """\{"file":"(.*)","col":"(.*)","t":"(.*)","bits":(\d+),"set":"(.*)"\}""".r
+      m.findFirstMatchIn(line).map(g =>
+        (unesc(g.group(1)), unesc(g.group(2)), g.group(3), g.group(4).toLong,
+          g.group(5).split(",").filter(_.nonEmpty).map(_.toLong).toSet))
+    }
+
+  /** Can a file's bloom possibly contain `v` for an equality conjunct?
+    * Only same-kind (column type, literal type) pairings consult the
+    * bloom — a double literal against a long column has no stable
+    * canonical string, so it conservatively may-match. */
+  private def bloomMayMatch(t: String, bits: Long, set: Set[Long], v: Any): Boolean = {
+    val canonical = (t, v) match {
+      case ("string", s: String) => Some(s)
+      case ("long", i: Byte) => Some(i.toString)
+      case ("long", i: Short) => Some(i.toString)
+      case ("long", i: Int) => Some(i.toString)
+      case ("long", i: Long) => Some(i.toString)
+      case _ => None
+    }
+    canonical.forall { s =>
+      val h = graft.functions.HashImpl.md5Lower64(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >>> 2
+      set.contains(h % bits)
+    }
+  }
+
   private def readStats(table: String, dataDir: String): Seq[(String, String, String, String, String)] =
     readLines(new Path(new Path(tableDir(table), dataDir), "_stats.jsonl")).flatMap { line =>
       val m = """\{"file":"(.*)","col":"(.*)","t":"(.*)","lo":"(.*)","hi":"(.*)"\}""".r
@@ -652,6 +743,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     val dataDir = entry.takeWhile(_ != '/')
     val stats = readStats(table, dataDir)
     val byFileCol = stats.groupBy(s => (s._1, s._2))
+    val bloomsByFileCol = readBlooms(table, dataDir).groupBy(b => (b._1, b._2))
     def walkFiles(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap {
         case s if s.isFile && s.getPath.getName.endsWith(".parquet") => Seq(s.getPath)
@@ -668,7 +760,9 @@ class Lakehouse(spark: SparkSession, root: String) {
       conjuncts.forall { case (c, op, v) =>
         byFileCol.get((rel, c)).forall(_.exists { case (_, _, t, fLo, fHi) =>
           rangeMayMatch(t, fLo, fHi, op, v)
-        })
+        }) && (op != "=" || bloomsByFileCol.get((rel, c)).forall(_.exists {
+          case (_, _, t, bits, set) => bloomMayMatch(t, bits, set, v)
+        }))
       }
     }
   }

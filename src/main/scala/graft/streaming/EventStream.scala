@@ -135,6 +135,27 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
+  /** Streaming dedup AGAINST HISTORY: drop incoming documents whose
+    * normalized-text fingerprint already exists in the historical
+    * corpus (a static relation — e.g. the lakehouse documents table's
+    * fingerprints), then exact-dedup within the stream itself. The
+    * ingestion-time guard a training pipeline actually runs: without
+    * it, every restart or re-crawl re-admits the whole archive.
+    *
+    * Shape: stream-static LEFT ANTI equi-join on the 62-bit hash —
+    * Spark broadcasts or hash-joins the static side per micro-batch,
+    * no state store involvement; the within-stream `dropDuplicates`
+    * holds watermark-bounded state only. At 100 TB the static side is
+    * a fingerprint TABLE (doc-count × 8 bytes), not the corpus. */
+  def dedupAgainstHistory(docs: DataFrame, historyFingerprints: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions
+    import graft.operators.TextAnalysis.normText
+    docs
+      .withColumn("fp_h62", HashFunctions.h62(normText(col("text"))))
+      .join(historyFingerprints.select(col("fp_h62")), Seq("fp_h62"), "left_anti")
+      .dropDuplicates("fp_h62")
+  }
+
   val GapSeconds = 1800L
 
   /** Stateful gap-sessionization via `flatMapGroupsWithState`.

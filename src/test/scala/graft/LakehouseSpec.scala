@@ -359,6 +359,37 @@ class LakehouseSpec extends SparkSpec {
     assert(none.columns.toSet === Set("k", "tag"))
   }
 
+  test("bloom skipping prunes point lookups on UNCLUSTERED keys where min/max cannot") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    // deterministic pseudo-random key interleave: every file's (min,
+    // max) spans nearly the whole key space, so range stats are useless
+    val keys = (0L until 800L).map(i => (i * 2654435761L) % 100000L)
+    val df = keys.zipWithIndex.map { case (k, i) => (k, s"v$i") }.toDF("k", "v")
+      .repartition(8)
+    lake.createOrReplace(df, "bl")
+    val probe = keys(137) // mid-range: inside every file's (min, max)
+    // range stats alone: the interleave defeats min/max — most files open
+    val before = lake.readWhere(col("k") === probe, "bl").inputFiles.length
+    assert(before >= 4, s"interleaved keys should defeat range stats, opened $before of 8")
+    lake.addBloom("bl", Seq("k"))
+    val after = lake.readWhere(col("k") === probe, "bl")
+    assert(after.inputFiles.length < before,
+      s"bloom must skip files range stats cannot (opened ${after.inputFiles.length})")
+    // exactness: the full predicate still filters precisely
+    assert(after.count() === keys.count(_ == probe))
+    // a key that exists nowhere: bloom prunes everything (mod false
+    // positives), result is empty either way
+    val miss = lake.readWhere(col("k") === 99999999L, "bl")
+    assert(miss.count() === 0L)
+    // string columns prune through the same ledger
+    lake.addBloom("bl", Seq("v"))
+    val sv = lake.readWhere(col("v") === "v7", "bl")
+    assert(sv.inputFiles.length <= 2 && sv.count() === 1L)
+    // non-equality ops ignore blooms; range stats still apply
+    assert(lake.readWhere(col("k") >= 0L, "bl").count() === 800L)
+  }
+
   test("readWhere stays correct when the predicate cannot prune (OR trees, column arithmetic)") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._

@@ -159,6 +159,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup against history drops archive twins and in-stream repeats, admits new docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.HashFunctions
+    import graft.operators.TextAnalysis.normText
+    // the historical corpus: fingerprints only, never the text
+    val history = Seq((100L, "the archive already has this document"))
+      .toDF("doc_id", "text")
+      .select(HashFunctions.h62(normText(col("text"))).as("fp_h62"))
+    val source = MemoryStream[(Long, String)]
+    source.addData(
+      (1L, "The  ARCHIVE already has this document!"), // normText twin of history → dropped
+      (2L, "a genuinely new document"), // admitted
+      (3L, "a GENUINELY new document"), // in-stream normText repeat of 2 → dropped
+      (4L, "another new one")) // admitted
+    val out = EventStream.dedupAgainstHistory(source.toDF().toDF("doc_id", "text"), history)
+    val q = out.writeStream.format("memory").queryName("hist_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("hist_dedup").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(2L, 4L))
+      // a later micro-batch replaying an admitted doc is dropped by the
+      // within-stream state
+      source.addData((5L, "another NEW one"))
+      q.processAllAvailable()
+      val kept2 = spark.table("hist_dedup").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 === Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("end-to-end: streamed docs flow through curate gates into an exactly-once lakehouse table") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
