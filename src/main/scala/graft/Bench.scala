@@ -54,11 +54,32 @@ object Bench {
       System.err.println(
         f"[bench] WARNING: 1-min load average $loadStart%.1f -> $loadEnd%.1f on $hostCpus CPUs " +
           "— the box was not idle; these timings are load-contaminated, re-run before recording")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver snapshots only the LAST ~2000 chars of this process's
+    // output (rounds 1-4 all recorded "parsed": null because the full-
+    // precision 74-query map pushed the JSON line's start past that
+    // window). Two-line defense: the complete per-query map goes on its
+    // own line WITHOUT the "metric" marker (so a tail-truncated copy can
+    // never be mistaken for the result line), and the final metric line
+    // is capped at 1800 chars — per-query entries are kept slowest-first
+    // until the budget runs out, so what survives is exactly the part a
+    // perf reader needs.
+    def f3(d: Double): String = f"$d%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","loadavg":{"start":$loadStart,"end":$loadEnd,"cpus":$hostCpus}}""")
+    println(results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{\"per_query_sec\":{", ",", "}}"))
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":"""
+    val tail = s""","failed":$failedJson,"sf":"$sfDir","loadavg":{"start":$loadStart,"end":$loadEnd,"cpus":$hostCpus},"nqueries":${results.size}}"""
+    val slowestFirst = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val budget = 1800 - head.length - tail.length - 2
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    slowestFirst.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    println(head + kept.mkString("{", ",", "}") + tail)
     // Release the per-dir persisted bases (dup groups, postings,
     // quantized vectors): a long-lived driver crossing scale-factor
     // dirs must not accumulate caches forever.

@@ -780,4 +780,31 @@ object Relational {
       .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
       .orderBy(col("cntrycode"))
   }
+
+  /** `q_events_retention` — cohort retention matrix: users cohorted by
+    * their first-activity week; for each (cohort, weeks-since-cohort)
+    * cell, how many of that cohort's users were active. The standard
+    * product-analytics readout of an event stream.
+    *
+    * Scale shape: one groupBy(user_id) for cohorts (map-side combined
+    * min), one distinct over (user_id, week) — both keyed shuffles on
+    * user_id that AQE coalesces into the SAME partitioning, so the
+    * cohort join is co-partitioned, not a third shuffle; the final
+    * cell rollup is a small keyed agg. No windows, no per-user state.
+    * Week arithmetic uses SECOND-floored epoch diffs (both engines
+    * truncate to Monday week starts in UTC, so diffs are exact
+    * 604800-multiples). */
+  def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val active = ev.distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(
+        col("cohort_week"),
+        floor((floor(unix_timestamp(col("week"))) - floor(unix_timestamp(col("cohort_week")))) / 604800L)
+          .cast("long").as("week_no"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_no"))
+  }
 }

@@ -198,6 +198,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // PII patterns shared verbatim with the DuckDB oracle. Conservative
+  // regex subset: no lookarounds (RE2 has none), no backreferences, so
+  // Java regex (Spark, backtracking leftmost-first) and RE2 (DuckDB,
+  // leftmost-first for non-POSIX) match the same spans.
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** `text_pii` — PII scrubbing (the redaction pass every pretraining
+    * pipeline runs before anything else): detect and mask emails,
+    * phone numbers, and IPv4 addresses; report per-doc counts and the
+    * fingerprint of the redacted text.
+    *
+    * The synthetic corpus contains no PII, so the driver query weaves
+    * a deterministic PII suffix (email / phone / IP derived from
+    * doc_id) into each document first — the redaction genuinely fires
+    * on every row and the md5 of the redacted text is oracle-compared,
+    * proving the regex semantics match across engines rather than
+    * hashing an untouched string. Redaction order is fixed
+    * email → IPv4 → phone (the patterns are mutually exclusive on any
+    * one span: '@' vs dots vs dashes).
+    *
+    * Scale shape: pure map-side regex codegen over (doc_id, text) —
+    * no shuffle before the output sort, linear in bytes scanned. */
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or call "),
+          (col("doc_id") % 900 + 100).cast("string"),
+          lit("-555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" from "),
+          (col("doc_id") % 223 + 1).cast("string"), lit("."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"), lit("."),
+          (col("doc_id") % 100 + 1).cast("string")).as("pii_text"))
+    d.select(
+        col("doc_id"),
+        regexp_count(col("pii_text"), lit(EmailPattern)).cast("long").as("n_emails"),
+        regexp_count(col("pii_text"), lit(PhonePattern)).cast("long").as("n_phones"),
+        regexp_count(col("pii_text"), lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("pii_text"), lit(EmailPattern), lit("<EMAIL>")),
+              lit(Ipv4Pattern), lit("<IP>")),
+            lit(PhonePattern), lit("<PHONE>"))).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
   /** `text_rep_ngrams` — within-document repetition scoring (the
     * Gopher "fraction of duplicate n-grams" quality filter): a doc
     * whose 3-grams are mostly repeats of each other is boilerplate /
