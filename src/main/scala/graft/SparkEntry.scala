@@ -286,8 +286,8 @@ object SparkEntry {
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q12_shipping_classes" ->
       """SELECT l_returnflag,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -925,10 +925,11 @@ object SparkEntry {
         |un AS (SELECT doc_id, unnest(sgs) AS sg FROM sl),
         |segs AS (SELECT doc_id, sg.no AS seg_no, sg.seg AS seg FROM un),
         |firsts AS (SELECT CAST(md5_number_lower(seg) // 4 AS BIGINT) gh,
-        |    min(doc_id * 1000000 + seg_no) AS first_key
+        |    min({'d': doc_id, 's': seg_no}) AS first_key
         |  FROM segs GROUP BY 1),
         |rep AS (SELECT doc_id, count(*) AS n_segs,
-        |    sum(CASE WHEN doc_id * 1000000 + seg_no = first_key THEN 1 ELSE 0 END) AS n_kept
+        |    CAST(sum(CASE WHEN {'d': doc_id, 's': seg_no} = first_key
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |  FROM segs JOIN firsts ON CAST(md5_number_lower(seg) // 4 AS BIGINT) = gh
         |  GROUP BY doc_id)
         |SELECT doc_id, n_segs, n_kept,

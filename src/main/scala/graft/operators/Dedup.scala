@@ -216,9 +216,11 @@ object Dedup {
         array_join(
           slice(col("ts"), col("col").cast("int") * spanTokens + 1, lit(spanTokens)), " ")
           .as("seg"))
-    // first corpus occurrence per span: min (doc_id, seg_no) as one
-    // packed key over a window on the span hash
-    val key = col("doc_id") * lit(1000000L) + col("seg_no")
+    // first corpus occurrence per span: lexicographic min of
+    // (doc_id, seg_no) as a struct over a window on the span hash —
+    // a struct min (not a packed doc_id*K+seg_no key) so ordering
+    // stays correct for arbitrarily long documents
+    val key = struct(col("doc_id"), col("seg_no"))
     val flagged = segs
       .withColumn("first_key",
         min(key).over(Window.partitionBy(HashFunctions.h62(col("seg")))))

@@ -200,6 +200,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(q21.split("orders\\.parquet").length - 1 === 1)
   }
 
+  test("q2 filters the fact below the rollup: semi-joins against the dims feed the aggregate") {
+    // the (part, supplier) rollup must only see lineitem rows that
+    // survive the very selective part/region filters — Catalyst can't
+    // push an inner join below an aggregation, so the operator has to
+    // place the broadcast LEFT SEMI joins under the groupBy itself.
+    // At 100 TB the difference is shuffling ~1% of the fact's group
+    // cardinality instead of all of it.
+    val p = plan(Relational.q2MinCostSupplier(spark, sf))
+    val semis = "LeftSemi".r.findAllIn(p).length
+    assert(semis >= 2, s"expected two broadcast semi-joins below the rollup, saw $semis")
+    // tree preorder prints parents first: the rollup's partial
+    // aggregate must be ABOVE (printed before) the semi-joins it feeds
+    // from — i.e. the semi-joins sit in the aggregate's subtree.
+    val aggAt = p.indexOf("HashAggregate")
+    val semiAt = p.indexOf("LeftSemi")
+    assert(aggAt >= 0 && semiAt > aggAt,
+      "semi-joins must sit below the (l_partkey, l_suppkey) rollup, not above it")
+  }
+
   test("round-5 scan-heavy shapes push their predicates to the parquet reader") {
     val q6 = plan(Relational.q6ForecastRevenue(spark, sf))
     assert(q6.contains("PushedFilters") && q6.contains("l_shipdate")

@@ -30,6 +30,16 @@ def main(sfdir, outdir):
             continue
         try:
             exp = con.sql(sql)
+            # lint: a HUGEINT output column (DuckDB's default for
+            # sum(int)) can never hash-match Spark's BIGINT even when
+            # values agree — require an explicit CAST in the oracle.
+            huge = [c for c, t in zip(exp.columns, exp.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"ORACLE-TYPE-LINT {name}: HUGEINT columns {huge} "
+                      f"— add CAST(... AS BIGINT) in the oracle SQL")
+                n_fail += 1
+                continue
             exp_cols = sorted(exp.columns)
             exp_rows = con.sql(
                 f"SELECT {', '.join(exp_cols)} FROM ({sql}) q").fetchall()
