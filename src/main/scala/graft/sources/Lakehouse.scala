@@ -605,16 +605,26 @@ class Lakehouse(spark: SparkSession, root: String) {
             .agg(aggs.head, aggs.tail: _*)
             .collect()
           val marker = "/" + dataDir + "/"
-          val lines = rows.flatMap { r =>
+          val keyed = rows.flatMap { r =>
             val full = r.getString(0)
             val rel = full.substring(full.indexOf(marker) + 1)
             usable.zipWithIndex.map { case (c, i) =>
               val set = r.getSeq[Long](i + 1).sorted.mkString(",")
-              s"""{"file":"${jsonEsc(rel)}","col":"${jsonEsc(c)}","t":"${tag(c)}","bits":$bits,"set":"$set"}"""
+              (rel, c) ->
+                s"""{"file":"${jsonEsc(rel)}","col":"${jsonEsc(c)}","t":"${tag(c)}","bits":$bits,"set":"$set"}"""
             }
           }
-          writeFile(new Path(new Path(tableDir(table), dataDir), "_bloom.jsonl"),
-            lines.mkString("\n") + "\n")
+          // MERGE with any existing bloom set: a second addBloom for a
+          // different column must not discard the first one's pruning —
+          // keep prior (file, col) lines this call didn't recompute.
+          val bloomPath = new Path(new Path(tableDir(table), dataDir), "_bloom.jsonl")
+          val newKeys = keyed.map(_._1).toSet
+          val keyRe = """\{"file":"(.*)","col":"(.*)","t":""".r
+          val kept = readLines(bloomPath).filter { line =>
+            keyRe.findFirstMatchIn(line)
+              .forall(m => !newKeys.contains((unesc(m.group(1)), unesc(m.group(2)))))
+          }
+          writeFile(bloomPath, (kept ++ keyed.map(_._2)).mkString("\n") + "\n")
         }
     }
   }
@@ -1478,10 +1488,14 @@ class Lakehouse(spark: SparkSession, root: String) {
   }
 
   /** SQL DELETE routed through the write-optimized MERGE-ON-READ path
-    * ([[deleteWhereMor]]): positional tombstones, zero data rewritten. */
+    * ([[deleteWhereMor]]): positional tombstones, zero data rewritten.
+    * Re-registers the view with the layout already in the registry —
+    * a MoR delete touches no data dirs, so the partition layout the
+    * next copy-on-write DML must preserve is unchanged. */
   def sqlDeleteMor(table: String, whereClause: String): Long = {
     val snap = deleteWhereMor(org.apache.spark.sql.functions.expr(whereClause), table)
-    registerView(table)
+    val layout = LakehouseRegistry.lookup(spark, table).map(_._2).getOrElse(Nil)
+    registerView(table, layout)
     snap
   }
 
@@ -1524,13 +1538,33 @@ class Lakehouse(spark: SparkSession, root: String) {
   /** SQL `INSERT INTO table <query>` — appends the query's rows as a
     * new delta dir (O(rows inserted), nothing rewritten). Columns map
     * POSITIONALLY onto the table schema, the SQL rule for INSERT
-    * without a column list. */
+    * without a column list. Each column is UP-CAST to the table's
+    * declared type or the insert FAILS (Iceberg's rule) — appending a
+    * differently-typed delta dir would silently union-widen the whole
+    * column on every subsequent read. */
   def sqlInsert(table: String, query: String, partitionBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
     val df = spark.sql(query)
-    val cols = read(table).columns
-    require(df.columns.length == cols.length,
-      s"INSERT INTO $table needs ${cols.length} columns, query has ${df.columns.length}")
-    val snap = append(df.toDF(cols.toSeq: _*), table, partitionBy)
+    val target = read(table).schema
+    require(df.columns.length == target.length,
+      s"INSERT INTO $table needs ${target.length} columns, query has ${df.columns.length}")
+    val aligned = df.toDF(target.fieldNames.toSeq: _*)
+    target.fields.zip(aligned.schema.fields).foreach { case (t, s) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+      // up-casts only, plus exact-decimal literals (`2.5` parses as
+      // decimal(2,1)) into float/double — the ANSI store-assignment
+      // shape every INSERT ... VALUES with a fractional literal hits
+      val ok = s.dataType == t.dataType ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(s.dataType, t.dataType) ||
+        (s.dataType.isInstanceOf[DecimalType] &&
+          (t.dataType == DoubleType || t.dataType == FloatType))
+      require(ok,
+        s"INSERT INTO $table: cannot write ${s.dataType.simpleString} " +
+          s"into column ${t.name} ${t.dataType.simpleString} without loss; cast explicitly")
+    }
+    val snap = append(
+      aligned.select(target.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*),
+      table, partitionBy)
     registerView(table, partitionBy)
     snap
   }

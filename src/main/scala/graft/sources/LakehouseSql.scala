@@ -20,12 +20,24 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
 object LakehouseRegistry {
   // keyed by (session UUID, lowercase view name): two sessions over two
   // lakehouse roots can register the same view name without routing
-  // each other's DML to whichever registered last
+  // each other's DML to whichever registered last. The UUID (not the
+  // SparkSession object) keeps the process-global map from pinning
+  // every session it ever saw; unregisterSession drops a dying
+  // session's entries so long-lived drivers churning short-lived
+  // sessions don't accumulate them.
   private val tables =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Lakehouse, Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Lakehouse, Seq[String])]()
 
-  private def key(spark: SparkSession, view: String): (SparkSession, String) =
-    (spark, view.toLowerCase(java.util.Locale.ROOT))
+  // weakly-keyed session → id: the registry's own keys are plain
+  // strings, so it never holds a SparkSession alive
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def idOf(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
+  private def key(spark: SparkSession, view: String): (String, String) =
+    (idOf(spark), view.toLowerCase(java.util.Locale.ROOT))
 
   /** Register `view` as DML-addressable in `spark`, with the partition
     * layout its copy-on-write rewrites should preserve. */
@@ -35,6 +47,17 @@ object LakehouseRegistry {
 
   def lookup(spark: SparkSession, view: String): Option[(Lakehouse, Seq[String])] =
     Option(tables.get(key(spark, view)))
+
+  /** Drop one view's DML registration. */
+  def unregister(spark: SparkSession, view: String): Unit =
+    tables.remove(key(spark, view))
+
+  /** Drop every registration of `spark` — call when retiring a
+    * session so its Lakehouse handles become collectable. */
+  def unregisterSession(spark: SparkSession): Unit = {
+    val id = idOf(spark)
+    tables.keySet.removeIf(_._1 == id)
+  }
 
   /** Parser-time check: is `view` registered in the ACTIVE session? */
   def isRegistered(view: String): Boolean =
@@ -140,6 +163,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         throw new UnsupportedOperationException(
           s"lakehouse UPDATE supports row-local WHERE predicates, not subqueries; " +
             s"got: WHERE $where")
+      if (SubqueryRe.matches(set))
+        throw new UnsupportedOperationException(
+          s"lakehouse UPDATE supports row-local SET expressions, not subqueries; " +
+            s"got: SET $set")
       LakehouseUpdateCommand(table, set, Option(where))
     case InsertRe(table, query) if LakehouseRegistry.isRegistered(table) =>
       LakehouseInsertCommand(table, query)

@@ -144,16 +144,27 @@ object EventStream {
     *
     * Shape: stream-static LEFT ANTI equi-join on the 62-bit hash —
     * Spark broadcasts or hash-joins the static side per micro-batch,
-    * no state store involvement; the within-stream `dropDuplicates`
-    * holds watermark-bounded state only. At 100 TB the static side is
-    * a fingerprint TABLE (doc-count × 8 bytes), not the corpus. */
-  def dedupAgainstHistory(docs: DataFrame, historyFingerprints: DataFrame): DataFrame = {
+    * no state store involvement. The within-stream dedup state is
+    * bounded ONLY when `eventTimeCol` is given: it then watermarks
+    * that column and uses `dropDuplicatesWithinWatermark`, so state
+    * is evicted past the lateness horizon. Without an event-time
+    * column the dedup set grows with the stream's distinct
+    * fingerprints — acceptable for a BOUNDED replay/backfill, wrong
+    * for continuous ingestion (pass the crawl timestamp there). At
+    * 100 TB the static side is a fingerprint TABLE (doc-count × 8
+    * bytes), not the corpus. */
+  def dedupAgainstHistory(docs: DataFrame, historyFingerprints: DataFrame,
+      eventTimeCol: Option[String] = None, lateness: String = "1 hour"): DataFrame = {
     import graft.functions.HashFunctions
     import graft.operators.TextAnalysis.normText
-    docs
+    val fresh = docs
       .withColumn("fp_h62", HashFunctions.h62(normText(col("text"))))
       .join(historyFingerprints.select(col("fp_h62")), Seq("fp_h62"), "left_anti")
-      .dropDuplicates("fp_h62")
+    eventTimeCol match {
+      case Some(ts) =>
+        fresh.withWatermark(ts, lateness).dropDuplicatesWithinWatermark("fp_h62")
+      case None => fresh.dropDuplicates("fp_h62")
+    }
   }
 
   val GapSeconds = 1800L

@@ -386,6 +386,11 @@ class LakehouseSpec extends SparkSpec {
     lake.addBloom("bl", Seq("v"))
     val sv = lake.readWhere(col("v") === "v7", "bl")
     assert(sv.inputFiles.length <= 2 && sv.count() === 1L)
+    // the second addBloom MERGED with the first — k pruning survives
+    val kAgain = lake.readWhere(col("k") === probe, "bl")
+    assert(kAgain.inputFiles.length < before,
+      "addBloom for a second column discarded the first column's blooms")
+    assert(kAgain.count() === keys.count(_ == probe))
     // non-equality ops ignore blooms; range stats still apply
     assert(lake.readWhere(col("k") >= 0L, "bl").count() === 800L)
   }
@@ -849,6 +854,54 @@ class LakehouseSpec extends SparkSpec {
     val got = lake.read("pml").select("k", "v").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === Set((2L, "B")))
+  }
+
+  test("MoR SQL delete keeps the registered partition layout for subsequent DML") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p2")).toDF("k", "v", "p"), "morp",
+      partitionBy = Seq("p"))
+    lake.registerView("morp", Seq("p"))
+    lake.sqlDeleteMor("morp", "k = 3")
+    // the MoR path must NOT re-register with an empty layout
+    assert(graft.sources.LakehouseRegistry.lookup(spark, "morp").get._2 === Seq("p"))
+    // and a subsequent parsed CoW statement still rewrites partition-scoped
+    spark.sql("DELETE FROM morp WHERE k = 2").collect()
+    assert(lake.snapshots("morp").last._2.exists(_.contains("p=p1")),
+      "post-MoR parsed DML lost the partition directory layout")
+    assert(lake.read("morp").select("k").collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("INSERT INTO up-casts to the table schema and refuses lossy writes") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, 1.5)).toDF("k", "x"), "ti")
+    lake.registerView("ti")
+    // int literals up-cast to the declared BIGINT; column type is stable
+    spark.sql("INSERT INTO ti VALUES (2, 2.5)").collect()
+    assert(lake.read("ti").schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(lake.read("ti").count() === 2L)
+    // a double into the BIGINT column would silently union-widen every
+    // later read — refused, table intact
+    intercept[Exception] { spark.sql("INSERT INTO ti SELECT x, x FROM ti") }
+    assert(lake.read("ti").schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(lake.read("ti").count() === 2L)
+  }
+
+  test("UPDATE with a subquery in SET is refused; unregister drops DML routing") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "usq")
+    lake.registerView("usq")
+    intercept[UnsupportedOperationException] {
+      spark.sql("UPDATE usq SET v = (SELECT max(v) FROM usq) WHERE k = 1")
+    }
+    assert(lake.read("usq").collect().length === 2)
+    graft.sources.LakehouseRegistry.unregister(spark, "usq")
+    // no longer DML-addressable: falls through to Spark's parser, which
+    // rejects DELETE on a plain temp view
+    intercept[Exception] { spark.sql("DELETE FROM usq WHERE k = 1") }
   }
 
   test("MoR equality delete with a NULL key removes NULL-key rows (null-safe match)") {

@@ -191,6 +191,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("history dedup with an event-time column holds watermark-BOUNDED state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.HashFunctions
+    import graft.operators.TextAnalysis.normText
+    val history = Seq((100L, "archived doc"))
+      .toDF("doc_id", "text")
+      .select(HashFunctions.h62(normText(col("text"))).as("fp_h62"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val source = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = EventStream.dedupAgainstHistory(
+      source.toDF().toDF("doc_id", "text", "crawl_ts"), history,
+      eventTimeCol = Some("crawl_ts"))
+    val q = out.writeStream.format("memory").queryName("hist_dedup_wm")
+      .outputMode("append").start()
+    try {
+      def kept() =
+        spark.table("hist_dedup_wm").select("doc_id").collect().map(_.getLong(0)).toSet
+      // batch 1: archive twin dropped, fresh doc admitted
+      source.addData(
+        (1L, "ARCHIVED doc", ts("2026-01-01 10:00:00")),
+        (2L, "fresh doc", ts("2026-01-01 10:00:30")))
+      q.processAllAvailable()
+      assert(kept() === Set(2L))
+      // batch 2: replay of 2 INSIDE the 1h horizon is dropped; the
+      // 13:00 event advances the watermark to 12:00, past 2's expiry
+      source.addData(
+        (3L, "FRESH doc", ts("2026-01-01 10:10:00")),
+        (4L, "later doc", ts("2026-01-01 13:00:00")))
+      q.processAllAvailable()
+      assert(kept() === Set(2L, 4L))
+      // batch 3: 2's fingerprint state has been EVICTED (expiry 11:00 <
+      // watermark 12:00) — a replay past the horizon is re-admitted,
+      // the bounded-state trade dropDuplicatesWithinWatermark makes
+      source.addData((5L, "fresh DOC", ts("2026-01-01 13:01:00")))
+      q.processAllAvailable()
+      assert(kept() === Set(2L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("end-to-end: streamed docs flow through curate gates into an exactly-once lakehouse table") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
