@@ -158,9 +158,22 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT b.* FROM base b
         |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey)),
+        |cond_src AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 10 AS o_totalprice
+        |  FROM orders WHERE o_custkey % 89 = 0),
+        |cond AS (
+        |  SELECT m.o_orderkey, m.o_orderstatus, m.o_totalprice FROM merged m
+        |  WHERE NOT EXISTS (SELECT 1 FROM cond_src c WHERE c.o_orderkey = m.o_orderkey)
+        |  UNION ALL
+        |  SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice
+        |  FROM merged m JOIN cond_src c ON m.o_orderkey = c.o_orderkey
+        |  WHERE NOT (m.o_totalprice > 150000)
+        |  UNION ALL
+        |  SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice FROM cond_src c
+        |  WHERE NOT EXISTS (SELECT 1 FROM merged m WHERE m.o_orderkey = c.o_orderkey)
+        |    AND c.o_totalprice < 100000),
         |updated AS (SELECT o_orderkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1 ELSE o_totalprice END
-        |    AS o_totalprice FROM merged),
+        |    AS o_totalprice FROM cond),
         |deleted AS (SELECT * FROM updated WHERE NOT (o_orderkey % 7 = 0))
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

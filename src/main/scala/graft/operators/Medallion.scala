@@ -188,6 +188,20 @@ object Medallion {
         |ON lh_orders.o_orderkey = merge_src.o_orderkey
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // conditional MERGE clauses (Iceberg's extended grammar): ordered
+    // WHEN MATCHED [AND cond] THEN DELETE / UPDATE SET *, plus a
+    // conditional INSERT — one snapshot commit, first-applicable-
+    // clause semantics against the pre-merge state
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice + 10 AS o_totalprice
+        |FROM orders WHERE o_custkey % 89 = 0""".stripMargin)
+      .createOrReplaceTempView("cond_src")
+    spark.sql(
+      """MERGE INTO lh_orders USING cond_src
+        |ON lh_orders.o_orderkey = cond_src.o_orderkey
+        |WHEN MATCHED AND lh_orders.o_totalprice > 150000 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND cond_src.o_totalprice < 100000 THEN INSERT *""".stripMargin)
     spark.sql("UPDATE lh_orders SET o_totalprice = o_totalprice + 1 WHERE o_orderkey % 11 = 0")
     spark.sql("DELETE FROM lh_orders WHERE o_orderkey % 7 = 0")
     spark.sql(

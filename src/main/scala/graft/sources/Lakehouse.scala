@@ -1182,40 +1182,60 @@ class Lakehouse(spark: SparkSession, root: String) {
     * costs one partition's rewrite, not a table rewrite. */
   def upsert(source: DataFrame, table: String, keyCols: Seq[String],
       partitionBy: Seq[String] = Nil, branch: String = "main"): Long = {
-    if (partitionBy.isEmpty) {
-      return retryingCommit(table, branch) { base =>
-        val keep = readBase(table, base).join(
-          source.select(keyCols.map(source(_)): _*).distinct(), keyCols, "left_anti")
-        val snap = reserveSnap(table)
-        val dir = s"data-$snap"
-        try {
-          writeDataDir(keep.unionByName(source), table, dir, Nil)
-          commit(table, snap, Seq(dir), branch, Some(base))
-        } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
-      }
+    val changes = (_: DataFrame) =>
+      (source, source.select(keyCols.map(source(_)): _*))
+    if (partitionBy.isEmpty) rewriteUnpartitioned(table, branch, keyCols)(changes)
+    else rewriteChangedPartitions(table, branch, keyCols, partitionBy)(changes)
+  }
+
+  /** Copy-on-write rewrite core, unpartitioned: `changes(target)`
+    * yields (rows to add, keys to remove) against the base snapshot;
+    * the whole table rewrites as one new data dir. */
+  private def rewriteUnpartitioned(table: String, branch: String,
+      keyCols: Seq[String])(changes: DataFrame => (DataFrame, DataFrame)): Long =
+    retryingCommit(table, branch) { base =>
+      val target = readBase(table, base)
+      val (addRows, removeKeys) = changes(target)
+      val keep = target.join(removeKeys.distinct(), keyCols, "left_anti")
+      val snap = reserveSnap(table)
+      val dir = s"data-$snap"
+      try {
+        writeDataDir(keep.unionByName(addRows), table, dir, Nil)
+        commit(table, snap, Seq(dir), branch, Some(base))
+      } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
     }
+
+  /** Copy-on-write rewrite core, PARTITION-SCOPED: only partitions the
+    * change set touches are rewritten; every untouched partition's
+    * ORIGINAL leaf dir is carried into the new snapshot by reference,
+    * byte-identical. At 100 TB a one-partition change costs one
+    * partition's rewrite, not a table rewrite. */
+  private def rewriteChangedPartitions(table: String, branch: String,
+      keyCols: Seq[String], partitionBy: Seq[String])(
+      changes: DataFrame => (DataFrame, DataFrame)): Long =
     retryingCommit(table, branch) { base =>
       val prev = base.map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
       val prevDeletes =
         base.map(c => snapshotDeletes(table).getOrElse(c, Seq.empty)).getOrElse(Nil)
       val target = readBase(table, base)
-      val sourceKeys = source.select(keyCols.map(source(_)): _*).distinct()
-      // Touched partitions = the partitions the source writes into ∪
-      // the partitions its keys currently LIVE in. The second set is
+      val (addRows, removeKeys0) = changes(target)
+      val removeKeys = removeKeys0.distinct()
+      // Touched partitions = the partitions the change set writes into
+      // ∪ the partitions its keys currently LIVE in. The second set is
       // what makes a partition-moving key correct: without it the old
       // row survives by reference in its untouched partition and the
       // table ends up with duplicate keys. Finding it is a key
       // semi-join over the target (read-only, pushdown applies); the
       // REWRITE stays touched-partitions-only.
-      val touched = source.select(partitionBy.map(source(_)): _*).distinct()
+      val touched = addRows.select(partitionBy.map(addRows(_)): _*).distinct()
         .unionByName(
-          target.join(sourceKeys, keyCols, "left_semi")
+          target.join(removeKeys, keyCols, "left_semi")
             .select(partitionBy.map(target(_)): _*).distinct())
         .distinct()
       val targetTouched = target.join(touched, partitionBy, "left_semi")
       val merged = targetTouched
-        .join(sourceKeys, keyCols, "left_anti")
-        .unionByName(source)
+        .join(removeKeys, keyCols, "left_anti")
+        .unionByName(addRows)
       val snap = reserveSnap(table)
       val dir = s"data-$snap"
       try {
@@ -1261,6 +1281,61 @@ class Lakehouse(spark: SparkSession, root: String) {
         commit(table, snap, kept :+ dir, branch, Some(base), deletes = prevDeletes)
       } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
     }
+
+  /** Conditional MERGE — the clause surface Iceberg's SQL extension
+    * parser accepts beyond the canonical upsert-all:
+    * {{{
+    * MERGE INTO t USING s ON t.k = s.k
+    *   WHEN MATCHED [AND <cond>] THEN UPDATE SET * | DELETE   (repeatable)
+    *   [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+    * }}}
+    * SQL MERGE semantics: per matched target row, the FIRST clause
+    * whose condition is true applies (no clause → the row survives);
+    * unmatched source rows insert iff the insert clause's condition
+    * holds. Conditions are row-local predicates qualified by the
+    * table/source view names and evaluate against the PRE-merge state.
+    * Commits ONE snapshot through the same copy-on-write cores as
+    * [[upsert]] — partition-scoped when `partitionBy` is given.
+    *
+    * `matched` is (condition, isDelete) in clause order;
+    * `notMatchedInsert` is None = no insert clause, Some(cond) = the
+    * clause with its optional condition. */
+  def sqlMergeConditional(table: String, sourceView: String, keyCols: Seq[String],
+      matched: Seq[(Option[String], Boolean)],
+      notMatchedInsert: Option[Option[String]],
+      partitionBy: Seq[String] = Nil, branch: String = "main"): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val changes = (target: DataFrame) => {
+      val source = spark.table(sourceView)
+      val t = target.alias(table)
+      val s = source.alias(sourceView)
+      val joinCond = keyCols.map(k =>
+        col(s"$table.$k") === col(s"$sourceView.$k")).reduce(_ && _)
+      // first-applicable clause per matched row: 0 none, 1 update, 2 delete
+      val action = matched.foldRight(lit(0)) { case ((condOpt, isDelete), rest) =>
+        when(condOpt.map(expr).getOrElse(lit(true)), lit(if (isDelete) 2 else 1))
+          .otherwise(rest)
+      }
+      val pairs = t.join(s, joinCond).withColumn("__act", action)
+      val sCols = source.columns.toSeq
+      val upRows = pairs.where(col("__act") === 1)
+        .select(sCols.map(c => col(s"$sourceView.$c")): _*)
+      val removeKeys = pairs.where(col("__act") =!= 0)
+        .select(keyCols.map(k => col(s"$table.$k")): _*)
+      val insRows = notMatchedInsert match {
+        case Some(condOpt) =>
+          val unmatched = s.join(t, joinCond, "left_anti")
+          condOpt.map(c => unmatched.where(expr(c))).getOrElse(unmatched)
+            .select(sCols.map(col): _*)
+        case None => source.where(lit(false))
+      }
+      (upRows.unionByName(insRows), removeKeys)
+    }
+    val snap =
+      if (partitionBy.isEmpty) rewriteUnpartitioned(table, branch, keyCols)(changes)
+      else rewriteChangedPartitions(table, branch, keyCols, partitionBy)(changes)
+    registerView(table, partitionBy)
+    snap
   }
 
   /** Read the snapshot a writer is basing a commit on (empty relation

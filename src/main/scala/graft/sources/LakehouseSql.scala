@@ -114,6 +114,22 @@ case class LakehouseMergeCommand(view: String, sourceView: String, keyCols: Seq[
   }
 }
 
+/** Conditional MERGE: ordered `WHEN MATCHED [AND cond] THEN
+  * UPDATE SET * | DELETE` clauses plus an optional `WHEN NOT MATCHED
+  * [AND cond] THEN INSERT *`, routed through
+  * [[Lakehouse.sqlMergeConditional]] as ONE snapshot commit. */
+case class LakehouseMergeCondCommand(view: String, sourceView: String, keyCols: Seq[String],
+    matched: Seq[(Option[String], Boolean)], notMatchedInsert: Option[Option[String]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    Seq(Row(lake.sqlMergeConditional(
+      view, sourceView, keyCols, matched, notMatchedInsert, partitionBy)))
+  }
+}
+
 /** Thin statement front-end: recognizes the two lakehouse DML shapes
   * against REGISTERED views, delegates everything else (including DML
   * on unregistered tables — Spark's own analyzer then reports its
@@ -128,6 +144,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*MERGE\s+INTO\s+`?([A-Za-z_]\w*)`?\s+USING\s+`?([A-Za-z_]\w*)`?\s+ON\s+(.+?)""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+  // general MERGE head: everything from the first WHEN on is the
+  // clause list, tokenized by splitClauses
+  private val MergeHeadRe =
+    ("""(?is)\s*MERGE\s+INTO\s+`?([A-Za-z_]\w*)`?\s+USING\s+`?([A-Za-z_]\w*)`?""" +
+      """\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*""").r
+  private val MatchedUpdateRe =
+    """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+\*\s*""".r
+  private val MatchedDeleteRe =
+    """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
+  private val NotMatchedInsertRe =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+\*\s*""".r
   private val SubqueryRe = """(?is).*\(\s*SELECT\b.*""".r
   private val UpdateRe =
     """(?is)\s*UPDATE\s+`?([A-Za-z_]\w*)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
@@ -177,6 +204,38 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           s"lakehouse MERGE supports ON <equi-key conjunction> " +
             s"WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *; got: ON $on")
       }
+    case MergeHeadRe(table, source, on, clauses) if LakehouseRegistry.isRegistered(table) =>
+      val keys = keyColsOf(on, table, source) match {
+        case Some(ks) if ks.nonEmpty => ks
+        case _ => throw new UnsupportedOperationException(
+          s"lakehouse MERGE supports ON <equi-key conjunction>; got: ON $on")
+      }
+      // tokenize at each WHEN keyword; every token must parse as a clause
+      val tokens = clauses.split("(?i)(?=\\bWHEN\\b)").toSeq.filter(_.trim.nonEmpty)
+      var matched = Seq.empty[(Option[String], Boolean)]
+      var insert: Option[Option[String]] = None
+      tokens.foreach { tok =>
+        def checked(cond: String): Option[String] = Option(cond).map { c =>
+          if (SubqueryRe.matches(c)) throw new UnsupportedOperationException(
+            s"lakehouse MERGE clause conditions are row-local predicates, " +
+              s"not subqueries; got: AND $c")
+          c
+        }
+        tok match {
+          // NOT MATCHED first: MatchedUpdateRe/DeleteRe would not match
+          // it anyway, but the order documents the intent
+          case NotMatchedInsertRe(cond) =>
+            if (insert.isDefined) throw new UnsupportedOperationException(
+              "lakehouse MERGE takes at most one WHEN NOT MATCHED clause")
+            insert = Some(checked(cond))
+          case MatchedUpdateRe(cond) => matched :+= (checked(cond), false)
+          case MatchedDeleteRe(cond) => matched :+= (checked(cond), true)
+          case other => throw new UnsupportedOperationException(
+            s"unsupported MERGE clause: $other (supported: WHEN MATCHED [AND cond] THEN " +
+              "UPDATE SET * | DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT *)")
+        }
+      }
+      LakehouseMergeCondCommand(table, source, keys, matched, insert)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -856,6 +856,67 @@ class LakehouseSpec extends SparkSpec {
     assert(got === Set((2L, "B")))
   }
 
+  test("conditional MERGE: ordered MATCHED clauses + conditional INSERT in one snapshot") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, 10.0, "a"), (2L, 200.0, "b"), (3L, 30.0, "c")).toDF("k", "x", "v"), "cm")
+    lake.registerView("cm")
+    Seq((1L, 11.0, "A"), (2L, 2.0, "B"), (4L, 40.0, "D"), (5L, 500.0, "E"))
+      .toDF("k", "x", "v").createOrReplaceTempView("cm_src")
+    val snapsBefore = lake.snapshots("cm").length
+    spark.sql(
+      """MERGE INTO cm USING cm_src ON cm.k = cm_src.k
+        |WHEN MATCHED AND cm.x > 100 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND cm_src.x < 100 THEN INSERT *""".stripMargin).collect()
+    // k=1 matched, x=10: first clause false → updated from source
+    // k=2 matched, x=200: first clause true → deleted (clause ORDER,
+    //     evaluated on the PRE-merge value, decides)
+    // k=3 unmatched target → survives unchanged
+    // k=4 unmatched source, x=40 < 100 → inserted
+    // k=5 unmatched source, x=500 → insert condition false, ignored
+    val got = lake.read("cm").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got === Set((1L, 11.0, "A"), (3L, 30.0, "c"), (4L, 40.0, "D")))
+    assert(lake.snapshots("cm").length === snapsBefore + 1,
+      "a conditional MERGE must commit exactly ONE snapshot")
+    // DELETE-only merge: no NOT MATCHED clause → unmatched source ignored
+    Seq((1L, 0.0, "x"), (9L, 0.0, "y")).toDF("k", "x", "v")
+      .createOrReplaceTempView("cm_del")
+    spark.sql("MERGE INTO cm USING cm_del ON cm.k = cm_del.k WHEN MATCHED THEN DELETE")
+      .collect()
+    assert(lake.read("cm").select("k").collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    // subqueries in clause conditions are refused at parse time
+    intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO cm USING cm_del ON cm.k = cm_del.k
+          |WHEN MATCHED AND cm.x > (SELECT avg(x) FROM cm) THEN DELETE""".stripMargin)
+    }
+  }
+
+  test("conditional MERGE stays partition-scoped: untouched partitions carry by reference") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, 5.0, "p1"), (2L, 150.0, "p2"), (3L, 8.0, "p2")).toDF("k", "x", "p"), "cmp",
+      partitionBy = Seq("p"))
+    lake.registerView("cmp", Seq("p"))
+    Seq((2L, 1.0, "p2"), (3L, 2.0, "p2")).toDF("k", "x", "p")
+      .createOrReplaceTempView("cmp_src")
+    spark.sql(
+      """MERGE INTO cmp USING cmp_src ON cmp.k = cmp_src.k
+        |WHEN MATCHED AND cmp.x > 100 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+    // only p2 was touched: p1's original leaf rides into the new
+    // snapshot by reference
+    assert(lake.snapshots("cmp").last._2.exists(_.contains("p=p1")),
+      "untouched partition must be carried by reference, not rewritten")
+    val got = lake.read("cmp").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got === Set((1L, 5.0, "p1"), (3L, 2.0, "p2")))
+  }
+
   test("MoR SQL delete keeps the registered partition layout for subsequent DML") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
