@@ -4,6 +4,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // Five rounds recorded load-inflated numbers despite a warning —
+    // don't just warn, WAIT for an idle window BEFORE the session
+    // starts (the warmup itself raises the 1-min load): when load1 is
+    // above cpus/8, sleep-and-retry (bounded), and mark the JSON
+    // contaminated if no window ever appears.
+    val idleBar = Runtime.getRuntime.availableProcessors() / 8.0
+    var waits = 0
+    while (load1() > idleBar && waits < 5) {
+      System.err.println(
+        f"[bench] load ${load1()}%.1f > $idleBar%.1f — waiting 60s for an idle window " +
+          s"(${waits + 1}/5)")
+      Thread.sleep(60000L)
+      waits += 1
+    }
+    val contaminated = load1() > idleBar
     // The engine's own tuned session (AQE, Kryo, broadcast threshold,
     // UTC) — benching a plain default session would measure plans the
     // library never actually runs with.
@@ -41,9 +59,6 @@ object Bench {
     // before and after, publish it IN the JSON so a recorded bench
     // carries its own validity evidence, and warn loudly when the box
     // wasn't idle so the run gets re-done instead of trusted.
-    def load1(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     val loadStart = load1()
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> Seq.fill(3)(once(name, fn)).min
@@ -70,7 +85,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{\"per_query_sec\":{", ",", "}}"))
     val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":"""
-    val tail = s""","failed":$failedJson,"sf":"$sfDir","loadavg":{"start":$loadStart,"end":$loadEnd,"cpus":$hostCpus},"nqueries":${results.size}}"""
+    val tail = s""","failed":$failedJson,"sf":"$sfDir","loadavg":{"start":$loadStart,"end":$loadEnd,"cpus":$hostCpus},"contaminated":$contaminated,"nqueries":${results.size}}"""
     val slowestFirst = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
     val budget = 1800 - head.length - tail.length - 2

@@ -22,6 +22,7 @@ object SparkEntry {
     "gold_sales_report" -> (Medallion.goldSalesReport _),
     "sql_catalog_query" -> (Medallion.sqlCatalogQuery _),
     "sql_lakehouse_ddl" -> (Medallion.sqlLakehouseDdl _),
+    "sql_time_travel" -> (Medallion.sqlTimeTravel _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -180,6 +181,15 @@ object SparkEntry {
         |FROM deleted
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "sql_time_travel" ->
+      """SELECT 'v1' AS at, o_orderstatus, count(*) AS n
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'now' AS at, o_orderstatus, count(*) AS n
+        |FROM orders WHERE o_orderstatus IN ('F','O')
+        |GROUP BY o_orderstatus
+        |ORDER BY at, o_orderstatus""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -211,4 +211,34 @@ object Medallion {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
   }
+
+  /** `sql_time_travel` — SQL time travel on a lakehouse table
+    * (Iceberg's `VERSION AS OF` query surface): CTAS a table, INSERT
+    * a second tranche as parsed SQL, then read the PRE-insert
+    * snapshot via `VERSION AS OF` in the same statement as the
+    * current state — both resolved through [[graft.sources
+    * .GraftSqlParser]]'s travel rewrite, driver-checkable because
+    * every step is a deterministic function of `orders`. */
+  def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-sqltt").toString
+    val lake = new graft.sources.Lakehouse(spark, root)
+    val v1 = lake.createOrReplace(spark.sql(
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'"),
+      "tt_orders")
+    lake.registerView("tt_orders")
+    spark.sql(
+      """INSERT INTO tt_orders
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin)
+    spark.sql(
+      s"""SELECT 'v1' AS at, o_orderstatus, count(*) AS n
+         |FROM tt_orders VERSION AS OF $v1
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'now' AS at, o_orderstatus, count(*) AS n
+         |FROM tt_orders
+         |GROUP BY o_orderstatus
+         |ORDER BY at, o_orderstatus""".stripMargin)
+  }
 }

@@ -103,6 +103,27 @@ class Lakehouse(spark: SparkSession, root: String) {
       }
     }.toMap
 
+  /** Commit wall-clock (epoch millis) per snapshot, from the
+    * manifest's `ts` field — the ledger `TIMESTAMP AS OF` resolves
+    * against. Pre-`ts` manifest lines (older tables) are absent from
+    * the map and simply can't be addressed by timestamp. */
+  def snapshotTimes(table: String): Seq[(Long, Long)] =
+    readLines(manifest(table)).flatMap { l =>
+      for {
+        s <- """"snap":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+        t <- """"ts":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+      } yield s -> t
+    }
+
+  /** Time travel by wall-clock: read the LATEST snapshot committed at
+    * or before `tsMillis` (Iceberg's `TIMESTAMP AS OF` rule). */
+  def readAsOf(table: String, tsMillis: Long): DataFrame = {
+    val at = snapshotTimes(table).filter(_._2 <= tsMillis).map(_._1).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no snapshot committed at or before $tsMillis"))
+    readSnapshot(table, at)
+  }
+
   /** Streaming batch ids recorded in commit metadata (see
     * [[appendOnce]]) — the commit-dedup ledger that makes the
     * stream→lakehouse sink exactly-once across restarts. */
@@ -163,7 +184,8 @@ class Lakehouse(spark: SparkSession, root: String) {
       }
       if (snapshots(table).exists(_._1 == snap))
         throw new CommitConflictException(s"$table already has a snapshot $snap")
-      val meta = batch.map(b => s""","batch":$b""").getOrElse("") +
+      val meta = s""","ts":${System.currentTimeMillis()}""" +
+        batch.map(b => s""","batch":$b""").getOrElse("") +
         (if (deletes.isEmpty) ""
          else s""","deletes":[${deletes.map(d => s""""$d"""").mkString(",")}]""")
       val line = s"""{"snap":$snap,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]$meta}"""
@@ -1652,7 +1674,48 @@ class Lakehouse(spark: SparkSession, root: String) {
   def registerView(table: String, partitionBy: Seq[String] = Nil): Unit = {
     read(table).createOrReplaceTempView(table)
     LakehouseRegistry.register(spark, table, this, partitionBy)
+    persistCatalogEntry(table, partitionBy)
   }
+
+  // ---- persistent catalog -------------------------------------------------
+  //
+  // `_catalog.jsonl` under the lake root records every registered
+  // table with its partition layout — the durable analog of the
+  // reference's Nessie catalog, so a FRESH session (or process) can
+  // re-register all views with `Lakehouse.openCatalog(spark, root)`
+  // instead of losing DML routing when the in-memory registry dies
+  // with the session.
+
+  private def catalogPath = new Path(root, "_catalog.jsonl")
+  private val CatalogLine = """\{"table":"(.*)","partitionBy":\[([^\]]*)\]\}""".r
+
+  /** Parsed `_catalog.jsonl`: table → partition layout. */
+  def catalogEntries(): Seq[(String, Seq[String])] =
+    readLines(catalogPath).flatMap {
+      case CatalogLine(t, cols) =>
+        Some(unesc(t) -> cols.split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+      case _ => None
+    }
+
+  /** Upsert one table's catalog line; no-op when unchanged (DML
+    * re-registers on every statement — don't rewrite metadata then). */
+  private def persistCatalogEntry(table: String, partitionBy: Seq[String]): Unit =
+    Lakehouse.locks.computeIfAbsent(catalogPath.toString, _ => new Object).synchronized {
+      val entries = catalogEntries()
+      if (!entries.contains(table -> partitionBy)) {
+        val updated = entries.filterNot(_._1 == table) :+ (table -> partitionBy)
+        writeFile(catalogPath, updated.map { case (t, cols) =>
+          s"""{"table":"${jsonEsc(t)}","partitionBy":[${
+            cols.map(c => s""""$c"""").mkString(",")}]}"""
+        }.mkString("\n") + "\n")
+      }
+    }
+
+  /** Re-register every cataloged table in THIS handle's session —
+    * temp views plus DML routing, with the persisted layouts. */
+  def registerCatalog(): Unit =
+    catalogEntries().foreach { case (t, p) => registerView(t, p) }
 }
 
 /** Thrown when a conditional commit loses the optimistic-concurrency
@@ -1664,6 +1727,17 @@ object Lakehouse {
   /** Intra-JVM per-table commit locks, keyed by absolute table path. */
   private[sources] val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Open an existing lake root in a (possibly brand-new) session and
+    * re-register every table recorded in its `_catalog.jsonl` — temp
+    * views and SQL DML routing come back with their persisted
+    * partition layouts, the way the reference reopens its Nessie
+    * catalog. */
+  def openCatalog(spark: SparkSession, root: String): Lakehouse = {
+    val lake = new Lakehouse(spark, root)
+    lake.registerCatalog()
+    lake
+  }
 }
 
 /** Bucketed catalog tables: hash-bucket the join key at WRITE time so

@@ -236,7 +236,48 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         }
       }
       LakehouseMergeCondCommand(table, source, keys, matched, insert)
-    case _ => delegate.parsePlan(sqlText)
+    case _ => delegate.parsePlan(rewriteTimeTravel(sqlText))
+  }
+
+  private val VersionAsOfRe =
+    """(?i)`?([A-Za-z_]\w*)`?\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val TimestampAsOfRe =
+    """(?i)`?([A-Za-z_]\w*)`?\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+
+  /** SQL time travel on registered lakehouse views — the Iceberg
+    * query surface `SELECT … FROM t VERSION AS OF <snap>` /
+    * `TIMESTAMP AS OF '<ts>'`. Each travel reference is rewritten to
+    * a temp view over the snapshot read the programmatic API already
+    * does (`readSnapshot` / `readAsOf`), then the whole statement
+    * delegates to Spark's parser — travel composes with any SELECT,
+    * including joins of two versions of the same table. References to
+    * unregistered names are left untouched for Spark to reject. */
+  private def rewriteTimeTravel(sqlText: String): String = {
+    // fast path: no travel syntax, don't touch the text
+    if (!"""(?i)\b(?:VERSION|TIMESTAMP)\s+AS\s+OF\b""".r.unanchored.matches(sqlText))
+      return sqlText
+    val sessionOpt = SparkSession.getActiveSession
+    if (sessionOpt.isEmpty) return sqlText
+    val spark = sessionOpt.get
+    def travelView(view: String, suffix: String,
+        read: Lakehouse => org.apache.spark.sql.DataFrame): Option[String] =
+      LakehouseRegistry.lookup(spark, view).map { case (lake, _) =>
+        val tv = s"${view}__asof_$suffix"
+        read(lake).createOrReplaceTempView(tv)
+        tv
+      }
+    val versioned = VersionAsOfRe.replaceAllIn(sqlText, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        travelView(m.group(1), m.group(2),
+          _.readSnapshot(m.group(1), m.group(2).toLong)).getOrElse(m.matched)))
+    TimestampAsOfRe.replaceAllIn(versioned, m =>
+      scala.util.matching.Regex.quoteReplacement {
+        val raw = m.group(2)
+        val millis = java.sql.Timestamp.valueOf(
+          if (raw.contains(":")) raw else s"$raw 00:00:00").getTime
+        travelView(m.group(1), s"t$millis", _.readAsOf(m.group(1), millis))
+          .getOrElse(m.matched)
+      })
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)

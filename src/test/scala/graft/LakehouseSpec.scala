@@ -856,6 +856,56 @@ class LakehouseSpec extends SparkSpec {
     assert(got === Set((2L, "B")))
   }
 
+  test("persistent catalog: a fresh session re-registers tables with their layouts") {
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"), "pc",
+      partitionBy = Seq("p"))
+    lake.registerView("pc", Seq("p"))
+    lake.createOrReplace(Seq((1L, 1.0)).toDF("k", "x"), "flat")
+    lake.registerView("flat")
+    // a brand-new session has neither the temp views nor the registry
+    val s2 = spark.newSession()
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    try {
+      assert(!s2.catalog.tableExists("pc"))
+      val lake2 = Lakehouse.openCatalog(s2, root)
+      assert(s2.table("pc").count() === 2L)
+      assert(s2.table("flat").count() === 1L)
+      assert(graft.sources.LakehouseRegistry.lookup(s2, "pc").get._2 === Seq("p"))
+      // parsed DML in the fresh session keeps the PERSISTED layout:
+      // the untouched partition still carries by reference
+      s2.sql("DELETE FROM pc WHERE k = 2").collect()
+      assert(lake2.snapshots("pc").last._2.exists(_.contains("p=p1")),
+        "re-opened catalog lost the partition layout")
+      assert(lake2.read("pc").select("k").collect().map(_.getLong(0)).toSet === Set(1L))
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF resolve through the parser") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    val v1 = lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "tt")
+    lake.registerView("tt")
+    val between = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(5) // the next commit's wall-clock must exceed `between`
+    spark.sql("INSERT INTO tt VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT count(*) AS n FROM tt VERSION AS OF $v1")
+      .head.getLong(0) === 2L)
+    assert(spark.table("tt").count() === 3L)
+    // TIMESTAMP AS OF picks the LATEST snapshot committed at or before
+    assert(spark.sql(s"SELECT count(*) AS n FROM tt TIMESTAMP AS OF '$between'")
+      .head.getLong(0) === 2L)
+    // two versions of one table compose inside a single statement
+    val newKeys = spark.sql(
+      s"SELECT cur.k FROM tt cur LEFT ANTI JOIN tt VERSION AS OF $v1 old ON cur.k = old.k")
+    assert(newKeys.collect().map(_.getLong(0)).toSet === Set(3L))
+    // a travel ref on an unregistered name falls through to Spark's error
+    intercept[Exception] { spark.sql("SELECT * FROM nosuch_tt VERSION AS OF 1").collect() }
+  }
+
   test("conditional MERGE: ordered MATCHED clauses + conditional INSERT in one snapshot") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
