@@ -84,6 +84,7 @@ object SparkEntry {
     // training isn't SQL-restatable, but the trained centroids are
     // captured into a literal-VALUES oracle (see oracleSql ++ below)
     "ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(s, d)),
+    "ann_pq_topk" -> ((s, d) => Similarity.annPqTopk(s, d)),
     // §2.E — text analysis
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -117,7 +118,8 @@ object SparkEntry {
     * queries run, so the k-means centroids the query actually used are
     * restated as a literal VALUES table. */
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ Similarity.trainedOracleSql.map("ann_ivf_trained" -> _)
+    staticOracleSql ++ Similarity.trainedOracleSql.map("ann_ivf_trained" -> _) ++
+      Similarity.pqOracleSql.map("ann_pq_topk" -> _)
 
   private def staticOracleSql: Map[String, String] = Map(
     "bronze_orders_nested" ->

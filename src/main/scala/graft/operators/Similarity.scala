@@ -392,6 +392,137 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
+  // ---- product quantization (PQ) ------------------------------------------
+
+  val PqSubs = 4
+  val PqSubDim: Int = Dims / PqSubs
+  val PqCents = 16
+
+  /** Per-subspace PQ codebooks, trained ONCE per (session, dir) —
+    * like [[trainedCodebook]], an offline artifact: [sub][cent] →
+    * centroid (sub-dimension longs, quantized scale). Deterministic:
+    * fixed per-subspace seed, fixed iteration count. */
+  private val pqBooks = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Seq[Array[Long]]]]()
+
+  private[graft] def pqCodebook(spark: SparkSession, dir: String): Seq[Seq[Array[Long]]] =
+    pqBooks.computeIfAbsent((spark, dir), _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = quantized(spark, dir)
+      (0 until PqSubs).map { i =>
+        val feat = e.select(array_to_vector(
+          slice(col("v"), i * PqSubDim + 1, PqSubDim).cast("array<double>")).as("features"))
+        val model = new KMeans().setK(PqCents).setSeed(42L + i).setMaxIter(10).fit(feat)
+        model.clusterCenters.map(_.toArray.map(x => math.round(x)).toArray).toSeq
+      }
+    })
+
+  /** CORPUS-side PQ encoding — each vector compresses to [[PqSubs]]
+    * codes (nearest sub-centroid per subspace, ties to the lowest
+    * cent id). Entirely MAP-SIDE: the codebook rides as literals, the
+    * argmin is an `array_position(d2s, array_min(d2s))` projection —
+    * no shuffle, no window, no UDF. At 100 TB this is the pass that
+    * turns a 256-byte embedding into 4 bytes of codes. */
+  private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    val e = quantized(spark, dir)
+    val codeCols = (0 until PqSubs).map { i =>
+      val sub = slice(col("v"), i * PqSubDim + 1, PqSubDim)
+      val d2s = array(cb(i).map { c =>
+        val cn = c.map(x => x * x).sum
+        lit(cn) - lit(2L) * VectorFunctions.dotQ(sub, typedlit(c.toSeq))
+      }: _*)
+      (array_position(d2s, array_min(d2s)) - 1).cast("int").as(s"c$i")
+    }
+    e.select(col("vec_id") +: codeCols: _*)
+  }
+
+  private val lastPq = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Seq[Seq[Long]]]]()
+  @volatile private var lastPqDir: Option[String] = None
+
+  /** `ann_pq_topk` — top-k by ASYMMETRIC distance over PQ codes: the
+    * corpus is scanned in the COMPRESSED domain (per row·query: 4 LUT
+    * lookups + 3 adds — never a full-dimension dot), which is what
+    * makes PQ the 100 TB scan path. The query-side LUT (query·sub →
+    * 16 partial dots) is a per-query offline artifact built from a
+    * BOUNDED collect of the 5 query vectors (same precedent as the
+    * trained-codebook fetch); approximate cosine = LUT-sum /
+    * sqrt(|q|² · reconstructed |x|²); the tail is the shared
+    * bounded-heap top-k. */
+  def annPqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = quantized(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    lastPq.put(dir, cb.map(_.map(_.toSeq)))
+    lastPqDir = Some(dir)
+    val qs = e.where(col("vec_id") < 5).select("vec_id", "v", "nsq")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    // lutSub(i)(qPos)(cent) = dot(query subvector i, centroid)
+    val lutSub: Seq[Seq[Seq[Long]]] = (0 until PqSubs).map { i =>
+      qs.toSeq.map { case (_, qv, _) =>
+        cb(i).map(c =>
+          (0 until PqSubDim).map(d => qv(i * PqSubDim + d) * c(d)).sum)
+      }
+    }
+    val cn2: Seq[Seq[Long]] = (0 until PqSubs).map(i => cb(i).map(c => c.map(x => x * x).sum))
+    val qDf = spark.createDataFrame(
+      qs.toSeq.zipWithIndex.map { case ((id, _, n), p) => (id, n, p) })
+      .toDF("q_id", "qnsq", "q_pos")
+    val adot = (0 until PqSubs).map(i =>
+      element_at(element_at(typedlit(lutSub(i)), col("q_pos") + 1), col(s"c$i") + 1))
+      .reduce(_ + _)
+    val rn2 = (0 until PqSubs).map(i =>
+      element_at(typedlit(cn2(i)), col(s"c$i") + 1)).reduce(_ + _)
+    val scored = pqCodes(spark, dir).crossJoin(broadcast(qDf))
+      .select(col("q_id"), col("vec_id"),
+        round(adot.cast("double") / sqrt((col("qnsq") * rn2).cast("double")), 6).as("cosine"))
+    topkPerQuery(scored, k)
+  }
+
+  /** DuckDB oracle for [[annPqTopk]]: the trained codebooks ride as
+    * VALUES, encode/LUT/ADC replicate in SQL (same argmin tie-break,
+    * same rounding). */
+  def pqOracleSql: Option[String] = {
+    val entry = lastPqDir.flatMap(d => Option(lastPq.get(d)))
+    entry.map { cb =>
+      val values = (for {
+        i <- 0 until PqSubs
+        (cv, ci) <- cb(i).zipWithIndex
+      } yield s"($i, $ci, [${cv.mkString(",")}], ${cv.map(x => x * x).sum})")
+        .mkString(", ")
+      s"""WITH q AS (SELECT vec_id,
+         |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+         |qn AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) nsq FROM q),
+         |cb AS (SELECT * FROM (VALUES $values) c(sub, cent, cv, cn)),
+         |enc AS (SELECT e.vec_id, c.sub, c.cent, c.cn - 2 * list_sum(list_transform(
+         |    list_zip(e.v[(c.sub*${PqSubDim}+1):(c.sub*${PqSubDim}+${PqSubDim})], c.cv),
+         |    z -> z[1]*z[2])) d2
+         |  FROM qn e CROSS JOIN cb c),
+         |codes AS (SELECT vec_id, sub, cent FROM (
+         |    SELECT vec_id, sub, cent,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cent) rk FROM enc)
+         |  WHERE rk = 1),
+         |lut AS (SELECT qv.vec_id q_id, c.sub, c.cent, c.cn,
+         |    list_sum(list_transform(
+         |      list_zip(qv.v[(c.sub*${PqSubDim}+1):(c.sub*${PqSubDim}+${PqSubDim})], c.cv),
+         |      z -> z[1]*z[2])) pdot
+         |  FROM qn qv CROSS JOIN cb c WHERE qv.vec_id < 5),
+         |s AS (SELECT l.q_id, co.vec_id, sum(l.pdot) adot, sum(l.cn) rn2
+         |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.cent = l.cent
+         |  GROUP BY l.q_id, co.vec_id),
+         |sc AS (SELECT s.q_id, s.vec_id,
+         |    round(CAST(adot AS DOUBLE) / sqrt(CAST(qq.nsq * rn2 AS DOUBLE)), 6) cosine
+         |  FROM s JOIN qn qq ON s.q_id = qq.vec_id),
+         |r AS (SELECT q_id, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM sc)
+         |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin
+    }
+  }
+
   /** `ann_lsh_bucketed` — LSH-pruned top-k: candidates are corpus
     * vectors sharing any (table, bucket) with the query; exact
     * quantized cosine ranks within candidates. Ids-only shuffle for

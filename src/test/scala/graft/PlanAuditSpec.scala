@@ -60,6 +60,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PQ encode is map-side; PQ scoring never ranks through a Window") {
+    // the codebook rides as literals: encoding must be a pure
+    // projection over the memoized quantized cache (no Exchange, no
+    // Window), and the ADC scan's tail must be the bounded-heap
+    // aggregate, same as every other ANN variant
+    val enc = plan(Similarity.pqCodes(spark, sf)).split("InMemoryRelation").head
+    assert(!enc.contains("Exchange"), "PQ encoding shuffles")
+    assert(!enc.contains("Window"), "PQ encoding ranks through a Window")
+    val p = plan(Similarity.annPqTopk(spark, sf))
+    assert(!p.contains("Window"), "PQ top-k ranks through a per-query Window")
+    assert(p.contains("topk_by_score"), "expected the native bounded-heap aggregate")
+  }
+
   test("dedup candidate generation never plans a cartesian product") {
     Seq(
       Dedup.dedupNgramJaccard(spark, sf),

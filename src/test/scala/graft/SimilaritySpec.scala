@@ -84,6 +84,30 @@ class SimilaritySpec extends SparkSpec {
       s"trained-IVF candidate budget $candTrained exceeds 1.5x multi-probe's $candMulti")
   }
 
+  test("PQ ranks in the compressed domain: codes bounded, self found, recall beats chance") {
+    val rows = Similarity.annPqTopk(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQuery.size === 5)
+    // real compression: one code per subspace, every code in [0, 16)
+    val codes = Similarity.pqCodes(spark, sf)
+    assert(codes.columns.toSeq === Seq("vec_id", "c0", "c1", "c2", "c3"))
+    import org.apache.spark.sql.functions.{min => smin, max => smax, col}
+    val rng = codes.agg(
+      smin(col("c0")), smax(col("c0")), smin(col("c3")), smax(col("c3"))).head()
+    assert(rng.getInt(0) >= 0 && rng.getInt(1) < Similarity.PqCents)
+    assert(rng.getInt(2) >= 0 && rng.getInt(3) < Similarity.PqCents)
+    // every query's own vector must survive ADC into its top-10 —
+    // the reconstruction of q's own codes is by construction among
+    // the nearest reconstructions
+    val pq = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    (0L until 5L).foreach(q => assert(pq.contains((q, q)), s"query $q lost itself"))
+    val brute = Similarity.annCosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    info(f"PQ recall@10 vs brute force: $recall%.2f")
+    assert(recall >= 0.2, f"PQ recall@10 collapsed to chance: $recall%.2f")
+  }
+
   test("sign matrix is deterministic and balanced-ish") {
     val m = Similarity.signMatrix
     assert(m.length === 4 * 6 * 64)
