@@ -92,6 +92,7 @@ object SparkEntry {
     "text_top_ngrams" -> ((s, d) => TextAnalysis.textTopNgrams(s, d)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_rep_ngrams" -> (TextAnalysis.textRepNgrams _),
+    "text_pii" -> (TextAnalysis.textPii _),
     // corpus-unigram LM quality proxy (perplexity-bucketing signal)
     "text_unigram_logprob" -> (TextAnalysis.textUnigramLogprob _),
     // §2.F — multimodal
@@ -941,6 +942,26 @@ object SparkEntry {
         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6) AS rep_ratio
         |FROM s WHERE n_ngrams > 0
         |ORDER BY doc_id""".stripMargin,
+    "text_pii" ->
+      """WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.com or call ' || CAST(doc_id % 900 + 100 AS VARCHAR) ||
+        |    '-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' from ' ||
+        |    CAST(doc_id % 223 + 1 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |    '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+        |    CAST(doc_id % 100 + 1 AS VARCHAR) AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) n_emails,
+        |  CAST(len(regexp_extract_all(pii_text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+        |    n_phones,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) n_ipv4,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     "dedup_spans" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) ts FROM documents),
         |nz AS (SELECT doc_id, ts FROM tk WHERE len(ts) > 0),

@@ -237,16 +237,8 @@ object TextAnalysis {
           ((col("doc_id") * 7) % 256).cast("string"), lit("."),
           (col("doc_id") % 100 + 1).cast("string")).as("pii_text"))
     d.select(
-        col("doc_id"),
-        regexp_count(col("pii_text"), lit(EmailPattern)).cast("long").as("n_emails"),
-        regexp_count(col("pii_text"), lit(PhonePattern)).cast("long").as("n_phones"),
-        regexp_count(col("pii_text"), lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
-        md5(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("pii_text"), lit(EmailPattern), lit("<EMAIL>")),
-              lit(Ipv4Pattern), lit("<IP>")),
-            lit(PhonePattern), lit("<PHONE>"))).as("red_md5"))
+        col("doc_id") +: piiCounts(col("pii_text")) :+
+          md5(redactPii(col("pii_text"))).as("red_md5"): _*)
       .orderBy("doc_id")
   }
 
@@ -270,4 +262,20 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6)
           .as("rep_ratio"))
       .orderBy("doc_id")
+
+  /** Mask every email / IPv4 / phone with a typed placeholder — the
+    * fixed order [[textPii]] documents. Map-only codegen'd
+    * `regexp_replace` chain, reusable on any string column. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailPattern), lit("<EMAIL>")),
+        lit(Ipv4Pattern), lit("<IP>")),
+      lit(PhonePattern), lit("<PHONE>"))
+
+  /** Non-overlapping match counts per PII class, as one projection. */
+  def piiCounts(c: Column): Seq[Column] = Seq(
+    regexp_count(c, lit(EmailPattern)).cast("long").as("n_emails"),
+    regexp_count(c, lit(PhonePattern)).cast("long").as("n_phones"),
+    regexp_count(c, lit(Ipv4Pattern)).cast("long").as("n_ipv4"))
 }

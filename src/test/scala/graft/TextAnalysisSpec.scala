@@ -110,4 +110,36 @@ class TextAnalysisSpec extends SparkSpec {
       .head()
     assert(loop.getInt(0) === 2 && loop.getInt(1) === 98)
   }
+
+  test("PII redaction masks emails, phones, and IPs; counts match; clean text untouched") {
+    import org.apache.spark.sql.functions._
+    val fixtures = Seq(
+      ("mail a.b-c_1@sub.example.org or 555-123-4567 at 10.0.0.1 done",
+        "mail <EMAIL> or <PHONE> at <IP> done", 1L, 1L, 1L),
+      ("two mails x@y.io and zz@qq.museum", "two mails <EMAIL> and <EMAIL>", 2L, 0L, 0L),
+      ("no pii here, just words and 42", "no pii here, just words and 42", 0L, 0L, 0L),
+      ("ip 192.168.255.7 vs version 1.2 only", "ip <IP> vs version 1.2 only", 0L, 0L, 1L))
+      .toDF("s", "want", "we", "wp", "wi")
+    val got = fixtures.select(
+      TextAnalysis.redactPii(col("s")).as("red"),
+      col("s"), col("want"), col("we"), col("wp"), col("wi"),
+      struct(TextAnalysis.piiCounts(col("s")): _*).as("c")).collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("red") === r.getAs[String]("want"))
+      val c = r.getStruct(r.fieldIndex("c"))
+      assert(c.getLong(0) === r.getAs[Long]("we"), s"emails in: ${r.getAs[String]("s")}")
+      assert(c.getLong(1) === r.getAs[Long]("wp"), s"phones in: ${r.getAs[String]("s")}")
+      assert(c.getLong(2) === r.getAs[Long]("wi"), s"ips in: ${r.getAs[String]("s")}")
+    }
+    // corpus report: the seeded suffix fires every class exactly once
+    // per doc, and the redacted fingerprint never equals the raw one
+    val rep = TextAnalysis.textPii(spark, sf).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_emails") === 1L)
+      assert(r.getAs[Long]("n_phones") === 1L)
+      assert(r.getAs[Long]("n_ipv4") === 1L)
+      assert(r.getAs[String]("red_md5").length === 32)
+    }
+  }
 }
