@@ -38,6 +38,7 @@ object SparkEntry {
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     "q_asof_join" -> (Relational.qAsofJoin _),
     "q_events_hourly" -> (Relational.qEventsHourly _),
+    "q_events_retention" -> (Relational.qEventsRetention _),
     "q_events_sessionize" -> (Relational.qEventsSessionize _),
     "q_events_json" -> (Relational.qEventsJson _),
     "q_cube" -> (Relational.qCube _),
@@ -486,6 +487,18 @@ object SparkEntry {
         |  FROM events WHERE event_type IN ('click', 'purchase')) t
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "q_events_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        |  FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, week FROM ev)
+        |SELECT cohort_week,
+        |  CAST(floor((CAST(floor(epoch(week)) AS BIGINT)
+        |    - CAST(floor(epoch(cohort_week)) AS BIGINT)) / 604800) AS BIGINT) AS week_no,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM active JOIN cohorts USING (user_id)
+        |GROUP BY cohort_week, week_no
+        |ORDER BY cohort_week, week_no""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

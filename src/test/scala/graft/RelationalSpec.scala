@@ -98,4 +98,19 @@ class RelationalSpec extends SparkSpec {
     val df = Relational.qAsofJoin(spark, sf)
     assert(df.filter(col("last_click_ts") > col("ts")).count() === 0)
   }
+
+  test("retention cohorts: week-0 cell is the cohort size and no cell exceeds it") {
+    val m = Relational.qEventsRetention(spark, sf).collect()
+    assert(m.nonEmpty)
+    m.groupBy(_.getTimestamp(0)).foreach { case (cohort, rows) =>
+      // every cohort member is active in its own first week, so the
+      // week-0 cell IS the cohort size and later cells can only shrink
+      val w0 = rows.find(_.getLong(1) == 0L).map(_.getLong(2))
+      assert(w0.nonEmpty, s"cohort $cohort has no week-0 cell")
+      rows.foreach { r =>
+        assert(r.getLong(1) >= 0L, "negative weeks-since-cohort")
+        assert(r.getLong(2) <= w0.get, s"cohort $cohort grows after week 0")
+      }
+    }
+  }
 }
