@@ -1040,6 +1040,46 @@ class Lakehouse(spark: SparkSession, root: String) {
       } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
     }
 
+  // ---- snapshot tags ----
+  //
+  // Named IMMUTABLE refs to snapshots (Iceberg tags): a release
+  // pointer like 'v1.0' that survives branch movement and — unlike a
+  // bare snapshot id — protects its snapshot from expiry.
+
+  private def tagsPath(table: String) = new Path(tableDir(table), "_tags.jsonl")
+  private val TagLine = """\{"tag":"(.*)","snap":(\d+)\}""".r
+
+  def tags(table: String): Seq[(String, Long)] =
+    readLines(tagsPath(table)).flatMap {
+      case TagLine(t, s) => Some(unesc(t) -> s.toLong)
+      case _ => None
+    }
+
+  /** Create an immutable tag; re-tagging an existing name is refused
+    * (drop it first) — a tag that silently moved would defeat its
+    * audit purpose. */
+  def tagSnapshot(table: String, tag: String, snap: Long): Unit =
+    tableLock(table).synchronized {
+      require(snapshots(table).exists(_._1 == snap), s"$table has no snapshot $snap")
+      require(!tags(table).exists(_._1 == tag),
+        s"$table already has tag '$tag' (tags are immutable; dropTag first)")
+      writeFile(tagsPath(table),
+        (readLines(tagsPath(table)) :+ s"""{"tag":"${jsonEsc(tag)}","snap":$snap}""")
+          .mkString("\n") + "\n")
+    }
+
+  def dropTag(table: String, tag: String): Unit = tableLock(table).synchronized {
+    writeFile(tagsPath(table), readLines(tagsPath(table)).filterNot {
+      case TagLine(t, _) => unesc(t) == tag
+      case _ => false
+    }.mkString("\n") + "\n")
+  }
+
+  /** Time travel to a tag. */
+  def readTag(table: String, tag: String): DataFrame =
+    readSnapshot(table, tags(table).find(_._1 == tag).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"$table has no tag '$tag'")))
+
   // ---- snapshot expiry / GC ----
 
   /** Expire old snapshots: keep the most recent `keepLast` plus every
@@ -1052,7 +1092,11 @@ class Lakehouse(spark: SparkSession, root: String) {
   def expireSnapshots(table: String, keepLast: Int): Unit = tableLock(table).synchronized {
     val snaps = snapshots(table)
     val branchRefs = branches(table).flatMap(b => currentSnapshot(table, b)).toSet
-    val keepIds = snaps.map(_._1).sorted.takeRight(math.max(keepLast, 1)).toSet ++ branchRefs
+    // tagged snapshots are pinned releases — never expired (Iceberg's
+    // retention rule for tags)
+    val tagRefs = tags(table).map(_._2).toSet
+    val keepIds = snaps.map(_._1).sorted.takeRight(math.max(keepLast, 1)).toSet ++
+      branchRefs ++ tagRefs
     val kept = snaps.filter(s => keepIds.contains(s._1))
     val live = kept.flatMap(_._2).toSet
     // rewrite the manifest first (a crash after leaves only unreferenced

@@ -241,6 +241,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val VersionAsOfRe =
     """(?i)`?([A-Za-z_]\w*)`?\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val VersionTagRe =
+    """(?i)`?([A-Za-z_]\w*)`?\s+VERSION\s+AS\s+OF\s+'([^']+)'""".r
   private val TimestampAsOfRe =
     """(?i)`?([A-Za-z_]\w*)`?\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
 
@@ -270,7 +272,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       scala.util.matching.Regex.quoteReplacement(
         travelView(m.group(1), m.group(2),
           _.readSnapshot(m.group(1), m.group(2).toLong)).getOrElse(m.matched)))
-    TimestampAsOfRe.replaceAllIn(versioned, m =>
+    // quoted VERSION AS OF = a snapshot TAG (Iceberg's named refs)
+    val tagged = VersionTagRe.replaceAllIn(versioned, m =>
+      scala.util.matching.Regex.quoteReplacement {
+        val tag = m.group(2)
+        travelView(m.group(1), "tag_" + tag.replaceAll("\\W", "_"),
+          _.readTag(m.group(1), tag)).getOrElse(m.matched)
+      })
+    TimestampAsOfRe.replaceAllIn(tagged, m =>
       scala.util.matching.Regex.quoteReplacement {
         val raw = m.group(2)
         val millis = java.sql.Timestamp.valueOf(

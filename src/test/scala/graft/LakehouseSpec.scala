@@ -856,6 +856,36 @@ class LakehouseSpec extends SparkSpec {
     assert(got === Set((2L, "B")))
   }
 
+  test("snapshot tags: immutable named refs, SQL travel, and expiry protection") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    val v1 = lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "tg")
+    lake.registerView("tg")
+    lake.tagSnapshot("tg", "v1.0", v1)
+    spark.sql("INSERT INTO tg VALUES (3, 'c')")
+    spark.sql("INSERT INTO tg VALUES (4, 'd')")
+    spark.sql("INSERT INTO tg VALUES (5, 'e')")
+    // programmatic + SQL reads of the tag see the pinned state
+    assert(lake.readTag("tg", "v1.0").count() === 2L)
+    assert(spark.sql("SELECT count(*) AS n FROM tg VERSION AS OF 'v1.0'")
+      .head.getLong(0) === 2L)
+    assert(lake.read("tg").count() === 5L)
+    // tags are immutable: re-tagging the name is refused
+    intercept[IllegalArgumentException] { lake.tagSnapshot("tg", "v1.0", v1 + 1) }
+    // expiry keeps the TAGGED snapshot alive even outside keepLast
+    lake.expireSnapshots("tg", keepLast = 1)
+    assert(lake.readTag("tg", "v1.0").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(lake.read("tg").count() === 5L)
+    // an UNTAGGED intermediate snapshot did expire
+    assert(lake.snapshots("tg").length === 2, "expiry kept more than tag + head")
+    // dropping the tag releases the pin: the next expiry reclaims it
+    lake.dropTag("tg", "v1.0")
+    lake.expireSnapshots("tg", keepLast = 1)
+    intercept[Exception] { lake.readTag("tg", "v1.0") }
+    assert(lake.snapshots("tg").length === 1)
+    assert(lake.read("tg").count() === 5L)
+  }
+
   test("persistent catalog: a fresh session re-registers tables with their layouts") {
     val root = freshRoot()
     val lake = new Lakehouse(spark, root)
