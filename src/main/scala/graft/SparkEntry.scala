@@ -86,6 +86,7 @@ object SparkEntry {
     // captured into a literal-VALUES oracle (see oracleSql ++ below)
     "ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(s, d)),
     "ann_pq_topk" -> ((s, d) => Similarity.annPqTopk(s, d)),
+    "ann_ivfpq_topk" -> ((s, d) => Similarity.annIvfPqTopk(s, d)),
     // §2.E — text analysis
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -121,7 +122,8 @@ object SparkEntry {
     * restated as a literal VALUES table. */
   def oracleSql: Map[String, String] =
     staticOracleSql ++ Similarity.trainedOracleSql.map("ann_ivf_trained" -> _) ++
-      Similarity.pqOracleSql.map("ann_pq_topk" -> _)
+      Similarity.pqOracleSql.map("ann_pq_topk" -> _) ++
+      Similarity.ivfpqOracleSql.map("ann_ivfpq_topk" -> _)
 
   private def staticOracleSql: Map[String, String] = Map(
     "bronze_orders_nested" ->

@@ -451,12 +451,16 @@ object Similarity {
     * trained-codebook fetch); approximate cosine = LUT-sum /
     * sqrt(|q|² · reconstructed |x|²); the tail is the shared
     * bounded-heap top-k. */
-  def annPqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = quantized(spark, dir)
-    val cb = pqCodebook(spark, dir)
-    lastPq.put(dir, cb.map(_.map(_.toSeq)))
-    lastPqDir = Some(dir)
-    val qs = e.where(col("vec_id") < 5).select("vec_id", "v", "nsq")
+  /** Query-side PQ artifacts: the broadcastable (q_id, qnsq, q_pos)
+    * relation plus the ADC expressions (LUT-sum dot and reconstructed
+    * norm) over a row carrying q_pos and the c0..c3 code columns. The
+    * LUT comes from a BOUNDED collect of the 5 query vectors — a
+    * per-query offline artifact, same precedent as the trained-
+    * codebook fetch. */
+  private def pqQuerySide(spark: SparkSession, dir: String,
+      cb: Seq[Seq[Array[Long]]]): (DataFrame, Column, Column) = {
+    val qs = quantized(spark, dir).where(col("vec_id") < 5)
+      .select("vec_id", "v", "nsq")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
       .sortBy(_._1)
@@ -476,10 +480,104 @@ object Similarity {
       .reduce(_ + _)
     val rn2 = (0 until PqSubs).map(i =>
       element_at(typedlit(cn2(i)), col(s"c$i") + 1)).reduce(_ + _)
+    (qDf, adot, rn2)
+  }
+
+  private def adcCosine(adot: Column, rn2: Column): Column =
+    round(adot.cast("double") / sqrt((col("qnsq") * rn2).cast("double")), 6)
+
+  def annPqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    lastPq.put(dir, cb.map(_.map(_.toSeq)))
+    lastPqDir = Some(dir)
+    val (qDf, adot, rn2) = pqQuerySide(spark, dir, cb)
     val scored = pqCodes(spark, dir).crossJoin(broadcast(qDf))
-      .select(col("q_id"), col("vec_id"),
-        round(adot.cast("double") / sqrt((col("qnsq") * rn2).cast("double")), 6).as("cosine"))
+      .select(col("q_id"), col("vec_id"), adcCosine(adot, rn2).as("cosine"))
     topkPerQuery(scored, k)
+  }
+
+  private val lastIvfPq = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Seq[Long])], Int, Seq[Seq[Seq[Long]]])]()
+  @volatile private var lastIvfPqDir: Option[String] = None
+
+  /** `ann_ivfpq_topk` — the composed billion-scale index (FAISS
+    * IVF-PQ): the trained coarse quantizer prunes the corpus to the
+    * probed cells' members, and ONLY those candidates are scored — in
+    * the COMPRESSED domain via the PQ LUT. Per query the work is
+    * probes·(n/√n) LUT lookups instead of a full scan of anything;
+    * both index artifacts (coarse centroids, PQ codebooks) are
+    * offline-trained and deterministic, and the oracle replays the
+    * whole composition from their literal VALUES. */
+  def annIvfPqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = quantized(spark, dir)
+    val cents = trainedCodebook(spark, dir)
+    val nProbes = trainedProbes(cents.length)
+    val cb = pqCodebook(spark, dir)
+    lastIvfPq.put(dir, (cents.map { case (i, cv) => (i, cv.toSeq) }, nProbes,
+      cb.map(_.map(_.toSeq))))
+    lastIvfPqDir = Some(dir)
+    val (qDf, adot, rn2) = pqQuerySide(spark, dir, cb)
+    val cand = trainedCandidatesFor(e, cents, nProbes, spark)
+    val scored = cand
+      .join(pqCodes(spark, dir), "vec_id")
+      .join(broadcast(qDf), "q_id")
+      .select(col("q_id"), col("vec_id"), adcCosine(adot, rn2).as("cosine"))
+    topkPerQuery(scored, k)
+  }
+
+  /** DuckDB oracle for [[annIvfPqTopk]]: coarse-centroid candidate
+    * generation (same CTEs as the trained-IVF oracle) composed with
+    * PQ encode/LUT/ADC scoring restricted to the candidates. */
+  def ivfpqOracleSql: Option[String] = {
+    val entry = lastIvfPqDir.flatMap(d => Option(lastIvfPq.get(d)))
+    entry.map { case (cents, probes, cb) =>
+      val centValues = cents.map { case (id, cv) =>
+        s"($id, [${cv.mkString(",")}])"
+      }.mkString(", ")
+      val cbValues = (for {
+        i <- 0 until PqSubs
+        (cv, ci) <- cb(i).zipWithIndex
+      } yield s"($i, $ci, [${cv.mkString(",")}], ${cv.map(x => x * x).sum})")
+        .mkString(", ")
+      s"""WITH q AS (SELECT vec_id,
+         |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+         |qn AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) nsq FROM q),
+         |cents AS (SELECT cent_id, cv, list_sum(list_transform(cv, x -> x*x)) cn
+         |  FROM (VALUES $centValues) c(cent_id, cv)),
+         |da AS (SELECT e.vec_id, c.cent_id,
+         |  CAST(e.nsq + c.cn - 2 * list_sum(list_transform(list_zip(e.v, c.cv), z -> z[1]*z[2])) AS BIGINT) d2
+         |  FROM qn e CROSS JOIN cents c),
+         |ranked AS (SELECT vec_id, cent_id,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) crk FROM da),
+         |assign AS (SELECT vec_id, cent_id cell FROM ranked WHERE crk <= 2),
+         |probes AS (SELECT vec_id q_id, cent_id cell FROM ranked WHERE crk <= $probes AND vec_id < 5),
+         |cand AS (SELECT DISTINCT q_id, assign.vec_id FROM probes JOIN assign ON probes.cell = assign.cell),
+         |cb AS (SELECT * FROM (VALUES $cbValues) c(sub, cent, cv, cn)),
+         |enc AS (SELECT e.vec_id, c.sub, c.cent, c.cn - 2 * list_sum(list_transform(
+         |    list_zip(e.v[(c.sub*${PqSubDim}+1):(c.sub*${PqSubDim}+${PqSubDim})], c.cv),
+         |    z -> z[1]*z[2])) d2
+         |  FROM qn e CROSS JOIN cb c),
+         |codes AS (SELECT vec_id, sub, cent FROM (
+         |    SELECT vec_id, sub, cent,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cent) rk FROM enc)
+         |  WHERE rk = 1),
+         |lut AS (SELECT qv.vec_id q_id, c.sub, c.cent, c.cn,
+         |    list_sum(list_transform(
+         |      list_zip(qv.v[(c.sub*${PqSubDim}+1):(c.sub*${PqSubDim}+${PqSubDim})], c.cv),
+         |      z -> z[1]*z[2])) pdot
+         |  FROM qn qv CROSS JOIN cb c WHERE qv.vec_id < 5),
+         |s AS (SELECT l.q_id, co.vec_id, sum(l.pdot) adot, sum(l.cn) rn2
+         |  FROM cand JOIN codes co ON cand.vec_id = co.vec_id
+         |  JOIN lut l ON co.sub = l.sub AND co.cent = l.cent AND l.q_id = cand.q_id
+         |  GROUP BY l.q_id, co.vec_id),
+         |sc AS (SELECT s.q_id, s.vec_id,
+         |    round(CAST(adot AS DOUBLE) / sqrt(CAST(qq.nsq * rn2 AS DOUBLE)), 6) cosine
+         |  FROM s JOIN qn qq ON s.q_id = qq.vec_id),
+         |r AS (SELECT q_id, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM sc)
+         |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin
+    }
   }
 
   /** DuckDB oracle for [[annPqTopk]]: the trained codebooks ride as

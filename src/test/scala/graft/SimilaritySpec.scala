@@ -108,6 +108,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, f"PQ recall@10 collapsed to chance: $recall%.2f")
   }
 
+  test("IVF-PQ scores only coarse-quantizer candidates, in the compressed domain") {
+    val rows = Similarity.annIvfPqTopk(spark, sf).collect()
+    assert(rows.groupBy(_.getAs[Long]("q_id")).size === 5)
+    val ivfpq = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    // every returned pair MUST be an IVF candidate — the composed
+    // index never scores outside the probed cells
+    val cands = Similarity.trainedCandidates(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    ivfpq.foreach(p => assert(cands.contains(p), s"$p scored outside the probed cells"))
+    val brute = Similarity.annCosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (ivfpq intersect brute).size.toDouble / brute.size
+    info(f"IVF-PQ recall@10 vs brute force: $recall%.2f")
+    assert(recall >= 0.2, f"IVF-PQ recall collapsed to chance: $recall%.2f")
+  }
+
   test("sign matrix is deterministic and balanced-ish") {
     val m = Similarity.signMatrix
     assert(m.length === 4 * 6 * 64)
