@@ -1254,21 +1254,42 @@ class Lakehouse(spark: SparkSession, root: String) {
     else rewriteChangedPartitions(table, branch, keyCols, partitionBy)(changes)
   }
 
+  /** EXACTLY-ONCE upsert for streaming replays: the micro-batch id
+    * rides in the commit metadata ([[committedBatches]] ledger, same
+    * as [[appendOnce]]), so a restarted `foreachBatch` that replays a
+    * batch finds its id committed and changes nothing — the CDC-sink
+    * counterpart of exactly-once append. */
+  def upsertOnce(source: DataFrame, table: String, keyCols: Seq[String], batchId: Long,
+      partitionBy: Seq[String] = Nil, branch: String = "main"): Long = {
+    val changes = (_: DataFrame) =>
+      (source, source.select(keyCols.map(source(_)): _*))
+    if (partitionBy.isEmpty)
+      rewriteUnpartitioned(table, branch, keyCols, Some(batchId))(changes)
+    else
+      rewriteChangedPartitions(table, branch, keyCols, partitionBy, Some(batchId))(changes)
+  }
+
   /** Copy-on-write rewrite core, unpartitioned: `changes(target)`
     * yields (rows to add, keys to remove) against the base snapshot;
-    * the whole table rewrites as one new data dir. */
+    * the whole table rewrites as one new data dir. A `batchId` makes
+    * the commit EXACTLY-ONCE for streaming replays (same ledger as
+    * [[appendOnce]]). */
   private def rewriteUnpartitioned(table: String, branch: String,
-      keyCols: Seq[String])(changes: DataFrame => (DataFrame, DataFrame)): Long =
+      keyCols: Seq[String], batchId: Option[Long] = None)(
+      changes: DataFrame => (DataFrame, DataFrame)): Long =
     retryingCommit(table, branch) { base =>
-      val target = readBase(table, base)
-      val (addRows, removeKeys) = changes(target)
-      val keep = target.join(removeKeys.distinct(), keyCols, "left_anti")
-      val snap = reserveSnap(table)
-      val dir = s"data-$snap"
-      try {
-        writeDataDir(keep.unionByName(addRows), table, dir, Nil)
-        commit(table, snap, Seq(dir), branch, Some(base))
-      } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+      if (batchId.exists(committedBatches(table).contains)) base.getOrElse(-1L)
+      else {
+        val target = readBase(table, base)
+        val (addRows, removeKeys) = changes(target)
+        val keep = target.join(removeKeys.distinct(), keyCols, "left_anti")
+        val snap = reserveSnap(table)
+        val dir = s"data-$snap"
+        try {
+          writeDataDir(keep.unionByName(addRows), table, dir, Nil)
+          commit(table, snap, Seq(dir), branch, Some(base), batch = batchId)
+        } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+      }
     }
 
   /** Copy-on-write rewrite core, PARTITION-SCOPED: only partitions the
@@ -1277,75 +1298,79 @@ class Lakehouse(spark: SparkSession, root: String) {
     * byte-identical. At 100 TB a one-partition change costs one
     * partition's rewrite, not a table rewrite. */
   private def rewriteChangedPartitions(table: String, branch: String,
-      keyCols: Seq[String], partitionBy: Seq[String])(
+      keyCols: Seq[String], partitionBy: Seq[String], batchId: Option[Long] = None)(
       changes: DataFrame => (DataFrame, DataFrame)): Long =
     retryingCommit(table, branch) { base =>
-      val prev = base.map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
-      val prevDeletes =
-        base.map(c => snapshotDeletes(table).getOrElse(c, Seq.empty)).getOrElse(Nil)
-      val target = readBase(table, base)
-      val (addRows, removeKeys0) = changes(target)
-      val removeKeys = removeKeys0.distinct()
-      // Touched partitions = the partitions the change set writes into
-      // ∪ the partitions its keys currently LIVE in. The second set is
-      // what makes a partition-moving key correct: without it the old
-      // row survives by reference in its untouched partition and the
-      // table ends up with duplicate keys. Finding it is a key
-      // semi-join over the target (read-only, pushdown applies); the
-      // REWRITE stays touched-partitions-only.
-      val touched = addRows.select(partitionBy.map(addRows(_)): _*).distinct()
-        .unionByName(
-          target.join(removeKeys, keyCols, "left_semi")
-            .select(partitionBy.map(target(_)): _*).distinct())
-        .distinct()
-      val targetTouched = target.join(touched, partitionBy, "left_semi")
-      val merged = targetTouched
-        .join(removeKeys, keyCols, "left_anti")
-        .unionByName(addRows)
-      val snap = reserveSnap(table)
-      val dir = s"data-$snap"
-      try {
-        merged.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
-          .parquet(new Path(tableDir(table), dir).toString)
-        writeStats(table, dir, merged.schema)
-        // Touched-partition names come from TWO sources: the delta
-        // dir's written leaves (Spark's own path encoding — can never
-        // disagree with what was written), plus the path-encoded
-        // touched VALUES — needed because a partition whose every row
-        // lost on key writes no leaf at all, yet its old leaf must
-        // still be superseded (not carried by reference).
-        val writtenLeaves = leafDirs(new Path(tableDir(table), dir), partitionBy.length).toSet
-        val encodedLeaves = touched.collect().map { row =>
-          partitionBy.zipWithIndex.map { case (c, i) =>
-            val v = row.get(i)
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .getPartitionPathString(c, if (v == null) null else v.toString)
-          }.mkString("/")
-        }.toSet
-        val touchedLeaves = writtenLeaves ++ encodedLeaves
-        val kept = prev.flatMap { entry =>
-          val slash = entry.indexOf('/')
-          if (slash >= 0) {
-            // already a partition leaf: keep unless superseded
-            if (touchedLeaves.contains(entry.substring(slash + 1))) Nil else Seq(entry)
-          } else {
-            // whole data dir: explode into leaves and keep the untouched ones
-            val leaves = leafDirs(new Path(tableDir(table), entry), partitionBy.length)
-            // a prior dir with rows but NO partition leaves was written
-            // under a different (or no) partition layout — exploding it
-            // would silently drop its rows from the new snapshot
-            require(leaves.nonEmpty ||
-              !fs.listStatus(new Path(tableDir(table), entry))
-                .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
-              s"$table/$entry was not written with partitionBy=${partitionBy.mkString(",")}; " +
-                "compact(table, partitionBy) first, then upsert")
-            leaves.filterNot(touchedLeaves.contains).map(l => s"$entry/$l")
+      if (batchId.exists(committedBatches(table).contains)) base.getOrElse(-1L)
+      else {
+        val prev = base.map(c => snapshots(table).find(_._1 == c).get._2).getOrElse(Seq.empty)
+        val prevDeletes =
+          base.map(c => snapshotDeletes(table).getOrElse(c, Seq.empty)).getOrElse(Nil)
+        val target = readBase(table, base)
+        val (addRows, removeKeys0) = changes(target)
+        val removeKeys = removeKeys0.distinct()
+        // Touched partitions = the partitions the change set writes into
+        // ∪ the partitions its keys currently LIVE in. The second set is
+        // what makes a partition-moving key correct: without it the old
+        // row survives by reference in its untouched partition and the
+        // table ends up with duplicate keys. Finding it is a key
+        // semi-join over the target (read-only, pushdown applies); the
+        // REWRITE stays touched-partitions-only.
+        val touched = addRows.select(partitionBy.map(addRows(_)): _*).distinct()
+          .unionByName(
+            target.join(removeKeys, keyCols, "left_semi")
+              .select(partitionBy.map(target(_)): _*).distinct())
+          .distinct()
+        val targetTouched = target.join(touched, partitionBy, "left_semi")
+        val merged = targetTouched
+          .join(removeKeys, keyCols, "left_anti")
+          .unionByName(addRows)
+        val snap = reserveSnap(table)
+        val dir = s"data-$snap"
+        try {
+          merged.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+            .parquet(new Path(tableDir(table), dir).toString)
+          writeStats(table, dir, merged.schema)
+          // Touched-partition names come from TWO sources: the delta
+          // dir's written leaves (Spark's own path encoding — can never
+          // disagree with what was written), plus the path-encoded
+          // touched VALUES — needed because a partition whose every row
+          // lost on key writes no leaf at all, yet its old leaf must
+          // still be superseded (not carried by reference).
+          val writtenLeaves = leafDirs(new Path(tableDir(table), dir), partitionBy.length).toSet
+          val encodedLeaves = touched.collect().map { row =>
+            partitionBy.zipWithIndex.map { case (c, i) =>
+              val v = row.get(i)
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .getPartitionPathString(c, if (v == null) null else v.toString)
+            }.mkString("/")
+          }.toSet
+          val touchedLeaves = writtenLeaves ++ encodedLeaves
+          val kept = prev.flatMap { entry =>
+            val slash = entry.indexOf('/')
+            if (slash >= 0) {
+              // already a partition leaf: keep unless superseded
+              if (touchedLeaves.contains(entry.substring(slash + 1))) Nil else Seq(entry)
+            } else {
+              // whole data dir: explode into leaves and keep the untouched ones
+              val leaves = leafDirs(new Path(tableDir(table), entry), partitionBy.length)
+              // a prior dir with rows but NO partition leaves was written
+              // under a different (or no) partition layout — exploding it
+              // would silently drop its rows from the new snapshot
+              require(leaves.nonEmpty ||
+                !fs.listStatus(new Path(tableDir(table), entry))
+                  .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
+                s"$table/$entry was not written with partitionBy=${partitionBy.mkString(",")}; " +
+                  "compact(table, partitionBy) first, then upsert")
+              leaves.filterNot(touchedLeaves.contains).map(l => s"$entry/$l")
+            }
           }
-        }
-        // carried-by-reference leaves still need the base's tombstones
-        // (the rewritten dir's higher sequence exempts it from them)
-        commit(table, snap, kept :+ dir, branch, Some(base), deletes = prevDeletes)
-      } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+          // carried-by-reference leaves still need the base's tombstones
+          // (the rewritten dir's higher sequence exempts it from them)
+          commit(table, snap, kept :+ dir, branch, Some(base), batch = batchId,
+            deletes = prevDeletes)
+        } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+      }
     }
 
   /** Conditional MERGE — the clause surface Iceberg's SQL extension

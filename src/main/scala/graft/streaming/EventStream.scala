@@ -95,6 +95,32 @@ object EventStream {
       }
       .start()
 
+  /** Streaming CDC UPSERT sink: each micro-batch MERGEs into the
+    * lakehouse table on `keyCols` (source rows replace matches,
+    * newcomers insert) — the shape a change-data-capture feed needs,
+    * where a plain append would accumulate stale versions of every
+    * key. EXACTLY-ONCE via the same batch-id commit ledger as the
+    * append sink ([[graft.sources.Lakehouse.upsertOnce]]): a replayed
+    * batch finds its id committed and changes nothing. Partition-
+    * scoped when the table is partitioned — a micro-batch touching
+    * one partition rewrites one partition. */
+  def streamUpsertToLakehouse(
+      df: DataFrame,
+      lake: graft.sources.Lakehouse,
+      table: String,
+      keyCols: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { lake.upsertOnce(batch, table, keyCols, batchId, partitionBy); () }
+      }
+      .start()
+
   /** Stream-stream interval join: purchases enriched with the same
     * user's clicks from the preceding 10 minutes — the streaming twin
     * of `q_range_join`. Both sides are watermarked so Spark can bound

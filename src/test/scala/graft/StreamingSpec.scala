@@ -232,6 +232,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC upsert: batches merge by key, replays change nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-upsert").toString
+    val lake = new graft.sources.Lakehouse(spark, root)
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "cdc")
+    val source = MemoryStream[(Long, String)]
+    val q = EventStream.streamUpsertToLakehouse(
+      source.toDF().toDF("k", "v"), lake, "cdc", Seq("k"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+    def state() = lake.read("cdc").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    try {
+      // batch 0: update k=2, insert k=3
+      source.addData((2L, "B"), (3L, "c"))
+      q.processAllAvailable()
+      assert(state() === Set((1L, "a"), (2L, "B"), (3L, "c")))
+      // replay batch 0 (a restarted foreachBatch is at-least-once):
+      // the committed batch id must make it a no-op
+      val snapsBefore = lake.snapshots("cdc").length
+      lake.upsertOnce(Seq((2L, "STALE"), (3L, "STALE")).toDF("k", "v"), "cdc", Seq("k"), 0L)
+      assert(state() === Set((1L, "a"), (2L, "B"), (3L, "c")),
+        "a replayed batch re-applied stale values")
+      assert(lake.snapshots("cdc").length === snapsBefore, "a replayed batch committed")
+      // batch 1: a later update to the same key flows through
+      source.addData((3L, "C2"))
+      q.processAllAvailable()
+      assert(state() === Set((1L, "a"), (2L, "B"), (3L, "C2")))
+    } finally q.stop()
+  }
+
   test("end-to-end: streamed docs flow through curate gates into an exactly-once lakehouse table") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
