@@ -95,6 +95,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_rep_ngrams" -> (TextAnalysis.textRepNgrams _),
     "text_pii" -> (TextAnalysis.textPii _),
+    "sketch_distinct_ngrams" -> ((s, d) => operators.Sketches.sketchDistinctNgrams(s, d)),
     // corpus-unigram LM quality proxy (perplexity-bucketing signal)
     "text_unigram_logprob" -> (TextAnalysis.textUnigramLogprob _),
     // §2.F — multimodal
@@ -957,6 +958,23 @@ object SparkEntry {
         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6) AS rep_ratio
         |FROM s WHERE n_ngrams > 0
         |ORDER BY doc_id""".stripMargin,
+    "sketch_distinct_ngrams" ->
+      """WITH tk AS (SELECT source, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks
+        |  FROM documents),
+        |s AS (SELECT source, CASE WHEN len(toks)<3 THEN []
+        |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)])
+        |  END sh FROM tk),
+        |g AS (SELECT source, unnest(sh) g0 FROM s),
+        |h AS (SELECT DISTINCT source, CAST(md5_number_lower(g0) // 4 AS BIGINT) h FROM g),
+        |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) rk FROM h),
+        |agg AS (SELECT source, CAST(max(rk) AS BIGINT) n_mins,
+        |    max(CASE WHEN rk = 128 THEN h END) h_k
+        |  FROM r WHERE rk <= 128 GROUP BY source)
+        |SELECT source, n_mins,
+        |  CASE WHEN n_mins < 128 THEN CAST(n_mins AS DOUBLE)
+        |    ELSE round(127.0 * 4611686018427387904.0 / CAST(h_k AS DOUBLE), 3)
+        |  END AS est_distinct
+        |FROM agg ORDER BY source""".stripMargin,
     "text_pii" ->
       """WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
         |    '@mail.example.com or call ' || CAST(doc_id % 900 + 100 AS VARCHAR) ||

@@ -89,4 +89,42 @@ class FunctionsSpec extends SparkSpec {
     val maxDiff = both.select(max(abs(col("cd") - col("cq")))).head().getDouble(0)
     assert(maxDiff < 1e-2, s"quantization error too large: $maxDiff")
   }
+
+  test("kmin_values keeps the k smallest DISTINCT values across partitions") {
+    import spark.implicits._
+    // pseudo-random longs WITH duplicates (every value appears twice),
+    // spread over 8 partitions so the partial-merge path runs
+    val vals = (0 until 2000).map(i => (i.toLong * 2654435761L) % 100000L)
+    val df = (vals ++ vals).toDF("h").repartition(8)
+    val got = df.agg(graft.functions.SketchAgg.kMin(col("h"), 16).as("m"))
+      .head.getSeq[Long](0)
+    val want = vals.distinct.sorted.take(16)
+    assert(got === want)
+    // fewer distincts than k: the sketch IS the exact distinct set
+    val small = Seq(5L, 3L, 5L, 9L, 3L).toDF("h").repartition(3)
+      .agg(graft.functions.SketchAgg.kMin(col("h"), 16).as("m"))
+      .head.getSeq[Long](0)
+    assert(small === Seq(3L, 5L, 9L))
+  }
+
+  test("KMV estimate lands near the exact distinct 3-gram count per source") {
+    import graft.operators.TextAnalysis.{shingles, tokens}
+    val est = graft.operators.Sketches.sketchDistinctNgrams(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), explode(shingles(tokens(col("text")))).as("g"))
+      .distinct().groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (s, c) =>
+      val (nMins, e) = est(s)
+      if (c < 128) assert(e === c.toDouble, s"source $s below k must report exactly")
+      else {
+        assert(nMins === 128L)
+        val ratio = e / c
+        assert(ratio > 0.6 && ratio < 1.67,
+          f"source $s: KMV estimate $e%.0f vs exact $c (ratio $ratio%.2f)")
+      }
+    }
+  }
 }

@@ -73,6 +73,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("topk_by_score"), "expected the native bounded-heap aggregate")
   }
 
+  test("KMV sketch aggregates with bounded partial state, never a Window") {
+    // the sketch's one shuffle must carry at most k values per source
+    // per partition — i.e. the kmin aggregate plans as an
+    // ObjectHashAggregate partial/final pair; a row_number-over-hash
+    // formulation (Window) would sort EVERY distinct value per source
+    val p = plan(graft.operators.Sketches.sketchDistinctNgrams(spark, sf))
+    assert(p.contains("ObjectHashAggregate") && p.contains("kmin_values"),
+      "expected the native bounded KMV aggregate")
+    assert(!p.contains("Window"), "KMV sketch ranks hashes through a Window")
+  }
+
   test("dedup candidate generation never plans a cartesian product") {
     Seq(
       Dedup.dedupNgramJaccard(spark, sf),
