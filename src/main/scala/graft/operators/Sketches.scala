@@ -35,13 +35,20 @@ object Sketches {
     * shingles from the native expression (map-side), ONE keyed shuffle
     * whose rows are capped at k values per source per partition by the
     * aggregate's bounded partial state — the corpus never moves. */
-  def sketchDistinctNgrams(spark: SparkSession, dir: String, k: Int = KmvK): DataFrame = {
+  /** Per-source KMV sketch table: (source, sorted k-min hash array).
+    * ONE pass over the corpus; |sources| rows out. Every downstream
+    * sketch-algebra readout joins THIS relation, never the corpus. */
+  private def sourceSketches(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.operators.TextAnalysis.{shingles, tokens}
-    val grams = Tables.parallel(spark, Tables.documents(spark, dir))
+    Tables.parallel(spark, Tables.documents(spark, dir))
       .select(col("source"), explode(shingles(tokens(col("text")))).as("g"))
       .select(col("source"), HashFunctions.h62(col("g")).as("h"))
-    grams.groupBy("source")
+      .groupBy("source")
       .agg(SketchAgg.kMin(col("h"), k).as("mins"))
+  }
+
+  def sketchDistinctNgrams(spark: SparkSession, dir: String, k: Int = KmvK): DataFrame =
+    sourceSketches(spark, dir, k)
       .select(
         col("source"),
         size(col("mins")).cast("long").as("n_mins"),
@@ -51,5 +58,30 @@ object Sketches {
               element_at(col("mins"), k).cast("double"), 3))
           .as("est_distinct"))
       .orderBy("source")
+
+  /** `sketch_source_overlap` — pairwise cross-source 3-gram Jaccard
+    * from KMV SET ALGEBRA: K(A∪B) = the k smallest of the two merged
+    * sketches, and J(A,B) ≈ |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)|
+    * (Bar-Yossef et al.'s pairing estimator). The readout that finds
+    * mirrored / re-crawled sources BEFORE any pairwise document work:
+    * at 100 TB the corpus is touched once to build |sources| sketch
+    * rows, and the |sources|² pair join runs on that constant-size
+    * relation — never a doc-level join. Deterministic cross-engine
+    * for the same reason as the cardinality sketch. */
+  def sketchSourceOverlap(spark: SparkSession, dir: String, k: Int = KmvK): DataFrame = {
+    val sk = sourceSketches(spark, dir, k)
+    sk.alias("a")
+      .join(sk.alias("b"), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("src_a"),
+        col("b.source").as("src_b"),
+        slice(array_sort(array_union(col("a.mins"), col("b.mins"))), 1, k).as("u"),
+        col("a.mins").as("am"), col("b.mins").as("bm"))
+      .select(
+        col("src_a"), col("src_b"),
+        round(
+          size(array_intersect(array_intersect(col("u"), col("am")), col("bm")))
+            .cast("double") / size(col("u")), 6).as("jaccard_est"))
+      .orderBy("src_a", "src_b")
   }
 }

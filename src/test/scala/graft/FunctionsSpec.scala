@@ -127,4 +127,30 @@ class FunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("KMV overlap estimate tracks exact cross-source Jaccard") {
+    import graft.operators.TextAnalysis.{shingles, tokens}
+    val est = graft.operators.Sketches.sketchSourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val grams = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), explode(shingles(tokens(col("text")))).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inter = grams.alias("a")
+      .join(grams.alias("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est.size === sizes.size * (sizes.size - 1) / 2, "missing source pairs")
+    var worst = 0.0
+    est.foreach { case ((sa, sb), e) =>
+      val i = inter.getOrElse((sa, sb), 0L).toDouble
+      val exact = i / (sizes(sa) + sizes(sb) - i)
+      worst = math.max(worst, math.abs(e - exact))
+      assert(math.abs(e - exact) <= 0.15,
+        f"pair ($sa,$sb): KMV jaccard $e%.3f vs exact $exact%.3f")
+    }
+    info(f"worst |est-exact| over ${est.size} pairs: $worst%.3f")
+  }
 }
