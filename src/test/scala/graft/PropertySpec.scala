@@ -112,4 +112,74 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }.sortBy(t => (t._1, t._3))
     assert(got.toSeq === want)
   }
+
+  test("conditional MERGE equals a straightforward first-applicable-clause model") {
+    // randomized target/source tables + clause lists, executed through
+    // sqlMergeConditional (cond strings -> expr -> the copy-on-write
+    // cores) and compared against a direct Scala evaluation of SQL
+    // MERGE semantics. The conds cover target-only, source-only, and
+    // cross-side predicates.
+    type R = (Long, Long, String)
+    // cond pool: index -> (SQL text over mtp/mtp_src, Scala semantics)
+    val conds: Seq[(Option[String], (R, R) => Boolean)] = Seq(
+      (None, (_, _) => true),
+      (Some("mtp.x > 5"), (t, _) => t._2 > 5),
+      (Some("mtp_src.x % 2 = 0"), (_, s) => s._2 % 2 == 0),
+      (Some("mtp.x < mtp_src.x"), (t, s) => t._2 < s._2))
+    val insertConds: Seq[(Option[String], R => Boolean)] = Seq(
+      (None, _ => true),
+      (Some("mtp_src.x > 3"), s => s._2 > 3))
+    val cases = sample(for {
+      tn <- Gen.choose(0, 8)
+      tKeys <- Gen.pick(tn, 0L until 12L)
+      tRows <- Gen.sequence[Seq[R], R](tKeys.map(k => for {
+        x <- Gen.choose(0L, 10L); v <- Gen.oneOf("p", "q", "r")
+      } yield (k, x, v)))
+      sn <- Gen.choose(0, 8)
+      sKeys <- Gen.pick(sn, 0L until 12L)
+      sRows <- Gen.sequence[Seq[R], R](sKeys.map(k => for {
+        x <- Gen.choose(0L, 10L); v <- Gen.oneOf("P", "Q", "R")
+      } yield (k, x, v)))
+      nm <- Gen.choose(0, 2)
+      matched <- Gen.listOfN(nm, for {
+        c <- Gen.choose(0, conds.length - 1); d <- Gen.oneOf(true, false)
+      } yield (c, d))
+      ins <- Gen.option(Gen.choose(0, insertConds.length - 1))
+    } yield (tRows, sRows, matched, ins), 12)
+    val root = java.nio.file.Files.createTempDirectory("graft-merge-prop").toString
+    val lake = new graft.sources.Lakehouse(spark, root)
+    cases.zipWithIndex.foreach { case ((tRows, sRows, matched, ins), i) =>
+      val tTyped: Seq[(Long, Long, String)] = tRows.toSeq
+      val sTyped: Seq[(Long, Long, String)] = sRows.toSeq
+      lake.createOrReplace(tTyped.toDF("k", "x", "v"), "mtp")
+      sTyped.toDF("k", "x", "v").createOrReplaceTempView("mtp_src")
+      lake.sqlMergeConditional("mtp", "mtp_src", Seq("k"),
+        matched.map { case (c, d) => (conds(c)._1, d) },
+        ins.map(insertConds(_)._1))
+      val got = lake.read("mtp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // the model: per matched target row, first clause whose cond
+      // holds applies; unmatched source rows insert iff the clause
+      // exists and its cond holds
+      val srcByK = sRows.map(r => r._1 -> r).toMap
+      val kept = tRows.flatMap { t =>
+        srcByK.get(t._1) match {
+          case None => Some(t)
+          case Some(s) =>
+            matched.find { case (c, _) => conds(c)._2(t, s) } match {
+              case None => Some(t)
+              case Some((_, isDelete)) => if (isDelete) None else Some(s)
+            }
+        }
+      }
+      val tKeys = tRows.map(_._1).toSet
+      val inserted = sRows.filterNot(s => tKeys.contains(s._1))
+        .filter(s => ins.exists(ic => insertConds(ic)._2(s)))
+      val want = (kept ++ inserted).toSet
+      assert(got === want,
+        s"case $i: target=$tRows source=$sRows matched=${
+          matched.map { case (c, d) => (conds(c)._1, if (d) "DELETE" else "UPDATE") }
+        } insert=${ins.map(insertConds(_)._1)}")
+    }
+  }
 }
