@@ -36,16 +36,21 @@ object Sketches {
     * whose rows are capped at k values per source per partition by the
     * aggregate's bounded partial state — the corpus never moves. */
   /** Per-source KMV sketch table: (source, sorted k-min hash array).
-    * ONE pass over the corpus; |sources| rows out. Every downstream
-    * sketch-algebra readout joins THIS relation, never the corpus. */
-  private def sourceSketches(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    import graft.operators.TextAnalysis.{shingles, tokens}
-    Tables.parallel(spark, Tables.documents(spark, dir))
-      .select(col("source"), explode(shingles(tokens(col("text")))).as("g"))
-      .select(col("source"), HashFunctions.h62(col("g")).as("h"))
-      .groupBy("source")
-      .agg(SketchAgg.kMin(col("h"), k).as("mins"))
-  }
+    * ONE pass over the corpus; |sources| rows out. PERSISTED per
+    * (session, dir) via [[Memo]] — the overlap readout self-joins this
+    * relation, and Spark gives no subtree reuse across a self-join, so
+    * an unpersisted sketch would scan and aggregate the corpus ONCE
+    * PER ALIAS (two full passes at 100 TB for a 20-row relation);
+    * the cardinality readout shares the same materialization. */
+  private def sourceSketches(spark: SparkSession, dir: String, k: Int): DataFrame =
+    graft.sources.Memo.persisted(spark, s"sketches.kmin$k|$dir") {
+      import graft.operators.TextAnalysis.{shingles, tokens}
+      Tables.parallel(spark, Tables.documents(spark, dir))
+        .select(col("source"), explode(shingles(tokens(col("text")))).as("g"))
+        .select(col("source"), HashFunctions.h62(col("g")).as("h"))
+        .groupBy("source")
+        .agg(SketchAgg.kMin(col("h"), k).as("mins"))
+    }
 
   def sketchDistinctNgrams(spark: SparkSession, dir: String, k: Int = KmvK): DataFrame =
     sourceSketches(spark, dir, k)

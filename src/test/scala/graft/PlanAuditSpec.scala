@@ -79,9 +79,15 @@ class PlanAuditSpec extends SparkSpec {
     // ObjectHashAggregate partial/final pair; a row_number-over-hash
     // formulation (Window) would sort EVERY distinct value per source
     val p = plan(graft.operators.Sketches.sketchDistinctNgrams(spark, sf))
-    assert(p.contains("ObjectHashAggregate") && p.contains("kmin_values"),
-      "expected the native bounded KMV aggregate")
+    assert(p.contains("kmin_values"), "expected the native bounded KMV aggregate")
     assert(!p.contains("Window"), "KMV sketch ranks hashes through a Window")
+    // the overlap readout self-joins the sketch relation: both aliases
+    // must read the MEMOIZED sketch, not re-scan the corpus per side
+    val po = plan(graft.operators.Sketches.sketchSourceOverlap(spark, sf))
+    val scansAboveCache = po.split("InMemoryRelation").head
+      .split("documents\\.parquet").length - 1
+    assert(scansAboveCache === 0,
+      "sketch self-join re-scans the corpus instead of reading the persisted sketch")
   }
 
   test("dedup candidate generation never plans a cartesian product") {
