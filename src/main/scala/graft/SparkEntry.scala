@@ -39,6 +39,7 @@ object SparkEntry {
     "q_asof_join" -> (Relational.qAsofJoin _),
     "q_events_hourly" -> (Relational.qEventsHourly _),
     "q_events_retention" -> (Relational.qEventsRetention _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_events_sessionize" -> (Relational.qEventsSessionize _),
     "q_events_json" -> (Relational.qEventsJson _),
     "q_cube" -> (Relational.qCube _),
@@ -464,6 +465,13 @@ object SparkEntry {
         |  count(*) AS n
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_pivot_status" ->
       """SELECT o_orderpriority,

@@ -148,6 +148,22 @@ object Relational {
       .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** `q_grouping_sets` — ARBITRARY grouping-set combinations in one
+    * pass (rollup/cube are the regular special cases; real reporting
+    * wants e.g. (status, priority), (priority), () but NOT (status)):
+    * one Expand + one keyed shuffle, same single-agg plan Spark gives
+    * rollup. SQL-expressed — the Dataset API has rollup/cube only. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Pivot order status → columns (one wide agg, single shuffle). */
   def qPivotStatus(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
