@@ -295,6 +295,49 @@ class Lakehouse(spark: SparkSession, root: String) {
       .toDF("snapshot_id", "n_entries", "current_of", "stream_batch", "n_delete_files")
   }
 
+  /** `t.snapshots` metadata relation: one row per snapshot with its
+    * commit wall-clock and entry/tombstone counts. */
+  def snapshotsDf(table: String): DataFrame = {
+    val times = snapshotTimes(table).toMap
+    val dels = snapshotDeletes(table)
+    val rows = snapshots(table).map { case (snap, dirs) =>
+      (snap,
+        times.get(snap).map(t => new java.sql.Timestamp(t)).orNull,
+        dirs.length.toLong,
+        dels.getOrElse(snap, Seq.empty).length.toLong)
+    }
+    spark.createDataFrame(rows)
+      .toDF("snapshot_id", "committed_at", "n_entries", "n_delete_files")
+  }
+
+  /** `t.files` metadata relation: the parquet files composing the
+    * CURRENT snapshot, with their manifest entry and size — the
+    * planning-visibility readout (file skew, small-file pressure)
+    * Iceberg exposes as its files table. Pure metadata I/O. */
+  def filesDf(table: String, branch: String = "main"): DataFrame = {
+    val snap = currentSnapshot(table, branch)
+      .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+    val entries = snapshots(table).find(_._1 == snap).get._2
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      }
+    val rows = entries.flatMap { e =>
+      walk(new Path(tableDir(table), e)).map { st =>
+        val full = st.getPath.toString
+        val marker = "/" + table + "/"
+        (e, full.substring(full.lastIndexOf(marker) + marker.length), st.getLen)
+      }
+    }
+    spark.createDataFrame(rows).toDF("entry", "file", "bytes")
+  }
+
+  /** `t.tags` metadata relation. */
+  def tagsDf(table: String): DataFrame =
+    spark.createDataFrame(tags(table)).toDF("tag", "snapshot_id")
+
   def branches(table: String): Seq[String] = {
     val names = fs.listStatus(tableDir(table)).toSeq.map(_.getPath.getName)
     (if (names.contains("_current")) Seq("main") else Seq.empty) ++

@@ -239,6 +239,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case _ => delegate.parsePlan(rewriteTimeTravel(sqlText))
   }
 
+  private val MetaRe =
+    """(?i)`?([A-Za-z_]\w*)`?\.(history|snapshots|files|tags)\b""".r
   private val VersionAsOfRe =
     """(?i)`?([A-Za-z_]\w*)`?\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val VersionTagRe =
@@ -255,8 +257,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * including joins of two versions of the same table. References to
     * unregistered names are left untouched for Spark to reject. */
   private def rewriteTimeTravel(sqlText: String): String = {
-    // fast path: no travel syntax, don't touch the text
-    if (!"""(?i)\b(?:VERSION|TIMESTAMP)\s+AS\s+OF\b""".r.unanchored.matches(sqlText))
+    // fast path: no travel syntax and no metadata-table ref — don't
+    // touch the text
+    if (!"""(?i)\b(?:VERSION|TIMESTAMP)\s+AS\s+OF\b|\.(?:history|snapshots|files|tags)\b"""
+        .r.unanchored.matches(sqlText))
       return sqlText
     val sessionOpt = SparkSession.getActiveSession
     if (sessionOpt.isEmpty) return sqlText
@@ -268,7 +272,27 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         read(lake).createOrReplaceTempView(tv)
         tv
       }
-    val versioned = VersionAsOfRe.replaceAllIn(sqlText, m =>
+    // Iceberg-style METADATA TABLES on registered views: t.history /
+    // t.snapshots / t.files / t.tags rewrite to temp views over the
+    // programmatic metadata relations. Only registered view names
+    // rewrite, so alias-qualified COLUMNS named e.g. `files` on other
+    // relations pass through untouched.
+    val metaed = MetaRe.replaceAllIn(sqlText, m =>
+      scala.util.matching.Regex.quoteReplacement {
+        val view = m.group(1)
+        val which = m.group(2).toLowerCase(java.util.Locale.ROOT)
+        LakehouseRegistry.lookup(spark, view).map { case (lake, _) =>
+          val tv = s"${view}__meta_$which"
+          (which match {
+            case "history" => lake.history(view)
+            case "snapshots" => lake.snapshotsDf(view)
+            case "files" => lake.filesDf(view)
+            case _ => lake.tagsDf(view)
+          }).createOrReplaceTempView(tv)
+          tv
+        }.getOrElse(m.matched)
+      })
+    val versioned = VersionAsOfRe.replaceAllIn(metaed, m =>
       scala.util.matching.Regex.quoteReplacement(
         travelView(m.group(1), m.group(2),
           _.readSnapshot(m.group(1), m.group(2).toLong)).getOrElse(m.matched)))

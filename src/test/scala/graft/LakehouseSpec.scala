@@ -856,6 +856,28 @@ class LakehouseSpec extends SparkSpec {
     assert(got === Set((2L, "B")))
   }
 
+  test("metadata tables: t.snapshots / t.files / t.tags / t.history through SQL") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    val v1 = lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "mt")
+    lake.registerView("mt")
+    spark.sql("INSERT INTO mt VALUES (3, 'c')")
+    lake.tagSnapshot("mt", "rel", v1)
+    val snaps = spark.sql("SELECT snapshot_id FROM mt.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getLong(0))
+    assert(snaps.length === 2 && snaps.head === v1)
+    assert(spark.sql("SELECT count(*) AS n FROM mt.snapshots WHERE committed_at IS NOT NULL")
+      .head.getLong(0) === 2L, "fresh commits must carry wall-clock")
+    // current snapshot = two data dirs, at least one parquet file each
+    val files = spark.sql("SELECT entry, file, bytes FROM mt.files").collect()
+    assert(files.length >= 2 && files.forall(_.getLong(2) > 0L))
+    assert(files.map(_.getString(0)).distinct.length === 2, "files must span both entries")
+    assert(spark.sql("SELECT tag FROM mt.tags").head.getString(0) === "rel")
+    assert(spark.sql("SELECT count(*) AS n FROM mt.history").head.getLong(0) === 2L)
+    // a metadata ref on an unregistered name falls through to Spark
+    intercept[Exception] { spark.sql("SELECT * FROM nosuch_mt.files").collect() }
+  }
+
   test("snapshot tags: immutable named refs, SQL travel, and expiry protection") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
