@@ -108,6 +108,7 @@ object SparkEntry {
     "pipeline_curate_cc" -> (Curate.pipelineCurateCc _),
     // training-mix rebalance: deterministic hash-stratified sampling
     "pipeline_sample" -> (Curate.pipelineSample _),
+    "pipeline_split" -> (Curate.pipelineSplit _),
     // temperature-based mixture rebalance (share^(1/T) language mix)
     "pipeline_mix_temperature" -> ((s, d) => Curate.pipelineMixTemperature(s, d)),
     // concat-then-chunk sequence packing (block-local running sums)
@@ -1042,6 +1043,26 @@ object SparkEntry {
         |FROM rep ORDER BY doc_id""".stripMargin,
     // flagship composition — the quality/langid/ngram CTEs are the
     // verified oracles of those queries, chained.
+    "pipeline_split" ->
+      """WITH t AS (SELECT doc_id, length(text) n_chars,
+        |  regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks,
+        |  len(regexp_extract_all(text, '([^a-z0-9 ])', 1)) n_punct FROM documents),
+        |u AS (SELECT doc_id, n_chars, n_punct, len(toks) n_tokens,
+        |  len(list_filter(toks, tk -> list_contains(['the','and','of','to','a','in','is','you','that','it'], tk))) n_stop
+        |  FROM t),
+        |q AS (SELECT doc_id,
+        |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+        |    + 0.3 * (1.0 - least(1.0, 10.0 * CAST(n_punct AS DOUBLE) / n_chars))
+        |    + 0.3 * least(1.0, 5.0 * CAST(n_stop AS DOUBLE) / n_tokens), 6) quality FROM u),
+        |sp AS (SELECT doc_id, quality,
+        |    CAST(md5_number_lower('split|' || CAST(doc_id AS VARCHAR)) // 4 AS BIGINT) % 1000
+        |      AS slot FROM q),
+        |lab AS (SELECT CASE WHEN slot < 900 THEN 'train' WHEN slot < 950 THEN 'val'
+        |    ELSE 'test' END AS split, quality FROM sp)
+        |SELECT split, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS mean_quality
+        |FROM lab GROUP BY split ORDER BY split""".stripMargin,
     "pipeline_curate" ->
       """WITH t AS (SELECT doc_id, length(text) n_chars,
         |  regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks,

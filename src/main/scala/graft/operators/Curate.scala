@@ -144,6 +144,30 @@ object Curate {
       .select("doc_id", "pred_lang")
       .orderBy("doc_id")
 
+  /** `pipeline_split` — deterministic train/val/test assignment (the
+    * holdout carve every training pipeline needs BEFORE any model
+    * sees the corpus): the same salted h62 hash gate as the samplers
+    * buckets each doc into 1000 slots — 900 train / 50 val / 50 test —
+    * so membership is reproducible, partition/order-independent,
+    * stable under corpus growth (a doc's split never changes when
+    * neighbors arrive), and disjoint by construction. Map-only until
+    * the per-split rollup; report = per-split doc count + mean quality
+    * (drift in per-split quality reveals a biased hash or leak). */
+  def pipelineSplit(spark: SparkSession, dir: String): DataFrame =
+    gates(graft.sources.Tables.parallel(spark, graft.sources.Tables.documents(spark, dir)))
+      .withColumn("slot", graft.functions.HashFunctions.h62(
+        concat(lit("split|"), col("doc_id").cast("string"))) % 1000)
+      .withColumn("split",
+        when(col("slot") < 900, "train").when(col("slot") < 950, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // decimal-summed mean (§3): float avg is partition-order
+        // dependent, decimal addition is associative
+        round(sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("mean_quality"))
+      .orderBy("split")
+
   /** `pipeline_mix_temperature` — temperature-based mixture
     * rebalancing (the multilingual-corpus sampling rule of the GPT-3/
     * PaLM data recipes): with language share s_l, the target mix is
