@@ -88,6 +88,7 @@ object SparkEntry {
     "ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(s, d)),
     "ann_pq_topk" -> ((s, d) => Similarity.annPqTopk(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.annIvfPqTopk(s, d)),
+    "ann_ivfpq_rerank" -> ((s, d) => Similarity.annIvfPqRerank(s, d)),
     // §2.E — text analysis
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -127,7 +128,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     staticOracleSql ++ Similarity.trainedOracleSql.map("ann_ivf_trained" -> _) ++
       Similarity.pqOracleSql.map("ann_pq_topk" -> _) ++
-      Similarity.ivfpqOracleSql.map("ann_ivfpq_topk" -> _)
+      Similarity.ivfpqOracleSql.map("ann_ivfpq_topk" -> _) ++
+      Similarity.ivfpqRerankOracleSql.map("ann_ivfpq_rerank" -> _)
 
   private def staticOracleSql: Map[String, String] = Map(
     "bronze_orders_nested" ->

@@ -525,54 +525,110 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
+  /** `ann_ivfpq_rerank` — IVF-PQ with an EXACT re-rank tail: ADC
+    * shortlists the top-`c` per query in the compressed domain, then
+    * only those c rows re-join their FULL vectors for exact cosine —
+    * the standard accuracy-recovery stage (recall approaches plain
+    * trained-IVF while the corpus-side work stays LUT lookups; the
+    * exact pass touches c·|queries| vectors, never the corpus). */
+  def annIvfPqRerank(spark: SparkSession, dir: String, k: Int = 10, c: Int = 50): DataFrame = {
+    val e = quantized(spark, dir)
+    val cents = trainedCodebook(spark, dir)
+    val nProbes = trainedProbes(cents.length)
+    val cb = pqCodebook(spark, dir)
+    lastIvfPq.put(dir, (cents.map { case (i, cv) => (i, cv.toSeq) }, nProbes,
+      cb.map(_.map(_.toSeq))))
+    lastIvfPqDir = Some(dir)
+    val (qDf, adot, rn2) = pqQuerySide(spark, dir, cb)
+    val adc = trainedCandidatesFor(e, cents, nProbes, spark)
+      .join(pqCodes(spark, dir), "vec_id")
+      .join(broadcast(qDf), "q_id")
+      .select(col("q_id"), col("vec_id"), adcCosine(adot, rn2).as("cosine"))
+    val shortlist = topkPerQuery(adc, c).select("q_id", "vec_id")
+    val scored = shortlist
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nsq").as("qnsq")), "q_id")
+      .join(e, "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
+    topkPerQuery(scored, k)
+  }
+
+  /** DuckDB oracle for [[annIvfPqRerank]]: the IVF-PQ composition plus
+    * the ADC-top-`c` shortlist re-scored with exact quantized cosine. */
+  def ivfpqRerankOracleSql: Option[String] = {
+    val entry = lastIvfPqDir.flatMap(d => Option(lastIvfPq.get(d)))
+    entry.map { case (cents, probes, cb) =>
+      val base = ivfpqBaseCtes(cents, probes, cb)
+      s"""$base,
+         |ark AS (SELECT q_id, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) ark FROM sc),
+         |short AS (SELECT q_id, vec_id FROM ark WHERE ark <= 50),
+         |ex AS (SELECT s.q_id, s.vec_id,
+         |    round(CAST(list_sum(list_transform(list_zip(qv.v, ev.v), z -> z[1]*z[2])) AS DOUBLE)
+         |      / sqrt(CAST(qv.nsq * ev.nsq AS DOUBLE)), 6) cosine
+         |  FROM short s JOIN qn qv ON s.q_id = qv.vec_id JOIN qn ev ON s.vec_id = ev.vec_id),
+         |r AS (SELECT q_id, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM ex)
+         |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin
+    }
+  }
+
+  /** Shared IVF-PQ oracle CTE chain, through `sc` (per-candidate ADC
+    * cosine): coarse assignment + probed candidates + PQ encode/LUT. */
+  private def ivfpqBaseCtes(cents: Seq[(Long, Seq[Long])], probes: Int,
+      cb: Seq[Seq[Seq[Long]]]): String = {
+    val centValues = cents.map { case (id, cv) =>
+      s"($id, [${cv.mkString(",")}])"
+    }.mkString(", ")
+    val cbValues = (for {
+      i <- 0 until PqSubs
+      (cv, ci) <- cb(i).zipWithIndex
+    } yield s"($i, $ci, [${cv.mkString(",")}], ${cv.map(x => x * x).sum})")
+      .mkString(", ")
+    s"""WITH q AS (SELECT vec_id,
+       |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+       |qn AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) nsq FROM q),
+       |cents AS (SELECT cent_id, cv, list_sum(list_transform(cv, x -> x*x)) cn
+       |  FROM (VALUES $centValues) c(cent_id, cv)),
+       |da AS (SELECT e.vec_id, c.cent_id,
+       |  CAST(e.nsq + c.cn - 2 * list_sum(list_transform(list_zip(e.v, c.cv), z -> z[1]*z[2])) AS BIGINT) d2
+       |  FROM qn e CROSS JOIN cents c),
+       |ranked AS (SELECT vec_id, cent_id,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) crk FROM da),
+       |assign AS (SELECT vec_id, cent_id cell FROM ranked WHERE crk <= 2),
+       |probes AS (SELECT vec_id q_id, cent_id cell FROM ranked WHERE crk <= $probes AND vec_id < 5),
+       |cand AS (SELECT DISTINCT q_id, assign.vec_id FROM probes JOIN assign ON probes.cell = assign.cell),
+       |cb AS (SELECT * FROM (VALUES $cbValues) c(sub, cent, cv, cn)),
+       |enc AS (SELECT e.vec_id, c.sub, c.cent, c.cn - 2 * list_sum(list_transform(
+       |    list_zip(e.v[(c.sub*${PqSubDim}+1):(c.sub*${PqSubDim}+${PqSubDim})], c.cv),
+       |    z -> z[1]*z[2])) d2
+       |  FROM qn e CROSS JOIN cb c),
+       |codes AS (SELECT vec_id, sub, cent FROM (
+       |    SELECT vec_id, sub, cent,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cent) rk FROM enc)
+       |  WHERE rk = 1),
+       |lut AS (SELECT qv.vec_id q_id, c.sub, c.cent, c.cn,
+       |    list_sum(list_transform(
+       |      list_zip(qv.v[(c.sub*${PqSubDim}+1):(c.sub*${PqSubDim}+${PqSubDim})], c.cv),
+       |      z -> z[1]*z[2])) pdot
+       |  FROM qn qv CROSS JOIN cb c WHERE qv.vec_id < 5),
+       |s AS (SELECT l.q_id, co.vec_id, sum(l.pdot) adot, sum(l.cn) rn2
+       |  FROM cand JOIN codes co ON cand.vec_id = co.vec_id
+       |  JOIN lut l ON co.sub = l.sub AND co.cent = l.cent AND l.q_id = cand.q_id
+       |  GROUP BY l.q_id, co.vec_id),
+       |sc AS (SELECT s.q_id, s.vec_id,
+       |    round(CAST(adot AS DOUBLE) / sqrt(CAST(qq.nsq * rn2 AS DOUBLE)), 6) cosine
+       |  FROM s JOIN qn qq ON s.q_id = qq.vec_id)""".stripMargin
+  }
+
   /** DuckDB oracle for [[annIvfPqTopk]]: coarse-centroid candidate
     * generation (same CTEs as the trained-IVF oracle) composed with
     * PQ encode/LUT/ADC scoring restricted to the candidates. */
   def ivfpqOracleSql: Option[String] = {
     val entry = lastIvfPqDir.flatMap(d => Option(lastIvfPq.get(d)))
     entry.map { case (cents, probes, cb) =>
-      val centValues = cents.map { case (id, cv) =>
-        s"($id, [${cv.mkString(",")}])"
-      }.mkString(", ")
-      val cbValues = (for {
-        i <- 0 until PqSubs
-        (cv, ci) <- cb(i).zipWithIndex
-      } yield s"($i, $ci, [${cv.mkString(",")}], ${cv.map(x => x * x).sum})")
-        .mkString(", ")
-      s"""WITH q AS (SELECT vec_id,
-         |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
-         |qn AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) nsq FROM q),
-         |cents AS (SELECT cent_id, cv, list_sum(list_transform(cv, x -> x*x)) cn
-         |  FROM (VALUES $centValues) c(cent_id, cv)),
-         |da AS (SELECT e.vec_id, c.cent_id,
-         |  CAST(e.nsq + c.cn - 2 * list_sum(list_transform(list_zip(e.v, c.cv), z -> z[1]*z[2])) AS BIGINT) d2
-         |  FROM qn e CROSS JOIN cents c),
-         |ranked AS (SELECT vec_id, cent_id,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) crk FROM da),
-         |assign AS (SELECT vec_id, cent_id cell FROM ranked WHERE crk <= 2),
-         |probes AS (SELECT vec_id q_id, cent_id cell FROM ranked WHERE crk <= $probes AND vec_id < 5),
-         |cand AS (SELECT DISTINCT q_id, assign.vec_id FROM probes JOIN assign ON probes.cell = assign.cell),
-         |cb AS (SELECT * FROM (VALUES $cbValues) c(sub, cent, cv, cn)),
-         |enc AS (SELECT e.vec_id, c.sub, c.cent, c.cn - 2 * list_sum(list_transform(
-         |    list_zip(e.v[(c.sub*${PqSubDim}+1):(c.sub*${PqSubDim}+${PqSubDim})], c.cv),
-         |    z -> z[1]*z[2])) d2
-         |  FROM qn e CROSS JOIN cb c),
-         |codes AS (SELECT vec_id, sub, cent FROM (
-         |    SELECT vec_id, sub, cent,
-         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cent) rk FROM enc)
-         |  WHERE rk = 1),
-         |lut AS (SELECT qv.vec_id q_id, c.sub, c.cent, c.cn,
-         |    list_sum(list_transform(
-         |      list_zip(qv.v[(c.sub*${PqSubDim}+1):(c.sub*${PqSubDim}+${PqSubDim})], c.cv),
-         |      z -> z[1]*z[2])) pdot
-         |  FROM qn qv CROSS JOIN cb c WHERE qv.vec_id < 5),
-         |s AS (SELECT l.q_id, co.vec_id, sum(l.pdot) adot, sum(l.cn) rn2
-         |  FROM cand JOIN codes co ON cand.vec_id = co.vec_id
-         |  JOIN lut l ON co.sub = l.sub AND co.cent = l.cent AND l.q_id = cand.q_id
-         |  GROUP BY l.q_id, co.vec_id),
-         |sc AS (SELECT s.q_id, s.vec_id,
-         |    round(CAST(adot AS DOUBLE) / sqrt(CAST(qq.nsq * rn2 AS DOUBLE)), 6) cosine
-         |  FROM s JOIN qn qq ON s.q_id = qq.vec_id),
+      s"""${ivfpqBaseCtes(cents, probes, cb)},
          |r AS (SELECT q_id, vec_id, cosine,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM sc)
          |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10

@@ -124,6 +124,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, f"IVF-PQ recall collapsed to chance: $recall%.2f")
   }
 
+  test("IVF-PQ exact re-rank recovers recall over raw ADC ranking") {
+    val brute = Similarity.annCosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val adc = Similarity.annIvfPqTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val rr = Similarity.annIvfPqRerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val rAdc = (adc intersect brute).size.toDouble / brute.size
+    val rRr = (rr intersect brute).size.toDouble / brute.size
+    info(f"recall adc=$rAdc%.2f rerank=$rRr%.2f")
+    assert(rRr >= rAdc, f"exact re-rank recall $rRr%.2f fell below raw ADC $rAdc%.2f")
+    assert(rRr >= 0.5, f"re-ranked recall floor: $rRr%.2f < 0.5")
+  }
+
   test("sign matrix is deterministic and balanced-ish") {
     val m = Similarity.signMatrix
     assert(m.length === 4 * 6 * 64)
