@@ -28,16 +28,13 @@ object LakehouseRegistry {
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (Lakehouse, Seq[String])]()
 
-  // weakly-keyed session → id: the registry's own keys are plain
-  // strings, so it never holds a SparkSession alive
-  private val sessionIds = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, String]())
-
-  private def idOf(spark: SparkSession): String =
-    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
-
+  // The KEY side is a weak session id ([[SessionIds]]) so the map never
+  // pins a session through its keys — but the VALUE side holds Lakehouse
+  // handles, which reference their SparkSession. Collection of a retired
+  // session therefore still requires unregisterSession; the weak keying
+  // only guarantees the registry adds no pin of its own.
   private def key(spark: SparkSession, view: String): (String, String) =
-    (idOf(spark), view.toLowerCase(java.util.Locale.ROOT))
+    (SessionIds.idOf(spark), view.toLowerCase(java.util.Locale.ROOT))
 
   /** Register `view` as DML-addressable in `spark`, with the partition
     * layout its copy-on-write rewrites should preserve. */
@@ -55,7 +52,7 @@ object LakehouseRegistry {
   /** Drop every registration of `spark` — call when retiring a
     * session so its Lakehouse handles become collectable. */
   def unregisterSession(spark: SparkSession): Unit = {
-    val id = idOf(spark)
+    val id = SessionIds.idOf(spark)
     tables.keySet.removeIf(_._1 == id)
   }
 

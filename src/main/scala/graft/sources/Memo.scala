@@ -20,6 +20,17 @@ import java.util.concurrent.ConcurrentHashMap
   * memo is the local-session analog of writing it once and reading it
   * everywhere.
   */
+/** Weak session identity: a stable UUID per SparkSession, held through
+  * a WeakHashMap so process-global caches can key by plain strings and
+  * never pin a session against collection. Shared by every cache that
+  * outlives sessions (DML registry, trained ANN codebooks). */
+private[graft] object SessionIds {
+  private val ids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  def idOf(spark: SparkSession): String =
+    ids.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+}
+
 object Memo {
   private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
