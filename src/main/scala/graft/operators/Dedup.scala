@@ -530,13 +530,16 @@ object Dedup {
   private[graft] object CapDropListener
       extends org.apache.spark.sql.util.QueryExecutionListener {
     private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    // weak session ids, not SparkSession objects — same no-pin rule as
+    // every other process-global registry ([[graft.sources.SessionIds]])
     private val registered =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     /** Count of drop events seen (spec hook). */
     val dropEvents = new java.util.concurrent.atomic.AtomicLong()
 
     def ensure(spark: SparkSession): Unit =
-      if (registered.add(spark)) spark.listenerManager.register(this)
+      if (registered.add(graft.sources.SessionIds.idOf(spark)))
+        spark.listenerManager.register(this)
 
     override def onSuccess(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashImpl, VectorFunctions}
-import graft.sources.{Memo, Tables}
+import graft.sources.{Memo, SessionIds, Tables}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -192,10 +192,10 @@ object Similarity {
     * is an offline artifact like the trained one, so the one-time
     * driver fetch is the same class as k-means centroid extraction. */
   private val stubCodebooks =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(Long, Array[Long])]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(Long, Array[Long])]]()
 
   private[graft] def stubCodebook(spark: SparkSession, dir: String): Seq[(Long, Array[Long])] =
-    stubCodebooks.computeIfAbsent((spark, dir), _ =>
+    stubCodebooks.computeIfAbsent((SessionIds.idOf(spark), dir), _ =>
       quantized(spark, dir).where(col("vec_id") < IvfCells)
         .select(col("vec_id"), col("v")).collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq)
@@ -278,23 +278,20 @@ object Similarity {
     * SQL-restatable, but assignment/probing/scoring over the trained
     * centroids is; Verify dumps `oracleSql` AFTER running the queries,
     * so the captured centroids are the run's own). */
-  private val lastTrained =
-    new java.util.concurrent.ConcurrentHashMap[String, (Seq[(Long, Seq[Long])], Int)]()
-
-  /** Dir of the most recent [[annIvfTrained]] run: Verify/Bench run
-    * all queries against ONE dir and dump oracles afterwards, so "the
-    * latest run's dir" is exactly whose centroids the oracle must
-    * restate — a multi-scale JVM (e.g. the bench crossing sf dirs)
-    * must not leak another dir's codebook into the dump. */
-  @volatile private var lastTrainedDir: Option[String] = None
+  /** Holds ONLY the most recent run's artifacts (inherently bounded —
+    * no per-dir map to evict): Verify/Bench run all queries against
+    * ONE dir and dump oracles afterwards, so "the latest run" is
+    * exactly whose centroids the oracle must restate — a multi-scale
+    * JVM (e.g. the bench crossing sf dirs) must not leak another
+    * dir's codebook into the dump. */
+  @volatile private var lastTrained: Option[(Seq[(Long, Seq[Long])], Int)] = None
 
   /** DuckDB restatement of the last trained-IVF run: the captured
     * centroids as literal VALUES feeding the same assignment/probe/
     * score/topk pipeline as the `ann_ivf_topk` oracle. None until
     * [[annIvfTrained]] has run in this process. */
   def trainedOracleSql: Option[String] = {
-    val entry = lastTrainedDir.flatMap(d => Option(lastTrained.get(d)))
-    entry.map { case (cents, probes) =>
+    lastTrained.map { case (cents, probes) =>
       val values = cents.map { case (id, cv) =>
         s"($id, [${cv.mkString(",")}])"
       }.mkString(", ")
@@ -328,7 +325,7 @@ object Similarity {
     * scale as re-bucketing the corpus per query). Deterministic:
     * fixed seed, fixed iteration count. */
   private val codebooks =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Seq[(Long, Array[Long])]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Seq[(Long, Array[Long])]]()
 
   /** Query-side probe count for a k-cell codebook: grows with the
     * codebook (nprobe ≈ k/8) so recall holds as cells shrink — the
@@ -343,7 +340,7 @@ object Similarity {
   /** Train (or fetch the memoized) k-means codebook for `dir`. */
   private[graft] def trainedCodebook(spark: SparkSession, dir: String,
       nCells: Int = 0): Seq[(Long, Array[Long])] =
-    codebooks.computeIfAbsent((spark, dir, nCells), _ => {
+    codebooks.computeIfAbsent((SessionIds.idOf(spark), dir, nCells), _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = quantized(spark, dir)
@@ -380,8 +377,7 @@ object Similarity {
     val e = quantized(spark, dir)
     val cents = trainedCodebook(spark, dir, nCells)
     val nProbes = trainedProbes(cents.length)
-    lastTrained.put(dir, (cents.map { case (i, cv) => (i, cv.toSeq) }, nProbes))
-    lastTrainedDir = Some(dir)
+    lastTrained = Some((cents.map { case (i, cv) => (i, cv.toSeq) }, nProbes))
     val cand = trainedCandidatesFor(e, cents, nProbes, spark)
     val scored = cand
       .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nsq").as("qnsq")), "q_id")
@@ -403,10 +399,20 @@ object Similarity {
     * centroid (sub-dimension longs, quantized scale). Deterministic:
     * fixed per-subspace seed, fixed iteration count. */
   private val pqBooks = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[Seq[Array[Long]]]]()
+    (String, String), Seq[Seq[Array[Long]]]]()
+
+  // deterministic release path for the trained offline artifacts:
+  // SessionIds.release(spark) drops a retired session's codebooks (the
+  // weak string keys already guarantee the maps never PIN a session —
+  // this reclaims the artifact payloads too)
+  SessionIds.onRelease { id =>
+    stubCodebooks.keySet.removeIf(k => k._1 == id)
+    codebooks.keySet.removeIf(k => k._1 == id)
+    pqBooks.keySet.removeIf(k => k._1 == id)
+  }
 
   private[graft] def pqCodebook(spark: SparkSession, dir: String): Seq[Seq[Array[Long]]] =
-    pqBooks.computeIfAbsent((spark, dir), _ => {
+    pqBooks.computeIfAbsent((SessionIds.idOf(spark), dir), _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = quantized(spark, dir)
@@ -438,9 +444,10 @@ object Similarity {
     e.select(col("vec_id") +: codeCols: _*)
   }
 
-  private val lastPq = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[Seq[Seq[Long]]]]()
-  @volatile private var lastPqDir: Option[String] = None
+  // most-recent-run PQ codebook for the oracle dump — a single slot,
+  // inherently bounded (see [[lastTrained]] for why latest-run-wins is
+  // exactly the contract Verify/Bench need)
+  @volatile private var lastPq: Option[Seq[Seq[Seq[Long]]]] = None
 
   /** `ann_pq_topk` — top-k by ASYMMETRIC distance over PQ codes: the
     * corpus is scanned in the COMPRESSED domain (per row·query: 4 LUT
@@ -488,17 +495,17 @@ object Similarity {
 
   def annPqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val cb = pqCodebook(spark, dir)
-    lastPq.put(dir, cb.map(_.map(_.toSeq)))
-    lastPqDir = Some(dir)
+    lastPq = Some(cb.map(_.map(_.toSeq)))
     val (qDf, adot, rn2) = pqQuerySide(spark, dir, cb)
     val scored = pqCodes(spark, dir).crossJoin(broadcast(qDf))
       .select(col("q_id"), col("vec_id"), adcCosine(adot, rn2).as("cosine"))
     topkPerQuery(scored, k)
   }
 
-  private val lastIvfPq = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[(Long, Seq[Long])], Int, Seq[Seq[Seq[Long]]])]()
-  @volatile private var lastIvfPqDir: Option[String] = None
+  // most-recent-run IVF-PQ artifacts for the oracle dump — single
+  // bounded slot, latest-run-wins (see [[lastTrained]])
+  @volatile private var lastIvfPq:
+    Option[(Seq[(Long, Seq[Long])], Int, Seq[Seq[Seq[Long]]])] = None
 
   /** `ann_ivfpq_topk` — the composed billion-scale index (FAISS
     * IVF-PQ): the trained coarse quantizer prunes the corpus to the
@@ -513,9 +520,8 @@ object Similarity {
     val cents = trainedCodebook(spark, dir)
     val nProbes = trainedProbes(cents.length)
     val cb = pqCodebook(spark, dir)
-    lastIvfPq.put(dir, (cents.map { case (i, cv) => (i, cv.toSeq) }, nProbes,
+    lastIvfPq = Some((cents.map { case (i, cv) => (i, cv.toSeq) }, nProbes,
       cb.map(_.map(_.toSeq))))
-    lastIvfPqDir = Some(dir)
     val (qDf, adot, rn2) = pqQuerySide(spark, dir, cb)
     val cand = trainedCandidatesFor(e, cents, nProbes, spark)
     val scored = cand
@@ -536,9 +542,8 @@ object Similarity {
     val cents = trainedCodebook(spark, dir)
     val nProbes = trainedProbes(cents.length)
     val cb = pqCodebook(spark, dir)
-    lastIvfPq.put(dir, (cents.map { case (i, cv) => (i, cv.toSeq) }, nProbes,
+    lastIvfPq = Some((cents.map { case (i, cv) => (i, cv.toSeq) }, nProbes,
       cb.map(_.map(_.toSeq))))
-    lastIvfPqDir = Some(dir)
     val (qDf, adot, rn2) = pqQuerySide(spark, dir, cb)
     val adc = trainedCandidatesFor(e, cents, nProbes, spark)
       .join(pqCodes(spark, dir), "vec_id")
@@ -556,8 +561,7 @@ object Similarity {
   /** DuckDB oracle for [[annIvfPqRerank]]: the IVF-PQ composition plus
     * the ADC-top-`c` shortlist re-scored with exact quantized cosine. */
   def ivfpqRerankOracleSql: Option[String] = {
-    val entry = lastIvfPqDir.flatMap(d => Option(lastIvfPq.get(d)))
-    entry.map { case (cents, probes, cb) =>
+    lastIvfPq.map { case (cents, probes, cb) =>
       val base = ivfpqBaseCtes(cents, probes, cb)
       s"""$base,
          |ark AS (SELECT q_id, vec_id, cosine,
@@ -626,8 +630,7 @@ object Similarity {
     * generation (same CTEs as the trained-IVF oracle) composed with
     * PQ encode/LUT/ADC scoring restricted to the candidates. */
   def ivfpqOracleSql: Option[String] = {
-    val entry = lastIvfPqDir.flatMap(d => Option(lastIvfPq.get(d)))
-    entry.map { case (cents, probes, cb) =>
+    lastIvfPq.map { case (cents, probes, cb) =>
       s"""${ivfpqBaseCtes(cents, probes, cb)},
          |r AS (SELECT q_id, vec_id, cosine,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM sc)
@@ -640,8 +643,7 @@ object Similarity {
     * VALUES, encode/LUT/ADC replicate in SQL (same argmin tie-break,
     * same rounding). */
   def pqOracleSql: Option[String] = {
-    val entry = lastPqDir.flatMap(d => Option(lastPq.get(d)))
-    entry.map { cb =>
+    lastPq.map { cb =>
       val values = (for {
         i <- 0 until PqSubs
         (cv, ci) <- cb(i).zipWithIndex

@@ -1271,6 +1271,9 @@ class Lakehouse(spark: SparkSession, root: String) {
       s"""SELECT * FROM $sourceView
          |UNION ALL
          |SELECT t.* FROM $table t LEFT ANTI JOIN $sourceView s ON $on""".stripMargin)
+    // the partitioned path goes through upsert, which runs the same check
+    if (partitionBy.isEmpty)
+      assertMergeCardinality(spark.table(table), spark.table(sourceView), table, keyCols)
     val snap =
       if (partitionBy.nonEmpty) upsert(spark.table(sourceView), table, keyCols, partitionBy)
       else createOrReplace(merged, table)
@@ -1291,10 +1294,37 @@ class Lakehouse(spark: SparkSession, root: String) {
     * costs one partition's rewrite, not a table rewrite. */
   def upsert(source: DataFrame, table: String, keyCols: Seq[String],
       partitionBy: Seq[String] = Nil, branch: String = "main"): Long = {
-    val changes = (_: DataFrame) =>
+    val changes = (target: DataFrame) => {
+      assertMergeCardinality(target, source, table, keyCols)
       (source, source.select(keyCols.map(source(_)): _*))
+    }
     if (partitionBy.isEmpty) rewriteUnpartitioned(table, branch, keyCols)(changes)
     else rewriteChangedPartitions(table, branch, keyCols, partitionBy)(changes)
+  }
+
+  /** SQL MERGE cardinality rule (Spark's MERGE_CARDINALITY_VIOLATION,
+    * same in Iceberg): a single target row matched by MORE THAN ONE
+    * source row is an ERROR, not a multi-update — applying each match
+    * would silently write one output row per source duplicate, so a
+    * feed with an accidentally-duplicated key must fail loudly instead
+    * of corrupting the table. Runs against the PRE-merge base inside
+    * the rewrite cores, before any snapshot is reserved: on violation
+    * the table is untouched. Scale posture: duplicate source keys are
+    * a map-combinable groupBy over the (small) MERGE source; the
+    * target is consulted only by key semi-join (pushdown applies, and
+    * AQE collapses it to an empty relation when no duplicates exist). */
+  private def assertMergeCardinality(target: DataFrame, source: DataFrame,
+      table: String, keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dupKeys = source.groupBy(keyCols.map(source(_)): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).drop("__n")
+    val offenders = target.join(dupKeys, keyCols, "left_semi")
+      .select(keyCols.map(target(_)): _*).take(3)
+    if (offenders.nonEmpty)
+      throw new IllegalStateException(
+        s"MERGE cardinality violation on $table: a target row matches more than one " +
+          s"source row, e.g. key(s) ${offenders.mkString(", ")} — deduplicate the " +
+          s"source on (${keyCols.mkString(", ")}) first")
   }
 
   /** EXACTLY-ONCE upsert for streaming replays: the micro-batch id
@@ -1304,8 +1334,10 @@ class Lakehouse(spark: SparkSession, root: String) {
     * counterpart of exactly-once append. */
   def upsertOnce(source: DataFrame, table: String, keyCols: Seq[String], batchId: Long,
       partitionBy: Seq[String] = Nil, branch: String = "main"): Long = {
-    val changes = (_: DataFrame) =>
+    val changes = (target: DataFrame) => {
+      assertMergeCardinality(target, source, table, keyCols)
       (source, source.select(keyCols.map(source(_)): _*))
+    }
     if (partitionBy.isEmpty)
       rewriteUnpartitioned(table, branch, keyCols, Some(batchId))(changes)
     else
@@ -1441,6 +1473,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val changes = (target: DataFrame) => {
       val source = spark.table(sourceView)
+      assertMergeCardinality(target, source, table, keyCols)
       val t = target.alias(table)
       val s = source.alias(sourceView)
       val joinCond = keyCols.map(k =>

@@ -61,6 +61,37 @@ object LakehouseRegistry {
     SparkSession.getActiveSession.exists(s => lookup(s, view).isDefined)
 }
 
+/** Bounded registry of the `__asof_*`/`__meta_*` temp views the travel
+  * rewrite materializes. A view is only needed through ANALYSIS of the
+  * one statement that referenced it (an analyzed Dataset inlines the
+  * view's plan — dropping the view later never breaks it), so the
+  * registry keeps a most-recently-used window of [[TravelViews.Max]]
+  * names per session and drops the oldest from the catalog beyond
+  * that: a long-lived session issuing thousands of DISTINCT travel
+  * references keeps a bounded catalog instead of accumulating one
+  * view per distinct snapshot/timestamp/tag forever. */
+private[graft] object TravelViews {
+  val Max = 32
+  private val perSession = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.LinkedHashSet[String]]()
+  SessionIds.onRelease(id => perSession.remove(id))
+
+  def track(spark: SparkSession, view: String): Unit = {
+    val set = perSession.computeIfAbsent(SessionIds.idOf(spark),
+      _ => new java.util.LinkedHashSet[String]())
+    set.synchronized {
+      set.remove(view) // refresh recency (re-referenced view moves to newest)
+      set.add(view)
+      while (set.size > Max) {
+        val it = set.iterator()
+        val oldest = it.next()
+        it.remove()
+        spark.catalog.dropTempView(oldest)
+      }
+    }
+  }
+}
+
 /** `DELETE FROM <lakehouse view> [WHERE <pred>]` — copy-on-write delete
   * committed as a new snapshot; no WHERE deletes every row (the form
   * Iceberg supports); returns the snapshot id. */
@@ -267,6 +298,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakehouseRegistry.lookup(spark, view).map { case (lake, _) =>
         val tv = s"${view}__asof_$suffix"
         read(lake).createOrReplaceTempView(tv)
+        TravelViews.track(spark, tv)
         tv
       }
     // Iceberg-style METADATA TABLES on registered views: t.history /
@@ -286,6 +318,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             case "files" => lake.filesDf(view)
             case _ => lake.tagsDf(view)
           }).createOrReplaceTempView(tv)
+          TravelViews.track(spark, tv)
           tv
         }.getOrElse(m.matched)
       })
@@ -302,12 +335,29 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       })
     TimestampAsOfRe.replaceAllIn(tagged, m =>
       scala.util.matching.Regex.quoteReplacement {
+        // parse in the SESSION timezone (spark.sql.session.timeZone),
+        // like every other timestamp literal in the statement —
+        // Timestamp.valueOf would use the JVM-default zone, resolving
+        // the travel to a wrong snapshot window on a non-UTC host
         val raw = m.group(2)
-        val millis = java.sql.Timestamp.valueOf(
-          if (raw.contains(":")) raw else s"$raw 00:00:00").getTime
+        val millis = timestampMillis(spark, raw)
         travelView(m.group(1), s"t$millis", _.readAsOf(m.group(1), millis))
           .getOrElse(m.matched)
       })
+  }
+
+  /** `TIMESTAMP AS OF` literal → epoch millis, resolved in the session
+    * timezone via Catalyst's own literal parser (accepts date-only and
+    * full timestamp forms, plus an explicit zone offset in the literal
+    * which then wins, exactly as in a SQL timestamp literal). */
+  private def timestampMillis(spark: SparkSession, raw: String): Long = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val zone = DateTimeUtils.getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+    val micros = DateTimeUtils.stringToTimestamp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw), zone)
+      .getOrElse(throw new IllegalArgumentException(
+        s"invalid TIMESTAMP AS OF literal: '$raw'"))
+    Math.floorDiv(micros, 1000L)
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)

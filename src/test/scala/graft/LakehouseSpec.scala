@@ -102,6 +102,37 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.readSnapshot("kv", 1).count() === 2)
   }
 
+  test("MERGE cardinality violation: duplicate-key source errors, table unchanged") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "card")
+    val snapsBefore = lake.snapshots("card").length
+    val before = lake.read("card").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // k=2 appears twice in the source AND matches a target row →
+    // Spark/Iceberg MERGE_CARDINALITY_VIOLATION, not a multi-update
+    val dup = Seq((2L, "B1"), (2L, "B2"), (3L, "c")).toDF("k", "v")
+    val e1 = intercept[IllegalStateException] { lake.upsert(dup, "card", Seq("k")) }
+    assert(e1.getMessage.contains("cardinality violation"))
+    // same through the parsed MERGE INTO surface (conditional clauses)
+    lake.registerView("card")
+    dup.createOrReplaceTempView("card_src")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO card USING card_src ON card.k = card_src.k
+          |WHEN MATCHED AND card_src.v = 'B1' THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("cardinality violation"))
+    // the violation aborted BEFORE any snapshot was reserved
+    assert(lake.snapshots("card").length === snapsBefore)
+    assert(lake.read("card").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === before)
+    // duplicate source keys that match NO target row are legal: SQL
+    // MERGE's NOT MATCHED INSERT fires once per source row
+    lake.upsert(Seq((9L, "x1"), (9L, "x2")).toDF("k", "v"), "card", Seq("k"))
+    assert(lake.read("card").where(col("k") === 9L).count() === 2)
+  }
+
   test("registerView exposes the table to spark.sql") {
     val lake = new Lakehouse(spark, freshRoot())
     lake.createOrReplace(Tables.region(spark, sf), "region_lake")
@@ -956,6 +987,56 @@ class LakehouseSpec extends SparkSpec {
     assert(newKeys.collect().map(_.getLong(0)).toSet === Set(3L))
     // a travel ref on an unregistered name falls through to Spark's error
     intercept[Exception] { spark.sql("SELECT * FROM nosuch_tt VERSION AS OF 1").collect() }
+  }
+
+  test("travel temp views stay bounded over many distinct travel references") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "tvb")
+    lake.registerView("tvb")
+    // distinct future timestamps → one distinct __asof_t<millis> view
+    // per query; without eviction the catalog grows one view per ref
+    val base = System.currentTimeMillis() + 60000
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+    for (i <- 0 until (graft.sources.TravelViews.Max + 10)) {
+      val ts = java.time.Instant.ofEpochMilli(base + i * 1000L)
+        .atZone(java.time.ZoneOffset.UTC).format(fmt)
+      assert(spark.sql(s"SELECT * FROM tvb TIMESTAMP AS OF '$ts'").count() === 1)
+    }
+    val travelViews = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("tvb__asof_"))
+    assert(travelViews <= graft.sources.TravelViews.Max,
+      s"travel views accumulate unboundedly: $travelViews in the catalog")
+  }
+
+  test("TIMESTAMP AS OF parses in the session timezone, not the JVM default") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "tzt")
+    lake.registerView("tzt")
+    Thread.sleep(5)
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    lake.append(Seq((2L, "b")).toDF("k", "v"), "tzt")
+    // a wall-clock literal in the SESSION zone (UTC), between the commits
+    val asOf = java.time.Instant.ofEpochMilli(between)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val prev = java.util.TimeZone.getDefault
+    try {
+      // under a UTC+9 JVM default, a Timestamp.valueOf parse would read
+      // the literal 9h early and find NO committed snapshot; the
+      // session-zone parse must still resolve snapshot 1
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+      val rows = spark.sql(s"SELECT * FROM tzt TIMESTAMP AS OF '$asOf'").collect()
+      assert(rows.map(_.getLong(0)).toSet === Set(1L))
+    } finally java.util.TimeZone.setDefault(prev)
+    // an explicit offset in the literal wins over the session zone
+    val asOfZoned = java.time.Instant.ofEpochMilli(between)
+      .atZone(java.time.ZoneId.of("+09:00"))
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS'+09:00'"))
+    val rows2 = spark.sql(s"SELECT * FROM tzt TIMESTAMP AS OF '$asOfZoned'").collect()
+    assert(rows2.map(_.getLong(0)).toSet === Set(1L))
   }
 
   test("conditional MERGE: ordered MATCHED clauses + conditional INSERT in one snapshot") {

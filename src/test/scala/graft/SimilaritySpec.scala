@@ -145,4 +145,12 @@ class SimilaritySpec extends SparkSpec {
     val pos = m.count(_ == 1L)
     assert(pos > m.length / 4 && pos < 3 * m.length / 4, s"degenerate sign matrix: $pos positive")
   }
+
+  test("SessionIds.release drops codebooks and memos; queries rebuild identically") {
+    val before = Similarity.annPqTopk(spark, sf).collect().toSeq
+    graft.sources.SessionIds.release(spark)
+    val after = Similarity.annPqTopk(spark, sf).collect().toSeq
+    assert(before === after,
+      "PQ results diverged after a cache release — retraining must be deterministic")
+  }
 }
