@@ -131,6 +131,22 @@ class Lakehouse(spark: SparkSession, root: String) {
     readLines(manifest(table)).flatMap(l =>
       """"batch":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)).toSet
 
+  /** Partition layout a committed data dir was WRITTEN with, inferred
+    * from its Hive-style `k=v` directory tree — every dir's layout is
+    * self-describing, which is what PARTITION EVOLUTION rests on: the
+    * Iceberg analog is the partition spec recorded per manifest, so a
+    * table can carry dirs of several layouts at once and each is read
+    * and rewritten under its own. Empty for unpartitioned dirs. */
+  private[graft] def dirLayout(table: String, dataDir: String): Seq[String] = {
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).find(s => s.isDirectory && s.getPath.getName.contains("=")) match {
+        case Some(s) => s.getPath.getName.takeWhile(_ != '=') +: walk(s.getPath)
+        case None => Nil
+      }
+    val p = new Path(tableDir(table), dataDir)
+    if (fs.exists(p)) walk(p) else Nil
+  }
+
   /** Relative partition-leaf subdirs (k=v[/k=v…]) of a data dir, to
     * `depth` partition levels. */
   private def leafDirs(dataDir: Path, depth: Int): Seq[String] = {
@@ -901,19 +917,18 @@ class Lakehouse(spark: SparkSession, root: String) {
       // partitioned: classify at partition-LEAF granularity, so a
       // delete that can only hit some partitions carries every other
       // partition by reference (same property as partition-scoped
-      // upsert), instead of rewriting the whole dir
+      // upsert), instead of rewriting the whole dir. Each dir explodes
+      // at its OWN recorded layout (partition evolution: a table may
+      // carry dirs of several layouts; stats classify all of them, and
+      // only the rewrite output takes the current layout).
       val entries =
         if (partitionBy.isEmpty) rawEntries
         else rawEntries.flatMap { e =>
           if (e.contains("/")) Seq(e)
-          else {
-            val leaves = leafDirs(new Path(tableDir(table), e), partitionBy.length)
-            require(leaves.nonEmpty ||
-              !fs.listStatus(new Path(tableDir(table), e))
-                .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
-              s"$table/$e was not written with partitionBy=${partitionBy.mkString(",")}; " +
-                "compact(table, partitionBy) first, then deleteWhere")
-            leaves.map(l => s"$e/$l")
+          else dirLayout(table, e) match {
+            case Nil => Seq(e) // unpartitioned dir: classify whole
+            case own => leafDirs(new Path(tableDir(table), e), own.length)
+              .map(l => s"$e/$l")
           }
         }
       val (touched, clean) = entries.partition(e => matchingFiles(table, e, conjuncts).nonEmpty)
@@ -980,18 +995,15 @@ class Lakehouse(spark: SparkSession, root: String) {
       val rawEntries = base.map(c => snapshots(table).find(_._1 == c).get._2)
         .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
       val conjuncts = skippableConjuncts(pred, readBase(table, base))
+      // per-dir OWN layout, as in [[deleteWhere]] (partition evolution)
       val entries =
         if (partitionBy.isEmpty) rawEntries
         else rawEntries.flatMap { e =>
           if (e.contains("/")) Seq(e)
-          else {
-            val leaves = leafDirs(new Path(tableDir(table), e), partitionBy.length)
-            require(leaves.nonEmpty ||
-              !fs.listStatus(new Path(tableDir(table), e))
-                .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
-              s"$table/$e was not written with partitionBy=${partitionBy.mkString(",")}; " +
-                "compact(table, partitionBy) first, then updateWhere")
-            leaves.map(l => s"$e/$l")
+          else dirLayout(table, e) match {
+            case Nil => Seq(e)
+            case own => leafDirs(new Path(tableDir(table), e), own.length)
+              .map(l => s"$e/$l")
           }
         }
       val (touched, clean) = entries.partition(e => matchingFiles(table, e, conjuncts).nonEmpty)
@@ -1396,10 +1408,73 @@ class Lakehouse(spark: SparkSession, root: String) {
             target.join(removeKeys, keyCols, "left_semi")
               .select(partitionBy.map(target(_)): _*).distinct())
           .distinct()
+        def enc(c: String, v: Any): String =
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(c, if (v == null) null else v.toString)
+        val touchedRows = touched.collect()
+        // touched partition values as path-encoded `c=v` segments: as an
+        // ordered leaf path (same-layout supersede matching) and as a
+        // per-column map (cross-layout overlap tests below)
+        val encodedLeaves = touchedRows.map(row =>
+          partitionBy.zipWithIndex.map { case (c, i) => enc(c, row.get(i)) }
+            .mkString("/")).toSet
+        val touchedByCol: Seq[Map[String, String]] = touchedRows.map(row =>
+          partitionBy.zipWithIndex.map { case (c, i) => c -> enc(c, row.get(i)) }.toMap).toSeq
+        // PARTITION EVOLUTION: entries written under the CURRENT layout
+        // carry/supersede leaf-for-leaf as always; entries under a
+        // DIFFERENT layout (incl. unpartitioned) can't be compared by
+        // leaf name, so each of THEIR OWN leaves is tested for overlap
+        // with the touched values on the columns the two layouts SHARE:
+        // a non-overlapping leaf carries by reference untouched, an
+        // overlapping one migrates WHOLLY into this rewrite (its
+        // touched-group rows via the by-value semi-join, the rest via
+        // `migratedRest`) and is dropped — Iceberg's "old files keep
+        // their spec until a rewrite touches them". Disjoint layouts
+        // can't prove non-overlap → migrate (conservatively correct).
+        def layoutOf(entry: String): Seq[String] = {
+          val slash = entry.indexOf('/')
+          if (slash >= 0)
+            entry.substring(slash + 1).split("/").toSeq.map(_.takeWhile(_ != '='))
+          else dirLayout(table, entry)
+        }
+        def overlapsTouched(leafSegs: Seq[String]): Boolean = {
+          val leafByCol = leafSegs.map(s => s.takeWhile(_ != '=') -> s).toMap
+          val shared = leafByCol.keySet intersect partitionBy.toSet
+          shared.isEmpty ||
+            touchedByCol.exists(t => shared.forall(c => t(c) == leafByCol(c)))
+        }
+        // (carried other-layout entries, other-layout entries to migrate)
+        val (sameLayout, otherLayout) = prev.partition(e => layoutOf(e) == partitionBy)
+        val (otherCarried, otherMigrated) = otherLayout.flatMap { entry =>
+          val slash = entry.indexOf('/')
+          if (slash >= 0) Seq(entry)
+          else layoutOf(entry) match {
+            case Nil => Seq(entry) // unpartitioned (or empty) dir
+            case own => leafDirs(new Path(tableDir(table), entry), own.length)
+              .map(l => s"$entry/$l")
+          }
+        }.partition { entry =>
+          val slash = entry.indexOf('/')
+          val segs = if (slash >= 0) entry.substring(slash + 1).split("/").toSeq else Nil
+          !overlapsTouched(segs)
+        }
         val targetTouched = target.join(touched, partitionBy, "left_semi")
-        val merged = targetTouched
+        // rows of migrating entries OUTSIDE the touched groups — they
+        // move into the new dir (new layout) unchanged; their
+        // touched-group siblings already arrive through targetTouched
+        lazy val dels = tombstones(table, base.get)
+        val migratedRest = otherMigrated.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+          .map { case (dataDir, es) =>
+            val paths = if (es.contains(dataDir)) Seq(dataDir) else es
+            applyTombstones(openDirGroup(table, dataDir, paths), dataDir, dels)
+          }
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
+          .map(_.join(touched, partitionBy, "left_anti"))
+        val changed = targetTouched
           .join(removeKeys, keyCols, "left_anti")
           .unionByName(addRows)
+        val merged = migratedRest
+          .map(changed.unionByName(_, allowMissingColumns = true)).getOrElse(changed)
         val snap = reserveSnap(table)
         val dir = s"data-$snap"
         try {
@@ -1413,33 +1488,18 @@ class Lakehouse(spark: SparkSession, root: String) {
           // lost on key writes no leaf at all, yet its old leaf must
           // still be superseded (not carried by reference).
           val writtenLeaves = leafDirs(new Path(tableDir(table), dir), partitionBy.length).toSet
-          val encodedLeaves = touched.collect().map { row =>
-            partitionBy.zipWithIndex.map { case (c, i) =>
-              val v = row.get(i)
-              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                .getPartitionPathString(c, if (v == null) null else v.toString)
-            }.mkString("/")
-          }.toSet
           val touchedLeaves = writtenLeaves ++ encodedLeaves
-          val kept = prev.flatMap { entry =>
+          val kept = sameLayout.flatMap { entry =>
             val slash = entry.indexOf('/')
             if (slash >= 0) {
               // already a partition leaf: keep unless superseded
               if (touchedLeaves.contains(entry.substring(slash + 1))) Nil else Seq(entry)
             } else {
               // whole data dir: explode into leaves and keep the untouched ones
-              val leaves = leafDirs(new Path(tableDir(table), entry), partitionBy.length)
-              // a prior dir with rows but NO partition leaves was written
-              // under a different (or no) partition layout — exploding it
-              // would silently drop its rows from the new snapshot
-              require(leaves.nonEmpty ||
-                !fs.listStatus(new Path(tableDir(table), entry))
-                  .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
-                s"$table/$entry was not written with partitionBy=${partitionBy.mkString(",")}; " +
-                  "compact(table, partitionBy) first, then upsert")
-              leaves.filterNot(touchedLeaves.contains).map(l => s"$entry/$l")
+              leafDirs(new Path(tableDir(table), entry), partitionBy.length)
+                .filterNot(touchedLeaves.contains).map(l => s"$entry/$l")
             }
-          }
+          } ++ otherCarried
           // carried-by-reference leaves still need the base's tombstones
           // (the rewritten dir's higher sequence exempts it from them)
           commit(table, snap, kept :+ dir, branch, Some(base), batch = batchId,

@@ -56,6 +56,13 @@ object LakehouseRegistry {
     tables.keySet.removeIf(_._1 == id)
   }
 
+  /** View names registered in `spark` (statement-pinning scan). */
+  def names(spark: SparkSession): Seq[String] = {
+    val id = SessionIds.idOf(spark)
+    import scala.jdk.CollectionConverters._
+    tables.keySet.asScala.toSeq.collect { case (sid, n) if sid == id => n }
+  }
+
   /** Parser-time check: is `view` registered in the ACTIVE session? */
   def isRegistered(view: String): Boolean =
     SparkSession.getActiveSession.exists(s => lookup(s, view).isDefined)
@@ -264,7 +271,36 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         }
       }
       LakehouseMergeCondCommand(table, source, keys, matched, insert)
-    case _ => delegate.parsePlan(rewriteTimeTravel(sqlText))
+    case _ =>
+      pinRegisteredViews(sqlText)
+      delegate.parsePlan(rewriteTimeTravel(sqlText))
+  }
+
+  /** SNAPSHOT-ISOLATION pinning (Iceberg's per-query snapshot rule):
+    * every registered lakehouse view the statement names is re-resolved
+    * ONCE, at statement start, to the table's CURRENT snapshot. All
+    * references within the statement — a self-join, repeated
+    * subqueries — then read one consistent snapshot, and a concurrent
+    * writer committing between two references can never produce a
+    * mixed read; it also means plain SQL reads are always FRESH, not
+    * pinned to registration time. The temp view's plan is inlined at
+    * analysis, so re-pinning for a later statement never disturbs an
+    * already-analyzed Dataset; data dirs are immutable once committed,
+    * so the pinned dir list stays valid whatever commits race it. */
+  private def pinRegisteredViews(sqlText: String): Unit = {
+    val sessionOpt = SparkSession.getActiveSession
+    if (sessionOpt.isEmpty) return
+    val spark = sessionOpt.get
+    LakehouseRegistry.names(spark).foreach { name =>
+      val refd = java.util.regex.Pattern
+        .compile("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b")
+        .matcher(sqlText).find()
+      if (refd) LakehouseRegistry.lookup(spark, name).foreach { case (lake, _) =>
+        // a vacuumed/retired table must not fail unrelated statements
+        // that merely share a word with its name
+        scala.util.Try(lake.read(name).createOrReplaceTempView(name))
+      }
+    }
   }
 
   private val MetaRe =

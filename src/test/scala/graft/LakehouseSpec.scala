@@ -560,22 +560,75 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.readSnapshot("vac", 1L).count() === 1L)
   }
 
-  test("upsert with partitionBy over an unpartitioned table errors instead of dropping rows") {
+  test("partition evolution: upsert with partitionBy migrates an unpartitioned table") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
     lake.createOrReplace(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"), "lm")
-    val e = intercept[IllegalArgumentException] {
-      lake.upsert(Seq((1L, "A", "p1")).toDF("k", "v", "p"), "lm",
-        keyCols = Seq("k"), partitionBy = Seq("p"))
-    }
-    assert(e.getMessage.contains("compact"))
-    // the prescribed fix works: compact into the partition layout, then upsert
-    lake.compact("lm", partitionBy = Seq("p"))
+    // the old dir's layout can't prove non-overlap with the touched
+    // partitions, so its rows migrate wholly into the new layout —
+    // no row is lost, no compaction prerequisite
     lake.upsert(Seq((1L, "A", "p1")).toDF("k", "v", "p"), "lm",
       keyCols = Seq("k"), partitionBy = Seq("p"))
     val got = lake.read("lm").select("k", "v").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === Set((1L, "A"), (2L, "b")))
+    // the rewrite took the declared layout: the new dir has p= leaves
+    val entries = lake.snapshots("lm").last._2
+    assert(entries.size === 1 && lake.dirLayout("lm", entries.head) === Seq("p"),
+      s"expected a single p-partitioned dir, got $entries")
+  }
+
+  test("partition evolution: new writes take the evolved layout, untouched old leaves carry") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    // v1 layout: by day only
+    lake.createOrReplace(
+      Seq((1L, "a", "d1", 0), (2L, "b", "d2", 1)).toDF("k", "v", "day", "hour"),
+      "pevo", partitionBy = Seq("day"))
+    // EVOLVE: appends now declare (day, hour); the old dir keeps its layout
+    lake.append(Seq((3L, "c", "d1", 2)).toDF("k", "v", "day", "hour"),
+      "pevo", partitionBy = Seq("day", "hour"))
+    lake.registerView("pevo", Seq("day", "hour"))
+    assert(lake.read("pevo").count() === 3)
+    assert(lake.dirLayout("pevo", "data-1") === Seq("day"))
+    assert(lake.dirLayout("pevo", "data-2") === Seq("day", "hour"))
+    // readWhere prunes across BOTH layouts (path-derived stats)
+    val pruned = lake.readWhere(col("day") === "d1", "pevo")
+    assert(pruned.collect().map(_.getAs[Long]("k")).toSet === Set(1L, 3L))
+    // upsert under the NEW layout: touches (d1, h2) — the old dir's
+    // d1 leaf overlaps on the shared column and migrates wholly; its
+    // d2 leaf carries BY REFERENCE (byte-identical old entry)
+    lake.upsert(Seq((3L, "C", "d1", 2)).toDF("k", "v", "day", "hour"),
+      "pevo", keyCols = Seq("k"), partitionBy = Seq("day", "hour"))
+    val got = lake.read("pevo").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a"), (2L, "b"), (3L, "C")))
+    val entries3 = lake.snapshots("pevo").last._2
+    assert(entries3.contains("data-1/day=d2"),
+      s"untouched old-layout leaf should carry by reference: $entries3")
+    // parsed SQL UPDATE through the registered (evolved) layout still
+    // preserves each dir's own layout for untouched partitions
+    spark.sql("UPDATE pevo SET v = 'B' WHERE k = 2").collect()
+    val after = lake.read("pevo").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === Set((1L, "a"), (2L, "B"), (3L, "C")))
+    assert(lake.read("pevo").where(col("day") === "d1").count() === 2)
+  }
+
+  test("partition evolution: deleteWhere classifies mixed-layout dirs at their own leaves") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("k", "v", "day"),
+      "pdel", partitionBy = Seq("day"))
+    lake.append(Seq((3L, "c", "d1"), (4L, "d", "d3")).toDF("k", "v", "day"),
+      "pdel", partitionBy = Seq("day"))
+    // evolve to unpartitioned appends, then delete across the mix
+    lake.append(Seq((5L, "e", "d1")).toDF("k", "v", "day"), "pdel")
+    assert(lake.read("pdel").count() === 5)
+    lake.deleteWhere(col("day") === "d1", "pdel", partitionBy = Seq("day"))
+    val got = lake.read("pdel").select("k").collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 4L))
   }
 
   test("parsed SQL DML: DELETE FROM and MERGE INTO execute over registered lakehouse views") {
@@ -987,6 +1040,42 @@ class LakehouseSpec extends SparkSpec {
     assert(newKeys.collect().map(_.getLong(0)).toSet === Set(3L))
     // a travel ref on an unregistered name falls through to Spark's error
     intercept[Exception] { spark.sql("SELECT * FROM nosuch_tt VERSION AS OF 1").collect() }
+  }
+
+  test("snapshot isolation: statement-start pinning reads fresh and never mixes snapshots") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "pin")
+    lake.registerView("pin")
+    // a programmatic append WITHOUT re-registering: the next statement
+    // still sees the table's CURRENT snapshot (resolution happens at
+    // statement start, not registration time)
+    lake.append(Seq((3L, "c")).toDF("k", "v"), "pin")
+    val fresh = spark.sql("SELECT count(*) FROM pin").head().getLong(0)
+    assert(fresh === 3, "statement must resolve the current snapshot, not a stale pin")
+    // racing appends: each statement resolves ONE snapshot for ALL its
+    // references — two subquery scans can never observe a mixed read
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        var i = 4L
+        while (!stop.get && i < 40L) {
+          lake.append(Seq((i, "x")).toDF("k", "v"), "pin"); i += 1
+        }
+      } catch { case t: Throwable => failed.set(t) }
+    })
+    writer.start()
+    try {
+      for (_ <- 1 to 8) {
+        val row = spark.sql(
+          """SELECT (SELECT count(*) FROM pin) a,
+            |       (SELECT count(*) FROM pin) b""".stripMargin).head()
+        assert(row.getLong(0) === row.getLong(1),
+          s"mixed-snapshot read: ${row.getLong(0)} vs ${row.getLong(1)}")
+      }
+    } finally { stop.set(true); writer.join() }
+    assert(failed.get() == null, s"concurrent writer failed: ${failed.get()}")
   }
 
   test("travel temp views stay bounded over many distinct travel references") {
