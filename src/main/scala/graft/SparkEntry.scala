@@ -99,6 +99,7 @@ object SparkEntry {
     "text_pii" -> (TextAnalysis.textPii _),
     "sketch_distinct_ngrams" -> ((s, d) => operators.Sketches.sketchDistinctNgrams(s, d)),
     "sketch_source_overlap" -> ((s, d) => operators.Sketches.sketchSourceOverlap(s, d)),
+    "sketch_algebra" -> ((s, d) => operators.Sketches.sketchAlgebra(s, d)),
     // corpus-unigram LM quality proxy (perplexity-bucketing signal)
     "text_unigram_logprob" -> (TextAnalysis.textUnigramLogprob _),
     // §2.F — multimodal
@@ -1004,6 +1005,34 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(list_intersect(u, am), bm)) AS DOUBLE) / len(u), 6)
         |    AS jaccard_est
         |FROM p ORDER BY src_a, src_b""".stripMargin,
+    "sketch_algebra" ->
+      """WITH tk AS (SELECT source, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks
+        |  FROM documents),
+        |s AS (SELECT source, CASE WHEN len(toks)<3 THEN []
+        |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)])
+        |  END sh FROM tk),
+        |g AS (SELECT source, unnest(sh) g0 FROM s),
+        |h AS (SELECT DISTINCT source, CAST(md5_number_lower(g0) // 4 AS BIGINT) h FROM g),
+        |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) rk FROM h),
+        |mins AS (SELECT source, list(h ORDER BY h) mins FROM r WHERE rk <= 128 GROUP BY source),
+        |p AS (SELECT a.source src_a, b.source src_b,
+        |    list_sort(list_distinct(a.mins || b.mins))[1:128] u, a.mins am, b.mins bm
+        |  FROM mins a JOIN mins b ON a.source < b.source),
+        |e AS (SELECT src_a, src_b,
+        |    CASE WHEN len(am) < 128 THEN CAST(len(am) AS DOUBLE)
+        |      ELSE 127.0 * 4611686018427387904.0 / CAST(am[128] AS DOUBLE) END ea,
+        |    CASE WHEN len(bm) < 128 THEN CAST(len(bm) AS DOUBLE)
+        |      ELSE 127.0 * 4611686018427387904.0 / CAST(bm[128] AS DOUBLE) END eb,
+        |    CASE WHEN len(u) < 128 THEN CAST(len(u) AS DOUBLE)
+        |      ELSE 127.0 * 4611686018427387904.0 / CAST(u[128] AS DOUBLE) END eu,
+        |    CAST(len(list_intersect(list_intersect(u, am), bm)) AS DOUBLE) / len(u) j
+        |  FROM p)
+        |SELECT src_a, src_b,
+        |  round(eu, 3) AS est_union,
+        |  round(j * eu, 3) AS est_inter,
+        |  round(greatest(0.0, ea - j * eu), 3) AS est_diff_ab,
+        |  round(greatest(0.0, eb - j * eu), 3) AS est_diff_ba
+        |FROM e ORDER BY src_a, src_b""".stripMargin,
     "text_pii" ->
       """WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
         |    '@mail.example.com or call ' || CAST(doc_id % 900 + 100 AS VARCHAR) ||

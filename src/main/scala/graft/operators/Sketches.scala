@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, SketchAgg}
@@ -63,6 +63,73 @@ object Sketches {
               element_at(col("mins"), k).cast("double"), 3))
           .as("est_distinct"))
       .orderBy("source")
+
+  /** PERSISTED sketch table — the `_sketch` artifact a 100 TB corpus
+    * pass produces ONCE and every later readout consumes WITHOUT
+    * touching the corpus again: (source, sorted k-min hash array) as
+    * parquet. Locally it lands beside the JVM tmp dir; at scale the
+    * same write is a lakehouse table. Write-once per (session, dir)
+    * via [[Memo]]; re-running overwrites idempotently (the sketch is
+    * a pure function of the corpus). */
+  private def sketchTablePath(dir: String, k: Int): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"${System.getProperty("java.io.tmpdir")}/graft_sketch_${tag}_k$k.parquet"
+  }
+
+  /** Read (building + persisting if absent this session) the `_sketch`
+    * table for `dir` — the relation all sketch ALGEBRA runs on. */
+  private[graft] def sketchTable(spark: SparkSession, dir: String, k: Int): DataFrame =
+    graft.sources.Memo.persisted(spark, s"sketches.table$k|$dir") {
+      val path = sketchTablePath(dir, k)
+      sourceSketches(spark, dir, k).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      spark.read.parquet(path)
+    }
+
+  /** KMV cardinality estimate from a sorted k-min array: exact |mins|
+    * below k, (k−1)·2^62/h_k at capacity. */
+  private def kmvEst(mins: Column, k: Int): Column =
+    when(size(mins) < k, size(mins).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashRange) /
+        element_at(mins, k).cast("double"))
+
+  /** `sketch_algebra` — first-class UNION / INTERSECTION / DIFFERENCE
+    * cardinalities for every source pair, computed ENTIRELY from the
+    * persisted `_sketch` table (the corpus is never re-read):
+    *
+    *   K(A∪B)  = k smallest of the merged sketches  → |A∪B| estimate
+    *   |A∩B|  ≈ J(A,B) · |A∪B|   (the pairing estimator's identity)
+    *   |A\B|  ≈ max(0, |A| − |A∩B|)
+    *
+    * This is the sketch-algebra readout a mixing pipeline consults
+    * ("how much NEW content does source B add over A?") at
+    * |sources|²·k cost, independent of corpus size. Deterministic
+    * cross-engine — the oracle restates every step bit-for-bit. */
+  def sketchAlgebra(spark: SparkSession, dir: String, k: Int = KmvK): DataFrame = {
+    val sk = sketchTable(spark, dir, k)
+    sk.alias("a")
+      .join(sk.alias("b"), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("src_a"),
+        col("b.source").as("src_b"),
+        slice(array_sort(array_union(col("a.mins"), col("b.mins"))), 1, k).as("u"),
+        col("a.mins").as("am"), col("b.mins").as("bm"))
+      .select(
+        col("src_a"), col("src_b"),
+        kmvEst(col("am"), k).as("ea"),
+        kmvEst(col("bm"), k).as("eb"),
+        kmvEst(col("u"), k).as("eu"),
+        (size(array_intersect(array_intersect(col("u"), col("am")), col("bm")))
+          .cast("double") / size(col("u"))).as("j"))
+      .select(
+        col("src_a"), col("src_b"),
+        round(col("eu"), 3).as("est_union"),
+        round(col("j") * col("eu"), 3).as("est_inter"),
+        round(greatest(lit(0.0), col("ea") - col("j") * col("eu")), 3).as("est_diff_ab"),
+        round(greatest(lit(0.0), col("eb") - col("j") * col("eu")), 3).as("est_diff_ba"))
+      .orderBy("src_a", "src_b")
+  }
 
   /** `sketch_source_overlap` — pairwise cross-source 3-gram Jaccard
     * from KMV SET ALGEBRA: K(A∪B) = the k smallest of the two merged

@@ -153,4 +153,34 @@ class FunctionsSpec extends SparkSpec {
     }
     info(f"worst |est-exact| over ${est.size} pairs: $worst%.3f")
   }
+
+  test("KMV sketch algebra: union/inter/diff estimates from the persisted sketch table") {
+    import graft.operators.TextAnalysis.{shingles, tokens}
+    val alg = graft.operators.Sketches.sketchAlgebra(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val grams = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), explode(shingles(tokens(col("text")))).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inter = grams.alias("a")
+      .join(grams.alias("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(alg.size === sizes.size * (sizes.size - 1) / 2, "missing source pairs")
+    alg.foreach { case ((sa, sb), (eu, ei, dab, dba)) =>
+      // internal identities the algebra must respect
+      assert(ei <= eu + 1e-9, s"($sa,$sb): intersection exceeds union")
+      assert(dab >= 0.0 && dba >= 0.0)
+      // estimates track exact set sizes within KMV error
+      val i = inter.getOrElse((sa, sb), 0L).toDouble
+      val u = sizes(sa) + sizes(sb) - i
+      assert(eu / u > 0.6 && eu / u < 1.67,
+        f"($sa,$sb): union est $eu%.0f vs exact $u%.0f")
+      assert(math.abs(ei - i) <= 0.25 * u,
+        f"($sa,$sb): inter est $ei%.0f vs exact $i%.0f (union $u%.0f)")
+    }
+  }
 }
