@@ -1078,6 +1078,84 @@ class Lakehouse(spark: SparkSession, root: String) {
       }
     }
 
+  /** MERGE-ON-READ `UPDATE` (Iceberg v2 update-as-delta): matched rows
+    * are POSITIONALLY tombstoned and their updated images append as a
+    * new data dir — ONE snapshot, ZERO existing data files rewritten,
+    * so a point update in a hot partition costs O(matched rows), not a
+    * partition rewrite. The tombstone and the delta share the
+    * snapshot's sequence, and tombstones apply only to LOWER
+    * sequences — the tombstone can never swallow the updated rows it
+    * ships with. SET expressions read the ORIGINAL row values
+    * (standard UPDATE); a row where the predicate is NULL survives
+    * untouched; file stats classify dirs so an update that provably
+    * misses a dir never reads it. The matched set is scanned twice
+    * (tombstone positions + updated images) — deterministic over
+    * immutable committed files, and matched-rows-sized, so the double
+    * scan is point-update-cheap while every data file stays in place.
+    * [[compact]] materializes the delta away, as with MoR deletes. */
+  def updateWhereMor(assignments: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column, table: String, branch: String = "main"): Long =
+    retryingCommit(table, branch) { base =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val entries = base.map(c => snapshots(table).find(_._1 == c).get._2)
+        .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+      val prevDeletes = snapshotDeletes(table).getOrElse(base.get, Seq.empty)
+      val target = readBase(table, base)
+      val conjuncts = skippableConjuncts(pred, target)
+      val dels = tombstones(table, base.get)
+      val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      val hits = byDataDir.flatMap { case (dataDir, dirEntries) =>
+        val files = dirEntries.flatMap(matchingFiles(table, _, conjuncts)).distinct
+        if (files.isEmpty) None
+        else Some(
+          applyTombstones(openDirGroup(table, dataDir, files), dataDir, dels)
+            .where(coalesce(pred, lit(false)) === lit(true)))
+      }
+      if (hits.isEmpty) base.get // stats prove nothing can match: no-op
+      else {
+        val matched = hits.reduce(_.unionByName(_, allowMissingColumns = true))
+        val setMap = assignments.toMap
+        val updated = matched.select(matched.columns.toSeq.map(c =>
+          setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        val positions = hits.map(_.select(
+            col("_metadata.file_path").as("__file"),
+            col("_metadata.row_index").as("__pos")))
+          .reduce(_.unionByName(_))
+        val snap = reserveSnap(table)
+        val delDir = s"_deletes-$snap"
+        val dataDir = s"data-$snap"
+        try {
+          positions.write.mode(SaveMode.Overwrite)
+            .parquet(new Path(tableDir(table), delDir).toString)
+          writeDataDir(updated, table, dataDir, Nil)
+          commit(table, snap, entries :+ dataDir, branch, Some(base),
+            deletes = prevDeletes :+ delDir)
+        } catch {
+          case e: Throwable =>
+            abortSnap(table, snap, dataDir)
+            fs.delete(new Path(tableDir(table), delDir), true)
+            throw e
+        }
+      }
+    }
+
+  /** [[updateWhereMor]] over SQL-text SET/WHERE clauses, re-registering
+    * the view afterwards — the programmatic MoR twin of [[sqlUpdate]]
+    * (same clause parsing, same subquery refusal). */
+  def sqlUpdateMor(table: String, setClause: String, whereClause: String): Long = {
+    import org.apache.spark.sql.functions.expr
+    val assignments = splitTopLevel(setClause).map {
+      case Assignment(c, rhs) => c -> expr(rhs)
+      case other => throw new IllegalArgumentException(
+        s"UPDATE SET expects `col = expr`; got: $other")
+    }
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    val snap = updateWhereMor(assignments, expr(whereClause), table)
+    val layout = LakehouseRegistry.lookup(spark, table).map(_._2).getOrElse(Nil)
+    registerView(table, layout)
+    snap
+  }
+
   /** MERGE … WHEN MATCHED THEN DELETE: target rows whose key matches a
     * source row are removed (the Iceberg v2 merge-delete shape). The
     * whole table anti-joins against the (small, distinct) key set —

@@ -1042,6 +1042,38 @@ class LakehouseSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM nosuch_tt VERSION AS OF 1").collect() }
   }
 
+  test("merge-on-read UPDATE: zero data files rewritten, stacked deltas, compaction materializes") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, "a", 10.0), (2L, "b", 200.0), (3L, "c", 30.0)).toDF("k", "v", "x"), "umor")
+    lake.registerView("umor")
+    val dirsBefore = lake.snapshots("umor").last._2
+    val snap = lake.sqlUpdateMor("umor", "v = upper(v), x = x + 1", "x > 100")
+    // ONE snapshot; every pre-existing data entry carried BY REFERENCE
+    // plus one matched-rows-sized delta — no data file rewritten
+    val entries = lake.snapshots("umor").find(_._1 == snap).get._2
+    assert(dirsBefore.forall(entries.contains),
+      s"existing data dirs must carry by reference: $dirsBefore vs $entries")
+    // SET read the ORIGINAL values (x = x + 1 on the pre-update x)
+    val got = lake.read("umor").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, "a", 10.0), (2L, "B", 201.0), (3L, "c", 30.0)))
+    // time travel still sees the pre-update state
+    assert(lake.readSnapshot("umor", 1).collect().map(_.getString(1)).toSet
+      === Set("a", "b", "c"))
+    // a SECOND MoR update stacks over the first's tombstone + delta
+    lake.sqlUpdateMor("umor", "v = v || '!'", "k = 1")
+    val got2 = lake.read("umor").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 === Set((1L, "a!"), (2L, "B"), (3L, "c")))
+    // compaction materializes deltas and tombstones away, same rows
+    lake.compact("umor")
+    assert(lake.read("umor").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === got2)
+    assert(lake.snapshots("umor").last._2.size === 1)
+  }
+
   test("snapshot isolation: statement-start pinning reads fresh and never mixes snapshots") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
