@@ -44,13 +44,50 @@ object Sketches {
     * the cardinality readout shares the same materialization. */
   private def sourceSketches(spark: SparkSession, dir: String, k: Int): DataFrame =
     graft.sources.Memo.persisted(spark, s"sketches.kmin$k|$dir") {
-      import graft.operators.TextAnalysis.{shingles, tokens}
-      Tables.parallel(spark, Tables.documents(spark, dir))
-        .select(col("source"), explode(shingles(tokens(col("text")))).as("g"))
-        .select(col("source"), HashFunctions.h62(col("g")).as("h"))
-        .groupBy("source")
-        .agg(SketchAgg.kMin(col("h"), k).as("mins"))
+      docSketches(Tables.parallel(spark, Tables.documents(spark, dir)), k)
     }
+
+  /** Per-source KMV sketch relation for ANY (source, text) document
+    * set — the one corpus pass; everything downstream is sketch-sized. */
+  def docSketches(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    import graft.operators.TextAnalysis.{shingles, tokens}
+    docs
+      .select(col("source"), explode(shingles(tokens(col("text")))).as("g"))
+      .select(col("source"), HashFunctions.h62(col("g")).as("h"))
+      .groupBy("source")
+      .agg(SketchAgg.kMin(col("h"), k).as("mins"))
+  }
+
+  /** EXACT KMV merge: per source, the k smallest distinct hashes of
+    * the two min-sets unioned. Any hash among the true k smallest of
+    * A∪B is among the k smallest of whichever side holds it, so
+    * k-min(k-min(A) ∪ k-min(B)) ≡ k-min(A∪B) — an incrementally
+    * merged sketch is BIT-IDENTICAL to one rebuilt from the combined
+    * corpora (the property that makes sketch tables maintainable
+    * without corpus re-scans; spec proves the equality). Sources
+    * present on one side only pass through unchanged. */
+  def mergeSketches(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame =
+    a.unionByName(b)
+      .select(col("source"), explode(col("mins")).as("h"))
+      .groupBy("source")
+      .agg(SketchAgg.kMin(col("h"), k).as("mins"))
+
+  /** Incremental refresh of a USER-MANAGED persisted sketch table:
+    * sketch ONLY the `delta` documents, KMV-merge with the stored
+    * relation, rewrite `path`. The lifecycle op that keeps a sketch
+    * table current as its corpus grows — cost is one pass over the
+    * DELTA plus sketch-sized merge work; the historical corpus is
+    * never re-read. The merged relation is materialized driver-side
+    * (bounded: |sources|·k longs) before the overwrite, which also
+    * breaks the read-then-overwrite-same-path cycle. */
+  def refreshSketchTable(spark: SparkSession, path: String, delta: DataFrame,
+      k: Int = KmvK): Unit = {
+    val existing = spark.read.parquet(path)
+    val merged = mergeSketches(existing, docSketches(delta, k), k).collect()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(merged.toSeq.asJava, existing.schema)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
 
   def sketchDistinctNgrams(spark: SparkSession, dir: String, k: Int = KmvK): DataFrame =
     sourceSketches(spark, dir, k)

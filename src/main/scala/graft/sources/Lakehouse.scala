@@ -1982,23 +1982,73 @@ class Lakehouse(spark: SparkSession, root: String) {
     }
 
   /** Upsert one table's catalog line; no-op when unchanged (DML
-    * re-registers on every statement — don't rewrite metadata then). */
+    * re-registers on every statement — don't rewrite metadata then).
+    * Rewrites replace only THIS table's view line: other line kinds
+    * (bucketed entries) and other tables' lines pass through verbatim. */
   private def persistCatalogEntry(table: String, partitionBy: Seq[String]): Unit =
     Lakehouse.locks.computeIfAbsent(catalogPath.toString, _ => new Object).synchronized {
-      val entries = catalogEntries()
-      if (!entries.contains(table -> partitionBy)) {
-        val updated = entries.filterNot(_._1 == table) :+ (table -> partitionBy)
-        writeFile(catalogPath, updated.map { case (t, cols) =>
-          s"""{"table":"${jsonEsc(t)}","partitionBy":[${
-            cols.map(c => s""""$c"""").mkString(",")}]}"""
-        }.mkString("\n") + "\n")
+      val newLine = s"""{"table":"${jsonEsc(table)}","partitionBy":[${
+        partitionBy.map(c => s""""$c"""").mkString(",")}]}"""
+      val lines = readLines(catalogPath)
+      if (!lines.contains(newLine)) {
+        val kept = lines.filterNot {
+          case CatalogLine(t, _) => unesc(t) == table
+          case _ => false
+        }
+        writeFile(catalogPath, (kept :+ newLine).mkString("\n") + "\n")
       }
     }
 
+  private val BucketedLine =
+    """\{"bucketed":"(.*)","bucketBy":\[([^\]]*)\],"nBuckets":(\d+),"path":"(.*)"\}""".r
+
+  /** Parsed bucketed-table catalog lines: (table, bucketBy, n, path). */
+  def bucketedEntries(): Seq[(String, Seq[String], Int, String)] =
+    readLines(catalogPath).flatMap {
+      case BucketedLine(t, cols, n, p) =>
+        Some((unesc(t), cols.split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty),
+          n.toInt, unesc(p)))
+      case _ => None
+    }
+
+  /** Write a BUCKETED companion table under the lake root and record
+    * it in `_catalog.jsonl` — the pre-shuffled layout that turns every
+    * fact-fact equi-join on `bucketCols` into a shuffle-free local
+    * merge, now durable: [[registerCatalog]] (openCatalog) re-creates
+    * the catalog bucket spec in a fresh session/process, so the
+    * layout's cost is paid once and the shuffle-free plan survives
+    * restarts (the Iceberg analog: a bucket-partition-spec table in a
+    * persistent catalog). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int): Unit = {
+    val path = new Path(root, s"_bucketed/$table").toString
+    Bucketed.write(df, table, bucketCols, nBuckets, path)
+    Lakehouse.locks.computeIfAbsent(catalogPath.toString, _ => new Object).synchronized {
+      val newLine = s"""{"bucketed":"${jsonEsc(table)}","bucketBy":[${
+        bucketCols.map(c => s""""$c"""").mkString(",")
+        }],"nBuckets":$nBuckets,"path":"${jsonEsc(path)}"}"""
+      val lines = readLines(catalogPath)
+      if (!lines.contains(newLine)) {
+        val kept = lines.filterNot {
+          case BucketedLine(t, _, _, _) => unesc(t) == table
+          case _ => false
+        }
+        writeFile(catalogPath, (kept :+ newLine).mkString("\n") + "\n")
+      }
+    }
+  }
+
   /** Re-register every cataloged table in THIS handle's session —
-    * temp views plus DML routing, with the persisted layouts. */
-  def registerCatalog(): Unit =
+    * temp views plus DML routing, with the persisted layouts; bucketed
+    * companions get their catalog bucket spec re-created so their
+    * joins stay shuffle-free. */
+  def registerCatalog(): Unit = {
     catalogEntries().foreach { case (t, p) => registerView(t, p) }
+    bucketedEntries().foreach { case (t, cols, n, p) =>
+      if (!spark.catalog.tableExists(t)) Bucketed.register(spark, t, cols, n, p)
+    }
+  }
 }
 
 /** Thrown when a conditional commit loses the optimistic-concurrency
@@ -2041,6 +2091,28 @@ object Bucketed {
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+  }
+
+  /** Re-create the CATALOG ENTRY for a bucketed table whose files
+    * already exist at `path` (written earlier by [[write]], same spec)
+    * — what a fresh session/process needs for the planner to see the
+    * bucketing again: bucket ids live in the FILE NAMES, but the
+    * shuffle-free join plan comes from the catalog's bucket spec, so
+    * without this DDL a reopened session would re-shuffle every
+    * fact-fact join the layout had already paid for. Schema comes
+    * from the parquet footers (self-describing, like the data). */
+  def register(spark: SparkSession, table: String, bucketCols: Seq[String],
+      nBuckets: Int, path: String): Unit = {
+    val schema = spark.read.parquet(path).schema
+    val colsDdl = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(
+      s"""CREATE TABLE `$table` ($colsDdl) USING parquet
+         |CLUSTERED BY (${bucketCols.map(c => s"`$c`").mkString(", ")})
+         |SORTED BY (${bucketCols.map(c => s"`$c`").mkString(", ")})
+         |INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
   }
 }
 

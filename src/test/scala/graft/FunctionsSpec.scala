@@ -183,4 +183,26 @@ class FunctionsSpec extends SparkSpec {
         f"($sa,$sb): inter est $ei%.0f vs exact $i%.0f (union $u%.0f)")
     }
   }
+
+  test("incremental KMV sketch refresh is bit-identical to a from-scratch rebuild") {
+    import graft.operators.Sketches
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // pure merge property: k-min(k-min(A) ∪ k-min(B)) ≡ k-min(A∪B)
+    val full = asMap(Sketches.docSketches(docs))
+    val merged = asMap(Sketches.mergeSketches(
+      Sketches.docSketches(a), Sketches.docSketches(b)))
+    assert(merged === full, "KMV merge diverged from the combined-corpus sketch")
+    // lifecycle op: persist half A, refresh with delta B, read back —
+    // the historical corpus (A) is never re-read
+    val path = java.nio.file.Files.createTempDirectory("graft-sketch-refresh")
+      .toString + "/sk.parquet"
+    Sketches.docSketches(a).write.parquet(path)
+    Sketches.refreshSketchTable(spark, path, b)
+    assert(asMap(spark.read.parquet(path)) === full,
+      "refreshed sketch table diverged from a from-scratch rebuild")
+  }
 }

@@ -1042,6 +1042,35 @@ class LakehouseSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM nosuch_tt VERSION AS OF 1").collect() }
   }
 
+  test("catalog-persisted bucketed tables: a reopened catalog keeps the shuffle-free join") {
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.writeBucketed(Tables.orders(spark, sf), "orders_cbkt", Seq("o_custkey"), 8)
+    lake.writeBucketed(Tables.customer(spark, sf), "customer_cbkt", Seq("c_custkey"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // simulate a fresh process: the shared external catalog forgets
+      // the tables entirely; only files + _catalog.jsonl survive
+      spark.sql("DROP TABLE orders_cbkt")
+      spark.sql("DROP TABLE customer_cbkt")
+      assert(!spark.catalog.tableExists("orders_cbkt"))
+      Lakehouse.openCatalog(spark, root)
+      assert(spark.catalog.tableExists("orders_cbkt"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_cbkt").join(
+        spark.table("customer_cbkt"), col("o_custkey") === col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"reopened bucketed join shuffles again:\n${p.take(600)}")
+      assert(p.contains("Bucketed: true"), s"bucketing metadata lost:\n${p.take(600)}")
+      assert(joined.count() === Tables.orders(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_cbkt")
+      spark.sql("DROP TABLE IF EXISTS customer_cbkt")
+    }
+  }
+
   test("merge-on-read UPDATE: zero data files rewritten, stacked deltas, compaction materializes") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
