@@ -99,28 +99,54 @@ private[graft] object TravelViews {
   }
 }
 
-/** `DELETE FROM <lakehouse view> [WHERE <pred>]` — copy-on-write delete
+/** Row-level write-mode selection for the parsed SQL DML surface —
+  * the Iceberg table-property analog (`write.delete.mode` /
+  * `write.update.mode`): session confs `spark.graft.delete-mode` and
+  * `spark.graft.update-mode`, value `copy-on-write` (default,
+  * read-optimized) or `merge-on-read` (write-optimized: tombstones /
+  * deltas, zero data files rewritten — compaction materializes). */
+private object WriteMode {
+  def isMor(spark: SparkSession, op: String): Boolean =
+    spark.conf.get(s"spark.graft.$op-mode", "copy-on-write") match {
+      case "copy-on-write" => false
+      case "merge-on-read" => true
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.$op-mode must be copy-on-write or merge-on-read; got: $other")
+    }
+}
+
+/** `DELETE FROM <lakehouse view> [WHERE <pred>]` — row-level delete
   * committed as a new snapshot; no WHERE deletes every row (the form
-  * Iceberg supports); returns the snapshot id. */
+  * Iceberg supports); returns the snapshot id. Copy-on-write by
+  * default; `spark.graft.delete-mode=merge-on-read` routes through
+  * the positional-tombstone path ([[WriteMode]]). */
 case class LakehouseDeleteCommand(view: String, whereClause: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
       .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
-    Seq(Row(lake.sqlDelete(view, whereClause.getOrElse("true"), partitionBy)))
+    Seq(Row(
+      if (WriteMode.isMor(spark, "delete"))
+        lake.sqlDeleteMor(view, whereClause.getOrElse("true"))
+      else lake.sqlDelete(view, whereClause.getOrElse("true"), partitionBy)))
   }
 }
 
 /** `UPDATE <lakehouse view> SET col = expr[, …] [WHERE <pred>]` —
-  * stat-pruned copy-on-write update committed as a new snapshot. */
+  * stat-pruned row-level update committed as a new snapshot.
+  * Copy-on-write by default; `spark.graft.update-mode=merge-on-read`
+  * routes through the tombstone+delta path ([[WriteMode]]). */
 case class LakehouseUpdateCommand(view: String, setClause: String,
     whereClause: Option[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
       .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
-    Seq(Row(lake.sqlUpdate(view, setClause, whereClause, partitionBy)))
+    Seq(Row(
+      if (WriteMode.isMor(spark, "update"))
+        lake.sqlUpdateMor(view, setClause, whereClause.getOrElse("true"))
+      else lake.sqlUpdate(view, setClause, whereClause, partitionBy)))
   }
 }
 

@@ -1103,6 +1103,44 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.snapshots("umor").last._2.size === 1)
   }
 
+  test("write-mode property routes parsed UPDATE/DELETE through merge-on-read") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "wm")
+    lake.registerView("wm")
+    try {
+      spark.conf.set("spark.graft.update-mode", "merge-on-read")
+      spark.conf.set("spark.graft.delete-mode", "merge-on-read")
+      val before = lake.snapshots("wm").last._2
+      spark.sql("UPDATE wm SET v = 'B' WHERE k = 2").collect()
+      val afterUpd = lake.snapshots("wm").last
+      assert(before.forall(afterUpd._2.contains),
+        "MoR update must carry every data dir by reference")
+      assert(lake.snapshotDeletes("wm").getOrElse(afterUpd._1, Nil).nonEmpty,
+        "MoR update must commit a tombstone")
+      spark.sql("DELETE FROM wm WHERE k = 1").collect()
+      val afterDel = lake.snapshots("wm").last
+      assert(lake.snapshotDeletes("wm").getOrElse(afterDel._1, Nil).size >= 2,
+        "MoR delete must add a second tombstone")
+      assert(lake.read("wm").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet === Set((2L, "B"), (3L, "c")))
+      // an unknown mode is refused loudly, not silently defaulted
+      spark.conf.set("spark.graft.update-mode", "bogus")
+      intercept[Exception] { spark.sql("UPDATE wm SET v = 'x' WHERE k = 3").collect() }
+    } finally {
+      spark.conf.unset("spark.graft.update-mode")
+      spark.conf.unset("spark.graft.delete-mode")
+    }
+    // default restored: copy-on-write rewrites instead of tombstoning
+    spark.sql("UPDATE wm SET v = 'Z' WHERE k = 3").collect()
+    val cow = lake.snapshots("wm").last
+    assert(lake.snapshotDeletes("wm").getOrElse(cow._1, Nil).size
+      === lake.snapshotDeletes("wm").getOrElse(cow._1 - 1, Nil).size,
+      "copy-on-write must not add tombstones")
+    assert(lake.read("wm").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((2L, "B"), (3L, "Z")))
+  }
+
   test("snapshot isolation: statement-start pinning reads fresh and never mixes snapshots") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._

@@ -90,6 +90,17 @@ class PlanAuditSpec extends SparkSpec {
       "sketch self-join re-scans the corpus instead of reading the persisted sketch")
   }
 
+  test("sketch_algebra reads ONLY the persisted sketch table, never the corpus") {
+    // the whole point of the persisted `_sketch` artifact: set-algebra
+    // readouts cost |sources|²·k regardless of corpus size — a
+    // documents scan anywhere in the plan would break that contract
+    val p = plan(graft.operators.Sketches.sketchAlgebra(spark, sf))
+    val corpusScans = p.split("InMemoryRelation").head
+      .split("documents\\.parquet").length - 1
+    assert(corpusScans === 0,
+      s"sketch algebra re-scans the corpus:\n${p.take(600)}")
+  }
+
   test("dedup candidate generation never plans a cartesian product") {
     Seq(
       Dedup.dedupNgramJaccard(spark, sf),
