@@ -136,8 +136,15 @@ class Lakehouse(spark: SparkSession, root: String) {
     * self-describing, which is what PARTITION EVOLUTION rests on: the
     * Iceberg analog is the partition spec recorded per manifest, so a
     * table can carry dirs of several layouts at once and each is read
-    * and rewritten under its own. Empty for unpartitioned dirs. */
-  private[graft] def dirLayout(table: String, dataDir: String): Seq[String] = {
+    * and rewritten under its own. Reported in SPEC vocabulary: a
+    * hidden-partitioning `_p_days_ts=…` tree reads back as
+    * `days(ts)` ([[Transforms.specOfPhys]]). Empty for unpartitioned
+    * dirs. */
+  private[graft] def dirLayout(table: String, dataDir: String): Seq[String] =
+    physDirLayout(table, dataDir).map(Transforms.specOfPhys)
+
+  /** [[dirLayout]] in PHYSICAL column names (`_p_…` for transforms). */
+  private def physDirLayout(table: String, dataDir: String): Seq[String] = {
     def walk(p: Path): Seq[String] =
       fs.listStatus(p).find(s => s.isDirectory && s.getPath.getName.contains("=")) match {
         case Some(s) => s.getPath.getName.takeWhile(_ != '=') +: walk(s.getPath)
@@ -146,6 +153,13 @@ class Lakehouse(spark: SparkSession, root: String) {
     val p = new Path(tableDir(table), dataDir)
     if (fs.exists(p)) walk(p) else Nil
   }
+
+  /** Physical layout columns present across a snapshot's data dirs —
+    * what [[Transforms.derivedConjuncts]] expands predicate pruning
+    * against (metadata-scale directory walks, no data I/O). */
+  private def snapshotPhysLayouts(table: String, entries: Seq[String]): Seq[String] =
+    entries.map(_.takeWhile(_ != '/')).distinct
+      .flatMap(d => physDirLayout(table, d)).distinct
 
   /** Relative partition-leaf subdirs (k=v[/k=v…]) of a data dir, to
     * `depth` partition levels. */
@@ -373,12 +387,35 @@ class Lakehouse(spark: SparkSession, root: String) {
   private def nextSnap(table: String): Long =
     snapshots(table).map(_._1).foldLeft(0L)(math.max) + 1
 
+  /** Lakehouse data dirs write INT64-micros timestamps (not legacy
+    * INT96): smaller, predicate-pushdown-able, and — the point — the
+    * parquet footer min/max become usable, so [[writeStats]] can
+    * record timestamp bounds and time-range scans skip at FILE
+    * granularity. Scoped to table writes only (a session-wide setting
+    * would annotate query-RESULT dumps as UTC-instant and change how
+    * external readers see them). Restore is try/finally; a concurrent
+    * writer that races the window merely writes INT96 (no ts stats
+    * for that dir — conservative, never wrong). */
+  private def withMicrosTimestamps[T](body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def writeDataDir(df: DataFrame, table: String, dir: String,
       partitionBy: Seq[String]): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(new Path(tableDir(table), dir).toString)
-    writeStats(table, dir, df.schema)
+    // hidden partitioning: materialize transform columns (`_p_…`) for
+    // the write only — readers drop them ([[openDirGroup]]), so the
+    // user schema never sees the layout
+    val ts = Transforms.canon(partitionBy).map(Transforms.parse)
+    val physDf = Transforms.withDerived(df, ts)
+    withMicrosTimestamps {
+      val w = physDf.write.mode(SaveMode.Overwrite)
+      (if (ts.nonEmpty) w.partitionBy(ts.map(_.phys): _*) else w)
+        .parquet(new Path(tableDir(table), dir).toString)
+    }
+    writeStats(table, dir, physDf.schema)
   }
 
   /** Create-or-replace: write a fresh data dir, commit a snapshot
@@ -491,7 +528,11 @@ class Lakehouse(spark: SparkSession, root: String) {
     def parquetFiles(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap {
         case s if s.isFile && s.getPath.getName.endsWith(".parquet") => Seq(s.getPath)
-        case s if s.isDirectory && !s.getPath.getName.startsWith("_") => parquetFiles(s.getPath)
+        // Spark's discovery rule: `_`-prefixed names are hidden UNLESS
+        // they're partition dirs (contain `=`) — hidden-partitioning
+        // leaves (`_p_days_ts=…`) must be walked
+        case s if s.isDirectory && (!s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.contains("=")) => parquetFiles(s.getPath)
         case _ => Seq.empty
       }
     // Record the writer's schema next to the data: readers re-open the
@@ -523,6 +564,17 @@ class Lakehouse(spark: SparkSession, root: String) {
             val tag = p.getPrimitiveTypeName match {
               case INT32 | INT64
                 if ann == null || ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] => "long"
+              // DATE (days since epoch) and UTC-micros TIMESTAMP stats
+              // record as plain numerics — the conjunct side unwraps
+              // its DateDays/TsMicros literals to the same scale, so
+              // time-range scans skip at FILE granularity (the
+              // dominant access pattern for event data at scale)
+              case INT32 if ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] => "long"
+              case INT64 if (ann match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.isAdjustedToUTC && t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+                case _ => false
+              }) => "long"
               case FLOAT | DOUBLE if ann == null => "double"
               case BINARY if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] => "string"
               case _ => ""
@@ -595,9 +647,18 @@ class Lakehouse(spark: SparkSession, root: String) {
         val partStats = rel.split("/").dropRight(1).filter(_.contains("=")).flatMap { seg =>
           val Array(k, raw) = seg.split("=", 2)
           val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw)
-          schemaTag.getOrElse(k, "") match {
-            case "" => None
-            case _ if v == "__HIVE_DEFAULT_PARTITION__" => None // null partition: no bound
+          if (v == "__HIVE_DEFAULT_PARTITION__") None // null partition: no bound
+          else schemaTag.getOrElse(k, "") match {
+            case "" =>
+              // identity DATE partitions: the path holds the ISO date;
+              // record epoch DAYS so date-literal conjuncts (DateDays)
+              // prune numerically like any other bound
+              writerSchema.fields.find(_.name == k).map(_.dataType) match {
+                case Some(DateType) =>
+                  scala.util.Try(java.time.LocalDate.parse(v).toEpochDay).toOption
+                    .map(d => (k, ("long", d.toString, d.toString)))
+                case _ => None
+              }
             case t => Some((k, (t, v, v)))
           }
         }
@@ -638,9 +699,16 @@ class Lakehouse(spark: SparkSession, root: String) {
       case Some(st) => spark.read.schema(st)
       case None => spark.read.option("mergeSchema", "true")
     }
-    if (paths == Seq(dataDir)) reader.parquet(base.toString)
-    else reader.option("basePath", base.toString)
-      .parquet(paths.map(e => new Path(tableDir(table), e).toString): _*)
+    val raw =
+      if (paths == Seq(dataDir)) reader.parquet(base.toString)
+      else reader.option("basePath", base.toString)
+        .parquet(paths.map(e => new Path(tableDir(table), e).toString): _*)
+    // hidden partitioning: the derived `_p_…` layout columns are
+    // write-side internals — every read path drops them here, so DML
+    // rewrites can't leak them into data files and the user schema is
+    // layout-independent (`_metadata` still resolves through the
+    // projection for positional tombstones)
+    Transforms.dropDerived(raw)
   }
 
   /** Parsed `(file, col, type, lo, hi)` stats lines of one data dir. */
@@ -761,7 +829,7 @@ class Lakehouse(spark: SparkSession, root: String) {
   private def skippableConjuncts(pred: org.apache.spark.sql.Column,
       relation: DataFrame): Seq[(String, String, Any)] = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types.{NumericType, StringType}
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampType}
     def name(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
       case c: Cast if c.child.dataType.isInstanceOf[NumericType] &&
@@ -772,6 +840,24 @@ class Lakehouse(spark: SparkSession, root: String) {
       case Literal(null, _) => None
       case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => Some(v.toString)
       case Literal(v, t) if t.isInstanceOf[NumericType] => Some(v)
+      // date/timestamp literals (internal epoch-days / epoch-micros
+      // forms) — no file stats are recorded for these types, so they
+      // prune nothing directly, but hidden-partitioning transforms map
+      // them onto `_p_…` layout conjuncts ([[Transforms]])
+      case Literal(v: Int, DateType) => Some(Transforms.DateDays(v))
+      case Literal(v: Long, TimestampType) => Some(Transforms.TsMicros(v))
+      case c: Cast if c.dataType == DateType =>
+        litVal(c.child).collect { case s: String => s }.flatMap(s =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToDate(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s))
+            .map(d => Transforms.DateDays(d)))
+      case c: Cast if c.dataType == TimestampType =>
+        litVal(c.child).collect { case s: String => s }.flatMap(s =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+              spark.sessionState.conf.sessionLocalTimeZone))
+            .map(m => Transforms.TsMicros(m)))
       case c: Cast if c.dataType.isInstanceOf[NumericType] => litVal(c.child)
       case _ => None
     }
@@ -805,9 +891,16 @@ class Lakehouse(spark: SparkSession, root: String) {
     * must not compare lexically); string stats compare as strings. */
   private def rangeMayMatch(t: String, fLo: String, fHi: String,
       op: String, v: Any): Boolean = scala.util.Try {
+    // date/timestamp literals arrive as internal-scale wrappers and
+    // compare numerically against their days/micros stats
+    val vc: Any = v match {
+      case Transforms.DateDays(d) => d
+      case Transforms.TsMicros(m) => m
+      case other => other
+    }
     def cmp(bound: String): Int =
-      if (t == "string") bound.compareTo(v.toString)
-      else BigDecimal(bound).compare(BigDecimal(v.toString))
+      if (t == "string") bound.compareTo(vc.toString)
+      else BigDecimal(bound).compare(BigDecimal(vc.toString))
     op match {
       case "=" => cmp(fLo) <= 0 && cmp(fHi) >= 0
       case ">" => cmp(fHi) > 0
@@ -838,7 +931,10 @@ class Lakehouse(spark: SparkSession, root: String) {
     def walkFiles(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap {
         case s if s.isFile && s.getPath.getName.endsWith(".parquet") => Seq(s.getPath)
-        case s if s.isDirectory && !s.getPath.getName.startsWith("_") => walkFiles(s.getPath)
+        // `_`-prefixed dirs are hidden unless they're partition dirs
+        // (`=`), matching Spark's discovery and [[writeStats]]'s walk
+        case s if s.isDirectory && (!s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.contains("=")) => walkFiles(s.getPath)
         case _ => Seq.empty
       }
     val entryPath = new Path(tableDir(table), entry)
@@ -874,7 +970,9 @@ class Lakehouse(spark: SparkSession, root: String) {
     val snap = currentSnapshot(table, branch)
       .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
     val entries = snapshots(table).find(_._1 == snap).get._2
-    val conjuncts = skippableConjuncts(pred, read(table, branch))
+    val conjuncts = Transforms.derivedConjuncts(
+      skippableConjuncts(pred, read(table, branch)),
+      snapshotPhysLayouts(table, entries))
     val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
     val dels = tombstones(table, snap)
     val reads = byDataDir.flatMap { case (dataDir, dirEntries) =>
@@ -913,7 +1011,9 @@ class Lakehouse(spark: SparkSession, root: String) {
       import org.apache.spark.sql.functions.{coalesce, lit}
       val rawEntries = base.map(c => snapshots(table).find(_._1 == c).get._2)
         .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
-      val conjuncts = skippableConjuncts(pred, readBase(table, base))
+      val conjuncts = Transforms.derivedConjuncts(
+        skippableConjuncts(pred, readBase(table, base)),
+        snapshotPhysLayouts(table, rawEntries))
       // partitioned: classify at partition-LEAF granularity, so a
       // delete that can only hit some partitions carries every other
       // partition by reference (same property as partition-scoped
@@ -994,7 +1094,9 @@ class Lakehouse(spark: SparkSession, root: String) {
       import org.apache.spark.sql.functions.{coalesce, col, lit, when}
       val rawEntries = base.map(c => snapshots(table).find(_._1 == c).get._2)
         .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
-      val conjuncts = skippableConjuncts(pred, readBase(table, base))
+      val conjuncts = Transforms.derivedConjuncts(
+        skippableConjuncts(pred, readBase(table, base)),
+        snapshotPhysLayouts(table, rawEntries))
       // per-dir OWN layout, as in [[deleteWhere]] (partition evolution)
       val entries =
         if (partitionBy.isEmpty) rawEntries
@@ -1053,7 +1155,9 @@ class Lakehouse(spark: SparkSession, root: String) {
       val entries = base.map(c => snapshots(table).find(_._1 == c).get._2)
         .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
       val prevDeletes = snapshotDeletes(table).getOrElse(base.get, Seq.empty)
-      val conjuncts = skippableConjuncts(pred, readBase(table, base))
+      val conjuncts = Transforms.derivedConjuncts(
+        skippableConjuncts(pred, readBase(table, base)),
+        snapshotPhysLayouts(table, entries))
       val dels = tombstones(table, base.get)
       val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
       val hits = byDataDir.flatMap { case (dataDir, dirEntries) =>
@@ -1101,7 +1205,9 @@ class Lakehouse(spark: SparkSession, root: String) {
         .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
       val prevDeletes = snapshotDeletes(table).getOrElse(base.get, Seq.empty)
       val target = readBase(table, base)
-      val conjuncts = skippableConjuncts(pred, target)
+      val conjuncts = Transforms.derivedConjuncts(
+        skippableConjuncts(pred, target),
+        snapshotPhysLayouts(table, entries))
       val dels = tombstones(table, base.get)
       val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
       val hits = byDataDir.flatMap { case (dataDir, dirEntries) =>
@@ -1474,6 +1580,15 @@ class Lakehouse(spark: SparkSession, root: String) {
         val target = readBase(table, base)
         val (addRows, removeKeys0) = changes(target)
         val removeKeys = removeKeys0.distinct()
+        // Hidden partitioning: all partition-value work below runs in
+        // PHYSICAL layout columns (`_p_…` for transforms, the column
+        // itself for identity) — derived on the fly, dropped before
+        // any row is written or returned.
+        val spec = Transforms.canon(partitionBy)
+        val ts = spec.map(Transforms.parse)
+        val phys = ts.map(_.phys)
+        val addP = Transforms.withDerived(addRows, ts)
+        val tgtP = Transforms.withDerived(target, ts)
         // Touched partitions = the partitions the change set writes into
         // ∪ the partitions its keys currently LIVE in. The second set is
         // what makes a partition-moving key correct: without it the old
@@ -1481,10 +1596,10 @@ class Lakehouse(spark: SparkSession, root: String) {
         // table ends up with duplicate keys. Finding it is a key
         // semi-join over the target (read-only, pushdown applies); the
         // REWRITE stays touched-partitions-only.
-        val touched = addRows.select(partitionBy.map(addRows(_)): _*).distinct()
+        val touched = addP.select(phys.map(addP(_)): _*).distinct()
           .unionByName(
-            target.join(removeKeys, keyCols, "left_semi")
-              .select(partitionBy.map(target(_)): _*).distinct())
+            tgtP.join(removeKeys, keyCols, "left_semi")
+              .select(phys.map(tgtP(_)): _*).distinct())
           .distinct()
         def enc(c: String, v: Any): String =
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -1494,10 +1609,10 @@ class Lakehouse(spark: SparkSession, root: String) {
         // ordered leaf path (same-layout supersede matching) and as a
         // per-column map (cross-layout overlap tests below)
         val encodedLeaves = touchedRows.map(row =>
-          partitionBy.zipWithIndex.map { case (c, i) => enc(c, row.get(i)) }
+          phys.zipWithIndex.map { case (c, i) => enc(c, row.get(i)) }
             .mkString("/")).toSet
         val touchedByCol: Seq[Map[String, String]] = touchedRows.map(row =>
-          partitionBy.zipWithIndex.map { case (c, i) => c -> enc(c, row.get(i)) }.toMap).toSeq
+          phys.zipWithIndex.map { case (c, i) => c -> enc(c, row.get(i)) }.toMap).toSeq
         // PARTITION EVOLUTION: entries written under the CURRENT layout
         // carry/supersede leaf-for-leaf as always; entries under a
         // DIFFERENT layout (incl. unpartitioned) can't be compared by
@@ -1509,20 +1624,27 @@ class Lakehouse(spark: SparkSession, root: String) {
         // `migratedRest`) and is dropped — Iceberg's "old files keep
         // their spec until a rewrite touches them". Disjoint layouts
         // can't prove non-overlap → migrate (conservatively correct).
+        // layoutOf reports SPEC vocabulary (`days(ts)`, not
+        // `_p_days_ts`) so layouts compare transform-aware; the
+        // overlap test below stays in PHYSICAL names because the leaf
+        // path segments are physical — a shared transform means a
+        // shared physical name means directly comparable derived
+        // values (same deterministic function on both sides).
         def layoutOf(entry: String): Seq[String] = {
           val slash = entry.indexOf('/')
           if (slash >= 0)
-            entry.substring(slash + 1).split("/").toSeq.map(_.takeWhile(_ != '='))
+            entry.substring(slash + 1).split("/").toSeq
+              .map(s => Transforms.specOfPhys(s.takeWhile(_ != '=')))
           else dirLayout(table, entry)
         }
         def overlapsTouched(leafSegs: Seq[String]): Boolean = {
           val leafByCol = leafSegs.map(s => s.takeWhile(_ != '=') -> s).toMap
-          val shared = leafByCol.keySet intersect partitionBy.toSet
+          val shared = leafByCol.keySet intersect phys.toSet
           shared.isEmpty ||
             touchedByCol.exists(t => shared.forall(c => t(c) == leafByCol(c)))
         }
         // (carried other-layout entries, other-layout entries to migrate)
-        val (sameLayout, otherLayout) = prev.partition(e => layoutOf(e) == partitionBy)
+        val (sameLayout, otherLayout) = prev.partition(e => layoutOf(e) == spec)
         val (otherCarried, otherMigrated) = otherLayout.flatMap { entry =>
           val slash = entry.indexOf('/')
           if (slash >= 0) Seq(entry)
@@ -1536,10 +1658,14 @@ class Lakehouse(spark: SparkSession, root: String) {
           val segs = if (slash >= 0) entry.substring(slash + 1).split("/").toSeq else Nil
           !overlapsTouched(segs)
         }
-        val targetTouched = target.join(touched, partitionBy, "left_semi")
+        val targetTouched =
+          Transforms.dropDerived(tgtP.join(touched, phys, "left_semi"))
         // rows of migrating entries OUTSIDE the touched groups — they
         // move into the new dir (new layout) unchanged; their
-        // touched-group siblings already arrive through targetTouched
+        // touched-group siblings already arrive through targetTouched.
+        // Reads come back user-schema (openDirGroup drops `_p_…`), so
+        // the current layout's derived values are re-computed for the
+        // anti-join and dropped again.
         lazy val dels = tombstones(table, base.get)
         val migratedRest = otherMigrated.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
           .map { case (dataDir, es) =>
@@ -1547,7 +1673,8 @@ class Lakehouse(spark: SparkSession, root: String) {
             applyTombstones(openDirGroup(table, dataDir, paths), dataDir, dels)
           }
           .reduceOption(_.unionByName(_, allowMissingColumns = true))
-          .map(_.join(touched, partitionBy, "left_anti"))
+          .map(df => Transforms.dropDerived(
+            Transforms.withDerived(df, ts).join(touched, phys, "left_anti")))
         val changed = targetTouched
           .join(removeKeys, keyCols, "left_anti")
           .unionByName(addRows)
@@ -1556,16 +1683,14 @@ class Lakehouse(spark: SparkSession, root: String) {
         val snap = reserveSnap(table)
         val dir = s"data-$snap"
         try {
-          merged.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
-            .parquet(new Path(tableDir(table), dir).toString)
-          writeStats(table, dir, merged.schema)
+          writeDataDir(merged, table, dir, spec)
           // Touched-partition names come from TWO sources: the delta
           // dir's written leaves (Spark's own path encoding — can never
           // disagree with what was written), plus the path-encoded
           // touched VALUES — needed because a partition whose every row
           // lost on key writes no leaf at all, yet its old leaf must
           // still be superseded (not carried by reference).
-          val writtenLeaves = leafDirs(new Path(tableDir(table), dir), partitionBy.length).toSet
+          val writtenLeaves = leafDirs(new Path(tableDir(table), dir), phys.length).toSet
           val touchedLeaves = writtenLeaves ++ encodedLeaves
           val kept = sameLayout.flatMap { entry =>
             val slash = entry.indexOf('/')
@@ -1574,7 +1699,7 @@ class Lakehouse(spark: SparkSession, root: String) {
               if (touchedLeaves.contains(entry.substring(slash + 1))) Nil else Seq(entry)
             } else {
               // whole data dir: explode into leaves and keep the untouched ones
-              leafDirs(new Path(tableDir(table), entry), partitionBy.length)
+              leafDirs(new Path(tableDir(table), entry), phys.length)
                 .filterNot(touchedLeaves.contains).map(l => s"$entry/$l")
             }
           } ++ otherCarried
@@ -1955,9 +2080,12 @@ class Lakehouse(spark: SparkSession, root: String) {
     * `DELETE FROM`, see [[GraftSqlParser]]). `partitionBy` is the
     * layout DML rewrites preserve. */
   def registerView(table: String, partitionBy: Seq[String] = Nil): Unit = {
+    // canonical spec form so `bucket(16, c)` and `bucket(16,c)` are
+    // one layout in the registry, the catalog, and every comparison
+    val spec = Transforms.canon(partitionBy)
     read(table).createOrReplaceTempView(table)
-    LakehouseRegistry.register(spark, table, this, partitionBy)
-    persistCatalogEntry(table, partitionBy)
+    LakehouseRegistry.register(spark, table, this, spec)
+    persistCatalogEntry(table, spec)
   }
 
   // ---- persistent catalog -------------------------------------------------
@@ -1972,12 +2100,15 @@ class Lakehouse(spark: SparkSession, root: String) {
   private def catalogPath = new Path(root, "_catalog.jsonl")
   private val CatalogLine = """\{"table":"(.*)","partitionBy":\[([^\]]*)\]\}""".r
 
-  /** Parsed `_catalog.jsonl`: table → partition layout. */
+  /** Parsed `_catalog.jsonl`: table → partition layout. Entries are
+    * extracted as quoted tokens, NOT by splitting on commas — a
+    * transform spec like `"bucket(16,c)"` carries a comma inside its
+    * quotes. */
   def catalogEntries(): Seq[(String, Seq[String])] =
     readLines(catalogPath).flatMap {
       case CatalogLine(t, cols) =>
-        Some(unesc(t) -> cols.split(",").toSeq
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+        Some(unesc(t) -> """"([^"]*)"""".r.findAllMatchIn(cols)
+          .map(_.group(1)).filter(_.nonEmpty).toSeq)
       case _ => None
     }
 

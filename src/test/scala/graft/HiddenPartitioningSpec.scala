@@ -1,0 +1,251 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Lakehouse, Transforms}
+
+/** Hidden partitioning (Iceberg partition transforms): the layout is
+  * derived from source columns (`days(ts)`, `bucket(n,k)`,
+  * `truncate(w,c)`…), invisible in the table's schema, and pruned
+  * against by predicates on the SOURCE column — no query rewrites.
+  * Reference: the Iceberg catalog tables behind
+  * mongo_to_iceberg.py:140 get this from Iceberg's partition specs. */
+class HiddenPartitioningSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-hidden").toString
+
+  import scala.jdk.CollectionConverters._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def eventsDf = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 03:00:00"), "a", 10.0),
+      (2L, ts("2024-01-01 17:30:00"), "b", 20.0),
+      (3L, ts("2024-01-02 08:15:00"), "a", 30.0),
+      (4L, ts("2024-01-03 23:59:59"), "c", 40.0),
+      (5L, ts("2024-02-10 12:00:00"), "b", 50.0),
+      (6L, ts("2025-06-01 00:00:00"), "a", 60.0)
+    ).toDF("id", "event_ts", "cat", "amount")
+  }
+
+  test("days(ts): layout is physical, schema is clean, rows round-trip") {
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(eventsDf, "ev", partitionBy = Seq("days(event_ts)"))
+    // physical tree uses the derived column; 5 distinct days
+    assert(lake.dirLayout("ev", "data-1") === Seq("days(event_ts)"))
+    // the USER schema never shows the layout column
+    val got = lake.read("ev")
+    assert(got.columns.toSet === Set("id", "event_ts", "cat", "amount"))
+    assert(got.count() === 6)
+    assert(got.where(col("id") === 2).head().getTimestamp(1) === ts("2024-01-01 17:30:00"))
+  }
+
+  test("days(ts): a time-range predicate on the SOURCE column prunes to matching day leaves") {
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(eventsDf, "ev", partitionBy = Seq("days(event_ts)"))
+    val pruned = lake.readWhere(
+      col("event_ts") >= lit(ts("2024-01-02 00:00:00")) &&
+        col("event_ts") < lit(ts("2024-01-04 00:00:00")), "ev")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    // 5 day-leaves exist; only the 2 matching days' files open
+    assert(pruned.inputFiles.length === 2,
+      s"expected 2 day-leaf files, read ${pruned.inputFiles.length}")
+    // string timestamp literals map through the same transform
+    val eq = lake.readWhere(col("event_ts") >= "2025-01-01 00:00:00", "ev")
+    assert(eq.inputFiles.length === 1 && eq.head().getLong(0) === 6L)
+  }
+
+  test("months/years on a DATE column prune string-literal date ranges") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val df = Seq(
+      (1L, Date.valueOf("2023-03-15")),
+      (2L, Date.valueOf("2023-11-02")),
+      (3L, Date.valueOf("2024-01-20")),
+      (4L, Date.valueOf("2024-07-04"))
+    ).toDF("k", "d").repartition(1) // one file per leaf: deterministic counts
+    lake.createOrReplace(df, "md", partitionBy = Seq("months(d)"))
+    assert(lake.dirLayout("md", "data-1") === Seq("months(d)"))
+    val got = lake.readWhere(col("d") >= "2024-01-01", "md")
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    assert(got.inputFiles.length === 2,
+      s"expected 2 month leaves, read ${got.inputFiles.length}")
+    // years() — same df, second table
+    lake.createOrReplace(df, "yd", partitionBy = Seq("years(d)"))
+    val y = lake.readWhere(col("d") === Date.valueOf("2023-11-02"), "yd")
+    assert(y.count() === 1 && y.inputFiles.length === 1)
+  }
+
+  test("bucket(n,k): point lookups open one bucket; schema stays clean") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val df = (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v")
+    lake.createOrReplace(df, "bk", partitionBy = Seq("bucket(8, k)"))
+    // canonical layout (whitespace-free) round-trips from the paths
+    assert(lake.dirLayout("bk", "data-1") === Seq("bucket(8,k)"))
+    assert(lake.read("bk").columns.toSet === Set("k", "v"))
+    val hit = lake.readWhere(col("k") === 123L, "bk")
+    assert(hit.count() === 1 && hit.head().getString(1) === "v123")
+    val total = lake.read("bk").inputFiles.length
+    assert(hit.inputFiles.length < total,
+      s"bucket pruning must open fewer than all $total files, opened ${hit.inputFiles.length}")
+  }
+
+  test("truncate on strings and integers prunes prefix/range predicates") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val df = Seq(
+      (1L, "alpha"), (2L, "amber"), (3L, "bravo"), (4L, "botox"), (5L, "zulu")
+    ).toDF("k", "s").repartition(1) // one file per leaf: deterministic counts
+    lake.createOrReplace(df, "ts", partitionBy = Seq("truncate(1, s)"))
+    val a = lake.readWhere(col("s") === "amber", "ts")
+    assert(a.count() === 1 && a.inputFiles.length === 1)
+    val range = lake.readWhere(col("s") >= "b" && col("s") < "c", "ts")
+    assert(range.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    assert(range.inputFiles.length === 1, "one 'b' leaf should open")
+
+    val ints = (0L until 100L).map(k => (k, k * 2)).toDF("k", "v")
+    lake.createOrReplace(ints, "ti", partitionBy = Seq("truncate(10, k)"))
+    val mid = lake.readWhere(col("k") >= 35L && col("k") <= 44L, "ti")
+    assert(mid.count() === 10)
+    assert(mid.inputFiles.length === 2, "two width-10 leaves overlap [35,44]")
+  }
+
+  test("upsert preserves a hidden layout and rewrites only touched day leaves") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(eventsDf, "ev", partitionBy = Seq("days(event_ts)"))
+    // update id=3 (2024-01-02) + insert a new row on the same day
+    val delta = Seq(
+      (3L, ts("2024-01-02 08:15:00"), "a", 99.0),
+      (7L, ts("2024-01-02 20:00:00"), "d", 70.0)
+    ).toDF("id", "event_ts", "cat", "amount")
+    lake.upsert(delta, "ev", keyCols = Seq("id"), partitionBy = Seq("days(event_ts)"))
+    val got = lake.read("ev")
+    assert(got.count() === 7)
+    assert(got.where(col("id") === 3).head().getDouble(3) === 99.0)
+    // untouched day leaves carry BY REFERENCE from the original dir
+    val entries = lake.snapshots("ev").last._2
+    val carried = entries.filter(e => e.startsWith("data-1/") )
+    assert(carried.size === 4,
+      s"4 of 5 original day leaves must carry by reference, got: $entries")
+    assert(entries.exists(e => e.startsWith("data-") && e.contains("_p_days_event_ts=")))
+  }
+
+  test("upsert moves a key across day leaves without duplicating it") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(eventsDf, "ev", partitionBy = Seq("days(event_ts)"))
+    // id=4 moves from 2024-01-03 to 2024-03-01
+    val delta = Seq((4L, ts("2024-03-01 01:00:00"), "c", 41.0))
+      .toDF("id", "event_ts", "cat", "amount")
+    lake.upsert(delta, "ev", keyCols = Seq("id"), partitionBy = Seq("days(event_ts)"))
+    val got = lake.read("ev")
+    assert(got.count() === 6)
+    assert(got.where(col("id") === 4).count() === 1)
+    assert(got.where(col("id") === 4).head().getTimestamp(1) === ts("2024-03-01 01:00:00"))
+  }
+
+  test("deleteWhere / updateWhere keep hidden layouts and stay leaf-scoped") {
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(eventsDf, "ev", partitionBy = Seq("days(event_ts)"))
+    lake.deleteWhere(col("event_ts") < lit(ts("2024-01-02 00:00:00")), "ev",
+      partitionBy = Seq("days(event_ts)"))
+    assert(lake.read("ev").count() === 4)
+    // deleted day's leaf is gone; the rest carried by reference
+    val entries = lake.snapshots("ev").last._2
+    assert(entries.count(_.startsWith("data-1/")) === 4,
+      s"other day leaves must carry by reference: $entries")
+    lake.updateWhere(Seq("amount" -> (col("amount") + 1)),
+      col("id") === 5L, "ev", partitionBy = Seq("days(event_ts)"))
+    assert(lake.read("ev").where(col("id") === 5).head().getDouble(3) === 51.0)
+    assert(lake.read("ev").columns.toSet === Set("id", "event_ts", "cat", "amount"))
+  }
+
+  test("merge-on-read delete and update work through the hidden projection") {
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(eventsDf, "ev", partitionBy = Seq("days(event_ts)"))
+    // positional tombstone: _metadata must resolve through the
+    // dropDerived projection
+    lake.deleteWhereMor(col("id") === 2L, "ev")
+    assert(lake.read("ev").count() === 5)
+    assert(lake.read("ev").where(col("id") === 2).count() === 0)
+    lake.updateWhereMor(Seq("amount" -> (col("amount") * 10)), col("id") === 1L, "ev")
+    val got = lake.read("ev")
+    assert(got.count() === 5)
+    assert(got.where(col("id") === 1).head().getDouble(3) === 100.0)
+    // the MoR delta must NOT leak `_p_…` into data columns
+    assert(got.columns.forall(!_.startsWith("_p_")))
+  }
+
+  test("partition evolution: identity -> days(ts); mixed layouts read, prune, and migrate") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    // v1 layout: identity on category
+    lake.createOrReplace(eventsDf.where(col("id") <= 3), "ev", partitionBy = Seq("cat"))
+    // evolve: new writes take days(event_ts); old dir keeps cat=…
+    lake.append(eventsDf.where(col("id") > 3), "ev", partitionBy = Seq("days(event_ts)"))
+    assert(lake.dirLayout("ev", "data-1") === Seq("cat"))
+    assert(lake.dirLayout("ev", "data-2") === Seq("days(event_ts)"))
+    assert(lake.read("ev").count() === 6)
+    // a time predicate prunes inside the evolved dir (old dir has no
+    // day stats for its leaves beyond file ranges — conservatively read)
+    val recent = lake.readWhere(col("event_ts") >= lit(ts("2025-01-01 00:00:00")), "ev")
+    assert(recent.count() === 1 && recent.head().getLong(0) === 6L)
+    // upsert under the NEW spec migrates only overlapping old leaves
+    val delta = Seq((1L, ts("2024-01-01 03:00:00"), "a", 11.0))
+      .toDF("id", "event_ts", "cat", "amount")
+    lake.upsert(delta, "ev", keyCols = Seq("id"), partitionBy = Seq("days(event_ts)"))
+    val got = lake.read("ev")
+    assert(got.count() === 6)
+    assert(got.where(col("id") === 1).head().getDouble(3) === 11.0)
+    assert(got.where(col("id") === 2).count() === 1)
+  }
+
+  test("hidden specs persist canonically in the catalog and survive a fresh handle") {
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(eventsDf, "ev", partitionBy = Seq("days(event_ts)"))
+    lake.registerView("ev", Seq("days( event_ts )")) // sloppy spacing in, canonical out
+    import spark.implicits._
+    val bdf = (0L until 50L).map(k => (k, s"v$k")).toDF("k", "v")
+    lake.createOrReplace(bdf, "bk", partitionBy = Seq("bucket(16, k)"))
+    lake.registerView("bk", Seq("bucket(16, k)"))
+    val entries = lake.catalogEntries().toMap
+    assert(entries("ev") === Seq("days(event_ts)"))
+    assert(entries("bk") === Seq("bucket(16,k)")) // comma inside quotes round-trips
+    // a FRESH handle re-registers from the catalog and DML keeps the layout
+    val lake2 = Lakehouse.openCatalog(spark, root)
+    lake2.upsert(Seq((99L, "new")).toDF("k", "v"), "bk",
+      keyCols = Seq("k"), partitionBy = lake2.catalogEntries().toMap.apply("bk"))
+    assert(lake2.read("bk").count() === 51)
+    assert(lake2.dirLayout("bk", lake2.snapshots("bk").last._2
+      .map(_.takeWhile(_ != '/')).distinct.sorted.last) === Seq("bucket(16,k)"))
+  }
+
+  test("time travel across a hidden-partitioned history stays exact") {
+    val lake = new Lakehouse(spark, freshRoot())
+    val s1 = lake.createOrReplace(eventsDf.where(col("id") <= 3), "ev",
+      partitionBy = Seq("days(event_ts)"))
+    lake.append(eventsDf.where(col("id") > 3), "ev", partitionBy = Seq("days(event_ts)"))
+    assert(lake.readSnapshot("ev", s1).count() === 3)
+    assert(lake.read("ev").count() === 6)
+    assert(lake.readSnapshot("ev", s1).columns.forall(!_.startsWith("_p_")))
+  }
+
+  test("transform parsing: canonical forms, round-trips, and rejects") {
+    assert(Transforms.parse("days(ts)").phys === "_p_days_ts")
+    assert(Transforms.parse("bucket( 8 , k )").spec === "bucket(8,k)")
+    assert(Transforms.specOfPhys("_p_trunc_4_name") === "truncate(4,name)")
+    assert(Transforms.specOfPhys("_p_bucket_16_k") === "bucket(16,k)")
+    assert(Transforms.specOfPhys("plain_col") === "plain_col")
+    assert(Transforms.parsePhys("_p_months_d").spec === "months(d)")
+    intercept[IllegalArgumentException](Transforms.parse("mod(7,k)"))
+    intercept[IllegalArgumentException](Transforms.parse("bucket(0,k)"))
+  }
+}
