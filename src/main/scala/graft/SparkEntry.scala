@@ -23,6 +23,7 @@ object SparkEntry {
     "sql_catalog_query" -> (Medallion.sqlCatalogQuery _),
     "sql_lakehouse_ddl" -> (Medallion.sqlLakehouseDdl _),
     "sql_time_travel" -> (Medallion.sqlTimeTravel _),
+    "sql_hidden_partition" -> (Medallion.sqlHiddenPartition _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -203,6 +204,17 @@ object SparkEntry {
         |FROM orders WHERE o_orderstatus IN ('F','O')
         |GROUP BY o_orderstatus
         |ORDER BY at, o_orderstatus""".stripMargin,
+    "sql_hidden_partition" ->
+      """WITH updated AS (
+        |  SELECT event_type, ts,
+        |    CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM updated
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

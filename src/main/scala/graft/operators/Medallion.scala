@@ -241,4 +241,37 @@ object Medallion {
          |GROUP BY o_orderstatus
          |ORDER BY at, o_orderstatus""".stripMargin)
   }
+
+  /** `sql_hidden_partition` — HIDDEN PARTITIONING through the SQL
+    * surface (Iceberg partition transforms, the layout machinery
+    * behind the reference's catalog tables at mongo_to_iceberg.py:140):
+    * an events table lands with a daily hidden layout (`days(ts)` —
+    * the layout column never appears in the schema), `ALTER TABLE …
+    * SET PARTITION SPEC` evolves it to hourly for subsequent writes,
+    * a parsed INSERT takes the evolved layout, a parsed UPDATE
+    * rewrites across BOTH hidden layouts, and the final time-range
+    * read prunes day/hour leaves from a predicate on the raw `ts`
+    * column alone. Deterministic function of `events` — the oracle
+    * replays update + range + aggregate in plain SQL. */
+  def sqlHiddenPartition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-hidden").toString
+    val lake = new graft.sources.Lakehouse(spark, root)
+    lake.createOrReplace(
+      spark.table("events").where(col("event_type") === "click"),
+      "lh_events", partitionBy = Seq("days(ts)"))
+    lake.registerView("lh_events", Seq("days(ts)"))
+    spark.sql("ALTER TABLE lh_events SET PARTITION SPEC (hours(ts))")
+    spark.sql("INSERT INTO lh_events SELECT * FROM events WHERE event_type <> 'click'")
+    spark.sql("UPDATE lh_events SET value = value * 2 WHERE event_type = 'purchase'")
+    lake.readWhere(
+      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")),
+      "lh_events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
 }

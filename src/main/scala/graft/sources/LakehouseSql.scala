@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
 /** SQL DML over lakehouse tables — the surface the reference gets from
   * Iceberg's SparkSessionExtensions (reference: gold_reporting.py:70
@@ -191,6 +191,26 @@ case class LakehouseMergeCondCommand(view: String, sourceView: String, keyCols: 
   }
 }
 
+/** `ALTER TABLE t SET PARTITION SPEC (days(ts)[, bucket(8,k)…])` —
+  * PARTITION EVOLUTION through SQL (Iceberg's `ALTER TABLE … ADD/
+  * REPLACE PARTITION FIELD` surface, collapsed to a whole-spec
+  * replace): the registry's layout for the view changes, so the NEXT
+  * write takes the new spec while committed dirs keep their own
+  * self-describing layouts until a rewrite touches them. Specs may be
+  * identity columns or hidden-partitioning transforms
+  * ([[Transforms]]); each entry is validated at parse time. */
+case class LakehouseAlterSpecCommand(view: String, spec: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("table", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, _) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    spec.foreach(Transforms.parse) // reject unknown transforms before registering
+    lake.registerView(view, spec)
+    Seq(Row(view))
+  }
+}
+
 /** Thin statement front-end: recognizes the two lakehouse DML shapes
   * against REGISTERED views, delegates everything else (including DML
   * on unregistered tables — Spark's own analyzer then reports its
@@ -221,8 +241,27 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*UPDATE\s+`?([A-Za-z_]\w*)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val InsertRe =
     """(?is)\s*INSERT\s+INTO\s+`?([A-Za-z_]\w*)`?\s+((?:SELECT|VALUES|FROM|WITH|TABLE)\b.+?)\s*;?\s*""".r
+  private val AlterSpecRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*;?\s*""".r
   private val OnConjunct =
     """(?i)\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*""".r
+
+  /** Split a partition-spec list on TOP-LEVEL commas only — transform
+    * entries carry commas inside their parens (`bucket(8,k)`). */
+  private def splitSpecs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c =>
+        if (c == '(') depth += 1
+        if (c == ')') depth -= 1
+        cur += c
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Equality key columns of the ON clause when every conjunct is
     * `t.k = s.k` with matching column names; None = not the canonical
@@ -258,6 +297,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakehouseUpdateCommand(table, set, Option(where))
     case InsertRe(table, query) if LakehouseRegistry.isRegistered(table) =>
       LakehouseInsertCommand(table, query)
+    case AlterSpecRe(table, specs) if LakehouseRegistry.isRegistered(table) =>
+      LakehouseAlterSpecCommand(table, splitSpecs(specs))
     case MergeRe(table, source, on) if LakehouseRegistry.isRegistered(table) =>
       keyColsOf(on, table, source) match {
         case Some(keys) if keys.nonEmpty => LakehouseMergeCommand(table, source, keys)

@@ -238,6 +238,29 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(lake.readSnapshot("ev", s1).columns.forall(!_.startsWith("_p_")))
   }
 
+  test("ALTER TABLE SET PARTITION SPEC evolves the layout through SQL") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(eventsDf, "alt_ev", partitionBy = Seq("days(event_ts)"))
+    lake.registerView("alt_ev", Seq("days(event_ts)"))
+    spark.sql("ALTER TABLE alt_ev SET PARTITION SPEC (hours(event_ts))")
+    // the registry's layout changed: the next parsed INSERT lands hourly
+    Seq((8L, ts("2024-05-05 14:30:00"), "e", 80.0))
+      .toDF("id", "event_ts", "cat", "amount").createOrReplaceTempView("alt_src")
+    spark.sql("INSERT INTO alt_ev SELECT * FROM alt_src")
+    val dirs = lake.snapshots("alt_ev").last._2.map(_.takeWhile(_ != '/')).distinct.sorted
+    assert(lake.dirLayout("alt_ev", dirs.head) === Seq("days(event_ts)"))
+    assert(lake.dirLayout("alt_ev", dirs.last) === Seq("hours(event_ts)"))
+    assert(lake.read("alt_ev").count() === 7)
+    // multi-entry spec with a comma inside a transform parses too
+    spark.sql("ALTER TABLE alt_ev SET PARTITION SPEC (bucket(4, cat), days(event_ts))")
+    assert(lake.catalogEntries().toMap.apply("alt_ev") ===
+      Seq("bucket(4,cat)", "days(event_ts)"))
+    // unknown transforms are rejected at parse time
+    intercept[IllegalArgumentException](
+      spark.sql("ALTER TABLE alt_ev SET PARTITION SPEC (mod(7,id))"))
+  }
+
   test("transform parsing: canonical forms, round-trips, and rejects") {
     assert(Transforms.parse("days(ts)").phys === "_p_days_ts")
     assert(Transforms.parse("bucket( 8 , k )").spec === "bucket(8,k)")
