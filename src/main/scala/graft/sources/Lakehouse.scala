@@ -409,7 +409,23 @@ class Lakehouse(spark: SparkSession, root: String) {
     // the write only — readers drop them ([[openDirGroup]]), so the
     // user schema never sees the layout
     val ts = Transforms.canon(partitionBy).map(Transforms.parse)
-    val physDf = Transforms.withDerived(df, ts)
+    val derived = Transforms.withDerived(df, ts)
+    // `spark.graft.write-distribution` (Iceberg's
+    // write.distribution-mode): `hash` clusters rows by partition
+    // value before a partitioned write, so each leaf receives O(1)
+    // files instead of one per upstream task — with T tasks × P
+    // touched partitions the undistributed write emits T×P small
+    // files, the classic 100 TB small-files explosion. The cost is
+    // one shuffle per write and potential hot-partition skew (AQE
+    // rebalances at runtime); `none` (default) keeps writes
+    // shuffle-free, the right trade for small or already-clustered
+    // deltas.
+    val physDf = spark.conf.get("spark.graft.write-distribution", "none") match {
+      case "hash" if ts.nonEmpty => derived.repartition(ts.map(t => derived(t.phys)): _*)
+      case "none" | "hash" => derived
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.write-distribution must be none or hash; got: $other")
+    }
     withMicrosTimestamps {
       val w = physDf.write.mode(SaveMode.Overwrite)
       (if (ts.nonEmpty) w.partitionBy(ts.map(_.phys): _*) else w)
@@ -878,6 +894,15 @@ class Lakehouse(spark: SparkSession, root: String) {
       case LessThanOrEqual(a, b) =>
         (name(a).zip(litVal(b)).map { case (n, v) => (n, "<=", v) } ++
           name(b).zip(litVal(a)).map { case (n, v) => (n, ">=", v) }).toSeq
+      // IN-lists (`k IN (3, 77, 120)`): a file may match iff ANY value
+      // does — the point-lookup-set shape of targeted DML and dimension
+      // filters. Only fully-literal lists contribute (one unmappable
+      // element would make the disjunction unsound to narrow).
+      case In(a, list) if list.nonEmpty =>
+        name(a).toSeq.flatMap { n =>
+          val vs = list.map(litVal)
+          if (vs.forall(_.isDefined)) Seq((n, "in", vs.flatten)) else Seq.empty
+        }
       case _ => Seq.empty
     }
     relation.where(pred).queryExecution.analyzed
@@ -945,11 +970,23 @@ class Lakehouse(spark: SparkSession, root: String) {
       full.substring(full.indexOf(marker) + 1)
     }.filter { rel =>
       conjuncts.forall { case (c, op, v) =>
-        byFileCol.get((rel, c)).forall(_.exists { case (_, _, t, fLo, fHi) =>
-          rangeMayMatch(t, fLo, fHi, op, v)
-        }) && (op != "=" || bloomsByFileCol.get((rel, c)).forall(_.exists {
-          case (_, _, t, bits, set) => bloomMayMatch(t, bits, set, v)
-        }))
+        // `in` is a disjunction of equalities: the file survives iff
+        // ANY listed value may match (ranges), and — when blooms exist
+        // — ANY listed value passes its bloom
+        val eqValues: Seq[Any] = op match {
+          case "in" => v.asInstanceOf[Seq[Any]]
+          case "=" => Seq(v)
+          case _ => Seq.empty
+        }
+        val rangeOk = byFileCol.get((rel, c)).forall(_.exists { case (_, _, t, fLo, fHi) =>
+          if (op == "in") eqValues.exists(x => rangeMayMatch(t, fLo, fHi, "=", x))
+          else rangeMayMatch(t, fLo, fHi, op, v)
+        })
+        val bloomOk = eqValues.isEmpty ||
+          bloomsByFileCol.get((rel, c)).forall(_.exists {
+            case (_, _, t, bits, set) => eqValues.exists(x => bloomMayMatch(t, bits, set, x))
+          })
+        rangeOk && bloomOk
       }
     }
   }

@@ -286,6 +286,15 @@ private[graft] object Transforms {
     }
     conjuncts ++ transforms.flatMap(t =>
       conjuncts.filter(_._1 == t.source)
-        .flatMap { case (_, op, v) => t.derivedConjunct(op, v) })
+        .flatMap {
+          // IN maps value-wise: every element must map (a partial
+          // mapping would narrow the disjunction — unsound)
+          case (_, "in", vs: Seq[_]) =>
+            val mapped = vs.map(t.derivedConjunct("=", _))
+            if (mapped.nonEmpty && mapped.forall(_.isDefined))
+              Seq((t.phys, "in", mapped.flatten.map(_._3)))
+            else Seq.empty
+          case (_, op, v) => t.derivedConjunct(op, v)
+        })
   }
 }

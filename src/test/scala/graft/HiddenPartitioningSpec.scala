@@ -238,6 +238,53 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(lake.readSnapshot("ev", s1).columns.forall(!_.startsWith("_p_")))
   }
 
+  test("IN-list predicates prune through range stats and bucket transforms") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    // four disjoint-range files (clustered by construction)
+    val df = (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    lake.createOrReplace(df, "inr")
+    val hit = lake.readWhere(col("k").isin(7L, 13L, 42L), "inr")
+    assert(hit.collect().map(_.getLong(0)).sorted.toSeq === Seq(7L, 13L, 42L))
+    assert(hit.inputFiles.length === 1,
+      s"all three keys live in the first range file, read ${hit.inputFiles.length}")
+    val two = lake.readWhere(col("k").isin(7L, 399L), "inr")
+    assert(two.count() === 2 && two.inputFiles.length === 2)
+    // IN maps value-wise through bucket(): only the listed buckets open
+    val bdf = (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v").repartition(1)
+    lake.createOrReplace(bdf, "inb", partitionBy = Seq("bucket(8,k)"))
+    val total = lake.read("inb").inputFiles.length
+    val bhit = lake.readWhere(col("k").isin(5L, 6L), "inb")
+    assert(bhit.count() === 2)
+    assert(bhit.inputFiles.length <= 2 && bhit.inputFiles.length < total,
+      s"IN over bucket(8,k) must open at most the 2 listed buckets of $total, " +
+        s"opened ${bhit.inputFiles.length}")
+  }
+
+  test("write-distribution=hash collapses per-task small files to one per leaf") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    // 8 upstream tasks × 3 days: undistributed → up to 24 files
+    val wide = (0L until 240L).map(i =>
+      (i, ts(s"2024-01-0${1 + (i % 3)} 0${i % 9}:00:00"), i.toDouble))
+      .toDF("id", "event_ts", "amount").repartition(8)
+    lake.createOrReplace(wide, "wd_none", partitionBy = Seq("days(event_ts)"))
+    val filesNone = lake.read("wd_none").inputFiles.length
+    assert(filesNone > 3, s"undistributed write should fan out, got $filesNone files")
+    spark.conf.set("spark.graft.write-distribution", "hash")
+    try {
+      lake.createOrReplace(wide, "wd_hash", partitionBy = Seq("days(event_ts)"))
+      val filesHash = lake.read("wd_hash").inputFiles.length
+      assert(filesHash === 3, s"hash distribution: one file per day leaf, got $filesHash")
+      assert(lake.read("wd_hash").count() === 240)
+      intercept[IllegalArgumentException] {
+        spark.conf.set("spark.graft.write-distribution", "range")
+        lake.createOrReplace(wide, "wd_bad", partitionBy = Seq("days(event_ts)"))
+      }
+    } finally spark.conf.set("spark.graft.write-distribution", "none")
+  }
+
   test("ALTER TABLE SET PARTITION SPEC evolves the layout through SQL") {
     import spark.implicits._
     val lake = new Lakehouse(spark, freshRoot())
