@@ -90,6 +90,7 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => Similarity.annPqTopk(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.annIvfPqTopk(s, d)),
     "ann_ivfpq_rerank" -> ((s, d) => Similarity.annIvfPqRerank(s, d)),
+    "ann_bq_rerank" -> ((s, d) => Similarity.annBqRerank(s, d)),
     // §2.E — text analysis
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -771,6 +772,25 @@ object SparkEntry {
         |  FROM (SELECT * FROM q WHERE vec_id < 5) qq CROSS JOIN q e),
         |r AS (SELECT q_id, vec_id, cosine,
         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM s)
+        |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_bq_rerank" ->
+      """WITH q AS (SELECT vec_id,
+        |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+        |qn AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) nsq FROM q),
+        |hs AS (SELECT qq.vec_id q_id, e.vec_id vec_id,
+        |  list_sum(list_transform(list_zip(qq.v, e.v),
+        |    z -> CASE WHEN (z[1] >= 0) <> (z[2] >= 0) THEN 1 ELSE 0 END)) ham
+        |  FROM (SELECT * FROM q WHERE vec_id < 5) qq CROSS JOIN q e),
+        |sr AS (SELECT q_id, vec_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id) srk FROM hs),
+        |short AS (SELECT q_id, vec_id FROM sr WHERE srk <= 50),
+        |ex AS (SELECT s.q_id, s.vec_id,
+        |    round(CAST(list_sum(list_transform(list_zip(qv.v, ev.v), z -> z[1]*z[2])) AS DOUBLE)
+        |      / sqrt(CAST(qv.nsq * ev.nsq AS DOUBLE)), 6) cosine
+        |  FROM short s JOIN qn qv ON s.q_id = qv.vec_id JOIN qn ev ON s.vec_id = ev.vec_id),
+        |r AS (SELECT q_id, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM ex)
         |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
     "ann_lsh_bucketed" ->

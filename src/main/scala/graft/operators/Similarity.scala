@@ -558,6 +558,45 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
+  /** BINARY-QUANTIZATION code: one 64-bit word per vector, bit d set
+    * iff dimension d is non-negative — sign quantization over the
+    * engine's canonical fixed-point vectors (the FAISS
+    * IndexBinaryFlat / BQ shape). 1 bit per dimension means the whole
+    * corpus rides in 8 bytes/vector: the compressed scan is one
+    * xor + popcount per row, ~500× less arithmetic than a 64-dim dot
+    * product, which is what makes an exhaustive shortlist pass viable
+    * at billion scale before the bounded exact re-rank. Straight-line
+    * when/bitwiseOR columns — no interpreted HOF in the per-row path. */
+  private def bqCode(v: Column): Column =
+    (0 until Dims).map { d =>
+      when(element_at(v, d + 1) >= 0L, lit(1L << d)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** `ann_bq_rerank` — binary quantization with an exact re-rank
+    * tail: Hamming distance over the 64-bit sign codes shortlists the
+    * top-`c` per query (smallest distance, vec_id tie-break — the
+    * same deterministic order the oracle replays), then ONLY those c
+    * rows join their full vectors for exact cosine. Corpus-side state
+    * is one long per vector; the shortlist heap bounds shuffle at c
+    * rows/query/partition ([[topkPerQuery]]). */
+  def annBqRerank(spark: SparkSession, dir: String, k: Int = 10, c: Int = 50): DataFrame = {
+    val e = quantized(spark, dir)
+    val codes = e.select(col("vec_id"), bqCode(col("v")).as("code"))
+    val q = codes.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("code").as("qcode"))
+    // negated Hamming reuses the (score DESC, vec_id ASC) heap order
+    val ham = codes.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        negate(bit_count(col("code").bitwiseXOR(col("qcode"))).cast("double")).as("cosine"))
+    val shortlist = topkPerQuery(ham, c).select("q_id", "vec_id")
+    val scored = shortlist
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nsq").as("qnsq")), "q_id")
+      .join(e, "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
+    topkPerQuery(scored, k)
+  }
+
   /** DuckDB oracle for [[annIvfPqRerank]]: the IVF-PQ composition plus
     * the ADC-top-`c` shortlist re-scored with exact quantized cosine. */
   def ivfpqRerankOracleSql: Option[String] = {
