@@ -368,6 +368,75 @@ class Lakehouse(spark: SparkSession, root: String) {
   def tagsDf(table: String): DataFrame =
     spark.createDataFrame(tags(table)).toDF("tag", "snapshot_id")
 
+  /** `t.partitions` metadata relation (the Iceberg partitions table):
+    * one row per (layout, partition value) of the CURRENT snapshot
+    * with file/record/byte counts — the partition-skew and
+    * small-files readout that decides whether to compact, re-spec, or
+    * salt. Partition keys report in SPEC vocabulary (`days(ts)=19723`,
+    * not `_p_days_ts=…`); record counts come from the parquet footers
+    * (pure metadata I/O, no row scanned); a table carrying several
+    * evolved layouts reports each leaf under its own. Unpartitioned
+    * entries report an empty partition key. */
+  def partitionsDf(table: String, branch: String = "main"): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val snap = currentSnapshot(table, branch)
+      .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+    val entries = snapshots(table).find(_._1 == snap).get._2
+    val conf = spark.sparkContext.hadoopConfiguration
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory && (!st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.contains("="))) walk(st.getPath)
+        else if (st.isFile && st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      }
+    val perFile = entries.flatMap { e =>
+      val dataDir = e.takeWhile(_ != '/')
+      walk(new Path(tableDir(table), e)).map { st =>
+        val full = st.getPath.toString
+        val marker = "/" + dataDir + "/"
+        val rel = full.substring(full.indexOf(marker) + 1)
+        val partKey = rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          s"${Transforms.specOfPhys(k)}=${
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)}"
+        }.mkString("/")
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        val nRows =
+          try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally reader.close()
+        (partKey, nRows, st.getLen)
+      }
+    }.distinct // a leaf listed under several entries of one dir counts once
+    val rows = perFile.groupBy(_._1).toSeq.sortBy(_._1).map { case (part, fs) =>
+      (part, fs.length.toLong, fs.map(_._2).sum, fs.map(_._3).sum)
+    }
+    spark.createDataFrame(rows)
+      .toDF("partition", "file_count", "record_count", "bytes")
+  }
+
+  /** DROP TABLE: unregister the temp view, the DML routing, and the
+    * persistent catalog line; `purge` also deletes the table
+    * directory (snapshots, branches, tombstones — everything).
+    * Without purge the immutable data stays on disk and the table can
+    * be re-attached with [[registerView]] — Iceberg's external-table
+    * drop semantics. */
+  def dropTable(table: String, purge: Boolean = false): Unit = {
+    scala.util.Try(spark.catalog.dropTempView(table))
+    LakehouseRegistry.unregister(spark, table)
+    Lakehouse.locks.computeIfAbsent(catalogPath.toString, _ => new Object).synchronized {
+      val kept = readLines(catalogPath).filterNot {
+        case CatalogLine(t, _) => unesc(t) == table
+        case _ => false
+      }
+      if (kept.isEmpty) fs.delete(catalogPath, false)
+      else writeFile(catalogPath, kept.mkString("\n") + "\n")
+    }
+    if (purge) fs.delete(tableDir(table), true)
+  }
+
   def branches(table: String): Seq[String] = {
     val names = fs.listStatus(tableDir(table)).toSeq.map(_.getPath.getName)
     (if (names.contains("_current")) Seq("main") else Seq.empty) ++

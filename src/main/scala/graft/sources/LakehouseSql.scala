@@ -211,6 +211,22 @@ case class LakehouseAlterSpecCommand(view: String, spec: Seq[String])
   }
 }
 
+/** `DROP TABLE t [PURGE]` on a registered lakehouse view: unregisters
+  * the temp view, the DML routing, and the persistent catalog line;
+  * PURGE also deletes the table directory. Without PURGE the
+  * immutable snapshots stay on disk and the table can be re-attached
+  * later — Iceberg's external-table drop semantics. */
+case class LakehouseDropCommand(view: String, purge: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("table", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, _) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    lake.dropTable(view, purge)
+    Seq(Row(view))
+  }
+}
+
 /** Thin statement front-end: recognizes the two lakehouse DML shapes
   * against REGISTERED views, delegates everything else (including DML
   * on unregistered tables — Spark's own analyzer then reports its
@@ -243,6 +259,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*INSERT\s+INTO\s+`?([A-Za-z_]\w*)`?\s+((?:SELECT|VALUES|FROM|WITH|TABLE)\b.+?)\s*;?\s*""".r
   private val AlterSpecRe =
     """(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*;?\s*""".r
+  private val DropRe =
+    """(?is)\s*DROP\s+TABLE\s+`?([A-Za-z_]\w*)`?(\s+PURGE)?\s*;?\s*""".r
   private val OnConjunct =
     """(?i)\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*""".r
 
@@ -299,6 +317,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakehouseInsertCommand(table, query)
     case AlterSpecRe(table, specs) if LakehouseRegistry.isRegistered(table) =>
       LakehouseAlterSpecCommand(table, splitSpecs(specs))
+    case DropRe(table, purge) if LakehouseRegistry.isRegistered(table) =>
+      LakehouseDropCommand(table, purge != null)
     case MergeRe(table, source, on) if LakehouseRegistry.isRegistered(table) =>
       keyColsOf(on, table, source) match {
         case Some(keys) if keys.nonEmpty => LakehouseMergeCommand(table, source, keys)
@@ -371,7 +391,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   private val MetaRe =
-    """(?i)`?([A-Za-z_]\w*)`?\.(history|snapshots|files|tags)\b""".r
+    """(?i)`?([A-Za-z_]\w*)`?\.(history|snapshots|files|tags|partitions)\b""".r
   private val VersionAsOfRe =
     """(?i)`?([A-Za-z_]\w*)`?\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val VersionTagRe =
@@ -390,7 +410,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def rewriteTimeTravel(sqlText: String): String = {
     // fast path: no travel syntax and no metadata-table ref — don't
     // touch the text
-    if (!"""(?i)\b(?:VERSION|TIMESTAMP)\s+AS\s+OF\b|\.(?:history|snapshots|files|tags)\b"""
+    if (!"""(?i)\b(?:VERSION|TIMESTAMP)\s+AS\s+OF\b|\.(?:history|snapshots|files|tags|partitions)\b"""
         .r.unanchored.matches(sqlText))
       return sqlText
     val sessionOpt = SparkSession.getActiveSession
@@ -419,6 +439,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             case "history" => lake.history(view)
             case "snapshots" => lake.snapshotsDf(view)
             case "files" => lake.filesDf(view)
+            case "partitions" => lake.partitionsDf(view)
             case _ => lake.tagsDf(view)
           }).createOrReplaceTempView(tv)
           TravelViews.track(spark, tv)

@@ -308,6 +308,42 @@ class HiddenPartitioningSpec extends SparkSpec {
       spark.sql("ALTER TABLE alt_ev SET PARTITION SPEC (mod(7,id))"))
   }
 
+  test("t.partitions metadata table reports spec-vocabulary leaves across layouts") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(eventsDf.where(col("id") <= 3).repartition(1), "pt",
+      partitionBy = Seq("days(event_ts)"))
+    lake.append(eventsDf.where(col("id") > 3).repartition(1), "pt",
+      partitionBy = Seq("cat"))
+    lake.registerView("pt", Seq("cat"))
+    val parts = spark.sql("SELECT * FROM pt.partitions ORDER BY partition").collect()
+    val keys = parts.map(_.getString(0)).toSeq
+    // two layouts co-exist: day leaves from data-1, cat leaves from data-2
+    assert(keys.count(_.startsWith("days(event_ts)=")) === 2,
+      s"ids 1-3 span 2 days, got: $keys")
+    assert(keys.count(_.startsWith("cat=")) === 3, s"ids 4-6 span 3 cats, got: $keys")
+    assert(parts.map(_.getLong(2)).sum === 6, "record counts come from the footers")
+    assert(parts.forall(r => r.getLong(1) >= 1 && r.getLong(3) > 0))
+  }
+
+  test("DROP TABLE unregisters; PURGE deletes; plain drop leaves data re-attachable") {
+    import spark.implicits._
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(eventsDf, "dr_keep", partitionBy = Seq("days(event_ts)"))
+    lake.registerView("dr_keep", Seq("days(event_ts)"))
+    lake.createOrReplace(eventsDf, "dr_purge")
+    lake.registerView("dr_purge")
+    spark.sql("DROP TABLE dr_keep")
+    assert(!spark.catalog.tableExists("dr_keep"))
+    assert(lake.catalogEntries().toMap.get("dr_keep").isEmpty)
+    // data survived a plain drop: re-attach and read
+    lake.registerView("dr_keep", Seq("days(event_ts)"))
+    assert(spark.sql("SELECT count(*) FROM dr_keep").head().getLong(0) === 6)
+    spark.sql("DROP TABLE dr_purge PURGE")
+    assert(!new java.io.File(s"$root/dr_purge").exists, "PURGE removes the table dir")
+  }
+
   test("transform parsing: canonical forms, round-trips, and rejects") {
     assert(Transforms.parse("days(ts)").phys === "_p_days_ts")
     assert(Transforms.parse("bucket( 8 , k )").spec === "bucket(8,k)")
