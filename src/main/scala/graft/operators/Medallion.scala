@@ -258,20 +258,28 @@ object Medallion {
     Tables.registerAll(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft-hidden").toString
     val lake = new graft.sources.Lakehouse(spark, root)
-    lake.createOrReplace(
-      spark.table("events").where(col("event_type") === "click"),
-      "lh_events", partitionBy = Seq("days(ts)"))
-    lake.registerView("lh_events", Seq("days(ts)"))
-    spark.sql("ALTER TABLE lh_events SET PARTITION SPEC (hours(ts))")
-    spark.sql("INSERT INTO lh_events SELECT * FROM events WHERE event_type <> 'click'")
-    spark.sql("UPDATE lh_events SET value = value * 2 WHERE event_type = 'purchase'")
-    lake.readWhere(
-      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")) &&
-        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")),
-      "lh_events")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .orderBy("event_type")
+    // hash write distribution keeps every hidden layout at one file
+    // per leaf (the events span ~30 days: an undistributed daily
+    // write would emit tasks×days files; restored in finally)
+    spark.conf.set("spark.graft.write-distribution", "hash")
+    try {
+      lake.createOrReplace(
+        spark.table("events").where(col("event_type") === "click"),
+        "lh_events", partitionBy = Seq("days(ts)"))
+      lake.registerView("lh_events", Seq("days(ts)"))
+      // SQL partition evolution: subsequent writes hash into 16
+      // user buckets; the committed daily dir keeps its layout
+      spark.sql("ALTER TABLE lh_events SET PARTITION SPEC (bucket(16, user_id))")
+      spark.sql("INSERT INTO lh_events SELECT * FROM events WHERE event_type <> 'click'")
+      spark.sql("UPDATE lh_events SET value = value * 2 WHERE event_type = 'purchase'")
+      lake.readWhere(
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")),
+        "lh_events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    } finally spark.conf.set("spark.graft.write-distribution", "none")
   }
 }
