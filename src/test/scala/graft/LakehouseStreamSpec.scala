@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.sources.Lakehouse
+
+/** Streaming reads OF the lakehouse (snapshot-offset tailing): the
+  * table is now a streaming SOURCE as well as an exactly-once sink. */
+class LakehouseStreamSpec extends SparkSpec {
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def readLake(root: String, table: String) =
+    spark.readStream
+      .format("graft.streaming.LakehouseStreamProvider")
+      .option("root", root)
+      .option("table", table)
+      .load()
+
+  test("tailing a lakehouse table: full snapshot first, then per-append micro-batches") {
+    import spark.implicits._
+    val root = freshDir("graft-lstream")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t")
+    val q = readLake(root, "t").writeStream
+      .format("memory").queryName("lstream_tail")
+      .option("checkpointLocation", freshDir("graft-lstream-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lstream_tail").count() === 2, "first batch = full snapshot")
+      lake.append(Seq((3L, "c")).toDF("k", "v"), "t")
+      q.processAllAvailable()
+      assert(spark.table("lstream_tail").count() === 3)
+      lake.append(Seq((4L, "d"), (5L, "e")).toDF("k", "v"), "t")
+      q.processAllAvailable()
+      val got = spark.table("lstream_tail").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L, 4L, 5L), "each append arrives exactly once")
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpointed snapshot; startSnapshot skips history") {
+    import spark.implicits._
+    val root = freshDir("graft-lstream2")
+    val ck = freshDir("graft-lstream2-ck")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "t2")
+    // memory sink refuses checkpoint recovery — collect via foreachBatch
+    // (a recoverable sink) into a per-run buffer
+    val run1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q1 = readLake(root, "t2").writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => run1.add(r.getLong(0))); ()
+      }.start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(run1.size === 1)
+    // rows appended while the stream is DOWN...
+    lake.append(Seq((2L, "b")).toDF("k", "v"), "t2")
+    val run2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = readLake(root, "t2").writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => run2.add(r.getLong(0))); ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      // ...arrive after restart, WITHOUT replaying the first snapshot
+      // (SerializedOffset from the checkpoint parses back to a snap id)
+      val got = run2.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+      assert(got === Seq(2L), s"restart must emit only the new append, got $got")
+    } finally q2.stop()
+    // startSnapshot: tail from a given snapshot instead of full history
+    val snapNow = lake.currentSnapshot("t2").get
+    lake.append(Seq((3L, "c")).toDF("k", "v"), "t2")
+    val q3 = spark.readStream
+      .format("graft.streaming.LakehouseStreamProvider")
+      .option("root", root).option("table", "t2")
+      .option("startSnapshot", snapNow.toString)
+      .load()
+      .writeStream.format("memory").queryName("lstream_r3")
+      .option("checkpointLocation", freshDir("graft-lstream3-ck")).start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("lstream_r3").collect().map(_.getLong(0)).toSeq === Seq(3L))
+    } finally q3.stop()
+  }
+
+  test("a rewrite between micro-batches fails the stream loudly, never replays rows") {
+    import spark.implicits._
+    val root = freshDir("graft-lstream4")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t4")
+    val q = readLake(root, "t4").writeStream
+      .format("memory").queryName("lstream_fail")
+      .option("checkpointLocation", freshDir("graft-lstream4-ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lstream_fail").count() === 2)
+      // copy-on-write delete rewrites the data dir: not append-only
+      lake.deleteWhere(col("k") === 1L, "t4")
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("append-only") ||
+        Option(e.getCause).exists(_.getMessage.contains("append-only")),
+        s"expected the incremental-read refusal, got: ${e.getMessage}")
+    } finally q.stop()
+  }
+
+  test("lakehouse-to-lakehouse hop: streaming read + appendOnce sink is exactly-once") {
+    import spark.implicits._
+    val srcRoot = freshDir("graft-lsrc")
+    val dstRoot = freshDir("graft-ldst")
+    val src = new Lakehouse(spark, srcRoot)
+    val dst = new Lakehouse(spark, dstRoot)
+    src.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "bronze")
+    dst.createOrReplace(Seq.empty[(Long, String)].toDF("k", "v"), "silver")
+    val q = readLake(srcRoot, "bronze")
+      .withColumn("v", upper(col("v")))
+      .writeStream
+      .option("checkpointLocation", freshDir("graft-lhop-ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        dst.appendOnce(batch, "silver", id); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      src.append(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), "bronze")
+      q.processAllAvailable()
+      val got = dst.read("silver").orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq === Seq((1L, "A"), (2L, "B"), (3L, "C")))
+    } finally q.stop()
+  }
+}
