@@ -165,16 +165,17 @@ object Medallion {
   def sqlLakehouseDdl(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft-sqlddl").toString
-    val lake = new graft.sources.Lakehouse(spark, root)
-    // CREATE TABLE AS
-    lake.createOrReplace(spark.sql(
-      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'"),
-      "lh_orders")
-    // INSERT INTO / MERGE INTO / UPDATE / DELETE FROM as PARSED SQL
-    // statements — the GraftSqlParser injection routes them through
-    // the lakehouse's snapshot-committing DML paths (the reference
-    // issues the same statements through Iceberg's parser extensions)
-    lake.registerView("lh_orders")
+    // the WHOLE lifecycle is parsed SQL now: CREATE TABLE AS routes to
+    // the session's default lake, then INSERT / MERGE / UPDATE /
+    // DELETE route through the snapshot-committing DML paths (the
+    // reference issues the same statements through Iceberg's parser
+    // extensions); the conf is scoped to this operator
+    spark.conf.set(graft.sources.LakehouseCtasCommand.RootConf, root)
+    try {
+    spark.sql(
+      """CREATE TABLE lh_orders AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)
     spark.sql(
       """INSERT INTO lh_orders
         |SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -210,6 +211,7 @@ object Medallion {
         |FROM lh_orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
+    } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
   }
 
   /** `sql_time_travel` — SQL time travel on a lakehouse table

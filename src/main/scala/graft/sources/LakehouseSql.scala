@@ -211,6 +211,37 @@ case class LakehouseAlterSpecCommand(view: String, spec: Seq[String])
   }
 }
 
+/** `CREATE [OR REPLACE] TABLE t [PARTITIONED BY (spec,…)] AS <query>`
+  * against the session's DEFAULT LAKE (`spark.graft.lake-root` — the
+  * catalog-role conf; the parser intercepts CTAS only when it is
+  * set). Partition specs take identity columns or hidden-partitioning
+  * transforms ([[Transforms]]). Plain CREATE refuses an existing
+  * table; OR REPLACE commits a replacing snapshot (history stays
+  * travel-readable). Registers the view for DML/SQL on success. */
+case class LakehouseCtasCommand(table: String, replace: Boolean, spec: Seq[String],
+    query: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = spark.conf.get(LakehouseCtasCommand.RootConf)
+    val lake = new Lakehouse(spark, root)
+    spec.foreach(Transforms.parse) // reject unknown transforms first
+    if (!replace && lake.currentSnapshot(table).isDefined)
+      throw new IllegalStateException(
+        s"table $table already exists in lake $root; use CREATE OR REPLACE TABLE")
+    val snap = lake.createOrReplace(spark.sql(query), table, spec)
+    lake.registerView(table, spec)
+    Seq(Row(snap))
+  }
+}
+
+object LakehouseCtasCommand {
+  val RootConf = "spark.graft.lake-root"
+  /** CTAS routes to the lakehouse only when the session declared a
+    * default lake — otherwise Spark's own parser handles CREATE. */
+  def enabled: Boolean = SparkSession.getActiveSession
+    .exists(_.conf.getOption(RootConf).exists(_.nonEmpty))
+}
+
 /** `DROP TABLE t [PURGE]` on a registered lakehouse view: unregisters
   * the temp view, the DML routing, and the persistent catalog line;
   * PURGE also deletes the table directory. Without PURGE the
@@ -261,6 +292,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*;?\s*""".r
   private val DropRe =
     """(?is)\s*DROP\s+TABLE\s+`?([A-Za-z_]\w*)`?(\s+PURGE)?\s*;?\s*""".r
+  private val CtasRe =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+`?([A-Za-z_]\w*)`?""" +
+      """(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?""" +
+      """\s+AS\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.+?)\s*;?\s*""").r
   private val OnConjunct =
     """(?i)\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*""".r
 
@@ -319,6 +354,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakehouseAlterSpecCommand(table, splitSpecs(specs))
     case DropRe(table, purge) if LakehouseRegistry.isRegistered(table) =>
       LakehouseDropCommand(table, purge != null)
+    case CtasRe(replace, table, specs, query) if LakehouseCtasCommand.enabled =>
+      LakehouseCtasCommand(table, replace != null,
+        Option(specs).map(splitSpecs).getOrElse(Nil), query)
     case MergeRe(table, source, on) if LakehouseRegistry.isRegistered(table) =>
       keyColsOf(on, table, source) match {
         case Some(keys) if keys.nonEmpty => LakehouseMergeCommand(table, source, keys)

@@ -344,6 +344,42 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/dr_purge").exists, "PURGE removes the table dir")
   }
 
+  test("CREATE TABLE AS through SQL with a session default lake and hidden specs") {
+    import spark.implicits._
+    val root = freshRoot()
+    eventsDf.createOrReplaceTempView("ctas_src")
+    spark.conf.set("spark.graft.lake-root", root)
+    try {
+      spark.sql(
+        """CREATE TABLE ct_ev PARTITIONED BY (days(event_ts))
+          |AS SELECT * FROM ctas_src WHERE id <= 4""".stripMargin)
+      val lake = new Lakehouse(spark, root)
+      assert(lake.read("ct_ev").count() === 4)
+      assert(lake.dirLayout("ct_ev", "data-1") === Seq("days(event_ts)"))
+      // registered: parsed DML + metadata tables work immediately
+      spark.sql("INSERT INTO ct_ev SELECT * FROM ctas_src WHERE id > 4")
+      assert(spark.sql("SELECT count(*) FROM ct_ev").head().getLong(0) === 6)
+      // plain CREATE refuses an existing table; OR REPLACE commits v2
+      intercept[IllegalStateException](
+        spark.sql("CREATE TABLE ct_ev AS SELECT * FROM ctas_src"))
+      spark.sql("CREATE OR REPLACE TABLE ct_ev AS SELECT * FROM ctas_src WHERE id = 1")
+      assert(lake.read("ct_ev").count() === 1)
+      assert(lake.snapshots("ct_ev").size >= 3, "replace keeps travelable history")
+    } finally spark.conf.unset("spark.graft.lake-root")
+    // without the default-lake conf, CTAS falls through to Spark's own
+    // parser (a managed spark-warehouse table, not a lakehouse one)
+    spark.sql("DROP TABLE IF EXISTS plain_ct")
+    val warehouseLeft = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "plain_ct")
+    if (warehouseLeft.exists)
+      org.apache.commons.io.FileUtils.deleteDirectory(warehouseLeft)
+    spark.sql("CREATE TABLE plain_ct AS SELECT * FROM ctas_src")
+    try {
+      assert(new Lakehouse(spark, root).currentSnapshot("plain_ct").isEmpty,
+        "no-conf CTAS must not route to the lakehouse")
+    } finally spark.sql("DROP TABLE IF EXISTS plain_ct")
+  }
+
   test("transform parsing: canonical forms, round-trips, and rejects") {
     assert(Transforms.parse("days(ts)").phys === "_p_days_ts")
     assert(Transforms.parse("bucket( 8 , k )").spec === "bucket(8,k)")
