@@ -264,11 +264,13 @@ object Medallion {
     // per leaf (the events span ~30 days: an undistributed daily
     // write would emit tasks×days files; restored in finally)
     spark.conf.set("spark.graft.write-distribution", "hash")
+    spark.conf.set(graft.sources.LakehouseCtasCommand.RootConf, root)
     try {
-      lake.createOrReplace(
-        spark.table("events").where(col("event_type") === "click"),
-        "lh_events", partitionBy = Seq("days(ts)"))
-      lake.registerView("lh_events", Seq("days(ts)"))
+      // parsed CTAS with a hidden transform spec — the daily layout is
+      // declared in SQL and never appears in the schema
+      spark.sql(
+        """CREATE TABLE lh_events PARTITIONED BY (days(ts))
+          |AS SELECT * FROM events WHERE event_type = 'click'""".stripMargin)
       // SQL partition evolution: subsequent writes hash into 16
       // user buckets; the committed daily dir keeps its layout
       spark.sql("ALTER TABLE lh_events SET PARTITION SPEC (bucket(16, user_id))")
@@ -282,6 +284,9 @@ object Medallion {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
         .orderBy("event_type")
-    } finally spark.conf.set("spark.graft.write-distribution", "none")
+    } finally {
+      spark.conf.set("spark.graft.write-distribution", "none")
+      spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
+    }
   }
 }

@@ -380,6 +380,27 @@ class HiddenPartitioningSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS plain_ct")
   }
 
+  test("compaction folds an append chain and keeps the hidden layout + pruning") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(eventsDf.where(col("id") <= 2), "cp",
+      partitionBy = Seq("days(event_ts)"))
+    lake.append(eventsDf.where(col("id") > 2 && col("id") <= 4), "cp",
+      partitionBy = Seq("days(event_ts)"))
+    lake.append(eventsDf.where(col("id") > 4), "cp", partitionBy = Seq("days(event_ts)"))
+    lake.compact("cp", partitionBy = Seq("days(event_ts)"))
+    val entries = lake.snapshots("cp").last._2
+    assert(entries.map(_.takeWhile(_ != '/')).distinct.size === 1,
+      s"compaction folds to one data dir, got $entries")
+    assert(lake.dirLayout("cp", entries.head.takeWhile(_ != '/')) === Seq("days(event_ts)"))
+    assert(lake.read("cp").count() === 6)
+    assert(lake.read("cp").columns.forall(!_.startsWith("_p_")))
+    // pruning still rides the compacted dir's leaves
+    val recent = lake.readWhere(col("event_ts") >= lit(ts("2025-01-01 00:00:00")), "cp")
+    assert(recent.count() === 1)
+    assert(recent.inputFiles.length < lake.read("cp").inputFiles.length)
+  }
+
   test("transform parsing: canonical forms, round-trips, and rejects") {
     assert(Transforms.parse("days(ts)").phys === "_p_days_ts")
     assert(Transforms.parse("bucket( 8 , k )").spec === "bucket(8,k)")
