@@ -41,6 +41,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("binary-quantization shortlist scans one code word per row, heap-tailed, no Window") {
+    // the BQ pass exists to make the exhaustive shortlist CHEAP: one
+    // xor+popcount per corpus row against a broadcast query side, then
+    // the same bounded-heap tail as every other variant — a Window or
+    // an unbroadcast query side would forfeit both properties
+    val p = plan(Similarity.annBqRerank(spark, sf))
+    assert(p.contains("BroadcastExchange"), "query codes must broadcast")
+    assert(!p.contains("Window"), "shortlist/rerank must not rank through a Window")
+    assert(p.contains("topk_by_score"), "expected the native bounded-heap tail")
+  }
+
   test("IVF cell assignment is a map-side argmin: no Window, no Exchange over the corpus") {
     // round 3 ranked cells with row_number() over a per-vector Window
     // after a crossJoin — shuffling n × nCells rows for an argmin a
