@@ -242,6 +242,29 @@ object LakehouseCtasCommand {
     .exists(_.conf.getOption(RootConf).exists(_.nonEmpty))
 }
 
+/** `VACUUM t [RETAIN n SNAPSHOTS]` — table maintenance through SQL:
+  * expires all but the last n snapshots (default 1; tags stay pinned,
+  * branch heads survive) and deletes orphaned dirs no kept snapshot
+  * references (stale-grace 0 here: everything unreferenced after
+  * expiry goes). The Iceberg `expire_snapshots` + `remove_orphan_files`
+  * procedures collapsed into the familiar statement. Returns the
+  * number of snapshots expired (expiry itself collects their
+  * now-unreferenced dirs; the orphan sweep then reaps dead writers'
+  * leavings). */
+case class LakehouseVacuumCommand(view: String, retain: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("expired_snapshots", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(retain >= 1, s"VACUUM must retain at least 1 snapshot, got $retain")
+    val (lake, _) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    val before = lake.snapshots(view).size
+    lake.expireSnapshots(view, keepLast = retain)
+    lake.removeOrphans(view, staleMillis = 0L)
+    Seq(Row((before - lake.snapshots(view).size).toLong))
+  }
+}
+
 /** `DROP TABLE t [PURGE]` on a registered lakehouse view: unregisters
   * the temp view, the DML routing, and the persistent catalog line;
   * PURGE also deletes the table directory. Without PURGE the
@@ -292,6 +315,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*;?\s*""".r
   private val DropRe =
     """(?is)\s*DROP\s+TABLE\s+`?([A-Za-z_]\w*)`?(\s+PURGE)?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+`?([A-Za-z_]\w*)`?(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
   private val CtasRe =
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+`?([A-Za-z_]\w*)`?""" +
       """(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?""" +
@@ -357,6 +382,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CtasRe(replace, table, specs, query) if LakehouseCtasCommand.enabled =>
       LakehouseCtasCommand(table, replace != null,
         Option(specs).map(splitSpecs).getOrElse(Nil), query)
+    case VacuumRe(table, retain) if LakehouseRegistry.isRegistered(table) =>
+      LakehouseVacuumCommand(table, Option(retain).map(_.toInt).getOrElse(1))
     case MergeRe(table, source, on) if LakehouseRegistry.isRegistered(table) =>
       keyColsOf(on, table, source) match {
         case Some(keys) if keys.nonEmpty => LakehouseMergeCommand(table, source, keys)

@@ -401,6 +401,25 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(recent.inputFiles.length < lake.read("cp").inputFiles.length)
   }
 
+  test("VACUUM through SQL expires history and removes unreferenced dirs") {
+    import spark.implicits._
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "vc")
+    lake.createOrReplace(Seq((2L, "b")).toDF("k", "v"), "vc") // orphans data-1
+    lake.append(Seq((3L, "c")).toDF("k", "v"), "vc")
+    lake.registerView("vc")
+    assert(lake.snapshots("vc").size === 3)
+    val expired = spark.sql("VACUUM vc RETAIN 1 SNAPSHOTS").head().getLong(0)
+    assert(expired === 2L, "two historical snapshots expire")
+    assert(lake.snapshots("vc").map(_._1) === Seq(3L))
+    assert(lake.read("vc").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // v1's dir is physically gone (expiry collects unreferenced dirs)
+    assert(!new java.io.File(s"$root/vc/data-1").exists)
+    // default retains 1; idempotent re-run expires nothing further
+    assert(spark.sql("VACUUM vc").head().getLong(0) === 0L)
+  }
+
   test("transform parsing: canonical forms, round-trips, and rejects") {
     assert(Transforms.parse("days(ts)").phys === "_p_days_ts")
     assert(Transforms.parse("bucket( 8 , k )").spec === "bucket(8,k)")

@@ -108,6 +108,35 @@ class LakehouseStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingestion into a hidden day-partitioned table prunes like batch") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = freshDir("graft-lhidden")
+    val lake = new Lakehouse(spark, root)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = mem.toDF().toDF("id", "event_ts", "amount").writeStream
+      .option("checkpointLocation", freshDir("graft-lhidden-ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        lake.appendOnce(batch, "ev_bronze", id, partitionBy = Seq("days(event_ts)")); ()
+      }.start()
+    try {
+      mem.addData((1L, ts("2024-01-01 03:00:00"), 1.0), (2L, ts("2024-01-02 04:00:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, ts("2024-01-03 05:00:00"), 3.0))
+      q.processAllAvailable()
+      assert(lake.read("ev_bronze").count() === 3)
+      assert(lake.read("ev_bronze").columns.toSet === Set("id", "event_ts", "amount"))
+      val day2 = lake.readWhere(
+        col("event_ts") >= lit(ts("2024-01-02 00:00:00")) &&
+          col("event_ts") < lit(ts("2024-01-03 00:00:00")), "ev_bronze")
+      assert(day2.collect().map(_.getLong(0)).toSeq === Seq(2L))
+      assert(day2.inputFiles.length < lake.read("ev_bronze").inputFiles.length,
+        "the day predicate must prune the other days' leaves")
+    } finally q.stop()
+  }
+
   test("lakehouse-to-lakehouse hop: streaming read + appendOnce sink is exactly-once") {
     import spark.implicits._
     val srcRoot = freshDir("graft-lsrc")
