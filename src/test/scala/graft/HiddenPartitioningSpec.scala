@@ -420,6 +420,85 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(spark.sql("VACUUM vc").head().getLong(0) === 0L)
   }
 
+  test("transform exprs and literal mappings agree on randomized inputs (pruning soundness)") {
+    import spark.implicits._
+    // If the Column expression (write side) and the literal mapping
+    // (prune side) ever disagree on one value, stats pruning silently
+    // drops matching files — this is the invariant everything rests on.
+    val rnd = new scala.util.Random(42)
+    val micros = Seq.fill(200)(
+      // ±55 years around epoch, microsecond precision
+      (rnd.nextLong() % (55L * 365 * 86400 * 1000000L))) :+ 0L :+ -1L :+ 86399999999L
+    val tsDf = micros.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+      .toDF("id", "us")
+      .select(col("id"), expr("timestamp_micros(us)").as("t"), col("us"))
+    for (spec <- Seq("days(t)", "months(t)", "years(t)", "hours(t)")) {
+      val t = Transforms.parse(spec)
+      val got = t.expr(tsDf)
+      val rows = tsDf.select(col("us"), got.as("derived")).collect()
+      rows.foreach { r =>
+        val want = t.derivedConjunct("=", Transforms.TsMicros(r.getLong(0))).get._3
+        assert(r.getLong(1) === want,
+          s"$spec: expr=${r.getLong(1)} literal=$want for micros=${r.getLong(0)}")
+      }
+    }
+    // dates
+    val days = Seq.fill(100)(rnd.nextInt(40000) - 20000) :+ 0 :+ -1
+    val dDf = days.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "ds")
+      .select(col("id"), expr("date_add(DATE'1970-01-01', ds)").as("d"), col("ds"))
+    for (spec <- Seq("days(d)", "months(d)", "years(d)", "bucket(7,d)")) {
+      val t = Transforms.parse(spec)
+      val rows = dDf.select(col("ds"), t.expr(dDf).as("derived")).collect()
+      rows.foreach { r =>
+        val want = t.derivedConjunct("=", Transforms.DateDays(r.getInt(0))).get._3
+        assert(r.getLong(1) === want, s"$spec mismatch at days=${r.getInt(0)}")
+      }
+    }
+    // integral + string truncate and bucket
+    val longs = Seq.fill(100)(rnd.nextLong() % 100000L)
+    val lDf = longs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "k")
+    for (spec <- Seq("truncate(10,k)", "truncate(7,k)", "bucket(16,k)")) {
+      val t = Transforms.parse(spec)
+      val rows = lDf.select(col("k"), t.expr(lDf).as("derived")).collect()
+      rows.foreach { r =>
+        val want = t.derivedConjunct("=", r.getLong(0)).get._3
+        assert(r.getLong(1) === want, s"$spec mismatch at k=${r.getLong(0)}")
+      }
+    }
+    val strs = Seq("", "a", "Ab", "hello world", "ünïcode", "zzzz")
+    val sDf = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for (spec <- Seq("truncate(3,s)", "bucket(8,s)")) {
+      val t = Transforms.parse(spec)
+      val rows = sDf.select(col("s"), t.expr(sDf).as("derived")).collect()
+      rows.foreach { r =>
+        val want = t.derivedConjunct("=", r.getString(0)).get._3
+        assert(r.get(1) === want, s"$spec mismatch at s='${r.getString(0)}'")
+      }
+    }
+  }
+
+  test("null source values land in the default partition and round-trip through DML") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val df = Seq(
+      (1L, Some(ts("2024-01-01 03:00:00")), 1.0),
+      (2L, None, 2.0),
+      (3L, Some(ts("2024-01-02 08:00:00")), 3.0)
+    ).map { case (id, t, a) => (id, t.orNull, a) }.toDF("id", "event_ts", "amount")
+    lake.createOrReplace(df, "nl", partitionBy = Seq("days(event_ts)"))
+    val got = lake.read("nl")
+    assert(got.count() === 3)
+    assert(got.where(col("event_ts").isNull).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // a time-range read never returns the null row, and pruning stays sound
+    val ranged = lake.readWhere(col("event_ts") >= lit(ts("2024-01-02 00:00:00")), "nl")
+    assert(ranged.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // DML over the mixed table keeps the null row intact
+    lake.updateWhere(Seq("amount" -> (col("amount") + 10)), col("id") === 2L, "nl",
+      partitionBy = Seq("days(event_ts)"))
+    val r2 = lake.read("nl").where(col("id") === 2L).head()
+    assert(r2.isNullAt(1) && r2.getDouble(2) === 12.0)
+  }
+
   test("transform parsing: canonical forms, round-trips, and rejects") {
     assert(Transforms.parse("days(ts)").phys === "_p_days_ts")
     assert(Transforms.parse("bucket( 8 , k )").spec === "bucket(8,k)")
