@@ -477,7 +477,13 @@ class Lakehouse(spark: SparkSession, root: String) {
       partitionBy: Seq[String]): Unit = {
     // hidden partitioning: materialize transform columns (`_p_…`) for
     // the write only — readers drop them ([[openDirGroup]]), so the
-    // user schema never sees the layout
+    // user schema never sees the layout. The prefix is RESERVED: a
+    // user column named `_p_…` would be silently dropped on read —
+    // refuse it loudly instead.
+    val clash = df.columns.filter(_.startsWith("_p_"))
+    require(clash.isEmpty,
+      s"column names starting with '_p_' are reserved for hidden partition " +
+        s"layouts: ${clash.mkString(", ")}")
     val ts = Transforms.canon(partitionBy).map(Transforms.parse)
     val derived = Transforms.withDerived(df, ts)
     // `spark.graft.write-distribution` (Iceberg's
