@@ -498,9 +498,16 @@ class Lakehouse(spark: SparkSession, root: String) {
     // deltas.
     val physDf = spark.conf.get("spark.graft.write-distribution", "none") match {
       case "hash" if ts.nonEmpty => derived.repartition(ts.map(t => derived(t.phys)): _*)
-      case "none" | "hash" => derived
+      // `range`: global sort by the partition values — one file per
+      // leaf like hash, PLUS adjacent leaves land in adjacent tasks,
+      // so a follow-up within-file clustering key (sortWithinPartitions
+      // upstream) and the min/max ledger get tight non-overlapping
+      // bounds (Iceberg's write.distribution-mode=range)
+      case "range" if ts.nonEmpty =>
+        derived.repartitionByRange(ts.map(t => derived(t.phys)): _*)
+      case "none" | "hash" | "range" => derived
       case other => throw new IllegalArgumentException(
-        s"spark.graft.write-distribution must be none or hash; got: $other")
+        s"spark.graft.write-distribution must be none, hash, or range; got: $other")
     }
     withMicrosTimestamps {
       val w = physDf.write.mode(SaveMode.Overwrite)

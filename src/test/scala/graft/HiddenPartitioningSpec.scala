@@ -278,8 +278,13 @@ class HiddenPartitioningSpec extends SparkSpec {
       val filesHash = lake.read("wd_hash").inputFiles.length
       assert(filesHash === 3, s"hash distribution: one file per day leaf, got $filesHash")
       assert(lake.read("wd_hash").count() === 240)
+      spark.conf.set("spark.graft.write-distribution", "range")
+      lake.createOrReplace(wide, "wd_range", partitionBy = Seq("days(event_ts)"))
+      assert(lake.read("wd_range").count() === 240)
+      assert(lake.read("wd_range").inputFiles.length === 3,
+        "range distribution also lands one file per leaf")
       intercept[IllegalArgumentException] {
-        spark.conf.set("spark.graft.write-distribution", "range")
+        spark.conf.set("spark.graft.write-distribution", "zorder")
         lake.createOrReplace(wide, "wd_bad", partitionBy = Seq("days(event_ts)"))
       }
     } finally spark.conf.set("spark.graft.write-distribution", "none")
