@@ -47,6 +47,15 @@ object Stress {
     // span dedup at 16×: every span repeats 16 times across copies, so
     // kept spans stay at the single-copy count while segment rows 16×
     t("dedup_spans")(Dedup.dedupSpans(spark, dir).count())
+    // ANN at 16× (160k vectors): the approximate paths must beat the
+    // exact scan exactly here — candidates per query stay ~constant
+    // while brute-force scoring grows linearly; the BQ pass scans the
+    // whole corpus but at one xor+popcount per row
+    import graft.operators.Similarity
+    t("ann_cosine_topk")(Similarity.annCosineTopk(spark, dir).count())
+    t("ann_lsh_multiprobe")(Similarity.annLshMultiprobe(spark, dir).count())
+    t("ann_ivf_topk")(Similarity.annIvfTopk(spark, dir).count())
+    t("ann_bq_rerank")(Similarity.annBqRerank(spark, dir).count())
     graft.sources.Memo.release(spark)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()
