@@ -205,6 +205,10 @@ object Medallion {
         |WHEN NOT MATCHED AND cond_src.o_totalprice < 100000 THEN INSERT *""".stripMargin)
     spark.sql("UPDATE lh_orders SET o_totalprice = o_totalprice + 1 WHERE o_orderkey % 11 = 0")
     spark.sql("DELETE FROM lh_orders WHERE o_orderkey % 7 = 0")
+    // maintenance as parsed SQL: expire the 5 historical snapshots the
+    // lifecycle created and sweep their dirs — the final aggregate
+    // below proves the CURRENT state is untouched by retention
+    spark.sql("VACUUM lh_orders RETAIN 1 SNAPSHOTS")
     spark.sql(
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
