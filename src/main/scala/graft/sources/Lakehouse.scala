@@ -26,6 +26,12 @@ import java.nio.charset.StandardCharsets
   *   root/<table>/_current              text: latest snapshot id
   * }}}
   */
+/** One `WHEN MATCHED` MERGE clause: optional row-local condition,
+  * DELETE vs UPDATE, and for UPDATE either `SET *` (None) or explicit
+  * `col = expr-SQL` assignments ([[Lakehouse.sqlMergeClauses]]). */
+case class MergeMatched(cond: Option[String], isDelete: Boolean,
+    assignments: Option[Seq[(String, String)]] = None)
+
 class Lakehouse(spark: SparkSession, root: String) {
 
   private def fs: FileSystem =
@@ -1855,6 +1861,23 @@ class Lakehouse(spark: SparkSession, root: String) {
   def sqlMergeConditional(table: String, sourceView: String, keyCols: Seq[String],
       matched: Seq[(Option[String], Boolean)],
       notMatchedInsert: Option[Option[String]],
+      partitionBy: Seq[String] = Nil, branch: String = "main"): Long =
+    sqlMergeClauses(table, sourceView, keyCols,
+      matched.map { case (c, d) => MergeMatched(c, d) },
+      notMatchedInsert, partitionBy, branch)
+
+  /** Conditional MERGE with the FULL update grammar: each matched
+    * clause is `UPDATE SET *` (all columns from the source row),
+    * `UPDATE SET col = expr, …` (explicit assignments — expressions
+    * may reference both the table and source aliases; unassigned
+    * columns keep the TARGET row's values, SQL UPDATE semantics), or
+    * `DELETE`. First-applicable-clause semantics against the
+    * pre-merge state; assigned values cast back to the declared
+    * column types (no silent schema drift); one snapshot commit
+    * through the shared copy-on-write cores. */
+  def sqlMergeClauses(table: String, sourceView: String, keyCols: Seq[String],
+      matched: Seq[MergeMatched],
+      notMatchedInsert: Option[Option[String]],
       partitionBy: Seq[String] = Nil, branch: String = "main"): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val changes = (target: DataFrame) => {
@@ -1864,15 +1887,33 @@ class Lakehouse(spark: SparkSession, root: String) {
       val s = source.alias(sourceView)
       val joinCond = keyCols.map(k =>
         col(s"$table.$k") === col(s"$sourceView.$k")).reduce(_ && _)
-      // first-applicable clause per matched row: 0 none, 1 update, 2 delete
-      val action = matched.foldRight(lit(0)) { case ((condOpt, isDelete), rest) =>
-        when(condOpt.map(expr).getOrElse(lit(true)), lit(if (isDelete) 2 else 1))
-          .otherwise(rest)
+      // index of the FIRST applicable clause per matched row (1-based;
+      // 0 = no clause applies, the row survives untouched)
+      val action = matched.zipWithIndex.foldRight(lit(0)) { case ((m, i), rest) =>
+        when(m.cond.map(expr).getOrElse(lit(true)), lit(i + 1)).otherwise(rest)
       }
       val pairs = t.join(s, joinCond).withColumn("__act", action)
+      val tCols = target.columns.toSeq
       val sCols = source.columns.toSeq
-      val upRows = pairs.where(col("__act") === 1)
-        .select(sCols.map(c => col(s"$sourceView.$c")): _*)
+      val upRows = matched.zipWithIndex.collect { case (m, i) if !m.isDelete =>
+        val subset = pairs.where(col("__act") === (i + 1))
+        m.assignments match {
+          case None => // SET *: the full source row replaces the target's
+            subset.select(sCols.map(c => col(s"$sourceView.$c")): _*)
+          case Some(asg) =>
+            val byName = asg.toMap
+            val unknown = byName.keySet -- tCols.toSet
+            require(unknown.isEmpty,
+              s"MERGE UPDATE SET references unknown column(s): ${unknown.mkString(", ")}")
+            // all right-hand sides evaluate against the PRE-merge pair
+            // in one projection; unassigned columns keep target values
+            subset.select(tCols.map { c =>
+              byName.get(c)
+                .map(e => expr(e).cast(target.schema(c).dataType).as(c))
+                .getOrElse(col(s"$table.$c").as(c))
+            }: _*)
+        }
+      }.reduceOption(_.unionByName(_)).getOrElse(target.where(lit(false)))
       val removeKeys = pairs.where(col("__act") =!= 0)
         .select(keyCols.map(k => col(s"$table.$k")): _*)
       val insRows = notMatchedInsert match {

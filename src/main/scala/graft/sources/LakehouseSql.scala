@@ -176,17 +176,17 @@ case class LakehouseMergeCommand(view: String, sourceView: String, keyCols: Seq[
 }
 
 /** Conditional MERGE: ordered `WHEN MATCHED [AND cond] THEN
-  * UPDATE SET * | DELETE` clauses plus an optional `WHEN NOT MATCHED
-  * [AND cond] THEN INSERT *`, routed through
-  * [[Lakehouse.sqlMergeConditional]] as ONE snapshot commit. */
+  * UPDATE SET * | UPDATE SET col = expr, … | DELETE` clauses plus an
+  * optional `WHEN NOT MATCHED [AND cond] THEN INSERT *`, routed
+  * through [[Lakehouse.sqlMergeClauses]] as ONE snapshot commit. */
 case class LakehouseMergeCondCommand(view: String, sourceView: String, keyCols: Seq[String],
-    matched: Seq[(Option[String], Boolean)], notMatchedInsert: Option[Option[String]])
+    matched: Seq[MergeMatched], notMatchedInsert: Option[Option[String]])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
       .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
-    Seq(Row(lake.sqlMergeConditional(
+    Seq(Row(lake.sqlMergeClauses(
       view, sourceView, keyCols, matched, notMatchedInsert, partitionBy)))
   }
 }
@@ -292,7 +292,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+`?([A-Za-z_]\w*)`?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val MergeRe =
-    ("""(?is)\s*MERGE\s+INTO\s+`?([A-Za-z_]\w*)`?\s+USING\s+`?([A-Za-z_]\w*)`?\s+ON\s+(.+?)""" +
+    ("""(?is)\s*MERGE\s+INTO\s+`?([A-Za-z_]\w*)`?\s+USING\s+`?([A-Za-z_]\w*)`?""" +
+      // ON must stop at the FIRST WHEN: a lazy (.+?) would swallow a
+      // leading conditional clause whenever a later canonical
+      // `SET * … INSERT *` pair exists, mis-routing the statement
+      """\s+ON\s+((?:(?!\bWHEN\b).)+?)""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
   // general MERGE head: everything from the first WHEN on is the
@@ -302,6 +306,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*""").r
   private val MatchedUpdateRe =
     """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+\*\s*""".r
+  private val MatchedUpdateSetRe =
+    """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
   private val MatchedDeleteRe =
     """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
   private val NotMatchedInsertRe =
@@ -399,7 +405,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
       // tokenize at each WHEN keyword; every token must parse as a clause
       val tokens = clauses.split("(?i)(?=\\bWHEN\\b)").toSeq.filter(_.trim.nonEmpty)
-      var matched = Seq.empty[(Option[String], Boolean)]
+      var matched = Seq.empty[MergeMatched]
       var insert: Option[Option[String]] = None
       tokens.foreach { tok =>
         def checked(cond: String): Option[String] = Option(cond).map { c =>
@@ -415,11 +421,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             if (insert.isDefined) throw new UnsupportedOperationException(
               "lakehouse MERGE takes at most one WHEN NOT MATCHED clause")
             insert = Some(checked(cond))
-          case MatchedUpdateRe(cond) => matched :+= (checked(cond), false)
-          case MatchedDeleteRe(cond) => matched :+= (checked(cond), true)
+          case MatchedUpdateRe(cond) => matched :+= MergeMatched(checked(cond), false)
+          case MatchedDeleteRe(cond) => matched :+= MergeMatched(checked(cond), true)
+          // explicit assignments: SET a = expr, b = expr (top-level
+          // comma split — function calls keep their inner commas)
+          case MatchedUpdateSetRe(cond, sets) =>
+            if (SubqueryRe.matches(sets)) throw new UnsupportedOperationException(
+              s"lakehouse MERGE SET expressions are row-local, not subqueries; got: SET $sets")
+            val AsgRe = """(?s)\s*`?([A-Za-z_]\w*)`?\s*=\s*(.+?)\s*""".r
+            val asg = splitSpecs(sets).map {
+              case AsgRe(c, e) => (c, e)
+              case bad => throw new UnsupportedOperationException(
+                s"unsupported MERGE SET assignment: $bad (expected col = expr)")
+            }
+            matched :+= MergeMatched(checked(cond), isDelete = false, Some(asg))
           case other => throw new UnsupportedOperationException(
             s"unsupported MERGE clause: $other (supported: WHEN MATCHED [AND cond] THEN " +
-              "UPDATE SET * | DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT *)")
+              "UPDATE SET * | UPDATE SET col = expr, ... | DELETE, " +
+              "WHEN NOT MATCHED [AND cond] THEN INSERT *)")
         }
       }
       LakehouseMergeCondCommand(table, source, keys, matched, insert)

@@ -1448,4 +1448,49 @@ class LakehouseSpec extends SparkSpec {
     // history before the wipe still time-travels
     assert(lake.readSnapshot("wipe", 1L).count() === 2L)
   }
+
+  test("MERGE UPDATE SET with explicit assignments: accumulate, not replace") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (4L, "d", 40L)).toDF("k", "v", "cnt"), "acc")
+    lake.registerView("acc")
+    Seq((1L, "A", 5L), (3L, "c", 7L), (4L, "D", 4L))
+      .toDF("k", "v", "cnt").createOrReplaceTempView("acc_src")
+    // the upsert-accumulate shape: matched rows ADD counts (and only
+    // low-count matches also take the source's v via a second clause);
+    // unassigned columns keep the TARGET row's values
+    spark.sql(
+      """MERGE INTO acc USING acc_src ON acc.k = acc_src.k
+        |WHEN MATCHED AND acc.cnt >= 10 THEN UPDATE SET cnt = acc.cnt + acc_src.cnt
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = lake.read("acc").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (1L, "a", 15L), // accumulated; v untouched (not assigned)
+      (2L, "b", 20L), // unmatched target row survives
+      (3L, "c", 7L),  // inserted
+      (4L, "d", 44L))) // first clause wins: accumulated, v untouched
+  }
+
+  test("MERGE SET assignments take function calls and cast to declared types") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(Seq((1L, "ab", 1.5)).toDF("k", "v", "x"), "fx")
+    lake.registerView("fx")
+    Seq((1L, "cd", 9)).toDF("k", "v", "x").createOrReplaceTempView("fx_src")
+    spark.sql(
+      """MERGE INTO fx USING fx_src ON fx.k = fx_src.k
+        |WHEN MATCHED THEN UPDATE SET v = concat(fx.v, fx_src.v),
+        |  x = greatest(fx.x, fx_src.x)""".stripMargin)
+    val r = lake.read("fx").head()
+    assert(r.getString(1) === "abcd")
+    assert(r.getDouble(2) === 9.0) // int source value cast back to DOUBLE column
+    // unknown assigned column refused
+    intercept[IllegalArgumentException] {
+      spark.sql("MERGE INTO fx USING fx_src ON fx.k = fx_src.k " +
+        "WHEN MATCHED THEN UPDATE SET nope = 1")
+    }
+  }
 }
