@@ -32,6 +32,14 @@ import java.nio.charset.StandardCharsets
 case class MergeMatched(cond: Option[String], isDelete: Boolean,
     assignments: Option[Seq[(String, String)]] = None)
 
+/** The `WHEN NOT MATCHED` MERGE clause: optional row-local condition
+  * and either `INSERT *` (None) or an explicit
+  * `INSERT (cols) VALUES (expr-SQLs)` — expressions reference the
+  * source alias; unlisted target columns insert NULL
+  * ([[Lakehouse.sqlMergeClauses]]). */
+case class MergeInsert(cond: Option[String],
+    columns: Option[(Seq[String], Seq[String])] = None)
+
 class Lakehouse(spark: SparkSession, root: String) {
 
   private def fs: FileSystem =
@@ -1864,7 +1872,7 @@ class Lakehouse(spark: SparkSession, root: String) {
       partitionBy: Seq[String] = Nil, branch: String = "main"): Long =
     sqlMergeClauses(table, sourceView, keyCols,
       matched.map { case (c, d) => MergeMatched(c, d) },
-      notMatchedInsert, partitionBy, branch)
+      notMatchedInsert.map(MergeInsert(_)), partitionBy, branch)
 
   /** Conditional MERGE with the FULL update grammar: each matched
     * clause is `UPDATE SET *` (all columns from the source row),
@@ -1877,7 +1885,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     * through the shared copy-on-write cores. */
   def sqlMergeClauses(table: String, sourceView: String, keyCols: Seq[String],
       matched: Seq[MergeMatched],
-      notMatchedInsert: Option[Option[String]],
+      notMatchedInsert: Option[MergeInsert],
       partitionBy: Seq[String] = Nil, branch: String = "main"): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val changes = (target: DataFrame) => {
@@ -1917,10 +1925,27 @@ class Lakehouse(spark: SparkSession, root: String) {
       val removeKeys = pairs.where(col("__act") =!= 0)
         .select(keyCols.map(k => col(s"$table.$k")): _*)
       val insRows = notMatchedInsert match {
-        case Some(condOpt) =>
+        case Some(ins) =>
           val unmatched = s.join(t, joinCond, "left_anti")
-          condOpt.map(c => unmatched.where(expr(c))).getOrElse(unmatched)
-            .select(sCols.map(col): _*)
+          val filtered = ins.cond.map(c => unmatched.where(expr(c))).getOrElse(unmatched)
+          ins.columns match {
+            case None => filtered.select(sCols.map(col): _*)
+            case Some((cols, vals)) =>
+              require(cols.length == vals.length,
+                s"MERGE INSERT lists ${cols.length} columns but ${vals.length} values")
+              val byName = cols.zip(vals).toMap
+              val unknown = byName.keySet -- tCols.toSet
+              require(unknown.isEmpty,
+                s"MERGE INSERT references unknown column(s): ${unknown.mkString(", ")}")
+              // explicit column list: listed columns take their VALUES
+              // expression (source-alias row-local), the rest NULL —
+              // all cast to the declared types
+              filtered.select(tCols.map { c =>
+                byName.get(c)
+                  .map(e => expr(e).cast(target.schema(c).dataType).as(c))
+                  .getOrElse(lit(null).cast(target.schema(c).dataType).as(c))
+              }: _*)
+          }
         case None => source.where(lit(false))
       }
       (upRows.unionByName(insRows), removeKeys)

@@ -180,7 +180,7 @@ case class LakehouseMergeCommand(view: String, sourceView: String, keyCols: Seq[
   * optional `WHEN NOT MATCHED [AND cond] THEN INSERT *`, routed
   * through [[Lakehouse.sqlMergeClauses]] as ONE snapshot commit. */
 case class LakehouseMergeCondCommand(view: String, sourceView: String, keyCols: Seq[String],
-    matched: Seq[MergeMatched], notMatchedInsert: Option[Option[String]])
+    matched: Seq[MergeMatched], notMatchedInsert: Option[MergeInsert])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -312,6 +312,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
   private val NotMatchedInsertRe =
     """(?is)\s*WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+\*\s*""".r
+  private val NotMatchedInsertValsRe =
+    ("""(?is)\s*WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*""" +
+      """\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*""").r
   private val SubqueryRe = """(?is).*\(\s*SELECT\b.*""".r
   private val UpdateRe =
     """(?is)\s*UPDATE\s+`?([A-Za-z_]\w*)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
@@ -406,7 +409,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // tokenize at each WHEN keyword; every token must parse as a clause
       val tokens = clauses.split("(?i)(?=\\bWHEN\\b)").toSeq.filter(_.trim.nonEmpty)
       var matched = Seq.empty[MergeMatched]
-      var insert: Option[Option[String]] = None
+      var insert: Option[MergeInsert] = None
       tokens.foreach { tok =>
         def checked(cond: String): Option[String] = Option(cond).map { c =>
           if (SubqueryRe.matches(c)) throw new UnsupportedOperationException(
@@ -420,7 +423,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           case NotMatchedInsertRe(cond) =>
             if (insert.isDefined) throw new UnsupportedOperationException(
               "lakehouse MERGE takes at most one WHEN NOT MATCHED clause")
-            insert = Some(checked(cond))
+            insert = Some(MergeInsert(checked(cond)))
+          // explicit-column insert: INSERT (a, b) VALUES (e1, e2)
+          case NotMatchedInsertValsRe(cond, cols, vals) =>
+            if (insert.isDefined) throw new UnsupportedOperationException(
+              "lakehouse MERGE takes at most one WHEN NOT MATCHED clause")
+            if (SubqueryRe.matches(vals)) throw new UnsupportedOperationException(
+              s"lakehouse MERGE INSERT values are row-local, not subqueries; got: VALUES ($vals)")
+            val colNames = cols.split(",").toSeq
+              .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+            insert = Some(MergeInsert(checked(cond), Some((colNames, splitSpecs(vals)))))
           case MatchedUpdateRe(cond) => matched :+= MergeMatched(checked(cond), false)
           case MatchedDeleteRe(cond) => matched :+= MergeMatched(checked(cond), true)
           // explicit assignments: SET a = expr, b = expr (top-level

@@ -1493,4 +1493,28 @@ class LakehouseSpec extends SparkSpec {
         "WHEN MATCHED THEN UPDATE SET nope = 1")
     }
   }
+
+  test("MERGE INSERT with an explicit column list: listed get VALUES, rest NULL") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(Seq((1L, "a", 10L)).toDF("k", "v", "cnt"), "insx")
+    lake.registerView("insx")
+    Seq((1L, "A", 5L), (2L, "b", 7L), (3L, "c", 9L))
+      .toDF("k", "v", "cnt").createOrReplaceTempView("insx_src")
+    spark.sql(
+      """MERGE INTO insx USING insx_src ON insx.k = insx_src.k
+        |WHEN MATCHED THEN UPDATE SET cnt = insx.cnt + insx_src.cnt
+        |WHEN NOT MATCHED AND insx_src.cnt < 8
+        |  THEN INSERT (k, cnt) VALUES (insx_src.k, insx_src.cnt * 100)""".stripMargin)
+    val got = lake.read("insx").orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (1L, Some("a"), 15L), // matched: accumulated, v kept
+      (2L, None, 700L)))    // conditional insert: v unlisted -> NULL; k=3 filtered
+    // unknown column in the INSERT list refused
+    intercept[IllegalArgumentException] {
+      spark.sql("MERGE INTO insx USING insx_src ON insx.k = insx_src.k " +
+        "WHEN NOT MATCHED THEN INSERT (nope) VALUES (1)")
+    }
+  }
 }
