@@ -137,6 +137,30 @@ class LakehouseStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tailing a hidden-partitioned table: appended day leaves stream clean-schema") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = freshDir("graft-lstream-hp")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(
+      Seq((1L, ts("2024-01-01 01:00:00"))).toDF("id", "event_ts"),
+      "hp", partitionBy = Seq("days(event_ts)"))
+    val q = readLake(root, "hp").writeStream
+      .format("memory").queryName("lstream_hp")
+      .option("checkpointLocation", freshDir("graft-lstream-hp-ck")).start()
+    try {
+      q.processAllAvailable()
+      lake.append(
+        Seq((2L, ts("2024-02-05 09:00:00")), (3L, ts("2024-02-06 10:00:00")))
+          .toDF("id", "event_ts"), "hp", partitionBy = Seq("days(event_ts)"))
+      q.processAllAvailable()
+      val got = spark.table("lstream_hp")
+      assert(got.columns.toSet === Set("id", "event_ts"),
+        "the hidden layout column must not leak into the stream")
+      assert(got.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("lakehouse-to-lakehouse hop: streaming read + appendOnce sink is exactly-once") {
     import spark.implicits._
     val srcRoot = freshDir("graft-lsrc")
