@@ -266,7 +266,9 @@ object Medallion {
     val lake = new graft.sources.Lakehouse(spark, root)
     // hash write distribution keeps every hidden layout at one file
     // per leaf (the events span ~30 days: an undistributed daily
-    // write would emit tasks×days files; restored in finally)
+    // write would emit tasks×days files; prior value restored in
+    // finally so a user's session-level setting survives)
+    val priorDist = spark.conf.getOption("spark.graft.write-distribution")
     spark.conf.set("spark.graft.write-distribution", "hash")
     spark.conf.set(graft.sources.LakehouseCtasCommand.RootConf, root)
     try {
@@ -289,7 +291,10 @@ object Medallion {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
         .orderBy("event_type")
     } finally {
-      spark.conf.set("spark.graft.write-distribution", "none")
+      priorDist match {
+        case Some(v) => spark.conf.set("spark.graft.write-distribution", v)
+        case None => spark.conf.unset("spark.graft.write-distribution")
+      }
       spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
     }
   }

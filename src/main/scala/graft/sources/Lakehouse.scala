@@ -1335,7 +1335,8 @@ class Lakehouse(spark: SparkSession, root: String) {
     * scan is point-update-cheap while every data file stays in place.
     * [[compact]] materializes the delta away, as with MoR deletes. */
   def updateWhereMor(assignments: Seq[(String, org.apache.spark.sql.Column)],
-      pred: org.apache.spark.sql.Column, table: String, branch: String = "main"): Long =
+      pred: org.apache.spark.sql.Column, table: String,
+      partitionBy: Seq[String] = Nil, branch: String = "main"): Long =
     retryingCommit(table, branch) { base =>
       import org.apache.spark.sql.functions.{coalesce, col, lit}
       val entries = base.map(c => snapshots(table).find(_._1 == c).get._2)
@@ -1370,7 +1371,10 @@ class Lakehouse(spark: SparkSession, root: String) {
         try {
           positions.write.mode(SaveMode.Overwrite)
             .parquet(new Path(tableDir(table), delDir).toString)
-          writeDataDir(updated, table, dataDir, Nil)
+          // the delta takes the table's declared layout: an
+          // unpartitioned delta on a days(ts) table would forfeit
+          // partition pruning for every read until compaction
+          writeDataDir(updated, table, dataDir, partitionBy)
           commit(table, snap, entries :+ dataDir, branch, Some(base),
             deletes = prevDeletes :+ delDir)
         } catch {
@@ -1393,8 +1397,8 @@ class Lakehouse(spark: SparkSession, root: String) {
         s"UPDATE SET expects `col = expr`; got: $other")
     }
     require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
-    val snap = updateWhereMor(assignments, expr(whereClause), table)
     val layout = LakehouseRegistry.lookup(spark, table).map(_._2).getOrElse(Nil)
+    val snap = updateWhereMor(assignments, expr(whereClause), table, layout)
     registerView(table, layout)
     snap
   }

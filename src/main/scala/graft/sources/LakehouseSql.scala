@@ -333,18 +333,35 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val OnConjunct =
     """(?i)\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*""".r
 
-  /** Split a partition-spec list on TOP-LEVEL commas only — transform
-    * entries carry commas inside their parens (`bucket(8,k)`). */
+  /** Split a partition-spec / expression list on TOP-LEVEL commas
+    * only — transform entries carry commas inside their parens
+    * (`bucket(8,k)`), and the MERGE SET / INSERT VALUES reuse carries
+    * string literals whose commas, parens and doubled-quote escapes
+    * (`SET v = concat(x, ',')`) must not split or unbalance. */
   private def splitSpecs(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
+    var inQuote = false
     val cur = new StringBuilder
-    s.foreach {
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
-      case c =>
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        cur += c
+        if (c == '\'') {
+          // SQL escapes a quote by doubling it — consume the pair
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inQuote = false
+        }
+      } else if (c == ',' && depth == 0) {
+        out += cur.toString; cur.clear()
+      } else {
+        if (c == '\'') inQuote = true
         if (c == '(') depth += 1
         if (c == ')') depth -= 1
         cur += c
+      }
+      i += 1
     }
     out += cur.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)

@@ -170,8 +170,18 @@ private[graft] object Transforms {
     require(n > 0, s"bucket(n, $source): n must be positive, got $n")
     def spec = s"bucket($n,$source)"
     def phys = s"_p_bucket_${n}_$source"
-    def expr(df: DataFrame): Column =
-      pmod(graft.functions.HashFunctions.h62(df(source).cast(StringType)), lit(n.toLong))
+    def expr(df: DataFrame): Column = df.schema(source).dataType match {
+      // only types whose cast-to-string is session-independent may
+      // feed the bucket hash: a TIMESTAMP's string form follows the
+      // session timezone, so two writers could derive different
+      // buckets for the same row and partitionedUpsert's
+      // supersede-by-leaf logic would duplicate rows
+      case StringType | ByteType | ShortType | IntegerType | LongType | DateType =>
+        pmod(graft.functions.HashFunctions.h62(df(source).cast(StringType)), lit(n.toLong))
+      case t => throw new IllegalArgumentException(
+        s"bucket() needs a string, integral or date column; $source is ${t.simpleString}" +
+          " (timestamp and other types cast to session-dependent strings)")
+    }
     def derivedConjunct(op: String, v: Any): Option[(String, String, Any)] = {
       if (op != "=") return None
       val canonical = v match {
@@ -207,7 +217,13 @@ private[graft] object Transforms {
         s"truncate() needs an integral or string column; $source is ${t.simpleString}")
     }
     def derivedConjunct(op: String, v: Any): Option[(String, String, Any)] = v match {
-      case s: String => monotone(phys, op, s.take(w))
+      // prefix by CODE POINTS to match Spark's substring (and
+      // Iceberg's truncate): s.take(w) counts UTF-16 units, which
+      // disagrees past a supplementary character and could prune a
+      // leaf that holds matching rows
+      case s: String =>
+        val cp = s.offsetByCodePoints(0, math.min(w, s.codePointCount(0, s.length)))
+        monotone(phys, op, s.substring(0, cp))
       case i: Byte => num(op, i.toLong)
       case i: Short => num(op, i.toLong)
       case i: Int => num(op, i.toLong)

@@ -183,6 +183,29 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(got.columns.forall(!_.startsWith("_p_")))
   }
 
+  test("MoR UPDATE delta lands under the table layout and prunes by leaf") {
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(eventsDf, "ev", partitionBy = Seq("days(event_ts)"))
+    // update rows on TWO distinct days (ids 1,2 on 2024-01-01; id 3 on
+    // 2024-01-02) so the delta spans two day leaves
+    lake.updateWhereMor(Seq("amount" -> (col("amount") + 1)),
+      col("event_ts") < lit(ts("2024-01-03 00:00:00")), "ev",
+      partitionBy = Seq("days(event_ts)"))
+    // the delta dir is partitioned under the table's declared layout
+    assert(lake.dirLayout("ev", "data-2") === Seq("days(event_ts)"),
+      "MoR update delta must carry the days() layout")
+    // a post-update single-day range read opens only that day's delta
+    // leaf — an unpartitioned delta would open the whole delta dir
+    val got = lake.readWhere(
+      col("event_ts") >= lit(ts("2024-01-01 00:00:00")) &&
+        col("event_ts") < lit(ts("2024-01-02 00:00:00")), "ev")
+    assert(got.collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1).toSeq ===
+      Seq((1L, 11.0), (2L, 21.0)))
+    val openedDelta = got.inputFiles.filter(_.contains("/data-2/")).toSeq
+    assert(openedDelta.nonEmpty && openedDelta.forall(_.contains("_p_days_event_ts=19723")),
+      s"single-day read must open only the 2024-01-01 delta leaf; opened: $openedDelta")
+  }
+
   test("partition evolution: identity -> days(ts); mixed layouts read, prune, and migrate") {
     import spark.implicits._
     val lake = new Lakehouse(spark, freshRoot())
@@ -470,7 +493,11 @@ class HiddenPartitioningSpec extends SparkSpec {
         assert(r.getLong(1) === want, s"$spec mismatch at k=${r.getLong(0)}")
       }
     }
-    val strs = Seq("", "a", "Ab", "hello world", "ünïcode", "zzzz")
+    // supplementary characters (surrogate pairs): the literal-side
+    // prefix must count CODE POINTS like Spark's substring, or a leaf
+    // holding matching rows could be pruned
+    val strs = Seq("", "a", "Ab", "hello world", "ünïcode", "zzzz",
+      "😀ab", "a😀b😁c", "😀😁😂xy")
     val sDf = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
     for (spec <- Seq("truncate(3,s)", "bucket(8,s)")) {
       val t = Transforms.parse(spec)
@@ -513,5 +540,19 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(Transforms.parsePhys("_p_months_d").spec === "months(d)")
     intercept[IllegalArgumentException](Transforms.parse("mod(7,k)"))
     intercept[IllegalArgumentException](Transforms.parse("bucket(0,k)"))
+  }
+
+  test("bucket() rejects timestamp sources (session-TZ-dependent cast)") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("id", "t")
+    // a TIMESTAMP's cast-to-string follows the session timezone: two
+    // writers in different zones would hash the same row into
+    // different buckets, so the transform must refuse at write time
+    val e = intercept[IllegalArgumentException](
+      Transforms.parse("bucket(8,t)").expr(df))
+    assert(e.getMessage.contains("bucket()"))
+    intercept[IllegalArgumentException](
+      new Lakehouse(spark, freshRoot()).createOrReplace(df, "bt",
+        partitionBy = Seq("bucket(8,t)")))
   }
 }

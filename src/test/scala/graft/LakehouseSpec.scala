@@ -1494,6 +1494,24 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("MERGE SET assignments keep commas/parens inside string literals") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(Seq((1L, "a", "x")).toDF("k", "v", "w"), "ql")
+    lake.registerView("ql")
+    Seq((1L, "b", "y")).toDF("k", "v", "w").createOrReplaceTempView("ql_src")
+    // the assignment-list splitter must not split on the comma inside
+    // ',' nor unbalance on '(' in a literal; '''s' exercises the
+    // doubled-quote escape
+    spark.sql(
+      """MERGE INTO ql USING ql_src ON ql.k = ql_src.k
+        |WHEN MATCHED THEN UPDATE SET v = concat(ql.v, ',', ql_src.v),
+        |  w = concat('(', ql_src.w, ')''s')""".stripMargin)
+    val r = lake.read("ql").head()
+    assert(r.getString(1) === "a,b")
+    assert(r.getString(2) === "(y)'s")
+  }
+
   test("MERGE INSERT with an explicit column list: listed get VALUES, rest NULL") {
     import spark.implicits._
     val lake = new Lakehouse(spark, freshRoot())
