@@ -24,6 +24,7 @@ object SparkEntry {
     "sql_lakehouse_ddl" -> (Medallion.sqlLakehouseDdl _),
     "sql_time_travel" -> (Medallion.sqlTimeTravel _),
     "sql_hidden_partition" -> (Medallion.sqlHiddenPartition _),
+    "sql_schema_evolution" -> (Medallion.sqlSchemaEvolution _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -205,6 +206,19 @@ object SparkEntry {
         |FROM orders WHERE o_orderstatus IN ('F','O')
         |GROUP BY o_orderstatus
         |ORDER BY at, o_orderstatus""".stripMargin,
+    "sql_schema_evolution" ->
+      """SELECT tier, count(*) AS n,
+        |  CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+        |  CAST(sum(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE) AS total_bonus
+        |FROM (
+        |  SELECT 'legacy' AS tier, c_acctbal AS balance, 0.0 AS bonus
+        |  FROM customer WHERE c_custkey <= 500
+        |  UNION ALL
+        |  SELECT 'fresh' AS tier, c_acctbal AS balance, c_acctbal * 2 AS bonus
+        |  FROM customer WHERE c_custkey <= 200
+        |) t
+        |GROUP BY tier
+        |ORDER BY tier""".stripMargin,
     "sql_hidden_partition" ->
       """WITH updated AS (
         |  SELECT event_type, ts,

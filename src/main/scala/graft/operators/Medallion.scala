@@ -218,6 +218,47 @@ object Medallion {
     } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
   }
 
+  /** `sql_schema_evolution` — the SQL ALTER TABLE column lifecycle
+    * (Iceberg's schema-evolution DDL, the capability the reference's
+    * catalog tables inherit at mongo_to_iceberg.py:140 when the
+    * document schema grows a field): CTAS → `ADD COLUMNS` (metadata
+    * snapshot; pre-evolution rows read NULL) → UPDATE fills the new
+    * columns on old rows → INSERT writes them on new rows →
+    * `RENAME COLUMN` → `DROP COLUMN` → aggregate through the evolved
+    * schema. Every step is parsed SQL and a deterministic function of
+    * `customer`, so the oracle replays the final state relationally. */
+  def sqlSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-sqlevo").toString
+    spark.conf.set(graft.sources.LakehouseCtasCommand.RootConf, root)
+    try {
+      spark.sql(
+        """CREATE TABLE se_cust AS
+          |SELECT c_custkey, c_name, c_acctbal
+          |FROM customer WHERE c_custkey <= 500""".stripMargin)
+      // additive evolution: metadata-only snapshot, no data rewritten
+      spark.sql("ALTER TABLE se_cust ADD COLUMNS (tier STRING, bonus DOUBLE)")
+      // pre-evolution rows surface the new columns as NULL — fill via DML
+      spark.sql("UPDATE se_cust SET tier = 'legacy', bonus = 0.0 WHERE tier IS NULL")
+      // post-evolution INSERT takes the evolved 5-column schema
+      spark.sql(
+        """INSERT INTO se_cust
+          |SELECT c_custkey + 100000, c_name, c_acctbal, 'fresh', c_acctbal * 2
+          |FROM customer WHERE c_custkey <= 200""".stripMargin)
+      // rename resolves old dirs' physical name at read; drop is
+      // metadata-only (history below it still shows the column)
+      spark.sql("ALTER TABLE se_cust RENAME COLUMN c_acctbal TO balance")
+      spark.sql("ALTER TABLE se_cust DROP COLUMN c_name")
+      spark.sql(
+        """SELECT tier, count(*) AS n,
+          |  CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+          |  CAST(sum(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE) AS total_bonus
+          |FROM se_cust
+          |GROUP BY tier
+          |ORDER BY tier""".stripMargin)
+    } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
+  }
+
   /** `sql_time_travel` — SQL time travel on a lakehouse table
     * (Iceberg's `VERSION AS OF` query surface): CTAS a table, INSERT
     * a second tranche as parsed SQL, then read the PRE-insert

@@ -809,7 +809,8 @@ class Lakehouse(spark: SparkSession, root: String) {
     * types instead of path-value inference (a string partition of
     * numeric-looking values must stay a string). Falls back to
     * mergeSchema inference for unrecorded dirs. */
-  private def openDirGroup(table: String, dataDir: String, paths: Seq[String]): DataFrame = {
+  private def openDirGroup(table: String, dataDir: String, paths: Seq[String],
+      asOf: Option[Long] = None): DataFrame = {
     val base = new Path(tableDir(table), dataDir)
     val reader = dirSchema(table, dataDir) match {
       case Some(st) => spark.read.schema(st)
@@ -824,7 +825,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     // rewrites can't leak them into data files and the user schema is
     // layout-independent (`_metadata` still resolves through the
     // projection for positional tombstones)
-    Transforms.dropDerived(raw)
+    alignToDeclared(table, dataDir, Transforms.dropDerived(raw), asOf)
   }
 
   /** Parsed `(file, col, type, lo, hi)` stats lines of one data dir. */
@@ -1398,7 +1399,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     }
     require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
     val layout = LakehouseRegistry.lookup(spark, table).map(_._2).getOrElse(Nil)
-    val snap = updateWhereMor(assignments, expr(whereClause), table, layout)
+    val snap = updateWhereMor(assignments, expr(whereClause), table, layout, sessionBranch)
     registerView(table, layout)
     snap
   }
@@ -1419,6 +1420,218 @@ class Lakehouse(spark: SparkSession, root: String) {
         commit(table, snap, Seq(dir), branch, Some(base))
       } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
     }
+
+  // ---- schema evolution (the Iceberg ALTER TABLE column surface) ----
+  //
+  // Schema changes are METADATA-ONLY snapshot commits: a `_schemas
+  // .jsonl` line records the full declared schema (and any rename)
+  // effective FROM a snapshot id, and the commit references the same
+  // data dirs as its base — no data file is touched. Reads conform
+  // each data dir to the declared schema in effect at the read
+  // snapshot ([[alignToDeclared]]): added columns surface as typed
+  // NULLs until a write fills them, dropped columns disappear,
+  // renames apply to dirs written before the rename. Time travel
+  // below the evolution snapshot sees the OLD schema, exactly like
+  // Iceberg's schema-id-per-snapshot rule. (The reference gets all of
+  // this from Iceberg DDL on its catalog tables — the capability
+  // behind mongo_to_iceberg.py:140's evolving document schemas.)
+  //
+  // Name-based resolution (not Iceberg's field ids) — safe because
+  // re-using ANY historical column name is refused: resurrecting an
+  // old physical column's values under a recycled name is this
+  // design's one hazard, so [[takenNames]] closes it loudly.
+
+  private def schemasPath(table: String) = new Path(tableDir(table), "_schemas.jsonl")
+  private val SchemaEvoLine =
+    """\{"snap":(\d+),"schema":"(.*)","renames":\[([^\]]*)\]\}""".r
+
+  /** Parsed `_schemas.jsonl`: (effective-from snapshot, declared
+    * schema, renames introduced at that snapshot), in commit order. */
+  private def schemaLines(table: String): Seq[(Long, org.apache.spark.sql.types.StructType,
+      Seq[(String, String)])] =
+    readLines(schemasPath(table)).flatMap {
+      case SchemaEvoLine(s, sch, ren) =>
+        scala.util.Try {
+          val st = org.apache.spark.sql.types.DataType.fromJson(unesc(sch))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          val renames = """"([^">]*)>([^"]*)"""".r.findAllMatchIn(ren)
+            .map(m => (unesc(m.group(1)), unesc(m.group(2)))).toSeq
+          (s.toLong, st, renames)
+        }.toOption
+      case _ => None
+    }
+
+  /** The declared (evolved) schema in effect when reading `snap`;
+    * None for tables that never evolved (physical schemas rule). */
+  def declaredSchema(table: String, snap: Long): Option[org.apache.spark.sql.types.StructType] =
+    schemaLines(table).filter(_._1 <= snap).lastOption.map(_._2)
+
+  /** SCHEMA EVOLUTION at read: apply the renames committed after this
+    * dir was written (dirs written after a rename already carry the
+    * new name), then conform to the declared schema in effect at the
+    * read snapshot — missing columns become typed NULLs, undeclared
+    * (dropped) columns are projected away, order follows the
+    * declaration. A pure projection per dir: no-op for never-evolved
+    * tables, no shuffle ever, and `_metadata` still resolves through
+    * it for positional tombstones. */
+  private def alignToDeclared(table: String, dataDir: String, df: DataFrame,
+      asOf: Option[Long]): DataFrame = {
+    val lines = schemaLines(table)
+    if (lines.isEmpty) return df
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = asOf.getOrElse(Long.MaxValue)
+    val dirSeq = scala.util.Try(
+      dataDir.stripPrefix("data-").toLong).getOrElse(Long.MaxValue)
+    val renamed = lines.filter(l => l._1 > dirSeq && l._1 <= snap).flatMap(_._3)
+      .foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    lines.filter(_._1 <= snap).lastOption.map(_._2) match {
+      case None => renamed
+      case Some(declared) =>
+        def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+        val have = renamed.schema.fields.map(f => lc(f.name) -> f.dataType).toMap
+        renamed.select(declared.fields.toSeq.map { f =>
+          have.get(lc(f.name)) match {
+            case None => lit(null).cast(f.dataType).as(f.name)
+            case Some(t) if t == f.dataType => col(f.name)
+            // physical type predates a widening merge (e.g. int dir
+            // under a long declaration): up-cast to the declaration
+            case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+    }
+  }
+
+  /** Every column name this table has EVER declared — current fields,
+    * all historical schema-line fields, and the physical columns of
+    * the base snapshot's dirs. ADD/RENAME refuse these: name-based
+    * resolution would resurrect a dropped/renamed column's old data. */
+  private def takenNames(table: String, entries: Seq[String],
+      declared: org.apache.spark.sql.types.StructType): Set[String] = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    (declared.fieldNames.toSeq ++
+      schemaLines(table).flatMap(_._2.fieldNames) ++
+      entries.map(_.takeWhile(_ != '/')).distinct
+        .flatMap(d => dirSchema(table, d).toSeq.flatMap(_.fieldNames))
+    ).map(lc).toSet
+  }
+
+  private def appendSchemaLine(table: String, snap: Long,
+      schema: org.apache.spark.sql.types.StructType,
+      renames: Seq[(String, String)]): Unit = tableLock(table).synchronized {
+    val ren = renames.map { case (o, n) => s""""${jsonEsc(o)}>${jsonEsc(n)}"""" }
+      .mkString(",")
+    val line = s"""{"snap":$snap,"schema":"${jsonEsc(schema.json)}","renames":[$ren]}"""
+    writeFile(schemasPath(table),
+      (readLines(schemasPath(table)) :+ line).mkString("\n") + "\n")
+  }
+
+  private def removeSchemaLine(table: String, snap: Long): Unit =
+    tableLock(table).synchronized {
+      writeFile(schemasPath(table),
+        readLines(schemasPath(table))
+          .filterNot(_.startsWith(s"""{"snap":$snap,""")).mkString("\n") + "\n")
+    }
+
+  /** Shared evolution commit: `change` maps the current declared
+    * schema to (next schema, renames introduced). The schema line is
+    * written before the manifest commit and rolled back on conflict —
+    * a dangling line for a never-committed snap id would otherwise be
+    * adopted by that id's eventual owner. */
+  private def evolveSchema(table: String, branch: String)
+      (change: (org.apache.spark.sql.types.StructType, Seq[String]) =>
+        (org.apache.spark.sql.types.StructType, Seq[(String, String)])): Long =
+    retryingCommit(table, branch) { base =>
+      val entries = base.map(c => snapshots(table).find(_._1 == c).get._2)
+        .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+      val prevDeletes = snapshotDeletes(table).getOrElse(base.get, Seq.empty)
+      val declared = declaredSchema(table, base.get)
+        .getOrElse(readSnapshot(table, base.get).schema)
+      val (next, renames) = change(declared, entries)
+      val snap = reserveSnap(table)
+      try {
+        appendSchemaLine(table, snap, next, renames)
+        commit(table, snap, entries, branch, Some(base), deletes = prevDeletes)
+      } catch {
+        case e: Throwable =>
+          removeSchemaLine(table, snap)
+          fs.delete(reserveMarker(table, snap), false)
+          throw e
+      }
+    }
+
+  /** `ALTER TABLE t ADD COLUMNS (…)` — additive-only evolution as a
+    * metadata snapshot. Added columns must be nullable (existing rows
+    * read NULL) and must not re-use any name the table ever had; type
+    * changes are refused by construction (there is no surface that
+    * narrows or rewrites an existing column). */
+  def addColumns(table: String, cols: org.apache.spark.sql.types.StructType,
+      branch: String = "main"): Long = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    evolveSchema(table, branch) { (declared, entries) =>
+      val taken = takenNames(table, entries, declared)
+      cols.fields.foreach { f =>
+        require(f.nullable,
+          s"added column ${f.name} must be nullable: existing rows read NULL")
+        require(!taken.contains(f.name.toLowerCase(java.util.Locale.ROOT)),
+          s"column ${f.name} already exists (or once existed) in $table; " +
+            "only new names can be added — a recycled name would resurrect old data")
+      }
+      val dup = cols.fieldNames.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+        .collectFirst { case (_, ns) if ns.length > 1 => ns.head }
+      require(dup.isEmpty, s"duplicate column in ADD COLUMNS: ${dup.getOrElse("")}")
+      (org.apache.spark.sql.types.StructType(declared.fields ++ cols.fields), Nil)
+    }
+  }
+
+  /** `ALTER TABLE t RENAME COLUMN a TO b` — metadata snapshot; dirs
+    * written before it are renamed at read, dirs after carry the new
+    * name physically. Refused for partition-layout source columns
+    * (the registered spec addresses them by name) and for any name
+    * the table ever used. */
+  def renameColumn(table: String, from: String, to: String,
+      branch: String = "main"): Long =
+    evolveSchema(table, branch) { (declared, entries) =>
+      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val f = declared.fields.find(x => lc(x.name) == lc(from))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table has no column $from to rename"))
+      require(!takenNames(table, entries, declared).contains(lc(to)),
+        s"cannot rename $from to $to: $table already used that name")
+      val layoutSources = layoutSourcesOf(table)
+      require(!layoutSources.contains(lc(from)),
+        s"cannot rename $from: it is a partition-layout source column " +
+          s"(ALTER ... SET PARTITION SPEC first)")
+      (org.apache.spark.sql.types.StructType(
+        declared.fields.map(x => if (x eq f) x.copy(name = to) else x)),
+        Seq(f.name -> to))
+    }
+
+  /** `ALTER TABLE t DROP COLUMN c` — metadata snapshot: the column
+    * vanishes from reads and writes; old data stays in place (time
+    * travel below the drop still shows it) and the name can never be
+    * re-used. Refused for partition-layout source columns. */
+  def dropColumn(table: String, name: String, branch: String = "main"): Long =
+    evolveSchema(table, branch) { (declared, _) =>
+      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      require(declared.fields.exists(x => lc(x.name) == lc(name)),
+        s"$table has no column $name to drop")
+      require(declared.fields.length > 1,
+        s"cannot drop $name: it is the only column of $table")
+      require(!layoutSourcesOf(table).contains(lc(name)),
+        s"cannot drop $name: it is a partition-layout source column " +
+          s"(ALTER ... SET PARTITION SPEC first)")
+      (org.apache.spark.sql.types.StructType(
+        declared.fields.filterNot(x => lc(x.name) == lc(name))), Nil)
+    }
+
+  /** Source columns of the table's registered partition layout
+    * (registry first, persistent catalog as the cross-session
+    * fallback), lowercase. */
+  private def layoutSourcesOf(table: String): Set[String] =
+    LakehouseRegistry.lookup(spark, table).map(_._2)
+      .orElse(catalogEntries().find(_._1 == table).map(_._2))
+      .getOrElse(Nil)
+      .map(s => Transforms.parse(s).source.toLowerCase(java.util.Locale.ROOT)).toSet
 
   // ---- snapshot tags ----
   //
@@ -1612,8 +1825,9 @@ class Lakehouse(spark: SparkSession, root: String) {
     if (partitionBy.isEmpty)
       assertMergeCardinality(spark.table(table), spark.table(sourceView), table, keyCols)
     val snap =
-      if (partitionBy.nonEmpty) upsert(spark.table(sourceView), table, keyCols, partitionBy)
-      else createOrReplace(merged, table)
+      if (partitionBy.nonEmpty)
+        upsert(spark.table(sourceView), table, keyCols, partitionBy, sessionBranch)
+      else createOrReplace(merged, table, branch = sessionBranch)
     registerView(table, partitionBy)
     snap
   }
@@ -1873,7 +2087,7 @@ class Lakehouse(spark: SparkSession, root: String) {
   def sqlMergeConditional(table: String, sourceView: String, keyCols: Seq[String],
       matched: Seq[(Option[String], Boolean)],
       notMatchedInsert: Option[Option[String]],
-      partitionBy: Seq[String] = Nil, branch: String = "main"): Long =
+      partitionBy: Seq[String] = Nil, branch: String = sessionBranch): Long =
     sqlMergeClauses(table, sourceView, keyCols,
       matched.map { case (c, d) => MergeMatched(c, d) },
       notMatchedInsert.map(MergeInsert(_)), partitionBy, branch)
@@ -1890,7 +2104,7 @@ class Lakehouse(spark: SparkSession, root: String) {
   def sqlMergeClauses(table: String, sourceView: String, keyCols: Seq[String],
       matched: Seq[MergeMatched],
       notMatchedInsert: Option[MergeInsert],
-      partitionBy: Seq[String] = Nil, branch: String = "main"): Long = {
+      partitionBy: Seq[String] = Nil, branch: String = sessionBranch): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val changes = (target: DataFrame) => {
       val source = spark.table(sourceView)
@@ -1992,8 +2206,8 @@ class Lakehouse(spark: SparkSession, root: String) {
     val dels = tombstones(table, snap)
     val reads = groups.map { case (dataDir, entries) =>
       val df =
-        if (entries.contains(dataDir)) openDirGroup(table, dataDir, Seq(dataDir))
-        else openDirGroup(table, dataDir, entries)
+        if (entries.contains(dataDir)) openDirGroup(table, dataDir, Seq(dataDir), Some(snap))
+        else openDirGroup(table, dataDir, entries, Some(snap))
       applyTombstones(df, dataDir, dels)
     }
     reads.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -2176,11 +2390,23 @@ class Lakehouse(spark: SparkSession, root: String) {
     }
   }
 
+  /** BRANCH-ADDRESSABLE SQL — the reference's `NESSIE_REF` session
+    * selector (gold_reporting.py:26: every statement of a session
+    * targets one named ref). Session conf `spark.graft.branch`
+    * (default `main`) scopes the WHOLE parsed-SQL surface: statement
+    * pinning reads the branch's head, and INSERT / UPDATE / DELETE /
+    * MERGE route their commits to the branch — `main` is untouched
+    * until [[mergeBranch]] fast-forwards it. Programmatic APIs keep
+    * their explicit branch parameters. */
+  def sessionBranch: String = spark.conf.get("spark.graft.branch", "main")
+
   /** SQL `DELETE FROM table WHERE …` — parses the clause and routes
-    * through [[deleteWhere]]'s stat-pruned copy-on-write. */
+    * through [[deleteWhere]]'s stat-pruned copy-on-write on the
+    * session branch. */
   def sqlDelete(table: String, whereClause: String,
       partitionBy: Seq[String] = Nil): Long = {
-    val snap = deleteWhere(org.apache.spark.sql.functions.expr(whereClause), table, partitionBy)
+    val snap = deleteWhere(org.apache.spark.sql.functions.expr(whereClause), table,
+      partitionBy, sessionBranch)
     registerView(table, partitionBy)
     snap
   }
@@ -2191,7 +2417,8 @@ class Lakehouse(spark: SparkSession, root: String) {
     * a MoR delete touches no data dirs, so the partition layout the
     * next copy-on-write DML must preserve is unchanged. */
   def sqlDeleteMor(table: String, whereClause: String): Long = {
-    val snap = deleteWhereMor(org.apache.spark.sql.functions.expr(whereClause), table)
+    val snap = deleteWhereMor(org.apache.spark.sql.functions.expr(whereClause), table,
+      sessionBranch)
     val layout = LakehouseRegistry.lookup(spark, table).map(_._2).getOrElse(Nil)
     registerView(table, layout)
     snap
@@ -2228,7 +2455,8 @@ class Lakehouse(spark: SparkSession, root: String) {
         s"UPDATE SET expects `col = expr`; got: $other")
     }
     require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
-    val snap = updateWhere(assignments, expr(whereClause.getOrElse("true")), table, partitionBy)
+    val snap = updateWhere(assignments, expr(whereClause.getOrElse("true")), table,
+      partitionBy, sessionBranch)
     registerView(table, partitionBy)
     snap
   }
@@ -2243,7 +2471,7 @@ class Lakehouse(spark: SparkSession, root: String) {
   def sqlInsert(table: String, query: String, partitionBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     val df = spark.sql(query)
-    val target = read(table).schema
+    val target = read(table, sessionBranch).schema
     require(df.columns.length == target.length,
       s"INSERT INTO $table needs ${target.length} columns, query has ${df.columns.length}")
     val aligned = df.toDF(target.fieldNames.toSeq: _*)
@@ -2262,7 +2490,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     }
     val snap = append(
       aligned.select(target.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*),
-      table, partitionBy)
+      table, partitionBy, sessionBranch)
     registerView(table, partitionBy)
     snap
   }
@@ -2276,7 +2504,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     // canonical spec form so `bucket(16, c)` and `bucket(16,c)` are
     // one layout in the registry, the catalog, and every comparison
     val spec = Transforms.canon(partitionBy)
-    read(table).createOrReplaceTempView(table)
+    read(table, sessionBranch).createOrReplaceTempView(table)
     LakehouseRegistry.register(spark, table, this, spec)
     persistCatalogEntry(table, spec)
   }

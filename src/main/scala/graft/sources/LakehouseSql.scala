@@ -211,6 +211,57 @@ case class LakehouseAlterSpecCommand(view: String, spec: Seq[String])
   }
 }
 
+/** `ALTER TABLE t ADD COLUMNS (c1 type1, c2 type2, …)` — SQL SCHEMA
+  * EVOLUTION (the Iceberg DDL the reference's catalog tables get for
+  * free): an additive, metadata-only snapshot commit. Existing dirs
+  * are untouched and read NULL for the new columns; subsequent
+  * INSERT/MERGE take the evolved schema; time travel below the
+  * commit shows the old schema. Narrowing is refused by construction
+  * (no type-change surface) and added columns must be nullable. */
+case class LakehouseAddColumnsCommand(view: String, colsDdl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    val cols = try StructType.fromDDL(colsDdl) catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"cannot parse ADD COLUMNS list: ($colsDdl): ${e.getMessage}")
+    }
+    val snap = lake.addColumns(view, cols, lake.sessionBranch)
+    lake.registerView(view, partitionBy) // temp view takes the evolved schema
+    Seq(Row(snap))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` — metadata-only snapshot;
+  * dirs written before it resolve the old physical name at read. */
+case class LakehouseRenameColumnCommand(view: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    val snap = lake.renameColumn(view, from, to, lake.sessionBranch)
+    lake.registerView(view, partitionBy)
+    Seq(Row(snap))
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN c` — metadata-only snapshot: the
+  * column vanishes from reads and new writes; history keeps it. */
+case class LakehouseDropColumnCommand(view: String, col: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    val snap = lake.dropColumn(view, col, lake.sessionBranch)
+    lake.registerView(view, partitionBy)
+    Seq(Row(snap))
+  }
+}
+
 /** `CREATE [OR REPLACE] TABLE t [PARTITIONED BY (spec,…)] AS <query>`
   * against the session's DEFAULT LAKE (`spark.graft.lake-root` — the
   * catalog-role conf; the parser intercepts CTAS only when it is
@@ -225,10 +276,13 @@ case class LakehouseCtasCommand(table: String, replace: Boolean, spec: Seq[Strin
     val root = spark.conf.get(LakehouseCtasCommand.RootConf)
     val lake = new Lakehouse(spark, root)
     spec.foreach(Transforms.parse) // reject unknown transforms first
-    if (!replace && lake.currentSnapshot(table).isDefined)
+    if (!replace && lake.currentSnapshot(table, lake.sessionBranch).isDefined)
       throw new IllegalStateException(
         s"table $table already exists in lake $root; use CREATE OR REPLACE TABLE")
-    val snap = lake.createOrReplace(spark.sql(query), table, spec)
+    // CTAS lands on the session branch (NESSIE_REF semantics): a
+    // branch-scoped session creates tables main never sees until a
+    // fast-forward
+    val snap = lake.createOrReplace(spark.sql(query), table, spec, lake.sessionBranch)
     lake.registerView(table, spec)
     Seq(Row(snap))
   }
@@ -322,6 +376,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*INSERT\s+INTO\s+`?([A-Za-z_]\w*)`?\s+((?:SELECT|VALUES|FROM|WITH|TABLE)\b.+?)\s*;?\s*""".r
   private val AlterSpecRe =
     """(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*;?\s*""".r
+  private val AlterAddColsRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*""".r
+  private val AlterRenameColRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+RENAME\s+COLUMN\s+""" +
+      """`?([A-Za-z_]\w*)`?\s+TO\s+`?([A-Za-z_]\w*)`?\s*;?\s*""").r
+  private val AlterDropColRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+DROP\s+COLUMNS?\s+`?([A-Za-z_]\w*)`?\s*;?\s*""".r
   private val DropRe =
     """(?is)\s*DROP\s+TABLE\s+`?([A-Za-z_]\w*)`?(\s+PURGE)?\s*;?\s*""".r
   private val VacuumRe =
@@ -403,6 +464,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakehouseInsertCommand(table, query)
     case AlterSpecRe(table, specs) if LakehouseRegistry.isRegistered(table) =>
       LakehouseAlterSpecCommand(table, splitSpecs(specs))
+    case AlterAddColsRe(table, cols) if LakehouseRegistry.isRegistered(table) =>
+      LakehouseAddColumnsCommand(table, cols)
+    case AlterRenameColRe(table, from, to) if LakehouseRegistry.isRegistered(table) =>
+      LakehouseRenameColumnCommand(table, from, to)
+    case AlterDropColRe(table, colName) if LakehouseRegistry.isRegistered(table) =>
+      LakehouseDropColumnCommand(table, colName)
     case DropRe(table, purge) if LakehouseRegistry.isRegistered(table) =>
       LakehouseDropCommand(table, purge != null)
     case CtasRe(replace, table, specs, query) if LakehouseCtasCommand.enabled =>
@@ -472,33 +539,44 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
       LakehouseMergeCondCommand(table, source, keys, matched, insert)
     case _ =>
-      pinRegisteredViews(sqlText)
-      delegate.parsePlan(rewriteTimeTravel(sqlText))
+      val plan = delegate.parsePlan(rewriteTimeTravel(sqlText))
+      pinReferencedViews(plan)
+      plan
   }
 
   /** SNAPSHOT-ISOLATION pinning (Iceberg's per-query snapshot rule):
-    * every registered lakehouse view the statement names is re-resolved
-    * ONCE, at statement start, to the table's CURRENT snapshot. All
-    * references within the statement — a self-join, repeated
+    * every registered lakehouse view the statement REFERENCES is
+    * re-resolved ONCE, at statement start, to the table's current
+    * snapshot (on the session branch — see [[Lakehouse.sessionBranch]]).
+    * All references within the statement — a self-join, repeated
     * subqueries — then read one consistent snapshot, and a concurrent
     * writer committing between two references can never produce a
     * mixed read; it also means plain SQL reads are always FRESH, not
     * pinned to registration time. The temp view's plan is inlined at
     * analysis, so re-pinning for a later statement never disturbs an
     * already-analyzed Dataset; data dirs are immutable once committed,
-    * so the pinned dir list stays valid whatever commits race it. */
-  private def pinRegisteredViews(sqlText: String): Unit = {
+    * so the pinned dir list stays valid whatever commits race it.
+    *
+    * References come from the PARSED plan's unresolved single-part
+    * relations (incl. subqueries), not a word-regex over the SQL text:
+    * a registered name inside a string literal or comment no longer
+    * triggers a manifest read, and cost is O(plan) per statement
+    * instead of O(registered views × text length). */
+  private def pinReferencedViews(plan: LogicalPlan): Unit = {
     val sessionOpt = SparkSession.getActiveSession
     if (sessionOpt.isEmpty) return
     val spark = sessionOpt.get
-    LakehouseRegistry.names(spark).foreach { name =>
-      val refd = java.util.regex.Pattern
-        .compile("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b")
-        .matcher(sqlText).find()
-      if (refd) LakehouseRegistry.lookup(spark, name).foreach { case (lake, _) =>
-        // a vacuumed/retired table must not fail unrelated statements
-        // that merely share a word with its name
-        scala.util.Try(lake.read(name).createOrReplaceTempView(name))
+    val referenced = plan.collectWithSubqueries {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if r.multipartIdentifier.size == 1 =>
+        r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+    referenced.foreach { name =>
+      LakehouseRegistry.lookup(spark, name).foreach { case (lake, _) =>
+        // a vacuumed/retired table must not fail statements that
+        // reference a same-named non-lakehouse relation
+        scala.util.Try(
+          lake.read(name, lake.sessionBranch).createOrReplaceTempView(name))
       }
     }
   }
@@ -563,12 +641,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       scala.util.matching.Regex.quoteReplacement(
         travelView(m.group(1), m.group(2),
           _.readSnapshot(m.group(1), m.group(2).toLong)).getOrElse(m.matched)))
-    // quoted VERSION AS OF = a snapshot TAG (Iceberg's named refs)
+    // quoted VERSION AS OF = a NAMED REF (Iceberg's tag/branch refs):
+    // tags win (they are immutable audit pointers), then branch heads
+    // resolve — `SELECT … FROM t VERSION AS OF 'dev'` reads the dev
+    // branch from a main-scoped session without touching the session
+    // branch conf
     val tagged = VersionTagRe.replaceAllIn(versioned, m =>
       scala.util.matching.Regex.quoteReplacement {
-        val tag = m.group(2)
-        travelView(m.group(1), "tag_" + tag.replaceAll("\\W", "_"),
-          _.readTag(m.group(1), tag)).getOrElse(m.matched)
+        val ref = m.group(2)
+        val view = m.group(1)
+        travelView(view, "ref_" + ref.replaceAll("\\W", "_"), { lake =>
+          if (lake.tags(view).exists(_._1 == ref)) lake.readTag(view, ref)
+          else lake.read(view, ref)
+        }).getOrElse(m.matched)
       })
     TimestampAsOfRe.replaceAllIn(tagged, m =>
       scala.util.matching.Regex.quoteReplacement {

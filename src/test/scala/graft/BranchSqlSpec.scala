@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lakehouse
+
+/** Branch-addressable SQL — the reference's `NESSIE_REF` session
+  * selector (gold_reporting.py:26): `spark.graft.branch` scopes the
+  * parsed-SQL surface's reads and DML routing to a named branch, and
+  * `VERSION AS OF '<ref>'` addresses tags-then-branches from any
+  * session. Plus the plan-aware statement pinning that replaced the
+  * word-regex scan. */
+class BranchSqlSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-branch").toString
+
+  test("session branch scopes SQL reads and DML; main sees nothing until fast-forward") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val v1 = lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "bt")
+    lake.registerView("bt")
+    lake.createBranch("bt", "dev", v1)
+    spark.conf.set("spark.graft.branch", "dev")
+    try {
+      // DML routes to the session branch
+      spark.sql("INSERT INTO bt SELECT 3, 'c'")
+      spark.sql("UPDATE bt SET v = 'B' WHERE k = 2")
+      // plain SQL reads pin the branch head
+      assert(spark.sql("SELECT count(*) AS n FROM bt").head().getLong(0) === 3)
+      assert(spark.sql("SELECT v FROM bt WHERE k = 2").head().getString(0) === "B")
+      // main is untouched by branch-scoped statements
+      assert(lake.read("bt", "main").count() === 2)
+      assert(lake.read("bt", "main").where(col("k") === 2).head().getString(1) === "b")
+      // a named ref addresses ANOTHER branch from this session
+      assert(spark.sql("SELECT count(*) AS n FROM bt VERSION AS OF 'main'")
+        .head().getLong(0) === 2)
+    } finally spark.conf.unset("spark.graft.branch")
+    // back on main: plain reads see the unmodified table…
+    assert(spark.sql("SELECT count(*) AS n FROM bt").head().getLong(0) === 2)
+    // …and the dev branch is addressable by name
+    assert(spark.sql("SELECT count(*) AS n FROM bt VERSION AS OF 'dev'")
+      .head().getLong(0) === 3)
+    // fast-forward main; SQL sees the merge
+    lake.mergeBranch("bt", "dev")
+    assert(spark.sql("SELECT count(*) AS n FROM bt").head().getLong(0) === 3)
+    assert(spark.sql("SELECT v FROM bt WHERE k = 2").head().getString(0) === "B")
+  }
+
+  test("VERSION AS OF named refs: tags win over a same-named branch") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val v1 = lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "tr")
+    lake.registerView("tr")
+    spark.sql("INSERT INTO tr SELECT 2, 'b'")
+    // tag pins v1; a branch of the same name points at the head
+    lake.tagSnapshot("tr", "rel", v1)
+    lake.createBranch("tr", "rel", lake.currentSnapshot("tr").get)
+    assert(spark.sql("SELECT count(*) AS n FROM tr VERSION AS OF 'rel'")
+      .head().getLong(0) === 1, "the immutable tag must win over the branch")
+    // an unknown ref fails loudly (travel view resolves neither)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM tr VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("branch-scoped CTAS: the table exists on the branch, not on main") {
+    import spark.implicits._
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    spark.conf.set(graft.sources.LakehouseCtasCommand.RootConf, root)
+    spark.conf.set("spark.graft.branch", "scratch")
+    try {
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "x").createOrReplaceTempView("ctas_src")
+      spark.sql("CREATE TABLE bct AS SELECT * FROM ctas_src")
+      assert(spark.sql("SELECT count(*) AS n FROM bct").head().getLong(0) === 2)
+      // main has no pointer for this table
+      assert(lake.currentSnapshot("bct", "main").isEmpty)
+      assert(lake.currentSnapshot("bct", "scratch").isDefined)
+    } finally {
+      spark.conf.unset("spark.graft.branch")
+      spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
+    }
+  }
+
+  test("statement pinning is plan-aware: a registered name inside a string literal never re-pins") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(Seq((1L, "x")).toDF("k", "v"), "alpha")
+    lake.createOrReplace(Seq((2L, "y")).toDF("k", "v"), "beta")
+    lake.registerView("alpha")
+    lake.registerView("beta")
+    // drop beta's temp view: only an actual RELATION reference may
+    // re-create (re-pin) it
+    spark.catalog.dropTempView("beta")
+    val got = spark.sql("SELECT 'beta' AS tag, count(*) AS n FROM alpha").head()
+    assert(got.getString(0) === "beta" && got.getLong(1) === 1)
+    assert(!spark.catalog.tableExists("beta"),
+      "a string literal containing a registered name must not trigger a pin")
+    // a real reference (incl. from a subquery) pins it again
+    assert(spark.sql(
+      "SELECT (SELECT count(*) FROM beta) AS n FROM alpha").head().getLong(0) === 1)
+    assert(spark.catalog.tableExists("beta"))
+  }
+}

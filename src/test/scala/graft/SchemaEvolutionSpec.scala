@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Lakehouse
+
+/** SQL schema evolution (Iceberg's ALTER TABLE column DDL): additive
+  * ADD COLUMNS, RENAME COLUMN, DROP COLUMN as metadata-only snapshot
+  * commits — old dirs conform at read, time travel below an evolution
+  * sees the old schema, and every historical name is permanently
+  * reserved (name-based resolution must never resurrect old data).
+  * Reference: the Iceberg DDL surface behind mongo_to_iceberg.py:140's
+  * catalog tables. */
+class SchemaEvolutionSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-evo").toString
+
+  private def mk(lake: Lakehouse, table: String = "t"): Long = {
+    import spark.implicits._
+    val snap = lake.createOrReplace(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "x"), table)
+    lake.registerView(table)
+    snap
+  }
+
+  test("addColumns: old dirs read typed NULLs; writes fill them; time travel keeps the old schema") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val v1 = mk(lake)
+    lake.addColumns("t", StructType.fromDDL("tag STRING, score DOUBLE"))
+    val got = lake.read("t")
+    assert(got.columns.toSeq === Seq("k", "v", "x", "tag", "score"))
+    assert(got.schema("score").dataType === DoubleType)
+    assert(got.where(col("tag").isNull).count() === 2) // pre-evolution rows
+    // an append AFTER evolution carries values for the new columns
+    lake.append(Seq((3L, "c", 30.0, "fresh", 0.5)).toDF("k", "v", "x", "tag", "score"), "t")
+    val r3 = lake.read("t").where(col("k") === 3L).head()
+    assert(r3.getString(3) === "fresh" && r3.getDouble(4) === 0.5)
+    // mixed read: old rows NULL, new row filled
+    assert(lake.read("t").where(col("tag").isNotNull).count() === 1)
+    // time travel BELOW the evolution snapshot shows the old 3-column schema
+    assert(lake.readSnapshot("t", v1).columns.toSeq === Seq("k", "v", "x"))
+  }
+
+  test("CoW and MoR DML preserve an evolved schema") {
+    val lake = new Lakehouse(spark, freshRoot())
+    mk(lake)
+    lake.addColumns("t", StructType.fromDDL("tag STRING"))
+    // CoW update fills the evolved column on old rows
+    lake.updateWhere(Seq("tag" -> lit("old")), col("tag").isNull, "t")
+    assert(lake.read("t").where(col("tag") === "old").count() === 2)
+    // MoR update keeps the evolved schema too (delta dir materializes it)
+    lake.updateWhereMor(Seq("tag" -> lit("hot")), col("k") === 1L, "t")
+    val got = lake.read("t").orderBy("k").collect()
+    assert(got.map(_.getString(3)).toSeq === Seq("hot", "old"))
+    assert(lake.read("t").columns.toSeq === Seq("k", "v", "x", "tag"))
+  }
+
+  test("renameColumn: old and new dirs resolve to the new name; travel below shows the old one") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    mk(lake)
+    val vRen = lake.renameColumn("t", "x", "amount")
+    assert(lake.read("t").columns.toSeq === Seq("k", "v", "amount"))
+    assert(lake.read("t").where(col("k") === 2L).head().getDouble(2) === 20.0)
+    // a dir written AFTER the rename carries the new physical name
+    lake.append(Seq((3L, "c", 30.0)).toDF("k", "v", "amount"), "t")
+    assert(lake.read("t").agg(sum("amount")).head().getDouble(0) === 60.0)
+    // pre-rename history still shows x
+    assert(lake.readSnapshot("t", vRen - 1).columns.toSeq === Seq("k", "v", "x"))
+  }
+
+  test("dropColumn: vanishes from reads and writes; history below the drop keeps it") {
+    val lake = new Lakehouse(spark, freshRoot())
+    mk(lake)
+    val vDrop = lake.dropColumn("t", "v")
+    assert(lake.read("t").columns.toSeq === Seq("k", "x"))
+    assert(lake.readSnapshot("t", vDrop - 1).columns.toSeq === Seq("k", "v", "x"))
+    // the dropped name is reserved forever
+    val e = intercept[IllegalArgumentException](
+      lake.addColumns("t", StructType.fromDDL("v STRING")))
+    assert(e.getMessage.contains("once existed"))
+  }
+
+  test("evolution refusals: duplicates, non-nullable, historical names, layout sources") {
+    val lake = new Lakehouse(spark, freshRoot())
+    mk(lake)
+    // existing name
+    intercept[IllegalArgumentException](
+      lake.addColumns("t", StructType.fromDDL("v STRING")))
+    // duplicate within the ADD list
+    intercept[IllegalArgumentException](
+      lake.addColumns("t", StructType(Seq(
+        StructField("n1", IntegerType), StructField("N1", LongType)))))
+    // non-nullable added column (existing rows would violate it)
+    intercept[IllegalArgumentException](
+      lake.addColumns("t", StructType(Seq(
+        StructField("req", IntegerType, nullable = false)))))
+    // rename target may not be an ever-used name; unknown source refused
+    lake.renameColumn("t", "x", "amount")
+    intercept[IllegalArgumentException](lake.renameColumn("t", "v", "x"))
+    intercept[IllegalArgumentException](lake.renameColumn("t", "nope", "other"))
+    // dropping an unknown column refused
+    intercept[IllegalArgumentException](lake.dropColumn("t", "nope"))
+  }
+
+  test("evolution on a hidden-partitioned table: layout sources are protected, pruning survives") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 1.0),
+      (2L, java.sql.Date.valueOf("2024-02-01"), 2.0)
+    ).toDF("k", "d", "x")
+    lake.createOrReplace(df, "pt", partitionBy = Seq("months(d)"))
+    lake.registerView("pt", Seq("months(d)"))
+    // the layout's source column can be neither renamed nor dropped
+    intercept[IllegalArgumentException](lake.renameColumn("pt", "d", "day"))
+    intercept[IllegalArgumentException](lake.dropColumn("pt", "d"))
+    lake.addColumns("pt", StructType.fromDDL("note STRING"))
+    // source-predicate pruning still opens one month leaf post-evolution
+    val pruned = lake.readWhere(col("d") >= "2024-02-01", "pt")
+    assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(pruned.inputFiles.length === 1)
+    assert(pruned.columns.toSeq === Seq("k", "d", "x", "note"))
+  }
+
+  test("parsed SQL lifecycle: ADD COLUMNS / RENAME COLUMN / DROP COLUMN with DML between") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "x"), "sq")
+    lake.registerView("sq")
+    spark.sql("ALTER TABLE sq ADD COLUMNS (tag STRING, score DOUBLE)")
+    // the registered temp view refreshes to the evolved schema
+    assert(spark.table("sq").columns.toSeq === Seq("k", "v", "x", "tag", "score"))
+    spark.sql("UPDATE sq SET tag = 'old', score = 0.0 WHERE tag IS NULL")
+    spark.sql("INSERT INTO sq SELECT 3, 'c', 30.0, 'new', 9.5")
+    spark.sql("ALTER TABLE sq RENAME COLUMN x TO amount")
+    spark.sql("ALTER TABLE sq DROP COLUMN v")
+    val got = spark.sql(
+      """SELECT tag, count(*) AS n, sum(amount) AS total, sum(score) AS s
+        |FROM sq GROUP BY tag ORDER BY tag""".stripMargin).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      === Seq(("new", 1L, 30.0, 9.5), ("old", 2L, 30.0, 0.0)))
+    // unparsable column list is refused loudly
+    intercept[IllegalArgumentException](
+      spark.sql("ALTER TABLE sq ADD COLUMNS (bad nosuchtype)"))
+  }
+
+  test("evolution commits are snapshots: history records them and VACUUM keeps the schema") {
+    val lake = new Lakehouse(spark, freshRoot())
+    mk(lake)
+    val before = lake.snapshots("t").size
+    lake.addColumns("t", StructType.fromDDL("tag STRING"))
+    assert(lake.snapshots("t").size === before + 1)
+    // expiry keeps the current (evolved) read intact
+    lake.expireSnapshots("t", keepLast = 1)
+    lake.removeOrphans("t", staleMillis = 0L)
+    assert(lake.read("t").columns.toSeq === Seq("k", "v", "x", "tag"))
+    assert(lake.read("t").count() === 2)
+  }
+}
