@@ -510,21 +510,44 @@ class Lakehouse(spark: SparkSession, root: String) {
     // rebalances at runtime); `none` (default) keeps writes
     // shuffle-free, the right trade for small or already-clustered
     // deltas.
-    val physDf = spark.conf.get("spark.graft.write-distribution", "none") match {
+    // declared WRITE SORT ORDER (Iceberg's write.sort-order,
+    // [[declareSortOrder]]): with range distribution, fresh writes
+    // land key-clustered — each file covers a narrow disjoint slice,
+    // so the min/max ledger is born selective and no compaction pass
+    // is ever needed to make point/range predicates prune
+    val sortCols = sortOrderOf(table).filter(derived.columns.contains)
+    val physDf0 = spark.conf.get("spark.graft.write-distribution", "none") match {
       case "hash" if ts.nonEmpty => derived.repartition(ts.map(t => derived(t.phys)): _*)
       // `range`: global sort by the partition values — one file per
       // leaf like hash, PLUS adjacent leaves land in adjacent tasks,
-      // so a follow-up within-file clustering key (sortWithinPartitions
-      // upstream) and the min/max ledger get tight non-overlapping
-      // bounds (Iceberg's write.distribution-mode=range)
+      // so the declared sort key and the min/max ledger get tight
+      // non-overlapping bounds (Iceberg's write.distribution-mode=range)
       case "range" if ts.nonEmpty =>
-        derived.repartitionByRange(ts.map(t => derived(t.phys)): _*)
+        derived.repartitionByRange(
+          (ts.map(t => derived(t.phys)) ++ sortCols.map(derived(_))): _*)
+      case "range" if sortCols.nonEmpty =>
+        derived.repartitionByRange(sortCols.map(derived(_)): _*)
       case "none" | "hash" | "range" => derived
       case other => throw new IllegalArgumentException(
         s"spark.graft.write-distribution must be none, hash, or range; got: $other")
     }
+    val physDf =
+      if (sortCols.isEmpty) physDf0
+      else physDf0.sortWithinPartitions(
+        (ts.map(_.phys) ++ sortCols).map(physDf0(_)): _*)
     withMicrosTimestamps {
-      val w = physDf.write.mode(SaveMode.Overwrite)
+      val w0 = physDf.write.mode(SaveMode.Overwrite)
+      // NATIVE parquet bloom filters for declared columns
+      // ([[declareBloomColumns]]): parquet-mr writes the filter into
+      // the file itself during the data pass — zero extra scans,
+      // unlike the post-hoc `_bloom.jsonl` ledger build — and
+      // [[matchingFiles]] consults the footers at skip time. Bounded
+      // ndv keeps each filter ~100 KB.
+      val present = physDf.columns.toSet
+      val w = bloomDeclared(table).filter(present).foldLeft(w0) { (wr, c) =>
+        wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", "100000")
+      }
       (if (ts.nonEmpty) w.partitionBy(ts.map(_.phys): _*) else w)
         .parquet(new Path(tableDir(table), dir).toString)
     }
@@ -895,6 +918,100 @@ class Lakehouse(spark: SparkSession, root: String) {
     }
   }
 
+  // ---- native parquet bloom filters ----
+  //
+  // The write-time alternative to the `_bloom.jsonl` ledger: declared
+  // columns get parquet-mr bloom filters written INTO each file during
+  // the ordinary data pass (`parquet.bloom.filter.enabled#col`), and
+  // equality skipping reads them back from the footers — no post-hoc
+  // build scan, exactly where Iceberg/Parquet tables keep them. The
+  // ledger stays for engine-agnostic stats and for columns bloomed
+  // after the fact ([[addBloom]]); when both exist for a (file, col),
+  // the ledger answers first and the footer is never opened.
+
+  private def bloomColsPath(table: String) = new Path(tableDir(table), "_bloomcols.json")
+
+  /** Declare columns whose FUTURE writes carry native parquet bloom
+    * filters. Persisted per table; takes effect on the next write
+    * (existing files are immutable — [[addBloom]] covers them). */
+  def declareBloomColumns(table: String, cols: Seq[String]): Unit =
+    tableLock(table).synchronized {
+      fs.mkdirs(tableDir(table))
+      writeFile(bloomColsPath(table),
+        s"""{"cols":[${cols.map(c => s""""${jsonEsc(c)}"""").mkString(",")}]}""" + "\n")
+    }
+
+  /** Columns declared for native bloom writes; empty when undeclared. */
+  def bloomDeclared(table: String): Set[String] =
+    readLines(bloomColsPath(table)).headOption.toSeq.flatMap { line =>
+      """"([^"]*)"""".r.findAllMatchIn(line.stripPrefix("""{"cols":[""")).map(_.group(1)).toSeq
+    }.filter(_ != "cols").toSet
+
+  private def sortOrderPath(table: String) = new Path(tableDir(table), "_sortorder.json")
+
+  /** Declare the table's WRITE SORT ORDER (Iceberg's
+    * `write.sort-order`): every subsequent write sorts rows by these
+    * columns within each task — and under
+    * `spark.graft.write-distribution=range` also range-partitions by
+    * them — so fresh files are born key-clustered with tight disjoint
+    * min/max bounds. The read-amplification win of
+    * [[compactClustered]] without ever paying the compaction pass. */
+  def declareSortOrder(table: String, cols: Seq[String]): Unit =
+    tableLock(table).synchronized {
+      fs.mkdirs(tableDir(table))
+      writeFile(sortOrderPath(table),
+        s"""{"cols":[${cols.map(c => s""""${jsonEsc(c)}"""").mkString(",")}]}""" + "\n")
+    }
+
+  /** Declared write sort order; empty when undeclared. */
+  def sortOrderOf(table: String): Seq[String] =
+    readLines(sortOrderPath(table)).headOption.toSeq.flatMap { line =>
+      """"([^"]*)"""".r.findAllMatchIn(line.stripPrefix("""{"cols":[""")).map(_.group(1)).toSeq
+    }.filter(_ != "cols")
+
+  /** Can `rel`'s NATIVE parquet bloom filter possibly contain any of
+    * `values` for column `c`? Reads the footer's bloom (pure metadata
+    * I/O); a file is skipped only when EVERY row group's bloom
+    * excludes EVERY value. Hashes are computed at the column's
+    * physical type — a mistyped literal contributes no pruning rather
+    * than a wrong hash — and any I/O or format surprise degrades to
+    * "may match", never a failed read. */
+  private def nativeBloomMayMatch(table: String, rel: String, c: String,
+      values: Seq[Any]): Boolean = scala.util.Try {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val in = HadoopInputFile.fromPath(
+      new Path(tableDir(table), rel), spark.sessionState.newHadoopConf())
+    val r = ParquetFileReader.open(in)
+    try {
+      r.getRowGroups.asScala.exists { bm =>
+        bm.getColumns.asScala.find(_.getPath.toDotString == c) match {
+          case None => true // column absent in this file: no verdict
+          case Some(cm) =>
+            val bf = r.getBloomFilterDataReader(bm).readBloomFilter(cm)
+            if (bf == null) true // no filter written: no verdict
+            else values.exists { v =>
+              val hash = (cm.getPrimitiveType.getPrimitiveTypeName, v) match {
+                case (PrimitiveTypeName.INT64, x: Long) => Some(bf.hash(x))
+                case (PrimitiveTypeName.INT64, x: Int) => Some(bf.hash(x.toLong))
+                case (PrimitiveTypeName.INT32, x: Int) => Some(bf.hash(x))
+                case (PrimitiveTypeName.INT32, x: Long) if x.isValidInt =>
+                  Some(bf.hash(x.toInt))
+                case (PrimitiveTypeName.BINARY, s: String) =>
+                  Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+                case (PrimitiveTypeName.DOUBLE, x: Double) => Some(bf.hash(x))
+                case (PrimitiveTypeName.FLOAT, x: Float) => Some(bf.hash(x))
+                case _ => None // type mismatch: no pruning from this value
+              }
+              hash.forall(bf.findHash)
+            }
+        }
+      }
+    } finally r.close()
+  }.getOrElse(true)
+
   /** Parsed `_bloom.jsonl` of a data dir: (file, col, type, bits,
     * membership positions). */
   private def readBlooms(table: String,
@@ -1054,6 +1171,7 @@ class Lakehouse(spark: SparkSession, root: String) {
     val stats = readStats(table, dataDir)
     val byFileCol = stats.groupBy(s => (s._1, s._2))
     val bloomsByFileCol = readBlooms(table, dataDir).groupBy(b => (b._1, b._2))
+    val nativeBloomCols = bloomDeclared(table)
     def walkFiles(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap {
         case s if s.isFile && s.getPath.getName.endsWith(".parquet") => Seq(s.getPath)
@@ -1084,8 +1202,16 @@ class Lakehouse(spark: SparkSession, root: String) {
           else rangeMayMatch(t, fLo, fHi, op, v)
         })
         val bloomOk = eqValues.isEmpty ||
-          bloomsByFileCol.get((rel, c)).forall(_.exists {
-            case (_, _, t, bits, set) => eqValues.exists(x => bloomMayMatch(t, bits, set, x))
+          (bloomsByFileCol.get((rel, c)) match {
+            case Some(ledger) => // ledger answers; footer never opened
+              ledger.exists { case (_, _, t, bits, set) =>
+                eqValues.exists(x => bloomMayMatch(t, bits, set, x))
+              }
+            case None if nativeBloomCols.contains(c) =>
+              // survived the range check with no ledger line: consult
+              // the file's own parquet bloom (footer metadata read)
+              rangeOk && nativeBloomMayMatch(table, rel, c, eqValues)
+            case None => true
           })
         rangeOk && bloomOk
       }
@@ -2388,6 +2514,84 @@ class Lakehouse(spark: SparkSession, root: String) {
         else openDirGroup(table, dataDir, entries)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
+  }
+
+  /** CDC incremental read (the Iceberg changelog-scan shape): the
+    * ROW-LEVEL changes between two snapshots of a merge-on-read
+    * interval, as the table schema plus `_change_type`
+    * (`insert` | `delete`). Inserts are the rows of data dirs appended
+    * in the interval; deletes are the row IMAGES matched by tombstones
+    * added in the interval (so a MoR UPDATE surfaces as its old image's
+    * delete plus its delta's insert — apply in that order for upsert
+    * materialization). True rewrites — replace, copy-on-write DML,
+    * compaction — still refuse: their history does not decompose into
+    * row deltas ([[readChanges]]'s rule). Cost: a scan of the appended
+    * dirs plus tombstone-matched scans of only the dirs the NEW
+    * tombstones can touch, with broadcast tombstones — delta-priced,
+    * never a table diff. */
+  def readChangesCdc(table: String, fromSnap: Long, toSnap: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val all = snapshots(table)
+    val from = all.find(_._1 == fromSnap)
+      .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $fromSnap"))._2
+    val to = all.find(_._1 == toSnap)
+      .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $toSnap"))._2
+    require(from.forall(to.contains),
+      s"$table: $fromSnap -> $toSnap is not an append/MoR interval " +
+        "(a replace/merge/compaction rewrote data); consume the full snapshot instead")
+    val fromDels = snapshotDeletes(table).getOrElse(fromSnap, Seq.empty)
+    val toDels = snapshotDeletes(table).getOrElse(toSnap, Seq.empty)
+    require(fromDels.forall(toDels.contains),
+      s"$table: $fromSnap -> $toSnap dropped tombstones (a rewrite materialized them); " +
+        "consume the full snapshot instead")
+    def parsedDels(names: Seq[String]) = names.map { d =>
+      (d.stripPrefix("_deletes-").toLong,
+        spark.read.parquet(new Path(tableDir(table), d).toString))
+    }
+    val oldDels = parsedDels(fromDels)
+    val newDels = parsedDels(toDels.filterNot(fromDels.toSet))
+    def tombCond(base: DataFrame, ts: DataFrame, kcols: Seq[String]) =
+      kcols.map(c => base(c) <=> ts("__ts_" + c)).reduce(_ && _)
+    val added = to.filterNot(from.toSet)
+    val inserts = added.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).map {
+      case (dataDir, entries) =>
+        (if (entries.contains(dataDir)) openDirGroup(table, dataDir, Seq(dataDir), Some(toSnap))
+         else openDirGroup(table, dataDir, entries, Some(toSnap)))
+          .withColumn("_change_type", lit("insert"))
+    }
+    // deletes: per pre-existing dir, rows alive at `from` (old
+    // tombstones anti-joined) that ANY new tombstone matches —
+    // positional tombstones match on materialized file/pos, equality
+    // tombstones null-safely on their key columns, exactly mirroring
+    // [[applyTombstones]] with the join flipped to semi
+    val deletes = from.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).flatMap {
+      case (dataDir, entries) =>
+        val seqNo = scala.util.Try(dataDir.stripPrefix("data-").toLong)
+          .getOrElse(Long.MaxValue)
+        val applicableNew = newDels.filter(_._1 > seqNo)
+        if (applicableNew.isEmpty) None
+        else {
+          val raw =
+            if (entries.contains(dataDir)) openDirGroup(table, dataDir, Seq(dataDir), Some(toSnap))
+            else openDirGroup(table, dataDir, entries, Some(toSnap))
+          val base = raw.withColumn("__file", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+          val alive = oldDels.filter(_._1 > seqNo).foldLeft(base) { case (d, (_, keys)) =>
+            val ts = keys.toDF(keys.columns.map("__ts_" + _).toIndexedSeq: _*)
+            d.join(broadcast(ts), tombCond(d, ts, keys.columns.toSeq), "left_anti")
+          }
+          val matched = applicableNew.map { case (_, keys) =>
+            val ts = keys.toDF(keys.columns.map("__ts_" + _).toIndexedSeq: _*)
+            alive.join(broadcast(ts), tombCond(alive, ts, keys.columns.toSeq), "left_semi")
+          }.reduce(_.unionByName(_))
+          Some(matched.dropDuplicates("__file", "__pos")
+            .drop("__file", "__pos").withColumn("_change_type", lit("delete")))
+        }
+    }
+    val parts = inserts ++ deletes
+    if (parts.isEmpty)
+      readSnapshot(table, toSnap).where(lit(false)).withColumn("_change_type", lit("insert"))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** BRANCH-ADDRESSABLE SQL — the reference's `NESSIE_REF` session

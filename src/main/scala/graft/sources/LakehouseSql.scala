@@ -262,15 +262,18 @@ case class LakehouseDropColumnCommand(view: String, col: String)
   }
 }
 
-/** `CREATE [OR REPLACE] TABLE t [PARTITIONED BY (spec,…)] AS <query>`
-  * against the session's DEFAULT LAKE (`spark.graft.lake-root` — the
-  * catalog-role conf; the parser intercepts CTAS only when it is
-  * set). Partition specs take identity columns or hidden-partitioning
-  * transforms ([[Transforms]]). Plain CREATE refuses an existing
+/** `CREATE [OR REPLACE] TABLE t [PARTITIONED BY (spec,…)]
+  * [SORTED BY (col,…)] AS <query>` against the session's DEFAULT LAKE
+  * (`spark.graft.lake-root` — the catalog-role conf; the parser
+  * intercepts CTAS only when it is set). Partition specs take
+  * identity columns or hidden-partitioning transforms
+  * ([[Transforms]]); SORTED BY declares the write sort order
+  * ([[Lakehouse.declareSortOrder]] — under range distribution,
+  * writes land key-clustered). Plain CREATE refuses an existing
   * table; OR REPLACE commits a replacing snapshot (history stays
   * travel-readable). Registers the view for DML/SQL on success. */
 case class LakehouseCtasCommand(table: String, replace: Boolean, spec: Seq[String],
-    query: String) extends LeafRunnableCommand {
+    sortBy: Seq[String], query: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val root = spark.conf.get(LakehouseCtasCommand.RootConf)
@@ -279,6 +282,7 @@ case class LakehouseCtasCommand(table: String, replace: Boolean, spec: Seq[Strin
     if (!replace && lake.currentSnapshot(table, lake.sessionBranch).isDefined)
       throw new IllegalStateException(
         s"table $table already exists in lake $root; use CREATE OR REPLACE TABLE")
+    if (sortBy.nonEmpty) lake.declareSortOrder(table, sortBy)
     // CTAS lands on the session branch (NESSIE_REF semantics): a
     // branch-scoped session creates tables main never sees until a
     // fast-forward
@@ -390,6 +394,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CtasRe =
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+`?([A-Za-z_]\w*)`?""" +
       """(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?""" +
+      """(?:\s+SORTED\s+BY\s*\((.*?)\))?""" +
       """\s+AS\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.+?)\s*;?\s*""").r
   private val OnConjunct =
     """(?i)\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*""".r
@@ -472,9 +477,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakehouseDropColumnCommand(table, colName)
     case DropRe(table, purge) if LakehouseRegistry.isRegistered(table) =>
       LakehouseDropCommand(table, purge != null)
-    case CtasRe(replace, table, specs, query) if LakehouseCtasCommand.enabled =>
+    case CtasRe(replace, table, specs, sortBy, query) if LakehouseCtasCommand.enabled =>
       LakehouseCtasCommand(table, replace != null,
-        Option(specs).map(splitSpecs).getOrElse(Nil), query)
+        Option(specs).map(splitSpecs).getOrElse(Nil),
+        Option(sortBy).map(splitSpecs).getOrElse(Nil), query)
     case VacuumRe(table, retain) if LakehouseRegistry.isRegistered(table) =>
       LakehouseVacuumCommand(table, Option(retain).map(_.toInt).getOrElse(1))
     case MergeRe(table, source, on) if LakehouseRegistry.isRegistered(table) =>

@@ -28,6 +28,13 @@ import graft.sources.Lakehouse
   * switch to batch refresh for such tables. Restart resumes from the
   * checkpointed snapshot id.
   *
+  * `option("cdc", "true")` switches to the CHANGELOG shape
+  * ([[Lakehouse.readChangesCdc]]): rows carry a `_change_type` column
+  * (`insert` | `delete`) and MERGE-ON-READ deletes/updates between
+  * batches stream as row-level deltas instead of failing — a MoR
+  * UPDATE arrives as its old image's delete plus its new image's
+  * insert. True rewrites still fail loudly in either mode.
+  *
   * Usage:
   * {{{
   * spark.readStream
@@ -51,8 +58,12 @@ class LakehouseStreamProvider extends StreamSourceProvider with DataSourceRegist
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val lake = new Lakehouse(sqlContext.sparkSession, required(parameters, "root"))
-    (shortName(), lake.read(required(parameters, "table"),
-      parameters.getOrElse("branch", "main")).schema)
+    val data = lake.read(required(parameters, "table"),
+      parameters.getOrElse("branch", "main")).schema
+    (shortName(),
+      if (parameters.get("cdc").exists(_.toBoolean))
+        LakehouseStreamSource.withChangeType(data)
+      else data)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -60,17 +71,29 @@ class LakehouseStreamProvider extends StreamSourceProvider with DataSourceRegist
       parameters: Map[String, String]): Source =
     new LakehouseStreamSource(sqlContext.sparkSession, required(parameters, "root"),
       required(parameters, "table"), parameters.getOrElse("branch", "main"),
-      parameters.get("startSnapshot").map(_.toLong))
+      parameters.get("startSnapshot").map(_.toLong),
+      parameters.get("cdc").exists(_.toBoolean))
+}
+
+object LakehouseStreamSource {
+  /** The CDC schema: the table's columns plus `_change_type`. */
+  def withChangeType(data: StructType): StructType =
+    StructType(data.fields :+ org.apache.spark.sql.types.StructField(
+      "_change_type", org.apache.spark.sql.types.StringType, nullable = false))
 }
 
 /** See [[LakehouseStreamProvider]]. `startSnapshot` = tail from that
-  * snapshot (exclusive) instead of emitting the full history first. */
+  * snapshot (exclusive) instead of emitting the full history first;
+  * `cdc` = changelog shape (`_change_type` rows, MoR deltas stream). */
 class LakehouseStreamSource(spark: SparkSession, root: String, table: String,
-    branch: String, startSnapshot: Option[Long]) extends Source {
+    branch: String, startSnapshot: Option[Long], cdc: Boolean = false) extends Source {
 
   private val lake = new Lakehouse(spark, root)
 
-  override val schema: StructType = lake.read(table, branch).schema
+  override val schema: StructType = {
+    val data = lake.read(table, branch).schema
+    if (cdc) LakehouseStreamSource.withChangeType(data) else data
+  }
 
   override def getOffset: Option[Offset] =
     lake.currentSnapshot(table, branch).map(LongOffset(_))
@@ -80,9 +103,13 @@ class LakehouseStreamSource(spark: SparkSession, root: String, table: String,
     // a checkpoint restart; both carry the snapshot id as their json
     val to = end.json.toLong
     val from = start.map(_.json.toLong).orElse(startSnapshot)
+    def tagInserts(df: DataFrame) =
+      if (cdc) df.withColumn("_change_type", lit("insert")) else df
     StreamingShim.asStreaming(from match {
-      case None => lake.readSnapshot(table, to)
-      case Some(f) if f == to => lake.readSnapshot(table, to).where(lit(false))
+      case None => tagInserts(lake.readSnapshot(table, to))
+      case Some(f) if f == to =>
+        tagInserts(lake.readSnapshot(table, to).where(lit(false)))
+      case Some(f) if cdc => lake.readChangesCdc(table, f, to)
       case Some(f) => lake.readChanges(table, f, to)
     })
   }

@@ -426,6 +426,107 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.readWhere(col("k") >= 0L, "bl").count() === 800L)
   }
 
+  test("NATIVE parquet blooms: declared columns skip files on a fresh table, zero build passes") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    // declare BEFORE the write: the filters ride the ordinary data
+    // pass (parquet-mr), no addBloom ledger build ever runs
+    lake.declareBloomColumns("nb", Seq("k", "v"))
+    val keys = (0L until 800L).map(i => (i * 2654435761L) % 100000L)
+    val df = keys.zipWithIndex.map { case (k, i) => (k, s"v$i") }.toDF("k", "v")
+      .repartition(8)
+    lake.createOrReplace(df, "nb")
+    val probe = keys(137) // interleave defeats min/max in every file
+    val hit = lake.readWhere(col("k") === probe, "nb")
+    assert(hit.count() === keys.count(_ == probe))
+    assert(hit.inputFiles.length < 8,
+      s"native bloom must skip files range stats cannot (opened ${hit.inputFiles.length}/8)")
+    // string column through the same footers
+    val sv = lake.readWhere(col("v") === "v7", "nb")
+    assert(sv.count() === 1L && sv.inputFiles.length < 8)
+    // IN-lists prune value-wise; a miss everywhere reads ~nothing
+    assert(lake.readWhere(col("k").isin(probe, 99999999L), "nb")
+      .count() === keys.count(_ == probe))
+    assert(lake.readWhere(col("k") === 99999999L, "nb").count() === 0L)
+    // non-equality ops never consult blooms; full scans stay correct
+    assert(lake.readWhere(col("k") >= 0L, "nb").count() === 800L)
+    // undeclared tables never open footers (byte-identical behavior):
+    // deleting the declaration file disables the native path
+    val dml = lake.updateWhere(Seq("v" -> lit("x")), col("k") === probe, "nb")
+    assert(lake.read("nb").where(col("v") === "x").count() === keys.count(_ == probe))
+    assert(dml > 0)
+  }
+
+  test("declared sort order + range distribution: writes are born clustered and prune") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.declareSortOrder("so", Seq("k"))
+    val prior = spark.conf.getOption("spark.graft.write-distribution")
+    spark.conf.set("spark.graft.write-distribution", "range")
+    // at test scale AQE coalesces the range shuffle to ONE partition
+    // (correct for 800 rows, vacuous for this spec) — hold it off so
+    // the write genuinely fans out into multiple key-sliced files
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // interleaved input across 8 tasks: an undistributed write would
+      // give every file a full-domain (min, max) — useless stats
+      val keys = (0L until 800L).map(i => (i * 2654435761L) % 100000L)
+      val df = keys.zipWithIndex.map { case (k, i) => (k, s"v$i") }.toDF("k", "v")
+        .repartition(8)
+      lake.createOrReplace(df, "so")
+      val total = lake.read("so").inputFiles.length
+      assert(total > 1)
+      val probe = keys(137)
+      val hit = lake.readWhere(col("k") === probe, "so")
+      assert(hit.count() === keys.count(_ == probe))
+      assert(hit.inputFiles.length === 1,
+        s"a clustered write answers a point lookup from one file, opened ${hit.inputFiles.length}")
+      // a key range opens only its overlapping slices — the
+      // compactClustered read-amplification win with zero compaction
+      val ranged = lake.readWhere(col("k") >= 10000L && col("k") < 20000L, "so")
+      assert(ranged.count() === keys.count(k => k >= 10000L && k < 20000L))
+      assert(ranged.inputFiles.length < total / 2,
+        s"range query opened ${ranged.inputFiles.length} of $total files")
+      // appends cluster too (each write clusters its own delta)
+      lake.append(Seq((100001L, "x"), (100002L, "y")).toDF("k", "v"), "so")
+      assert(lake.readWhere(col("k") === 100001L, "so").count() === 1)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      prior match {
+        case Some(v) => spark.conf.set("spark.graft.write-distribution", v)
+        case None => spark.conf.unset("spark.graft.write-distribution")
+      }
+    }
+  }
+
+  test("CTAS SORTED BY declares the write sort order through SQL") {
+    val ctasRoot = freshRoot()
+    val lake = new Lakehouse(spark, ctasRoot)
+    import spark.implicits._
+    spark.conf.set(graft.sources.LakehouseCtasCommand.RootConf, ctasRoot)
+    val prior = spark.conf.getOption("spark.graft.write-distribution")
+    spark.conf.set("spark.graft.write-distribution", "range")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      (0L until 400L).map(i => ((i * 2654435761L) % 10000L, i))
+        .toDF("k", "n").createOrReplaceTempView("cts_src")
+      spark.sql("CREATE TABLE cts SORTED BY (k) AS SELECT * FROM cts_src")
+      assert(lake.sortOrderOf("cts") === Seq("k"))
+      assert(lake.read("cts").inputFiles.length > 1)
+      val hit = lake.readWhere(col("k") === ((137L * 2654435761L) % 10000L), "cts")
+      assert(hit.count() >= 1)
+      assert(hit.inputFiles.length === 1,
+        "SQL-declared sort order must cluster the CTAS write")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      prior match {
+        case Some(v) => spark.conf.set("spark.graft.write-distribution", v)
+        case None => spark.conf.unset("spark.graft.write-distribution")
+      }
+      spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
+    }
+  }
+
   test("readWhere stays correct when the predicate cannot prune (OR trees, column arithmetic)") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._

@@ -161,6 +161,76 @@ class LakehouseStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("default mode refuses MoR tombstones between batches (documented rule)") {
+    import spark.implicits._
+    val root = freshDir("graft-lstream-mor")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "m0")
+    val q = readLake(root, "m0").writeStream
+      .format("memory").queryName("lstream_mor0")
+      .option("checkpointLocation", freshDir("graft-lstream-mor-ck")).start()
+    try {
+      q.processAllAvailable()
+      lake.deleteWhereMor(col("k") === 1L, "m0")
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def msg(t: Throwable): String =
+        Option(t).map(x => x.getMessage + msg(x.getCause)).getOrElse("")
+      assert(msg(e).contains("tombstones"),
+        s"expected the tombstone refusal, got: ${e.getMessage}")
+    } finally q.stop()
+  }
+
+  test("cdc mode: MoR deletes and updates stream as row-level change deltas") {
+    import spark.implicits._
+    val root = freshDir("graft-lstream-cdc")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "c1")
+    val q = spark.readStream
+      .format("graft.streaming.LakehouseStreamProvider")
+      .option("root", root).option("table", "c1").option("cdc", "true")
+      .load()
+      .writeStream.format("memory").queryName("lstream_cdc")
+      .option("checkpointLocation", freshDir("graft-lstream-cdc-ck")).start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("lstream_cdc").collect()
+      assert(first.length === 3 && first.forall(_.getString(2) === "insert"),
+        "first batch = full snapshot as inserts")
+      // MoR delete streams the deleted row's image
+      lake.deleteWhereMor(col("k") === 2L, "c1")
+      q.processAllAvailable()
+      val afterDel = spark.table("lstream_cdc").where(col("_change_type") === "delete")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(afterDel === Seq((2L, "b")))
+      // MoR update streams old image's delete + new image's insert
+      lake.updateWhereMor(Seq("v" -> lit("C")), col("k") === 3L, "c1")
+      q.processAllAvailable()
+      val rows = spark.table("lstream_cdc").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(rows.count(_ == ((3L, "c", "delete"))) === 1, s"update delete image: $rows")
+      assert(rows.count(_ == ((3L, "C", "insert"))) === 1, s"update new image: $rows")
+      // plain appends still arrive as inserts
+      lake.append(Seq((4L, "d")).toDF("k", "v"), "c1")
+      q.processAllAvailable()
+      val all = spark.table("lstream_cdc").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(all.contains((4L, "d", "insert")))
+      // materializing the changelog reproduces the table state
+      val inserts = all.filter(_._3 == "insert").map(t => (t._1, t._2))
+      val deletes = all.filter(_._3 == "delete").map(t => (t._1, t._2))
+      val state = inserts.filterNot(deletes.contains).sorted
+      val want = lake.read("c1").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(state === want, s"changelog must reconstruct the table: $state vs $want")
+      // a true rewrite still refuses in cdc mode
+      lake.compact("c1")
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def msg(t: Throwable): String =
+        Option(t).map(x => x.getMessage + msg(x.getCause)).getOrElse("")
+      assert(msg(e).contains("rewrote data"))
+    } finally q.stop()
+  }
+
   test("lakehouse-to-lakehouse hop: streaming read + appendOnce sink is exactly-once") {
     import spark.implicits._
     val srcRoot = freshDir("graft-lsrc")
