@@ -25,6 +25,7 @@ object SparkEntry {
     "sql_time_travel" -> (Medallion.sqlTimeTravel _),
     "sql_hidden_partition" -> (Medallion.sqlHiddenPartition _),
     "sql_schema_evolution" -> (Medallion.sqlSchemaEvolution _),
+    "sql_branch_workflow" -> (Medallion.sqlBranchWorkflow _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -208,17 +209,38 @@ object SparkEntry {
         |ORDER BY at, o_orderstatus""".stripMargin,
     "sql_schema_evolution" ->
       """SELECT tier, count(*) AS n,
-        |  CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
-        |  CAST(sum(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE) AS total_bonus
+        |  CAST(coalesce(sum(CAST(balance AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_balance,
+        |  CAST(coalesce(sum(CAST(bonus AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_bonus,
+        |  CAST(sum(visits) AS BIGINT) AS total_visits
         |FROM (
-        |  SELECT 'legacy' AS tier, c_acctbal AS balance, 0.0 AS bonus
+        |  SELECT 'legacy' AS tier, c_acctbal AS balance, 0.0 AS bonus, 1 AS visits
         |  FROM customer WHERE c_custkey <= 500
         |  UNION ALL
-        |  SELECT 'fresh' AS tier, c_acctbal AS balance, c_acctbal * 2 AS bonus
+        |  SELECT 'fresh' AS tier, c_acctbal AS balance, c_acctbal * 2 AS bonus, 2 AS visits
         |  FROM customer WHERE c_custkey <= 200
+        |  UNION ALL
+        |  SELECT 'partial' AS tier, NULL AS balance, NULL AS bonus, 4000000000 AS visits
+        |  FROM customer WHERE c_custkey <= 100
         |) t
         |GROUP BY tier
         |ORDER BY tier""".stripMargin,
+    "sql_branch_workflow" ->
+      """WITH merged AS (
+        |  SELECT CASE WHEN o_totalprice > 200000
+        |              THEN o_totalprice - 50000 ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderstatus IN ('F','O'))
+        |SELECT 'main_before' AS at, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'branch' AS at, count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged
+        |UNION ALL
+        |SELECT 'main_after' AS at, count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged
+        |ORDER BY at""".stripMargin,
     "sql_hidden_partition" ->
       """WITH updated AS (
         |  SELECT event_type, ts,

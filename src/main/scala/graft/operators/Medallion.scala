@@ -224,9 +224,13 @@ object Medallion {
     * document schema grows a field): CTAS → `ADD COLUMNS` (metadata
     * snapshot; pre-evolution rows read NULL) → UPDATE fills the new
     * columns on old rows → INSERT writes them on new rows →
-    * `RENAME COLUMN` → `DROP COLUMN` → aggregate through the evolved
-    * schema. Every step is parsed SQL and a deterministic function of
-    * `customer`, so the oracle replays the final state relationally. */
+    * `RENAME COLUMN` → `DROP COLUMN` → `ALTER COLUMN TYPE` widening
+    * promotion (int→bigint; old int dirs up-cast at read) → a
+    * PARTIAL-column-list INSERT (unlisted columns land NULL — the
+    * shape an evolved schema makes routine) → aggregate through the
+    * evolved schema. Every step is parsed SQL and a deterministic
+    * function of `customer`, so the oracle replays the final state
+    * relationally. */
   def sqlSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft-sqlevo").toString
@@ -237,22 +241,31 @@ object Medallion {
           |SELECT c_custkey, c_name, c_acctbal
           |FROM customer WHERE c_custkey <= 500""".stripMargin)
       // additive evolution: metadata-only snapshot, no data rewritten
-      spark.sql("ALTER TABLE se_cust ADD COLUMNS (tier STRING, bonus DOUBLE)")
+      spark.sql("ALTER TABLE se_cust ADD COLUMNS (tier STRING, bonus DOUBLE, visits INT)")
       // pre-evolution rows surface the new columns as NULL — fill via DML
-      spark.sql("UPDATE se_cust SET tier = 'legacy', bonus = 0.0 WHERE tier IS NULL")
-      // post-evolution INSERT takes the evolved 5-column schema
+      spark.sql("UPDATE se_cust SET tier = 'legacy', bonus = 0.0, visits = 1 WHERE tier IS NULL")
+      // post-evolution INSERT takes the evolved 6-column schema
       spark.sql(
         """INSERT INTO se_cust
-          |SELECT c_custkey + 100000, c_name, c_acctbal, 'fresh', c_acctbal * 2
+          |SELECT c_custkey + 100000, c_name, c_acctbal, 'fresh', c_acctbal * 2, 2
           |FROM customer WHERE c_custkey <= 200""".stripMargin)
       // rename resolves old dirs' physical name at read; drop is
       // metadata-only (history below it still shows the column)
       spark.sql("ALTER TABLE se_cust RENAME COLUMN c_acctbal TO balance")
       spark.sql("ALTER TABLE se_cust DROP COLUMN c_name")
+      // widening promotion: committed int dirs stay int physically and
+      // up-cast at read; the next INSERT writes bigint values
+      spark.sql("ALTER TABLE se_cust ALTER COLUMN visits TYPE bigint")
+      // partial column list: unlisted balance/bonus insert NULL
+      spark.sql(
+        """INSERT INTO se_cust (c_custkey, tier, visits)
+          |SELECT c_custkey + 200000, 'partial', 4000000000
+          |FROM customer WHERE c_custkey <= 100""".stripMargin)
       spark.sql(
         """SELECT tier, count(*) AS n,
-          |  CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
-          |  CAST(sum(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE) AS total_bonus
+          |  CAST(coalesce(sum(CAST(balance AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_balance,
+          |  CAST(coalesce(sum(CAST(bonus AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_bonus,
+          |  CAST(sum(visits) AS BIGINT) AS total_visits
           |FROM se_cust
           |GROUP BY tier
           |ORDER BY tier""".stripMargin)
@@ -338,5 +351,51 @@ object Medallion {
       }
       spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
     }
+  }
+
+  /** `sql_branch_workflow` — the reference's NESSIE_REF branch
+    * workflow (gold_reporting.py:26: every job selects its branch by
+    * env var and main only sees merged work) run END TO END as parsed
+    * SQL: CTAS on main → `ALTER TABLE … CREATE BRANCH etl` →
+    * branch-scoped INSERT + UPDATE (session conf `spark.graft.branch`)
+    * → isolation readout (main unchanged, branch addressable via
+    * `VERSION AS OF 'etl'`) → `ALTER TABLE … FAST FORWARD etl` →
+    * main sees the merge. Deterministic over `orders`, so the oracle
+    * replays the three states relationally. */
+  def sqlBranchWorkflow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-branchwf").toString
+    spark.conf.set(graft.sources.LakehouseCtasCommand.RootConf, root)
+    try {
+      spark.sql(
+        """CREATE TABLE bw_orders AS
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)
+      spark.sql("ALTER TABLE bw_orders CREATE BRANCH etl")
+      spark.conf.set("spark.graft.branch", "etl")
+      try {
+        // branch-scoped DML: main must not see either statement
+        spark.sql(
+          """INSERT INTO bw_orders
+            |SELECT o_orderkey, o_orderstatus, o_totalprice
+            |FROM orders WHERE o_orderstatus = 'O'""".stripMargin)
+        // exact double arithmetic (integer subtract) — a fractional
+        // multiplier like *0.9 diverges between engines at the
+        // DECIMAL cast (shortest-repr vs binary rounding)
+        spark.sql(
+          "UPDATE bw_orders SET o_totalprice = o_totalprice - 50000 WHERE o_totalprice > 200000")
+      } finally spark.conf.unset("spark.graft.branch")
+      def agg(label: String, from: String) = spark.sql(
+        s"""SELECT '$label' AS at, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM $from""".stripMargin)
+      // the isolation readout pins BEFORE the merge (analysis inlines
+      // the pinned snapshot; immutable dirs keep it valid after)
+      val before = agg("main_before", "bw_orders")
+      val branch = agg("branch", "bw_orders VERSION AS OF 'etl'")
+      spark.sql("ALTER TABLE bw_orders FAST FORWARD etl")
+      val after = agg("main_after", "bw_orders")
+      before.unionAll(branch).unionAll(after).orderBy("at")
+    } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
   }
 }

@@ -382,6 +382,18 @@ class Lakehouse(spark: SparkSession, root: String) {
   def tagsDf(table: String): DataFrame =
     spark.createDataFrame(tags(table)).toDF("tag", "snapshot_id")
 
+  /** `t.refs` metadata relation (the Iceberg refs table): every named
+    * ref — branches AND tags — with its type and pinned snapshot, the
+    * one-stop readout of a table's pointer topology (what `VERSION AS
+    * OF '<ref>'` can address, what expiry must respect). */
+  def refsDf(table: String): DataFrame = {
+    val rows =
+      branches(table).flatMap(b =>
+        currentSnapshot(table, b).map(s => (b, "BRANCH", s))) ++
+        tags(table).map { case (t, s) => (t, "TAG", s) }
+    spark.createDataFrame(rows).toDF("name", "type", "snapshot_id")
+  }
+
   /** `t.partitions` metadata relation (the Iceberg partitions table):
     * one row per (layout, partition value) of the CURRENT snapshot
     * with file/record/byte counts — the partition-skew and
@@ -457,6 +469,15 @@ class Lakehouse(spark: SparkSession, root: String) {
     (if (names.contains("_current")) Seq("main") else Seq.empty) ++
       names.filter(n => n.startsWith("_branch_") && !n.endsWith(".tmp"))
         .map(_.stripPrefix("_branch_")).sorted
+  }
+
+  /** Drop a branch pointer — the snapshots it referenced stay in
+    * history (expiry collects any that end up unreferenced). `main`
+    * is not droppable: it is the table's existence pointer. */
+  def dropBranch(table: String, branch: String): Unit = {
+    require(branch != "main", s"cannot drop main: it is $table's table pointer")
+    require(branches(table).contains(branch), s"$table has no branch $branch")
+    fs.delete(currentPtr(table, branch), false)
   }
 
   /** Fast-forward `into` to `from`'s snapshot (both share the same
@@ -1750,6 +1771,43 @@ class Lakehouse(spark: SparkSession, root: String) {
         declared.fields.filterNot(x => lc(x.name) == lc(name))), Nil)
     }
 
+  /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — WIDENING type
+    * promotion as a metadata snapshot (Iceberg's safe promotions, and
+    * only those): int→bigint, float→double, decimal(p,s)→decimal(P,s)
+    * with P ≥ p. Existing dirs keep their physical type and up-cast at
+    * read ([[alignToDeclared]]'s widening branch); new writes take the
+    * promoted type; time travel below the commit sees the old type.
+    * Anything else — narrowing, cross-family, scale changes — is
+    * refused: those would need a data rewrite to stay sound. Layout
+    * source columns refuse promotion too (the transform's derived
+    * values must stay stable against the written tree). */
+  def alterColumnType(table: String, name: String,
+      newType: org.apache.spark.sql.types.DataType, branch: String = "main"): Long =
+    evolveSchema(table, branch) { (declared, _) =>
+      import org.apache.spark.sql.types._
+      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val f = declared.fields.find(x => lc(x.name) == lc(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table has no column $name to promote"))
+      val widens = (f.dataType, newType) match {
+        case (a, b) if a == b => false // no-op promotion is a user error
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (a: DecimalType, b: DecimalType) =>
+          b.precision >= a.precision && a.scale == b.scale
+        case _ => false
+      }
+      require(widens,
+        s"cannot promote $name from ${f.dataType.simpleString} to " +
+          s"${newType.simpleString}: only int->bigint, float->double and " +
+          "decimal precision widening are metadata-safe (Iceberg's rule)")
+      require(!layoutSourcesOf(table).contains(lc(name)),
+        s"cannot promote $name: it is a partition-layout source column " +
+          "(ALTER ... SET PARTITION SPEC first)")
+      (StructType(declared.fields.map(x =>
+        if (x eq f) x.copy(dataType = newType) else x)), Nil)
+    }
+
   /** Source columns of the table's registered partition layout
     * (registry first, persistent catalog as the cross-session
     * fallback), lowercase. */
@@ -2021,6 +2079,46 @@ class Lakehouse(spark: SparkSession, root: String) {
       rewriteChangedPartitions(table, branch, keyCols, partitionBy, Some(batchId))(changes)
   }
 
+  /** Apply ONE micro-batch of a CDC CHANGELOG ([[readChangesCdc]]'s
+    * shape: table columns + `_change_type` in insert|delete) to a
+    * REPLICA table as a single keyed snapshot commit — the lake→lake
+    * replication primitive. Per key: an insert image wins (its delete
+    * row, when present, is just the old image of an update); a key
+    * with only deletes is removed. Sound because changelog batches are
+    * NET over their snapshot interval (within-interval insert+delete
+    * emits nothing — see the net-out in [[readChangesCdc]]). Two
+    * insert images for one key (the source double-appended a key it
+    * promised was unique) fail loudly — replicating them would fork
+    * the replica from any keyed read of the source. EXACTLY-ONCE via
+    * the same batch-id ledger as [[upsertOnce]]: a replayed batch
+    * finds its id committed and changes nothing. Cost: O(batch) plus
+    * the touched partitions' rewrite — delta-priced, like every CDC
+    * path here. */
+  def applyChangesOnce(changes: DataFrame, table: String, keyCols: Seq[String],
+      batchId: Long, partitionBy: Seq[String] = Nil, branch: String = "main"): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(changes.columns.contains("_change_type"),
+      "applyChangesOnce takes a changelog (readChangesCdc shape with _change_type)")
+    val ins = changes.where(col("_change_type") === "insert").drop("_change_type")
+    val dupIns = ins.groupBy(keyCols.map(ins(_)): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).take(1)
+    if (dupIns.nonEmpty) throw new IllegalStateException(
+      s"changelog batch carries more than one insert image for key(s) " +
+        s"${dupIns.mkString(", ")} on $table — the source is not unique on " +
+        s"(${keyCols.mkString(", ")})")
+    // a first batch (the stream's full-snapshot seed) bootstraps the
+    // replica; deletes against a table that doesn't exist are no-ops
+    if (currentSnapshot(table, branch).isEmpty)
+      return appendOnce(ins, table, batchId, partitionBy, branch)
+    // every changed key leaves the base; insert images come back
+    val allKeys = changes.select(keyCols.map(changes(_)): _*)
+    val changesFn = (_: DataFrame) => (ins, allKeys)
+    if (partitionBy.isEmpty)
+      rewriteUnpartitioned(table, branch, keyCols, Some(batchId))(changesFn)
+    else
+      rewriteChangedPartitions(table, branch, keyCols, partitionBy, Some(batchId))(changesFn)
+  }
+
   /** Copy-on-write rewrite core, unpartitioned: `changes(target)`
     * yields (rows to add, keys to remove) against the base snapshot;
     * the whole table rewrites as one new data dir. A `batchId` makes
@@ -2230,8 +2328,12 @@ class Lakehouse(spark: SparkSession, root: String) {
   def sqlMergeClauses(table: String, sourceView: String, keyCols: Seq[String],
       matched: Seq[MergeMatched],
       notMatchedInsert: Option[MergeInsert],
-      partitionBy: Seq[String] = Nil, branch: String = sessionBranch): Long = {
+      partitionBy: Seq[String] = Nil, branch: String = sessionBranch,
+      notMatchedBySource: Seq[MergeMatched] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
+    notMatchedBySource.foreach(m => require(m.isDelete || m.assignments.isDefined,
+      "WHEN NOT MATCHED BY SOURCE has no source row: UPDATE SET * is " +
+        "meaningless there — use explicit assignments or DELETE"))
     val changes = (target: DataFrame) => {
       val source = spark.table(sourceView)
       assertMergeCardinality(target, source, table, keyCols)
@@ -2292,7 +2394,38 @@ class Lakehouse(spark: SparkSession, root: String) {
           }
         case None => source.where(lit(false))
       }
-      (upRows.unionByName(insRows), removeKeys)
+      // WHEN NOT MATCHED BY SOURCE (the full-sync side of SQL MERGE):
+      // target rows with NO source key match — first-applicable-clause
+      // semantics like the matched side; UPDATE assignments are
+      // target-row-local (there is no source row), DELETE removes.
+      // Updated-or-deleted rows leave via removeKeys; updated images
+      // come back through addRows — same one-snapshot discipline.
+      val (bySrcUp, bySrcRemove) = if (notMatchedBySource.isEmpty)
+        (target.where(lit(false)), target.where(lit(false))
+          .select(keyCols.map(col): _*))
+      else {
+        val unmatchedT = t.join(s, joinCond, "left_anti")
+        val actionB = notMatchedBySource.zipWithIndex.foldRight(lit(0)) {
+          case ((m, i), rest) =>
+            when(m.cond.map(expr).getOrElse(lit(true)), lit(i + 1)).otherwise(rest)
+        }
+        val tagged = unmatchedT.withColumn("__act", actionB)
+        val ups = notMatchedBySource.zipWithIndex.collect { case (m, i) if !m.isDelete =>
+          val byName = m.assignments.get.toMap
+          val unknown = byName.keySet -- tCols.toSet
+          require(unknown.isEmpty,
+            s"MERGE NOT MATCHED BY SOURCE UPDATE references unknown column(s): " +
+              unknown.mkString(", "))
+          tagged.where(col("__act") === (i + 1)).select(tCols.map { c =>
+            byName.get(c)
+              .map(e => expr(e).cast(target.schema(c).dataType).as(c))
+              .getOrElse(col(c))
+          }: _*)
+        }.reduceOption(_.unionByName(_)).getOrElse(target.where(lit(false)))
+        (ups, tagged.where(col("__act") =!= 0).select(keyCols.map(col): _*))
+      }
+      (upRows.unionByName(insRows).unionByName(bySrcUp),
+        removeKeys.unionByName(bySrcRemove))
     }
     val snap =
       if (partitionBy.isEmpty) rewriteUnpartitioned(table, branch, keyCols)(changes)
@@ -2555,9 +2688,27 @@ class Lakehouse(spark: SparkSession, root: String) {
     val added = to.filterNot(from.toSet)
     val inserts = added.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).map {
       case (dataDir, entries) =>
-        (if (entries.contains(dataDir)) openDirGroup(table, dataDir, Seq(dataDir), Some(toSnap))
-         else openDirGroup(table, dataDir, entries, Some(toSnap)))
-          .withColumn("_change_type", lit("insert"))
+        val raw =
+          if (entries.contains(dataDir)) openDirGroup(table, dataDir, Seq(dataDir), Some(toSnap))
+          else openDirGroup(table, dataDir, entries, Some(toSnap))
+        // NET-OUT within the interval: a row inserted AND tombstoned
+        // between `from` and `to` (insert at n+1, MoR delete at n+2 in
+        // one multi-snapshot batch) is NO net change — without this
+        // anti-join the changelog would emit its insert and never its
+        // delete (the deletes pass below scans only pre-existing
+        // dirs), so a replica applying the batch would resurrect it
+        val seqNo = scala.util.Try(dataDir.stripPrefix("data-").toLong)
+          .getOrElse(Long.MaxValue)
+        val applicableNew = newDels.filter(_._1 > seqNo)
+        val alive = if (applicableNew.isEmpty) raw else {
+          val base = raw.withColumn("__file", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+          applicableNew.foldLeft(base) { case (d, (_, keys)) =>
+            val ts = keys.toDF(keys.columns.map("__ts_" + _).toIndexedSeq: _*)
+            d.join(broadcast(ts), tombCond(d, ts, keys.columns.toSeq), "left_anti")
+          }.drop("__file", "__pos")
+        }
+        alive.withColumn("_change_type", lit("insert"))
     }
     // deletes: per pre-existing dir, rows alive at `from` (old
     // tombstones anti-joined) that ANY new tombstone matches —
@@ -2665,32 +2816,72 @@ class Lakehouse(spark: SparkSession, root: String) {
     snap
   }
 
-  /** SQL `INSERT INTO table <query>` — appends the query's rows as a
-    * new delta dir (O(rows inserted), nothing rewritten). Columns map
-    * POSITIONALLY onto the table schema, the SQL rule for INSERT
-    * without a column list. Each column is UP-CAST to the table's
-    * declared type or the insert FAILS (Iceberg's rule) — appending a
-    * differently-typed delta dir would silently union-widen the whole
-    * column on every subsequent read. */
-  def sqlInsert(table: String, query: String, partitionBy: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.col
+  /** SQL `INSERT INTO table [(col, …)] <query>` — appends the query's
+    * rows as a new delta dir (O(rows inserted), nothing rewritten).
+    * Without a column list, columns map POSITIONALLY onto the table
+    * schema (the SQL rule); with one, the query's columns map
+    * positionally onto the LISTED target columns and every unlisted
+    * column inserts NULL (so it must be nullable) — the standard
+    * partial-insert shape. Each written column is UP-CAST to the
+    * table's declared type or the insert FAILS (Iceberg's rule) —
+    * appending a differently-typed delta dir would silently
+    * union-widen the whole column on every subsequent read. */
+  def sqlInsert(table: String, query: String, partitionBy: Seq[String] = Nil,
+      cols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
     val df = spark.sql(query)
     val target = read(table, sessionBranch).schema
-    require(df.columns.length == target.length,
-      s"INSERT INTO $table needs ${target.length} columns, query has ${df.columns.length}")
-    val aligned = df.toDF(target.fieldNames.toSeq: _*)
-    target.fields.zip(aligned.schema.fields).foreach { case (t, s) =>
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def upCastOk(s: org.apache.spark.sql.types.DataType,
+        t: org.apache.spark.sql.types.DataType, name: String): Unit = {
       import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
       // up-casts only, plus exact-decimal literals (`2.5` parses as
       // decimal(2,1)) into float/double — the ANSI store-assignment
       // shape every INSERT ... VALUES with a fractional literal hits
-      val ok = s.dataType == t.dataType ||
-        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(s.dataType, t.dataType) ||
-        (s.dataType.isInstanceOf[DecimalType] &&
-          (t.dataType == DoubleType || t.dataType == FloatType))
+      val ok = s == t ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(s, t) ||
+        (s.isInstanceOf[DecimalType] && (t == DoubleType || t == FloatType))
       require(ok,
-        s"INSERT INTO $table: cannot write ${s.dataType.simpleString} " +
-          s"into column ${t.name} ${t.dataType.simpleString} without loss; cast explicitly")
+        s"INSERT INTO $table: cannot write ${s.simpleString} " +
+          s"into column $name ${t.simpleString} without loss; cast explicitly")
+    }
+    val aligned = if (cols.isEmpty) {
+      require(df.columns.length == target.length,
+        s"INSERT INTO $table needs ${target.length} columns, query has ${df.columns.length}")
+      val a = df.toDF(target.fieldNames.toSeq: _*)
+      target.fields.zip(a.schema.fields).foreach { case (t, s) =>
+        upCastOk(s.dataType, t.dataType, t.name) }
+      a
+    } else {
+      // explicit column list: listed columns take the query output
+      // positionally, unlisted columns insert NULL (nullable only)
+      val dup = cols.groupBy(lc).collectFirst { case (_, ns) if ns.length > 1 => ns.head }
+      require(dup.isEmpty, s"INSERT INTO $table: duplicate column ${dup.getOrElse("")}")
+      val listed = cols.map { c =>
+        target.fields.find(f => lc(f.name) == lc(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"INSERT INTO $table: no such column $c (table has " +
+              s"${target.fieldNames.mkString(", ")})"))
+      }
+      require(df.columns.length == listed.length,
+        s"INSERT INTO $table (${cols.mkString(", ")}) lists ${listed.length} " +
+          s"columns, query has ${df.columns.length}")
+      listed.zip(df.schema.fields).foreach { case (t, s) =>
+        upCastOk(s.dataType, t.dataType, t.name) }
+      // positional mapping via fresh unique names — a query whose
+      // output repeats a name (`SELECT k, k …`) must not go ambiguous
+      val renamed = df.toDF(df.columns.indices.map(i => s"__ins_$i"): _*)
+      val byListed = listed.map(f => lc(f.name)).zipWithIndex.toMap
+      target.fields.toSeq.foreach { f =>
+        require(byListed.contains(lc(f.name)) || f.nullable,
+          s"INSERT INTO $table: unlisted column ${f.name} is not nullable")
+      }
+      renamed.select(target.fields.toSeq.map { f =>
+        byListed.get(lc(f.name)) match {
+          case Some(i) => col(s"__ins_$i").as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
     }
     val snap = append(
       aligned.select(target.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*),

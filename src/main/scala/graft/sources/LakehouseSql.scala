@@ -150,15 +150,19 @@ case class LakehouseUpdateCommand(view: String, setClause: String,
   }
 }
 
-/** `INSERT INTO <lakehouse view> <SELECT …|VALUES …>` — O(rows) append
-  * committed as a new snapshot; columns map positionally. */
-case class LakehouseInsertCommand(view: String, query: String)
-    extends LeafRunnableCommand {
+/** `INSERT INTO <lakehouse view> [(col, …)] <SELECT …|VALUES …>` —
+  * O(rows) append committed as a new snapshot. Without a column list
+  * the query maps positionally onto the whole schema; with one, onto
+  * the listed columns, and unlisted columns insert NULL (must be
+  * nullable) — the partial-insert shape an evolved schema makes
+  * routine (new columns exist, old INSERT statements keep working). */
+case class LakehouseInsertCommand(view: String, query: String,
+    cols: Seq[String] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
       .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
-    Seq(Row(lake.sqlInsert(view, query, partitionBy)))
+    Seq(Row(lake.sqlInsert(view, query, partitionBy, cols)))
   }
 }
 
@@ -176,18 +180,22 @@ case class LakehouseMergeCommand(view: String, sourceView: String, keyCols: Seq[
 }
 
 /** Conditional MERGE: ordered `WHEN MATCHED [AND cond] THEN
-  * UPDATE SET * | UPDATE SET col = expr, … | DELETE` clauses plus an
-  * optional `WHEN NOT MATCHED [AND cond] THEN INSERT *`, routed
-  * through [[Lakehouse.sqlMergeClauses]] as ONE snapshot commit. */
+  * UPDATE SET * | UPDATE SET col = expr, … | DELETE` clauses, an
+  * optional `WHEN NOT MATCHED [AND cond] THEN INSERT …`, and ordered
+  * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … | DELETE`
+  * clauses (the full-sync side), routed through
+  * [[Lakehouse.sqlMergeClauses]] as ONE snapshot commit. */
 case class LakehouseMergeCondCommand(view: String, sourceView: String, keyCols: Seq[String],
-    matched: Seq[MergeMatched], notMatchedInsert: Option[MergeInsert])
+    matched: Seq[MergeMatched], notMatchedInsert: Option[MergeInsert],
+    notMatchedBySource: Seq[MergeMatched] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
       .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
     Seq(Row(lake.sqlMergeClauses(
-      view, sourceView, keyCols, matched, notMatchedInsert, partitionBy)))
+      view, sourceView, keyCols, matched, notMatchedInsert, partitionBy,
+      lake.sessionBranch, notMatchedBySource)))
   }
 }
 
@@ -257,6 +265,61 @@ case class LakehouseDropColumnCommand(view: String, col: String)
     val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
       .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
     val snap = lake.dropColumn(view, col, lake.sessionBranch)
+    lake.registerView(view, partitionBy)
+    Seq(Row(snap))
+  }
+}
+
+/** `ALTER TABLE t CREATE BRANCH b [AS OF VERSION n]` / `DROP BRANCH b`
+  * — branch lifecycle through SQL (Iceberg's branch DDL, the surface
+  * behind the reference's NESSIE_REF workflow): CREATE points a new
+  * branch at the session branch's head (or an explicit snapshot);
+  * DROP removes the pointer, snapshots stay in history. */
+case class LakehouseBranchCommand(view: String, create: Boolean, branch: String,
+    asOfVersion: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("branch", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, _) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    if (create) {
+      val snap = asOfVersion.getOrElse(
+        lake.currentSnapshot(view, lake.sessionBranch).getOrElse(
+          throw new IllegalStateException(s"$view has no snapshot to branch from")))
+      lake.createBranch(view, branch, snap)
+    } else lake.dropBranch(view, branch)
+    Seq(Row(branch))
+  }
+}
+
+/** `ALTER TABLE t FAST FORWARD [BRANCH] b [INTO target]` — the
+  * `fast_forward` procedure as a statement: moves `target` (default:
+  * the session branch) to `b`'s head. Snapshots are immutable and
+  * shared, so the merge is a pointer move. */
+case class LakehouseFastForwardCommand(view: String, from: String,
+    into: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    val snap = lake.mergeBranch(view, from, into.getOrElse(lake.sessionBranch))
+    lake.registerView(view, partitionBy) // refresh the temp view to the merged head
+    Seq(Row(snap))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — widening type
+  * promotion (int→bigint, float→double, decimal precision) as a
+  * metadata-only snapshot; everything else refused. */
+case class LakehouseAlterTypeCommand(view: String, col: String, typeDdl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    val dt = try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(typeDdl)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"cannot parse ALTER COLUMN type: $typeDdl: ${e.getMessage}") }
+    val snap = lake.alterColumnType(view, col, dt, lake.sessionBranch)
     lake.registerView(view, partitionBy)
     Seq(Row(snap))
   }
@@ -368,16 +431,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
   private val MatchedDeleteRe =
     """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
+  // BY TARGET is the standard's optional alias for the insert side
   private val NotMatchedInsertRe =
-    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+\*\s*""".r
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+\*\s*""".r
   private val NotMatchedInsertValsRe =
-    ("""(?is)\s*WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*""" +
+    ("""(?is)\s*WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*""" +
       """\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*""").r
+  // the full-sync side: target rows with no source match
+  private val BySourceDeleteRe =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
+  private val BySourceUpdateSetRe =
+    ("""(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+""" +
+      """UPDATE\s+SET\s+(.+?)\s*""").r
   private val SubqueryRe = """(?is).*\(\s*SELECT\b.*""".r
   private val UpdateRe =
     """(?is)\s*UPDATE\s+`?([A-Za-z_]\w*)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val InsertRe =
     """(?is)\s*INSERT\s+INTO\s+`?([A-Za-z_]\w*)`?\s+((?:SELECT|VALUES|FROM|WITH|TABLE)\b.+?)\s*;?\s*""".r
+  // explicit column list: the paren group sits between the table name
+  // and the query keyword ([^()]* keeps it from swallowing VALUES parens)
+  private val InsertColsRe =
+    ("""(?is)\s*INSERT\s+INTO\s+`?([A-Za-z_]\w*)`?\s*\(([^()]*)\)""" +
+      """\s*((?:SELECT|VALUES|FROM|WITH|TABLE)\b.+?)\s*;?\s*""").r
   private val AlterSpecRe =
     """(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*;?\s*""".r
   private val AlterAddColsRe =
@@ -387,6 +462,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """`?([A-Za-z_]\w*)`?\s+TO\s+`?([A-Za-z_]\w*)`?\s*;?\s*""").r
   private val AlterDropColRe =
     """(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+DROP\s+COLUMNS?\s+`?([A-Za-z_]\w*)`?\s*;?\s*""".r
+  private val AlterTypeRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+ALTER\s+COLUMN\s+""" +
+      """`?([A-Za-z_]\w*)`?\s+TYPE\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""").r
+  private val BranchDdlRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+(CREATE|DROP)\s+BRANCH\s+""" +
+      """`?([A-Za-z_]\w*)`?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
+  private val FastForwardRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+FAST\s+FORWARD\s+(?:BRANCH\s+)?""" +
+      """`?([A-Za-z_]\w*)`?(?:\s+INTO\s+`?([A-Za-z_]\w*)`?)?\s*;?\s*""").r
   private val DropRe =
     """(?is)\s*DROP\s+TABLE\s+`?([A-Za-z_]\w*)`?(\s+PURGE)?\s*;?\s*""".r
   private val VacuumRe =
@@ -467,6 +551,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakehouseUpdateCommand(table, set, Option(where))
     case InsertRe(table, query) if LakehouseRegistry.isRegistered(table) =>
       LakehouseInsertCommand(table, query)
+    case InsertColsRe(table, cols, query) if LakehouseRegistry.isRegistered(table) =>
+      val colNames = cols.split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      if (colNames.isEmpty) throw new UnsupportedOperationException(
+        s"INSERT INTO $table () — empty column list")
+      LakehouseInsertCommand(table, query, colNames)
     case AlterSpecRe(table, specs) if LakehouseRegistry.isRegistered(table) =>
       LakehouseAlterSpecCommand(table, splitSpecs(specs))
     case AlterAddColsRe(table, cols) if LakehouseRegistry.isRegistered(table) =>
@@ -475,6 +565,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakehouseRenameColumnCommand(table, from, to)
     case AlterDropColRe(table, colName) if LakehouseRegistry.isRegistered(table) =>
       LakehouseDropColumnCommand(table, colName)
+    case AlterTypeRe(table, colName, typeDdl) if LakehouseRegistry.isRegistered(table) =>
+      LakehouseAlterTypeCommand(table, colName, typeDdl)
+    case BranchDdlRe(table, verb, branch, asOf) if LakehouseRegistry.isRegistered(table) =>
+      val create = verb.equalsIgnoreCase("CREATE")
+      if (!create && asOf != null) throw new UnsupportedOperationException(
+        s"DROP BRANCH takes no AS OF VERSION")
+      LakehouseBranchCommand(table, create, branch, Option(asOf).map(_.toLong))
+    case FastForwardRe(table, from, into) if LakehouseRegistry.isRegistered(table) =>
+      LakehouseFastForwardCommand(table, from, Option(into))
     case DropRe(table, purge) if LakehouseRegistry.isRegistered(table) =>
       LakehouseDropCommand(table, purge != null)
     case CtasRe(replace, table, specs, sortBy, query) if LakehouseCtasCommand.enabled =>
@@ -500,6 +599,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val tokens = clauses.split("(?i)(?=\\bWHEN\\b)").toSeq.filter(_.trim.nonEmpty)
       var matched = Seq.empty[MergeMatched]
       var insert: Option[MergeInsert] = None
+      var bySource = Seq.empty[MergeMatched]
+      // explicit assignments: SET a = expr, b = expr (top-level comma
+      // split — function calls and string literals keep their commas)
+      val AsgRe = """(?s)\s*`?([A-Za-z_]\w*)`?\s*=\s*(.+?)\s*""".r
+      def parseAssignments(sets: String): Seq[(String, String)] =
+        splitSpecs(sets).map {
+          case AsgRe(c, e) => (c, e)
+          case bad => throw new UnsupportedOperationException(
+            s"unsupported MERGE SET assignment: $bad (expected col = expr)")
+        }
       tokens.foreach { tok =>
         def checked(cond: String): Option[String] = Option(cond).map { c =>
           if (SubqueryRe.matches(c)) throw new UnsupportedOperationException(
@@ -508,8 +617,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           c
         }
         tok match {
-          // NOT MATCHED first: MatchedUpdateRe/DeleteRe would not match
-          // it anyway, but the order documents the intent
+          // BY SOURCE first (most specific), then the insert side, then
+          // matched — the patterns are disjoint, the order documents it
+          case BySourceDeleteRe(cond) =>
+            bySource :+= MergeMatched(checked(cond), isDelete = true)
+          case BySourceUpdateSetRe(cond, sets) =>
+            if (SubqueryRe.matches(sets)) throw new UnsupportedOperationException(
+              s"lakehouse MERGE SET expressions are row-local, not subqueries; got: SET $sets")
+            bySource :+= MergeMatched(checked(cond), isDelete = false,
+              Some(parseAssignments(sets)))
           case NotMatchedInsertRe(cond) =>
             if (insert.isDefined) throw new UnsupportedOperationException(
               "lakehouse MERGE takes at most one WHEN NOT MATCHED clause")
@@ -530,20 +646,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           case MatchedUpdateSetRe(cond, sets) =>
             if (SubqueryRe.matches(sets)) throw new UnsupportedOperationException(
               s"lakehouse MERGE SET expressions are row-local, not subqueries; got: SET $sets")
-            val AsgRe = """(?s)\s*`?([A-Za-z_]\w*)`?\s*=\s*(.+?)\s*""".r
-            val asg = splitSpecs(sets).map {
-              case AsgRe(c, e) => (c, e)
-              case bad => throw new UnsupportedOperationException(
-                s"unsupported MERGE SET assignment: $bad (expected col = expr)")
-            }
-            matched :+= MergeMatched(checked(cond), isDelete = false, Some(asg))
+            matched :+= MergeMatched(checked(cond), isDelete = false,
+              Some(parseAssignments(sets)))
           case other => throw new UnsupportedOperationException(
             s"unsupported MERGE clause: $other (supported: WHEN MATCHED [AND cond] THEN " +
               "UPDATE SET * | UPDATE SET col = expr, ... | DELETE, " +
-              "WHEN NOT MATCHED [AND cond] THEN INSERT *)")
+              "WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT …, " +
+              "WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET col = expr, ... | DELETE)")
         }
       }
-      LakehouseMergeCondCommand(table, source, keys, matched, insert)
+      LakehouseMergeCondCommand(table, source, keys, matched, insert, bySource)
     case _ =>
       val plan = delegate.parsePlan(rewriteTimeTravel(sqlText))
       pinReferencedViews(plan)
@@ -588,7 +700,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   private val MetaRe =
-    """(?i)`?([A-Za-z_]\w*)`?\.(history|snapshots|files|tags|partitions)\b""".r
+    """(?i)`?([A-Za-z_]\w*)`?\.(history|snapshots|files|tags|partitions|refs)\b""".r
   private val VersionAsOfRe =
     """(?i)`?([A-Za-z_]\w*)`?\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val VersionTagRe =
@@ -607,7 +719,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def rewriteTimeTravel(sqlText: String): String = {
     // fast path: no travel syntax and no metadata-table ref — don't
     // touch the text
-    if (!"""(?i)\b(?:VERSION|TIMESTAMP)\s+AS\s+OF\b|\.(?:history|snapshots|files|tags|partitions)\b"""
+    if (!"""(?i)\b(?:VERSION|TIMESTAMP)\s+AS\s+OF\b|\.(?:history|snapshots|files|tags|partitions|refs)\b"""
         .r.unanchored.matches(sqlText))
       return sqlText
     val sessionOpt = SparkSession.getActiveSession
@@ -637,6 +749,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             case "snapshots" => lake.snapshotsDf(view)
             case "files" => lake.filesDf(view)
             case "partitions" => lake.partitionsDf(view)
+            case "refs" => lake.refsDf(view)
             case _ => lake.tagsDf(view)
           }).createOrReplaceTempView(tv)
           TravelViews.track(spark, tv)

@@ -121,6 +121,41 @@ object EventStream {
       }
       .start()
 
+  /** LAKE→LAKE CDC REPLICATION: consume a lakehouse CHANGELOG stream
+    * (the source's `cdc=true` mode — `_change_type` rows, MoR deletes
+    * and updates included) and apply each micro-batch to a replica
+    * table keyed on `keyCols` — inserts upsert, deletes remove, an
+    * update's delete+insert pair collapses to its new image — via
+    * [[graft.sources.Lakehouse.applyChangesOnce]] as ONE snapshot
+    * commit per batch. End-to-end EXACTLY-ONCE: offsets are source
+    * snapshot ids in the checkpoint, and the apply is idempotent by
+    * batch id, so a crash anywhere replays into a no-op. The replica
+    * follows the source across appends, MoR deletes and MoR updates
+    * with delta-priced work per batch — the Iceberg-style replication
+    * topology (primary lake → changelog → follower lake) with no
+    * full-table diffs anywhere. */
+  def replicateChanges(
+      changelog: DataFrame,
+      replicaLake: graft.sources.Lakehouse,
+      table: String,
+      keyCols: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      checkpoint: Option[String] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = changelog.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          replicaLake.applyChangesOnce(batch, table, keyCols, batchId, partitionBy); ()
+        }
+      }
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   /** Stream-stream interval join: purchases enriched with the same
     * user's clicks from the preceding 10 minutes — the streaming twin
     * of `q_range_join`. Both sides are watermarked so Spark can bound

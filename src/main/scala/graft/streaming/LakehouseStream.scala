@@ -84,9 +84,16 @@ object LakehouseStreamSource {
 
 /** See [[LakehouseStreamProvider]]. `startSnapshot` = tail from that
   * snapshot (exclusive) instead of emitting the full history first;
-  * `cdc` = changelog shape (`_change_type` rows, MoR deltas stream). */
+  * `cdc` = changelog shape (`_change_type` rows, MoR deltas stream).
+  *
+  * Implements [[SupportsTriggerAvailableNow]] the way Spark's own v1
+  * `FileStreamSource` does: `Trigger.AvailableNow` pins the branch's
+  * snapshot at stream start and drains up to exactly that offset, so
+  * the query terminates deterministically even while writers keep
+  * committing — no single-batch fallback, no warning. */
 class LakehouseStreamSource(spark: SparkSession, root: String, table: String,
-    branch: String, startSnapshot: Option[Long], cdc: Boolean = false) extends Source {
+    branch: String, startSnapshot: Option[Long], cdc: Boolean = false) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val lake = new Lakehouse(spark, root)
 
@@ -94,6 +101,23 @@ class LakehouseStreamSource(spark: SparkSession, root: String, table: String,
     val data = lake.read(table, branch).schema
     if (cdc) LakehouseStreamSource.withChangeType(data) else data
   }
+
+  // the snapshot AvailableNow drains to: pinned once at query start
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = lake.currentSnapshot(table, branch)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    availableNowCap.orElse(lake.currentSnapshot(table, branch))
+      .map(LongOffset(_)).orNull
 
   override def getOffset: Option[Offset] =
     lake.currentSnapshot(table, branch).map(LongOffset(_))

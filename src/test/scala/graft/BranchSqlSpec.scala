@@ -83,6 +83,37 @@ class BranchSqlSpec extends SparkSpec {
     }
   }
 
+  test("branch DDL: CREATE BRANCH / DROP BRANCH / FAST FORWARD as parsed statements") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val v1 = lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "bd")
+    lake.registerView("bd")
+    spark.sql("INSERT INTO bd SELECT 2, 'b'")
+    // CREATE BRANCH defaults to the session branch's head…
+    spark.sql("ALTER TABLE bd CREATE BRANCH dev")
+    assert(spark.sql("SELECT count(*) AS n FROM bd VERSION AS OF 'dev'")
+      .head().getLong(0) === 2)
+    // …and AS OF VERSION pins an explicit snapshot
+    spark.sql(s"ALTER TABLE bd CREATE BRANCH frozen AS OF VERSION $v1")
+    assert(spark.sql("SELECT count(*) AS n FROM bd VERSION AS OF 'frozen'")
+      .head().getLong(0) === 1)
+    assert(lake.branches("bd").toSet === Set("main", "dev", "frozen"))
+    // branch-scoped write, then FAST FORWARD merges it into main
+    spark.conf.set("spark.graft.branch", "dev")
+    try spark.sql("INSERT INTO bd SELECT 3, 'c'")
+    finally spark.conf.unset("spark.graft.branch")
+    assert(spark.sql("SELECT count(*) AS n FROM bd").head().getLong(0) === 2)
+    spark.sql("ALTER TABLE bd FAST FORWARD dev")
+    assert(spark.sql("SELECT count(*) AS n FROM bd").head().getLong(0) === 3)
+    // DROP BRANCH removes the pointer; history survives
+    spark.sql("ALTER TABLE bd DROP BRANCH frozen")
+    assert(lake.branches("bd").toSet === Set("main", "dev"))
+    assert(lake.readSnapshot("bd", v1).count() === 1)
+    intercept[Exception](spark.sql("ALTER TABLE bd DROP BRANCH main").collect())
+    intercept[Exception](
+      spark.sql("ALTER TABLE bd DROP BRANCH frozen AS OF VERSION 1").collect())
+  }
+
   test("statement pinning is plan-aware: a registered name inside a string literal never re-pins") {
     import spark.implicits._
     val lake = new Lakehouse(spark, freshRoot())

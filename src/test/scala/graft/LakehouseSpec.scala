@@ -1059,6 +1059,12 @@ class LakehouseSpec extends SparkSpec {
     assert(files.map(_.getString(0)).distinct.length === 2, "files must span both entries")
     assert(spark.sql("SELECT tag FROM mt.tags").head.getString(0) === "rel")
     assert(spark.sql("SELECT count(*) AS n FROM mt.history").head.getLong(0) === 2L)
+    // t.refs: branches AND tags in one relation with their snapshots
+    lake.createBranch("mt", "dev", v1)
+    val refs = spark.sql("SELECT name, type, snapshot_id FROM mt.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSeq === Seq(
+      ("dev", "BRANCH", v1), ("main", "BRANCH", v1 + 1), ("rel", "TAG", v1)))
     // a metadata ref on an unregistered name falls through to Spark
     intercept[Exception] { spark.sql("SELECT * FROM nosuch_mt.files").collect() }
   }
@@ -1365,6 +1371,49 @@ class LakehouseSpec extends SparkSpec {
         """MERGE INTO cm USING cm_del ON cm.k = cm_del.k
           |WHEN MATCHED AND cm.x > (SELECT avg(x) FROM cm) THEN DELETE""".stripMargin)
     }
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full-sync delete/update in the same snapshot") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(
+      Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"), (4L, 400.0, "d"))
+        .toDF("k", "x", "v"), "fs")
+    lake.registerView("fs")
+    Seq((1L, 11.0, "A"), (5L, 50.0, "E")).toDF("k", "x", "v")
+      .createOrReplaceTempView("fs_src")
+    val snapsBefore = lake.snapshots("fs").length
+    // the full-sync shape: matched rows update, new rows insert, rows
+    // the source no longer carries get retired — stale small ones
+    // delete, stale big ones get flagged instead
+    spark.sql(
+      """MERGE INTO fs USING fs_src ON fs.k = fs_src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND fs.x > 100 THEN UPDATE SET v = 'stale'
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()
+    // k=1 matched → updated; k=5 inserted; k=2,3 unmatched-by-source,
+    // x ≤ 100 → first BY SOURCE clause false, second deletes;
+    // k=4 unmatched-by-source, x=400 → flagged 'stale', survives
+    val got = lake.read("fs").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got === Set((1L, 11.0, "A"), (4L, 400.0, "stale"), (5L, 50.0, "E")))
+    assert(lake.snapshots("fs").length === snapsBefore + 1,
+      "all five clauses must commit exactly ONE snapshot")
+    // BY TARGET is accepted as the insert side's explicit alias
+    Seq((6L, 60.0, "F")).toDF("k", "x", "v").createOrReplaceTempView("fs_src2")
+    spark.sql(
+      """MERGE INTO fs USING fs_src2 ON fs.k = fs_src2.k
+        |WHEN NOT MATCHED BY TARGET THEN INSERT *""".stripMargin).collect()
+    assert(lake.read("fs").where(col("k") === 6L).count() === 1)
+    // UPDATE SET * is meaningless without a source row: refused
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO fs USING fs_src2 ON fs.k = fs_src2.k
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("unsupported MERGE SET assignment") ||
+      e.getMessage.contains("meaningless"))
   }
 
   test("conditional MERGE stays partition-scoped: untouched partitions carry by reference") {

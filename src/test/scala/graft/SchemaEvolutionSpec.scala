@@ -148,6 +148,71 @@ class SchemaEvolutionSpec extends SparkSpec {
       spark.sql("ALTER TABLE sq ADD COLUMNS (bad nosuchtype)"))
   }
 
+  test("alterColumnType: widening promotion — old int dirs read long, new writes are long, travel sees int") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val v1 = lake.createOrReplace(Seq((1, "a"), (2, "b")).toDF("n", "v"), "w")
+    lake.registerView("w")
+    spark.sql("ALTER TABLE w ALTER COLUMN n TYPE bigint")
+    assert(lake.read("w").schema("n").dataType === LongType)
+    // a value beyond int range now inserts fine
+    spark.sql("INSERT INTO w VALUES (4000000000, 'big')")
+    val got = spark.sql("SELECT n FROM w ORDER BY n").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 2L, 4000000000L))
+    // time travel below the promotion sees the old physical type
+    assert(lake.readSnapshot("w", v1).schema("n").dataType === IntegerType)
+    // file skipping stays sound across mixed int/long dirs
+    val pruned = lake.readWhere(col("n") > 3000000000L, "w")
+    assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(4000000000L))
+  }
+
+  test("alterColumnType refuses narrowing, cross-family, scale changes and layout sources") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(
+      Seq((1L, 1.5f, BigDecimal("1.50"))).toDF("k", "f", "d")
+        .select(col("k"), col("f"), col("d").cast(DecimalType(10, 2))), "w2")
+    lake.registerView("w2")
+    // float -> double widens; decimal precision widens with same scale
+    lake.alterColumnType("w2", "f", DoubleType)
+    lake.alterColumnType("w2", "d", DecimalType(20, 2))
+    assert(lake.read("w2").schema("f").dataType === DoubleType)
+    assert(lake.read("w2").schema("d").dataType === DecimalType(20, 2))
+    intercept[IllegalArgumentException]( // narrowing
+      lake.alterColumnType("w2", "k", IntegerType))
+    intercept[IllegalArgumentException]( // cross-family
+      lake.alterColumnType("w2", "k", StringType))
+    intercept[IllegalArgumentException]( // scale change
+      lake.alterColumnType("w2", "d", DecimalType(20, 4)))
+    intercept[IllegalArgumentException]( // no-op
+      lake.alterColumnType("w2", "f", DoubleType))
+    // layout source columns refuse promotion
+    val parted = new Lakehouse(spark, freshRoot())
+    parted.createOrReplace(Seq((1, "x")).toDF("b", "v"), "p", Seq("bucket(4,b)"))
+    parted.registerView("p", Seq("bucket(4,b)"))
+    intercept[IllegalArgumentException](parted.alterColumnType("p", "b", LongType))
+  }
+
+  test("INSERT with an explicit column list: unlisted columns NULL, unknown/arity/non-null refused") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    mk(lake)
+    lake.addColumns("t", StructType.fromDDL("tag STRING"))
+    // the evolved-schema shape: an old 3-column INSERT keeps working
+    spark.sql("INSERT INTO t (k, v, x) VALUES (7, 'g', 70.0)")
+    val r7 = spark.table("t").where(col("k") === 7L).head()
+    assert(r7.getString(1) === "g" && r7.isNullAt(3))
+    // arbitrary order + subset via SELECT
+    spark.sql("INSERT INTO t (tag, k) SELECT 'only', 9")
+    val r9 = spark.table("t").where(col("k") === 9L).head()
+    assert(r9.getString(3) === "only" && r9.isNullAt(1) && r9.isNullAt(2))
+    intercept[Exception](spark.sql("INSERT INTO t (nope) VALUES (1)"))
+    intercept[Exception](spark.sql("INSERT INTO t (k, v) VALUES (1)"))
+    intercept[Exception](spark.sql("INSERT INTO t (k, k) VALUES (1, 2)"))
+    // lossy write into a listed column still refused
+    intercept[Exception](spark.sql("INSERT INTO t (k, x) VALUES (1.5, 2.0)"))
+  }
+
   test("evolution commits are snapshots: history records them and VACUUM keeps the schema") {
     val lake = new Lakehouse(spark, freshRoot())
     mk(lake)
