@@ -26,6 +26,7 @@ object SparkEntry {
     "sql_hidden_partition" -> (Medallion.sqlHiddenPartition _),
     "sql_schema_evolution" -> (Medallion.sqlSchemaEvolution _),
     "sql_branch_workflow" -> (Medallion.sqlBranchWorkflow _),
+    "sql_maintenance" -> (Medallion.sqlMaintenance _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -240,6 +241,19 @@ object SparkEntry {
         |SELECT 'main_after' AS at, count(*) AS n,
         |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged
+        |ORDER BY at""".stripMargin,
+    "sql_maintenance" ->
+      """SELECT 'after_compact' AS at, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus IN ('F','O','P')
+        |UNION ALL
+        |SELECT 'after_rollback' AS at, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus IN ('F','O')
+        |UNION ALL
+        |SELECT 'final' AS at, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus IN ('F','O','P')
         |ORDER BY at""".stripMargin,
     "sql_hidden_partition" ->
       """WITH updated AS (

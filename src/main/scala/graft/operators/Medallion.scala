@@ -398,4 +398,52 @@ object Medallion {
       before.unionAll(branch).unionAll(after).orderBy("at")
     } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
   }
+
+  /** `sql_maintenance` — the Iceberg maintenance-procedure lifecycle
+    * as parsed SQL (`CALL system.…`, the statements a scheduler runs
+    * against the reference's catalog tables): CTAS → two INSERT
+    * appends → `rewrite_data_files` (binpack folds the append chain;
+    * state must be bit-identical) → `rollback_to_snapshot` (undo the
+    * last insert; readout sees the old state) → roll forward →
+    * `expire_snapshots` + `remove_orphan_files` (history truncated to
+    * the head; data still intact). Deterministic over `orders`, so
+    * the oracle replays the three states relationally. */
+  def sqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    spark.conf.set(graft.sources.LakehouseCtasCommand.RootConf, root)
+    try {
+      spark.sql(
+        """CREATE TABLE mt_orders AS
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)
+      spark.sql(
+        """INSERT INTO mt_orders
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_orderstatus = 'O'""".stripMargin)
+      spark.sql(
+        """INSERT INTO mt_orders
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_orderstatus = 'P'""".stripMargin)
+      // binpack fold: 3 dirs -> 1, data unchanged (snapshot 4)
+      spark.sql("CALL system.rewrite_data_files('mt_orders')").collect()
+      // each readout is ONE row — freeze it eagerly, because the
+      // expiry below physically deletes the dirs a lazy plan pinned
+      def agg(label: String) = {
+        val df = spark.sql(
+          s"""SELECT '$label' AS at, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM mt_orders""".stripMargin)
+        spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      }
+      val compacted = agg("after_compact")
+      spark.sql("CALL system.rollback_to_snapshot('mt_orders', 2)").collect()
+      val rolledBack = agg("after_rollback")
+      spark.sql("CALL system.rollback_to_snapshot('mt_orders', 4)").collect()
+      spark.sql("CALL system.expire_snapshots('mt_orders', retain_last => 1)").collect()
+      spark.sql("CALL system.remove_orphan_files('mt_orders', older_than_ms => 0)").collect()
+      val fin = agg("final")
+      compacted.unionAll(rolledBack).unionAll(fin).orderBy("at")
+    } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
+  }
 }

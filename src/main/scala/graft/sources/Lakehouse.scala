@@ -40,7 +40,7 @@ case class MergeMatched(cond: Option[String], isDelete: Boolean,
 case class MergeInsert(cond: Option[String],
     columns: Option[(Seq[String], Seq[String])] = None)
 
-class Lakehouse(spark: SparkSession, root: String) {
+class Lakehouse(private[sources] val spark: SparkSession, root: String) {
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2564,10 +2564,16 @@ class Lakehouse(spark: SparkSession, root: String) {
       else {
         val dels = tombstones(table, base.get)
         val byDataDir = small.map(_._1).groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-        val folded = byDataDir.map { case (dataDir, dirEntries) =>
+        val folded0 = byDataDir.map { case (dataDir, dirEntries) =>
           applyTombstones(openDirGroup(table, dataDir,
             if (dirEntries.contains(dataDir)) Seq(dataDir) else dirEntries), dataDir, dels)
         }.reduce(_.unionByName(_, allowMissingColumns = true))
+        // The fold's POINT is fewer files: the union carries one input
+        // partition per source file, so an uncoalesced write re-emits
+        // the same small files under a new dir. Pack to the target
+        // size instead (coalesce — no shuffle, cost stays O(small)).
+        val targetParts = math.max(1L, (small.map(_._2).sum + smallBytes - 1) / smallBytes)
+        val folded = folded0.coalesce(targetParts.toInt)
         val snap = reserveSnap(table)
         val dir = s"data-$snap"
         try {

@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Iceberg-style SQL maintenance procedures:
+  * `CALL system.<proc>(arg, …)` with positional or `name => value`
+  * arguments (reference rides Iceberg's Spark procedures — this is
+  * the surface behind `spark.sql("CALL catalog.system.…")` a
+  * lakehouse operator runs from a scheduler). Supported:
+  *
+  *  - `rewrite_data_files(table [, strategy [, sort_order [, file_count]]])`
+  *    strategy `binpack` (default; folds dirs smaller than
+  *    `small_bytes`, default 128 MiB, cost O(small files)) | `sort`
+  *    (range-cluster on `sort_order` — falls back to the table's
+  *    declared write sort order) | `zorder` (two-column Morton
+  *    clustering) | `full` (rewrite everything under the declared
+  *    identity layout). Returns the new snapshot id and the parquet
+  *    file counts before/after (driver metadata walk — the same
+  *    listing the write itself already paid).
+  *  - `expire_snapshots(table [, retain_last])` — manifest truncation
+  *    + dead-dir collection ([[Lakehouse.expireSnapshots]]; tags and
+  *    branch heads always survive).
+  *  - `remove_orphan_files(table [, older_than_ms])` — reap dead
+  *    writers' leavings ([[Lakehouse.removeOrphans]]); one row per
+  *    removed name, empty result = nothing stale.
+  *  - `rollback_to_snapshot(table, snapshot_id)` — branch-pointer
+  *    move to an earlier committed snapshot.
+  *
+  * All procedures act on the SESSION BRANCH (`spark.graft.branch`,
+  * NESSIE_REF semantics), so a branch-scoped maintenance job can
+  * compact its own branch without touching `main`. Mutating
+  * procedures refresh the registered temp view afterwards.
+  */
+case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = proc match {
+    case "rewrite_data_files" => Seq(
+      AttributeReference("snapshot_id", LongType)(),
+      AttributeReference("files_before", LongType)(),
+      AttributeReference("files_after", LongType)())
+    case "expire_snapshots" => Seq(
+      AttributeReference("expired_snapshots", LongType)(),
+      AttributeReference("kept_snapshots", LongType)())
+    case "remove_orphan_files" => Seq(
+      AttributeReference("orphan_name", StringType)())
+    case "rollback_to_snapshot" => Seq(
+      AttributeReference("previous_snapshot_id", LongType)(),
+      AttributeReference("current_snapshot_id", LongType)())
+    case other => throw new UnsupportedOperationException(
+      s"unknown procedure: system.$other (supported: rewrite_data_files, " +
+        "expire_snapshots, remove_orphan_files, rollback_to_snapshot)")
+  }
+
+  /** Positional parameter names per procedure; named args (`k => v`)
+    * may come in any order and win over position. */
+  private val positional: Seq[String] = proc match {
+    case "rewrite_data_files" => Seq("table", "strategy", "sort_order", "file_count")
+    case "expire_snapshots" => Seq("table", "retain_last")
+    case "remove_orphan_files" => Seq("table", "older_than_ms")
+    case "rollback_to_snapshot" => Seq("table", "snapshot_id")
+    case _ => Seq("table")
+  }
+
+  private def named: Map[String, String] = {
+    val known = positional.toSet + "small_bytes"
+    val (kw, pos) = args.partition(_._1.isDefined)
+    kw.foreach { case (k, _) =>
+      require(known.contains(k.get.toLowerCase),
+        s"system.$proc has no parameter ${k.get} (expected: ${known.mkString(", ")})")
+    }
+    require(pos.length <= positional.length,
+      s"system.$proc takes at most ${positional.length} positional arguments")
+    val byPos = positional.zip(pos.map(_._2)).toMap
+    // named wins: CALL p('t', strategy => 'sort') must not also bind
+    // position 1
+    byPos ++ kw.map { case (k, v) => (k.get.toLowerCase, v) }
+  }
+
+  /** Strip the quotes from a parsed string literal (doubled-quote
+    * escapes un-double); numbers pass through unchanged. */
+  private def lit(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t
+  }
+
+  private def longArg(m: Map[String, String], k: String, default: => Long): Long =
+    m.get(k).map(v => java.lang.Long.parseLong(lit(v))).getOrElse(default)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val m = named
+    val table = lit(m.getOrElse("table",
+      throw new IllegalArgumentException(s"system.$proc needs a table argument")))
+    val (lake, partitionBy) = LakehouseRegistry.lookup(spark, table)
+      .getOrElse(throw new IllegalStateException(s"$table is not a registered lakehouse view"))
+    val branch = lake.sessionBranch
+
+    proc match {
+      case "rewrite_data_files" =>
+        val strategy = m.get("strategy").map(v => lit(v).toLowerCase).getOrElse("binpack")
+        val before = lake.filesDf(table, branch).count()
+        val snap = strategy match {
+          case "binpack" =>
+            lake.compactBinPack(table, longArg(m, "small_bytes", 128L * 1024 * 1024), branch)
+          case "sort" =>
+            val cols = m.get("sort_order").map(v => lit(v).split(",").map(_.trim).toSeq)
+              .getOrElse(lake.sortOrderOf(table))
+            require(cols.nonEmpty,
+              s"rewrite_data_files(strategy => 'sort') on $table needs sort_order " +
+                "(no declared write sort order to fall back to)")
+            lake.compactClustered(table, cols, longArg(m, "file_count", 8L).toInt, branch)
+          case "zorder" =>
+            val cols = m.get("sort_order").map(v => lit(v).split(",").map(_.trim).toSeq)
+              .getOrElse(Seq.empty)
+            lake.compactZOrdered(table, cols, longArg(m, "file_count", 8L).toInt, branch)
+          case "full" =>
+            lake.compact(table, partitionBy, branch)
+          case other => throw new IllegalArgumentException(
+            s"rewrite_data_files strategy must be binpack|sort|zorder|full; got: $other")
+        }
+        lake.registerView(table, partitionBy)
+        Seq(Row(snap, before, lake.filesDf(table, branch).count()))
+
+      case "expire_snapshots" =>
+        val retain = longArg(m, "retain_last", 1L).toInt
+        require(retain >= 1, s"expire_snapshots must retain at least 1 snapshot, got $retain")
+        val before = lake.snapshots(table).size.toLong
+        lake.expireSnapshots(table, keepLast = retain)
+        val kept = lake.snapshots(table).size.toLong
+        Seq(Row(before - kept, kept))
+
+      case "remove_orphan_files" =>
+        lake.removeOrphans(table, longArg(m, "older_than_ms", 24L * 3600 * 1000))
+          .map(Row(_))
+
+      case "rollback_to_snapshot" =>
+        val snap = longArg(m, "snapshot_id",
+          throw new IllegalArgumentException("rollback_to_snapshot needs snapshot_id"))
+        val prev = lake.currentSnapshot(table, branch)
+          .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+        lake.rollback(table, snap, branch)
+        lake.registerView(table, partitionBy)
+        Seq(Row(prev, snap))
+
+      case other => throw new UnsupportedOperationException(s"unknown procedure: system.$other")
+    }
+  }
+}

@@ -482,6 +482,34 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """\s+AS\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.+?)\s*;?\s*""").r
   private val OnConjunct =
     """(?i)\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*""".r
+  // Iceberg-style maintenance procedures; the optional `graft.` prefix
+  // mirrors Iceberg's `CALL <catalog>.system.<proc>` form
+  private val CallRe =
+    """(?is)\s*CALL\s+(?:graft\.)?system\.([A-Za-z_]\w*)\s*\((.*)\)\s*;?\s*""".r
+  private val NamedArgRe = """(?s)\s*([A-Za-z_]\w*)\s*=>\s*(.+?)\s*""".r
+
+  /** `CALL` argument list → (name, raw value) pairs; positional args
+    * carry None. Split is quote-aware ([[splitSpecs]]), so a string
+    * literal holding a comma survives. */
+  private def callArgs(argstr: String): Seq[(Option[String], String)] =
+    splitSpecs(argstr).map {
+      case NamedArgRe(k, v) => (Some(k), v)
+      case v => (None, v)
+    }
+
+  /** The table a CALL addresses (first positional or `table => …`),
+    * unquoted — the parser intercepts only registered views. */
+  private def callTable(argstr: String): Option[String] = {
+    val as = callArgs(argstr)
+    as.collectFirst { case (Some(k), v) if k.equalsIgnoreCase("table") => v }
+      .orElse(as.collectFirst { case (None, v) => v })
+      .map { v =>
+        val t = v.trim
+        if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+          t.substring(1, t.length - 1).replace("''", "'")
+        else t
+      }
+  }
 
   /** Split a partition-spec / expression list on TOP-LEVEL commas
     * only — transform entries carry commas inside their parens
@@ -533,6 +561,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CallRe(proc, argstr) if callTable(argstr).exists(LakehouseRegistry.isRegistered) =>
+      LakehouseCallCommand(proc.toLowerCase, callArgs(argstr))
     case DeleteRe(table, where) if LakehouseRegistry.isRegistered(table) =>
       if (where != null && SubqueryRe.matches(where))
         throw new UnsupportedOperationException(
