@@ -30,14 +30,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and floor to microseconds —
-    * the same truncation DuckDB applies on read, keeping the two
-    * engines value-identical. */
+  /** Schema-aware events reader. The driver has regenerated
+    * `events.parquet` with different physical `ts` encodings across
+    * rounds — TIMESTAMP(NANOS) (arrives as LongType under
+    * `nanosAsLong`), plain TIMESTAMP_NTZ, or session TIMESTAMP — so
+    * this branches on what the footer actually declares instead of
+    * hard-coding one historical encoding. All branches normalize to
+    * session-zone TimestampType (the session is UTC, so NTZ→TZ is
+    * value-identical and keeps the DuckDB oracle's schema/hash match).
+    */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nanos: floor to micros (same truncation DuckDB applies)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
@@ -56,10 +68,22 @@ object Tables {
   }
 
   /** Register every table as a temp view so `spark.sql` works against
-    * the scale-factor directory like a catalog namespace. */
+    * the scale-factor directory like a catalog namespace.
+    *
+    * Per-table fault isolation: one unreadable/re-encoded table must
+    * not take down SQL queries that never touch it (a grouping-sets
+    * query over `orders` has no business failing because `events`
+    * changed encoding). Failures are reported loudly on stderr and the
+    * remaining tables still register; the failed table surfaces its
+    * real error only when a query actually references it. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach {
-      case "events" => events(spark, dir).createOrReplaceTempView("events")
-      case n => load(spark, dir, n).createOrReplaceTempView(n)
+    names.foreach { n =>
+      try {
+        val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+        df.createOrReplaceTempView(n)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[graft] registerAll: table '$n' failed to register from $dir: ${e.getMessage}")
+      }
     }
 }

@@ -35,24 +35,26 @@ case class OpenSession(
   */
 object EventStream {
 
-  /** events.parquet carries TIMESTAMP(NANOS); streamed as raw nanos
-    * (nanosAsLong) and floored to micros — same truncation as the
-    * batch reader ([[graft.sources.Tables.events]]). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
+  /** Streaming events reader, schema-aware like the batch twin
+    * ([[graft.sources.Tables.events]]). A stream needs its schema
+    * up-front, so peek at the parquet footer with a batch read and
+    * branch on the physical `ts` encoding the driver actually wrote —
+    * TIMESTAMP(NANOS) (LongType under `nanosAsLong`), TIMESTAMP_NTZ,
+    * or session TIMESTAMP — normalizing all three to session-zone
+    * TimestampType (UTC session: value-identical). The footer peek is
+    * one driver-side metadata read, not a data scan. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val footer = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(footer)
       .option("pathGlobFilter", "events.parquet") // file source wants a dir
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    footer("ts").dataType match {
+      case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 
   /** Tumbling-window hourly aggregate with a 1-hour watermark —
