@@ -40,7 +40,7 @@ case class MergeMatched(cond: Option[String], isDelete: Boolean,
 case class MergeInsert(cond: Option[String],
     columns: Option[(Seq[String], Seq[String])] = None)
 
-class Lakehouse(private[sources] val spark: SparkSession, root: String) {
+class Lakehouse(private[sources] val spark: SparkSession, private[sources] val root: String) {
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -66,6 +66,20 @@ object LakehouseRegistry {
   /** Parser-time check: is `view` registered in the ACTIVE session? */
   def isRegistered(view: String): Boolean =
     SparkSession.getActiveSession.exists(s => lookup(s, view).isDefined)
+
+  /** Distinct lakes registered in `spark`, as (catalog name, handle).
+    * The catalog name is the lake root's final path segment — the role
+    * the Nessie catalog name plays in the reference's
+    * `SHOW CATALOGS` / `USE nessie` notebook cells. */
+  def lakes(spark: SparkSession): Seq[(String, Lakehouse)] = {
+    val id = SessionIds.idOf(spark)
+    import scala.jdk.CollectionConverters._
+    tables.entrySet().asScala.toSeq
+      .collect { case e if e.getKey._1 == id => e.getValue._1 }
+      .groupBy(_.root).map { case (root, ls) =>
+        (new java.io.File(root).getName, ls.head)
+      }.toSeq.sortBy(_._1)
+  }
 }
 
 /** Bounded registry of the `__asof_*`/`__meta_*` temp views the travel
@@ -386,6 +400,49 @@ case class LakehouseVacuumCommand(view: String, retain: Int)
   }
 }
 
+/** `SHOW CATALOGS` — the reference notebook's literal first cell
+  * (query_iceberg.ipynb: list the Nessie catalog before USE-ing it).
+  * One row per distinct lake root registered in the session plus the
+  * built-in `spark_catalog`, with the lake root as the location — a
+  * driver-side metadata listing, no data scan. */
+case class LakehouseShowCatalogsCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("catalog", StringType)(),
+    AttributeReference("location", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Row("spark_catalog", null) +:
+      LakehouseRegistry.lakes(spark).map { case (name, lake) => Row(name, lake.root) }
+}
+
+/** `SHOW NAMESPACES IN <lake>` — a graft lake is a flat,
+  * single-namespace catalog (tables live directly under the root), so
+  * the listing is the one implicit namespace; the statement exists so
+  * the reference's catalog-browsing cells run unchanged. */
+case class LakehouseShowNamespacesCommand(catalog: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("namespace", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row("default"))
+}
+
+/** `SHOW TABLES IN <lake>` — the `SHOW TABLES IN nessie.sales` analog
+  * through the parsed surface: routes to [[Lakehouse.tablesDf]]
+  * (table, current snapshot, snapshot count, branches). Pure manifest
+  * metadata; bounded by table count, not data size. */
+case class LakehouseShowTablesCommand(catalog: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table_name", StringType)(),
+    AttributeReference("current_snapshot", LongType)(),
+    AttributeReference("n_snapshots", LongType)(),
+    AttributeReference("branches", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val lake = LakehouseRegistry.lakes(spark).collectFirst {
+      case (name, l) if name.equalsIgnoreCase(catalog) => l
+    }.getOrElse(throw new IllegalStateException(s"$catalog is not a registered lake catalog"))
+    lake.tablesDf().collect().toSeq
+  }
+}
+
 /** `DROP TABLE t [PURGE]` on a registered lakehouse view: unregisters
   * the temp view, the DML routing, and the persistent catalog line;
   * PURGE also deletes the table directory. Without PURGE the
@@ -486,6 +543,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // mirrors Iceberg's `CALL <catalog>.system.<proc>` form
   private val CallRe =
     """(?is)\s*CALL\s+(?:graft\.)?system\.([A-Za-z_]\w*)\s*\((.*)\)\s*;?\s*""".r
+  // catalog/namespace browsing (the reference notebook's first cells);
+  // SHOW NAMESPACES/TABLES intercept only when IN names a registered
+  // lake — Spark's native statements keep working for everything else
+  private val ShowCatalogsRe = """(?is)\s*SHOW\s+CATALOGS\s*;?\s*""".r
+  private val ShowNamespacesRe =
+    """(?is)\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)\s+IN\s+`?([A-Za-z_][\w.-]*)`?\s*;?\s*""".r
+  private val ShowTablesRe =
+    """(?is)\s*SHOW\s+TABLES\s+IN\s+`?([A-Za-z_][\w.-]*)`?\s*;?\s*""".r
+  private def isLake(name: String): Boolean =
+    SparkSession.getActiveSession.exists(s =>
+      LakehouseRegistry.lakes(s).exists(_._1.equalsIgnoreCase(name)))
   private val NamedArgRe = """(?s)\s*([A-Za-z_]\w*)\s*=>\s*(.+?)\s*""".r
 
   /** `CALL` argument list → (name, raw value) pairs; positional args
@@ -563,6 +631,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CallRe(proc, argstr) if callTable(argstr).exists(LakehouseRegistry.isRegistered) =>
       LakehouseCallCommand(proc.toLowerCase, callArgs(argstr))
+    case ShowCatalogsRe() => LakehouseShowCatalogsCommand()
+    case ShowNamespacesRe(cat) if isLake(cat) => LakehouseShowNamespacesCommand(cat)
+    case ShowTablesRe(cat) if isLake(cat) => LakehouseShowTablesCommand(cat)
     case DeleteRe(table, where) if LakehouseRegistry.isRegistered(table) =>
       if (where != null && SubqueryRe.matches(where))
         throw new UnsupportedOperationException(
