@@ -226,12 +226,24 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           throw new CommitConflictException(
             s"$table@$branch moved $base -> $cur under writer of snapshot $snap")
       }
-      if (snapshots(table).exists(_._1 == snap))
+      val prior = snapshots(table)
+      if (prior.exists(_._1 == snap))
         throw new CommitConflictException(s"$table already has a snapshot $snap")
+      // Manifest-list summaries (Iceberg's manifest-list partition/
+      // column ranges): each data dir this commit INTRODUCES records
+      // its dir-level column ranges on the commit line, so plan-time
+      // skipping can drop whole dirs before opening their per-file
+      // ledgers. Cost is O(new dirs) — one fresh-ledger read per dir
+      // just written — keeping the commit-cost-O(delta) invariant.
+      val priorTop = prior.iterator.flatMap(_._2).map(_.takeWhile(_ != '/')).toSet
+      val newTop = dirs.map(_.takeWhile(_ != '/')).distinct.filterNot(priorTop)
+      val sumObjs = newTop.flatMap(d =>
+        scala.util.Try(dirStatsJson(table, d)).getOrElse(Nil))
       val meta = s""","ts":${System.currentTimeMillis()}""" +
         batch.map(b => s""","batch":$b""").getOrElse("") +
         (if (deletes.isEmpty) ""
-         else s""","deletes":[${deletes.map(d => s""""$d"""").mkString(",")}]""")
+         else s""","deletes":[${deletes.map(d => s""""$d"""").mkString(",")}]""") +
+        (if (sumObjs.isEmpty) "" else s""","dirstats":[${sumObjs.mkString(",")}]""")
       val line = s"""{"snap":$snap,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]$meta}"""
       writeFile(manifest(table), (readLines(manifest(table)) :+ line).mkString("\n") + "\n")
       // Pointer swap last: readers resolve the branch pointer after the
@@ -1064,12 +1076,113 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     }
   }
 
-  private def readStats(table: String, dataDir: String): Seq[(String, String, String, String, String)] =
+  private def readStats(table: String, dataDir: String): Seq[(String, String, String, String, String)] = {
+    Lakehouse.ledgerReads.incrementAndGet()
     readLines(new Path(new Path(tableDir(table), dataDir), "_stats.jsonl")).flatMap { line =>
       val m = """\{"file":"(.*)","col":"(.*)","t":"(.*)","lo":"(.*)","hi":"(.*)"\}""".r
       m.findFirstMatchIn(line).map(g =>
         (unesc(g.group(1)), unesc(g.group(2)), g.group(3), unesc(g.group(4)), unesc(g.group(5))))
     }
+  }
+
+  /** Dir-level column ranges of a FRESHLY WRITTEN data dir, as JSON
+    * objects for the commit line's `dirstats` array — the
+    * manifest-list summary ([[commit]] embeds them; [[matchingFiles]]
+    * consults them to skip whole dirs). A column participates only if
+    * EVERY parquet file in the dir has a recorded stats line for it
+    * and one type — a file without stats could hold anything, so a
+    * range over the others would prune wrongly. Bounds are base64
+    * (URL-safe) so arbitrary string bounds can never break the
+    * one-line-JSON parse that pruning correctness rides on. */
+  private def dirStatsJson(table: String, dataDir: String): Seq[String] = {
+    val stats = readStats(table, dataDir)
+    if (stats.isEmpty) return Nil
+    val dirPath = new Path(tableDir(table), dataDir)
+    if (!fs.exists(dirPath)) return Nil
+    def walkFiles(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap {
+        case s if s.isFile && s.getPath.getName.endsWith(".parquet") => Seq(s.getPath)
+        case s if s.isDirectory && (!s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.contains("=")) => walkFiles(s.getPath)
+        case _ => Seq.empty
+      }
+    val marker = "/" + dataDir + "/"
+    val allFiles = walkFiles(dirPath).map { p =>
+      val f = p.toString; f.substring(f.indexOf(marker) + 1)
+    }.toSet
+    if (allFiles.isEmpty) return Nil
+    val b64 = java.util.Base64.getUrlEncoder.withoutPadding
+    def enc(s: String): String =
+      b64.encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    stats.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (col, lines) =>
+      val types = lines.map(_._3).distinct
+      if (types.size != 1 || lines.map(_._1).toSet != allFiles) None
+      else {
+        val t = types.head
+        // keep the WRITTEN bound strings (minBy, not re-rendered): the
+        // per-file ledger and the summary must agree bit-for-bit
+        def pick(vals: Seq[String], takeMin: Boolean): Option[String] = scala.util.Try {
+          if (t == "string") { if (takeMin) vals.min else vals.max }
+          else if (takeMin) vals.minBy(BigDecimal(_)) else vals.maxBy(BigDecimal(_))
+        }.toOption
+        for {
+          lo <- pick(lines.map(_._4), takeMin = true)
+          hi <- pick(lines.map(_._5), takeMin = false)
+        } yield s"""{"dir":"$dataDir","col":"${jsonEsc(col)}","t":"$t",""" +
+          s""""lo64":"${enc(lo)}","hi64":"${enc(hi)}"}"""
+      }
+    }
+  }
+
+  /** Parsed manifest-list summaries: data dir → column → (type, lo,
+    * hi). Cached per (manifest mtime, length): summaries are written
+    * once by the commit that introduces a dir and never mutated, so a
+    * stale entry is impossible and the parse cost is one manifest
+    * scan per commit, not per query. Dirs absent from the map (tables
+    * committed before summaries existed, expired introducing lines,
+    * uncovered columns) simply don't dir-skip — per-file stats still
+    * apply. */
+  private def dirSummaries(table: String): Map[String, Map[String, (String, String, String)]] = {
+    val mPath = manifest(table)
+    val status = scala.util.Try(fs.getFileStatus(mPath)).toOption
+    val key = (mPath.toString,
+      status.map(_.getModificationTime).getOrElse(-1L),
+      status.map(_.getLen).getOrElse(-1L))
+    val cached = Lakehouse.dirSummaryCache.get(key)
+    if (cached != null) return cached
+    val Obj = ("""\{"dir":"([^"]*)","col":"(.*?)","t":"(long|double|string)",""" +
+      """"lo64":"([A-Za-z0-9_\-]*)","hi64":"([A-Za-z0-9_\-]*)"\}""").r
+    val dec = java.util.Base64.getUrlDecoder
+    def d64(s: String) = new String(dec.decode(s), java.nio.charset.StandardCharsets.UTF_8)
+    val parsed = readLines(mPath).flatMap { line =>
+      """"dirstats":\[(.*)\]""".r.findFirstMatchIn(line).toSeq.flatMap(m =>
+        Obj.findAllMatchIn(m.group(1)).map(g =>
+          (g.group(1), unesc(g.group(2)), g.group(3), d64(g.group(4)), d64(g.group(5)))))
+    }.groupBy(_._1).map { case (dir, rows) =>
+      dir -> rows.map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    }
+    if (Lakehouse.dirSummaryCache.size > 256) Lakehouse.dirSummaryCache.clear()
+    Lakehouse.dirSummaryCache.put(key, parsed)
+    parsed
+  }
+
+  /** Can any file in a dir match every conjunct, judged on the dir's
+    * manifest-list summary alone? `true` = must open the per-file
+    * ledgers; `false` = the whole dir is skipped with ZERO per-dir
+    * I/O. Missing summary/column → conservatively true. */
+  private def dirMayMatch(summary: Option[Map[String, (String, String, String)]],
+      conjuncts: Seq[(String, String, Any)]): Boolean = summary match {
+    case None => true
+    case Some(cols) => conjuncts.forall { case (c, op, v) =>
+      cols.get(c) match {
+        case None => true
+        case Some((t, lo, hi)) =>
+          if (op == "in")
+            v.asInstanceOf[Seq[Any]].exists(x => rangeMayMatch(t, lo, hi, "=", x))
+          else rangeMayMatch(t, lo, hi, op, v)
+      }
+    }
+  }
 
   /** A conjunct usable for file skipping: column, comparison op, and
     * literal value, extracted from the predicate AFTER analyzing it
@@ -1189,6 +1302,12 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   private def matchingFiles(table: String, entry: String,
       conjuncts: Seq[(String, String, Any)]): Seq[String] = {
     val dataDir = entry.takeWhile(_ != '/')
+    // manifest-list gate first: if the dir's committed column ranges
+    // prove no file can match, skip without opening stats, blooms, or
+    // listing the dir — the Iceberg plan-time property that keeps
+    // metadata I/O proportional to MATCHING dirs, not table history
+    if (conjuncts.nonEmpty && !dirMayMatch(dirSummaries(table).get(dataDir), conjuncts))
+      return Seq.empty
     val stats = readStats(table, dataDir)
     val byFileCol = stats.groupBy(s => (s._1, s._2))
     val bloomsByFileCol = readBlooms(table, dataDir).groupBy(b => (b._1, b._2))
@@ -3013,6 +3132,16 @@ object Lakehouse {
   /** Intra-JVM per-table commit locks, keyed by absolute table path. */
   private[sources] val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Parsed manifest-list summaries keyed by (manifest path, mtime,
+    * length) — see [[Lakehouse.dirSummaries]]. */
+  private[sources] val dirSummaryCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Map[String, Map[String, (String, String, String)]]]()
+
+  /** Count of per-dir `_stats.jsonl` ledger opens — observability for
+    * the manifest-list skip path (specs assert a pruned scan reads
+    * ledgers for matching dirs only, not per table-history dir). */
+  private[graft] val ledgerReads = new java.util.concurrent.atomic.AtomicLong()
 
   /** Run `f` over metadata-scale items on a bounded driver pool.
     * Footer/manifest reads are independent I/O round-trips whose

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lakehouse
+
+/** Manifest-list summaries (Iceberg's manifest-list column ranges):
+  * each commit records dir-level min/max per column on its manifest
+  * line, and plan-time skipping drops whole dirs BEFORE opening their
+  * per-file `_stats.jsonl`/`_bloom.jsonl` or listing their files. The
+  * scale property under test: metadata I/O at plan time is
+  * proportional to MATCHING dirs, not to table history — at millions
+  * of files / thousands of commits, a narrow range query must not
+  * open one ledger per historical commit. */
+class ManifestListSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-mlist").toString
+
+  test("narrow range over a 20-commit append chain reads ~1 ledger, not 20") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    // 20 commits with disjoint key ranges: commit i owns keys [100i, 100i+9]
+    lake.createOrReplace((0 to 9).map(j => (j.toLong, s"v$j")).toDF("k", "v"), "chain")
+    (1 to 19).foreach { i =>
+      lake.append((0 to 9).map(j => (i * 100L + j, s"v$i-$j")).toDF("k", "v"), "chain")
+    }
+    val before = Lakehouse.ledgerReads.get()
+    val got = lake.readWhere(col("k") >= 700 && col("k") <= 705, "chain").collect()
+    val opened = Lakehouse.ledgerReads.get() - before
+    assert(got.map(_.getLong(0)).sorted.toSeq === (700L to 705L))
+    // one matching dir; a couple of extra opens tolerated (never 20)
+    assert(opened <= 3, s"expected <=3 ledger reads for 1 matching dir of 20, got $opened")
+  }
+
+  test("dir-skipped plan returns exactly what a full scan + filter returns") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace((0 to 50).map(j => (j.toLong, j * 2.0)).toDF("k", "x"), "eq")
+    (1 to 5).foreach { i =>
+      lake.append((0 to 50).map(j => (i * 1000L + j, j * 2.0)).toDF("k", "x"), "eq")
+    }
+    val pred = col("k") >= 3000 && col("k") < 3026 && col("x") > 10.0
+    val pruned = lake.readWhere(pred, "eq").collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    val full = lake.read("eq").where(pred).collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(pruned.toSeq === full.toSeq && pruned.nonEmpty)
+  }
+
+  test("string bounds survive the base64 manifest round-trip (quotes, commas, braces)") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    // bounds deliberately contain the JSON metacharacters that would
+    // break a naive quoted embedding: the summary must stay bit-exact
+    lake.createOrReplace(Seq((1L, """a"x"""), (2L, "b,y")).toDF("k", "s"), "strb")
+    lake.append(Seq((3L, "m{n"), (4L, """z}\q""")).toDF("k", "s"), "strb")
+    // equality inside the second dir's range: only that dir may serve it
+    val hit = lake.readWhere(col("s") === "m{n", "strb").collect()
+    assert(hit.map(_.getLong(0)).toSeq === Seq(3L))
+    // range that excludes the first dir entirely ("a…"/"b…" < "m")
+    val before = Lakehouse.ledgerReads.get()
+    val ge = lake.readWhere(col("s") >= "m", "strb").collect()
+    assert(Lakehouse.ledgerReads.get() - before <= 1)
+    assert(ge.map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+  }
+
+  test("delete with a narrow predicate consults matching dirs' ledgers only") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace((0 to 9).map(j => (j.toLong, s"v$j")).toDF("k", "v"), "dchain")
+    (1 to 9).foreach { i =>
+      lake.append((0 to 9).map(j => (i * 100L + j, s"v$j")).toDF("k", "v"), "dchain")
+    }
+    val before = Lakehouse.ledgerReads.get()
+    lake.deleteWhere(col("k") === 505L, "dchain")
+    val opened = Lakehouse.ledgerReads.get() - before
+    // classification may touch the one matching dir's ledger plus the
+    // rewrite commit's own fresh-dir summary build — never all 10
+    assert(opened <= 4, s"expected <=4 ledger reads for a 1-dir delete of 10 dirs, got $opened")
+    assert(lake.read("dchain").count() === 99)
+    assert(lake.read("dchain").where(col("k") === 505L).count() === 0)
+  }
+
+  test("partitioned table: partition-value conjunct skips foreign dirs at the manifest") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    // two commits, each one partition's data
+    lake.createOrReplace(
+      (0 to 9).map(j => (j.toLong, "us", j * 1.0)).toDF("id", "region", "x"),
+      "pt", partitionBy = Seq("region"))
+    lake.append(
+      (0 to 9).map(j => (100L + j, "eu", j * 1.0)).toDF("id", "region", "x"),
+      "pt", partitionBy = Seq("region"))
+    val before = Lakehouse.ledgerReads.get()
+    val eu = lake.readWhere(col("region") === "eu", "pt").select("region").collect()
+    assert(Lakehouse.ledgerReads.get() - before <= 1)
+    assert(eu.length === 10 && eu.forall(_.getString(0) == "eu"))
+  }
+}
