@@ -48,6 +48,75 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   private def tableDir(table: String) = new Path(root, table)
   private def manifest(table: String) = new Path(tableDir(table), "_snapshots.jsonl")
 
+  // ---- segmented snapshot ledger ----
+  // The ledger is an ordered chain of segments: `_snapshots.jsonl`
+  // (the base, always present) then `_snapshots-2.jsonl`, `-3.jsonl`,
+  // …. A commit rewrites only the LAST segment (bounded at
+  // [[Lakehouse.SegmentMaxLines]] lines), so commit cost is O(segment),
+  // not O(table history) — the failure mode of a single ever-growing
+  // manifest file that Iceberg's metadata-file-per-commit design
+  // exists to avoid. Filled segments are immutable (only expiry
+  // consolidates them away), which is what makes the parsed-segment
+  // cache sound: a (path, mtime, length) key can only go stale by the
+  // file actually changing.
+
+  /** All ledger segments in commit order (base first). */
+  private def manifestSegs(table: String): Seq[Path] = {
+    val base = manifest(table)
+    if (!fs.exists(base)) return Seq.empty
+    val extra = scala.util.Try(fs.listStatus(tableDir(table)).toSeq).getOrElse(Seq.empty)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("_snapshots-") && n.endsWith(".jsonl")
+      }
+      .sortBy(_.getName.stripPrefix("_snapshots-").stripSuffix(".jsonl").toInt)
+    base +: extra
+  }
+
+  /** Every ledger line across segments, oldest first — the one read
+    * path all manifest parsers go through. Full segments hit the
+    * parsed cache; at most the base and the live tail are re-read. */
+  private def manifestLines(table: String): Seq[String] =
+    manifestSegs(table).flatMap { seg =>
+      val st = scala.util.Try(fs.getFileStatus(seg)).toOption
+      val key = (seg.toString,
+        st.map(_.getModificationTime).getOrElse(-1L), st.map(_.getLen).getOrElse(-1L))
+      val hit = Lakehouse.manifestCache.get(key)
+      if (hit != null) hit
+      else {
+        val lines = readLines(seg)
+        if (Lakehouse.manifestCache.size > 512) Lakehouse.manifestCache.clear()
+        Lakehouse.manifestCache.put(key, lines)
+        lines
+      }
+    }
+
+  /** Append one commit line: rewrite the last segment if it has room,
+    * else start the next one. Called only under the table lock. */
+  private def appendManifestLine(table: String, line: String): Unit = {
+    val segs = manifestSegs(table)
+    if (segs.isEmpty) { writeFile(manifest(table), line + "\n"); return }
+    val last = segs.last
+    val lastLines = readLines(last)
+    if (lastLines.size < Lakehouse.SegmentMaxLines)
+      writeFile(last, (lastLines :+ line).mkString("\n") + "\n")
+    else {
+      val nextIdx =
+        if (segs.size == 1) 2
+        else segs.last.getName.stripPrefix("_snapshots-").stripSuffix(".jsonl").toInt + 1
+      writeFile(new Path(tableDir(table), s"_snapshots-$nextIdx.jsonl"), line + "\n")
+    }
+  }
+
+  /** Replace the whole ledger with `lines` (expiry's consolidation):
+    * everything lands back in the base segment and the extra segments
+    * are removed. Called only under the table lock. */
+  private def rewriteManifest(table: String, lines: Seq[String]): Unit = {
+    writeFile(manifest(table), if (lines.isEmpty) "" else lines.mkString("\n") + "\n")
+    manifestSegs(table).drop(1).foreach(fs.delete(_, false))
+  }
+
   /** The table's directory (for inspection/specs). */
   def tableRoot(table: String): Path = tableDir(table)
 
@@ -93,7 +162,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * ("data-3/p=2") — the granularity that lets a MERGE rewrite one
     * partition while every other partition keeps its original files. */
   def snapshots(table: String): Seq[(Long, Seq[String])] =
-    readLines(manifest(table)).map { line =>
+    manifestLines(table).map { line =>
       val snap = """"snap":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
       val dirs = """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(line).get.group(1)
         .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
@@ -107,7 +176,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * sequence-number rule, which is what lets a later append
     * legitimately re-insert a deleted key. */
   def snapshotDeletes(table: String): Map[Long, Seq[String]] =
-    readLines(manifest(table)).flatMap { line =>
+    manifestLines(table).flatMap { line =>
       """"snap":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong).map { snap =>
         val dels = """"deletes":\[([^\]]*)\]""".r.findFirstMatchIn(line)
           .map(_.group(1).split(",").toSeq
@@ -122,7 +191,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * against. Pre-`ts` manifest lines (older tables) are absent from
     * the map and simply can't be addressed by timestamp. */
   def snapshotTimes(table: String): Seq[(Long, Long)] =
-    readLines(manifest(table)).flatMap { l =>
+    manifestLines(table).flatMap { l =>
       for {
         s <- """"snap":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
         t <- """"ts":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
@@ -142,7 +211,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * [[appendOnce]]) — the commit-dedup ledger that makes the
     * stream→lakehouse sink exactly-once across restarts. */
   def committedBatches(table: String): Set[Long] =
-    readLines(manifest(table)).flatMap(l =>
+    manifestLines(table).flatMap(l =>
       """"batch":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)).toSet
 
   /** Partition layout a committed data dir was WRITTEN with, inferred
@@ -245,7 +314,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
          else s""","deletes":[${deletes.map(d => s""""$d"""").mkString(",")}]""") +
         (if (sumObjs.isEmpty) "" else s""","dirstats":[${sumObjs.mkString(",")}]""")
       val line = s"""{"snap":$snap,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]$meta}"""
-      writeFile(manifest(table), (readLines(manifest(table)) :+ line).mkString("\n") + "\n")
+      appendManifestLine(table, line)
       // Pointer swap last: readers resolve the branch pointer after the
       // manifest and data dirs are durable, so a torn write can't expose
       // a half-written snapshot.
@@ -335,7 +404,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val heads = branches(table)
       .flatMap(b => currentSnapshot(table, b).map(_ -> b))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.mkString(",")).toMap
-    val batchBySnap = readLines(manifest(table)).flatMap { l =>
+    val batchBySnap = manifestLines(table).flatMap { l =>
       for {
         s <- """"snap":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
         b <- """"batch":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
@@ -1143,9 +1212,12 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * uncovered columns) simply don't dir-skip — per-file stats still
     * apply. */
   private def dirSummaries(table: String): Map[String, Map[String, (String, String, String)]] = {
-    val mPath = manifest(table)
-    val status = scala.util.Try(fs.getFileStatus(mPath)).toOption
-    val key = (mPath.toString,
+    // keyed on the LIVE TAIL segment + segment count: a commit changes
+    // the tail's (mtime, len); expiry consolidates segments away and
+    // changes both the count and the base — either way the key moves
+    val segs = manifestSegs(table)
+    val status = segs.lastOption.flatMap(p => scala.util.Try(fs.getFileStatus(p)).toOption)
+    val key = (tableDir(table).toString + "#" + segs.size,
       status.map(_.getModificationTime).getOrElse(-1L),
       status.map(_.getLen).getOrElse(-1L))
     val cached = Lakehouse.dirSummaryCache.get(key)
@@ -1154,7 +1226,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       """"lo64":"([A-Za-z0-9_\-]*)","hi64":"([A-Za-z0-9_\-]*)"\}""").r
     val dec = java.util.Base64.getUrlDecoder
     def d64(s: String) = new String(dec.decode(s), java.nio.charset.StandardCharsets.UTF_8)
-    val parsed = readLines(mPath).flatMap { line =>
+    val parsed = manifestLines(table).flatMap { line =>
       """"dirstats":\[(.*)\]""".r.findFirstMatchIn(line).toSeq.flatMap(m =>
         Obj.findAllMatchIn(m.group(1)).map(g =>
           (g.group(1), unesc(g.group(2)), g.group(3), d64(g.group(4)), d64(g.group(5)))))
@@ -1999,11 +2071,11 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     // data behind, never a referenced-but-deleted dir); kept snapshots
     // keep their ORIGINAL lines — batch ids (exactly-once ledger) and
     // tombstone references must survive expiry
-    val lines = readLines(manifest(table)).filter { line =>
+    val lines = manifestLines(table).filter { line =>
       """"snap":(\d+)""".r.findFirstMatchIn(line).exists(m => keepIds.contains(m.group(1).toLong))
     }
     val liveDeletes = kept.flatMap(s => snapshotDeletes(table).getOrElse(s._1, Seq.empty)).toSet
-    writeFile(manifest(table), lines.mkString("\n") + "\n")
+    rewriteManifest(table, lines)
     // Unreferenced dirs with a LIVE _reserve-N marker are an in-flight
     // writer's (a MoR delete between tombstone write and commit, an
     // append between data write and commit) — expiring them would let
@@ -3137,6 +3209,17 @@ object Lakehouse {
     * length) — see [[Lakehouse.dirSummaries]]. */
   private[sources] val dirSummaryCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), Map[String, Map[String, (String, String, String)]]]()
+
+  /** Raw ledger-segment lines keyed by (segment path, mtime, length);
+    * full segments are immutable, so entries go stale only when the
+    * file itself changes (live tail growing, expiry consolidating). */
+  private[sources] val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Seq[String]]()
+
+  /** Lines per ledger segment before a commit starts the next one.
+    * Bounds the bytes a commit rewrites: at 64 lines × ~200 B the
+    * rewrite stays ~12 KB however long the table's history grows. */
+  private[sources] val SegmentMaxLines = 64
 
   /** Count of per-dir `_stats.jsonl` ledger opens — observability for
     * the manifest-list skip path (specs assert a pruned scan reads

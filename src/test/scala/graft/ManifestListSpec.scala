@@ -80,6 +80,34 @@ class ManifestListSpec extends SparkSpec {
     assert(lake.read("dchain").where(col("k") === 505L).count() === 0)
   }
 
+  test("70-commit chain segments the ledger; history, travel and expiry stay exact") {
+    import spark.implicits._
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((0L, "r0")).toDF("k", "v"), "seg")
+    (1 to 69).foreach { i => lake.append(Seq((i.toLong, s"r$i")).toDF("k", "v"), "seg") }
+    // the base segment is bounded: a second segment must exist
+    val tdir = new java.io.File(s"$root/seg")
+    val segNames = tdir.listFiles.map(_.getName).filter(_.startsWith("_snapshots")).sorted
+    assert(segNames.length >= 2, s"expected segmented ledger, got ${segNames.mkString(",")}")
+    // full history and reads span segments
+    assert(lake.read("seg").count() === 70)
+    assert(lake.snapshots("seg").size === 70)
+    val snaps = lake.snapshots("seg").map(_._1)
+    // time travel to a snapshot recorded in the FIRST segment
+    assert(lake.readSnapshot("seg", snaps(3)).count() === 4)
+    // dir skipping still proves out across segment boundaries
+    val before = Lakehouse.ledgerReads.get()
+    assert(lake.readWhere(col("k") === 68L, "seg").count() === 1)
+    assert(Lakehouse.ledgerReads.get() - before <= 1)
+    // expiry consolidates back to one bounded segment, keeping the tail
+    lake.expireSnapshots("seg", keepLast = 5)
+    val after = tdir.listFiles.map(_.getName).filter(_.startsWith("_snapshots")).sorted
+    assert(after.toSeq === Seq("_snapshots.jsonl"))
+    assert(lake.snapshots("seg").size === 5)
+    assert(lake.read("seg").count() === 70) // appends carry all prior dirs
+  }
+
   test("partitioned table: partition-value conjunct skips foreign dirs at the manifest") {
     import spark.implicits._
     val lake = new Lakehouse(spark, freshRoot())
