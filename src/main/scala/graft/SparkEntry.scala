@@ -124,6 +124,8 @@ object SparkEntry {
     "pipeline_train_mix" -> ((s, d) => Curate.pipelineTrainMix(s, d)),
     // benchmark-decontamination: exact shingle overlap vs holdout
     "pipeline_decontaminate" -> ((s, d) => Dedup.pipelineDecontaminate(s, d)),
+    // token-budgeted selection: best-quality docs until the budget
+    "pipeline_token_budget" -> ((s, d) => Curate.pipelineTokenBudget(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twins (same table names, same aliases,
@@ -1176,6 +1178,22 @@ object SparkEntry {
         |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
         |    AS mean_quality
         |FROM lab GROUP BY split ORDER BY split""".stripMargin,
+    "pipeline_token_budget" ->
+      """WITH t AS (SELECT doc_id, length(text) n_chars,
+        |  regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks,
+        |  len(regexp_extract_all(text, '([^a-z0-9 ])', 1)) n_punct FROM documents),
+        |u AS (SELECT doc_id, n_chars, n_punct, len(toks) n_tokens,
+        |  len(list_filter(toks, tk -> list_contains(['the','and','of','to','a','in','is','you','that','it'], tk))) n_stop
+        |  FROM t),
+        |q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+        |    + 0.3 * (1.0 - least(1.0, 10.0 * CAST(n_punct AS DOUBLE) / n_chars))
+        |    + 0.3 * least(1.0, 5.0 * CAST(n_stop AS DOUBLE) / n_tokens), 6) quality FROM u),
+        |c AS (SELECT doc_id, quality, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM q WHERE quality IS NOT NULL)
+        |SELECT doc_id, quality, n_tokens FROM c WHERE cum <= 25000
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_curate" ->
       """WITH t AS (SELECT doc_id, length(text) n_chars,
         |  regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks,

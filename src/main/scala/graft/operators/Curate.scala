@@ -41,6 +41,7 @@ object Curate {
         size(regexp_extract_all(col("text"), lit("([^a-z0-9 ])"), lit(1))).as("n_punct"))
     toks.select(
       col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
       {
         val nTokens = size(col("toks")).cast("double")
         val nStop = col("n_stop").cast("double")
@@ -167,6 +168,51 @@ object Curate {
         round(sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
           .as("mean_quality"))
       .orderBy("split")
+
+  /** `pipeline_token_budget` — token-budgeted corpus selection: keep
+    * the highest-quality documents whose cumulative token count fits
+    * the training budget (the compute-bound "how much of the corpus
+    * do we afford" cut every pretraining run makes after curation).
+    * Semantics: documents ordered by (quality DESC, doc_id) are taken
+    * while the running token sum stays ≤ budget — exactly a global
+    * running-sum window.
+    *
+    * Scale shape: the global window is NOT run over the corpus (a
+    * single-partition sort of every document — the one shape that
+    * cannot survive 100 TB). Quality is 6-dp rounded, so bucketing by
+    * `round(quality·10⁶)` is exact and the histogram is BOUNDED at
+    * ≤ 10⁶+1 rows however large the corpus grows: the running sum
+    * runs over that bounded histogram, whole buckets above the
+    * boundary join back map-side (keyed join on the bucket id), and
+    * only the single boundary bucket — documents tied at one exact
+    * quality value — pays a per-document prefix sum. Corpus-side
+    * work is one map-side-combinable aggregate plus one keyed join;
+    * nothing corpus-sized is ever globally sorted. */
+  def pipelineTokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 25000L): DataFrame = {
+    val d = scoredDocs(spark, dir)
+      .where(col("quality").isNotNull)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .withColumn("qb", round(col("quality") * 1e6, 0).cast("long"))
+    val hist = d.groupBy("qb").agg(sum(col("n_tokens")).as("btok"))
+    // bounded relation (≤ 10⁶+1 rows): the only unpartitioned window
+    val cum = hist
+      .withColumn("cum", sum(col("btok")).over(
+        Window.orderBy(col("qb").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev", col("cum") - col("btok"))
+    val joined = d.join(cum, Seq("qb"))
+    val full = joined.where(col("cum") <= budget)
+    // ≤ one boundary bucket: per-doc prefix sum within that bucket only
+    val wB = Window.partitionBy("qb").orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined
+      .where(col("prev") < budget && col("cum") > budget)
+      .withColumn("c2", sum(col("n_tokens")).over(wB))
+      .where(col("prev") + col("c2") <= budget)
+    full.select("doc_id", "quality", "n_tokens")
+      .unionByName(boundary.select("doc_id", "quality", "n_tokens"))
+      .orderBy("doc_id")
+  }
 
   /** `pipeline_mix_temperature` — temperature-based mixture
     * rebalancing (the multilingual-corpus sampling rule of the GPT-3/
