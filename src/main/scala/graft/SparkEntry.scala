@@ -126,6 +126,8 @@ object SparkEntry {
     "pipeline_decontaminate" -> ((s, d) => Dedup.pipelineDecontaminate(s, d)),
     // token-budgeted selection: best-quality docs until the budget
     "pipeline_token_budget" -> ((s, d) => Curate.pipelineTokenBudget(s, d)),
+    // perplexity-band middle-keep: drop P10/P90 tails of the LM score
+    "pipeline_perplexity_filter" -> ((s, d) => Curate.pipelinePerplexityFilter(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twins (same table names, same aliases,
@@ -1032,6 +1034,26 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5,
         |  lower(substr(hex(encode(text)), 1, 16)) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_perplexity_filter" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) tok FROM tk),
+        |f AS (SELECT tok, count(*) tf FROM t GROUP BY tok),
+        |tt AS (SELECT sum(tf) tt FROM f),
+        |sc AS (SELECT doc_id, count(*) n_tokens,
+        |  round(avg(-log2(CAST(tf AS DOUBLE) / CAST(tt AS DOUBLE))), 6) mean_nll
+        |  FROM t JOIN f USING (tok) CROSS JOIN tt GROUP BY doc_id),
+        |s AS (SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(mean_nll, 0.0) AS mean_nll,
+        |  CAST(floor(coalesce(mean_nll, 0.0) * 100) AS BIGINT) AS cb
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |h AS (SELECT cb, count(*) c FROM s GROUP BY cb),
+        |w AS (SELECT cb, sum(c) OVER (ORDER BY cb ROWS UNBOUNDED PRECEDING) cum,
+        |  (SELECT count(*) FROM s) n FROM h),
+        |lo AS (SELECT min(cb) v FROM w WHERE cum >= n * 0.10),
+        |hi AS (SELECT min(cb) v FROM w WHERE cum >= n * 0.90)
+        |SELECT doc_id, n_tokens, mean_nll FROM s
+        |WHERE cb > (SELECT v FROM lo) AND cb <= (SELECT v FROM hi)
+        |ORDER BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
         |t AS (SELECT doc_id, unnest(toks) tok FROM tk),

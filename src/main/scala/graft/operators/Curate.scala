@@ -214,6 +214,43 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** `pipeline_perplexity_filter` — perplexity-band curation (the
+    * CCNet middle-keep: drop the lowest-scoring tail — boilerplate,
+    * all high-frequency tokens — and the highest tail — lexical
+    * noise — of the corpus-LM score, keep the middle band). Thresholds
+    * are the P10/P90 of [[TextAnalysis.unigramScored]]'s `mean_nll`,
+    * computed at 0.01-nll bucket granularity: a doc is kept iff its
+    * score bucket lies strictly above the P10 bucket and at or below
+    * the P90 bucket.
+    *
+    * Scale shape: the percentile is NOT a corpus-wide sort or a
+    * per-doc rank window. `floor(mean_nll·100)` buckets are BOUNDED by
+    * the score's range (mean_nll ≤ log2(corpus tokens) < 64 ⇒ ≤ ~6 400
+    * buckets however large the corpus), the cumulative count runs over
+    * that bounded histogram, and the two 1-row thresholds broadcast
+    * back into a map-only filter. Bucketed thresholds trade ≤ 0.01 nll
+    * of threshold precision for a plan with no corpus-sized sort —
+    * and stay deterministic and engine-exact (IEEE doubles both
+    * sides), unlike sampled approx-percentiles which no oracle can
+    * restate. */
+  def pipelinePerplexityFilter(spark: SparkSession, dir: String,
+      pLo: Double = 0.10, pHi: Double = 0.90): DataFrame = {
+    val s = TextAnalysis.unigramScored(spark, dir)
+      .withColumn("cb", floor(col("mean_nll") * 100).cast("long"))
+    val hist = s.groupBy("cb").agg(count(lit(1)).as("c"))
+    // bounded relation (≤ ~6 400 rows): the only unpartitioned window
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+      Window.orderBy(col("cb")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = s.agg(count(lit(1)).as("n"))
+    val withN = cum.crossJoin(broadcast(n))
+    val lo = withN.where(col("cum") >= col("n") * pLo).agg(min(col("cb")).as("lo"))
+    val hi = withN.where(col("cum") >= col("n") * pHi).agg(min(col("cb")).as("hi"))
+    s.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .where(col("cb") > col("lo") && col("cb") <= col("hi"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_nll"))
+      .orderBy("doc_id")
+  }
+
   /** `pipeline_mix_temperature` — temperature-based mixture
     * rebalancing (the multilingual-corpus sampling rule of the GPT-3/
     * PaLM data recipes): with language share s_l, the target mix is

@@ -178,7 +178,13 @@ object TextAnalysis {
     * token otherwise), both aggregations map-side combine, and the
     * grand total rides a 1-row broadcast cross join. No window, no
     * driver loop. */
-  def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+  def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramScored(spark, dir).orderBy("doc_id")
+
+  /** (doc_id, n_tokens, mean_nll) for every document, un-ordered — the
+    * shared core of [[textUnigramLogprob]] and the perplexity-band
+    * curation gate ([[Curate.pipelinePerplexityFilter]]). */
+  private[operators] def unigramScored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
@@ -195,7 +201,6 @@ object TextAnalysis {
         col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
-      .orderBy("doc_id")
   }
 
   // PII patterns shared verbatim with the DuckDB oracle. Conservative

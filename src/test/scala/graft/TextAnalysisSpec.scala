@@ -170,6 +170,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_._3).sum <= budget)
   }
 
+  test("perplexity band keeps the middle and drops both score tails") {
+    val all = graft.operators.TextAnalysis.textUnigramLogprob(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val kept = graft.operators.Curate.pipelinePerplexityFilter(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(kept.nonEmpty && kept.length < all.length)
+    // band property at bucket granularity: every dropped doc's bucket
+    // lies outside [min kept bucket, max kept bucket]
+    def cb(x: Double) = math.floor(x * 100).toLong
+    val keptB = kept.map(d => cb(d._2))
+    val (bLo, bHi) = (keptB.min, keptB.max)
+    val dropped = all.filterNot(d => kept.exists(_._1 == d._1))
+    assert(dropped.forall(d => cb(d._2) < bLo || cb(d._2) > bHi))
+    // both tails actually shed mass (P10 below, P90 above)
+    assert(dropped.exists(d => cb(d._2) < bLo) && dropped.exists(d => cb(d._2) > bHi))
+    // coverage is ~80% of the corpus (bucket rounding moves a little)
+    val frac = kept.length.toDouble / all.length
+    assert(frac > 0.6 && frac < 0.95, s"kept fraction $frac")
+  }
+
   test("token budget larger than the corpus keeps every scored doc") {
     val all = graft.operators.Curate.pipelineTokenBudget(spark, sf, Long.MaxValue).count()
     val docs = graft.sources.Tables.documents(spark, sf).count()
