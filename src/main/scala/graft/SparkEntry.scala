@@ -128,6 +128,8 @@ object SparkEntry {
     "pipeline_token_budget" -> ((s, d) => Curate.pipelineTokenBudget(s, d)),
     // perplexity-band middle-keep: drop P10/P90 tails of the LM score
     "pipeline_perplexity_filter" -> ((s, d) => Curate.pipelinePerplexityFilter(s, d)),
+    // embedding-space decontamination vs the broadcast holdout
+    "pipeline_decontaminate_semantic" -> ((s, d) => Dedup.pipelineDecontaminateSemantic(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twins (same table names, same aliases,
@@ -795,6 +797,17 @@ object SparkEntry {
         |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming FROM cand
         |WHERE bit_count(xor(sim_a, sim_b)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "pipeline_decontaminate_semantic" ->
+      """WITH q AS (SELECT vec_id,
+        |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+        |h AS (SELECT * FROM q WHERE vec_id % 97 = 0),
+        |t AS (SELECT * FROM q WHERE vec_id % 97 <> 0),
+        |c AS (SELECT DISTINCT t.vec_id FROM t JOIN h ON
+        |  round(CAST(list_sum(list_transform(list_zip(t.v, h.v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(list_sum(list_transform(t.v, x -> x*x))
+        |           * list_sum(list_transform(h.v, x -> x*x)) AS DOUBLE)), 6) >= 0.35)
+        |SELECT vec_id FROM t ANTI JOIN c USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
     "dedup_embedding" ->
       """WITH q AS (SELECT vec_id,
         |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),

@@ -461,6 +461,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** `pipeline_decontaminate_semantic` — embedding-space benchmark
+    * decontamination (the semantic companion of
+    * [[pipelineDecontaminate]]'s exact n-gram pass, increasingly the
+    * REQUIRED second check — paraphrased eval leakage survives n-gram
+    * overlap but not cosine): drop every training vector whose
+    * quantized cosine with ANY holdout vector (vec_id ≡ 0 mod `mod`,
+    * the same benchmark stand-in) reaches τ.
+    *
+    * Scale shape: the holdout is benchmark-sized — it BROADCASTS, and
+    * the corpus side is one map-only anti-join scan (BroadcastNested-
+    * LoopJoin on the cosine predicate): no shuffle, no LSH needed —
+    * bucketing only cuts constants when one side is already tiny, and
+    * the scan shape is exactly how a 100 TB corpus screens against a
+    * few thousand eval rows. Quantized arithmetic matches
+    * [[dedupEmbedding]] bit-for-bit, so the oracle restates it. */
+  def pipelineDecontaminateSemantic(spark: SparkSession, dir: String,
+      tau: Double = 0.35, mod: Long = 97): DataFrame = {
+    val q = Similarity.quantized(spark, dir)
+    val hold = q.where(col("vec_id") % mod === 0)
+      .select(col("v").as("hv"), col("nsq").as("hn"))
+    val train = q.where(col("vec_id") % mod =!= 0)
+    train
+      .join(broadcast(hold),
+        round(Similarity.cosinePre(col("v"), col("nsq"), col("hv"), col("hn")), 6) >= tau,
+        "left_anti")
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
   val MinhashSeeds = 16
   val MinhashBands = 4 // 4 bands × 4 rows
 

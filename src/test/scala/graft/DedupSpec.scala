@@ -190,4 +190,27 @@ class DedupSpec extends SparkSpec {
     val distinctSpans = segs.select(graft.functions.HashFunctions.h62(col("seg"))).distinct().count()
     assert(rep.map(_.getAs[Long]("n_kept")).sum === distinctSpans)
   }
+
+  test("semantic decontamination drops exactly the cosine-contaminated train vectors") {
+    import graft.operators.{Dedup, Similarity}
+    val survivors = Dedup.pipelineDecontaminateSemantic(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // reference: brute-force max cosine of every train vector vs the holdout
+    val q = Similarity.quantized(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Long](1).toArray, r.getLong(2)))
+    val (hold, train) = q.partition(_._1 % 97 == 0)
+    assert(hold.nonEmpty && train.nonEmpty)
+    def cos(a: (Long, Array[Long], Long), b: (Long, Array[Long], Long)): Double = {
+      val dot = a._2.zip(b._2).map { case (x, y) => x * y }.sum
+      val d = dot.toDouble / math.sqrt((a._3 * b._3).toDouble)
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = train.filterNot(t => hold.exists(h => cos(t, h) >= 0.35))
+      .map(_._1).toSet
+    assert(survivors === expected)
+    assert(expected.size < train.length, "threshold must actually drop something at sf0.001")
+    // holdout never appears in the output
+    assert(survivors.forall(_ % 97 != 0))
+  }
 }
