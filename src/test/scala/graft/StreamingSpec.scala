@@ -145,7 +145,7 @@ class StreamingSpec extends SparkSpec {
       (4L, "the " * 60 + "of and to a in is you that it"))
       .map { case (id, t) => (id, t.trim) }
     val batchOut = graft.operators.Curate.gates(docs.toDF("doc_id", "text"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"), r.getAs[String]("pred_lang"))).toSet
     val source = MemoryStream[(Long, String)]
     source.addData(docs: _*)
     val q = graft.operators.Curate.gates(source.toDF().toDF("doc_id", "text"))
@@ -153,7 +153,7 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val streamOut = spark.table("gates_stream")
-        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"), r.getAs[String]("pred_lang"))).toSet
       assert(streamOut === batchOut)
       assert(streamOut.exists(_._3 == "en") && streamOut.exists(_._3 == "es"))
     } finally q.stop()
