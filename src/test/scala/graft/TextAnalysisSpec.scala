@@ -143,31 +143,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
-  test("token-budget selection equals the global running-sum reference") {
+  test("token-budget selection equals the global running-sum reference at every budget") {
     import org.apache.spark.sql.expressions.Window
-    val budget = 9000L
-    val got = graft.operators.Curate.pipelineTokenBudget(spark, sf, budget)
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
-    // reference: the literal single-window semantics over the corpus
     val scored = graft.operators.Curate.pipelineTokenBudget(spark, sf, Long.MaxValue)
-    val ref = scored
-      .withColumn("cum", sum(col("n_tokens")).over(
-        Window.orderBy(col("quality").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .where(col("cum") <= budget)
-      .orderBy("doc_id")
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
-    assert(got.toSeq === ref.toSeq)
-    assert(got.nonEmpty && got.length < ref.length + scored.count())
-    // the selection is the BEST-quality prefix: every kept doc's
-    // quality is >= every dropped doc's (ties broken by doc_id inside
-    // one exact quality value, so compare at quality granularity)
-    val keptMin = got.map(_._2).min
-    val dropped = scored.collect().map(r => (r.getLong(0), r.getDouble(1)))
-      .filterNot(d => got.exists(_._1 == d._1))
-    assert(dropped.forall(_._2 <= keptMin + 1e-9))
-    // budget respected exactly
-    assert(got.map(_._3).sum <= budget)
+    val all = scored.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    for (budget <- Seq(0L, 500L, 9000L, 40000L, Long.MaxValue)) {
+      val got = graft.operators.Curate.pipelineTokenBudget(spark, sf, budget)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // reference: the literal single-window semantics over the corpus
+      val ref = scored
+        .withColumn("cum", sum(col("n_tokens")).over(
+          Window.orderBy(col("quality").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("cum") <= budget)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(got.toSeq === ref.toSeq, s"budget=$budget")
+      // best-quality prefix: every kept doc's quality >= every dropped
+      // doc's (ties broken by doc_id inside one exact quality value)
+      if (got.nonEmpty) {
+        val keptMin = got.map(_._2).min
+        val dropped = all.filterNot(d => got.exists(_._1 == d._1))
+        assert(dropped.forall(_._2 <= keptMin + 1e-9), s"budget=$budget")
+      }
+      if (budget != Long.MaxValue) assert(got.map(_._3).sum <= budget)
+    }
+    // the mid budgets select non-trivial strict subsets
+    val mid = graft.operators.Curate.pipelineTokenBudget(spark, sf, 9000L).count()
+    assert(mid > 0 && mid < all.length)
   }
 
   test("perplexity band keeps the middle and drops both score tails") {
