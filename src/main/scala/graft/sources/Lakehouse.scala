@@ -2071,11 +2071,44 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     // data behind, never a referenced-but-deleted dir); kept snapshots
     // keep their ORIGINAL lines — batch ids (exactly-once ledger) and
     // tombstone references must survive expiry
-    val lines = manifestLines(table).filter { line =>
+    val allLines = manifestLines(table)
+    val lines = allLines.filter { line =>
       """"snap":(\d+)""".r.findFirstMatchIn(line).exists(m => keepIds.contains(m.group(1).toLong))
     }
     val liveDeletes = kept.flatMap(s => snapshotDeletes(table).getOrElse(s._1, Seq.empty)).toSet
-    rewriteManifest(table, lines)
+    // Manifest-list summaries ride the line of the commit that
+    // INTRODUCED a dir — which long-lived tables expire first while
+    // the dir itself stays live (carried by reference). Dropping those
+    // lines silently erases dir-level skipping exactly where it
+    // matters (long append histories), so orphaned summaries of live
+    // dirs are re-attached to the first kept line referencing them.
+    val liveTop = live.map(_.takeWhile(_ != '/'))
+    val SumObj = """\{"dir":"([^"]*)","col":".*?","t":"(?:long|double|string)","lo64":"[A-Za-z0-9_\-]*","hi64":"[A-Za-z0-9_\-]*"\}""".r
+    val DirstatsField = ""","dirstats":\[.*\]""".r
+    def sumsOf(line: String): Seq[(String, String)] =
+      """"dirstats":\[(.*)\]""".r.findFirstMatchIn(line).toSeq.flatMap(m =>
+        SumObj.findAllMatchIn(m.group(1)).map(g => (g.group(1), g.matched)))
+    val covered = lines.flatMap(sumsOf).map(_._1).toSet
+    val orphansByDir = allLines.flatMap(sumsOf)
+      .filter { case (dir, _) => liveTop.contains(dir) && !covered.contains(dir) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rescued = scala.collection.mutable.Set.empty[String]
+    val patched = lines.map { line =>
+      val snapDirs = """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(line).map(_.group(1))
+        .getOrElse("").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).map(_.takeWhile(_ != '/')).toSet
+      val toAttach = orphansByDir.keys.filter(d => snapDirs.contains(d) && !rescued.contains(d)).toSeq.sorted
+      if (toAttach.isEmpty) line
+      else {
+        rescued ++= toAttach
+        val objs = toAttach.flatMap(orphansByDir(_))
+        val stripped = DirstatsField.replaceFirstIn(line, "")
+        val existing = sumsOf(line).map(_._2)
+        val merged = (existing ++ objs).mkString(",")
+        stripped.stripSuffix("}") + s""","dirstats":[$merged]}"""
+      }
+    }
+    rewriteManifest(table, patched)
     // Unreferenced dirs with a LIVE _reserve-N marker are an in-flight
     // writer's (a MoR delete between tombstone write and commit, an
     // append between data write and commit) — expiring them would let

@@ -106,6 +106,13 @@ class ManifestListSpec extends SparkSpec {
     assert(after.toSeq === Seq("_snapshots.jsonl"))
     assert(lake.snapshots("seg").size === 5)
     assert(lake.read("seg").count() === 70) // appends carry all prior dirs
+    // manifest-list summaries of live-but-old dirs survive expiry: the
+    // introducing lines are gone, yet a narrow query still skips at
+    // the dir level instead of opening one ledger per historical dir
+    val b2 = Lakehouse.ledgerReads.get()
+    assert(lake.readWhere(col("k") === 7L, "seg").count() === 1)
+    assert(Lakehouse.ledgerReads.get() - b2 <= 1,
+      "dir summaries rescued at expiry must keep dir-level skipping alive")
   }
 
   test("partitioned table: partition-value conjunct skips foreign dirs at the manifest") {
