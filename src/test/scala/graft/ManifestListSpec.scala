@@ -115,6 +115,29 @@ class ManifestListSpec extends SparkSpec {
       "dir summaries rescued at expiry must keep dir-level skipping alive")
   }
 
+  test("concurrent appends racing across a segment boundary lose nothing") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((0L, "seed")).toDF("k", "v"), "cseg")
+    // fill the base segment to 4 lines short of the boundary…
+    (1 to 59).foreach(i => lake.append(Seq((i.toLong, "x")).toDF("k", "v"), "cseg"))
+    // …then race 8 writers THROUGH the boundary (commits 61-68 span
+    // the 64-line segment cut)
+    val writers = (60 to 67).map { i =>
+      Future { lake.append(Seq((i.toLong, s"w$i")).toDF("k", "v"), "cseg") }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(lake.read("cseg").count() === 68L)
+    assert(lake.snapshots("cseg").map(_._1).distinct.length === 68)
+    val segs = new java.io.File(s"$root/cseg").listFiles.map(_.getName)
+      .filter(_.startsWith("_snapshots")).sorted
+    assert(segs.length === 2, s"boundary must have been crossed: ${segs.mkString(",")}")
+  }
+
   test("partitioned table: partition-value conjunct skips foreign dirs at the manifest") {
     import spark.implicits._
     val lake = new Lakehouse(spark, freshRoot())
