@@ -200,7 +200,11 @@ object Curate {
       .withColumn("cum", sum(col("btok")).over(
         Window.orderBy(col("qb").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("prev", col("cum") - col("btok"))
-    val joined = d.join(cum, Seq("qb"))
+    // the histogram caps at ~10⁶ rows (~tens of MB) — above the default
+    // autoBroadcast threshold at full width, so say broadcast explicitly:
+    // without it this becomes the corpus-wide shuffle the operator exists
+    // to avoid
+    val joined = d.join(broadcast(cum), Seq("qb"))
     val full = joined.where(col("cum") <= budget)
     // ≤ one boundary bucket: per-doc prefix sum within that bucket only
     val wB = Window.partitionBy("qb").orderBy(col("doc_id"))

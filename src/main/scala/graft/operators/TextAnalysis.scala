@@ -183,8 +183,17 @@ object TextAnalysis {
 
   /** (doc_id, n_tokens, mean_nll) for every document, un-ordered — the
     * shared core of [[textUnigramLogprob]] and the perplexity-band
-    * curation gate ([[Curate.pipelinePerplexityFilter]]). */
-  private[operators] def unigramScored(spark: SparkSession, dir: String): DataFrame = {
+    * curation gate ([[Curate.pipelinePerplexityFilter]]). Memo'd: the
+    * perplexity filter references this relation three times in one
+    * plan (histogram, count, final filter) and Catalyst does not share
+    * common subplans across joins — without persistence the corpus
+    * would be tokenized and frequency-joined three times. */
+  private[operators] def unigramScored(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Memo.persisted(spark, s"text.unigramScored|$dir") {
+      unigramScoredPlan(spark, dir)
+    }
+
+  private def unigramScoredPlan(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))

@@ -60,42 +60,96 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   // cache sound: a (path, mtime, length) key can only go stale by the
   // file actually changing.
 
-  /** All ledger segments in commit order (base first). */
+  /** All ledger segments in commit order (base first). A segment whose
+    * real file is missing mid-swap but whose `.tmp` survives is still
+    * discovered — [[readLines]] falls back to the complete temp, so a
+    * crash between writeFile's delete and rename never makes
+    * acknowledged history invisible (which would let the next append
+    * start a fresh base over it). */
   private def manifestSegs(table: String): Seq[Path] = {
     val base = manifest(table)
-    if (!fs.exists(base)) return Seq.empty
+    def liveOrTmp(p: Path): Boolean =
+      fs.exists(p) || fs.exists(new Path(p.getParent, p.getName + ".tmp"))
+    if (!liveOrTmp(base)) return Seq.empty
     val extra = scala.util.Try(fs.listStatus(tableDir(table)).toSeq).getOrElse(Seq.empty)
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.startsWith("_snapshots-") && n.endsWith(".jsonl")
+      .map(_.getPath.getName)
+      .collect {
+        case n if n.startsWith("_snapshots-") && n.endsWith(".jsonl") => n
+        case n if n.startsWith("_snapshots-") && n.endsWith(".jsonl.tmp") =>
+          n.stripSuffix(".tmp") // mid-swap segment: surface its real name
       }
-      .sortBy(_.getName.stripPrefix("_snapshots-").stripSuffix(".jsonl").toInt)
+      .distinct
+      .sortBy(_.stripPrefix("_snapshots-").stripSuffix(".jsonl").toInt)
+      .map(new Path(tableDir(table), _))
     base +: extra
   }
 
   /** Every ledger line across segments, oldest first — the one read
     * path all manifest parsers go through. Full segments hit the
-    * parsed cache; at most the base and the live tail are re-read. */
-  private def manifestLines(table: String): Seq[String] =
-    manifestSegs(table).flatMap { seg =>
+    * parsed cache; at most the base and the live tail are re-read.
+    * Lines are deduplicated by snapshot id (first occurrence wins):
+    * a crash between expiry's consolidated-base write and its extra-
+    * segment deletes leaves stale tails whose lines all re-appear in
+    * the base — the first-wins rule makes readers immune, and
+    * [[appendManifestLine]] deletes such stale tails at the next
+    * commit. */
+  private def manifestLines(table: String): Seq[String] = {
+    val raw = manifestSegs(table).flatMap { seg =>
       val st = scala.util.Try(fs.getFileStatus(seg)).toOption
-      val key = (seg.toString,
-        st.map(_.getModificationTime).getOrElse(-1L), st.map(_.getLen).getOrElse(-1L))
-      val hit = Lakehouse.manifestCache.get(key)
-      if (hit != null) hit
-      else {
-        val lines = readLines(seg)
-        if (Lakehouse.manifestCache.size > 512) Lakehouse.manifestCache.clear()
-        Lakehouse.manifestCache.put(key, lines)
-        lines
+      st match {
+        case None => readLines(seg) // mid-swap (.tmp fallback): never cache
+        case Some(s) =>
+          val key = (seg.toString, s.getModificationTime, s.getLen)
+          val hit = Lakehouse.manifestCache.get(key)
+          if (hit != null) hit
+          else {
+            val lines = readLines(seg)
+            if (Lakehouse.manifestCache.size > 512) Lakehouse.manifestCache.clear()
+            Lakehouse.manifestCache.put(key, lines)
+            lines
+          }
       }
     }
+    val seen = scala.collection.mutable.Set.empty[Long]
+    raw.filter { line =>
+      SnapIdRe.findFirstMatchIn(line).map(_.group(1).toLong) match {
+        case Some(id) => seen.add(id)
+        case None => true
+      }
+    }
+  }
+
+  private val SnapIdRe = """"snap":(\d+)""".r
+
+  private def segIdsOf(lines: Seq[String]): Set[Long] =
+    lines.flatMap(l => SnapIdRe.findFirstMatchIn(l).map(_.group(1).toLong)).toSet
 
   /** Append one commit line: rewrite the last segment if it has room,
-    * else start the next one. Called only under the table lock. */
+    * else start the next one. Called only under the table lock. Also
+    * the self-heal point for an interrupted expiry consolidation: an
+    * extra segment whose snapshot ids all already appear in earlier
+    * segments is a stale pre-consolidation leftover and is deleted
+    * before the append. */
   private def appendManifestLine(table: String, line: String): Unit = {
-    val segs = manifestSegs(table)
+    var segs = manifestSegs(table)
+    if (segs.size > 1) {
+      var earlier = segIdsOf(readLines(segs.head))
+      val (keep, stale) = segs.tail.foldLeft((Seq(segs.head), Seq.empty[Path])) {
+        case ((k, s), seg) =>
+          val ids = segIdsOf(readLines(seg))
+          // ANY id overlap with earlier segments marks the tail stale:
+          // healthy segments never share ids, and consolidation wrote
+          // every KEPT line into the base — so a stale tail's non-
+          // overlapping lines are exactly the expired ones, safe to drop
+          if (ids.exists(earlier.contains)) (k, s :+ seg)
+          else { earlier ++= ids; (k :+ seg, s) }
+      }
+      stale.foreach { p =>
+        fs.delete(p, false)
+        fs.delete(new Path(p.getParent, p.getName + ".tmp"), false)
+      }
+      segs = keep
+    }
     if (segs.isEmpty) { writeFile(manifest(table), line + "\n"); return }
     val last = segs.last
     val lastLines = readLines(last)
@@ -111,10 +165,18 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
 
   /** Replace the whole ledger with `lines` (expiry's consolidation):
     * everything lands back in the base segment and the extra segments
-    * are removed. Called only under the table lock. */
+    * are removed. Called only under the table lock. Ordering is
+    * deliberate — base first, THEN deletes: a crash in between leaves
+    * stale tails whose lines duplicate the base, which readers ignore
+    * (first-occurrence dedup in [[manifestLines]]) and the next
+    * commit's self-heal removes; the reverse order could lose kept
+    * snapshots. */
   private def rewriteManifest(table: String, lines: Seq[String]): Unit = {
     writeFile(manifest(table), if (lines.isEmpty) "" else lines.mkString("\n") + "\n")
-    manifestSegs(table).drop(1).foreach(fs.delete(_, false))
+    manifestSegs(table).drop(1).foreach { p =>
+      fs.delete(p, false)
+      fs.delete(new Path(p.getParent, p.getName + ".tmp"), false)
+    }
   }
 
   /** The table's directory (for inspection/specs). */
@@ -1372,13 +1434,17 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * (their per-file min=max=the partition value), so partition
     * pruning falls out of the same mechanism. */
   private def matchingFiles(table: String, entry: String,
-      conjuncts: Seq[(String, String, Any)]): Seq[String] = {
+      conjuncts: Seq[(String, String, Any)],
+      sums: Map[String, Map[String, (String, String, String)]]): Seq[String] = {
     val dataDir = entry.takeWhile(_ != '/')
     // manifest-list gate first: if the dir's committed column ranges
     // prove no file can match, skip without opening stats, blooms, or
     // listing the dir — the Iceberg plan-time property that keeps
-    // metadata I/O proportional to MATCHING dirs, not table history
-    if (conjuncts.nonEmpty && !dirMayMatch(dirSummaries(table).get(dataDir), conjuncts))
+    // metadata I/O proportional to MATCHING dirs, not table history.
+    // `sums` is computed ONCE per operation by the caller — resolving
+    // it here would re-list the table dir per entry, O(history) fs
+    // calls per filtered read on a long-history table.
+    if (conjuncts.nonEmpty && !dirMayMatch(sums.get(dataDir), conjuncts))
       return Seq.empty
     val stats = readStats(table, dataDir)
     val byFileCol = stats.groupBy(s => (s._1, s._2))
@@ -1449,10 +1515,11 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val conjuncts = Transforms.derivedConjuncts(
       skippableConjuncts(pred, read(table, branch)),
       snapshotPhysLayouts(table, entries))
+    val sums = dirSummaries(table) // once per read, not per entry
     val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
     val dels = tombstones(table, snap)
     val reads = byDataDir.flatMap { case (dataDir, dirEntries) =>
-      val files = dirEntries.flatMap(matchingFiles(table, _, conjuncts)).distinct
+      val files = dirEntries.flatMap(matchingFiles(table, _, conjuncts, sums)).distinct
       if (files.isEmpty) None
       else Some(applyTombstones(openDirGroup(table, dataDir, files), dataDir, dels))
     }
@@ -1507,7 +1574,8 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
               .map(l => s"$e/$l")
           }
         }
-      val (touched, clean) = entries.partition(e => matchingFiles(table, e, conjuncts).nonEmpty)
+      val sums = dirSummaries(table) // once per operation, not per entry
+      val (touched, clean) = entries.partition(e => matchingFiles(table, e, conjuncts, sums).nonEmpty)
       val baseDeletes = snapshotDeletes(table).getOrElse(base.get, Seq.empty)
       if (touched.isEmpty) base.get // nothing can match: no-op commit-free
       else {
@@ -1584,7 +1652,8 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
               .map(l => s"$e/$l")
           }
         }
-      val (touched, clean) = entries.partition(e => matchingFiles(table, e, conjuncts).nonEmpty)
+      val sums = dirSummaries(table) // once per operation, not per entry
+      val (touched, clean) = entries.partition(e => matchingFiles(table, e, conjuncts, sums).nonEmpty)
       val baseDeletes = snapshotDeletes(table).getOrElse(base.get, Seq.empty)
       if (touched.isEmpty) base.get // stats prove nothing can match: no-op
       else {
@@ -1635,9 +1704,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         skippableConjuncts(pred, readBase(table, base)),
         snapshotPhysLayouts(table, entries))
       val dels = tombstones(table, base.get)
+      val sums = dirSummaries(table) // once per operation, not per entry
       val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
       val hits = byDataDir.flatMap { case (dataDir, dirEntries) =>
-        val files = dirEntries.flatMap(matchingFiles(table, _, conjuncts)).distinct
+        val files = dirEntries.flatMap(matchingFiles(table, _, conjuncts, sums)).distinct
         if (files.isEmpty) None
         else Some(
           applyTombstones(openDirGroup(table, dataDir, files), dataDir, dels)
@@ -1686,9 +1756,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         skippableConjuncts(pred, target),
         snapshotPhysLayouts(table, entries))
       val dels = tombstones(table, base.get)
+      val sums = dirSummaries(table) // once per operation, not per entry
       val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
       val hits = byDataDir.flatMap { case (dataDir, dirEntries) =>
-        val files = dirEntries.flatMap(matchingFiles(table, _, conjuncts)).distinct
+        val files = dirEntries.flatMap(matchingFiles(table, _, conjuncts, sums)).distinct
         if (files.isEmpty) None
         else Some(
           applyTombstones(openDirGroup(table, dataDir, files), dataDir, dels)

@@ -409,9 +409,18 @@ case class LakehouseShowCatalogsCommand() extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("catalog", StringType)(),
     AttributeReference("location", StringType)())
-  override def run(spark: SparkSession): Seq[Row] =
-    Row("spark_catalog", null) +:
-      LakehouseRegistry.lakes(spark).map { case (name, lake) => Row(name, lake.root) }
+  override def run(spark: SparkSession): Seq[Row] = {
+    // native V2 catalogs first (spark.sql.catalog.* plugins +
+    // spark_catalog) — intercepting must not HIDE configured catalogs
+    // the delegate statement would have listed
+    val native = scala.util.Try(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.catalogManager.listCatalogs(None))
+      .getOrElse(Seq("spark_catalog")).sorted
+    val lakeNames = LakehouseRegistry.lakes(spark)
+    val nativeRows = native.filterNot(n => lakeNames.exists(_._1 == n)).map(Row(_, null))
+    nativeRows ++ lakeNames.map { case (name, lake) => Row(name, lake.root) }
+  }
 }
 
 /** `SHOW NAMESPACES IN <lake>` — a graft lake is a flat,

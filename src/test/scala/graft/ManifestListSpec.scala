@@ -115,6 +115,55 @@ class ManifestListSpec extends SparkSpec {
       "dir summaries rescued at expiry must keep dir-level skipping alive")
   }
 
+  test("crash mid-swap: a .tmp-only ledger segment is still authoritative") {
+    import spark.implicits._
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "cr")
+    lake.append(Seq((2L, "b")).toDF("k", "v"), "cr")
+    // simulate writeFile dying between delete(real) and rename(tmp):
+    // only the complete .tmp exists
+    val base = new java.io.File(s"$root/cr/_snapshots.jsonl")
+    val tmp = new java.io.File(s"$root/cr/_snapshots.jsonl.tmp")
+    assert(base.renameTo(tmp))
+    // history remains visible through the tmp fallback…
+    assert(lake.snapshots("cr").size === 2)
+    assert(lake.read("cr").count() === 2)
+    // …and the next append must EXTEND it, not start a fresh ledger
+    lake.append(Seq((3L, "c")).toDF("k", "v"), "cr")
+    assert(lake.snapshots("cr").size === 3)
+    assert(lake.read("cr").count() === 3)
+  }
+
+  test("crash mid-consolidation: stale tail is ignored by readers and healed by the next commit") {
+    import spark.implicits._
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((0L, "x")).toDF("k", "v"), "cc2")
+    (1 to 69).foreach(i => lake.append(Seq((i.toLong, "x")).toDF("k", "v"), "cc2"))
+    val seg2 = new java.io.File(s"$root/cc2/_snapshots-2.jsonl")
+    assert(seg2.exists)
+    val staleContent = new String(java.nio.file.Files.readAllBytes(seg2.toPath))
+    // run a real expiry (consolidates to base + deletes seg2), then
+    // resurrect seg2 — exactly the state a crash between the base
+    // write and the tail delete leaves behind
+    lake.expireSnapshots("cc2", keepLast = 5)
+    val keptIds = lake.snapshots("cc2").map(_._1)
+    assert(keptIds.size === 5)
+    java.nio.file.Files.write(seg2.toPath, staleContent.getBytes)
+    // readers: first-occurrence dedup ignores the stale duplicates and
+    // monotone history is preserved (no duplicated ids, base copy wins)
+    val seen = lake.snapshots("cc2").map(_._1)
+    assert(seen.distinct.size === seen.size)
+    assert(keptIds.toSet.subsetOf(seen.toSet))
+    assert(lake.read("cc2").count() === 70)
+    // the next commit self-heals: the stale tail disappears
+    lake.append(Seq((999L, "z")).toDF("k", "v"), "cc2")
+    assert(!seg2.exists, "stale pre-consolidation tail must be deleted at the next commit")
+    assert(lake.read("cc2").count() === 71)
+    assert(lake.snapshots("cc2").map(_._1).distinct.size === lake.snapshots("cc2").size)
+  }
+
   test("concurrent appends racing across a segment boundary lose nothing") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
