@@ -22,6 +22,7 @@ object SparkEntry {
     "gold_sales_report" -> (Medallion.goldSalesReport _),
     "sql_catalog_query" -> (Medallion.sqlCatalogQuery _),
     "sql_lakehouse_ddl" -> (Medallion.sqlLakehouseDdl _),
+    "mview_incremental" -> (Medallion.mviewIncremental _),
     "sql_time_travel" -> (Medallion.sqlTimeTravel _),
     "sql_hidden_partition" -> (Medallion.sqlHiddenPartition _),
     "sql_schema_evolution" -> (Medallion.sqlSchemaEvolution _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_rep_ngrams" -> (TextAnalysis.textRepNgrams _),
     "text_pii" -> (TextAnalysis.textPii _),
+    "text_chunk" -> ((s, d) => TextAnalysis.textChunk(s, d)),
     "sketch_distinct_ngrams" -> ((s, d) => operators.Sketches.sketchDistinctNgrams(s, d)),
     "sketch_source_overlap" -> ((s, d) => operators.Sketches.sketchSourceOverlap(s, d)),
     "sketch_algebra" -> ((s, d) => operators.Sketches.sketchAlgebra(s, d)),
@@ -126,6 +128,7 @@ object SparkEntry {
     "pipeline_decontaminate" -> ((s, d) => Dedup.pipelineDecontaminate(s, d)),
     // token-budgeted selection: best-quality docs until the budget
     "pipeline_token_budget" -> ((s, d) => Curate.pipelineTokenBudget(s, d)),
+    "pipeline_domain_cap" -> ((s, d) => Curate.pipelineDomainCap(s, d)),
     // perplexity-band middle-keep: drop P10/P90 tails of the LM score
     "pipeline_perplexity_filter" -> ((s, d) => Curate.pipelinePerplexityFilter(s, d)),
     // embedding-space decontamination vs the broadcast holdout
@@ -173,6 +176,15 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
     // create(F) → INSERT(O) → MERGE(custkey%97, doubled) → UPDATE(+1
+    // incremental materialized view: two delta-merge refreshes must
+    // land bit-exactly on the full GROUP BY over every order
+    "mview_incremental" ->
+      """SELECT o_orderstatus,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS min_price,
+        |  round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // on orderkey%11) → DELETE(orderkey%7) — all parsed SQL DML
     "sql_lakehouse_ddl" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -1090,6 +1102,16 @@ object SparkEntry {
         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6) AS rep_ratio
         |FROM s WHERE n_ngrams > 0
         |ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) ts FROM documents),
+        |nz AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) n FROM tk WHERE len(ts) > 0),
+        |c AS (SELECT doc_id, ts, n,
+        |  1 + (greatest(n - 16, 0) + 11) // 12 AS nc FROM nz),
+        |ex AS (SELECT doc_id, ts, n, unnest(range(0, nc)) AS chunk_no FROM c)
+        |SELECT doc_id, chunk_no,
+        |  CAST(least(16, n - chunk_no * 12) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(ts[chunk_no*12+1 : chunk_no*12+16], ' ')) AS chunk_md5
+        |FROM ex ORDER BY doc_id, chunk_no""".stripMargin,
     "sketch_distinct_ngrams" ->
       """WITH tk AS (SELECT source, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks
         |  FROM documents),
@@ -1228,6 +1250,22 @@ object SparkEntry {
         |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM q WHERE quality IS NOT NULL)
         |SELECT doc_id, quality, n_tokens FROM c WHERE cum <= 25000
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_domain_cap" ->
+      """WITH t AS (SELECT doc_id, source, length(text) n_chars,
+        |  regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks,
+        |  len(regexp_extract_all(text, '([^a-z0-9 ])', 1)) n_punct FROM documents),
+        |u AS (SELECT doc_id, source, n_chars, n_punct, len(toks) n_tokens,
+        |  len(list_filter(toks, tk -> list_contains(['the','and','of','to','a','in','is','you','that','it'], tk))) n_stop
+        |  FROM t),
+        |q AS (SELECT doc_id, source,
+        |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+        |    + 0.3 * (1.0 - least(1.0, 10.0 * CAST(n_punct AS DOUBLE) / n_chars))
+        |    + 0.3 * least(1.0, 5.0 * CAST(n_stop AS DOUBLE) / n_tokens), 6) quality FROM u),
+        |r AS (SELECT doc_id, source, quality,
+        |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) rk
+        |  FROM q WHERE quality IS NOT NULL)
+        |SELECT doc_id, source, quality FROM r WHERE rk <= 20
         |ORDER BY doc_id""".stripMargin,
     "pipeline_curate" ->
       """WITH t AS (SELECT doc_id, length(text) n_chars,

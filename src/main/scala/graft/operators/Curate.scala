@@ -218,6 +218,55 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** `pipeline_domain_cap` — per-source document cap by quality rank
+    * (domain balancing: no single crawl domain may contribute more
+    * than `cap` documents, and each domain sends its BEST ones — the
+    * anti-domination rule every web-scale mix applies before
+    * temperature mixing). Semantics: within each source, documents
+    * ranked by (quality DESC, doc_id) keep ranks 1..cap — exactly a
+    * per-source row_number window.
+    *
+    * Scale shape: the rank window is NOT run over the corpus (a
+    * skewed source would sort its whole partition — the hot-domain
+    * case is precisely where the cap matters most). As in
+    * [[pipelineTokenBudget]], 6-dp quality makes `round(q·10⁶)`
+    * bucketing exact, so the per-(source, bucket) COUNT histogram is
+    * bounded at |sources|·10⁶ rows regardless of corpus size; the
+    * running count runs over that bounded relation, whole buckets
+    * above the boundary keep by a broadcast keyed join, and only each
+    * source's single boundary bucket — its docs tied at one exact
+    * quality — pays a per-doc rank. Corpus-side: one map-side
+    * combinable count agg + one broadcast join; the giant domain
+    * never gets sorted. */
+  def pipelineDomainCap(spark: SparkSession, dir: String,
+      cap: Int = 20): DataFrame = {
+    val src = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val d = scoredDocs(spark, dir)
+      .where(col("quality").isNotNull)
+      .select(col("doc_id"), col("quality"))
+      .join(src, Seq("doc_id"))
+      .withColumn("qb", round(col("quality") * 1e6, 0).cast("long"))
+    val hist = d.groupBy("source", "qb").agg(count(lit(1)).as("bn"))
+    // bounded histogram: the only window whose partition is a whole source
+    val wS = Window.partitionBy("source").orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("bn")).over(wS))
+      .withColumn("prev", col("cum") - col("bn"))
+    val joined = d.join(broadcast(cum), Seq("source", "qb"))
+    val full = joined.where(col("cum") <= cap)
+    // per-doc rank only inside each source's boundary bucket
+    val wB = Window.partitionBy("source", "qb").orderBy(col("doc_id"))
+    val boundary = joined
+      .where(col("prev") < cap && col("cum") > cap)
+      .withColumn("rk", row_number().over(wB))
+      .where(col("prev") + col("rk") <= cap)
+    full.select("doc_id", "source", "quality")
+      .unionByName(boundary.select("doc_id", "source", "quality"))
+      .orderBy("doc_id")
+  }
+
   /** `pipeline_perplexity_filter` — perplexity-band curation (the
     * CCNet middle-keep: drop the lowest-scoring tail — boilerplate,
     * all high-frequency tokens — and the highest tail — lexical

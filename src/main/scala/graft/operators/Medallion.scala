@@ -446,4 +446,43 @@ object Medallion {
       compacted.unionAll(rolledBack).unionAll(fin).orderBy("at")
     } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
   }
+
+  /** `mview_incremental` — the incrementally-maintained gold rollup
+    * lifecycle ([[graft.sources.MaterializedView]]): a third of
+    * `orders` lands in a lakehouse table and the per-status sales
+    * view materializes over it; two more appends each REFRESH the
+    * view by reading only the appended delta and merging partial
+    * aggregates into the touched groups (never re-scanning the
+    * table). The output is the final view contents — and the ORACLE
+    * is a plain GROUP BY over ALL of `orders`, so the hash compare
+    * proves two incremental merges land bit-exactly on the full
+    * recompute. Reference analog: gold_reporting.py:70 recomputes
+    * this rollup from scratch every run; at 100 TB only the
+    * delta-priced refresh survives. Decimal sums keep the total
+    * partition-order-free (§3); the stored decimal(28,2) casts back
+    * to DOUBLE 2-dp for the oracle-comparable readout. */
+  def mviewIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Lakehouse, MaterializedView => MV}
+    val root = java.nio.file.Files.createTempDirectory("graft-mview").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val d = MV.ViewDef("mv_sales", "mv_orders", Seq("o_orderstatus"), Seq(
+      MV.SumCol("price", "total_price"), MV.CountAll("n_orders"),
+      MV.MinCol("price", "min_price"), MV.MaxCol("price", "max_price")))
+    lake.createOrReplace(orders.where(col("o_orderkey") % 3 === 0), "mv_orders")
+    MV.create(lake, d)
+    lake.append(orders.where(col("o_orderkey") % 3 === 1), "mv_orders")
+    MV.refresh(lake, d)
+    lake.append(orders.where(col("o_orderkey") % 3 === 2), "mv_orders")
+    MV.refresh(lake, d)
+    lake.read("mv_sales")
+      .select(col("o_orderstatus"),
+        round(col("total_price").cast("double"), 2).as("total_price"),
+        col("n_orders"),
+        round(col("min_price").cast("double"), 2).as("min_price"),
+        round(col("max_price").cast("double"), 2).as("max_price"))
+      .orderBy("o_orderstatus")
+  }
 }

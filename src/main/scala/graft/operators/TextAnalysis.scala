@@ -277,6 +277,53 @@ object TextAnalysis {
           .as("rep_ratio"))
       .orderBy("doc_id")
 
+  /** `text_chunk` — overlapping-window document chunking, the
+    * retrieval/RAG prep step (and the context-window packer's
+    * upstream): each document becomes fixed `window`-token chunks
+    * advancing by `stride` tokens (`window - stride` tokens of
+    * overlap), so a fact straddling a boundary appears whole in the
+    * next chunk. A chunk exists only if it CONTRIBUTES tokens beyond
+    * the previous chunk's end — chunk count = 1 + ⌈max(0, n−W)/S⌉,
+    * in integer arithmetic so both engines agree exactly; the final
+    * chunk may be short (`n_chunk_tokens = min(W, n − no·S)`).
+    *
+    * Output is one row per chunk: (doc_id, chunk_no, n_chunk_tokens,
+    * chunk_md5) — the md5 of the space-joined token window pins the
+    * exact chunk text cross-engine without shipping the text itself.
+    *
+    * Scale shape: pure map-side `sequence` + `posexplode` + `slice` +
+    * `array_join` (the same straight-line codegen family as
+    * [[graft.operators.Dedup.dedupSpans]] segmentation) — ZERO
+    * shuffles before the output sort; at 100 TB this is one scan,
+    * linear in bytes, embarrassingly parallel. Reference analog: the
+    * reference's document feed is consumed whole
+    * (spark_jobs/mongo_to_iceberg.py:64); chunking is the step a
+    * retrieval deployment of the same corpus inserts before
+    * embedding. */
+  def textChunk(spark: SparkSession, dir: String,
+      window: Int = 16, stride: Int = 12): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val n = size(col("ts")).cast("long")
+    // 1 + ceil(max(0, n - W) / S). Column./ is double division in
+    // Spark; floor() of it is still exact here (token counts are
+    // far below 2^53) and DuckDB's `//` computes the same value.
+    val nChunks = lit(1L) +
+      floor((greatest(n - window, lit(0L)) + (stride - 1)) / stride).cast("long")
+    Tables.parallel(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"), n.as("n"),
+        posexplode(sequence(lit(0L), nChunks - 1)))
+      .select(col("doc_id"), col("col").as("chunk_no"),
+        least(lit(window.toLong), col("n") - col("col") * stride)
+          .as("n_chunk_tokens"),
+        md5(array_join(
+          slice(col("ts"), (col("col") * stride + 1).cast("int"), lit(window)), " "))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
   /** Mask every email / IPv4 / phone with a typed placeholder — the
     * fixed order [[textPii]] documents. Map-only codegen'd
     * `regexp_replace` chain, reusable on any string column. */

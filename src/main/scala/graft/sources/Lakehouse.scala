@@ -776,6 +776,27 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
     }
 
+  /** Idempotent FULL REPLACE keyed by a batch id — [[appendOnce]]'s
+    * replace-shaped sibling: the new snapshot references ONLY the
+    * freshly written dir, and a replay of the same `batchId` commits
+    * nothing. The exactly-once primitive for full-refresh sinks
+    * (e.g. [[MaterializedView]]'s recompute fallback), where a crash
+    * between "view rewritten" and "caller notices" must not apply
+    * the rewrite twice under a moved source. */
+  def replaceOnce(df: DataFrame, table: String, batchId: Long,
+      partitionBy: Seq[String] = Nil, branch: String = "main"): Long =
+    retryingCommit(table, branch) { base =>
+      if (committedBatches(table).contains(batchId)) base.getOrElse(-1L)
+      else {
+        val snap = reserveSnap(table)
+        val dir = s"data-$snap"
+        try {
+          writeDataDir(df, table, dir, partitionBy)
+          commit(table, snap, Seq(dir), branch, Some(base), batch = Some(batchId))
+        } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+      }
+    }
+
   /** Idempotent append keyed by a streaming micro-batch id, recorded
     * in the commit metadata — the Iceberg-writer property that makes
     * `foreachBatch` restarts exactly-once: a replayed batch finds its

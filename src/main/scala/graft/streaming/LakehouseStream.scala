@@ -72,7 +72,12 @@ class LakehouseStreamProvider extends StreamSourceProvider with DataSourceRegist
     new LakehouseStreamSource(sqlContext.sparkSession, required(parameters, "root"),
       required(parameters, "table"), parameters.getOrElse("branch", "main"),
       parameters.get("startSnapshot").map(_.toLong),
-      parameters.get("cdc").exists(_.toBoolean))
+      parameters.get("cdc").exists(_.toBoolean),
+      parameters.get("maxSnapshotsPerBatch").map { v =>
+        val n = v.toInt
+        require(n > 0, s"maxSnapshotsPerBatch must be positive, got $n")
+        n
+      })
 }
 
 object LakehouseStreamSource {
@@ -92,7 +97,8 @@ object LakehouseStreamSource {
   * the query terminates deterministically even while writers keep
   * committing — no single-batch fallback, no warning. */
 class LakehouseStreamSource(spark: SparkSession, root: String, table: String,
-    branch: String, startSnapshot: Option[Long], cdc: Boolean = false) extends Source
+    branch: String, startSnapshot: Option[Long], cdc: Boolean = false,
+    maxSnapshotsPerBatch: Option[Int] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val lake = new Lakehouse(spark, root)
@@ -112,12 +118,37 @@ class LakehouseStreamSource(spark: SparkSession, root: String, table: String,
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
+  /** Cap a catch-up at `maxSnapshotsPerBatch` snapshots past `from`
+    * along the manifest's commit order (Iceberg's
+    * `streaming-max-files-per-micro-batch` admission-control analog,
+    * at snapshot granularity — our unit of appended data). A long
+    * outage then drains as several bounded micro-batches instead of
+    * one giant scan whose failure loses all progress; each batch's
+    * offset commits, so a crash mid-catch-up resumes at the last
+    * drained snapshot, not the outage start. The bootstrap batch
+    * (no start offset) is the full snapshot and can't be split —
+    * use `startSnapshot` to skip history when tailing. */
+  private def capAt(from: Option[Long], target: Long): Long =
+    (maxSnapshotsPerBatch, from) match {
+      case (Some(n), Some(f)) if f != target =>
+        val chain = lake.snapshots(table).map(_._1)
+        val after = chain.dropWhile(_ != f).drop(1)
+        // snapshots strictly after `from`, up to and including `target`
+        val window =
+          if (after.contains(target)) after.takeWhile(_ != target) :+ target
+          else after
+        window.take(n).lastOption.getOrElse(target)
+      case _ => target
+    }
+
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start).map(_.json.toLong).orElse(startSnapshot)
     availableNowCap.orElse(lake.currentSnapshot(table, branch))
-      .map(LongOffset(_)).orNull
+      .map(t => LongOffset(capAt(from, t))).orNull
+  }
 
   override def getOffset: Option[Offset] =
     lake.currentSnapshot(table, branch).map(LongOffset(_))

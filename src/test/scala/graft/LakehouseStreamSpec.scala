@@ -255,4 +255,34 @@ class LakehouseStreamSpec extends SparkSpec {
       assert(got.toSeq === Seq((1L, "A"), (2L, "B"), (3L, "C")))
     } finally q.stop()
   }
+
+  test("maxSnapshotsPerBatch bounds a catch-up to N snapshots per micro-batch") {
+    import spark.implicits._
+    val root = freshDir("graft-lrate")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((0L, "s")).toDF("k", "v"), "t")
+    val base = lake.currentSnapshot("t").get
+    // five appends while no stream is running — the outage backlog
+    (1L to 5L).foreach(i => lake.append(Seq((i, s"v$i")).toDF("k", "v"), "t"))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream
+      .format("graft.streaming.LakehouseStreamProvider")
+      .option("root", root).option("table", "t")
+      .option("startSnapshot", base.toString) // tail: skip the bootstrap snapshot
+      .option("maxSnapshotsPerBatch", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", freshDir("graft-lrate-ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(batch.collect().map(_.getLong(0)).sorted.toSeq); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = batches.toArray(Array.empty[Seq[Long]]).toSeq.filter(_.nonEmpty)
+    // 5 backlogged append-snapshots drain as 2+2+1, never one giant batch
+    assert(got.map(_.size) === Seq(2, 2, 1),
+      s"expected the backlog to drain 2+2+1, got batches $got")
+    assert(got.flatten.sorted === (1L to 5L), "rate limiting must not drop or repeat rows")
+  }
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Lakehouse, MaterializedView => MV}
+
+/** Incrementally-maintained materialized aggregate views: refreshes
+  * are delta-priced and merge-correct; rewrites fall back to full
+  * recompute; the watermark rides the view's own commit metadata so
+  * crash-replays no-op. */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val ViewDef = MV.ViewDef("sales_by_status", "orders_t",
+    groupCols = Seq("status"),
+    aggs = Seq(
+      MV.SumCol("price", "total"), MV.CountAll("n"),
+      MV.MinCol("price", "lo"), MV.MaxCol("price", "hi")))
+
+  private def ordersDf(rows: (Long, String, java.math.BigDecimal)*) =
+    rows.toDF("id", "status", "price")
+      .select(col("id"), col("status"), col("price").cast("decimal(18,2)").as("price"))
+
+  private def dec(v: String) = new java.math.BigDecimal(v)
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[String]("status") ->
+      ((r.getAs[java.math.BigDecimal]("total"), r.getAs[Long]("n"),
+        r.getAs[java.math.BigDecimal]("lo"), r.getAs[java.math.BigDecimal]("hi")))).toMap
+
+  test("incremental refresh equals a from-scratch recompute, and only on new data") {
+    val root = freshDir("graft-mview")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(ordersDf(
+      (1L, "O", dec("10.00")), (2L, "O", dec("20.00")), (3L, "F", dec("5.50"))), "orders_t")
+    MV.create(lake, ViewDef)
+    assert(asMap(lake.read("sales_by_status")) === Map(
+      "O" -> ((dec("30.00"), 2L, dec("10.00"), dec("20.00"))),
+      "F" -> ((dec("5.50"), 1L, dec("5.50"), dec("5.50")))))
+
+    // two appends: one touches existing groups (new min for F), one adds a group
+    lake.append(ordersDf((4L, "F", dec("1.25")), (5L, "O", dec("7.00"))), "orders_t")
+    lake.append(ordersDf((6L, "P", dec("100.00"))), "orders_t")
+    MV.refresh(lake, ViewDef)
+    val got = asMap(lake.read("sales_by_status"))
+    val full = asMap(MVTestAccess.aggOf(lake.read("orders_t")))
+    assert(got === full, "incremental merge must equal the full recompute")
+    assert(got("F") === ((dec("6.75"), 2L, dec("1.25"), dec("5.50"))), "min re-merges down")
+    assert(got("P") === ((dec("100.00"), 1L, dec("100.00"), dec("100.00"))), "new group inserts")
+
+    // no source movement: refresh commits nothing (same view snapshot)
+    val snapBefore = lake.currentSnapshot("sales_by_status").get
+    MV.refresh(lake, ViewDef)
+    assert(lake.currentSnapshot("sales_by_status").get === snapBefore)
+  }
+
+  test("a replayed refresh is a no-op: the watermark commits atomically with the data") {
+    val root = freshDir("graft-mview-replay")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(ordersDf((1L, "O", dec("10.00"))), "orders_t")
+    MV.create(lake, ViewDef)
+    lake.append(ordersDf((2L, "O", dec("5.00"))), "orders_t")
+    MV.refresh(lake, ViewDef)
+    val snaps = lake.snapshots("sales_by_status").size
+    // the crash-replay: a second refresh toward the same source snapshot
+    // (e.g. the caller died before observing the first one's result)
+    MV.refresh(lake, ViewDef)
+    MV.refresh(lake, ViewDef)
+    assert(lake.snapshots("sales_by_status").size === snaps,
+      "replays must not commit (batch id = source snapshot already in the ledger)")
+    assert(asMap(lake.read("sales_by_status"))("O") ===
+      ((dec("15.00"), 2L, dec("5.00"), dec("10.00"))), "and must not double-count")
+  }
+
+  test("a source rewrite falls back to full recompute instead of merging unsoundly") {
+    val root = freshDir("graft-mview-rw")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(ordersDf(
+      (1L, "O", dec("10.00")), (2L, "O", dec("2.00")), (3L, "F", dec("8.00"))), "orders_t")
+    MV.create(lake, ViewDef)
+    // CoW delete rewrites history — the deleted row held group O's min,
+    // which no mergeable algebra could retract incrementally
+    lake.deleteWhere(col("id") === 2L, "orders_t")
+    lake.append(ordersDf((4L, "F", dec("3.00"))), "orders_t")
+    MV.refresh(lake, ViewDef)
+    assert(asMap(lake.read("sales_by_status")) === Map(
+      "O" -> ((dec("10.00"), 1L, dec("10.00"), dec("10.00"))),
+      "F" -> ((dec("11.00"), 2L, dec("3.00"), dec("8.00")))))
+  }
+
+  test("refresh schema is stable across many refreshes (decimal sums do not widen)") {
+    val root = freshDir("graft-mview-schema")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(ordersDf((1L, "O", dec("1.00"))), "orders_t")
+    MV.create(lake, ViewDef)
+    val schema0 = lake.read("sales_by_status").schema
+    (2L to 5L).foreach { i =>
+      lake.append(ordersDf((i, "O", dec("1.00"))), "orders_t")
+      MV.refresh(lake, ViewDef)
+    }
+    assert(lake.read("sales_by_status").schema === schema0)
+    assert(asMap(lake.read("sales_by_status"))("O") ===
+      ((dec("5.00"), 5L, dec("1.00"), dec("1.00"))))
+  }
+}
+
+/** Test-side twin of the view's aggregation, for recompute checks. */
+private object MVTestAccess {
+  def aggOf(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rows.groupBy("status").agg(
+      sum(col("price")).as("total"), count(lit(1)).as("n"),
+      min(col("price")).as("lo"), max(col("price")).as("hi"))
+}

@@ -198,4 +198,50 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, sf).count()
     assert(all === docs) // every sf0.001 doc has non-null quality
   }
+
+  test("domain cap equals the per-source rank-window reference at several caps") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    for (cap <- Seq(1, 7, 20, 1000)) {
+      val got = graft.operators.Curate.pipelineDomainCap(spark, sf, cap)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      // literal semantics: row_number per source over (quality DESC, doc_id)
+      val ref = graft.operators.Curate.gates(graft.sources.Tables.documents(spark, sf))
+        .where(col("quality").isNotNull)
+        .join(docs, Seq("doc_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))))
+        .where(col("rk") <= cap)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(got === ref, s"cap=$cap: bucketed plan must equal the window reference")
+    }
+    // the cap binds: each source keeps exactly 7 at cap=7 on this fixture
+    val kept = graft.operators.Curate.pipelineDomainCap(spark, sf, 7)
+      .groupBy("source").count().collect()
+    assert(kept.forall(_.getAs[Long]("count") === 7L))
+  }
+
+  test("text_chunk: windows tile with overlap, tails are short, chunks reconstruct the doc") {
+    val rows = TextAnalysis.textChunk(spark, sf, window = 16, stride = 12).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val nTokens = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, cs) =>
+      val n = nTokens(doc)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_no"))
+      // chunk numbering is dense from 0; count matches the closed form
+      assert(sorted.map(_.getAs[Long]("chunk_no")).toSeq === sorted.indices.map(_.toLong))
+      val expect = 1L + math.ceil(math.max(0L, n - 16) / 12.0).toLong
+      assert(sorted.length.toLong === expect, s"doc $doc: $n tokens")
+      // every chunk is full-width except possibly the last, which still
+      // contributes at least one new token past the previous window
+      sorted.init.foreach(c => assert(c.getAs[Long]("n_chunk_tokens") === 16L))
+      val last = sorted.last.getAs[Long]("n_chunk_tokens")
+      assert(last >= 1L && last <= 16L)
+      assert((sorted.length - 1) * 12L + last === n, s"doc $doc covers all tokens")
+    }
+    // overlap really happens: a 2-chunk doc shares window-stride tokens
+    assert(byDoc.exists(_._2.length > 1), "fixture corpus should produce multi-chunk docs")
+  }
 }
