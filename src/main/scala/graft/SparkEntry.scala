@@ -23,6 +23,7 @@ object SparkEntry {
     "sql_catalog_query" -> (Medallion.sqlCatalogQuery _),
     "sql_lakehouse_ddl" -> (Medallion.sqlLakehouseDdl _),
     "mview_incremental" -> (Medallion.mviewIncremental _),
+    "sql_mview" -> (Medallion.sqlMview _),
     "sql_time_travel" -> (Medallion.sqlTimeTravel _),
     "sql_hidden_partition" -> (Medallion.sqlHiddenPartition _),
     "sql_schema_evolution" -> (Medallion.sqlSchemaEvolution _),
@@ -179,6 +180,15 @@ object SparkEntry {
     // incremental materialized view: two delta-merge refreshes must
     // land bit-exactly on the full GROUP BY over every order
     "mview_incremental" ->
+      """SELECT o_orderstatus,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS min_price,
+        |  round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the same view lifecycle through parsed SQL (CREATE MATERIALIZED
+    // VIEW / INSERT / CALL refresh_mview): same full-GROUP-BY oracle
+    "sql_mview" ->
       """SELECT o_orderstatus,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
         |  CAST(count(*) AS BIGINT) AS n_orders,

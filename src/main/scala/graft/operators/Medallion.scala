@@ -485,4 +485,41 @@ object Medallion {
         round(col("max_price").cast("double"), 2).as("max_price"))
       .orderBy("o_orderstatus")
   }
+
+  /** `sql_mview` — the same incremental-view lifecycle driven ENTIRELY
+    * through parsed SQL (the operator-facing surface): CTAS half of
+    * `orders` into the session lake, `CREATE MATERIALIZED VIEW`
+    * (persists the definition in `_mviews.jsonl` + materializes),
+    * `INSERT INTO` the other half, `CALL system.refresh_mview` (loads
+    * the definition by name, delta-merges, re-registers the view),
+    * read the view back. Same oracle as [[mviewIncremental]]: the
+    * final view must hash-match DuckDB's full GROUP BY over all
+    * orders. */
+  def sqlMview(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-sqlmv").toString
+    spark.conf.set(graft.sources.LakehouseCtasCommand.RootConf, root)
+    try {
+      spark.sql(
+        """CREATE TABLE mvq_orders AS
+          |SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      spark.sql(
+        """CREATE MATERIALIZED VIEW mvq_sales AS
+          |SELECT o_orderstatus, sum(price) AS total_price, count(*) AS n_orders,
+          |  min(price) AS min_price, max(price) AS max_price
+          |FROM mvq_orders GROUP BY o_orderstatus""".stripMargin)
+      spark.sql(
+        """INSERT INTO mvq_orders
+          |SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      spark.sql("CALL system.refresh_mview('mvq_sales')").collect()
+      spark.sql(
+        """SELECT o_orderstatus,
+          |  round(CAST(total_price AS DOUBLE), 2) AS total_price, n_orders,
+          |  round(CAST(min_price AS DOUBLE), 2) AS min_price,
+          |  round(CAST(max_price AS DOUBLE), 2) AS max_price
+          |FROM mvq_sales ORDER BY o_orderstatus""".stripMargin)
+    } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
+  }
 }

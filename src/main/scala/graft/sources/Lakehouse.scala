@@ -3235,6 +3235,25 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   // instead of losing DML routing when the in-memory registry dies
   // with the session.
 
+  // `_mviews.jsonl` is the sibling ledger for materialized-view
+  // DEFINITIONS (see [[MaterializedView]]): one JSON line per view so
+  // `CALL system.refresh_mview(v)` can rebuild the ViewDef in a fresh
+  // session. The refresh WATERMARK deliberately does NOT live here —
+  // it rides the view table's own commit metadata, atomically with
+  // the data (this file changes only on CREATE).
+  private def mviewsPath = new Path(root, "_mviews.jsonl")
+
+  private[sources] def readMviewLines(): Seq[String] = readLines(mviewsPath)
+
+  private[sources] def upsertMviewLine(view: String, line: String): Unit =
+    Lakehouse.locks.computeIfAbsent(mviewsPath.toString, _ => new Object).synchronized {
+      val marker = s""""mview":"${jsonEsc(view)}""""
+      val kept = readLines(mviewsPath).filterNot(_.contains(marker))
+      writeFile(mviewsPath, (kept :+ line).mkString("", "\n", "\n"))
+    }
+
+  private[sources] def jsonEscape(s: String): String = jsonEsc(s)
+
   private def catalogPath = new Path(root, "_catalog.jsonl")
   private val CatalogLine = """\{"table":"(.*)","partitionBy":\[([^\]]*)\]\}""".r
 

@@ -28,6 +28,11 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *    removed name, empty result = nothing stale.
   *  - `rollback_to_snapshot(table, snapshot_id)` — branch-pointer
   *    move to an earlier committed snapshot.
+  *  - `refresh_mview(view)` — advance a [[MaterializedView]] to its
+  *    source's current snapshot (delta-priced incremental merge;
+  *    full recompute on rewritten intervals). The definition loads
+  *    from the lake's `_mviews.jsonl`, so any session can refresh a
+  *    view another session created.
   *
   * All procedures act on the SESSION BRANCH (`spark.graft.branch`,
   * NESSIE_REF semantics), so a branch-scoped maintenance job can
@@ -50,9 +55,12 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
     case "rollback_to_snapshot" => Seq(
       AttributeReference("previous_snapshot_id", LongType)(),
       AttributeReference("current_snapshot_id", LongType)())
+    case "refresh_mview" => Seq(
+      AttributeReference("snapshot_id", LongType)(),
+      AttributeReference("source_snapshot_id", LongType)())
     case other => throw new UnsupportedOperationException(
       s"unknown procedure: system.$other (supported: rewrite_data_files, " +
-        "expire_snapshots, remove_orphan_files, rollback_to_snapshot)")
+        "expire_snapshots, remove_orphan_files, rollback_to_snapshot, refresh_mview)")
   }
 
   /** Positional parameter names per procedure; named args (`k => v`)
@@ -62,6 +70,7 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
     case "expire_snapshots" => Seq("table", "retain_last")
     case "remove_orphan_files" => Seq("table", "older_than_ms")
     case "rollback_to_snapshot" => Seq("table", "snapshot_id")
+    case "refresh_mview" => Seq("table")
     case _ => Seq("table")
   }
 
@@ -146,6 +155,15 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
         lake.rollback(table, snap, branch)
         lake.registerView(table, partitionBy)
         Seq(Row(prev, snap))
+
+      case "refresh_mview" =>
+        val d = MaterializedView.load(lake, table).getOrElse(
+          throw new IllegalArgumentException(
+            s"$table has no definition in this lake's _mviews.jsonl — " +
+              "create it with CREATE MATERIALIZED VIEW"))
+        val snap = MaterializedView.refresh(lake, d)
+        lake.registerView(table, partitionBy)
+        Seq(Row(snap, MaterializedView.watermark(lake, d)))
 
       case other => throw new UnsupportedOperationException(s"unknown procedure: system.$other")
     }

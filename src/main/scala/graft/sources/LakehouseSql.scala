@@ -369,6 +369,34 @@ case class LakehouseCtasCommand(table: String, replace: Boolean, spec: Seq[Strin
   }
 }
 
+/** `CREATE MATERIALIZED VIEW v AS SELECT … FROM t [WHERE …] GROUP BY …`
+  * — materializes the restricted aggregate shape [[MaterializedView]]
+  * maintains incrementally, persists the definition in the source
+  * lake's `_mviews.jsonl`, and registers the view table for SQL
+  * access. Refresh via `CALL system.refresh_mview('v')`. */
+case class LakehouseCreateMviewCommand(view: String, src: String,
+    groups: Seq[String], aggs: Seq[(String, Option[String], String)],
+    where: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import MaterializedView._
+    val (lake, _) = LakehouseRegistry.lookup(spark, src)
+      .getOrElse(throw new IllegalStateException(s"$src is not a registered lakehouse view"))
+    val aggCols = aggs.map {
+      case ("sum", Some(c), al) => SumCol(c, al)
+      case ("count", _, al) => CountAll(al)
+      case ("min", Some(c), al) => MinCol(c, al)
+      case ("max", Some(c), al) => MaxCol(c, al)
+      case other => throw new UnsupportedOperationException(s"unsupported aggregate: $other")
+    }
+    val d = ViewDef(view, src, groups, aggCols, where)
+    val snap = MaterializedView.create(lake, d)
+    MaterializedView.persist(lake, d)
+    lake.registerView(view)
+    Seq(Row(snap))
+  }
+}
+
 object LakehouseCtasCommand {
   val RootConf = "spark.graft.lake-root"
   /** CTAS routes to the lakehouse only when the session declared a
@@ -546,6 +574,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?""" +
       """(?:\s+SORTED\s+BY\s*\((.*?)\))?""" +
       """\s+AS\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.+?)\s*;?\s*""").r
+  // CREATE MATERIALIZED VIEW v AS SELECT <groups + mergeable aggs>
+  // FROM <lake table> [WHERE <row predicate>] GROUP BY <groups> —
+  // the restricted aggregate shape MaterializedView maintains
+  // incrementally (sum/count(*)/min/max only, single source table)
+  private val CreateMviewRe =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?([A-Za-z_]\w*)`?\s+AS\s+""" +
+      """SELECT\s+(.+?)\s+FROM\s+`?([A-Za-z_]\w*)`?""" +
+      """(?:\s+WHERE\s+((?:(?!\bGROUP\b).)+?))?""" +
+      """\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
+  private val MviewAggRe =
+    """(?is)\s*(sum|min|max)\s*\(\s*`?([A-Za-z_]\w*)`?\s*\)\s+AS\s+`?([A-Za-z_]\w*)`?\s*""".r
+  private val MviewCountRe =
+    """(?is)\s*count\s*\(\s*\*\s*\)\s+AS\s+`?([A-Za-z_]\w*)`?\s*""".r
+  private val MviewBareColRe = """\s*`?([A-Za-z_]\w*)`?\s*""".r
   private val OnConjunct =
     """(?i)\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*""".r
   // Iceberg-style maintenance procedures; the optional `graft.` prefix
@@ -686,6 +728,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakehouseFastForwardCommand(table, from, Option(into))
     case DropRe(table, purge) if LakehouseRegistry.isRegistered(table) =>
       LakehouseDropCommand(table, purge != null)
+    case CreateMviewRe(view, selectList, src, where, groupBy)
+        if LakehouseRegistry.isRegistered(src) =>
+      val groups = splitSpecs(groupBy).map(_.trim.stripPrefix("`").stripSuffix("`"))
+      var bare = Seq.empty[String]
+      var aggs = Seq.empty[(String, Option[String], String)]
+      splitSpecs(selectList).foreach {
+        case MviewAggRe(op, c, al) => aggs :+= ((op.toLowerCase, Some(c), al))
+        case MviewCountRe(al) => aggs :+= (("count", None, al))
+        case MviewBareColRe(c) => bare :+= c
+        case other => throw new UnsupportedOperationException(
+          s"CREATE MATERIALIZED VIEW supports group columns and sum/min/max(col) " +
+            s"/ count(*) with AS aliases (mergeable aggregates only); got: $other")
+      }
+      if (bare.sorted != groups.sorted) throw new UnsupportedOperationException(
+        s"CREATE MATERIALIZED VIEW: non-aggregate select columns ${bare.mkString(", ")} " +
+          s"must match GROUP BY ${groups.mkString(", ")}")
+      if (aggs.isEmpty) throw new UnsupportedOperationException(
+        "CREATE MATERIALIZED VIEW needs at least one aggregate column")
+      LakehouseCreateMviewCommand(view, src, groups, aggs, Option(where).map(_.trim))
     case CtasRe(replace, table, specs, sortBy, query) if LakehouseCtasCommand.enabled =>
       LakehouseCtasCommand(table, replace != null,
         Option(specs).map(splitSpecs).getOrElse(Nil),

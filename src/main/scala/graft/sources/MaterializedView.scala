@@ -47,9 +47,14 @@ object MaterializedView {
   final case class MaxCol(src: String, alias: String) extends AggCol
 
   /** A view definition: `view` materializes
-    * `SELECT groupCols, aggs FROM src GROUP BY groupCols`. */
+    * `SELECT groupCols, aggs FROM src [WHERE filter] GROUP BY
+    * groupCols`. The row filter is a plain column predicate — applied
+    * identically to full recomputes and to deltas, which is sound
+    * because a row's filter verdict never changes after it lands
+    * (append-only intervals; rewrites fall back to recompute). */
   final case class ViewDef(view: String, src: String,
-      groupCols: Seq[String], aggs: Seq[AggCol]) {
+      groupCols: Seq[String], aggs: Seq[AggCol],
+      filter: Option[String] = None) {
     require(groupCols.nonEmpty, "a materialized aggregate view needs group columns")
     require(aggs.nonEmpty, "a materialized aggregate view needs aggregate columns")
     private val names = groupCols ++ aggs.map(_.alias)
@@ -65,8 +70,52 @@ object MaterializedView {
       case MinCol(s, a) => min(col(s)).as(a)
       case MaxCol(s, a) => max(col(s)).as(a)
     }
-    rows.groupBy(d.groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
+    d.filter.map(f => rows.where(expr(f))).getOrElse(rows)
+      .groupBy(d.groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
   }
+
+  // ---- persisted definitions (`_mviews.jsonl`) ---------------------------
+
+  private def aggJson(lake: Lakehouse, a: AggCol): String = a match {
+    case SumCol(s, al) => s"""{"op":"sum","col":"${lake.jsonEscape(s)}","as":"${lake.jsonEscape(al)}"}"""
+    case CountAll(al) => s"""{"op":"count","as":"${lake.jsonEscape(al)}"}"""
+    case MinCol(s, al) => s"""{"op":"min","col":"${lake.jsonEscape(s)}","as":"${lake.jsonEscape(al)}"}"""
+    case MaxCol(s, al) => s"""{"op":"max","col":"${lake.jsonEscape(s)}","as":"${lake.jsonEscape(al)}"}"""
+  }
+
+  private val LineRe =
+    """\{"mview":"([^"]*)","src":"([^"]*)","group":\[([^\]]*)\],"aggs":\[(.*?)\](?:,"where":"(.*)")?\}""".r
+  private val AggRe =
+    """\{"op":"(\w+)"(?:,"col":"([^"]*)")?,"as":"([^"]*)"\}""".r
+
+  /** Record the definition in the lake's `_mviews.jsonl` (upsert by
+    * view name) so a fresh session can refresh it by name. */
+  def persist(lake: Lakehouse, d: ViewDef): Unit = {
+    val e = lake.jsonEscape _
+    val line = s"""{"mview":"${e(d.view)}","src":"${e(d.src)}","group":[${
+      d.groupCols.map(c => s""""${e(c)}"""").mkString(",")}],"aggs":[${
+      d.aggs.map(aggJson(lake, _)).mkString(",")}]${
+      d.filter.map(f => s""","where":"${e(f)}"""").getOrElse("")}}"""
+    lake.upsertMviewLine(d.view, line)
+  }
+
+  /** Load a persisted definition by view name. */
+  def load(lake: Lakehouse, view: String): Option[ViewDef] =
+    lake.readMviewLines().reverseIterator.collectFirst {
+      case LineRe(v, src, groups, aggs, where) if v == view =>
+        val groupCols = groups.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)
+        val aggCols = AggRe.findAllMatchIn(aggs).map { m =>
+          (m.group(1), Option(m.group(2)), m.group(3)) match {
+            case ("sum", Some(s), al) => SumCol(s, al)
+            case ("count", _, al) => CountAll(al)
+            case ("min", Some(s), al) => MinCol(s, al)
+            case ("max", Some(s), al) => MaxCol(s, al)
+            case other => throw new IllegalStateException(s"corrupt mview agg entry: $other")
+          }
+        }.toSeq
+        ViewDef(v, src, groupCols, aggCols, Option(where))
+    }
 
   /** Merge expression for one agg column across (stored view value
     * `al`, delta partial value `__d_al`) of a full-outer join — null

@@ -91,6 +91,38 @@ class MaterializedViewSpec extends SparkSpec {
       "F" -> ((dec("11.00"), 2L, dec("3.00"), dec("8.00")))))
   }
 
+  test("SQL surface: CREATE MATERIALIZED VIEW with WHERE + CALL refresh_mview") {
+    val root = freshDir("graft-mview-sql")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(ordersDf(
+      (1L, "O", dec("10.00")), (2L, "O", dec("1.00")), (3L, "F", dec("8.00"))), "sqlmv_src")
+    lake.registerView("sqlmv_src")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW sqlmv_v AS
+        |SELECT status, sum(price) AS total, count(*) AS n
+        |FROM sqlmv_src WHERE price > 2.00 GROUP BY status""".stripMargin)
+    // the WHERE gate applied: O's 1.00 row is out
+    assert(spark.table("sqlmv_v").collect().map(r =>
+      (r.getAs[String]("status"), r.getAs[java.math.BigDecimal]("total"), r.getAs[Long]("n")))
+      .toSet === Set(("O", dec("10.00"), 1L), ("F", dec("8.00"), 1L)))
+    lake.append(ordersDf((4L, "F", dec("3.00")), (5L, "F", dec("0.50"))), "sqlmv_src")
+    val out = spark.sql("CALL system.refresh_mview('sqlmv_v')").collect()
+    assert(out.length === 1 && out(0).getLong(1) === lake.currentSnapshot("sqlmv_src").get,
+      "refresh reports the source snapshot it advanced to")
+    // delta-merged through the same filter; 0.50 gated out
+    assert(spark.table("sqlmv_v").collect().map(r =>
+      (r.getAs[String]("status"), r.getAs[java.math.BigDecimal]("total"), r.getAs[Long]("n")))
+      .toSet === Set(("O", dec("10.00"), 1L), ("F", dec("11.00"), 2L)))
+    // the definition is durable: a fresh handle loads it by name
+    val d2 = MV.load(new Lakehouse(spark, root), "sqlmv_v")
+    assert(d2.isDefined && d2.get.filter === Some("price > 2.00") &&
+      d2.get.groupCols === Seq("status"))
+    // replayed CALL against an unmoved source commits nothing
+    val snaps = lake.snapshots("sqlmv_v").size
+    spark.sql("CALL system.refresh_mview('sqlmv_v')").collect()
+    assert(lake.snapshots("sqlmv_v").size === snaps)
+  }
+
   test("refresh schema is stable across many refreshes (decimal sums do not widen)") {
     val root = freshDir("graft-mview-schema")
     val lake = new Lakehouse(spark, root)
