@@ -48,6 +48,7 @@ object SparkEntry {
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_events_sessionize" -> (Relational.qEventsSessionize _),
     "q_events_json" -> (Relational.qEventsJson _),
+    "q_events_anomaly" -> (Relational.qEventsAnomaly _),
     "q_cube" -> (Relational.qCube _),
     "q_string_agg" -> (Relational.qStringAgg _),
     "q_set_ops" -> (Relational.qSetOps _),
@@ -638,6 +639,21 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_events_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, value FROM events),
+        |st AS (SELECT user_id, count(*) n,
+        |    sum(CAST(value AS DECIMAL(18,6))) s1,
+        |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) s2
+        |  FROM e GROUP BY user_id),
+        |m AS (SELECT user_id, CAST(s1 AS DOUBLE)/n AS mean,
+        |    sqrt(greatest(CAST(s2 AS DOUBLE)/n
+        |      - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 0.0)) AS std
+        |  FROM st)
+        |SELECT e.event_id, e.user_id, e.value,
+        |  round((e.value - m.mean)/m.std, 4) AS zscore
+        |FROM e JOIN m USING (user_id)
+        |WHERE m.std > 0 AND abs(e.value - m.mean) > 2.5 * m.std
+        |ORDER BY e.event_id""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

@@ -241,6 +241,35 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** `q_events_anomaly` — per-user outlier detection (the telemetry
+    * z-score screen: an event is anomalous when its value sits more
+    * than 2.5 population standard deviations from ITS USER's mean).
+    * Moment sums run over DECIMAL casts so both engines accumulate
+    * EXACTLY (float addition is partition-order-dependent — §3);
+    * mean/std then derive in doubles from those exact sums, so the
+    * boundary compare is bit-identical cross-engine. Zero-variance
+    * users are excluded (no scale to score against).
+    *
+    * Scale shape: one map-side-combinable moment aggregate (3 numbers
+    * per user), the per-user stats relation is |users|-sized and
+    * broadcasts back, the screen itself is a map-only filter — the
+    * fact table shuffles once, for the agg. */
+  def qEventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("value"))
+    val d = col("value").cast("decimal(18,6)")
+    val meanD = col("s1").cast("double") / col("n")
+    val stats = e.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(d).as("s1"), sum(d * d).as("s2"))
+      .select(col("user_id"), meanD.as("mean"),
+        sqrt(greatest(col("s2").cast("double") / col("n") - meanD * meanD, lit(0.0)))
+          .as("std"))
+    e.join(broadcast(stats), Seq("user_id"))
+      .where(col("std") > 0 && abs(col("value") - col("mean")) > lit(2.5) * col("std"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        round((col("value") - col("mean")) / col("std"), 4).as("zscore"))
+      .orderBy("event_id")
+  }
+
   /** Semi-structured prop extraction: JSON field → typed agg. */
   def qEventsJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

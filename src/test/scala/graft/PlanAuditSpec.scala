@@ -271,6 +271,28 @@ class PlanAuditSpec extends SparkSpec {
       "semi-joins must sit below the (l_partkey, l_suppkey) rollup, not above it")
   }
 
+  test("text_chunk is shuffle-free before its output sort") {
+    // chunking is sequence/posexplode/slice straight-line codegen; the
+    // ONLY exchange allowed is the final presentation orderBy (range
+    // partitioning). A hash Exchange here would mean the explode
+    // leaked into a shuffle — at 100 TB the op must stay one scan.
+    val p = plan(TextAnalysis.textChunk(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking must not hash-shuffle; it is a pure map-side explode")
+    assert(!p.contains("Window"), "no rank/window machinery belongs in chunking")
+  }
+
+  test("domain cap broadcasts the bounded histogram and ranks only boundary buckets") {
+    val p = plan(graft.operators.Curate.pipelineDomainCap(spark, sf))
+    assert(p.contains("BroadcastExchange"),
+      "the per-(source,bucket) histogram must broadcast back to the corpus side")
+    // the only Windows allowed partition by source (histogram cumsum)
+    // or (source, qb) (boundary-bucket rank) — never an unpartitioned
+    // global ordering of corpus rows
+    assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition")),
+      "no corpus-wide single-partition Window in the domain cap")
+  }
+
   test("round-5 scan-heavy shapes push their predicates to the parquet reader") {
     val q6 = plan(Relational.q6ForecastRevenue(spark, sf))
     assert(q6.contains("PushedFilters") && q6.contains("l_shipdate")

@@ -113,4 +113,20 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("per-user anomalies: every flagged event really sits 2.5 sigma from its user's mean") {
+    import org.apache.spark.sql.functions._
+    val flagged = Relational.qEventsAnomaly(spark, sf).collect()
+    assert(flagged.nonEmpty, "the fixture corpus should contain outliers")
+    assert(flagged.forall(r => math.abs(r.getAs[Double]("zscore")) > 2.5))
+    // cross-check one user against a literal driver-side computation
+    val uid = flagged.head.getAs[Long]("user_id")
+    val vals = graft.sources.Tables.events(spark, sf)
+      .where(col("user_id") === uid).select("value").collect().map(_.getDouble(0))
+    val mean = vals.sum / vals.length
+    val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.length)
+    val expect = vals.count(v => math.abs(v - mean) > 2.5 * std)
+    assert(flagged.count(_.getAs[Long]("user_id") == uid) === expect,
+      s"user $uid: flagged set must match the literal z-score definition")
+  }
 }
