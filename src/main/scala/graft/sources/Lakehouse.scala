@@ -3254,6 +3254,9 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
 
   private[sources] def jsonEscape(s: String): String = jsonEsc(s)
 
+  /** `t.mviews` metadata relation — see [[MaterializedView.viewsDf]]. */
+  def mviewsDf(table: String): DataFrame = MaterializedView.viewsDf(this, table)
+
   private def catalogPath = new Path(root, "_catalog.jsonl")
   private val CatalogLine = """\{"table":"(.*)","partitionBy":\[([^\]]*)\]\}""".r
 

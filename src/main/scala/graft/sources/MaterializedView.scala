@@ -99,23 +99,55 @@ object MaterializedView {
     lake.upsertMviewLine(d.view, line)
   }
 
+  private def parseLine(line: String): Option[ViewDef] = line match {
+    case LineRe(v, src, groups, aggs, where) =>
+      val groupCols = groups.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty)
+      val aggCols = AggRe.findAllMatchIn(aggs).map { m =>
+        (m.group(1), Option(m.group(2)), m.group(3)) match {
+          case ("sum", Some(s), al) => SumCol(s, al)
+          case ("count", _, al) => CountAll(al)
+          case ("min", Some(s), al) => MinCol(s, al)
+          case ("max", Some(s), al) => MaxCol(s, al)
+          case other => throw new IllegalStateException(s"corrupt mview agg entry: $other")
+        }
+      }.toSeq
+      Some(ViewDef(v, src, groupCols, aggCols, Option(where)))
+    case _ => None
+  }
+
   /** Load a persisted definition by view name. */
   def load(lake: Lakehouse, view: String): Option[ViewDef] =
-    lake.readMviewLines().reverseIterator.collectFirst {
-      case LineRe(v, src, groups, aggs, where) if v == view =>
-        val groupCols = groups.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty)
-        val aggCols = AggRe.findAllMatchIn(aggs).map { m =>
-          (m.group(1), Option(m.group(2)), m.group(3)) match {
-            case ("sum", Some(s), al) => SumCol(s, al)
-            case ("count", _, al) => CountAll(al)
-            case ("min", Some(s), al) => MinCol(s, al)
-            case ("max", Some(s), al) => MaxCol(s, al)
-            case other => throw new IllegalStateException(s"corrupt mview agg entry: $other")
-          }
-        }.toSeq
-        ViewDef(v, src, groupCols, aggCols, Option(where))
+    defs(lake).reverseIterator.find(_.view == view)
+
+  /** All persisted definitions of a lake, in ledger order. */
+  def defs(lake: Lakehouse): Seq[ViewDef] =
+    lake.readMviewLines().flatMap(parseLine)
+
+  private def describe(a: AggCol): String = a match {
+    case SumCol(s, al) => s"sum($s) AS $al"
+    case CountAll(al) => s"count(*) AS $al"
+    case MinCol(s, al) => s"min($s) AS $al"
+    case MaxCol(s, al) => s"max($s) AS $al"
+  }
+
+  /** The `t.mviews` metadata relation: the materialized views
+    * maintained OVER source table `src` in this lake, with their
+    * definitions and refresh state — `current_src_snapshot` vs
+    * `watermark` tells an operator at a glance whether a view is
+    * stale (pure ledger reads, no data I/O). */
+  def viewsDf(lake: Lakehouse, src: String): DataFrame = {
+    val spark = lake.spark
+    val cur = lake.currentSnapshot(src)
+    val rows = defs(lake).filter(_.src == src).map { d =>
+      (d.view, d.src, d.groupCols.mkString(", "), d.aggs.map(describe).mkString(", "),
+        d.filter.orNull,
+        scala.util.Try(watermark(lake, d)).toOption.map(Long.box).orNull,
+        cur.map(Long.box).orNull)
     }
+    spark.createDataFrame(rows).toDF("mview", "src", "group_cols", "aggs",
+      "where_clause", "watermark", "current_src_snapshot")
+  }
 
   /** Merge expression for one agg column across (stored view value
     * `al`, delta partial value `__d_al`) of a full-outer join — null

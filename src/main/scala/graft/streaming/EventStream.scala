@@ -158,6 +158,45 @@ object EventStream {
     writer.start()
   }
 
+  /** CONTINUOUS MATERIALIZED-VIEW MAINTENANCE: keep a
+    * [[graft.sources.MaterializedView]] fresh as its source table
+    * takes commits, by composing the lakehouse stream source (whose
+    * offsets are source snapshots) with the view's own exactly-once
+    * `refresh`. The stream is the SCHEDULER, not the data path: each
+    * micro-batch fires exactly when new source snapshots exist, and
+    * `refresh` re-derives its delta from the view's committed
+    * watermark — so a checkpoint/watermark disagreement after a crash
+    * resolves to a no-op, never a double-apply, and a rewrite landing
+    * mid-stream falls back to the view's full recompute instead of
+    * failing the query the way the raw tailing stream must.
+    * `Trigger.AvailableNow` (default) drains to the pinned head and
+    * terminates — the scheduled-job shape; a ProcessingTime trigger
+    * gives a long-running refresher. */
+  def maintainMview(spark: SparkSession, root: String, view: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.{Lakehouse, MaterializedView}
+    val lake = new Lakehouse(spark, root)
+    val d = MaterializedView.load(lake, view).getOrElse(
+      throw new IllegalArgumentException(s"$view has no _mviews.jsonl definition in $root"))
+    spark.readStream
+      .format("graft.streaming.LakehouseStreamProvider")
+      .option("root", root).option("table", d.src)
+      // tail from the view's current watermark: batch 0 must not plan
+      // a full-history read the refresh would ignore anyway
+      .option("startSnapshot", MaterializedView.watermark(lake, d).toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        MaterializedView.refresh(lake, d); ()
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: purchases enriched with the same
     * user's clicks from the preceding 10 minutes — the streaming twin
     * of `q_range_join`. Both sides are watermarked so Spark can bound

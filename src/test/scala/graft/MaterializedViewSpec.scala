@@ -121,6 +121,36 @@ class MaterializedViewSpec extends SparkSpec {
     val snaps = lake.snapshots("sqlmv_v").size
     spark.sql("CALL system.refresh_mview('sqlmv_v')").collect()
     assert(lake.snapshots("sqlmv_v").size === snaps)
+    // t.mviews metadata relation: definition + freshness at a glance
+    val meta = spark.sql("SELECT * FROM sqlmv_src.mviews").collect()
+    assert(meta.length === 1)
+    val r = meta(0)
+    assert(r.getAs[String]("mview") === "sqlmv_v")
+    assert(r.getAs[String]("where_clause") === "price > 2.00")
+    assert(r.getAs[String]("aggs").contains("sum(price) AS total"))
+    assert(r.getAs[Long]("watermark") === r.getAs[Long]("current_src_snapshot"),
+      "after refresh the view reads as fresh")
+  }
+
+  test("streaming maintenance: the view follows source commits through the stream scheduler") {
+    val root = freshDir("graft-mview-stream")
+    val ck = freshDir("graft-mview-stream-ck")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(ordersDf((1L, "O", dec("10.00"))), "orders_t")
+    MV.create(lake, ViewDef)
+    MV.persist(lake, ViewDef) // maintainMview loads the def by name
+    lake.append(ordersDf((2L, "F", dec("4.00")), (3L, "O", dec("6.00"))), "orders_t")
+    lake.append(ordersDf((4L, "F", dec("2.00"))), "orders_t")
+    // drain the backlog: AvailableNow terminates at the pinned head
+    val q = graft.streaming.EventStream.maintainMview(spark, root, "sales_by_status", ck)
+    try q.awaitTermination(120000) finally q.stop()
+    assert(asMap(lake.read("sales_by_status")) === asMap(MVTestAccess.aggOf(lake.read("orders_t"))))
+    // a second maintenance run over an unmoved source commits nothing
+    val snaps = lake.snapshots("sales_by_status").size
+    val q2 = graft.streaming.EventStream.maintainMview(
+      spark, root, "sales_by_status", freshDir("graft-mview-stream-ck2"))
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(lake.snapshots("sales_by_status").size === snaps)
   }
 
   test("refresh schema is stable across many refreshes (decimal sums do not widen)") {
