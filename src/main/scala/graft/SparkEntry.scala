@@ -93,6 +93,7 @@ object SparkEntry {
     // training isn't SQL-restatable, but the trained centroids are
     // captured into a literal-VALUES oracle (see oracleSql ++ below)
     "ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(s, d)),
+    "ann_index_incremental" -> ((s, d) => Similarity.annIndexIncremental(s, d)),
     "ann_pq_topk" -> ((s, d) => Similarity.annPqTopk(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.annIvfPqTopk(s, d)),
     "ann_ivfpq_rerank" -> ((s, d) => Similarity.annIvfPqRerank(s, d)),
@@ -146,7 +147,8 @@ object SparkEntry {
     staticOracleSql ++ Similarity.trainedOracleSql.map("ann_ivf_trained" -> _) ++
       Similarity.pqOracleSql.map("ann_pq_topk" -> _) ++
       Similarity.ivfpqOracleSql.map("ann_ivfpq_topk" -> _) ++
-      Similarity.ivfpqRerankOracleSql.map("ann_ivfpq_rerank" -> _)
+      Similarity.ivfpqRerankOracleSql.map("ann_ivfpq_rerank" -> _) ++
+      Similarity.annIndexOracleSql.map("ann_index_incremental" -> _)
 
   private def staticOracleSql: Map[String, String] = Map(
     "bronze_orders_nested" ->

@@ -171,7 +171,7 @@ object Similarity {
     * query vector. Input is the handful of query vectors, so the
     * crossJoin × Window here is over |Q| × nCells rows — the Window
     * stays banned from the corpus-side assignment ([[assignCells]]). */
-  private def probeCells(vectors: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
+  private[graft] def probeCells(vectors: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
     val d2 = (col("nsq") + col("cn") - lit(2L) * VectorFunctions.dotQ(col("v"), col("cv")))
     vectors.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nsq"), col("cent_id"), d2.as("d2"))
@@ -182,7 +182,7 @@ object Similarity {
   }
 
   /** Centroid DataFrame (broadcastable) from a driver-side codebook. */
-  private def centsDf(spark: SparkSession, cents: Seq[(Long, Array[Long])]): DataFrame =
+  private[graft] def centsDf(spark: SparkSession, cents: Seq[(Long, Array[Long])]): DataFrame =
     broadcast(spark.createDataFrame(cents.map { case (i, cv) => (i, cv.toSeq) })
       .toDF("cent_id", "cv")
       .withColumn("cn", VectorFunctions.dotQ(col("cv"), col("cv"))))
@@ -290,8 +290,17 @@ object Similarity {
     * centroids as literal VALUES feeding the same assignment/probe/
     * score/topk pipeline as the `ann_ivf_topk` oracle. None until
     * [[annIvfTrained]] has run in this process. */
-  def trainedOracleSql: Option[String] = {
-    lastTrained.map { case (cents, probes) =>
+  def trainedOracleSql: Option[String] = ivfOracleFor(lastTrained)
+
+  /** The IVF replay oracle for ANY (centroid literals, probe count)
+    * artifact pair: 2-nearest assignment of every embedding, probed
+    * candidate join, exact cosine, top-10 — shared by the in-session
+    * trained variant and the persisted incremental index (whose END
+    * STATE must be exactly this assignment, however many increments
+    * built it). */
+  private def ivfOracleFor(
+      artifact: Option[(Seq[(Long, Seq[Long])], Int)]): Option[String] = {
+    artifact.map { case (cents, probes) =>
       val values = cents.map { case (id, cv) =>
         s"($id, [${cv.mkString(",")}])"
       }.mkString(", ")
@@ -337,23 +346,29 @@ object Similarity {
   /** HONEST trained codebook size: k = max(8, ⌈√n⌉) cells over the
     * corpus — the classical IVF sizing (cell population ≈ √n, probe
     * cost ≈ probes·√n). `nCells = 0` (the default) selects it. */
+  /** Train a k-means codebook over any quantized relation (vec_id, v,
+    * nsq) — the shared offline-artifact trainer (deterministic: fixed
+    * seed, fixed iteration count). `nCells = 0` selects the classical
+    * IVF sizing k = max(8, ⌈√n⌉). */
+  private[graft] def trainCodebook(e: DataFrame, nCells: Int = 0): Seq[(Long, Array[Long])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val kCells =
+      if (nCells > 0) nCells
+      else math.max(IvfCells, math.ceil(math.sqrt(e.count().toDouble)).toInt)
+    val feat = e.select(col("vec_id"),
+      array_to_vector(col("v").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(kCells).setSeed(42L).setMaxIter(20).fit(feat)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.map(x => math.round(x)))
+    }.toSeq
+  }
+
   /** Train (or fetch the memoized) k-means codebook for `dir`. */
   private[graft] def trainedCodebook(spark: SparkSession, dir: String,
       nCells: Int = 0): Seq[(Long, Array[Long])] =
-    codebooks.computeIfAbsent((SessionIds.idOf(spark), dir, nCells), _ => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val e = quantized(spark, dir)
-      val kCells =
-        if (nCells > 0) nCells
-        else math.max(IvfCells, math.ceil(math.sqrt(e.count().toDouble)).toInt)
-      val feat = e.select(col("vec_id"),
-        array_to_vector(col("v").cast("array<double>")).as("features"))
-      val model = new KMeans().setK(kCells).setSeed(42L).setMaxIter(20).fit(feat)
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i.toLong, c.toArray.map(x => math.round(x)))
-      }.toSeq
-    })
+    codebooks.computeIfAbsent((SessionIds.idOf(spark), dir, nCells), _ =>
+      trainCodebook(quantized(spark, dir), nCells))
 
   /** Candidate set of the trained-IVF variant: probe the query's
     * nearest cells, equi-join against the map-side cell assignment. */
@@ -386,6 +401,37 @@ object Similarity {
         col("q_id"), col("vec_id"),
         round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
     topkPerQuery(scored, k)
+  }
+
+  // artifact slot for the persisted-index driver query (same
+  // latest-run-wins contract as [[lastTrained]])
+  @volatile private var lastIndexed: Option[(Seq[(Long, Seq[Long])], Int)] = None
+
+  def annIndexOracleSql: Option[String] = ivfOracleFor(lastIndexed)
+
+  /** `ann_index_incremental` — the PERSISTED-index lifecycle
+    * ([[AnnIndex]]): half the embeddings land in a lakehouse table
+    * and the IVF index builds over them (train + assign + store);
+    * the other half appends and [[AnnIndex.refresh]] extends the
+    * index by assigning ONLY the delta to the existing centroids;
+    * queries then run entirely off the persisted tables. The ORACLE
+    * replays train-time centroids as literals and assigns ALL
+    * embeddings in one pass — hash-equality proves the incrementally
+    * built index is bit-identical to a from-scratch assignment, the
+    * FAISS add-after-train contract. */
+  def annIndexIncremental(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import graft.sources.Lakehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    val lake = new Lakehouse(spark, root)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    lake.createOrReplace(emb.where(col("vec_id") % 2 === 0), "emb")
+    AnnIndex.create(lake, "emb")
+    lake.append(emb.where(col("vec_id") % 2 === 1), "emb")
+    AnnIndex.refresh(lake, "emb")
+    val cents = AnnIndex.centroids(lake, "emb")
+    lastIndexed = Some((cents.map { case (i, cv) => (i, cv.toSeq) },
+      trainedProbes(cents.length)))
+    AnnIndex.query(lake, "emb", emb.where(col("vec_id") < 5), k)
   }
 
   // ---- product quantization (PQ) ------------------------------------------

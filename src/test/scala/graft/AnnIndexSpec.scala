@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, Similarity}
+import graft.sources.Lakehouse
+
+/** Persisted incremental ANN index: add-after-train correctness,
+  * delta-priced refresh, idempotent replays, index-only querying. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def emb = graft.sources.Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding"))
+
+  test("incremental refresh lands on the same index a one-shot assignment builds") {
+    val root = freshDir("graft-annidx")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(emb.where(col("vec_id") % 2 === 0), "emb")
+    AnnIndex.create(lake, "emb")
+    lake.append(emb.where(col("vec_id") % 2 === 1), "emb")
+    AnnIndex.refresh(lake, "emb")
+    // the index's end state must equal a from-scratch assignment of the
+    // FULL corpus to the SAME (half-corpus-trained) centroids
+    val cents = AnnIndex.centroids(lake, "emb")
+    val full = emb
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantize(col("embedding")).as("v"))
+      .withColumn("nsq", graft.functions.VectorFunctions.normSqQ(col("v")))
+    val wantAssign = Similarity.assignCells2(full, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotAssign = lake.read(AnnIndex.assignTable("emb"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toSet
+    assert(gotAssign === wantAssign, "incrementally built assignment diverged")
+    assert(lake.read(AnnIndex.vectorsTable("emb")).count() === full.count())
+
+    // refresh appended a delta dir; the create-time dir carried by reference
+    val snaps = lake.snapshots(AnnIndex.assignTable("emb"))
+    assert(snaps.size === 2)
+    assert(snaps.head._2.forall(snaps.last._2.contains),
+      "refresh must carry the original index dirs, not rewrite them")
+
+    // replayed refresh against an unmoved source commits nothing
+    AnnIndex.refresh(lake, "emb")
+    assert(lake.snapshots(AnnIndex.assignTable("emb")).size === 2)
+    assert(lake.snapshots(AnnIndex.vectorsTable("emb")).size === 2)
+
+    // querying serves off the index: each corpus query finds itself first
+    val got = AnnIndex.query(lake, "emb", emb.where(col("vec_id") < 5))
+    val top1 = got.where(col("rnk") === 1).collect()
+    assert(top1.length === 5)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("vec_id") === r.getAs[Long]("q_id"), "self-match must rank first")
+      assert(r.getAs[Double]("cosine") === 1.0)
+    }
+  }
+
+  test("a source rewrite re-assigns against the SAME centroids (no silent retrain)") {
+    val root = freshDir("graft-annidx-rw")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(emb.where(col("vec_id") < 40), "emb")
+    val trained = AnnIndex.create(lake, "emb")
+    // CoW delete rewrites the source's history
+    lake.deleteWhere(col("vec_id") >= 30, "emb")
+    AnnIndex.refresh(lake, "emb")
+    val after = AnnIndex.centroids(lake, "emb")
+    assert(after.map(_._1) === trained.map(_._1) &&
+      after.zip(trained).forall { case ((_, a), (_, b)) => a.sameElements(b) },
+      "centroids are an immutable artifact across refreshes")
+    assert(lake.read(AnnIndex.vectorsTable("emb")).count() === 30,
+      "rewritten source re-assigns to the surviving rows")
+  }
+}

@@ -153,6 +153,35 @@ class MaterializedViewSpec extends SparkSpec {
     assert(lake.snapshots("sales_by_status").size === snaps)
   }
 
+  test("property: random append sequences always land on the full recompute") {
+    // the merge algebra must be associative over ANY batch split — a
+    // seeded pseudo-random corpus partitioned into 1..5 appends of
+    // uneven sizes, refreshed after every commit, must equal the
+    // one-shot aggregate at each step
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val root = freshDir(s"graft-mview-prop$trial")
+      val lake = new Lakehouse(spark, root)
+      val statuses = Array("O", "F", "P", "X")
+      val rows = (1L to 60L).map { i =>
+        (i, statuses(rnd.nextInt(statuses.length)),
+          dec(f"${rnd.nextInt(10000)}%d.${rnd.nextInt(100)}%02d"))
+      }
+      val cuts = (Seq(0, rows.length) ++ Seq.fill(rnd.nextInt(4))(rnd.nextInt(rows.length)))
+        .distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => rows.slice(a, b) }
+      lake.createOrReplace(ordersDf(batches.head: _*), "orders_t")
+      MV.create(lake, ViewDef)
+      batches.tail.foreach { b =>
+        lake.append(ordersDf(b: _*), "orders_t")
+        MV.refresh(lake, ViewDef)
+        assert(asMap(lake.read("sales_by_status")) ===
+          asMap(MVTestAccess.aggOf(lake.read("orders_t"))),
+          s"trial $trial diverged after a ${b.length}-row append")
+      }
+    }
+  }
+
   test("refresh schema is stable across many refreshes (decimal sums do not widen)") {
     val root = freshDir("graft-mview-schema")
     val lake = new Lakehouse(spark, root)
