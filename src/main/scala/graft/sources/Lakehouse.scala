@@ -587,6 +587,58 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       .toDF("partition", "file_count", "record_count", "bytes")
   }
 
+  /** `t.partition_stats` metadata relation — per-(partition, column)
+    * VALUE RANGES of the current snapshot, aggregated from the
+    * per-file `_stats.jsonl` ledgers (pure metadata I/O, no data
+    * scanned): the readout that tells an operator whether a layout
+    * still matches the data — a partition whose range spans the whole
+    * domain wants a re-sort/Z-order; overlapping ranges across
+    * partitions mean range-distribution writes stopped helping; a
+    * `days(ts)` leaf whose ts range leaks outside its day signals
+    * clock skew. `n_files` vs `files_with_stats` shows coverage (a
+    * column only prunes when every file records it — the
+    * [[dirStatsJson]] rule, restated per partition). Bounds report as
+    * the written ledger strings, bit-identical to what pruning
+    * consults. */
+  def partitionStatsDf(table: String, branch: String = "main"): DataFrame = {
+    val snap = currentSnapshot(table, branch)
+      .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+    val entries = snapshots(table).find(_._1 == snap).get._2
+    val byDir = entries.groupBy(_.takeWhile(_ != '/'))
+    val perFile: Seq[(String, String, String, String, String, String)] =
+      byDir.toSeq.sortBy(_._1).flatMap { case (dataDir, es) =>
+        val wholeDir = es.contains(dataDir)
+        readStats(table, dataDir)
+          // leaf-scoped entries (partition-scoped upserts) own only
+          // their subtree's files
+          .filter { case (file, _, _, _, _) =>
+            wholeDir || es.exists(e => file.startsWith(e + "/"))
+          }
+          .map { case (file, c, t, lo, hi) =>
+            val partKey = file.split("/").drop(1).dropRight(1)
+              .filter(_.contains("=")).map { seg =>
+                val Array(k, v) = seg.split("=", 2)
+                s"${Transforms.specOfPhys(k)}=${
+                  org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)}"
+              }.mkString("/")
+            (partKey, c, t, file, lo, hi)
+          }
+      }
+    def ord(t: String)(v: String): BigDecimal =
+      if (t == "string") BigDecimal(0) else scala.util.Try(BigDecimal(v)).getOrElse(BigDecimal(0))
+    val rows = perFile.groupBy { case (p, c, t, _, _, _) => (p, c, t) }.toSeq
+      .sortBy { case ((p, c, _), _) => (p, c) }
+      .map { case ((p, c, t), fs) =>
+        val lo =
+          if (t == "string") fs.map(_._5).min else fs.map(_._5).minBy(ord(t))
+        val hi =
+          if (t == "string") fs.map(_._6).max else fs.map(_._6).maxBy(ord(t))
+        (p, c, t, lo, hi, fs.map(_._4).distinct.length.toLong)
+      }
+    spark.createDataFrame(rows)
+      .toDF("partition", "col", "col_type", "lo", "hi", "files_with_stats")
+  }
+
   /** DROP TABLE: unregister the temp view, the DML routing, and the
     * persistent catalog line; `purge` also deletes the table
     * directory (snapshots, branches, tombstones — everything).

@@ -542,6 +542,33 @@ class HiddenPartitioningSpec extends SparkSpec {
     intercept[IllegalArgumentException](Transforms.parse("bucket(0,k)"))
   }
 
+  test("t.partition_stats reports per-partition value ranges from the ledgers") {
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(eventsDf, "evs", partitionBy = Seq("days(event_ts)"))
+    lake.registerView("evs", Seq("days(event_ts)"))
+    val stats = lake.partitionStatsDf("evs").collect()
+    assert(stats.nonEmpty)
+    // partitions report in SPEC vocabulary and ranges sit inside them
+    val amount = stats.filter(_.getAs[String]("col") == "amount")
+    assert(amount.forall(_.getAs[String]("partition").startsWith("days(event_ts)=")))
+    // each single-row day leaf has lo == hi == its amount
+    val day1 = amount.find(_.getAs[String]("partition")
+      .contains((java.time.LocalDate.of(2024, 1, 2).toEpochDay).toString))
+    assert(day1.isDefined)
+    assert(BigDecimal(day1.get.getAs[String]("lo")) === BigDecimal(30.0))
+    assert(BigDecimal(day1.get.getAs[String]("hi")) === BigDecimal(30.0))
+    // the 2-row day leaf spans both its values
+    val day0 = amount.find(_.getAs[String]("partition")
+      .contains((java.time.LocalDate.of(2024, 1, 1).toEpochDay).toString)).get
+    assert(BigDecimal(day0.getAs[String]("lo")) === BigDecimal(10.0) &&
+      BigDecimal(day0.getAs[String]("hi")) === BigDecimal(20.0))
+    // reachable through the SQL meta-table surface too
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM evs.partition_stats WHERE col = 'amount'").head().getLong(0)
+    assert(viaSql === amount.length.toLong)
+  }
+
   test("bucket() rejects timestamp sources (session-TZ-dependent cast)") {
     import spark.implicits._
     val df = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("id", "t")

@@ -56,8 +56,41 @@ object Stress {
     t("ann_lsh_multiprobe")(Similarity.annLshMultiprobe(spark, dir).count())
     t("ann_ivf_topk")(Similarity.annIvfTopk(spark, dir).count())
     t("ann_bq_rerank")(Similarity.annBqRerank(spark, dir).count())
+    // incremental maintenance at 16×: a ONE-copy delta onto a 15-copy
+    // base — refresh must price the delta, not the corpus (compare the
+    // *_create and *_refresh_delta lines: create scans 15 copies,
+    // refresh scans 1)
+    import graft.operators.AnnIndex
+    import graft.sources.{Lakehouse, MaterializedView => MV}
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft-stress-lake").toString
+    val lake = new Lakehouse(spark, lakeDir)
+    val srcDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
+    val vd = MV.ViewDef("docs_rollup", "docs_t", Seq("source"),
+      Seq(MV.SumCol("n_chars", "chars"), MV.CountAll("n")))
+    lake.createOrReplace(srcDf.where(col("doc_id") < (copies - 1) * n), "docs_t")
+    t("mview_create") {
+      MV.create(lake, vd); lake.read("docs_rollup").count()
+    }
+    lake.append(srcDf.where(col("doc_id") >= (copies - 1) * n), "docs_t")
+    t("mview_refresh_delta") {
+      MV.refresh(lake, vd); lake.read("docs_rollup").count()
+    }
+    val embSrc = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    lake.createOrReplace(embSrc.where(col("vec_id") < (copies - 1) * m), "emb_t")
+    t("ann_index_create") {
+      AnnIndex.create(lake, "emb_t", nCells = 64)
+      lake.read(AnnIndex.assignTable("emb_t")).count()
+    }
+    lake.append(embSrc.where(col("vec_id") >= (copies - 1) * m), "emb_t")
+    t("ann_index_refresh_delta") {
+      AnnIndex.refresh(lake, "emb_t")
+      lake.read(AnnIndex.assignTable("emb_t")).count()
+    }
     graft.sources.Memo.release(spark)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lakeDir))
     spark.stop()
   }
 }
