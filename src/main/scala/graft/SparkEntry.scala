@@ -94,6 +94,7 @@ object SparkEntry {
     // captured into a literal-VALUES oracle (see oracleSql ++ below)
     "ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(s, d)),
     "ann_index_incremental" -> ((s, d) => Similarity.annIndexIncremental(s, d)),
+    "ann_filtered_topk" -> ((s, d) => Similarity.annFilteredTopk(s, d)),
     "ann_pq_topk" -> ((s, d) => Similarity.annPqTopk(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.annIvfPqTopk(s, d)),
     "ann_ivfpq_rerank" -> ((s, d) => Similarity.annIvfPqRerank(s, d)),
@@ -877,6 +878,19 @@ object SparkEntry {
         |    / sqrt(CAST(list_sum(list_transform(qq.v, x -> x*x))
         |           * list_sum(list_transform(e.v, x -> x*x)) AS DOUBLE)), 6) cosine
         |  FROM (SELECT * FROM q WHERE vec_id < 5) qq CROSS JOIN q e),
+        |r AS (SELECT q_id, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM s)
+        |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id, label,
+        |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+        |qn AS (SELECT vec_id, label, v, list_sum(list_transform(v, x -> x*x)) nsq FROM q),
+        |s AS (SELECT qv.vec_id q_id, ev.vec_id vec_id,
+        |  round(CAST(list_sum(list_transform(list_zip(qv.v, ev.v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(qv.nsq * ev.nsq AS DOUBLE)), 6) cosine
+        |  FROM qn qv JOIN qn ev ON qv.label = ev.label
+        |  WHERE qv.vec_id < 5),
         |r AS (SELECT q_id, vec_id, cosine,
         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM s)
         |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10

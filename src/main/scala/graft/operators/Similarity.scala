@@ -403,6 +403,34 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
+  /** `ann_filtered_topk` — metadata-FILTERED vector search (the
+    * production shape every vector store exposes: top-k among the
+    * vectors satisfying a structured predicate — here, the query's
+    * own `label`): the filter composes INTO the scoring join as an
+    * equi-key, so each query scores only its label's vectors, never
+    * post-filtering a global top-k (which silently under-fills k when
+    * the predicate is selective — the classic filtered-ANN bug).
+    *
+    * Plan: the handful of query vectors broadcast; the corpus joins
+    * on `label` (map-side, no corpus shuffle) and candidates stream
+    * through the shared bounded-heap top-k. At selectivity s the scan
+    * does s·|corpus| dot products per query — and the same label-key
+    * composes with any bucketed variant when s·|corpus| itself gets
+    * big. */
+  def annFilteredTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables.parallel(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        VectorFunctions.quantize(col("embedding")).as("v"))
+      .withColumn("nsq", VectorFunctions.normSqQ(col("v")))
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("v").as("qv"), col("nsq").as("qnsq"))
+    val scored = e.join(broadcast(q), Seq("label"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
+    topkPerQuery(scored, k)
+  }
+
   // artifact slot for the persisted-index driver query (same
   // latest-run-wins contract as [[lastTrained]])
   @volatile private var lastIndexed: Option[(Seq[(Long, Seq[Long])], Int)] = None

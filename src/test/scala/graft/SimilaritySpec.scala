@@ -146,6 +146,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pos > m.length / 4 && pos < 3 * m.length / 4, s"degenerate sign matrix: $pos positive")
   }
 
+  test("filtered ANN: results respect the predicate and fill k from the filtered pool only") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.annFilteredTopk(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val v = r.getAs[Long]("vec_id")
+      assert(labels(v) === labels(q), s"query $q (label ${labels(q)}) matched label ${labels(v)}")
+    }
+    // every query fills all 10 slots from its own label's pool and
+    // ranks itself first — post-filtering a global top-k would not
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.length === 10, s"query $q under-filled k from a selective predicate")
+      val first = rs.minBy(_.getAs[Int]("rnk"))
+      assert(first.getAs[Long]("vec_id") === q && first.getAs[Double]("cosine") === 1.0)
+    }
+  }
+
   test("SessionIds.release drops codebooks and memos; queries rebuild identically") {
     val before = Similarity.annPqTopk(spark, sf).collect().toSeq
     graft.sources.SessionIds.release(spark)
