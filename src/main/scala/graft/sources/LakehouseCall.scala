@@ -33,6 +33,9 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *    full recompute on rewritten intervals). The definition loads
   *    from the lake's `_mviews.jsonl`, so any session can refresh a
   *    view another session created.
+  *  - `refresh_ann_index(src)` — advance the persisted ANN index over
+  *    `src` ([[graft.operators.AnnIndex]]): assign only the appended
+  *    vectors to the existing centroids.
   *
   * All procedures act on the SESSION BRANCH (`spark.graft.branch`,
   * NESSIE_REF semantics), so a branch-scoped maintenance job can
@@ -58,9 +61,12 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
     case "refresh_mview" => Seq(
       AttributeReference("snapshot_id", LongType)(),
       AttributeReference("source_snapshot_id", LongType)())
+    case "refresh_ann_index" => Seq(
+      AttributeReference("source_snapshot_id", LongType)())
     case other => throw new UnsupportedOperationException(
       s"unknown procedure: system.$other (supported: rewrite_data_files, " +
-        "expire_snapshots, remove_orphan_files, rollback_to_snapshot, refresh_mview)")
+        "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
+        "refresh_mview, refresh_ann_index)")
   }
 
   /** Positional parameter names per procedure; named args (`k => v`)
@@ -71,6 +77,7 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
     case "remove_orphan_files" => Seq("table", "older_than_ms")
     case "rollback_to_snapshot" => Seq("table", "snapshot_id")
     case "refresh_mview" => Seq("table")
+    case "refresh_ann_index" => Seq("table")
     case _ => Seq("table")
   }
 
@@ -164,6 +171,14 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
         val snap = MaterializedView.refresh(lake, d)
         lake.registerView(table, partitionBy)
         Seq(Row(snap, MaterializedView.watermark(lake, d)))
+
+      case "refresh_ann_index" =>
+        // `table` is the SOURCE the index was created over; advance
+        // the index tables to its current snapshot (delta-priced).
+        // The one sources→operators reference in this layer: the
+        // index machinery lives beside the other ANN operators.
+        graft.operators.AnnIndex.refresh(lake, table)
+        Seq(Row(lake.currentSnapshot(table, branch).getOrElse(-1L)))
 
       case other => throw new UnsupportedOperationException(s"unknown procedure: system.$other")
     }

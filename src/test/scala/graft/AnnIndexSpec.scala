@@ -57,6 +57,19 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.refresh_ann_index advances the index through SQL") {
+    val root = freshDir("graft-annidx-sql")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(emb.where(col("vec_id") < 30), "emb_sql")
+    lake.registerView("emb_sql")
+    AnnIndex.create(lake, "emb_sql")
+    lake.append(emb.where(col("vec_id") >= 30 && col("vec_id") < 40), "emb_sql")
+    val out = spark.sql("CALL system.refresh_ann_index('emb_sql')").collect()
+    assert(out.length === 1 &&
+      out(0).getLong(0) === lake.currentSnapshot("emb_sql").get)
+    assert(lake.read(AnnIndex.vectorsTable("emb_sql")).count() === 40)
+  }
+
   test("a source rewrite re-assigns against the SAME centroids (no silent retrain)") {
     val root = freshDir("graft-annidx-rw")
     val lake = new Lakehouse(spark, root)
