@@ -108,6 +108,7 @@ object SparkEntry {
     "text_rep_ngrams" -> (TextAnalysis.textRepNgrams _),
     "text_pii" -> (TextAnalysis.textPii _),
     "text_chunk" -> ((s, d) => TextAnalysis.textChunk(s, d)),
+    "text_collocations" -> ((s, d) => TextAnalysis.textCollocations(s, d)),
     "sketch_distinct_ngrams" -> ((s, d) => operators.Sketches.sketchDistinctNgrams(s, d)),
     "sketch_source_overlap" -> ((s, d) => operators.Sketches.sketchSourceOverlap(s, d)),
     "sketch_algebra" -> ((s, d) => operators.Sketches.sketchAlgebra(s, d)),
@@ -1154,6 +1155,24 @@ object SparkEntry {
         |  CAST(least(16, n - chunk_no * 12) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(ts[chunk_no*12+1 : chunk_no*12+16], ' ')) AS chunk_md5
         |FROM ex ORDER BY doc_id, chunk_no""".stripMargin,
+    "text_collocations" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) ts FROM documents),
+        |nz AS (SELECT doc_id, ts FROM tk WHERE len(ts) > 0),
+        |nd AS (SELECT count(*) AS n_docs FROM nz),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN []
+        |  ELSE list_distinct([array_to_string(ts[i:i+1],' ') for i in range(1, len(ts))]) END) AS bigram
+        |  FROM nz),
+        |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS df_ab FROM bg GROUP BY 1
+        |  HAVING count(*) >= 5),
+        |ug AS (SELECT doc_id, unnest(list_distinct(ts)) AS w FROM nz),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS df_w FROM ug GROUP BY 1)
+        |SELECT bigram, df_ab, a.df_w AS df_a, b.df_w AS df_b,
+        |  round(CAST(df_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |    / (CAST(a.df_w AS DOUBLE) * CAST(b.df_w AS DOUBLE)), 6) AS lift
+        |FROM bc JOIN uc a ON split_part(bigram, ' ', 1) = a.w
+        |  JOIN uc b ON split_part(bigram, ' ', 2) = b.w
+        |  CROSS JOIN nd
+        |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin,
     "sketch_distinct_ngrams" ->
       """WITH tk AS (SELECT source, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks
         |  FROM documents),

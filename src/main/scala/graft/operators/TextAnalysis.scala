@@ -324,6 +324,50 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_no")
   }
 
+  /** `text_collocations` — corpus collocation mining by document-
+    * frequency LIFT: bigrams that co-occur in far more documents than
+    * their parts' document frequencies predict (lift =
+    * df(ab)·N / (df(a)·df(b))) are multiword expressions / named
+    * entities / boilerplate phrases — the vocabulary readout that
+    * feeds tokenizer merges and template detection. Document
+    * frequency (distinct per doc) rather than raw occurrence counts:
+    * robust to within-doc repetition (the [[textRepNgrams]] failure
+    * mode) and expressible with the native distinct-[[shingles]]
+    * expression — no interpreted HOF in the per-row path. Lift stays
+    * hash-exact cross-engine: one multiply chain over exact integer
+    * counts, rounded at 6 dp (ratios-from-exact-counts, §3); top-k
+    * ordered (lift DESC, bigram) with a `min_df` support floor.
+    *
+    * Scale shape: two map-side-combinable count shuffles (distinct
+    * bigrams, distinct tokens per doc), then joins keyed on the
+    * vocab-bounded count relations, TakeOrdered tail — nothing
+    * corpus-sized is sorted or broadcast. */
+  def textCollocations(spark: SparkSession, dir: String,
+      minDf: Int = 5, k: Int = 50): DataFrame = {
+    val docs = Tables.parallel(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .where(size(col("ts")) > 0)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val bigrams = docs
+      .select(explode(shingles(col("ts"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("df_ab"))
+      .where(col("df_ab") >= minDf)
+    val unigrams = docs
+      .select(explode(array_distinct(col("ts"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df_w"))
+    bigrams
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(unigrams.select(col("w").as("w1"), col("df_w").as("df_a")), "w1")
+      .join(unigrams.select(col("w").as("w2"), col("df_w").as("df_b")), "w2")
+      .crossJoin(broadcast(nDocs))
+      .select(col("bigram"), col("df_ab"), col("df_a"), col("df_b"),
+        round(col("df_ab").cast("double") * col("n_docs").cast("double")
+          / (col("df_a").cast("double") * col("df_b").cast("double")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Mask every email / IPv4 / phone with a typed placeholder — the
     * fixed order [[textPii]] documents. Map-only codegen'd
     * `regexp_replace` chain, reusable on any string column. */

@@ -221,6 +221,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept.forall(_.getAs[Long]("count") === 7L))
   }
 
+  test("collocations: top-50 lift list equals a literal document-frequency reference") {
+    val got = graft.operators.TextAnalysis.textCollocations(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 50)
+    // literal reference: doc-frequency sets computed driver-side
+    val tok = "[a-z0-9]+".r
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().map(r => tok.findAllIn(r.getString(0).toLowerCase).toSeq)
+      .filter(_.nonEmpty)
+    val n = docs.length.toDouble
+    val dfW = scala.collection.mutable.Map.empty[String, Long]
+    val dfB = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { ts =>
+      ts.distinct.foreach(w => dfW(w) = dfW.getOrElse(w, 0L) + 1)
+      ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq.distinct
+        .foreach(b => dfB(b) = dfB.getOrElse(b, 0L) + 1)
+    }
+    val ref = dfB.toSeq.filter(_._2 >= 5).map { case (b, ab) =>
+      val Array(w1, w2) = b.split(" ")
+      (b, ab, ab * n / (dfW(w1) * dfW(w2)))
+    }.sortBy { case (b, _, l) => (-l, b) }.take(50)
+    assert(got.map(_.getAs[String]("bigram")).toSeq === ref.map(_._1),
+      "top-50 membership/order must match the literal reference")
+    got.zip(ref).foreach { case (r, (_, ab, l)) =>
+      assert(r.getAs[Long]("df_ab") === ab)
+      assert(math.abs(r.getAs[Double]("lift") - l) < 1e-6)
+    }
+  }
+
   test("text_chunk: windows tile with overlap, tails are short, chunks reconstruct the doc") {
     val rows = TextAnalysis.textChunk(spark, sf, window = 16, stride = 12).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
