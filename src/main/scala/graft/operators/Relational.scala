@@ -254,20 +254,35 @@ object Relational {
     * per user), the per-user stats relation is |users|-sized and
     * broadcasts back, the screen itself is a map-only filter — the
     * fact table shuffles once, for the agg. */
-  def qEventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("value"))
+  /** Per-user (mean, population std) of `value` from decimal-exact
+    * moment sums — the offline "model" the anomaly screen applies;
+    * also consumed by the STREAMING screen
+    * ([[graft.streaming.EventStream.anomalyScreen]]), which scores
+    * live events against exactly these batch-trained stats. */
+  def userValueStats(events: DataFrame): DataFrame = {
     val d = col("value").cast("decimal(18,6)")
     val meanD = col("s1").cast("double") / col("n")
-    val stats = e.groupBy("user_id")
+    events.groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum(d).as("s1"), sum(d * d).as("s2"))
       .select(col("user_id"), meanD.as("mean"),
         sqrt(greatest(col("s2").cast("double") / col("n") - meanD * meanD, lit(0.0)))
           .as("std"))
-    e.join(broadcast(stats), Seq("user_id"))
-      .where(col("std") > 0 && abs(col("value") - col("mean")) > lit(2.5) * col("std"))
+  }
+
+  /** The screen itself: events whose value sits > `sigma` population
+    * standard deviations from their user's mean. Works unchanged on a
+    * batch OR streaming `events` relation (stream-static broadcast
+    * join + map-only filter — stateless, so the streaming twin is the
+    * SAME code). */
+  def anomalyScreen(events: DataFrame, stats: DataFrame, sigma: Double = 2.5): DataFrame =
+    events.join(broadcast(stats), Seq("user_id"))
+      .where(col("std") > 0 && abs(col("value") - col("mean")) > lit(sigma) * col("std"))
       .select(col("event_id"), col("user_id"), col("value"),
         round((col("value") - col("mean")) / col("std"), 4).as("zscore"))
-      .orderBy("event_id")
+
+  def qEventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("value"))
+    anomalyScreen(e, userValueStats(e)).orderBy("event_id")
   }
 
   /** Semi-structured prop extraction: JSON field → typed agg. */

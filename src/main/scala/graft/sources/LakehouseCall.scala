@@ -168,7 +168,9 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
           throw new IllegalArgumentException(
             s"$table has no definition in this lake's _mviews.jsonl — " +
               "create it with CREATE MATERIALIZED VIEW"))
-        val snap = MaterializedView.refresh(lake, d)
+        // chain-aware: a fresh view implies a fresh upstream, so a
+        // view whose source is itself a view refreshes bottom-up
+        val snap = MaterializedView.refreshChain(lake, table)
         lake.registerView(table, partitionBy)
         Seq(Row(snap, MaterializedView.watermark(lake, d)))
 

@@ -131,6 +131,28 @@ object MaterializedView {
     case MaxCol(s, al) => s"max($s) AS $al"
   }
 
+  /** Refresh a CHAIN of views (gold-over-silver-over-bronze rollup
+    * DAGs): when a view's source is itself a persisted materialized
+    * view of the same lake, the upstream view refreshes first, then
+    * the downstream hop advances. The downstream hop lands on the
+    * recompute path by construction — upstream refreshes commit as
+    * keyed UPSERTS (history rewrites), which the append-only delta
+    * reader correctly refuses — and that recompute reads the
+    * AGGREGATE-SIZED upstream view, never the corpus: a two-level
+    * chain costs O(source delta) + O(|upstream view|) per refresh.
+    * Each hop keeps its own exactly-once watermark, so a crash
+    * anywhere in the chain resumes cleanly. Cycles refuse loudly. */
+  def refreshChain(lake: Lakehouse, view: String): Long = {
+    def walk(v: String, seen: Set[String]): Long = {
+      require(!seen.contains(v), s"materialized-view cycle through $v")
+      val d = load(lake, v).getOrElse(throw new IllegalArgumentException(
+        s"$v has no _mviews.jsonl definition in this lake"))
+      if (load(lake, d.src).isDefined) walk(d.src, seen + v)
+      refresh(lake, d)
+    }
+    walk(view, Set.empty)
+  }
+
   /** The `t.mviews` metadata relation: the materialized views
     * maintained OVER source table `src` in this lake, with their
     * definitions and refresh state — `current_src_snapshot` vs

@@ -158,6 +158,20 @@ object EventStream {
     writer.start()
   }
 
+  /** STREAMING ANOMALY SCREEN — train offline, score online: the
+    * per-user moment stats computed over the historical batch table
+    * ([[graft.operators.Relational.userValueStats]], the "model")
+    * broadcast against a live event stream; each arriving event is
+    * scored map-only with zero streaming state (a stream-static
+    * broadcast join — Spark re-plans the static side per micro-batch,
+    * so replacing the stats table between batches picks up a
+    * re-trained model without restarting the query). The screen
+    * expression is the SAME code as the batch `q_events_anomaly`, so
+    * batch/stream parity is by construction and the spec pins it. */
+  def anomalyScreen(events: DataFrame, stats: DataFrame,
+      sigma: Double = 2.5): DataFrame =
+    graft.operators.Relational.anomalyScreen(events, stats, sigma)
+
   /** CONTINUOUS MATERIALIZED-VIEW MAINTENANCE: keep a
     * [[graft.sources.MaterializedView]] fresh as its source table
     * takes commits, by composing the lakehouse stream source (whose

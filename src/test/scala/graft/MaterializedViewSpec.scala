@@ -153,6 +153,39 @@ class MaterializedViewSpec extends SparkSpec {
     assert(lake.snapshots("sales_by_status").size === snaps)
   }
 
+  test("view-over-view chain: refreshChain advances both hops to the source truth") {
+    import spark.implicits._
+    val root = freshDir("graft-mview-chain")
+    val lake = new Lakehouse(spark, root)
+    def src(rows: (Long, String, String, java.math.BigDecimal)*) =
+      rows.toDF("id", "cat", "status", "price")
+        .select(col("id"), col("cat"), col("status"),
+          col("price").cast("decimal(18,2)").as("price"))
+    lake.createOrReplace(src(
+      (1L, "A", "O", dec("10.00")), (2L, "A", "F", dec("4.00")),
+      (3L, "B", "O", dec("2.00"))), "orders_c")
+    val v1 = MV.ViewDef("by_cat_status", "orders_c", Seq("cat", "status"),
+      Seq(MV.SumCol("price", "total"), MV.CountAll("n")))
+    val v2 = MV.ViewDef("by_cat", "by_cat_status", Seq("cat"),
+      Seq(MV.SumCol("total", "cat_total"), MV.CountAll("n_statuses")))
+    MV.create(lake, v1); MV.persist(lake, v1)
+    MV.create(lake, v2); MV.persist(lake, v2)
+    lake.append(src((4L, "B", "F", dec("7.50")), (5L, "A", "O", dec("1.00"))), "orders_c")
+    MV.refreshChain(lake, "by_cat")
+    // both hops reflect the appended rows
+    val top = lake.read("by_cat").collect()
+      .map(r => r.getAs[String]("cat") ->
+        ((r.getAs[java.math.BigDecimal]("cat_total"), r.getAs[Long]("n_statuses")))).toMap
+    assert(top === Map(
+      "A" -> ((dec("15.00"), 2L)), // O=11.00 + F=4.00 across 2 status rows
+      "B" -> ((dec("9.50"), 2L))))
+    // idempotent: nothing moved, nothing commits on either hop
+    val s1 = lake.snapshots("by_cat_status").size; val s2 = lake.snapshots("by_cat").size
+    MV.refreshChain(lake, "by_cat")
+    assert(lake.snapshots("by_cat_status").size === s1 &&
+      lake.snapshots("by_cat").size === s2)
+  }
+
   test("property: random append sequences always land on the full recompute") {
     // the merge algebra must be associative over ANY batch split — a
     // seeded pseudo-random corpus partitioned into 1..5 appends of

@@ -27,6 +27,31 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming anomaly screen over batch-trained stats matches q_events_anomaly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("value"))
+    val stats = Relational.userValueStats(batch)
+    // replay the whole history through a stream in two micro-batches
+    val rows = batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val source = MemoryStream[(Long, Long, Double)]
+    val screened = EventStream.anomalyScreen(
+      source.toDF.toDF("event_id", "user_id", "value"), stats)
+    val q = screened.writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      source.addData(a.toSeq); q.processAllAvailable()
+      source.addData(b.toSeq); q.processAllAvailable()
+      val got = spark.table("anomaly_stream").collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toSet
+      val want = Relational.qEventsAnomaly(spark, sf).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("zscore"))).toSet
+      assert(got === want, "stream-scored flags must equal the batch screen")
+    } finally q.stop()
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches the window-function batch plan") {
     val sessions = EventStream.sessionize(
       EventStream.toSessionEvents(Tables.events(spark, sf)))
