@@ -193,7 +193,12 @@ object MaterializedView {
   def create(lake: Lakehouse, d: ViewDef): Long = {
     val s0 = lake.currentSnapshot(d.src).getOrElse(
       throw new IllegalArgumentException(s"no such source table: ${d.src}"))
-    lake.replaceOnce(aggOf(lake.read(d.src), d), d.view, batchId = s0)
+    val snap = lake.replaceOnce(aggOf(lake.read(d.src), d), d.view, batchId = s0)
+    // the view is a queryable lakehouse table: register it so SQL can
+    // read it — and so a downstream CREATE MATERIALIZED VIEW can name
+    // it as a source (the parser guard keys on registration)
+    lake.registerView(d.view)
+    snap
   }
 
   /** The source snapshot the view currently reflects. */

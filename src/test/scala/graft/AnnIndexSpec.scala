@@ -70,6 +70,41 @@ class AnnIndexSpec extends SparkSpec {
     assert(lake.read(AnnIndex.vectorsTable("emb_sql")).count() === 40)
   }
 
+  test("a crash between the two index-table commits heals on the next refresh") {
+    val root = freshDir("graft-annidx-crash")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(emb.where(col("vec_id") < 30), "emb_cr")
+    AnnIndex.create(lake, "emb_cr")
+    lake.append(emb.where(col("vec_id") >= 30 && col("vec_id") < 45), "emb_cr")
+    val cur = lake.currentSnapshot("emb_cr").get
+    // simulate the torn refresh: the VECTORS table committed its delta
+    // (batch id = source snapshot) but the process died before the
+    // ASSIGNMENT table advanced
+    val delta = lake.readChanges("emb_cr", lake.committedBatches(AnnIndex.vectorsTable("emb_cr")).max, cur)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantize(col("embedding")).as("v"))
+      .withColumn("nsq", graft.functions.VectorFunctions.normSqQ(col("v")))
+    lake.appendOnce(delta, AnnIndex.vectorsTable("emb_cr"), batchId = cur)
+    assert(lake.read(AnnIndex.vectorsTable("emb_cr")).count() === 45)
+    assert(lake.read(AnnIndex.assignTable("emb_cr")).select("vec_id").distinct().count() === 30,
+      "assignment is behind — the torn state under test")
+    // the re-run refresh: vectors no-op (batch id committed), assignment catches up
+    AnnIndex.refresh(lake, "emb_cr")
+    assert(lake.read(AnnIndex.vectorsTable("emb_cr")).count() === 45, "no double-append")
+    assert(lake.read(AnnIndex.assignTable("emb_cr")).select("vec_id").distinct().count() === 45)
+    // and the healed index equals a clean one-shot assignment
+    val cents = AnnIndex.centroids(lake, "emb_cr")
+    val full = emb.where(col("vec_id") < 45)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantize(col("embedding")).as("v"))
+      .withColumn("nsq", graft.functions.VectorFunctions.normSqQ(col("v")))
+    val want = Similarity.assignCells2(full, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = lake.read(AnnIndex.assignTable("emb_cr"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toSet
+    assert(got === want)
+  }
+
   test("a source rewrite re-assigns against the SAME centroids (no silent retrain)") {
     val root = freshDir("graft-annidx-rw")
     val lake = new Lakehouse(spark, root)

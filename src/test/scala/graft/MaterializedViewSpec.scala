@@ -184,6 +184,17 @@ class MaterializedViewSpec extends SparkSpec {
     MV.refreshChain(lake, "by_cat")
     assert(lake.snapshots("by_cat_status").size === s1 &&
       lake.snapshots("by_cat").size === s2)
+    // the SQL surface chains too: a view over a view parses and
+    // CALL refresh_mview walks the chain bottom-up
+    spark.sql(
+      """CREATE MATERIALIZED VIEW by_cat_sql AS
+        |SELECT cat, sum(total) AS cat_total, count(*) AS n_statuses
+        |FROM by_cat_status GROUP BY cat""".stripMargin)
+    lake.append(src((6L, "B", "P", dec("0.25"))), "orders_c")
+    spark.sql("CALL system.refresh_mview('by_cat_sql')").collect()
+    val sqlTop = spark.table("by_cat_sql").collect()
+      .map(r => r.getAs[String]("cat") -> r.getAs[java.math.BigDecimal]("cat_total")).toMap
+    assert(sqlTop("B") === dec("9.75"), "the SQL chain refreshed through its upstream view")
   }
 
   test("property: random append sequences always land on the full recompute") {
