@@ -133,4 +133,29 @@ class BranchSqlSpec extends SparkSpec {
       "SELECT (SELECT count(*) FROM beta) AS n FROM alpha").head().getLong(0) === 1)
     assert(spark.catalog.tableExists("beta"))
   }
+
+  test("write-audit-publish: stage on a branch, audit + fix there, publish by fast-forward") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(
+      Seq((1L, "widget", 9.99), (2L, "gadget", 24.50)).toDF("id", "item", "price"), "wap")
+    lake.registerView("wap")
+    spark.sql("ALTER TABLE wap CREATE BRANCH staging")
+    // the incoming batch lands on the BRANCH — one bad row included
+    lake.append(Seq((3L, "doohickey", 4.25), (4L, "corrupt", -1.0))
+      .toDF("id", "item", "price"), "wap", branch = "staging")
+    // main serves readers untouched while the audit runs
+    assert(lake.read("wap", "main").count() === 2)
+    // audit ON the staged state finds the violation...
+    val bad = lake.read("wap", "staging").where(col("price") < 0)
+    assert(bad.count() === 1)
+    // ...which is repaired on the branch (row-level delete, main still clean)
+    lake.deleteWhere(col("price") < 0, "wap", branch = "staging")
+    assert(lake.read("wap", "staging").where(col("price") < 0).count() === 0)
+    assert(lake.read("wap", "main").count() === 2)
+    // publish: a pointer move — no data is rewritten
+    spark.sql("ALTER TABLE wap FAST FORWARD staging INTO main")
+    val main = lake.read("wap", "main").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(main === Seq(1L, 2L, 3L), "audited batch published, corrupt row never reached main")
+  }
 }
