@@ -40,6 +40,12 @@ import graft.sources.Lakehouse
   * (|Q|·√n driver-side-bounded work), equi-join probed cells against
   * the assignment table, score candidates from the vectors table,
   * bounded-heap top-k ([[Similarity.topkPerQuery]]).
+  *
+  * Operating assumption (same as [[graft.sources.MaterializedView]]):
+  * one refresher per index at a time — the scheduled-job shape.
+  * Replays and same-snapshot races no-op on the batch ledger;
+  * refreshers racing toward different source snapshots are not
+  * coordinated.
   */
 object AnnIndex {
 

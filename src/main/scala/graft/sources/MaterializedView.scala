@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   * id (post-commit crash). Concurrent source commits during a refresh
   * are safe: the target snapshot is pinned first and the delta read
   * is bounded to it; later commits are the next refresh's delta.
+  *
+  * Operating assumption: ONE refresher per view at a time (the
+  * scheduled-maintenance-job shape; [[graft.streaming.EventStream]]'s
+  * `maintainMview` serializes refreshes by construction). Two
+  * refreshers racing toward the SAME source snapshot are still safe
+  * (one commit no-ops on the batch id), but racing toward DIFFERENT
+  * snapshots is not coordinated — the merge each computed against a
+  * pre-race view state cannot see the other's commit. Crash-REPLAY
+  * safety (the common failure) needs no coordination at all.
   */
 object MaterializedView {
 
