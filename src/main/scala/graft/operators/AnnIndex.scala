@@ -53,11 +53,16 @@ object AnnIndex {
   def vectorsTable(src: String): String = s"${src}_ann_vectors"
   def assignTable(src: String): String = s"${src}_ann_assign"
 
-  /** Quantized (vec_id, v, nsq) of any (vec_id, embedding) relation —
-    * the same fixed-point family every ANN/dedup path shares. */
-  private def quantize(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("v"))
+  /** Quantized (vec_id, v, nsq, <metadata…>) of any (vec_id,
+    * embedding, …) relation — the shared fixed-point family, with
+    * every NON-embedding column carried through into the vectors
+    * table so index queries can filter on source metadata without
+    * ever joining back to the source. */
+  private def quantize(df: DataFrame): DataFrame = {
+    val meta = df.columns.filterNot(c => c == "vec_id" || c == "embedding").map(col)
+    df.select(col("vec_id") +: VectorFunctions.quantize(col("embedding")).as("v") +: meta: _*)
       .withColumn("nsq", VectorFunctions.normSqQ(col("v")))
+  }
 
   /** Build (or rebuild) the index at the source's current snapshot:
     * train the coarse quantizer, assign and store the full corpus.
@@ -113,21 +118,33 @@ object AnnIndex {
   }
 
   /** Top-k quantized-cosine neighbors for each (vec_id, embedding)
-    * query row, served ENTIRELY from the persisted index tables. */
+    * query row, served ENTIRELY from the persisted index tables.
+    *
+    * `filter` restricts candidates by the METADATA columns the
+    * vectors table carried from the source (e.g. `col("label") === 3`)
+    * — applied BEFORE scoring, so k fills from the matching pool, and
+    * pushed at the vectors-table scan (stat-pruned like any lakehouse
+    * read). The usual IVF caveat applies: candidates still come from
+    * the probed cells, so a highly selective filter wants more
+    * `probes` (recall-vs-cost, same dial as unfiltered). */
   def query(lake: Lakehouse, src: String, queries: DataFrame,
-      k: Int = 10, probes: Int = 0): DataFrame = {
+      k: Int = 10, probes: Int = 0,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val cents = centroids(lake, src)
     val nProbes = if (probes > 0) probes else Similarity.trainedProbes(cents.length)
     val q = quantize(queries)
-    val probed = Similarity.probeCells(q, Similarity.centsDf(queries.sparkSession, cents), nProbes)
+    val probed = Similarity.probeCells(
+        q.select("vec_id", "v", "nsq"),
+        Similarity.centsDf(queries.sparkSession, cents), nProbes)
       .withColumnRenamed("vec_id", "q_id")
     val cand = probed.join(lake.read(assignTable(src)), "cell")
       .select("q_id", "vec_id").dropDuplicates("q_id", "vec_id")
-    val vecs = lake.read(vectorsTable(src))
+    val vecs0 = lake.read(vectorsTable(src))
+    val vecs = filter.map(vecs0.where).getOrElse(vecs0)
     val scored = cand
       .join(broadcast(q.select(col("vec_id").as("q_id"),
         col("v").as("qv"), col("nsq").as("qnsq"))), "q_id")
-      .join(vecs, "vec_id")
+      .join(vecs.select("vec_id", "v", "nsq"), "vec_id")
       .select(col("q_id"), col("vec_id"),
         round(Similarity.cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6)
           .as("cosine"))

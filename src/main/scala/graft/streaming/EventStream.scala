@@ -211,6 +211,37 @@ object EventStream {
       .start()
   }
 
+  /** CONTINUOUS ANN-INDEX MAINTENANCE — [[maintainMview]]'s twin for
+    * the persisted vector index ([[graft.operators.AnnIndex]]): the
+    * lakehouse stream source schedules a delta-priced `refresh`
+    * whenever the embeddings table takes a commit, so newly ingested
+    * vectors become searchable without re-encoding the corpus or
+    * restarting anything. Same crash story: refresh re-derives its
+    * delta from the index tables' own watermarks, so checkpoint
+    * drift resolves to a no-op. */
+  def maintainAnnIndex(spark: SparkSession, root: String, src: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.AnnIndex
+    import graft.sources.Lakehouse
+    val lake = new Lakehouse(spark, root)
+    spark.readStream
+      .format("graft.streaming.LakehouseStreamProvider")
+      .option("root", root).option("table", src)
+      .option("startSnapshot",
+        lake.committedBatches(AnnIndex.vectorsTable(src)).max.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        AnnIndex.refresh(lake, src); ()
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: purchases enriched with the same
     * user's clicks from the preceding 10 minutes — the streaming twin
     * of `q_range_join`. Both sides are watermarked so Spark can bound

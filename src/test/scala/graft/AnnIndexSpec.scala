@@ -57,6 +57,39 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("filtered index query: metadata carried into the vectors table gates candidates") {
+    val root = freshDir("graft-annidx-filter")
+    val lake = new Lakehouse(spark, root)
+    val withLabel = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    lake.createOrReplace(withLabel, "emb_f")
+    AnnIndex.create(lake, "emb_f")
+    // metadata landed beside the quantized vectors
+    assert(lake.read(AnnIndex.vectorsTable("emb_f")).columns.contains("label"))
+    val labels = withLabel.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val queries = withLabel.where(col("vec_id") < 5).select("vec_id", "embedding")
+    val got = AnnIndex.query(lake, "emb_f", queries,
+      filter = Some(col("label") === 3)).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => labels(r.getAs[Long]("vec_id")) == 3),
+      "every served neighbor must satisfy the metadata filter")
+  }
+
+  test("streaming maintenance: new vectors become searchable as commits land") {
+    val root = freshDir("graft-annidx-stream")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(emb.where(col("vec_id") < 30), "emb_st")
+    AnnIndex.create(lake, "emb_st")
+    lake.append(emb.where(col("vec_id") >= 30 && col("vec_id") < 50), "emb_st")
+    lake.append(emb.where(col("vec_id") >= 50 && col("vec_id") < 60), "emb_st")
+    val q = graft.streaming.EventStream.maintainAnnIndex(
+      spark, root, "emb_st", freshDir("graft-annidx-stream-ck"))
+    try q.awaitTermination(120000) finally q.stop()
+    assert(lake.read(AnnIndex.vectorsTable("emb_st")).count() === 60)
+    assert(lake.read(AnnIndex.assignTable("emb_st")).select("vec_id").distinct().count() === 60)
+  }
+
   test("CALL system.refresh_ann_index advances the index through SQL") {
     val root = freshDir("graft-annidx-sql")
     val lake = new Lakehouse(spark, root)
