@@ -24,6 +24,7 @@ object SparkEntry {
     "sql_lakehouse_ddl" -> (Medallion.sqlLakehouseDdl _),
     "mview_incremental" -> (Medallion.mviewIncremental _),
     "sql_mview" -> (Medallion.sqlMview _),
+    "sql_wap" -> (Medallion.sqlWap _),
     "sql_time_travel" -> (Medallion.sqlTimeTravel _),
     "sql_hidden_partition" -> (Medallion.sqlHiddenPartition _),
     "sql_schema_evolution" -> (Medallion.sqlSchemaEvolution _),
@@ -191,6 +192,13 @@ object SparkEntry {
         |  round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS min_price,
         |  round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS max_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // write-audit-publish: the staged batch minus audited-out rows —
+    // the hash proves corrupt rows never reached main and the rest did
+    "sql_wap" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the same view lifecycle through parsed SQL (CREATE MATERIALIZED
     // VIEW / INSERT / CALL refresh_mview): same full-GROUP-BY oracle
     "sql_mview" ->

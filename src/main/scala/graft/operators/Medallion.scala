@@ -486,6 +486,46 @@ object Medallion {
       .orderBy("o_orderstatus")
   }
 
+  /** `sql_wap` — WRITE-AUDIT-PUBLISH through parsed SQL (the Iceberg
+    * WAP pattern; the reference environment's Nessie branches exist
+    * for exactly this): the clean baseline lands on main, the
+    * incoming batch lands on a STAGING branch (`spark.graft.branch`
+    * session scoping — NESSIE_REF semantics), the audit finds and
+    * repairs violations ON THE BRANCH with row-level DELETE while
+    * main keeps serving readers untouched, and publishing is
+    * `FAST FORWARD` — a branch-pointer move over immutable shared
+    * snapshots, zero data rewritten. The oracle restates the net
+    * effect (everything except the audited-out rows), so the hash
+    * compare proves the corrupt rows never reached main AND the
+    * audited batch fully did. */
+  def sqlWap(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-wap").toString
+    spark.conf.set(graft.sources.LakehouseCtasCommand.RootConf, root)
+    try {
+      spark.sql(
+        """CREATE TABLE wap_orders AS
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)
+      spark.sql("ALTER TABLE wap_orders CREATE BRANCH staging")
+      spark.conf.set("spark.graft.branch", "staging")
+      try {
+        spark.sql(
+          """INSERT INTO wap_orders
+            |SELECT o_orderkey, o_orderstatus, o_totalprice
+            |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin)
+        // audit rule: P-status rows may not publish — repaired on the
+        // branch; main has not seen any of this batch yet
+        spark.sql("DELETE FROM wap_orders WHERE o_orderstatus = 'P'")
+      } finally spark.conf.unset("spark.graft.branch")
+      spark.sql("ALTER TABLE wap_orders FAST FORWARD staging INTO main")
+      spark.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM wap_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
+  }
+
   /** `sql_mview` — the same incremental-view lifecycle driven ENTIRELY
     * through parsed SQL (the operator-facing surface): CTAS half of
     * `orders` into the session lake, `CREATE MATERIALIZED VIEW`
