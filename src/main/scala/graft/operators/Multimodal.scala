@@ -148,6 +148,49 @@ object Multimodal {
       .mapPartitions(_.map(resizeStub(_, tw, th)))
   }
 
+  /** REAL image resize (the [[decodeRecord]] counterpart): decode via
+    * `javax.imageio`, NEAREST-NEIGHBOR sample to a `tw`×`th` grayscale
+    * thumbnail — thumb(x,y) = channel mean of the source pixel at the
+    * proportional coordinate (⌊x·W/tw⌋, ⌊y·H/th⌋), exact integer
+    * arithmetic so the result is bit-deterministic across executors
+    * and JVMs (no Graphics2D filtering, whose interpolation is
+    * implementation-defined). Unrecognized payloads fall back to
+    * [[resizeStub]] so mixed media flows through one pass. */
+  def resizeRecord(r: MediaRecord, tw: Int, th: Int): ResizedMedia = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+      catch { case _: Throwable => None }
+    img match {
+      case Some(i) if i.getWidth > 0 && i.getHeight > 0 =>
+        val thumb = new Array[Byte](tw * th)
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            val sx = (x.toLong * i.getWidth / tw).toInt
+            val sy = (y.toLong * i.getHeight / th).toInt
+            val rgb = i.getRGB(sx, sy)
+            thumb(y * tw + x) =
+              ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3).toByte
+            x += 1
+          }
+          y += 1
+        }
+        ResizedMedia(r.doc_id, tw, th, thumb)
+      case _ => resizeStub(r, tw, th)
+    }
+  }
+
+  /** Real-resize over an arbitrary media relation — one batched
+    * mapPartitions pass, decode and resample fused per record (the
+    * decoded raster never leaves the task). */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      tw: Int = 8, th: Int = 8): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(resizeRecord(_, tw, th)))
+  }
+
   /** Frame sampling: every `stride`-th 16-byte slice of the payload —
     * pure binary `substring` arithmetic, no decode needed. */
   def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame =

@@ -66,6 +66,32 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2) === Multimodal.decodeStub(media(2)))
   }
 
+  test("real image resize: nearest-neighbor thumbnail has exact predictable pixels") {
+    import spark.implicits._
+    // a 4x2 image whose left half is dark gray and right half light
+    def png(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 4) {
+        val v = if (x < 2) 40 else 200
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "image/png", png()),
+      MediaRecord(2L, "text", "not an image".getBytes("UTF-8")))
+    val got = Multimodal.resizeImages(spark,
+      media.toDS().toDF("doc_id", "kind", "payload"), tw = 2, th = 1)
+      .collect().sortBy(_.doc_id)
+    // nearest-neighbor at (0,0)->(0,0)=40 and (1,0)->(2,0)=200
+    assert(got(0).width === 2 && got(0).height === 1)
+    assert(got(0).thumb.toSeq === Seq(40.toByte, 200.toByte))
+    // unrecognized bytes keep the deterministic stub semantics
+    assert(got(1).thumb.toSeq === Multimodal.resizeStub(media(1), 2, 1).thumb.toSeq)
+  }
+
   test("frame sampling slices the payload without decoding") {
     val frames = Multimodal.frameSample(spark, sf)
     assert(frames.where(octet_length(col("frame")) > 16).count() === 0)
