@@ -95,6 +95,7 @@ object SparkEntry {
     // captured into a literal-VALUES oracle (see oracleSql ++ below)
     "ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(s, d)),
     "ann_index_incremental" -> ((s, d) => Similarity.annIndexIncremental(s, d)),
+    "ann_index_rebalanced" -> ((s, d) => Similarity.annIndexRebalanced(s, d)),
     "ann_filtered_topk" -> ((s, d) => Similarity.annFilteredTopk(s, d)),
     "ann_pq_topk" -> ((s, d) => Similarity.annPqTopk(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.annIvfPqTopk(s, d)),
@@ -151,7 +152,8 @@ object SparkEntry {
       Similarity.pqOracleSql.map("ann_pq_topk" -> _) ++
       Similarity.ivfpqOracleSql.map("ann_ivfpq_topk" -> _) ++
       Similarity.ivfpqRerankOracleSql.map("ann_ivfpq_rerank" -> _) ++
-      Similarity.annIndexOracleSql.map("ann_index_incremental" -> _)
+      Similarity.annIndexOracleSql.map("ann_index_incremental" -> _) ++
+      Similarity.annIndexRebalancedOracleSql.map("ann_index_rebalanced" -> _)
 
   private def staticOracleSql: Map[String, String] = Map(
     "bronze_orders_nested" ->

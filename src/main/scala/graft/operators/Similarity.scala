@@ -149,6 +149,15 @@ object Similarity {
     * cent_id masked to MaxValue, then a 2-row explode. No shuffle, no
     * Window; index size doubles (the explicit space-for-recall trade). */
   private[graft] def assignCells2(vectors: DataFrame,
+      cents: Seq[(Long, Array[Long])]): DataFrame =
+    assignCells2Full(vectors, cents).select("vec_id", "cell")
+
+  /** [[assignCells2]] keeping `v`/`nsq` on every exploded assignment
+    * row — the shape tree-descent re-assignment ([[AnnIndex]]) needs:
+    * after a hot cell splits, each row assigned to a split parent
+    * descends to its nearest CHILD, which requires the vector payload
+    * alongside the cell id. Still a pure map-side projection. */
+  private[graft] def assignCells2Full(vectors: DataFrame,
       cents: Seq[(Long, Array[Long])]): DataFrame = {
     def structsOf(mask: Option[Column]) = cents.map { case (id, cv) =>
       val cn = cv.map(x => x * x).sum
@@ -162,9 +171,10 @@ object Similarity {
     vectors
       .select(col("vec_id"), col("v"), col("nsq"),
         least(structsOf(None): _*).getField("cent_id").as("c1"))
-      .select(col("vec_id"), col("c1"),
+      .select(col("vec_id"), col("v"), col("nsq"), col("c1"),
         least(structsOf(Some(col("c1"))): _*).getField("cent_id").as("c2"))
-      .select(col("vec_id"), explode(array(col("c1"), col("c2"))).as("cell"))
+      .select(col("vec_id"), col("v"), col("nsq"),
+        explode(array(col("c1"), col("c2"))).as("cell"))
   }
 
   /** QUERY-side multi-probe ranking: the `probes` nearest cells per
@@ -459,6 +469,93 @@ object Similarity {
     val cents = AnnIndex.centroids(lake, "emb")
     lastIndexed = Some((cents.map { case (i, cv) => (i, cv.toSeq) },
       trainedProbes(cents.length)))
+    AnnIndex.query(lake, "emb", emb.where(col("vec_id") < 5), k)
+  }
+
+  // artifact slot for the rebalanced-index driver query: (root
+  // centroids, (parent, child, child-centroid) split rows, probes)
+  @volatile private var lastRebalanced:
+    Option[(Seq[(Long, Seq[Long])], Seq[(Long, Long, Seq[Long])], Int)] = None
+
+  /** DuckDB restatement of the last rebalanced-index run: root
+    * centroids AND the split ledger as literal VALUES; assignment =
+    * 2-nearest over roots then descend split parents to the nearest
+    * child; probing ranks the LEAF cells. Hash-equality proves the
+    * split-in-place index equals a from-scratch replay of the same
+    * tree — the rebalance never silently moved an un-split cell. */
+  def annIndexRebalancedOracleSql: Option[String] =
+    lastRebalanced.map { case (roots, kids, probes) =>
+      val rootVals = roots.map { case (id, cv) =>
+        s"($id, [${cv.mkString(",")}])"
+      }.mkString(", ")
+      val kidVals = kids.map { case (p, c, cv) =>
+        s"($p, $c, [${cv.mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH q AS (SELECT vec_id,
+         |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+         |qn AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) nsq FROM q),
+         |roots AS (SELECT cell, cv, list_sum(list_transform(cv, x -> x*x)) cn
+         |  FROM (VALUES $rootVals) r(cell, cv)),
+         |kids AS (SELECT parent, child, cv, list_sum(list_transform(cv, x -> x*x)) cn
+         |  FROM (VALUES $kidVals) k(parent, child, cv)),
+         |dr AS (SELECT e.vec_id, r.cell,
+         |  CAST(e.nsq + r.cn - 2 * list_sum(list_transform(list_zip(e.v, r.cv), z -> z[1]*z[2])) AS BIGINT) d2
+         |  FROM qn e CROSS JOIN roots r),
+         |rr AS (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) crk FROM dr),
+         |a0 AS (SELECT vec_id, cell FROM rr WHERE crk <= 2),
+         |dk AS (SELECT a0.vec_id, a0.cell parent, k.child,
+         |  CAST(e.nsq + k.cn - 2 * list_sum(list_transform(list_zip(e.v, k.cv), z -> z[1]*z[2])) AS BIGINT) d2
+         |  FROM a0 JOIN kids k ON a0.cell = k.parent JOIN qn e ON e.vec_id = a0.vec_id),
+         |dkb AS (SELECT vec_id, parent, child,
+         |  row_number() OVER (PARTITION BY vec_id, parent ORDER BY d2, child) rk FROM dk),
+         |assign AS (SELECT a0.vec_id, coalesce(b.child, a0.cell) cell
+         |  FROM a0 LEFT JOIN (SELECT vec_id, parent, child FROM dkb WHERE rk = 1) b
+         |  ON a0.vec_id = b.vec_id AND a0.cell = b.parent),
+         |leaves AS (SELECT cell, cv, cn FROM roots WHERE cell NOT IN (SELECT parent FROM kids)
+         |  UNION ALL SELECT child, cv, cn FROM kids),
+         |dl AS (SELECT e.vec_id, l.cell,
+         |  CAST(e.nsq + l.cn - 2 * list_sum(list_transform(list_zip(e.v, l.cv), z -> z[1]*z[2])) AS BIGINT) d2
+         |  FROM qn e CROSS JOIN leaves l WHERE e.vec_id < 5),
+         |probes AS (SELECT vec_id q_id, cell FROM (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) crk FROM dl) WHERE crk <= $probes),
+         |cand AS (SELECT DISTINCT q_id, assign.vec_id FROM probes JOIN assign ON probes.cell = assign.cell),
+         |s AS (SELECT q_id, cand.vec_id,
+         |  round(CAST(list_sum(list_transform(list_zip(qv.v, ev.v), z -> z[1]*z[2])) AS DOUBLE)
+         |    / sqrt(CAST(qv.nsq * ev.nsq AS DOUBLE)), 6) cosine
+         |  FROM cand JOIN qn qv ON cand.q_id = qv.vec_id JOIN qn ev ON cand.vec_id = ev.vec_id),
+         |r AS (SELECT q_id, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM s)
+         |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin
+    }
+
+  /** `ann_index_rebalanced` — the HOT-CELL SPLIT lifecycle
+    * ([[AnnIndex.rebalance]]): the index builds DELIBERATELY coarse
+    * (8 cells over the whole corpus — every cell is overloaded, the
+    * skewed-growth state a production index reaches), then rebalance
+    * splits the two most-loaded cells in place — children trained on
+    * the hot cells' own vectors, parents frozen, only the hot rows
+    * re-assigned — and the query runs against the leaf cells. The
+    * oracle replays roots + split ledger as literals: hash-equality
+    * proves split-in-place ≡ from-scratch tree assignment. */
+  def annIndexRebalanced(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import graft.sources.Lakehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-annreb").toString
+    val lake = new Lakehouse(spark, root)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    lake.createOrReplace(emb, "emb")
+    AnnIndex.create(lake, "emb", nCells = 8)
+    AnnIndex.rebalance(lake, "emb", maxLoad = 1.25, forceTop = 2)
+    val cv = AnnIndex.centroidMap(lake, "emb")
+    val sp = AnnIndex.splits(lake, "emb")
+    val childIds = sp.map(_._2).toSet
+    val parents = sp.map(_._1).toSet
+    val roots = cv.filterNot { case (id, _) => childIds.contains(id) }
+      .toSeq.sortBy(_._1).map { case (id, a) => (id, a.toSeq) }
+    val kids = sp.map { case (p, c, _) => (p, c, cv(c).toSeq) }
+    val probes = trainedProbes(cv.size - parents.size)
+    lastRebalanced = Some((roots, kids, probes))
     AnnIndex.query(lake, "emb", emb.where(col("vec_id") < 5), k)
   }
 

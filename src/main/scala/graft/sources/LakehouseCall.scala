@@ -36,6 +36,11 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *  - `refresh_ann_index(src)` — advance the persisted ANN index over
   *    `src` ([[graft.operators.AnnIndex]]): assign only the appended
   *    vectors to the existing centroids.
+  *  - `rebalance_ann_index(src [, max_load [, force_top]])` — split
+  *    the index's hot cells in place ([[graft.operators.AnnIndex
+  *    .rebalance]]): cells loaded beyond `max_load` × the mean leaf
+  *    load get children trained on their own vectors; only their rows
+  *    re-assign. One result row per split parent.
   *
   * All procedures act on the SESSION BRANCH (`spark.graft.branch`,
   * NESSIE_REF semantics), so a branch-scoped maintenance job can
@@ -63,10 +68,13 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
       AttributeReference("source_snapshot_id", LongType)())
     case "refresh_ann_index" => Seq(
       AttributeReference("source_snapshot_id", LongType)())
+    case "rebalance_ann_index" => Seq(
+      AttributeReference("parent_cell", LongType)(),
+      AttributeReference("child_cells", LongType)())
     case other => throw new UnsupportedOperationException(
       s"unknown procedure: system.$other (supported: rewrite_data_files, " +
         "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
-        "refresh_mview, refresh_ann_index)")
+        "refresh_mview, refresh_ann_index, rebalance_ann_index)")
   }
 
   /** Positional parameter names per procedure; named args (`k => v`)
@@ -78,6 +86,7 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
     case "rollback_to_snapshot" => Seq("table", "snapshot_id")
     case "refresh_mview" => Seq("table")
     case "refresh_ann_index" => Seq("table")
+    case "rebalance_ann_index" => Seq("table", "max_load", "force_top")
     case _ => Seq("table")
   }
 
@@ -181,6 +190,14 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
         // index machinery lives beside the other ANN operators.
         graft.operators.AnnIndex.refresh(lake, table)
         Seq(Row(lake.currentSnapshot(table, branch).getOrElse(-1L)))
+
+      case "rebalance_ann_index" =>
+        // split the index's hot cells in place (see AnnIndex.rebalance)
+        // — one row per split parent with its new child count
+        val maxLoad = m.get("max_load").map(v => lit(v).toDouble).getOrElse(2.0)
+        val forceTop = longArg(m, "force_top", 0L).toInt
+        graft.operators.AnnIndex.rebalance(lake, table, maxLoad, forceTop)
+          .map { case (p, kids) => Row(p, kids.length.toLong) }
 
       case other => throw new UnsupportedOperationException(s"unknown procedure: system.$other")
     }
