@@ -925,7 +925,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     // footer reads are independent metadata I/O — a many-leaf
     // partitioned write would otherwise pay one serial driver
     // round-trip per file (measured: ~25 s for ~700 tiny leaves)
-    val lines = Lakehouse.parallelMeta(files) { file =>
+    val tagged = Lakehouse.parallelMeta(files) { file =>
       val full = file.toString
       val rel = full.substring(full.indexOf(marker) + 1)
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
@@ -1038,12 +1038,44 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
             case t => Some((k, (t, v, v)))
           }
         }
-        (acc.toSeq ++ partStats).map { case (c, (t, lo, hi)) =>
-          s"""{"file":"${esc(rel)}","col":"${esc(c)}","t":"$t","lo":"${esc(lo)}","hi":"${esc(hi)}"}"""
+        // Per-file ROW and NULL counts (`_rowcounts.jsonl`): rows from
+        // block metadata, per-column null counts from chunk statistics
+        // (a chunk without a usable count poisons that column — the
+        // line OMITS it, so a reader can never mistake unknown for
+        // zero). Partition-path columns are constant per file and
+        // non-null whenever a value segment is present. [[metaAgg]]'s
+        // count(*) / all-rows-match classification rides on these
+        // without opening any data file.
+        val nRows = footer.getBlocks.asScala.map(_.getRowCount).sum
+        val nullAcc = scala.collection.mutable.Map.empty[String, Long]
+        val nullUnknown = scala.collection.mutable.Set.empty[String]
+        footer.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala.foreach { chunk =>
+            val name = chunk.getPath.toDotString
+            if (fields.contains(name) && !nullUnknown.contains(name)) {
+              val st = chunk.getStatistics
+              if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+                nullAcc.updateWith(name)(p => Some(p.getOrElse(0L) + st.getNumNulls))
+              else { nullUnknown += name; nullAcc.remove(name) }
+            }
+          }
         }
+        partStats.foreach { case (k, _) =>
+          if (!nullAcc.contains(k) && !nullUnknown.contains(k)) nullAcc(k) = 0L
+        }
+        val nullsJson = nullAcc.toSeq.sortBy(_._1)
+          .map { case (c, n) => s""""${esc(c)}":$n""" }.mkString(",")
+        val rcLine = s"""{"file":"${esc(rel)}","rows":$nRows,"nulls":{$nullsJson}}"""
+        (acc.toSeq ++ partStats).map { case (c, (t, lo, hi)) =>
+          ("s", s"""{"file":"${esc(rel)}","col":"${esc(c)}","t":"$t","lo":"${esc(lo)}","hi":"${esc(hi)}"}""")
+        } :+ (("r", rcLine))
       } finally reader.close()
     }
+    val lines = tagged.collect { case ("s", l) => l }
+    val rcLines = tagged.collect { case ("r", l) => l }
     if (lines.nonEmpty) writeFile(new Path(dataDir, "_stats.jsonl"), lines.mkString("\n") + "\n")
+    if (rcLines.nonEmpty)
+      writeFile(new Path(dataDir, "_rowcounts.jsonl"), rcLines.mkString("\n") + "\n")
   }
 
   private def jsonEsc(s: String): String = s.flatMap {
@@ -1071,6 +1103,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * mergeSchema inference for unrecorded dirs. */
   private def openDirGroup(table: String, dataDir: String, paths: Seq[String],
       asOf: Option[Long] = None): DataFrame = {
+    Lakehouse.dataDirOpens.incrementAndGet()
     val base = new Path(tableDir(table), dataDir)
     val reader = dirSchema(table, dataDir) match {
       case Some(st) => spark.read.schema(st)
@@ -1289,6 +1322,45 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     }
   }
 
+  /** Parsed `_rowcounts.jsonl` of one data dir: relative file path →
+    * (row count, per-column NULL counts). Written by [[writeStats]];
+    * absent for dirs written before the ledger existed — callers fall
+    * back to footer reads ([[footerRowCounts]]) for row counts and
+    * treat null counts as unknown (never as zero). */
+  private def readRowCounts(table: String, dataDir: String): Map[String, (Long, Map[String, Long])] = {
+    val RowRe = """\{"file":"(.*)","rows":(\d+),"nulls":\{(.*)\}\}""".r
+    val PairRe = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
+    readLines(new Path(new Path(tableDir(table), dataDir), "_rowcounts.jsonl")).flatMap { line =>
+      RowRe.findFirstMatchIn(line).map { g =>
+        val nulls = PairRe.findAllMatchIn(g.group(3))
+          .map(p => unesc(p.group(1)) -> p.group(2).toLong).filter(_._2 >= 0).toMap
+        unesc(g.group(1)) -> ((g.group(2).toLong, nulls))
+      }
+    }.toMap
+  }
+
+  /** Row counts straight from the parquet footers (bounded parallel
+    * metadata I/O, no data pages read) — the fallback for dirs that
+    * predate the `_rowcounts.jsonl` ledger. Unreadable files are
+    * OMITTED from the result (the caller must scan them). */
+  private def footerRowCounts(table: String, rels: Seq[String]): Map[String, Long] = {
+    if (rels.isEmpty) return Map.empty
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    // rel paths carry the `data-N/` prefix (the stats-ledger keying
+    // convention) — resolve against the TABLE dir
+    val base = tableDir(table)
+    Lakehouse.parallelMeta(rels) { rel =>
+      scala.util.Try {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(base, rel), conf))
+        try Seq(rel -> r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        finally r.close()
+      }.getOrElse(Seq.empty)
+    }.toMap
+  }
+
   /** Dir-level column ranges of a FRESHLY WRITTEN data dir, as JSON
     * objects for the commit line's `dirstats` array — the
     * manifest-list summary ([[commit]] embeds them; [[matchingFiles]]
@@ -1402,7 +1474,19 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * looked through only when numeric→numeric (monotone, so min/max
     * comparison stays sound). */
   private def skippableConjuncts(pred: org.apache.spark.sql.Column,
-      relation: DataFrame): Seq[(String, String, Any)] = {
+      relation: DataFrame): Seq[(String, String, Any)] =
+    skippableConjunctsCovered(pred, relation)._1
+
+  /** [[skippableConjuncts]] plus a COVERAGE verdict: `true` iff the
+    * analyzed predicate is exactly an AND of the recognized conjuncts
+    * — no residual leaf (OR trees, IS NULL, UDFs, subqueries) was
+    * dropped. Pruning only needs the conjuncts (conservative either
+    * way); ALL-ROWS-MATCH classification in [[metaAgg]] additionally
+    * needs the verdict, because "every row satisfies these conjuncts"
+    * implies "every row satisfies the predicate" only when the
+    * conjuncts ARE the predicate. */
+  private def skippableConjunctsCovered(pred: org.apache.spark.sql.Column,
+      relation: DataFrame): (Seq[(String, String, Any)], Boolean) = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampType}
     def name(e: Expression): Option[String] = e match {
@@ -1436,8 +1520,14 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       case c: Cast if c.dataType.isInstanceOf[NumericType] => litVal(c.child)
       case _ => None
     }
-    def walk(e: Expression): Seq[(String, String, Any)] = e match {
-      case And(l, r) => walk(l) ++ walk(r)
+    def walk(e: Expression): (Seq[(String, String, Any)], Boolean) = e match {
+      case And(l, r) =>
+        val (ls, lc) = walk(l); val (rs, rc) = walk(r); (ls ++ rs, lc && rc)
+      case other =>
+        val found = leaf(other)
+        (found, found.nonEmpty)
+    }
+    def leaf(e: Expression): Seq[(String, String, Any)] = e match {
       case EqualTo(a, b) =>
         (name(a).zip(litVal(b)).map { case (n, v) => (n, "=", v) } ++
           name(b).zip(litVal(a)).map { case (n, v) => (n, "=", v) }).toSeq
@@ -1466,7 +1556,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     }
     relation.where(pred).queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
-      .map(walk).getOrElse(Seq.empty)
+      .map(walk).getOrElse((Seq.empty, false))
   }
 
   /** Can a file whose recorded [fLo, fHi] for the conjunct's column
@@ -1497,6 +1587,31 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     // literal coerced against a numeric column) must degrade to
     // "may match" — no pruning — never crash the read
   }.getOrElse(true)
+
+  /** Does EVERY non-null value in a file's recorded [fLo, fHi]
+    * satisfy `op v`? The dual of [[rangeMayMatch]], with the opposite
+    * failure direction: anything unparseable degrades to `false`
+    * ("can't prove all-match" — the caller scans the file), never to
+    * a wrong metadata-only answer. */
+  private def rangeAllMatch(t: String, fLo: String, fHi: String,
+      op: String, v: Any): Boolean = scala.util.Try {
+    val vc: Any = v match {
+      case Transforms.DateDays(d) => d
+      case Transforms.TsMicros(m) => m
+      case other => other
+    }
+    def cmp(bound: String): Int =
+      if (t == "string") bound.compareTo(vc.toString)
+      else BigDecimal(bound).compare(BigDecimal(vc.toString))
+    op match {
+      case "=" => cmp(fLo) == 0 && cmp(fHi) == 0
+      case ">" => cmp(fLo) > 0
+      case ">=" => cmp(fLo) >= 0
+      case "<" => cmp(fHi) < 0
+      case "<=" => cmp(fHi) <= 0
+      case _ => false
+    }
+  }.getOrElse(false)
 
   /** Files under a snapshot entry (whole dir or partition leaf) that
     * may contain rows matching every conjunct, as table-relative
@@ -1609,6 +1724,153 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       branch: String = "main"): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     readWhere(col(colName) >= lit(lo) && col(colName) <= lit(hi), table, branch)
+  }
+
+  /** METADATA-ONLY AGGREGATES — the Iceberg aggregate-pushdown
+    * analog: answer `count(*)` / `min(col)` / `max(col)` from the
+    * manifest, `_stats.jsonl` and `_rowcounts.jsonl` ledgers instead
+    * of scanning data. At 100 TB this is the difference between a
+    * sub-second driver-side readout and a full-table scan — the
+    * table's row count is already recorded in its footers, and a
+    * time-range count touches only the handful of files whose stats
+    * straddle the range boundary.
+    *
+    * Exactness contract (this is a FAST path, never an approximate
+    * one):
+    *  - `count(*)` with no predicate sums ledger/footer row counts.
+    *  - A predicated count classifies each may-match file (after the
+    *    usual range/bloom/transform pruning) as ALL-ROWS-MATCH (its
+    *    recorded range lies entirely inside every conjunct, zero
+    *    recorded nulls on the tested columns, and the conjuncts fully
+    *    cover the predicate — [[skippableConjunctsCovered]]) or
+    *    BOUNDARY; all-match files contribute their recorded row count,
+    *    boundary files are scanned with the exact predicate. The scan
+    *    is proportional to the range BOUNDARY, not the table.
+    *  - `min`/`max` answer from the stats ledger only when EVERY
+    *    file of every dir records a usable bound for the column
+    *    (the [[dirStatsJson]] coverage rule at query time); ledger
+    *    bounds are exact (oversized/non-ASCII strings are never
+    *    recorded, which fails coverage rather than weakening it).
+    *
+    * Returns None when metadata cannot answer exactly — tombstoned
+    * snapshots (MoR deletes change counts), min/max under a
+    * predicate, coverage gaps, unmapped column types — and the caller
+    * falls back to the ordinary scan. Either way the ANSWER is
+    * identical; only the I/O differs. */
+  def metaAgg(table: String, items: Seq[Lakehouse.MetaAggItem],
+      pred: Option[org.apache.spark.sql.Column],
+      branch: String = "main"): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{date_from_unix_date, lit, timestamp_micros}
+    import org.apache.spark.sql.types._
+    val snap = currentSnapshot(table, branch)
+      .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+    if (tombstones(table, snap).nonEmpty) return None
+    if (items.exists(_.op != "count") && pred.nonEmpty) return None
+    if (items.exists(i => i.op != "count" && i.op != "min" && i.op != "max")) return None
+    val entries = snapshots(table).find(_._1 == snap).get._2
+    // Schema WITHOUT opening any data dir: the declared (evolved)
+    // schema if one exists, else the per-dir `_schema.json` records
+    // merged by name — pure metadata, so the fully-covered path below
+    // touches zero data files. A disagreeing/unrecorded dir falls back
+    // to the ordinary relation (rare: pre-ledger tables only).
+    val schema = metaSchema(table, entries, snap).getOrElse(read(table, branch).schema)
+    // analysis-only relation: attribute names/types for conjunct
+    // extraction — never executed
+    val relation = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val sums = dirSummaries(table)
+    val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+
+    // count(*): exact; only predicate-BOUNDARY files are scanned
+    lazy val countValue: Long = {
+      val (conj, covered) = pred match {
+        case None => (Seq.empty[(String, String, Any)], true)
+        case Some(p) => skippableConjunctsCovered(p, relation)
+      }
+      val derived = Transforms.derivedConjuncts(conj, snapshotPhysLayouts(table, entries))
+      var metaRows = 0L
+      val boundary = scala.collection.mutable.Buffer.empty[(String, Seq[String])]
+      byDataDir.foreach { case (dataDir, dirEntries) =>
+        val may = dirEntries.flatMap(matchingFiles(table, _, derived, sums)).distinct
+        if (may.nonEmpty) {
+          val rcs = readRowCounts(table, dataDir)
+          val stats = readStats(table, dataDir).groupBy(s => (s._1, s._2))
+          val (all, bnd0) = may.partition { rel =>
+            covered && conj.forall { case (c, op, v) =>
+              // zero RECORDED nulls (unknown ≠ zero) and a range fully
+              // inside the conjunct — only then does every row match
+              rcs.get(rel).exists(_._2.get(c).contains(0L)) &&
+                stats.get((rel, c)).exists(ls => ls.size == 1 && {
+                  val (_, _, t, lo, hi) = ls.head
+                  if (op == "in") v.asInstanceOf[Seq[Any]]
+                    .exists(x => rangeAllMatch(t, lo, hi, "=", x))
+                  else rangeAllMatch(t, lo, hi, op, v)
+                })
+            }
+          }
+          val fromFooter = footerRowCounts(table, all.filterNot(rcs.contains))
+          val counted = all.map(rel => rel -> rcs.get(rel).map(_._1).orElse(fromFooter.get(rel)))
+          metaRows += counted.flatMap(_._2).sum
+          val bnd = bnd0 ++ counted.collect { case (rel, None) => rel }
+          if (bnd.nonEmpty) boundary += ((dataDir, bnd))
+        }
+      }
+      if (boundary.isEmpty) metaRows
+      else {
+        val one = boundary.map { case (d, fs) => openDirGroup(table, d, fs) }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        metaRows + pred.fold(one)(one.where).count()
+      }
+    }
+
+    def tagOf(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => "long"
+      case FloatType | DoubleType => "double"
+      case StringType => "string"
+      case _ => ""
+    }
+    // min/max from the ledger — all-or-nothing coverage
+    def bound(c: String, wantMin: Boolean): Option[org.apache.spark.sql.Column] = {
+      val field = schema.fields.find(_.name == c).getOrElse(return None)
+      val tag = tagOf(field.dataType)
+      if (tag.isEmpty) return None
+      val perFile: Seq[Option[String]] = byDataDir.flatMap { case (dataDir, dirEntries) =>
+        val files = dirEntries.flatMap(matchingFiles(table, _, Seq.empty, sums)).distinct
+        val statsFor = readStats(table, dataDir).filter(_._2 == c).groupBy(_._1)
+        files.map { rel =>
+          statsFor.get(rel) match {
+            case Some(Seq((_, _, t, lo, hi))) if t == tag => Some(if (wantMin) lo else hi)
+            case _ => None // no usable bound: a coverage gap fails the whole call
+          }
+        }
+      }
+      if (perFile.exists(_.isEmpty)) return None
+      val vals = perFile.flatten
+      if (vals.isEmpty) return Some(lit(null).cast(field.dataType)) // empty table: SQL NULL
+      scala.util.Try[org.apache.spark.sql.Column] {
+        val pick =
+          if (tag == "string") { if (wantMin) vals.min else vals.max }
+          else if (wantMin) vals.minBy(BigDecimal(_)) else vals.maxBy(BigDecimal(_))
+        (tag, field.dataType) match {
+          // internal-scale stats surface back at the column's type
+          case ("long", DateType) => date_from_unix_date(lit(pick.toInt))
+          case ("long", TimestampType) => timestamp_micros(lit(pick.toLong))
+          case ("long", dt) => lit(pick.toLong).cast(dt)
+          case ("double", dt) => lit(pick.toDouble).cast(dt)
+          case _ => lit(pick)
+        }
+      }.toOption
+    }
+
+    val cols = items.map { i =>
+      i.op match {
+        case "count" => Some(lit(countValue).as(i.alias))
+        case "min" => i.col.flatMap(bound(_, wantMin = true)).map(_.as(i.alias))
+        case "max" => i.col.flatMap(bound(_, wantMin = false)).map(_.as(i.alias))
+      }
+    }
+    if (cols.exists(_.isEmpty)) None
+    else Some(spark.range(1).select(cols.flatten: _*))
   }
 
   // ---- row-level DELETE (copy-on-write) ----
@@ -1947,6 +2209,47 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * None for tables that never evolved (physical schemas rule). */
   def declaredSchema(table: String, snap: Long): Option[org.apache.spark.sql.types.StructType] =
     schemaLines(table).filter(_._1 <= snap).lastOption.map(_._2)
+
+  /** The table's current read schema on `branch`, from metadata alone
+    * whenever the per-dir schema records allow ([[metaSchema]]) — one
+    * manifest read, zero data-dir opens. The SQL front-end resolves
+    * aggregate output types through this so that intercepting
+    * `SELECT count(*) FROM t` stays free of data I/O end to end. */
+  def tableSchema(table: String, branch: String = "main"): org.apache.spark.sql.types.StructType = {
+    val snap = currentSnapshot(table, branch)
+      .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+    val entries = snapshots(table).find(_._1 == snap).get._2
+    metaSchema(table, entries, snap).getOrElse(read(table, branch).schema)
+  }
+
+  /** The snapshot's read schema from METADATA ALONE: the declared
+    * schema when the table evolved, else the per-dir `_schema.json`
+    * writer records merged by name (first occurrence fixes the type;
+    * later dirs may only ADD columns). None when any dir lacks a
+    * record or two dirs disagree on a column's type — the caller then
+    * resolves schema the ordinary way. Derived `_p_…` layout columns
+    * are dropped, matching every read path. */
+  private def metaSchema(table: String, entries: Seq[String],
+      snap: Long): Option[org.apache.spark.sql.types.StructType] =
+    declaredSchema(table, snap).orElse {
+      import org.apache.spark.sql.types.StructType
+      val dirs = entries.map(_.takeWhile(_ != '/')).distinct.sorted
+      val perDir = dirs.map(dirSchema(table, _))
+      if (perDir.isEmpty || perDir.exists(_.isEmpty)) None
+      else {
+        val fields = scala.collection.mutable.LinkedHashMap
+          .empty[String, org.apache.spark.sql.types.StructField]
+        var ok = true
+        perDir.flatten.foreach(st => st.fields.foreach { f =>
+          fields.get(f.name) match {
+            case None => fields(f.name) = f
+            case Some(prev) => if (prev.dataType != f.dataType) ok = false
+          }
+        })
+        if (!ok) None
+        else Some(StructType(fields.values.filterNot(_.name.startsWith("_p_")).toSeq))
+      }
+    }
 
   /** SCHEMA EVOLUTION at read: apply the renames committed after this
     * dir was written (dirs written after a rename already carry the
@@ -3424,6 +3727,17 @@ object Lakehouse {
     * the manifest-list skip path (specs assert a pruned scan reads
     * ledgers for matching dirs only, not per table-history dir). */
   private[graft] val ledgerReads = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Count of data-dir DataFrame opens — observability for the
+    * metadata-only paths (specs assert [[Lakehouse.metaAgg]] answers
+    * a fully-covered aggregate without opening ANY data dir, and a
+    * boundary-straddling count opens only the straddling dirs). */
+  private[graft] val dataDirOpens = new java.util.concurrent.atomic.AtomicLong()
+
+  /** One `count/min/max` item of a metadata-answerable aggregate —
+    * `op` ∈ count|min|max, `col` None for count(*), `alias` the
+    * output column name. */
+  case class MetaAggItem(op: String, col: Option[String], alias: String)
 
   /** Run `f` over metadata-scale items on a bounded driver pool.
     * Footer/manifest reads are independent I/O round-trips whose

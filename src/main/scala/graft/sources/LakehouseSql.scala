@@ -496,6 +496,86 @@ case class LakehouseDropCommand(view: String, purge: Boolean)
   }
 }
 
+object LakehouseMetaAggCommand {
+  private val CountStarRe =
+    """(?is)\s*COUNT\s*\(\s*(?:\*|1)\s*\)\s*(?:AS\s+`?([A-Za-z_]\w*)`?)?\s*""".r
+  private val MinMaxRe =
+    """(?is)\s*(MIN|MAX)\s*\(\s*`?([A-Za-z_]\w*)`?\s*\)\s*(?:AS\s+`?([A-Za-z_]\w*)`?)?\s*""".r
+
+  /** Parse a select list into metadata-answerable aggregate items;
+    * None if ANY item is something else (the statement then delegates
+    * to Spark untouched). Default output names replicate Spark's own
+    * (`count(1)`, `min(c)`) so the fast path is invisible to callers. */
+  def parseItems(selectList: String): Option[Seq[Lakehouse.MetaAggItem]] = {
+    val parsed = selectList.split(",").toSeq.map {
+      case CountStarRe(al) =>
+        Some(Lakehouse.MetaAggItem("count", None, Option(al).getOrElse("count(1)")))
+      case MinMaxRe(op, c, al) =>
+        Some(Lakehouse.MetaAggItem(op.toLowerCase, Some(c),
+          Option(al).getOrElse(s"${op.toLowerCase}($c)")))
+      case _ => None
+    }
+    if (parsed.nonEmpty && parsed.forall(_.isDefined)) Some(parsed.flatten) else None
+  }
+
+  /** Do the min/max columns exist on the view's current schema? A
+    * miss delegates to Spark so the user gets the standard
+    * unresolved-column error, not a lakehouse-flavored one. */
+  def columnsOk(spark: SparkSession, view: String, items: Seq[Lakehouse.MetaAggItem]): Boolean =
+    scala.util.Try {
+      LakehouseRegistry.lookup(spark, view).exists { case (lake, _) =>
+        val names = lake.tableSchema(view, lake.sessionBranch).fieldNames.toSet
+        items.forall(i => i.col.forall(names.contains))
+      }
+    }.getOrElse(false) // unreadable view/branch: delegate, Spark reports it
+}
+
+/** `SELECT count(*) | min(c) | max(c) [, …] FROM <lakehouse view>
+  * [WHERE <simple predicate>]` — the Iceberg aggregate-pushdown
+  * surface: answered from manifest + stats-ledger metadata via
+  * [[Lakehouse.metaAgg]] whenever metadata can answer EXACTLY, else
+  * by the ordinary scan. Both paths produce identical rows — the
+  * statement's meaning never depends on which fired. Intercepted only
+  * for the tight shape above (single registered view, plain aggregate
+  * list, subquery-free WHERE); everything else delegates to Spark. */
+case class LakehouseMetaAggCommand(view: String, items: Seq[Lakehouse.MetaAggItem],
+    whereClause: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = {
+    val schema = SparkSession.getActiveSession.flatMap(s =>
+      LakehouseRegistry.lookup(s, view).map { case (lake, _) =>
+        lake.tableSchema(view, lake.sessionBranch)
+      })
+    items.map { i =>
+      i.op match {
+        case "count" => AttributeReference(i.alias, LongType, nullable = false)()
+        case _ =>
+          val dt = schema.flatMap(st => i.col.flatMap(c => st.fields.find(_.name == c)))
+            .map(_.dataType).getOrElse(StringType)
+          AttributeReference(i.alias, dt)()
+      }
+    }
+  }
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max, min}
+    val (lake, _) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    val pred = whereClause.map(expr)
+    lake.metaAgg(view, items, pred, lake.sessionBranch) match {
+      case Some(df) => df.collect().toSeq
+      case None => // metadata can't answer exactly: ordinary scan, same rows
+        val base = pred.foldLeft(lake.read(view, lake.sessionBranch))(_ where _)
+        val aggs = items.map { i =>
+          i.op match {
+            case "count" => count(lit(1)).as(i.alias)
+            case "min" => min(col(i.col.get)).as(i.alias)
+            case "max" => max(col(i.col.get)).as(i.alias)
+          }
+        }
+        base.agg(aggs.head, aggs.tail: _*).collect().toSeq
+    }
+  }
+}
+
 /** Thin statement front-end: recognizes the two lakehouse DML shapes
   * against REGISTERED views, delegates everything else (including DML
   * on unregistered tables — Spark's own analyzer then reports its
@@ -598,6 +678,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // SHOW NAMESPACES/TABLES intercept only when IN names a registered
   // lake — Spark's native statements keep working for everything else
   private val ShowCatalogsRe = """(?is)\s*SHOW\s+CATALOGS\s*;?\s*""".r
+  // metadata-answerable aggregate SELECT: a plain agg list over ONE
+  // registered view with an optional simple WHERE. The select list
+  // must not contain FROM (no subqueries) and the WHERE tail must be
+  // free of any further clause keyword — anything else falls through
+  // to Spark's parser untouched.
+  private val MetaAggRe =
+    ("""(?is)\s*SELECT\s+((?:(?!\bFROM\b).)+?)\s+FROM\s+`?([A-Za-z_]\w*)`?""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+  private val MetaAggStopRe =
+    """(?is).*\b(GROUP|ORDER|HAVING|LIMIT|JOIN|UNION|SELECT|INTERSECT|EXCEPT|WINDOW)\b.*""".r
   private val ShowNamespacesRe =
     """(?is)\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)\s+IN\s+`?([A-Za-z_][\w.-]*)`?\s*;?\s*""".r
   private val ShowTablesRe =
@@ -683,6 +773,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CallRe(proc, argstr) if callTable(argstr).exists(LakehouseRegistry.isRegistered) =>
       LakehouseCallCommand(proc.toLowerCase, callArgs(argstr))
     case ShowCatalogsRe() => LakehouseShowCatalogsCommand()
+    case MetaAggRe(selectList, table, where) if LakehouseRegistry.isRegistered(table) &&
+        LakehouseMetaAggCommand.parseItems(selectList).isDefined &&
+        (where == null || (!SubqueryRe.matches(where) && !MetaAggStopRe.matches(where))) &&
+        SparkSession.getActiveSession.exists(s => LakehouseMetaAggCommand.columnsOk(
+          s, table, LakehouseMetaAggCommand.parseItems(selectList).get)) =>
+      LakehouseMetaAggCommand(table, LakehouseMetaAggCommand.parseItems(selectList).get,
+        Option(where))
     case ShowNamespacesRe(cat) if isLake(cat) => LakehouseShowNamespacesCommand(cat)
     case ShowTablesRe(cat) if isLake(cat) => LakehouseShowTablesCommand(cat)
     case DeleteRe(table, where) if LakehouseRegistry.isRegistered(table) =>
