@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curate, Dedup, Medallion, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curate, Dedup, Medallion, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7
   * (build plan). Each `queries` entry has a DuckDB `oracleSql` twin
@@ -30,6 +30,7 @@ object SparkEntry {
     "sql_schema_evolution" -> (Medallion.sqlSchemaEvolution _),
     "sql_branch_workflow" -> (Medallion.sqlBranchWorkflow _),
     "sql_maintenance" -> (Medallion.sqlMaintenance _),
+    "sql_stats_agg" -> (Medallion.sqlStatsAgg _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -111,6 +112,8 @@ object SparkEntry {
     "text_pii" -> (TextAnalysis.textPii _),
     "text_chunk" -> ((s, d) => TextAnalysis.textChunk(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.textCollocations(s, d)),
+    "text_bpe_train" -> ((s, d) => Bpe.trainDf(s, d)),
+    "text_bpe_encode" -> ((s, d) => Bpe.encodeStats(s, d)),
     "sketch_distinct_ngrams" -> ((s, d) => operators.Sketches.sketchDistinctNgrams(s, d)),
     "sketch_source_overlap" -> ((s, d) => operators.Sketches.sketchSourceOverlap(s, d)),
     "sketch_algebra" -> ((s, d) => operators.Sketches.sketchAlgebra(s, d)),
@@ -124,6 +127,7 @@ object SparkEntry {
     "pipeline_curate_cc" -> (Curate.pipelineCurateCc _),
     // training-mix rebalance: deterministic hash-stratified sampling
     "pipeline_sample" -> (Curate.pipelineSample _),
+    "pipeline_shuffle" -> (Curate.pipelineShuffle _),
     "pipeline_split" -> (Curate.pipelineSplit _),
     // temperature-based mixture rebalance (share^(1/T) language mix)
     "pipeline_mix_temperature" -> ((s, d) => Curate.pipelineMixTemperature(s, d)),
@@ -285,6 +289,19 @@ object SparkEntry {
         |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged
         |ORDER BY at""".stripMargin,
+    // metadata-only aggregates: the oracle recomputes every metric by
+    // scanning, and pins meta_only = 1.0 — the engine must have
+    // answered the unpredicated readout WITHOUT opening a data file
+    "sql_stats_agg" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders)
+        |SELECT 'k_hi' AS metric, CAST(max(o_orderkey) AS DOUBLE) AS value FROM t
+        |UNION ALL SELECT 'k_lo', CAST(min(o_orderkey) AS DOUBLE) FROM t
+        |UNION ALL SELECT 'meta_only', 1.0
+        |UNION ALL SELECT 'n_cheap', CAST(count(*) AS DOUBLE) FROM t WHERE o_totalprice < 150000.0
+        |UNION ALL SELECT 'n_total', CAST(count(*) AS DOUBLE) FROM t
+        |UNION ALL SELECT 'p_hi', CAST(max(o_totalprice) AS DOUBLE) FROM t
+        |UNION ALL SELECT 'p_lo', CAST(min(o_totalprice) AS DOUBLE) FROM t
+        |ORDER BY metric""".stripMargin,
     "sql_maintenance" ->
       """SELECT 'after_compact' AS at, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -1004,6 +1021,15 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
         |ORDER BY doc_id""".stripMargin,
+    // global shuffle: the oracle is the ONE-WINDOW restatement of the
+    // range-sharded position assignment (shard-by-top-bits preserves
+    // key order, so the two are equal by construction)
+    "pipeline_shuffle" ->
+      """SELECT row_number() OVER (
+        |    ORDER BY CAST(md5_number_lower('shuffle|' || doc_id::VARCHAR) // 4 AS BIGINT),
+        |             doc_id) AS pos,
+        |  doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
     "pipeline_sample" ->
       """WITH t AS (SELECT doc_id,
         |  list_distinct(regexp_extract_all(lower(text),'([a-z0-9]+)',1)) dt FROM documents),
@@ -1165,6 +1191,29 @@ object SparkEntry {
         |  CAST(least(16, n - chunk_no * 12) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(ts[chunk_no*12+1 : chunk_no*12+16], ' ')) AS chunk_md5
         |FROM ex ORDER BY doc_id, chunk_no""".stripMargin,
+    // BPE training is iterative (argmax per merge) — not expressible
+    // as one SQL query, so the oracle restates the sf0.01-learned
+    // rules as literal VALUES (the trained-artifact oracle pattern,
+    // same as ann_ivf_trained): a hash match proves the distributed
+    // trainer reproduces them bit-exactly. BpeSpec independently
+    // re-derives the rules with an in-memory reference implementation.
+    "text_bpe_train" ->
+      """SELECT rank, lhs, rhs, CAST(n AS BIGINT) AS n FROM (VALUES
+        |  (0, 'e', 'r', 4568), (1, 'i', 'n', 2760), (2, 'o', 'w', 2747),
+        |  (3, 'o', 'r', 2696), (4, 's', 't', 2676), (5, 'm', 'er', 1852),
+        |  (6, 'a', 't', 1845), (7, 'l', 'u', 1831), (8, 'a', 'r', 1758),
+        |  (9, 'p', 'ar', 1758), (10, 'j', 'o', 964), (11, 'jo', 'in', 964),
+        |  (12, 'a', 's', 947), (13, 'as', 'h', 947), (14, 'h', 'ash', 947),
+        |  (15, 'r', 'ow', 943), (16, 'at', 'c', 937), (17, 'atc', 'h', 937),
+        |  (18, 'b', 'atch', 937), (19, 'a', 'n', 936), (20, 'c', 'an', 936),
+        |  (21, 's', 'can', 936), (22, 'c', 'o', 934), (23, 'c', 'u', 934),
+        |  (24, 'co', 'lu', 934), (25, 'colu', 'm', 934), (26, 'colum', 'n', 934),
+        |  (27, 'cu', 'st', 934), (28, 'cust', 'o', 934), (29, 'custo', 'mer', 934),
+        |  (30, 'f', 'i', 933), (31, 'fi', 'l', 933)
+        |) AS t(rank, lhs, rhs, n) ORDER BY rank""".stripMargin,
+    "text_bpe_encode" ->
+      """SELECT CAST(500 AS BIGINT) AS n_docs, CAST(27165 AS BIGINT) AS n_tokens,
+        |  CAST(77349 AS BIGINT) AS n_bpe""".stripMargin,
     "text_collocations" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) ts FROM documents),
         |nz AS (SELECT doc_id, ts FROM tk WHERE len(ts) > 0),

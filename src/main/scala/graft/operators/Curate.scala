@@ -404,4 +404,42 @@ object Curate {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
       .orderBy("blk", "win")
   }
+
+  /** `pipeline_shuffle` — deterministic GLOBAL SHUFFLE of the corpus
+    * (the last step before training: batches must sample the mixture,
+    * not replay crawl order, and the permutation must be reproducible
+    * so a resumed run reads the same sequence). Shuffle key =
+    * salted h62 of the doc id — stable, order-free, restatable in SQL.
+    *
+    * Scale shape: the global position is NOT a corpus-wide
+    * `row_number` (a single-partition sort — the one shape that
+    * cannot survive 100 TB). The hash's TOP bits range-shard the key
+    * space (top-6 → 64 shards here; more bits at larger scale — the
+    * constant, not the shape): shard order IS key order, so
+    * position = shard offset + rank-within-shard, where ranks come
+    * from 64 independent bounded window partitions and offsets from a
+    * 64-row rollup. Equals the global ordering exactly — the spec
+    * pins it against the one-window restatement, and positions are a
+    * permutation of 1..n by construction. */
+  def pipelineShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = graft.sources.Tables.parallel(
+        spark, graft.sources.Tables.documents(spark, dir))
+      .select(col("doc_id"))
+      .withColumn("k", graft.functions.HashFunctions.h62(
+        concat(lit("shuffle|"), col("doc_id").cast("string"))))
+      .withColumn("shard", shiftrightunsigned(col("k"), 56))
+    val within = keyed.withColumn("r", row_number().over(
+      Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))))
+    // 64-row shard histogram → exclusive prefix offsets (bounded
+    // single-partition window over shard COUNTS, never over rows)
+    val offsets = keyed.groupBy("shard").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "off")
+    within.join(broadcast(offsets), "shard")
+      .select((col("off") + col("r")).as("pos"), col("doc_id"))
+      .orderBy("pos")
+  }
 }

@@ -447,6 +447,58 @@ object Medallion {
     } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
   }
 
+  /** `sql_stats_agg` — METADATA-ONLY AGGREGATES through plain SQL
+    * (the Iceberg aggregate-pushdown surface;
+    * [[graft.sources.Lakehouse.metaAgg]]): three INSERT batches land,
+    * then `SELECT count(*) / min / max FROM t` answers from the
+    * manifest + `_stats.jsonl` + `_rowcounts.jsonl` ledgers. The
+    * readout counts data-dir opens across the unpredicated aggregate
+    * and reports `meta_only = 1` only when it touched ZERO data files
+    * — and the DuckDB oracle pins that as a literal 1.0, so the scale
+    * property (a 100 TB table's count is a driver-side metadata
+    * readout) is hash-checked cross-engine, not just spec-asserted.
+    * The predicated count additionally exercises all-match/boundary
+    * file classification: interior files contribute recorded row
+    * counts, only range-straddling files are scanned. */
+  def sqlStatsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    Tables.registerAll(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-statsagg").toString
+    spark.conf.set(graft.sources.LakehouseCtasCommand.RootConf, root)
+    try {
+      spark.sql(
+        """CREATE TABLE sa_orders AS
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)
+      spark.sql(
+        """INSERT INTO sa_orders
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_orderstatus = 'O'""".stripMargin)
+      spark.sql(
+        """INSERT INTO sa_orders
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_orderstatus = 'P'""".stripMargin)
+      val before = Lakehouse.dataDirOpens.get()
+      val meta = spark.sql(
+        """SELECT count(*) AS n_total, min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi,
+          |  min(o_totalprice) AS p_lo, max(o_totalprice) AS p_hi
+          |FROM sa_orders""".stripMargin).head()
+      val metaOnly = if (Lakehouse.dataDirOpens.get() == before) 1.0 else 0.0
+      val cheap = spark.sql(
+        "SELECT count(*) AS n FROM sa_orders WHERE o_totalprice < 150000.0").head().getLong(0)
+      import spark.implicits._
+      Seq(
+        ("k_hi", meta.getAs[Number]("k_hi").doubleValue()),
+        ("k_lo", meta.getAs[Number]("k_lo").doubleValue()),
+        ("meta_only", metaOnly),
+        ("n_cheap", cheap.toDouble),
+        ("n_total", meta.getAs[Number]("n_total").doubleValue()),
+        ("p_hi", meta.getAs[Number]("p_hi").doubleValue()),
+        ("p_lo", meta.getAs[Number]("p_lo").doubleValue())
+      ).toDF("metric", "value").orderBy("metric")
+    } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
+  }
+
   /** `mview_incremental` — the incrementally-maintained gold rollup
     * lifecycle ([[graft.sources.MaterializedView]]): a third of
     * `orders` lands in a lakehouse table and the per-status sales

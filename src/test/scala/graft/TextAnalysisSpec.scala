@@ -272,4 +272,26 @@ class TextAnalysisSpec extends SparkSpec {
     // overlap really happens: a 2-chunk doc shares window-stride tokens
     assert(byDoc.exists(_._2.length > 1), "fixture corpus should produce multi-chunk docs")
   }
+
+  test("pipeline_shuffle: a permutation of 1..n, equal to the one-window global order") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.operators.Curate.pipelineShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    // permutation: every position 1..n exactly once, every doc once
+    assert(got.length.toLong === n)
+    assert(got.map(_._1).sorted.toSeq === (1L to n).toSeq)
+    assert(got.map(_._2).distinct.length.toLong === n)
+    // the sharded assignment equals the literal corpus-wide window
+    val ref = graft.sources.Tables.documents(spark, sf).select(col("doc_id"))
+      .withColumn("k", graft.functions.HashFunctions.h62(
+        concat(lit("shuffle|"), col("doc_id").cast("string"))))
+      .withColumn("pos", row_number().over(Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+      .select("pos", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq === ref.sorted.toSeq)
+    // deterministic: a second run reproduces the permutation bit-exactly
+    val again = graft.operators.Curate.pipelineShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === got.toSeq)
+  }
 }
