@@ -31,6 +31,7 @@ object SparkEntry {
     "sql_branch_workflow" -> (Medallion.sqlBranchWorkflow _),
     "sql_maintenance" -> (Medallion.sqlMaintenance _),
     "sql_stats_agg" -> (Medallion.sqlStatsAgg _),
+    "q_runtime_filter" -> (Medallion.qRuntimeFilter _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -289,6 +290,20 @@ object SparkEntry {
         |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged
         |ORDER BY at""".stripMargin,
+    // runtime join filtering: the oracle recomputes the join by
+    // scanning, and pins pruned = 1.0 — the engine must have opened
+    // exactly one of the four key-range dirs
+    "q_runtime_filter" ->
+      """WITH b AS (SELECT CAST(max(o_orderkey) // 4 AS BIGINT) AS b FROM orders),
+        |dim AS (SELECT o_orderkey FROM orders, b
+        |  WHERE o_orderkey <= b.b AND o_orderstatus = 'F'),
+        |j AS (SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |  FROM lineitem JOIN dim ON l_orderkey = o_orderkey)
+        |SELECT 'n' AS metric, CAST(n AS DOUBLE) AS value FROM j
+        |UNION ALL SELECT 'pruned', 1.0
+        |UNION ALL SELECT 'revenue', rev FROM j
+        |ORDER BY metric""".stripMargin,
     // metadata-only aggregates: the oracle recomputes every metric by
     // scanning, and pins meta_only = 1.0 — the engine must have
     // answered the unpredicated readout WITHOUT opening a data file

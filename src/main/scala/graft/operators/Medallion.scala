@@ -499,6 +499,56 @@ object Medallion {
     } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
   }
 
+  /** `q_runtime_filter` — RUNTIME JOIN FILTERING (dynamic file
+    * pruning; [[graft.sources.Lakehouse.readJoinPruned]]): lineitem
+    * lands in a lakehouse table as four key-range appends; the
+    * dimension side (finished orders in the lowest orderkey quartile)
+    * narrows the join keys, and the fact scan prunes to the ONE dir
+    * whose key range can match — a dimension filter skipping fact
+    * files at plan time, which static pruning cannot do. The readout
+    * counts data-dir opens and reports `pruned = 1` only when the
+    * join opened exactly one of the four dirs; the oracle pins that
+    * as a literal 1.0 alongside the join's row count and
+    * decimal-exact revenue, so both the SEMANTICS (same rows as the
+    * plain join) and the SCALE PROPERTY (3 of 4 dirs never opened)
+    * are hash-checked cross-engine. */
+  def qRuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-rtf").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val b = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 4
+    // four ONE-FILE dirs with disjoint l_orderkey ranges (repartition(1)
+    // so each dir is a single stats unit — the demo analog of
+    // time/key-clustered ingest, which is what makes any file skipping
+    // work at scale)
+    lake.createOrReplace(lineitem.where(col("l_orderkey") <= b).repartition(1), "li")
+    lake.append(lineitem.where(col("l_orderkey") > b && col("l_orderkey") <= 2 * b)
+      .repartition(1), "li")
+    lake.append(lineitem.where(col("l_orderkey") > 2 * b && col("l_orderkey") <= 3 * b)
+      .repartition(1), "li")
+    lake.append(lineitem.where(col("l_orderkey") > 3 * b).repartition(1), "li")
+    val dim = orders.where(col("o_orderkey") <= b && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val before = Lakehouse.dataDirOpens.get()
+    val joined = lake.readJoinPruned("li", "l_orderkey", dim, "o_orderkey")
+      .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("rev"))
+      .head()
+    val opened = Lakehouse.dataDirOpens.get() - before
+    import spark.implicits._
+    Seq(
+      ("n", joined.getLong(0).toDouble),
+      ("pruned", if (opened <= 1) 1.0 else 0.0),
+      ("revenue", joined.getDouble(1))
+    ).toDF("metric", "value").orderBy("metric")
+  }
+
   /** `mview_incremental` — the incrementally-maintained gold rollup
     * lifecycle ([[graft.sources.MaterializedView]]): a third of
     * `orders` lands in a lakehouse table and the per-status sales

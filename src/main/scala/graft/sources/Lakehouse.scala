@@ -1700,8 +1700,18 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val snap = currentSnapshot(table, branch)
       .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
     val entries = snapshots(table).find(_._1 == snap).get._2
+    // conjunct analysis runs against a SCHEMA-ONLY relation when
+    // metadata can supply the schema: building the real relation here
+    // would list every data dir of the snapshot at plan time —
+    // O(files) driver fs calls before pruning decides anything. Same
+    // attributes/types either way, so the extracted conjuncts match.
+    val analysisRel = metaSchema(table, entries, snap) match {
+      case Some(st) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None => read(table, branch)
+    }
     val conjuncts = Transforms.derivedConjuncts(
-      skippableConjuncts(pred, read(table, branch)),
+      skippableConjuncts(pred, analysisRel),
       snapshotPhysLayouts(table, entries))
     val sums = dirSummaries(table) // once per read, not per entry
     val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
@@ -1724,6 +1734,35 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       branch: String = "main"): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     readWhere(col(colName) >= lit(lo) && col(colName) <= lit(hi), table, branch)
+  }
+
+  /** RUNTIME JOIN FILTERING (the Iceberg/Trino dynamic-file-pruning
+    * analog): before scanning the fact side of an equi-join, collect
+    * the (bounded) distinct join keys from the dimension side and
+    * prune fact FILES through the existing stats/bloom IN-list
+    * skipping — a dimension filter thereby skips fact files at PLAN
+    * time, which static pruning can never do (the fact predicate only
+    * exists at runtime). At 100 TB this is the difference between
+    * scanning a week's dirs and scanning the table when the dim side
+    * narrows to a handful of keys.
+    *
+    * The collect is bounded by `maxKeys` and is the same class of
+    * driver-side materialization as broadcasting that dim side (which
+    * an equi-join this shaped does anyway); above the cap the fact
+    * scan degrades to an ordinary unpruned read — semantics never
+    * change, only I/O. NULL dim keys are dropped (an equi-join never
+    * matches NULL). INNER-join use: the returned relation also
+    * row-filters fact rows to the collected key set, which the join
+    * would do regardless — do not use it as the preserved side of an
+    * outer join. */
+  def readJoinPruned(table: String, keyCol: String, dim: DataFrame, dimKeyCol: String,
+      maxKeys: Int = 10000, branch: String = "main"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val keys = dim.select(col(dimKeyCol)).where(col(dimKeyCol).isNotNull)
+      .distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+    if (keys.isEmpty) read(table, branch).where(lit(false)) // no keys: inner join is empty
+    else if (keys.length > maxKeys) read(table, branch) // over cap: no pruning, same rows
+    else readWhere(col(keyCol).isin(keys: _*), table, branch)
   }
 
   /** METADATA-ONLY AGGREGATES — the Iceberg aggregate-pushdown
