@@ -118,6 +118,7 @@ object SparkEntry {
     "sketch_distinct_ngrams" -> ((s, d) => operators.Sketches.sketchDistinctNgrams(s, d)),
     "sketch_source_overlap" -> ((s, d) => operators.Sketches.sketchSourceOverlap(s, d)),
     "sketch_algebra" -> ((s, d) => operators.Sketches.sketchAlgebra(s, d)),
+    "sketch_quantiles" -> ((s, d) => operators.Sketches.sketchQuantiles(s, d)),
     // corpus-unigram LM quality proxy (perplexity-bucketing signal)
     "text_unigram_logprob" -> (TextAnalysis.textUnigramLogprob _),
     // §2.F — multimodal
@@ -1281,6 +1282,30 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(list_intersect(u, am), bm)) AS DOUBLE) / len(u), 6)
         |    AS jaccard_est
         |FROM p ORDER BY src_a, src_b""".stripMargin,
+    // exact per-source quality quantiles via the lossless 6-dp bucket
+    // histogram — the whole cumsum restated over bounded counts
+    "sketch_quantiles" ->
+      """WITH t AS (SELECT doc_id, source, length(text) n_chars,
+        |  regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks,
+        |  len(regexp_extract_all(text, '([^a-z0-9 ])', 1)) n_punct FROM documents),
+        |u AS (SELECT doc_id, source, n_chars, n_punct, len(toks) n_tokens,
+        |  len(list_filter(toks, tk -> list_contains(['the','and','of','to','a','in','is','you','that','it'], tk))) n_stop
+        |  FROM t),
+        |q AS (SELECT doc_id, source,
+        |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+        |    + 0.3 * (1.0 - least(1.0, 10.0 * CAST(n_punct AS DOUBLE) / n_chars))
+        |    + 0.3 * least(1.0, 5.0 * CAST(n_stop AS DOUBLE) / n_tokens), 6) quality FROM u),
+        |b AS (SELECT source, CAST(round(quality*1e6, 0) AS BIGINT) qb FROM q
+        |  WHERE quality IS NOT NULL),
+        |h AS (SELECT source, qb, CAST(count(*) AS BIGINT) bn FROM b GROUP BY 1, 2),
+        |c AS (SELECT source, qb, bn, sum(bn) OVER (PARTITION BY source ORDER BY qb) cum FROM h),
+        |tt AS (SELECT source, CAST(sum(bn) AS BIGINT) n FROM h GROUP BY 1),
+        |p AS (SELECT unnest([25, 50, 75, 90]) AS p_pct)
+        |SELECT c.source, p.p_pct, round(min(c.qb) / 1e6, 6) AS q
+        |FROM c JOIN tt ON c.source = tt.source CROSS JOIN p
+        |WHERE c.cum >= ceil(p.p_pct * tt.n / 100.0)
+        |GROUP BY c.source, p.p_pct
+        |ORDER BY c.source, p.p_pct""".stripMargin,
     "sketch_algebra" ->
       """WITH tk AS (SELECT source, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks
         |  FROM documents),

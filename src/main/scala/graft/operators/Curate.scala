@@ -65,7 +65,7 @@ object Curate {
   /** Memoized gate scores for the corpus at `dir` — shared by
     * pipeline_curate and pipeline_train_mix (one scan + regex pass,
     * many consumers; the signature-table pattern of SURVEY §4). */
-  private def scoredDocs(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def scoredDocs(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Memo.persisted(spark, s"curate.scored|$dir") {
       gates(graft.sources.Tables.parallel(spark, graft.sources.Tables.documents(spark, dir)))
     }

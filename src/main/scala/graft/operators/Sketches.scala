@@ -193,4 +193,47 @@ object Sketches {
             .cast("double") / size(col("u")), 6).as("jaccard_est"))
       .orderBy("src_a", "src_b")
   }
+
+  /** `sketch_quantiles` — EXACT distributed quantiles of the quality
+    * distribution per source, via the bounded-histogram shape (the
+    * repo's order-statistics idiom — pipeline_token_budget and
+    * pipeline_domain_cap run on the same trick): quality is 6-dp
+    * rounded, so `round(q·10⁶)` buckets are lossless and the
+    * histogram is bounded at ≤10⁶+1 rows per source HOWEVER large the
+    * corpus grows. The quantile then reads off a cumulative sum over
+    * that bounded relation — no corpus-wide sort, no
+    * approx_percentile (whose estimates could never hash-match an
+    * oracle). This is the per-source quality-distribution readout
+    * (median/tail quality per domain) that sets curation thresholds.
+    *
+    * Definition (type-1 / lower discrete quantile): q_p = smallest
+    * bucket value v with cum_count(≤v) ≥ ⌈p·n⌉. Percent points are
+    * INTEGER so the threshold arithmetic (`p·n` integer multiply,
+    * then /100.0) is bit-identical cross-engine — a double literal
+    * 0.9·n can round differently than the mathematician expects, an
+    * integer product cannot. */
+  def sketchQuantiles(spark: SparkSession, dir: String,
+      pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val d = Curate.scoredDocs(spark, dir)
+      .where(col("quality").isNotNull)
+      .select(col("doc_id"), col("quality"))
+      .join(src, Seq("doc_id"))
+      .withColumn("qb", round(col("quality") * 1e6, 0).cast("long"))
+    val hist = d.groupBy("source", "qb").agg(count(lit(1)).as("bn"))
+    // the only windows run over the bounded histogram, never the corpus
+    val cum = hist.withColumn("cum",
+      sum(col("bn")).over(Window.partitionBy("source").orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = hist.groupBy("source").agg(sum(col("bn")).as("n"))
+    cum.join(broadcast(totals), Seq("source"))
+      .withColumn("p_pct", explode(array(pcts.map(lit): _*)))
+      .where(col("cum") >= ceil(col("p_pct") * col("n") / lit(100.0)))
+      .groupBy("source", "p_pct")
+      .agg(min(col("qb")).as("qb"))
+      .select(col("source"), col("p_pct"),
+        round(col("qb") / 1e6, 6).as("q"))
+      .orderBy("source", "p_pct")
+  }
 }

@@ -273,6 +273,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byDoc.exists(_._2.length > 1), "fixture corpus should produce multi-chunk docs")
   }
 
+  test("sketch_quantiles equals the literal sorted-order statistic per source") {
+    val got = graft.operators.Sketches.sketchQuantiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // reference: collect per-source qualities, sort, index the type-1
+    // quantile directly
+    val src = graft.sources.Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byteSrc = graft.operators.TextAnalysis.textQuality(spark, sf)
+      .select("doc_id", "quality").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (src(r.getLong(0)), r.getDouble(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted.toIndexedSeq }
+    assert(byteSrc.nonEmpty)
+    byteSrc.foreach { case (s, qs) =>
+      for (p <- Seq(25, 50, 75, 90)) {
+        val idx = math.ceil(p * qs.length / 100.0).toInt - 1
+        // bucketing is lossless at 6 dp, so the histogram quantile must
+        // hit the sorted value exactly
+        assert(math.abs(got((s, p)) - qs(idx)) < 1e-9,
+          s"source $s p$p: got ${got((s, p))}, want ${qs(idx)}")
+      }
+      // monotone across p by construction
+      assert(got((s, 25)) <= got((s, 50)) && got((s, 50)) <= got((s, 75)) &&
+        got((s, 75)) <= got((s, 90)))
+    }
+  }
+
   test("pipeline_shuffle: a permutation of 1..n, equal to the one-window global order") {
     import org.apache.spark.sql.expressions.Window
     val got = graft.operators.Curate.pipelineShuffle(spark, sf).collect()
