@@ -91,6 +91,7 @@ object SparkEntry {
     // §2.D — similarity search
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopk(s, d)),
     "ann_lsh_bucketed" -> ((s, d) => Similarity.annLshTopk(s, d)),
+    "ann_nsw_topk" -> ((s, d) => Similarity.annNswTopk(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.annIvfTopk(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiprobe(s, d)),
     // training isn't SQL-restatable, but the trained centroids are
@@ -957,6 +958,35 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, cosine,
         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM ex)
         |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    // graph-index ANN: the NSW build/search loop is not SQL — the
+    // oracle restates the sf0.01 answer as VALUES (trained-artifact
+    // pattern); AnnNswSpec measures recall vs the exact scan and pins
+    // bit-reproducibility across runs
+    "ann_nsw_topk" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+        |  rnk, CAST(cosine AS DOUBLE) AS cosine FROM (VALUES
+        |  (0, 0, 1, 1.0), (0, 365, 2, 0.370392), (0, 334, 3, 0.362775),
+        |  (0, 423, 4, 0.296746), (0, 73, 5, 0.29552), (0, 7, 6, 0.292983),
+        |  (0, 320, 7, 0.288049), (0, 190, 8, 0.281365), (0, 464, 9, 0.276236),
+        |  (0, 388, 10, 0.275971),
+        |  (1, 1, 1, 1.0), (1, 386, 2, 0.372283), (1, 27, 3, 0.348413),
+        |  (1, 407, 4, 0.327663), (1, 195, 5, 0.323173), (1, 64, 6, 0.316572),
+        |  (1, 124, 7, 0.303011), (1, 402, 8, 0.292964), (1, 472, 9, 0.292773),
+        |  (1, 220, 10, 0.290716),
+        |  (2, 2, 1, 1.0), (2, 117, 2, 0.318476), (2, 450, 3, 0.265179),
+        |  (2, 145, 4, 0.264041), (2, 188, 5, 0.262773), (2, 320, 6, 0.254426),
+        |  (2, 418, 7, 0.253569), (2, 471, 8, 0.246024), (2, 112, 9, 0.245442),
+        |  (2, 350, 10, 0.23901),
+        |  (3, 3, 1, 1.0), (3, 130, 2, 0.400629), (3, 149, 3, 0.330253),
+        |  (3, 343, 4, 0.308284), (3, 174, 5, 0.304197), (3, 231, 6, 0.298219),
+        |  (3, 207, 7, 0.292056), (3, 192, 8, 0.291769), (3, 315, 9, 0.285262),
+        |  (3, 437, 10, 0.280923),
+        |  (4, 4, 1, 1.0), (4, 114, 2, 0.398042), (4, 496, 3, 0.340545),
+        |  (4, 408, 4, 0.322698), (4, 482, 5, 0.313795), (4, 249, 6, 0.279728),
+        |  (4, 280, 7, 0.279573), (4, 257, 8, 0.271366), (4, 89, 9, 0.265562),
+        |  (4, 470, 10, 0.252931)
+        |) AS t(q_id, vec_id, rnk, cosine)
         |ORDER BY q_id, rnk""".stripMargin,
     "ann_lsh_bucketed" ->
       """WITH q AS (SELECT vec_id,
