@@ -92,6 +92,7 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopk(s, d)),
     "ann_lsh_bucketed" -> ((s, d) => Similarity.annLshTopk(s, d)),
     "ann_nsw_topk" -> ((s, d) => Similarity.annNswTopk(s, d)),
+    "hybrid_search_rrf" -> ((s, d) => Similarity.hybridSearchRrf(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.annIvfTopk(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiprobe(s, d)),
     // training isn't SQL-restatable, but the trained centroids are
@@ -958,6 +959,34 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, cosine,
         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) rnk FROM ex)
         |SELECT q_id, vec_id, rnk, cosine FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    // hybrid retrieval: both legs and the rank fusion restate fully
+    // in SQL — keyword overlap ranks, cosine ranks, RRF sum
+    "hybrid_search_rrf" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_distinct(regexp_extract_all(lower(text),'([a-z0-9]+)',1)) dt FROM documents),
+        |qt AS (SELECT doc_id q_id, dt qt FROM toks WHERE doc_id < 5),
+        |ts AS (SELECT q.q_id, t.doc_id, len(list_intersect(t.dt, q.qt)) s
+        |  FROM toks t CROSS JOIN qt q),
+        |trank AS (SELECT q_id, doc_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id) rt
+        |  FROM ts WHERE s > 0 QUALIFY rt <= 20),
+        |v AS (SELECT vec_id,
+        |  [CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding] v FROM embeddings),
+        |vs AS (SELECT qq.vec_id q_id, e.vec_id doc_id,
+        |  round(CAST(list_sum(list_transform(list_zip(qq.v, e.v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(list_sum(list_transform(qq.v, x -> x*x))
+        |           * list_sum(list_transform(e.v, x -> x*x)) AS DOUBLE)), 6) c
+        |  FROM (SELECT * FROM v WHERE vec_id < 5) qq CROSS JOIN v e),
+        |vrank AS (SELECT q_id, doc_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, doc_id) rv
+        |  FROM vs QUALIFY rv <= 20),
+        |fused AS (SELECT coalesce(t.q_id, w.q_id) q_id, coalesce(t.doc_id, w.doc_id) doc_id,
+        |  round(coalesce(1.0/(60 + t.rt), 0) + coalesce(1.0/(60 + w.rv), 0), 6) rrf
+        |  FROM trank t FULL JOIN vrank w ON t.q_id = w.q_id AND t.doc_id = w.doc_id),
+        |r AS (SELECT q_id, doc_id, rrf,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) rnk FROM fused)
+        |SELECT q_id, doc_id AS vec_id, rnk, rrf FROM r WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
     // graph-index ANN: the NSW build/search loop is not SQL — the
     // oracle restates the sf0.01 answer as VALUES (trained-artifact

@@ -910,6 +910,55 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
+  // ---- hybrid retrieval: text + vector, reciprocal rank fusion ----
+
+  val RrfC = 60
+
+  /** `hybrid_search_rrf` — HYBRID RETRIEVAL (the RAG-stack shape
+    * every production search system converged on): a keyword ranking
+    * and a vector ranking, fused by RECIPROCAL RANK FUSION —
+    * score(d) = Σ_lists 1/(C + rank_list(d)), C = 60 from the
+    * original RRF paper; absent-from-a-list contributes 0. RRF is
+    * the standard fusion precisely because it needs NO score
+    * calibration between BM25-ish integers and cosines — only ranks.
+    *
+    * Both legs are the repo's existing scale shapes: keyword score =
+    * |distinct-token overlap| (integer-exact, broadcast query side,
+    * non-matching docs never ranked), vector leg = the quantized
+    * cosine scan, both through the bounded-heap top-k tail at pool
+    * size 20 — so the fusion input is 2·20 rows per query however
+    * large the corpus, and the fused top-10 is a bounded-heap pass
+    * over THAT. Ranks and tie-breaks are id-deterministic end to
+    * end; the whole pipeline (tokenize → rank → fuse) restates in
+    * DuckDB and hash-matches. */
+  def hybridSearchRrf(spark: SparkSession, dir: String, k: Int = 10,
+      poolK: Int = 20): DataFrame = {
+    val toks = Tables.parallel(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(TextAnalysis.tokens(col("text"))).as("dt"))
+    val qt = toks.where(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("dt").as("qt"))
+    val tscored = toks.crossJoin(broadcast(qt))
+      .select(col("q_id"), col("doc_id").as("vec_id"),
+        size(array_intersect(col("dt"), col("qt"))).cast("double").as("cosine"))
+      .where(col("cosine") > 0)
+    val trank = topkPerQuery(tscored, poolK)
+      .select(col("q_id"), col("vec_id"), col("rnk").as("rt"))
+    val e = quantized(spark, dir)
+    val qv = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nsq").as("qnsq"))
+    val vscored = e.crossJoin(broadcast(qv))
+      .select(col("q_id"), col("vec_id"),
+        round(cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("cosine"))
+    val vrank = topkPerQuery(vscored, poolK)
+      .select(col("q_id"), col("vec_id"), col("rnk").as("rv"))
+    val fused = trank.join(vrank, Seq("q_id", "vec_id"), "full_outer")
+      .select(col("q_id"), col("vec_id"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfC) + col("rt")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(RrfC) + col("rv")), lit(0.0)), 6).as("cosine"))
+    topkPerQuery(fused, k).withColumnRenamed("cosine", "rrf")
+  }
+
   // ---- graph ANN: per-shard navigable small world ----
 
   /** `ann_nsw_topk` — GRAPH-BASED ANN (the HNSW/DiskANN index

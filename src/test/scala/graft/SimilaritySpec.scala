@@ -173,4 +173,47 @@ class SimilaritySpec extends SparkSpec {
     assert(before === after,
       "PQ results diverged after a cache release — retraining must be deterministic")
   }
+
+  test("hybrid_search_rrf equals the literal window restatement of both legs + fusion") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = Similarity.hybridSearchRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    // reference: row_number windows instead of the bounded-heap tail
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(
+        graft.operators.TextAnalysis.tokens(col("text"))).as("dt"))
+    val qt = toks.where(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("dt").as("qt"))
+    val trank = toks.crossJoin(broadcast(qt))
+      .select(col("q_id"), col("doc_id"),
+        size(array_intersect(col("dt"), col("qt"))).as("s"))
+      .where(col("s") > 0)
+      .withColumn("rt", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("s").desc, col("doc_id"))))
+      .where(col("rt") <= 20).select("q_id", "doc_id", "rt")
+    val e = Similarity.quantized(spark, sf)
+    val qv = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nsq").as("qnsq"))
+    val vrank = e.crossJoin(broadcast(qv))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        round(Similarity.cosinePre(col("qv"), col("qnsq"), col("v"), col("nsq")), 6).as("c"))
+      .withColumn("rv", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("c").desc, col("doc_id"))))
+      .where(col("rv") <= 20).select("q_id", "doc_id", "rv")
+    val want = trank.join(vrank, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)), 6).as("rrf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))))
+      .where(col("rnk") <= 10)
+      .select("q_id", "doc_id", "rnk", "rrf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got.sorted === want.sorted)
+    // fusion really mixes: single-leg rows (score < 1/61 + 1/80 means
+    // one leg absent or deep) and both-leg rows coexist in the top-10
+    assert(got.exists(_._4 >= 1.0 / 61 + 1.0 / 80), "no strongly-fused row in the top-10")
+    assert(got.forall(r => r._4 > 0))
+  }
 }
