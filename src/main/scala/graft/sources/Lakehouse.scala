@@ -3293,6 +3293,74 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       }
     }
 
+  /** PARTITION-SCOPED compaction (Iceberg's `rewrite_data_files`
+    * with a row-filter scope): fold ONLY the snapshot entries whose
+    * stats say `pred` may match — the hot partition, the recent time
+    * range — into one new data dir; every provably-clean entry
+    * carries into the new snapshot BY REFERENCE, byte-identical. The
+    * filter SCOPES which files rewrite; no row is ever dropped
+    * (touched entries rewrite whole, exactly Iceberg's semantics).
+    * Cost O(matching dirs), independent of table size — on a table
+    * where one partition churns small files while the rest is cold
+    * history, this is the only affordable compaction. Tombstones
+    * materialize into the rewritten rows and carry for the
+    * referenced entries (the deleteWhere/binpack rule). */
+  def compactWhere(pred: org.apache.spark.sql.Column, table: String,
+      partitionBy: Seq[String] = Nil, branch: String = "main",
+      targetBytes: Long = 128L * 1024 * 1024): Long =
+    retryingCommit(table, branch) { base =>
+      val rawEntries = base.map(c => snapshots(table).find(_._1 == c).get._2)
+        .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+      // schema-only conjunct analysis (the readWhere rule): building
+      // the real relation would open every dir — including the cold
+      // history this operation exists to never touch
+      val analysisRel = metaSchema(table, rawEntries, base.get) match {
+        case Some(st) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        case None => readBase(table, base)
+      }
+      val conjuncts = Transforms.derivedConjuncts(
+        skippableConjuncts(pred, analysisRel),
+        snapshotPhysLayouts(table, rawEntries))
+      // partitioned: classify at partition-LEAF granularity so a
+      // predicate on the partition column folds only matching leaves
+      val entries =
+        if (partitionBy.isEmpty) rawEntries
+        else rawEntries.flatMap { e =>
+          if (e.contains("/")) Seq(e)
+          else dirLayout(table, e) match {
+            case Nil => Seq(e)
+            case own => leafDirs(new Path(tableDir(table), e), own.length)
+              .map(l => s"$e/$l")
+          }
+        }
+      val sums = dirSummaries(table)
+      val (touched, clean) = entries.partition(e =>
+        matchingFiles(table, e, conjuncts, sums).nonEmpty)
+      val prevDeletes = snapshotDeletes(table).getOrElse(base.get, Seq.empty)
+      if (touched.length <= 1) base.get // one matching entry: nothing to fold
+      else {
+        val dels = tombstones(table, base.get)
+        val byDataDir = touched.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+        val rows = byDataDir.map { case (dataDir, dirEntries) =>
+          applyTombstones(openDirGroup(table, dataDir,
+            if (dirEntries.contains(dataDir)) Seq(dataDir) else dirEntries), dataDir, dels)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        // the fold's point is fewer files (the binpack rule): pack to
+        // targetBytes instead of re-emitting one file per input split
+        val touchedBytes = touched.map(e =>
+          fs.getContentSummary(new Path(tableDir(table), e)).getLength).sum
+        val targetParts = math.max(1L, (touchedBytes + targetBytes - 1) / targetBytes)
+        val packed = rows.coalesce(targetParts.toInt)
+        val snap = reserveSnap(table)
+        val dir = s"data-$snap"
+        try {
+          writeDataDir(packed, table, dir, partitionBy)
+          commit(table, snap, clean :+ dir, branch, Some(base), deletes = prevDeletes)
+        } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+      }
+    }
+
   /** Z-ORDER clustered compaction (the `rewrite_data_files` +
     * zorder(a, b) analog): rewrite the branch's snapshot clustered on
     * the INTERLEAVED bits of two numeric columns, so each output file

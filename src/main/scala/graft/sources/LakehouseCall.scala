@@ -11,13 +11,16 @@ import org.apache.spark.sql.types.{LongType, StringType}
   * the surface behind `spark.sql("CALL catalog.system.…")` a
   * lakehouse operator runs from a scheduler). Supported:
   *
-  *  - `rewrite_data_files(table [, strategy [, sort_order [, file_count]]])`
-  *    strategy `binpack` (default; folds dirs smaller than
-  *    `small_bytes`, default 128 MiB, cost O(small files)) | `sort`
-  *    (range-cluster on `sort_order` — falls back to the table's
-  *    declared write sort order) | `zorder` (two-column Morton
-  *    clustering) | `full` (rewrite everything under the declared
-  *    identity layout). Returns the new snapshot id and the parquet
+  *  - `rewrite_data_files(table [, strategy [, sort_order [, file_count]]]
+  *    [, where => '<pred>'])` — strategy `binpack` (default; folds
+  *    dirs smaller than `small_bytes`, default 128 MiB, cost O(small
+  *    files)) | `sort` (range-cluster on `sort_order` — falls back to
+  *    the table's declared write sort order) | `zorder` (two-column
+  *    Morton clustering) | `full` (rewrite everything under the
+  *    declared identity layout); `where` scopes the rewrite to
+  *    stat-matching entries ([[Lakehouse.compactWhere]] — the hot
+  *    partition folds, cold history carries by reference).
+  *    Returns the new snapshot id and the parquet
   *    file counts before/after (driver metadata walk — the same
   *    listing the write itself already paid).
   *  - `expire_snapshots(table [, retain_last])` — manifest truncation
@@ -91,7 +94,7 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
   }
 
   private def named: Map[String, String] = {
-    val known = positional.toSet + "small_bytes"
+    val known = positional.toSet + "small_bytes" + "where"
     val (kw, pos) = args.partition(_._1.isDefined)
     kw.foreach { case (k, _) =>
       require(known.contains(k.get.toLowerCase),
@@ -129,7 +132,16 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
       case "rewrite_data_files" =>
         val strategy = m.get("strategy").map(v => lit(v).toLowerCase).getOrElse("binpack")
         val before = lake.filesDf(table, branch).count()
-        val snap = strategy match {
+        // `where => '<pred>'` scopes the rewrite to stat-matching
+        // entries (Iceberg's row-filter scope); it folds whole
+        // matching entries, so clustering strategies don't combine
+        val snap = if (m.contains("where")) {
+          require(!m.contains("strategy") || strategy == "binpack",
+            "rewrite_data_files(where => …) scopes the fold; " +
+              "sort/zorder strategies do not combine with a filter")
+          lake.compactWhere(org.apache.spark.sql.functions.expr(lit(m("where"))),
+            table, partitionBy, branch)
+        } else strategy match {
           case "binpack" =>
             lake.compactBinPack(table, longArg(m, "small_bytes", 128L * 1024 * 1024), branch)
           case "sort" =>
