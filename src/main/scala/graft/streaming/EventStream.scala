@@ -69,6 +69,30 @@ object EventStream {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** NATIVE session windows — the built-in `session_window(ts, gap)`
+    * alternative to the custom `flatMapGroupsWithState` operator
+    * ([[sessionizeStream]]): when the engine's session semantics fit
+    * (strict gap boundary — an event landing EXACTLY gap after the
+    * last one opens a NEW session; session end = last event + gap,
+    * not last event), prefer this form — Catalyst owns the state
+    * store layout, merging, and watermark eviction, and the same
+    * expression runs batch or streaming unchanged. The custom
+    * operator remains for the batch-twin-exact semantics
+    * (`>`-boundary, ordinal session ids, max-ts session end) that the
+    * relational oracle pins. Same mandate rule as everywhere:
+    * built-in operator first, custom state only where semantics
+    * demand it — this pair documents exactly where that line sits. */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Stream-into-lakehouse: commit each micro-batch of a streaming
     * DataFrame as an APPEND snapshot of a lakehouse table via
     * `foreachBatch`. Appends write only the batch's files plus a

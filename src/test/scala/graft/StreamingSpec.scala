@@ -395,6 +395,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window streaming agg matches its batch run and the hand reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(user: Long, minute: Long, id: Long) =
+      graft.streaming.SessionEvent(user, new java.sql.Timestamp(minute * 60000L), id)
+    // user 1: minutes 10,15 | 55 (40-min gap splits) ; user 2: 200
+    val fixture = Seq(ev(1, 10, 1), ev(1, 15, 2), ev(1, 55, 3), ev(2, 200, 4))
+    val source = MemoryStream[graft.streaming.SessionEvent]
+    val q = EventStream.sessionizeNative(source.toDF())
+      .writeStream.format("memory").queryName("sessnat_test")
+      .outputMode("append").start()
+    try {
+      source.addData(fixture: _*); q.processAllAvailable()
+      // watermark far past everything closes all sessions
+      source.addData(ev(9, 5000, 9)); q.processAllAvailable()
+      val got = spark.table("sessnat_test")
+        .select("user_id", "session_start", "session_end", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000L,
+          r.getTimestamp(2).getTime / 60000L, r.getLong(3))).toSet
+      // session end = last event + gap (native semantics)
+      val want = Set((1L, 10L, 45L, 2L), (1L, 55L, 85L, 1L), (2L, 200L, 230L, 1L))
+      assert(got === want)
+      // the SAME expression on a batch DataFrame gives the same sessions
+      val batch = EventStream.sessionizeNative(fixture.toDF())
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000L,
+          r.getTimestamp(2).getTime / 60000L, r.getLong(3))).toSet
+      assert(batch === want)
+    } finally q.stop()
+  }
+
   test("sessions respect the 30-minute gap invariant") {
     val sessions = EventStream.sessionize(
       EventStream.toSessionEvents(Tables.events(spark, sf))).collect()
