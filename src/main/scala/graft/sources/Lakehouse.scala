@@ -1804,7 +1804,6 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val snap = currentSnapshot(table, branch)
       .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
     if (tombstones(table, snap).nonEmpty) return None
-    if (items.exists(_.op != "count") && pred.nonEmpty) return None
     if (items.exists(i => i.op != "count" && i.op != "min" && i.op != "max")) return None
     val entries = snapshots(table).find(_._1 == snap).get._2
     // Schema WITHOUT opening any data dir: the declared (evolved)
@@ -1820,46 +1819,62 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val sums = dirSummaries(table)
     val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
 
-    // count(*): exact; only predicate-BOUNDARY files are scanned
-    lazy val countValue: Long = {
-      val (conj, covered) = pred match {
-        case None => (Seq.empty[(String, String, Any)], true)
-        case Some(p) => skippableConjunctsCovered(p, relation)
-      }
-      val derived = Transforms.derivedConjuncts(conj, snapshotPhysLayouts(table, entries))
-      var metaRows = 0L
-      val boundary = scala.collection.mutable.Buffer.empty[(String, Seq[String])]
-      byDataDir.foreach { case (dataDir, dirEntries) =>
-        val may = dirEntries.flatMap(matchingFiles(table, _, derived, sums)).distinct
-        if (may.nonEmpty) {
-          val rcs = readRowCounts(table, dataDir)
-          val stats = readStats(table, dataDir).groupBy(s => (s._1, s._2))
-          val (all, bnd0) = may.partition { rel =>
-            covered && conj.forall { case (c, op, v) =>
-              // zero RECORDED nulls (unknown ≠ zero) and a range fully
-              // inside the conjunct — only then does every row match
-              rcs.get(rel).exists(_._2.get(c).contains(0L)) &&
-                stats.get((rel, c)).exists(ls => ls.size == 1 && {
-                  val (_, _, t, lo, hi) = ls.head
-                  if (op == "in") v.asInstanceOf[Seq[Any]]
-                    .exists(x => rangeAllMatch(t, lo, hi, "=", x))
-                  else rangeAllMatch(t, lo, hi, op, v)
-                })
-            }
-          }
-          val fromFooter = footerRowCounts(table, all.filterNot(rcs.contains))
-          val counted = all.map(rel => rel -> rcs.get(rel).map(_._1).orElse(fromFooter.get(rel)))
-          metaRows += counted.flatMap(_._2).sum
-          val bnd = bnd0 ++ counted.collect { case (rel, None) => rel }
-          if (bnd.nonEmpty) boundary += ((dataDir, bnd))
-        }
-      }
-      if (boundary.isEmpty) metaRows
+    // Classification shared by every item: per dir, the may-match
+    // files (after range/bloom/transform pruning), the ALL-ROWS-MATCH
+    // subset, row counts and stat lines
+    val (conj, covered) = pred match {
+      case None => (Seq.empty[(String, String, Any)], true)
+      case Some(p) => skippableConjunctsCovered(p, relation)
+    }
+    val derived = Transforms.derivedConjuncts(conj, snapshotPhysLayouts(table, entries))
+    case class DirCls(dataDir: String, may: Seq[String], all: Set[String],
+        rcs: Map[String, (Long, Map[String, Long])],
+        stats: Map[(String, String), Seq[(String, String, String, String, String)]])
+    val cls = byDataDir.flatMap { case (dataDir, dirEntries) =>
+      val may = dirEntries.flatMap(matchingFiles(table, _, derived, sums)).distinct
+      if (may.isEmpty) None
       else {
-        val one = boundary.map { case (d, fs) => openDirGroup(table, d, fs) }
-          .reduce(_.unionByName(_, allowMissingColumns = true))
-        metaRows + pred.fold(one)(one.where).count()
+        val rcs = readRowCounts(table, dataDir)
+        val stats = readStats(table, dataDir).groupBy(s => (s._1, s._2))
+        val all = may.filter { rel =>
+          covered && conj.forall { case (c, op, v) =>
+            // zero RECORDED nulls (unknown ≠ zero) and a range fully
+            // inside the conjunct — only then does every row match
+            rcs.get(rel).exists(_._2.get(c).contains(0L)) &&
+              stats.get((rel, c)).exists(ls => ls.size == 1 && {
+                val (_, _, t, lo, hi) = ls.head
+                if (op == "in") v.asInstanceOf[Seq[Any]]
+                  .exists(x => rangeAllMatch(t, lo, hi, "=", x))
+                else rangeAllMatch(t, lo, hi, op, v)
+              })
+          }
+        }.toSet
+        Some(DirCls(dataDir, may, all, rcs, stats))
       }
+    }
+    // one filtered scan over an explicit file set — the exception
+    // path, proportional to the files metadata could not answer for
+    def scanOver(sets: Seq[(String, Seq[String])]): Option[DataFrame] =
+      if (sets.forall(_._2.isEmpty)) None
+      else Some {
+        val one = sets.filter(_._2.nonEmpty)
+          .map { case (d, fs) => openDirGroup(table, d, fs) }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        pred.fold(one)(one.where)
+      }
+
+    // count(*): all-match files contribute recorded/footer row counts,
+    // boundary files are scanned with the exact predicate
+    lazy val countValue: Long = {
+      var metaRows = 0L
+      val boundary = cls.map { d =>
+        val allFiles = d.may.filter(d.all.contains)
+        val fromFooter = footerRowCounts(table, allFiles.filterNot(d.rcs.contains))
+        val counted = allFiles.map(rel => rel -> d.rcs.get(rel).map(_._1).orElse(fromFooter.get(rel)))
+        metaRows += counted.flatMap(_._2).sum
+        (d.dataDir, d.may.filterNot(d.all.contains) ++ counted.collect { case (rel, None) => rel })
+      }
+      metaRows + scanOver(boundary).map(_.count()).getOrElse(0L)
     }
 
     def tagOf(dt: DataType): String = dt match {
@@ -1868,37 +1883,58 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       case StringType => "string"
       case _ => ""
     }
-    // min/max from the ledger — all-or-nothing coverage
+    // min/max: ledger bounds answer for all-match files carrying a
+    // usable stat (nulls are irrelevant — SQL min/max ignores them,
+    // and so do the stats); every other may-match file is scanned
+    // with the exact predicate, and the two legs combine through
+    // Spark's own least/greatest (null-skipping, same as min/max).
+    // Unpredicated calls are the pred-None special case of the same
+    // machinery — a stat-less file now scans instead of failing the
+    // whole call closed.
     def bound(c: String, wantMin: Boolean): Option[org.apache.spark.sql.Column] = {
+      import org.apache.spark.sql.functions.{greatest, least, max, min}
       val field = schema.fields.find(_.name == c).getOrElse(return None)
       val tag = tagOf(field.dataType)
       if (tag.isEmpty) return None
-      val perFile: Seq[Option[String]] = byDataDir.flatMap { case (dataDir, dirEntries) =>
-        val files = dirEntries.flatMap(matchingFiles(table, _, Seq.empty, sums)).distinct
-        val statsFor = readStats(table, dataDir).filter(_._2 == c).groupBy(_._1)
-        files.map { rel =>
-          statsFor.get(rel) match {
-            case Some(Seq((_, _, t, lo, hi))) if t == tag => Some(if (wantMin) lo else hi)
-            case _ => None // no usable bound: a coverage gap fails the whole call
-          }
+      val ledger = scala.collection.mutable.Buffer.empty[String]
+      val scanSets = cls.map { d =>
+        val needScan = d.may.filterNot { rel =>
+          d.all.contains(rel) && (d.stats.get((rel, c)) match {
+            case Some(Seq((_, _, t, lo, hi))) if t == tag =>
+              ledger += (if (wantMin) lo else hi); true
+            case _ => false
+          })
         }
+        (d.dataDir, needScan)
       }
-      if (perFile.exists(_.isEmpty)) return None
-      val vals = perFile.flatten
-      if (vals.isEmpty) return Some(lit(null).cast(field.dataType)) // empty table: SQL NULL
-      scala.util.Try[org.apache.spark.sql.Column] {
-        val pick =
-          if (tag == "string") { if (wantMin) vals.min else vals.max }
-          else if (wantMin) vals.minBy(BigDecimal(_)) else vals.maxBy(BigDecimal(_))
-        (tag, field.dataType) match {
-          // internal-scale stats surface back at the column's type
-          case ("long", DateType) => date_from_unix_date(lit(pick.toInt))
-          case ("long", TimestampType) => timestamp_micros(lit(pick.toLong))
-          case ("long", dt) => lit(pick.toLong).cast(dt)
-          case ("double", dt) => lit(pick.toDouble).cast(dt)
-          case _ => lit(pick)
+      val ledgerCol: Option[org.apache.spark.sql.Column] =
+        if (ledger.isEmpty) None
+        else scala.util.Try[org.apache.spark.sql.Column] {
+          val pick =
+            if (tag == "string") { if (wantMin) ledger.min else ledger.max }
+            else if (wantMin) ledger.minBy(BigDecimal(_)) else ledger.maxBy(BigDecimal(_))
+          (tag, field.dataType) match {
+            // internal-scale stats surface back at the column's type
+            case ("long", DateType) => date_from_unix_date(lit(pick.toInt))
+            case ("long", TimestampType) => timestamp_micros(lit(pick.toLong))
+            case ("long", dt) => lit(pick.toLong).cast(dt)
+            case ("double", dt) => lit(pick.toDouble).cast(dt)
+            case _ => lit(pick)
+          }
+        }.toOption match {
+          case None => return None // unparseable bound: give up exactly
+          case some => some
         }
-      }.toOption
+      val scanCol: Option[org.apache.spark.sql.Column] = scanOver(scanSets).map { df =>
+        val v = df.agg(if (wantMin) min(df(c)) else max(df(c))).head().get(0)
+        if (v == null) lit(null).cast(field.dataType) else lit(v).cast(field.dataType)
+      }
+      Some((ledgerCol, scanCol) match {
+        case (Some(l), Some(s)) => if (wantMin) least(l, s) else greatest(l, s)
+        case (Some(l), None) => l
+        case (None, Some(s)) => s
+        case (None, None) => lit(null).cast(field.dataType) // no matching file: SQL NULL
+      })
     }
 
     val cols = items.map { i =>

@@ -117,22 +117,58 @@ class MetaAggSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM tmetatomb").head().getLong(0) === 15)
   }
 
-  test("coverage gap (missing stats ledger) fails min/max closed, never wrong") {
+  test("coverage gap (missing stats ledger): min scans ONLY the blinded dir, stays exact") {
     import spark.implicits._
     val root = freshRoot()
     val lake = new Lakehouse(spark, root)
     lake.createOrReplace(Seq((3L, "a"), (9L, "b")).toDF("k", "v"), "t")
     lake.append(Seq((1L, "c")).toDF("k", "v"), "t")
-    // blind the LAST dir's ledger (it holds k=1, the true min):
-    // min/max must refuse; count(*) must still answer from footers
+    // blind the LAST dir's ledger (it holds k=1, the true min): the
+    // ledger leg answers the covered dir, the blinded dir scans —
+    // exact answer, one data-dir open, never a wrong metadata answer
     val statsFiles = new java.io.File(root, "t").listFiles().filter(_.isDirectory)
       .map(d => new java.io.File(d, "_stats.jsonl")).filter(_.exists)
     assert(statsFiles.nonEmpty)
     val last = statsFiles.maxBy(_.getParentFile.getName.stripPrefix("data-").toLong)
     assert(last.delete())
-    assert(lake.metaAgg("t", items(("min", "k", "lo")), None).isEmpty)
+    val before = Lakehouse.dataDirOpens.get()
+    val got = lake.metaAgg("t", items(("min", "k", "lo"), ("max", "k", "hi")), None)
+    assert(got.isDefined)
+    val r = got.get.head()
+    assert(r.getLong(0) === 1L && r.getLong(1) === 9L)
+    assert(Lakehouse.dataDirOpens.get() - before <= 2, // one per min/max leg
+      "only the blinded dir may be scanned")
     val n = lake.metaAgg("t", items(("count", "", "n")), None)
     assert(n.isDefined && n.get.head().getLong(0) === 3)
+  }
+
+  test("predicated min/max: all-match dirs answer from the ledger, boundary dirs scan") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    // three one-file dirs: [0,100) [100,200) [200,300)
+    lake.createOrReplace((0 until 100).map(i => (i.toLong, i * 1.5)).toDF("k", "x")
+      .repartition(1), "t")
+    lake.append((100 until 200).map(i => (i.toLong, i * 1.5)).toDF("k", "x").repartition(1), "t")
+    lake.append((200 until 300).map(i => (i.toLong, i * 1.5)).toDF("k", "x").repartition(1), "t")
+    val before = Lakehouse.dataDirOpens.get()
+    val got = lake.metaAgg("t",
+      items(("min", "k", "lo"), ("max", "k", "hi"), ("max", "x", "xhi")),
+      Some(col("k") >= 100 && col("k") < 250))
+    assert(got.isDefined)
+    val r = got.get.head()
+    assert(r.getLong(0) === 100L && r.getLong(1) === 249L && r.getDouble(2) === 249 * 1.5)
+    // dir 2 is all-match (ledger); dir 3 straddles 250 (scan, once per
+    // bound that needs it); dir 1 pruned
+    val opened = Lakehouse.dataDirOpens.get() - before
+    assert(opened <= 3 && opened >= 1, s"boundary-only scans expected, got $opened opens")
+    val want = lake.read("t").where(col("k") >= 100 && col("k") < 250)
+      .agg(min(col("k")), max(col("k")), max(col("x"))).head()
+    assert(r === want)
+    // SQL surface: the same shape through a registered view
+    lake.createOrReplace(lake.read("t"), "tpredmm")
+    lake.registerView("tpredmm")
+    val s = spark.sql("SELECT min(k) AS lo, max(k) AS hi FROM tpredmm WHERE k >= 100 AND k < 250").head()
+    assert(s.getLong(0) === 100L && s.getLong(1) === 249L)
   }
 
   test("rowcounts ledger absent (pre-ledger dir): footer fallback keeps it metadata-only") {
