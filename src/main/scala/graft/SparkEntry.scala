@@ -48,6 +48,7 @@ object SparkEntry {
     "q_asof_join" -> (Relational.qAsofJoin _),
     "q_events_hourly" -> (Relational.qEventsHourly _),
     "q_events_retention" -> (Relational.qEventsRetention _),
+    "q_events_tophh" -> (Relational.qEventsTophh _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_events_sessionize" -> (Relational.qEventsSessionize _),
     "q_events_json" -> (Relational.qEventsJson _),
@@ -644,6 +645,17 @@ object SparkEntry {
         |  FROM events WHERE event_type IN ('click', 'purchase')) t
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    // per-segment heavy hitters: decimal-exact rollup, double-cast
+    // ranking with id tie-break — the bounded-heap top-5 restated as
+    // a window
+    "q_events_tophh" ->
+      """WITH per AS (SELECT event_type, user_id,
+        |  sum(CAST(value AS DECIMAL(18,6))) total FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, CAST(total AS DOUBLE) td,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(total AS DOUBLE) DESC, user_id) rnk FROM per)
+        |SELECT event_type, user_id, rnk, round(td, 6) AS total FROM r WHERE rnk <= 5
+        |ORDER BY event_type, rnk""".stripMargin,
     "q_events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
         |  FROM events),

@@ -862,6 +862,32 @@ object Relational {
     * Week arithmetic uses SECOND-floored epoch diffs (both engines
     * truncate to Monday week starts in UTC, so diffs are exact
     * 604800-multiples). */
+  /** `q_events_tophh` — per-segment HEAVY HITTERS: the top-5 users
+    * by total event value within each event type (the "top
+    * contributors per segment" readout every telemetry pipeline
+    * serves). Two-level shape built for scale: the per-(type, user)
+    * rollup is ONE map-side-combinable decimal-exact sum (§3 — float
+    * sums are partition-order-dependent), and the per-segment top-5
+    * rides the native bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]) over that |types|·|users|-bounded
+    * relation — never a `row_number` window shipping a whole segment
+    * to one reducer. Ranking happens on the DOUBLE cast of the exact
+    * decimal (same value both engines), ties break to the lower
+    * user id — the ordering the oracle's window restates. */
+  def qEventsTophh(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("total"))
+    per.groupBy("event_type")
+      .agg(graft.functions.TopKAgg.topK(
+        col("total").cast("double"), col("user_id").cast("long"), 5).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(
+        col("event_type"), col("col.vec_id").as("user_id"),
+        (col("pos") + 1).as("rnk"), round(col("col.cosine"), 6).as("total"))
+      .orderBy("event_type", "rnk")
+  }
+
   def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))

@@ -182,4 +182,43 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
         } insert=${ins.map(insertConds(_)._1)}")
     }
   }
+
+  test("metaAgg equals the full scan on randomized range/equality/IN predicates") {
+    import graft.sources.Lakehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-maprop").toString
+    val lake = new Lakehouse(spark, root)
+    // three appends, overlapping k ranges, nulls in x, a string col
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, if (i % 7 == 0) None else Some(i * 0.5), s"s${i % 13}")
+    }.toDF("k", "x", "s")
+    lake.createOrReplace(mk(0, 120).repartition(2), "pt")
+    lake.append(mk(80, 200).repartition(1), "pt")
+    lake.append(mk(150, 260).repartition(2), "pt")
+    val full = lake.read("pt")
+    val preds: Seq[org.apache.spark.sql.Column] = {
+      val bounds = sample(Gen.chooseNum(-10L, 270L), 24)
+      bounds.grouped(2).toSeq.flatMap { case Seq(a, b) =>
+        Seq(
+          col("k") >= math.min(a, b) && col("k") < math.max(a, b),
+          col("x") > a * 0.5,
+          col("k") === a,
+          col("s").isin(s"s${math.floorMod(a, 13)}", s"s${math.floorMod(b, 13)}"),
+          col("k") <= b && col("s") > "s3")
+      }
+    }
+    val its = Seq(
+      Lakehouse.MetaAggItem("count", None, "n"),
+      Lakehouse.MetaAggItem("min", Some("k"), "klo"),
+      Lakehouse.MetaAggItem("max", Some("k"), "khi"),
+      Lakehouse.MetaAggItem("min", Some("x"), "xlo"),
+      Lakehouse.MetaAggItem("max", Some("s"), "shi"))
+    (preds.map(Some(_)) :+ None).zipWithIndex.foreach { case (p, i) =>
+      val got = lake.metaAgg("pt", its, p)
+      assert(got.isDefined, s"case $i: metaAgg refused (no tombstones exist)")
+      val base = p.fold(full)(full.where)
+      val want = base.agg(count(lit(1)).as("n"), min(col("k")), max(col("k")),
+        min(col("x")), max(col("s"))).head()
+      assert(got.get.head() === want, s"case $i: pred=$p")
+    }
+  }
 }
