@@ -126,6 +126,7 @@ object SparkEntry {
     "text_unigram_logprob" -> (TextAnalysis.textUnigramLogprob _),
     // §2.F — multimodal
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "multimodal_framehash" -> ((s, d) => Multimodal.multimodalFramehash(s, d)),
     // flagship composition: quality gate → language gate → dedup drop
     "pipeline_curate" -> (Curate.pipelineCurate _),
     // cluster-accurate variant: keep-one-per-component drop
@@ -1221,6 +1222,13 @@ object SparkEntry {
         |    ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END) AS n_shingles
         |FROM t ORDER BY doc_id""".stripMargin,
     // §2.F — multimodal
+    // every sampled frame's exact bytes pinned by md5; the oracle
+    // slices TEXT (ASCII corpus: byte == char slicing, spec-asserted)
+    "multimodal_framehash" ->
+      """SELECT doc_id, u.no AS frame_no, u.m AS frame_md5 FROM (
+        |  SELECT doc_id, unnest([{'no': i, 'm': md5(substring(text, 1 + i*64, 16))}
+        |    for i in range(0, (length(text)-1)//64 + 1)]) u FROM documents) f
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5,
         |  lower(substr(hex(encode(text)), 1, 16)) AS head_hex

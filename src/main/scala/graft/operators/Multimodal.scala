@@ -205,6 +205,20 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame")
 
+  /** `multimodal_framehash` — frame sampling with an exact
+    * cross-engine pin: every sampled 16-byte frame of the binary
+    * payload ([[frameSample]]: one frame per 16·stride bytes) hashes
+    * to md5, so the DuckDB oracle verifies the exact BYTES of every
+    * frame boundary, not just frame counts — the strongest check the
+    * binary plumbing can get without a codec. (The oracle slices the
+    * source TEXT; byte-slicing == char-slicing because the corpus is
+    * ASCII — MultimodalSpec asserts that precondition by name, so a
+    * testdata drift fails one test instead of a silent mismatch.) */
+  def multimodalFramehash(spark: SparkSession, dir: String): DataFrame =
+    frameSample(spark, dir)
+      .select(col("doc_id"), col("frame_no"), md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_no")
+
   /** `multimodal_features` — oracle-able byte-level features of the
     * binary payload: length, md5, head-bytes hex. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =

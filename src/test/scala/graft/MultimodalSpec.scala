@@ -115,4 +115,35 @@ class MultimodalSpec extends SparkSpec {
       .join(graft.sources.Tables.documents(spark, sf).select(col("doc_id"), md5(col("text")).as("want")), "doc_id")
     assert(joined.where(col("content_md5") =!= col("want")).count() === 0)
   }
+
+  test("framehash precondition: the corpus is ASCII (oracle byte-slicing == char-slicing)") {
+    // the multimodal_framehash DuckDB oracle slices TEXT while the
+    // engine slices the utf-8 payload — identical only while every
+    // char is one byte. A driver testdata drift must fail HERE, by
+    // name, not as a silent frame-hash mismatch.
+    val nonAscii = graft.sources.Tables.documents(spark, sf)
+      .where(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii === 0, "documents.text grew non-ASCII chars — regenerate the framehash oracle")
+  }
+
+  test("multimodal_framehash: frames cover the payload exactly, hashes match recomputation") {
+    val frames = Multimodal.multimodalFramehash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), octet_length(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = frames.groupBy(_._1)
+    assert(byDoc.keySet === lens.keySet)
+    byDoc.foreach { case (doc, fs) =>
+      // frame count = 1 + (len-1) div 64, frame_no contiguous from 0
+      assert(fs.map(_._2).sorted.toSeq === (0 until (1 + (lens(doc) - 1) / 64)))
+    }
+    // spot-check hashes against a direct substring recomputation
+    val want = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 16)).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byDoc.foreach { case (doc, fs) =>
+      assert(fs.find(_._2 == 0).get._3 === want(doc))
+    }
+  }
 }
