@@ -32,6 +32,7 @@ object SparkEntry {
     "sql_maintenance" -> (Medallion.sqlMaintenance _),
     "sql_stats_agg" -> (Medallion.sqlStatsAgg _),
     "q_runtime_filter" -> (Medallion.qRuntimeFilter _),
+    "q_cdc_read" -> (Medallion.qCdcRead _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -295,6 +296,21 @@ object SparkEntry {
         |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged
         |ORDER BY at""".stripMargin,
+    // CDC changelog: the oracle restates the NET interval effect —
+    // appended-then-deleted rows emit nothing, pre-existing deleted
+    // rows emit deletes, surviving appends emit inserts
+    "q_cdc_read" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |ins AS (SELECT 'insert' AS _change_type, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM o WHERE o_orderstatus = 'O' AND o_orderkey % 5 <> 0 GROUP BY 2),
+        |del AS (SELECT 'delete' AS _change_type, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM o WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0 GROUP BY 2)
+        |SELECT * FROM (SELECT * FROM ins UNION ALL SELECT * FROM del)
+        |ORDER BY _change_type, o_orderstatus""".stripMargin,
     // runtime join filtering: the oracle recomputes the join by
     // scanning, and pins pruned = 1.0 — the engine must have opened
     // exactly one of the four key-range dirs

@@ -499,6 +499,36 @@ object Medallion {
     } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
   }
 
+  /** `q_cdc_read` — the CDC CHANGELOG read at the driver surface
+    * ([[graft.sources.Lakehouse.readChangesCdc]], the Iceberg
+    * `changelog` / Delta CDF analog): baseline lands, a batch
+    * appends, a merge-on-read DELETE tombstones every fifth key, and
+    * the changelog over the whole interval nets out — appended rows
+    * that were also deleted inside the interval emit NOTHING, deleted
+    * pre-existing rows emit `delete` records, surviving appends emit
+    * `insert`s. Delta-priced: the interval read opens only the
+    * appended dirs plus tombstone-matched pre-existing dirs, never
+    * the table. The oracle restates the net effect from the raw
+    * source — hash equality proves the changelog a replica would
+    * apply reproduces exactly the set-difference of the two
+    * snapshots. */
+  def qCdcRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcread").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val s1 = lake.createOrReplace(orders.where(col("o_orderstatus") === "F"), "cdc_orders")
+    lake.append(orders.where(col("o_orderstatus") === "O"), "cdc_orders")
+    val s3 = lake.deleteWhereMor(col("o_orderkey") % 5 === 0, "cdc_orders")
+    lake.readChangesCdc("cdc_orders", s1, s3)
+      .groupBy(col("_change_type"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("_change_type", "o_orderstatus")
+  }
+
   /** `q_runtime_filter` — RUNTIME JOIN FILTERING (dynamic file
     * pruning; [[graft.sources.Lakehouse.readJoinPruned]]): lineitem
     * lands in a lakehouse table as four key-range appends; the
