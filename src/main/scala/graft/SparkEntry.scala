@@ -33,6 +33,7 @@ object SparkEntry {
     "sql_stats_agg" -> (Medallion.sqlStatsAgg _),
     "q_runtime_filter" -> (Medallion.qRuntimeFilter _),
     "q_cdc_read" -> (Medallion.qCdcRead _),
+    "q_bucket_join" -> (Medallion.qBucketJoin _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -296,6 +297,15 @@ object SparkEntry {
         |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged
         |ORDER BY at""".stripMargin,
+    // bucketed co-located join: the oracle recomputes the rollup by a
+    // plain join and pins colocated = 1.0 — the executed bucketed
+    // join plan must contain no Exchange
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(1.0 AS DOUBLE) AS colocated
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // CDC changelog: the oracle restates the NET interval effect —
     // appended-then-deleted rows emit nothing, pre-existing deleted
     // rows emit deletes, surviving appends emit inserts

@@ -499,6 +499,47 @@ object Medallion {
     } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
   }
 
+  /** `q_bucket_join` — CO-LOCATED JOIN over catalog-persisted
+    * BUCKETED tables at the driver surface: both sides land
+    * pre-bucketed on the join key (8 buckets), broadcast is disabled
+    * so the planner must choose between a shuffled and a bucket-local
+    * merge join, and the readout reports `colocated = 1` only when
+    * the executed join plan contains NO Exchange — the oracle pins
+    * that as a literal 1.0, so the shuffle-free property (the point
+    * of bucketing: at 100 TB the fact-fact equi-join moves zero
+    * bytes) is hash-checked cross-engine alongside the join's
+    * per-segment rollup. */
+  def qBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-bjoin").toString
+    val lake = new Lakehouse(spark, root)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      lake.writeBucketed(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "bj_orders", Seq("o_custkey"), 8)
+      lake.writeBucketed(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        "bj_customer", Seq("c_custkey"), 8)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bj_orders")
+        .join(spark.table("bj_customer"), col("o_custkey") === col("c_custkey"))
+      val colocated =
+        if (!joined.queryExecution.executedPlan.toString.contains("Exchange")) 1.0 else 0.0
+      joined
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .withColumn("colocated", lit(colocated))
+        .orderBy("c_mktsegment")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bj_orders")
+      spark.sql("DROP TABLE IF EXISTS bj_customer")
+    }
+  }
+
   /** `q_cdc_read` — the CDC CHANGELOG read at the driver surface
     * ([[graft.sources.Lakehouse.readChangesCdc]], the Iceberg
     * `changelog` / Delta CDF analog): baseline lands, a batch
