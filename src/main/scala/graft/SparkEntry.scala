@@ -84,6 +84,7 @@ object SparkEntry {
     // §2.C — deduplication
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.dedupContainment(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
@@ -842,6 +843,23 @@ object SparkEntry {
         |  min(doc_id) OVER (PARTITION BY gh) AS canonical_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY gh) AS is_dup
         |FROM d ORDER BY doc_id""".stripMargin,
+    // asymmetric containment: directional pairs, denominator = the
+    // SUB side's shingle count — the subset/superset relation Jaccard
+    // can't see
+    "dedup_containment" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []
+        |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END sh FROM tk),
+        |ss AS (SELECT doc_id, sh, len(sh) n_sh FROM s WHERE len(sh) > 0),
+        |p AS (SELECT doc_id, unnest(sh) g0 FROM ss),
+        |ph AS (SELECT doc_id, CAST(md5_number_lower(g0) // 4 AS BIGINT) g FROM p),
+        |c AS (SELECT a.doc_id doc_sub, b.doc_id doc_super, count(*) common
+        |  FROM ph a JOIN ph b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT doc_sub, doc_super,
+        |  round(CAST(common AS DOUBLE) / sa.n_sh, 6) containment
+        |  FROM c JOIN ss sa ON c.doc_sub = sa.doc_id)
+        |SELECT doc_sub, doc_super, containment FROM j WHERE containment >= 0.9
+        |ORDER BY doc_sub, doc_super""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
         |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []

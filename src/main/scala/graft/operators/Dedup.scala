@@ -435,6 +435,66 @@ object Dedup {
       postingArrays(spark, dir), "jaccard", lit(1.0), maxBucket)
   }
 
+  /** `dedup_containment` — ASYMMETRIC containment detection: every
+    * directional pair (sub, super) with |sh(sub) ∩ sh(super)| /
+    * |sh(sub)| ≥ τ — the subset/superset family member Jaccard
+    * cannot see (a page embedded verbatim in a larger page has high
+    * containment but arbitrarily LOW Jaccard as the host grows;
+    * dropping such engulfed docs is a standard crawl-dedup pass).
+    *
+    * Scale shape: candidates come from the CONTAINED side's prefix
+    * postings joined against full posting lists — complete for τ by
+    * the same prefix principle as Jaccard (if C(a→b) ≥ τ, a shares
+    * ⌈τ|a|⌉ shingles with b, so at least one lands in a's
+    * df-ordered prefix), but deliberately ASYMMETRIC: only the sub
+    * side prunes to a prefix, because the super side must index
+    * everything it could engulf. Hot-shingle posting lists are
+    * cap-dropped with the shared observe metric; verification
+    * recounts exactly from full sorted postings (codegen'd
+    * two-pointer intersect), so the output is oracle-exact. All work
+    * runs at unique-text GROUP cardinality through the memoized
+    * postings; identical-text groups expand to mutual containment
+    * pairs (both directions — containment is not symmetric, exact
+    * duplication is). */
+  def dedupContainment(spark: SparkSession, dir: String, tau: Double = 0.9,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val groups = dupGroups(spark, dir)
+    val posts = postings(spark, dir)
+    val byG = posts.groupBy("g").agg(collect_list(col("gid")).as("bs"))
+    val capped = observeCapDrops(byG, col("bs"), maxBucket)
+      .where(size(col("bs")) <= maxBucket)
+    val cand = prefixPostings(spark, dir, tau)
+      .join(capped, "g")
+      .select(col("gid").as("ga"), explode(col("bs")).as("gb"))
+      .where(col("ga") =!= col("gb"))
+      .distinct()
+    val arr = postingArrays(spark, dir)
+    val verified = cand
+      .join(arr.select(col("gid").as("ga"), col("gs").as("ga_s")), "ga")
+      .join(arr.select(col("gid").as("gb"), col("gs").as("gb_s")), "gb")
+      .withColumn("containment",
+        round(graft.functions.HashFunctions.sortedIntersectCount(col("ga_s"), col("gb_s"))
+          .cast("double") / size(col("ga_s")), 6))
+      .where(col("containment") >= tau)
+      .select("ga", "gb", "containment")
+    val inter = verified
+      .join(groups.select(col("gid").as("ga"), col("members").as("ma")), "ga")
+      .join(groups.select(col("gid").as("gb"), col("members").as("mb")), "gb")
+      .select(col("containment"), explode(col("ma")).as("doc_sub"), col("mb"))
+      .select(col("containment"), col("doc_sub"), explode(col("mb")).as("doc_super"))
+      .select("doc_sub", "doc_super", "containment")
+    // identical texts contain each other: both directions, exactly
+    // what the oracle's directional self-join over members emits
+    val eligible = groups.join(posts.select("gid").distinct(), "gid")
+    val pairs = expandPairs(eligible, col("members"), maxBucket)
+    val intra = pairs
+      .select(col("doc_a").as("doc_sub"), col("doc_b").as("doc_super"),
+        lit(1.0).as("containment"))
+      .unionByName(pairs.select(col("doc_b").as("doc_sub"), col("doc_a").as("doc_super"),
+        lit(1.0).as("containment")))
+    inter.unionByName(intra).orderBy("doc_sub", "doc_super")
+  }
+
   /** `pipeline_decontaminate` — benchmark-contamination removal: drop
     * every training document sharing ANY 3-shingle with the holdout
     * set (docs with doc_id ≡ 0 mod `mod` stand in for the benchmark).

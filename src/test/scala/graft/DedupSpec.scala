@@ -213,4 +213,31 @@ class DedupSpec extends SparkSpec {
     // holdout never appears in the output
     assert(survivors.forall(_ % 97 != 0))
   }
+
+  test("dedup_containment equals brute directional recomputation; genuinely asymmetric") {
+    import graft.operators.TextAnalysis
+    import graft.functions.HashFunctions
+    val got = Dedup.dedupContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute reference: per-doc distinct shingle-hash sets, all
+    // directional pairs, |sub ∩ super| / |sub| ≥ 0.9
+    val sets = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        transform(TextAnalysis.shingles(TextAnalysis.tokens(col("text"))),
+          s => HashFunctions.h62(s)).as("hs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.9 - 1e-12
+    } yield (a, b, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "sf0.001 corpus should contain containment pairs")
+    // asymmetry is real: some pair qualifies one way only
+    val dirs = got.map(p => (p._1, p._2))
+    assert(got.exists(p => p._3 < 1.0) ||
+      dirs.exists(p => !dirs.contains((p._2, p._1))),
+      "expected at least one non-mutual or non-exact containment")
+  }
 }
