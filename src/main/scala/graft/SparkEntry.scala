@@ -137,6 +137,7 @@ object SparkEntry {
     // training-mix rebalance: deterministic hash-stratified sampling
     "pipeline_sample" -> (Curate.pipelineSample _),
     "pipeline_shuffle" -> (Curate.pipelineShuffle _),
+    "pipeline_epochs" -> ((s, d) => Curate.pipelineEpochs(s, d)),
     "pipeline_split" -> (Curate.pipelineSplit _),
     // temperature-based mixture rebalance (share^(1/T) language mix)
     "pipeline_mix_temperature" -> ((s, d) => Curate.pipelineMixTemperature(s, d)),
@@ -1153,6 +1154,19 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
         |ORDER BY doc_id""".stripMargin,
+    // per-epoch salted permutations: each epoch is its own one-window
+    // restatement
+    "pipeline_epochs" ->
+      """SELECT 0 AS epoch, row_number() OVER (
+        |    ORDER BY CAST(md5_number_lower('epoch0|' || doc_id::VARCHAR) // 4 AS BIGINT),
+        |             doc_id) AS pos, doc_id
+        |FROM documents
+        |UNION ALL
+        |SELECT 1, row_number() OVER (
+        |    ORDER BY CAST(md5_number_lower('epoch1|' || doc_id::VARCHAR) // 4 AS BIGINT),
+        |             doc_id), doc_id
+        |FROM documents
+        |ORDER BY epoch, pos""".stripMargin,
     // global shuffle: the oracle is the ONE-WINDOW restatement of the
     // range-sharded position assignment (shard-by-top-bits preserves
     // key order, so the two are equal by construction)

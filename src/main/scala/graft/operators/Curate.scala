@@ -421,13 +421,18 @@ object Curate {
     * 64-row rollup. Equals the global ordering exactly — the spec
     * pins it against the one-window restatement, and positions are a
     * permutation of 1..n by construction. */
-  def pipelineShuffle(spark: SparkSession, dir: String): DataFrame = {
+  def pipelineShuffle(spark: SparkSession, dir: String): DataFrame =
+    saltedPermutation(spark, dir, "shuffle|").orderBy("pos")
+
+  /** The range-sharded position assignment under one salt — shared by
+    * the single shuffle and the per-epoch schedules. */
+  private def saltedPermutation(spark: SparkSession, dir: String, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = graft.sources.Tables.parallel(
         spark, graft.sources.Tables.documents(spark, dir))
       .select(col("doc_id"))
       .withColumn("k", graft.functions.HashFunctions.h62(
-        concat(lit("shuffle|"), col("doc_id").cast("string"))))
+        concat(lit(salt), col("doc_id").cast("string"))))
       .withColumn("shard", shiftrightunsigned(col("k"), 56))
     val within = keyed.withColumn("r", row_number().over(
       Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))))
@@ -440,6 +445,21 @@ object Curate {
       .select("shard", "off")
     within.join(broadcast(offsets), "shard")
       .select((col("off") + col("r")).as("pos"), col("doc_id"))
-      .orderBy("pos")
   }
+
+  /** `pipeline_epochs` — MULTI-EPOCH training schedules: epoch e's
+    * permutation derives from its own salt (`epoch<e>|`), so every
+    * epoch reads the corpus in a DIFFERENT order (the regularization
+    * multi-epoch training needs) while each order stays individually
+    * reproducible for resume — a restart mid-epoch re-derives exactly
+    * the sequence it was reading. Same range-sharded assignment as
+    * [[pipelineShuffle]]: no corpus-wide window, per-epoch cost is
+    * one bounded-window pass, epochs are independent (at scale:
+    * schedule epochs lazily, never materialize all of them). */
+  def pipelineEpochs(spark: SparkSession, dir: String, epochs: Int = 2): DataFrame =
+    (0 until epochs).map(e =>
+      saltedPermutation(spark, dir, s"epoch$e|")
+        .select(lit(e).as("epoch"), col("pos"), col("doc_id")))
+      .reduce(_.unionByName(_))
+      .orderBy("epoch", "pos")
 }

@@ -321,4 +321,20 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(again.toSeq === got.toSeq)
   }
+
+  test("pipeline_epochs: each epoch a distinct reproducible permutation") {
+    val rows = graft.operators.Curate.pipelineEpochs(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0, 1))
+    byEpoch.values.foreach { es =>
+      assert(es.map(_._2).sorted.toSeq === (1L to n))
+      assert(es.map(_._3).distinct.length.toLong === n)
+    }
+    // the two epochs genuinely reorder: the doc at each position differs somewhere
+    val e0 = byEpoch(0).sortBy(_._2).map(_._3).toSeq
+    val e1 = byEpoch(1).sortBy(_._2).map(_._3).toSeq
+    assert(e0 !== e1, "epoch salts must produce different orders")
+  }
 }
