@@ -119,6 +119,7 @@ object SparkEntry {
     "text_pii" -> (TextAnalysis.textPii _),
     "text_chunk" -> ((s, d) => TextAnalysis.textChunk(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.textCollocations(s, d)),
+    "text_tfidf_keywords" -> ((s, d) => TextAnalysis.textTfidfKeywords(s, d)),
     "text_bpe_train" -> ((s, d) => Bpe.trainDf(s, d)),
     "text_bpe_encode" -> ((s, d) => Bpe.encodeStats(s, d)),
     "sketch_distinct_ngrams" -> ((s, d) => operators.Sketches.sketchDistinctNgrams(s, d)),
@@ -1344,6 +1345,21 @@ object SparkEntry {
         |  CAST(least(16, n - chunk_no * 12) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(ts[chunk_no*12+1 : chunk_no*12+16], ' ')) AS chunk_md5
         |FROM ex ORDER BY doc_id, chunk_no""".stripMargin,
+    // per-doc tf·idf keywords: integer-ratio log2 (the
+    // unigram_logprob precedent), lexicographic tie-break
+    "text_tfidf_keywords" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) tok FROM tk),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) n_docs FROM tk),
+        |sc AS (SELECT doc_id, tok,
+        |  round(CAST(tf AS DOUBLE) * log2(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |r AS (SELECT doc_id, tok, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) rnk FROM sc)
+        |SELECT doc_id, rnk, tok, score FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
     // BPE training is iterative (argmax per merge) — not expressible
     // as one SQL query, so the oracle restates the sf0.01-learned
     // rules as literal VALUES (the trained-artifact oracle pattern,

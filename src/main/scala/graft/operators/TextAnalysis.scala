@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions
@@ -180,6 +181,36 @@ object TextAnalysis {
     * driver loop. */
   def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame =
     unigramScored(spark, dir).orderBy("doc_id")
+
+  /** `text_tfidf_keywords` — per-document TOP-5 KEYWORDS by TF·IDF
+    * (the summarization/labeling readout: which tokens characterize
+    * THIS doc against the corpus): tf = in-doc occurrences, idf =
+    * log2(N / df) over document frequency, score rounded 6 dp, ties
+    * to the lexicographically smaller token. Scale shape: document
+    * frequency is one distinct-explode + combined count (vocab-sized
+    * relation, broadcast back), per-doc tf is map-side, and the only
+    * window partitions by doc_id over each doc's DISTINCT tokens — a
+    * bounded partition (≤ doc length) whatever the corpus size, the
+    * benign window class (unlike a corpus- or segment-wide rank).
+    * log2 over exact integer ratios matches DuckDB bit-for-bit — the
+    * unigram_logprob precedent. */
+  def textTfidfKeywords(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.parallel(spark, Tables.documents(spark, dir))
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf").cast("double")
+          * log2(col("n_docs").cast("double") / col("df").cast("double")), 6).as("score"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))))
+      .where(col("rnk") <= k)
+      .select("doc_id", "rnk", "tok", "score")
+      .orderBy("doc_id", "rnk")
+  }
 
   /** (doc_id, n_tokens, mean_nll) for every document, un-ordered — the
     * shared core of [[textUnigramLogprob]] and the perplexity-band
