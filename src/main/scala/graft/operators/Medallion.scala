@@ -524,8 +524,7 @@ object Medallion {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = spark.table("bj_orders")
         .join(spark.table("bj_customer"), col("o_custkey") === col("c_custkey"))
-      val colocated =
-        if (!joined.queryExecution.executedPlan.toString.contains("Exchange")) 1.0 else 0.0
+      val colocated = if (Medallion.plansShuffle(joined)) 0.0 else 1.0
       joined
         .groupBy(col("c_mktsegment"))
         .agg(
@@ -603,8 +602,14 @@ object Medallion {
     lake.append(lineitem.where(col("l_orderkey") > 3 * b).repartition(1), "li")
     val dim = orders.where(col("o_orderkey") <= b && col("o_orderstatus") === "F")
       .select(col("o_orderkey"))
+    // maxKeys sized to THIS dim (distinct finished-order keys grow
+    // with sf; the 10k default cap binds above ~sf0.01 and would
+    // silently degrade the bench to an unpruned scan while the
+    // correctness run still pinned pruned=1.0)
+    val dimKeys = dim.distinct().count().toInt
     val before = Lakehouse.dataDirOpens.get()
-    val joined = lake.readJoinPruned("li", "l_orderkey", dim, "o_orderkey")
+    val joined = lake.readJoinPruned("li", "l_orderkey", dim, "o_orderkey",
+        maxKeys = dimKeys max 1)
       .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
       .agg(
         count(lit(1)).as("cnt"),
@@ -615,7 +620,10 @@ object Medallion {
     import spark.implicits._
     Seq(
       ("n", joined.getLong(0).toDouble),
-      ("pruned", if (opened <= 1) 1.0 else 0.0),
+      // exactly ONE of the four dirs opened — zero would mean the
+      // scale property was never exercised (testdata drift, counter
+      // regression) and must fail loudly, not pass vacuously
+      ("pruned", if (opened == 1) 1.0 else 0.0),
       ("revenue", joined.getDouble(1))
     ).toDF("metric", "value").orderBy("metric")
   }
@@ -734,5 +742,23 @@ object Medallion {
           |  round(CAST(max_price AS DOUBLE), 2) AS max_price
           |FROM mvq_sales ORDER BY o_orderstatus""".stripMargin)
     } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
+  }
+
+  /** Does the executed plan contain a shuffle? A tree walk over plan
+    * NODE CLASSES — a `toString.contains("Exchange")` probe would flip
+    * on a node rename or an unrelated substring. AQE wraps the plan in
+    * `AdaptiveSparkPlanExec`; its pre-execution inner plan is what the
+    * static bucketed-scan decision shows, so walk into it too. */
+  private[graft] def plansShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Boolean = p match {
+      case s: ShuffleExchangeLike => true
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan) || walk(a.initialPlan)
+      case other => other.children.exists(walk) ||
+        other.subqueries.exists(walk)
+    }
+    walk(df.queryExecution.executedPlan)
   }
 }

@@ -1757,12 +1757,32 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * outer join. */
   def readJoinPruned(table: String, keyCol: String, dim: DataFrame, dimKeyCol: String,
       maxKeys: Int = 10000, branch: String = "main"): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
     val keys = dim.select(col(dimKeyCol)).where(col(dimKeyCol).isNotNull)
       .distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
-    if (keys.isEmpty) read(table, branch).where(lit(false)) // no keys: inner join is empty
-    else if (keys.length > maxKeys) read(table, branch) // over cap: no pruning, same rows
-    else readWhere(col(keyCol).isin(keys: _*), table, branch)
+    if (keys.isEmpty) emptyRead(table, branch) // no keys: inner join is empty
+    else if (keys.length > maxKeys) {
+      // cap binds: the fact scan silently losing its pruning is the
+      // kind of degradation that must be OBSERVABLE — at scale this is
+      // the difference between one dir and the table
+      System.err.println(s"[graft] readJoinPruned($table): dim side exceeds " +
+        s"maxKeys=$maxKeys — falling back to an unpruned scan (same rows, more I/O)")
+      read(table, branch) // over cap: no pruning, same rows
+    } else readWhere(col(keyCol).isin(keys: _*), table, branch)
+  }
+
+  /** Empty relation with the table's schema, resolved from METADATA
+    * when possible — `read(t).where(false)` would build a DataFrame
+    * per data dir (O(dirs) plan-time fs work) just to throw every row
+    * away. Used by the no-match fast paths. */
+  private def emptyRead(table: String, branch: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val rel = for {
+      snap <- currentSnapshot(table, branch)
+      entries <- snapshots(table).find(_._1 == snap).map(_._2)
+      st <- metaSchema(table, entries, snap)
+    } yield spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    rel.getOrElse(read(table, branch).where(lit(false)))
   }
 
   /** METADATA-ONLY AGGREGATES — the Iceberg aggregate-pushdown

@@ -518,16 +518,22 @@ object LakehouseMetaAggCommand {
     if (parsed.nonEmpty && parsed.forall(_.isDefined)) Some(parsed.flatten) else None
   }
 
-  /** Do the min/max columns exist on the view's current schema? A
-    * miss delegates to Spark so the user gets the standard
-    * unresolved-column error, not a lakehouse-flavored one. */
-  def columnsOk(spark: SparkSession, view: String, items: Seq[Lakehouse.MetaAggItem]): Boolean =
+  /** The view's current schema when it resolves AND every referenced
+    * aggregate column exists on it; None delegates to Spark so the
+    * user gets the standard unresolved-column error, not a
+    * lakehouse-flavored one. Resolved ONCE at intercept time and
+    * threaded into the command — `output` and `run` must not re-read
+    * the manifest/schema ledgers for what the guard already knows. */
+  def resolvedSchema(spark: SparkSession, view: String,
+      items: Seq[Lakehouse.MetaAggItem]): Option[org.apache.spark.sql.types.StructType] =
     scala.util.Try {
-      LakehouseRegistry.lookup(spark, view).exists { case (lake, _) =>
-        val names = lake.tableSchema(view, lake.sessionBranch).fieldNames.toSet
+      LakehouseRegistry.lookup(spark, view).map { case (lake, _) =>
+        lake.tableSchema(view, lake.sessionBranch)
+      }.filter { st =>
+        val names = st.fieldNames.toSet
         items.forall(i => i.col.forall(names.contains))
       }
-    }.getOrElse(false) // unreadable view/branch: delegate, Spark reports it
+    }.toOption.flatten // unreadable view/branch: delegate, Spark reports it
 }
 
 /** `SELECT count(*) | min(c) | max(c) [, …] FROM <lakehouse view>
@@ -539,12 +545,13 @@ object LakehouseMetaAggCommand {
   * for the tight shape above (single registered view, plain aggregate
   * list, subquery-free WHERE); everything else delegates to Spark. */
 case class LakehouseMetaAggCommand(view: String, items: Seq[Lakehouse.MetaAggItem],
-    whereClause: Option[String]) extends LeafRunnableCommand {
+    whereClause: Option[String],
+    viewSchema: Option[org.apache.spark.sql.types.StructType] = None)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] = {
-    val schema = SparkSession.getActiveSession.flatMap(s =>
-      LakehouseRegistry.lookup(s, view).map { case (lake, _) =>
-        lake.tableSchema(view, lake.sessionBranch)
-      })
+    // schema resolved at intercept time ([[LakehouseMetaAggCommand
+    // .resolvedSchema]]) — no second metadata read here
+    val schema = viewSchema
     items.map { i =>
       i.op match {
         case "count" => AttributeReference(i.alias, LongType, nullable = false)()
@@ -769,17 +776,31 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (keys.forall(_.isDefined)) Some(keys.flatten) else None
   }
 
+  /** Single-pass MetaAgg intercept: the regex match, item parse,
+    * WHERE guard and schema resolution each run ONCE (the previous
+    * guard chain re-ran `parseItems` three times and read the
+    * manifest/schema ledgers twice per intercepted SELECT), and the
+    * resolved schema rides into the command so `output` doesn't
+    * re-derive it. */
+  private object MetaAggIntercept {
+    def unapply(sqlText: String): Option[LakehouseMetaAggCommand] = sqlText match {
+      case MetaAggRe(selectList, table, where)
+          if LakehouseRegistry.isRegistered(table) &&
+            (where == null || (!SubqueryRe.matches(where) && !MetaAggStopRe.matches(where))) =>
+        for {
+          items <- LakehouseMetaAggCommand.parseItems(selectList)
+          spark <- SparkSession.getActiveSession
+          schema <- LakehouseMetaAggCommand.resolvedSchema(spark, table, items)
+        } yield LakehouseMetaAggCommand(table, items, Option(where), Some(schema))
+      case _ => None
+    }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CallRe(proc, argstr) if callTable(argstr).exists(LakehouseRegistry.isRegistered) =>
       LakehouseCallCommand(proc.toLowerCase, callArgs(argstr))
     case ShowCatalogsRe() => LakehouseShowCatalogsCommand()
-    case MetaAggRe(selectList, table, where) if LakehouseRegistry.isRegistered(table) &&
-        LakehouseMetaAggCommand.parseItems(selectList).isDefined &&
-        (where == null || (!SubqueryRe.matches(where) && !MetaAggStopRe.matches(where))) &&
-        SparkSession.getActiveSession.exists(s => LakehouseMetaAggCommand.columnsOk(
-          s, table, LakehouseMetaAggCommand.parseItems(selectList).get)) =>
-      LakehouseMetaAggCommand(table, LakehouseMetaAggCommand.parseItems(selectList).get,
-        Option(where))
+    case MetaAggIntercept(cmd) => cmd
     case ShowNamespacesRe(cat) if isLake(cat) => LakehouseShowNamespacesCommand(cat)
     case ShowTablesRe(cat) if isLake(cat) => LakehouseShowTablesCommand(cat)
     case DeleteRe(table, where) if LakehouseRegistry.isRegistered(table) =>

@@ -64,7 +64,28 @@ object Tables {
     * repartition unlocks every core. */
   def parallel(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (scanWidth(spark, df) < target) df.repartition(target) else df
+  }
+
+  /** Estimated scan partition count WITHOUT converting the plan to an
+    * RDD (`df.rdd` forces full physical planning plus a deserializer
+    * layer just to read a number). The callers all pass single
+    * parquet scans, so the file relation's byte size against
+    * `maxPartitionBytes` is the split count Spark itself would
+    * produce (modulo per-file rounding — irrelevant to the "is this
+    * narrow?" test). A plan with no file relation (never the case
+    * today) conservatively reports wide, making `parallel` a no-op
+    * rather than forcing a shuffle. */
+  private def scanWidth(spark: SparkSession, df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        val bytes = l.relation.asInstanceOf[HadoopFsRelation].location.sizeInBytes
+        val maxSplit = scala.util.Try(
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes"))).getOrElse(128L << 20)
+        (bytes / math.max(maxSplit, 1L)) + 1L
+    }.getOrElse(Long.MaxValue)
   }
 
   /** Register every table as a temp view so `spark.sql` works against
