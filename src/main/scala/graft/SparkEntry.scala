@@ -350,6 +350,8 @@ object SparkEntry {
         |UNION ALL SELECT 'n_total', CAST(count(*) AS DOUBLE) FROM t
         |UNION ALL SELECT 'p_hi', CAST(max(o_totalprice) AS DOUBLE) FROM t
         |UNION ALL SELECT 'p_lo', CAST(min(o_totalprice) AS DOUBLE) FROM t
+        |UNION ALL SELECT 's_key', CAST(sum(o_orderkey) AS DOUBLE) FROM t
+        |UNION ALL SELECT 's_price', CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) FROM t
         |ORDER BY metric""".stripMargin,
     "sql_maintenance" ->
       """SELECT 'after_compact' AS at, count(*) AS n,

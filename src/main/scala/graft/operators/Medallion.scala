@@ -468,20 +468,29 @@ object Medallion {
     try {
       spark.sql(
         """CREATE TABLE sa_orders AS
-          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |SELECT o_orderkey, o_orderstatus, o_totalprice,
+          |  CAST(o_totalprice AS DECIMAL(12,2)) AS price
           |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)
       spark.sql(
         """INSERT INTO sa_orders
-          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |SELECT o_orderkey, o_orderstatus, o_totalprice,
+          |  CAST(o_totalprice AS DECIMAL(12,2)) AS price
           |FROM orders WHERE o_orderstatus = 'O'""".stripMargin)
+      // declare + backfill write-time sums (the compute-stats
+      // procedure): the first two dirs backfill with one pass each,
+      // the third INSERT below records its sums inline at write time
+      spark.sql("CALL system.compute_sums(table => 'sa_orders', columns => 'price,o_orderkey')")
+        .collect()
       spark.sql(
         """INSERT INTO sa_orders
-          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |SELECT o_orderkey, o_orderstatus, o_totalprice,
+          |  CAST(o_totalprice AS DECIMAL(12,2)) AS price
           |FROM orders WHERE o_orderstatus = 'P'""".stripMargin)
       val before = Lakehouse.dataDirOpens.get()
       val meta = spark.sql(
         """SELECT count(*) AS n_total, min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi,
-          |  min(o_totalprice) AS p_lo, max(o_totalprice) AS p_hi
+          |  min(o_totalprice) AS p_lo, max(o_totalprice) AS p_hi,
+          |  sum(o_orderkey) AS s_key, sum(price) AS s_price
           |FROM sa_orders""".stripMargin).head()
       val metaOnly = if (Lakehouse.dataDirOpens.get() == before) 1.0 else 0.0
       val cheap = spark.sql(
@@ -494,7 +503,9 @@ object Medallion {
         ("n_cheap", cheap.toDouble),
         ("n_total", meta.getAs[Number]("n_total").doubleValue()),
         ("p_hi", meta.getAs[Number]("p_hi").doubleValue()),
-        ("p_lo", meta.getAs[Number]("p_lo").doubleValue())
+        ("p_lo", meta.getAs[Number]("p_lo").doubleValue()),
+        ("s_key", meta.getAs[Number]("s_key").doubleValue()),
+        ("s_price", meta.getAs[java.math.BigDecimal]("s_price").doubleValue())
       ).toDF("metric", "value").orderBy("metric")
     } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
   }

@@ -768,6 +768,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         .parquet(new Path(tableDir(table), dir).toString)
     }
     writeStats(table, dir, physDf.schema)
+    writeSums(table, dir, physDf.schema)
   }
 
   /** Create-or-replace: write a fresh data dir, commit a snapshot
@@ -1238,6 +1239,149 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     readLines(sortOrderPath(table)).headOption.toSeq.flatMap { line =>
       """"([^"]*)"""".r.findAllMatchIn(line.stripPrefix("""{"cols":[""")).map(_.group(1)).toSeq
     }.filter(_ != "cols")
+
+  private def sumColsPath(table: String) = new Path(tableDir(table), "_sumcols.json")
+
+  /** Declare columns whose per-file SUMS are recorded at write time
+    * (`_sums.jsonl` beside `_stats.jsonl`), making `sum(col)` a
+    * metadata-only readout through [[metaAgg]] / [[metaGroupAgg]] —
+    * parquet footers carry min/max but not sums, so this is the one
+    * stat that costs an extra aggregation pass over the FRESH data
+    * (only the new files, computed while they're hot; never a
+    * re-scan of the table). Opt-in per table because most columns are
+    * never summed; exact only for integral and decimal columns
+    * (double addition is order-dependent, so doubles record nothing
+    * and always scan). Existing dirs are backfilled by
+    * [[computeSums]]. */
+  def declareSumColumns(table: String, cols: Seq[String]): Unit =
+    tableLock(table).synchronized {
+      fs.mkdirs(tableDir(table))
+      writeFile(sumColsPath(table),
+        s"""{"cols":[${cols.map(c => s""""${jsonEsc(c)}"""").mkString(",")}]}""" + "\n")
+    }
+
+  /** Columns declared for write-time sum recording; empty when
+    * undeclared. */
+  def sumDeclared(table: String): Seq[String] =
+    readLines(sumColsPath(table)).headOption.toSeq.flatMap { line =>
+      """"([^"]*)"""".r.findAllMatchIn(line.stripPrefix("""{"cols":[""")).map(_.group(1)).toSeq
+    }.filter(_ != "cols")
+
+  /** The decimal SCALE at which a column's sums record exactly; None
+    * for types whose addition is not exactly restatable (doubles) or
+    * not numeric at all. Integral sums record at scale 0, decimals at
+    * their own scale — decimal addition is associative, so per-file
+    * partials recombine bit-exactly in any order. */
+  private def sumScale(dt: org.apache.spark.sql.types.DataType): Option[Int] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(0)
+      case d: DecimalType => Some(d.scale)
+      case _ => None
+    }
+  }
+
+  /** Per-file sums of the declared summable columns for one data dir
+    * — ONE distributed aggregation over exactly the dir's files,
+    * grouped by source file. Runs as part of the write (the data is
+    * hot); [[computeSums]] reuses it to backfill old dirs. */
+  private def writeSums(table: String, dir: String,
+      writerSchema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name, sum}
+    import org.apache.spark.sql.types.DecimalType
+    val declared = sumDeclared(table)
+    val cols = writerSchema.fields
+      .filter(f => declared.contains(f.name))
+      .flatMap(f => sumScale(f.dataType).map(s => (f.name, s)))
+    if (cols.isEmpty) return
+    val dataDir = new Path(tableDir(table), dir)
+    def parquetFiles(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap {
+        case s if s.isFile && s.getPath.getName.endsWith(".parquet") => Seq(s.getPath)
+        case s if s.isDirectory && (!s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.contains("=")) => parquetFiles(s.getPath)
+        case _ => Seq.empty
+      }
+    val files = parquetFiles(dataDir)
+    if (files.isEmpty) return
+    val reader = dirSchema(table, dir) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read.option("mergeSchema", "true")
+    }
+    val df = reader.option("basePath", dataDir.toString)
+      .parquet(files.map(_.toString): _*)
+    val present = df.columns.toSet
+    val usable = cols.filter { case (c, _) => present.contains(c) }
+    if (usable.isEmpty) return
+    // sum at decimal(38, s): exact and overflow-safe for any file size
+    val aggs = usable.map { case (c, s) =>
+      sum(col(c).cast(DecimalType(38, s))).as(c)
+    }
+    val marker = "/" + dir + "/"
+    def relOf(full: String): Option[String] = {
+      // input_file_name is a URI form of the path — normalize through
+      // Path so escaped partition values match the ledger's keying
+      val p = scala.util.Try(new Path(new java.net.URI(full)).toString).getOrElse(full)
+      val i = p.indexOf(marker)
+      if (i < 0) None else Some(p.substring(i + 1))
+    }
+    def esc(s: String) = jsonEsc(s)
+    val lines = df.groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per file of THIS dir
+      .flatMap { row =>
+        relOf(row.getString(0)).map { rel =>
+          val sums = usable.indices.map { i =>
+            val v = row.get(i + 1)
+            val s = if (v == null) "null"
+              else "\"" + v.asInstanceOf[java.math.BigDecimal].toPlainString + "\""
+            s""""${esc(usable(i)._1)}":$s"""
+          }.mkString(",")
+          s"""{"file":"${esc(rel)}","sums":{$sums}}"""
+        }
+      }
+    if (lines.length == files.length) // a file the marker couldn't key = incomplete ledger: record nothing
+      writeFile(new Path(dataDir, "_sums.jsonl"), lines.mkString("\n") + "\n")
+  }
+
+  /** Parsed `_sums.jsonl` of one data dir: relative file path →
+    * column → recorded exact sum (None = the file's values are all
+    * NULL, which SQL sum skips). A file absent from the map has no
+    * recorded sums and must scan. */
+  private def readSumsLedger(table: String, dataDir: String): Map[String, Map[String, Option[java.math.BigDecimal]]] = {
+    val RowRe = """\{"file":"(.*)","sums":\{(.*)\}\}""".r
+    val PairRe = """"((?:[^"\\]|\\.)*)":(?:"(-?[\d.]+)"|null)""".r
+    readLines(new Path(new Path(tableDir(table), dataDir), "_sums.jsonl")).flatMap { line =>
+      RowRe.findFirstMatchIn(line).map { g =>
+        val sums = PairRe.findAllMatchIn(g.group(2)).map { p =>
+          unesc(p.group(1)) -> Option(p.group(2)).map(new java.math.BigDecimal(_))
+        }.toMap
+        unesc(g.group(1)) -> sums
+      }
+    }.toMap
+  }
+
+  /** Declare + BACKFILL sum recording (the Iceberg
+    * `compute_table_stats`-procedure analog): declares `cols` for
+    * write-time sums, then builds the missing `_sums.jsonl` for every
+    * data dir of the current snapshot that lacks one — one
+    * distributed pass per unbuilt dir, proportional to the data
+    * metadata can't yet answer for, never a re-scan of covered dirs.
+    * Subsequent writes record sums inline. */
+  def computeSums(table: String, cols: Seq[String], branch: String = "main"): Unit = {
+    declareSumColumns(table, cols)
+    val snap = currentSnapshot(table, branch)
+      .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+    val entries = snapshots(table).find(_._1 == snap).get._2
+    entries.map(_.takeWhile(_ != '/')).distinct.sorted.foreach { dataDir =>
+      if (!fs.exists(new Path(new Path(tableDir(table), dataDir), "_sums.jsonl"))) {
+        val schema = dirSchema(table, dataDir)
+          .getOrElse(spark.read.option("mergeSchema", "true")
+            .parquet(new Path(tableDir(table), dataDir).toString).schema)
+        writeSums(table, dataDir, schema)
+      }
+    }
+  }
 
   /** Can `rel`'s NATIVE parquet bloom filter possibly contain any of
     * `values` for column `c`? Reads the footer's bloom (pure metadata
@@ -1824,7 +1968,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val snap = currentSnapshot(table, branch)
       .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
     if (tombstones(table, snap).nonEmpty) return None
-    if (items.exists(i => i.op != "count" && i.op != "min" && i.op != "max")) return None
+    if (items.exists(i => !Set("count", "min", "max", "sum").contains(i.op))) return None
     val entries = snapshots(table).find(_._1 == snap).get._2
     // Schema WITHOUT opening any data dir: the declared (evolved)
     // schema if one exists, else the per-dir `_schema.json` records
@@ -1882,20 +2026,8 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           .reduce(_.unionByName(_, allowMissingColumns = true))
         pred.fold(one)(one.where)
       }
-
-    // count(*): all-match files contribute recorded/footer row counts,
-    // boundary files are scanned with the exact predicate
-    lazy val countValue: Long = {
-      var metaRows = 0L
-      val boundary = cls.map { d =>
-        val allFiles = d.may.filter(d.all.contains)
-        val fromFooter = footerRowCounts(table, allFiles.filterNot(d.rcs.contains))
-        val counted = allFiles.map(rel => rel -> d.rcs.get(rel).map(_._1).orElse(fromFooter.get(rel)))
-        metaRows += counted.flatMap(_._2).sum
-        (d.dataDir, d.may.filterNot(d.all.contains) ++ counted.collect { case (rel, None) => rel })
-      }
-      metaRows + scanOver(boundary).map(_.count()).getOrElse(0L)
-    }
+    def canon(sets: Seq[(String, Seq[String])]): Seq[(String, Seq[String])] =
+      sets.filter(_._2.nonEmpty).map { case (d, fs) => (d, fs.sorted) }.sortBy(_._1)
 
     def tagOf(dt: DataType): String = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => "long"
@@ -1903,6 +2035,68 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       case StringType => "string"
       case _ => ""
     }
+
+    val sumLedgers: Map[String, Map[String, Map[String, Option[java.math.BigDecimal]]]] =
+      if (items.exists(_.op == "sum"))
+        cls.map(d => d.dataDir -> readSumsLedger(table, d.dataDir)).toMap
+      else Map.empty
+
+    // ---- per-item planning: classify which files each item answers
+    // from metadata and which it must scan. NOTHING executes here —
+    // the scans below are shared across items, so a multi-item call
+    // pays ONE boundary scan, not one per item.
+    sealed trait ItemPlan
+    case class CountPlan(alias: String, metaRows: Long,
+      sets: Seq[(String, Seq[String])]) extends ItemPlan
+    case class SumPlan(alias: String, col: String,
+      metaSum: Option[java.math.BigDecimal], sets: Seq[(String, Seq[String])],
+      resultType: DataType) extends ItemPlan
+    case class BoundPlan(alias: String, col: String, wantMin: Boolean,
+      ledgerCol: Option[org.apache.spark.sql.Column],
+      sets: Seq[(String, Seq[String])], fieldType: DataType) extends ItemPlan
+
+    // count(*): all-match files contribute recorded/footer row counts,
+    // boundary files are counted by the exact-predicate scan
+    def countPlan(alias: String): Option[ItemPlan] = {
+      var metaRows = 0L
+      val sets = cls.map { d =>
+        val allFiles = d.may.filter(d.all.contains)
+        val fromFooter = footerRowCounts(table, allFiles.filterNot(d.rcs.contains))
+        val counted = allFiles.map(rel => rel -> d.rcs.get(rel).map(_._1).orElse(fromFooter.get(rel)))
+        metaRows += counted.flatMap(_._2).sum
+        (d.dataDir, d.may.filterNot(d.all.contains) ++ counted.collect { case (rel, None) => rel })
+      }
+      Some(CountPlan(alias, metaRows, sets))
+    }
+
+    // sum: exact only for integral/decimal columns (double addition is
+    // order-dependent — those reject so BOTH paths mean Spark's own
+    // scan order). All-match files with a recorded `_sums.jsonl` value
+    // contribute exactly; a recorded all-NULL file contributes nothing
+    // (SQL sum skips nulls) but still counts as metadata-answered.
+    def sumPlan(alias: String, c: String): Option[ItemPlan] = {
+      val field = schema.fields.find(_.name == c).getOrElse(return None)
+      val resultType: DataType = field.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => LongType
+        case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+        case _ => return None
+      }
+      var acc = java.math.BigDecimal.ZERO
+      var any = false
+      val sets = cls.map { d =>
+        val ledger = sumLedgers.getOrElse(d.dataDir, Map.empty)
+        val needScan = d.may.filterNot { rel =>
+          d.all.contains(rel) && (ledger.get(rel).flatMap(_.get(c)) match {
+            case Some(Some(v)) => acc = acc.add(v); any = true; true
+            case Some(None) => true
+            case None => false
+          })
+        }
+        (d.dataDir, needScan)
+      }
+      Some(SumPlan(alias, c, if (any) Some(acc) else None, sets, resultType))
+    }
+
     // min/max: ledger bounds answer for all-match files carrying a
     // usable stat (nulls are irrelevant — SQL min/max ignores them,
     // and so do the stats); every other may-match file is scanned
@@ -1911,8 +2105,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     // Unpredicated calls are the pred-None special case of the same
     // machinery — a stat-less file now scans instead of failing the
     // whole call closed.
-    def bound(c: String, wantMin: Boolean): Option[org.apache.spark.sql.Column] = {
-      import org.apache.spark.sql.functions.{greatest, least, max, min}
+    def boundPlan(alias: String, c: String, wantMin: Boolean): Option[ItemPlan] = {
       val field = schema.fields.find(_.name == c).getOrElse(return None)
       val tag = tagOf(field.dataType)
       if (tag.isEmpty) return None
@@ -1945,27 +2138,100 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           case None => return None // unparseable bound: give up exactly
           case some => some
         }
-      val scanCol: Option[org.apache.spark.sql.Column] = scanOver(scanSets).map { df =>
-        val v = df.agg(if (wantMin) min(df(c)) else max(df(c))).head().get(0)
-        if (v == null) lit(null).cast(field.dataType) else lit(v).cast(field.dataType)
-      }
-      Some((ledgerCol, scanCol) match {
-        case (Some(l), Some(s)) => if (wantMin) least(l, s) else greatest(l, s)
-        case (Some(l), None) => l
-        case (None, Some(s)) => s
-        case (None, None) => lit(null).cast(field.dataType) // no matching file: SQL NULL
-      })
+      Some(BoundPlan(alias, c, wantMin, ledgerCol, scanSets, field.dataType))
     }
 
-    val cols = items.map { i =>
-      i.op match {
-        case "count" => Some(lit(countValue).as(i.alias))
-        case "min" => i.col.flatMap(bound(_, wantMin = true)).map(_.as(i.alias))
-        case "max" => i.col.flatMap(bound(_, wantMin = false)).map(_.as(i.alias))
+    val plans: Seq[ItemPlan] = items.map { i =>
+      (i.op match {
+        case "count" => countPlan(i.alias)
+        case "sum" => i.col.flatMap(sumPlan(i.alias, _))
+        case "min" => i.col.flatMap(boundPlan(i.alias, _, wantMin = true))
+        case "max" => i.col.flatMap(boundPlan(i.alias, _, wantMin = false))
+      }).getOrElse(return None)
+    }
+
+    // ---- shared scan execution ----
+    import org.apache.spark.sql.functions.{count => countF, greatest, least, max => maxF, min => minF, sum => sumF}
+    val scanned = scala.collection.mutable.Map.empty[Int, Any]
+    val scannedHit = scala.collection.mutable.Set.empty[Int]
+    // count/sum need their EXACT boundary sets (overlap double-counts)
+    // — one scan per DISTINCT set, each computing every item on it
+    plans.zipWithIndex
+      .collect { case (p @ (_: CountPlan | _: SumPlan), i) => (p, i) }
+      .groupBy { case (p, _) => canon(p match {
+        case c: CountPlan => c.sets; case s: SumPlan => s.sets; case _ => Nil }) }
+      .foreach { case (sets, group) =>
+        scanOver(sets).foreach { df =>
+          val aggs = group.map {
+            case (_: CountPlan, _) => countF(lit(1))
+            case (s: SumPlan, _) => sumF(df(s.col))
+            case _ => throw new IllegalStateException
+          }
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          group.zipWithIndex.foreach { case ((_, pi), k) =>
+            scanned(pi) = row.get(k); scannedHit += pi
+          }
+        }
+      }
+    // min/max are overlap-safe (idempotent): ONE scan over the UNION
+    // of every bound item's boundary files computes them all
+    val boundItems = plans.zipWithIndex.collect { case (b: BoundPlan, i) => (b, i) }
+    if (boundItems.nonEmpty) {
+      val unionSets = boundItems.flatMap(_._1.sets).groupBy(_._1)
+        .map { case (d, fs) => (d, fs.flatMap(_._2).distinct) }.toSeq
+      scanOver(canon(unionSets)).foreach { df =>
+        val aggs = boundItems.map { case (b, _) =>
+          if (b.wantMin) minF(df(b.col)) else maxF(df(b.col))
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        boundItems.zipWithIndex.foreach { case ((_, pi), k) =>
+          scanned(pi) = row.get(k); scannedHit += pi
+        }
       }
     }
-    if (cols.exists(_.isEmpty)) None
-    else Some(spark.range(1).select(cols.flatten: _*))
+
+    // ---- combine metadata + scan legs per item ----
+    val cols: Seq[org.apache.spark.sql.Column] = plans.zipWithIndex.map {
+      case (CountPlan(alias, metaRows, _), i) =>
+        val extra = if (scannedHit(i)) scanned(i).asInstanceOf[Long] else 0L
+        lit(metaRows + extra).as(alias)
+      case (SumPlan(alias, _, metaSum, _, resultType), i) =>
+        val scanBD: Option[java.math.BigDecimal] =
+          if (!scannedHit(i) || scanned(i) == null) None
+          else scanned(i) match {
+            case l: java.lang.Long => Some(java.math.BigDecimal.valueOf(l))
+            case d: java.math.BigDecimal => Some(d)
+            case _ => return None // unexpected runtime type: give up exactly
+          }
+        (metaSum, scanBD) match {
+          case (None, None) => lit(null).cast(resultType).as(alias)
+          case (a, b) =>
+            val total = (a, b) match {
+              case (Some(x), Some(y)) => x.add(y)
+              case _ => a.orElse(b).get
+            }
+            if (resultType == LongType) {
+              // Spark's sum(<integral>) is LongType with silent wrap;
+              // an exact total outside Long can't restate that — fall
+              // back to the ordinary scan rather than diverge
+              val asLong = scala.util.Try(total.longValueExact).toOption
+                .getOrElse(return None)
+              lit(asLong).as(alias)
+            } else lit(total).cast(resultType).as(alias)
+        }
+      case (b: BoundPlan, i) =>
+        val scanCol: Option[org.apache.spark.sql.Column] =
+          if (!scannedHit(i)) None
+          else Some(if (scanned(i) == null) lit(null).cast(b.fieldType)
+            else lit(scanned(i)).cast(b.fieldType))
+        ((b.ledgerCol, scanCol) match {
+          case (Some(l), Some(s)) => if (b.wantMin) least(l, s) else greatest(l, s)
+          case (Some(l), None) => l
+          case (None, Some(s)) => s
+          case (None, None) => lit(null).cast(b.fieldType) // no matching file: SQL NULL
+        }).as(b.alias)
+    }
+    Some(spark.range(1).select(cols: _*))
   }
 
   // ---- row-level DELETE (copy-on-write) ----

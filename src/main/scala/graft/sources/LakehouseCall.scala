@@ -74,10 +74,12 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
     case "rebalance_ann_index" => Seq(
       AttributeReference("parent_cell", LongType)(),
       AttributeReference("child_cells", LongType)())
+    case "compute_sums" => Seq(
+      AttributeReference("column_name", StringType)())
     case other => throw new UnsupportedOperationException(
       s"unknown procedure: system.$other (supported: rewrite_data_files, " +
         "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
-        "refresh_mview, refresh_ann_index, rebalance_ann_index)")
+        "refresh_mview, refresh_ann_index, rebalance_ann_index, compute_sums)")
   }
 
   /** Positional parameter names per procedure; named args (`k => v`)
@@ -90,6 +92,7 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
     case "refresh_mview" => Seq("table")
     case "refresh_ann_index" => Seq("table")
     case "rebalance_ann_index" => Seq("table", "max_load", "force_top")
+    case "compute_sums" => Seq("table", "columns")
     case _ => Seq("table")
   }
 
@@ -210,6 +213,16 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
         val forceTop = longArg(m, "force_top", 0L).toInt
         graft.operators.AnnIndex.rebalance(lake, table, maxLoad, forceTop)
           .map { case (p, kids) => Row(p, kids.length.toLong) }
+
+      case "compute_sums" =>
+        // declare + backfill write-time column sums (the Iceberg
+        // compute-stats-procedure analog): `sum(col)` over the table
+        // becomes a metadata readout after this returns
+        val cols = lit(m.getOrElse("columns",
+            throw new IllegalArgumentException("compute_sums needs columns")))
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        lake.computeSums(table, cols, branch)
+        cols.map(Row(_))
 
       case other => throw new UnsupportedOperationException(s"unknown procedure: system.$other")
     }

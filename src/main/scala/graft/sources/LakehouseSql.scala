@@ -500,7 +500,7 @@ object LakehouseMetaAggCommand {
   private val CountStarRe =
     """(?is)\s*COUNT\s*\(\s*(?:\*|1)\s*\)\s*(?:AS\s+`?([A-Za-z_]\w*)`?)?\s*""".r
   private val MinMaxRe =
-    """(?is)\s*(MIN|MAX)\s*\(\s*`?([A-Za-z_]\w*)`?\s*\)\s*(?:AS\s+`?([A-Za-z_]\w*)`?)?\s*""".r
+    """(?is)\s*(MIN|MAX|SUM)\s*\(\s*`?([A-Za-z_]\w*)`?\s*\)\s*(?:AS\s+`?([A-Za-z_]\w*)`?)?\s*""".r
 
   /** Parse a select list into metadata-answerable aggregate items;
     * None if ANY item is something else (the statement then delegates
@@ -516,6 +516,18 @@ object LakehouseMetaAggCommand {
       case _ => None
     }
     if (parsed.nonEmpty && parsed.forall(_.isDefined)) Some(parsed.flatten) else None
+  }
+
+  /** Spark's own result type for `sum(<col of type dt>)` — the
+    * intercepted command's output must match the delegate path
+    * bit-for-bit, whichever leg answers. */
+  def sumResultType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+      case _ => DoubleType
+    }
   }
 
   /** The view's current schema when it resolves AND every referenced
@@ -553,12 +565,13 @@ case class LakehouseMetaAggCommand(view: String, items: Seq[Lakehouse.MetaAggIte
     // .resolvedSchema]]) — no second metadata read here
     val schema = viewSchema
     items.map { i =>
+      lazy val colType = schema.flatMap(st => i.col.flatMap(c => st.fields.find(_.name == c)))
+        .map(_.dataType).getOrElse(StringType)
       i.op match {
         case "count" => AttributeReference(i.alias, LongType, nullable = false)()
-        case _ =>
-          val dt = schema.flatMap(st => i.col.flatMap(c => st.fields.find(_.name == c)))
-            .map(_.dataType).getOrElse(StringType)
-          AttributeReference(i.alias, dt)()
+        case "sum" =>
+          AttributeReference(i.alias, LakehouseMetaAggCommand.sumResultType(colType))()
+        case _ => AttributeReference(i.alias, colType)()
       }
     }
   }
@@ -570,12 +583,14 @@ case class LakehouseMetaAggCommand(view: String, items: Seq[Lakehouse.MetaAggIte
     lake.metaAgg(view, items, pred, lake.sessionBranch) match {
       case Some(df) => df.collect().toSeq
       case None => // metadata can't answer exactly: ordinary scan, same rows
+        import org.apache.spark.sql.functions.sum
         val base = pred.foldLeft(lake.read(view, lake.sessionBranch))(_ where _)
         val aggs = items.map { i =>
           i.op match {
             case "count" => count(lit(1)).as(i.alias)
             case "min" => min(col(i.col.get)).as(i.alias)
             case "max" => max(col(i.col.get)).as(i.alias)
+            case "sum" => sum(col(i.col.get)).as(i.alias)
           }
         }
         base.agg(aggs.head, aggs.tail: _*).collect().toSeq

@@ -223,7 +223,9 @@ class MetaAggSpec extends SparkSpec {
     val r = orders.agg(
       min(col("o_orderkey")), max(col("o_orderkey")),
       min(col("o_totalprice")), max(col("o_totalprice")),
-      sum(when(col("o_totalprice") < 150000.0, 1L).otherwise(0L)), count(lit(1))).head()
+      sum(when(col("o_totalprice") < 150000.0, 1L).otherwise(0L)), count(lit(1)),
+      sum(col("o_orderkey")),
+      sum(col("o_totalprice").cast("decimal(12,2)"))).head()
     assert(out("meta_only") === 1.0,
       "the unpredicated SQL aggregate opened a data dir — the metadata path did not fire")
     assert(out("k_lo") === r.getAs[Number](0).doubleValue())
@@ -232,6 +234,8 @@ class MetaAggSpec extends SparkSpec {
     assert(out("p_hi") === r.getAs[Number](3).doubleValue())
     assert(out("n_cheap") === r.getAs[Number](4).doubleValue())
     assert(out("n_total") === r.getAs[Number](5).doubleValue())
+    assert(out("s_key") === r.getAs[Number](6).doubleValue())
+    assert(out("s_price") === r.getAs[Number](7).doubleValue())
   }
 
   test("SQL fast path and scan agree on an empty table (count 0, NULL min)") {
@@ -241,5 +245,140 @@ class MetaAggSpec extends SparkSpec {
     lake.registerView("tempty")
     val r = spark.sql("SELECT count(*) AS n, min(k) AS lo FROM tempty").head()
     assert(r.getLong(0) === 0 && r.isNullAt(1))
+  }
+
+  test("declared sums: unpredicated sum(long)+sum(decimal) is metadata-only and exact") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.declareSumColumns("t", Seq("k", "price"))
+    def df(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, BigDecimal(i) * BigDecimal("1.25"))).toDF("k", "price")
+      .withColumn("price", col("price").cast("decimal(18,2)"))
+    lake.createOrReplace(df(0, 100), "t")
+    lake.append(df(100, 250), "t")
+    val before = Lakehouse.dataDirOpens.get()
+    val out = lake.metaAgg("t",
+      items(("sum", "k", "sk"), ("sum", "price", "sp"), ("count", "", "n")), None)
+    assert(out.isDefined)
+    val r = out.get.head()
+    assert(Lakehouse.dataDirOpens.get() - before === 0,
+      "declared-sum aggregate must not open any data dir")
+    val exact = lake.read("t").agg(sum(col("k")), sum(col("price")), count(lit(1))).head()
+    assert(r.getLong(0) === exact.getLong(0))
+    assert(r.getDecimal(1) === exact.getDecimal(1))
+    assert(r.getLong(2) === exact.getLong(2))
+  }
+
+  test("predicated sum scans ONLY the boundary dir; interior dirs answer from the ledger") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.declareSumColumns("t", Seq("x"))
+    lake.createOrReplace(
+      (0 until 100).map(i => (i.toLong, i * 2L)).toDF("k", "x").repartition(1), "t")
+    (1 to 3).foreach { d =>
+      lake.append((d * 100 until (d + 1) * 100).map(i => (i.toLong, i * 2L))
+        .toDF("k", "x").repartition(1), "t")
+    }
+    val before = Lakehouse.dataDirOpens.get()
+    val out = lake.metaAgg("t", items(("sum", "x", "s")), Some(col("k") < 250)).get.head()
+    val opened = Lakehouse.dataDirOpens.get() - before
+    assert(opened === 1, s"expected 1 boundary dir open, got $opened")
+    assert(out.getLong(0) === (0 until 250).map(_ * 2L).sum)
+  }
+
+  test("count+sum+min/max in one call share scans: one open per boundary dir") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.declareSumColumns("t", Seq("x"))
+    lake.createOrReplace(
+      (0 until 100).map(i => (i.toLong, i * 2L)).toDF("k", "x").repartition(1), "t")
+    (1 to 3).foreach { d =>
+      lake.append((d * 100 until (d + 1) * 100).map(i => (i.toLong, i * 2L))
+        .toDF("k", "x").repartition(1), "t")
+    }
+    val before = Lakehouse.dataDirOpens.get()
+    val r = lake.metaAgg("t", items(
+      ("count", "", "n"), ("sum", "x", "s"),
+      ("min", "x", "lo"), ("max", "x", "hi"),
+      ("min", "k", "klo"), ("max", "k", "khi")), Some(col("k") < 250)).get.head()
+    val opened = Lakehouse.dataDirOpens.get() - before
+    // count and sum share one exact-set scan of the straddling dir;
+    // the four bounds share one union scan of the same dir — 2 opens,
+    // never one per item (the old shape paid 5)
+    assert(opened <= 2, s"expected at most 2 boundary opens for 6 items, got $opened")
+    assert(r.getLong(0) === 250)
+    assert(r.getLong(1) === (0 until 250).map(_ * 2L).sum)
+    assert(r.getLong(2) === 0L && r.getLong(3) === 498L)
+    assert(r.getLong(4) === 0L && r.getLong(5) === 249L)
+  }
+
+  test("sum over an all-NULL file contributes nothing; all-NULL table sums to SQL NULL") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.declareSumColumns("t", Seq("x"))
+    lake.createOrReplace(
+      (0 until 10).map(i => (i.toLong, Option.empty[Long])).toDF("k", "x"), "t")
+    val r0 = lake.metaAgg("t", items(("sum", "x", "s")), None).get.head()
+    assert(r0.isNullAt(0), "sum over only NULLs must be SQL NULL")
+    lake.append((0 until 10).map(i => (i.toLong, Some(i.toLong))).toDF("k", "x"), "t")
+    val before = Lakehouse.dataDirOpens.get()
+    val r1 = lake.metaAgg("t", items(("sum", "x", "s")), None).get.head()
+    assert(Lakehouse.dataDirOpens.get() - before === 0)
+    assert(r1.getLong(0) === 45L)
+  }
+
+  test("double sums refuse the metadata path (order-dependent addition is not restatable)") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.declareSumColumns("t", Seq("x"))
+    lake.createOrReplace((0 until 10).map(i => (i.toLong, i * 1.5)).toDF("k", "x"), "t")
+    assert(lake.metaAgg("t", items(("sum", "x", "s")), None).isEmpty)
+  }
+
+  test("undeclared table: sum item scans (still exact), declaration is per-table opt-in") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace((0 until 50).map(i => (i.toLong, i * 3L)).toDF("k", "x"), "t")
+    val before = Lakehouse.dataDirOpens.get()
+    val r = lake.metaAgg("t", items(("sum", "x", "s")), None).get.head()
+    assert(Lakehouse.dataDirOpens.get() - before >= 1, "no recorded sums: must scan")
+    assert(r.getLong(0) === (0 until 50).map(_ * 3L).sum)
+  }
+
+  test("compute_sums CALL backfills existing dirs; sum then answers metadata-only") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace((0 until 100).map(i => (i.toLong, i * 2L)).toDF("k", "x"), "t")
+    lake.append((100 until 150).map(i => (i.toLong, i * 2L)).toDF("k", "x"), "t")
+    lake.registerView("t")
+    spark.sql("CALL system.compute_sums(table => 't', columns => 'x')").collect()
+    val before = Lakehouse.dataDirOpens.get()
+    val r = spark.sql("SELECT sum(x) AS s, count(*) AS n FROM t").head()
+    assert(Lakehouse.dataDirOpens.get() - before === 0,
+      "backfilled sums must answer SELECT sum() without opening data")
+    assert(r.getLong(0) === (0 until 150).map(_ * 2L).sum)
+    assert(r.getLong(1) === 150L)
+  }
+
+  test("tombstoned snapshot: sum falls back to the scan path, stays exact") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.declareSumColumns("t", Seq("x"))
+    lake.createOrReplace((0 until 100).map(i => (i.toLong, i * 2L)).toDF("k", "x"), "t")
+    lake.deleteWhereMor(col("k") % 10 === 0, "t")
+    assert(lake.metaAgg("t", items(("sum", "x", "s")), None).isEmpty,
+      "MoR tombstones change sums — metadata must refuse")
+    lake.registerView("t")
+    val r = spark.sql("SELECT sum(x) AS s FROM t").head()
+    assert(r.getLong(0) === (0 until 100).filter(_ % 10 != 0).map(_ * 2L).sum)
+  }
+
+  test("sum whose exact total overflows Long refuses the fast path (Spark wraps; we must not differ)") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.declareSumColumns("t", Seq("x"))
+    lake.createOrReplace(Seq((1L, Long.MaxValue - 10L)).toDF("k", "x"), "t")
+    lake.append(Seq((2L, Long.MaxValue - 10L)).toDF("k", "x"), "t")
+    assert(lake.metaAgg("t", items(("sum", "x", "s")), None).isEmpty)
   }
 }
