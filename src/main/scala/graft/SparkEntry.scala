@@ -31,6 +31,7 @@ object SparkEntry {
     "sql_branch_workflow" -> (Medallion.sqlBranchWorkflow _),
     "sql_maintenance" -> (Medallion.sqlMaintenance _),
     "sql_stats_agg" -> (Medallion.sqlStatsAgg _),
+    "sql_group_agg" -> (Medallion.sqlGroupAgg _),
     "q_runtime_filter" -> (Medallion.qRuntimeFilter _),
     "q_cdc_read" -> (Medallion.qCdcRead _),
     "q_bucket_join" -> (Medallion.qBucketJoin _),
@@ -353,6 +354,15 @@ object SparkEntry {
         |UNION ALL SELECT 's_key', CAST(sum(o_orderkey) AS DOUBLE) FROM t
         |UNION ALL SELECT 's_price', CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) FROM t
         |ORDER BY metric""".stripMargin,
+    // grouped aggregate pushdown: the oracle recomputes the per-status
+    // report by scanning and pins meta_only = 1.0 — the engine must
+    // have answered the whole GROUP BY from partition metadata
+    "sql_group_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi,
+        |  CAST(1.0 AS DOUBLE) AS meta_only
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sql_maintenance" ->
       """SELECT 'after_compact' AS at, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

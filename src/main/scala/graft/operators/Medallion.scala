@@ -510,6 +510,50 @@ object Medallion {
     } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
   }
 
+  /** `sql_group_agg` — GROUPED AGGREGATE PUSHDOWN at the driver
+    * surface (the reference's gold query made metadata-priced;
+    * reference: spark_jobs/gold_reporting.py:70 recomputes
+    * `groupBy(city).agg(sum, count)` by scanning every run): orders
+    * land in a lakehouse table PARTITIONED by `o_orderstatus` across
+    * three commits with declared write-time sums, and the SQL
+    * `SELECT status, count, sum, min, max … GROUP BY status ORDER BY
+    * total DESC` answers from the partition paths + rowcount + sums +
+    * stats ledgers ([[graft.sources.Lakehouse.metaGroupAgg]]). The
+    * readout pins `meta_only = 1.0` — ZERO data-dir opens — alongside
+    * the per-group values, so the oracle hash-checks both the
+    * SEMANTICS (the grouped scan's exact rows) and the SCALE PROPERTY
+    * (at 100 TB the daily report is a driver-side metadata fold over
+    * O(partitions), not a table scan). */
+  def sqlGroupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-groupagg").toString
+    val lake = new Lakehouse(spark, root)
+    lake.declareSumColumns("ga_orders", Seq("price", "o_orderkey"))
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("price"))
+    lake.createOrReplace(orders.where(col("o_orderkey") % 3 === 0), "ga_orders",
+      partitionBy = Seq("o_orderstatus"))
+    lake.append(orders.where(col("o_orderkey") % 3 === 1), "ga_orders",
+      partitionBy = Seq("o_orderstatus"))
+    lake.append(orders.where(col("o_orderkey") % 3 === 2), "ga_orders",
+      partitionBy = Seq("o_orderstatus"))
+    lake.registerView("ga_orders", Seq("o_orderstatus"))
+    val before = Lakehouse.dataDirOpens.get()
+    val grouped = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n_orders, sum(price) AS total_price,
+        |  min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi
+        |FROM ga_orders GROUP BY o_orderstatus ORDER BY total_price DESC""".stripMargin)
+    val rows = grouped.collect() // command ran at sql(); freeze the readout
+    val metaOnly = if (Lakehouse.dataDirOpens.get() == before) 1.0 else 0.0
+    import spark.implicits._
+    rows.toSeq.map { r =>
+      (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue(), r.getLong(3), r.getLong(4), metaOnly)
+    }.toDF("o_orderstatus", "n_orders", "total_price", "k_lo", "k_hi", "meta_only")
+      .orderBy("o_orderstatus")
+  }
+
   /** `q_bucket_join` — CO-LOCATED JOIN over catalog-persisted
     * BUCKETED tables at the driver surface: both sides land
     * pre-bucketed on the join key (8 buckets), broadcast is disabled

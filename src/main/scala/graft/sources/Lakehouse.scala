@@ -1960,15 +1960,24 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * predicate, coverage gaps, unmapped column types — and the caller
     * falls back to the ordinary scan. Either way the ANSWER is
     * identical; only the I/O differs. */
-  def metaAgg(table: String, items: Seq[Lakehouse.MetaAggItem],
-      pred: Option[org.apache.spark.sql.Column],
-      branch: String = "main"): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.{date_from_unix_date, lit, timestamp_micros}
-    import org.apache.spark.sql.types._
-    val snap = currentSnapshot(table, branch)
-      .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
-    if (tombstones(table, snap).nonEmpty) return None
-    if (items.exists(i => !Set("count", "min", "max", "sum").contains(i.op))) return None
+  /** One data dir's file classification under a predicate: the
+    * may-match files (after range/bloom/transform pruning), the
+    * ALL-ROWS-MATCH subset (recorded range fully inside every
+    * conjunct, zero recorded nulls on tested columns, conjuncts
+    * covering the predicate), plus its row-count and stat ledgers.
+    * Shared by [[metaAgg]] and [[metaGroupAgg]]. */
+  private case class DirCls(dataDir: String, may: Seq[String], all: Set[String],
+      rcs: Map[String, (Long, Map[String, Long])],
+      stats: Map[(String, String), Seq[(String, String, String, String, String)]])
+
+  /** Metadata-only classification of a snapshot's files against a
+    * predicate — the shared front half of the metadata-aggregate
+    * paths. Returns the snapshot's READ schema (resolved from
+    * metadata when possible) and per-dir [[DirCls]] records; touches
+    * ledgers and manifests only, never data. */
+  private def classifyForMeta(table: String, snap: Long,
+      pred: Option[org.apache.spark.sql.Column], branch: String)
+      : (org.apache.spark.sql.types.StructType, Seq[DirCls]) = {
     val entries = snapshots(table).find(_._1 == snap).get._2
     // Schema WITHOUT opening any data dir: the declared (evolved)
     // schema if one exists, else the per-dir `_schema.json` records
@@ -1982,18 +1991,11 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val sums = dirSummaries(table)
     val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-
-    // Classification shared by every item: per dir, the may-match
-    // files (after range/bloom/transform pruning), the ALL-ROWS-MATCH
-    // subset, row counts and stat lines
     val (conj, covered) = pred match {
       case None => (Seq.empty[(String, String, Any)], true)
       case Some(p) => skippableConjunctsCovered(p, relation)
     }
     val derived = Transforms.derivedConjuncts(conj, snapshotPhysLayouts(table, entries))
-    case class DirCls(dataDir: String, may: Seq[String], all: Set[String],
-        rcs: Map[String, (Long, Map[String, Long])],
-        stats: Map[(String, String), Seq[(String, String, String, String, String)]])
     val cls = byDataDir.flatMap { case (dataDir, dirEntries) =>
       val may = dirEntries.flatMap(matchingFiles(table, _, derived, sums)).distinct
       if (may.isEmpty) None
@@ -2016,6 +2018,19 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         Some(DirCls(dataDir, may, all, rcs, stats))
       }
     }
+    (schema, cls)
+  }
+
+  def metaAgg(table: String, items: Seq[Lakehouse.MetaAggItem],
+      pred: Option[org.apache.spark.sql.Column],
+      branch: String = "main"): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{date_from_unix_date, lit, timestamp_micros}
+    import org.apache.spark.sql.types._
+    val snap = currentSnapshot(table, branch)
+      .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+    if (tombstones(table, snap).nonEmpty) return None
+    if (items.exists(i => !Set("count", "min", "max", "sum").contains(i.op))) return None
+    val (schema, cls) = classifyForMeta(table, snap, pred, branch)
     // one filtered scan over an explicit file set — the exception
     // path, proportional to the files metadata could not answer for
     def scanOver(sets: Seq[(String, Seq[String])]): Option[DataFrame] =
@@ -2232,6 +2247,232 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         }).as(b.alias)
     }
     Some(spark.range(1).select(cols: _*))
+  }
+
+  /** GROUPED metadata aggregates — the partition-stats answer to the
+    * reference's gold query shape (`GROUP BY city … sum/count`,
+    * reference: spark_jobs/gold_reporting.py:70): when the grouping
+    * columns are PARTITION PATH columns, every all-rows-match file
+    * belongs to exactly one group (its partition leaf), so per-group
+    * count/sum/min/max assemble from the row-count, `_sums.jsonl` and
+    * stats ledgers without opening data. Files metadata can't answer
+    * for — predicate-straddling, unrecorded, or not path-keyed on
+    * every group column — fall to ONE grouped scan of exactly those
+    * files, and the two legs merge through their partial-aggregate
+    * algebra (counts add, decimal sums add, bounds min/max). At
+    * 100 TB the daily report over a city/date-partitioned table is a
+    * driver-side metadata fold over O(partitions), not a table scan.
+    *
+    * Exactness contract matches [[metaAgg]]: both legs restate the
+    * ordinary grouped scan bit-for-bit (sums only for integral and
+    * decimal columns — doubles refuse), or the method returns None
+    * and the caller runs that scan. Integral sums assume group totals
+    * fit in Long (Spark's own sum(<integral>) contract). */
+  def metaGroupAgg(table: String, groupCols: Seq[String],
+      items: Seq[Lakehouse.MetaAggItem],
+      pred: Option[org.apache.spark.sql.Column],
+      branch: String = "main"): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, count => countF, lit, max => maxF, min => minF, sum => sumF}
+    import org.apache.spark.sql.types._
+    val snap = currentSnapshot(table, branch)
+      .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+    if (tombstones(table, snap).nonEmpty) return None
+    if (items.exists(i => !Set("count", "min", "max", "sum").contains(i.op))) return None
+    if (groupCols.isEmpty) return metaAgg(table, items, pred, branch)
+    val aliases = items.map(_.alias)
+    if (aliases.distinct.size != aliases.size || aliases.exists(groupCols.contains)) return None
+    val (schema, cls) = classifyForMeta(table, snap, pred, branch)
+    val groupFields = groupCols.map(c => schema.fields.find(_.name == c).getOrElse(return None))
+    // group-key types must round-trip through partition path strings
+    if (!groupFields.forall(_.dataType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | BooleanType => true
+      case _ => false
+    })) return None
+
+    def statTagOf(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => "long"
+      case FloatType | DoubleType => "double"
+      case StringType => "string"
+      case _ => ""
+    }
+    case class ItemTy(op: String, c: Option[String], alias: String, field: StructField,
+        partial: DataType, result: DataType, statTag: String, scale: Int)
+    val tys: Seq[ItemTy] = items.map { i =>
+      i.op match {
+        case "count" => ItemTy("count", None, i.alias, null, LongType, LongType, "", 0)
+        case "sum" =>
+          val f = i.col.flatMap(c => schema.fields.find(_.name == c)).getOrElse(return None)
+          val res: DataType = f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => LongType
+            case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+            case _ => return None // double sums: order-dependent, not restatable
+          }
+          val sc = sumScale(f.dataType).getOrElse(return None)
+          ItemTy("sum", i.col, i.alias, f, DecimalType(38, sc), res, "", sc)
+        case op =>
+          val f = i.col.flatMap(c => schema.fields.find(_.name == c)).getOrElse(return None)
+          val tag = statTagOf(f.dataType)
+          if (tag.isEmpty) return None
+          ItemTy(op, i.col, i.alias, f, f.dataType, f.dataType, tag, 0)
+      }
+    }
+
+    // ---- path → typed group key ----
+    val unescape = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName _
+    def pathValue(f: StructField, raw: String): Option[Any] = {
+      val v = unescape(raw)
+      if (v == "__HIVE_DEFAULT_PARTITION__") Some(null)
+      else scala.util.Try[Any] {
+        f.dataType match {
+          case StringType => v
+          case ByteType => v.toByte
+          case ShortType => v.toShort
+          case IntegerType => v.toInt
+          case LongType => v.toLong
+          case FloatType => v.toFloat
+          case DoubleType => v.toDouble
+          case BooleanType => v.toBoolean
+          case DateType => java.sql.Date.valueOf(java.time.LocalDate.parse(v))
+          case other => throw new IllegalArgumentException(other.toString)
+        }
+      }.toOption
+    }
+    def fileGroupKey(rel: String): Option[Seq[Any]] = {
+      val segs = rel.split("/").dropRight(1).filter(_.contains("="))
+        .map { s => val Array(k, raw) = s.split("=", 2); (k, raw) }.toMap
+      val vals = groupFields.map(f => segs.get(f.name).flatMap(pathValue(f, _)))
+      if (vals.forall(_.isDefined)) Some(vals.map(_.get).toSeq) else None
+    }
+    // stat-ledger string → external value at the column's type
+    def statValue(f: StructField, tag: String, s: String): Option[Any] = scala.util.Try[Any] {
+      (tag, f.dataType) match {
+        case ("long", DateType) =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.toLong))
+        case ("long", TimestampType) =>
+          val micros = s.toLong
+          val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt); ts
+        case ("long", ByteType) => s.toByte
+        case ("long", ShortType) => s.toShort
+        case ("long", IntegerType) => s.toInt
+        case ("long", LongType) => s.toLong
+        case ("double", FloatType) => s.toFloat
+        case ("double", DoubleType) => s.toDouble
+        case ("string", StringType) => s
+        case other => throw new IllegalArgumentException(other.toString)
+      }
+    }.toOption
+    def rawLess(tag: String, a: String, b: String): Boolean =
+      if (tag == "string") a < b else BigDecimal(a) < BigDecimal(b)
+
+    // ---- accumulate the metadata leg, route the rest to ONE scan ----
+    sealed trait Contrib
+    case class CountC(rows: Long) extends Contrib
+    case class SumC(v: Option[java.math.BigDecimal]) extends Contrib
+    case class BoundC(raw: String, v: Any) extends Contrib
+    class Acc {
+      val counts: Array[Long] = Array.fill(tys.length)(0L)
+      val sums: Array[java.math.BigDecimal] = Array.fill(tys.length)(null)
+      val bounds: Array[(String, Any)] = Array.fill(tys.length)(null)
+    }
+    val needSums = tys.exists(_.op == "sum")
+    val needCounts = tys.exists(_.op == "count")
+    val metaGroups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Acc]
+    val scanSets = scala.collection.mutable.Buffer.empty[(String, Seq[String])]
+    cls.foreach { d =>
+      val sumLedger = if (needSums) readSumsLedger(table, d.dataDir)
+        else Map.empty[String, Map[String, Option[java.math.BigDecimal]]]
+      val scanFiles = scala.collection.mutable.Buffer.empty[String]
+      d.may.foreach { rel =>
+        val contribs: Option[(Seq[Any], Seq[Contrib])] =
+          if (!d.all.contains(rel)) None
+          else fileGroupKey(rel).flatMap { key =>
+            val cs = tys.map { t =>
+              t.op match {
+                case "count" =>
+                  if (needCounts) d.rcs.get(rel).map(r => CountC(r._1)) else Some(CountC(0))
+                case "sum" =>
+                  sumLedger.get(rel).flatMap(_.get(t.c.get)).map(SumC)
+                case op =>
+                  d.stats.get((rel, t.c.get)) match {
+                    case Some(Seq((_, _, tg, lo, hi))) if tg == t.statTag =>
+                      val raw = if (op == "min") lo else hi
+                      // raw must both convert to the column type AND
+                      // compare numerically — either failing sends the
+                      // file to the scan leg, never a wrong bound
+                      statValue(t.field, tg, raw)
+                        .filter(_ => scala.util.Try(rawLess(tg, raw, raw)).isSuccess)
+                        .map(BoundC(raw, _))
+                    case _ => None
+                  }
+              }
+            }
+            if (cs.forall(_.isDefined)) Some((key, cs.map(_.get))) else None
+          }
+        contribs match {
+          case Some((key, cs)) =>
+            val acc = metaGroups.getOrElseUpdate(key, new Acc)
+            cs.zipWithIndex.foreach {
+              case (CountC(rows), i) => acc.counts(i) += rows
+              case (SumC(Some(v)), i) =>
+                acc.sums(i) = if (acc.sums(i) == null) v else acc.sums(i).add(v)
+              case (SumC(None), _) => // recorded all-NULL file: SQL sum skips it
+              case (BoundC(raw, v), i) =>
+                val keep = acc.bounds(i) == null ||
+                  (if (tys(i).op == "min") rawLess(tys(i).statTag, raw, acc.bounds(i)._1)
+                   else rawLess(tys(i).statTag, acc.bounds(i)._1, raw))
+                if (keep) acc.bounds(i) = (raw, v)
+            }
+          case None => scanFiles += rel
+        }
+      }
+      if (scanFiles.nonEmpty) scanSets += ((d.dataDir, scanFiles.toSeq))
+    }
+
+    // ---- assemble partial-aggregate legs and merge ----
+    val partialSchema = StructType(
+      groupFields.map(f => StructField(f.name, f.dataType)) ++
+        tys.map(t => StructField(t.alias, t.partial)))
+    val metaRows: Seq[Row] = metaGroups.toSeq.map { case (key, acc) =>
+      Row.fromSeq(key ++ tys.zipWithIndex.map { case (t, i) =>
+        t.op match {
+          case "count" => acc.counts(i)
+          case "sum" => if (acc.sums(i) == null) null else acc.sums(i).setScale(t.scale)
+          case _ => if (acc.bounds(i) == null) null else acc.bounds(i)._2
+        }
+      })
+    }
+    import scala.jdk.CollectionConverters._
+    val metaDF = spark.createDataFrame(metaRows.asJava, partialSchema)
+    val scanPartial: Option[DataFrame] =
+      if (scanSets.isEmpty) None
+      else Some {
+        val one = scanSets.toSeq
+          .map { case (d, fs) => openDirGroup(table, d, fs) }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val filtered = pred.fold(one)(one.where)
+        val aggs = tys.map { t =>
+          t.op match {
+            case "count" => countF(lit(1)).as(t.alias)
+            case "sum" => sumF(col(t.c.get).cast(DecimalType(38, t.scale))).as(t.alias)
+            case "min" => minF(col(t.c.get)).as(t.alias)
+            case "max" => maxF(col(t.c.get)).as(t.alias)
+          }
+        }
+        filtered.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+    val partials = scanPartial.fold(metaDF)(metaDF.unionByName(_, allowMissingColumns = false))
+    val mergeAggs = tys.map { t =>
+      t.op match {
+        case "count" => sumF(col(t.alias)).cast(LongType).as(t.alias)
+        case "sum" => sumF(col(t.alias)).cast(t.result).as(t.alias)
+        case "min" => minF(col(t.alias)).as(t.alias)
+        case "max" => maxF(col(t.alias)).as(t.alias)
+      }
+    }
+    Some(partials.groupBy(groupCols.map(col): _*).agg(mergeAggs.head, mergeAggs.tail: _*))
   }
 
   // ---- row-level DELETE (copy-on-write) ----
