@@ -23,6 +23,7 @@ object SparkEntry {
     "sql_catalog_query" -> (Medallion.sqlCatalogQuery _),
     "sql_lakehouse_ddl" -> (Medallion.sqlLakehouseDdl _),
     "mview_incremental" -> (Medallion.mviewIncremental _),
+    "mview_join" -> (Medallion.mviewJoin _),
     "sql_mview" -> (Medallion.sqlMview _),
     "sql_wap" -> (Medallion.sqlWap _),
     "sql_time_travel" -> (Medallion.sqlTimeTravel _),
@@ -210,6 +211,14 @@ object SparkEntry {
         |  round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS min_price,
         |  round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS max_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // join-shaped incremental view: delta merges + one dim-change
+    // recompute must land bit-exactly on the grouped join over all
+    // of orders x customer
+    "mview_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // write-audit-publish: the staged batch minus audited-out rows —
     // the hash proves corrupt rows never reached main and the rest did
     "sql_wap" ->

@@ -722,6 +722,48 @@ object Medallion {
       .orderBy("o_orderstatus")
   }
 
+  /** `mview_join` — JOIN-SHAPED incremental materialized view (the
+    * silver_enrich shape maintained delta-wise;
+    * [[graft.sources.MaterializedView.JoinSpec]]): the per-segment
+    * sales view materializes over `orders ⋈ customer`, fact appends
+    * refresh it by joining ONLY the delta against the pinned dim and
+    * merging partial aggregates, and a DIM change (the customer table
+    * growing) forces the sound full recompute before delta refreshes
+    * resume at the new dim pin. The ORACLE is a plain grouped join
+    * over ALL of orders × customer — hash equality proves two delta
+    * merges plus one dim-change recompute land bit-exactly on the
+    * from-scratch answer. Reference analog:
+    * silver_transformation.py + gold_reporting.py recompute the
+    * enrichment and the rollup every run; at 100 TB only the
+    * delta-priced maintenance survives. */
+  def mviewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Lakehouse, MaterializedView => MV}
+    val root = java.nio.file.Files.createTempDirectory("graft-mvjoin").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val d = MV.ViewDef("mvj_sales", "mvj_orders", Seq("c_mktsegment"),
+      Seq(MV.SumCol("price", "total_price"), MV.CountAll("n_orders")),
+      join = Some(MV.JoinSpec("mvj_customer", "o_custkey", "c_custkey")))
+    // dim starts HALF-populated: even customer keys only
+    lake.createOrReplace(customer.where(col("c_custkey") % 2 === 0), "mvj_customer")
+    lake.createOrReplace(orders.where(col("o_orderkey") % 3 === 0), "mvj_orders")
+    MV.create(lake, d)
+    lake.append(orders.where(col("o_orderkey") % 3 === 1), "mvj_orders")
+    MV.refresh(lake, d) // fact delta ⋈ pinned dim, merged
+    lake.append(customer.where(col("c_custkey") % 2 === 1), "mvj_customer")
+    MV.refresh(lake, d) // dim moved: sound recompute at the new pin
+    lake.append(orders.where(col("o_orderkey") % 3 === 2), "mvj_orders")
+    MV.refresh(lake, d) // delta path resumes
+    lake.read("mvj_sales").select(
+      col("c_mktsegment"), col("n_orders"),
+      col("total_price").cast("double").as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
   /** `sql_wap` — WRITE-AUDIT-PUBLISH through parsed SQL (the Iceberg
     * WAP pattern; the reference environment's Nessie branches exist
     * for exactly this): the clean baseline lands on main, the

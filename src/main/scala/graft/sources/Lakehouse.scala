@@ -4279,6 +4279,15 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
 
   private[sources] def jsonEscape(s: String): String = jsonEsc(s)
 
+  /** Tiny per-view auxiliary record beside `_mviews.jsonl` — used by
+    * join-shaped views for the DIMENSION watermark (see
+    * [[MaterializedView.refresh]] for why it can live outside the
+    * commit without risking wrongness). */
+  private[sources] def readMviewAux(view: String): Option[String] =
+    readLines(new Path(root, s"_mview_aux_${view}.json")).headOption
+  private[sources] def writeMviewAux(view: String, content: String): Unit =
+    writeFile(new Path(root, s"_mview_aux_${view}.json"), content + "\n")
+
   /** `t.mviews` metadata relation — see [[MaterializedView.viewsDf]]. */
   def mviewsDf(table: String): DataFrame = MaterializedView.viewsDf(this, table)
 

@@ -55,15 +55,27 @@ object MaterializedView {
   final case class MinCol(src: String, alias: String) extends AggCol
   final case class MaxCol(src: String, alias: String) extends AggCol
 
+  /** The dimension side of a JOIN-shaped view (the silver_enrich
+    * shape, reference: spark_jobs/silver_transformation.py): the
+    * view's rows are `fact INNER JOIN dim ON fact.factKey =
+    * dim.dimKey` before filtering/grouping. The fact side is the
+    * APPENDING side (delta-maintained); the dim side is the
+    * enrichment side — any dim change forces a recompute, because an
+    * already-merged fact row's join result may have changed. */
+  final case class JoinSpec(dim: String, factKey: String, dimKey: String)
+
   /** A view definition: `view` materializes
-    * `SELECT groupCols, aggs FROM src [WHERE filter] GROUP BY
-    * groupCols`. The row filter is a plain column predicate — applied
-    * identically to full recomputes and to deltas, which is sound
-    * because a row's filter verdict never changes after it lands
-    * (append-only intervals; rewrites fall back to recompute). */
+    * `SELECT groupCols, aggs FROM src [JOIN dim] [WHERE filter]
+    * GROUP BY groupCols`. The row filter is a plain column predicate
+    * — applied identically to full recomputes and to deltas, which is
+    * sound because a row's filter verdict never changes after it
+    * lands (append-only intervals; rewrites fall back to recompute).
+    * With a [[JoinSpec]], group/filter/agg columns may come from
+    * either side of the join (names must not collide across the two
+    * tables, except a shared join-key name). */
   final case class ViewDef(view: String, src: String,
       groupCols: Seq[String], aggs: Seq[AggCol],
-      filter: Option[String] = None) {
+      filter: Option[String] = None, join: Option[JoinSpec] = None) {
     require(groupCols.nonEmpty, "a materialized aggregate view needs group columns")
     require(aggs.nonEmpty, "a materialized aggregate view needs aggregate columns")
     private val names = groupCols ++ aggs.map(_.alias)
@@ -83,6 +95,28 @@ object MaterializedView {
       .groupBy(d.groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
   }
 
+  /** Enrich fact rows through the view's join, with the dim side
+    * PINNED to a snapshot — the delta path must join against exactly
+    * the dim state its watermark recorded, or a concurrent dim commit
+    * would split one refresh across two dim versions. */
+  private def joined(lake: Lakehouse, factRows: DataFrame, j: JoinSpec,
+      dimSnap: Long): DataFrame = {
+    val dim = lake.readSnapshot(j.dim, dimSnap)
+    if (j.factKey == j.dimKey) factRows.join(dim, Seq(j.factKey))
+    else factRows.join(dim, factRows(j.factKey) === dim(j.dimKey))
+  }
+
+  // ---- dim-side watermark (join views only) ------------------------------
+  // Lives in a side file, NOT in the view's commit. Why that's safe:
+  // the only writer-crash window is "view committed, aux not yet
+  // written"; a replay then sees a stale dim watermark, takes the
+  // RECOMPUTE path, and replaceOnce/createOrReplace converges on the
+  // identical content — one spurious recompute, never a wrong view.
+  private def dimWatermark(lake: Lakehouse, view: String): Option[Long] =
+    lake.readMviewAux(view).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+  private def writeDimWatermark(lake: Lakehouse, view: String, snap: Long): Unit =
+    lake.writeMviewAux(view, snap.toString)
+
   // ---- persisted definitions (`_mviews.jsonl`) ---------------------------
 
   private def aggJson(lake: Lakehouse, a: AggCol): String = a match {
@@ -93,7 +127,9 @@ object MaterializedView {
   }
 
   private val LineRe =
-    """\{"mview":"([^"]*)","src":"([^"]*)","group":\[([^\]]*)\],"aggs":\[(.*?)\](?:,"where":"(.*)")?\}""".r
+    ("""\{"mview":"([^"]*)","src":"([^"]*)","group":\[([^\]]*)\],"aggs":\[(.*?)\]""" +
+      """(?:,"join":\{"dim":"([^"]*)","fk":"([^"]*)","dk":"([^"]*)"\})?""" +
+      """(?:,"where":"(.*)")?\}""").r
   private val AggRe =
     """\{"op":"(\w+)"(?:,"col":"([^"]*)")?,"as":"([^"]*)"\}""".r
 
@@ -104,12 +140,15 @@ object MaterializedView {
     val line = s"""{"mview":"${e(d.view)}","src":"${e(d.src)}","group":[${
       d.groupCols.map(c => s""""${e(c)}"""").mkString(",")}],"aggs":[${
       d.aggs.map(aggJson(lake, _)).mkString(",")}]${
+      d.join.map(j =>
+        s""","join":{"dim":"${e(j.dim)}","fk":"${e(j.factKey)}","dk":"${e(j.dimKey)}"}""")
+        .getOrElse("")}${
       d.filter.map(f => s""","where":"${e(f)}"""").getOrElse("")}}"""
     lake.upsertMviewLine(d.view, line)
   }
 
   private def parseLine(line: String): Option[ViewDef] = line match {
-    case LineRe(v, src, groups, aggs, where) =>
+    case LineRe(v, src, groups, aggs, dim, fk, dk, where) =>
       val groupCols = groups.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty)
       val aggCols = AggRe.findAllMatchIn(aggs).map { m =>
@@ -121,7 +160,8 @@ object MaterializedView {
           case other => throw new IllegalStateException(s"corrupt mview agg entry: $other")
         }
       }.toSeq
-      Some(ViewDef(v, src, groupCols, aggCols, Option(where)))
+      val join = Option(dim).map(dm => JoinSpec(dm, fk, dk))
+      Some(ViewDef(v, src, groupCols, aggCols, Option(where), join))
     case _ => None
   }
 
@@ -198,11 +238,24 @@ object MaterializedView {
 
   /** Create (or recreate) the view at the source's CURRENT snapshot.
     * Idempotent per source snapshot: recreating against an unmoved
-    * source commits nothing. */
+    * source commits nothing. Join views also pin the dim snapshot
+    * they were built against. */
   def create(lake: Lakehouse, d: ViewDef): Long = {
     val s0 = lake.currentSnapshot(d.src).getOrElse(
       throw new IllegalArgumentException(s"no such source table: ${d.src}"))
-    val snap = lake.replaceOnce(aggOf(lake.read(d.src), d), d.view, batchId = s0)
+    // pin the dim snapshot ONCE: the join read and the recorded
+    // watermark must name the same dim state even if the dim commits
+    // concurrently
+    val dimPin = d.join.map { j =>
+      lake.currentSnapshot(j.dim).getOrElse(
+        throw new IllegalArgumentException(s"no such dim table: ${j.dim}"))
+    }
+    val rows = d.join match {
+      case None => lake.read(d.src)
+      case Some(j) => joined(lake, lake.readSnapshot(d.src, s0), j, dimPin.get)
+    }
+    val snap = lake.replaceOnce(aggOf(rows, d), d.view, batchId = s0)
+    dimPin.foreach(writeDimWatermark(lake, d.view, _))
     // the view is a queryable lakehouse table: register it so SQL can
     // read it — and so a downstream CREATE MATERIALIZED VIEW can name
     // it as a source (the parser guard keys on registration)
@@ -221,14 +274,42 @@ object MaterializedView {
   /** Advance the view to the source's current snapshot. Incremental
     * when the interval is append-only (delta scan + merge of touched
     * groups); full recompute when the source history was rewritten.
-    * Returns the view snapshot now current (unchanged when the source
-    * hasn't moved). */
+    * Join views additionally compare the DIM watermark: an unmoved
+    * dim keeps the delta path (delta ⋈ pinned dim merges soundly); a
+    * moved dim forces recompute, because merged fact rows' join
+    * results may have changed — the same conservatism as the
+    * rewrite rule. Returns the view snapshot now current (unchanged
+    * when neither source moved). */
   def refresh(lake: Lakehouse, d: ViewDef): Long = {
     val from = watermark(lake, d)
     val to = lake.currentSnapshot(d.src).getOrElse(
       throw new IllegalArgumentException(s"no such source table: ${d.src}"))
-    if (from == to)
+    val dimAt = d.join.map(_ => dimWatermark(lake, d.view))
+    val dimNow = d.join.map { j =>
+      lake.currentSnapshot(j.dim).getOrElse(
+        throw new IllegalArgumentException(s"no such dim table: ${j.dim}"))
+    }
+    val dimMoved = d.join.isDefined && dimAt.flatten != dimNow
+    if (from == to && !dimMoved)
       return lake.currentSnapshot(d.view).get
+    if (dimMoved) {
+      // dim-side change: recompute against the new dim pin. The fact
+      // watermark may be UNMOVED (batchId `to` already committed) —
+      // replaceOnce would no-op and strand the view, so that case
+      // commits an unkeyed replace; its replay after a crash rebuilds
+      // identical content (one spurious snapshot, never a wrong view).
+      val rows = joined(lake, lake.readSnapshot(d.src, to), d.join.get, dimNow.get)
+      val snap =
+        if (lake.committedBatches(d.view).contains(to))
+          lake.createOrReplace(aggOf(rows, d), d.view)
+        else lake.replaceOnce(aggOf(rows, d), d.view, batchId = to)
+      writeDimWatermark(lake, d.view, dimNow.get)
+      return snap
+    }
+    def enrich(rows: DataFrame): DataFrame = d.join match {
+      case None => rows
+      case Some(j) => joined(lake, rows, j, dimNow.get)
+    }
     val delta =
       try Some(lake.readChanges(d.src, from, to))
       catch {
@@ -238,9 +319,9 @@ object MaterializedView {
       }
     delta match {
       case None =>
-        lake.replaceOnce(aggOf(lake.read(d.src), d), d.view, batchId = to)
+        lake.replaceOnce(aggOf(enrich(lake.readSnapshot(d.src, to)), d), d.view, batchId = to)
       case Some(rows) =>
-        val da = aggOf(rows, d).select(d.groupCols.map(col) ++
+        val da = aggOf(enrich(rows), d).select(d.groupCols.map(col) ++
           d.aggs.map(a => col(a.alias).as("__d_" + a.alias)): _*)
         val t = lake.read(d.view)
         // only groups the delta touches leave the stored view; the

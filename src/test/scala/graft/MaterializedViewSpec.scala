@@ -240,6 +240,113 @@ class MaterializedViewSpec extends SparkSpec {
     assert(asMap(lake.read("sales_by_status"))("O") ===
       ((dec("5.00"), 5L, dec("1.00"), dec("1.00"))))
   }
+
+  // ---- join-shaped views (fact ⋈ dim, the silver_enrich shape) ----
+
+  private val JoinDef = MV.ViewDef("sales_by_seg", "fact_t",
+    groupCols = Seq("seg"),
+    aggs = Seq(MV.SumCol("price", "total"), MV.CountAll("n")),
+    join = Some(MV.JoinSpec("dim_t", "cust", "cid")))
+
+  private def factDf(rows: (Long, Long, java.math.BigDecimal)*) =
+    rows.toDF("id", "cust", "price")
+      .select(col("id"), col("cust"), col("price").cast("decimal(18,2)").as("price"))
+
+  private def dimDf(rows: (Long, String)*) = rows.toDF("cid", "seg")
+
+  private def joinRecompute(lake: Lakehouse) = {
+    val j = lake.read("fact_t").join(lake.read("dim_t"),
+      col("cust") === col("cid"))
+    j.groupBy("seg").agg(sum(col("price")).as("total"), count(lit(1)).as("n"))
+  }
+
+  private def segMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[String]("seg") ->
+      ((r.getAs[java.math.BigDecimal]("total"), r.getAs[Long]("n")))).toMap
+
+  test("join view: fact-append refresh merges delta ⋈ dim, equals the recompute") {
+    val root = freshDir("graft-mview-join")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")), (12L, 9L, dec("99.00"))), "fact_t")
+    MV.create(lake, JoinDef)
+    // cust 9 has no dim row: inner join drops it, in both paths
+    assert(segMap(lake.read("sales_by_seg")) === Map(
+      "AUTO" -> ((dec("10.00"), 1L)), "RETAIL" -> ((dec("4.00"), 1L))))
+    lake.append(factDf((13L, 1L, dec("2.50")), (14L, 2L, dec("1.00"))), "fact_t")
+    MV.refresh(lake, JoinDef)
+    assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
+    assert(segMap(lake.read("sales_by_seg"))("AUTO") === ((dec("12.50"), 2L)))
+  }
+
+  test("join view: refresh reads the fact DELTA, not the fact history (O(delta) opens)") {
+    val root = freshDir("graft-mview-joind")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL")), "dim_t")
+    // eight fact dirs of history before the view exists
+    lake.createOrReplace(factDf((0L, 1L, dec("1.00"))), "fact_t")
+    (1L to 7L).foreach(i => lake.append(factDf((i, 1L + i % 2, dec("1.00"))), "fact_t"))
+    MV.create(lake, JoinDef)
+    lake.append(factDf((100L, 1L, dec("5.00"))), "fact_t")
+    val before = Lakehouse.dataDirOpens.get()
+    MV.refresh(lake, JoinDef)
+    val opened = Lakehouse.dataDirOpens.get() - before
+    // delta dir + dim + stored view (+ upsert rewrite) — NEVER the
+    // eight historical fact dirs
+    assert(opened <= 5, s"join-view refresh opened $opened dirs — the fact history leaked in")
+    assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
+  }
+
+  test("join view: a replayed refresh is a no-op (fact watermark in the commit)") {
+    val root = freshDir("graft-mview-joinr")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf((1L, "AUTO")), "dim_t")
+    lake.createOrReplace(factDf((10L, 1L, dec("10.00"))), "fact_t")
+    MV.create(lake, JoinDef)
+    lake.append(factDf((11L, 1L, dec("3.00"))), "fact_t")
+    MV.refresh(lake, JoinDef)
+    val snap = lake.currentSnapshot("sales_by_seg").get
+    MV.refresh(lake, JoinDef) // crash-replay: same fact snapshot, same dim
+    assert(lake.currentSnapshot("sales_by_seg").get === snap)
+    assert(segMap(lake.read("sales_by_seg"))("AUTO") === ((dec("13.00"), 2L)))
+  }
+
+  test("join view: a dim change forces recompute — even with the fact unmoved") {
+    val root = freshDir("graft-mview-joindim")
+    val lake = new Lakehouse(spark, root)
+    // dim starts HALF-populated: cust 2's rows drop out of the inner join
+    lake.createOrReplace(dimDf((1L, "AUTO")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00"))), "fact_t")
+    MV.create(lake, JoinDef)
+    assert(segMap(lake.read("sales_by_seg")) === Map("AUTO" -> ((dec("10.00"), 1L))))
+    // dim grows; fact does NOT move — the recompute path must still fire
+    lake.append(dimDf((2L, "RETAIL")), "dim_t")
+    MV.refresh(lake, JoinDef)
+    assert(segMap(lake.read("sales_by_seg")) === Map(
+      "AUTO" -> ((dec("10.00"), 1L)), "RETAIL" -> ((dec("4.00"), 1L))))
+    // and the delta path resumes afterwards at the new dim pin
+    lake.append(factDf((12L, 2L, dec("6.00"))), "fact_t")
+    MV.refresh(lake, JoinDef)
+    assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
+    assert(segMap(lake.read("sales_by_seg"))("RETAIL") === ((dec("10.00"), 2L)))
+  }
+
+  test("join view: the definition persists with its join spec and reloads by name") {
+    val root = freshDir("graft-mview-joinp")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf((1L, "AUTO")), "dim_t")
+    lake.createOrReplace(factDf((10L, 1L, dec("10.00"))), "fact_t")
+    MV.create(lake, JoinDef)
+    MV.persist(lake, JoinDef)
+    assert(MV.load(lake, "sales_by_seg") === Some(JoinDef))
+    // and CALL refresh_mview drives a join view through the loaded def
+    lake.registerView("sales_by_seg")
+    lake.append(factDf((11L, 1L, dec("1.00"))), "fact_t")
+    spark.sql("CALL system.refresh_mview('sales_by_seg')").collect()
+    assert(segMap(lake.read("sales_by_seg"))("AUTO") === ((dec("11.00"), 2L)))
+  }
 }
 
 /** Test-side twin of the view's aggregation, for recompute checks. */
