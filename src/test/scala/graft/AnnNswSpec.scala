@@ -27,7 +27,10 @@ class AnnNswSpec extends SparkSpec {
       assert(rows.minBy(_._3)._2 === q)
     }
     val recall = hit.toDouble / total
-    assert(recall >= 0.8, s"recall@10 = $recall — the beam is stalling in local minima")
+    // floor raised 0.8 → 0.9 with HNSW layering (greedy descent
+    // through the sparse upper layers lands the layer-0 beam in the
+    // right neighborhood; measured 1.0 at these constants)
+    assert(recall >= 0.9, s"recall@10 = $recall — the beam is stalling in local minima")
   }
 
   test("the whole index + answers are bit-reproducible across runs") {
@@ -37,19 +40,31 @@ class AnnNswSpec extends SparkSpec {
   }
 
   test("shard/beam constants move recall, not correctness of the shape") {
-    // a narrower beam may lose recall but must keep self-retrieval and
-    // determinism — the failure mode is missing neighbors, never wrong
-    // scores (scores are exact for whatever ids are returned)
+    // a narrower beam may lose recall — including, at ef=8 over
+    // near-random vectors, a query's own node (the flat-NSW era
+    // "always self-retrieves" held only because the beam SEEDED at
+    // index 0, which happened to be the query; HNSW seeds at the
+    // descended entry point, so tiny beams carry no such guarantee) —
+    // but determinism and score EXACTNESS must survive any constants:
+    // the failure mode is missing neighbors, never wrong scores
     val narrow = runs(Similarity.annNswTopk(spark, sf, k = 5, shards = 4, m = 4, ef = 8))
+    val narrow2 = runs(Similarity.annNswTopk(spark, sf, k = 5, shards = 4, m = 4, ef = 8))
+    assert(narrow === narrow2, "narrow constants must stay bit-reproducible")
     val exact = runs(Similarity.annCosineTopk(spark, sf, k = 5))
       .map { case (q, v, r, c) => (q, v) -> c }.toMap
-    narrow.groupBy(_._1).foreach { case (q, rows) =>
-      assert(rows.minBy(_._3)._2 === q)
+    assert(narrow.nonEmpty)
+    narrow.groupBy(_._1).foreach { case (_, rows) =>
       rows.foreach { case (qq, v, _, c) =>
         // any returned (q, v) pair that the exact top-5 also contains
         // must carry the identical rounded cosine
         exact.get((qq, v)).foreach(ec => assert(ec === c))
       }
+    }
+    // at the DEFAULT constants the hierarchy must find the query's own
+    // vector at rank 1 (cosine 1.0 is unbeatable — missing it means
+    // the descent is broken, not merely imprecise)
+    runs(Similarity.annNswTopk(spark, sf)).groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.minBy(_._3)._2 === q)
     }
   }
 }
