@@ -36,6 +36,7 @@ object SparkEntry {
     "q_runtime_filter" -> (Medallion.qRuntimeFilter _),
     "q_cdc_read" -> (Medallion.qCdcRead _),
     "q_bucket_join" -> (Medallion.qBucketJoin _),
+    "q_spj_join" -> (Medallion.qSpjJoin _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -314,6 +315,15 @@ object SparkEntry {
     // plain join and pins colocated = 1.0 — the executed bucketed
     // join plan must contain no Exchange
     "q_bucket_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(1.0 AS DOUBLE) AS colocated
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // storage-partitioned join: same grouped-join semantics, and the
+    // pinned colocated=1.0 asserts the DSv2 KeyGroupedPartitioning
+    // path planned the join with no Exchange
+    "q_spj_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  CAST(1.0 AS DOUBLE) AS colocated

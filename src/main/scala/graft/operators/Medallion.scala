@@ -594,6 +594,73 @@ object Medallion {
     }
   }
 
+  // each q_spj_join call builds a fresh lakehouse root; Spark caches
+  // catalog instances by NAME with first-use options, so every call
+  // registers a fresh catalog name
+  private val spjCatalogSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `q_spj_join` — STORAGE-PARTITIONED JOIN over hidden `bucket(n,k)`
+    * layouts ([[graft.sources.spj.GraftSpjCatalog]], the Iceberg-SPJ
+    * analog): orders and customer land as lakehouse tables hidden-
+    * partitioned by the SAME `bucket(8, custkey)` transform — no
+    * Spark-native bucketed companion copy — and the join planned
+    * through the DSv2 catalog reports `KeyGroupedPartitioning` on both
+    * scans, so `EnsureRequirements` proves bucket-by-bucket
+    * co-location and plans NO Exchange. The readout pins
+    * `colocated = 1.0` (a [[plansShuffle]] tree walk over plan node
+    * classes, not a string match) alongside the grouped join results,
+    * so the oracle hash-checks both the SEMANTICS (same rows as the
+    * shuffled join) and the SCALE PROPERTY (at 100 TB the fact-fact
+    * equi-join's dominant shuffle is deleted — paid once at write
+    * time by the layout, like [[qBucketJoin]] but straight off the
+    * hidden-partitioned table). */
+  def qSpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjjoin").toString
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "spjq_orders", Seq("bucket(8,o_custkey)"))
+    lake.createOrReplace(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")),
+      "spjq_customer", Seq("bucket(8,c_custkey)"))
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(s"$cat.spjq_orders")
+        .join(spark.table(s"$cat.spjq_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val colocated = if (plansShuffle(joined)) 0.0 else 1.0
+      // freeze inside the conf scope (≤ |mktsegments| rows): the
+      // Exchange-free plan must be the one that EXECUTES, not just the
+      // one inspected — a lazy return would re-plan after the finally
+      // restores the session confs
+      val rows = joined
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("c_mktsegment")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), colocated))
+      import spark.implicits._
+      rows.toSeq.toDF("c_mktsegment", "n", "total", "colocated")
+        .orderBy("c_mktsegment")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      prevBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
   /** `q_cdc_read` — the CDC CHANGELOG read at the driver surface
     * ([[graft.sources.Lakehouse.readChangesCdc]], the Iceberg
     * `changelog` / Delta CDF analog): baseline lands, a batch

@@ -4374,6 +4374,81 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       if (!spark.catalog.tableExists(t)) Bucketed.register(spark, t, cols, n, p)
     }
   }
+
+  /** STORAGE-PARTITIONED-JOIN layout of a table hidden-partitioned by
+    * one `bucket(n,k)` transform: the logical schema, the bucket
+    * column, the bucket count, and every committed data file grouped
+    * by its bucket value (with lengths, so the scan plans without
+    * re-stat-ing). This is what [[graft.sources.spj.GraftSpjCatalog]]
+    * serves to Spark as a DSv2 table reporting `KeyGroupedPartitioning`
+    * — the Iceberg SPJ shape, where two tables sharing the transform
+    * join with NO Exchange because the planner proves each bucket is
+    * already co-located.
+    *
+    * Deliberately strict (loud refusal beats a silently-wrong
+    * Exchange-free plan):
+    *  - every data dir must carry the SAME single-level bucket layout
+    *    (mixed-spec tables from partition evolution must be rewritten
+    *    under one spec first);
+    *  - no merge-on-read tombstones (the SPJ scan reads raw files;
+    *    `compact()` materializes deletes);
+    *  - no committed schema evolution (renames are applied at read by
+    *    projection in the regular path; the SPJ scan reads raw files,
+    *    so evolved tables must be compacted under the current schema).
+    */
+  private[graft] def spjLayout(table: String, branch: String = "main"):
+      (org.apache.spark.sql.types.StructType, String, Int, Map[Int, Seq[(String, Long)]]) = {
+    val snap = currentSnapshot(table, branch).getOrElse(
+      throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+    val entries = snapshots(table).find(_._1 == snap)
+      .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $snap"))._2
+    require(snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty,
+      s"$table@$branch carries merge-on-read tombstones — compact() before a storage-partitioned read")
+    require(schemaLines(table).isEmpty,
+      s"$table has committed schema evolution — compact() under the current schema before a storage-partitioned read")
+    val dataDirs = entries.map(_.takeWhile(_ != '/')).distinct
+    val phys = dataDirs.map(d => physDirLayout(table, d)).distinct match {
+      case Seq(Seq(p)) if Transforms.specOfPhys(p).startsWith("bucket(") => p
+      case other => throw new IllegalArgumentException(
+        s"$table is not uniformly bucket-partitioned (layouts: ${
+          other.map(_.mkString("/")).mkString("; ")}) — " +
+          "storage-partitioned joins need one bucket(n,k) spec on every data dir")
+    }
+    val BucketSpecRe = """bucket\((\d+),(.+)\)""".r
+    val (n, keyCol) = Transforms.specOfPhys(phys) match {
+      case BucketSpecRe(nn, c) => (nn.toInt, c)
+    }
+    val schema = metaSchema(table, entries, snap).getOrElse(
+      throw new IllegalStateException(s"cannot resolve a schema for $table@$snap"))
+    // walk committed entries once per data dir (a whole-dir entry is
+    // authoritative over leaf entries of the same dir, mirroring
+    // readSnapshot's grouping), collecting (bucket, path, length)
+    val marker = "/" + phys + "="
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap {
+        case s if s.isFile && s.getPath.getName.endsWith(".parquet") => Seq(s)
+        case s if s.isDirectory && (!s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.contains("=")) => walk(s.getPath)
+        case _ => Seq.empty
+      }
+    val files = entries.groupBy(_.takeWhile(_ != '/')).toSeq.flatMap { case (dataDir, es) =>
+      val roots = if (es.contains(dataDir)) Seq(dataDir) else es
+      roots.flatMap { e =>
+        val p = new Path(tableDir(table), e)
+        if (fs.exists(p)) walk(p) else Seq.empty
+      }
+    }.map { st =>
+      val full = st.getPath.toString
+      val at = full.indexOf(marker)
+      require(at >= 0, s"data file outside the bucket layout: $full")
+      val bucket = full.substring(at + marker.length).takeWhile(_ != '/').toInt
+      (bucket, full, st.getLen)
+    }
+    (schema, keyCol, n,
+      files.groupBy(_._1).map { case (b, fs0) =>
+        b -> fs0.map(f => (f._2, f._3)).sortBy(_._1)
+      })
+  }
 }
 
 /** Thrown when a conditional commit loses the optimistic-concurrency

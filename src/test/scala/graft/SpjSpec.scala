@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Medallion
+import graft.sources.{Lakehouse, Tables}
+import graft.sources.spj.GraftSpjCatalog
+
+/** Storage-partitioned joins over hidden `bucket(n,k)` layouts
+  * ([[graft.sources.spj.GraftSpjCatalog]]): two lakehouse tables
+  * sharing the bucket transform join with NO Exchange, results
+  * bit-equal to the plain shuffled join. */
+class SpjSpec extends SparkSpec {
+
+  // one catalog name per root: Spark caches catalog instances by name
+  // with the options seen at FIRST use, so re-pointing `.root` on a
+  // used name would silently keep serving the old lakehouse
+  private def withSpj[T](root: String, cat: String)(body: => T): T = {
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val prevBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      prevBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  test("join of two bucket(8,k) hidden-layout tables plans no Exchange and matches the shuffled join") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    lake.createOrReplace(orders, "spj_o", Seq("bucket(8,o_custkey)"))
+    // second table built from TWO commits: the scan must union dirs
+    lake.createOrReplace(cust.where(col("c_custkey") % 2 === 0), "spj_c",
+      Seq("bucket(8,c_custkey)"))
+    lake.append(cust.where(col("c_custkey") % 2 =!= 0), "spj_c",
+      Seq("bucket(8,c_custkey)"))
+    withSpj(root, "spj_t1") {
+      val a = spark.table("spj_t1.spj_o")
+      val b = spark.table("spj_t1.spj_c")
+      val joined = a.join(b, col("o_custkey") === col("c_custkey"))
+      assert(!Medallion.plansShuffle(joined),
+        "co-bucketed SPJ join must not shuffle:\n" + joined.queryExecution.executedPlan)
+      val plain = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      assert(sortedRows(joined) === sortedRows(plain))
+      assert(joined.count() > 0)
+    }
+  }
+
+  test("mismatched bucket counts fall back to a correct shuffled join (negative control)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-n").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    lake.createOrReplace(orders, "spj_o8", Seq("bucket(8,o_custkey)"))
+    lake.createOrReplace(cust, "spj_c16", Seq("bucket(16,c_custkey)"))
+    withSpj(root, "spj_t2") {
+      val joined = spark.table("spj_t2.spj_o8")
+        .join(spark.table("spj_t2.spj_c16"), col("o_custkey") === col("c_custkey"))
+      assert(Medallion.plansShuffle(joined),
+        "8-vs-16 buckets cannot be co-located — the planner must shuffle")
+      val plain = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      assert(sortedRows(joined) === sortedRows(plain))
+    }
+  }
+
+  test("column pruning reaches the SPJ scan; empty buckets plan as empty partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-p").toString
+    val lake = new Lakehouse(spark, root)
+    // two keys only -> at most 2 of 8 buckets non-empty, the other
+    // partitions must still exist (both sides align) and read empty
+    import spark.implicits._
+    val few = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dim = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k2", "w")
+    lake.createOrReplace(few, "spj_few", Seq("bucket(8,k)"))
+    lake.createOrReplace(dim, "spj_dim", Seq("bucket(8,k2)"))
+    withSpj(root, "spj_t3") {
+      val t = spark.table("spj_t3.spj_few")
+      val joined = t.join(spark.table("spj_t3.spj_dim"), col("k") === col("k2"))
+        .select(col("k"), col("v"), col("w"))
+      assert(!Medallion.plansShuffle(joined))
+      assert(sortedRows(joined) === Seq("1|a|10.0", "2|b|20.0"))
+      // pruning: a single-column projection must not read the rest
+      val pruned = t.select(col("v"))
+      val scanDesc = pruned.queryExecution.executedPlan.toString
+      assert(!scanDesc.contains("k#") || scanDesc.contains("GraftSpj"),
+        "scan should describe the SPJ source")
+      assert(pruned.queryExecution.executedPlan.toString.contains("GraftSpj"))
+      assert(sortedRows(pruned) === Seq("a", "b"))
+    }
+  }
+
+  test("the V2 bucket function agrees with the write-side layout hash") {
+    import graft.sources.spj.GraftBucketFunction
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val boundLong = GraftBucketFunction.bind(
+      StructType(Seq(StructField("n", IntegerType), StructField("k", LongType))))
+    val boundStr = GraftBucketFunction.bind(
+      StructType(Seq(StructField("n", IntegerType), StructField("k", StringType))))
+    // engine side: the same hash the writer used to route rows
+    val engine = spark.range(0, 200).toDF("k")
+      .withColumn("b", pmod(graft.functions.HashFunctions.h62(col("k").cast("string")), lit(8L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 200L).foreach { k =>
+      val viaLong = boundLong.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+        .produceResult(InternalRow(8, k))
+      val viaStr = boundStr.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+        .produceResult(InternalRow(8, UTF8String.fromString(k.toString)))
+      assert(viaLong.toInt === engine(k).toInt, s"long key $k")
+      assert(viaStr.toInt === engine(k).toInt, s"string key $k")
+    }
+  }
+
+  test("strictness: tombstoned or mixed-layout tables refuse the SPJ read loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-s").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    lake.createOrReplace(df, "spj_mor", Seq("bucket(4,k)"))
+    lake.deleteWhereMor(col("k") === 2L, "spj_mor")
+    val eMor = intercept[IllegalArgumentException] { lake.spjLayout("spj_mor") }
+    assert(eMor.getMessage.contains("tombstones"))
+
+    lake.createOrReplace(df, "spj_mix", Seq("bucket(4,k)"))
+    lake.append(df, "spj_mix") // unpartitioned second dir
+    val eMix = intercept[IllegalArgumentException] { lake.spjLayout("spj_mix") }
+    assert(eMix.getMessage.contains("bucket"))
+  }
+}
