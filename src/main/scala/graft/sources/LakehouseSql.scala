@@ -960,7 +960,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseStripped(GraftSqlParser.stripComments(sqlText), sqlText)
+
+  /** The intercept regexes match the COMMENT-STRIPPED text (`stripped`;
+    * quote-aware, so comment markers inside a string literal survive) —
+    * a trailing `-- note` must not make a registered-view DELETE fall
+    * through to the delegate, and a comment inside a WHERE tail must
+    * not be captured into a predicate that then fails `expr()` at run.
+    * Captured fragments therefore come comment-free; the DELEGATE
+    * always receives the ORIGINAL statement, so delegation stays
+    * byte-exact (fuzz-pinned by SqlParserFuzzSpec). */
+  private def parseStripped(stripped: String, sqlText: String): LogicalPlan = stripped match {
     case CallRe(proc, argstr) if callTable(argstr).exists(LakehouseRegistry.isRegistered) =>
       LakehouseCallCommand(proc.toLowerCase, callArgs(argstr))
     case ShowCatalogsRe() => LakehouseShowCatalogsCommand()
@@ -1270,4 +1281,55 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  /** Remove SQL comments QUOTE-AWARELY: `-- …\n` line comments and
+    * slash-star bracketed comments (nested, as Spark's lexer allows)
+    * are replaced by a single space; comment markers inside `'…'`,
+    * `"…"` and `` `…` `` survive untouched (both `''`-doubling and
+    * backslash escapes respected). Only the intercept MATCHING reads
+    * this text — the delegate always parses the original — so the
+    * worst a stripper bug can do is delegate a statement the intercept
+    * could have served, never corrupt one. */
+  private[sources] def stripComments(sql: String): String = {
+    val out = new java.lang.StringBuilder(sql.length)
+    val n = sql.length
+    var i = 0
+    var state = 0 // 0 normal, 1 inside '…', 2 inside "…", 3 inside `…`
+    var depth = 0 // bracketed-comment nesting
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (depth > 0) {
+        if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') { depth += 1; i += 2 }
+        else if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') {
+          depth -= 1; i += 2
+          if (depth == 0) out.append(' ')
+        } else i += 1
+      } else if (state == 0) {
+        if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+          while (i < n && sql.charAt(i) != '\n') i += 1 // keep the newline
+          out.append(' ')
+        } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+          depth = 1; i += 2
+        } else {
+          if (c == '\'') state = 1
+          else if (c == '"') state = 2
+          else if (c == '`') state = 3
+          out.append(c); i += 1
+        }
+      } else {
+        // inside a quoted region: backslash escapes the next char;
+        // a doubled closer reads as exit-then-reenter, which is safe
+        if (c == '\\' && state != 3 && i + 1 < n) {
+          out.append(c).append(sql.charAt(i + 1)); i += 2
+        } else {
+          if ((state == 1 && c == '\'') || (state == 2 && c == '"') ||
+            (state == 3 && c == '`')) state = 0
+          out.append(c); i += 1
+        }
+      }
+    }
+    out.toString
+  }
 }
