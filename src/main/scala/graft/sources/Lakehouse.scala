@@ -4396,8 +4396,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     *    projection in the regular path; the SPJ scan reads raw files,
     *    so evolved tables must be compacted under the current schema).
     */
-  private[graft] def spjLayout(table: String, branch: String = "main"):
-      (org.apache.spark.sql.types.StructType, String, Int, Map[Int, Seq[(String, Long)]]) = {
+  private[graft] def spjLayout(table: String, branch: String = "main"): SpjLayout = {
     val snap = currentSnapshot(table, branch).getOrElse(
       throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
     val entries = snapshots(table).find(_._1 == snap)
@@ -4433,20 +4432,29 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       }
     val files = entries.groupBy(_.takeWhile(_ != '/')).toSeq.flatMap { case (dataDir, es) =>
       val roots = if (es.contains(dataDir)) Seq(dataDir) else es
+      // the dir's stats ledger, keyed by table-relative path — carried
+      // per file so the DSv2 scan can range-prune against pushed
+      // filters without re-reading any ledger at plan time
+      val dirStats: Map[String, Map[String, (String, String, String)]] =
+        readStats(table, dataDir).groupBy(_._1).map { case (rel, ss) =>
+          rel -> ss.map(s => s._2 -> ((s._3, s._4, s._5))).toMap
+        }
+      val dirMarker = "/" + dataDir + "/"
       roots.flatMap { e =>
         val p = new Path(tableDir(table), e)
         if (fs.exists(p)) walk(p) else Seq.empty
+      }.map { st =>
+        val full = st.getPath.toString
+        val at = full.indexOf(marker)
+        require(at >= 0, s"data file outside the bucket layout: $full")
+        val bucket = full.substring(at + marker.length).takeWhile(_ != '/').toInt
+        val rel = full.substring(full.indexOf(dirMarker) + 1)
+        (bucket, SpjFile(full, st.getLen, dirStats.getOrElse(rel, Map.empty)))
       }
-    }.map { st =>
-      val full = st.getPath.toString
-      val at = full.indexOf(marker)
-      require(at >= 0, s"data file outside the bucket layout: $full")
-      val bucket = full.substring(at + marker.length).takeWhile(_ != '/').toInt
-      (bucket, full, st.getLen)
     }
-    (schema, keyCol, n,
+    SpjLayout(schema, keyCol, n,
       files.groupBy(_._1).map { case (b, fs0) =>
-        b -> fs0.map(f => (f._2, f._3)).sortBy(_._1)
+        b -> fs0.map(_._2).sortBy(_.path)
       })
   }
 }
@@ -4532,6 +4540,18 @@ object Lakehouse {
   * biggest recurring-cost lever in §4 (spec proves the shuffle-free
   * plan). Uses the session catalog (`saveAsTable`), the only write
   * path that records bucketing metadata. */
+/** One data file of a storage-partitioned layout: absolute path, byte
+  * length (so the scan plans splits without re-stat-ing), and its
+  * stats-ledger bounds `col -> (type, lo, hi)` for plan-time range
+  * pruning against pushed filters. */
+private[graft] case class SpjFile(path: String, length: Long,
+    stats: Map[String, (String, String, String)])
+
+/** A table's storage-partitioned-join layout ([[Lakehouse.spjLayout]]):
+  * logical schema, bucket column, bucket count, files per bucket. */
+private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructType,
+    keyCol: String, nBuckets: Int, files: Map[Int, Seq[SpjFile]])
+
 object Bucketed {
   def write(df: DataFrame, table: String, bucketCols: Seq[String], nBuckets: Int,
       path: String): Unit = {

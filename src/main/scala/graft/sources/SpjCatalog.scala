@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
-import graft.sources.Lakehouse
+import graft.sources.{Lakehouse, SpjFile, SpjLayout}
 
 /** STORAGE-PARTITIONED JOINS over hidden `bucket(n,k)` lakehouse
   * layouts — the Iceberg-SPJ analog, done the way Iceberg does it: a
@@ -76,13 +76,13 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
       case Array(b) => b
       case _ => throw new NoSuchTableException(ident)
     }
-    val (schema, keyCol, n, files) =
+    val layout =
       try lake.spjLayout(ident.name(), branch)
       catch {
         case e: IllegalArgumentException if e.getMessage.startsWith("no such table") =>
           throw new NoSuchTableException(ident)
       }
-    new GraftSpjTable(ident.name(), schema, keyCol, n, files)
+    new GraftSpjTable(ident.name(), layout)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -105,42 +105,66 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
 
 /** One lakehouse snapshot presented as a DSv2 table partitioned by
   * `bucket(n, keyCol)`. Read-only, batch-only. */
-private[spj] class GraftSpjTable(tableName: String, tableSchema: StructType,
-    keyCol: String, nBuckets: Int, files: Map[Int, Seq[(String, Long)]])
+private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout)
   extends Table with SupportsRead {
 
   override def name(): String = tableName
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType = layout.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def partitioning(): Array[Transform] =
-    Array(Expressions.bucket(nBuckets, keyCol))
+    Array(Expressions.bucket(layout.nBuckets, layout.keyCol))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSpjScanBuilder(tableSchema, keyCol, nBuckets, files)
+    new GraftSpjScanBuilder(layout)
 }
 
-/** Column pruning reaches the parquet scan ([[SupportsPushDownRequiredColumns]]);
-  * row filters are left to Spark post-scan — FILE pruning already
-  * happened against the stats ledger when the layout was chosen, and a
-  * wrong-but-fast filter pushdown is the one bug class this surface
-  * must never have. */
-private[spj] class GraftSpjScanBuilder(dataSchema: StructType, keyCol: String,
-    nBuckets: Int, files: Map[Int, Seq[(String, Long)]])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+/** Column pruning AND filter pushdown reach the scan. Filters do
+  * triple duty, every leg conservative:
+  *  - FILE pruning against each file's stats-ledger bounds (may-match
+  *    ranges — a file is dropped only when its recorded [lo, hi]
+  *    PROVES no row can satisfy a conjunct);
+  *  - BUCKET pruning: an equality/IN on the bucket column maps through
+  *    the layout hash to the only buckets that can hold matches (the
+  *    partition STRUCTURE is kept — pruned buckets plan as empty
+  *    partitions, so SPJ alignment with the other side is untouched);
+  *  - ROW-GROUP skipping: the accepted filters ride into the parquet
+  *    reader, which skips row groups by footer stats.
+  * Every filter is ALSO returned as residual — pruning is may-match,
+  * so Spark keeps the exact predicate on top; a wrong-but-fast
+  * pushdown is the one bug class this surface must never have. */
+private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
-  private var required: StructType = dataSchema
+  import org.apache.spark.sql.sources.Filter
+
+  private var required: StructType = layout.schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new GraftSpjScan(dataSchema, required, keyCol, nBuckets, files)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(SpjPruning.usable)
+    filters // ALL filters stay residual: pruning is may-match only
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = {
+    val allowed = SpjPruning.allowedBuckets(layout.keyCol, layout.nBuckets, pushed.toSeq)
+    val pruned = layout.files.map { case (b, fs) =>
+      b -> (if (allowed.exists(a => !a.contains(b))) Seq.empty[SpjFile]
+      else fs.filter(f => pushed.forall(SpjPruning.mayMatch(f.stats, _))))
+    }
+    new GraftSpjScan(layout.schema, required, layout.keyCol, layout.nBuckets, pruned, pushed.toSeq)
+  }
 }
 
 private[spj] class GraftSpjScan(dataSchema: StructType, required: StructType,
-    keyCol: String, nBuckets: Int, files: Map[Int, Seq[(String, Long)]])
+    keyCol: String, nBuckets: Int, files: Map[Int, Seq[SpjFile]],
+    pushed: Seq[org.apache.spark.sql.sources.Filter])
   extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftSpj bucket($nBuckets,$keyCol) ${files.valuesIterator.map(_.size).sum} files"
+    s"GraftSpj bucket($nBuckets,$keyCol) ${files.valuesIterator.map(_.size).sum} files" +
+      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]")
 
   /** The contract that deletes the Exchange: each scan partition IS
     * one bucket, keyed by the transform over the join column. */
@@ -164,7 +188,7 @@ private[spj] class GraftSpjScan(dataSchema: StructType, required: StructType,
     val spark = SparkSession.active
     val conf: Configuration = spark.sessionState.newHadoopConf()
     val readerFn = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, dataSchema, new StructType(), required, Seq.empty,
+      spark, dataSchema, new StructType(), required, pushed,
       // row-returning contract: this scan's PartitionReader hands rows
       // to DataSourceRDD (vectorized decode still happens inside the
       // reader; only the hand-off is row-shaped)
@@ -174,7 +198,7 @@ private[spj] class GraftSpjScan(dataSchema: StructType, required: StructType,
   }
 }
 
-private[spj] case class GraftBucketPartition(bucket: Int, files: Array[(String, Long)])
+private[graft] case class GraftBucketPartition(bucket: Int, files: Array[SpjFile])
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -188,9 +212,9 @@ private[spj] class GraftSpjReaderFactory(
     // the vectorized reader hands back ColumnarBatch under an
     // InternalRow-typed iterator (the FileScanRDD convention) —
     // flatten batches to their row view, exactly as ColumnarToRow does
-    val rows: Iterator[InternalRow] = p.files.iterator.flatMap { case (path, len) =>
-      readerFn(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
-        0L, len, Array.empty[String], 0L, len, Map.empty))
+    val rows: Iterator[InternalRow] = p.files.iterator.flatMap { f =>
+      readerFn(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.path),
+        0L, f.length, Array.empty[String], 0L, f.length, Map.empty))
         .asInstanceOf[Iterator[Any]]
         .flatMap {
           case b: ColumnarBatch => b.rowIterator().asScala
@@ -258,4 +282,103 @@ private[spj] case class GraftBucketBound(keyType: DataType)
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >>> 2
     (h % n).toInt
   }
+}
+
+/** Conservative plan-time pruning against pushed V1 filters. The only
+  * permitted error direction is KEEPING a file that holds no matches —
+  * dropping one that might is the silent-wrong-results bug class, so
+  * every unknown (missing stat, unmapped type, unparseable bound,
+  * unsupported filter shape) answers "may match". */
+private[spj] object SpjPruning {
+  import org.apache.spark.sql.sources._
+
+  /** Filters safe to carry: stats-comparable scalar shapes. These also
+    * ride into the parquet reader for row-group skipping. */
+  def usable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => scalar(v)
+    case GreaterThan(_, v) => scalar(v)
+    case GreaterThanOrEqual(_, v) => scalar(v)
+    case LessThan(_, v) => scalar(v)
+    case LessThanOrEqual(_, v) => scalar(v)
+    case In(_, vs) => vs.nonEmpty && vs.forall(scalar)
+    case And(l, r) => usable(l) && usable(r)
+    case _ => false
+  }
+
+  private def scalar(v: Any): Boolean = v match {
+    case null => false
+    case _: String | _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float => true
+    case _ => false
+  }
+
+  /** Compare a recorded stat bound to a filter value under the stat's
+    * type tag; None = not comparable (degrade to may-match). */
+  private def cmp(t: String, bound: String, v: Any): Option[Int] = t match {
+    case "string" => v match {
+      case s: String => Some(bound.compareTo(s))
+      case _ => None
+    }
+    case "long" | "double" => v match {
+      case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float =>
+        scala.util.Try(BigDecimal(bound).compare(BigDecimal(v.toString))).toOption
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** May ANY row of a file with these recorded bounds satisfy `f`? */
+  def mayMatch(stats: Map[String, (String, String, String)], f: Filter): Boolean = f match {
+    case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
+    case EqualTo(c, v) => stats.get(c).forall { case (t, lo, hi) =>
+      (for { a <- cmp(t, lo, v); b <- cmp(t, hi, v) } yield a <= 0 && b >= 0).getOrElse(true)
+    }
+    case GreaterThan(c, v) => stats.get(c).forall { case (t, _, hi) =>
+      cmp(t, hi, v).forall(_ > 0)
+    }
+    case GreaterThanOrEqual(c, v) => stats.get(c).forall { case (t, _, hi) =>
+      cmp(t, hi, v).forall(_ >= 0)
+    }
+    case LessThan(c, v) => stats.get(c).forall { case (t, lo, _) =>
+      cmp(t, lo, v).forall(_ < 0)
+    }
+    case LessThanOrEqual(c, v) => stats.get(c).forall { case (t, lo, _) =>
+      cmp(t, lo, v).forall(_ <= 0)
+    }
+    case In(c, vs) => vs.isEmpty || vs.exists(v => mayMatch(stats, EqualTo(c, v)))
+    case _ => true
+  }
+
+  /** Buckets an equality/IN on the bucket column can reach through the
+    * layout hash; None = no usable bucket-column conjunct (all
+    * buckets). Conjuncts intersect. */
+  def allowedBuckets(keyCol: String, n: Int, fs: Seq[Filter]): Option[Set[Int]] = {
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    val sets = fs.flatMap(flat).flatMap {
+      case EqualTo(c, v) if c == keyCol =>
+        canonical(v).map(s => Set(bucketOf(s, n)))
+      case In(c, vs) if c == keyCol && vs.nonEmpty =>
+        val cs = vs.toSeq.map(canonical)
+        if (cs.forall(_.isDefined)) Some(cs.flatten.map(bucketOf(_, n)).toSet) else None
+      case _ => None
+    }
+    sets.reduceOption(_ intersect _)
+  }
+
+  /** The write-side transform's cast-to-string canonical form — only
+    * session-independent types map (same whitelist as Transforms). */
+  private def canonical(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case i: Long => Some(i.toString)
+    case i: Int => Some(i.toString)
+    case i: Short => Some(i.toString)
+    case i: Byte => Some(i.toString)
+    case _ => None
+  }
+
+  private def bucketOf(s: String, n: Int): Int =
+    ((graft.functions.HashImpl.md5Lower64(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >>> 2) % n).toInt
 }

@@ -106,6 +106,61 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("pushed filters prune files by ledger stats and buckets by the layout hash") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.spj.GraftBucketPartition
+    def filesOf(df: DataFrame): Int = {
+      def walk(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: BatchScanExec => s.inputPartitions.iterator.map {
+          case g: GraftBucketPartition => g.files.length
+          case _ => 0
+        }.foldLeft(0)(_ + _)
+        case other => other.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-f").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val b = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+    // two key-range-disjoint commits, one file per (commit, bucket):
+    // o_orderkey stats separate the commits, the bucket dir separates
+    // the custkeys
+    lake.createOrReplace(orders.where(col("o_orderkey") <= b).repartition(1),
+      "spj_pr", Seq("bucket(4,o_custkey)"))
+    lake.append(orders.where(col("o_orderkey") > b).repartition(1),
+      "spj_pr", Seq("bucket(4,o_custkey)"))
+    withSpj(root, "spj_t4") {
+      val t = spark.table("spj_t4.spj_pr")
+      val total = filesOf(t)
+      assert(total == 8, s"expected 2 commits x 4 buckets = 8 files, got $total")
+      // stats pruning: the range filter can only match commit-1 files
+      val ranged = t.where(col("o_orderkey") <= b)
+      assert(filesOf(ranged) == 4, "commit-2 files must be pruned by o_orderkey stats")
+      assert(ranged.count() === orders.where(col("o_orderkey") <= b).count())
+      // bucket pruning: equality on the bucket column reaches one
+      // bucket (<= 2 files, one per commit), rows stay exact
+      val someKey = orders.select(col("o_custkey")).head().getLong(0)
+      val eq = t.where(col("o_custkey") === someKey)
+      assert(filesOf(eq) <= 2, s"expected at most one bucket's files, got ${filesOf(eq)}")
+      assert(eq.count() === orders.where(col("o_custkey") === someKey).count())
+      // combined: range + equality composes both prunings
+      val both = t.where(col("o_custkey") === someKey && col("o_orderkey") <= b)
+      assert(filesOf(both) <= 1)
+      assert(both.count() ===
+        orders.where(col("o_custkey") === someKey && col("o_orderkey") <= b).count())
+      // a filter the pruner can't use (function of a column) keeps
+      // every file and stays correct
+      val opaque = t.where(abs(col("o_orderkey")) <= b)
+      assert(filesOf(opaque) == 8)
+      assert(opaque.count() === orders.where(abs(col("o_orderkey")) <= b).count())
+    }
+  }
+
   test("the V2 bucket function agrees with the write-side layout hash") {
     import graft.sources.spj.GraftBucketFunction
     import org.apache.spark.sql.catalyst.InternalRow
