@@ -195,10 +195,10 @@ object Curate {
       .select(col("doc_id"), col("quality"), col("n_tokens"))
       .withColumn("qb", round(col("quality") * 1e6, 0).cast("long"))
     val hist = d.groupBy("qb").agg(sum(col("n_tokens")).as("btok"))
-    // bounded relation (≤ 10⁶+1 rows): the only unpartitioned window
-    val cum = hist
-      .withColumn("cum", sum(col("btok")).over(
-        Window.orderBy(col("qb").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // bounded relation (≤ 10⁶+1 rows), prefix-summed SHARD-PARALLEL:
+    // no stage ever pulls the histogram through one task (r11 —
+    // BoundedHist replaced the last unpartitioned window here)
+    val cum = BoundedHist.cumSum(hist, Nil, "qb", "btok", "cum", descending = true)
       .withColumn("prev", col("cum") - col("btok"))
     // the histogram caps at ~10⁶ rows (~tens of MB) — above the default
     // autoBroadcast threshold at full width, so say broadcast explicitly:
@@ -291,9 +291,9 @@ object Curate {
     val s = TextAnalysis.unigramScored(spark, dir)
       .withColumn("cb", floor(col("mean_nll") * 100).cast("long"))
     val hist = s.groupBy("cb").agg(count(lit(1)).as("c"))
-    // bounded relation (≤ ~6 400 rows): the only unpartitioned window
-    val cum = hist.withColumn("cum", sum(col("c")).over(
-      Window.orderBy(col("cb")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // bounded relation (≤ ~6 400 rows), prefix-summed shard-parallel
+    // through the same [[BoundedHist]] rollup as the token budget
+    val cum = BoundedHist.cumSum(hist, Nil, "cb", "c", "cum", descending = false)
     val n = s.agg(count(lit(1)).as("n"))
     val withN = cum.crossJoin(broadcast(n))
     val lo = withN.where(col("cum") >= col("n") * pLo).agg(min(col("cb")).as("lo"))

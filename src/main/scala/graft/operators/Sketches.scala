@@ -222,10 +222,11 @@ object Sketches {
       .join(src, Seq("doc_id"))
       .withColumn("qb", round(col("quality") * 1e6, 0).cast("long"))
     val hist = d.groupBy("source", "qb").agg(count(lit(1)).as("bn"))
-    // the only windows run over the bounded histogram, never the corpus
-    val cum = hist.withColumn("cum",
-      sum(col("bn")).over(Window.partitionBy("source").orderBy("qb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-source histogram prefix sums run SHARD-PARALLEL (r11,
+    // [[Curate.BoundedHist]]): a hot source's ≤10⁶-row histogram no
+    // longer serializes through one window task
+    val cum = BoundedHist.cumSum(hist, Seq("source"), "qb", "bn", "cum",
+      descending = false)
     val totals = hist.groupBy("source").agg(sum(col("bn")).as("n"))
     cum.join(broadcast(totals), Seq("source"))
       .withColumn("p_pct", explode(array(pcts.map(lit): _*)))

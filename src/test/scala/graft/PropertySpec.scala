@@ -21,6 +21,36 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
       case (_, s) => (g.pureApply(Gen.Parameters.default, s), s.next)
     }.map(_._1).take(n).toSeq
 
+  test("BoundedHist.cumSum equals the naive unpartitioned window on random histograms") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7L)
+    (0 until 6).foreach { trial =>
+      val desc = trial % 2 == 0
+      val parts = if (trial < 2) Nil else Seq("g")
+      val nGroups = if (parts.isEmpty) 1 else 3
+      // keys include negatives and shard-boundary neighbors; one row
+      // per (group, key) — the histogram contract
+      val rows = (0 until nGroups).flatMap { g =>
+        rnd.shuffle((-40000 to 40000 by 997).toList).take(150).map { k =>
+          (s"g$g", k.toLong, rnd.nextInt(1000).toLong + 1)
+        }
+      }
+      val hist = rows.toDF("g", "k", "v")
+      val got = graft.operators.BoundedHist
+        .cumSum(hist, parts, "k", "v", "cum", descending = desc, shardWidth = 1000L)
+        .select((parts :+ "k" :+ "cum").map(col): _*)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val ord = if (desc) col("k").desc else col("k").asc
+      val w = (if (parts.isEmpty) Window.orderBy(ord)
+        else Window.partitionBy(parts.map(col): _*).orderBy(ord))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = hist.withColumn("cum", sum(col("v")).over(w))
+        .select((parts :+ "k" :+ "cum").map(col): _*)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(got == want, s"trial $trial (desc=$desc, parts=$parts)")
+    }
+  }
+
   test("ArrayDotLong equals the naive zip-multiply-sum on random vectors") {
     val vecs = sample(for {
       n <- Gen.choose(0, 80)
