@@ -89,6 +89,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
+    // persistent near-dup index: create on 2/3, append 1/3, one
+    // O(delta) refresh reports the new batch's pairs
+    "dedup_index_incremental" -> ((s, d) => Dedup.dedupIndexIncremental(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     // near-dup pairs -> keep-one clusters (connected components)
@@ -949,6 +952,38 @@ object SparkEntry {
         |bb AS (SELECT doc_id, u.band band, u.bkey bkey FROM bands),
         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
         |  FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |cm AS (SELECT c.doc_a, c.doc_b, count(*) common FROM cand c
+        |  JOIN pg a ON a.doc_id = c.doc_a JOIN pg b ON b.doc_id = c.doc_b AND b.g = a.g
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) n_sh FROM pg GROUP BY 1),
+        |v AS (SELECT cm.doc_a, cm.doc_b, cm.common, sa.n_sh na, sb.n_sh nb FROM cm
+        |  JOIN sz sa ON cm.doc_a = sa.doc_id JOIN sz sb ON cm.doc_b = sb.doc_id),
+        |j AS (SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) jaccard FROM v)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // incremental-index oracle: the same doc-level MinHash-LSH recomputed
+    // from scratch, kept only where a pair has a NEW (doc_id % 3 = 0) side
+    "dedup_index_incremental" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []
+        |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END sh FROM tk),
+        |ss AS (SELECT doc_id, sh, len(sh) n_sh FROM s WHERE len(sh) > 0),
+        |seeds AS (SELECT r.range i,
+        |  ((CAST(md5_number_lower('minhash-a|' || r.range::VARCHAR) // 4 AS BIGINT) % 2147483646) + 1) a,
+        |  (CAST(md5_number_lower('minhash-b|' || r.range::VARCHAR) // 4 AS BIGINT) % 2147483647) b
+        |  FROM range(0,16) r),
+        |pg AS (SELECT doc_id, CAST(md5_number_lower(unnest(sh)) // 4 AS BIGINT) g FROM ss),
+        |ph AS (SELECT doc_id, g % 2147483647 hp FROM pg),
+        |sg AS (SELECT doc_id, i, min((a * hp + b) % 2147483647) m
+        |  FROM ph CROSS JOIN seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(m::VARCHAR ORDER BY i) sgl FROM sg GROUP BY 1),
+        |bands AS (SELECT doc_id, unnest([{'band': b,
+        |    'bkey': md5(array_to_string(sgl[b*4+1:b*4+4], ','))}
+        |  for b in range(0,4)]) u FROM sig),
+        |bb AS (SELECT doc_id, u.band band, u.bkey bkey FROM bands),
+        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  AND (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)),
         |cm AS (SELECT c.doc_a, c.doc_b, count(*) common FROM cand c
         |  JOIN pg a ON a.doc_id = c.doc_a JOIN pg b ON b.doc_id = c.doc_b AND b.g = a.g
         |  GROUP BY 1, 2),
