@@ -1181,6 +1181,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * delegates to Spark's parser — travel composes with any SELECT,
     * including joins of two versions of the same table. References to
     * unregistered names are left untouched for Spark to reject. */
+  /** Regex replacement that NEVER fires inside a string literal,
+    * quoted identifier, or comment: a literal `'fz VERSION AS OF 3'`
+    * (with `fz` registered) must reach the delegate byte-exact, not be
+    * rewritten into a travel view name — the silent-corruption class
+    * the fuzz spec exists to catch. A match may legitimately EXTEND
+    * into a quoted region (the travel ref in `t VERSION AS OF 'dev'`
+    * is itself a literal); only matches STARTING inside one skip. */
+  private def guardedReplace(text: String, re: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val prot = GraftSqlParser.protectedSpans(text)
+    re.replaceAllIn(text, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (prot.exists(sp => m.start >= sp._1 && m.start < sp._2)) m.matched
+        else f(m)))
+  }
+
   private def rewriteTimeTravel(sqlText: String): String = {
     // fast path: no travel syntax and no metadata-table ref — don't
     // touch the text
@@ -1203,8 +1219,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // programmatic metadata relations. Only registered view names
     // rewrite, so alias-qualified COLUMNS named e.g. `files` on other
     // relations pass through untouched.
-    val metaed = MetaRe.replaceAllIn(sqlText, m =>
-      scala.util.matching.Regex.quoteReplacement {
+    val metaed = guardedReplace(sqlText, MetaRe) { m =>
+      {
         val view = m.group(1)
         val which = m.group(2).toLowerCase(java.util.Locale.ROOT)
         LakehouseRegistry.lookup(spark, view).map { case (lake, _) =>
@@ -1222,27 +1238,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           TravelViews.track(spark, tv)
           tv
         }.getOrElse(m.matched)
-      })
-    val versioned = VersionAsOfRe.replaceAllIn(metaed, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        travelView(m.group(1), m.group(2),
-          _.readSnapshot(m.group(1), m.group(2).toLong)).getOrElse(m.matched)))
+      }
+    }
+    val versioned = guardedReplace(metaed, VersionAsOfRe)(m =>
+      travelView(m.group(1), m.group(2),
+        _.readSnapshot(m.group(1), m.group(2).toLong)).getOrElse(m.matched))
     // quoted VERSION AS OF = a NAMED REF (Iceberg's tag/branch refs):
     // tags win (they are immutable audit pointers), then branch heads
     // resolve — `SELECT … FROM t VERSION AS OF 'dev'` reads the dev
     // branch from a main-scoped session without touching the session
     // branch conf
-    val tagged = VersionTagRe.replaceAllIn(versioned, m =>
-      scala.util.matching.Regex.quoteReplacement {
+    val tagged = guardedReplace(versioned, VersionTagRe) { m =>
+      {
         val ref = m.group(2)
         val view = m.group(1)
         travelView(view, "ref_" + ref.replaceAll("\\W", "_"), { lake =>
           if (lake.tags(view).exists(_._1 == ref)) lake.readTag(view, ref)
           else lake.read(view, ref)
         }).getOrElse(m.matched)
-      })
-    TimestampAsOfRe.replaceAllIn(tagged, m =>
-      scala.util.matching.Regex.quoteReplacement {
+      }
+    }
+    guardedReplace(tagged, TimestampAsOfRe) { m =>
+      {
         // parse in the SESSION timezone (spark.sql.session.timeZone),
         // like every other timestamp literal in the statement —
         // Timestamp.valueOf would use the JVM-default zone, resolving
@@ -1251,7 +1268,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         val millis = timestampMillis(spark, raw)
         travelView(m.group(1), s"t$millis", _.readAsOf(m.group(1), millis))
           .getOrElse(m.matched)
-      })
+      }
+    }
   }
 
   /** `TIMESTAMP AS OF` literal → epoch millis, resolved in the session
@@ -1292,6 +1310,54 @@ object GraftSqlParser {
     * this text — the delegate always parses the original — so the
     * worst a stripper bug can do is delegate a statement the intercept
     * could have served, never corrupt one. */
+  /** Character spans [start, end) of every PROTECTED region — string
+    * literals (`'…'`, `"…"`), backquoted identifiers, and comments
+    * (line + nested bracketed) — under the same scanner rules as
+    * [[stripComments]]. Used to keep regex rewrites from firing on
+    * text a user wrote as DATA. */
+  private[sources] def protectedSpans(sql: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    val n = sql.length
+    var i = 0
+    var state = 0
+    var depth = 0
+    var from = -1
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (depth > 0) {
+        if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') { depth += 1; i += 2 }
+        else if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') {
+          depth -= 1; i += 2
+          if (depth == 0) { spans += ((from, i)); from = -1 }
+        } else i += 1
+      } else if (state == 0) {
+        if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+          val start = i
+          while (i < n && sql.charAt(i) != '\n') i += 1
+          spans += ((start, i))
+        } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+          depth = 1; from = i; i += 2
+        } else {
+          if (c == '\'') { state = 1; from = i }
+          else if (c == '"') { state = 2; from = i }
+          else if (c == '`') { state = 3; from = i }
+          i += 1
+        }
+      } else {
+        if (c == '\\' && state != 3 && i + 1 < n) i += 2
+        else {
+          if ((state == 1 && c == '\'') || (state == 2 && c == '"') ||
+            (state == 3 && c == '`')) {
+            state = 0; spans += ((from, i + 1)); from = -1
+          }
+          i += 1
+        }
+      }
+    }
+    if (from >= 0) spans += ((from, n)) // unterminated region: protect to EOF
+    spans.result()
+  }
+
   private[sources] def stripComments(sql: String): String = {
     val out = new java.lang.StringBuilder(sql.length)
     val n = sql.length

@@ -85,7 +85,14 @@ class SqlParserFuzzSpec extends SparkSpec {
       "CALL rewrite_data_files(table => 'fz')",
       "CREATE MATERIALIZED VIEW mv AS SELECT count(*) AS n FROM fz GROUP BY p",
       "ALTER TABLE fz ADD COLUMNS (z INT)",
-      "VACUUM fz RETAIN 1 SNAPSHOTS")
+      "VACUUM fz RETAIN 1 SNAPSHOTS",
+      // travel/meta-table syntax on a REGISTERED name: trapped in a
+      // literal or comment it must reach the delegate byte-exact (the
+      // rewriteTimeTravel guard), not become a temp-view reference
+      "fz VERSION AS OF 3",
+      "fz.history",
+      "fz.snapshots",
+      "fz TIMESTAMP AS OF '2020-01-01 00:00:00'")
     val templates: Seq[String] = Seq(
       // registered name + DML text trapped in string literals
       traps.map(t => s"SELECT '$t' AS s1 FROM fz_twin"),
@@ -246,5 +253,19 @@ class SqlParserFuzzSpec extends SparkSpec {
     assert(spark.table("fzlit").orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
     spark.sql("UPDATE fzlit SET v = 'WHEN NOT MATCHED' WHERE v = 'WHEN MATCHED'")
     assert(spark.table("fzlit").where(col("v") === "WHEN NOT MATCHED").count() == 1)
+  }
+
+  test("travel syntax inside literals/comments survives execution byte-exact") {
+    setupRoot
+    // `fz` IS registered and the statement DOES contain travel syntax,
+    // so rewriteTimeTravel runs — but only code segments may rewrite
+    val lit = spark.sql("SELECT 'fz VERSION AS OF 1' AS s, 'fz.history' AS h " +
+      "FROM fz_twin LIMIT 1 -- fz VERSION AS OF 2").head()
+    assert(lit.getString(0) == "fz VERSION AS OF 1")
+    assert(lit.getString(1) == "fz.history")
+    // and REAL travel through the same path still resolves: the
+    // registered view's first snapshot is readable by number
+    val snap0 = new Lakehouse(spark, setupRoot).snapshots("fz").head._1
+    assert(spark.sql(s"SELECT count(*) AS n FROM fz VERSION AS OF $snap0").head().getLong(0) > 0)
   }
 }
