@@ -769,7 +769,8 @@ object Dedup {
   // ---- incrementally-maintained near-dup index ------------------------
 
   private def postsTable(src: String) = s"${src}_nd_posts"
-  private def bandsTable(src: String) = s"${src}_nd_bands"
+  private[graft] def bandsTable(src: String) = s"${src}_nd_bands"
+  private[graft] def pairsTable(src: String) = s"${src}_nd_pairs"
   private[graft] val IndexBuckets = 32
 
   /** Cost gate on the pruned index reads: an IN-list prune evaluates
@@ -958,6 +959,27 @@ object Dedup {
         partitionBy = Seq(s"bucket($IndexBuckets,bkey)"))
     }
     out
+  }
+
+  /** One MAINTENANCE step: refresh the index to the source's current
+    * snapshot and record the batch-admission pairs in the durable
+    * `<src>_nd_pairs` ledger, exactly-once (batch id = source
+    * snapshot). The callable unit for the streaming scheduler
+    * ([[graft.streaming.EventStream.maintainDedupIndex]]) and the
+    * `CALL system.refresh_dedup_index` procedure: replays and
+    * no-change steps commit nothing, so checkpoint drift, crash
+    * replays and overlapping schedulers all resolve to no-ops.
+    * Returns (source snapshot, pairs recorded this step). */
+  def indexMaintainStep(lake: graft.sources.Lakehouse, src: String,
+      tau: Double = 0.5): (Long, Long) = {
+    val cur = lake.currentSnapshot(src).getOrElse(
+      throw new IllegalArgumentException(s"no such source table: $src"))
+    val wm = lake.committedBatches(bandsTable(src))
+    require(wm.nonEmpty, s"$src carries no dedup index; Dedup.indexCreate first")
+    if (wm.max == cur) return (cur, 0L)
+    val pairs = indexRefresh(lake, src, tau).localCheckpoint(true)
+    lake.appendOnce(pairs, pairsTable(src), batchId = cur)
+    (cur, pairs.count())
   }
 
   /** `dedup_index_incremental` - the index lifecycle at the driver

@@ -39,6 +39,10 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *  - `refresh_ann_index(src)` — advance the persisted ANN index over
   *    `src` ([[graft.operators.AnnIndex]]): assign only the appended
   *    vectors to the existing centroids.
+  *  - `refresh_dedup_index(src)` — advance the persistent near-dup
+  *    index over `src` ([[graft.operators.Dedup.indexMaintainStep]]):
+  *    signatures for appended documents only, pairs ledgered
+  *    exactly-once.
   *  - `rebalance_ann_index(src [, max_load [, force_top]])` — split
   *    the index's hot cells in place ([[graft.operators.AnnIndex
   *    .rebalance]]): cells loaded beyond `max_load` × the mean leaf
@@ -71,6 +75,9 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
       AttributeReference("source_snapshot_id", LongType)())
     case "refresh_ann_index" => Seq(
       AttributeReference("source_snapshot_id", LongType)())
+    case "refresh_dedup_index" => Seq(
+      AttributeReference("source_snapshot_id", LongType)(),
+      AttributeReference("new_pairs", LongType)())
     case "rebalance_ann_index" => Seq(
       AttributeReference("parent_cell", LongType)(),
       AttributeReference("child_cells", LongType)())
@@ -79,7 +86,8 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
     case other => throw new UnsupportedOperationException(
       s"unknown procedure: system.$other (supported: rewrite_data_files, " +
         "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
-        "refresh_mview, refresh_ann_index, rebalance_ann_index, compute_sums)")
+        "refresh_mview, refresh_ann_index, refresh_dedup_index, " +
+        "rebalance_ann_index, compute_sums)")
   }
 
   /** Positional parameter names per procedure; named args (`k => v`)
@@ -91,6 +99,7 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
     case "rollback_to_snapshot" => Seq("table", "snapshot_id")
     case "refresh_mview" => Seq("table")
     case "refresh_ann_index" => Seq("table")
+    case "refresh_dedup_index" => Seq("table")
     case "rebalance_ann_index" => Seq("table", "max_load", "force_top")
     case "compute_sums" => Seq("table", "columns")
     case _ => Seq("table")
@@ -205,6 +214,12 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
         // index machinery lives beside the other ANN operators.
         graft.operators.AnnIndex.refresh(lake, table)
         Seq(Row(lake.currentSnapshot(table, branch).getOrElse(-1L)))
+
+      case "refresh_dedup_index" =>
+        // advance the persistent near-dup index over `table` and
+        // record the batch's admission pairs in the durable ledger
+        val (snap, n) = graft.operators.Dedup.indexMaintainStep(lake, table)
+        Seq(Row(snap, n))
 
       case "rebalance_ann_index" =>
         // split the index's hot cells in place (see AnnIndex.rebalance)

@@ -266,6 +266,37 @@ object EventStream {
       .start()
   }
 
+  /** CONTINUOUS NEAR-DUP-INDEX MAINTENANCE — the dedup twin of
+    * [[maintainAnnIndex]]: whenever the docs table takes a commit, one
+    * delta-priced [[graft.operators.Dedup.indexMaintainStep]] runs —
+    * new documents' signatures land in the persisted index and the
+    * batch's near-dup pairs append to the `<src>_nd_pairs` ledger,
+    * exactly-once (batch id = source snapshot). Crash story as ever:
+    * the step re-derives its delta from the index tables' own
+    * watermarks, so checkpoint drift resolves to a no-op. */
+  def maintainDedupIndex(spark: SparkSession, root: String, src: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.sources.Lakehouse
+    val lake = new Lakehouse(spark, root)
+    spark.readStream
+      .format("graft.streaming.LakehouseStreamProvider")
+      .option("root", root).option("table", src)
+      .option("startSnapshot",
+        lake.committedBatches(Dedup.bandsTable(src)).max.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        Dedup.indexMaintainStep(lake, src); ()
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: purchases enriched with the same
     * user's clicks from the preceding 10 minutes — the streaming twin
     * of `q_range_join`. Both sides are watermarked so Spark can bound

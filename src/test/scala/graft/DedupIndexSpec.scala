@@ -70,6 +70,49 @@ class DedupIndexSpec extends SparkSpec {
       rows(lake2.read("nda_nd_posts").select(col("doc_id"), col("gs"))))
   }
 
+  test("streaming maintenance: commits land, pairs ledger fills, replays no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndix5").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-ndix5-ck").toString
+    val lake = new Lakehouse(spark, root)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    lake.createOrReplace(docs.where(col("doc_id") % 3 === 1), "ndm")
+    Dedup.indexCreate(lake, "ndm")
+    lake.append(docs.where(col("doc_id") % 3 === 2), "ndm")
+    lake.append(docs.where(col("doc_id") % 3 === 0), "ndm")
+    val q = graft.streaming.EventStream.maintainDedupIndex(spark, root, "ndm", ck)
+    try q.awaitTermination(120000) finally q.stop()
+    // index advanced to the source head; the pairs ledger holds the
+    // admission readout of the maintained interval
+    assert(lake.committedBatches("ndm_nd_bands").max ===
+      lake.currentSnapshot("ndm").get)
+    val ledger = lake.read("ndm_nd_pairs")
+    assert(ledger.count() > 0)
+    // a second pass over an unchanged source commits nothing
+    val snaps = lake.snapshots("ndm_nd_pairs").size
+    val q2 = graft.streaming.EventStream.maintainDedupIndex(spark, root, "ndm",
+      java.nio.file.Files.createTempDirectory("graft-ndix5-ck2").toString)
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(lake.snapshots("ndm_nd_pairs").size === snaps)
+  }
+
+  test("CALL system.refresh_dedup_index advances the index through SQL") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndix6").toString
+    val lake = new Lakehouse(spark, root)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 400)
+    lake.createOrReplace(docs.where(col("doc_id") % 2 === 0), "ndq")
+    lake.registerView("ndq")
+    Dedup.indexCreate(lake, "ndq")
+    lake.append(docs.where(col("doc_id") % 2 === 1), "ndq")
+    val out = spark.sql("CALL system.refresh_dedup_index('ndq')").collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === lake.currentSnapshot("ndq").get)
+    assert(out(0).getLong(1) === lake.read("ndq_nd_pairs").count())
+    // replay reports zero new pairs and commits nothing
+    val again = spark.sql("CALL system.refresh_dedup_index('ndq')").collect()
+    assert(again(0).getLong(1) === 0L)
+  }
+
   test("rewritten source interval rebuilds idempotently instead of crashing") {
     val root = java.nio.file.Files.createTempDirectory("graft-ndix4").toString
     val lake = new Lakehouse(spark, root)
