@@ -113,6 +113,27 @@ class DedupIndexSpec extends SparkSpec {
     assert(again(0).getLong(1) === 0L)
   }
 
+  test("compacting the index tables preserves content and the watermark") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndix7").toString
+    val lake = new Lakehouse(spark, root)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 300)
+    lake.createOrReplace(docs.where(col("doc_id") % 2 === 0), "ndc")
+    Dedup.indexCreate(lake, "ndc")
+    lake.append(docs.where(col("doc_id") % 2 === 1), "ndc")
+    Dedup.indexRefresh(lake, "ndc")
+    val before = rows(lake.read("ndc_nd_bands"))
+    val wm = lake.committedBatches("ndc_nd_bands").max
+    // bin-pack the delta-append chain under the SAME bucket layout
+    lake.compact("ndc_nd_bands", Seq(s"bucket(${Dedup.IndexBuckets},bkey)"))
+    lake.compact("ndc_nd_posts", Seq(s"bucket(${Dedup.IndexBuckets},doc_id)"))
+    assert(rows(lake.read("ndc_nd_bands")) === before)
+    // the commit-batch watermark survives compaction: a refresh after
+    // it still sees "nothing new" instead of re-deriving from zero
+    assert(lake.committedBatches("ndc_nd_bands").max === wm)
+    assert(Dedup.indexRefresh(lake, "ndc").count() === 0)
+  }
+
   test("rewritten source interval rebuilds idempotently instead of crashing") {
     val root = java.nio.file.Files.createTempDirectory("graft-ndix4").toString
     val lake = new Lakehouse(spark, root)

@@ -106,6 +106,25 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("aggregation on the bucket column is Exchange-free too") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-a").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    lake.createOrReplace(orders, "spj_ag", Seq("bucket(8,o_custkey)"))
+    withSpj(root, "spj_t5") {
+      // KeyGroupedPartitioning satisfies the aggregation's clustering
+      // requirement: per-custkey counts reduce inside each bucket
+      // partition, no shuffle (at 100 TB the same layout that deletes
+      // the join shuffle deletes the final-aggregate exchange)
+      val agg = spark.table("spj_t5.spj_ag")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      assert(!Medallion.plansShuffle(agg), "bucket-keyed aggregation must not shuffle")
+      val want = orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      assert(sortedRows(agg) === sortedRows(want))
+    }
+  }
+
   test("pushed filters prune files by ledger stats and buckets by the layout hash") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
