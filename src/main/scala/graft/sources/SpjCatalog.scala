@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFu
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types._
@@ -82,7 +83,7 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
         case e: IllegalArgumentException if e.getMessage.startsWith("no such table") =>
           throw new NoSuchTableException(ident)
       }
-    new GraftSpjTable(ident.name(), layout)
+    new GraftSpjTable(ident.name(), layout, root)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -104,18 +105,47 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
 }
 
 /** One lakehouse snapshot presented as a DSv2 table partitioned by
-  * `bucket(n, keyCol)`. Read-only, batch-only. */
-private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout)
-  extends Table with SupportsRead {
+  * `bucket(n, keyCol)`. Reads serve the snapshot pinned at load;
+  * writes route through the Lakehouse writer UNDER THE SAME LAYOUT
+  * (the V1Write escape hatch Spark provides for exactly this), so
+  * `INSERT INTO cat.t` / `df.writeTo(cat.t).append()` land as
+  * ordinary hidden-bucket commits — optimistic concurrency, stats,
+  * time travel and SPJ planning all keep working, and the next read
+  * re-resolves the table at its new snapshot. */
+private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: String)
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = layout.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(layout.nBuckets, layout.keyCol))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSpjScanBuilder(layout)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftSpjWriteBuilder(root, tableName, layout.keyCol, layout.nBuckets)
+}
+
+/** Appends and truncating overwrites, routed to the Lakehouse writer
+  * with the table's own bucket spec — one commit per insert, same
+  * layout, so the write needs no DSv2 DataWriter machinery of its
+  * own and inherits the writer's conflict retries and ledgers. */
+private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
+    keyCol: String, nBuckets: Int) extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+      (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], ow: Boolean) => {
+        val lake = new Lakehouse(SparkSession.active, root)
+        val spec = Seq(s"bucket($nBuckets,$keyCol)")
+        if (overwrite || ow) lake.createOrReplace(data.toDF(), tableName, spec)
+        else lake.append(data.toDF(), tableName, spec)
+        ()
+      }
+  }
 }
 
 /** Column pruning AND filter pushdown reach the scan. Filters do

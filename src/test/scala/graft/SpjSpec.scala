@@ -180,6 +180,38 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("writes through the SPJ catalog land in the bucket layout and keep SPJ valid") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-w").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val dim = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (100L, 99.0)).toDF("k2", "w")
+    lake.createOrReplace(base, "spj_w", Seq("bucket(8,k)"))
+    lake.createOrReplace(dim, "spj_wd", Seq("bucket(8,k2)"))
+    withSpj(root, "spj_t6") {
+      // SQL INSERT INTO routes through the Lakehouse writer
+      spark.sql("INSERT INTO spj_t6.spj_w VALUES (100, 'z')")
+      assert(sortedRows(spark.table("spj_t6.spj_w")) ===
+        Seq("100|z", "1|a", "2|b", "3|c").sorted)
+      // the appended commit kept the uniform bucket layout...
+      assert(lake.spjLayout("spj_w").nBuckets === 8)
+      // ...so the join over the grown table still plans Exchange-free
+      val joined = spark.table("spj_t6.spj_w")
+        .join(spark.table("spj_t6.spj_wd"), col("k") === col("k2"))
+      assert(!Medallion.plansShuffle(joined))
+      assert(joined.count() === 4)
+      // DataFrame writeTo append works the same way
+      Seq((200L, "y")).toDF("k", "v").writeTo("spj_t6.spj_w").append()
+      assert(spark.table("spj_t6.spj_w").count() === 5)
+      // INSERT OVERWRITE truncates into a fresh snapshot, same layout
+      spark.sql("INSERT OVERWRITE spj_t6.spj_w VALUES (7, 'q'), (8, 'r')")
+      assert(sortedRows(spark.table("spj_t6.spj_w")) === Seq("7|q", "8|r"))
+      assert(lake.spjLayout("spj_w").nBuckets === 8)
+      // history survives: the pre-overwrite snapshot is still readable
+      assert(lake.snapshots("spj_w").size >= 3)
+    }
+  }
+
   test("the V2 bucket function agrees with the write-side layout hash") {
     import graft.sources.spj.GraftBucketFunction
     import org.apache.spark.sql.catalyst.InternalRow
