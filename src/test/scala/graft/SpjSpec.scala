@@ -212,6 +212,40 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("partially-clustered SPJ handles a skewed hot bucket, still Exchange-free") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-sk").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    // fact: key 1 is hot (10k rows across many files), the rest tiny —
+    // the shape where plain SPJ would serialize the hot bucket through
+    // one task; Spark's partially-clustered distribution may split the
+    // big side's bucket into file groups while replicating the other
+    // side's group, and our HasPartitionKey partitions must compose
+    // with that re-plan without losing correctness or gaining a shuffle
+    val fact = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      (2 to 20).flatMap(k => (1 to 10).map(i => (k.toLong, i.toLong)))).toDF("k", "x")
+    val dim = (1 to 20).map(k => (k.toLong, s"d$k")).toDF("k2", "name")
+    lake.createOrReplace(fact.repartition(8), "sk_f", Seq("bucket(4,k)"))
+    lake.createOrReplace(dim, "sk_d", Seq("bucket(4,k2)"))
+    withSpj(root, "spj_t7") {
+      val prev = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      try {
+        val j = spark.table("spj_t7.sk_f")
+          .join(spark.table("spj_t7.sk_d"), col("k") === col("k2"))
+        assert(!Medallion.plansShuffle(j))
+        assert(j.count() === 10000 + 19 * 10)
+      } finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      }
+    }
+  }
+
   test("the V2 bucket function agrees with the write-side layout hash") {
     import graft.sources.spj.GraftBucketFunction
     import org.apache.spark.sql.catalyst.InternalRow
