@@ -38,8 +38,14 @@ object BoundedHist {
       shardWidth: Long = 16384L): DataFrame = {
     def ord(c: Column): Column = if (descending) c.desc else c.asc
     val part: Seq[Column] = partCols.map(col)
+    // exact integral floorDiv: `div` truncates toward zero, so shift
+    // negative non-multiples down one. Double division would misplace
+    // keys beyond 2^53 into the neighboring shard, breaking the
+    // cross-shard order the prefix sum depends on.
+    val wc = lit(shardWidth)
+    val q = call_function("div", col(keyCol), wc)
     val withShard = hist.withColumn("_bh_shard",
-      floor(col(keyCol) / lit(shardWidth.toDouble)).cast("long"))
+      when(col(keyCol) < 0 && pmod(col(keyCol), wc) =!= 0, q - 1).otherwise(q))
     // shard totals: the ONLY ordered single-partition pass runs over
     // these ≤ (domain/width)+1 rows per group, never the histogram
     val offsets = withShard

@@ -919,43 +919,53 @@ object Dedup {
     require(wmB.nonEmpty, s"$src carries no dedup index; Dedup.indexCreate first")
     val wm = wmB.max
     if (wm == cur) return noPairs
+    deltaSignatures(lake, src, wm, cur) match {
+      case None =>
+        rebuildAll(lake, src, tau, maxBucket, cur)
+        noPairs
+      case Some((dPosts, dBands)) =>
+        val out = deltaPairs(lake, src, dPosts, dBands, tau, maxBucket)
+        // advance the watermark exactly-once; committed dirs are
+        // immutable, so the lazily-evaluated result above still reads
+        // the pre-append snapshot it was planned against
+        withHashWrites(spark) {
+          lake.appendOnce(dPosts, postsTable(src), batchId = cur,
+            partitionBy = Seq(s"bucket($IndexBuckets,doc_id)"))
+          lake.appendOnce(dBands, bandsTable(src), batchId = cur,
+            partitionBy = Seq(s"bucket($IndexBuckets,bkey)"))
+        }
+        out
+    }
+  }
+
+  /** Delta signatures for the source interval `(from, to]`, both
+    * localCheckpointed — they feed several actions (key collects,
+    * joins, appends). None when the interval was rewritten upstream
+    * (compaction below the watermark): the caller rebuilds. */
+  private def deltaSignatures(lake: graft.sources.Lakehouse, src: String,
+      from: Long, to: Long): Option[(DataFrame, DataFrame)] = {
     val delta =
-      try lake.readChanges(src, wm, cur)
-      catch {
-        case _: IllegalArgumentException =>
-          System.err.println(s"[graft] dedup index $src: interval $wm->$cur was " +
-            "rewritten - rebuilding the index from the current snapshot")
-          val (posts, bands) = docSignatures(lake.read(src))
-          val cpPosts = posts.localCheckpoint(true)
-          val cpBands = bands.localCheckpoint(true)
-          withHashWrites(spark) {
-            lake.replaceOnce(cpPosts, postsTable(src), batchId = cur,
-              partitionBy = Seq(s"bucket($IndexBuckets,doc_id)"))
-            lake.replaceOnce(cpBands, bandsTable(src), batchId = cur,
-              partitionBy = Seq(s"bucket($IndexBuckets,bkey)"))
-            // the pairs ledger rebuilds too: post-rewrite admissions
-            // derive from the rewritten corpus's own complete pair set
-            val lists = cpBands.groupBy("band", "bkey")
-              .agg(collect_list(col("doc_id")).as("ds"))
-            val cand = expandPairs(lists, col("ds"), maxBucket)
-              .dropDuplicates("doc_a", "doc_b")
-            lake.replaceOnce(verifyDocPairs(cand, cpPosts, tau), pairsTable(src),
-              batchId = cur)
-          }
-          return noPairs
-      }
-    val (dPosts0, dBands0) = docSignatures(delta)
-    // delta signatures feed five separate actions (key collect,
-    // candidate join, verification, two appends) — materialize once
-    val dPosts = dPosts0.localCheckpoint(true)
-    val dBands = dBands0.localCheckpoint(true)
+      try lake.readChanges(src, from, to)
+      catch { case _: IllegalArgumentException => return None }
+    val (p0, b0) = docSignatures(delta)
+    Some((p0.localCheckpoint(true), b0.localCheckpoint(true)))
+  }
+
+  /** Candidate generation + exact verification of one signature delta
+    * against the index AS COMMITTED — computes, commits nothing. The
+    * result is lazy against the pre-advancement index snapshot. */
+  private def deltaPairs(lake: graft.sources.Lakehouse, src: String,
+      dPosts: DataFrame, dBands: DataFrame, tau: Double,
+      maxBucket: Int): DataFrame = {
     // candidate generation: only buckets the DELTA touches exist in
     // this plan - a small delta reads the index FILE-PRUNED to its
-    // bucket keys; a large one scans (see [[PruneKeysCap]])
+    // bucket keys; a large one scans (see [[PruneKeysCap]]). Counts
+    // stay Long until the cap check passes — a wrapped .toInt must
+    // never sneak a giant delta under the cap.
     val dKeys = dBands.select(col("bkey")).distinct()
-    val nKeys = dKeys.count().toInt max 1
+    val nKeys = dKeys.count() max 1L
     val oldBands = (if (nKeys <= PruneKeysCap)
-      lake.readJoinPruned(bandsTable(src), "bkey", dKeys, "bkey", maxKeys = nKeys)
+      lake.readJoinPruned(bandsTable(src), "bkey", dKeys, "bkey", maxKeys = nKeys.toInt)
     else lake.read(bandsTable(src)))
       .select(col("doc_id"), col("band"), col("bkey"))
     val allBands = oldBands.unionByName(dBands.select("doc_id", "band", "bkey"))
@@ -972,23 +982,43 @@ object Dedup {
     // exact verification from posting arrays: candidate ids only
     val ids = cand.select(col("doc_a").as("id"))
       .union(cand.select(col("doc_b").as("id"))).distinct()
-    val nIds = ids.count().toInt max 1
+    val nIds = ids.count() max 1L
     val oldPosts = (if (nIds <= PruneKeysCap)
-      lake.readJoinPruned(postsTable(src), "doc_id", ids, "id", maxKeys = nIds)
+      lake.readJoinPruned(postsTable(src), "doc_id", ids, "id", maxKeys = nIds.toInt)
     else lake.read(postsTable(src)))
       .select(col("doc_id"), col("gs"))
     val posts = oldPosts.unionByName(dPosts.select("doc_id", "gs"))
-    val out = verifyDocPairs(cand, posts, tau)
-    // advance the watermark exactly-once; committed dirs are immutable,
-    // so the lazily-evaluated result above still reads the pre-append
-    // snapshot it was planned against
-    withHashWrites(spark) {
-      lake.appendOnce(dPosts, postsTable(src), batchId = cur,
+    verifyDocPairs(cand, posts, tau)
+  }
+
+  /** Full idempotent rebuild of all three index tables from the
+    * source's CURRENT snapshot — the fallback when a refresh interval
+    * was rewritten. The pairs ledger replaces FIRST: a crash after the
+    * pairs commit leaves the ledger ahead of the index, which
+    * [[indexMaintainStep]]'s recovery finishes — the reverse order
+    * would strand an advanced index whose batch pairs were never
+    * ledgered and can no longer be derived. */
+  private def rebuildAll(lake: graft.sources.Lakehouse, src: String,
+      tau: Double, maxBucket: Int, batchId: Long): Unit = {
+    System.err.println(s"[graft] dedup index $src: watermark interval was " +
+      "rewritten - rebuilding the index from the current snapshot")
+    val (posts0, bands0) = docSignatures(lake.read(src))
+    val cpPosts = posts0.localCheckpoint(true)
+    val cpBands = bands0.localCheckpoint(true)
+    // the pairs ledger rebuilds too: post-rewrite admissions derive
+    // from the rewritten corpus's own complete pair set
+    val lists = cpBands.groupBy("band", "bkey")
+      .agg(collect_list(col("doc_id")).as("ds"))
+    val cand = expandPairs(lists, col("ds"), maxBucket)
+      .dropDuplicates("doc_a", "doc_b")
+    val fullPairs = verifyDocPairs(cand, cpPosts, tau).localCheckpoint(true)
+    withHashWrites(SparkSession.active) {
+      lake.replaceOnce(fullPairs, pairsTable(src), batchId = batchId)
+      lake.replaceOnce(cpPosts, postsTable(src), batchId = batchId,
         partitionBy = Seq(s"bucket($IndexBuckets,doc_id)"))
-      lake.appendOnce(dBands, bandsTable(src), batchId = cur,
+      lake.replaceOnce(cpBands, bandsTable(src), batchId = batchId,
         partitionBy = Seq(s"bucket($IndexBuckets,bkey)"))
     }
-    out
   }
 
   /** One MAINTENANCE step: refresh the index to the source's current
@@ -999,17 +1029,62 @@ object Dedup {
     * `CALL system.refresh_dedup_index` procedure: replays and
     * no-change steps commit nothing, so checkpoint drift, crash
     * replays and overlapping schedulers all resolve to no-ops.
+    *
+    * CRASH-SAFE COMMIT ORDER: the batch's pairs are materialized and
+    * ledgered BEFORE the index watermark advances. The only crash
+    * window then leaves the ledger AHEAD of the index, and the next
+    * step finishes the (deterministic) signature advancement from the
+    * index's own watermark — idempotent appends, so replays no-op.
+    * The reverse order (index first) would let a crash strand an
+    * advanced watermark whose batch pairs can never be re-derived:
+    * the delta's bands are already merged into the index, so a
+    * re-refresh sees "no change" and the admission ledger silently
+    * loses that batch's components.
     * Returns (source snapshot, pairs recorded this step). */
   def indexMaintainStep(lake: graft.sources.Lakehouse, src: String,
       tau: Double = 0.5): (Long, Long) = {
+    val spark = SparkSession.active
     val cur = lake.currentSnapshot(src).getOrElse(
       throw new IllegalArgumentException(s"no such source table: $src"))
-    val wm = lake.committedBatches(bandsTable(src))
-    require(wm.nonEmpty, s"$src carries no dedup index; Dedup.indexCreate first")
-    if (wm.max == cur) return (cur, 0L)
-    val pairs = indexRefresh(lake, src, tau).localCheckpoint(true)
-    lake.appendOnce(pairs, pairsTable(src), batchId = cur)
-    (cur, pairs.count())
+    val wmB = lake.committedBatches(bandsTable(src))
+    require(wmB.nonEmpty, s"$src carries no dedup index; Dedup.indexCreate first")
+    val wmBands = wmB.max
+    val wmP = lake.committedBatches(pairsTable(src))
+    val wmPairs = if (wmP.nonEmpty) wmP.max else Long.MinValue
+    if (wmBands < wmPairs) {
+      // recovery: a prior step ledgered (wmBands, wmPairs]'s pairs and
+      // died before advancing the index — finish the advancement
+      deltaSignatures(lake, src, wmBands, wmPairs) match {
+        case Some((dPosts, dBands)) =>
+          withHashWrites(spark) {
+            lake.appendOnce(dPosts, postsTable(src), batchId = wmPairs,
+              partitionBy = Seq(s"bucket($IndexBuckets,doc_id)"))
+            lake.appendOnce(dBands, bandsTable(src), batchId = wmPairs,
+              partitionBy = Seq(s"bucket($IndexBuckets,bkey)"))
+          }
+        case None => // the recovery interval itself was rewritten
+          rebuildAll(lake, src, tau, DefaultMaxBucket, cur)
+          return (cur, 0L)
+      }
+    }
+    val from = math.max(wmBands, wmPairs)
+    if (from == cur) return (cur, 0L)
+    deltaSignatures(lake, src, from, cur) match {
+      case None =>
+        rebuildAll(lake, src, tau, DefaultMaxBucket, cur)
+        (cur, 0L)
+      case Some((dPosts, dBands)) =>
+        val pairs = deltaPairs(lake, src, dPosts, dBands, tau, DefaultMaxBucket)
+          .localCheckpoint(true) // materialized BEFORE any commit
+        lake.appendOnce(pairs, pairsTable(src), batchId = cur)
+        withHashWrites(spark) {
+          lake.appendOnce(dPosts, postsTable(src), batchId = cur,
+            partitionBy = Seq(s"bucket($IndexBuckets,doc_id)"))
+          lake.appendOnce(dBands, bandsTable(src), batchId = cur,
+            partitionBy = Seq(s"bucket($IndexBuckets,bkey)"))
+        }
+        (cur, pairs.count())
+    }
   }
 
   /** ADMISSION decisions from the accumulated pairs ledger: every

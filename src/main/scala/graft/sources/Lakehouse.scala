@@ -2177,14 +2177,35 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         case c: CountPlan => c.sets; case s: SumPlan => s.sets; case _ => Nil }) }
       .foreach { case (sets, group) =>
         scanOver(sets).foreach { df =>
-          val aggs = group.map {
-            case (_: CountPlan, _) => countF(lit(1))
-            case (s: SumPlan, _) => sumF(df(s.col))
+          // sums scan at DECIMAL(38, s) like the write-time ledger and
+          // metaGroupAgg's scan leg: a raw integral sum could wrap Long
+          // in the partial and a raw decimal sum could overflow to null
+          // — either silently diverges from the plain-scan answer. The
+          // paired non-null count distinguishes a genuine all-null sum
+          // from a (38, s) overflow, which gives up to the ordinary scan.
+          val aggs = group.flatMap {
+            case (_: CountPlan, _) => Seq(countF(lit(1)))
+            case (s: SumPlan, _) =>
+              val scale = s.resultType match {
+                case d: DecimalType => d.scale
+                case _ => 0
+              }
+              Seq(sumF(df(s.col).cast(DecimalType(38, scale))), countF(df(s.col)))
             case _ => throw new IllegalStateException
           }
           val row = df.agg(aggs.head, aggs.tail: _*).head()
-          group.zipWithIndex.foreach { case ((_, pi), k) =>
-            scanned(pi) = row.get(k); scannedHit += pi
+          var k = 0
+          group.foreach { case (p, pi) =>
+            p match {
+              case _: CountPlan =>
+                scanned(pi) = row.get(k); k += 1
+              case _: SumPlan =>
+                val s = row.get(k); val nonNull = row.getLong(k + 1); k += 2
+                if (s == null && nonNull > 0) return None // (38,s) overflow
+                scanned(pi) = s
+              case _ => throw new IllegalStateException
+            }
+            scannedHit += pi
           }
         }
       }
@@ -4439,6 +4460,8 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         readStats(table, dataDir).groupBy(_._1).map { case (rel, ss) =>
           rel -> ss.map(s => s._2 -> ((s._3, s._4, s._5))).toMap
         }
+      val dirRows = readRowCounts(table, dataDir)
+      val dirSums = readSumsLedger(table, dataDir)
       val dirMarker = "/" + dataDir + "/"
       roots.flatMap { e =>
         val p = new Path(tableDir(table), e)
@@ -4449,7 +4472,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         require(at >= 0, s"data file outside the bucket layout: $full")
         val bucket = full.substring(at + marker.length).takeWhile(_ != '/').toInt
         val rel = full.substring(full.indexOf(dirMarker) + 1)
-        (bucket, SpjFile(full, st.getLen, dirStats.getOrElse(rel, Map.empty)))
+        (bucket, SpjFile(full, st.getLen, dirStats.getOrElse(rel, Map.empty),
+          rows = dirRows.get(rel).map(_._1),
+          nulls = dirRows.get(rel).map(_._2).getOrElse(Map.empty),
+          sums = dirSums.getOrElse(rel, Map.empty)))
       }
     }
     SpjLayout(schema, keyCol, n,
@@ -4541,11 +4567,19 @@ object Lakehouse {
   * plan). Uses the session catalog (`saveAsTable`), the only write
   * path that records bucketing metadata. */
 /** One data file of a storage-partitioned layout: absolute path, byte
-  * length (so the scan plans splits without re-stat-ing), and its
+  * length (so the scan plans splits without re-stat-ing), its
   * stats-ledger bounds `col -> (type, lo, hi)` for plan-time range
-  * pruning against pushed filters. */
+  * pruning against pushed filters, plus the row-count / per-column
+  * null-count / per-column sum ledgers — what lets the DSv2 scan
+  * report exact statistics, prune LIMIT scans and answer pushed
+  * aggregates without opening data. `rows = None` / missing map keys
+  * mean "unrecorded" (pre-ledger files): every consumer degrades to
+  * the scan path, never guesses. */
 private[graft] case class SpjFile(path: String, length: Long,
-    stats: Map[String, (String, String, String)])
+    stats: Map[String, (String, String, String)],
+    rows: Option[Long] = None,
+    nulls: Map[String, Long] = Map.empty,
+    sums: Map[String, Option[java.math.BigDecimal]] = Map.empty)
 
 /** A table's storage-partitioned-join layout ([[Lakehouse.spjLayout]]):
   * logical schema, bucket column, bucket count, files per bucket. */

@@ -282,11 +282,12 @@ object EventStream {
     import graft.operators.Dedup
     import graft.sources.Lakehouse
     val lake = new Lakehouse(spark, root)
+    val wm = lake.committedBatches(Dedup.bandsTable(src))
+    require(wm.nonEmpty, s"$src carries no dedup index; Dedup.indexCreate first")
     spark.readStream
       .format("graft.streaming.LakehouseStreamProvider")
       .option("root", root).option("table", src)
-      .option("startSnapshot",
-        lake.committedBatches(Dedup.bandsTable(src)).max.toString)
+      .option("startSnapshot", wm.max.toString)
       .load()
       .writeStream
       .option("checkpointLocation", checkpoint)

@@ -176,4 +176,41 @@ class DedupIndexSpec extends SparkSpec {
     Dedup.indexCreate(lake2, "ndw")
     assert(rows(lake.read("ndw_nd_bands")) === rows(lake2.read("ndw_nd_bands")))
   }
+
+  test("pairs-ahead crash window: the next step finishes the advancement exactly-once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndix5").toString
+    val lake = new Lakehouse(spark, root)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 400)
+    val base = docs.where(col("doc_id") % 3 === 1)
+    val d1 = docs.where(col("doc_id") % 3 === 2)
+    val d2 = docs.where(col("doc_id") % 3 === 0)
+
+    // honest twin: create -> step(d1) -> step(d2)
+    lake.createOrReplace(base, "ndh"); Dedup.indexCreate(lake, "ndh")
+    val boot = lake.read(Dedup.pairsTable("ndh")).localCheckpoint(true)
+    lake.append(d1, "ndh"); Dedup.indexMaintainStep(lake, "ndh")
+    val d1Pairs = lake.read(Dedup.pairsTable("ndh")).exceptAll(boot)
+      .localCheckpoint(true)
+    lake.append(d2, "ndh"); Dedup.indexMaintainStep(lake, "ndh")
+
+    // crash twin: identical commits, but batch d1's step "dies" right
+    // after the pairs ledger lands — the ONLY window the pairs-first
+    // commit order leaves (ledger ahead, index watermark behind)
+    lake.createOrReplace(base, "ndz"); Dedup.indexCreate(lake, "ndz")
+    lake.append(d1, "ndz")
+    val cur1 = lake.currentSnapshot("ndz").get
+    lake.appendOnce(d1Pairs, Dedup.pairsTable("ndz"), batchId = cur1)
+    // the next step recovers: index advances, nothing re-ledgered
+    val (s1, n1) = Dedup.indexMaintainStep(lake, "ndz")
+    assert(s1 === cur1 && n1 === 0L)
+    // and the recovered index serves batch d2 exactly like the honest twin
+    lake.append(d2, "ndz"); Dedup.indexMaintainStep(lake, "ndz")
+    assert(rows(lake.read(Dedup.pairsTable("ndz"))) ===
+      rows(lake.read(Dedup.pairsTable("ndh"))))
+    assert(rows(lake.read(Dedup.bandsTable("ndz"))) ===
+      rows(lake.read(Dedup.bandsTable("ndh"))))
+    assert(rows(Dedup.indexAdmission(lake, "ndz")) ===
+      rows(Dedup.indexAdmission(lake, "ndh")))
+  }
 }

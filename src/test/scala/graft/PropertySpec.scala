@@ -51,6 +51,37 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("BoundedHist.cumSum shards exactly beyond 2^53 where doubles round") {
+    import org.apache.spark.sql.expressions.Window
+    // keys hug shard-boundary multiples near ±2^62: double division
+    // rounds the dividend by up to 2^10 there, enough to misplace a
+    // boundary-1 key into the next shard and corrupt the prefix order
+    val w = 1000L
+    val rnd = new scala.util.Random(11L)
+    val bases = Seq(1L << 62, -(1L << 62), (1L << 62) - (1L << 40))
+    val keys = bases.flatMap { b =>
+      val m = b / w
+      (0 until 60).flatMap { i =>
+        val edge = (m + i * 7) * w
+        Seq(edge, edge - 1, edge + 1, edge + w / 2)
+      }
+    }.distinct
+    val hist = keys.map(k => (k, rnd.nextInt(1000).toLong + 1)).toDF("k", "v")
+    Seq(true, false).foreach { desc =>
+      val got = graft.operators.BoundedHist
+        .cumSum(hist, Nil, "k", "v", "cum", descending = desc, shardWidth = w)
+        .select(col("k"), col("cum"))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val ord = if (desc) col("k").desc else col("k").asc
+      val win = Window.orderBy(ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = hist.withColumn("cum", sum(col("v")).over(win))
+        .select(col("k"), col("cum"))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(got == want, s"desc=$desc")
+    }
+  }
+
   test("ArrayDotLong equals the naive zip-multiply-sum on random vectors") {
     val vecs = sample(for {
       n <- Gen.choose(0, 80)
