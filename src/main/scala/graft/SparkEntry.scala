@@ -37,6 +37,9 @@ object SparkEntry {
     "q_cdc_read" -> (Medallion.qCdcRead _),
     "q_bucket_join" -> (Medallion.qBucketJoin _),
     "q_spj_join" -> (Medallion.qSpjJoin _),
+    "q_spj_agg" -> (Medallion.qSpjAgg _),
+    "q_spj_runtime_filter" -> (Medallion.qSpjRuntimeFilter _),
+    "q_spj_limit" -> (Medallion.qSpjLimit _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -335,6 +338,34 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS colocated
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // DSv2 aggregate pushdown: the oracle recomputes the global
+    // readout by scanning; meta_only = 1.0 pins that the engine
+    // answered it as ONE driver-local row (no file scan in the plan)
+    "q_spj_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(min(o_orderkey) AS BIGINT) AS k_lo,
+        |  CAST(max(o_orderkey) AS BIGINT) AS k_hi,
+        |  min(o_orderstatus) AS s_lo, max(o_orderstatus) AS s_hi,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS s_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s_price,
+        |  CAST(1.0 AS DOUBLE) AS meta_only
+        |FROM orders""".stripMargin,
+    // DSv2 runtime filtering: the oracle recomputes the dim-filtered
+    // join by scanning; pruned = 1.0 pins that a DPP filter reached
+    // the SPJ scan and shrank its planned file list
+    "q_spj_runtime_filter" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(1.0 AS DOUBLE) AS pruned
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey < 3
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // DSv2 limit pushdown: the exact row count survives the file cap
+    // (Spark keeps the limit on top); limited = 1.0 pins that the
+    // scan planned fewer files than the layout holds
+    "q_spj_limit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(1.0 AS DOUBLE) AS limited
+        |FROM (SELECT * FROM orders LIMIT 500)""".stripMargin,
     // CDC changelog: the oracle restates the NET interval effect —
     // appended-then-deleted rows emit nothing, pre-existing deleted
     // rows emit deletes, surviving appends emit inserts

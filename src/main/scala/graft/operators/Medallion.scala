@@ -661,6 +661,150 @@ object Medallion {
     }
   }
 
+  // plan probes for the SPJ DSv2 readouts below: does the executed
+  // (possibly adaptive) plan contain the given node / a file scan?
+  // AQE query stages are LEAVES whose subtree hangs off `.plan`.
+  private def collectExec[T](df: DataFrame)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[T] =
+      (if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => (other.children ++ other.subqueries).flatMap(walk)
+      })
+    walk(df.queryExecution.executedPlan)
+  }
+
+  /** `q_spj_agg` — DSv2 AGGREGATE PUSHDOWN answered from the ledgers
+    * ([[graft.sources.spj.SpjMetaAgg]], the Iceberg
+    * `SupportsPushDownAggregates` analog): a global
+    * count/min/max/sum over a bucket-layout table plans as ONE
+    * driver-local row — no file scan, no executors — read out of the
+    * row-count, null-count, bound and sum ledgers the writer recorded.
+    * The readout pins `meta_only = 1.0` from a plan-node walk (a
+    * LocalTableScanExec and NO BatchScanExec), so the oracle
+    * hash-checks both the VALUES (bit-equal to DuckDB's scan) and the
+    * SCALE PROPERTY: at 100 TB the whole readout is a metadata fold
+    * over O(files) ledger lines on the driver. Unlike [[sqlStatsAgg]]
+    * (the SQL-intercept route), this rides Spark's OWN pushdown
+    * machinery — any DataFrame/SQL client of the catalog gets it. */
+  def qSpjAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjagg").toString
+    val lake = new Lakehouse(spark, root)
+    // sums are opt-in per table: declared before the write (the
+    // Iceberg compute_table_stats flow), recorded while the data is hot
+    lake.declareSumColumns("spjq_agg", Seq("o_orderkey", "o_price_d"))
+    lake.createOrReplace(Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("o_price_d")),
+      "spjq_agg", Seq("bucket(8,o_custkey)"))
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val q = spark.sql(
+      s"""SELECT count(*) AS n_total,
+         |  min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi,
+         |  min(o_orderstatus) AS s_lo, max(o_orderstatus) AS s_hi,
+         |  sum(o_orderkey) AS s_key, sum(o_price_d) AS s_price
+         |FROM $cat.spjq_agg""".stripMargin)
+    val r = q.collect().head
+    val metaOnly =
+      if (collectExec(q) { case l: LocalTableScanExec => l }.nonEmpty &&
+        collectExec(q) { case b: BatchScanExec => b }.isEmpty) 1.0 else 0.0
+    import spark.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4),
+      r.getLong(5), r.getDecimal(6).doubleValue(), metaOnly))
+      .toDF("n_total", "k_lo", "k_hi", "s_lo", "s_hi", "s_key", "s_price", "meta_only")
+  }
+
+  /** `q_spj_runtime_filter` — DSv2 RUNTIME FILTERING (dynamic
+    * partition pruning) on the SPJ scan
+    * ([[graft.sources.spj.GraftSpjScan.filter]]): the fact table is
+    * bucket(16, o_custkey)-laid-out; joining it to a selectively
+    * filtered dim makes Spark ship the dim's key set to the scan
+    * before execution, where the keys map through the layout hash to
+    * their buckets — every other bucket's files DROP, then per-file
+    * stat bounds prune the rest. The readout pins `pruned = 1.0`
+    * (a DynamicPruningExpression reached the scan AND the planned
+    * file count shrank), so the oracle checks semantics and the scale
+    * property together: at 100 TB a dim-filtered fact join reads
+    * O(matching buckets), not the fact. Broadcast stays ENABLED here
+    * — DPP rides the dim's broadcast exchange. */
+  def qSpjRuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.Lakehouse
+    import graft.sources.spj.{GraftSpjCatalog, GraftSpjScan}
+    val root = java.nio.file.Files.createTempDirectory("graft-spjrf").toString
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "spjq_fact", Seq("bucket(16,o_custkey)"))
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .where(col("c_custkey") < 3)
+    val agg = spark.table(s"$cat.spjq_fact")
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("c_mktsegment")
+    val rows = agg.collect()
+    val scans = collectExec(agg) { case b: BatchScanExec => b }
+    val planned = scans.map(_.scan).collectFirst {
+      case s: GraftSpjScan => s.plannedFileCount }
+    val total = lake.spjLayout("spjq_fact").files.valuesIterator.map(_.size).sum
+    val pruned = if (scans.exists(_.runtimeFilters.nonEmpty) &&
+      planned.exists(_ < total)) 1.0 else 0.0
+    import spark.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), pruned)).toSeq
+      .toDF("c_mktsegment", "n", "total", "pruned")
+      .orderBy("c_mktsegment")
+  }
+
+  /** `q_spj_limit` — DSv2 LIMIT PUSHDOWN capped at the FILE LIST
+    * ([[graft.sources.spj.SpjPruning.capForLimit]]): with per-file row
+    * counts in the ledger, `SELECT * FROM t LIMIT n` plans just enough
+    * files to cover n rows (largest-first) instead of the table — the
+    * notebook's peek-at-a-table cell reads one file at 100 TB. Spark
+    * keeps the exact limit on top (the pushdown is declared partial),
+    * so the row count is exact however the cap lands; the readout pins
+    * `limited = 1.0` (planned files < the layout's total). */
+  def qSpjLimit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.Lakehouse
+    import graft.sources.spj.{GraftSpjCatalog, GraftSpjScan}
+    val root = java.nio.file.Files.createTempDirectory("graft-spjlim").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    // four commits: the cap must pick across a multi-file, multi-dir layout
+    (0 until 4).foreach { i =>
+      val slice = orders.where(col("o_orderkey") % 4 === i)
+      if (i == 0) lake.createOrReplace(slice, "spjq_lim", Seq("bucket(4,o_custkey)"))
+      else lake.append(slice, "spjq_lim", Seq("bucket(4,o_custkey)"))
+    }
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val df = spark.table(s"$cat.spjq_lim").limit(500)
+    val n = df.collect().length.toLong
+    val planned = collectExec(df) { case b: BatchScanExec => b }
+      .map(_.scan).collectFirst { case s: GraftSpjScan => s.plannedFileCount }
+    val total = lake.spjLayout("spjq_lim").files.valuesIterator.map(_.size).sum
+    val limited = if (planned.exists(_ < total)) 1.0 else 0.0
+    import spark.implicits._
+    Seq((n, limited)).toDF("cnt", "limited")
+  }
+
   /** `q_cdc_read` — the CDC CHANGELOG read at the driver surface
     * ([[graft.sources.Lakehouse.readChangesCdc]], the Iceberg
     * `changelog` / Delta CDF analog): baseline lands, a batch

@@ -163,38 +163,146 @@ private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
   * so Spark keeps the exact predicate on top; a wrong-but-fast
   * pushdown is the one bug class this surface must never have. */
 private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   import org.apache.spark.sql.sources.Filter
 
   private var required: StructType = layout.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggAnswer: Option[(StructType, InternalRow, String)] = None
+  private var limit: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(SpjPruning.usable)
     filters // ALL filters stay residual: pruning is may-match only
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = {
-    val allowed = SpjPruning.allowedBuckets(layout.keyCol, layout.nBuckets, pushed.toSeq)
-    val pruned = layout.files.map { case (b, fs) =>
-      b -> (if (allowed.exists(a => !a.contains(b))) Seq.empty[SpjFile]
-      else fs.filter(f => pushed.forall(SpjPruning.mayMatch(f.stats, _))))
-    }
-    new GraftSpjScan(layout.schema, required, layout.keyCol, layout.nBuckets, pruned, pushed.toSeq)
+
+  /** GLOBAL aggregates answered from the ledgers — count(*) /
+    * count(col) / min / max / sum read out of the row-count, null-
+    * count, bound and sum ledgers the writer recorded, zero data
+    * opens (the Iceberg `SupportsPushDownAggregates` shape). Accepted
+    * ONLY when the answer is provably bit-equal to the ordinary
+    * scan-and-aggregate: no pushed filters, no grouping, every file's
+    * ledger complete for every referenced column — anything else
+    * declines and Spark plans the ordinary scan. Complete pushdown
+    * (never partial): the scan returns THE one finished row. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushed.isEmpty && SpjMetaAgg.answer(layout, agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    aggAnswer = SpjMetaAgg.answer(layout, agg)
+    // NOTE if Spark takes this as a PARTIAL pushdown (it probed
+    // supportCompletePushDown first, so it won't — but the contract
+    // allows it), the one finished row is still a valid partial: the
+    // final aggregate folds a single count/min/max/sum leg unchanged
+    aggAnswer.isDefined
+  }
+
+  /** LIMIT pushdown caps the FILE LIST: with per-file row counts
+    * recorded, a `SELECT ... LIMIT n` plans just enough files to cover
+    * n rows (the notebook's peek-at-a-table shape reads one file, not
+    * the table). Partially pushed — Spark keeps the exact limit on
+    * top; this leg only prunes I/O, so unrecorded counts simply keep
+    * every file. */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.nonEmpty || aggAnswer.isDefined) return false
+    limit = Some(n)
+    true
+  }
+
+  override def build(): Scan = aggAnswer match {
+    case Some((aggSchema, row, desc)) =>
+      GraftSpjAggScan(aggSchema, Array(row), desc)
+    case None =>
+      val allowed = SpjPruning.allowedBuckets(layout.keyCol, layout.nBuckets, pushed.toSeq)
+      val pruned = layout.files.map { case (b, fs) =>
+        b -> (if (allowed.exists(a => !a.contains(b))) Seq.empty[SpjFile]
+        else fs.filter(f => pushed.forall(SpjPruning.mayMatch(f.stats, _))))
+      }
+      val capped = limit.fold(pruned)(SpjPruning.capForLimit(pruned, _))
+      new GraftSpjScan(layout.schema, required, layout.keyCol, layout.nBuckets,
+        capped, pushed.toSeq, limit)
   }
 }
 
-private[spj] class GraftSpjScan(dataSchema: StructType, required: StructType,
-    keyCol: String, nBuckets: Int, files: Map[Int, Seq[SpjFile]],
-    pushed: Seq[org.apache.spark.sql.sources.Filter])
-  extends Scan with Batch with SupportsReportPartitioning {
+/** A metadata-answered aggregate as a driver-local scan: Spark turns
+  * [[LocalScan]] into a LocalTableScanExec — the finished row ships
+  * from the driver, no executors, no files. */
+private[graft] case class GraftSpjAggScan(aggSchema: StructType,
+    rows: Array[InternalRow], desc: String) extends LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String = s"GraftSpjAggScan $desc"
+}
+
+private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
+    keyCol: String, nBuckets: Int, files0: Map[Int, Seq[SpjFile]],
+    pushed: Seq[org.apache.spark.sql.sources.Filter], limit: Option[Int] = None)
+  extends Scan with Batch with SupportsReportPartitioning
+  with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  /** Mutated ONLY by [[filter]] (Spark's runtime-filtering hook, called
+    * on the driver before partition planning at execution). */
+  @volatile private var files: Map[Int, Seq[SpjFile]] = files0
+
+  private[graft] def plannedFileCount: Int = files.valuesIterator.map(_.size).sum
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftSpj bucket($nBuckets,$keyCol) ${files.valuesIterator.map(_.size).sum} files" +
-      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]")
+    s"GraftSpj bucket($nBuckets,$keyCol) $plannedFileCount files" +
+      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]") +
+      limit.fold("")(n => s" PushedLimit: $n")
+
+  /** Exact post-pruning statistics from the ledgers, so the planner
+    * sizes this side honestly: a small (or well-pruned) SPJ table
+    * auto-broadcasts instead of hiding behind the v2 default estimate.
+    * Row counts are reported only for an unfiltered scan — with
+    * residual predicates the true cardinality is lower, and a too-big
+    * row estimate is the safe direction only for sizes, not rows. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val fs = files.valuesIterator.flatten.toSeq
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, fs.map(_.length).sum))
+    override def numRows(): java.util.OptionalLong =
+      if (pushed.isEmpty && limit.isEmpty && fs.forall(_.rows.isDefined))
+        java.util.OptionalLong.of(fs.map(_.rows.get).sum)
+      else java.util.OptionalLong.empty()
+  }
+
+  /** RUNTIME filtering (dynamic partition pruning, DSv2 shape): when
+    * this scan joins a filtered dim on the bucket column, Spark ships
+    * the dim's key set here before execution. The keys map through the
+    * layout hash to their buckets — every other bucket's files drop —
+    * and each surviving file is additionally range-checked against its
+    * stats bounds. The partition STRUCTURE is untouched (all n buckets
+    * still plan, pruned ones empty), so SPJ co-partition alignment and
+    * [[outputPartitioning]] stay valid; only I/O shrinks. At 100 TB
+    * this is the join-shaped twin of static bucket pruning: a
+    * dim-filtered fact scan reads O(matching buckets), not the fact. */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(keyCol))
+
+  override def filter(filters: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // each recognized predicate yields (stat-comparable value,
+    // canonical layout-hash string) per key; unrecognized shapes or
+    // unmappable types drop the whole predicate — prune nothing
+    val keySets = filters.toSeq.flatMap(SpjPruning.runtimeInValues(_, keyCol))
+    if (keySets.isEmpty) return
+    val inFilters = keySets.map(vs =>
+      org.apache.spark.sql.sources.In(keyCol, vs.map(_._1).toArray))
+    val allowed = keySets.map(_.map(p => SpjPruning.bucketOf(p._2, nBuckets)).toSet)
+      .reduce(_ intersect _)
+    files = files.map { case (b, fs) =>
+      b -> (if (!allowed.contains(b)) Seq.empty[SpjFile]
+      else fs.filter(f => inFilters.forall(SpjPruning.mayMatch(f.stats, _))))
+    }
+  }
 
   /** The contract that deletes the Exchange: each scan partition IS
     * one bucket, keyed by the transform over the join column. */
@@ -408,7 +516,201 @@ private[spj] object SpjPruning {
     case _ => None
   }
 
-  private def bucketOf(s: String, n: Int): Int =
+  def bucketOf(s: String, n: Int): Int =
     ((graft.functions.HashImpl.md5Lower64(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >>> 2) % n).toInt
+
+  /** Runtime-filter IN values over `keyCol`: Spark ships DPP key sets
+    * as V2 `IN` predicates whose literals carry INTERNAL values
+    * (UTF8String, epoch-day ints). Returns per key both the
+    * stat-comparable external value (for [[mayMatch]]) and the
+    * canonical layout-hash string (for [[bucketOf]]); None when the
+    * predicate isn't an IN over exactly `keyCol` or any literal's type
+    * falls outside the transform's session-independent whitelist —
+    * the caller then prunes nothing. */
+  def runtimeInValues(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      keyCol: String): Option[Seq[(Any, String)]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    if (!p.name().equalsIgnoreCase("IN")) return None
+    val ch = p.children()
+    if (ch.length < 2) return None
+    ch.head match {
+      case nr: NamedReference if nr.fieldNames().sameElements(Array(keyCol)) =>
+        val vals = ch.tail.toSeq.map {
+          case l: V2Literal[_] => (l.dataType(), l.value()) match {
+            case (_, null) => None // null never matches an IN semijoin key
+            case (StringType, u) => Some((u.toString, u.toString))
+            case (LongType, v: java.lang.Long) => Some((v.longValue(), v.toString))
+            case (IntegerType, v: java.lang.Integer) => Some((v.intValue(), v.toString))
+            case (ShortType, v: java.lang.Short) => Some((v.shortValue(), v.toString))
+            case (ByteType, v: java.lang.Byte) => Some((v.byteValue(), v.toString))
+            case (DateType, v: java.lang.Integer) => Some((v.intValue(),
+              java.time.LocalDate.ofEpochDay(v.longValue()).toString))
+            case _ => None
+          }
+          case _ => None
+        }
+        if (vals.forall(_.isDefined)) Some(vals.flatten) else None
+      case _ => None
+    }
+  }
+
+  /** Minimal file cover for a pushed LIMIT: keep the fewest files whose
+    * recorded row counts reach `n` (largest-first, path-tiebroken for
+    * determinism). Any file without a recorded count keeps the list
+    * whole — the cap only ever prunes provably-spare I/O; Spark's own
+    * limit on top trims the exact rows. Bucket structure is preserved
+    * (uncovered buckets plan empty). */
+  def capForLimit(files: Map[Int, Seq[SpjFile]], n: Int): Map[Int, Seq[SpjFile]] = {
+    val flat = files.toSeq.flatMap { case (b, fs) => fs.map(b -> _) }
+    if (flat.exists(_._2.rows.isEmpty)) return files
+    if (flat.map(_._2.rows.get).sum <= n) return files
+    val sorted = flat.sortBy { case (_, f) => (-f.rows.get, f.path) }
+    val keep = scala.collection.mutable.Buffer.empty[(Int, SpjFile)]
+    var acc = 0L
+    val it = sorted.iterator
+    while (acc < n && it.hasNext) {
+      val e = it.next(); keep += e; acc += e._2.rows.get
+    }
+    keep.groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).toSeq }
+  }
+}
+
+/** Pushed-aggregate readouts from the write-time ledgers — the DSv2
+  * twin of [[graft.sources.Lakehouse.metaAgg]], restricted to the
+  * GLOBAL, UNFILTERED case where every answer is a pure metadata fold:
+  * count(*) from row counts, count(col) from null counts, min/max from
+  * stat bounds, sum from the per-file decimal-exact sums ledger. The
+  * exactness contract is the same: answer bit-for-bit what the
+  * ordinary scan-and-aggregate would, or decline (None) and let Spark
+  * plan that scan. Anything unrecorded, type-unmapped, distinct, or
+  * grouped declines — the one bug class this surface must never have
+  * is a fast wrong answer. */
+private[spj] object SpjMetaAgg {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def answer(layout: SpjLayout,
+      agg: Aggregation): Option[(StructType, InternalRow, String)] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val files = layout.files.valuesIterator.flatten.toSeq
+    if (files.exists(_.rows.isEmpty)) return None
+    val totalRows = files.map(_.rows.get).sum
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        layout.schema.fields.find(_.name == nr.fieldNames()(0))
+      case _ => None
+    }
+
+    def tagOf(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => "long"
+      case FloatType | DoubleType => "double"
+      case StringType => "string"
+      case _ => ""
+    }
+
+    // count(col): non-null totals need every file's null count recorded
+    def nonNull(f: StructField): Option[Long] = {
+      val per = files.map(sf => sf.nulls.get(f.name).map(n => sf.rows.get - n))
+      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    }
+
+    // a ledger bound decoded to the column's INTERNAL value
+    def internal(dt: DataType, tag: String, s: String): Option[Any] =
+      scala.util.Try[Any]((tag, dt) match {
+        case ("long", DateType) => s.toLong.toInt
+        case ("long", TimestampType) => s.toLong
+        case ("long", LongType) => s.toLong
+        case ("long", IntegerType) => s.toLong.toInt
+        case ("long", ShortType) => s.toLong.toShort
+        case ("long", ByteType) => s.toLong.toByte
+        case ("double", DoubleType) => s.toDouble
+        case ("double", FloatType) => s.toDouble.toFloat
+        case ("string", StringType) => UTF8String.fromString(s)
+        case _ => throw new IllegalArgumentException(s"unmapped ($tag, $dt)")
+      }).toOption
+
+    // min/max: every file holding ≥1 non-null value of the column must
+    // carry a usable bound (absence is indistinguishable from
+    // unrecorded — unprovable, decline); all-null and empty files are
+    // skipped exactly as SQL min/max skips them
+    def bound(f: StructField, wantMin: Boolean): Option[Any] = {
+      val tag = tagOf(f.dataType)
+      if (tag.isEmpty) return None
+      val legs = files.flatMap { sf =>
+        val nn = sf.nulls.get(f.name) match {
+          case Some(nulls) => sf.rows.get - nulls
+          case None => return None
+        }
+        if (nn == 0L) None
+        else sf.stats.get(f.name) match {
+          case Some((t, lo, hi)) if t == tag => Some(if (wantMin) lo else hi)
+          case _ => return None
+        }
+      }
+      if (legs.isEmpty) return Some(null) // zero non-null values: SQL NULL
+      val pick = scala.util.Try(tag match {
+        case "string" => if (wantMin) legs.min else legs.max
+        case _ => if (wantMin) legs.minBy(BigDecimal(_)) else legs.maxBy(BigDecimal(_))
+      }).toOption.getOrElse(return None)
+      internal(f.dataType, tag, pick)
+    }
+
+    // sum: integral/decimal only (double addition is order-dependent);
+    // the exact ledger total must restate Spark's own result type or
+    // the readout declines (Long wrap / decimal overflow can only be
+    // reproduced by the real scan)
+    def sumOf(f: StructField): Option[(Any, DataType)] = {
+      val resultType: DataType = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => LongType
+        case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+        case _ => return None
+      }
+      var acc = java.math.BigDecimal.ZERO
+      var any = false
+      files.foreach { sf =>
+        sf.sums.get(f.name) match {
+          case Some(Some(v)) => acc = acc.add(v); any = true
+          case Some(None) => // recorded all-null file: contributes nothing
+          case None => if (sf.rows.get > 0L) return None // unrecorded
+        }
+      }
+      if (!any) return Some((null, resultType))
+      resultType match {
+        case LongType =>
+          scala.util.Try(acc.longValueExact()).toOption.map(v => (v, LongType))
+        case dt: DecimalType =>
+          val d = org.apache.spark.sql.types.Decimal(acc)
+          if (d.changePrecision(dt.precision, dt.scale)) Some((d, dt)) else None
+        case _ => None
+      }
+    }
+
+    val legs: Seq[Option[(Any, DataType, String)]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some((totalRows, LongType, "count(*)"))
+        case c: Count if !c.isDistinct =>
+          colOf(c.column).flatMap(f =>
+            nonNull(f).map(n => (n, LongType, s"count(${f.name})")))
+        case m: Min => colOf(m.column).flatMap(f =>
+          bound(f, wantMin = true).map(v => (v, f.dataType, s"min(${f.name})")))
+        case m: Max => colOf(m.column).flatMap(f =>
+          bound(f, wantMin = false).map(v => (v, f.dataType, s"max(${f.name})")))
+        case s: Sum if !s.isDistinct =>
+          colOf(s.column).flatMap(f =>
+            sumOf(f).map { case (v, dt) => (v, dt, s"sum(${f.name})") })
+        case _ => None
+      }
+    if (legs.isEmpty || legs.exists(_.isEmpty)) return None
+    val vals = legs.map(_.get)
+    val schema = StructType(vals.zipWithIndex.map { case ((_, dt, _), i) =>
+      StructField(s"agg_$i", dt, nullable = true)
+    })
+    Some((schema, InternalRow.fromSeq(vals.map(_._1)),
+      vals.map(_._3).mkString(", ")))
+  }
 }

@@ -271,6 +271,158 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  // walk an executed (possibly adaptive) plan, subqueries included;
+  // AQE query stages are LEAVES whose subtree hangs off `.plan`
+  private def collectPlan[T](df: DataFrame)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[T] =
+      (if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => (other.children ++ other.subqueries).flatMap(walk)
+      })
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("global aggregates answer from the ledgers: one driver-local row, no scan") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-ma").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("price_d"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("prio_n"))
+    // sums are OPT-IN per table (declared before the write, like the
+    // Iceberg compute_table_stats flow) — the pushdown rides them
+    lake.declareSumColumns("spj_ma", Seq("o_orderkey", "price_d"))
+    lake.createOrReplace(orders.where(col("o_orderkey") % 2 === 0), "spj_ma",
+      Seq("bucket(8,o_custkey)"))
+    lake.append(orders.where(col("o_orderkey") % 2 =!= 0), "spj_ma",
+      Seq("bucket(8,o_custkey)"))
+    withSpj(root, "spj_t8") {
+      val q = spark.sql("""SELECT count(*) AS cnt, count(prio_n) AS cnt_nn,
+          min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+          min(o_orderstatus) AS min_s, max(prio_n) AS max_p,
+          sum(o_orderkey) AS sum_k, sum(price_d) AS sum_p
+        FROM spj_t8.spj_ma""")
+      val want = orders.agg(count(lit(1)).as("cnt"), count(col("prio_n")).as("cnt_nn"),
+        min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"),
+        min("o_orderstatus").as("min_s"), max("prio_n").as("max_p"),
+        sum("o_orderkey").as("sum_k"), sum("price_d").as("sum_p"))
+      assert(sortedRows(q) === sortedRows(want))
+      assert(collectPlan(q) { case l: LocalTableScanExec => l }.nonEmpty,
+        "metadata-answered aggregate should plan a driver-local scan:\n" +
+          q.queryExecution.executedPlan)
+      assert(collectPlan(q) { case b: BatchScanExec => b }.isEmpty,
+        "no file scan may remain under a complete agg pushdown")
+
+      // declines fall back to the real scan, bit-equal either way:
+      // DISTINCT aggregates and filtered aggregates are not provable
+      // from the ledgers
+      val dq = spark.sql(
+        "SELECT count(DISTINCT o_orderstatus) AS c FROM spj_t8.spj_ma")
+      val fq = spark.sql(
+        "SELECT count(*) AS c FROM spj_t8.spj_ma WHERE o_custkey = 1")
+      assert(fq.collect().map(_.getLong(0)).head ===
+        orders.where(col("o_custkey") === 1).count())
+      assert(collectPlan(fq) { case b: BatchScanExec => b }.nonEmpty,
+        "a filtered aggregate must NOT answer from unfiltered ledgers")
+      assert(dq.collect().map(_.getLong(0)).head ===
+        orders.select("o_orderstatus").distinct().count())
+      assert(collectPlan(dq) { case b: BatchScanExec => b }.nonEmpty,
+        "a DISTINCT aggregate must NOT answer from the ledgers")
+    }
+  }
+
+  test("runtime filtering: a dim-filtered join prunes fact files at execution") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.spj.GraftSpjScan
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-rf").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    lake.createOrReplace(orders, "spj_rf", Seq("bucket(16,o_custkey)"))
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .where(col("c_custkey") < 3)
+    // broadcast stays ENABLED here: DPP reuses the dim's broadcast
+    spark.conf.set("spark.sql.catalog.spj_t9", classOf[GraftSpjCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spj_t9.root", root)
+    val fact = spark.table("spj_t9.spj_rf")
+    val joined = fact.join(dim, col("o_custkey") === col("c_custkey"))
+    val want = sortedRows(orders.join(dim, col("o_custkey") === col("c_custkey")))
+    assert(sortedRows(joined) === want)
+    val scans = collectPlan(joined) { case b: BatchScanExec => b }
+    val spj = scans.map(_.scan).collectFirst { case s: GraftSpjScan => s }
+    assert(spj.isDefined, "fact side should be the SPJ scan:\n" +
+      joined.queryExecution.executedPlan)
+    assert(scans.exists(_.runtimeFilters.nonEmpty),
+      "expected a DPP runtime filter on the fact scan:\n" +
+        joined.queryExecution.executedPlan)
+    val total = lake.spjLayout("spj_rf").files.valuesIterator.map(_.size).sum
+    assert(spj.get.plannedFileCount < total,
+      s"2 dim keys over 16 buckets must prune: kept ${spj.get.plannedFileCount} of $total")
+  }
+
+  test("LIMIT pushdown plans just enough files to cover the limit") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.spj.GraftSpjScan
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-l").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    (0 until 4).foreach { i =>
+      val slice = orders.where(col("o_orderkey") % 4 === i)
+      if (i == 0) lake.createOrReplace(slice, "spj_l", Seq("bucket(4,o_custkey)"))
+      else lake.append(slice, "spj_l", Seq("bucket(4,o_custkey)"))
+    }
+    withSpj(root, "spj_t10") {
+      val df = spark.table("spj_t10.spj_l").limit(7)
+      val got = df.collect()
+      assert(got.length === 7)
+      val full = sortedRows(lake.read("spj_l")).toSet
+      got.foreach { r =>
+        assert(full.contains(r.toSeq.map(String.valueOf).mkString("|")))
+      }
+      val spj = collectPlan(df) { case b: BatchScanExec => b }
+        .map(_.scan).collectFirst { case s: GraftSpjScan => s }
+      assert(spj.isDefined)
+      assert(spj.get.description().contains("PushedLimit"))
+      val total = lake.spjLayout("spj_l").files.valuesIterator.map(_.size).sum
+      assert(spj.get.plannedFileCount < total,
+        s"limit 7 should cap files: kept ${spj.get.plannedFileCount} of $total")
+    }
+  }
+
+  test("the scan reports exact ledger statistics; small SPJ tables auto-broadcast") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-st").toString
+    val lake = new Lakehouse(spark, root)
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    lake.createOrReplace(cust, "spj_small", Seq("bucket(4,c_custkey)"))
+    spark.conf.set("spark.sql.catalog.spj_t11", classOf[GraftSpjCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spj_t11.root", root)
+    val t = spark.table("spj_t11.spj_small")
+    val layout = lake.spjLayout("spj_small")
+    val stats = t.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes ===
+      BigInt(layout.files.valuesIterator.flatten.map(_.length).sum))
+    assert(stats.rowCount.contains(
+      BigInt(layout.files.valuesIterator.flatten.map(_.rows.get).sum)))
+    // honest sizing means the planner broadcasts the small side UNHINTED
+    val big = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val j = big.join(t, col("o_custkey") === col("c_custkey"))
+    j.collect()
+    assert(collectPlan(j) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "exact v2 stats should let the small SPJ side broadcast:\n" +
+        j.queryExecution.executedPlan)
+  }
+
   test("strictness: tombstoned or mixed-layout tables refuse the SPJ read loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-s").toString
     val lake = new Lakehouse(spark, root)
