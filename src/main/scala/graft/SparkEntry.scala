@@ -24,6 +24,7 @@ object SparkEntry {
     "sql_lakehouse_ddl" -> (Medallion.sqlLakehouseDdl _),
     "mview_incremental" -> (Medallion.mviewIncremental _),
     "mview_join" -> (Medallion.mviewJoin _),
+    "mview_dim_delta" -> (Medallion.mviewDimDelta _),
     "sql_mview" -> (Medallion.sqlMview _),
     "sql_wap" -> (Medallion.sqlWap _),
     "sql_time_travel" -> (Medallion.sqlTimeTravel _),
@@ -40,6 +41,7 @@ object SparkEntry {
     "q_spj_agg" -> (Medallion.qSpjAgg _),
     "q_spj_runtime_filter" -> (Medallion.qSpjRuntimeFilter _),
     "q_spj_limit" -> (Medallion.qSpjLimit _),
+    "q_spj_topn" -> (Medallion.qSpjTopn _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -338,6 +340,19 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS colocated
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // dim-side incremental view maintenance: the oracle recomputes
+    // the enrichment join with the dim update applied via CASE;
+    // incremental = 1.0 pins that the subtractive dim-delta leg
+    // committed (the dim-keyed negative batch id), not a recompute
+    "mview_dim_delta" ->
+      """WITH dim AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 100 = 0 THEN 'PROMO' ELSE c_mktsegment END
+        |    AS c_mktsegment FROM customer)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(1.0 AS DOUBLE) AS incremental
+        |FROM orders JOIN dim ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // DSv2 aggregate pushdown: the oracle recomputes the global
     // readout by scanning; meta_only = 1.0 pins that the engine
     // answered it as ONE driver-local row (no file scan in the plan)
@@ -366,6 +381,13 @@ object SparkEntry {
     "q_spj_limit" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(1.0 AS DOUBLE) AS limited
         |FROM (SELECT * FROM orders LIMIT 500)""".stripMargin,
+    // DSv2 TopN pushdown: deterministic rows (unique sort key), and
+    // pruned = 1.0 pins that sort-bound file capping engaged
+    "q_spj_topn" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  CAST(1.0 AS DOUBLE) AS pruned
+        |FROM orders ORDER BY o_orderkey DESC LIMIT 50""".stripMargin,
     // CDC changelog: the oracle restates the NET interval effect —
     // appended-then-deleted rows emit nothing, pre-existing deleted
     // rows emit deletes, surviving appends emit inserts

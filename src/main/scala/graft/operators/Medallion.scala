@@ -805,6 +805,49 @@ object Medallion {
     Seq((n, limited)).toDF("cnt", "limited")
   }
 
+  /** `q_spj_topn` — DSv2 TOP-N PUSHDOWN capped by sort bounds
+    * ([[graft.sources.spj.SpjPruning.capForTopN]]): `ORDER BY
+    * o_orderkey DESC LIMIT 50` over a range-committed table keeps only
+    * the files whose recorded [lo, hi] can still reach the 50th row —
+    * the "read the newest files, not the table" shape every
+    * time-ordered 100 TB log query needs. Spark's own TopN picks the
+    * exact rows on top (the pushdown is declared partial), so the
+    * result is bit-deterministic (unique sort key); the readout pins
+    * `pruned = 1.0` (planned files < the layout's total). */
+  def qSpjTopn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.Lakehouse
+    import graft.sources.spj.{GraftSpjCatalog, GraftSpjScan}
+    val root = java.nio.file.Files.createTempDirectory("graft-spjtn").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val maxK = orders.agg(max("o_orderkey")).head().getLong(0)
+    // four RANGE-sliced commits: per-file key bounds are disjoint, so
+    // the DESC top-50 lives entirely in the last slice's files
+    (0 until 4).foreach { i =>
+      val slice = orders.where(col("o_orderkey") > lit(i * maxK / 4) &&
+        col("o_orderkey") <= lit((i + 1) * maxK / 4))
+      if (i == 0) lake.createOrReplace(slice, "spjq_tn", Seq("bucket(8,o_custkey)"))
+      else lake.append(slice, "spjq_tn", Seq("bucket(8,o_custkey)"))
+    }
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val df = spark.table(s"$cat.spjq_tn")
+      .orderBy(col("o_orderkey").desc).limit(50)
+    val rows = df.collect()
+    val planned = collectExec(df) { case b: BatchScanExec => b }
+      .map(_.scan).collectFirst { case s: GraftSpjScan => s.plannedFileCount }
+    val total = lake.spjLayout("spjq_tn").files.valuesIterator.map(_.size).sum
+    val pruned = if (planned.exists(_ < total)) 1.0 else 0.0
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), pruned))
+      .toSeq.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "pruned")
+      .orderBy(col("o_orderkey").desc)
+  }
+
   /** `q_cdc_read` — the CDC CHANGELOG read at the driver surface
     * ([[graft.sources.Lakehouse.readChangesCdc]], the Iceberg
     * `changelog` / Delta CDF analog): baseline lands, a batch
@@ -966,12 +1009,56 @@ object Medallion {
     lake.append(orders.where(col("o_orderkey") % 3 === 1), "mvj_orders")
     MV.refresh(lake, d) // fact delta ⋈ pinned dim, merged
     lake.append(customer.where(col("c_custkey") % 2 === 1), "mvj_customer")
-    MV.refresh(lake, d) // dim moved: sound recompute at the new pin
+    MV.refresh(lake, d) // dim moved: applied by the dim-delta leg (or a
+    // sound recompute when its key-cap gate binds at larger SFs)
     lake.append(orders.where(col("o_orderkey") % 3 === 2), "mvj_orders")
     MV.refresh(lake, d) // delta path resumes
     lake.read("mvj_sales").select(
       col("c_mktsegment"), col("n_orders"),
       col("total_price").cast("double").as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** `mview_dim_delta` — DIM-SIDE INCREMENTAL maintenance of a
+    * join-shaped materialized view
+    * ([[graft.sources.MaterializedView.dimDelta]]): an MoR dim update
+    * re-labels 1% of customers into a new segment, and the refresh
+    * applies it SUBTRACTIVELY — the CDC changelog of the dim interval
+    * names the changed keys, the fact rows joining those keys are
+    * re-read IN-pruned at the pinned fact snapshot, and each touched
+    * group adds the inserted-side contribution minus the deleted-side
+    * one. The readout pins `incremental = 1.0` (the dim-keyed
+    * negative idempotency batch id committed), so the oracle
+    * hash-checks semantics AND the scale property: at 100 TB a
+    * 50-key dim backfill costs O(those keys' fact rows), never a fact
+    * re-aggregation — the reference's silver_enrich shape
+    * (spark_jobs/silver_transformation.py) made dim-update-priced. */
+  def mviewDimDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Lakehouse, MaterializedView => MV}
+    val root = java.nio.file.Files.createTempDirectory("graft-mvdim").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val d = MV.ViewDef("mvd_sales", "mvd_orders", Seq("c_mktsegment"),
+      Seq(MV.SumCol("price", "total_price"), MV.CountAll("n_orders")),
+      join = Some(MV.JoinSpec("mvd_customer", "o_custkey", "c_custkey")))
+    lake.createOrReplace(customer, "mvd_customer")
+    lake.createOrReplace(orders, "mvd_orders")
+    MV.create(lake, d)
+    // MoR re-label (tombstone + updated image, CDC-readable): every
+    // 100th customer moves to the PROMO segment, fact untouched
+    lake.updateWhereMor(Seq("c_mktsegment" -> lit("PROMO")),
+      col("c_custkey") % 100 === 0, "mvd_customer")
+    MV.refresh(lake, d)
+    val incremental =
+      if (lake.committedBatches("mvd_sales").exists(_ < 0)) 1.0 else 0.0
+    lake.read("mvd_sales").select(
+      col("c_mktsegment"), col("n_orders"),
+      col("total_price").cast("double").as("total_price"),
+      lit(incremental).as("incremental"))
       .orderBy("c_mktsegment")
   }
 

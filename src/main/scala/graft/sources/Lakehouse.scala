@@ -1839,9 +1839,13 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * stats). This is the default filtered-scan path — `prunedRead` is
     * the range-shaped convenience over it. */
   def readWhere(pred: org.apache.spark.sql.Column, table: String,
-      branch: String = "main"): DataFrame = {
+      branch: String = "main", atSnapshot: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val snap = currentSnapshot(table, branch)
+    // `atSnapshot` pins the filtered read to a historical snapshot —
+    // the same stats/bloom file pruning, time-travel-consistent (the
+    // materialized-view dim-delta probe must read the fact state its
+    // watermark names, not whatever commits landed since)
+    val snap = atSnapshot.orElse(currentSnapshot(table, branch))
       .getOrElse(throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
     val entries = snapshots(table).find(_._1 == snap).get._2
     // conjunct analysis runs against a SCHEMA-ONLY relation when

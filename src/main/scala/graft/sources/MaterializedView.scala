@@ -271,14 +271,103 @@ object MaterializedView {
     wm.max
   }
 
+  /** Key-set bound on the dim-delta path's fact probe: beyond this
+    * many changed dim keys, an IN-filtered fact read stops winning
+    * over the recompute the fallback would do anyway (the
+    * [[graft.operators.Dedup.indexRefresh]] cost-gate convention). */
+  private val DimDeltaKeysCap = 1024
+
+  /** Apply a DIM-side change interval INCREMENTALLY: the view moves
+    * from `fact@factSnap ⋈ dim@dimFrom` to `fact@factSnap ⋈
+    * dim@dimTo` by subtractive merge — the CDC changelog of the dim
+    * interval names the changed keys, the fact rows joining those
+    * keys are re-read (IN-pruned, at the PINNED fact snapshot), and
+    * per group the view adds Γ(fact ⋈ inserted dim rows) minus
+    * Γ(fact ⋈ deleted dim rows). Sound ONLY under gates, each of
+    * which returns None so the caller recomputes:
+    *  - every aggregate is SUBTRACTABLE (sum/count; min/max can lose
+    *    their extremum on retraction), with a count(*) present to
+    *    witness group emptiness;
+    *  - the dim interval is CDC-readable (appends + MoR
+    *    deletes/updates; a CoW rewrite refuses) — maintain enrichment
+    *    dims MoR-style to keep join views delta-priced;
+    *  - the changed-key set is bounded ([[DimDeltaKeysCap]]);
+    *  - no group's count reaches zero (a vanished group needs a
+    *    DELETE, which the upsert path cannot express atomically).
+    * EXACTLY-ONCE: the commit's idempotency batch id is `-dimTo` —
+    * the NEGATIVE namespace keeps dim-keyed commits from colliding
+    * with fact-snapshot batch ids, and [[watermark]]'s `.max` still
+    * reads the fact watermark. A crash after the commit but before
+    * the aux dim-watermark write replays into the already-committed
+    * batch id and converges (never a double-applied delta).
+    * At 100 TB this is the difference between "a dim attribute was
+    * backfilled for 50 keys" costing O(50 keys' fact rows) and
+    * costing a full fact re-aggregation. */
+  private[graft] def dimDelta(lake: Lakehouse, d: ViewDef, factSnap: Long,
+      dimFrom: Option[Long], dimTo: Long): Option[Long] = {
+    val j = d.join.get
+    if (!d.aggs.forall(a => a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll]))
+      return None
+    val countAlias = d.aggs.collectFirst { case CountAll(a) => a }
+      .getOrElse(return None)
+    val f0 = dimFrom.getOrElse(return None) // legacy view without a dim pin
+    val batchId = -dimTo
+    if (lake.committedBatches(d.view).contains(batchId))
+      return Some(lake.currentSnapshot(d.view).get) // crash replay: converge aux only
+    val cdc =
+      try lake.readChangesCdc(j.dim, f0, dimTo).localCheckpoint(true)
+      catch { case _: IllegalArgumentException => return None }
+    val dOld = cdc.where(col("_change_type") === "delete").drop("_change_type")
+    val dNew = cdc.where(col("_change_type") === "insert").drop("_change_type")
+    val keyRows = dOld.select(col(j.dimKey)).union(dNew.select(col(j.dimKey)))
+      .distinct().limit(DimDeltaKeysCap + 1).collect()
+    if (keyRows.length > DimDeltaKeysCap) return None
+    if (keyRows.isEmpty) // net-empty interval: nothing to apply
+      return Some(lake.currentSnapshot(d.view).get)
+    // fact probe: the changed keys' rows at the PINNED fact snapshot —
+    // readWhere's stats/bloom IN-list skipping prunes fact FILES, so
+    // the probe costs O(matching files), not a fact scan
+    val fact = lake.readWhere(col(j.factKey).isin(keyRows.map(_.get(0)).toSeq: _*),
+      d.src, atSnapshot = Some(factSnap))
+    def contrib(dim: DataFrame, prefix: String): DataFrame = {
+      val rows = if (j.factKey == j.dimKey) fact.join(dim, Seq(j.factKey))
+      else fact.join(dim, fact(j.factKey) === dim(j.dimKey))
+      aggOf(rows, d).select(d.groupCols.map(col) ++
+        d.aggs.map(a => col(a.alias).as(prefix + a.alias)): _*)
+    }
+    // net per-group delta = inserted-side minus deleted-side partials
+    // (null partial = "no rows on that side": contributes zero)
+    val da = contrib(dNew, "__p_").join(contrib(dOld, "__m_"), d.groupCols, "full_outer")
+      .select(d.groupCols.map(col) ++ d.aggs.map { a =>
+        (coalesce(col("__p_" + a.alias), lit(0)) -
+          coalesce(col("__m_" + a.alias), lit(0))).as("__d_" + a.alias)
+      }: _*)
+    val t = lake.read(d.view)
+    val touched = t.join(da.select(d.groupCols.map(col): _*), d.groupCols, "left_semi")
+    val viewSchema = t.schema
+    val merged = touched.join(da, d.groupCols, "full_outer")
+      .select(d.groupCols.map(col) ++ d.aggs.map(mergeCol): _*)
+      .localCheckpoint(true) // feeds the emptiness gate AND the commit
+    if (merged.isEmpty)
+      return Some(lake.currentSnapshot(d.view).get)
+    // a zeroed group must VANISH from the view — not expressible as an
+    // upsert, so that (rare) retraction falls back to the recompute
+    if (merged.where(col(countAlias) <= 0).head(1).nonEmpty) return None
+    val stable = merged.select(viewSchema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    Some(lake.upsertOnce(stable, d.view, d.groupCols, batchId = batchId))
+  }
+
   /** Advance the view to the source's current snapshot. Incremental
     * when the interval is append-only (delta scan + merge of touched
     * groups); full recompute when the source history was rewritten.
     * Join views additionally compare the DIM watermark: an unmoved
     * dim keeps the delta path (delta ⋈ pinned dim merges soundly); a
-    * moved dim forces recompute, because merged fact rows' join
-    * results may have changed — the same conservatism as the
-    * rewrite rule. Returns the view snapshot now current (unchanged
+    * moved dim applies the dim interval incrementally when
+    * [[dimDelta]]'s soundness gates hold (subtractive merge of the
+    * changed keys' contributions), else recomputes against the new
+    * pin. Both-sides-moved refreshes sequence dim-then-fact, each leg
+    * exactly-once. Returns the view snapshot now current (unchanged
     * when neither source moved). */
   def refresh(lake: Lakehouse, d: ViewDef): Long = {
     val from = watermark(lake, d)
@@ -293,18 +382,27 @@ object MaterializedView {
     if (from == to && !dimMoved)
       return lake.currentSnapshot(d.view).get
     if (dimMoved) {
-      // dim-side change: recompute against the new dim pin. The fact
-      // watermark may be UNMOVED (batchId `to` already committed) —
-      // replaceOnce would no-op and strand the view, so that case
-      // commits an unkeyed replace; its replay after a crash rebuilds
-      // identical content (one spurious snapshot, never a wrong view).
-      val rows = joined(lake, lake.readSnapshot(d.src, to), d.join.get, dimNow.get)
-      val snap =
-        if (lake.committedBatches(d.view).contains(to))
-          lake.createOrReplace(aggOf(rows, d), d.view)
-        else lake.replaceOnce(aggOf(rows, d), d.view, batchId = to)
-      writeDimWatermark(lake, d.view, dimNow.get)
-      return snap
+      dimDelta(lake, d, from, dimAt.flatten, dimNow.get) match {
+        case Some(snap) =>
+          writeDimWatermark(lake, d.view, dimNow.get)
+          if (from == to) return snap
+          // fall through: the fact interval advances below against the
+          // new dim pin, its own exactly-once leg
+        case None =>
+          // recompute against the new dim pin (covers the fact interval
+          // too). The fact watermark may be UNMOVED (batchId `to`
+          // already committed) — replaceOnce would no-op and strand the
+          // view, so that case commits an unkeyed replace; its replay
+          // after a crash rebuilds identical content (one spurious
+          // snapshot, never a wrong view).
+          val rows = joined(lake, lake.readSnapshot(d.src, to), d.join.get, dimNow.get)
+          val snap =
+            if (lake.committedBatches(d.view).contains(to))
+              lake.createOrReplace(aggOf(rows, d), d.view)
+            else lake.replaceOnce(aggOf(rows, d), d.view, batchId = to)
+          writeDimWatermark(lake, d.view, dimNow.get)
+          return snap
+      }
     }
     def enrich(rows: DataFrame): DataFrame = d.join match {
       case None => rows

@@ -164,7 +164,7 @@ private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
   * pushdown is the one bug class this surface must never have. */
 private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownAggregates with SupportsPushDownLimit {
+  with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   import org.apache.spark.sql.sources.Filter
 
@@ -172,6 +172,7 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
   private var pushed: Array[Filter] = Array.empty
   private var aggAnswer: Option[(StructType, InternalRow, String)] = None
   private var limit: Option[Int] = None
+  private var topN: Option[(String, Boolean, Boolean, Int)] = None
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(SpjPruning.usable)
@@ -214,6 +215,33 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
     true
   }
 
+  /** TopN pushdown caps the file list by SORT-BOUND coverage
+    * ([[SpjPruning.capForTopN]]): `ORDER BY c LIMIT k` keeps only the
+    * files whose [lo, hi] range can still reach the k-th row — at
+    * 100 TB, `ORDER BY ts DESC LIMIT 100` reads the newest file(s),
+    * not the table. Single-column sorts over ledger-stat columns
+    * only; declared partial, so Spark's own TopN picks exact rows. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (pushed.nonEmpty || aggAnswer.isDefined || n <= 0) return false
+    if (orders.length != 1) return false
+    val o = orders.head
+    o.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+          layout.schema.fieldNames.contains(nr.fieldNames()(0)) =>
+        topN = Some((nr.fieldNames()(0),
+          o.direction() == SortDirection.ASCENDING,
+          o.nullOrdering() == NullOrdering.NULLS_FIRST, n))
+        true
+      case _ => false
+    }
+  }
+  // one override serves both SupportsPushDownLimit and ...TopN: the
+  // caps only prune I/O, Spark always keeps the exact operator on top
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = aggAnswer match {
     case Some((aggSchema, row, desc)) =>
       GraftSpjAggScan(aggSchema, Array(row), desc)
@@ -223,9 +251,14 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
         b -> (if (allowed.exists(a => !a.contains(b))) Seq.empty[SpjFile]
         else fs.filter(f => pushed.forall(SpjPruning.mayMatch(f.stats, _))))
       }
-      val capped = limit.fold(pruned)(SpjPruning.capForLimit(pruned, _))
+      val capped0 = limit.fold(pruned)(SpjPruning.capForLimit(pruned, _))
+      val capped = topN.fold(capped0) { case (c, asc, nf, k) =>
+        SpjPruning.capForTopN(capped0, c, asc, nf, k)
+      }
       new GraftSpjScan(layout.schema, required, layout.keyCol, layout.nBuckets,
-        capped, pushed.toSeq, limit)
+        capped, pushed.toSeq, limit,
+        topN.map { case (c, asc, _, k) =>
+          s"$c ${if (asc) "ASC" else "DESC"} LIMIT $k" })
   }
 }
 
@@ -240,7 +273,8 @@ private[graft] case class GraftSpjAggScan(aggSchema: StructType,
 
 private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
     keyCol: String, nBuckets: Int, files0: Map[Int, Seq[SpjFile]],
-    pushed: Seq[org.apache.spark.sql.sources.Filter], limit: Option[Int] = None)
+    pushed: Seq[org.apache.spark.sql.sources.Filter], limit: Option[Int] = None,
+    topN: Option[String] = None)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
@@ -255,7 +289,8 @@ private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
   override def description(): String =
     s"GraftSpj bucket($nBuckets,$keyCol) $plannedFileCount files" +
       (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]") +
-      limit.fold("")(n => s" PushedLimit: $n")
+      limit.fold("")(n => s" PushedLimit: $n") +
+      topN.fold("")(t => s" PushedTopN: [$t]")
 
   /** Exact post-pruning statistics from the ledgers, so the planner
     * sizes this side honestly: a small (or well-pruned) SPJ table
@@ -268,7 +303,8 @@ private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, fs.map(_.length).sum))
     override def numRows(): java.util.OptionalLong =
-      if (pushed.isEmpty && limit.isEmpty && fs.forall(_.rows.isDefined))
+      if (pushed.isEmpty && limit.isEmpty && topN.isEmpty &&
+        fs.forall(_.rows.isDefined))
         java.util.OptionalLong.of(fs.map(_.rows.get).sum)
       else java.util.OptionalLong.empty()
   }
@@ -554,6 +590,75 @@ private[spj] object SpjPruning {
         if (vals.forall(_.isDefined)) Some(vals.flatten) else None
       case _ => None
     }
+  }
+
+  /** File cover for a pushed TopN (`ORDER BY col [ASC|DESC] LIMIT k`):
+    * sort the files by the bound CLOSEST TO THE TOP of the requested
+    * order (hi for DESC, lo for ASC would under-cover — we take the
+    * LAST bound of each file so the taken set provably holds ≥ k rows
+    * at-or-before it), accumulate until k rows are covered, and drop
+    * every file whose entire range starts after that threshold.
+    * Null rows ride the recorded null counts: NULLS FIRST nulls
+    * occupy top-k slots (null-bearing files always kept), NULLS LAST
+    * nulls can only matter when the non-null rows don't cover k — in
+    * which case nothing is pruned. Any unrecorded count/stat, mixed
+    * stat tags or unparsable bound keeps the list whole; Spark's own
+    * TopN on top picks the exact rows. The 100 TB shape: `ORDER BY ts
+    * DESC LIMIT 100` reads the newest file(s), not the table. */
+  def capForTopN(files: Map[Int, Seq[SpjFile]], col: String, asc: Boolean,
+      nullsFirst: Boolean, k: Int): Map[Int, Seq[SpjFile]] = {
+    val flat = files.toSeq.flatMap { case (b, fs) => fs.map(b -> _) }
+    if (flat.isEmpty || k <= 0) return files
+    if (flat.exists { case (_, f) => f.rows.isEmpty || !f.nulls.contains(col) })
+      return files
+    val tags = flat.flatMap(_._2.stats.get(col).map(_._1)).distinct
+    if (tags.length > 1) return files
+    def key(s: String): Option[Any] = tags.headOption.flatMap {
+      case "string" => Some(s)
+      case "long" | "double" => scala.util.Try(BigDecimal(s)).toOption
+      case _ => None
+    }
+    // compare in SORT direction: negative = closer to the top
+    def cmpDir(a: Any, b: Any): Int = {
+      val c = (a, b) match {
+        case (x: String, y: String) => x.compareTo(y)
+        case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+        case _ => 0
+      }
+      if (asc) c else -c
+    }
+    case class F(bucket: Int, f: SpjFile, nn: Long, first: Option[Any],
+      last: Option[Any])
+    val fs = flat.map { case (b, f) =>
+      val nn = f.rows.get - f.nulls(col)
+      f.stats.get(col) match {
+        case Some((_, lo, hi)) =>
+          val (kl, kh) = (key(lo), key(hi))
+          if (kl.isEmpty || kh.isEmpty) return files // unparsable bound
+          if (asc) F(b, f, nn, kl, kh) else F(b, f, nn, kh, kl)
+        case None =>
+          if (nn > 0) return files // values without bounds: unprovable
+          F(b, f, nn, None, None)
+      }
+    }
+    def group(keep: Seq[F]): Map[Int, Seq[SpjFile]] =
+      keep.groupBy(_.bucket).map { case (b, g) => b -> g.map(_.f) }
+    val totalNulls = flat.map { case (_, f) => f.nulls(col) }.sum
+    var acc = if (nullsFirst) totalNulls else 0L
+    if (acc >= k) // the whole top-k is nulls: only null-bearers matter
+      return group(fs.filter(_.f.nulls(col) > 0L))
+    var bound: Option[Any] = None
+    val it = fs.filter(_.nn > 0).sortWith((a, b) =>
+      cmpDir(a.last.get, b.last.get) < 0).iterator
+    while (bound.isEmpty && it.hasNext) {
+      val f = it.next(); acc += f.nn
+      if (acc >= k) bound = f.last
+    }
+    // k exceeds the rows the bounds can cover (incl. NULLS LAST nulls
+    // entering the tail): prune nothing
+    if (bound.isEmpty) return files
+    group(fs.filter(f => (nullsFirst && f.f.nulls(col) > 0L) ||
+      (f.nn > 0 && cmpDir(f.first.get, bound.get) <= 0)))
   }
 
   /** Minimal file cover for a pushed LIMIT: keep the fewest files whose

@@ -312,7 +312,7 @@ class MaterializedViewSpec extends SparkSpec {
     assert(segMap(lake.read("sales_by_seg"))("AUTO") === ((dec("13.00"), 2L)))
   }
 
-  test("join view: a dim change forces recompute — even with the fact unmoved") {
+  test("join view: a dim change advances the view — even with the fact unmoved") {
     val root = freshDir("graft-mview-joindim")
     val lake = new Lakehouse(spark, root)
     // dim starts HALF-populated: cust 2's rows drop out of the inner join
@@ -321,16 +321,109 @@ class MaterializedViewSpec extends SparkSpec {
       (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00"))), "fact_t")
     MV.create(lake, JoinDef)
     assert(segMap(lake.read("sales_by_seg")) === Map("AUTO" -> ((dec("10.00"), 1L))))
-    // dim grows; fact does NOT move — the recompute path must still fire
+    // dim grows; fact does NOT move — the dim interval is append-only
+    // and the aggs subtractable, so this lands on the DIM-DELTA path
+    // (witnessed by the negative dim-keyed idempotency batch id)
     lake.append(dimDf((2L, "RETAIL")), "dim_t")
     MV.refresh(lake, JoinDef)
     assert(segMap(lake.read("sales_by_seg")) === Map(
       "AUTO" -> ((dec("10.00"), 1L)), "RETAIL" -> ((dec("4.00"), 1L))))
-    // and the delta path resumes afterwards at the new dim pin
+    assert(lake.committedBatches("sales_by_seg").exists(_ < 0),
+      "an append-only dim change with sum/count aggs should apply incrementally")
+    // and the fact-delta path resumes afterwards at the new dim pin
     lake.append(factDf((12L, 2L, dec("6.00"))), "fact_t")
     MV.refresh(lake, JoinDef)
     assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
     assert(segMap(lake.read("sales_by_seg"))("RETAIL") === ((dec("10.00"), 2L)))
+  }
+
+  test("join view: an MoR dim update re-labels groups incrementally, equals recompute") {
+    val root = freshDir("graft-mview-joinud")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf(
+      (1L, "AUTO"), (2L, "RETAIL"), (3L, "WEB"), (4L, "RETAIL")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")), (12L, 2L, dec("2.00")),
+      (13L, 3L, dec("7.00")), (14L, 4L, dec("5.00"))), "fact_t")
+    MV.create(lake, JoinDef)
+    // MoR update: cust 2 moves RETAIL -> WEB (tombstone + append,
+    // CDC-readable); RETAIL keeps cust 4's rows, so no group empties
+    // and the SUBTRACTIVE path applies — priced at cust 2's rows
+    lake.updateWhereMor(Seq("seg" -> lit("WEB")), col("cid") === 2L, "dim_t")
+    MV.refresh(lake, JoinDef)
+    assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
+    assert(segMap(lake.read("sales_by_seg")) === Map(
+      "AUTO" -> ((dec("10.00"), 1L)), "WEB" -> ((dec("13.00"), 3L)),
+      "RETAIL" -> ((dec("5.00"), 1L))))
+    assert(lake.committedBatches("sales_by_seg").exists(_ < 0),
+      "an MoR dim re-label with surviving groups should apply incrementally")
+  }
+
+  test("join view: a dim delete that empties a group falls back to recompute") {
+    val root = freshDir("graft-mview-joindel")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00"))), "fact_t")
+    MV.create(lake, JoinDef)
+    import spark.implicits._
+    lake.deleteByKeyMor(Seq(2L).toDF("cid"), "dim_t")
+    MV.refresh(lake, JoinDef)
+    // RETAIL must VANISH (not linger as a zero row) — only the
+    // recompute can delete a group, so the delta path must decline
+    assert(segMap(lake.read("sales_by_seg")) === Map("AUTO" -> ((dec("10.00"), 1L))))
+    assert(!lake.committedBatches("sales_by_seg").exists(_ < 0),
+      "a group-emptying dim delete must NOT take the subtractive path")
+  }
+
+  test("join view: min/max aggregates keep the recompute fallback on dim changes") {
+    val root = freshDir("graft-mview-joinmm")
+    val lake = new Lakehouse(spark, root)
+    val mmDef = MV.ViewDef("peak_by_seg", "fact_t",
+      groupCols = Seq("seg"),
+      aggs = Seq(MV.MaxCol("price", "peak"), MV.CountAll("n")),
+      join = Some(MV.JoinSpec("dim_t", "cust", "cid")))
+    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("9.00")), (12L, 2L, dec("3.00"))), "fact_t")
+    MV.create(lake, mmDef)
+    // cust 2 re-labels to AUTO: RETAIL's max must disappear, AUTO's
+    // must become 10.00 — subtraction can't retract a max, so recompute
+    lake.updateWhereMor(Seq("seg" -> lit("AUTO")), col("cid") === 2L, "dim_t")
+    MV.refresh(lake, mmDef)
+    val got = lake.read("peak_by_seg").collect()
+      .map(r => r.getAs[String]("seg") ->
+        ((r.getAs[java.math.BigDecimal]("peak"), r.getAs[Long]("n")))).toMap
+    assert(got === Map("AUTO" -> ((dec("10.00"), 3L))))
+    assert(!lake.committedBatches("peak_by_seg").exists(_ < 0),
+      "min/max views must not take the subtractive path")
+  }
+
+  test("join view: a replayed dim-delta step is a no-op (dim-keyed batch id)") {
+    val root = freshDir("graft-mview-joindr")
+    val lake = new Lakehouse(spark, root)
+    // RETAIL keeps cust 3 after the re-label, so no group empties
+    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL"), (3L, "RETAIL")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")), (12L, 3L, dec("6.00"))), "fact_t")
+    MV.create(lake, JoinDef)
+    val dimFrom = lake.currentSnapshot("dim_t").get
+    lake.updateWhereMor(Seq("seg" -> lit("AUTO")), col("cid") === 2L, "dim_t")
+    val dimTo = lake.currentSnapshot("dim_t").get
+    val factAt = MV.watermark(lake, JoinDef)
+    // the crash window: the delta COMMITTED but the aux dim watermark
+    // was never written — the re-run must no-op into the committed
+    // batch id, never double-apply the subtraction
+    assert(MV.dimDelta(lake, JoinDef, factAt, Some(dimFrom), dimTo).isDefined)
+    val afterOnce = segMap(lake.read("sales_by_seg"))
+    assert(afterOnce === Map(
+      "AUTO" -> ((dec("14.00"), 2L)), "RETAIL" -> ((dec("6.00"), 1L))))
+    assert(MV.dimDelta(lake, JoinDef, factAt, Some(dimFrom), dimTo).isDefined)
+    assert(segMap(lake.read("sales_by_seg")) === afterOnce)
+    // and the ordinary refresh converges the aux watermark, no-op data
+    MV.refresh(lake, JoinDef)
+    assert(segMap(lake.read("sales_by_seg")) === afterOnce)
+    assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
   }
 
   test("join view: the definition persists with its join spec and reloads by name") {

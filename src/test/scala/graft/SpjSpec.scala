@@ -398,6 +398,80 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("TopN pushdown prunes files whose bounds cannot reach the k-th row") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.spj.GraftSpjScan
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-tn").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val maxK = orders.agg(max("o_orderkey")).head().getLong(0)
+    // four RANGE-sliced commits: per-file key bounds are disjoint, so
+    // an ORDER BY o_orderkey LIMIT k needs only the edge slice's files
+    (0 until 4).foreach { i =>
+      val slice = orders.where(col("o_orderkey") > lit(i * maxK / 4) &&
+        col("o_orderkey") <= lit((i + 1) * maxK / 4))
+      if (i == 0) lake.createOrReplace(slice, "spj_tn", Seq("bucket(4,o_custkey)"))
+      else lake.append(slice, "spj_tn", Seq("bucket(4,o_custkey)"))
+    }
+    withSpj(root, "spj_t12") {
+      def run(sorted: DataFrame, wantHead: Seq[String]): GraftSpjScan = {
+        val got = sorted.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+        assert(got === wantHead)
+        val spj = collectPlan(sorted) { case b: BatchScanExec => b }
+          .map(_.scan).collectFirst { case s: GraftSpjScan => s }
+        assert(spj.isDefined)
+        assert(spj.get.description().contains("PushedTopN"))
+        spj.get
+      }
+      val plain = lake.read("spj_tn")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+      val byKey = plain.sortBy(_.split('|').head.toLong)
+      val total = lake.spjLayout("spj_tn").files.valuesIterator.map(_.size).sum
+      val ascScan = run(
+        spark.table("spj_t12.spj_tn").orderBy(col("o_orderkey").asc).limit(25),
+        byKey.take(25))
+      assert(ascScan.plannedFileCount < total,
+        s"ASC top-25 kept ${ascScan.plannedFileCount} of $total files")
+      val descScan = run(
+        spark.table("spj_t12.spj_tn").orderBy(col("o_orderkey").desc).limit(25),
+        byKey.takeRight(25).reverse)
+      assert(descScan.plannedFileCount < total,
+        s"DESC top-25 kept ${descScan.plannedFileCount} of $total files")
+    }
+  }
+
+  test("TopN with nulls: NULLS FIRST keeps null-bearing files, results exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-tnn").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    // values 1..40 in two range slices, nulls only in the second
+    val df = (1L to 40L).map(k =>
+      (k, if (k > 30 && k % 3 == 0) None else Some(k * 10))).toDF("k", "v")
+    lake.createOrReplace(df.where(col("k") <= 20), "spj_tnn", Seq("bucket(2,k)"))
+    lake.append(df.where(col("k") > 20), "spj_tnn", Seq("bucket(2,k)"))
+    withSpj(root, "spj_t13") {
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import graft.sources.spj.GraftSpjScan
+      val t = spark.table("spj_t13.spj_tnn")
+      def rowSet(d: DataFrame): Seq[String] =
+        d.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+      // NULLS FIRST: the 3 nulls + the smallest value — null-bearing
+      // files must survive the cap (multiset compare: null order is tied)
+      val nf = t.orderBy(col("v").asc_nulls_first).limit(4)
+      assert(rowSet(nf) === rowSet(df.orderBy(col("v").asc_nulls_first).limit(4)))
+      // default ASC (nulls last): top-4 comes from slice 1 alone, and
+      // the cap may drop slice 2 entirely — nulls can't reach the top
+      val nl = t.orderBy(col("v")).limit(4)
+      assert(rowSet(nl) === rowSet(df.orderBy(col("v")).limit(4)))
+      val spj = collectPlan(nl) { case b: BatchScanExec => b }
+        .map(_.scan).collectFirst { case s: GraftSpjScan => s }
+      val total = lake.spjLayout("spj_tnn").files.valuesIterator.map(_.size).sum
+      assert(spj.exists(_.plannedFileCount < total),
+        s"nulls-last top-4 should drop the high slice: ${spj.map(_.plannedFileCount)} of $total")
+    }
+  }
+
   test("the scan reports exact ledger statistics; small SPJ tables auto-broadcast") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val root = java.nio.file.Files.createTempDirectory("graft-spj-st").toString
