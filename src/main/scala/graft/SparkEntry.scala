@@ -25,6 +25,7 @@ object SparkEntry {
     "mview_incremental" -> (Medallion.mviewIncremental _),
     "mview_join" -> (Medallion.mviewJoin _),
     "mview_dim_delta" -> (Medallion.mviewDimDelta _),
+    "mview_left_delta" -> (Medallion.mviewLeftDelta _),
     "sql_mview" -> (Medallion.sqlMview _),
     "sql_wap" -> (Medallion.sqlWap _),
     "sql_time_travel" -> (Medallion.sqlTimeTravel _),
@@ -353,6 +354,19 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS incremental
         |FROM orders JOIN dim ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // left-outer join view, dim-delta maintained: unmatched facts
+    // keep an UNMATCHED bucket; incremental = 1.0 pins the
+    // subtractive path (with its null-extension legs) committed
+    "mview_left_delta" ->
+      """WITH dim AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 100 = 0 THEN 'PROMO' ELSE c_mktsegment END
+        |    AS c_mktsegment FROM customer WHERE c_custkey % 7 <> 0)
+        |SELECT coalesce(c_mktsegment, 'UNMATCHED') AS c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(1.0 AS DOUBLE) AS incremental
+        |FROM orders LEFT JOIN dim ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // DSv2 aggregate pushdown: the oracle recomputes the global
     // readout by scanning; meta_only = 1.0 pins that the engine
     // answered it as ONE driver-local row (no file scan in the plan)

@@ -1062,6 +1062,46 @@ object Medallion {
       .orderBy("c_mktsegment")
   }
 
+  /** `mview_left_delta` — LEFT-OUTER join view, dim-delta maintained
+    * ([[graft.sources.MaterializedView.JoinSpec]] `joinType = "left"`):
+    * the enrichment posture where facts must NOT vanish because the
+    * dim lags — unmatched orders land in an `UNMATCHED` bucket. The
+    * dim starts missing every 7th customer, then an MoR update
+    * re-labels every 100th present customer; the refresh applies BOTH
+    * the matched-pair subtraction and the null-extension legs (two
+    * key-filtered pinned dim probes decide which changed keys matched
+    * nothing before/after) — exact for any dim-key cardinality.
+    * `incremental = 1.0` pins the subtractive path committed. */
+  def mviewLeftDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Lakehouse, MaterializedView => MV}
+    val root = java.nio.file.Files.createTempDirectory("graft-mvleft").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .where(col("c_custkey") % 7 =!= 0) // a LAGGING dim: every 7th missing
+    val d = MV.ViewDef("mvl_sales", "mvl_orders", Seq("c_mktsegment"),
+      Seq(MV.SumCol("price", "total_price"), MV.CountAll("n_orders")),
+      join = Some(MV.JoinSpec("mvl_customer", "o_custkey", "c_custkey",
+        joinType = "left")))
+    lake.createOrReplace(customer, "mvl_customer")
+    lake.createOrReplace(orders, "mvl_orders")
+    MV.create(lake, d)
+    lake.updateWhereMor(Seq("c_mktsegment" -> lit("PROMO")),
+      col("c_custkey") % 100 === 0, "mvl_customer")
+    MV.refresh(lake, d)
+    val incremental =
+      if (lake.committedBatches("mvl_sales").exists(_ < 0)) 1.0 else 0.0
+    lake.read("mvl_sales").select(
+      coalesce(col("c_mktsegment"), lit("UNMATCHED")).as("c_mktsegment"),
+      col("n_orders"),
+      col("total_price").cast("double").as("total_price"),
+      lit(incremental).as("incremental"))
+      .orderBy("c_mktsegment")
+  }
+
   /** `sql_wap` — WRITE-AUDIT-PUBLISH through parsed SQL (the Iceberg
     * WAP pattern; the reference environment's Nessie branches exist
     * for exactly this): the clean baseline lands on main, the

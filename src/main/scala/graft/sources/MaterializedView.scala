@@ -57,12 +57,18 @@ object MaterializedView {
 
   /** The dimension side of a JOIN-shaped view (the silver_enrich
     * shape, reference: spark_jobs/silver_transformation.py): the
-    * view's rows are `fact INNER JOIN dim ON fact.factKey =
+    * view's rows are `fact {INNER|LEFT} JOIN dim ON fact.factKey =
     * dim.dimKey` before filtering/grouping. The fact side is the
     * APPENDING side (delta-maintained); the dim side is the
-    * enrichment side — any dim change forces a recompute, because an
-    * already-merged fact row's join result may have changed. */
-  final case class JoinSpec(dim: String, factKey: String, dimKey: String)
+    * enrichment side — a dim change applies incrementally when
+    * [[dimDelta]]'s gates hold, else recomputes. LEFT keeps unmatched
+    * fact rows with null-extended dim columns (the usual enrichment
+    * posture: facts must not vanish because the dim lags). */
+  final case class JoinSpec(dim: String, factKey: String, dimKey: String,
+      joinType: String = "inner") {
+    require(joinType == "inner" || joinType == "left",
+      s"join view supports inner|left, got $joinType")
+  }
 
   /** A view definition: `view` materializes
     * `SELECT groupCols, aggs FROM src [JOIN dim] [WHERE filter]
@@ -102,8 +108,8 @@ object MaterializedView {
   private def joined(lake: Lakehouse, factRows: DataFrame, j: JoinSpec,
       dimSnap: Long): DataFrame = {
     val dim = lake.readSnapshot(j.dim, dimSnap)
-    if (j.factKey == j.dimKey) factRows.join(dim, Seq(j.factKey))
-    else factRows.join(dim, factRows(j.factKey) === dim(j.dimKey))
+    if (j.factKey == j.dimKey) factRows.join(dim, Seq(j.factKey), j.joinType)
+    else factRows.join(dim, factRows(j.factKey) === dim(j.dimKey), j.joinType)
   }
 
   // ---- dim-side watermark (join views only) ------------------------------
@@ -128,7 +134,7 @@ object MaterializedView {
 
   private val LineRe =
     ("""\{"mview":"([^"]*)","src":"([^"]*)","group":\[([^\]]*)\],"aggs":\[(.*?)\]""" +
-      """(?:,"join":\{"dim":"([^"]*)","fk":"([^"]*)","dk":"([^"]*)"\})?""" +
+      """(?:,"join":\{"dim":"([^"]*)","fk":"([^"]*)","dk":"([^"]*)"(?:,"jt":"([^"]*)")?\})?""" +
       """(?:,"where":"(.*)")?\}""").r
   private val AggRe =
     """\{"op":"(\w+)"(?:,"col":"([^"]*)")?,"as":"([^"]*)"\}""".r
@@ -141,14 +147,15 @@ object MaterializedView {
       d.groupCols.map(c => s""""${e(c)}"""").mkString(",")}],"aggs":[${
       d.aggs.map(aggJson(lake, _)).mkString(",")}]${
       d.join.map(j =>
-        s""","join":{"dim":"${e(j.dim)}","fk":"${e(j.factKey)}","dk":"${e(j.dimKey)}"}""")
+        s""","join":{"dim":"${e(j.dim)}","fk":"${e(j.factKey)}","dk":"${e(j.dimKey)}"""" +
+          s""","jt":"${e(j.joinType)}"}""")
         .getOrElse("")}${
       d.filter.map(f => s""","where":"${e(f)}"""").getOrElse("")}}"""
     lake.upsertMviewLine(d.view, line)
   }
 
   private def parseLine(line: String): Option[ViewDef] = line match {
-    case LineRe(v, src, groups, aggs, dim, fk, dk, where) =>
+    case LineRe(v, src, groups, aggs, dim, fk, dk, jt, where) =>
       val groupCols = groups.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty)
       val aggCols = AggRe.findAllMatchIn(aggs).map { m =>
@@ -160,7 +167,9 @@ object MaterializedView {
           case other => throw new IllegalStateException(s"corrupt mview agg entry: $other")
         }
       }.toSeq
-      val join = Option(dim).map(dm => JoinSpec(dm, fk, dk))
+      // pre-r12 lines carry no "jt": those views are inner joins
+      val join = Option(dim).map(dm => JoinSpec(dm, fk, dk,
+        Option(jt).getOrElse("inner")))
       Some(ViewDef(v, src, groupCols, aggCols, Option(where), join))
     case _ => None
   }
@@ -236,6 +245,41 @@ object MaterializedView {
     }).as(a.alias)
   }
 
+  /** Group columns wrapped into ONE struct key `__gk`. Group values
+    * may legitimately be NULL (a left-join view's unmatched bucket, a
+    * null fact attribute), and SQL equality strands null keys on both
+    * sides of every join — but struct comparison treats field nulls
+    * as EQUAL, so joining/anti-joining on the wrapped key merges null
+    * groups exactly like `groupBy` formed them. */
+  private def gk(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.withColumn("__gk", struct(groupCols.map(col): _*))
+
+  /** Null-safe group merge: split the stored view `t` against a delta
+    * relation `da` (`__gk` + `__d_<alias>` columns) into the UNTOUCHED
+    * rows (carried as-is) and the MERGED rows (stored ⊕ delta through
+    * [[mergeCol]], new groups included). The caller gates/commits. */
+  private def mergeSplit(d: ViewDef, t: DataFrame, da: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val tgk = gk(t, d.groupCols)
+    val untouched = tgk.join(da.select(col("__gk")), Seq("__gk"), "left_anti")
+      .drop("__gk")
+    // only groups the delta TOUCHES enter the merge (the full-outer
+    // with the whole view would re-emit every untouched group too)
+    val touched = tgk.drop(d.groupCols: _*)
+      .join(da.select(col("__gk")), Seq("__gk"), "left_semi")
+    val merged = touched.join(da, Seq("__gk"), "full_outer")
+      .select(d.groupCols.map(c => col("__gk").getField(c).as(c)) ++
+        d.aggs.map(mergeCol): _*)
+    (untouched, merged)
+  }
+
+  /** A delta relation in [[mergeSplit]] shape: the aggregation of
+    * `rows` with group columns wrapped into `__gk` and agg columns
+    * renamed to `__d_<alias>`. */
+  private def deltaOf(rows: DataFrame, d: ViewDef): DataFrame =
+    gk(aggOf(rows, d), d.groupCols)
+      .select(col("__gk") +: d.aggs.map(a => col(a.alias).as("__d_" + a.alias)): _*)
+
   /** Create (or recreate) the view at the source's CURRENT snapshot.
     * Idempotent per source snapshot: recreating against an unmoved
     * source commits nothing. Join views also pin the dim snapshot
@@ -283,7 +327,12 @@ object MaterializedView {
     * interval names the changed keys, the fact rows joining those
     * keys are re-read (IN-pruned, at the PINNED fact snapshot), and
     * per group the view adds Γ(fact ⋈ inserted dim rows) minus
-    * Γ(fact ⋈ deleted dim rows). Sound ONLY under gates, each of
+    * Γ(fact ⋈ deleted dim rows). LEFT joins add the null-extension
+    * legs: two key-filtered pinned dim probes decide which changed
+    * keys matched nothing before/after, and those keys' fact rows
+    * enter the minus/plus sides null-extended — exact for ANY dim key
+    * cardinality (an added duplicate of a matched key extends
+    * nothing). Sound ONLY under gates, each of
     * which returns None so the caller recomputes:
     *  - every aggregate is SUBTRACTABLE (sum/count; min/max can lose
     *    their extremum on retraction), with a count(*) present to
@@ -324,38 +373,70 @@ object MaterializedView {
     if (keyRows.length > DimDeltaKeysCap) return None
     if (keyRows.isEmpty) // net-empty interval: nothing to apply
       return Some(lake.currentSnapshot(d.view).get)
+    val keyVals = keyRows.map(_.get(0)).toSeq
     // fact probe: the changed keys' rows at the PINNED fact snapshot —
     // readWhere's stats/bloom IN-list skipping prunes fact FILES, so
     // the probe costs O(matching files), not a fact scan
-    val fact = lake.readWhere(col(j.factKey).isin(keyRows.map(_.get(0)).toSeq: _*),
+    val fact = lake.readWhere(col(j.factKey).isin(keyVals: _*),
       d.src, atSnapshot = Some(factSnap))
-    def contrib(dim: DataFrame, prefix: String): DataFrame = {
-      val rows = if (j.factKey == j.dimKey) fact.join(dim, Seq(j.factKey))
+    // LEFT joins additionally need per-key MATCH EXISTENCE at both dim
+    // snapshots: the matched-pair algebra is additive per (fact, dim)
+    // row, but a null-EXTENSION appears/disappears only when a key's
+    // match count crosses zero — and the CDC alone can't tell (an
+    // added duplicate of an already-matched key changes nothing).
+    // Two key-filtered pinned dim probes answer it exactly.
+    def matchedKeys(at: Long): Set[Any] =
+      lake.readWhere(col(j.dimKey).isin(keyVals: _*), j.dim, atSnapshot = Some(at))
+        .select(col(j.dimKey)).where(col(j.dimKey).isNotNull)
+        .distinct().collect().map(_.get(0)).toSet
+    val (nullOld, nullNew) =
+      if (j.joinType == "inner") (Nil, Nil)
+      else {
+        val (mo, mn) = (matchedKeys(f0), matchedKeys(dimTo))
+        (keyVals.filterNot(mo), keyVals.filterNot(mn))
+      }
+    val emptyDim = cdc.drop("_change_type").limit(0)
+    def contrib(dim: DataFrame, nullKeys: Seq[Any], prefix: String): DataFrame = {
+      // matched pairs join INNER against the changed dim rows (the
+      // additive part); null-extensions rebuild as fact rows of the
+      // unmatched keys left-joined to an empty dim (all dim cols null)
+      val matched = if (j.factKey == j.dimKey) fact.join(dim, Seq(j.factKey))
       else fact.join(dim, fact(j.factKey) === dim(j.dimKey))
+      val rows = if (nullKeys.isEmpty) matched
+      else {
+        val ne = fact.where(col(j.factKey).isin(nullKeys: _*))
+        val extended = if (j.factKey == j.dimKey)
+          ne.join(emptyDim, Seq(j.factKey), "left")
+        else ne.join(emptyDim, ne(j.factKey) === emptyDim(j.dimKey), "left")
+        matched.unionByName(extended)
+      }
       aggOf(rows, d).select(d.groupCols.map(col) ++
         d.aggs.map(a => col(a.alias).as(prefix + a.alias)): _*)
     }
     // net per-group delta = inserted-side minus deleted-side partials
-    // (null partial = "no rows on that side": contributes zero)
-    val da = contrib(dNew, "__p_").join(contrib(dOld, "__m_"), d.groupCols, "full_outer")
-      .select(d.groupCols.map(col) ++ d.aggs.map { a =>
+    // (null partial = "no rows on that side": contributes zero); the
+    // plus/minus legs meet null-safely on the wrapped group key
+    def leg(dim: DataFrame, nullKeys: Seq[Any], prefix: String): DataFrame =
+      gk(contrib(dim, nullKeys, prefix), d.groupCols).drop(d.groupCols: _*)
+    val da = leg(dNew, nullNew, "__p_")
+      .join(leg(dOld, nullOld, "__m_"), Seq("__gk"), "full_outer")
+      .select(col("__gk") +: d.aggs.map { a =>
         (coalesce(col("__p_" + a.alias), lit(0)) -
           coalesce(col("__m_" + a.alias), lit(0))).as("__d_" + a.alias)
       }: _*)
     val t = lake.read(d.view)
-    val touched = t.join(da.select(d.groupCols.map(col): _*), d.groupCols, "left_semi")
     val viewSchema = t.schema
-    val merged = touched.join(da, d.groupCols, "full_outer")
-      .select(d.groupCols.map(col) ++ d.aggs.map(mergeCol): _*)
+    val (untouched, merged0) = mergeSplit(d, t, da)
+    val merged = merged0
       .localCheckpoint(true) // feeds the emptiness gate AND the commit
     if (merged.isEmpty)
       return Some(lake.currentSnapshot(d.view).get)
-    // a zeroed group must VANISH from the view — not expressible as an
-    // upsert, so that (rare) retraction falls back to the recompute
+    // a zeroed group must VANISH from the view — possible only for a
+    // full recompute, so that (rare) retraction falls back
     if (merged.where(col(countAlias) <= 0).head(1).nonEmpty) return None
-    val stable = merged.select(viewSchema.map(f =>
+    val stable = untouched.unionByName(merged).select(viewSchema.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
-    Some(lake.upsertOnce(stable, d.view, d.groupCols, batchId = batchId))
+    Some(lake.replaceOnce(stable, d.view, batchId = batchId))
   }
 
   /** Advance the view to the source's current snapshot. Incremental
@@ -419,21 +500,19 @@ object MaterializedView {
       case None =>
         lake.replaceOnce(aggOf(enrich(lake.readSnapshot(d.src, to)), d), d.view, batchId = to)
       case Some(rows) =>
-        val da = aggOf(enrich(rows), d).select(d.groupCols.map(col) ++
-          d.aggs.map(a => col(a.alias).as("__d_" + a.alias)): _*)
+        val da = deltaOf(enrich(rows), d)
         val t = lake.read(d.view)
-        // only groups the delta touches leave the stored view; the
-        // rest carry by reference through the upsert's partition logic
-        val touched = t.join(da.select(d.groupCols.map(col): _*), d.groupCols, "left_semi")
         val viewSchema = t.schema
-        val merged = touched.join(da, d.groupCols, "full_outer")
-          .select(d.groupCols.map(col) ++ d.aggs.map(mergeCol): _*)
+        // untouched groups carry as-is; touched ones merge through the
+        // null-safe group key (a left-join view's unmatched bucket is
+        // a NULL group — plain-column joins would strand it)
+        val (untouched, merged) = mergeSplit(d, t, da)
         // pin merged agg types to the stored schema: decimal sums widen
         // one digit per addition, and an unpinned type would drift the
         // view schema on every refresh
-        val stable = merged.select(viewSchema.map(f =>
+        val stable = untouched.unionByName(merged).select(viewSchema.map(f =>
           col(f.name).cast(f.dataType).as(f.name)): _*)
-        lake.upsertOnce(stable, d.view, d.groupCols, batchId = to)
+        lake.replaceOnce(stable, d.view, batchId = to)
     }
   }
 }

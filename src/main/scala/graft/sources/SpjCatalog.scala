@@ -226,7 +226,11 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (pushed.nonEmpty || aggAnswer.isDefined || n <= 0) return false
-    if (orders.length != 1) return false
+    if (orders.isEmpty) return false
+    // multi-column sorts prune on the LEADING key alone — sound
+    // because any row whose leading value sorts after the k-th row's
+    // threshold loses regardless of tie-breakers, and boundary-tied
+    // files are kept (the cap's keep test is inclusive)
     val o = orders.head
     o.expression() match {
       case nr: NamedReference if nr.fieldNames().length == 1 &&

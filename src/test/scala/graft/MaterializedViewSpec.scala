@@ -426,6 +426,101 @@ class MaterializedViewSpec extends SparkSpec {
     assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
   }
 
+  // ---- LEFT-outer join views (facts survive a lagging dim) ----
+
+  private val LeftDef = MV.ViewDef("lsales_by_seg", "fact_t",
+    groupCols = Seq("seg"),
+    aggs = Seq(MV.SumCol("price", "total"), MV.CountAll("n")),
+    join = Some(MV.JoinSpec("dim_t", "cust", "cid", joinType = "left")))
+
+  private def leftRecompute(lake: Lakehouse) = {
+    val j = lake.read("fact_t").join(lake.read("dim_t"),
+      col("cust") === col("cid"), "left")
+    j.groupBy("seg").agg(sum(col("price")).as("total"), count(lit(1)).as("n"))
+  }
+
+  private def leftMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => Option(r.getAs[String]("seg")).getOrElse("∅") ->
+      ((r.getAs[java.math.BigDecimal]("total"), r.getAs[Long]("n")))).toMap
+
+  test("left-join view: unmatched facts keep a null group through fact deltas") {
+    val root = freshDir("graft-mview-left")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf((1L, "AUTO")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00"))), "fact_t")
+    MV.create(lake, LeftDef)
+    assert(leftMap(lake.read("lsales_by_seg")) === Map(
+      "AUTO" -> ((dec("10.00"), 1L)), "∅" -> ((dec("4.00"), 1L))))
+    lake.append(factDf((12L, 1L, dec("2.00")), (13L, 9L, dec("1.00"))), "fact_t")
+    MV.refresh(lake, LeftDef)
+    assert(leftMap(lake.read("lsales_by_seg")) === leftMap(leftRecompute(lake)))
+    assert(leftMap(lake.read("lsales_by_seg"))("∅") === ((dec("5.00"), 2L)))
+  }
+
+  test("left-join view: a dim insert converts null-extensions incrementally") {
+    val root = freshDir("graft-mview-leftin")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf((1L, "AUTO")), "dim_t")
+    // custs 2 and 9 unmatched; 2 will gain a dim row, 9 keeps the
+    // null group alive so no group empties
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")),
+      (12L, 9L, dec("1.00"))), "fact_t")
+    MV.create(lake, LeftDef)
+    lake.append(dimDf((2L, "RETAIL")), "dim_t")
+    MV.refresh(lake, LeftDef)
+    assert(leftMap(lake.read("lsales_by_seg")) === leftMap(leftRecompute(lake)))
+    assert(leftMap(lake.read("lsales_by_seg")) === Map(
+      "AUTO" -> ((dec("10.00"), 1L)), "RETAIL" -> ((dec("4.00"), 1L)),
+      "∅" -> ((dec("1.00"), 1L))))
+    assert(lake.committedBatches("lsales_by_seg").exists(_ < 0),
+      "a dim insert under a left view should apply incrementally")
+  }
+
+  test("left-join view: an added DUPLICATE of a matched key extends nothing") {
+    val root = freshDir("graft-mview-leftdup")
+    val lake = new Lakehouse(spark, root)
+    // cust 2 already matched by one dim row; a second (duplicate-key)
+    // dim row lands. The CDC alone can't distinguish this from a
+    // first match — the match-existence probes must.
+    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")),
+      (12L, 9L, dec("1.00"))), "fact_t")
+    MV.create(lake, LeftDef)
+    lake.append(dimDf((2L, "PROMO")), "dim_t") // duplicate key, new segment
+    MV.refresh(lake, LeftDef)
+    assert(leftMap(lake.read("lsales_by_seg")) === leftMap(leftRecompute(lake)))
+    // cust 2 now joins BOTH dim rows (multiplicity 2), and its old
+    // null-extension must NOT have been subtracted a second time
+    assert(leftMap(lake.read("lsales_by_seg")) === Map(
+      "AUTO" -> ((dec("10.00"), 1L)), "RETAIL" -> ((dec("4.00"), 1L)),
+      "PROMO" -> ((dec("4.00"), 1L)), "∅" -> ((dec("1.00"), 1L))))
+    assert(lake.committedBatches("lsales_by_seg").exists(_ < 0))
+  }
+
+  test("left-join view: a dim delete RETURNS rows to the null group incrementally") {
+    val root = freshDir("graft-mview-leftdel")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL"), (3L, "RETAIL")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")), (12L, 3L, dec("6.00")),
+      (13L, 9L, dec("1.00"))), "fact_t")
+    MV.create(lake, LeftDef)
+    import spark.implicits._
+    lake.deleteByKeyMor(Seq(2L).toDF("cid"), "dim_t")
+    MV.refresh(lake, LeftDef)
+    // unlike the INNER view (whose RETAIL group would empty and force
+    // a recompute), the LEFT view MOVES cust 2 into the null group —
+    // both groups survive, so the subtractive path applies
+    assert(leftMap(lake.read("lsales_by_seg")) === leftMap(leftRecompute(lake)))
+    assert(leftMap(lake.read("lsales_by_seg")) === Map(
+      "AUTO" -> ((dec("10.00"), 1L)), "RETAIL" -> ((dec("6.00"), 1L)),
+      "∅" -> ((dec("5.00"), 2L))))
+    assert(lake.committedBatches("lsales_by_seg").exists(_ < 0))
+  }
+
   test("join view: the definition persists with its join spec and reloads by name") {
     val root = freshDir("graft-mview-joinp")
     val lake = new Lakehouse(spark, root)
