@@ -376,7 +376,9 @@ case class LakehouseCtasCommand(table: String, replace: Boolean, spec: Seq[Strin
   * access. Refresh via `CALL system.refresh_mview('v')`. */
 case class LakehouseCreateMviewCommand(view: String, src: String,
     groups: Seq[String], aggs: Seq[(String, Option[String], String)],
-    where: Option[String]) extends LeafRunnableCommand {
+    where: Option[String],
+    join: Option[(String, String, String, String)] = None)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     import MaterializedView._
@@ -389,7 +391,8 @@ case class LakehouseCreateMviewCommand(view: String, src: String,
       case ("max", Some(c), al) => MaxCol(c, al)
       case other => throw new UnsupportedOperationException(s"unsupported aggregate: $other")
     }
-    val d = ViewDef(view, src, groups, aggCols, where)
+    val d = ViewDef(view, src, groups, aggCols, where,
+      join.map { case (dim, fk, dk, jt) => JoinSpec(dim, fk, dk, jt) })
     val snap = MaterializedView.create(lake, d)
     MaterializedView.persist(lake, d)
     lake.registerView(view)
@@ -798,6 +801,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """SELECT\s+(.+?)\s+FROM\s+`?([A-Za-z_]\w*)`?""" +
       """(?:\s+WHERE\s+((?:(?!\bGROUP\b).)+?))?""" +
       """\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
+  // join-shaped variant: FROM <fact> [LEFT [OUTER]|INNER] JOIN <dim>
+  // ON <equality> — the silver_enrich shape, maintained by the same
+  // delta machinery (fact appends AND dim changes incremental)
+  private val CreateMviewJoinRe =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?([A-Za-z_]\w*)`?\s+AS\s+""" +
+      """SELECT\s+(.+?)\s+FROM\s+`?([A-Za-z_]\w*)`?""" +
+      """\s+(LEFT\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+`?([A-Za-z_]\w*)`?""" +
+      """\s+ON\s+((?:(?!\bWHERE\b|\bGROUP\b).)+?)""" +
+      """(?:\s+WHERE\s+((?:(?!\bGROUP\b).)+?))?""" +
+      """\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
   private val MviewAggRe =
     """(?is)\s*(sum|min|max)\s*\(\s*`?([A-Za-z_]\w*)`?\s*\)\s+AS\s+`?([A-Za-z_]\w*)`?\s*""".r
   private val MviewCountRe =
@@ -846,6 +859,30 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   /** `CALL` argument list → (name, raw value) pairs; positional args
     * carry None. Split is quote-aware ([[splitSpecs]]), so a string
     * literal holding a comma survives. */
+  /** The restricted mview select shape shared by the plain and join
+    * CREATE MATERIALIZED VIEW forms: bare group columns (must match
+    * GROUP BY) + aliased mergeable aggregates. */
+  private def parseMviewSelect(selectList: String, groupBy: String)
+      : (Seq[String], Seq[(String, Option[String], String)]) = {
+    val groups = splitSpecs(groupBy).map(_.trim.stripPrefix("`").stripSuffix("`"))
+    var bare = Seq.empty[String]
+    var aggs = Seq.empty[(String, Option[String], String)]
+    splitSpecs(selectList).foreach {
+      case MviewAggRe(op, c, al) => aggs :+= ((op.toLowerCase, Some(c), al))
+      case MviewCountRe(al) => aggs :+= (("count", None, al))
+      case MviewBareColRe(c) => bare :+= c
+      case other => throw new UnsupportedOperationException(
+        s"CREATE MATERIALIZED VIEW supports group columns and sum/min/max(col) " +
+          s"/ count(*) with AS aliases (mergeable aggregates only); got: $other")
+    }
+    if (bare.sorted != groups.sorted) throw new UnsupportedOperationException(
+      s"CREATE MATERIALIZED VIEW: non-aggregate select columns ${bare.mkString(", ")} " +
+        s"must match GROUP BY ${groups.mkString(", ")}")
+    if (aggs.isEmpty) throw new UnsupportedOperationException(
+      "CREATE MATERIALIZED VIEW needs at least one aggregate column")
+    (groups, aggs)
+  }
+
   private def callArgs(argstr: String): Seq[(Option[String], String)] =
     splitSpecs(argstr).map {
       case NamedArgRe(k, v) => (Some(k), v)
@@ -1022,24 +1059,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakehouseFastForwardCommand(table, from, Option(into))
     case DropRe(table, purge) if LakehouseRegistry.isRegistered(table) =>
       LakehouseDropCommand(table, purge != null)
+    case CreateMviewJoinRe(view, selectList, src, jt, dim, on, where, groupBy)
+        if LakehouseRegistry.isRegistered(src) && LakehouseRegistry.isRegistered(dim) =>
+      val (fk, dk) = on match {
+        case OnConjunct(q1, c1, q2, c2) =>
+          def is(q: String, t: String) = q != null && q.equalsIgnoreCase(t)
+          // qualifiers resolve which side is the fact key; bare columns
+          // read fact-first (`ON fact_key = dim_key`)
+          if (is(q1, dim) || is(q2, src)) (c2, c1) else (c1, c2)
+        case _ => throw new UnsupportedOperationException(
+          s"materialized join view supports ON <fact.key = dim.key>; got: ON $on")
+      }
+      val joinType =
+        if (jt != null && jt.trim.toUpperCase.startsWith("LEFT")) "left" else "inner"
+      val (groups, aggs) = parseMviewSelect(selectList, groupBy)
+      LakehouseCreateMviewCommand(view, src, groups, aggs,
+        Option(where).map(_.trim), Some((dim, fk, dk, joinType)))
     case CreateMviewRe(view, selectList, src, where, groupBy)
         if LakehouseRegistry.isRegistered(src) =>
-      val groups = splitSpecs(groupBy).map(_.trim.stripPrefix("`").stripSuffix("`"))
-      var bare = Seq.empty[String]
-      var aggs = Seq.empty[(String, Option[String], String)]
-      splitSpecs(selectList).foreach {
-        case MviewAggRe(op, c, al) => aggs :+= ((op.toLowerCase, Some(c), al))
-        case MviewCountRe(al) => aggs :+= (("count", None, al))
-        case MviewBareColRe(c) => bare :+= c
-        case other => throw new UnsupportedOperationException(
-          s"CREATE MATERIALIZED VIEW supports group columns and sum/min/max(col) " +
-            s"/ count(*) with AS aliases (mergeable aggregates only); got: $other")
-      }
-      if (bare.sorted != groups.sorted) throw new UnsupportedOperationException(
-        s"CREATE MATERIALIZED VIEW: non-aggregate select columns ${bare.mkString(", ")} " +
-          s"must match GROUP BY ${groups.mkString(", ")}")
-      if (aggs.isEmpty) throw new UnsupportedOperationException(
-        "CREATE MATERIALIZED VIEW needs at least one aggregate column")
+      val (groups, aggs) = parseMviewSelect(selectList, groupBy)
       LakehouseCreateMviewCommand(view, src, groups, aggs, Option(where).map(_.trim))
     case CtasRe(replace, table, specs, sortBy, query) if LakehouseCtasCommand.enabled =>
       LakehouseCtasCommand(table, replace != null,

@@ -120,6 +120,10 @@ object MaterializedView {
   // identical content — one spurious recompute, never a wrong view.
   private def dimWatermark(lake: Lakehouse, view: String): Option[Long] =
     lake.readMviewAux(view).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+  /** The dim snapshot a join view currently reflects — the streaming
+    * scheduler tails the dim from here. */
+  private[graft] def dimWatermarkOf(lake: Lakehouse, view: String): Option[Long] =
+    dimWatermark(lake, view)
   private def writeDimWatermark(lake: Lakehouse, view: String, snap: Long): Unit =
     lake.writeMviewAux(view, snap.toString)
 

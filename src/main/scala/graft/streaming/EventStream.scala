@@ -219,14 +219,35 @@ object EventStream {
     val lake = new Lakehouse(spark, root)
     val d = MaterializedView.load(lake, view).getOrElse(
       throw new IllegalArgumentException(s"$view has no _mviews.jsonl definition in $root"))
-    spark.readStream
+    val src = spark.readStream
       .format("graft.streaming.LakehouseStreamProvider")
       .option("root", root).option("table", d.src)
       // tail from the view's current watermark: batch 0 must not plan
       // a full-history read the refresh would ignore anyway
       .option("startSnapshot", MaterializedView.watermark(lake, d).toString)
       .load()
-      .writeStream
+      .select(lit(1).as("_tick"))
+    // JOIN views follow the DIM too: a dim-only change (the backfill /
+    // re-label shape dimDelta prices incrementally) must fire a
+    // refresh without waiting for a fact commit. The dim leg tails in
+    // CDC shape so MoR deletes/updates stream instead of failing the
+    // raw interval read; both legs project to a schema-free tick —
+    // the stream is the SCHEDULER, refresh re-reads its own deltas.
+    // ONE unioned query keeps the one-refresher-per-view contract.
+    val ticks = d.join match {
+      case Some(j) =>
+        val dimStart = MaterializedView.dimWatermarkOf(lake, view)
+          .orElse(lake.currentSnapshot(j.dim)).getOrElse(0L)
+        src.union(spark.readStream
+          .format("graft.streaming.LakehouseStreamProvider")
+          .option("root", root).option("table", j.dim)
+          .option("cdc", "true")
+          .option("startSnapshot", dimStart.toString)
+          .load()
+          .select(lit(1).as("_tick")))
+      case None => src
+    }
+    ticks.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (_: DataFrame, _: Long) =>

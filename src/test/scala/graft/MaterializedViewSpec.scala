@@ -521,6 +521,37 @@ class MaterializedViewSpec extends SparkSpec {
     assert(lake.committedBatches("lsales_by_seg").exists(_ < 0))
   }
 
+  test("SQL surface: CREATE MATERIALIZED VIEW with LEFT JOIN; the dim stream drives refresh") {
+    val root = freshDir("graft-mview-sqlj")
+    val ck = freshDir("graft-mview-sqlj-ck")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL"), (3L, "RETAIL")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")), (12L, 3L, dec("6.00")),
+      (13L, 9L, dec("1.00"))), "fact_t")
+    lake.registerView("dim_t"); lake.registerView("fact_t")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW lsales_by_seg AS
+        |SELECT seg, sum(price) AS total, count(*) AS n
+        |FROM fact_t LEFT JOIN dim_t ON cust = cid GROUP BY seg""".stripMargin)
+    assert(leftMap(lake.read("lsales_by_seg")) === leftMap(leftRecompute(lake)))
+    assert(leftMap(lake.read("lsales_by_seg"))("∅") === ((dec("1.00"), 1L)))
+    // the reloaded definition carries the join type
+    assert(MV.load(lake, "lsales_by_seg").flatMap(_.join.map(_.joinType))
+      === Some("left"))
+    // a DIM-ONLY MoR change must drive the streaming scheduler — no
+    // fact commit anywhere in this interval
+    lake.updateWhereMor(Seq("seg" -> lit("AUTO")), col("cid") === 2L, "dim_t")
+    val q = graft.streaming.EventStream.maintainMview(spark, root, "lsales_by_seg", ck)
+    try q.awaitTermination(120000) finally q.stop()
+    assert(leftMap(lake.read("lsales_by_seg")) === leftMap(leftRecompute(lake)))
+    assert(leftMap(lake.read("lsales_by_seg")) === Map(
+      "AUTO" -> ((dec("14.00"), 2L)), "RETAIL" -> ((dec("6.00"), 1L)),
+      "∅" -> ((dec("1.00"), 1L))))
+    assert(lake.committedBatches("lsales_by_seg").exists(_ < 0),
+      "the dim-driven refresh should land on the subtractive path")
+  }
+
   test("join view: the definition persists with its join spec and reloads by name") {
     val root = freshDir("graft-mview-joinp")
     val lake = new Lakehouse(spark, root)
