@@ -347,7 +347,8 @@ object SparkEntry {
     // committed (the dim-keyed negative batch id), not a recompute
     "mview_dim_delta" ->
       """WITH dim AS (SELECT c_custkey,
-        |  CASE WHEN c_custkey % 100 = 0 THEN 'PROMO' ELSE c_mktsegment END
+        |  CASE WHEN c_custkey <= 100 AND c_custkey % 2 = 0
+        |    THEN 'PROMO' ELSE c_mktsegment END
         |    AS c_mktsegment FROM customer)
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
@@ -359,7 +360,8 @@ object SparkEntry {
     // subtractive path (with its null-extension legs) committed
     "mview_left_delta" ->
       """WITH dim AS (SELECT c_custkey,
-        |  CASE WHEN c_custkey % 100 = 0 THEN 'PROMO' ELSE c_mktsegment END
+        |  CASE WHEN c_custkey <= 100 AND c_custkey % 2 = 0
+        |    THEN 'PROMO' ELSE c_mktsegment END
         |    AS c_mktsegment FROM customer WHERE c_custkey % 7 <> 0)
         |SELECT coalesce(c_mktsegment, 'UNMATCHED') AS c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n_orders,

@@ -664,7 +664,7 @@ object Medallion {
   // plan probes for the SPJ DSv2 readouts below: does the executed
   // (possibly adaptive) plan contain the given node / a file scan?
   // AQE query stages are LEAVES whose subtree hangs off `.plan`.
-  private def collectExec[T](df: DataFrame)(
+  private[graft] def collectExec[T](df: DataFrame)(
       pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -1048,10 +1048,12 @@ object Medallion {
     lake.createOrReplace(customer, "mvd_customer")
     lake.createOrReplace(orders, "mvd_orders")
     MV.create(lake, d)
-    // MoR re-label (tombstone + updated image, CDC-readable): every
-    // 100th customer moves to the PROMO segment, fact untouched
+    // MoR re-label (tombstone + updated image, CDC-readable): fifty
+    // fixed customers move to the PROMO segment, fact untouched — the
+    // key set is SF-INDEPENDENT so the 1024-key delta cost gate can
+    // never flip this query onto the recompute path at a larger SF
     lake.updateWhereMor(Seq("c_mktsegment" -> lit("PROMO")),
-      col("c_custkey") % 100 === 0, "mvd_customer")
+      col("c_custkey") <= 100 && col("c_custkey") % 2 === 0, "mvd_customer")
     MV.refresh(lake, d)
     val incremental =
       if (lake.committedBatches("mvd_sales").exists(_ < 0)) 1.0 else 0.0
@@ -1089,8 +1091,9 @@ object Medallion {
     lake.createOrReplace(customer, "mvl_customer")
     lake.createOrReplace(orders, "mvl_orders")
     MV.create(lake, d)
+    // SF-independent key set, same reason as mview_dim_delta
     lake.updateWhereMor(Seq("c_mktsegment" -> lit("PROMO")),
-      col("c_custkey") % 100 === 0, "mvl_customer")
+      col("c_custkey") <= 100 && col("c_custkey") % 2 === 0, "mvl_customer")
     MV.refresh(lake, d)
     val incremental =
       if (lake.committedBatches("mvl_sales").exists(_ < 0)) 1.0 else 0.0

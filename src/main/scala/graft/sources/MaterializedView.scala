@@ -113,11 +113,18 @@ object MaterializedView {
   }
 
   // ---- dim-side watermark (join views only) ------------------------------
-  // Lives in a side file, NOT in the view's commit. Why that's safe:
-  // the only writer-crash window is "view committed, aux not yet
-  // written"; a replay then sees a stale dim watermark, takes the
-  // RECOMPUTE path, and replaceOnce/createOrReplace converges on the
-  // identical content — one spurious recompute, never a wrong view.
+  // Lives in a side file, NOT in the view's commit — so it is only
+  // ADVISORY, and every consumer must survive it being stale:
+  //  - the DELTA path starts its CDC read at max(aux, the view's own
+  //    negative-batch-id ledger), which is atomic with the data — a
+  //    crash between a delta commit and the aux write can never
+  //    replay the committed sub-interval ([[dimDelta]]);
+  //  - the RECOMPUTE path writes a `pending:` marker FIRST (parses as
+  //    no watermark), so its crash window routes the next refresh
+  //    back through the idempotent recompute instead of feeding a
+  //    stale numeric watermark to the subtractive path.
+  // Worst case in every window is one spurious recompute — never a
+  // double-applied delta.
   private def dimWatermark(lake: Lakehouse, view: String): Option[Long] =
     lake.readMviewAux(view).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
   /** The dim snapshot a join view currently reflects — the streaming
@@ -126,6 +133,19 @@ object MaterializedView {
     dimWatermark(lake, view)
   private def writeDimWatermark(lake: Lakehouse, view: String, snap: Long): Unit =
     lake.writeMviewAux(view, snap.toString)
+  /** Mark a dim-side RECOMPUTE as in flight BEFORE its commit: the
+    * marker parses as no watermark, so a crash inside the window
+    * routes the next refresh back through the (idempotent) recompute
+    * instead of letting a stale numeric watermark feed [[dimDelta]] a
+    * sub-interval the view already reflects — the double-apply that
+    * silently corrupts totals. Worst case is one spurious recompute. */
+  private[graft] def markDimRecompute(lake: Lakehouse, view: String, target: Long): Unit =
+    lake.writeMviewAux(view, s"pending:$target")
+  /** The dim snapshots whose DELTAS the view has already applied —
+    * read from the commit ledger itself (the negative batch-id
+    * namespace), which is atomic with the data, unlike the aux file. */
+  private def dimApplied(lake: Lakehouse, view: String): Seq[Long] =
+    lake.committedBatches(view).filter(_ < 0L).map(-_).toSeq
 
   // ---- persisted definitions (`_mviews.jsonl`) ---------------------------
 
@@ -302,6 +322,10 @@ object MaterializedView {
       case None => lake.read(d.src)
       case Some(j) => joined(lake, lake.readSnapshot(d.src, s0), j, dimPin.get)
     }
+    // a RE-create over an existing join view must not leave the OLD
+    // numeric dim watermark paired with the NEW content (the stale-aux
+    // double-apply window) — mark pending before the commit
+    dimPin.foreach(markDimRecompute(lake, d.view, _))
     val snap = lake.replaceOnce(aggOf(rows, d), d.view, batchId = s0)
     dimPin.foreach(writeDimWatermark(lake, d.view, _))
     // the view is a queryable lakehouse table: register it so SQL can
@@ -363,7 +387,21 @@ object MaterializedView {
       return None
     val countAlias = d.aggs.collectFirst { case CountAll(a) => a }
       .getOrElse(return None)
-    val f0 = dimFrom.getOrElse(return None) // legacy view without a dim pin
+    // The aux file is ADVISORY (it commits after the data): the
+    // authoritative "deltas applied through" mark is the view's own
+    // negative-batch-id ledger, atomic with each commit. A crash
+    // between a delta commit and the aux write, followed by MORE dim
+    // movement, must not replay the committed sub-interval — start
+    // the CDC read at the furthest point either source proves.
+    val f0 = (dimFrom.toSeq ++ dimApplied(lake, d.view))
+      .reduceOption(_ max _).getOrElse(return None) // no pin at all: recompute
+    if (f0 == dimTo) // fully applied; only the aux needs converging
+      return Some(lake.currentSnapshot(d.view).get)
+    if (f0 > dimTo) return None // dim ROLLED BACK: only a recompute is sound
+    // the fact probe time-travels to the view's fact watermark — an
+    // EXPIRED snapshot can't be read (readWhere would throw), so the
+    // recompute fallback takes over before any plan is built
+    if (!lake.snapshots(d.src).exists(_._1 == factSnap)) return None
     val batchId = -dimTo
     if (lake.committedBatches(d.view).contains(batchId))
       return Some(lake.currentSnapshot(d.view).get) // crash replay: converge aux only
@@ -438,9 +476,13 @@ object MaterializedView {
     // a zeroed group must VANISH from the view — possible only for a
     // full recompute, so that (rare) retraction falls back
     if (merged.where(col(countAlias) <= 0).head(1).nonEmpty) return None
-    val stable = untouched.unionByName(merged).select(viewSchema.map(f =>
+    def stable(df: DataFrame) = df.select(viewSchema.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
-    Some(lake.replaceOnce(stable, d.view, batchId = batchId))
+    Some(
+      if (nullFreeGroups(viewSchema, d))
+        lake.upsertOnce(stable(merged), d.view, d.groupCols, batchId = batchId)
+      else lake.replaceOnce(stable(untouched.unionByName(merged)),
+        d.view, batchId = batchId))
   }
 
   /** Advance the view to the source's current snapshot. Incremental
@@ -479,7 +521,11 @@ object MaterializedView {
           // already committed) — replaceOnce would no-op and strand the
           // view, so that case commits an unkeyed replace; its replay
           // after a crash rebuilds identical content (one spurious
-          // snapshot, never a wrong view).
+          // snapshot, never a wrong view). The PENDING marker lands
+          // first: a crash between the commit and the final aux write
+          // must not leave a stale NUMERIC watermark that would feed a
+          // later dimDelta an interval this recompute already folded in.
+          markDimRecompute(lake, d.view, dimNow.get)
           val rows = joined(lake, lake.readSnapshot(d.src, to), d.join.get, dimNow.get)
           val snap =
             if (lake.committedBatches(d.view).contains(to))
@@ -509,14 +555,30 @@ object MaterializedView {
         val viewSchema = t.schema
         // untouched groups carry as-is; touched ones merge through the
         // null-safe group key (a left-join view's unmatched bucket is
-        // a NULL group — plain-column joins would strand it)
-        val (untouched, merged) = mergeSplit(d, t, da)
-        // pin merged agg types to the stored schema: decimal sums widen
+        // a NULL group — plain-column joins would strand it).
+        // Pin merged agg types to the stored schema: decimal sums widen
         // one digit per addition, and an unpinned type would drift the
-        // view schema on every refresh
-        val stable = untouched.unionByName(merged).select(viewSchema.map(f =>
+        // view schema on every refresh.
+        val (untouched, merged) = mergeSplit(d, t, da)
+        def stable(df: DataFrame) = df.select(viewSchema.map(f =>
           col(f.name).cast(f.dataType).as(f.name)): _*)
-        lake.replaceOnce(stable, d.view, batchId = to)
+        if (nullFreeGroups(viewSchema, d))
+          // no null group can exist: the keyed upsert applies, and a
+          // future partition-scoped view carries untouched groups by
+          // reference instead of rewriting them
+          lake.upsertOnce(stable(merged), d.view, d.groupCols, batchId = to)
+        else lake.replaceOnce(stable(untouched.unionByName(merged)),
+          d.view, batchId = to)
     }
   }
+
+  /** Can this view never hold a NULL group? Group columns declared
+    * non-nullable in the stored schema can't produce one (the values
+    * flow from those same columns), so the equality-keyed upsert is
+    * safe and keeps its carry-by-reference economics; any nullable
+    * group column routes to the explicit untouched ∪ merged replace —
+    * SQL equality would strand null keys on both upsert legs. */
+  private def nullFreeGroups(viewSchema: org.apache.spark.sql.types.StructType,
+      d: ViewDef): Boolean =
+    !viewSchema.exists(f => d.groupCols.contains(f.name) && f.nullable)
 }

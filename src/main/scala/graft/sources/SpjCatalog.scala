@@ -189,13 +189,27 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
     * ledger complete for every referenced column — anything else
     * declines and Spark plans the ordinary scan. Complete pushdown
     * (never partial): the scan returns THE one finished row. */
+  // Spark probes supportCompletePushDown BEFORE pushAggregation with
+  // the same Aggregation instance — cache the ledger fold so the
+  // O(files × agg-legs) metadata walk prices once per query, and only
+  // pushAggregation commits the answer to the build
+  private var probedAgg: Option[(AnyRef, Option[(StructType, InternalRow, String)])] = None
+  private def probe(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow, String)] = probedAgg match {
+    case Some((ref, ans)) if ref eq agg => ans
+    case _ =>
+      val ans = SpjMetaAgg.answer(layout, agg)
+      probedAgg = Some((agg, ans))
+      ans
+  }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    pushed.isEmpty && SpjMetaAgg.answer(layout, agg).isDefined
+    pushed.isEmpty && probe(agg).isDefined
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (pushed.nonEmpty) return false
-    aggAnswer = SpjMetaAgg.answer(layout, agg)
+    aggAnswer = probe(agg)
     // NOTE if Spark takes this as a PARTIAL pushdown (it probed
     // supportCompletePushDown first, so it won't — but the contract
     // allows it), the one finished row is still a valid partial: the

@@ -219,32 +219,29 @@ object EventStream {
     val lake = new Lakehouse(spark, root)
     val d = MaterializedView.load(lake, view).getOrElse(
       throw new IllegalArgumentException(s"$view has no _mviews.jsonl definition in $root"))
-    val src = spark.readStream
+    // the SCHEDULER shape (`ticks`): micro-batches carry snapshot ids
+    // only — zero data I/O, and a rewrite/compaction on the watched
+    // table can never wedge the maintenance query (the refresh itself
+    // handles rewrites by recomputing; a data-carrying interval read
+    // would rightly fail and take the scheduler down with it)
+    def tickStream(table: String, start: Long): DataFrame = spark.readStream
       .format("graft.streaming.LakehouseStreamProvider")
-      .option("root", root).option("table", d.src)
-      // tail from the view's current watermark: batch 0 must not plan
-      // a full-history read the refresh would ignore anyway
-      .option("startSnapshot", MaterializedView.watermark(lake, d).toString)
+      .option("root", root).option("table", table)
+      .option("ticks", "true")
+      .option("startSnapshot", start.toString)
       .load()
-      .select(lit(1).as("_tick"))
+    // tail from the view's current watermark: batch 0 must not plan
+    // a full-history read the refresh would ignore anyway
+    val src = tickStream(d.src, MaterializedView.watermark(lake, d))
     // JOIN views follow the DIM too: a dim-only change (the backfill /
     // re-label shape dimDelta prices incrementally) must fire a
-    // refresh without waiting for a fact commit. The dim leg tails in
-    // CDC shape so MoR deletes/updates stream instead of failing the
-    // raw interval read; both legs project to a schema-free tick —
-    // the stream is the SCHEDULER, refresh re-reads its own deltas.
-    // ONE unioned query keeps the one-refresher-per-view contract.
+    // refresh without waiting for a fact commit. ONE unioned query
+    // keeps the one-refresher-per-view contract.
     val ticks = d.join match {
       case Some(j) =>
         val dimStart = MaterializedView.dimWatermarkOf(lake, view)
           .orElse(lake.currentSnapshot(j.dim)).getOrElse(0L)
-        src.union(spark.readStream
-          .format("graft.streaming.LakehouseStreamProvider")
-          .option("root", root).option("table", j.dim)
-          .option("cdc", "true")
-          .option("startSnapshot", dimStart.toString)
-          .load()
-          .select(lit(1).as("_tick")))
+        src.union(tickStream(j.dim, dimStart))
       case None => src
     }
     ticks.writeStream
@@ -275,6 +272,7 @@ object EventStream {
     spark.readStream
       .format("graft.streaming.LakehouseStreamProvider")
       .option("root", root).option("table", src)
+      .option("ticks", "true") // scheduler shape: rewrite-proof wake-ups
       .option("startSnapshot",
         lake.committedBatches(AnnIndex.vectorsTable(src)).max.toString)
       .load()
@@ -308,6 +306,7 @@ object EventStream {
     spark.readStream
       .format("graft.streaming.LakehouseStreamProvider")
       .option("root", root).option("table", src)
+      .option("ticks", "true") // scheduler shape: rewrite-proof wake-ups
       .option("startSnapshot", wm.max.toString)
       .load()
       .writeStream

@@ -35,6 +35,17 @@ import graft.sources.Lakehouse
   * UPDATE arrives as its old image's delete plus its new image's
   * insert. True rewrites still fail loudly in either mode.
   *
+  * `option("ticks", "true")` switches to the SCHEDULER shape: each
+  * micro-batch is just the snapshot ids committed in the interval
+  * (one `snapshot_id` row per commit, straight off the manifest —
+  * zero data I/O) and NEVER fails on rewrites, because there is no
+  * interval data to mis-emit. This is what the maintenance streams
+  * ([[EventStream.maintainMview]] and friends) consume: the batch is
+  * only a wake-up, the maintained artifact re-derives its own delta
+  * from its own watermarks — so a compaction on the watched table
+  * must not wedge the maintenance query the way a data-carrying
+  * interval read rightly would.
+  *
   * Usage:
   * {{{
   * spark.readStream
@@ -61,7 +72,9 @@ class LakehouseStreamProvider extends StreamSourceProvider with DataSourceRegist
     val data = lake.read(required(parameters, "table"),
       parameters.getOrElse("branch", "main")).schema
     (shortName(),
-      if (parameters.get("cdc").exists(_.toBoolean))
+      if (parameters.get("ticks").exists(_.toBoolean))
+        LakehouseStreamSource.ticksSchema
+      else if (parameters.get("cdc").exists(_.toBoolean))
         LakehouseStreamSource.withChangeType(data)
       else data)
   }
@@ -77,7 +90,8 @@ class LakehouseStreamProvider extends StreamSourceProvider with DataSourceRegist
         val n = v.toInt
         require(n > 0, s"maxSnapshotsPerBatch must be positive, got $n")
         n
-      })
+      },
+      parameters.get("ticks").exists(_.toBoolean))
 }
 
 object LakehouseStreamSource {
@@ -85,6 +99,10 @@ object LakehouseStreamSource {
   def withChangeType(data: StructType): StructType =
     StructType(data.fields :+ org.apache.spark.sql.types.StructField(
       "_change_type", org.apache.spark.sql.types.StringType, nullable = false))
+  /** The scheduler schema: one snapshot id per interval commit. */
+  val ticksSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("snapshot_id",
+      org.apache.spark.sql.types.LongType, nullable = false)))
 }
 
 /** See [[LakehouseStreamProvider]]. `startSnapshot` = tail from that
@@ -98,15 +116,17 @@ object LakehouseStreamSource {
   * committing — no single-batch fallback, no warning. */
 class LakehouseStreamSource(spark: SparkSession, root: String, table: String,
     branch: String, startSnapshot: Option[Long], cdc: Boolean = false,
-    maxSnapshotsPerBatch: Option[Int] = None) extends Source
+    maxSnapshotsPerBatch: Option[Int] = None, ticks: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val lake = new Lakehouse(spark, root)
 
-  override val schema: StructType = {
-    val data = lake.read(table, branch).schema
-    if (cdc) LakehouseStreamSource.withChangeType(data) else data
-  }
+  override val schema: StructType =
+    if (ticks) LakehouseStreamSource.ticksSchema
+    else {
+      val data = lake.read(table, branch).schema
+      if (cdc) LakehouseStreamSource.withChangeType(data) else data
+    }
 
   // the snapshot AvailableNow drains to: pinned once at query start
   @volatile private var availableNowCap: Option[Long] = None
@@ -160,6 +180,17 @@ class LakehouseStreamSource(spark: SparkSession, root: String, table: String,
     val from = start.map(_.json.toLong).orElse(startSnapshot)
     def tagInserts(df: DataFrame) =
       if (cdc) df.withColumn("_change_type", lit("insert")) else df
+    if (ticks) {
+      // scheduler shape: the interval's snapshot ids, manifest-only —
+      // rewrites cannot fail a batch that carries no interval data
+      val chain = lake.snapshots(table).map(_._1)
+      val ids = from match {
+        case None => chain.filter(_ <= to)
+        case Some(f) => chain.filter(id => id > f && id <= to)
+      }
+      import spark.implicits._
+      return StreamingShim.asStreaming(ids.toDF("snapshot_id"))
+    }
     StreamingShim.asStreaming(from match {
       case None => tagInserts(lake.readSnapshot(table, to))
       case Some(f) if f == to =>

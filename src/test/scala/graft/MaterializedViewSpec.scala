@@ -521,6 +521,77 @@ class MaterializedViewSpec extends SparkSpec {
     assert(lake.committedBatches("lsales_by_seg").exists(_ < 0))
   }
 
+  test("join view: a committed-but-unrecorded dim delta never re-applies after MORE dim movement") {
+    val root = freshDir("graft-mview-joindbl")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf(
+      (1L, "AUTO"), (2L, "RETAIL"), (3L, "RETAIL"),
+      (8L, "WEB"), (9L, "WEB")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")), (12L, 3L, dec("6.00")),
+      (13L, 9L, dec("2.00")), (14L, 8L, dec("3.00"))), "fact_t")
+    MV.create(lake, JoinDef)
+    val dimFrom = lake.currentSnapshot("dim_t").get
+    // step 1 commits via the direct call — the aux watermark is NEVER
+    // written (the crash), and then the dim moves AGAIN
+    lake.updateWhereMor(Seq("seg" -> lit("AUTO")), col("cid") === 2L, "dim_t")
+    val dimMid = lake.currentSnapshot("dim_t").get
+    assert(MV.dimDelta(lake, JoinDef, MV.watermark(lake, JoinDef),
+      Some(dimFrom), dimMid).isDefined)
+    lake.updateWhereMor(Seq("seg" -> lit("PROMO")), col("cid") === 9L, "dim_t")
+    val dimEnd = lake.currentSnapshot("dim_t").get
+    // the ordinary refresh sees the STALE aux (still dimFrom) but must
+    // not re-apply (dimFrom, dimMid] — the ledger proves it landed
+    MV.refresh(lake, JoinDef)
+    assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
+    assert(segMap(lake.read("sales_by_seg")) === Map(
+      "AUTO" -> ((dec("14.00"), 2L)), "RETAIL" -> ((dec("6.00"), 1L)),
+      "PROMO" -> ((dec("2.00"), 1L)), "WEB" -> ((dec("3.00"), 1L))))
+    // and the recovery itself stayed on the subtractive path
+    assert(lake.committedBatches("sales_by_seg").contains(-dimEnd))
+  }
+
+  test("join view: a crashed dim recompute leaves a pending marker, never a stale watermark") {
+    val root = freshDir("graft-mview-joinpend")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL"), (3L, "RETAIL")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")), (12L, 3L, dec("6.00"))), "fact_t")
+    MV.create(lake, JoinDef)
+    // the crash state the pending protocol leaves: marker written, no
+    // final watermark — the next refresh must parse NO watermark and
+    // take the idempotent recompute, not the subtractive path
+    MV.markDimRecompute(lake, "sales_by_seg", 999L)
+    assert(MV.dimWatermarkOf(lake, "sales_by_seg").isEmpty)
+    lake.updateWhereMor(Seq("seg" -> lit("AUTO")), col("cid") === 2L, "dim_t")
+    MV.refresh(lake, JoinDef)
+    assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
+    assert(segMap(lake.read("sales_by_seg")) === Map(
+      "AUTO" -> ((dec("14.00"), 2L)), "RETAIL" -> ((dec("6.00"), 1L))))
+    // and the recompute converged the watermark back to numeric
+    assert(MV.dimWatermarkOf(lake, "sales_by_seg")
+      === lake.currentSnapshot("dim_t"))
+  }
+
+  test("join view: an expired fact watermark recomputes instead of crashing the dim delta") {
+    val root = freshDir("graft-mview-joinex")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL"), (3L, "RETAIL")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")), (12L, 3L, dec("6.00"))), "fact_t")
+    MV.create(lake, JoinDef)
+    // fact history churns past the view's watermark, then expires —
+    // the dim-delta probe can no longer time-travel to it
+    lake.append(factDf((13L, 1L, dec("1.00"))), "fact_t")
+    lake.compact("fact_t")
+    lake.expireSnapshots("fact_t", keepLast = 1)
+    lake.updateWhereMor(Seq("seg" -> lit("AUTO")), col("cid") === 2L, "dim_t")
+    MV.refresh(lake, JoinDef)
+    assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
+    assert(segMap(lake.read("sales_by_seg")) === Map(
+      "AUTO" -> ((dec("15.00"), 3L)), "RETAIL" -> ((dec("6.00"), 1L))))
+  }
+
   test("SQL surface: CREATE MATERIALIZED VIEW with LEFT JOIN; the dim stream drives refresh") {
     val root = freshDir("graft-mview-sqlj")
     val ck = freshDir("graft-mview-sqlj-ck")
@@ -550,6 +621,31 @@ class MaterializedViewSpec extends SparkSpec {
       "∅" -> ((dec("1.00"), 1L))))
     assert(lake.committedBatches("lsales_by_seg").exists(_ < 0),
       "the dim-driven refresh should land on the subtractive path")
+  }
+
+  test("maintenance stream survives a watched-table rewrite (ticks carry no data)") {
+    val root = freshDir("graft-mview-tick")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL"), (3L, "RETAIL")), "dim_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")), (12L, 3L, dec("6.00"))), "fact_t")
+    MV.create(lake, JoinDef)
+    MV.persist(lake, JoinDef)
+    val ck = freshDir("graft-mview-tick-ck")
+    val q1 = graft.streaming.EventStream.maintainMview(spark, root, "sales_by_seg", ck)
+    try q1.awaitTermination(120000) finally q1.stop()
+    // the dim moves AND compacts — the checkpointed interval is now a
+    // REWRITE; a data-carrying source would fail every restart from
+    // this checkpoint and wedge maintenance permanently
+    lake.updateWhereMor(Seq("seg" -> lit("AUTO")), col("cid") === 2L, "dim_t")
+    lake.compact("dim_t")
+    lake.append(factDf((13L, 3L, dec("1.00"))), "fact_t")
+    lake.compact("fact_t")
+    val q2 = graft.streaming.EventStream.maintainMview(spark, root, "sales_by_seg", ck)
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
+    assert(segMap(lake.read("sales_by_seg")) === Map(
+      "AUTO" -> ((dec("14.00"), 2L)), "RETAIL" -> ((dec("7.00"), 2L))))
   }
 
   test("join view: the definition persists with its join spec and reloads by name") {

@@ -271,20 +271,10 @@ class SpjSpec extends SparkSpec {
     }
   }
 
-  // walk an executed (possibly adaptive) plan, subqueries included;
-  // AQE query stages are LEAVES whose subtree hangs off `.plan`
+  // the shared AQE-aware plan walker (QueryStageExec subtrees included)
   private def collectPlan[T](df: DataFrame)(
-      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def walk(p: SparkPlan): Seq[T] =
-      (if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil) ++ (p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec => walk(q.plan)
-        case other => (other.children ++ other.subqueries).flatMap(walk)
-      })
-    walk(df.queryExecution.executedPlan)
-  }
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+    Medallion.collectExec(df)(pf)
 
   test("global aggregates answer from the ledgers: one driver-local row, no scan") {
     import org.apache.spark.sql.execution.LocalTableScanExec
