@@ -40,6 +40,7 @@ object SparkEntry {
     "q_bucket_join" -> (Medallion.qBucketJoin _),
     "q_spj_join" -> (Medallion.qSpjJoin _),
     "q_spj_agg" -> (Medallion.qSpjAgg _),
+    "q_spj_group_agg" -> (Medallion.qSpjGroupAgg _),
     "q_spj_runtime_filter" -> (Medallion.qSpjRuntimeFilter _),
     "q_spj_limit" -> (Medallion.qSpjLimit _),
     "q_spj_topn" -> (Medallion.qSpjTopn _),
@@ -381,6 +382,18 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s_price,
         |  CAST(1.0 AS DOUBLE) AS meta_only
         |FROM orders""".stripMargin,
+    // grouped DSv2 pushdown over an identity layout: the oracle
+    // recomputes the rollup by scanning; meta_only = 1.0 pins that the
+    // engine's answer came from ONE LocalTableScanExec (per-partition
+    // ledger folds), no file scan — the gold GROUP BY priced as metadata
+    "q_spj_group_agg" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(o_orderkey) AS BIGINT) AS k_lo,
+        |  CAST(max(o_orderkey) AS BIGINT) AS k_hi,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS s_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s_price,
+        |  CAST(1.0 AS DOUBLE) AS meta_only
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // DSv2 runtime filtering: the oracle recomputes the dim-filtered
     // join by scanning; pruned = 1.0 pins that a DPP filter reached
     // the SPJ scan and shrank its planned file list

@@ -723,6 +723,52 @@ object Medallion {
       .toDF("n_total", "k_lo", "k_hi", "s_lo", "s_hi", "s_key", "s_price", "meta_only")
   }
 
+  /** `q_spj_group_agg` — GROUPED DSv2 aggregate pushdown over an
+    * IDENTITY partition layout ([[graft.sources.spj.SpjMetaAgg]]
+    * grouped path): orders lands hidden-partitioned by
+    * `o_orderstatus`, so `GROUP BY o_orderstatus` with
+    * count/min/max/sum legs is answered ENTIRELY from the per-file
+    * ledgers — each partition dir is one group, its key read off the
+    * path, its aggregates the same provable ledger fold restricted to
+    * that dir's files. This is the reference's literal gold-layer
+    * rollup (gold_reporting.py:70 groups by a low-cardinality
+    * dimension) priced as a driver-side metadata readout: at 100 TB
+    * the query plans ONE LocalTableScanExec with |statuses| rows, no
+    * executors, no files. The readout pins `meta_only = 1.0` from a
+    * plan-node walk (LocalTableScanExec present, no BatchScanExec), so
+    * the oracle hash-checks values and the scale property together. */
+  def qSpjGroupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjga").toString
+    val lake = new Lakehouse(spark, root)
+    lake.declareSumColumns("spjq_gagg", Seq("o_orderkey", "o_price_d"))
+    lake.createOrReplace(Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("o_price_d")),
+      "spjq_gagg", Seq("o_orderstatus"))
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val q = spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi,
+         |  sum(o_orderkey) AS s_key, sum(o_price_d) AS s_price
+         |FROM $cat.spjq_gagg
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    val rows = q.collect()
+    val metaOnly =
+      if (collectExec(q) { case l: LocalTableScanExec => l }.nonEmpty &&
+        collectExec(q) { case b: BatchScanExec => b }.isEmpty) 1.0 else 0.0
+    import spark.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDecimal(5).doubleValue(), metaOnly)).toSeq
+      .toDF("o_orderstatus", "n_orders", "k_lo", "k_hi", "s_key", "s_price", "meta_only")
+      .orderBy("o_orderstatus")
+  }
+
   /** `q_spj_runtime_filter` — DSv2 RUNTIME FILTERING (dynamic
     * partition pruning) on the SPJ scan
     * ([[graft.sources.spj.GraftSpjScan.filter]]): the fact table is

@@ -4432,15 +4432,21 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       s"$table has committed schema evolution — compact() under the current schema before a storage-partitioned read")
     val dataDirs = entries.map(_.takeWhile(_ != '/')).distinct
     val phys = dataDirs.map(d => physDirLayout(table, d)).distinct match {
-      case Seq(Seq(p)) if Transforms.specOfPhys(p).startsWith("bucket(") => p
+      case Seq(Seq(p)) => p
       case other => throw new IllegalArgumentException(
-        s"$table is not uniformly bucket-partitioned (layouts: ${
+        s"$table is not uniformly single-level-partitioned (layouts: ${
           other.map(_.mkString("/")).mkString("; ")}) — " +
-          "storage-partitioned joins need one bucket(n,k) spec on every data dir")
+          "storage-partitioned reads need one bucket(n,k) or identity spec on every data dir")
     }
     val BucketSpecRe = """bucket\((\d+),(.+)\)""".r
-    val (n, keyCol) = Transforms.specOfPhys(phys) match {
-      case BucketSpecRe(nn, c) => (nn.toInt, c)
+    val (n0, keyCol) = Transforms.specOfPhys(phys) match {
+      case BucketSpecRe(nn, c) => (Some(nn.toInt), c)
+      // a plain column name is an IDENTITY layout: every dir holds
+      // exactly one key value, read back off the path segment
+      case c if !c.contains("(") => (None, c)
+      case other => throw new IllegalArgumentException(
+        s"$table is partitioned by $other — storage-partitioned reads " +
+          "serve bucket(n,k) and identity layouts only")
     }
     val schema = metaSchema(table, entries, snap).getOrElse(
       throw new IllegalStateException(s"cannot resolve a schema for $table@$snap"))
@@ -4473,19 +4479,38 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       }.map { st =>
         val full = st.getPath.toString
         val at = full.indexOf(marker)
-        require(at >= 0, s"data file outside the bucket layout: $full")
-        val bucket = full.substring(at + marker.length).takeWhile(_ != '/').toInt
+        require(at >= 0, s"data file outside the partition layout: $full")
+        val dirValue = full.substring(at + marker.length).takeWhile(_ != '/')
         val rel = full.substring(full.indexOf(dirMarker) + 1)
-        (bucket, SpjFile(full, st.getLen, dirStats.getOrElse(rel, Map.empty),
+        (dirValue, SpjFile(full, st.getLen, dirStats.getOrElse(rel, Map.empty),
           rows = dirRows.get(rel).map(_._1),
           nulls = dirRows.get(rel).map(_._2).getOrElse(Map.empty),
           sums = dirSums.getOrElse(rel, Map.empty)))
       }
     }
-    SpjLayout(schema, keyCol, n,
-      files.groupBy(_._1).map { case (b, fs0) =>
-        b -> fs0.map(_._2).sortBy(_.path)
-      })
+    n0 match {
+      case Some(n) =>
+        SpjLayout(schema, keyCol, n,
+          files.groupBy(_._1.toInt).map { case (b, fs0) =>
+            b -> fs0.map(_._2).sortBy(_.path)
+          })
+      case None =>
+        val f = schema.fields.find(_.name == keyCol).getOrElse(
+          throw new IllegalStateException(
+            s"$table's recorded schema is missing its partition column $keyCol"))
+        // one partition per distinct path value, dir-value-sorted for a
+        // deterministic partition order; keys decode to the column's
+        // INTERNAL form (what partitionKey() and the group-by readout
+        // both hand Spark)
+        val keys = files.map(_._1).distinct.sorted
+          .map(raw => SpjLayout.decodeIdentity(f.dataType, raw))
+        val idx = keys.map(_._1).zipWithIndex.toMap
+        SpjLayout(schema, keyCol, keys.length,
+          files.groupBy(e => idx(SpjLayout.unescapePath(e._1))).map { case (i, fs0) =>
+            i -> fs0.map(_._2).sortBy(_.path)
+          },
+          identityKeys = Some(keys.toIndexedSeq))
+    }
   }
 }
 
@@ -4585,10 +4610,54 @@ private[graft] case class SpjFile(path: String, length: Long,
     nulls: Map[String, Long] = Map.empty,
     sums: Map[String, Option[java.math.BigDecimal]] = Map.empty)
 
-/** A table's storage-partitioned-join layout ([[Lakehouse.spjLayout]]):
-  * logical schema, bucket column, bucket count, files per bucket. */
+/** A table's storage-partitioned layout ([[Lakehouse.spjLayout]]):
+  * logical schema, partition column, partition count, files per
+  * partition index. `identityKeys = None` is the bucket(n,k) shape
+  * (indices ARE bucket numbers, all n planned); `Some(keys)` is an
+  * IDENTITY layout — index i holds the files of partition value
+  * `keys(i)` as (unescaped dir string, internal value), the internal
+  * value being what the scan injects into rows (identity dirs strip
+  * the column from the data files) and reports as the partition key. */
 private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructType,
-    keyCol: String, nBuckets: Int, files: Map[Int, Seq[SpjFile]])
+    keyCol: String, nBuckets: Int, files: Map[Int, Seq[SpjFile]],
+    identityKeys: Option[IndexedSeq[(String, Any)]] = None) {
+  def keyField: org.apache.spark.sql.types.StructField =
+    schema.fields.find(_.name == keyCol).get
+  /** Canonical write-spec string — what the DSv2 write path hands the
+    * Lakehouse writer so inserts land under the table's own layout. */
+  def spec: String =
+    if (identityKeys.isDefined) keyCol else s"bucket($nBuckets,$keyCol)"
+}
+
+private[graft] object SpjLayout {
+  import org.apache.spark.sql.types._
+  /** Hive's null-partition dir marker (what `partitionBy` writes for a
+    * null key). */
+  val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+  def unescapePath(raw: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw)
+  /** Decode an identity partition dir value to (unescaped string,
+    * internal value). The unescaped string doubles as the CANONICAL
+    * form runtime-filter/static-prune values compare against (ints
+    * print decimal, dates ISO — the same forms
+    * [[graft.sources.spj.SpjPruning.runtimeInValues]] produces).
+    * Restricted to session-independent types; anything else refuses
+    * the SPJ layout loudly rather than risking a mis-decoded key. */
+  def decodeIdentity(dt: DataType, raw: String): (String, Any) = {
+    val un = unescapePath(raw)
+    if (un == HiveNullPart) (un, null)
+    else (un, dt match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(un)
+      case IntegerType => un.toInt
+      case LongType => un.toLong
+      case ShortType => un.toShort
+      case ByteType => un.toByte
+      case DateType => java.time.LocalDate.parse(un).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(
+        s"identity storage-partitioned layouts support string/integral/date keys, not $other")
+    })
+  }
+}
 
 object Bucketed {
   def write(df: DataFrame, table: String, bucketCols: Seq[String], nBuckets: Int,

@@ -121,28 +121,28 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def partitioning(): Array[Transform] =
-    Array(Expressions.bucket(layout.nBuckets, layout.keyCol))
+    if (layout.identityKeys.isDefined) Array(Expressions.identity(layout.keyCol))
+    else Array(Expressions.bucket(layout.nBuckets, layout.keyCol))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSpjScanBuilder(layout)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftSpjWriteBuilder(root, tableName, layout.keyCol, layout.nBuckets)
+    new GraftSpjWriteBuilder(root, tableName, layout.spec)
 }
 
 /** Appends and truncating overwrites, routed to the Lakehouse writer
-  * with the table's own bucket spec — one commit per insert, same
+  * with the table's own partition spec — one commit per insert, same
   * layout, so the write needs no DSv2 DataWriter machinery of its
   * own and inherits the writer's conflict retries and ledgers. */
 private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
-    keyCol: String, nBuckets: Int) extends WriteBuilder with SupportsTruncate {
+    spec: String) extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new V1Write {
     override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
       (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], ow: Boolean) => {
         val lake = new Lakehouse(SparkSession.active, root)
-        val spec = Seq(s"bucket($nBuckets,$keyCol)")
-        if (overwrite || ow) lake.createOrReplace(data.toDF(), tableName, spec)
-        else lake.append(data.toDF(), tableName, spec)
+        if (overwrite || ow) lake.createOrReplace(data.toDF(), tableName, Seq(spec))
+        else lake.append(data.toDF(), tableName, Seq(spec))
         ()
       }
   }
@@ -170,7 +170,7 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
 
   private var required: StructType = layout.schema
   private var pushed: Array[Filter] = Array.empty
-  private var aggAnswer: Option[(StructType, InternalRow, String)] = None
+  private var aggAnswer: Option[(StructType, Array[InternalRow], String)] = None
   private var limit: Option[Int] = None
   private var topN: Option[(String, Boolean, Boolean, Int)] = None
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
@@ -193,10 +193,10 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
   // the same Aggregation instance — cache the ledger fold so the
   // O(files × agg-legs) metadata walk prices once per query, and only
   // pushAggregation commits the answer to the build
-  private var probedAgg: Option[(AnyRef, Option[(StructType, InternalRow, String)])] = None
+  private var probedAgg: Option[(AnyRef, Option[(StructType, Array[InternalRow], String)])] = None
   private def probe(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow, String)] = probedAgg match {
+      : Option[(StructType, Array[InternalRow], String)] = probedAgg match {
     case Some((ref, ans)) if ref eq agg => ans
     case _ =>
       val ans = SpjMetaAgg.answer(layout, agg)
@@ -261,10 +261,15 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan = aggAnswer match {
-    case Some((aggSchema, row, desc)) =>
-      GraftSpjAggScan(aggSchema, Array(row), desc)
+    case Some((aggSchema, rows, desc)) =>
+      GraftSpjAggScan(aggSchema, rows, desc)
     case None =>
-      val allowed = SpjPruning.allowedBuckets(layout.keyCol, layout.nBuckets, pushed.toSeq)
+      val allowed = layout.identityKeys match {
+        case Some(keys) =>
+          SpjPruning.allowedIdentity(layout.keyCol, keys, pushed.toSeq)
+        case None =>
+          SpjPruning.allowedBuckets(layout.keyCol, layout.nBuckets, pushed.toSeq)
+      }
       val pruned = layout.files.map { case (b, fs) =>
         b -> (if (allowed.exists(a => !a.contains(b))) Seq.empty[SpjFile]
         else fs.filter(f => pushed.forall(SpjPruning.mayMatch(f.stats, _))))
@@ -276,7 +281,8 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
       new GraftSpjScan(layout.schema, required, layout.keyCol, layout.nBuckets,
         capped, pushed.toSeq, limit,
         topN.map { case (c, asc, _, k) =>
-          s"$c ${if (asc) "ASC" else "DESC"} LIMIT $k" })
+          s"$c ${if (asc) "ASC" else "DESC"} LIMIT $k" },
+        layout.identityKeys)
   }
 }
 
@@ -292,7 +298,8 @@ private[graft] case class GraftSpjAggScan(aggSchema: StructType,
 private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
     keyCol: String, nBuckets: Int, files0: Map[Int, Seq[SpjFile]],
     pushed: Seq[org.apache.spark.sql.sources.Filter], limit: Option[Int] = None,
-    topN: Option[String] = None)
+    topN: Option[String] = None,
+    identityKeys: Option[IndexedSeq[(String, Any)]] = None)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
@@ -305,7 +312,8 @@ private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftSpj bucket($nBuckets,$keyCol) $plannedFileCount files" +
+    s"GraftSpj ${if (identityKeys.isDefined) s"identity($keyCol)"
+    else s"bucket($nBuckets,$keyCol)"} $plannedFileCount files" +
       (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]") +
       limit.fold("")(n => s" PushedLimit: $n") +
       topN.fold("")(t => s" PushedTopN: [$t]")
@@ -350,8 +358,17 @@ private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
     if (keySets.isEmpty) return
     val inFilters = keySets.map(vs =>
       org.apache.spark.sql.sources.In(keyCol, vs.map(_._1).toArray))
-    val allowed = keySets.map(_.map(p => SpjPruning.bucketOf(p._2, nBuckets)).toSet)
-      .reduce(_ intersect _)
+    val allowed = identityKeys match {
+      // identity layout: the canonical strings ARE the dir values —
+      // keep exactly the partitions whose key every predicate names
+      // (a null partition never matches an IN semijoin key set)
+      case Some(keys) => keySets.map(vs => keys.zipWithIndex.collect {
+        case ((dv, k), i) if k != null && vs.exists(_._2 == dv) => i
+      }.toSet).reduce(_ intersect _)
+      case None =>
+        keySets.map(_.map(p => SpjPruning.bucketOf(p._2, nBuckets)).toSet)
+          .reduce(_ intersect _)
+    }
     files = files.map { case (b, fs) =>
       b -> (if (!allowed.contains(b)) Seq.empty[SpjFile]
       else fs.filter(f => inFilters.forall(SpjPruning.mayMatch(f.stats, _))))
@@ -359,59 +376,108 @@ private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
   }
 
   /** The contract that deletes the Exchange: each scan partition IS
-    * one bucket, keyed by the transform over the join column. */
+    * one partition of the layout, keyed by the transform (bucket
+    * number) or the identity value itself. */
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(Array(Expressions.bucket(nBuckets, keyCol)), nBuckets)
+    identityKeys match {
+      case Some(_) =>
+        new KeyGroupedPartitioning(Array(Expressions.identity(keyCol)), nBuckets)
+      case None =>
+        new KeyGroupedPartitioning(Array(Expressions.bucket(nBuckets, keyCol)), nBuckets)
+    }
 
-  /** All n buckets, in bucket order, EMPTY buckets included — both
+  /** All n partitions, in layout order, EMPTY ones included — both
     * join sides must present identical partition-value sets or the
-    * planner falls back to a shuffle. */
+    * planner falls back to a shuffle (identity sides with disjoint
+    * value sets need `v2.bucketing.pushPartValues.enabled`). */
   override def planInputPartitions(): Array[InputPartition] =
     (0 until nBuckets).map { b =>
-      GraftBucketPartition(b, files.getOrElse(b, Seq.empty).toArray)
+      GraftBucketPartition(
+        identityKeys.fold[Any](b)(_.apply(b)._2),
+        files.getOrElse(b, Seq.empty).toArray)
     }.toArray
 
   /** The reader function is Spark's own parquet reader, built ONCE on
     * the driver (it broadcasts the hadoop conf internally and is
     * designed to ship to executors — the same mechanism FileSourceScan
     * uses), so per-file reading gets predicate-free footer decode,
-    * column pruning and the vectorized path for free. */
+    * column pruning and the vectorized path for free. Identity layouts
+    * read files that DON'T contain the partition column (Hive dirs
+    * strip it) — its value rides `partitionSchema`/`partitionValues`
+    * through the same reader, then a projection restores the pruned
+    * column order Spark asked for. */
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     val conf: Configuration = spark.sessionState.newHadoopConf()
-    val readerFn = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, dataSchema, new StructType(), required, pushed,
-      // row-returning contract: this scan's PartitionReader hands rows
-      // to DataSourceRDD (vectorized decode still happens inside the
-      // reader; only the hand-off is row-shaped)
-      Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
-      conf)
-    new GraftSpjReaderFactory(readerFn)
+    // row-returning contract: this scan's PartitionReader hands rows
+    // to DataSourceRDD (vectorized decode still happens inside the
+    // reader; only the hand-off is row-shaped)
+    val rowOpt = Map(
+      org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false")
+    identityKeys match {
+      case None =>
+        val readerFn = new ParquetFileFormat().buildReaderWithPartitionValues(
+          spark, dataSchema, new StructType(), required, pushed, rowOpt, conf)
+        new GraftSpjReaderFactory(readerFn, keyed = false, reorder = None)
+      case Some(_) =>
+        val keyField = dataSchema.fields.find(_.name == keyCol).get
+        val fileSchema = StructType(dataSchema.fields.filterNot(_.name == keyCol))
+        val requiredData = StructType(required.fields.filterNot(_.name == keyCol))
+        val partSchema =
+          if (required.fieldNames.contains(keyCol)) StructType(Seq(keyField))
+          else new StructType()
+        // filters naming the partition column can't resolve inside the
+        // files; partition pruning already applied them
+        val filePushed = pushed.filterNot(_.references.contains(keyCol))
+        val readerFn = new ParquetFileFormat().buildReaderWithPartitionValues(
+          spark, fileSchema, partSchema, requiredData, filePushed, rowOpt, conf)
+        val outSchema = StructType(requiredData.fields ++ partSchema.fields)
+        new GraftSpjReaderFactory(readerFn, keyed = partSchema.nonEmpty,
+          reorder = if (outSchema == required) None else Some((outSchema, required)))
+    }
   }
 }
 
-private[graft] case class GraftBucketPartition(bucket: Int, files: Array[SpjFile])
+/** One planned scan partition: `key` is the partition key Spark
+  * co-locates on — the bucket number (boxed Int) for bucket layouts,
+  * the identity column's internal value (possibly null) for identity
+  * layouts. */
+private[graft] case class GraftBucketPartition(key: Any, files: Array[SpjFile])
   extends InputPartition with HasPartitionKey {
-  override def partitionKey(): InternalRow = InternalRow(bucket)
+  override def partitionKey(): InternalRow = InternalRow(key)
 }
 
 private[spj] class GraftSpjReaderFactory(
-    readerFn: PartitionedFile => Iterator[InternalRow])
+    readerFn: PartitionedFile => Iterator[InternalRow],
+    keyed: Boolean, reorder: Option[(StructType, StructType)])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBucketPartition]
+    val pv = if (keyed) InternalRow(p.key) else InternalRow.empty
     // the vectorized reader hands back ColumnarBatch under an
     // InternalRow-typed iterator (the FileScanRDD convention) —
     // flatten batches to their row view, exactly as ColumnarToRow does
-    val rows: Iterator[InternalRow] = p.files.iterator.flatMap { f =>
-      readerFn(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.path),
+    val base: Iterator[InternalRow] = p.files.iterator.flatMap { f =>
+      readerFn(PartitionedFile(pv, SparkPath.fromPathString(f.path),
         0L, f.length, Array.empty[String], 0L, f.length, Map.empty))
         .asInstanceOf[Iterator[Any]]
         .flatMap {
           case b: ColumnarBatch => b.rowIterator().asScala
           case r: InternalRow => Iterator.single(r)
         }
+    }
+    // identity injection appends the partition column LAST; when Spark
+    // pruned it elsewhere, a codegen'd projection restores the order
+    val rows = reorder match {
+      case None => base
+      case Some((out, req)) =>
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          req.fields.toSeq.map { rf =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              out.fieldIndex(rf.name), rf.dataType, rf.nullable)
+          })
+        base.map(proj)
     }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
@@ -560,14 +626,47 @@ private[spj] object SpjPruning {
   }
 
   /** The write-side transform's cast-to-string canonical form — only
-    * session-independent types map (same whitelist as Transforms). */
+    * session-independent types map (same whitelist as Transforms;
+    * dates print ISO, matching both `cast(d AS STRING)` and the
+    * identity partition dir encoding). */
   private def canonical(v: Any): Option[String] = v match {
     case s: String => Some(s)
     case i: Long => Some(i.toString)
     case i: Int => Some(i.toString)
     case i: Short => Some(i.toString)
     case i: Byte => Some(i.toString)
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
     case _ => None
+  }
+
+  /** Partition indices of an IDENTITY layout an equality/IN/null test
+    * on the partition column can reach; None = no usable conjunct
+    * (all partitions). Conjuncts intersect. Comparison happens in the
+    * canonical string domain — the unescaped dir value, which is
+    * exactly how the writer encoded the key. */
+  def allowedIdentity(keyCol: String, keys: IndexedSeq[(String, Any)],
+      fs: Seq[Filter]): Option[Set[Int]] = {
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    def matching(vals: Set[String]): Set[Int] =
+      keys.zipWithIndex.collect {
+        case ((dv, k), i) if k != null && vals(dv) => i
+      }.toSet
+    val sets = fs.flatMap(flat).flatMap {
+      case EqualTo(c, v) if c == keyCol => canonical(v).map(s => matching(Set(s)))
+      case In(c, vs) if c == keyCol && vs.nonEmpty =>
+        val cs = vs.toSeq.map(canonical)
+        if (cs.forall(_.isDefined)) Some(matching(cs.flatten.toSet)) else None
+      case IsNull(c) if c == keyCol =>
+        Some(keys.zipWithIndex.collect { case ((_, k), i) if k == null => i }.toSet)
+      case IsNotNull(c) if c == keyCol =>
+        Some(keys.zipWithIndex.collect { case ((_, k), i) if k != null => i }.toSet)
+      case _ => None
+    }
+    sets.reduceOption(_ intersect _)
   }
 
   def bucketOf(s: String, n: Int): Int =
@@ -716,11 +815,7 @@ private[spj] object SpjMetaAgg {
   import org.apache.spark.unsafe.types.UTF8String
 
   def answer(layout: SpjLayout,
-      agg: Aggregation): Option[(StructType, InternalRow, String)] = {
-    if (agg.groupByExpressions().nonEmpty) return None
-    val files = layout.files.valuesIterator.flatten.toSeq
-    if (files.exists(_.rows.isEmpty)) return None
-    val totalRows = files.map(_.rows.get).sum
+      agg: Aggregation): Option[(StructType, Array[InternalRow], String)] = {
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
@@ -734,12 +829,6 @@ private[spj] object SpjMetaAgg {
       case FloatType | DoubleType => "double"
       case StringType => "string"
       case _ => ""
-    }
-
-    // count(col): non-null totals need every file's null count recorded
-    def nonNull(f: StructField): Option[Long] = {
-      val per = files.map(sf => sf.nulls.get(f.name).map(n => sf.rows.get - n))
-      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
     }
 
     // a ledger bound decoded to the column's INTERNAL value
@@ -757,83 +846,153 @@ private[spj] object SpjMetaAgg {
         case _ => throw new IllegalArgumentException(s"unmapped ($tag, $dt)")
       }).toOption
 
-    // min/max: every file holding ≥1 non-null value of the column must
-    // carry a usable bound (absence is indistinguishable from
-    // unrecorded — unprovable, decline); all-null and empty files are
-    // skipped exactly as SQL min/max skips them
-    def bound(f: StructField, wantMin: Boolean): Option[Any] = {
-      val tag = tagOf(f.dataType)
-      if (tag.isEmpty) return None
-      val legs = files.flatMap { sf =>
-        val nn = sf.nulls.get(f.name) match {
-          case Some(nulls) => sf.rows.get - nulls
-          case None => return None
+    /** The aggregate legs folded over `files` only. `keyConst` is the
+      * identity-partition special case: inside one identity partition
+      * the partition column is a CONSTANT known from the dir path (the
+      * files themselves don't store it), so legs referencing it answer
+      * from that constant instead of the (absent) ledgers. */
+    def legsOver(files: Seq[SpjFile], keyConst: Option[Any])
+        : Option[Seq[(Any, DataType, String)]] = {
+      if (files.exists(_.rows.isEmpty)) return None
+      val totalRows = files.map(_.rows.get).sum
+      def isKey(f: StructField) = keyConst.isDefined && f.name == layout.keyCol
+
+      // count(col): non-null totals need every file's null count
+      // recorded; the identity key is all-or-nothing null by dir
+      def nonNull(f: StructField): Option[Long] =
+        if (isKey(f)) Some(if (keyConst.get == null) 0L else totalRows)
+        else {
+          val per = files.map(sf => sf.nulls.get(f.name).map(n => sf.rows.get - n))
+          if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
         }
-        if (nn == 0L) None
-        else sf.stats.get(f.name) match {
-          case Some((t, lo, hi)) if t == tag => Some(if (wantMin) lo else hi)
+
+      // min/max: every file holding ≥1 non-null value of the column
+      // must carry a usable bound (absence is indistinguishable from
+      // unrecorded — unprovable, decline); all-null and empty files
+      // are skipped exactly as SQL min/max skips them
+      def bound(f: StructField, wantMin: Boolean): Option[Any] = {
+        if (isKey(f)) return Some(keyConst.get) // constant (null dir: SQL NULL)
+        val tag = tagOf(f.dataType)
+        if (tag.isEmpty) return None
+        val legs = files.flatMap { sf =>
+          val nn = sf.nulls.get(f.name) match {
+            case Some(nulls) => sf.rows.get - nulls
+            case None => return None
+          }
+          if (nn == 0L) None
+          else sf.stats.get(f.name) match {
+            case Some((t, lo, hi)) if t == tag => Some(if (wantMin) lo else hi)
+            case _ => return None
+          }
+        }
+        if (legs.isEmpty) return Some(null) // zero non-null values: SQL NULL
+        val pick = scala.util.Try(tag match {
+          case "string" => if (wantMin) legs.min else legs.max
+          case _ => if (wantMin) legs.minBy(BigDecimal(_)) else legs.maxBy(BigDecimal(_))
+        }).toOption.getOrElse(return None)
+        internal(f.dataType, tag, pick)
+      }
+
+      // sum: integral/decimal only (double addition is order-dependent);
+      // the exact ledger total must restate Spark's own result type or
+      // the readout declines (Long wrap / decimal overflow can only be
+      // reproduced by the real scan)
+      def sumOf(f: StructField): Option[(Any, DataType)] = {
+        val resultType: DataType = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => LongType
+          case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
           case _ => return None
         }
-      }
-      if (legs.isEmpty) return Some(null) // zero non-null values: SQL NULL
-      val pick = scala.util.Try(tag match {
-        case "string" => if (wantMin) legs.min else legs.max
-        case _ => if (wantMin) legs.minBy(BigDecimal(_)) else legs.maxBy(BigDecimal(_))
-      }).toOption.getOrElse(return None)
-      internal(f.dataType, tag, pick)
-    }
-
-    // sum: integral/decimal only (double addition is order-dependent);
-    // the exact ledger total must restate Spark's own result type or
-    // the readout declines (Long wrap / decimal overflow can only be
-    // reproduced by the real scan)
-    def sumOf(f: StructField): Option[(Any, DataType)] = {
-      val resultType: DataType = f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => LongType
-        case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
-        case _ => return None
-      }
-      var acc = java.math.BigDecimal.ZERO
-      var any = false
-      files.foreach { sf =>
-        sf.sums.get(f.name) match {
-          case Some(Some(v)) => acc = acc.add(v); any = true
-          case Some(None) => // recorded all-null file: contributes nothing
-          case None => if (sf.rows.get > 0L) return None // unrecorded
+        if (isKey(f)) { // constant × row count, exactly
+          if (keyConst.get == null) return Some((null, resultType))
+          val total = new java.math.BigDecimal(keyConst.get.toString)
+            .multiply(java.math.BigDecimal.valueOf(totalRows))
+          return resultType match {
+            case LongType => scala.util.Try(total.longValueExact()).toOption
+              .map(v => (v, LongType))
+            case _ => None // identity keys are never decimal-typed
+          }
+        }
+        var acc = java.math.BigDecimal.ZERO
+        var any = false
+        files.foreach { sf =>
+          sf.sums.get(f.name) match {
+            case Some(Some(v)) => acc = acc.add(v); any = true
+            case Some(None) => // recorded all-null file: contributes nothing
+            case None => if (sf.rows.get > 0L) return None // unrecorded
+          }
+        }
+        if (!any) return Some((null, resultType))
+        resultType match {
+          case LongType =>
+            scala.util.Try(acc.longValueExact()).toOption.map(v => (v, LongType))
+          case dt: DecimalType =>
+            val d = org.apache.spark.sql.types.Decimal(acc)
+            if (d.changePrecision(dt.precision, dt.scale)) Some((d, dt)) else None
+          case _ => None
         }
       }
-      if (!any) return Some((null, resultType))
-      resultType match {
-        case LongType =>
-          scala.util.Try(acc.longValueExact()).toOption.map(v => (v, LongType))
-        case dt: DecimalType =>
-          val d = org.apache.spark.sql.types.Decimal(acc)
-          if (d.changePrecision(dt.precision, dt.scale)) Some((d, dt)) else None
-        case _ => None
-      }
+
+      val legs: Seq[Option[(Any, DataType, String)]] =
+        agg.aggregateExpressions().toSeq.map {
+          case _: CountStar => Some((totalRows, LongType, "count(*)"))
+          case c: Count if !c.isDistinct =>
+            colOf(c.column).flatMap(f =>
+              nonNull(f).map(n => (n, LongType, s"count(${f.name})")))
+          case m: Min => colOf(m.column).flatMap(f =>
+            bound(f, wantMin = true).map(v => (v, f.dataType, s"min(${f.name})")))
+          case m: Max => colOf(m.column).flatMap(f =>
+            bound(f, wantMin = false).map(v => (v, f.dataType, s"max(${f.name})")))
+          case s: Sum if !s.isDistinct =>
+            colOf(s.column).flatMap(f =>
+              sumOf(f).map { case (v, dt) => (v, dt, s"sum(${f.name})") })
+          case _ => None
+        }
+      if (legs.isEmpty || legs.exists(_.isEmpty)) None else Some(legs.map(_.get))
     }
 
-    val legs: Seq[Option[(Any, DataType, String)]] =
-      agg.aggregateExpressions().toSeq.map {
-        case _: CountStar => Some((totalRows, LongType, "count(*)"))
-        case c: Count if !c.isDistinct =>
-          colOf(c.column).flatMap(f =>
-            nonNull(f).map(n => (n, LongType, s"count(${f.name})")))
-        case m: Min => colOf(m.column).flatMap(f =>
-          bound(f, wantMin = true).map(v => (v, f.dataType, s"min(${f.name})")))
-        case m: Max => colOf(m.column).flatMap(f =>
-          bound(f, wantMin = false).map(v => (v, f.dataType, s"max(${f.name})")))
-        case s: Sum if !s.isDistinct =>
-          colOf(s.column).flatMap(f =>
-            sumOf(f).map { case (v, dt) => (v, dt, s"sum(${f.name})") })
-        case _ => None
+    def aggFields(vals: Seq[(Any, DataType, String)]): Seq[StructField] =
+      vals.zipWithIndex.map { case ((_, dt, _), i) =>
+        StructField(s"agg_$i", dt, nullable = true)
       }
-    if (legs.isEmpty || legs.exists(_.isEmpty)) return None
-    val vals = legs.map(_.get)
-    val schema = StructType(vals.zipWithIndex.map { case ((_, dt, _), i) =>
-      StructField(s"agg_$i", dt, nullable = true)
-    })
-    Some((schema, InternalRow.fromSeq(vals.map(_._1)),
-      vals.map(_._3).mkString(", ")))
+
+    agg.groupByExpressions().toSeq match {
+      case Seq() => // GLOBAL: one finished row over every file
+        legsOver(layout.files.valuesIterator.flatten.toSeq, None).map { vals =>
+          (StructType(aggFields(vals)),
+            Array(InternalRow.fromSeq(vals.map(_._1))),
+            vals.map(_._3).mkString(", "))
+        }
+      // GROUPED: identity layouts grouped by THE partition column —
+      // each partition dir is one group, its key known from the path,
+      // its aggregates the same ledger fold restricted to its files.
+      // The reference's gold rollup (gold_reporting.py:70 GROUP BY
+      // city) priced as a metadata readout. Complete pushdown output
+      // contract: group columns first, then aggregate columns, one
+      // row per group.
+      case Seq(nr: NamedReference)
+          if nr.fieldNames().sameElements(Array(layout.keyCol)) &&
+            layout.identityKeys.isDefined =>
+        val keys = layout.identityKeys.get
+        val perGroup = (0 until layout.nBuckets).flatMap { i =>
+          val fs = layout.files.getOrElse(i, Seq.empty)
+          // a group exists iff it has ≥1 row (a zero-row partition
+          // contributes no group, exactly like the scan)
+          if (fs.exists(_.rows.isEmpty)) return None // unrecorded: unprovable
+          else if (fs.isEmpty || fs.map(_.rows.get).sum == 0L) None
+          else legsOver(fs, Some(keys(i)._2)) match {
+            case None => return None // one un-provable group sinks all
+            case Some(vals) =>
+              Some((InternalRow.fromSeq(keys(i)._2 +: vals.map(_._1)), vals))
+          }
+        }
+        if (perGroup.isEmpty) return None // empty table: let the scan answer
+        val schema = StructType(
+          layout.keyField.copy(nullable = true) +: aggFields(perGroup.head._2))
+        Some((schema, perGroup.map(_._1).toArray,
+          s"GROUP BY ${layout.keyCol}: " +
+            perGroup.head._2.map(_._3).mkString(", ")))
+      case _ => None // any other grouping: only the real scan is provable
+    }
   }
 }

@@ -487,6 +487,141 @@ class SpjSpec extends SparkSpec {
         j.queryExecution.executedPlan)
   }
 
+  test("identity layout: the scan restores the path-borne partition column, any projection order") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-id").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    lake.createOrReplace(orders, "spj_id", Seq("o_orderstatus"))
+    withSpj(root, "spj_t20") {
+      val t = spark.table("spj_t20.spj_id")
+      // full read: the identity column comes off the dir path, typed
+      assert(t.schema("o_orderstatus").dataType.typeName === "string")
+      assert(sortedRows(t.select("o_orderkey", "o_orderstatus", "o_totalprice"))
+        === sortedRows(orders))
+      // key mid-projection (reader appends partitions LAST — the
+      // reorder projection must restore Spark's requested order)
+      assert(sortedRows(t.select("o_totalprice", "o_orderstatus", "o_orderkey"))
+        === sortedRows(orders.select("o_totalprice", "o_orderstatus", "o_orderkey")))
+      // key pruned away entirely / key alone
+      assert(sortedRows(t.select("o_orderkey"))
+        === sortedRows(orders.select("o_orderkey")))
+      assert(sortedRows(t.select("o_orderstatus"))
+        === sortedRows(orders.select("o_orderstatus")))
+      // equality on the key statically prunes to that partition's files
+      val f = t.where(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val planned = collectPlan(f) {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[graft.sources.spj.GraftSpjScan].plannedFileCount
+      }.head
+      val total = collectPlan(t.select(col("o_orderkey"))) {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[graft.sources.spj.GraftSpjScan].plannedFileCount
+      }.head
+      assert(planned < total, s"key-equality should prune dirs ($planned vs $total)")
+      assert(sortedRows(f) ===
+        sortedRows(orders.where(col("o_orderstatus") === "F").select("o_orderkey")))
+    }
+  }
+
+  test("identity layout: grouped aggregates on the partition column answer from the ledgers") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-ga").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("price_d"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("prio_n"))
+    lake.declareSumColumns("spj_ga", Seq("o_orderkey", "price_d"))
+    lake.createOrReplace(orders.where(col("o_orderkey") % 2 === 0), "spj_ga",
+      Seq("o_orderstatus"))
+    lake.append(orders.where(col("o_orderkey") % 2 =!= 0), "spj_ga",
+      Seq("o_orderstatus"))
+    withSpj(root, "spj_t21") {
+      val q = spark.sql("""SELECT o_orderstatus, count(*) AS cnt,
+          count(prio_n) AS cnt_nn, min(o_orderkey) AS min_k,
+          max(o_orderkey) AS max_k, min(o_orderstatus) AS min_s,
+          sum(o_orderkey) AS sum_k, sum(price_d) AS sum_p
+        FROM spj_t21.spj_ga GROUP BY o_orderstatus""")
+      val want = orders.groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"),
+        count(col("prio_n")).as("cnt_nn"), min("o_orderkey").as("min_k"),
+        max("o_orderkey").as("max_k"), min("o_orderstatus").as("min_s"),
+        sum("o_orderkey").as("sum_k"), sum("price_d").as("sum_p"))
+      assert(sortedRows(q) === sortedRows(want))
+      assert(collectPlan(q) { case l: LocalTableScanExec => l }.nonEmpty,
+        "grouped metadata aggregate should plan driver-local rows:\n" +
+          q.queryExecution.executedPlan)
+      assert(collectPlan(q) { case b: BatchScanExec => b }.isEmpty,
+        "no file scan may remain under a complete grouped pushdown")
+      // grouping by a NON-partition column is unprovable → real scan
+      val ng = spark.sql(
+        "SELECT prio_n, count(*) AS c FROM spj_t21.spj_ga GROUP BY prio_n")
+      assert(collectPlan(ng) { case b: BatchScanExec => b }.nonEmpty)
+      assert(sortedRows(ng) ===
+        sortedRows(orders.groupBy("prio_n").agg(count(lit(1)).as("c"))))
+      // a filtered grouped aggregate is unprovable → real scan
+      val fg = spark.sql("""SELECT o_orderstatus, count(*) AS c
+        FROM spj_t21.spj_ga WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus""")
+      assert(collectPlan(fg) { case b: BatchScanExec => b }.nonEmpty)
+      assert(sortedRows(fg) === sortedRows(orders
+        .where(col("o_orderkey") % 3 === 0)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("c"))))
+    }
+  }
+
+  test("identity SPJ: co-partitioned tables join with no Exchange") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-ij").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    val sales = Seq(("AUTO", 1L, 10.0), ("AUTO", 2L, 5.0), ("WEB", 3L, 7.0),
+      ("RETAIL", 4L, 2.0)).toDF("seg", "sid", "amt")
+    val quota = Seq(("AUTO", 100.0), ("WEB", 50.0), ("RETAIL", 25.0))
+      .toDF("qseg", "cap")
+    lake.createOrReplace(sales, "spj_sales", Seq("seg"))
+    lake.createOrReplace(quota, "spj_quota", Seq("qseg"))
+    withSpj(root, "spj_t22") {
+      val joined = spark.table("spj_t22.spj_sales")
+        .join(spark.table("spj_t22.spj_quota"), col("seg") === col("qseg"))
+        .select(col("seg"), col("sid"), col("amt"), col("cap"))
+      assert(!Medallion.plansShuffle(joined),
+        "identity co-partitioned join must not shuffle:\n" +
+          joined.queryExecution.executedPlan)
+      assert(sortedRows(joined) === sortedRows(
+        sales.join(quota, col("seg") === col("qseg"))
+          .select(col("seg"), col("sid"), col("amt"), col("cap"))))
+    }
+  }
+
+  test("identity layout: null and escaped partition values round-trip") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-nl").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    val df = Seq(
+      (Option.empty[String], 1L), (Some("plain"), 2L), (Some("plain"), 3L),
+      (Some("has space"), 4L), (Some("a=b:c"), 5L)).toDF("k", "v")
+    lake.declareSumColumns("spj_nl", Seq("v"))
+    lake.createOrReplace(df, "spj_nl", Seq("k"))
+    withSpj(root, "spj_t23") {
+      val t = spark.table("spj_t23.spj_nl")
+      assert(sortedRows(t) === sortedRows(df))
+      // the null partition reads back as a NULL key, and escaped dir
+      // names decode to the original values
+      assert(sortedRows(t.where(col("k").isNull).select("v")) === Seq("1"))
+      assert(sortedRows(t.where(col("k") === "has space").select("v")) === Seq("4"))
+      assert(sortedRows(t.where(col("k") === "a=b:c").select("v")) === Seq("5"))
+      // the grouped readout carries the null group and the escaped keys
+      val g = spark.sql(
+        "SELECT k, count(*) AS c, sum(v) AS s FROM spj_t23.spj_nl GROUP BY k")
+      assert(collectPlan(g) { case l: LocalTableScanExec => l }.nonEmpty,
+        "grouped pushdown should cover null/escaped partitions too")
+      assert(sortedRows(g) === sortedRows(
+        df.groupBy("k").agg(count(lit(1)).as("c"), sum("v").as("s"))))
+    }
+  }
+
   test("strictness: tombstoned or mixed-layout tables refuse the SPJ read loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-s").toString
     val lake = new Lakehouse(spark, root)
