@@ -41,6 +41,7 @@ object SparkEntry {
     "q_spj_join" -> (Medallion.qSpjJoin _),
     "q_spj_agg" -> (Medallion.qSpjAgg _),
     "q_spj_group_agg" -> (Medallion.qSpjGroupAgg _),
+    "q_spj_sorted_join" -> (Medallion.qSpjSortedJoin _),
     "q_spj_runtime_filter" -> (Medallion.qSpjRuntimeFilter _),
     "q_spj_limit" -> (Medallion.qSpjLimit _),
     "q_spj_topn" -> (Medallion.qSpjTopn _),
@@ -394,6 +395,16 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s_price,
         |  CAST(1.0 AS DOUBLE) AS meta_only
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // SPJ + reported ordering: the oracle recomputes the join by
+    // scanning; presorted = 1.0 pins that the executed merge join had
+    // ZERO Exchange and ZERO Sort nodes (both proven from write-time
+    // sort markers + disjoint per-file key ranges)
+    "q_spj_sorted_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(1.0 AS DOUBLE) AS presorted
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // DSv2 runtime filtering: the oracle recomputes the dim-filtered
     // join by scanning; pruned = 1.0 pins that a DPP filter reached
     // the SPJ scan and shrank its planned file list

@@ -769,6 +769,73 @@ object Medallion {
       .orderBy("o_orderstatus")
   }
 
+  /** `q_spj_sorted_join` — SPJ + REPORTED ORDERING: both join sides
+    * land `bucket(8, key)`-partitioned with a DECLARED write sort
+    * order on the key and range write distribution, so every data dir
+    * carries the `_sortorder` marker and strictly disjoint per-file
+    * key ranges — the DSv2 scans report per-partition ordering
+    * ([[graft.sources.spj.GraftSpjScan.outputOrdering]]) on top of
+    * `KeyGroupedPartitioning`, and the sort-merge join plans with NO
+    * Exchange AND NO Sort on either side. The readout pins
+    * `presorted = 1.0` (plan-node walk: zero ShuffleExchangeExec and
+    * zero SortExec under the executed join). At 100 TB this is the
+    * full Iceberg bucketed-sorted-table win: the fact-fact merge join
+    * costs a streaming zip of pre-sorted co-located partitions —
+    * no shuffle bytes, no sort spill, paid once at write time. */
+  def qSpjSortedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.SortExec
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjsj").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    lake.declareSortOrder("spjq_so", Seq("o_custkey"))
+    lake.declareSortOrder("spjq_sc", Seq("c_custkey"))
+    val prevDist = spark.conf.getOption("spark.graft.write-distribution")
+    spark.conf.set("spark.graft.write-distribution", "range")
+    try {
+      lake.createOrReplace(orders, "spjq_so", Seq("bucket(8,o_custkey)"))
+      lake.createOrReplace(cust, "spjq_sc", Seq("bucket(8,c_custkey)"))
+    } finally prevDist match {
+      case Some(v) => spark.conf.set("spark.graft.write-distribution", v)
+      case None => spark.conf.unset("spark.graft.write-distribution")
+    }
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(s"$cat.spjq_so")
+        .join(spark.table(s"$cat.spjq_sc"), col("o_custkey") === col("c_custkey"))
+      val presorted = if (!plansShuffle(joined) &&
+        collectExec(joined) { case s: SortExec => s }.isEmpty) 1.0 else 0.0
+      // freeze inside the conf scope (≤ |mktsegments| rows): the
+      // Exchange-and-Sort-free plan must be the one that EXECUTES
+      val rows = joined
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("c_mktsegment")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), presorted))
+      import spark.implicits._
+      rows.toSeq.toDF("c_mktsegment", "n", "total", "presorted")
+        .orderBy("c_mktsegment")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      prevBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
   /** `q_spj_runtime_filter` — DSv2 RUNTIME FILTERING (dynamic
     * partition pruning) on the SPJ scan
     * ([[graft.sources.spj.GraftSpjScan.filter]]): the fact table is

@@ -769,7 +769,21 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     }
     writeStats(table, dir, physDf.schema)
     writeSums(table, dir, physDf.schema)
+    // per-dir SORT MARKER: records that every file in this dir was
+    // written row-sorted by this chain (sortWithinPartitions above).
+    // Downstream provers (the DSv2 ordering claim) require the marker
+    // on EVERY dir — dirs written before the order was declared simply
+    // lack it and conservatively claim nothing.
+    if (sortCols.nonEmpty)
+      writeFile(new Path(new Path(tableDir(table), dir), "_sortorder.json"),
+        sortCols.mkString(","))
   }
+
+  /** The sort chain dir `dataDir`'s files were written under, [] when
+    * none was declared at write time ([[writeDataDir]]'s marker). */
+  private[graft] def dirSortChain(table: String, dataDir: String): Seq[String] =
+    readLines(new Path(new Path(tableDir(table), dataDir), "_sortorder.json"))
+      .headOption.map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
 
   /** Create-or-replace: write a fresh data dir, commit a snapshot
     * containing ONLY it. Old snapshots stay readable (time travel).
@@ -3279,16 +3293,41 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * (reference: query_iceberg.ipynb): one row per lakehouse table
     * with its current snapshot, snapshot count, and branches. */
   def tablesDf(): DataFrame = {
-    val rows = fs.listStatus(new Path(root)).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName).sorted
-      .filter(t => fs.exists(manifest(t)))
-      .map { t =>
-        (t, currentSnapshot(t).getOrElse(-1L), snapshots(t).size.toLong,
-          branches(t).mkString(","))
-      }
+    val rows = tableNames().map { t =>
+      (t, currentSnapshot(t).getOrElse(-1L), snapshots(t).size.toLong,
+        branches(t).mkString(","))
+    }
     spark.createDataFrame(rows)
       .toDF("table_name", "current_snapshot", "n_snapshots", "branches")
   }
+
+  /** Every table directory under this lake root (manifest-bearing),
+    * sorted — the listing behind `SHOW TABLES`. */
+  def tableNames(): Seq[String] =
+    fs.listStatus(new Path(root)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+      .filter(t => fs.exists(manifest(t)))
+
+  /** The single-level bucket/identity spec the SPJ catalog could serve
+    * `table` under, or None — the cheap servability probe behind the
+    * catalog's `SHOW TABLES` (manifest + one dir-level listing per
+    * data dir; never walks files). Mirrors [[spjLayout]]'s strictness:
+    * tombstones, committed schema evolution, mixed or multi-level
+    * layouts, and non-bucket transforms all disqualify. */
+  private[graft] def spjServableSpec(table: String, branch: String = "main"): Option[String] =
+    for {
+      snap <- currentSnapshot(table, branch)
+      entries <- snapshots(table).find(_._1 == snap).map(_._2)
+      if snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty
+      if schemaLines(table).isEmpty
+      phys <- entries.map(_.takeWhile(_ != '/')).distinct
+        .map(d => physDirLayout(table, d)).distinct match {
+          case Seq(Seq(p)) => Some(p)
+          case _ => None
+        }
+      spec = Transforms.specOfPhys(phys)
+      if spec.startsWith("bucket(") || !spec.contains("(")
+    } yield spec
 
   /** MERGE-shaped SQL DML: upsert `sourceView` (a registered view)
     * into a lakehouse table through a pure-SQL merge plan —
@@ -4472,6 +4511,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         }
       val dirRows = readRowCounts(table, dataDir)
       val dirSums = readSumsLedger(table, dataDir)
+      val dirSort = dirSortChain(table, dataDir)
       val dirMarker = "/" + dataDir + "/"
       roots.flatMap { e =>
         val p = new Path(tableDir(table), e)
@@ -4485,7 +4525,8 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         (dirValue, SpjFile(full, st.getLen, dirStats.getOrElse(rel, Map.empty),
           rows = dirRows.get(rel).map(_._1),
           nulls = dirRows.get(rel).map(_._2).getOrElse(Map.empty),
-          sums = dirSums.getOrElse(rel, Map.empty)))
+          sums = dirSums.getOrElse(rel, Map.empty),
+          sortedBy = dirSort))
       }
     }
     n0 match {
@@ -4608,7 +4649,8 @@ private[graft] case class SpjFile(path: String, length: Long,
     stats: Map[String, (String, String, String)],
     rows: Option[Long] = None,
     nulls: Map[String, Long] = Map.empty,
-    sums: Map[String, Option[java.math.BigDecimal]] = Map.empty)
+    sums: Map[String, Option[java.math.BigDecimal]] = Map.empty,
+    sortedBy: Seq[String] = Seq.empty)
 
 /** A table's storage-partitioned layout ([[Lakehouse.spjLayout]]):
   * logical schema, partition column, partition count, files per

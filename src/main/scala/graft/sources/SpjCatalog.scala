@@ -66,7 +66,22 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
   }
   override def name(): String = catalogName
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+  /** `SHOW TABLES IN <cat>` lists every lake table whose layout this
+    * catalog can SERVE (single-level bucket or identity spec, no
+    * tombstones/evolution — [[Lakehouse.spjServableSpec]], a
+    * manifest-only probe) — advertising a table the scan would refuse
+    * at load would make SHOW/USE workflows dead-end. A branch
+    * namespace lists the tables servable AT that branch. */
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val lake = new Lakehouse(SparkSession.active, root)
+    val branch = namespace match {
+      case Array(b) => b
+      case _ => "main"
+    }
+    lake.tableNames()
+      .filter(t => lake.spjServableSpec(t, branch).isDefined)
+      .map(t => Identifier.of(namespace, t)).toArray
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val lake = new Lakehouse(SparkSession.active, root)
@@ -105,15 +120,35 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
 }
 
 /** One lakehouse snapshot presented as a DSv2 table partitioned by
-  * `bucket(n, keyCol)`. Reads serve the snapshot pinned at load;
-  * writes route through the Lakehouse writer UNDER THE SAME LAYOUT
-  * (the V1Write escape hatch Spark provides for exactly this), so
-  * `INSERT INTO cat.t` / `df.writeTo(cat.t).append()` land as
-  * ordinary hidden-bucket commits — optimistic concurrency, stats,
-  * time travel and SPJ planning all keep working, and the next read
-  * re-resolves the table at its new snapshot. */
+  * `bucket(n, keyCol)` or `identity(keyCol)`. Reads serve the snapshot
+  * pinned at load; writes route through the Lakehouse writer UNDER THE
+  * SAME LAYOUT (the V1Write escape hatch Spark provides for exactly
+  * this), so `INSERT INTO cat.t` / `df.writeTo(cat.t).append()` land
+  * as ordinary hidden-partition commits — optimistic concurrency,
+  * stats, time travel and SPJ planning all keep working, and the next
+  * read re-resolves the table at its new snapshot. `DELETE FROM cat.t
+  * WHERE …` rides [[SupportsDelete]] into the writer's COPY-ON-WRITE
+  * [[Lakehouse.deleteWhere]] (partition-leaf-scoped rewrite, clean
+  * leaves carried by reference, history time-travels) — CoW rather
+  * than MoR deliberately: the SPJ scan refuses tombstoned tables, so
+  * a DSv2-surfaced delete must never wedge the table's own reads.
+  * Conditions outside the translatable filter algebra refuse loudly
+  * (`canDeleteWhere` false) instead of deleting the wrong rows. */
 private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: String)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  import org.apache.spark.sql.sources.Filter
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => SpjDml.toColumn(f).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.toSeq.map(f => SpjDml.toColumn(f).getOrElse(
+      throw new UnsupportedOperationException(s"untranslatable DELETE condition: $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    new Lakehouse(SparkSession.active, root)
+      .deleteWhere(cond, tableName, Seq(layout.spec))
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = layout.schema
@@ -301,11 +336,77 @@ private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
     topN: Option[String] = None,
     identityKeys: Option[IndexedSeq[(String, Any)]] = None)
   extends Scan with Batch with SupportsReportPartitioning
-  with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+  with SupportsReportStatistics with SupportsRuntimeV2Filtering
+  with SupportsReportOrdering {
+
+  /** PER-PARTITION ORDERING claim ([[SupportsReportOrdering]]) — what
+    * deletes the SortExec under sort-merge plans the way
+    * KeyGroupedPartitioning deletes the Exchange: rows come out of
+    * each scan partition already sorted by the table's declared write
+    * sort chain. Claimed ONLY when provable from write-time metadata:
+    *  - EVERY file carries the same `_sortorder` marker (its rows were
+    *    written `sortWithinPartitions(chain)` — dirs from before the
+    *    declaration lack the marker and kill the claim);
+    *  - the chain's columns survive column pruning (the ordering must
+    *    resolve against the scan output);
+    *  - the LEAD column has recorded zero-null ledgers and stat bounds
+    *    on every file, all under one comparable tag;
+    *  - within each partition the files' [lo, hi] lead ranges are
+    *    STRICTLY disjoint once sorted — cross-file lead ties could
+    *    interleave on the tie-breaker columns, so a shared boundary
+    *    value conservatively claims nothing.
+    * Strict lead disjointness makes the FULL chain claimable: across
+    * files lead order decides, within a file the marker guarantees the
+    * chain. The claim re-orders each partition's file list (emission
+    * must match the promise); pruning hooks only ever REMOVE files, so
+    * runtime filters and limit/TopN caps preserve it. At 100 TB this
+    * turns a co-partitioned fact-fact merge join over range-distributed
+    * sorted layouts into a zero-Exchange, zero-Sort plan. */
+  private val orderClaim: Option[(Seq[String], Map[Int, Seq[SpjFile]])] = {
+    val all = files0.valuesIterator.flatten.toSeq
+    val chain = all.headOption.map(_.sortedBy).getOrElse(Seq.empty)
+    if (chain.isEmpty || !all.forall(_.sortedBy == chain) ||
+      !chain.forall(required.fieldNames.contains)) None
+    else {
+      val lead = chain.head
+      val tags = all.flatMap(_.stats.get(lead).map(_._1)).distinct
+      if (tags.length != 1 ||
+        all.exists(f => f.stats.get(lead).isEmpty || !f.nulls.get(lead).contains(0L)))
+        None
+      else scala.util.Try {
+        def key(s: String): Any = if (tags.head == "string") s else BigDecimal(s)
+        def lt(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: String, y: String) => x < y
+          case (x: BigDecimal, y: BigDecimal) => x < y
+        }
+        Some(chain -> files0.map { case (b, fs) =>
+          val ranged = fs.map { f =>
+            val (_, lo, hi) = f.stats(lead)
+            (key(lo), key(hi), f)
+          }.sortWith((x, y) => lt(x._1, y._1))
+          ranged.sliding(2).foreach {
+            case Seq(a, c) => require(lt(a._2, c._1), "overlapping lead ranges")
+            case _ =>
+          }
+          b -> ranged.map(_._3)
+        })
+      }.getOrElse(None)
+    }
+  }
+
+  override def outputOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] =
+    orderClaim.fold(Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]) {
+      case (chain, _) => chain.toArray.map(c =>
+        Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    }
 
   /** Mutated ONLY by [[filter]] (Spark's runtime-filtering hook, called
-    * on the driver before partition planning at execution). */
-  @volatile private var files: Map[Int, Seq[SpjFile]] = files0
+    * on the driver before partition planning at execution). Seeded with
+    * the ordering claim's re-sorted file lists when one holds. */
+  @volatile private var files: Map[Int, Seq[SpjFile]] =
+    orderClaim.fold(files0)(_._2)
 
   private[graft] def plannedFileCount: Int = files.valuesIterator.map(_.size).sum
 
@@ -547,6 +648,38 @@ private[spj] case class GraftBucketBound(keyType: DataType)
   * dropping one that might is the silent-wrong-results bug class, so
   * every unknown (missing stat, unmapped type, unparseable bound,
   * unsupported filter shape) answers "may match". */
+/** V1 source Filter → Column translation for the DSv2 DML surface —
+  * total over the filter algebra Spark can hand `SupportsDelete`
+  * (literals arrive as EXTERNAL values, which `lit` round-trips);
+  * None for anything else, which makes `canDeleteWhere` refuse the
+  * whole statement rather than delete the wrong rows. */
+private[spj] object SpjDml {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+    case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+    case StringContains(c, v) => Some(col(c).contains(v))
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(x) => toColumn(x).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
+
 private[spj] object SpjPruning {
   import org.apache.spark.sql.sources._
 

@@ -591,6 +591,10 @@ class SpjSpec extends SparkSpec {
       assert(sortedRows(joined) === sortedRows(
         sales.join(quota, col("seg") === col("qseg"))
           .select(col("seg"), col("sid"), col("amt"), col("cap"))))
+      // the registry surfaces through SHOW TABLES (servable specs only)
+      val shown = spark.sql("SHOW TABLES IN spj_t22")
+        .collect().map(_.getString(1)).toSet
+      assert(Set("spj_sales", "spj_quota").subsetOf(shown), shown.toString)
     }
   }
 
@@ -619,6 +623,103 @@ class SpjSpec extends SparkSpec {
         "grouped pushdown should cover null/escaped partitions too")
       assert(sortedRows(g) === sortedRows(
         df.groupBy("k").agg(count(lit(1)).as("c"), sum("v").as("s"))))
+    }
+  }
+
+  test("declared-sort layouts report per-partition ordering: merge join plans no Sort, no Exchange") {
+    import org.apache.spark.sql.execution.SortExec
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-so").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    val a = (1L to 400L).map(k => (k, s"a$k")).toDF("k", "va")
+    val b = (1L to 400L).filter(_ % 2 == 0).map(k => (k, k * 2.0)).toDF("k2", "vb")
+    lake.declareSortOrder("spj_soa", Seq("k"))
+    lake.declareSortOrder("spj_sob", Seq("k2"))
+    val prevDist = spark.conf.getOption("spark.graft.write-distribution")
+    spark.conf.set("spark.graft.write-distribution", "range")
+    try {
+      lake.createOrReplace(a, "spj_soa", Seq("bucket(4,k)"))
+      lake.createOrReplace(b, "spj_sob", Seq("bucket(4,k2)"))
+    } finally prevDist match {
+      case Some(v) => spark.conf.set("spark.graft.write-distribution", v)
+      case None => spark.conf.unset("spark.graft.write-distribution")
+    }
+    withSpj(root, "spj_t24") {
+      val j = spark.table("spj_t24.spj_soa")
+        .join(spark.table("spj_t24.spj_sob"), col("k") === col("k2"))
+        .select(col("k"), col("va"), col("vb"))
+      assert(!Medallion.plansShuffle(j), "SPJ side: no Exchange")
+      val sorts = collectPlan(j) { case s: SortExec => s }
+      assert(sorts.isEmpty,
+        "ledger-proven sorted layouts must satisfy the merge join's ordering:\n" +
+          j.queryExecution.executedPlan)
+      assert(sortedRows(j) === sortedRows(
+        a.join(b, col("k") === col("k2")).select(col("k"), col("va"), col("vb"))))
+
+      // an OVERLAPPING append poisons the disjointness proof: key 200
+      // already lives inside an existing file's [lo, hi], so the new
+      // single-point file ties the boundary — the claim must die
+      // (SortExec comes back), results stay exact
+      lake.append(Seq((200L, 3.0), (202L, 5.0)).toDF("k2", "vb"), "spj_sob",
+        Seq("bucket(4,k2)"))
+      val j2 = spark.table("spj_t24.spj_sob")
+        .join(spark.table("spj_t24.spj_soa"), col("k") === col("k2"))
+        .select(col("k"), col("va"), col("vb"))
+      assert(collectPlan(j2) { case s: SortExec => s }.nonEmpty,
+        "overlapping file ranges cannot claim ordering")
+      val b2 = b.unionByName(Seq((200L, 3.0), (202L, 5.0)).toDF("k2", "vb"))
+      assert(sortedRows(j2) === sortedRows(
+        b2.join(a, col("k") === col("k2")).select(col("k"), col("va"), col("vb"))))
+
+      // a sorted compaction under range distribution restores the
+      // proof: one rewrite, the claim (and the Sort-free plan) revives
+      spark.conf.set("spark.graft.write-distribution", "range")
+      try lake.compact("spj_sob", Seq("bucket(4,k2)"))
+      finally prevDist match {
+        case Some(v) => spark.conf.set("spark.graft.write-distribution", v)
+        case None => spark.conf.unset("spark.graft.write-distribution")
+      }
+      val j3 = spark.table("spj_t24.spj_sob")
+        .join(spark.table("spj_t24.spj_soa"), col("k") === col("k2"))
+        .select(col("k"), col("va"), col("vb"))
+      assert(collectPlan(j3) { case s: SortExec => s }.isEmpty,
+        "sorted compaction should revive the ordering claim:\n" +
+          j3.queryExecution.executedPlan)
+      assert(!Medallion.plansShuffle(j3))
+      assert(sortedRows(j3) === sortedRows(
+        b2.join(a, col("k") === col("k2")).select(col("k"), col("va"), col("vb"))))
+    }
+  }
+
+  test("SQL DELETE through the SPJ catalog: CoW rewrite keeps the layout, history, SPJ validity") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-del").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    val rows = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    val dim = (1L to 100L).map(k => (k, k * 1.5)).toDF("k2", "w")
+    lake.createOrReplace(rows, "spj_del", Seq("bucket(8,k)"))
+    lake.createOrReplace(dim, "spj_deld", Seq("bucket(8,k2)"))
+    val before = lake.currentSnapshot("spj_del").get
+    withSpj(root, "spj_t25") {
+      spark.sql("DELETE FROM spj_t25.spj_del WHERE k <= 40 OR v = 'v99'")
+      assert(sortedRows(spark.table("spj_t25.spj_del")) ===
+        sortedRows(rows.where(!(col("k") <= 40 || col("v") === "v99"))))
+      // the CoW rewrite kept the uniform bucket layout (no tombstones,
+      // or the SPJ read itself would refuse) and the join stays
+      // Exchange-free over the shrunk table
+      assert(lake.spjLayout("spj_del").nBuckets === 8)
+      val j = spark.table("spj_t25.spj_del")
+        .join(spark.table("spj_t25.spj_deld"), col("k") === col("k2"))
+      assert(!Medallion.plansShuffle(j))
+      assert(j.count() === 59)
+      // history time-travels to the pre-delete snapshot
+      assert(lake.readSnapshot("spj_del", before).count() === 100)
+      // an untranslatable condition refuses loudly, table intact
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM spj_t25.spj_del WHERE k % 2 = 0")
+      }
+      assert(e.getMessage != null)
+      assert(spark.table("spj_t25.spj_del").count() === 59)
     }
   }
 
