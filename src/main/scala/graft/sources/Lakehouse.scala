@@ -4460,9 +4460,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     *    projection in the regular path; the SPJ scan reads raw files,
     *    so evolved tables must be compacted under the current schema).
     */
-  private[graft] def spjLayout(table: String, branch: String = "main"): SpjLayout = {
-    val snap = currentSnapshot(table, branch).getOrElse(
-      throw new IllegalArgumentException(s"no such table/branch: $table@$branch"))
+  private[graft] def spjLayout(table: String, branch: String = "main",
+      atSnapshot: Option[Long] = None): SpjLayout = {
+    val snap = atSnapshot.getOrElse(currentSnapshot(table, branch).getOrElse(
+      throw new IllegalArgumentException(s"no such table/branch: $table@$branch")))
     val entries = snapshots(table).find(_._1 == snap)
       .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $snap"))._2
     require(snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty,

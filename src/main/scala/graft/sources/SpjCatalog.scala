@@ -83,7 +83,36 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
       .map(t => Identifier.of(namespace, t)).toArray
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** SQL time travel, the DSv2 way: `SELECT … FROM cat.t VERSION AS
+    * OF <snapshot-id>` routes here — the layout (files, stats, sums,
+    * sort markers) is resolved AT that snapshot, so every read-path
+    * feature (SPJ planning, pushed aggregates, ordering, pruning)
+    * works over history exactly as over the head. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val snap = scala.util.Try(version.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF on ${ident.name()} takes a snapshot id, got: $version"))
+    loadAt(ident, Some(snap))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands MICROSECONDS since epoch; the
+    * latest snapshot committed at-or-before it serves (the Iceberg
+    * as-of-time rule). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val lake = new Lakehouse(SparkSession.active, root)
+    val millis = timestamp / 1000L
+    val snap = lake.snapshotTimes(ident.name())
+      .filter(_._2 <= millis)
+      .sortBy(t => (t._2, t._1)).lastOption.map(_._1).getOrElse(
+        throw new IllegalArgumentException(
+          s"${ident.name()} has no snapshot committed at or before " +
+            java.time.Instant.ofEpochMilli(millis)))
+    loadAt(ident, Some(snap))
+  }
+
+  private def loadAt(ident: Identifier, atSnapshot: Option[Long]): Table = {
     val lake = new Lakehouse(SparkSession.active, root)
     // `graft_spj.<table>` reads main; `graft_spj.<branch>.<table>`
     // reads a branch (namespace = branch name, Iceberg-style)
@@ -93,7 +122,7 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
       case _ => throw new NoSuchTableException(ident)
     }
     val layout =
-      try lake.spjLayout(ident.name(), branch)
+      try lake.spjLayout(ident.name(), branch, atSnapshot)
       catch {
         case e: IllegalArgumentException if e.getMessage.startsWith("no such table") =>
           throw new NoSuchTableException(ident)

@@ -723,6 +723,52 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("time travel through the SPJ catalog: VERSION AS OF / TIMESTAMP AS OF serve pinned layouts") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-tt").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.declareSumColumns("spj_tt", Seq("v"))
+    lake.createOrReplace((1L to 10L).map(k => (k, k * 10L)).toDF("k", "v"),
+      "spj_tt", Seq("bucket(4,k)"))
+    val snap1 = lake.currentSnapshot("spj_tt").get
+    Thread.sleep(20)
+    lake.append((11L to 20L).map(k => (k, k * 10L)).toDF("k", "v"),
+      "spj_tt", Seq("bucket(4,k)"))
+    val snap2 = lake.currentSnapshot("spj_tt").get
+    val t2 = lake.snapshotTimes("spj_tt").toMap.apply(snap2)
+    Thread.sleep(20)
+    lake.deleteWhere(col("k") <= 5, "spj_tt", Seq("bucket(4,k)"))
+    withSpj(root, "spj_t26") {
+      // the head serves post-delete; pinned versions serve history
+      assert(spark.table("spj_t26.spj_tt").count() === 15)
+      val q1 = spark.sql(
+        s"SELECT count(*) AS n, sum(v) AS s FROM spj_t26.spj_tt VERSION AS OF $snap1")
+      assert(q1.collect().map(r => (r.getLong(0), r.getLong(1))).head ===
+        ((10L, (1L to 10L).map(_ * 10L).sum)))
+      // the metadata-aggregate pushdown works over HISTORY too: the
+      // pinned layout carries that snapshot's ledgers
+      assert(collectPlan(q1) { case l: LocalTableScanExec => l }.nonEmpty,
+        "pinned-version aggregates should still answer from the ledgers")
+      assert(spark.sql(
+        s"SELECT * FROM spj_t26.spj_tt VERSION AS OF $snap2").count() === 20)
+      // TIMESTAMP AS OF: at-or-before resolution (epoch-cast literal is
+      // session-timezone-proof); snap2's commit instant serves snap2
+      val q3 = spark.sql(s"SELECT count(*) AS n FROM spj_t26.spj_tt " +
+        s"TIMESTAMP AS OF CAST(${t2 / 1000.0} AS TIMESTAMP)")
+      assert(q3.collect().head.getLong(0) === 20L)
+      // before the first commit: loud refusal
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM spj_t26.spj_tt TIMESTAMP AS OF CAST(0 AS TIMESTAMP)")
+          .collect()
+      }
+      assert(e.getMessage.contains("no snapshot committed at or before") ||
+        (e.getCause != null &&
+          e.getCause.getMessage.contains("no snapshot committed at or before")),
+        s"unexpected error: ${e.getMessage}")
+    }
+  }
+
   test("strictness: tombstoned or mixed-layout tables refuse the SPJ read loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-s").toString
     val lake = new Lakehouse(spark, root)
