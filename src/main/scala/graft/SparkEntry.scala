@@ -42,6 +42,7 @@ object SparkEntry {
     "q_spj_agg" -> (Medallion.qSpjAgg _),
     "q_spj_group_agg" -> (Medallion.qSpjGroupAgg _),
     "q_spj_sorted_join" -> (Medallion.qSpjSortedJoin _),
+    "q_spj_two_level" -> (Medallion.qSpjTwoLevel _),
     "q_spj_runtime_filter" -> (Medallion.qSpjRuntimeFilter _),
     "q_spj_limit" -> (Medallion.qSpjLimit _),
     "q_spj_topn" -> (Medallion.qSpjTopn _),
@@ -394,6 +395,16 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS s_key,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s_price,
         |  CAST(1.0 AS DOUBLE) AS meta_only
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // identity × bucket layouts: the oracle recomputes the rollup by
+    // scanning; colocated = 1.0 pins the Exchange-free two-dimension
+    // join, meta_only = 1.0 pins the ledger-answered grouped readout
+    "q_spj_two_level" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(o_orderkey) AS BIGINT) AS k_lo,
+        |  CAST(max(o_orderkey) AS BIGINT) AS k_hi,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s_price,
+        |  CAST(1.0 AS DOUBLE) AS meta_only, CAST(1.0 AS DOUBLE) AS colocated
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // SPJ + reported ordering: the oracle recomputes the join by
     // scanning; presorted = 1.0 pins that the executed merge join had

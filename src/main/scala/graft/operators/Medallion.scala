@@ -769,6 +769,77 @@ object Medallion {
       .orderBy("o_orderstatus")
   }
 
+  /** `q_spj_two_level` — IDENTITY × BUCKET layouts (the Iceberg fact
+    * canon, `PARTITIONED BY (status, bucket(8, custkey))`): the DSv2
+    * scan reports a TWO-transform `KeyGroupedPartitioning`
+    * (identity(status), bucket(8,custkey)) whose partition tuples
+    * align position-for-position across tables sharing the spec, so a
+    * join on BOTH dimensions plans NO Exchange; and the grouped
+    * aggregate pushdown answers `GROUP BY status` by unioning each
+    * status's bucket cells — still a driver-local ledger readout. The
+    * readout pins `colocated = 1.0` (plan-node walk on the two-dim
+    * join) and `meta_only = 1.0` (LocalTableScanExec, no
+    * BatchScanExec) alongside the rollup. At 100 TB this is the
+    * standard time/status-partitioned bucketed fact: per-dimension
+    * file pruning, shuffle-free fact-fact joins, and metadata-priced
+    * gold rollups off ONE layout paid at write time. */
+  def qSpjTwoLevel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spj2l").toString
+    val lake = new Lakehouse(spark, root)
+    lake.declareSumColumns("spjq_2l", Seq("o_price_d"))
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("o_price_d"))
+    lake.createOrReplace(orders, "spjq_2l",
+      Seq("o_orderstatus", "bucket(8,o_custkey)"))
+    lake.createOrReplace(orders.select(
+      col("o_orderkey").as("p_orderkey"), col("o_custkey").as("p_custkey"),
+      col("o_orderstatus").as("p_status")),
+      "spjq_2lp", Seq("p_status", "bucket(8,p_custkey)"))
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val colocated = try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table(s"$cat.spjq_2l")
+        .join(spark.table(s"$cat.spjq_2lp"),
+          col("o_custkey") === col("p_custkey") &&
+            col("o_orderstatus") === col("p_status"))
+      // the two-dim join must EXECUTE Exchange-free inside the scope
+      val flag = if (!plansShuffle(j)) 1.0 else 0.0
+      require(j.count() > 0)
+      flag
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      prevBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+    val g = spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi,
+         |  sum(o_price_d) AS s_price
+         |FROM $cat.spjq_2l GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    val rows = g.collect()
+    val metaOnly =
+      if (collectExec(g) { case l: LocalTableScanExec => l }.nonEmpty &&
+        collectExec(g) { case b: BatchScanExec => b }.isEmpty) 1.0 else 0.0
+    import spark.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDecimal(4).doubleValue(), metaOnly, colocated)).toSeq
+      .toDF("o_orderstatus", "n_orders", "k_lo", "k_hi", "s_price",
+        "meta_only", "colocated")
+      .orderBy("o_orderstatus")
+  }
+
   /** `q_spj_sorted_join` — SPJ + REPORTED ORDERING: both join sides
     * land `bucket(8, key)`-partitioned with a DECLARED write sort
     * order on the key and range write distribution, so every data dir

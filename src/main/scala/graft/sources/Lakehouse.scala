@@ -3308,26 +3308,30 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       .filter(_.isDirectory).map(_.getPath.getName).sorted
       .filter(t => fs.exists(manifest(t)))
 
-  /** The single-level bucket/identity spec the SPJ catalog could serve
-    * `table` under, or None — the cheap servability probe behind the
-    * catalog's `SHOW TABLES` (manifest + one dir-level listing per
-    * data dir; never walks files). Mirrors [[spjLayout]]'s strictness:
-    * tombstones, committed schema evolution, mixed or multi-level
-    * layouts, and non-bucket transforms all disqualify. */
-  private[graft] def spjServableSpec(table: String, branch: String = "main"): Option[String] =
+  /** The bucket / identity / identity+bucket spec the SPJ catalog
+    * could serve `table` under, or None — the cheap servability probe
+    * behind the catalog's `SHOW TABLES` (manifest + one dir-level
+    * listing per data dir; never walks files). Mirrors [[spjLayout]]'s
+    * strictness: tombstones, committed schema evolution, mixed
+    * layouts, and other transform shapes all disqualify. */
+  private[graft] def spjServableSpec(table: String, branch: String = "main")
+      : Option[Seq[String]] =
     for {
       snap <- currentSnapshot(table, branch)
       entries <- snapshots(table).find(_._1 == snap).map(_._2)
       if snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty
       if schemaLines(table).isEmpty
-      phys <- entries.map(_.takeWhile(_ != '/')).distinct
+      specs <- entries.map(_.takeWhile(_ != '/')).distinct
         .map(d => physDirLayout(table, d)).distinct match {
-          case Seq(Seq(p)) => Some(p)
+          case Seq(levels) => Some(levels.map(Transforms.specOfPhys))
           case _ => None
         }
-      spec = Transforms.specOfPhys(phys)
-      if spec.startsWith("bucket(") || !spec.contains("(")
-    } yield spec
+      if (specs match {
+        case Seq(s) => s.startsWith("bucket(") || !s.contains("(")
+        case Seq(p, s) => !p.contains("(") && s.startsWith("bucket(")
+        case _ => false
+      })
+    } yield specs
 
   /** MERGE-shaped SQL DML: upsert `sourceView` (a registered view)
     * into a lakehouse table through a pure-SQL merge plan —
@@ -4471,29 +4475,41 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     require(schemaLines(table).isEmpty,
       s"$table has committed schema evolution — compact() under the current schema before a storage-partitioned read")
     val dataDirs = entries.map(_.takeWhile(_ != '/')).distinct
-    val phys = dataDirs.map(d => physDirLayout(table, d)).distinct match {
-      case Seq(Seq(p)) => p
+    val physLevels = dataDirs.map(d => physDirLayout(table, d)).distinct match {
+      case Seq(levels) if levels.nonEmpty && levels.length <= 2 => levels
       case other => throw new IllegalArgumentException(
-        s"$table is not uniformly single-level-partitioned (layouts: ${
+        s"$table is not uniformly 1- or 2-level-partitioned (layouts: ${
           other.map(_.mkString("/")).mkString("; ")}) — " +
-          "storage-partitioned reads need one bucket(n,k) or identity spec on every data dir")
+          "storage-partitioned reads need the same bucket(n,k) / identity / " +
+          "identity+bucket spec on every data dir")
     }
     val BucketSpecRe = """bucket\((\d+),(.+)\)""".r
-    val (n0, keyCol) = Transforms.specOfPhys(phys) match {
-      case BucketSpecRe(nn, c) => (Some(nn.toInt), c)
-      // a plain column name is an IDENTITY layout: every dir holds
-      // exactly one key value, read back off the path segment
-      case c if !c.contains("(") => (None, c)
-      case other => throw new IllegalArgumentException(
-        s"$table is partitioned by $other — storage-partitioned reads " +
-          "serve bucket(n,k) and identity layouts only")
-    }
+    // accepted shapes: [bucket(n,k)] | [identity] | [identity, bucket(n,k)]
+    // (the Iceberg fact canon: a low-cardinality dimension over hash
+    // buckets). outerPhys/bucketPhys are the PHYSICAL dir names.
+    val (outerPhys, bucketLevel0) =
+      physLevels.map(p => (p, Transforms.specOfPhys(p))) match {
+        case Seq((bp, BucketSpecRe(nn, c))) => (None, Some((bp, nn.toInt, c)))
+        case Seq((ip, s)) if !s.contains("(") => (Some(ip), None)
+        case Seq((ip, s), (bp, BucketSpecRe(nn, c))) if !s.contains("(") =>
+          (Some(ip), Some((bp, nn.toInt, c)))
+        case other => throw new IllegalArgumentException(
+          s"$table is partitioned by ${other.map(_._2).mkString(", ")} — " +
+            "storage-partitioned reads serve bucket(n,k), identity, and " +
+            "identity+bucket layouts only")
+      }
     val schema = metaSchema(table, entries, snap).getOrElse(
       throw new IllegalStateException(s"cannot resolve a schema for $table@$snap"))
     // walk committed entries once per data dir (a whole-dir entry is
     // authoritative over leaf entries of the same dir, mirroring
-    // readSnapshot's grouping), collecting (bucket, path, length)
-    val marker = "/" + phys + "="
+    // readSnapshot's grouping), collecting (partition values, path, length)
+    val outerMarker = outerPhys.map(p => "/" + p + "=")
+    val bucketMarker = bucketLevel0.map { case (bp, _, _) => "/" + bp + "=" }
+    def segmentAfter(full: String, marker: String): String = {
+      val at = full.indexOf(marker)
+      require(at >= 0, s"data file outside the partition layout: $full")
+      full.substring(at + marker.length).takeWhile(_ != '/')
+    }
     def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap {
         case s if s.isFile && s.getPath.getName.endsWith(".parquet") => Seq(s)
@@ -4519,39 +4535,51 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         if (fs.exists(p)) walk(p) else Seq.empty
       }.map { st =>
         val full = st.getPath.toString
-        val at = full.indexOf(marker)
-        require(at >= 0, s"data file outside the partition layout: $full")
-        val dirValue = full.substring(at + marker.length).takeWhile(_ != '/')
+        val outerVal = outerMarker.map(segmentAfter(full, _))
+        val bucketVal = bucketMarker.map(segmentAfter(full, _).toInt)
         val rel = full.substring(full.indexOf(dirMarker) + 1)
-        (dirValue, SpjFile(full, st.getLen, dirStats.getOrElse(rel, Map.empty),
-          rows = dirRows.get(rel).map(_._1),
-          nulls = dirRows.get(rel).map(_._2).getOrElse(Map.empty),
-          sums = dirSums.getOrElse(rel, Map.empty),
-          sortedBy = dirSort))
+        ((outerVal, bucketVal),
+          SpjFile(full, st.getLen, dirStats.getOrElse(rel, Map.empty),
+            rows = dirRows.get(rel).map(_._1),
+            nulls = dirRows.get(rel).map(_._2).getOrElse(Map.empty),
+            sums = dirSums.getOrElse(rel, Map.empty),
+            sortedBy = dirSort))
       }
     }
-    n0 match {
-      case Some(n) =>
-        SpjLayout(schema, keyCol, n,
-          files.groupBy(_._1.toInt).map { case (b, fs0) =>
-            b -> fs0.map(_._2).sortBy(_.path)
-          })
-      case None =>
-        val f = schema.fields.find(_.name == keyCol).getOrElse(
-          throw new IllegalStateException(
-            s"$table's recorded schema is missing its partition column $keyCol"))
-        // one partition per distinct path value, dir-value-sorted for a
-        // deterministic partition order; keys decode to the column's
-        // INTERNAL form (what partitionKey() and the group-by readout
-        // both hand Spark)
-        val keys = files.map(_._1).distinct.sorted
-          .map(raw => SpjLayout.decodeIdentity(f.dataType, raw))
+    def grouped(index: ((Option[String], Option[Int])) => Int): Map[Int, Seq[SpjFile]] =
+      files.groupBy(e => index(e._1)).map { case (i, fs0) =>
+        i -> fs0.map(_._2).sortBy(_.path)
+      }
+    // identity keys: one per distinct path value, dir-value-sorted for
+    // a deterministic partition order; keys decode to the column's
+    // INTERNAL form (what partitionKey() and the group-by readout both
+    // hand Spark)
+    def identityKeysOf(col: String): IndexedSeq[(String, Any)] = {
+      val f = schema.fields.find(_.name == col).getOrElse(
+        throw new IllegalStateException(
+          s"$table's recorded schema is missing its partition column $col"))
+      files.flatMap(_._1._1).distinct.sorted
+        .map(raw => SpjLayout.decodeIdentity(f.dataType, raw)).toIndexedSeq
+    }
+    (outerPhys, bucketLevel0) match {
+      case (None, Some((_, n, keyCol))) =>
+        SpjLayout(schema, keyCol, n, grouped(_._2.get))
+      case (Some(outer), None) =>
+        val idCol = Transforms.specOfPhys(outer)
+        val keys = identityKeysOf(idCol)
         val idx = keys.map(_._1).zipWithIndex.toMap
-        SpjLayout(schema, keyCol, keys.length,
-          files.groupBy(e => idx(SpjLayout.unescapePath(e._1))).map { case (i, fs0) =>
-            i -> fs0.map(_._2).sortBy(_.path)
-          },
-          identityKeys = Some(keys.toIndexedSeq))
+        SpjLayout(schema, idCol, keys.length,
+          grouped(e => idx(SpjLayout.unescapePath(e._1.get))),
+          identityKeys = Some(keys))
+      case (Some(outer), Some((_, n, keyCol))) =>
+        // composite index: partition (idIdx, bucket) = idIdx * n + bucket
+        val idCol = Transforms.specOfPhys(outer)
+        val keys = identityKeysOf(idCol)
+        val idx = keys.map(_._1).zipWithIndex.toMap
+        SpjLayout(schema, keyCol, n,
+          grouped(e => idx(SpjLayout.unescapePath(e._1.get)) * n + e._2.get),
+          identityKeys = Some(keys), outerCol = Some(idCol))
+      case (None, None) => throw new IllegalStateException("unreachable layout shape")
     }
   }
 }
@@ -4654,22 +4682,60 @@ private[graft] case class SpjFile(path: String, length: Long,
     sortedBy: Seq[String] = Seq.empty)
 
 /** A table's storage-partitioned layout ([[Lakehouse.spjLayout]]):
-  * logical schema, partition column, partition count, files per
-  * partition index. `identityKeys = None` is the bucket(n,k) shape
-  * (indices ARE bucket numbers, all n planned); `Some(keys)` is an
-  * IDENTITY layout — index i holds the files of partition value
-  * `keys(i)` as (unescaped dir string, internal value), the internal
-  * value being what the scan injects into rows (identity dirs strip
-  * the column from the data files) and reports as the partition key. */
+  * logical schema, partition column(s), files per partition index.
+  * Three shapes:
+  *  - BUCKET: `identityKeys = None` — indices ARE bucket numbers in
+  *    [0, nBuckets), all n planned (empty ones included);
+  *  - IDENTITY: `identityKeys = Some(keys)`, `outerCol = None` —
+  *    index i holds partition value `keys(i)` as (unescaped dir
+  *    string, internal value); `keyCol` is the identity column;
+  *    `nBuckets == keys.length`;
+  *  - IDENTITY × BUCKET (the Iceberg fact canon, e.g.
+  *    `(status, bucket(16, id))`): `outerCol = Some(p)` names the
+  *    identity level, `keyCol`/`nBuckets` the bucket level, and the
+  *    COMPOSITE index `i = idIdx * nBuckets + bucket` enumerates
+  *    `keys.length × nBuckets` partitions.
+  * Identity dirs strip their column from the data files — the scan
+  * re-injects the decoded internal value and reports it as (part of)
+  * the partition key. */
 private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructType,
     keyCol: String, nBuckets: Int, files: Map[Int, Seq[SpjFile]],
-    identityKeys: Option[IndexedSeq[(String, Any)]] = None) {
-  def keyField: org.apache.spark.sql.types.StructField =
-    schema.fields.find(_.name == keyCol).get
-  /** Canonical write-spec string — what the DSv2 write path hands the
+    identityKeys: Option[IndexedSeq[(String, Any)]] = None,
+    outerCol: Option[String] = None) {
+  /** The identity component's column — the single identity level or
+    * the outer level of a two-level layout; None for pure bucket. */
+  def identityCol: Option[String] =
+    outerCol.orElse(identityKeys.map(_ => keyCol))
+  /** The bucket component (n, column); None for pure identity. */
+  def bucketLevel: Option[(Int, String)] =
+    if (outerCol.isDefined || identityKeys.isEmpty) Some((nBuckets, keyCol)) else None
+  /** Total planned partitions (composite for two-level layouts). */
+  def nParts: Int = (identityKeys, outerCol) match {
+    case (Some(ks), Some(_)) => ks.length * nBuckets
+    case _ => nBuckets
+  }
+  /** Partition i's index into [[identityKeys]], when the layout has
+    * an identity level. */
+  def identityIdxAt(i: Int): Option[Int] =
+    identityKeys.map(_ => if (outerCol.isDefined) i / nBuckets else i)
+  /** Partition i's identity component, when the layout has one. */
+  def identityKeyAt(i: Int): Option[(String, Any)] =
+    identityIdxAt(i).map(ix => identityKeys.get(ix))
+  /** Partition i's bucket component, when the layout has one. */
+  def bucketAt(i: Int): Option[Int] =
+    if (outerCol.isDefined) Some(i % nBuckets)
+    else if (identityKeys.isEmpty) Some(i)
+    else None
+  def identityField: Option[org.apache.spark.sql.types.StructField] =
+    identityCol.map(c => schema.fields.find(_.name == c).get)
+  /** Canonical write-spec — what the DSv2 write path hands the
     * Lakehouse writer so inserts land under the table's own layout. */
-  def spec: String =
-    if (identityKeys.isDefined) keyCol else s"bucket($nBuckets,$keyCol)"
+  def spec: Seq[String] = (identityCol, bucketLevel) match {
+    case (Some(p), Some((n, k))) => Seq(p, s"bucket($n,$k)")
+    case (Some(p), None) => Seq(p)
+    case (None, Some((n, k))) => Seq(s"bucket($n,$k)")
+    case _ => Seq.empty
+  }
 }
 
 private[graft] object SpjLayout {

@@ -176,7 +176,7 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     new Lakehouse(SparkSession.active, root)
-      .deleteWhere(cond, tableName, Seq(layout.spec))
+      .deleteWhere(cond, tableName, layout.spec)
   }
 
   override def name(): String = tableName
@@ -185,8 +185,8 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def partitioning(): Array[Transform] =
-    if (layout.identityKeys.isDefined) Array(Expressions.identity(layout.keyCol))
-    else Array(Expressions.bucket(layout.nBuckets, layout.keyCol))
+    (layout.identityCol.map(Expressions.identity).toSeq ++
+      layout.bucketLevel.map { case (n, k) => Expressions.bucket(n, k) }).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSpjScanBuilder(layout)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -198,15 +198,15 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
   * layout, so the write needs no DSv2 DataWriter machinery of its
   * own and inherits the writer's conflict retries and ledgers. */
 private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
-    spec: String) extends WriteBuilder with SupportsTruncate {
+    spec: Seq[String]) extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new V1Write {
     override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
       (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], ow: Boolean) => {
         val lake = new Lakehouse(SparkSession.active, root)
-        if (overwrite || ow) lake.createOrReplace(data.toDF(), tableName, Seq(spec))
-        else lake.append(data.toDF(), tableName, Seq(spec))
+        if (overwrite || ow) lake.createOrReplace(data.toDF(), tableName, spec)
+        else lake.append(data.toDF(), tableName, spec)
         ()
       }
   }
@@ -328,25 +328,30 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
     case Some((aggSchema, rows, desc)) =>
       GraftSpjAggScan(aggSchema, rows, desc)
     case None =>
-      val allowed = layout.identityKeys match {
-        case Some(keys) =>
-          SpjPruning.allowedIdentity(layout.keyCol, keys, pushed.toSeq)
-        case None =>
-          SpjPruning.allowedBuckets(layout.keyCol, layout.nBuckets, pushed.toSeq)
+      // static partition pruning, one set per LEVEL: identity values
+      // match the key dirs, bucket values map through the layout hash
+      val allowedId = for {
+        ic <- layout.identityCol
+        keys <- layout.identityKeys
+        a <- SpjPruning.allowedIdentity(ic, keys, pushed.toSeq)
+      } yield a
+      val allowedBk = layout.bucketLevel.flatMap { case (n, k) =>
+        SpjPruning.allowedBuckets(k, n, pushed.toSeq)
       }
+      def keep(i: Int): Boolean =
+        allowedId.forall(a => layout.identityIdxAt(i).forall(a.contains)) &&
+          allowedBk.forall(a => layout.bucketAt(i).forall(a.contains))
       val pruned = layout.files.map { case (b, fs) =>
-        b -> (if (allowed.exists(a => !a.contains(b))) Seq.empty[SpjFile]
+        b -> (if (!keep(b)) Seq.empty[SpjFile]
         else fs.filter(f => pushed.forall(SpjPruning.mayMatch(f.stats, _))))
       }
       val capped0 = limit.fold(pruned)(SpjPruning.capForLimit(pruned, _))
       val capped = topN.fold(capped0) { case (c, asc, nf, k) =>
         SpjPruning.capForTopN(capped0, c, asc, nf, k)
       }
-      new GraftSpjScan(layout.schema, required, layout.keyCol, layout.nBuckets,
-        capped, pushed.toSeq, limit,
+      new GraftSpjScan(layout, required, capped, pushed.toSeq, limit,
         topN.map { case (c, asc, _, k) =>
-          s"$c ${if (asc) "ASC" else "DESC"} LIMIT $k" },
-        layout.identityKeys)
+          s"$c ${if (asc) "ASC" else "DESC"} LIMIT $k" })
   }
 }
 
@@ -359,11 +364,10 @@ private[graft] case class GraftSpjAggScan(aggSchema: StructType,
   override def description(): String = s"GraftSpjAggScan $desc"
 }
 
-private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
-    keyCol: String, nBuckets: Int, files0: Map[Int, Seq[SpjFile]],
+private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
+    files0: Map[Int, Seq[SpjFile]],
     pushed: Seq[org.apache.spark.sql.sources.Filter], limit: Option[Int] = None,
-    topN: Option[String] = None,
-    identityKeys: Option[IndexedSeq[(String, Any)]] = None)
+    topN: Option[String] = None)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics with SupportsRuntimeV2Filtering
   with SupportsReportOrdering {
@@ -442,8 +446,7 @@ private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftSpj ${if (identityKeys.isDefined) s"identity($keyCol)"
-    else s"bucket($nBuckets,$keyCol)"} $plannedFileCount files" +
+    s"GraftSpj ${layout.spec.mkString("/")} $plannedFileCount files" +
       (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]") +
       limit.fold("")(n => s" PushedLimit: $n") +
       topN.fold("")(t => s" PushedTopN: [$t]")
@@ -477,54 +480,64 @@ private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
     * dim-filtered fact scan reads O(matching buckets), not the fact. */
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column(keyCol))
+    (layout.identityCol.toSeq ++ layout.bucketLevel.map(_._2)).distinct
+      .map(Expressions.column).toArray
 
   override def filter(filters: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     // each recognized predicate yields (stat-comparable value,
-    // canonical layout-hash string) per key; unrecognized shapes or
-    // unmappable types drop the whole predicate — prune nothing
-    val keySets = filters.toSeq.flatMap(SpjPruning.runtimeInValues(_, keyCol))
-    if (keySets.isEmpty) return
-    val inFilters = keySets.map(vs =>
-      org.apache.spark.sql.sources.In(keyCol, vs.map(_._1).toArray))
-    val allowed = identityKeys match {
-      // identity layout: the canonical strings ARE the dir values —
-      // keep exactly the partitions whose key every predicate names
-      // (a null partition never matches an IN semijoin key set)
-      case Some(keys) => keySets.map(vs => keys.zipWithIndex.collect {
-        case ((dv, k), i) if k != null && vs.exists(_._2 == dv) => i
-      }.toSet).reduce(_ intersect _)
-      case None =>
-        keySets.map(_.map(p => SpjPruning.bucketOf(p._2, nBuckets)).toSet)
-          .reduce(_ intersect _)
+    // canonical string) per key; unrecognized shapes or unmappable
+    // types drop the whole predicate — prune nothing. Each LEVEL
+    // prunes its own component: identity values match the key dirs,
+    // bucket values map through the layout hash (a null partition
+    // never matches an IN semijoin key set).
+    val idSets = layout.identityCol.toSeq.flatMap { ic =>
+      filters.toSeq.flatMap(SpjPruning.runtimeInValues(_, ic))
+        .map(vs => layout.identityKeys.get.zipWithIndex.collect {
+          case ((dv, k), i) if k != null && vs.exists(_._2 == dv) => i
+        }.toSet)
     }
+    val bkSets = layout.bucketLevel.toSeq.flatMap { case (n, k) =>
+      filters.toSeq.flatMap(SpjPruning.runtimeInValues(_, k))
+        .map(_.map(p => SpjPruning.bucketOf(p._2, n)).toSet)
+    }
+    // stats re-check rides only on columns present IN the files (an
+    // identity column isn't — its pruning is the dir match above)
+    val inFilters = layout.bucketLevel.toSeq.flatMap { case (_, k) =>
+      filters.toSeq.flatMap(SpjPruning.runtimeInValues(_, k))
+        .map(vs => org.apache.spark.sql.sources.In(k, vs.map(_._1).toArray))
+    }
+    if (idSets.isEmpty && bkSets.isEmpty) return
+    val idAllowed = idSets.reduceOption(_ intersect _)
+    val bkAllowed = bkSets.reduceOption(_ intersect _)
+    def keep(i: Int): Boolean =
+      idAllowed.forall(a => layout.identityIdxAt(i).forall(a.contains)) &&
+        bkAllowed.forall(a => layout.bucketAt(i).forall(a.contains))
     files = files.map { case (b, fs) =>
-      b -> (if (!allowed.contains(b)) Seq.empty[SpjFile]
+      b -> (if (!keep(b)) Seq.empty[SpjFile]
       else fs.filter(f => inFilters.forall(SpjPruning.mayMatch(f.stats, _))))
     }
   }
 
   /** The contract that deletes the Exchange: each scan partition IS
-    * one partition of the layout, keyed by the transform (bucket
-    * number) or the identity value itself. */
+    * one partition of the layout, keyed by its transform values —
+    * (identity value), (bucket number), or (identity, bucket) for the
+    * two-level fact shape. */
   override def outputPartitioning(): Partitioning =
-    identityKeys match {
-      case Some(_) =>
-        new KeyGroupedPartitioning(Array(Expressions.identity(keyCol)), nBuckets)
-      case None =>
-        new KeyGroupedPartitioning(Array(Expressions.bucket(nBuckets, keyCol)), nBuckets)
-    }
+    new KeyGroupedPartitioning(
+      (layout.identityCol.map(Expressions.identity).toSeq ++
+        layout.bucketLevel.map { case (n, k) => Expressions.bucket(n, k) }).toArray,
+      layout.nParts)
 
-  /** All n partitions, in layout order, EMPTY ones included — both
+  /** All partitions, in layout order, EMPTY ones included — both
     * join sides must present identical partition-value sets or the
     * planner falls back to a shuffle (identity sides with disjoint
     * value sets need `v2.bucketing.pushPartValues.enabled`). */
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until nBuckets).map { b =>
+    (0 until layout.nParts).map { i =>
       GraftBucketPartition(
-        identityKeys.fold[Any](b)(_.apply(b)._2),
-        files.getOrElse(b, Seq.empty).toArray)
+        layout.identityKeyAt(i).map(_._2).toSeq ++ layout.bucketAt(i),
+        files.getOrElse(i, Seq.empty).toArray)
     }.toArray
 
   /** The reader function is Spark's own parquet reader, built ONCE on
@@ -544,21 +557,21 @@ private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
     // reader; only the hand-off is row-shaped)
     val rowOpt = Map(
       org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false")
-    identityKeys match {
+    layout.identityCol match {
       case None =>
         val readerFn = new ParquetFileFormat().buildReaderWithPartitionValues(
-          spark, dataSchema, new StructType(), required, pushed, rowOpt, conf)
+          spark, layout.schema, new StructType(), required, pushed, rowOpt, conf)
         new GraftSpjReaderFactory(readerFn, keyed = false, reorder = None)
-      case Some(_) =>
-        val keyField = dataSchema.fields.find(_.name == keyCol).get
-        val fileSchema = StructType(dataSchema.fields.filterNot(_.name == keyCol))
-        val requiredData = StructType(required.fields.filterNot(_.name == keyCol))
+      case Some(idCol) =>
+        val keyField = layout.identityField.get
+        val fileSchema = StructType(layout.schema.fields.filterNot(_.name == idCol))
+        val requiredData = StructType(required.fields.filterNot(_.name == idCol))
         val partSchema =
-          if (required.fieldNames.contains(keyCol)) StructType(Seq(keyField))
+          if (required.fieldNames.contains(idCol)) StructType(Seq(keyField))
           else new StructType()
-        // filters naming the partition column can't resolve inside the
+        // filters naming the identity column can't resolve inside the
         // files; partition pruning already applied them
-        val filePushed = pushed.filterNot(_.references.contains(keyCol))
+        val filePushed = pushed.filterNot(_.references.contains(idCol))
         val readerFn = new ParquetFileFormat().buildReaderWithPartitionValues(
           spark, fileSchema, partSchema, requiredData, filePushed, rowOpt, conf)
         val outSchema = StructType(requiredData.fields ++ partSchema.fields)
@@ -568,13 +581,14 @@ private[graft] class GraftSpjScan(dataSchema: StructType, required: StructType,
   }
 }
 
-/** One planned scan partition: `key` is the partition key Spark
-  * co-locates on — the bucket number (boxed Int) for bucket layouts,
-  * the identity column's internal value (possibly null) for identity
-  * layouts. */
-private[graft] case class GraftBucketPartition(key: Any, files: Array[SpjFile])
+/** One planned scan partition: `keys` are the partition-transform
+  * values Spark co-locates on, in [[GraftSpjTable.partitioning]]
+  * order — (identity value), (bucket number), or (identity, bucket).
+  * The identity value, when present, is FIRST (the reader injects it
+  * into rows). */
+private[graft] case class GraftBucketPartition(keys: Seq[Any], files: Array[SpjFile])
   extends InputPartition with HasPartitionKey {
-  override def partitionKey(): InternalRow = InternalRow(key)
+  override def partitionKey(): InternalRow = InternalRow.fromSeq(keys)
 }
 
 private[spj] class GraftSpjReaderFactory(
@@ -584,7 +598,7 @@ private[spj] class GraftSpjReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBucketPartition]
-    val pv = if (keyed) InternalRow(p.key) else InternalRow.empty
+    val pv = if (keyed) InternalRow(p.keys.head) else InternalRow.empty
     // the vectorized reader hands back ColumnarBatch under an
     // InternalRow-typed iterator (the FileScanRDD convention) —
     // flatten batches to their row view, exactly as ColumnarToRow does
@@ -1010,19 +1024,19 @@ private[spj] object SpjMetaAgg {
 
     /** The aggregate legs folded over `files` only. `keyConst` is the
       * identity-partition special case: inside one identity partition
-      * the partition column is a CONSTANT known from the dir path (the
+      * the named column is a CONSTANT known from the dir path (the
       * files themselves don't store it), so legs referencing it answer
       * from that constant instead of the (absent) ledgers. */
-    def legsOver(files: Seq[SpjFile], keyConst: Option[Any])
+    def legsOver(files: Seq[SpjFile], keyConst: Option[(String, Any)])
         : Option[Seq[(Any, DataType, String)]] = {
       if (files.exists(_.rows.isEmpty)) return None
       val totalRows = files.map(_.rows.get).sum
-      def isKey(f: StructField) = keyConst.isDefined && f.name == layout.keyCol
+      def isKey(f: StructField) = keyConst.exists(_._1 == f.name)
 
       // count(col): non-null totals need every file's null count
       // recorded; the identity key is all-or-nothing null by dir
       def nonNull(f: StructField): Option[Long] =
-        if (isKey(f)) Some(if (keyConst.get == null) 0L else totalRows)
+        if (isKey(f)) Some(if (keyConst.get._2 == null) 0L else totalRows)
         else {
           val per = files.map(sf => sf.nulls.get(f.name).map(n => sf.rows.get - n))
           if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
@@ -1033,7 +1047,7 @@ private[spj] object SpjMetaAgg {
       // unrecorded — unprovable, decline); all-null and empty files
       // are skipped exactly as SQL min/max skips them
       def bound(f: StructField, wantMin: Boolean): Option[Any] = {
-        if (isKey(f)) return Some(keyConst.get) // constant (null dir: SQL NULL)
+        if (isKey(f)) return Some(keyConst.get._2) // constant (null dir: SQL NULL)
         val tag = tagOf(f.dataType)
         if (tag.isEmpty) return None
         val legs = files.flatMap { sf =>
@@ -1066,8 +1080,8 @@ private[spj] object SpjMetaAgg {
           case _ => return None
         }
         if (isKey(f)) { // constant × row count, exactly
-          if (keyConst.get == null) return Some((null, resultType))
-          val total = new java.math.BigDecimal(keyConst.get.toString)
+          if (keyConst.get._2 == null) return Some((null, resultType))
+          val total = new java.math.BigDecimal(keyConst.get._2.toString)
             .multiply(java.math.BigDecimal.valueOf(totalRows))
           return resultType match {
             case LongType => scala.util.Try(total.longValueExact()).toOption
@@ -1125,34 +1139,37 @@ private[spj] object SpjMetaAgg {
             Array(InternalRow.fromSeq(vals.map(_._1))),
             vals.map(_._3).mkString(", "))
         }
-      // GROUPED: identity layouts grouped by THE partition column —
-      // each partition dir is one group, its key known from the path,
-      // its aggregates the same ledger fold restricted to its files.
-      // The reference's gold rollup (gold_reporting.py:70 GROUP BY
-      // city) priced as a metadata readout. Complete pushdown output
-      // contract: group columns first, then aggregate columns, one
-      // row per group.
+      // GROUPED: grouped by the layout's IDENTITY column — each
+      // identity dir is one group, its key known from the path, its
+      // aggregates the same ledger fold restricted to its files (for
+      // an identity×bucket layout, unioned across the group's bucket
+      // partitions). The reference's gold rollup (gold_reporting.py:70
+      // GROUP BY city) priced as a metadata readout. Complete pushdown
+      // output contract: group columns first, then aggregate columns,
+      // one row per group.
       case Seq(nr: NamedReference)
-          if nr.fieldNames().sameElements(Array(layout.keyCol)) &&
-            layout.identityKeys.isDefined =>
+          if layout.identityCol.exists(c => nr.fieldNames().sameElements(Array(c))) =>
+        val idCol = layout.identityCol.get
         val keys = layout.identityKeys.get
-        val perGroup = (0 until layout.nBuckets).flatMap { i =>
-          val fs = layout.files.getOrElse(i, Seq.empty)
+        val perGroup = keys.indices.flatMap { g =>
+          val fs = layout.files.collect {
+            case (i, f) if layout.identityIdxAt(i).contains(g) => f
+          }.flatten.toSeq
           // a group exists iff it has ≥1 row (a zero-row partition
           // contributes no group, exactly like the scan)
           if (fs.exists(_.rows.isEmpty)) return None // unrecorded: unprovable
           else if (fs.isEmpty || fs.map(_.rows.get).sum == 0L) None
-          else legsOver(fs, Some(keys(i)._2)) match {
+          else legsOver(fs, Some((idCol, keys(g)._2))) match {
             case None => return None // one un-provable group sinks all
             case Some(vals) =>
-              Some((InternalRow.fromSeq(keys(i)._2 +: vals.map(_._1)), vals))
+              Some((InternalRow.fromSeq(keys(g)._2 +: vals.map(_._1)), vals))
           }
         }
         if (perGroup.isEmpty) return None // empty table: let the scan answer
         val schema = StructType(
-          layout.keyField.copy(nullable = true) +: aggFields(perGroup.head._2))
+          layout.identityField.get.copy(nullable = true) +: aggFields(perGroup.head._2))
         Some((schema, perGroup.map(_._1).toArray,
-          s"GROUP BY ${layout.keyCol}: " +
+          s"GROUP BY $idCol: " +
             perGroup.head._2.map(_._3).mkString(", ")))
       case _ => None // any other grouping: only the real scan is provable
     }

@@ -769,6 +769,77 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("identity x bucket layouts: two-level SPJ join, grouped pushdown, per-level pruning") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.spj.GraftSpjScan
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-2l").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("price_d"))
+    lake.declareSumColumns("spj_2l", Seq("o_orderkey", "price_d"))
+    // the Iceberg fact canon: low-cardinality dimension over hash
+    // buckets, two commits so multiple dirs must union
+    lake.createOrReplace(orders.where(col("o_orderkey") % 2 === 0), "spj_2l",
+      Seq("o_orderstatus", "bucket(4,o_custkey)"))
+    lake.append(orders.where(col("o_orderkey") % 2 =!= 0), "spj_2l",
+      Seq("o_orderstatus", "bucket(4,o_custkey)"))
+    // a co-partitioned second fact, same two-level spec
+    val pays = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("p_orderkey"), col("o_custkey").as("p_custkey"),
+      col("o_orderstatus").as("p_status"),
+      (col("o_totalprice") * 0.1).as("p_fee"))
+    lake.createOrReplace(pays, "spj_2lp", Seq("p_status", "bucket(4,p_custkey)"))
+    withSpj(root, "spj_t27") {
+      val t = spark.table("spj_t27.spj_2l")
+      // round-trip: the path-borne identity column re-attaches, typed
+      assert(sortedRows(t.select("o_orderkey", "o_orderstatus", "price_d"))
+        === sortedRows(orders.select("o_orderkey", "o_orderstatus", "price_d")))
+      // two-level SPJ: join on BOTH partition dimensions is
+      // Exchange-free (partition tuples align position-for-position)
+      val j = t.join(spark.table("spj_t27.spj_2lp"),
+        col("o_custkey") === col("p_custkey") &&
+          col("o_orderstatus") === col("p_status"))
+        .select(col("o_orderkey"), col("p_orderkey"), col("price_d"), col("p_fee"))
+      assert(!Medallion.plansShuffle(j),
+        "two-level co-partitioned join must not shuffle:\n" +
+          j.queryExecution.executedPlan)
+      assert(sortedRows(j) === sortedRows(
+        orders.join(pays, col("o_custkey") === col("p_custkey") &&
+          col("o_orderstatus") === col("p_status"))
+          .select(col("o_orderkey"), col("p_orderkey"), col("price_d"), col("p_fee"))))
+      // grouped pushdown by the OUTER identity column: groups union
+      // their bucket partitions, still a driver-local readout
+      val g = spark.sql("""SELECT o_orderstatus, count(*) AS n,
+          min(o_orderkey) AS k_lo, sum(o_orderkey) AS s_k, sum(price_d) AS s_p
+        FROM spj_t27.spj_2l GROUP BY o_orderstatus""")
+      assert(sortedRows(g) === sortedRows(
+        orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("k_lo"), sum("o_orderkey").as("s_k"),
+          sum("price_d").as("s_p"))))
+      assert(collectPlan(g) { case l: LocalTableScanExec => l }.nonEmpty,
+        "two-level grouped pushdown should answer from the ledgers:\n" +
+          g.queryExecution.executedPlan)
+      assert(collectPlan(g) { case b: BatchScanExec => b }.isEmpty)
+      // per-level static pruning composes: identity equality × bucket
+      // equality keeps only that (status, bucket) cell's files
+      def planned(df: DataFrame): Int = collectPlan(df) {
+        case b: BatchScanExec => b.scan.asInstanceOf[GraftSpjScan].plannedFileCount
+      }.head
+      val total = planned(t.select(col("o_orderkey")))
+      val byId = planned(t.where(col("o_orderstatus") === "F").select(col("o_orderkey")))
+      val byBoth = planned(t.where(col("o_orderstatus") === "F" &&
+        col("o_custkey") === 1).select(col("o_orderkey")))
+      assert(byId < total, s"identity pruning ($byId vs $total)")
+      assert(byBoth < byId, s"bucket pruning should compose ($byBoth vs $byId)")
+      assert(sortedRows(t.where(col("o_orderstatus") === "F" && col("o_custkey") === 1)
+        .select(col("o_orderkey"))) ===
+        sortedRows(orders.where(col("o_orderstatus") === "F" && col("o_custkey") === 1)
+          .select(col("o_orderkey"))))
+    }
+  }
+
   test("strictness: tombstoned or mixed-layout tables refuse the SPJ read loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-s").toString
     val lake = new Lakehouse(spark, root)
