@@ -260,10 +260,26 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       } yield s -> t
     }
 
+  /** TIMESTAMP-AS-OF resolution, shared by [[readAsOf]] and the DSv2
+    * catalog so SQL and DataFrame time travel can never disagree: the
+    * LATEST snapshot committed at-or-before `tsMillis`, in manifest
+    * (commit) order, capped at the branch's current head. The cap is
+    * the linear-ledger scoping rule — branches are pointers into ONE
+    * immutable snapshot sequence, so "on the branch" means "at or
+    * before its head": a commit made only to a sibling branch after
+    * this branch's head can never serve, and a rolled-back branch
+    * serves its rolled-back-to state, not the abandoned future. */
+  def asOfSnapshot(table: String, tsMillis: Long,
+      branch: String = "main"): Option[Long] =
+    currentSnapshot(table, branch).flatMap { cap =>
+      snapshotTimes(table)
+        .filter(t => t._2 <= tsMillis && t._1 <= cap).map(_._1).lastOption
+    }
+
   /** Time travel by wall-clock: read the LATEST snapshot committed at
     * or before `tsMillis` (Iceberg's `TIMESTAMP AS OF` rule). */
   def readAsOf(table: String, tsMillis: Long): DataFrame = {
-    val at = snapshotTimes(table).filter(_._2 <= tsMillis).map(_._1).lastOption
+    val at = asOfSnapshot(table, tsMillis)
       .getOrElse(throw new IllegalArgumentException(
         s"$table has no snapshot committed at or before $tsMillis"))
     readSnapshot(table, at)
@@ -1050,6 +1066,15 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
                     .map(d => (k, ("long", d.toString, d.toString)))
                 case _ => None
               }
+            // string path values get the SAME guard as footer string
+            // stats: non-ASCII bounds would compare in Java UTF-16
+            // order while the engine (and any pushed-aggregate readout)
+            // compares UTF8-binary — a silently-wrong prune/min/max
+            case "string" if v.length <= 128 && isAscii(v) =>
+              Some((k, ("string", v, v)))
+            case "string" => None
+            case "double" if !scala.util.Try(v.toDouble).toOption.exists(_.isFinite) =>
+              None // non-finite bounds break BigDecimal range tests
             case t => Some((k, (t, v, v)))
           }
         }
@@ -3331,6 +3356,13 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         case Seq(p, s) => !p.contains("(") && s.startsWith("bucket(")
         case _ => false
       })
+      // identity levels must DECODE: the column must be in the
+      // metadata-resolvable schema with a supported key type — or
+      // loadTable would refuse the very table SHOW TABLES advertised
+      if specs.filterNot(_.contains("(")).forall { c =>
+        metaSchema(table, entries, snap).exists(_.fields.exists(f =>
+          f.name == c && SpjLayout.supportedIdentityType(f.dataType)))
+      }
     } yield specs
 
   /** MERGE-shaped SQL DML: upsert `sourceView` (a registered view)
@@ -4728,6 +4760,14 @@ private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructTyp
     else None
   def identityField: Option[org.apache.spark.sql.types.StructField] =
     identityCol.map(c => schema.fields.find(_.name == c).get)
+  /** Does partition i survive the given per-level allowed sets?
+    * None = that level unconstrained. The ONE place composite-index
+    * membership is decided (static pruning and runtime filtering both
+    * route here). */
+  def keepPartition(i: Int, idAllowed: Option[Set[Int]],
+      bkAllowed: Option[Set[Int]]): Boolean =
+    idAllowed.forall(a => identityIdxAt(i).forall(a.contains)) &&
+      bkAllowed.forall(a => bucketAt(i).forall(a.contains))
   /** Canonical write-spec — what the DSv2 write path hands the
     * Lakehouse writer so inserts land under the table's own layout. */
   def spec: Seq[String] = (identityCol, bucketLevel) match {
@@ -4745,6 +4785,12 @@ private[graft] object SpjLayout {
   val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
   def unescapePath(raw: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw)
+  /** The identity-key type whitelist [[decodeIdentity]] accepts —
+    * SHOW TABLES' servability probe must agree with it. */
+  def supportedIdentityType(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType | DateType => true
+    case _ => false
+  }
   /** Decode an identity partition dir value to (unescaped string,
     * internal value). The unescaped string doubles as the CANONICAL
     * form runtime-filter/static-prune values compare against (ints

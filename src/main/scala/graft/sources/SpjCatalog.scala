@@ -75,8 +75,11 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val lake = new Lakehouse(SparkSession.active, root)
     val branch = namespace match {
+      case Array() => "main"
       case Array(b) => b
-      case _ => "main"
+      // deeper namespaces can never load — an empty listing, not
+      // dead-end identifiers
+      case _ => return Array.empty
     }
     lake.tableNames()
       .filter(t => lake.spjServableSpec(t, branch).isDefined)
@@ -98,17 +101,20 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
   }
 
   /** `TIMESTAMP AS OF` — Spark hands MICROSECONDS since epoch; the
-    * latest snapshot committed at-or-before it serves (the Iceberg
-    * as-of-time rule). */
+    * latest snapshot committed at-or-before it ON THE NAMED BRANCH
+    * serves ([[Lakehouse.asOfSnapshot]], the same resolution
+    * `readAsOf` uses, so SQL and DataFrame time travel agree). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val lake = new Lakehouse(SparkSession.active, root)
     val millis = timestamp / 1000L
-    val snap = lake.snapshotTimes(ident.name())
-      .filter(_._2 <= millis)
-      .sortBy(t => (t._2, t._1)).lastOption.map(_._1).getOrElse(
-        throw new IllegalArgumentException(
-          s"${ident.name()} has no snapshot committed at or before " +
-            java.time.Instant.ofEpochMilli(millis)))
+    val branch = ident.namespace() match {
+      case Array(b) => b
+      case _ => "main"
+    }
+    val snap = lake.asOfSnapshot(ident.name(), millis, branch).getOrElse(
+      throw new IllegalArgumentException(
+        s"${ident.name()}@$branch has no snapshot committed at or before " +
+          java.time.Instant.ofEpochMilli(millis)))
     loadAt(ident, Some(snap))
   }
 
@@ -127,7 +133,7 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
         case e: IllegalArgumentException if e.getMessage.startsWith("no such table") =>
           throw new NoSuchTableException(ident)
       }
-    new GraftSpjTable(ident.name(), layout, root)
+    new GraftSpjTable(ident.name(), layout, root, branch)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -163,7 +169,8 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
   * a DSv2-surfaced delete must never wedge the table's own reads.
   * Conditions outside the translatable filter algebra refuse loudly
   * (`canDeleteWhere` false) instead of deleting the wrong rows. */
-private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: String)
+private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: String,
+    branch: String = "main")
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   import org.apache.spark.sql.sources.Filter
@@ -175,8 +182,10 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
       throw new UnsupportedOperationException(s"untranslatable DELETE condition: $f")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // the BRANCH the table was loaded from is the one the rewrite
+    // commits to — `DELETE FROM cat.dev.t` must never move main
     new Lakehouse(SparkSession.active, root)
-      .deleteWhere(cond, tableName, layout.spec)
+      .deleteWhere(cond, tableName, layout.spec, branch)
   }
 
   override def name(): String = tableName
@@ -190,7 +199,7 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSpjScanBuilder(layout)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftSpjWriteBuilder(root, tableName, layout.spec)
+    new GraftSpjWriteBuilder(root, tableName, layout.spec, branch)
 }
 
 /** Appends and truncating overwrites, routed to the Lakehouse writer
@@ -198,15 +207,17 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
   * layout, so the write needs no DSv2 DataWriter machinery of its
   * own and inherits the writer's conflict retries and ledgers. */
 private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
-    spec: Seq[String]) extends WriteBuilder with SupportsTruncate {
+    spec: Seq[String], branch: String) extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new V1Write {
     override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
       (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], ow: Boolean) => {
         val lake = new Lakehouse(SparkSession.active, root)
-        if (overwrite || ow) lake.createOrReplace(data.toDF(), tableName, spec)
-        else lake.append(data.toDF(), tableName, spec)
+        // commits land on the branch the table was LOADED from:
+        // `INSERT INTO cat.dev.t` must never move main
+        if (overwrite || ow) lake.createOrReplace(data.toDF(), tableName, spec, branch)
+        else lake.append(data.toDF(), tableName, spec, branch)
         ()
       }
   }
@@ -338,11 +349,8 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
       val allowedBk = layout.bucketLevel.flatMap { case (n, k) =>
         SpjPruning.allowedBuckets(k, n, pushed.toSeq)
       }
-      def keep(i: Int): Boolean =
-        allowedId.forall(a => layout.identityIdxAt(i).forall(a.contains)) &&
-          allowedBk.forall(a => layout.bucketAt(i).forall(a.contains))
       val pruned = layout.files.map { case (b, fs) =>
-        b -> (if (!keep(b)) Seq.empty[SpjFile]
+        b -> (if (!layout.keepPartition(b, allowedId, allowedBk)) Seq.empty[SpjFile]
         else fs.filter(f => pushed.forall(SpjPruning.mayMatch(f.stats, _))))
       }
       val capped0 = limit.fold(pruned)(SpjPruning.capForLimit(pruned, _))
@@ -493,9 +501,8 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
     // never matches an IN semijoin key set).
     val idSets = layout.identityCol.toSeq.flatMap { ic =>
       filters.toSeq.flatMap(SpjPruning.runtimeInValues(_, ic))
-        .map(vs => layout.identityKeys.get.zipWithIndex.collect {
-          case ((dv, k), i) if k != null && vs.exists(_._2 == dv) => i
-        }.toSet)
+        .map(vs => SpjPruning.identityIndicesIn(
+          layout.identityKeys.get, vs.map(_._2).toSet))
     }
     val bkSets = layout.bucketLevel.toSeq.flatMap { case (n, k) =>
       filters.toSeq.flatMap(SpjPruning.runtimeInValues(_, k))
@@ -510,11 +517,8 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
     if (idSets.isEmpty && bkSets.isEmpty) return
     val idAllowed = idSets.reduceOption(_ intersect _)
     val bkAllowed = bkSets.reduceOption(_ intersect _)
-    def keep(i: Int): Boolean =
-      idAllowed.forall(a => layout.identityIdxAt(i).forall(a.contains)) &&
-        bkAllowed.forall(a => layout.bucketAt(i).forall(a.contains))
     files = files.map { case (b, fs) =>
-      b -> (if (!keep(b)) Seq.empty[SpjFile]
+      b -> (if (!layout.keepPartition(b, idAllowed, bkAllowed)) Seq.empty[SpjFile]
       else fs.filter(f => inFilters.forall(SpjPruning.mayMatch(f.stats, _))))
     }
   }
@@ -816,6 +820,14 @@ private[spj] object SpjPruning {
     case _ => None
   }
 
+  /** Indices of the identity keys whose canonical (unescaped-dir)
+    * string is in `canon`; null keys never match a value set. */
+  def identityIndicesIn(keys: IndexedSeq[(String, Any)],
+      canon: Set[String]): Set[Int] =
+    keys.zipWithIndex.collect {
+      case ((dv, k), i) if k != null && canon(dv) => i
+    }.toSet
+
   /** Partition indices of an IDENTITY layout an equality/IN/null test
     * on the partition column can reach; None = no usable conjunct
     * (all partitions). Conjuncts intersect. Comparison happens in the
@@ -827,15 +839,13 @@ private[spj] object SpjPruning {
       case And(l, r) => flat(l) ++ flat(r)
       case other => Seq(other)
     }
-    def matching(vals: Set[String]): Set[Int] =
-      keys.zipWithIndex.collect {
-        case ((dv, k), i) if k != null && vals(dv) => i
-      }.toSet
     val sets = fs.flatMap(flat).flatMap {
-      case EqualTo(c, v) if c == keyCol => canonical(v).map(s => matching(Set(s)))
+      case EqualTo(c, v) if c == keyCol =>
+        canonical(v).map(s => identityIndicesIn(keys, Set(s)))
       case In(c, vs) if c == keyCol && vs.nonEmpty =>
         val cs = vs.toSeq.map(canonical)
-        if (cs.forall(_.isDefined)) Some(matching(cs.flatten.toSet)) else None
+        if (cs.forall(_.isDefined)) Some(identityIndicesIn(keys, cs.flatten.toSet))
+        else None
       case IsNull(c) if c == keyCol =>
         Some(keys.zipWithIndex.collect { case ((_, k), i) if k == null => i }.toSet)
       case IsNotNull(c) if c == keyCol =>

@@ -840,6 +840,38 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("branch scoping: DML through the catalog commits to the loaded branch; as-of stays on it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-br").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.createOrReplace((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "spj_br", Seq("bucket(4,k)"))
+    val mainHead = lake.currentSnapshot("spj_br").get
+    lake.createBranch("spj_br", "dev", mainHead)
+    withSpj(root, "spj_t28") {
+      // INSERT into the branch table moves dev, never main
+      spark.sql("INSERT INTO spj_t28.dev.spj_br VALUES (11, 'z')")
+      assert(spark.table("spj_t28.dev.spj_br").count() === 11)
+      assert(spark.table("spj_t28.spj_br").count() === 10)
+      assert(lake.currentSnapshot("spj_br").get === mainHead)
+      // DELETE on the branch table rewrites dev, never main
+      spark.sql("DELETE FROM spj_t28.dev.spj_br WHERE k <= 5")
+      assert(spark.table("spj_t28.dev.spj_br").count() === 6)
+      assert(spark.table("spj_t28.spj_br").count() === 10)
+      assert(lake.currentSnapshot("spj_br").get === mainHead)
+      // TIMESTAMP AS OF on MAIN never serves dev's newer commits: the
+      // resolution caps at the branch head (and matches readAsOf)
+      val nowQ = spark.sql(
+        "SELECT count(*) AS n FROM spj_t28.spj_br TIMESTAMP AS OF current_timestamp()")
+      assert(nowQ.collect().head.getLong(0) === 10L)
+      assert(lake.readAsOf("spj_br", System.currentTimeMillis()).count() === 10L)
+      // and on DEV it serves dev's head
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM spj_t28.dev.spj_br TIMESTAMP AS OF current_timestamp()")
+        .collect().head.getLong(0) === 6L)
+    }
+  }
+
   test("strictness: tombstoned or mixed-layout tables refuse the SPJ read loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-s").toString
     val lake = new Lakehouse(spark, root)
