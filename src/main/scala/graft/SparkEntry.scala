@@ -61,6 +61,8 @@ object SparkEntry {
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     "q_asof_join" -> (Relational.qAsofJoin _),
     "q_events_hourly" -> (Relational.qEventsHourly _),
+    "stream_events_hourly" ->
+      ((s, d) => graft.streaming.EventStream.streamEventsHourlyOracle(s, d)),
     "q_events_retention" -> (Relational.qEventsRetention _),
     "q_events_tophh" -> (Relational.qEventsTophh _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
@@ -842,6 +844,19 @@ object SparkEntry {
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin,
+    // stream-executed ingestion: the engine side ingests events via a
+    // REAL AvailableNow streaming run (exactly-once appendOnce sink),
+    // replays from a fresh checkpoint (same batch ids — the ledger
+    // must no-op), then rolls up the INGESTED table; the oracle rolls
+    // up the raw parquet — bit-equality pins lossless, duplicate-free,
+    // value-exact streaming ingestion. exactly_once = replay invariance
+    "stream_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(1.0 AS DOUBLE) AS exactly_once
         |FROM events
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour, event_type""".stripMargin,

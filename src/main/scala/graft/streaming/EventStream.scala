@@ -121,6 +121,53 @@ object EventStream {
       }
       .start()
 
+  /** `stream_events_hourly` — a STREAM-EXECUTED driver query with a
+    * cross-engine oracle: the events table is ingested by a REAL
+    * Structured Streaming run (AvailableNow, `foreachBatch` →
+    * exactly-once [[graft.sources.Lakehouse.appendOnce]] commits),
+    * then the whole input is REPLAYED from a FRESH checkpoint — the
+    * strongest dedup test, because every micro-batch re-fires with the
+    * same batch ids and the commit ledger must no-op each one; a mere
+    * same-checkpoint restart would skip them at the offset log and
+    * never exercise the sink. The hourly rollup over the INGESTED
+    * table must then be bit-equal to DuckDB's rollup over the raw
+    * parquet (same shape as `q_events_hourly`), which pins
+    * end-to-end that streaming ingestion lost nothing, duplicated
+    * nothing, and preserved values exactly. `exactly_once = 1.0` is
+    * the replay-invariance readout. At 100 TB this is the ingestion
+    * contract: O(batch) commit cost, at-least-once delivery upstream,
+    * exactly-once table state downstream. */
+  def streamEventsHourlyOracle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ora").toString
+    val lake = new Lakehouse(spark, root)
+    def runOnce(): Unit = {
+      val ck = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+      val q = readEvents(spark, dir).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) { lake.appendOnce(batch, "ev_stream", batchId); () }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = lake.read("ev_stream").count()
+    val snaps1 = lake.snapshots("ev_stream").size
+    runOnce() // fresh checkpoint: full replay, same batch ids — must no-op
+    val exactlyOnce =
+      if (lake.read("ev_stream").count() == n1 &&
+        lake.snapshots("ev_stream").size == snaps1) 1.0 else 0.0
+    lake.read("ev_stream")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .withColumn("exactly_once", lit(exactlyOnce))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** Streaming CDC UPSERT sink: each micro-batch MERGEs into the
     * lakehouse table on `keyCols` (source rows replace matches,
     * newcomers insert) — the shape a change-data-capture feed needs,
