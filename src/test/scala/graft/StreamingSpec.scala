@@ -426,6 +426,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-ingested hourly rollup matches the batch query; fresh-checkpoint replay no-ops") {
+    val out = EventStream.streamEventsHourlyOracle(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(4) == 1.0),
+      "full replay from a fresh checkpoint must change nothing (exactly_once)")
+    val want = graft.operators.Relational.qEventsHourly(spark, sf).collect()
+    assert(rows.map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSeq ===
+      want.map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSeq,
+      "the ingested table's rollup must bit-equal the batch query over raw parquet")
+  }
+
   test("sessions respect the 30-minute gap invariant") {
     val sessions = EventStream.sessionize(
       EventStream.toSessionEvents(Tables.events(spark, sf))).collect()
