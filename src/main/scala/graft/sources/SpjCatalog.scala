@@ -23,18 +23,24 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 
 import graft.sources.{Lakehouse, SpjFile, SpjLayout}
 
-/** STORAGE-PARTITIONED JOINS over hidden `bucket(n,k)` lakehouse
-  * layouts — the Iceberg-SPJ analog, done the way Iceberg does it: a
-  * DSv2 catalog whose scans report [[KeyGroupedPartitioning]] keyed by
-  * the bucket transform, with the transform's hash exposed as a
-  * catalog V2 function. When two tables share the transform and the
-  * join keys cover the bucket column, Spark's `EnsureRequirements`
-  * proves both sides are already co-located bucket-by-bucket and
-  * plans the join with NO Exchange — at 100 TB that deletes the
+/** STORAGE-PARTITIONED JOINS over hidden lakehouse layouts —
+  * `bucket(n,k)`, identity, or the two-level `(identity, bucket)`
+  * fact canon — the Iceberg-SPJ analog, done the way Iceberg does it:
+  * a DSv2 catalog whose scans report [[KeyGroupedPartitioning]] keyed
+  * by the layout's transforms, with the bucket hash exposed as a
+  * catalog V2 function. When two tables share the spec and the join
+  * keys cover the partition columns, Spark's `EnsureRequirements`
+  * proves both sides are already co-located partition-by-partition
+  * and plans the join with NO Exchange — at 100 TB that deletes the
   * dominant shuffle of every fact-fact equi-join that the layout
   * already paid for at write time, without the separate
   * Spark-native-bucketed companion copy ([[Lakehouse.writeBucketed]])
-  * this repo used before.
+  * this repo used before. The rest of the DSv2 read path rides the
+  * same write-time metadata: complete (grouped) aggregate pushdown,
+  * reported ordering, exact statistics, static + runtime pruning,
+  * LIMIT/TopN file caps, SQL time travel and branch namespaces —
+  * every claim declining to the bit-identical ordinary scan when its
+  * metadata proof doesn't hold.
   *
   * Register once per session:
   * {{{
