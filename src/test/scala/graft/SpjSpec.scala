@@ -840,6 +840,45 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("two-level SPJ with join keys a SUBSET of the partition keys (the daily-fact join shape)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-ss").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    val a = (1L to 200L).map(k => (k, if (k % 3 == 0) "A" else "B", k * 1.0))
+      .toDF("k", "seg", "x")
+    val b = (1L to 200L).filter(_ % 2 == 0)
+      .map(k => (k, if (k % 5 == 0) "A" else "B", k * 2.0)).toDF("k2", "seg2", "y")
+    lake.createOrReplace(a, "spj_ssa", Seq("seg", "bucket(4,k)"))
+    lake.createOrReplace(b, "spj_ssb", Seq("seg2", "bucket(4,k2)"))
+    withSpj(root, "spj_t29") {
+      val prev = Seq(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled" -> "true",
+        // default-true: would force the join to cluster on ALL
+        // partition keys, defeating the subset grouping
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+        .map { case (c, v) => (c, v, spark.conf.getOption(c)) }
+      try {
+        prev.foreach { case (c, v, _) => spark.conf.set(c, v) }
+        // join on the BUCKET key alone — the everyday shape over
+        // (status/day, bucket(id)) facts: Spark groups both sides'
+        // partition tuples by the subset key and still co-locates
+        val j = spark.table("spj_t29.spj_ssa")
+          .join(spark.table("spj_t29.spj_ssb"), col("k") === col("k2"))
+          .select(col("k"), col("seg"), col("seg2"), col("x"), col("y"))
+        assert(!Medallion.plansShuffle(j),
+          "subset-join-keys SPJ must not shuffle:\n" +
+            j.queryExecution.executedPlan)
+        assert(sortedRows(j) === sortedRows(
+          a.join(b, col("k") === col("k2"))
+            .select(col("k"), col("seg"), col("seg2"), col("x"), col("y"))))
+      } finally prev.foreach {
+        case (c, _, Some(v)) => spark.conf.set(c, v)
+        case (c, _, None) => spark.conf.unset(c)
+      }
+    }
+  }
+
   test("branch scoping: DML through the catalog commits to the loaded branch; as-of stays on it") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-br").toString
     val lake = new Lakehouse(spark, root)
