@@ -3353,7 +3353,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         }
       if (specs match {
         case Seq(s) => s.startsWith("bucket(") || !s.contains("(")
-        case Seq(p, s) => !p.contains("(") && s.startsWith("bucket(")
+        case Seq(p, s) =>
+          (!p.contains("(") ||
+            p.matches("""(days|months|years|hours)\(.+\)""")) &&
+            s.startsWith("bucket(")
         case _ => false
       })
       // identity levels must DECODE: the column must be in the
@@ -4516,19 +4519,24 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           "identity+bucket spec on every data dir")
     }
     val BucketSpecRe = """bucket\((\d+),(.+)\)""".r
-    // accepted shapes: [bucket(n,k)] | [identity] | [identity, bucket(n,k)]
-    // (the Iceberg fact canon: a low-cardinality dimension over hash
-    // buckets). outerPhys/bucketPhys are the PHYSICAL dir names.
-    val (outerPhys, bucketLevel0) =
+    val TimeSpecRe = """(days|months|years|hours)\((.+)\)""".r
+    // accepted shapes: [bucket(n,k)] | [identity] |
+    // [identity | days/months/years/hours, bucket(n,k)] — the Iceberg
+    // fact canon: a low-cardinality dimension or a calendar transform
+    // over hash buckets. outerPhys/bucketPhys are the PHYSICAL dir
+    // names; `outerIsTime` marks a derived (non-column) outer key.
+    val (outerPhys, outerIsTime, bucketLevel0) =
       physLevels.map(p => (p, Transforms.specOfPhys(p))) match {
-        case Seq((bp, BucketSpecRe(nn, c))) => (None, Some((bp, nn.toInt, c)))
-        case Seq((ip, s)) if !s.contains("(") => (Some(ip), None)
+        case Seq((bp, BucketSpecRe(nn, c))) => (None, false, Some((bp, nn.toInt, c)))
+        case Seq((ip, s)) if !s.contains("(") => (Some(ip), false, None)
         case Seq((ip, s), (bp, BucketSpecRe(nn, c))) if !s.contains("(") =>
-          (Some(ip), Some((bp, nn.toInt, c)))
+          (Some(ip), false, Some((bp, nn.toInt, c)))
+        case Seq((tp, TimeSpecRe(_, _)), (bp, BucketSpecRe(nn, c))) =>
+          (Some(tp), true, Some((bp, nn.toInt, c)))
         case other => throw new IllegalArgumentException(
           s"$table is partitioned by ${other.map(_._2).mkString(", ")} — " +
-            "storage-partitioned reads serve bucket(n,k), identity, and " +
-            "identity+bucket layouts only")
+            "storage-partitioned reads serve bucket(n,k), identity, " +
+            "identity+bucket, and time-transform+bucket layouts only")
       }
     val schema = metaSchema(table, entries, snap).getOrElse(
       throw new IllegalStateException(s"cannot resolve a schema for $table@$snap"))
@@ -4603,6 +4611,18 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         SpjLayout(schema, idCol, keys.length,
           grouped(e => idx(SpjLayout.unescapePath(e._1.get))),
           identityKeys = Some(keys))
+      case (Some(outer), Some((_, n, keyCol))) if outerIsTime =>
+        // composite index over a DERIVED outer key: the dir value is
+        // the transform's long (epoch days/months/years/hours), no
+        // schema column to decode against — null-ts rows land in the
+        // Hive null dir and carry a null outer key
+        val keys = files.flatMap(_._1._1).distinct.sorted
+          .map(raw => SpjLayout.decodeDerivedLong(raw)).toIndexedSeq
+        val idx = keys.map(_._1).zipWithIndex.toMap
+        SpjLayout(schema, keyCol, n,
+          grouped(e => idx(SpjLayout.unescapePath(e._1.get)) * n + e._2.get),
+          identityKeys = Some(keys),
+          outerTransformSpec = Some(Transforms.specOfPhys(outer)))
       case (Some(outer), Some((_, n, keyCol))) =>
         // composite index: partition (idIdx, bucket) = idIdx * n + bucket
         val idCol = Transforms.specOfPhys(outer)
@@ -4733,29 +4753,37 @@ private[graft] case class SpjFile(path: String, length: Long,
 private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructType,
     keyCol: String, nBuckets: Int, files: Map[Int, Seq[SpjFile]],
     identityKeys: Option[IndexedSeq[(String, Any)]] = None,
-    outerCol: Option[String] = None) {
-  /** The identity component's column — the single identity level or
-    * the outer level of a two-level layout; None for pure bucket. */
+    outerCol: Option[String] = None,
+    outerTransformSpec: Option[String] = None) {
+  /** Two-level layouts: an OUTER level (identity column or time
+    * transform) over the bucket level. */
+  private def twoLevel: Boolean = outerCol.isDefined || outerTransformSpec.isDefined
+  /** The identity component's COLUMN — the single identity level or
+    * the identity outer of a two-level layout; None for pure bucket
+    * and for transform outers (whose key is a DERIVED value, not a
+    * schema column — nothing to inject or group by). */
   def identityCol: Option[String] =
-    outerCol.orElse(identityKeys.map(_ => keyCol))
+    outerCol.orElse(
+      if (outerTransformSpec.isDefined) None else identityKeys.map(_ => keyCol))
   /** The bucket component (n, column); None for pure identity. */
   def bucketLevel: Option[(Int, String)] =
-    if (outerCol.isDefined || identityKeys.isEmpty) Some((nBuckets, keyCol)) else None
+    if (twoLevel || identityKeys.isEmpty) Some((nBuckets, keyCol)) else None
   /** Total planned partitions (composite for two-level layouts). */
-  def nParts: Int = (identityKeys, outerCol) match {
-    case (Some(ks), Some(_)) => ks.length * nBuckets
-    case _ => nBuckets
+  def nParts: Int = identityKeys match {
+    case Some(ks) if twoLevel => ks.length * nBuckets
+    case Some(ks) => ks.length
+    case None => nBuckets
   }
-  /** Partition i's index into [[identityKeys]], when the layout has
-    * an identity level. */
+  /** Partition i's index into [[identityKeys]] (the OUTER key list —
+    * identity values or derived transform values), when one exists. */
   def identityIdxAt(i: Int): Option[Int] =
-    identityKeys.map(_ => if (outerCol.isDefined) i / nBuckets else i)
-  /** Partition i's identity component, when the layout has one. */
+    identityKeys.map(_ => if (twoLevel) i / nBuckets else i)
+  /** Partition i's outer-key component, when the layout has one. */
   def identityKeyAt(i: Int): Option[(String, Any)] =
     identityIdxAt(i).map(ix => identityKeys.get(ix))
   /** Partition i's bucket component, when the layout has one. */
   def bucketAt(i: Int): Option[Int] =
-    if (outerCol.isDefined) Some(i % nBuckets)
+    if (twoLevel) Some(i % nBuckets)
     else if (identityKeys.isEmpty) Some(i)
     else None
   def identityField: Option[org.apache.spark.sql.types.StructField] =
@@ -4770,12 +4798,9 @@ private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructTyp
       bkAllowed.forall(a => bucketAt(i).forall(a.contains))
   /** Canonical write-spec — what the DSv2 write path hands the
     * Lakehouse writer so inserts land under the table's own layout. */
-  def spec: Seq[String] = (identityCol, bucketLevel) match {
-    case (Some(p), Some((n, k))) => Seq(p, s"bucket($n,$k)")
-    case (Some(p), None) => Seq(p)
-    case (None, Some((n, k))) => Seq(s"bucket($n,$k)")
-    case _ => Seq.empty
-  }
+  def spec: Seq[String] =
+    (outerTransformSpec.toSeq ++ identityCol ++
+      bucketLevel.map { case (n, k) => s"bucket($n,$k)" })
 }
 
 private[graft] object SpjLayout {
@@ -4790,6 +4815,12 @@ private[graft] object SpjLayout {
   def supportedIdentityType(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | ShortType | ByteType | DateType => true
     case _ => false
+  }
+  /** Decode a DERIVED transform dir value (epoch days/months/years/
+    * hours — the writer materializes them as longs). */
+  def decodeDerivedLong(raw: String): (String, Any) = {
+    val un = unescapePath(raw)
+    (un, if (un == HiveNullPart) null else un.toLong)
   }
   /** Decode an identity partition dir value to (unescaped string,
     * internal value). The unescaped string doubles as the CANONICAL

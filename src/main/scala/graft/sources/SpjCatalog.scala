@@ -154,9 +154,11 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
     throw new UnsupportedOperationException("read-only catalog")
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "bucket"))
+    ("bucket" +: GraftTimeFunction.Names).map(Identifier.of(Array.empty, _)).toArray
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else if (GraftTimeFunction.Names.contains(ident.name().toLowerCase))
+      new GraftTimeFunction(ident.name().toLowerCase)
     else throw new NoSuchFunctionException(ident)
 }
 
@@ -200,7 +202,8 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def partitioning(): Array[Transform] =
-    (layout.identityCol.map(Expressions.identity).toSeq ++
+    (SpjTransforms.outer(layout).toSeq ++
+      layout.identityCol.map(Expressions.identity) ++
       layout.bucketLevel.map { case (n, k) => Expressions.bucket(n, k) }).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSpjScanBuilder(layout)
@@ -535,7 +538,8 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
     * two-level fact shape. */
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      (layout.identityCol.map(Expressions.identity).toSeq ++
+      (SpjTransforms.outer(layout).toSeq ++
+        layout.identityCol.map(Expressions.identity) ++
         layout.bucketLevel.map { case (n, k) => Expressions.bucket(n, k) }).toArray,
       layout.nParts)
 
@@ -696,6 +700,79 @@ private[spj] case class GraftBucketBound(keyType: DataType)
   }
 }
 
+/** The outer-level transform of a two-level layout as a V2
+  * `Transform` — what [[GraftSpjTable.partitioning]] and the scan's
+  * `KeyGroupedPartitioning` report for `days/months/years/hours`
+  * outer levels. */
+private[spj] object SpjTransforms {
+  private val Re = """(\w+)\((.+)\)""".r
+  def outer(layout: SpjLayout): Option[Transform] =
+    layout.outerTransformSpec.map {
+      case Re("days", c) => Expressions.days(c)
+      case Re("months", c) => Expressions.months(c)
+      case Re("years", c) => Expressions.years(c)
+      case Re("hours", c) => Expressions.hours(c)
+      case other => throw new IllegalStateException(s"unmapped outer transform $other")
+    }
+}
+
+/** The calendar transforms as catalog V2 functions — what lets Spark
+  * resolve `days(ts)` etc. in [[KeyGroupedPartitioning]]: two scans
+  * co-partition iff their transforms bind to the same
+  * `canonicalName`. `produceResult` mirrors the WRITE-side derivation
+  * bit-for-bit (graft.sources.Transforms: UTC epoch arithmetic,
+  * never session-calendar fields), so partially-clustered SPJ and
+  * pushed partition values stay correct when Spark evaluates the
+  * function on join-key values. */
+private[spj] object GraftTimeFunction {
+  val Names: Seq[String] = Seq("days", "months", "years", "hours")
+  private[spj] val DayMicros = 86400000000L
+  private[spj] val HourMicros = 3600000000L
+}
+
+private[spj] class GraftTimeFunction(fname: String) extends UnboundFunction {
+  override def name(): String = fname
+  override def description(): String =
+    s"$fname(col): UTC calendar bucket (epoch arithmetic), the graft layout transform"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$fname takes one DATE/TIMESTAMP column, got ${inputType.simpleString}")
+    inputType.fields(0).dataType match {
+      case t @ (DateType | TimestampType) if fname != "hours" || t == TimestampType =>
+        GraftTimeBound(fname, t)
+      case t => throw new UnsupportedOperationException(
+        s"$fname() needs a ${if (fname == "hours") "timestamp" else "date/timestamp"} " +
+          s"column; got ${t.simpleString}")
+    }
+  }
+}
+
+private[spj] case class GraftTimeBound(fname: String, srcType: DataType)
+  extends ScalarFunction[java.lang.Long] {
+  import GraftTimeFunction.{DayMicros, HourMicros}
+  override def name(): String = fname
+  override def canonicalName(): String = s"graft.$fname"
+  override def inputTypes(): Array[DataType] = Array(srcType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): java.lang.Long = {
+    // epoch days: a DATE's internal form IS days; a TIMESTAMP floors
+    // its UTC micros — identical to Transforms.epochDays
+    def days: Long = srcType match {
+      case DateType => input.getInt(0).toLong
+      case _ => Math.floorDiv(input.getLong(0), DayMicros)
+    }
+    fname match {
+      case "days" => days
+      case "hours" => Math.floorDiv(input.getLong(0), HourMicros)
+      case "months" =>
+        val d = java.time.LocalDate.ofEpochDay(days)
+        ((d.getYear - 1970) * 12 + d.getMonthValue - 1).toLong
+      case "years" => (java.time.LocalDate.ofEpochDay(days).getYear - 1970).toLong
+    }
+  }
+}
+
 /** Conservative plan-time pruning against pushed V1 filters. The only
   * permitted error direction is KEEPING a file that holds no matches —
   * dropping one that might is the silent-wrong-results bug class, so
@@ -752,7 +829,28 @@ private[spj] object SpjPruning {
   private def scalar(v: Any): Boolean = v match {
     case null => false
     case _: String | _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float => true
+    // temporal literals compare against the ledgers' internal numeric
+    // stats (timestamps: UTC micros; dates: epoch days) — the
+    // time-range scan over a daily layout is THE pruning shape
+    case _: java.sql.Timestamp | _: java.time.Instant |
+         _: java.sql.Date | _: java.time.LocalDate => true
     case _ => false
+  }
+
+  /** A filter literal's numeric image in the ledgers' domain —
+    * timestamps to UTC epoch micros, dates to epoch days (exactly the
+    * forms the stat writer records for TIMESTAMP/DATE columns). */
+  private def numericImage(v: Any): Option[BigDecimal] = v match {
+    case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float =>
+      scala.util.Try(BigDecimal(v.toString)).toOption
+    case ts: java.sql.Timestamp => Some(BigDecimal(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)))
+    case i: java.time.Instant => Some(BigDecimal(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+    case d: java.sql.Date => Some(BigDecimal(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong))
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+    case _ => None
   }
 
   /** Compare a recorded stat bound to a filter value under the stat's
@@ -762,11 +860,9 @@ private[spj] object SpjPruning {
       case s: String => Some(bound.compareTo(s))
       case _ => None
     }
-    case "long" | "double" => v match {
-      case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float =>
-        scala.util.Try(BigDecimal(bound).compare(BigDecimal(v.toString))).toOption
-      case _ => None
-    }
+    case "long" | "double" =>
+      numericImage(v).flatMap(n =>
+        scala.util.Try(BigDecimal(bound).compare(n)).toOption)
     case _ => None
   }
 

@@ -879,6 +879,63 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("days(ts) x bucket layouts: the daily-fact canon joins on the id alone, Exchange-free") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.spj.GraftSpjScan
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-dy").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.from(java.time.Instant.parse(
+        f"2024-03-${day}%02dT$h%02d:30:00Z"))
+    val a = (1L to 120L).map(k =>
+      (k, ts((k % 5 + 1).toInt, (k % 20).toInt), k * 1.0)).toDF("k", "ev_ts", "x")
+    val b = (1L to 120L).filter(_ % 3 == 0).map(k =>
+      (k, ts((k % 4 + 2).toInt, (k % 18).toInt), k * 2.0)).toDF("k2", "ts2", "y")
+    lake.createOrReplace(a, "spj_dya", Seq("days(ev_ts)", "bucket(4,k)"))
+    lake.createOrReplace(b, "spj_dyb", Seq("days(ts2)", "bucket(4,k2)"))
+    withSpj(root, "spj_t30") {
+      val t = spark.table("spj_t30.spj_dya")
+      // round-trip: the source timestamp column lives IN the files
+      // (the derived day is path-only) — values exact
+      assert(sortedRows(t) === sortedRows(a))
+      // the daily-fact join: on the id alone, with subset join keys —
+      // partition tuples (day, bucket) group by bucket and co-locate
+      val prev = Seq(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+        .map { case (c, v) => (c, v, spark.conf.getOption(c)) }
+      try {
+        prev.foreach { case (c, v, _) => spark.conf.set(c, v) }
+        val j = t.join(spark.table("spj_t30.spj_dyb"), col("k") === col("k2"))
+          .select(col("k"), col("ev_ts"), col("ts2"), col("x"), col("y"))
+        assert(!Medallion.plansShuffle(j),
+          "daily-fact subset-key SPJ must not shuffle:\n" +
+            j.queryExecution.executedPlan)
+        assert(sortedRows(j) === sortedRows(
+          a.join(b, col("k") === col("k2"))
+            .select(col("k"), col("ev_ts"), col("ts2"), col("x"), col("y"))))
+      } finally prev.foreach {
+        case (c, _, Some(v)) => spark.conf.set(c, v)
+        case (c, _, None) => spark.conf.unset(c)
+      }
+      // a time-range predicate prunes FILES through the per-file ts
+      // stats (day dirs are single-day, so whole days drop)
+      def planned(df: DataFrame): Int = collectPlan(df) {
+        case s: BatchScanExec => s.scan.asInstanceOf[GraftSpjScan].plannedFileCount
+      }.head
+      val total = planned(t.select(col("k")))
+      val dayQ = t.where(col("ev_ts") >= "2024-03-05 00:00:00" &&
+        col("ev_ts") < "2024-03-06 00:00:00")
+      assert(planned(dayQ.select(col("k"))) < total,
+        "a one-day range should prune the other days' files")
+      assert(sortedRows(dayQ) === sortedRows(
+        a.where(col("ev_ts") >= "2024-03-05 00:00:00" &&
+          col("ev_ts") < "2024-03-06 00:00:00")))
+    }
+  }
+
   test("branch scoping: DML through the catalog commits to the loaded branch; as-of stays on it") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-br").toString
     val lake = new Lakehouse(spark, root)
