@@ -43,6 +43,7 @@ object SparkEntry {
     "q_spj_group_agg" -> (Medallion.qSpjGroupAgg _),
     "q_spj_sorted_join" -> (Medallion.qSpjSortedJoin _),
     "q_spj_two_level" -> (Medallion.qSpjTwoLevel _),
+    "q_spj_daily_join" -> (Medallion.qSpjDailyJoin _),
     "q_spj_runtime_filter" -> (Medallion.qSpjRuntimeFilter _),
     "q_spj_limit" -> (Medallion.qSpjLimit _),
     "q_spj_topn" -> (Medallion.qSpjTopn _),
@@ -408,6 +409,16 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s_price,
         |  CAST(1.0 AS DOUBLE) AS meta_only, CAST(1.0 AS DOUBLE) AS colocated
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // calendar × bucket layouts: the oracle recomputes the windowed
+    // rollup by scanning; colocated = 1.0 pins the Exchange-free
+    // join-on-the-id-alone (subset of the partition keys), pruned =
+    // 1.0 pins that the date window dropped the other years' files
+    "q_spj_daily_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_1995,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_1995,
+        |  CAST(1.0 AS DOUBLE) AS pruned, CAST(1.0 AS DOUBLE) AS colocated
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'""".stripMargin,
     // SPJ + reported ordering: the oracle recomputes the join by
     // scanning; presorted = 1.0 pins that the executed merge join had
     // ZERO Exchange and ZERO Sort nodes (both proven from write-time

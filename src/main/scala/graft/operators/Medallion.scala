@@ -840,6 +840,78 @@ object Medallion {
       .orderBy("o_orderstatus")
   }
 
+  /** `q_spj_daily_join` — CALENDAR-TRANSFORM × BUCKET layouts at the
+    * driver surface (`years(o_orderdate) × bucket(8, o_custkey)` —
+    * the time-partitioned bucketed fact canon; `days()` is the same
+    * machinery, spec-exercised, kept off the bench for leaf-count
+    * sanity at tiny SFs): two facts sharing the spec JOIN ON THE
+    * BUCKET KEY ALONE — Spark groups the (year, bucket) partition
+    * tuples by the subset key under
+    * `allowJoinKeysSubsetOfPartitionKeys` and still proves
+    * co-location, NO Exchange (`colocated = 1.0`); and a DATE-RANGE
+    * predicate prunes the other years' files at plan time through the
+    * per-file date ledgers — temporal literals map to the ledger's
+    * epoch-days domain (`pruned = 1.0`). At 100 TB this is the
+    * everyday query pair over ONE write-time layout: the daily fact
+    * joins on id without a shuffle, and the time-windowed scan reads
+    * O(window), not the table. */
+  def qSpjDailyJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.Lakehouse
+    import graft.sources.spj.{GraftSpjCatalog, GraftSpjScan}
+    val root = java.nio.file.Files.createTempDirectory("graft-spjdj").toString
+    val lake = new Lakehouse(spark, root)
+    // the driver's o_orderdate arrives TIMESTAMP_NTZ; the calendar
+    // transform wants DATE/TIMESTAMP — date-cast (date-valued anyway)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").cast("date").as("o_orderdate"),
+      col("o_totalprice"))
+    lake.createOrReplace(orders, "spjq_dj",
+      Seq("years(o_orderdate)", "bucket(8,o_custkey)"))
+    lake.createOrReplace(orders.select(
+      col("o_orderkey").as("p_orderkey"), col("o_custkey").as("p_custkey"),
+      col("o_orderdate").as("p_date")),
+      "spjq_djp", Seq("years(p_date)", "bucket(8,p_custkey)"))
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+      .map { case (c, v) => (c, v, spark.conf.getOption(c)) }
+    val colocated = try {
+      confs.foreach { case (c, v, _) => spark.conf.set(c, v) }
+      // the everyday join: on the id ALONE over (year, bucket) tuples
+      val j = spark.table(s"$cat.spjq_dj")
+        .join(spark.table(s"$cat.spjq_djp"), col("o_custkey") === col("p_custkey"))
+      val flag = if (!plansShuffle(j)) 1.0 else 0.0
+      require(j.count() > 0) // execute inside the conf scope
+      flag
+    } finally confs.foreach {
+      case (c, _, Some(v)) => spark.conf.set(c, v)
+      case (c, _, None) => spark.conf.unset(c)
+    }
+    // the time-windowed scan: one year's files plan, the rest drop
+    def planned(df: DataFrame): Int = collectExec(df) {
+      case b: BatchScanExec => b.scan.asInstanceOf[GraftSpjScan].plannedFileCount
+    }.head
+    val t = spark.table(s"$cat.spjq_dj")
+    val total = planned(t.select(col("o_orderkey")))
+    val yearQ = t.where(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+      col("o_orderdate") < lit("1996-01-01").cast("date"))
+    val pruned = if (planned(yearQ.select(col("o_orderkey"))) < total) 1.0 else 0.0
+    import spark.implicits._
+    val r = yearQ.agg(count(lit(1)).as("n"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .collect().head
+    Seq((r.getLong(0), r.getDouble(1), pruned, colocated))
+      .toDF("n_1995", "total_1995", "pruned", "colocated")
+  }
+
   /** `q_spj_sorted_join` — SPJ + REPORTED ORDERING: both join sides
     * land `bucket(8, key)`-partitioned with a DECLARED write sort
     * order on the key and range write distribution, so every data dir
