@@ -24,6 +24,7 @@ object SparkEntry {
     "sql_lakehouse_ddl" -> (Medallion.sqlLakehouseDdl _),
     "mview_incremental" -> (Medallion.mviewIncremental _),
     "mview_join" -> (Medallion.mviewJoin _),
+    "mview_star" -> (Medallion.mviewStar _),
     "mview_dim_delta" -> (Medallion.mviewDimDelta _),
     "mview_left_delta" -> (Medallion.mviewLeftDelta _),
     "sql_mview" -> (Medallion.sqlMview _),
@@ -47,6 +48,8 @@ object SparkEntry {
     "q_spj_runtime_filter" -> (Medallion.qSpjRuntimeFilter _),
     "q_spj_limit" -> (Medallion.qSpjLimit _),
     "q_spj_topn" -> (Medallion.qSpjTopn _),
+    "q_spj_update" -> (Medallion.qSpjUpdate _),
+    "q_spj_merge" -> (Medallion.qSpjMerge _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -238,6 +241,18 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // multi-hop snowflake view: two fact-delta merges + one chain
+    // recompute (hop-2 dim re-label, restated as CASE) must equal the
+    // from-scratch two-join rollup
+    "mview_star" ->
+      """WITH nat AS (SELECT n_nationkey,
+        |  CASE WHEN n_nationkey < 5 THEN 'ZONE_A' ELSE n_name END AS n_name
+        |  FROM nation)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nat ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // write-audit-publish: the staged batch minus audited-out rows —
     // the hash proves corrupt rows never reached main and the rest did
     "sql_wap" ->
@@ -452,6 +467,33 @@ object SparkEntry {
         |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
         |  CAST(1.0 AS DOUBLE) AS pruned
         |FROM orders ORDER BY o_orderkey DESC LIMIT 50""".stripMargin,
+    // Spark-native SQL UPDATE (group-based CoW row-level op): the
+    // oracle restates the final table state via CASE; rewrote_leaves=1
+    // pins that static bucket pruning bounded the rewrite to the ONE
+    // partition leaf holding the key — every other leaf carried by
+    // ledger reference
+    "q_spj_update" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o_custkey = (SELECT min(o_custkey) FROM orders)
+        |    THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+        |    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total,
+        |  CAST(1 AS BIGINT) AS rewrote_leaves
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Spark-native SQL MERGE INTO (group-based CoW): the oracle
+    // restates the upserted table as a FULL OUTER join of the even-key
+    // target seed with the per-customer order counts, then rolls it up
+    "q_spj_merge" ->
+      """WITH src AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |tgt AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |  CAST(0 AS BIGINT) AS n_ord FROM customer WHERE c_custkey % 2 = 0),
+        |final AS (SELECT coalesce(t.k, s.k) AS k,
+        |  CASE WHEN t.k IS NULL THEN 'NEW' ELSE t.seg END AS seg,
+        |  coalesce(s.n_ord, t.n_ord) AS n_ord
+        |  FROM tgt t FULL OUTER JOIN src s ON t.k = s.k)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_ord) AS BIGINT) AS orders
+        |FROM final GROUP BY seg ORDER BY seg""".stripMargin,
     // CDC changelog: the oracle restates the NET interval effect —
     // appended-then-deleted rows emit nothing, pre-existing deleted
     // rows emit deletes, surviving appends emit inserts

@@ -1104,6 +1104,88 @@ object Medallion {
       .orderBy(col("o_orderkey").desc)
   }
 
+  /** `q_spj_update` — Spark-native SQL UPDATE through the DSv2
+    * catalog ([[graft.sources.spj.GraftSpjRowLevelOp]], the Iceberg
+    * copy-on-write `UPDATE t SET … WHERE …` analog the reference's
+    * stack leans on): orders lands hidden-partitioned by
+    * `bucket(8, o_custkey)`, one customer's rows double their price,
+    * and the statement plans through Spark's own group-based rewrite —
+    * CoW scan over the pinned snapshot, staged replace-data write,
+    * conditional entry-swap commit. The readout aggregates the FINAL
+    * table state (bit-restated by the oracle from the raw rows) and
+    * pins `rewrote_leaves = 1`: static bucket pruning bounded the
+    * rewrite to the ONE partition leaf that can hold the key — at
+    * 100 TB a keyed UPDATE prices O(1 leaf), never a table rewrite,
+    * with every other leaf carried by ledger reference. */
+  def qSpjUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjupd").toString
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("o_price_d")),
+      "spjq_upd", Seq("bucket(8,o_custkey)"))
+    val before = lake.spjLayout("spjq_upd").files
+      .valuesIterator.flatten.map(_.path).toSet
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val k0 = Tables.orders(spark, dir).agg(min("o_custkey")).head().getLong(0)
+    spark.sql(s"UPDATE $cat.spjq_upd SET o_price_d = o_price_d * 2 WHERE o_custkey = $k0")
+    val after = lake.spjLayout("spjq_upd").files
+      .valuesIterator.flatten.map(_.path).toSet
+    // carry-by-reference, hash-pinned: exactly ONE leaf dir rewritten
+    val rewroteLeaves = (before -- after).map(p => p.take(p.lastIndexOf('/'))).size.toLong
+    val rows = spark.table(s"$cat.spjq_upd")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_price_d")).cast("double").as("total"))
+      .orderBy("o_orderstatus")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), rewroteLeaves))
+    import spark.implicits._
+    rows.toSeq.toDF("o_orderstatus", "n", "total", "rewrote_leaves")
+      .orderBy("o_orderstatus")
+  }
+
+  /** `q_spj_merge` — Spark-native SQL MERGE INTO through the DSv2
+    * catalog (the reference's exact upsert statement shape,
+    * mongo_to_iceberg.py's `MERGE INTO … WHEN MATCHED … WHEN NOT
+    * MATCHED`): a per-customer order-count source upserts into a
+    * bucket-layout summary seeded with only the EVEN customer keys —
+    * matched keys take the fresh count, unmatched keys insert as
+    * segment 'NEW'. Plans through Spark's group-based MERGE rewrite
+    * (CoW scan ⟕ source, runtime group filtering pruning the rewrite
+    * to buckets the source actually touches) and commits as one
+    * conditional entry swap; the oracle restates the final state as a
+    * FULL OUTER join over the raw tables. */
+  def qSpjMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjmrg").toString
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Tables.customer(spark, dir)
+      .where(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        lit(0L).as("n_ord")),
+      "spjq_mrg", Seq("bucket(8,k)"))
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.orders(spark, dir).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_ord"))
+      .createOrReplaceTempView("spjq_mrg_src")
+    spark.sql(
+      s"""MERGE INTO $cat.spjq_mrg t USING spjq_mrg_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET t.n_ord = s.n_ord
+         |WHEN NOT MATCHED THEN INSERT (k, seg, n_ord) VALUES (s.k, 'NEW', s.n_ord)""".stripMargin)
+    spark.table(s"$cat.spjq_mrg")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("n_ord")).as("orders"))
+      .orderBy("seg")
+  }
+
   /** `q_cdc_read` — the CDC CHANGELOG read at the driver surface
     * ([[graft.sources.Lakehouse.readChangesCdc]], the Iceberg
     * `changelog` / Delta CDF analog): baseline lands, a batch
@@ -1257,7 +1339,7 @@ object Medallion {
       .select(col("c_custkey"), col("c_mktsegment"))
     val d = MV.ViewDef("mvj_sales", "mvj_orders", Seq("c_mktsegment"),
       Seq(MV.SumCol("price", "total_price"), MV.CountAll("n_orders")),
-      join = Some(MV.JoinSpec("mvj_customer", "o_custkey", "c_custkey")))
+      joins = Seq(MV.JoinSpec("mvj_customer", "o_custkey", "c_custkey")))
     // dim starts HALF-populated: even customer keys only
     lake.createOrReplace(customer.where(col("c_custkey") % 2 === 0), "mvj_customer")
     lake.createOrReplace(orders.where(col("o_orderkey") % 3 === 0), "mvj_orders")
@@ -1273,6 +1355,55 @@ object Medallion {
       col("c_mktsegment"), col("n_orders"),
       col("total_price").cast("double").as("total_price"))
       .orderBy("c_mktsegment")
+  }
+
+  /** `mview_star` — MULTI-HOP (snowflake) incremental materialized
+    * view (`orders ⋈ customer ⋈ nation`, the classic star rollup —
+    * hop 2 joins on `c_nationkey`, a column hop 1's dim introduced):
+    * fact appends stay DELTA-PRICED through the whole pinned dim
+    * chain (the delta joins both dims at their recorded snapshots and
+    * merges partial aggregates), and a hop-2 dim re-label (nations
+    * regrouped into a zone) triggers the sound recompute at the new
+    * pins — multi-hop dim movement deliberately refuses the
+    * subtractive leg, whose changed-key set would have to propagate
+    * through the other hops ([[graft.sources.MaterializedView]]).
+    * The oracle restates the final state as a from-scratch two-join
+    * rollup with the re-label as CASE — hash equality proves two
+    * delta merges plus one chain recompute land bit-exactly. At
+    * 100 TB the everyday star-schema gold rollup refreshes at
+    * O(fact delta ⋈ dims), never a fact re-scan. */
+  def mviewStar(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Lakehouse, MaterializedView => MV}
+    val root = java.nio.file.Files.createTempDirectory("graft-mvstar").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val d = MV.ViewDef("mvs_sales", "mvs_orders", Seq("n_name"),
+      Seq(MV.SumCol("price", "total_price"), MV.CountAll("n_orders")),
+      joins = Seq(MV.JoinSpec("mvs_customer", "o_custkey", "c_custkey"),
+        MV.JoinSpec("mvs_nation", "c_nationkey", "n_nationkey")))
+    lake.createOrReplace(customer, "mvs_customer")
+    lake.createOrReplace(nation, "mvs_nation")
+    lake.createOrReplace(orders.where(col("o_orderkey") % 3 === 0), "mvs_orders")
+    MV.create(lake, d)
+    lake.append(orders.where(col("o_orderkey") % 3 === 1), "mvs_orders")
+    MV.refresh(lake, d) // fact delta ⋈ pinned (customer, nation), merged
+    // hop-2 dim movement: low-key nations regroup into one zone (MoR,
+    // CDC-readable — but the CHAIN recomputes at the new pins by rule)
+    lake.updateWhereMor(Seq("n_name" -> lit("ZONE_A")),
+      col("n_nationkey") < 5, "mvs_nation")
+    MV.refresh(lake, d)
+    lake.append(orders.where(col("o_orderkey") % 3 === 2), "mvs_orders")
+    MV.refresh(lake, d) // delta path resumes at the new pins
+    lake.read("mvs_sales").select(
+      col("n_name"), col("n_orders"),
+      col("total_price").cast("double").as("total_price"))
+      .orderBy("n_name")
   }
 
   /** `mview_dim_delta` — DIM-SIDE INCREMENTAL maintenance of a
@@ -1300,7 +1431,7 @@ object Medallion {
       .select(col("c_custkey"), col("c_mktsegment"))
     val d = MV.ViewDef("mvd_sales", "mvd_orders", Seq("c_mktsegment"),
       Seq(MV.SumCol("price", "total_price"), MV.CountAll("n_orders")),
-      join = Some(MV.JoinSpec("mvd_customer", "o_custkey", "c_custkey")))
+      joins = Seq(MV.JoinSpec("mvd_customer", "o_custkey", "c_custkey")))
     lake.createOrReplace(customer, "mvd_customer")
     lake.createOrReplace(orders, "mvd_orders")
     MV.create(lake, d)
@@ -1342,7 +1473,7 @@ object Medallion {
       .where(col("c_custkey") % 7 =!= 0) // a LAGGING dim: every 7th missing
     val d = MV.ViewDef("mvl_sales", "mvl_orders", Seq("c_mktsegment"),
       Seq(MV.SumCol("price", "total_price"), MV.CountAll("n_orders")),
-      join = Some(MV.JoinSpec("mvl_customer", "o_custkey", "c_custkey",
+      joins = Seq(MV.JoinSpec("mvl_customer", "o_custkey", "c_custkey",
         joinType = "left")))
     lake.createOrReplace(customer, "mvl_customer")
     lake.createOrReplace(orders, "mvl_orders")

@@ -4572,8 +4572,8 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       val dirMarker = "/" + dataDir + "/"
       roots.flatMap { e =>
         val p = new Path(tableDir(table), e)
-        if (fs.exists(p)) walk(p) else Seq.empty
-      }.map { st =>
+        (if (fs.exists(p)) walk(p) else Seq.empty).map(e -> _)
+      }.map { case (e, st) =>
         val full = st.getPath.toString
         val outerVal = outerMarker.map(segmentAfter(full, _))
         val bucketVal = bucketMarker.map(segmentAfter(full, _).toInt)
@@ -4583,7 +4583,13 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
             rows = dirRows.get(rel).map(_._1),
             nulls = dirRows.get(rel).map(_._2).getOrElse(Map.empty),
             sums = dirSums.getOrElse(rel, Map.empty),
-            sortedBy = dirSort))
+            sortedBy = dirSort,
+            // the PARTITION-LEAF entry this file belongs to — the
+            // replace granularity of the copy-on-write row-level ops
+            // (leaves are carried or rewritten whole; whole-dir ledger
+            // entries are exploded to the same leaves by
+            // [[replaceEntries]], exactly as [[deleteWhere]] classifies)
+            entry = rel.take(rel.lastIndexOf('/'))))
       }
     }
     def grouped(index: ((Option[String], Option[Int])) => Int): Map[Int, Seq[SpjFile]] =
@@ -4601,7 +4607,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       files.flatMap(_._1._1).distinct.sorted
         .map(raw => SpjLayout.decodeIdentity(f.dataType, raw)).toIndexedSeq
     }
-    (outerPhys, bucketLevel0) match {
+    val layout0 = (outerPhys, bucketLevel0) match {
       case (None, Some((_, n, keyCol))) =>
         SpjLayout(schema, keyCol, n, grouped(_._2.get))
       case (Some(outer), None) =>
@@ -4633,6 +4639,77 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           identityKeys = Some(keys), outerCol = Some(idCol))
       case (None, None) => throw new IllegalStateException("unreachable layout shape")
     }
+    // the snapshot the layout was resolved at — what the row-level ops'
+    // conditional commit pins against (a moved branch means the
+    // rewrite's carried rows are stale: refuse, never clobber)
+    layout0.copy(snapshot = snap)
+  }
+
+  /** Conditional ENTRY REPLACEMENT — the commit leg of the DSv2
+    * copy-on-write row-level operations ([[graft.sources.spj]]
+    * UPDATE / MERGE INTO / fallback DELETE): atomically swap the
+    * snapshot entries the CoW scan read for a freshly written data dir
+    * holding their transformed rows, carrying every other entry by
+    * reference (byte-identical, exactly like [[updateWhere]]'s clean
+    * set). UNCONDITIONAL RETRY IS IMPOSSIBLE here: the replacement
+    * rows were computed against `baseSnap`'s pinned files, so if the
+    * branch moved underneath, re-committing would resurrect rows a
+    * racing writer changed — refuse with [[CommitConflictException]]
+    * and let the caller re-run the whole statement against the new
+    * snapshot. The reference's MERGE lifecycle (mongo_to_iceberg.py)
+    * leans on Iceberg for exactly this serializable-or-fail property. */
+  private[graft] def replaceEntries(table: String, branch: String,
+      baseSnap: Long, removed: Seq[String], replacement: DataFrame,
+      partitionBy: Seq[String]): Long = {
+    val baseEntries = snapshots(table).find(_._1 == baseSnap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no snapshot $baseSnap"))._2
+    // classify at partition-LEAF granularity, exactly as [[deleteWhere]]:
+    // whole-dir ledger entries explode to their leaves so an op that
+    // touched one partition carries every other leaf by reference
+    val exploded = baseEntries.flatMap { e =>
+      if (e.contains("/")) Seq(e)
+      else dirLayout(table, e) match {
+        case Nil => Seq(e)
+        case own => leafDirs(new Path(tableDir(table), e), own.length)
+          .map(l => s"$e/$l")
+      }
+    }
+    val removedSet = removed.toSet
+    val missing = removedSet -- exploded.toSet
+    require(missing.isEmpty,
+      s"replaceEntries: ${missing.mkString(", ")} not in $table@$baseSnap")
+    val clean = exploded.filterNot(removedSet)
+    // the SPJ layout refuses tombstoned tables, so a row-level op can
+    // never see one — but re-check here: carrying a tombstone over a
+    // rewrite that already materialized its effect would double-delete
+    require(snapshotDeletes(table).getOrElse(baseSnap, Seq.empty).isEmpty,
+      s"$table@$baseSnap carries merge-on-read tombstones — compact() first")
+    if (removed.isEmpty && replacement.isEmpty) return baseSnap // provable no-op
+    val snap = reserveSnap(table)
+    val dir = s"data-$snap"
+    try {
+      writeDataDir(replacement, table, dir, partitionBy)
+      // a partitioned write of ZERO rows leaves no parquet files —
+      // committing the bare dir would break snapshot reads (same
+      // classification as [[deleteWhere]]'s all-deleted branch)
+      def hasParquet(p: Path): Boolean =
+        fs.listStatus(p).exists(s =>
+          (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
+            (s.isDirectory && hasParquet(s.getPath)))
+      if (hasParquet(new Path(tableDir(table), dir)))
+        commit(table, snap, clean :+ dir, branch, Some(Some(baseSnap)))
+      else if (clean.nonEmpty) {
+        val committed = commit(table, snap, clean, branch, Some(Some(baseSnap)))
+        fs.delete(new Path(tableDir(table), dir), true)
+        committed
+      } else {
+        // every row replaced away and nothing carried: an empty
+        // UNPARTITIONED dir always writes one schema-bearing file
+        writeDataDir(replacement.limit(0), table, dir, Nil)
+        commit(table, snap, Seq(dir), branch, Some(Some(baseSnap)))
+      }
+    } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
   }
 }
 
@@ -4731,7 +4808,8 @@ private[graft] case class SpjFile(path: String, length: Long,
     rows: Option[Long] = None,
     nulls: Map[String, Long] = Map.empty,
     sums: Map[String, Option[java.math.BigDecimal]] = Map.empty,
-    sortedBy: Seq[String] = Seq.empty)
+    sortedBy: Seq[String] = Seq.empty,
+    entry: String = "")
 
 /** A table's storage-partitioned layout ([[Lakehouse.spjLayout]]):
   * logical schema, partition column(s), files per partition index.
@@ -4754,7 +4832,8 @@ private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructTyp
     keyCol: String, nBuckets: Int, files: Map[Int, Seq[SpjFile]],
     identityKeys: Option[IndexedSeq[(String, Any)]] = None,
     outerCol: Option[String] = None,
-    outerTransformSpec: Option[String] = None) {
+    outerTransformSpec: Option[String] = None,
+    snapshot: Long = -1L) {
   /** Two-level layouts: an OUTER level (identity column or time
     * transform) over the bucket level. */
   private def twoLevel: Boolean = outerCol.isDefined || outerTransformSpec.isDefined

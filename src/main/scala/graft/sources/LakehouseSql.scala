@@ -392,7 +392,7 @@ case class LakehouseCreateMviewCommand(view: String, src: String,
       case other => throw new UnsupportedOperationException(s"unsupported aggregate: $other")
     }
     val d = ViewDef(view, src, groups, aggCols, where,
-      join.map { case (dim, fk, dk, jt) => JoinSpec(dim, fk, dk, jt) })
+      join.toSeq.map { case (dim, fk, dk, jt) => JoinSpec(dim, fk, dk, jt) })
     val snap = MaterializedView.create(lake, d)
     MaterializedView.persist(lake, d)
     lake.registerView(view)

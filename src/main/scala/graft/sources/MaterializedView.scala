@@ -55,15 +55,20 @@ object MaterializedView {
   final case class MinCol(src: String, alias: String) extends AggCol
   final case class MaxCol(src: String, alias: String) extends AggCol
 
-  /** The dimension side of a JOIN-shaped view (the silver_enrich
+  /** One dimension hop of a JOIN-shaped view (the silver_enrich
     * shape, reference: spark_jobs/silver_transformation.py): the
-    * view's rows are `fact {INNER|LEFT} JOIN dim ON fact.factKey =
-    * dim.dimKey` before filtering/grouping. The fact side is the
-    * APPENDING side (delta-maintained); the dim side is the
-    * enrichment side — a dim change applies incrementally when
-    * [[dimDelta]]'s gates hold, else recomputes. LEFT keeps unmatched
-    * fact rows with null-extended dim columns (the usual enrichment
-    * posture: facts must not vanish because the dim lags). */
+    * view's rows are `fact {INNER|LEFT} JOIN dim ON <left>.factKey =
+    * dim.dimKey` before filtering/grouping, where `<left>` is the
+    * relation accumulated so far — so a LATER hop's `factKey` may
+    * name a column introduced by an EARLIER dim (the snowflake shape:
+    * orders ⋈ customer on custkey, then ⋈ nation on the customer's
+    * nationkey). The fact side is the APPENDING side
+    * (delta-maintained); dims are the enrichment side — a single-dim
+    * view applies dim changes incrementally when [[dimDelta]]'s gates
+    * hold, a multi-hop view recomputes on any dim movement (the
+    * subtractive algebra would need cross-hop key propagation — see
+    * [[refresh]]). LEFT keeps unmatched left-side rows with
+    * null-extended dim columns. */
   final case class JoinSpec(dim: String, factKey: String, dimKey: String,
       joinType: String = "inner") {
     require(joinType == "inner" || joinType == "left",
@@ -71,21 +76,26 @@ object MaterializedView {
   }
 
   /** A view definition: `view` materializes
-    * `SELECT groupCols, aggs FROM src [JOIN dim] [WHERE filter]
+    * `SELECT groupCols, aggs FROM src [JOIN dim]* [WHERE filter]
     * GROUP BY groupCols`. The row filter is a plain column predicate
     * — applied identically to full recomputes and to deltas, which is
     * sound because a row's filter verdict never changes after it
     * lands (append-only intervals; rewrites fall back to recompute).
-    * With a [[JoinSpec]], group/filter/agg columns may come from
-    * either side of the join (names must not collide across the two
-    * tables, except a shared join-key name). */
+    * With [[JoinSpec]] hops, group/filter/agg columns may come from
+    * any side of the join chain (names must not collide across the
+    * tables, except shared join-key names). */
   final case class ViewDef(view: String, src: String,
       groupCols: Seq[String], aggs: Seq[AggCol],
-      filter: Option[String] = None, join: Option[JoinSpec] = None) {
+      filter: Option[String] = None, joins: Seq[JoinSpec] = Nil) {
     require(groupCols.nonEmpty, "a materialized aggregate view needs group columns")
     require(aggs.nonEmpty, "a materialized aggregate view needs aggregate columns")
+    require(joins.map(_.dim).distinct == joins.map(_.dim),
+      s"duplicate dim table in join chain ${joins.map(_.dim)}")
     private val names = groupCols ++ aggs.map(_.alias)
     require(names.distinct == names, s"duplicate output column in $names")
+    /** The single-dim hop, when the view has exactly one (the shape
+      * [[dimDelta]] maintains incrementally). */
+    def join: Option[JoinSpec] = if (joins.length == 1) joins.headOption else None
   }
 
   /** The aggregation, runnable over the full source OR any delta of
@@ -101,16 +111,19 @@ object MaterializedView {
       .groupBy(d.groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
   }
 
-  /** Enrich fact rows through the view's join, with the dim side
-    * PINNED to a snapshot — the delta path must join against exactly
-    * the dim state its watermark recorded, or a concurrent dim commit
-    * would split one refresh across two dim versions. */
-  private def joined(lake: Lakehouse, factRows: DataFrame, j: JoinSpec,
-      dimSnap: Long): DataFrame = {
-    val dim = lake.readSnapshot(j.dim, dimSnap)
-    if (j.factKey == j.dimKey) factRows.join(dim, Seq(j.factKey), j.joinType)
-    else factRows.join(dim, factRows(j.factKey) === dim(j.dimKey), j.joinType)
-  }
+  /** Enrich fact rows through the view's join chain, every dim PINNED
+    * to its snapshot — the delta path must join against exactly the
+    * dim states its watermark recorded, or a concurrent dim commit
+    * would split one refresh across two dim versions. Hops apply in
+    * declaration order, so a later hop's factKey resolves against the
+    * accumulated relation (snowflake chains). */
+  private def joined(lake: Lakehouse, factRows: DataFrame, hops: Seq[JoinSpec],
+      dimSnaps: Seq[Long]): DataFrame =
+    hops.zip(dimSnaps).foldLeft(factRows) { case (acc, (j, snap)) =>
+      val dim = lake.readSnapshot(j.dim, snap)
+      if (j.factKey == j.dimKey) acc.join(dim, Seq(j.factKey), j.joinType)
+      else acc.join(dim, acc(j.factKey) === dim(j.dimKey), j.joinType)
+    }
 
   // ---- dim-side watermark (join views only) ------------------------------
   // Lives in a side file, NOT in the view's commit — so it is only
@@ -125,22 +138,36 @@ object MaterializedView {
   //    stale numeric watermark to the subtractive path.
   // Worst case in every window is one spurious recompute — never a
   // double-applied delta.
-  private def dimWatermark(lake: Lakehouse, view: String): Option[Long] =
-    lake.readMviewAux(view).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
-  /** The dim snapshot a join view currently reflects — the streaming
-    * scheduler tails the dim from here. */
-  private[graft] def dimWatermarkOf(lake: Lakehouse, view: String): Option[Long] =
-    dimWatermark(lake, view)
-  private def writeDimWatermark(lake: Lakehouse, view: String, snap: Long): Unit =
-    lake.writeMviewAux(view, snap.toString)
+  /** Parsed per-hop dim watermarks (comma-joined for multi-hop views;
+    * single-long lines from pre-multi-hop rounds parse as the one-hop
+    * list). A malformed line, a `pending:` marker, or an ARITY
+    * MISMATCH against the definition's hop count all answer None —
+    * no-watermark routes every consumer to the idempotent recompute. */
+  private def dimWatermark(lake: Lakehouse, view: String,
+      nHops: Int): Option[Seq[Long]] =
+    lake.readMviewAux(view).flatMap { s =>
+      val parts = s.trim.split(",").toSeq
+      val longs = parts.flatMap(p => scala.util.Try(p.trim.toLong).toOption)
+      if (longs.length == parts.length && longs.length == nHops) Some(longs)
+      else None
+    }
+  /** The dim snapshots a join view currently reflects (one per hop) —
+    * the streaming scheduler tails each dim from here. */
+  private[graft] def dimWatermarkOf(lake: Lakehouse, view: String,
+      nHops: Int): Option[Seq[Long]] =
+    dimWatermark(lake, view, nHops)
+  private def writeDimWatermark(lake: Lakehouse, view: String,
+      snaps: Seq[Long]): Unit =
+    lake.writeMviewAux(view, snaps.mkString(","))
   /** Mark a dim-side RECOMPUTE as in flight BEFORE its commit: the
     * marker parses as no watermark, so a crash inside the window
     * routes the next refresh back through the (idempotent) recompute
     * instead of letting a stale numeric watermark feed [[dimDelta]] a
     * sub-interval the view already reflects — the double-apply that
     * silently corrupts totals. Worst case is one spurious recompute. */
-  private[graft] def markDimRecompute(lake: Lakehouse, view: String, target: Long): Unit =
-    lake.writeMviewAux(view, s"pending:$target")
+  private[graft] def markDimRecompute(lake: Lakehouse, view: String,
+      target: Seq[Long]): Unit =
+    lake.writeMviewAux(view, s"pending:${target.mkString(",")}")
   /** The dim snapshots whose DELTAS the view has already applied —
     * read from the commit ledger itself (the negative batch-id
     * namespace), which is atomic with the data, unlike the aux file. */
@@ -156,30 +183,40 @@ object MaterializedView {
     case MaxCol(s, al) => s"""{"op":"max","col":"${lake.jsonEscape(s)}","as":"${lake.jsonEscape(al)}"}"""
   }
 
+  private val JoinJson =
+    """\{"dim":"([^"]*)","fk":"([^"]*)","dk":"([^"]*)"(?:,"jt":"([^"]*)")?\}"""
   private val LineRe =
     ("""\{"mview":"([^"]*)","src":"([^"]*)","group":\[([^\]]*)\],"aggs":\[(.*?)\]""" +
-      """(?:,"join":\{"dim":"([^"]*)","fk":"([^"]*)","dk":"([^"]*)"(?:,"jt":"([^"]*)")?\})?""" +
+      s"""(?:,"join":$JoinJson)?""" +
+      """(?:,"joins":\[(.*?)\])?""" +
       """(?:,"where":"(.*)")?\}""").r
+  private val JoinRe = JoinJson.r
   private val AggRe =
     """\{"op":"(\w+)"(?:,"col":"([^"]*)")?,"as":"([^"]*)"\}""".r
 
   /** Record the definition in the lake's `_mviews.jsonl` (upsert by
-    * view name) so a fresh session can refresh it by name. */
+    * view name) so a fresh session can refresh it by name. Single-hop
+    * views keep the pre-multi-hop `"join"` key (older lines stay
+    * parseable both ways); multi-hop chains write `"joins":[…]`. */
   def persist(lake: Lakehouse, d: ViewDef): Unit = {
     val e = lake.jsonEscape _
+    def joinJson(j: JoinSpec) =
+      s"""{"dim":"${e(j.dim)}","fk":"${e(j.factKey)}","dk":"${e(j.dimKey)}"""" +
+        s""","jt":"${e(j.joinType)}"}"""
     val line = s"""{"mview":"${e(d.view)}","src":"${e(d.src)}","group":[${
       d.groupCols.map(c => s""""${e(c)}"""").mkString(",")}],"aggs":[${
       d.aggs.map(aggJson(lake, _)).mkString(",")}]${
-      d.join.map(j =>
-        s""","join":{"dim":"${e(j.dim)}","fk":"${e(j.factKey)}","dk":"${e(j.dimKey)}"""" +
-          s""","jt":"${e(j.joinType)}"}""")
-        .getOrElse("")}${
+      d.joins match {
+        case Seq() => ""
+        case Seq(j) => s""","join":${joinJson(j)}"""
+        case many => s""","joins":[${many.map(joinJson).mkString(",")}]"""
+      }}${
       d.filter.map(f => s""","where":"${e(f)}"""").getOrElse("")}}"""
     lake.upsertMviewLine(d.view, line)
   }
 
   private def parseLine(line: String): Option[ViewDef] = line match {
-    case LineRe(v, src, groups, aggs, dim, fk, dk, jt, where) =>
+    case LineRe(v, src, groups, aggs, dim, fk, dk, jt, joinsArr, where) =>
       val groupCols = groups.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty)
       val aggCols = AggRe.findAllMatchIn(aggs).map { m =>
@@ -192,9 +229,13 @@ object MaterializedView {
         }
       }.toSeq
       // pre-r12 lines carry no "jt": those views are inner joins
-      val join = Option(dim).map(dm => JoinSpec(dm, fk, dk,
+      val single = Option(dim).map(dm => JoinSpec(dm, fk, dk,
         Option(jt).getOrElse("inner")))
-      Some(ViewDef(v, src, groupCols, aggCols, Option(where), join))
+      val chain = Option(joinsArr).toSeq.flatMap(arr =>
+        JoinRe.findAllMatchIn(arr).map(m => JoinSpec(m.group(1), m.group(2),
+          m.group(3), Option(m.group(4)).getOrElse("inner"))).toSeq)
+      Some(ViewDef(v, src, groupCols, aggCols, Option(where),
+        single.toSeq ++ chain))
     case _ => None
   }
 
@@ -311,23 +352,22 @@ object MaterializedView {
   def create(lake: Lakehouse, d: ViewDef): Long = {
     val s0 = lake.currentSnapshot(d.src).getOrElse(
       throw new IllegalArgumentException(s"no such source table: ${d.src}"))
-    // pin the dim snapshot ONCE: the join read and the recorded
-    // watermark must name the same dim state even if the dim commits
+    // pin every dim snapshot ONCE: the join reads and the recorded
+    // watermarks must name the same dim states even if a dim commits
     // concurrently
-    val dimPin = d.join.map { j =>
+    val dimPins = d.joins.map { j =>
       lake.currentSnapshot(j.dim).getOrElse(
         throw new IllegalArgumentException(s"no such dim table: ${j.dim}"))
     }
-    val rows = d.join match {
-      case None => lake.read(d.src)
-      case Some(j) => joined(lake, lake.readSnapshot(d.src, s0), j, dimPin.get)
-    }
+    val rows =
+      if (d.joins.isEmpty) lake.read(d.src)
+      else joined(lake, lake.readSnapshot(d.src, s0), d.joins, dimPins)
     // a RE-create over an existing join view must not leave the OLD
     // numeric dim watermark paired with the NEW content (the stale-aux
     // double-apply window) — mark pending before the commit
-    dimPin.foreach(markDimRecompute(lake, d.view, _))
+    if (dimPins.nonEmpty) markDimRecompute(lake, d.view, dimPins)
     val snap = lake.replaceOnce(aggOf(rows, d), d.view, batchId = s0)
-    dimPin.foreach(writeDimWatermark(lake, d.view, _))
+    if (dimPins.nonEmpty) writeDimWatermark(lake, d.view, dimPins)
     // the view is a queryable lakehouse table: register it so SQL can
     // read it — and so a downstream CREATE MATERIALIZED VIEW can name
     // it as a source (the parser guard keys on registration)
@@ -500,23 +540,30 @@ object MaterializedView {
     val from = watermark(lake, d)
     val to = lake.currentSnapshot(d.src).getOrElse(
       throw new IllegalArgumentException(s"no such source table: ${d.src}"))
-    val dimAt = d.join.map(_ => dimWatermark(lake, d.view))
-    val dimNow = d.join.map { j =>
+    val dimAt = dimWatermark(lake, d.view, d.joins.length)
+    val dimNow = d.joins.map { j =>
       lake.currentSnapshot(j.dim).getOrElse(
         throw new IllegalArgumentException(s"no such dim table: ${j.dim}"))
     }
-    val dimMoved = d.join.isDefined && dimAt.flatten != dimNow
+    val dimMoved = d.joins.nonEmpty && !dimAt.contains(dimNow)
     if (from == to && !dimMoved)
       return lake.currentSnapshot(d.view).get
     if (dimMoved) {
-      dimDelta(lake, d, from, dimAt.flatten, dimNow.get) match {
+      // subtractive dim maintenance holds for SINGLE-hop views only: a
+      // multi-hop chain's changed-dim keys would have to propagate
+      // through the other hops to name the affected fact rows (and a
+      // mid-chain LEFT hop's null-extensions compound) — any multi-hop
+      // dim movement recomputes at the new pins, exactly-once
+      val delta = d.join.flatMap(_ =>
+        dimDelta(lake, d, from, dimAt.map(_.head), dimNow.head))
+      delta match {
         case Some(snap) =>
-          writeDimWatermark(lake, d.view, dimNow.get)
+          writeDimWatermark(lake, d.view, dimNow)
           if (from == to) return snap
           // fall through: the fact interval advances below against the
           // new dim pin, its own exactly-once leg
         case None =>
-          // recompute against the new dim pin (covers the fact interval
+          // recompute against the new dim pins (covers the fact interval
           // too). The fact watermark may be UNMOVED (batchId `to`
           // already committed) — replaceOnce would no-op and strand the
           // view, so that case commits an unkeyed replace; its replay
@@ -525,20 +572,18 @@ object MaterializedView {
           // first: a crash between the commit and the final aux write
           // must not leave a stale NUMERIC watermark that would feed a
           // later dimDelta an interval this recompute already folded in.
-          markDimRecompute(lake, d.view, dimNow.get)
-          val rows = joined(lake, lake.readSnapshot(d.src, to), d.join.get, dimNow.get)
+          markDimRecompute(lake, d.view, dimNow)
+          val rows = joined(lake, lake.readSnapshot(d.src, to), d.joins, dimNow)
           val snap =
             if (lake.committedBatches(d.view).contains(to))
               lake.createOrReplace(aggOf(rows, d), d.view)
             else lake.replaceOnce(aggOf(rows, d), d.view, batchId = to)
-          writeDimWatermark(lake, d.view, dimNow.get)
+          writeDimWatermark(lake, d.view, dimNow)
           return snap
       }
     }
-    def enrich(rows: DataFrame): DataFrame = d.join match {
-      case None => rows
-      case Some(j) => joined(lake, rows, j, dimNow.get)
-    }
+    def enrich(rows: DataFrame): DataFrame =
+      if (d.joins.isEmpty) rows else joined(lake, rows, d.joins, dimNow)
     val delta =
       try Some(lake.readChanges(d.src, from, to))
       catch {

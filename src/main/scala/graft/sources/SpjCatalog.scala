@@ -179,9 +179,23 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
   * (`canDeleteWhere` false) instead of deleting the wrong rows. */
 private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: String,
     branch: String = "main")
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
 
   import org.apache.spark.sql.sources.Filter
+
+  /** Spark-native UPDATE / MERGE INTO (and the DELETE fallback for
+    * conditions beyond the [[SupportsDelete]] filter algebra): a
+    * group-based COPY-ON-WRITE operation — CoW scan over the pinned
+    * snapshot's entries, staged replace-data write, conditional
+    * entry-swap commit. See [[GraftSpjRowLevelOp]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GraftSpjRowLevelOp(root, tableName, branch, layout, info.command())
+    }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => SpjDml.toColumn(f).isDefined)
@@ -454,8 +468,10 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
 
   /** Mutated ONLY by [[filter]] (Spark's runtime-filtering hook, called
     * on the driver before partition planning at execution). Seeded with
-    * the ordering claim's re-sorted file lists when one holds. */
-  @volatile private var files: Map[Int, Seq[SpjFile]] =
+    * the ordering claim's re-sorted file lists when one holds.
+    * Protected for the CoW subclass ([[GraftSpjCowScan]]), whose
+    * runtime filtering re-expands survivors to whole entries. */
+  @volatile protected var files: Map[Int, Seq[SpjFile]] =
     orderClaim.fold(files0)(_._2)
 
   private[graft] def plannedFileCount: Int = files.valuesIterator.map(_.size).sum

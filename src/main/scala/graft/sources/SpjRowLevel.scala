@@ -1,0 +1,272 @@
+package graft.sources.spj
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources.{Lakehouse, SpjFile, SpjLayout}
+
+/** COPY-ON-WRITE ROW-LEVEL OPERATIONS on the SPJ catalog — what makes
+  * Spark's own `UPDATE cat.t SET … WHERE …` and `MERGE INTO cat.t
+  * USING src ON … WHEN MATCHED …` plan natively against a graft
+  * layout, the way they do against an Iceberg table (the reference's
+  * MERGE lifecycle, mongo_to_iceberg.py, runs exactly this statement
+  * shape through Iceberg's Spark extensions). Spark's group-based
+  * rewrite (`RewriteUpdateTable`/`RewriteMergeIntoTable`/
+  * `RewriteDeleteFromTable`) needs two connector legs:
+  *
+  *  - a CoW SCAN ([[GraftSpjCowScan]]) that reads the affected GROUPS
+  *    whole. Our replace granularity is the snapshot-ledger ENTRY
+  *    (a data dir or partition leaf — the unit [[Lakehouse]] commits
+  *    carry by reference), so pruning here is entry-conservative: an
+  *    entry leaves the scan only when EVERY file in it provably holds
+  *    no matching row (static stat/partition pruning at plan time,
+  *    runtime group filtering at execution — Spark ships the matching
+  *    partition keys via [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+  *    before execution, so an UPDATE touching one bucket rewrites one
+  *    bucket's entries, not the table). Unlike the plain read, NO
+  *    filter reaches the parquet reader: carried rows must round-trip
+  *    byte-exact, and a row-group skip would silently drop them.
+  *
+  *  - a REPLACE-DATA WRITE ([[GraftSpjReplaceWrite]]) whose executors
+  *    stage the rewritten rows as plain parquet
+  *    (`_cow-staging-<uuid>/`, invisible to readers), and whose
+  *    driver-side commit swaps the scanned entries for one fresh data
+  *    dir written UNDER THE TABLE'S OWN LAYOUT via
+  *    [[Lakehouse.replaceEntries]] — stats/sums/sort ledgers, hidden
+  *    partitioning and optimistic concurrency all ride the ordinary
+  *    writer. The commit is CONDITIONAL on the snapshot the scan
+  *    pinned: a racing writer moving the branch fails the statement
+  *    loudly ([[graft.sources.CommitConflictException]]) instead of
+  *    resurrecting stale carried rows — Iceberg's
+  *    serializable-isolation contract for CoW DML.
+  *
+  * With this in place the DSv2 surface is write-complete: INSERT
+  * (append), INSERT OVERWRITE (truncate), DELETE (metadata-filter
+  * fast path via [[org.apache.spark.sql.connector.catalog.SupportsDelete]],
+  * CoW fallback here for conditions beyond the filter algebra —
+  * Spark's `OptimizeMetadataOnlyDeleteFromTable` picks per statement),
+  * UPDATE and MERGE. At 100 TB the cost model is the right one: a
+  * keyed UPDATE prices O(matching entries) rewrite + one staging pass
+  * of the rewritten rows, never a table rewrite, and the carried
+  * entries move by ledger reference only. */
+private[spj] class GraftSpjRowLevelOp(root: String, tableName: String,
+    branch: String, layout: SpjLayout, cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  /** The CoW scan of this statement — set at scan build, read at write
+    * commit (Spark builds the scan strictly before executing the
+    * write, and commit happens after execution, so the handoff is
+    * race-free within the one statement that owns this op). */
+  @volatile private[spj] var cowScan: GraftSpjCowScan = _
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSpjCowScanBuilder(layout, this)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftSpjReplaceWrite(root, tableName, branch, layout, GraftSpjRowLevelOp.this,
+          info.schema())
+    }
+  override def description(): String = s"GraftSpjCoW $cmd $tableName@$branch"
+}
+
+/** Filter pushdown for the CoW scan: pruning only, ENTRY-granular,
+  * nothing reaches the reader. Every filter stays residual — the
+  * rewritten plan re-evaluates the full condition on rows, and the
+  * scan's job is just to keep every entry that might hold a match
+  * (plus, unavoidably, every row of those entries: they are rewritten
+  * whole). */
+private[spj] class GraftSpjCowScanBuilder(layout: SpjLayout, op: GraftSpjRowLevelOp)
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources.Filter
+
+  private var required: StructType = layout.schema
+  private var pushed: Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(SpjPruning.usable)
+    filters // ALL residual: pruning is may-match only
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val allowedId = for {
+      ic <- layout.identityCol
+      keys <- layout.identityKeys
+      a <- SpjPruning.allowedIdentity(ic, keys, pushed.toSeq)
+    } yield a
+    val allowedBk = layout.bucketLevel.flatMap { case (n, k) =>
+      SpjPruning.allowedBuckets(k, n, pushed.toSeq)
+    }
+    // an entry stays in the scan iff ANY of its files may hold a match;
+    // kept entries keep ALL their files (they are replaced whole)
+    val live: Set[String] = layout.files.toSeq.flatMap { case (i, fs) =>
+      fs.collect {
+        case f if layout.keepPartition(i, allowedId, allowedBk) &&
+          pushed.forall(SpjPruning.mayMatch(f.stats, _)) => f.entry
+      }
+    }.toSet
+    val files = layout.files.map { case (i, fs) =>
+      i -> fs.filter(f => live(f.entry))
+    }
+    val scan = new GraftSpjCowScan(layout, required, files)
+    op.cowScan = scan
+    scan
+  }
+}
+
+/** The CoW read: [[GraftSpjScan]] with ZERO reader-side filters (every
+  * row of every kept entry must round-trip), entry-granular runtime
+  * group filtering, and the final kept-entry set exposed for the
+  * replace commit. Partitioning/ordering/statistics reports are
+  * inherited — a MERGE between two co-partitioned SPJ tables plans
+  * its join Exchange-free exactly like a read-only join. */
+private[spj] class GraftSpjCowScan(layout: SpjLayout, required: StructType,
+    cowFiles: Map[Int, Seq[SpjFile]])
+  extends GraftSpjScan(layout, required, cowFiles, Seq.empty) {
+
+  // the post-order-claim seed: runtime re-expansion must preserve the
+  // per-partition file order the ordering claim promised
+  private val seeded: Map[Int, Seq[SpjFile]] = files
+
+  override def filter(filters: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    super.filter(filters) // file-level partition + stat pruning
+    // re-expand to whole entries: a file surviving the runtime filter
+    // means its entry is rewritten, so every sibling file must be
+    // scanned (their rows carry into the replacement)
+    val live = files.valuesIterator.flatten.map(_.entry).toSet
+    files = seeded.map { case (i, fs) => i -> fs.filter(f => live(f.entry)) }
+  }
+
+  /** The snapshot entries this scan actually read (post runtime
+    * filtering) — exactly the set the replace commit swaps out. */
+  private[spj] def removedEntries: Seq[String] =
+    files.valuesIterator.flatten.map(_.entry).toSeq.distinct.sorted
+
+  override def description(): String = super.description() + " CoW"
+}
+
+/** One staged parquet file per non-empty write task. */
+private[spj] case class GraftSpjStagedFile(path: Option[String])
+  extends WriterCommitMessage
+
+/** The replace-data write: executors stage rows as plain parquet; the
+  * driver commit re-reads the staging set and hands it to
+  * [[Lakehouse.replaceEntries]] together with the CoW scan's final
+  * entry set. Staging is the honest cost of routing the rewrite back
+  * through the table's own writer (stats/sums/sort/bloom ledgers,
+  * hidden-partition dirs and write distribution all re-derive
+  * bit-identically to every other write path); it prices one extra
+  * sequential pass over the REWRITTEN rows only — the carried entries
+  * never move. */
+private[spj] class GraftSpjReplaceWrite(root: String, tableName: String,
+    branch: String, layout: SpjLayout, op: GraftSpjRowLevelOp,
+    writeSchema: StructType) extends Write with BatchWrite {
+
+  private val stagingDir =
+    s"$root/$tableName/_cow-staging-${java.util.UUID.randomUUID()}"
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"GraftSpjReplaceData $tableName@$branch"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    // the session's own parquet writer factory (codec, dictionary,
+    // micros timestamps all from the session conf) — serializable by
+    // design, exactly how FileFormatWriter ships it to tasks
+    val owf = new ParquetFileFormat().prepareWrite(
+      spark, job, Map.empty[String, String], writeSchema)
+    new GraftSpjStagingWriterFactory(owf,
+      new SerializableConfiguration(job.getConfiguration), stagingDir, writeSchema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staged = messages.toSeq.collect { case GraftSpjStagedFile(Some(p)) => p }
+    try {
+      val removed = Option(op.cowScan).fold(Seq.empty[String])(_.removedEntries)
+      val replacement =
+        if (staged.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], layout.schema)
+        else
+          spark.read.schema(writeSchema).parquet(staged: _*)
+            .select(layout.schema.fieldNames.toIndexedSeq
+              .map(org.apache.spark.sql.functions.col): _*)
+      new Lakehouse(spark, root).replaceEntries(
+        tableName, branch, layout.snapshot, removed, replacement, layout.spec)
+    } finally deleteStaging(spark)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteStaging(SparkSession.active)
+
+  private def deleteStaging(spark: SparkSession): Unit = {
+    val p = new Path(stagingDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+}
+
+private[spj] class GraftSpjStagingWriterFactory(owf: OutputWriterFactory,
+    conf: SerializableConfiguration, stagingDir: String, schema: StructType)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var writer: OutputWriter = _
+      private var path: String = _
+      // Spark's group-based rewrites PREPEND `__row_operation`
+      // (RowDeltaUtils.OPERATION_COLUMN) to the replacement rows, and
+      // with no required metadata attributes the plain writing task
+      // hands them through un-projected — strip the marker column when
+      // present (row one wider than the declared write schema; every
+      // surviving row is a write in group-based semantics, so the
+      // operation code itself carries no information here)
+      private var strip = false
+      private lazy val stripProj =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i + 1, f.dataType, f.nullable)
+          })
+      override def write(row: InternalRow): Unit = {
+        if (writer == null) { // open lazily: empty tasks stage nothing
+          require(row.numFields == schema.length || row.numFields == schema.length + 1,
+            s"row width ${row.numFields} matches neither the write schema " +
+              s"(${schema.length}) nor schema + operation column")
+          strip = row.numFields == schema.length + 1
+          val ctx = new TaskAttemptContextImpl(conf.value,
+            new TaskAttemptID(new TaskID(new JobID("graft-cow", 0),
+              TaskType.MAP, partitionId), 0))
+          path = s"$stagingDir/part-$partitionId-$taskId${owf.getFileExtension(ctx)}"
+          writer = owf.newInstance(path, schema, ctx)
+        }
+        writer.write(if (strip) stripProj(row) else row)
+      }
+      override def commit(): WriterCommitMessage = {
+        if (writer != null) writer.close()
+        GraftSpjStagedFile(Option(path))
+      }
+      override def abort(): Unit = {
+        if (writer != null) writer.close()
+        // physical cleanup is the staging-dir delete on the driver
+      }
+      override def close(): Unit = ()
+    }
+}

@@ -280,16 +280,16 @@ object EventStream {
     // tail from the view's current watermark: batch 0 must not plan
     // a full-history read the refresh would ignore anyway
     val src = tickStream(d.src, MaterializedView.watermark(lake, d))
-    // JOIN views follow the DIM too: a dim-only change (the backfill /
-    // re-label shape dimDelta prices incrementally) must fire a
-    // refresh without waiting for a fact commit. ONE unioned query
-    // keeps the one-refresher-per-view contract.
-    val ticks = d.join match {
-      case Some(j) =>
-        val dimStart = MaterializedView.dimWatermarkOf(lake, view)
-          .orElse(lake.currentSnapshot(j.dim)).getOrElse(0L)
-        src.union(tickStream(j.dim, dimStart))
-      case None => src
+    // JOIN views follow every DIM too: a dim-only change (the backfill /
+    // re-label shape dimDelta prices incrementally for single-hop
+    // views; multi-hop chains recompute) must fire a refresh without
+    // waiting for a fact commit. ONE unioned query keeps the
+    // one-refresher-per-view contract.
+    val dimStarts = MaterializedView.dimWatermarkOf(lake, view, d.joins.length)
+    val ticks = d.joins.zipWithIndex.foldLeft(src) { case (acc, (j, i)) =>
+      val start = dimStarts.map(_(i))
+        .orElse(lake.currentSnapshot(j.dim)).getOrElse(0L)
+      acc.union(tickStream(j.dim, start))
     }
     ticks.writeStream
       .option("checkpointLocation", checkpoint)

@@ -246,7 +246,7 @@ class MaterializedViewSpec extends SparkSpec {
   private val JoinDef = MV.ViewDef("sales_by_seg", "fact_t",
     groupCols = Seq("seg"),
     aggs = Seq(MV.SumCol("price", "total"), MV.CountAll("n")),
-    join = Some(MV.JoinSpec("dim_t", "cust", "cid")))
+    joins = Seq(MV.JoinSpec("dim_t", "cust", "cid")))
 
   private def factDf(rows: (Long, Long, java.math.BigDecimal)*) =
     rows.toDF("id", "cust", "price")
@@ -382,7 +382,7 @@ class MaterializedViewSpec extends SparkSpec {
     val mmDef = MV.ViewDef("peak_by_seg", "fact_t",
       groupCols = Seq("seg"),
       aggs = Seq(MV.MaxCol("price", "peak"), MV.CountAll("n")),
-      join = Some(MV.JoinSpec("dim_t", "cust", "cid")))
+      joins = Seq(MV.JoinSpec("dim_t", "cust", "cid")))
     lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL")), "dim_t")
     lake.createOrReplace(factDf(
       (10L, 1L, dec("10.00")), (11L, 2L, dec("9.00")), (12L, 2L, dec("3.00"))), "fact_t")
@@ -431,7 +431,7 @@ class MaterializedViewSpec extends SparkSpec {
   private val LeftDef = MV.ViewDef("lsales_by_seg", "fact_t",
     groupCols = Seq("seg"),
     aggs = Seq(MV.SumCol("price", "total"), MV.CountAll("n")),
-    join = Some(MV.JoinSpec("dim_t", "cust", "cid", joinType = "left")))
+    joins = Seq(MV.JoinSpec("dim_t", "cust", "cid", joinType = "left")))
 
   private def leftRecompute(lake: Lakehouse) = {
     val j = lake.read("fact_t").join(lake.read("dim_t"),
@@ -561,16 +561,16 @@ class MaterializedViewSpec extends SparkSpec {
     // the crash state the pending protocol leaves: marker written, no
     // final watermark — the next refresh must parse NO watermark and
     // take the idempotent recompute, not the subtractive path
-    MV.markDimRecompute(lake, "sales_by_seg", 999L)
-    assert(MV.dimWatermarkOf(lake, "sales_by_seg").isEmpty)
+    MV.markDimRecompute(lake, "sales_by_seg", Seq(999L))
+    assert(MV.dimWatermarkOf(lake, "sales_by_seg", 1).isEmpty)
     lake.updateWhereMor(Seq("seg" -> lit("AUTO")), col("cid") === 2L, "dim_t")
     MV.refresh(lake, JoinDef)
     assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
     assert(segMap(lake.read("sales_by_seg")) === Map(
       "AUTO" -> ((dec("14.00"), 2L)), "RETAIL" -> ((dec("6.00"), 1L))))
     // and the recompute converged the watermark back to numeric
-    assert(MV.dimWatermarkOf(lake, "sales_by_seg")
-      === lake.currentSnapshot("dim_t"))
+    assert(MV.dimWatermarkOf(lake, "sales_by_seg", 1)
+      === lake.currentSnapshot("dim_t").map(Seq(_)))
   }
 
   test("join view: an expired fact watermark recomputes instead of crashing the dim delta") {
@@ -661,6 +661,92 @@ class MaterializedViewSpec extends SparkSpec {
     lake.append(factDf((11L, 1L, dec("1.00"))), "fact_t")
     spark.sql("CALL system.refresh_mview('sales_by_seg')").collect()
     assert(segMap(lake.read("sales_by_seg"))("AUTO") === ((dec("11.00"), 2L)))
+  }
+
+  // ---- multi-hop (snowflake) join chains: fact ⋈ dim ⋈ dim -------------
+
+  private val StarDef = MV.ViewDef("sales_by_nation", "fact_t",
+    groupCols = Seq("nname"),
+    aggs = Seq(MV.SumCol("price", "total"), MV.CountAll("n")),
+    // hop 2's factKey `nid` is a column INTRODUCED by hop 1's dim —
+    // the snowflake shape (orders ⋈ customer ⋈ nation)
+    joins = Seq(MV.JoinSpec("cust_t", "cust", "cid"),
+      MV.JoinSpec("nat_t", "nid", "nid")))
+
+  private def custDf(rows: (Long, Long)*) = rows.toDF("cid", "nid")
+  private def natDf(rows: (Long, String)*) = rows.toDF("nid", "nname")
+
+  private def starRecompute(lake: Lakehouse) =
+    lake.read("fact_t")
+      .join(lake.read("cust_t"), col("cust") === col("cid"))
+      .join(lake.read("nat_t"), Seq("nid"))
+      .groupBy("nname").agg(sum(col("price")).as("total"), count(lit(1)).as("n"))
+
+  private def natMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[String]("nname") ->
+      ((r.getAs[java.math.BigDecimal]("total"), r.getAs[Long]("n")))).toMap
+
+  test("multi-hop join view: fact appends stay on the delta path through the pinned dim chain") {
+    val root = freshDir("graft-mview-star")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(custDf((1L, 100L), (2L, 100L), (3L, 200L)), "cust_t")
+    lake.createOrReplace(natDf((100L, "FR"), (200L, "DE")), "nat_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")), (12L, 3L, dec("6.00"))), "fact_t")
+    MV.create(lake, StarDef)
+    assert(natMap(lake.read("sales_by_nation")) === Map(
+      "FR" -> ((dec("14.00"), 2L)), "DE" -> ((dec("6.00"), 1L))))
+    lake.append(factDf((13L, 1L, dec("2.50")), (14L, 3L, dec("1.00"))), "fact_t")
+    val before = Lakehouse.dataDirOpens.get()
+    MV.refresh(lake, StarDef)
+    val opened = Lakehouse.dataDirOpens.get() - before
+    // delta dir + two dims + stored view (+ upsert rewrite) — never
+    // the fact history
+    assert(opened <= 6, s"multi-hop refresh opened $opened dirs")
+    assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
+    assert(natMap(lake.read("sales_by_nation"))("FR") === ((dec("16.50"), 3L)))
+    // the fact watermark advanced exactly-once on the fact snapshot id
+    assert(MV.watermark(lake, StarDef) === lake.currentSnapshot("fact_t").get)
+  }
+
+  test("multi-hop join view: ANY dim movement recomputes at the new pins (no subtractive leg)") {
+    val root = freshDir("graft-mview-stard")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(custDf((1L, 100L), (2L, 200L)), "cust_t")
+    lake.createOrReplace(natDf((100L, "FR"), (200L, "DE")), "nat_t")
+    lake.createOrReplace(factDf((10L, 1L, dec("10.00")), (11L, 2L, dec("4.00"))), "fact_t")
+    MV.create(lake, StarDef)
+    // hop-2 dim movement: re-label a nation (MoR update, CDC-readable —
+    // a single-hop view would go subtractive; the chain must NOT try)
+    lake.updateWhereMor(Seq("nname" -> lit("FR2")), col("nid") === 100L, "nat_t")
+    MV.refresh(lake, StarDef)
+    assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
+    assert(natMap(lake.read("sales_by_nation")) === Map(
+      "FR2" -> ((dec("10.00"), 1L)), "DE" -> ((dec("4.00"), 1L))))
+    assert(!lake.committedBatches("sales_by_nation").exists(_ < 0),
+      "multi-hop dim movement must take the recompute, not the dim-delta leg")
+    // both dim watermarks converged to the new pins
+    assert(MV.dimWatermarkOf(lake, "sales_by_nation", 2) ===
+      Some(Seq(lake.currentSnapshot("cust_t").get, lake.currentSnapshot("nat_t").get)))
+    // hop-1 dim movement recomputes too
+    lake.append(custDf((9L, 200L)), "cust_t")
+    lake.append(factDf((12L, 9L, dec("3.00"))), "fact_t")
+    MV.refresh(lake, StarDef)
+    assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
+    assert(natMap(lake.read("sales_by_nation"))("DE") === ((dec("7.00"), 2L)))
+  }
+
+  test("multi-hop definition persists as a joins array and reloads; left hops survive") {
+    val root = freshDir("graft-mview-starp")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(custDf((1L, 100L)), "cust_t")
+    lake.createOrReplace(natDf((100L, "FR")), "nat_t")
+    lake.createOrReplace(factDf((10L, 1L, dec("10.00"))), "fact_t")
+    val withLeft = StarDef.copy(
+      joins = StarDef.joins.init :+ StarDef.joins.last.copy(joinType = "left"))
+    MV.create(lake, withLeft)
+    MV.persist(lake, withLeft)
+    assert(MV.load(lake, "sales_by_nation") === Some(withLeft))
   }
 }
 
