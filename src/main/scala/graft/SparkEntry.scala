@@ -48,6 +48,7 @@ object SparkEntry {
     "q_spj_runtime_filter" -> (Medallion.qSpjRuntimeFilter _),
     "q_spj_limit" -> (Medallion.qSpjLimit _),
     "q_spj_topn" -> (Medallion.qSpjTopn _),
+    "q_spj_ddl" -> (Medallion.qSpjDdl _),
     "q_spj_update" -> (Medallion.qSpjUpdate _),
     "q_spj_merge" -> (Medallion.qSpjMerge _),
     // §2.B — relational core
@@ -467,6 +468,16 @@ object SparkEntry {
         |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
         |  CAST(1.0 AS DOUBLE) AS pruned
         |FROM orders ORDER BY o_orderkey DESC LIMIT 50""".stripMargin,
+    // DSv2 DDL lifecycle: CREATE TABLE / INSERT INTO / DELETE / CTAS,
+    // all plain SQL on the catalog; colocated = 1.0 pins that the
+    // DDL-declared bucket layouts SPJ-plan the join with no Exchange
+    "q_spj_ddl" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(1.0 AS DOUBLE) AS colocated
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // Spark-native SQL UPDATE (group-based CoW row-level op): the
     // oracle restates the final table state via CASE; rewrote_leaves=1
     // pins that static bucket pruning bounded the rewrite to the ONE

@@ -1104,6 +1104,62 @@ object Medallion {
       .orderBy(col("o_orderkey").desc)
   }
 
+  /** `q_spj_ddl` — the DSv2 catalog's DDL lifecycle, Spark-native
+    * ([[graft.sources.spj.GraftSpjCatalog.createTable]]): CREATE
+    * TABLE … PARTITIONED BY (bucket) declares an immediately-loadable
+    * EMPTY table (the declared-spec fallback), INSERT INTO statements
+    * append under the layout, SQL DELETE prunes via the metadata
+    * filter path, and the final rollup reads back — the notebook's
+    * whole create→load→clean→query flow (query_iceberg.ipynb) with
+    * ZERO engine-specific API calls: every statement is plain Spark
+    * SQL against the catalog, exactly how a reference user would
+    * migrate. A second same-spec created table pins `colocated = 1.0`
+    * (the DDL-declared layouts SPJ-plan with no Exchange). */
+  def qSpjDdl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjddl").toString
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.orders(spark, dir).createOrReplaceTempView("spjddl_orders")
+      Tables.customer(spark, dir).createOrReplaceTempView("spjddl_customer")
+      spark.sql(s"""CREATE TABLE $cat.ddl_o (
+        |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        |  o_price_d DECIMAL(12,2)) PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+      spark.sql(s"""INSERT INTO $cat.ddl_o
+        |SELECT o_orderkey, o_custkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2))
+        |FROM spjddl_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      spark.sql(s"""INSERT INTO $cat.ddl_o
+        |SELECT o_orderkey, o_custkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2))
+        |FROM spjddl_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      spark.sql(s"DELETE FROM $cat.ddl_o WHERE o_orderstatus = 'P'")
+      spark.sql(s"CREATE TABLE $cat.ddl_c PARTITIONED BY (bucket(8, c_custkey)) " +
+        "AS SELECT c_custkey, c_mktsegment FROM spjddl_customer")
+      val joined = spark.table(s"$cat.ddl_o")
+        .join(spark.table(s"$cat.ddl_c"), col("o_custkey") === col("c_custkey"))
+      val colocated = if (plansShuffle(joined)) 0.0 else 1.0
+      val rows = joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_price_d")).cast("double").as("total"))
+        .orderBy("c_mktsegment")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), colocated))
+      import spark.implicits._
+      rows.toSeq.toDF("c_mktsegment", "n", "total", "colocated")
+        .orderBy("c_mktsegment")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      prevBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
   /** `q_spj_update` — Spark-native SQL UPDATE through the DSv2
     * catalog ([[graft.sources.spj.GraftSpjRowLevelOp]], the Iceberg
     * copy-on-write `UPDATE t SET … WHERE …` analog the reference's

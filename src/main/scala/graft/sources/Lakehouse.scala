@@ -3346,11 +3346,24 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       entries <- snapshots(table).find(_._1 == snap).map(_._2)
       if snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty
       if schemaLines(table).isEmpty
-      specs <- entries.map(_.takeWhile(_ != '/')).distinct
-        .map(d => physDirLayout(table, d)).distinct match {
+      specs <- {
+        // zero-row schema-marker dirs (empty CREATE TABLE, fully-
+        // emptied rewrites) don't constrain the layout — same rule as
+        // [[spjLayout]]; a table that is ONLY markers serves empty
+        // under its declared catalog spec
+        val dirs = entries.map(_.takeWhile(_ != '/')).distinct
+        def marker(d: String) = physDirLayout(table, d).isEmpty && {
+          val rc = readRowCounts(table, d)
+          rc.nonEmpty && rc.values.forall(_._1 == 0L)
+        }
+        dirs.filterNot(marker).map(d => physDirLayout(table, d)).distinct match {
+          case Seq() => catalogEntries().collectFirst {
+            case (t, spec) if t == table && spec.nonEmpty => Transforms.canon(spec)
+          }
           case Seq(levels) => Some(levels.map(Transforms.specOfPhys))
           case _ => None
         }
+      }
       if (specs match {
         case Seq(s) => s.startsWith("bucket(") || !s.contains("(")
         case Seq(p, s) =>
@@ -4509,8 +4522,30 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       s"$table@$branch carries merge-on-read tombstones — compact() before a storage-partitioned read")
     require(schemaLines(table).isEmpty,
       s"$table has committed schema evolution — compact() under the current schema before a storage-partitioned read")
-    val dataDirs = entries.map(_.takeWhile(_ != '/')).distinct
+    val dataDirs0 = entries.map(_.takeWhile(_ != '/')).distinct
+    // ZERO-ROW SCHEMA-MARKER dirs don't constrain the layout: an empty
+    // `CREATE TABLE` and a rewrite that deleted every row both commit
+    // one unpartitioned schema-bearing file — provably row-free via
+    // the rowcount ledger (unrecorded counts stay constraining). They
+    // carry the schema but no layout and no data.
+    def emptyMarker(d: String): Boolean =
+      physDirLayout(table, d).isEmpty && {
+        val rc = readRowCounts(table, d)
+        rc.nonEmpty && rc.values.forall(_._1 == 0L)
+      }
+    val (markerDirs, dataDirs) = dataDirs0.partition(emptyMarker)
     val physLevels = dataDirs.map(d => physDirLayout(table, d)).distinct match {
+      case Seq() =>
+        // nothing but markers: a freshly created (or fully emptied)
+        // table serves EMPTY under its DECLARED catalog spec — what
+        // makes `CREATE TABLE cat.t … PARTITIONED BY …` immediately
+        // loadable, so the first INSERT INTO can plan
+        val declared = catalogEntries().collectFirst {
+          case (t, spec) if t == table && spec.nonEmpty => spec
+        }.getOrElse(throw new IllegalArgumentException(
+          s"$table holds no partitioned data and declares no layout — " +
+            "storage-partitioned reads need a spec (CREATE TABLE … PARTITIONED BY)"))
+        Transforms.canon(declared).map(s => Transforms.parse(s).phys)
       case Seq(levels) if levels.nonEmpty && levels.length <= 2 => levels
       case other => throw new IllegalArgumentException(
         s"$table is not uniformly 1- or 2-level-partitioned (layouts: ${
@@ -4557,7 +4592,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           s.getPath.getName.contains("=")) => walk(s.getPath)
         case _ => Seq.empty
       }
-    val files = entries.groupBy(_.takeWhile(_ != '/')).toSeq.flatMap { case (dataDir, es) =>
+    // marker dirs hold no data files — walking them would trip the
+    // outside-the-layout guard on their schema-bearing empty parquet
+    val fileEntries = entries.filterNot(e => markerDirs.contains(e.takeWhile(_ != '/')))
+    val files = fileEntries.groupBy(_.takeWhile(_ != '/')).toSeq.flatMap { case (dataDir, es) =>
       val roots = if (es.contains(dataDir)) Seq(dataDir) else es
       // the dir's stats ledger, keyed by table-relative path — carried
       // per file so the DSv2 scan can range-prune against pushed

@@ -142,16 +142,55 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
     new GraftSpjTable(ident.name(), layout, root, branch)
   }
 
+  /** `CREATE TABLE cat.t (…) PARTITIONED BY (…)` — and the create leg
+    * of CTAS: the declared V2 transforms map to a lakehouse layout
+    * spec (the same strings every write path takes), the spec is
+    * gated to the shapes the SPJ scan can SERVE (bucket | identity |
+    * identity-or-calendar × bucket — creating an unservable table
+    * would dead-end every later read), and the table commits as an
+    * empty schema-bearing snapshot plus a durable catalog line. The
+    * empty table loads immediately ([[Lakehouse.spjLayout]]'s
+    * declared-spec fallback), so `INSERT INTO` / the CTAS write can
+    * plan against it. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft SPJ catalog is a read facade — write through the Lakehouse API")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(ident.namespace().isEmpty,
+      s"CREATE TABLE lands on main — got namespace ${ident.namespace().mkString(".")}")
+    val spark = SparkSession.active
+    val lake = new Lakehouse(spark, root)
+    if (lake.tableNames().contains(ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val spec = SpjDdl.specOf(partitions, schema)
+    // reserved properties Spark itself injects pass through; anything
+    // user-meaningful refuses rather than silently dropping
+    val reserved = Set(TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val unknown = properties.keySet().asScala.toSet -- reserved
+    require(unknown.isEmpty,
+      s"unsupported table properties: ${unknown.mkString(", ")}")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    lake.createOrReplace(empty, ident.name()) // unpartitioned schema marker
+    lake.registerView(ident.name(), spec) // the declared layout, durable
+    loadTable(ident)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("read-only catalog")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("read-only catalog")
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use the lakehouse SQL surface (ALTER TABLE … SET PARTITION SPEC, schema evolution)")
+  /** `DROP TABLE cat.t` — MANAGED semantics (the catalog owns its
+    * tables): metadata and data both go. The lakehouse surface keeps
+    * the external-style `dropTable(purge = false)` for re-attachable
+    * drops. */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (ident.namespace().nonEmpty) return false // branches are read/DML surfaces
+    val lake = new Lakehouse(SparkSession.active, root)
+    if (!lake.tableNames().contains(ident.name())) false
+    else { lake.dropTable(ident.name(), purge = true); true }
+  }
+  override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("read-only catalog")
+    throw new UnsupportedOperationException("rename is not supported")
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     ("bucket" +: GraftTimeFunction.Names).map(Identifier.of(Array.empty, _)).toArray
@@ -799,6 +838,58 @@ private[spj] case class GraftTimeBound(fname: String, srcType: DataType)
   * (literals arrive as EXTERNAL values, which `lit` round-trips);
   * None for anything else, which makes `canDeleteWhere` refuse the
   * whole statement rather than delete the wrong rows. */
+/** V2 partition Transform[] → lakehouse layout spec, gated to the
+  * shapes the SPJ scan serves. Total-or-loud: an unmapped transform,
+  * a nested field reference, a missing column, or an unservable
+  * combination all refuse at CREATE time — a table the catalog can
+  * never load again must not come into existence. */
+private[spj] object SpjDdl {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit, NamedReference}
+
+  private def colOf(t: Transform, schema: StructType): String = {
+    val refs = t.references()
+    require(refs.length == 1 && refs(0).fieldNames().length == 1,
+      s"partition transform $t must reference exactly one top-level column")
+    val c = refs(0).fieldNames()(0)
+    require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the table schema")
+    c
+  }
+
+  private def one(t: Transform, schema: StructType): String = t.name() match {
+    case "identity" => colOf(t, schema)
+    case "bucket" =>
+      val ns = t.arguments().collect {
+        case l: V2Lit[_] if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }
+      require(ns.length == 1 && ns.head > 0,
+        s"bucket transform needs one positive bucket count, got $t")
+      s"bucket(${ns.head},${colOf(t, schema)})"
+    case n @ ("days" | "months" | "years" | "hours") => s"$n(${colOf(t, schema)})"
+    case other => throw new UnsupportedOperationException(
+      s"unsupported partition transform $other — the SPJ catalog serves " +
+        "identity, bucket(n,col) and days/months/years/hours layouts")
+  }
+
+  /** The full spec, shape-gated to what [[Lakehouse.spjLayout]] can
+    * serve: (bucket) | (identity) | (identity-or-calendar, bucket). */
+  def specOf(partitions: Array[Transform], schema: StructType): Seq[String] = {
+    require(partitions.nonEmpty,
+      "the SPJ catalog serves partitioned tables — declare PARTITIONED BY")
+    val spec = partitions.toSeq.map(one(_, schema))
+    val shapeOk = partitions.toSeq.map(_.name()) match {
+      case Seq("bucket") | Seq("identity") => true
+      case Seq("identity" | "days" | "months" | "years" | "hours", "bucket") => true
+      case _ => false
+    }
+    require(shapeOk,
+      s"unservable layout ${spec.mkString(", ")} — the SPJ scan serves " +
+        "bucket(n,k) | identity | (identity|days|months|years|hours) x bucket(n,k)")
+    spec
+  }
+}
+
 private[spj] object SpjDml {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}

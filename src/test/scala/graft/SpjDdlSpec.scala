@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Medallion
+import graft.sources.Lakehouse
+import graft.sources.spj.GraftSpjCatalog
+
+/** DDL through the DSv2 catalog ([[GraftSpjCatalog.createTable]]):
+  * CREATE TABLE / CTAS / DROP TABLE land as lakehouse snapshots +
+  * durable catalog lines, empty tables load immediately under their
+  * declared spec, and unservable declarations refuse at CREATE time. */
+class SpjDdlSpec extends SparkSpec {
+
+  private def withSpj[T](root: String, cat: String)(body: => T): T = {
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  test("CREATE TABLE + INSERT INTO: the empty table loads under its declared spec, then SPJ-serves") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-c").toString
+    withSpj(root, "ddl1") {
+      spark.sql("CREATE TABLE ddl1.t1 (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+      // empty but immediately readable — the declared-spec fallback —
+      // and SHOW TABLES advertises it
+      assert(spark.table("ddl1.t1").count() === 0L)
+      assert(spark.sql("SHOW TABLES IN ddl1").collect().map(_.getString(1)).contains("t1"))
+      import spark.implicits._
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+        .createOrReplaceTempView("ddl1_src")
+      spark.sql("INSERT INTO ddl1.t1 SELECT k, v FROM ddl1_src")
+      spark.sql("INSERT INTO ddl1.t1 VALUES (21, 'v21')")
+      assert(spark.table("ddl1.t1").count() === 21L)
+      // the created layout SPJ-serves: same-spec join plans no Exchange
+      spark.sql("CREATE TABLE ddl1.t2 (k2 BIGINT, w DOUBLE) PARTITIONED BY (bucket(4, k2))")
+      spark.sql("INSERT INTO ddl1.t2 SELECT k, k * 1.5 FROM ddl1_src")
+      val j = spark.table("ddl1.t1").join(spark.table("ddl1.t2"), col("k") === col("k2"))
+      assert(!Medallion.plansShuffle(j), "created tables must co-locate:\n" +
+        j.queryExecution.executedPlan)
+      assert(j.count() === 20L)
+      // and the full DML surface works on a created table
+      spark.sql("UPDATE ddl1.t1 SET v = 'X' WHERE k = 7")
+      assert(sortedRows(spark.table("ddl1.t1").where(col("k") === 7)) === Seq("7|X"))
+    }
+  }
+
+  test("CTAS: CREATE TABLE ... PARTITIONED BY ... AS SELECT lands the rows under the layout") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-s").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    val src = (1L to 30L).map(k => (k, if (k % 2 == 0) "E" else "O")).toDF("k", "tag")
+    src.createOrReplaceTempView("ddl2_src")
+    withSpj(root, "ddl2") {
+      spark.sql(
+        "CREATE TABLE ddl2.ct PARTITIONED BY (bucket(4, k)) AS SELECT k, tag FROM ddl2_src")
+      assert(sortedRows(spark.table("ddl2.ct")) === sortedRows(src))
+      // the layout is real: the lakehouse side sees a bucket(4,k) spec
+      assert(lake.spjLayout("ct").spec === Seq("bucket(4,k)"))
+      // two-level identity x bucket CTAS too
+      spark.sql(
+        "CREATE TABLE ddl2.ct2 PARTITIONED BY (tag, bucket(2, k)) AS SELECT k, tag FROM ddl2_src")
+      assert(sortedRows(spark.table("ddl2.ct2")) === sortedRows(src))
+      assert(lake.spjLayout("ct2").spec === Seq("tag", "bucket(2,k)"))
+    }
+  }
+
+  test("unservable or malformed declarations refuse at CREATE time") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-r").toString
+    withSpj(root, "ddl3") {
+      // calendar transform alone is not a servable SPJ shape
+      val e1 = intercept[Exception] {
+        spark.sql("CREATE TABLE ddl3.bad1 (ts TIMESTAMP, v STRING) PARTITIONED BY (days(ts))")
+      }
+      assert(e1.getMessage.contains("unservable") || e1.getMessage.contains("serves"))
+      // unknown transform
+      intercept[Exception] {
+        spark.sql("CREATE TABLE ddl3.bad2 (k BIGINT) PARTITIONED BY (truncate(3, k))")
+      }
+      // unpartitioned
+      intercept[Exception] {
+        spark.sql("CREATE TABLE ddl3.bad3 (k BIGINT)")
+      }
+      // duplicate create
+      spark.sql("CREATE TABLE ddl3.ok (k BIGINT) PARTITIONED BY (bucket(2, k))")
+      intercept[Exception] {
+        spark.sql("CREATE TABLE ddl3.ok (k BIGINT) PARTITIONED BY (bucket(2, k))")
+      }
+      // and none of the refusals left half-created state
+      val lake = new Lakehouse(spark, root)
+      assert(!lake.tableNames().exists(_.startsWith("bad")))
+    }
+  }
+
+  test("DROP TABLE removes the table and its data (managed semantics)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-d").toString
+    withSpj(root, "ddl4") {
+      spark.sql("CREATE TABLE ddl4.dropme (k BIGINT) PARTITIONED BY (bucket(2, k))")
+      spark.sql("INSERT INTO ddl4.dropme VALUES (1), (2), (3)")
+      assert(spark.table("ddl4.dropme").count() === 3L)
+      spark.sql("DROP TABLE ddl4.dropme")
+      val lake = new Lakehouse(spark, root)
+      assert(!lake.tableNames().contains("dropme"))
+      intercept[Exception] { spark.table("ddl4.dropme").count() }
+      // DROP of a missing table through IF EXISTS is a no-op
+      spark.sql("DROP TABLE IF EXISTS ddl4.dropme")
+    }
+  }
+}
