@@ -68,6 +68,8 @@ object SparkEntry {
     "q_events_hourly" -> (Relational.qEventsHourly _),
     "stream_events_hourly" ->
       ((s, d) => graft.streaming.EventStream.streamEventsHourlyOracle(s, d)),
+    "stream_spj_tail" ->
+      ((s, d) => graft.streaming.EventStream.streamSpjTail(s, d)),
     "q_events_retention" -> (Relational.qEventsRetention _),
     "q_events_tophh" -> (Relational.qEventsTophh _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
@@ -924,6 +926,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour, event_type""".stripMargin,
+    // lake-to-lake tail through the DSv2 catalog (readStream.table):
+    // bootstrap + delta + idle runs on one checkpoint; the silver
+    // rollup must equal the raw rollup, exactly_once = idle-run
+    // invariance (rows AND sink snapshots unchanged)
+    "stream_spj_tail" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(1.0 AS DOUBLE) AS exactly_once
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_events_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id,

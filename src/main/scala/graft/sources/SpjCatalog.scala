@@ -252,14 +252,14 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
   override def name(): String = tableName
   override def schema(): StructType = layout.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def partitioning(): Array[Transform] =
     (SpjTransforms.outer(layout).toSeq ++
       layout.identityCol.map(Expressions.identity) ++
       layout.bucketLevel.map { case (n, k) => Expressions.bucket(n, k) }).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSpjScanBuilder(layout)
+    new GraftSpjScanBuilder(layout, Some((root, tableName, branch)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftSpjWriteBuilder(root, tableName, layout.spec, branch)
 }
@@ -299,7 +299,8 @@ private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
   * Every filter is ALSO returned as residual — pruning is may-match,
   * so Spark keeps the exact predicate on top; a wrong-but-fast
   * pushdown is the one bug class this surface must never have. */
-private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
+private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
+    streamInfo: Option[(String, String, String)] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -421,7 +422,7 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout)
       }
       new GraftSpjScan(layout, required, capped, pushed.toSeq, limit,
         topN.map { case (c, asc, _, k) =>
-          s"$c ${if (asc) "ASC" else "DESC"} LIMIT $k" })
+          s"$c ${if (asc) "ASC" else "DESC"} LIMIT $k" }, streamInfo)
   }
 }
 
@@ -437,7 +438,8 @@ private[graft] case class GraftSpjAggScan(aggSchema: StructType,
 private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
     files0: Map[Int, Seq[SpjFile]],
     pushed: Seq[org.apache.spark.sql.sources.Filter], limit: Option[Int] = None,
-    topN: Option[String] = None)
+    topN: Option[String] = None,
+    streamInfo: Option[(String, String, String)] = None)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics with SupportsRuntimeV2Filtering
   with SupportsReportOrdering {
@@ -618,11 +620,31 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
     * strip it) — its value rides `partitionSchema`/`partitionValues`
     * through the same reader, then a projection restores the pruned
     * column order Spark asked for. */
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
+    SpjReaders.factory(layout, required, pushed)
+
+  /** Micro-batch streaming of the catalog table —
+    * `spark.readStream.table("cat.t")`; see [[GraftSpjMicroBatchStream]]. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamInfo match {
+      case Some((root, table, branch)) =>
+        new GraftSpjMicroBatchStream(root, table, branch, required)
+      case None => throw new UnsupportedOperationException(
+        "this scan cannot stream (row-level operation scans are batch-only)")
+    }
+}
+
+/** Shared parquet reader-factory construction for the batch scan and
+  * the micro-batch stream (identity-column injection, pruned-order
+  * restore, row-returning hand-off). */
+private[spj] object SpjReaders {
+  def factory(layout: SpjLayout, required: StructType,
+      pushed: Seq[org.apache.spark.sql.sources.Filter]): PartitionReaderFactory = {
     val spark = SparkSession.active
     val conf: Configuration = spark.sessionState.newHadoopConf()
-    // row-returning contract: this scan's PartitionReader hands rows
-    // to DataSourceRDD (vectorized decode still happens inside the
+    // row-returning contract: the PartitionReader hands rows to
+    // DataSourceRDD (vectorized decode still happens inside the
     // reader; only the hand-off is row-shaped)
     val rowOpt = Map(
       org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false")

@@ -168,6 +168,63 @@ object EventStream {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** `stream_spj_tail` — LAKE→LAKE TAILING through the DSv2 CATALOG
+    * surface ([[graft.sources.spj.GraftSpjMicroBatchStream]]):
+    * `spark.readStream.table("cat.bronze")` — no provider string, no
+    * options, the SQL-native streaming read every catalog user
+    * expects — drains a bucket-layout bronze table into a silver
+    * sink with exactly-once `appendOnce` commits. Three runs on ONE
+    * checkpoint: bootstrap (full snapshot), delta (only the two
+    * commits that landed in between — snapshot-id offsets plan the
+    * appended dirs' files, never the table), and an idle run that
+    * must move NOTHING (`exactly_once = 1.0` pins both row count and
+    * sink snapshot count unchanged). The silver rollup must be
+    * bit-equal to DuckDB over the raw parquet — the bronze→silver
+    * hop of the reference's pipeline as a restartable stream. */
+  def streamSpjTail(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-sptail").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-sptail-ck").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = graft.sources.Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("price"))
+    val spec = Seq("bucket(8,o_custkey)")
+    // bronze starts at two commits; two more land between runs
+    lake.createOrReplace(orders.where(col("o_orderkey") % 4 === 0), "sptail_bronze", spec)
+    lake.append(orders.where(col("o_orderkey") % 4 === 1), "sptail_bronze", spec)
+    val cat = s"graft_spj_tail_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$cat.sptail_bronze").writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) { lake.appendOnce(batch, "sptail_silver", batchId); () }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain() // bootstrap
+    lake.append(orders.where(col("o_orderkey") % 4 === 2), "sptail_bronze", spec)
+    lake.append(orders.where(col("o_orderkey") % 4 === 3), "sptail_bronze", spec)
+    drain() // delta only
+    val n2 = lake.read("sptail_silver").count()
+    val snaps2 = lake.snapshots("sptail_silver").size
+    drain() // idle: must move nothing
+    val exactlyOnce =
+      if (lake.read("sptail_silver").count() == n2 &&
+        lake.snapshots("sptail_silver").size == snaps2) 1.0 else 0.0
+    lake.read("sptail_silver")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"))
+      .withColumn("exactly_once", lit(exactlyOnce))
+      .orderBy("o_orderstatus")
+  }
+
   /** Streaming CDC UPSERT sink: each micro-batch MERGEs into the
     * lakehouse table on `keyCols` (source rows replace matches,
     * newcomers insert) — the shape a change-data-capture feed needs,

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Lakehouse
+import graft.sources.spj.GraftSpjCatalog
+
+/** DSv2 micro-batch streaming of catalog tables —
+  * `spark.readStream.table("cat.t")`
+  * ([[graft.sources.spj.GraftSpjMicroBatchStream]]): snapshot-id
+  * offsets, append-only interval planning, loud rewrite refusal,
+  * checkpointed restarts. */
+class SpjStreamSpec extends SparkSpec {
+
+  private def withSpj[T](root: String, cat: String)(body: => T): T = {
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    body
+  }
+
+  private def drain(cat: String, table: String, ck: String, sink: String): Unit = {
+    val q = spark.readStream.table(s"$cat.$table").writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        new Lakehouse(spark, sinkRoot).appendOnce(df, sink, batchId = id); ()
+      }
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+  }
+
+  private var sinkRoot: String = _
+
+  test("readStream.table tails a catalog table: bootstrap + per-commit deltas, exactly-once restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sst").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-sst-ck").toString
+    sinkRoot = java.nio.file.Files.createTempDirectory("graft-sst-sink").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.createOrReplace((1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "sst_t", Seq("bucket(4,k)"))
+    withSpj(root, "sstc") {
+      drain("sstc", "sst_t", ck, "sst_sink")
+      val sink = new Lakehouse(spark, sinkRoot)
+      assert(sink.read("sst_sink").count() === 20L)
+      // two more commits, then a SECOND run on the SAME checkpoint:
+      // only the delta lands, exactly once
+      lake.append(Seq((21L, "v21")).toDF("k", "v"), "sst_t", Seq("bucket(4,k)"))
+      lake.append(Seq((22L, "v22")).toDF("k", "v"), "sst_t", Seq("bucket(4,k)"))
+      drain("sstc", "sst_t", ck, "sst_sink")
+      assert(sink.read("sst_sink").count() === 22L)
+      assert(sink.read("sst_sink").select("k").collect().map(_.getLong(0)).sorted
+        === (1L to 22L).toArray)
+      // an idle third run moves nothing
+      drain("sstc", "sst_t", ck, "sst_sink")
+      assert(sink.read("sst_sink").count() === 22L)
+    }
+  }
+
+  test("identity layout streams with the path-borne column injected") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ssi").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-ssi-ck").toString
+    sinkRoot = java.nio.file.Files.createTempDirectory("graft-ssi-sink").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.createOrReplace(Seq(("A", 1L), ("B", 2L)).toDF("grp", "k"),
+      "ssi_t", Seq("grp"))
+    withSpj(root, "ssic") {
+      drain("ssic", "ssi_t", ck, "ssi_sink")
+      lake.append(Seq(("C", 3L)).toDF("grp", "k"), "ssi_t", Seq("grp"))
+      drain("ssic", "ssi_t", ck, "ssi_sink")
+      val got = new Lakehouse(spark, sinkRoot).read("ssi_sink")
+        .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("k"))).toSet
+      assert(got === Set(("A", 1L), ("B", 2L), ("C", 3L)))
+    }
+  }
+
+  test("a rewrite inside the interval fails the stream loudly (append-only contract)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ssr").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-ssr-ck").toString
+    sinkRoot = java.nio.file.Files.createTempDirectory("graft-ssr-sink").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.createOrReplace((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "ssr_t", Seq("bucket(2,k)"))
+    withSpj(root, "ssrc") {
+      drain("ssrc", "ssr_t", ck, "ssr_sink")
+      // CoW delete rewrites a dir out of the snapshot: the next
+      // interval is not append-only and must refuse
+      lake.deleteWhere(col("k") === 3L, "ssr_t", Seq("bucket(2,k)"))
+      val e = intercept[Exception] { drain("ssrc", "ssr_t", ck, "ssr_sink") }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("REWRITTEN")),
+        s"expected the loud rewrite refusal, got: ${messages(e).mkString(" | ")}")
+    }
+  }
+}
