@@ -253,7 +253,8 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
   override def schema(): StructType = layout.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def partitioning(): Array[Transform] =
     (SpjTransforms.outer(layout).toSeq ++
       layout.identityCol.map(Expressions.identity) ++
@@ -261,7 +262,7 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSpjScanBuilder(layout, Some((root, tableName, branch)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftSpjWriteBuilder(root, tableName, layout.spec, branch)
+    new GraftSpjWriteBuilder(root, tableName, layout.spec, branch, info.schema())
 }
 
 /** Appends and truncating overwrites, routed to the Lakehouse writer
@@ -269,7 +270,8 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
   * layout, so the write needs no DSv2 DataWriter machinery of its
   * own and inherits the writer's conflict retries and ledgers. */
 private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
-    spec: Seq[String], branch: String) extends WriteBuilder with SupportsTruncate {
+    spec: Seq[String], branch: String,
+    writeSchema: StructType) extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new V1Write {
@@ -282,6 +284,12 @@ private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
         else lake.append(data.toDF(), tableName, spec, branch)
         ()
       }
+    /** `df.writeStream.toTable("cat.t")` — epoch-keyed exactly-once
+      * streaming writes; see [[GraftSpjStreamingWrite]]. */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftSpjStreamingWrite(root, tableName, spec, branch, writeSchema,
+        truncate = overwrite)
   }
 }
 

@@ -226,47 +226,53 @@ private[spj] class GraftSpjReplaceWrite(root: String, tableName: String,
 private[spj] class GraftSpjStagingWriterFactory(owf: OutputWriterFactory,
     conf: SerializableConfiguration, stagingDir: String, schema: StructType)
   extends DataWriterFactory {
-
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private var writer: OutputWriter = _
-      private var path: String = _
-      // Spark's group-based rewrites PREPEND `__row_operation`
-      // (RowDeltaUtils.OPERATION_COLUMN) to the replacement rows, and
-      // with no required metadata attributes the plain writing task
-      // hands them through un-projected — strip the marker column when
-      // present (row one wider than the declared write schema; every
-      // surviving row is a write in group-based semantics, so the
-      // operation code itself carries no information here)
-      private var strip = false
-      private lazy val stripProj =
-        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
-          schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-            org.apache.spark.sql.catalyst.expressions.BoundReference(
-              i + 1, f.dataType, f.nullable)
-          })
-      override def write(row: InternalRow): Unit = {
-        if (writer == null) { // open lazily: empty tasks stage nothing
-          require(row.numFields == schema.length || row.numFields == schema.length + 1,
-            s"row width ${row.numFields} matches neither the write schema " +
-              s"(${schema.length}) nor schema + operation column")
-          strip = row.numFields == schema.length + 1
-          val ctx = new TaskAttemptContextImpl(conf.value,
-            new TaskAttemptID(new TaskID(new JobID("graft-cow", 0),
-              TaskType.MAP, partitionId), 0))
-          path = s"$stagingDir/part-$partitionId-$taskId${owf.getFileExtension(ctx)}"
-          writer = owf.newInstance(path, schema, ctx)
-        }
-        writer.write(if (strip) stripProj(row) else row)
-      }
-      override def commit(): WriterCommitMessage = {
-        if (writer != null) writer.close()
-        GraftSpjStagedFile(Option(path))
-      }
-      override def abort(): Unit = {
-        if (writer != null) writer.close()
-        // physical cleanup is the staging-dir delete on the driver
-      }
-      override def close(): Unit = ()
+    new GraftSpjStagingWriter(owf, conf, stagingDir, schema, partitionId, taskId)
+}
+
+/** One task's staging leg: rows to one parquet file (opened lazily —
+  * empty tasks stage nothing), path reported in the commit message.
+  * Shared by the CoW replace write and the streaming epoch write. */
+private[spj] class GraftSpjStagingWriter(owf: OutputWriterFactory,
+    conf: SerializableConfiguration, stagingDir: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private var writer: OutputWriter = _
+  private var path: String = _
+  // Spark's group-based rewrites PREPEND `__row_operation`
+  // (RowDeltaUtils.OPERATION_COLUMN) to the replacement rows, and
+  // with no required metadata attributes the plain writing task
+  // hands them through un-projected — strip the marker column when
+  // present (row one wider than the declared write schema; every
+  // surviving row is a write in group-based semantics, so the
+  // operation code itself carries no information here)
+  private var strip = false
+  private lazy val stripProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i + 1, f.dataType, f.nullable)
+      })
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) { // open lazily: empty tasks stage nothing
+      require(row.numFields == schema.length || row.numFields == schema.length + 1,
+        s"row width ${row.numFields} matches neither the write schema " +
+          s"(${schema.length}) nor schema + operation column")
+      strip = row.numFields == schema.length + 1
+      val ctx = new TaskAttemptContextImpl(conf.value,
+        new TaskAttemptID(new TaskID(new JobID("graft-cow", 0),
+          TaskType.MAP, partitionId), 0))
+      path = s"$stagingDir/part-$partitionId-$taskId${owf.getFileExtension(ctx)}"
+      writer = owf.newInstance(path, schema, ctx)
     }
+    writer.write(if (strip) stripProj(row) else row)
+  }
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    GraftSpjStagedFile(Option(path))
+  }
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    // physical cleanup is the staging-dir delete on the driver
+  }
+  override def close(): Unit = ()
 }

@@ -90,3 +90,81 @@ private[spj] class GraftSpjMicroBatchStream(root: String, table: String,
   override def stop(): Unit = ()
   override def toString: String = s"GraftSpjMicroBatchStream[$table@$branch, $root]"
 }
+
+/** DSv2 STREAMING WRITE into a catalog table —
+  * `df.writeStream.toTable("cat.t")`, closing the loop
+  * [[GraftSpjMicroBatchStream]] opened: bronze→silver hops run
+  * END-TO-END on the catalog surface, reader and writer both plain
+  * SQL-native streaming, zero provider strings or foreachBatch
+  * plumbing. Each epoch stages its rows as plain parquet
+  * (executor-side, the shared [[GraftSpjStagingWriter]]) and the
+  * driver commit lands them through the ordinary layout writer with
+  * the EPOCH ID as the exactly-once batch id
+  * ([[Lakehouse.appendOnce]] / `replaceOnce` under Complete mode) —
+  * a restarted query replaying its last epoch finds the id in the
+  * commit ledger and appends nothing, the same dedup contract as the
+  * foreachBatch sinks. An epoch that wrote no rows commits nothing. */
+private[spj] class GraftSpjStreamingWrite(root: String, table: String,
+    spec: Seq[String], branch: String, writeSchema: StructType,
+    truncate: Boolean)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+  import org.apache.spark.sql.connector.read.{InputPartition => _}
+
+  private val stagingBase =
+    s"$root/$table/_stream-staging-${java.util.UUID.randomUUID()}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty[String, String], writeSchema)
+    val conf = new org.apache.spark.util.SerializableConfiguration(job.getConfiguration)
+    // a named factory so the task closure ships (owf, conf, paths)
+    // only — the write itself stays driver-side
+    GraftSpjEpochWriterFactory(owf, conf, stagingBase, writeSchema)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staged = messages.toSeq.collect { case GraftSpjStagedFile(Some(p)) => p }
+    try {
+      if (staged.nonEmpty) {
+        val df = spark.read.schema(writeSchema).parquet(staged: _*)
+        val lake = new Lakehouse(spark, root)
+        if (truncate) lake.replaceOnce(df, table, batchId = epochId, spec, branch)
+        else lake.appendOnce(df, table, batchId = epochId, spec, branch)
+      }
+    } finally deleteEpoch(spark, epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    deleteEpoch(SparkSession.active, epochId)
+
+  private def deleteEpoch(spark: SparkSession, epochId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$stagingBase/epoch-$epochId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    // the base dir goes when its last epoch does (idempotent)
+    val base = new org.apache.hadoop.fs.Path(stagingBase)
+    if (fs.exists(base) && fs.listStatus(base).isEmpty) fs.delete(base, true)
+    ()
+  }
+}
+
+/** Epoch-scoped staging writers for the streaming write — each epoch
+  * stages under its own subdir so commit/abort are per-epoch. */
+private[spj] case class GraftSpjEpochWriterFactory(
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    stagingBase: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftSpjStagingWriter(owf, conf, s"$stagingBase/epoch-$epochId",
+      schema, partitionId, taskId)
+}

@@ -197,14 +197,17 @@ object EventStream {
     val cat = s"graft_spj_tail_${System.nanoTime()}"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // the silver side is DDL-created and stream-written THROUGH the
+    // catalog too — the whole hop is reader `readStream.table` →
+    // writer `writeStream.toTable`, zero foreachBatch plumbing
+    spark.sql(s"""CREATE TABLE $cat.sptail_silver (
+      |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      |  price DECIMAL(12,2)) PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
     def drain(): Unit = {
       val q = spark.readStream.table(s"$cat.sptail_bronze").writeStream
         .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          if (!batch.isEmpty) { lake.appendOnce(batch, "sptail_silver", batchId); () }
-        }
-        .start()
+        .toTable(s"$cat.sptail_silver")
       q.awaitTermination()
     }
     drain() // bootstrap

@@ -77,6 +77,44 @@ class SpjStreamSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end catalog loop: readStream.table -> writeStream.toTable, exactly-once epochs") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ssl").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-ssl-ck").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.createOrReplace((1L to 15L).map(k => (k, k * 2.0)).toDF("k", "w"),
+      "ssl_bronze", Seq("bucket(4,k)"))
+    withSpj(root, "sslc") {
+      spark.sql("CREATE TABLE sslc.ssl_silver (k BIGINT, w DOUBLE) " +
+        "PARTITIONED BY (bucket(4, k))")
+      def loop(): Unit = {
+        val q = spark.readStream.table("sslc.ssl_bronze").writeStream
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .toTable("sslc.ssl_silver")
+        try assert(q.awaitTermination(120000)) finally q.stop()
+      }
+      loop() // bootstrap epoch
+      assert(spark.table("sslc.ssl_silver").count() === 15L)
+      lake.append(Seq((16L, 32.0)).toDF("k", "w"), "ssl_bronze", Seq("bucket(4,k)"))
+      loop() // delta epoch
+      assert(spark.table("sslc.ssl_silver").count() === 16L)
+      val snaps = lake.snapshots("ssl_silver").size
+      loop() // idle: no epoch data, no commit
+      assert(lake.snapshots("ssl_silver").size === snaps,
+        "an empty epoch must not commit a snapshot")
+      assert(spark.table("sslc.ssl_silver").select("k").collect()
+        .map(_.getLong(0)).sorted === (1L to 16L).toArray)
+      // the silver landed UNDER THE LAYOUT: it SPJ-joins the bronze
+      // with no Exchange
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val j = spark.table("sslc.ssl_silver").join(
+        spark.table("sslc.ssl_bronze").select(col("k").as("k2")), col("k") === col("k2"))
+      assert(!graft.operators.Medallion.plansShuffle(j))
+      assert(j.count() === 16L)
+    }
+  }
+
   test("a rewrite inside the interval fails the stream loudly (append-only contract)") {
     val root = java.nio.file.Files.createTempDirectory("graft-ssr").toString
     val ck = java.nio.file.Files.createTempDirectory("graft-ssr-ck").toString
