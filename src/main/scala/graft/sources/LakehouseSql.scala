@@ -377,7 +377,7 @@ case class LakehouseCtasCommand(table: String, replace: Boolean, spec: Seq[Strin
 case class LakehouseCreateMviewCommand(view: String, src: String,
     groups: Seq[String], aggs: Seq[(String, Option[String], String)],
     where: Option[String],
-    join: Option[(String, String, String, String)] = None)
+    joins: Seq[(String, String, String, String)] = Nil)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -392,7 +392,7 @@ case class LakehouseCreateMviewCommand(view: String, src: String,
       case other => throw new UnsupportedOperationException(s"unsupported aggregate: $other")
     }
     val d = ViewDef(view, src, groups, aggCols, where,
-      join.toSeq.map { case (dim, fk, dk, jt) => JoinSpec(dim, fk, dk, jt) })
+      joins.map { case (dim, fk, dk, jt) => JoinSpec(dim, fk, dk, jt) })
     val snap = MaterializedView.create(lake, d)
     MaterializedView.persist(lake, d)
     lake.registerView(view)
@@ -801,16 +801,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """SELECT\s+(.+?)\s+FROM\s+`?([A-Za-z_]\w*)`?""" +
       """(?:\s+WHERE\s+((?:(?!\bGROUP\b).)+?))?""" +
       """\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
-  // join-shaped variant: FROM <fact> [LEFT [OUTER]|INNER] JOIN <dim>
-  // ON <equality> — the silver_enrich shape, maintained by the same
-  // delta machinery (fact appends AND dim changes incremental)
+  // join-shaped variant: FROM <fact> ([LEFT [OUTER]|INNER] JOIN <dim>
+  // ON <equality>)+ — the silver_enrich shape (and its snowflake
+  // chains), maintained by the same delta machinery (fact appends
+  // incremental through the pinned dim chain; single-hop dim changes
+  // incremental, multi-hop dim movement recomputes)
   private val CreateMviewJoinRe =
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?([A-Za-z_]\w*)`?\s+AS\s+""" +
       """SELECT\s+(.+?)\s+FROM\s+`?([A-Za-z_]\w*)`?""" +
-      """\s+(LEFT\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+`?([A-Za-z_]\w*)`?""" +
-      """\s+ON\s+((?:(?!\bWHERE\b|\bGROUP\b).)+?)""" +
+      """((?:\s+(?:LEFT\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+`?[A-Za-z_]\w*`?""" +
+      """\s+ON\s+(?:(?!\bWHERE\b|\bGROUP\b|\bJOIN\b).)+?)+)""" +
       """(?:\s+WHERE\s+((?:(?!\bGROUP\b).)+?))?""" +
       """\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
+  // one hop of the join chain, re-scanned out of the captured blob
+  private val MviewJoinHopRe =
+    ("""(?is)\s*(LEFT\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+`?([A-Za-z_]\w*)`?""" +
+      """\s+ON\s+((?:(?!\bWHERE\b|\bGROUP\b|\bJOIN\b).)+)""").r
   private val MviewAggRe =
     """(?is)\s*(sum|min|max)\s*\(\s*`?([A-Za-z_]\w*)`?\s*\)\s+AS\s+`?([A-Za-z_]\w*)`?\s*""".r
   private val MviewCountRe =
@@ -1059,22 +1065,32 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakehouseFastForwardCommand(table, from, Option(into))
     case DropRe(table, purge) if LakehouseRegistry.isRegistered(table) =>
       LakehouseDropCommand(table, purge != null)
-    case CreateMviewJoinRe(view, selectList, src, jt, dim, on, where, groupBy)
-        if LakehouseRegistry.isRegistered(src) && LakehouseRegistry.isRegistered(dim) =>
-      val (fk, dk) = on match {
-        case OnConjunct(q1, c1, q2, c2) =>
-          def is(q: String, t: String) = q != null && q.equalsIgnoreCase(t)
-          // qualifiers resolve which side is the fact key; bare columns
-          // read fact-first (`ON fact_key = dim_key`)
-          if (is(q1, dim) || is(q2, src)) (c2, c1) else (c1, c2)
-        case _ => throw new UnsupportedOperationException(
-          s"materialized join view supports ON <fact.key = dim.key>; got: ON $on")
-      }
-      val joinType =
-        if (jt != null && jt.trim.toUpperCase.startsWith("LEFT")) "left" else "inner"
+    case CreateMviewJoinRe(view, selectList, src, joinChain, where, groupBy)
+        if LakehouseRegistry.isRegistered(src) &&
+          MviewJoinHopRe.findAllMatchIn(joinChain).forall(m =>
+            LakehouseRegistry.isRegistered(m.group(2))) =>
+      var leftTables = Seq(src) // src + earlier dims: the LEFT side grows per hop
+      val hops = MviewJoinHopRe.findAllMatchIn(joinChain).map { m =>
+        val (jt, dim, on) = (m.group(1), m.group(2), m.group(3))
+        val (fk, dk) = on match {
+          case OnConjunct(q1, c1, q2, c2) =>
+            def is(q: String, t: String) = q != null && q.equalsIgnoreCase(t)
+            // a qualifier naming THIS hop's dim marks that side as the
+            // dim key; one naming the fact or an EARLIER dim marks the
+            // LEFT side (snowflake chains); bare columns read
+            // left-first (`ON left_key = dim_key`)
+            if (is(q1, dim) || leftTables.exists(is(q2, _))) (c2, c1) else (c1, c2)
+          case _ => throw new UnsupportedOperationException(
+            s"materialized join view supports ON <left.key = dim.key>; got: ON $on")
+        }
+        val joinType =
+          if (jt != null && jt.trim.toUpperCase.startsWith("LEFT")) "left" else "inner"
+        leftTables = leftTables :+ dim
+        (dim, fk, dk, joinType)
+      }.toSeq
       val (groups, aggs) = parseMviewSelect(selectList, groupBy)
       LakehouseCreateMviewCommand(view, src, groups, aggs,
-        Option(where).map(_.trim), Some((dim, fk, dk, joinType)))
+        Option(where).map(_.trim), hops)
     case CreateMviewRe(view, selectList, src, where, groupBy)
         if LakehouseRegistry.isRegistered(src) =>
       val (groups, aggs) = parseMviewSelect(selectList, groupBy)

@@ -736,6 +736,32 @@ class MaterializedViewSpec extends SparkSpec {
     assert(natMap(lake.read("sales_by_nation"))("DE") === ((dec("7.00"), 2L)))
   }
 
+  test("SQL surface: CREATE MATERIALIZED VIEW with a snowflake JOIN chain") {
+    val root = freshDir("graft-mview-starsql")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(custDf((1L, 100L), (2L, 200L)), "sqlstar_cust")
+    lake.createOrReplace(natDf((100L, "FR"), (200L, "DE")), "sqlstar_nat")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00"))), "sqlstar_fact")
+    Seq("sqlstar_cust", "sqlstar_nat", "sqlstar_fact").foreach(lake.registerView(_))
+    spark.sql(
+      """CREATE MATERIALIZED VIEW sqlstar_v AS
+        |SELECT nname, sum(price) AS total, count(*) AS n
+        |FROM sqlstar_fact
+        |JOIN sqlstar_cust ON cust = cid
+        |JOIN sqlstar_nat ON sqlstar_nat.nid = nid
+        |GROUP BY nname""".stripMargin)
+    assert(natMap(spark.table("sqlstar_v")) === Map(
+      "FR" -> ((dec("10.00"), 1L)), "DE" -> ((dec("4.00"), 1L))))
+    // the chain persisted: a fresh load sees two hops, then CALL
+    // refresh advances through a fact append on the delta path
+    val d2 = MV.load(lake, "sqlstar_v").get
+    assert(d2.joins.map(_.dim) === Seq("sqlstar_cust", "sqlstar_nat"))
+    lake.append(factDf((12L, 1L, dec("2.00"))), "sqlstar_fact")
+    spark.sql("CALL system.refresh_mview('sqlstar_v')").collect()
+    assert(natMap(spark.table("sqlstar_v"))("FR") === ((dec("12.00"), 2L)))
+  }
+
   test("multi-hop definition persists as a joins array and reloads; left hops survive") {
     val root = freshDir("graft-mview-starp")
     val lake = new Lakehouse(spark, root)
