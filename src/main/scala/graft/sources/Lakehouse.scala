@@ -1158,7 +1158,23 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     // rewrites can't leak them into data files and the user schema is
     // layout-independent (`_metadata` still resolves through the
     // projection for positional tombstones)
-    alignToDeclared(table, dataDir, Transforms.dropDerived(raw), asOf)
+    val dropped = Transforms.dropDerived(raw)
+    // RESTORE the recorded writer's column order: Spark's partitioned
+    // read emits partition columns LAST whatever the explicit schema
+    // said, so without this a CoW rewrite of an identity-partitioned
+    // dir would write its survivors partition-column-last — and a
+    // table mixing rewritten and original dirs would read under an
+    // ORDER-UNSTABLE merged schema (name-based consumers never notice;
+    // the DSv2 layout schema and any positional consumer would).
+    val ordered = dirSchema(table, dataDir) match {
+      case Some(st) =>
+        val names = st.fieldNames.filterNot(_.startsWith("_p_")).toSeq
+        if (dropped.columns.toSeq == names ||
+          names.exists(!dropped.columns.contains(_))) dropped
+        else dropped.select(names.map(org.apache.spark.sql.functions.col): _*)
+      case None => dropped
+    }
+    alignToDeclared(table, dataDir, ordered, asOf)
   }
 
   /** Parsed `(file, col, type, lo, hi)` stats lines of one data dir. */
