@@ -198,7 +198,13 @@ private[spj] class GraftSpjReplaceWrite(root: String, tableName: String,
     val spark = SparkSession.active
     val staged = messages.toSeq.collect { case GraftSpjStagedFile(Some(p)) => p }
     try {
-      val removed = Option(op.cowScan).fold(Seq.empty[String])(_.removedEntries)
+      // the scan is built strictly before the write executes; a missing
+      // handoff must refuse — an empty removed set would re-append the
+      // carried rows the query already wrote (silent duplication)
+      val removed = Option(op.cowScan).getOrElse(throw new IllegalStateException(
+        s"replace-data commit for $tableName without its CoW scan — " +
+          "the row-level operation was not planned through GraftSpjCowScanBuilder"))
+        .removedEntries
       val replacement =
         if (staged.isEmpty)
           spark.createDataFrame(

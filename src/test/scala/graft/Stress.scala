@@ -88,6 +88,27 @@ object Stress {
       AnnIndex.refresh(lake, "emb_t")
       lake.read(AnnIndex.assignTable("emb_t")).count()
     }
+    // COPY-ON-WRITE row-level ops at 16× (1.28M docs, bucket(16)):
+    // a KEYED UPDATE through the DSv2 catalog must rewrite ONE leaf
+    // (static bucket pruning bounds the CoW scan), while a
+    // beyond-algebra DELETE whose predicate no ledger can bound pays
+    // the honest full rewrite — compare the two lines
+    import graft.sources.spj.GraftSpjCatalog
+    lake.createOrReplace(srcDf, "docs_rl", Seq("bucket(16,doc_id)"))
+    spark.conf.set("spark.sql.catalog.stress_rl", classOf[GraftSpjCatalog].getName)
+    spark.conf.set("spark.sql.catalog.stress_rl.root", lakeDir)
+    val beforeRl = lake.spjLayout("docs_rl").files.valuesIterator.flatten.map(_.path).toSet
+    t("rl_update_keyed") {
+      spark.sql("UPDATE stress_rl.docs_rl SET n_chars = n_chars + 1 WHERE doc_id = 42")
+      val after = lake.spjLayout("docs_rl").files.valuesIterator.flatten.map(_.path).toSet
+      val leaves = (beforeRl -- after).map(p => p.take(p.lastIndexOf('/'))).size
+      println(s"STRESS rl_update_keyed rewrote $leaves leaf/leaves of 16 buckets")
+      spark.table("stress_rl.docs_rl").where(col("doc_id") === 42).count()
+    }
+    t("rl_delete_unbounded") { // pmod: no stat can bound it — full CoW rewrite
+      spark.sql("DELETE FROM stress_rl.docs_rl WHERE pmod(doc_id, 100003) = 7")
+      spark.table("stress_rl.docs_rl").count()
+    }
     graft.sources.Memo.release(spark)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lakeDir))
