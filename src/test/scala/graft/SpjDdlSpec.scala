@@ -102,6 +102,25 @@ class SpjDdlSpec extends SparkSpec {
     }
   }
 
+  test("TRUNCATE TABLE empties the table; it stays servable and re-insertable") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-t").toString
+    withSpj(root, "ddl5") {
+      spark.sql("CREATE TABLE ddl5.tr (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO ddl5.tr VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      spark.sql("TRUNCATE TABLE ddl5.tr")
+      assert(spark.table("ddl5.tr").count() === 0L,
+        "truncate must empty the table")
+      // the emptied table still serves under its declared spec — the
+      // zero-row marker machinery — and takes fresh inserts
+      spark.sql("INSERT INTO ddl5.tr VALUES (9, 'z')")
+      assert(sortedRows(spark.table("ddl5.tr")) === Seq("9|z"))
+      // history time-travels to the pre-truncate state
+      val lake = new Lakehouse(spark, root)
+      val snaps = lake.snapshots("tr").map(_._1).sorted
+      assert(lake.readSnapshot("tr", snaps(1)).count() === 3L)
+    }
+  }
+
   test("DROP TABLE removes the table and its data (managed semantics)") {
     val root = java.nio.file.Files.createTempDirectory("graft-ddl-d").toString
     withSpj(root, "ddl4") {
