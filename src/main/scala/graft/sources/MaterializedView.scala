@@ -65,10 +65,11 @@ object MaterializedView {
     * nationkey). The fact side is the APPENDING side
     * (delta-maintained); dims are the enrichment side — a single-dim
     * view applies dim changes incrementally when [[dimDelta]]'s gates
-    * hold, a multi-hop view recomputes on any dim movement (the
-    * subtractive algebra would need cross-hop key propagation — see
-    * [[refresh]]). LEFT keeps unmatched left-side rows with
-    * null-extended dim columns. */
+    * hold, and an ALL-INNER chain applies HEAD-hop movement
+    * incrementally too (the remaining hops re-enrich at their unmoved
+    * pins); deeper-hop movement recomputes (the subtractive algebra
+    * would need backward key propagation — see [[refresh]]). LEFT
+    * keeps unmatched left-side rows with null-extended dim columns. */
   final case class JoinSpec(dim: String, factKey: String, dimKey: String,
       joinType: String = "inner") {
     require(joinType == "inner" || joinType == "left",
@@ -421,8 +422,15 @@ object MaterializedView {
     * backfilled for 50 keys" costing O(50 keys' fact rows) and
     * costing a full fact re-aggregation. */
   private[graft] def dimDelta(lake: Lakehouse, d: ViewDef, factSnap: Long,
-      dimFrom: Option[Long], dimTo: Long): Option[Long] = {
-    val j = d.join.get
+      dimFrom: Option[Long], dimTo: Long,
+      restPins: Seq[Long] = Seq.empty): Option[Long] = {
+    // multi-hop chains reach here only for HEAD-hop movement with the
+    // remaining hops UNMOVED (the caller gates): the changed keys'
+    // contributions re-enrich through hops 2..n at their pinned
+    // snapshots, identically on the plus and minus legs, so the
+    // subtractive algebra is untouched — unchanged-dim pairs cancel
+    // exactly as in the single-hop case
+    val j = d.joins.head
     if (!d.aggs.forall(a => a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll]))
       return None
     val countAlias = d.aggs.collectFirst { case CountAll(a) => a }
@@ -492,7 +500,12 @@ object MaterializedView {
         else ne.join(emptyDim, ne(j.factKey) === emptyDim(j.dimKey), "left")
         matched.unionByName(extended)
       }
-      aggOf(rows, d).select(d.groupCols.map(col) ++
+      // the REMAINING hops of a chain, pinned — all-inner by the
+      // caller's gate, so no null-extension accounting compounds
+      val enriched =
+        if (d.joins.length == 1) rows
+        else joined(lake, rows, d.joins.tail, restPins)
+      aggOf(enriched, d).select(d.groupCols.map(col) ++
         d.aggs.map(a => col(a.alias).as(prefix + a.alias)): _*)
     }
     // net per-group delta = inserted-side minus deleted-side partials
@@ -549,13 +562,21 @@ object MaterializedView {
     if (from == to && !dimMoved)
       return lake.currentSnapshot(d.view).get
     if (dimMoved) {
-      // subtractive dim maintenance holds for SINGLE-hop views only: a
-      // multi-hop chain's changed-dim keys would have to propagate
-      // through the other hops to name the affected fact rows (and a
-      // mid-chain LEFT hop's null-extensions compound) — any multi-hop
-      // dim movement recomputes at the new pins, exactly-once
-      val delta = d.join.flatMap(_ =>
-        dimDelta(lake, d, from, dimAt.map(_.head), dimNow.head))
+      // subtractive dim maintenance applies when the moved dim's
+      // changed keys can name the affected FACT rows directly: the
+      // single-hop case (inner or left), and HEAD-hop-only movement of
+      // an all-inner chain (hop 1's factKey is a fact column; the
+      // remaining hops re-enrich at their UNMOVED pins on both legs).
+      // A deeper hop's movement would need its keys propagated
+      // backward through the chain (and a LEFT hop's null-extensions
+      // compound) — those recompute at the new pins, exactly-once.
+      val headOnly = dimAt.exists(at => at.tail == dimNow.tail)
+      val innerChainOk = d.joins.length == 1 ||
+        d.joins.forall(_.joinType == "inner")
+      val delta =
+        if (headOnly && innerChainOk)
+          dimDelta(lake, d, from, dimAt.map(_.head), dimNow.head, dimNow.tail)
+        else None
       delta match {
         case Some(snap) =>
           writeDimWatermark(lake, d.view, dimNow)

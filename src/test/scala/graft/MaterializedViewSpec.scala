@@ -709,7 +709,7 @@ class MaterializedViewSpec extends SparkSpec {
     assert(MV.watermark(lake, StarDef) === lake.currentSnapshot("fact_t").get)
   }
 
-  test("multi-hop join view: ANY dim movement recomputes at the new pins (no subtractive leg)") {
+  test("multi-hop join view: DEEP-hop movement recomputes; HEAD-hop movement applies subtractively") {
     val root = freshDir("graft-mview-stard")
     val lake = new Lakehouse(spark, root)
     lake.createOrReplace(custDf((1L, 100L), (2L, 200L)), "cust_t")
@@ -717,23 +717,40 @@ class MaterializedViewSpec extends SparkSpec {
     lake.createOrReplace(factDf((10L, 1L, dec("10.00")), (11L, 2L, dec("4.00"))), "fact_t")
     MV.create(lake, StarDef)
     // hop-2 dim movement: re-label a nation (MoR update, CDC-readable —
-    // a single-hop view would go subtractive; the chain must NOT try)
+    // its keys would need BACKWARD propagation through cust; recompute)
     lake.updateWhereMor(Seq("nname" -> lit("FR2")), col("nid") === 100L, "nat_t")
     MV.refresh(lake, StarDef)
     assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
     assert(natMap(lake.read("sales_by_nation")) === Map(
       "FR2" -> ((dec("10.00"), 1L)), "DE" -> ((dec("4.00"), 1L))))
     assert(!lake.committedBatches("sales_by_nation").exists(_ < 0),
-      "multi-hop dim movement must take the recompute, not the dim-delta leg")
+      "deep-hop dim movement must take the recompute, not the dim-delta leg")
     // both dim watermarks converged to the new pins
     assert(MV.dimWatermarkOf(lake, "sales_by_nation", 2) ===
       Some(Seq(lake.currentSnapshot("cust_t").get, lake.currentSnapshot("nat_t").get)))
-    // hop-1 dim movement recomputes too
-    lake.append(custDf((9L, 200L)), "cust_t")
-    lake.append(factDf((12L, 9L, dec("3.00"))), "fact_t")
+    // HEAD-hop movement (the enrichment-backfill shape: a customer
+    // moves nation) applies SUBTRACTIVELY — the changed key's fact
+    // rows re-enrich through the PINNED nat chain on both legs
+    lake.updateWhereMor(Seq("nid" -> lit(200L)), col("cid") === 1L, "cust_t")
     MV.refresh(lake, StarDef)
     assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
-    assert(natMap(lake.read("sales_by_nation"))("DE") === ((dec("7.00"), 2L)))
+    assert(natMap(lake.read("sales_by_nation")) === Map(
+      "DE" -> ((dec("14.00"), 2L)))) // FR2 emptied... so the delta fell back
+    // a group emptied => the subtractive leg correctly fell back; do a
+    // NON-emptying head-hop change and pin the negative batch id
+    lake.append(custDf((3L, 100L)), "cust_t")
+    lake.append(factDf((12L, 3L, dec("5.00"))), "fact_t")
+    MV.refresh(lake, StarDef) // fact+dim advance (insert-only dim: no-op delta)
+    lake.updateWhereMor(Seq("nid" -> lit(200L)), col("cid") === 2L, "cust_t")
+    MV.refresh(lake, StarDef)
+    assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
+    assert(lake.committedBatches("sales_by_nation").exists(_ < 0),
+      "a non-emptying head-hop change must land through the subtractive leg")
+    // hop-1 append + fact append: delta paths end-to-end
+    lake.append(custDf((9L, 200L)), "cust_t")
+    lake.append(factDf((13L, 9L, dec("3.00"))), "fact_t")
+    MV.refresh(lake, StarDef)
+    assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
   }
 
   test("SQL surface: CREATE MATERIALIZED VIEW with a snowflake JOIN chain") {
