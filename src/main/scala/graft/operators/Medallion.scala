@@ -1420,9 +1420,11 @@ object Medallion {
     * chain (the delta joins both dims at their recorded snapshots and
     * merges partial aggregates), and a hop-2 dim re-label (nations
     * regrouped into a zone) triggers the sound recompute at the new
-    * pins — multi-hop dim movement deliberately refuses the
-    * subtractive leg, whose changed-key set would have to propagate
-    * through the other hops ([[graft.sources.MaterializedView]]).
+    * pins — DEEP-hop movement refuses the subtractive leg, whose
+    * changed-key set would have to propagate backward through the
+    * other hops (HEAD-hop movement of an all-inner chain DOES apply
+    * subtractively, spec-pinned in MaterializedViewSpec;
+    * [[graft.sources.MaterializedView]]).
     * The oracle restates the final state as a from-scratch two-join
     * rollup with the re-label as CASE — hash equality proves two
     * delta merges plus one chain recompute land bit-exactly. At
