@@ -142,6 +142,36 @@ class SpjRowLevelSpec extends SparkSpec {
     }
   }
 
+  test("calendar x bucket layout: a day-scoped UPDATE rewrites only that day's leaves") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rl-cal").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    val rows = (1L to 40L).map { k =>
+      (k, java.sql.Timestamp.valueOf(s"2024-03-${10 + (k % 4)} 12:00:00"), k * 1.0)
+    }.toDF("k", "ts", "w")
+    lake.createOrReplace(rows, "rl_cal", Seq("days(ts)", "bucket(2,k)"))
+    val before = layoutPaths(lake, "rl_cal")
+    withSpj(root, "rlc7") {
+      spark.sql(
+        "UPDATE rlc7.rl_cal SET w = -1.0 WHERE ts >= TIMESTAMP '2024-03-12 00:00:00' " +
+          "AND ts < TIMESTAMP '2024-03-13 00:00:00'")
+      val expected = rows.select(col("k"), col("ts"),
+        when(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-03-12 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-03-13 00:00:00")), lit(-1.0))
+          .otherwise(col("w")).as("w"))
+      assert(sortedRows(spark.table("rlc7.rl_cal")) === sortedRows(expected))
+      // the temporal predicate bounded the CoW scan to the one day's
+      // leaves through the per-file ts ledgers — the other three days
+      // carry by reference
+      val removed = before -- layoutPaths(lake, "rl_cal")
+      assert(removed.nonEmpty)
+      assert(leavesOf(removed).size <= 2,
+        s"only 2024-03-12's (day, bucket) leaves may rewrite, got: ${leavesOf(removed)}")
+      // the rewritten table still serves the calendar layout
+      assert(lake.spjLayout("rl_cal").spec === Seq("days(ts)", "bucket(2,k)"))
+    }
+  }
+
   test("replaceEntries refuses a stale base snapshot (serializable-or-fail)") {
     val root = java.nio.file.Files.createTempDirectory("graft-rl-c").toString
     val lake = new Lakehouse(spark, root)
