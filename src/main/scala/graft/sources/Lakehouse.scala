@@ -3353,15 +3353,25 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * could serve `table` under, or None — the cheap servability probe
     * behind the catalog's `SHOW TABLES` (manifest + one dir-level
     * listing per data dir; never walks files). Mirrors [[spjLayout]]'s
-    * strictness: tombstones, committed schema evolution, mixed
-    * layouts, and other transform shapes all disqualify. */
+    * strictness: merge-on-read tombstones and committed schema
+    * evolution are each servable ALONE (the scan anti-filters /
+    * conforms at read) but not together; mixed layouts, renamed
+    * partition columns, unrecorded evolved dirs and other transform
+    * shapes disqualify. */
   private[graft] def spjServableSpec(table: String, branch: String = "main")
       : Option[Seq[String]] =
     for {
       snap <- currentSnapshot(table, branch)
       entries <- snapshots(table).find(_._1 == snap).map(_._2)
-      if snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty
-      if schemaLines(table).isEmpty
+      if snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty ||
+        schemaLines(table).isEmpty
+      // evolved tables need every data dir's schema record and stable
+      // partition-column names, or loadTable would refuse what SHOW
+      // TABLES advertised
+      if schemaLines(table).isEmpty || {
+        val dataDirs = entries.map(_.takeWhile(_ != '/')).distinct
+        dataDirs.forall(d => dirSchema(table, d).isDefined)
+      }
       specs <- {
         // zero-row schema-marker dirs (empty CREATE TABLE, fully-
         // emptied rewrites) don't constrain the layout — same rule as
@@ -3394,6 +3404,22 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       if specs.filterNot(_.contains("(")).forall { c =>
         metaSchema(table, entries, snap).exists(_.fields.exists(f =>
           f.name == c && SpjLayout.supportedIdentityType(f.dataType)))
+      }
+      // evolved tables: every partition column (identity, bucket key,
+      // time-transform source) must still carry its original name in
+      // the declared schema — spjLayout refuses renamed partition
+      // columns, so the probe must too
+      if schemaLines(table).isEmpty || {
+        val InnerRe = """\w+\((?:\d+,)?(.+)\)""".r
+        val partCols = specs.map {
+          case InnerRe(c) => c
+          case c => c
+        }
+        val ms = metaSchema(table, entries, snap)
+        partCols.forall(c => ms.exists(_.fieldNames.contains(c))) &&
+          schemaLines(table).flatMap(_._3).forall { case (f, t) =>
+            !partCols.contains(f) && !partCols.contains(t)
+          }
       }
     } yield specs
 
@@ -4517,16 +4543,19 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * join with NO Exchange because the planner proves each bucket is
     * already co-located.
     *
-    * Deliberately strict (loud refusal beats a silently-wrong
-    * Exchange-free plan):
-    *  - every data dir must carry the SAME single-level bucket layout
-    *    (mixed-spec tables from partition evolution must be rewritten
-    *    under one spec first);
-    *  - no merge-on-read tombstones (the SPJ scan reads raw files;
-    *    `compact()` materializes deletes);
-    *  - no committed schema evolution (renames are applied at read by
-    *    projection in the regular path; the SPJ scan reads raw files,
-    *    so evolved tables must be compacted under the current schema).
+    * Merge-on-read TOMBSTONES are served: the layout carries them
+    * canonicalized ([[SpjTombstone]]) and the DSv2 reader anti-filters
+    * per file by sequence — rows filter, partitions don't move, so the
+    * Exchange-free join property survives a MoR-maintained table.
+    * Committed SCHEMA EVOLUTION is served through per-dir conform
+    * projections ([[SpjDirConform]]). Remaining strictness (loud
+    * refusal beats a silently-wrong Exchange-free plan):
+    *  - every data dir must carry the SAME layout spec (mixed-spec
+    *    tables from partition evolution must be rewritten first);
+    *  - tombstones AND evolution together refuse (key canonicalization
+    *    across physical type changes is unprovable — compact() first);
+    *  - renamed partition columns refuse (the bucket hash and the
+    *    reported partitioning resolve against the declared schema).
     */
   private[graft] def spjLayout(table: String, branch: String = "main",
       atSnapshot: Option[Long] = None): SpjLayout = {
@@ -4534,10 +4563,18 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       throw new IllegalArgumentException(s"no such table/branch: $table@$branch")))
     val entries = snapshots(table).find(_._1 == snap)
       .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $snap"))._2
-    require(snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty,
-      s"$table@$branch carries merge-on-read tombstones — compact() before a storage-partitioned read")
-    require(schemaLines(table).isEmpty,
-      s"$table has committed schema evolution — compact() under the current schema before a storage-partitioned read")
+    // MERGE-ON-READ tombstones and committed schema evolution are each
+    // SERVED (tombstones as per-file anti-filters in the DSv2 reader,
+    // evolution as per-dir conform projections) — but not together:
+    // equality-tombstone keys canonicalize against the PHYSICAL column
+    // types, and a widening/rename between the tombstone write and the
+    // read would make the key comparison silently miss. Loud refusal
+    // beats a resurrection bug.
+    val deletes = spjTombstones(table, snap)
+    val evoLines = schemaLines(table)
+    require(deletes.isEmpty || evoLines.isEmpty,
+      s"$table@$branch carries BOTH merge-on-read tombstones and committed schema " +
+        "evolution — the SPJ scan serves each alone; compact() to serve the combination")
     val dataDirs0 = entries.map(_.takeWhile(_ != '/')).distinct
     // ZERO-ROW SCHEMA-MARKER dirs don't constrain the layout: an empty
     // `CREATE TABLE` and a rewrite that deleted every row both commit
@@ -4693,11 +4730,73 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           identityKeys = Some(keys), outerCol = Some(idCol))
       case (None, None) => throw new IllegalStateException("unreachable layout shape")
     }
+    // SCHEMA-EVOLVED tables: per-data-dir conform materials for the
+    // DSv2 reader — the dir's recorded physical file schema (minus the
+    // hidden `_p_…` layout columns) and the renames committed AFTER the
+    // dir was written and at-or-before the read snapshot (exactly
+    // [[alignToDeclared]]'s window). Partition columns must have kept
+    // their names across the whole history: the bucket hash, the
+    // identity dir decode and the reported KeyGroupedPartitioning all
+    // resolve them against the DECLARED schema, so a renamed partition
+    // column would silently break co-partitioning. Type WIDENING on a
+    // partition column is fine — the layout hash and the dir encoding
+    // both run over cast-to-string values, which widening preserves.
+    val dirConforms: Map[String, SpjDirConform] =
+      if (evoLines.isEmpty) Map.empty
+      else {
+        val partCols = layout0.identityCol.toSeq ++ layout0.bucketLevel.map(_._2)
+        val renamedParts = evoLines.flatMap(_._3).filter { case (from, to) =>
+          partCols.contains(from) || partCols.contains(to)
+        }
+        require(renamedParts.isEmpty,
+          s"$table renamed a partition column (${renamedParts.map { case (f, t) => s"$f>$t" }
+            .mkString(", ")}) — compact() under the current schema before an SPJ read")
+        dataDirs.map { d =>
+          val seqD = scala.util.Try(d.stripPrefix("data-").toLong)
+            .getOrElse(Long.MaxValue)
+          val phys = dirSchema(table, d).getOrElse(throw new IllegalArgumentException(
+            s"$table's $d predates schema recording — compact() before an SPJ read " +
+              "of an evolved table"))
+          d -> SpjDirConform(
+            org.apache.spark.sql.types.StructType(
+              phys.fields.filterNot(_.name.startsWith("_p_"))),
+            evoLines.filter(l => l._1 > seqD && l._1 <= snap).flatMap(_._3))
+        }.toMap
+      }
     // the snapshot the layout was resolved at — what the row-level ops'
     // conditional commit pins against (a moved branch means the
     // rewrite's carried rows are stale: refuse, never clobber)
-    layout0.copy(snapshot = snap)
+    layout0.copy(snapshot = snap, deletes = deletes, dirConforms = dirConforms)
   }
+
+  /** Plan-time load of the merge-on-read tombstones `snap` references,
+    * canonicalized for the DSv2 read path: positional dirs to
+    * normalized-path → sorted-position maps, equality dirs to
+    * canonical key-tuple sets ([[SpjLayout.canonKey]]). Deleted-row-
+    * sized by the MoR write contract — the same sets the ordinary read
+    * path broadcasts per query — so the one driver collect here prices
+    * what that broadcast already pays, once per plan instead of once
+    * per anti-join. */
+  private def spjTombstones(table: String, snap: Long): Seq[SpjTombstone] =
+    snapshotDeletes(table).getOrElse(snap, Seq.empty).map { d =>
+      val seq = d.stripPrefix("_deletes-").toLong
+      val df = spark.read.parquet(new Path(tableDir(table), d).toString)
+      val rows = df.queryExecution.executedPlan.executeCollect()
+      if (df.columns.toSeq == Seq("__file", "__pos")) {
+        val byFile = rows.toSeq
+          .groupBy(r => new Path(r.getUTF8String(0).toString).toString)
+          .map { case (p, rs) => p -> rs.map(_.getLong(1)).toArray.sorted }
+        SpjPosTombstone(seq, byFile)
+      } else {
+        val fields = df.schema.fields.toSeq
+        SpjEqTombstone(seq, fields.map(f => (f.name, f.dataType)),
+          rows.iterator.map { r =>
+            fields.zipWithIndex.map { case (f, i) =>
+              SpjLayout.canonKey(f.dataType, r, i)
+            }.toVector: Seq[Any]
+          }.toSet)
+      }
+    }
 
   /** Conditional ENTRY REPLACEMENT — the commit leg of the DSv2
     * copy-on-write row-level operations ([[graft.sources.spj]]
@@ -4734,11 +4833,14 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     require(missing.isEmpty,
       s"replaceEntries: ${missing.mkString(", ")} not in $table@$baseSnap")
     val clean = exploded.filterNot(removedSet)
-    // the SPJ layout refuses tombstoned tables, so a row-level op can
-    // never see one — but re-check here: carrying a tombstone over a
-    // rewrite that already materialized its effect would double-delete
-    require(snapshotDeletes(table).getOrElse(baseSnap, Seq.empty).isEmpty,
-      s"$table@$baseSnap carries merge-on-read tombstones — compact() first")
+    // a tombstoned base CARRIES its tombstones: the CoW scan read the
+    // removed entries with deletes already applied (the rewrite
+    // materialized them), and the carried entries keep their original
+    // dir names — lower sequences than every carried tombstone, so the
+    // anti-join keeps filtering them. The fresh data dir's sequence is
+    // ABOVE every carried tombstone (reserveSnap is monotonic), so a
+    // carried tombstone can never swallow the rewritten rows.
+    val prevDeletes = snapshotDeletes(table).getOrElse(baseSnap, Seq.empty)
     if (removed.isEmpty && replacement.isEmpty) return baseSnap // provable no-op
     val snap = reserveSnap(table)
     val dir = s"data-$snap"
@@ -4752,14 +4854,17 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
             (s.isDirectory && hasParquet(s.getPath)))
       if (hasParquet(new Path(tableDir(table), dir)))
-        commit(table, snap, clean :+ dir, branch, Some(Some(baseSnap)))
+        commit(table, snap, clean :+ dir, branch, Some(Some(baseSnap)),
+          deletes = prevDeletes)
       else if (clean.nonEmpty) {
-        val committed = commit(table, snap, clean, branch, Some(Some(baseSnap)))
+        val committed = commit(table, snap, clean, branch, Some(Some(baseSnap)),
+          deletes = prevDeletes)
         fs.delete(new Path(tableDir(table), dir), true)
         committed
       } else {
         // every row replaced away and nothing carried: an empty
         // UNPARTITIONED dir always writes one schema-bearing file
+        // (no tombstones either — there is nothing left to delete from)
         writeDataDir(replacement.limit(0), table, dir, Nil)
         commit(table, snap, Seq(dir), branch, Some(Some(baseSnap)))
       }
@@ -4863,7 +4968,51 @@ private[graft] case class SpjFile(path: String, length: Long,
     nulls: Map[String, Long] = Map.empty,
     sums: Map[String, Option[java.math.BigDecimal]] = Map.empty,
     sortedBy: Seq[String] = Seq.empty,
-    entry: String = "")
+    entry: String = "") {
+  /** The data dir this file's entry belongs to (`data-<snap>`). */
+  def dataDir: String = entry.takeWhile(_ != '/')
+  /** The dir's commit sequence — what decides which merge-on-read
+    * tombstones apply (only those with a HIGHER sequence; the Iceberg
+    * v2 rule that lets later appends re-insert deleted keys). */
+  def dirSeq: Long = SpjFile.seqOfDir(dataDir)
+}
+
+private[graft] object SpjFile {
+  def seqOfDir(dataDir: String): Long =
+    scala.util.Try(dataDir.stripPrefix("data-").toLong).getOrElse(
+      throw new IllegalStateException(
+        s"cannot sequence data dir '$dataDir' for tombstone application"))
+}
+
+/** One merge-on-read tombstone of an SPJ-served snapshot, loaded and
+  * canonicalized at plan time ([[Lakehouse]]'s spjTombstones). Applies
+  * to files whose data dir carries a LOWER commit sequence. */
+private[graft] sealed trait SpjTombstone { def seq: Long }
+
+/** EQUALITY tombstone: rows whose key columns null-safely match a
+  * recorded key tuple are deleted. `keys` holds [[SpjLayout.canonKey]]
+  * canonical tuples (so executor-side extraction from InternalRows
+  * compares correctly against the driver-side collect). */
+private[graft] case class SpjEqTombstone(seq: Long,
+    keyCols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    keys: Set[Seq[Any]]) extends SpjTombstone
+
+/** POSITIONAL tombstone (Iceberg v2 position-delete shape): per
+  * normalized file path, the sorted row indexes deleted from it. */
+private[graft] case class SpjPosTombstone(seq: Long,
+    byFile: Map[String, Array[Long]]) extends SpjTombstone
+
+/** Per-data-dir conform materials for SPJ reads of a SCHEMA-EVOLVED
+  * table: the dir's recorded physical file schema (hidden `_p_…`
+  * layout columns stripped; the identity partition column, which the
+  * files don't store, is stripped by the reader) and the renames
+  * committed after the dir was written — the reader reverse-maps each
+  * DECLARED column through them to find its physical name, null-fills
+  * columns the dir predates, and up-casts widened types, exactly
+  * mirroring the ordinary read path's alignToDeclared projection. */
+private[graft] case class SpjDirConform(
+    physFileSchema: org.apache.spark.sql.types.StructType,
+    renames: Seq[(String, String)])
 
 /** A table's storage-partitioned layout ([[Lakehouse.spjLayout]]):
   * logical schema, partition column(s), files per partition index.
@@ -4887,7 +5036,17 @@ private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructTyp
     identityKeys: Option[IndexedSeq[(String, Any)]] = None,
     outerCol: Option[String] = None,
     outerTransformSpec: Option[String] = None,
-    snapshot: Long = -1L) {
+    snapshot: Long = -1L,
+    deletes: Seq[SpjTombstone] = Seq.empty,
+    dirConforms: Map[String, SpjDirConform] = Map.empty) {
+  /** Snapshot carries merge-on-read tombstones: the reader applies
+    * them per file; every ledger-exactness claim (pushed aggregates,
+    * exact row counts, LIMIT/TopN file caps) must DECLINE — recorded
+    * counts over-state the served rows. */
+  def tombstoned: Boolean = deletes.nonEmpty
+  /** Table carries committed schema evolution: the reader conforms
+    * each dir through [[SpjDirConform]]. */
+  def evolved: Boolean = dirConforms.nonEmpty
   /** Two-level layouts: an OUTER level (identity column or time
     * transform) over the bucket level. */
   private def twoLevel: Boolean = outerCol.isDefined || outerTransformSpec.isDefined
@@ -4941,6 +5100,41 @@ private[graft] object SpjLayout {
   /** Hive's null-partition dir marker (what `partitionBy` writes for a
     * null key). */
   val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Canonical comparable image of row value `i` for equality-
+    * tombstone matching — ONE function for both sides (the driver-side
+    * tombstone collect and the executor-side data-row extraction), so
+    * representation differences can never miss a delete. Integral
+    * families widen to Long (an int file column under a long tombstone
+    * key compares equal), strings unbox from UTF8String, temporal
+    * types compare in their internal numeric form, and signed zeros
+    * normalize so `0.0 = -0.0` matches Spark's join semantics (boxed
+    * NaN == NaN is already true, also matching Spark). Null keys stay
+    * null — tuple equality over them reproduces the null-safe `<=>`
+    * anti-join of the ordinary MoR read path. Unsupported types throw
+    * AT PLAN TIME (the tombstone collect), a loud refusal to serve. */
+  def canonKey(dt: DataType, row: org.apache.spark.sql.catalyst.InternalRow,
+      i: Int): Any =
+    if (row.isNullAt(i)) null
+    else dt match {
+      case StringType => row.getUTF8String(i).toString
+      case LongType => row.getLong(i)
+      case IntegerType => row.getInt(i).toLong
+      case ShortType => row.getShort(i).toLong
+      case ByteType => row.getByte(i).toLong
+      case DateType => row.getInt(i).toLong
+      case TimestampType => row.getLong(i)
+      case BooleanType => row.getBoolean(i)
+      case DoubleType =>
+        val v = row.getDouble(i); if (v == 0.0d) 0.0d else v
+      case FloatType =>
+        val v = row.getFloat(i); if (v == 0.0f) 0.0f else v
+      case d: DecimalType =>
+        row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      case other => throw new UnsupportedOperationException(
+        s"equality-tombstone key type $other is not comparable on the SPJ read path — " +
+          "compact() to materialize the deletes")
+    }
   def unescapePath(raw: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw)
   /** The identity-key type whitelist [[decodeIdentity]] accepts —

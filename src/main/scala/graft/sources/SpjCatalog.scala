@@ -73,11 +73,12 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
   override def name(): String = catalogName
 
   /** `SHOW TABLES IN <cat>` lists every lake table whose layout this
-    * catalog can SERVE (single-level bucket or identity spec, no
-    * tombstones/evolution — [[Lakehouse.spjServableSpec]], a
-    * manifest-only probe) — advertising a table the scan would refuse
-    * at load would make SHOW/USE workflows dead-end. A branch
-    * namespace lists the tables servable AT that branch. */
+    * catalog can SERVE ([[Lakehouse.spjServableSpec]], a manifest-only
+    * probe — tombstoned and schema-evolved tables each serve; their
+    * combination, mixed layouts and renamed partition columns don't) —
+    * advertising a table the scan would refuse at load would make
+    * SHOW/USE workflows dead-end. A branch namespace lists the tables
+    * servable AT that branch. */
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val lake = new Lakehouse(SparkSession.active, root)
     val branch = namespace match {
@@ -211,11 +212,14 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
   * read re-resolves the table at its new snapshot. `DELETE FROM cat.t
   * WHERE …` rides [[SupportsDelete]] into the writer's COPY-ON-WRITE
   * [[Lakehouse.deleteWhere]] (partition-leaf-scoped rewrite, clean
-  * leaves carried by reference, history time-travels) — CoW rather
-  * than MoR deliberately: the SPJ scan refuses tombstoned tables, so
-  * a DSv2-surfaced delete must never wedge the table's own reads.
-  * Conditions outside the translatable filter algebra refuse loudly
-  * (`canDeleteWhere` false) instead of deleting the wrong rows. */
+  * leaves carried by reference, history time-travels) by default, or
+  * the MERGE-ON-READ `deleteWhereMor` (positional tombstones, zero
+  * leaves rewritten) under `spark.graft.delete-mode=merge-on-read` —
+  * the SPJ scan serves tombstoned tables via per-file anti-filters,
+  * so a wide low-selectivity delete can take the O(matched rows) path
+  * Iceberg would. Conditions outside the translatable filter algebra
+  * refuse loudly (`canDeleteWhere` false) instead of deleting the
+  * wrong rows. */
 private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: String,
     branch: String = "main")
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
@@ -239,14 +243,25 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => SpjDml.toColumn(f).isDefined)
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
     val cond = filters.toSeq.map(f => SpjDml.toColumn(f).getOrElse(
       throw new UnsupportedOperationException(s"untranslatable DELETE condition: $f")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     // the BRANCH the table was loaded from is the one the rewrite
     // commits to — `DELETE FROM cat.dev.t` must never move main
-    new Lakehouse(SparkSession.active, root)
-      .deleteWhere(cond, tableName, layout.spec, branch)
+    val lake = new Lakehouse(spark, root)
+    // write-mode routing, same session knob as the lakehouse SQL
+    // surface: merge-on-read tombstones the matched positions (zero
+    // leaves rewritten — the SPJ scan anti-filters them), copy-on-write
+    // rewrites the matched partition leaves. MoR on an EVOLVED table
+    // would create the refused tombstone+evolution combination — route
+    // those to CoW, which conforms at rewrite.
+    if (spark.conf.get("spark.graft.delete-mode", "copy-on-write") == "merge-on-read" &&
+      !layout.evolved)
+      lake.deleteWhereMor(cond, tableName, branch)
+    else
+      lake.deleteWhere(cond, tableName, layout.spec, branch)
   }
 
   override def name(): String = tableName
@@ -370,7 +385,9 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
     * top; this leg only prunes I/O, so unrecorded counts simply keep
     * every file. */
   override def pushLimit(n: Int): Boolean = {
-    if (pushed.nonEmpty || aggAnswer.isDefined) return false
+    // recorded row counts OVER-state a tombstoned snapshot's served
+    // rows — a count-based file cap could under-cover the limit
+    if (pushed.nonEmpty || aggAnswer.isDefined || layout.tombstoned) return false
     limit = Some(n)
     true
   }
@@ -385,7 +402,8 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
-    if (pushed.nonEmpty || aggAnswer.isDefined || n <= 0) return false
+    // same decline as pushLimit: tombstoned row counts can under-cover k
+    if (pushed.nonEmpty || aggAnswer.isDefined || n <= 0 || layout.tombstoned) return false
     if (orders.isEmpty) return false
     // multi-column sorts prune on the LEADING key alone — sound
     // because any row whose leading value sorts after the k-th row's
@@ -545,7 +563,7 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
       java.util.OptionalLong.of(math.max(1L, fs.map(_.length).sum))
     override def numRows(): java.util.OptionalLong =
       if (pushed.isEmpty && limit.isEmpty && topN.isEmpty &&
-        fs.forall(_.rows.isDefined))
+        !layout.tombstoned && fs.forall(_.rows.isDefined))
         java.util.OptionalLong.of(fs.map(_.rows.get).sum)
       else java.util.OptionalLong.empty()
   }
@@ -643,40 +661,150 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
     }
 }
 
-/** Shared parquet reader-factory construction for the batch scan and
-  * the micro-batch stream (identity-column injection, pruned-order
-  * restore, row-returning hand-off). */
+/** Shared parquet reader-factory construction for the batch scan, the
+  * CoW row-level scan and the micro-batch stream. The reader pipeline
+  * per file:
+  *   parquet decode (pruned physical columns, pushed filters)
+  *   → identity-column injection (partition value, files don't store it)
+  *   → positional-tombstone skip (recorded row indexes; these dirs read
+  *     with ZERO pushed filters so iteration order IS file row order)
+  *   → equality-tombstone anti-filter (canonical key-tuple probe
+  *     against the broadcast sets, sequence-gated per file)
+  *   → conform projection (declared order/types: reverse-renamed
+  *     columns, null-filled added columns, up-cast widened types).
+  * One reader VARIANT per distinct physical dir shape — a never-
+  * evolved, never-tombstoned table builds exactly one, and its
+  * pipeline is the bare decode + optional injection of before. */
 private[spj] object SpjReaders {
+  import org.apache.spark.sql.sources.Filter
+  import graft.sources.{SpjDirConform, SpjEqTombstone, SpjPosTombstone}
+
   def factory(layout: SpjLayout, required: StructType,
-      pushed: Seq[org.apache.spark.sql.sources.Filter]): PartitionReaderFactory = {
+      pushed: Seq[Filter]): PartitionReaderFactory = {
     val spark = SparkSession.active
-    val conf: Configuration = spark.sessionState.newHadoopConf()
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
     // row-returning contract: the PartitionReader hands rows to
     // DataSourceRDD (vectorized decode still happens inside the
     // reader; only the hand-off is row-shaped)
     val rowOpt = Map(
       org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false")
-    layout.identityCol match {
-      case None =>
-        val readerFn = new ParquetFileFormat().buildReaderWithPartitionValues(
-          spark, layout.schema, new StructType(), required, pushed, rowOpt, conf)
-        new GraftSpjReaderFactory(readerFn, keyed = false, reorder = None)
-      case Some(idCol) =>
-        val keyField = layout.identityField.get
-        val fileSchema = StructType(layout.schema.fields.filterNot(_.name == idCol))
-        val requiredData = StructType(required.fields.filterNot(_.name == idCol))
-        val partSchema =
-          if (required.fieldNames.contains(idCol)) StructType(Seq(keyField))
-          else new StructType()
-        // filters naming the identity column can't resolve inside the
-        // files; partition pruning already applied them
-        val filePushed = pushed.filterNot(_.references.contains(idCol))
-        val readerFn = new ParquetFileFormat().buildReaderWithPartitionValues(
-          spark, fileSchema, partSchema, requiredData, filePushed, rowOpt, conf)
-        val outSchema = StructType(requiredData.fields ++ partSchema.fields)
-        new GraftSpjReaderFactory(readerFn, keyed = partSchema.nonEmpty,
-          reorder = if (outSchema == required) None else Some((outSchema, required)))
+    val idCol = layout.identityCol
+    val keyField = layout.identityField
+    val eqDels = layout.deletes.collect { case t: SpjEqTombstone => t }
+    val posDels = layout.deletes.collect { case t: SpjPosTombstone => t }
+    def lcEq(a: String, b: String) = a.equalsIgnoreCase(b)
+
+    // columns the equality anti-filter needs BEYOND Spark's required
+    // set — read alongside, dropped by the final projection
+    val extra: Seq[StructField] = eqDels.flatMap(_.keyCols.map(_._1)).distinct
+      .filterNot(n => required.fieldNames.contains(n))
+      .map(n => layout.schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalStateException(
+          s"equality-tombstone key column $n is not in the table schema")))
+    // the identity value rides along when required OR a tombstone keys
+    // on it (it is a partition constant, injected — never in the files)
+    val needId = keyField.isDefined && (
+      required.fieldNames.contains(idCol.get) ||
+        eqDels.exists(_.keyCols.exists(_._1 == idCol.get)))
+    val partSchema =
+      if (needId) StructType(Seq(keyField.get)) else new StructType()
+    // declared data columns to decode, in required order plus extras
+    val readDeclared: Seq[StructField] =
+      (required.fields.toSeq ++ extra).filterNot(f => idCol.contains(f.name))
+
+    val dataDirs: Seq[String] =
+      layout.files.valuesIterator.flatten.map(_.dataDir).toSeq.distinct.sorted
+
+    // per-dir physical mapping: declared column -> physical file field
+    case class DirShape(maps: Seq[(StructField, Option[StructField])],
+        noFilters: Boolean, fileSchema: StructType)
+    def shapeOf(dir: String): DirShape = {
+      val conform: Option[SpjDirConform] = layout.dirConforms.get(dir)
+      val noFilters = posDels.nonEmpty &&
+        posDels.exists(_.seq > graft.sources.SpjFile.seqOfDir(dir))
+      val fileFields: Seq[StructField] = conform match {
+        case None => layout.schema.fields.toSeq.filterNot(f => idCol.contains(f.name))
+        case Some(c) =>
+          c.physFileSchema.fields.toSeq.filterNot(f => idCol.exists(lcEq(_, f.name)))
+      }
+      val renames = conform.map(_.renames).getOrElse(Seq.empty)
+      // a dir's physical name for a DECLARED column: walk the renames
+      // committed after the dir backwards (from -> to chains invert)
+      def physNameOf(declared: String): String =
+        renames.reverse.foldLeft(declared) { case (cur, (from, to)) =>
+          if (lcEq(to, cur)) from else cur
+        }
+      DirShape(readDeclared.map { f =>
+        val pn = physNameOf(f.name)
+        f -> fileFields.find(ff => lcEq(ff.name, pn))
+      }, noFilters, StructType(fileFields))
     }
+    val dirShapes: Map[String, DirShape] = dataDirs.map(d => d -> shapeOf(d)).toMap
+    def keyOf(s: DirShape): (Seq[(String, Option[StructField])], Boolean, String) =
+      (s.maps.map { case (d, p) => (d.name, p) }, s.noFilters, s.fileSchema.json)
+    val variantKeys = dataDirs.map(d => keyOf(dirShapes(d))).distinct
+    val variantIdx: Map[String, Int] =
+      dataDirs.map(d => d -> variantKeys.indexOf(keyOf(dirShapes(d)))).toMap
+
+    val variants: Array[SpjReadVariant] = variantKeys.map { vk =>
+      val rep = dataDirs.find(d => keyOf(dirShapes(d)) == vk).get
+      val DirShape(maps, noFilters, fileSchema) = dirShapes(rep)
+      val physRequired = StructType(maps.flatMap(_._2))
+      // filters ride into the parquet reader only when they resolve
+      // UNCHANGED in this dir (same name, same type — a renamed or
+      // widened column's filter stays residual-only for it), never for
+      // positional-tombstoned dirs (row order must be preserved), and
+      // never naming the identity column (partition pruning applied it)
+      val dirFilters: Seq[Filter] =
+        if (noFilters) Seq.empty
+        else pushed.filter(_.references.forall { r =>
+          !idCol.contains(r) && maps.exists { case (d, p) =>
+            d.name == r && p.exists(pf => pf.name == r && pf.dataType == d.dataType)
+          }
+        })
+      // a FRESH Configuration per variant: buildReaderWithPartitionValues
+      // embeds the requested schema into the conf it is handed — two
+      // variants sharing one conf would clobber each other's projection
+      val conf: Configuration = spark.sessionState.newHadoopConf()
+      val readerFn = new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, fileSchema, partSchema, physRequired, dirFilters, rowOpt, conf)
+      val outSchema = StructType(physRequired.fields ++ partSchema.fields)
+      // final projection source ordinals in `out`, -1 = null-fill
+      val srcOrdinals: Array[Int] = required.fields.map { f =>
+        if (idCol.contains(f.name)) physRequired.length
+        else {
+          val mi = maps.indexWhere(_._1.name == f.name)
+          if (maps(mi)._2.isEmpty) -1
+          else maps.take(mi).count(_._2.isDefined)
+        }
+      }
+      // equality-tombstone key ordinals/types in `out` (physical types:
+      // tombstones and data share them — the evolved combination is
+      // refused at layout build)
+      val eqSpecs: Array[SpjEqSpec] = eqDels.zipWithIndex.map { case (t, di) =>
+        val binds = t.keyCols.map { case (n, _) =>
+          if (idCol.contains(n)) (physRequired.length, keyField.get.dataType)
+          else {
+            val mi = maps.indexWhere(_._1.name == n)
+            require(mi >= 0 && maps(mi)._2.isDefined,
+              s"equality-tombstone key $n unresolvable in dir $rep")
+            (maps.take(mi).count(_._2.isDefined), maps(mi)._2.get.dataType)
+          }
+        }
+        SpjEqSpec(t.seq, di, binds.map(_._1).toArray, binds.map(_._2).toArray)
+      }.toArray
+      SpjReadVariant(readerFn, outSchema, srcOrdinals, eqSpecs)
+    }.toArray
+
+    // tombstone payloads ship ONCE per executor (broadcast), not per
+    // task closure — deleted-row-sized by the MoR write contract
+    val sc = spark.sparkContext
+    val bcEq = if (eqDels.isEmpty) null
+      else sc.broadcast(eqDels.map(_.keys).toArray)
+    val bcPos = if (posDels.isEmpty) null
+      else sc.broadcast(posDels.map(t => (t.seq, t.byFile)).toArray)
+    new GraftSpjReaderFactory(variants, variantIdx, required,
+      keyed = partSchema.nonEmpty, tz, bcEq, bcPos)
   }
 }
 
@@ -690,37 +818,100 @@ private[graft] case class GraftBucketPartition(keys: Seq[Any], files: Array[SpjF
   override def partitionKey(): InternalRow = InternalRow.fromSeq(keys)
 }
 
-private[spj] class GraftSpjReaderFactory(
+/** One reader variant: the parquet decode function for one physical
+  * dir shape, its output schema (pruned physical columns, identity
+  * injected LAST), the final-projection source ordinals (-1 =
+  * null-fill an added column) and the equality-tombstone bindings. */
+private[spj] case class SpjReadVariant(
     readerFn: PartitionedFile => Iterator[InternalRow],
-    keyed: Boolean, reorder: Option[(StructType, StructType)])
+    outSchema: StructType, srcOrdinals: Array[Int], eqSpecs: Array[SpjEqSpec])
+
+/** Equality-tombstone key binding within a variant's output rows:
+  * `delIdx` indexes the broadcast key-set array. */
+private[spj] case class SpjEqSpec(seq: Long, delIdx: Int,
+    ords: Array[Int], types: Array[DataType])
+
+private[spj] class GraftSpjReaderFactory(
+    variants: Array[SpjReadVariant], variantIdx: Map[String, Int],
+    required: StructType, keyed: Boolean, tz: String,
+    bcEq: org.apache.spark.broadcast.Broadcast[Array[Set[Seq[Any]]]],
+    bcPos: org.apache.spark.broadcast.Broadcast[Array[(Long, Map[String, Array[Long]])]])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Literal, UnsafeProjection}
     val p = partition.asInstanceOf[GraftBucketPartition]
     val pv = if (keyed) InternalRow(p.keys.head) else InternalRow.empty
-    // the vectorized reader hands back ColumnarBatch under an
-    // InternalRow-typed iterator (the FileScanRDD convention) —
-    // flatten batches to their row view, exactly as ColumnarToRow does
-    val base: Iterator[InternalRow] = p.files.iterator.flatMap { f =>
-      readerFn(PartitionedFile(pv, SparkPath.fromPathString(f.path),
-        0L, f.length, Array.empty[String], 0L, f.length, Map.empty))
-        .asInstanceOf[Iterator[Any]]
-        .flatMap {
-          case b: ColumnarBatch => b.rowIterator().asScala
-          case r: InternalRow => Iterator.single(r)
-        }
+    // per-variant final projection, built lazily once per task; null =
+    // rows already match `required` bit-for-bit (the common fast path
+    // hands the vectorized row view through un-copied)
+    val projs = new Array[Option[UnsafeProjection]](variants.length)
+    def projOf(vi: Int): Option[UnsafeProjection] = {
+      if (projs(vi) == null) {
+        val v = variants(vi)
+        projs(vi) =
+          if (v.outSchema == required &&
+            v.srcOrdinals.zipWithIndex.forall { case (o, i) => o == i }) None
+          else Some(UnsafeProjection.create(
+            required.fields.toIndexedSeq.zip(v.srcOrdinals.toIndexedSeq).map {
+              case (f, ord) =>
+                if (ord < 0) Literal.create(null, f.dataType)
+                else {
+                  val src = BoundReference(ord,
+                    v.outSchema.fields(ord).dataType, nullable = true)
+                  if (v.outSchema.fields(ord).dataType == f.dataType) src
+                  else Cast(src, f.dataType, Some(tz))
+                }
+            }))
+      }
+      projs(vi)
     }
-    // identity injection appends the partition column LAST; when Spark
-    // pruned it elsewhere, a codegen'd projection restores the order
-    val rows = reorder match {
-      case None => base
-      case Some((out, req)) =>
-        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
-          req.fields.toSeq.map { rf =>
-            org.apache.spark.sql.catalyst.expressions.BoundReference(
-              out.fieldIndex(rf.name), rf.dataType, rf.nullable)
-          })
-        base.map(proj)
+    val rows: Iterator[InternalRow] = p.files.iterator.flatMap { f =>
+      val vi = variantIdx(f.dataDir)
+      val v = variants(vi)
+      // the vectorized reader hands back ColumnarBatch under an
+      // InternalRow-typed iterator (the FileScanRDD convention) —
+      // flatten batches to their row view, exactly as ColumnarToRow does
+      var it: Iterator[InternalRow] =
+        v.readerFn(PartitionedFile(pv, SparkPath.fromPathString(f.path),
+          0L, f.length, Array.empty[String], 0L, f.length, Map.empty))
+          .asInstanceOf[Iterator[Any]]
+          .flatMap {
+            case b: ColumnarBatch => b.rowIterator().asScala
+            case r: InternalRow => Iterator.single(r)
+          }
+      // POSITIONAL tombstones: drop recorded row indexes. Sound only
+      // because tombstoned dirs read with zero pushed filters — the
+      // iteration index IS the file row index.
+      if (bcPos != null) {
+        val dirSeq = f.dirSeq
+        val norm = new org.apache.hadoop.fs.Path(f.path).toString
+        val dels = bcPos.value.iterator
+          .filter(_._1 > dirSeq).flatMap(_._2.get(norm)).flatten.toArray
+        if (dels.nonEmpty) {
+          val set = new java.util.HashSet[java.lang.Long](dels.length * 2)
+          dels.foreach(set.add(_))
+          var idx = -1L
+          it = it.filter { _ => idx += 1; !set.contains(idx) }
+        }
+      }
+      // EQUALITY tombstones: null-safe canonical key-tuple probe,
+      // sequence-gated (later appends re-insert deleted keys freely)
+      if (v.eqSpecs.nonEmpty) {
+        val dirSeq = f.dirSeq
+        val applicable = v.eqSpecs.filter(_.seq > dirSeq)
+        if (applicable.nonEmpty) {
+          val keySets = bcEq.value
+          it = it.filter { r =>
+            !applicable.exists { e =>
+              val tup: Seq[Any] = e.ords.indices
+                .map(i => SpjLayout.canonKey(e.types(i), r, e.ords(i))).toVector
+              keySets(e.delIdx).contains(tup)
+            }
+          }
+        }
+      }
+      projOf(vi).fold(it)(proj => it.map(proj))
     }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
@@ -1241,6 +1432,10 @@ private[spj] object SpjMetaAgg {
 
   def answer(layout: SpjLayout,
       agg: Aggregation): Option[(StructType, Array[InternalRow], String)] = {
+    // a tombstoned snapshot's ledgers over-state every leg (counts,
+    // bounds, sums were recorded pre-delete) — only the real scan,
+    // which anti-filters per file, can answer exactly
+    if (layout.tombstoned) return None
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {

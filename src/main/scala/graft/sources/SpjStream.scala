@@ -80,10 +80,19 @@ private[spj] class GraftSpjMicroBatchStream(root: String, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // the reader binds to the CURRENT layout's schema shape; the
-    // layout is re-resolved per factory build so schema stays the
-    // pinned table schema (evolution refuses in spjLayout)
-    SpjReaders.factory(lake.spjLayout(table, branch), required, Seq.empty)
+    // the reader binds to the CURRENT layout: per-dir conform
+    // projections serve evolved dirs, and merge-on-read tombstones
+    // anti-filter per file — which matters exactly for the BOOTSTRAP
+    // batch (the full-snapshot read; appended dirs always outrank
+    // existing tombstones, so tailing batches are untouched). A
+    // mid-stream rename that strands a required column refuses loudly
+    // instead of null-filling what used to resolve.
+    val layout = lake.spjLayout(table, branch)
+    val missing = required.fieldNames.filterNot(layout.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"$table's schema drifted under the running stream — " +
+        s"column(s) ${missing.mkString(", ")} no longer resolve; restart the query")
+    SpjReaders.factory(layout, required, Seq.empty)
   }
 
   override def commit(end: Offset): Unit = ()

@@ -1,0 +1,283 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Medallion
+import graft.sources.Lakehouse
+import graft.sources.spj.GraftSpjCatalog
+
+/** The round-13 strictness gaps closed: the SPJ/DSv2 catalog SERVES
+  * merge-on-read tombstoned tables (equality and positional, per-file
+  * sequence-gated anti-filters in the reader) and schema-evolved
+  * tables (per-dir conform projections) instead of refusing them —
+  * with every ledger-exactness claim (pushed aggregates, LIMIT/TopN
+  * caps, exact row counts) correctly DECLINING where tombstones make
+  * the ledgers over-state, and the Exchange-free join property
+  * retained (row filtering never moves a partition). Iceberg serves
+  * all of this on the reference's own tables (gold_reporting.py:71-75
+  * configures SparkCatalog); compaction is no longer the price of
+  * re-entry to the DSv2 surface. */
+class SpjMorEvolutionSpec extends SparkSpec {
+
+  private def withSpj[T](root: String, cat: String)(body: => T): T = {
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val prevBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      prevBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  import spark.implicits._
+
+  test("SPJ read over EQUALITY tombstones equals the ordinary read; later appends re-insert the key") {
+    val root = freshRoot("spj-moreq")
+    val lake = new Lakehouse(spark, root)
+    val rows = (1L to 40L).map(k => (k, s"v$k", k * 10.0)).toDF("k", "v", "w")
+    lake.createOrReplace(rows, "t", Seq("bucket(8,k)"))
+    lake.deleteByKeyMor(Seq(3L, 7L, 20L).toDF("k"), "t")
+    // a re-insert AFTER the tombstone must survive (seq gating: the
+    // tombstone only outranks the older dir)
+    lake.append(Seq((7L, "back", 7.0)).toDF("k", "v", "w"), "t", Seq("bucket(8,k)"))
+    withSpj(root, "spj_me1") {
+      val got = spark.table("spj_me1.t")
+      assert(sortedRows(got) === sortedRows(lake.read("t")))
+      assert(got.count() === 38) // 40 - 3 deleted + 1 re-inserted
+      assert(got.where(col("k") === 7L).count() === 1)
+      assert(got.where(col("k") === 3L).count() === 0)
+      // pruned projection that does NOT include the tombstone key:
+      // the reader must still fetch k internally to anti-filter
+      assert(got.select("v").count() === 38)
+      assert(!sortedRows(got.select("v")).contains("v3"))
+    }
+  }
+
+  test("SPJ read over POSITIONAL tombstones (MoR delete + MoR update) equals the ordinary read") {
+    val root = freshRoot("spj-morpos")
+    val lake = new Lakehouse(spark, root)
+    val rows = (1L to 60L).map(k => (k, k % 5, k * 1.5)).toDF("k", "g", "w")
+    lake.createOrReplace(rows, "t", Seq("bucket(4,k)"))
+    lake.deleteWhereMor(col("g") === 2, "t")
+    // MoR update writes the delta dir UNDER the table's own layout so
+    // the SPJ read keeps serving (a spec-less delta would mix layouts)
+    lake.updateWhereMor(Seq("w" -> (col("w") + 1000.0)), col("g") === 3, "t",
+      Seq("bucket(4,k)"))
+    withSpj(root, "spj_me2") {
+      val got = spark.table("spj_me2.t")
+      assert(sortedRows(got) === sortedRows(lake.read("t")))
+      assert(got.where(col("g") === 2).count() === 0)
+      assert(got.where(col("g") === 3 && col("w") < 1000.0).count() === 0)
+      // residual filters stay exact even though tombstoned dirs read
+      // with zero pushed parquet filters
+      assert(got.where(col("k") <= 10).count() ===
+        lake.read("t").where(col("k") <= 10).count())
+    }
+  }
+
+  test("SPJ join over a MoR-maintained table keeps the Exchange-free plan and matches the shuffled join") {
+    val root = freshRoot("spj-morjoin")
+    val lake = new Lakehouse(spark, root)
+    val fact = (1L to 80L).map(k => (k, k % 11, s"f$k")).toDF("fk", "fg", "fv")
+    val dim = (1L to 80L).map(k => (k, s"d$k")).toDF("dk", "dv")
+    lake.createOrReplace(fact, "f", Seq("bucket(8,fk)"))
+    lake.createOrReplace(dim, "d", Seq("bucket(8,dk)"))
+    lake.deleteByKeyMor((1L to 80L by 9).toDF("fk"), "f")
+    withSpj(root, "spj_me3") {
+      val joined = spark.table("spj_me3.f")
+        .join(spark.table("spj_me3.d"), col("fk") === col("dk"))
+      assert(!Medallion.plansShuffle(joined),
+        "tombstone anti-filters must not cost the SPJ join its co-partitioning:\n" +
+          joined.queryExecution.executedPlan)
+      val plain = lake.read("f").join(lake.read("d"), col("fk") === col("dk"))
+      assert(sortedRows(joined) === sortedRows(plain))
+      assert(joined.count() === 80 - (1L to 80L by 9).size)
+    }
+  }
+
+  test("pushed aggregates and LIMIT/TopN caps DECLINE on a tombstoned snapshot; answers stay exact") {
+    val root = freshRoot("spj-mordec")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 50L).map(k => (k, k * 2.0)).toDF("k", "w"),
+      "t", Seq("bucket(4,k)"))
+    lake.deleteByKeyMor((1L to 10L).toDF("k"), "t")
+    withSpj(root, "spj_me4") {
+      val cnt = spark.sql("SELECT count(*) AS n FROM spj_me4.t")
+      // ledger readout would say 50; the real scan must answer 40
+      assert(!cnt.queryExecution.executedPlan.toString.contains("GraftSpjAggScan"),
+        "a tombstoned snapshot must not answer aggregates from ledgers")
+      assert(cnt.collect().head.getLong(0) === 40L)
+      assert(spark.sql("SELECT min(k) AS mn, max(k) AS mx FROM spj_me4.t")
+        .collect().head.toSeq === Seq(11L, 50L))
+      // LIMIT/TopN caps must not under-cover: 40 real rows remain
+      assert(spark.table("spj_me4.t").limit(45).count() === 40)
+      assert(spark.sql("SELECT k FROM spj_me4.t ORDER BY k LIMIT 12")
+        .collect().map(_.getLong(0)).toSeq === (11L to 22L))
+    }
+  }
+
+  test("Spark-native UPDATE on a tombstoned catalog table carries the tombstones (CoW over MoR)") {
+    val root = freshRoot("spj-morupd")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 30L).map(k => (k, s"v$k", 0.0)).toDF("k", "v", "w"),
+      "t", Seq("bucket(4,k)"))
+    lake.deleteByKeyMor(Seq(5L, 6L).toDF("k"), "t")
+    withSpj(root, "spj_me5") {
+      spark.sql("UPDATE spj_me5.t SET w = 99.0 WHERE k = 10")
+      val got = spark.table("spj_me5.t")
+      assert(got.count() === 28) // tombstoned rows stay deleted
+      assert(got.where(col("k").isin(5L, 6L)).count() === 0)
+      assert(got.where(col("k") === 10L).select("w").collect().head.getDouble(0) === 99.0)
+      // the rewrite materialized deletes for the leaves it touched and
+      // CARRIED the tombstones for the ones it didn't — either way the
+      // ordinary read agrees
+      assert(sortedRows(got) === sortedRows(lake.read("t")))
+    }
+  }
+
+  test("DSv2 DELETE routes merge-on-read under spark.graft.delete-mode: zero leaves rewritten") {
+    val root = freshRoot("spj-mordel")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 30L).map(k => (k, k % 3)).toDF("k", "g"),
+      "t", Seq("bucket(4,k)"))
+    val entriesBefore = lake.snapshots("t").map(_._2).head
+    withSpj(root, "spj_me6") {
+      spark.conf.set("spark.graft.delete-mode", "merge-on-read")
+      try spark.sql("DELETE FROM spj_me6.t WHERE g = 1")
+      finally spark.conf.unset("spark.graft.delete-mode")
+      val snap = lake.currentSnapshot("t").get
+      val entriesAfter = lake.snapshots("t").find(_._1 == snap).get._2
+      assert(entriesAfter.toSet === entriesBefore.toSet,
+        "MoR delete must rewrite zero data entries")
+      assert(lake.snapshotDeletes("t").getOrElse(snap, Seq.empty).nonEmpty,
+        "MoR delete must commit a tombstone")
+      assert(spark.table("spj_me6.t").where(col("g") === 1).count() === 0)
+      assert(spark.table("spj_me6.t").count() ===
+        (1L to 30L).count(_ % 3 != 1))
+    }
+  }
+
+  test("SPJ read of a schema-EVOLVED table: add, rename, widen, drop all conform per dir") {
+    val root = freshRoot("spj-evo")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 20L).map(k => (k, k.toInt, s"v$k")).toDF("k", "n", "v"),
+      "t", Seq("bucket(4,k)"))
+    lake.addColumns("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.DoubleType))))
+    lake.renameColumn("t", "v", "label")
+    lake.alterColumnType("t", "n", org.apache.spark.sql.types.LongType)
+    // a post-evolution append writes the NEW physical shape — the scan
+    // must serve both shapes under one declared schema
+    lake.append(Seq((21L, 21L, "v21", 2.5)).toDF("k", "n", "label", "extra"),
+      "t", Seq("bucket(4,k)"))
+    withSpj(root, "spj_me7") {
+      val got = spark.table("spj_me7.t")
+      assert(got.schema.fieldNames.toSeq === Seq("k", "n", "label", "extra"))
+      assert(got.schema("n").dataType === org.apache.spark.sql.types.LongType)
+      assert(sortedRows(got) === sortedRows(lake.read("t")))
+      assert(got.count() === 21)
+      assert(got.where(col("extra").isNotNull).count() === 1)
+      assert(got.where(col("label") === "v7").count() === 1)
+      // pruned single-column reads across both physical shapes
+      assert(got.select("label").count() === 21)
+      lake.dropColumn("t", "extra")
+      val after = spark.table("spj_me7.t")
+      assert(after.schema.fieldNames.toSeq === Seq("k", "n", "label"))
+      assert(sortedRows(after) === sortedRows(lake.read("t")))
+    }
+  }
+
+  test("SPJ join over an evolved table keeps the Exchange-free plan; filters on renamed columns stay exact") {
+    val root = freshRoot("spj-evojoin")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 40L).map(k => (k, s"a$k")).toDF("k", "name"),
+      "f", Seq("bucket(8,k)"))
+    lake.createOrReplace((1L to 40L).map(k => (k, k * 3.0)).toDF("dk", "w"),
+      "d", Seq("bucket(8,dk)"))
+    lake.renameColumn("f", "name", "title")
+    withSpj(root, "spj_me8") {
+      val joined = spark.table("spj_me8.f")
+        .join(spark.table("spj_me8.d"), col("k") === col("dk"))
+      assert(!Medallion.plansShuffle(joined),
+        "conform projections must not cost the SPJ join its co-partitioning:\n" +
+          joined.queryExecution.executedPlan)
+      assert(joined.count() === 40)
+      // filter on the renamed column: pushed stats live under the OLD
+      // name, so file pruning abstains — rows must still be exact
+      assert(spark.table("spj_me8.f").where(col("title") === "a5").count() === 1)
+      assert(sortedRows(joined) ===
+        sortedRows(lake.read("f").join(lake.read("d"), col("k") === col("dk"))))
+    }
+  }
+
+  test("tombstones plus schema evolution together refuse loudly (compact first), then serve") {
+    val root = freshRoot("spj-combo")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "t", Seq("bucket(4,k)"))
+    lake.deleteByKeyMor(Seq(2L).toDF("k"), "t")
+    lake.renameColumn("t", "v", "label")
+    withSpj(root, "spj_me9") {
+      val e = intercept[Exception](spark.table("spj_me9.t").collect())
+      assert(e.getMessage.contains("BOTH merge-on-read tombstones"),
+        s"wanted the combination refusal, got: ${e.getMessage}")
+      // SHOW TABLES must not advertise what loadTable refuses
+      assert(!spark.sql("SHOW TABLES IN spj_me9").collect()
+        .map(_.getString(1)).contains("t"))
+      lake.compact("t", Seq("bucket(4,k)"))
+      assert(spark.table("spj_me9.t").count() === 9)
+      assert(spark.sql("SHOW TABLES IN spj_me9").collect()
+        .map(_.getString(1)).contains("t"))
+    }
+  }
+
+  test("streaming bootstrap from a tombstoned catalog table emits the anti-filtered snapshot") {
+    val root = freshRoot("spj-morstream")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 20L).map(k => (k, k % 4)).toDF("k", "g"),
+      "t", Seq("bucket(4,k)"))
+    lake.deleteWhereMor(col("g") === 0, "t")
+    withSpj(root, "spj_me10") {
+      val ckpt = freshRoot("spj-morstream-ckpt")
+      val out = freshRoot("spj-morstream-out")
+      spark.readStream.table("spj_me10.t").writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+      val emitted = spark.read.parquet(out)
+      assert(emitted.count() === (1L to 20L).count(_ % 4 != 0))
+      assert(emitted.where(col("g") === 0).count() === 0)
+    }
+  }
+
+  test("time travel through the catalog serves the pre-delete snapshot un-filtered") {
+    val root = freshRoot("spj-mortt")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 15L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "t", Seq("bucket(4,k)"))
+    val before = lake.currentSnapshot("t").get
+    lake.deleteByKeyMor(Seq(1L, 2L).toDF("k"), "t")
+    withSpj(root, "spj_me11") {
+      assert(spark.sql(s"SELECT count(*) AS n FROM spj_me11.t VERSION AS OF $before")
+        .collect().head.getLong(0) === 15L)
+      assert(spark.table("spj_me11.t").count() === 13L)
+    }
+  }
+}

@@ -968,15 +968,17 @@ class SpjSpec extends SparkSpec {
     }
   }
 
-  test("strictness: tombstoned or mixed-layout tables refuse the SPJ read loudly") {
+  test("strictness: mixed-layout tables refuse the SPJ read loudly; tombstoned tables now SERVE") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-s").toString
     val lake = new Lakehouse(spark, root)
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    // round 13 lifted the tombstone refusal: the layout loads and
+    // carries the tombstones for the reader's per-file anti-filter
+    // (SpjMorEvolutionSpec proves the read; here just that it loads)
     lake.createOrReplace(df, "spj_mor", Seq("bucket(4,k)"))
     lake.deleteWhereMor(col("k") === 2L, "spj_mor")
-    val eMor = intercept[IllegalArgumentException] { lake.spjLayout("spj_mor") }
-    assert(eMor.getMessage.contains("tombstones"))
+    assert(lake.spjLayout("spj_mor").tombstoned)
 
     lake.createOrReplace(df, "spj_mix", Seq("bucket(4,k)"))
     lake.append(df, "spj_mix") // unpartitioned second dir
