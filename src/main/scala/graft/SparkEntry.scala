@@ -51,6 +51,8 @@ object SparkEntry {
     "q_spj_ddl" -> (Medallion.qSpjDdl _),
     "q_spj_update" -> (Medallion.qSpjUpdate _),
     "q_spj_merge" -> (Medallion.qSpjMerge _),
+    "q_spj_mor" -> (Medallion.qSpjMor _),
+    "q_spj_alter" -> (Medallion.qSpjAlter _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -507,6 +509,26 @@ object SparkEntry {
         |SELECT seg, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_ord) AS BIGINT) AS orders
         |FROM final GROUP BY seg ORDER BY seg""".stripMargin,
+    // merge-on-read maintenance SERVED through the DSv2 catalog: the
+    // oracle restates the tombstoned state as filters over the raw
+    // rows; colocated = 1.0 pins the join stayed Exchange-free over
+    // the tombstoned table, rewrote_leaves = 0 pins that both MoR
+    // deletes rewrote zero data entries
+    "q_spj_mor" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(1.0 AS DOUBLE) AS colocated, CAST(0 AS BIGINT) AS rewrote_leaves
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'P' AND o_orderkey % 97 <> 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // DSv2 ALTER TABLE lifecycle: pre-evolution rows (even keys) read
+    // the added column as NULL ('PRE' group) and the renamed column's
+    // values; post-evolution rows carry their status
+    "q_spj_alter" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'PRE' END AS status_g,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // CDC changelog: the oracle restates the NET interval effect —
     // appended-then-deleted rows emit nothing, pre-existing deleted
     // rows emit deletes, surviving appends emit inserts

@@ -1242,6 +1242,112 @@ object Medallion {
       .orderBy("seg")
   }
 
+  /** `q_spj_mor` — MERGE-ON-READ maintenance SERVED through the DSv2
+    * catalog (round 13's headline: Iceberg serves tombstoned tables,
+    * and now so does this catalog instead of refusing until
+    * compaction). Orders lands bucket-hidden-partitioned in TWO
+    * commits (real sequence gating), a Spark-native `DELETE FROM
+    * cat.t WHERE status='P'` routes MERGE-ON-READ under
+    * `spark.graft.delete-mode` (positional tombstones —
+    * [[graft.sources.Lakehouse.deleteWhereMor]]), an equality-key MoR
+    * delete follows ([[graft.sources.Lakehouse.deleteByKeyMor]]), and
+    * the SPJ join + rollup runs over the tombstoned table directly:
+    * the reader anti-filters per file, the co-partitioned join stays
+    * Exchange-free (`colocated = 1.0` pinned via plan walk), and ZERO
+    * data entries were rewritten (`rewrote_leaves = 0` pinned against
+    * the layout's file set). At 100 TB this is the write-optimized
+    * maintenance path: deletes price O(matched rows), reads stay
+    * shuffle-free, and compaction becomes a throughput optimization
+    * instead of a serving prerequisite. */
+  def qSpjMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjmor").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("o_price_d"))
+    lake.createOrReplace(orders.where(col("o_orderstatus") === "F"),
+      "spjq_mor", Seq("bucket(8,o_custkey)"))
+    lake.append(orders.where(col("o_orderstatus") =!= "F"),
+      "spjq_mor", Seq("bucket(8,o_custkey)"))
+    lake.createOrReplace(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")),
+      "spjq_mor_c", Seq("bucket(8,c_custkey)"))
+    val before = lake.spjLayout("spjq_mor").files
+      .valuesIterator.flatten.map(_.path).toSet
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.delete-mode", "merge-on-read")
+      try spark.sql(s"DELETE FROM $cat.spjq_mor WHERE o_orderstatus = 'P'")
+      finally spark.conf.unset("spark.graft.delete-mode")
+      lake.deleteByKeyMor(
+        orders.where(col("o_orderkey") % 97 === 0).select("o_orderkey").distinct(),
+        "spjq_mor")
+      val after = lake.spjLayout("spjq_mor").files
+        .valuesIterator.flatten.map(_.path).toSet
+      val rewroteLeaves =
+        (before -- after).map(p => p.take(p.lastIndexOf('/'))).size.toLong
+      val joined = spark.table(s"$cat.spjq_mor")
+        .join(spark.table(s"$cat.spjq_mor_c"), col("o_custkey") === col("c_custkey"))
+      val colocated = if (plansShuffle(joined)) 0.0 else 1.0
+      val rows = joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_price_d")).cast("double").as("total"))
+        .orderBy("c_mktsegment")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), colocated, rewroteLeaves))
+      import spark.implicits._
+      rows.toSeq.toDF("c_mktsegment", "n", "total", "colocated", "rewrote_leaves")
+        .orderBy("c_mktsegment")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      prevBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
+  /** `q_spj_alter` — SCHEMA EVOLUTION through the DSv2 catalog in
+    * plain SQL ([[graft.sources.spj.GraftSpjCatalog.alterTable]]):
+    * CREATE + INSERT the pre-evolution shape, `ALTER TABLE ADD
+    * COLUMNS` / `RENAME COLUMN` as metadata-only commits, INSERT the
+    * post-evolution shape, and read the mixed table back through the
+    * SPJ scan's per-dir conform projections — old dirs null-fill the
+    * added column and reverse-map the rename, new dirs read as
+    * written, one declared schema over both. The reference's ALTER
+    * lifecycle (Iceberg DDL on catalog tables) with zero
+    * engine-specific calls. */
+  def qSpjAlter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjalt").toString
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.orders(spark, dir).createOrReplaceTempView("spjalt_orders")
+    spark.sql(s"""CREATE TABLE $cat.alt (
+      |  o_orderkey BIGINT, o_custkey BIGINT, o_price_d DECIMAL(12,2))
+      |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+    spark.sql(s"""INSERT INTO $cat.alt
+      |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+      |FROM spjalt_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql(s"ALTER TABLE $cat.alt ADD COLUMNS (o_status STRING)")
+    spark.sql(s"ALTER TABLE $cat.alt RENAME COLUMN o_price_d TO o_amount")
+    spark.sql(s"""INSERT INTO $cat.alt
+      |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)), o_orderstatus
+      |FROM spjalt_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.table(s"$cat.alt")
+      .groupBy(coalesce(col("o_status"), lit("PRE")).as("status_g"))
+      .agg(count(lit(1)).as("n"), sum(col("o_amount")).cast("double").as("total"))
+      .orderBy("status_g")
+  }
+
   /** `q_cdc_read` — the CDC CHANGELOG read at the driver surface
     * ([[graft.sources.Lakehouse.readChangesCdc]], the Iceberg
     * `changelog` / Delta CDF analog): baseline lands, a batch

@@ -176,9 +176,54 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
     lake.registerView(ident.name(), spec) // the declared layout, durable
     loadTable(ident)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use the lakehouse SQL surface (ALTER TABLE … SET PARTITION SPEC, schema evolution)")
+  /** `ALTER TABLE cat.t ADD COLUMNS … / RENAME COLUMN … / DROP
+    * COLUMN … / ALTER COLUMN … TYPE …` in plain SQL — each V2
+    * [[TableChange]] maps onto the lakehouse's metadata-only evolution
+    * commits (addColumns / renameColumn / dropColumn /
+    * alterColumnType: schema lines + carried entries, zero data files
+    * touched), and the evolved table keeps serving through the SPJ
+    * read path's per-dir conform projections. Multiple changes in one
+    * statement commit one snapshot each, in statement order — same
+    * end state as Iceberg's grouped commit, one more history line.
+    * Anything the evolution surface can't honor exactly (nested
+    * fields, column positions, defaults, comments, non-widening type
+    * changes, nullability tightening) refuses loudly rather than
+    * silently dropping the request. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    require(ident.namespace().isEmpty,
+      s"ALTER TABLE lands on main — got namespace ${ident.namespace().mkString(".")}")
+    val lake = new Lakehouse(SparkSession.active, root)
+    if (!lake.tableNames().contains(ident.name())) throw new NoSuchTableException(ident)
+    def one(names: Array[String]): String = {
+      require(names.length == 1,
+        s"nested column references are unsupported: ${names.mkString(".")}")
+      names(0)
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.isNullable,
+          s"ADD COLUMNS ${one(a.fieldNames())}: added columns must be nullable " +
+            "(existing rows read NULL)")
+        require(a.position() == null,
+          "ADD COLUMNS … FIRST/AFTER is unsupported (columns append at the end)")
+        require(a.defaultValue() == null,
+          "ADD COLUMNS with DEFAULT is unsupported")
+        val f = StructField(one(a.fieldNames()), a.dataType())
+        lake.addColumns(ident.name(),
+          StructType(Seq(if (a.comment() == null) f
+          else f.withComment(a.comment()))))
+      case r: TableChange.RenameColumn =>
+        lake.renameColumn(ident.name(), one(r.fieldNames()), r.newName())
+      case d: TableChange.DeleteColumn =>
+        lake.dropColumn(ident.name(), one(d.fieldNames()))
+      case u: TableChange.UpdateColumnType =>
+        lake.alterColumnType(ident.name(), one(u.fieldNames()), u.newDataType())
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} — the " +
+          "catalog maps ADD/RENAME/DROP COLUMN and widening ALTER COLUMN TYPE")
+    }
+    loadTable(ident)
+  }
   /** `DROP TABLE cat.t` — MANAGED semantics (the catalog owns its
     * tables): metadata and data both go. The lakehouse surface keeps
     * the external-style `dropTable(purge = false)` for re-attachable

@@ -135,4 +135,50 @@ class SpjDdlSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ddl4.dropme")
     }
   }
+
+  test("ALTER TABLE on the catalog: ADD/RENAME/DROP COLUMN and widening TYPE, then INSERT + SPJ join stay green") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-a").toString
+    withSpj(root, "ddl5") {
+      import spark.implicits._
+      spark.sql("CREATE TABLE ddl5.t (k BIGINT, n INT, v STRING) PARTITIONED BY (bucket(4, k))")
+      (1L to 10L).map(k => (k, k.toInt, s"v$k")).toDF("k", "n", "v")
+        .createOrReplaceTempView("ddl5_src")
+      spark.sql("INSERT INTO ddl5.t SELECT * FROM ddl5_src")
+      spark.sql("ALTER TABLE ddl5.t ADD COLUMNS (extra DOUBLE)")
+      spark.sql("ALTER TABLE ddl5.t RENAME COLUMN v TO label")
+      spark.sql("ALTER TABLE ddl5.t ALTER COLUMN n TYPE BIGINT")
+      val t = spark.table("ddl5.t")
+      assert(t.schema.fieldNames.toSeq === Seq("k", "n", "label", "extra"))
+      assert(t.schema("n").dataType === org.apache.spark.sql.types.LongType)
+      assert(t.where(col("extra").isNull).count() === 10)
+      // post-evolution INSERT takes the new shape; both shapes serve
+      spark.sql("INSERT INTO ddl5.t VALUES (11, 11, 'v11', 1.5)")
+      assert(spark.table("ddl5.t").count() === 11)
+      assert(spark.table("ddl5.t").where(col("label") === "v11")
+        .select("extra").collect().head.getDouble(0) === 1.5)
+      // the evolved table still SPJ-joins Exchange-free
+      spark.sql("CREATE TABLE ddl5.d (dk BIGINT, w DOUBLE) PARTITIONED BY (bucket(4, dk))")
+      spark.sql("INSERT INTO ddl5.d SELECT k, k * 2.0 FROM ddl5_src")
+      val j = spark.table("ddl5.t").join(spark.table("ddl5.d"), col("k") === col("dk"))
+      assert(!Medallion.plansShuffle(j),
+        "evolved table must keep co-locating:\n" + j.queryExecution.executedPlan)
+      assert(j.count() === 10)
+      spark.sql("ALTER TABLE ddl5.t DROP COLUMN extra")
+      assert(spark.table("ddl5.t").schema.fieldNames.toSeq === Seq("k", "n", "label"))
+      // refusals: narrowing type, nested fields, unsupported change kinds
+      // narrowing refuses — Spark's own analyzer rejects it before the
+      // catalog sees the change (NOT_SUPPORTED_CHANGE_COLUMN)
+      val e1 = intercept[Exception](
+        spark.sql("ALTER TABLE ddl5.t ALTER COLUMN n TYPE INT"))
+      assert(e1.getMessage.toLowerCase.contains("not supported") ||
+        e1.getMessage.toLowerCase.contains("promote"), e1.getMessage)
+      val e2 = intercept[Exception](
+        spark.sql("ALTER TABLE ddl5.t SET TBLPROPERTIES ('a'='b')"))
+      assert(e2.getMessage.contains("unsupported ALTER TABLE change"), e2.getMessage)
+      // a historical name must not be resurrectable (takenNames rule)
+      val e3 = intercept[Exception](
+        spark.sql("ALTER TABLE ddl5.t ADD COLUMNS (v STRING)"))
+      assert(e3.getMessage.toLowerCase.contains("v"), e3.getMessage)
+    }
+  }
 }
