@@ -384,10 +384,16 @@ object MaterializedView {
     wm.max
   }
 
-  /** Key-set bound on the dim-delta path's fact probe: beyond this
-    * many changed dim keys, an IN-filtered fact read stops winning
-    * over the recompute the fallback would do anyway (the
-    * [[graft.operators.Dedup.indexRefresh]] cost-gate convention). */
+  /** Key-set bound on the dim-delta path's IN-LIST fact probe: up to
+    * this many changed dim keys, the fact rows are re-read through
+    * [[Lakehouse.readWhere]]'s stats/bloom IN-list file skipping —
+    * O(matching files). ABOVE it the probe switches to a SEMI-JOIN
+    * against the changed-key set (plan choice, not a soundness bound):
+    * one fact pass filtered to the changed keys' rows, which still
+    * beats the recompute fallback (full fact re-aggregation plus a
+    * whole-view rewrite) whenever the changed keys' rows are a
+    * minority — the 5,000-key dim backfill case the old recompute
+    * cliff punished. */
   private val DimDeltaKeysCap = 1024
 
   /** Apply a DIM-side change interval INCREMENTALLY: the view moves
@@ -409,9 +415,13 @@ object MaterializedView {
     *  - the dim interval is CDC-readable (appends + MoR
     *    deletes/updates; a CoW rewrite refuses) — maintain enrichment
     *    dims MoR-style to keep join views delta-priced;
-    *  - the changed-key set is bounded ([[DimDeltaKeysCap]]);
     *  - no group's count reaches zero (a vanished group needs a
     *    DELETE, which the upsert path cannot express atomically).
+    * The changed-key CARDINALITY is a plan choice, not a gate: up to
+    * [[DimDeltaKeysCap]] keys the fact probe is an IN-pruned read
+    * (stats/bloom file skipping); above it a semi-join probe keeps
+    * the path incremental — a 5,000-key backfill applies
+    * subtractively instead of falling off a recompute cliff.
     * EXACTLY-ONCE: the commit's idempotency batch id is `-dimTo` —
     * the NEGATIVE namespace keeps dim-keyed commits from colliding
     * with fact-snapshot batch ids, and [[watermark]]'s `.max` still
@@ -458,47 +468,66 @@ object MaterializedView {
       catch { case _: IllegalArgumentException => return None }
     val dOld = cdc.where(col("_change_type") === "delete").drop("_change_type")
     val dNew = cdc.where(col("_change_type") === "insert").drop("_change_type")
-    val keyRows = dOld.select(col(j.dimKey)).union(dNew.select(col(j.dimKey)))
-      .distinct().limit(DimDeltaKeysCap + 1).collect()
-    if (keyRows.length > DimDeltaKeysCap) return None
-    if (keyRows.isEmpty) // net-empty interval: nothing to apply
+    // the changed-key set, reused across the fact probe and the
+    // null-extension probes — checkpointed so each consumer reads the
+    // materialized set, not the CDC plan again
+    val keysCk = dOld.select(col(j.dimKey)).union(dNew.select(col(j.dimKey)))
+      .distinct().toDF("__ck").localCheckpoint(true)
+    val keyCount = keysCk.count()
+    if (keyCount == 0) // net-empty interval: nothing to apply
       return Some(lake.currentSnapshot(d.view).get)
-    val keyVals = keyRows.map(_.get(0)).toSeq
-    // fact probe: the changed keys' rows at the PINNED fact snapshot —
-    // readWhere's stats/bloom IN-list skipping prunes fact FILES, so
-    // the probe costs O(matching files), not a fact scan
-    val fact = lake.readWhere(col(j.factKey).isin(keyVals: _*),
-      d.src, atSnapshot = Some(factSnap))
+    // BOUNDED key sets collect to an IN list (readWhere's stats/bloom
+    // skipping prunes fact FILES — O(matching files)); larger sets
+    // keep the incremental path through a semi-join probe (one fact
+    // pass filtered to the changed keys — a plan choice, still far
+    // cheaper than the full-recompute fallback this used to take)
+    val inList: Option[Seq[Any]] =
+      if (keyCount <= DimDeltaKeysCap) Some(keysCk.collect().map(_.get(0)).toSeq)
+      else None
+    val fact = inList match {
+      case Some(vs) => lake.readWhere(col(j.factKey).isin(vs: _*),
+        d.src, atSnapshot = Some(factSnap))
+      case None => lake.readSnapshot(d.src, factSnap)
+        .join(keysCk, col(j.factKey) === col("__ck"), "left_semi")
+    }
     // LEFT joins additionally need per-key MATCH EXISTENCE at both dim
     // snapshots: the matched-pair algebra is additive per (fact, dim)
     // row, but a null-EXTENSION appears/disappears only when a key's
     // match count crosses zero — and the CDC alone can't tell (an
     // added duplicate of an already-matched key changes nothing).
-    // Two key-filtered pinned dim probes answer it exactly.
-    def matchedKeys(at: Long): Set[Any] =
-      lake.readWhere(col(j.dimKey).isin(keyVals: _*), j.dim, atSnapshot = Some(at))
-        .select(col(j.dimKey)).where(col(j.dimKey).isNotNull)
-        .distinct().collect().map(_.get(0)).toSet
-    val (nullOld, nullNew) =
-      if (j.joinType == "inner") (Nil, Nil)
+    // Two pinned dim probes answer it exactly (key-filtered IN the
+    // bounded case, full pinned dim reads above the cap — dim-sized).
+    def unmatched(at: Long): DataFrame = {
+      val dimKeys = (inList match {
+        case Some(vs) => lake.readWhere(col(j.dimKey).isin(vs: _*),
+          j.dim, atSnapshot = Some(at))
+        case None => lake.readSnapshot(j.dim, at)
+      }).select(col(j.dimKey).as("__dk")).where(col("__dk").isNotNull).distinct()
+      keysCk.join(dimKeys, col("__ck") === col("__dk"), "left_anti")
+    }
+    val (nullOld, nullNew): (Option[DataFrame], Option[DataFrame]) =
+      if (j.joinType == "inner") (None, None)
       else {
-        val (mo, mn) = (matchedKeys(f0), matchedKeys(dimTo))
-        (keyVals.filterNot(mo), keyVals.filterNot(mn))
+        val o = unmatched(f0).localCheckpoint(true)
+        val n = unmatched(dimTo).localCheckpoint(true)
+        (if (o.head(1).isEmpty) None else Some(o),
+          if (n.head(1).isEmpty) None else Some(n))
       }
     val emptyDim = cdc.drop("_change_type").limit(0)
-    def contrib(dim: DataFrame, nullKeys: Seq[Any], prefix: String): DataFrame = {
+    def contrib(dim: DataFrame, nullKeys: Option[DataFrame], prefix: String): DataFrame = {
       // matched pairs join INNER against the changed dim rows (the
       // additive part); null-extensions rebuild as fact rows of the
       // unmatched keys left-joined to an empty dim (all dim cols null)
       val matched = if (j.factKey == j.dimKey) fact.join(dim, Seq(j.factKey))
       else fact.join(dim, fact(j.factKey) === dim(j.dimKey))
-      val rows = if (nullKeys.isEmpty) matched
-      else {
-        val ne = fact.where(col(j.factKey).isin(nullKeys: _*))
-        val extended = if (j.factKey == j.dimKey)
-          ne.join(emptyDim, Seq(j.factKey), "left")
-        else ne.join(emptyDim, ne(j.factKey) === emptyDim(j.dimKey), "left")
-        matched.unionByName(extended)
+      val rows = nullKeys match {
+        case None => matched
+        case Some(nk) =>
+          val ne = fact.join(nk, col(j.factKey) === nk("__ck"), "left_semi")
+          val extended = if (j.factKey == j.dimKey)
+            ne.join(emptyDim, Seq(j.factKey), "left")
+          else ne.join(emptyDim, ne(j.factKey) === emptyDim(j.dimKey), "left")
+          matched.unionByName(extended)
       }
       // the REMAINING hops of a chain, pinned — all-inner by the
       // caller's gate, so no null-extension accounting compounds
@@ -511,7 +540,7 @@ object MaterializedView {
     // net per-group delta = inserted-side minus deleted-side partials
     // (null partial = "no rows on that side": contributes zero); the
     // plus/minus legs meet null-safely on the wrapped group key
-    def leg(dim: DataFrame, nullKeys: Seq[Any], prefix: String): DataFrame =
+    def leg(dim: DataFrame, nullKeys: Option[DataFrame], prefix: String): DataFrame =
       gk(contrib(dim, nullKeys, prefix), d.groupCols).drop(d.groupCols: _*)
     val da = leg(dNew, nullNew, "__p_")
       .join(leg(dOld, nullOld, "__m_"), Seq("__gk"), "full_outer")

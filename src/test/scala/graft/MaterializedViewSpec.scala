@@ -359,6 +359,30 @@ class MaterializedViewSpec extends SparkSpec {
       "an MoR dim re-label with surviving groups should apply incrementally")
   }
 
+  test("join view: a 5,000-key dim backfill applies incrementally (semi-join probe, no recompute cliff)") {
+    val root = freshDir("graft-mview-bigdim")
+    val lake = new Lakehouse(spark, root)
+    val nKeys = 6000L
+    lake.createOrReplace(
+      (1L to nKeys).map(k => (k, if (k % 2 == 0) "EVEN" else "ODD")).toDF("cid", "seg"),
+      "dim_t")
+    lake.createOrReplace(
+      (1L to 2 * nKeys).map(i => (i, (i % nKeys) + 1L)).toDF("id", "cust")
+        .withColumn("price", lit(1).cast("decimal(18,2)")),
+      "fact_t")
+    MV.create(lake, JoinDef)
+    // a 5,000-key MoR backfill — far above DimDeltaKeysCap, so the
+    // fact probe runs as a semi-join against the changed-key set
+    // instead of an IN list; the path must STAY incremental
+    // (negative dim-keyed batch id) and equal the recompute
+    lake.updateWhereMor(Seq("seg" -> lit("BACKFILLED")), col("cid") <= 5000L, "dim_t")
+    MV.refresh(lake, JoinDef)
+    assert(segMap(lake.read("sales_by_seg")) === segMap(joinRecompute(lake)))
+    assert(segMap(lake.read("sales_by_seg"))("BACKFILLED")._2 === 10000L)
+    assert(lake.committedBatches("sales_by_seg").exists(_ < 0),
+      "a 5,000-key dim change must apply through the dim-delta path, not recompute")
+  }
+
   test("join view: a dim delete that empties a group falls back to recompute") {
     val root = freshDir("graft-mview-joindel")
     val lake = new Lakehouse(spark, root)
