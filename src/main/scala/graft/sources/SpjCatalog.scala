@@ -378,7 +378,9 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
   private var pushed: Array[Filter] = Array.empty
   private var aggAnswer: Option[(StructType, Array[InternalRow], String)] = None
   private var limit: Option[Int] = None
-  private var topN: Option[(String, Boolean, Boolean, Int)] = None
+  // the longest prefix of the requested sort that binds to plain
+  // schema columns, as (column, ascending, nullsFirst) triples
+  private var topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(SpjPruning.usable)
@@ -437,12 +439,17 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
     true
   }
 
-  /** TopN pushdown caps the file list by SORT-BOUND coverage
-    * ([[SpjPruning.capForTopN]]): `ORDER BY c LIMIT k` keeps only the
-    * files whose [lo, hi] range can still reach the k-th row — at
-    * 100 TB, `ORDER BY ts DESC LIMIT 100` reads the newest file(s),
-    * not the table. Single-column sorts over ledger-stat columns
-    * only; declared partial, so Spark's own TopN picks exact rows. */
+  /** TopN pushdown caps the file list by SORT-BOUND coverage:
+    * `ORDER BY c1, c2 LIMIT k` keeps only the files whose bound
+    * tuples can still reach the k-th row — at 100 TB, `ORDER BY ts
+    * DESC LIMIT 100` reads the newest file(s), not the table. The
+    * FULL column prefix prunes lexicographically when every prefix
+    * column carries complete, same-tagged, zero-null stats
+    * ([[SpjPruning.capForTopNPrefix]]) — prefix pruning is sound for
+    * any prefix length because the true order only refines the prefix
+    * order; otherwise the cap degrades to the LEADING key alone
+    * ([[SpjPruning.capForTopN]], which also handles lead-column
+    * nulls). Declared partial, so Spark's own TopN picks exact rows. */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
@@ -450,20 +457,21 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
     // same decline as pushLimit: tombstoned row counts can under-cover k
     if (pushed.nonEmpty || aggAnswer.isDefined || n <= 0 || layout.tombstoned) return false
     if (orders.isEmpty) return false
-    // multi-column sorts prune on the LEADING key alone — sound
-    // because any row whose leading value sorts after the k-th row's
-    // threshold loses regardless of tie-breakers, and boundary-tied
-    // files are kept (the cap's keep test is inclusive)
-    val o = orders.head
-    o.expression() match {
-      case nr: NamedReference if nr.fieldNames().length == 1 &&
-          layout.schema.fieldNames.contains(nr.fieldNames()(0)) =>
-        topN = Some((nr.fieldNames()(0),
-          o.direction() == SortDirection.ASCENDING,
-          o.nullOrdering() == NullOrdering.NULLS_FIRST, n))
-        true
-      case _ => false
-    }
+    // bind the longest prefix of plain single-part schema columns;
+    // boundary-tied files are kept (every keep test is inclusive)
+    val prefix = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+            layout.schema.fieldNames.contains(nr.fieldNames()(0)) =>
+          Some((nr.fieldNames()(0),
+            o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }.takeWhile(_.isDefined).flatten
+    if (prefix.isEmpty) return false
+    topN = Some((prefix, n))
+    true
   }
   // one override serves both SupportsPushDownLimit and ...TopN: the
   // caps only prune I/O, Spark always keeps the exact operator on top
@@ -488,12 +496,22 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
         else fs.filter(f => pushed.forall(SpjPruning.mayMatch(f.stats, _))))
       }
       val capped0 = limit.fold(pruned)(SpjPruning.capForLimit(pruned, _))
-      val capped = topN.fold(capped0) { case (c, asc, nf, k) =>
-        SpjPruning.capForTopN(capped0, c, asc, nf, k)
+      val capped = topN.fold(capped0) { case (ords, k) =>
+        // multi-column prefixes try the lexicographic cap first; any
+        // unprovable leg degrades to the leading-key cap (which owns
+        // the lead-null algebra), never to a wrong answer
+        (if (ords.length > 1)
+          SpjPruning.capForTopNPrefix(capped0, ords.map(o => (o._1, o._2)), k)
+        else None).getOrElse {
+          val (c, asc, nf) = ords.head
+          SpjPruning.capForTopN(capped0, c, asc, nf, k)
+        }
       }
       new GraftSpjScan(layout, required, capped, pushed.toSeq, limit,
-        topN.map { case (c, asc, _, k) =>
-          s"$c ${if (asc) "ASC" else "DESC"} LIMIT $k" }, streamInfo)
+        topN.map { case (ords, k) =>
+          ords.map { case (c, asc, _) =>
+            s"$c ${if (asc) "ASC" else "DESC"}" }.mkString(", ") + s" LIMIT $k" },
+        streamInfo)
   }
 }
 
@@ -1437,6 +1455,80 @@ private[spj] object SpjPruning {
     if (bound.isEmpty) return files
     group(fs.filter(f => (nullsFirst && f.f.nulls(col) > 0L) ||
       (f.nn > 0 && cmpDir(f.first.get, bound.get) <= 0)))
+  }
+
+  /** Lexicographic file cover for a MULTI-COLUMN pushed TopN
+    * (`ORDER BY c1 [ASC|DESC], c2 … LIMIT k`): every row of a file is
+    * bounded by the file's per-column stat tuples — in prefix order,
+    * each row sorts at-or-after `best = (best_1, …, best_m)` and
+    * at-or-before `worst = (worst_1, …, worst_m)` (best_i/worst_i the
+    * lo or hi bound per the column's direction; row-wise values are
+    * independently bounded per column, which makes the TUPLE bound
+    * valid lexicographically). Accumulate files by `worst` until k
+    * rows are covered; drop every file whose `best` sorts strictly
+    * after that threshold — its rows all lose to ≥ k covered rows in
+    * prefix order, and the full order only refines the prefix order.
+    * Where the leading-key cap keeps every file of a lead-value tie,
+    * the tuple threshold splits the tie on the later columns. Proof
+    * obligations (any failure → None, caller falls back to the
+    * leading-key cap): recorded row counts, complete same-tagged
+    * parsable stats AND zero recorded nulls for every prefix column
+    * on every file (the null-order algebra stays with the
+    * single-column cap). */
+  def capForTopNPrefix(files: Map[Int, Seq[SpjFile]],
+      cols: Seq[(String, Boolean)], k: Int): Option[Map[Int, Seq[SpjFile]]] = {
+    val flat = files.toSeq.flatMap { case (b, fs) => fs.map(b -> _) }
+    if (flat.isEmpty || k <= 0 || cols.isEmpty) return None
+    if (flat.exists { case (_, f) =>
+      f.rows.isEmpty || cols.exists { case (c, _) =>
+        !f.nulls.get(c).contains(0L) || f.stats.get(c).isEmpty }
+    }) return None
+    // one comparable tag per column across every file
+    val tags: Seq[String] = cols.map { case (c, _) =>
+      flat.map(_._2.stats(c)._1).distinct match {
+        case Seq(t @ ("string" | "long" | "double")) => t
+        case _ => return None
+      }
+    }
+    def key(t: String, s: String): Option[Any] = t match {
+      case "string" => Some(s)
+      case _ => scala.util.Try(BigDecimal(s)).toOption
+    }
+    // compare tuples in SORT direction: negative = closer to the top
+    def cmpTup(a: Seq[Any], b: Seq[Any]): Int = {
+      var i = 0
+      while (i < a.length) {
+        val c = (a(i), b(i)) match {
+          case (x: String, y: String) => x.compareTo(y)
+          case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+          case _ => 0
+        }
+        val d = if (cols(i)._2) c else -c
+        if (d != 0) return d
+        i += 1
+      }
+      0
+    }
+    case class F(bucket: Int, f: SpjFile, rows: Long, best: Seq[Any], worst: Seq[Any])
+    val fs = flat.map { case (b, f) =>
+      val bounds: Seq[(Any, Any)] = cols.zip(tags).map { case ((c, asc), t) =>
+        val (_, lo, hi) = f.stats(c)
+        val pair = for { kl <- key(t, lo); kh <- key(t, hi) } yield
+          if (asc) (kl, kh) else (kh, kl)
+        pair.getOrElse(return None) // unparsable bound: unprovable
+      }
+      F(b, f, f.rows.get, bounds.map(_._1), bounds.map(_._2))
+    }
+    var acc = 0L
+    var bound: Option[Seq[Any]] = None
+    val it = fs.filter(_.rows > 0).sortWith((a, b) => cmpTup(a.worst, b.worst) < 0).iterator
+    while (bound.isEmpty && it.hasNext) {
+      val f = it.next(); acc += f.rows
+      if (acc >= k) bound = Some(f.worst)
+    }
+    if (bound.isEmpty) return None // k exceeds the recorded rows: prune nothing
+    Some(fs.filter(f => f.rows > 0 && cmpTup(f.best, bound.get) <= 0)
+      .groupBy(_.bucket).map { case (b, g) => b -> g.map(_.f) })
   }
 
   /** Minimal file cover for a pushed LIMIT: keep the fewest files whose

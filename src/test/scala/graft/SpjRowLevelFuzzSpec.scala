@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.sources.Lakehouse
 import graft.sources.spj.GraftSpjCatalog
 
-/** Property fuzz for the copy-on-write row-level operations: seeded
-  * random layouts × random UPDATE/DELETE/MERGE sequences, each
-  * statement's table state compared against a driver-side MIRROR
-  * maintained with the same Spark expressions — so the comparison
-  * pins the STORAGE path (entry pruning, staging, replace commits,
-  * partition-column moves) against pure dataframe semantics, not one
-  * expression dialect against another. Also asserts the table stays
-  * SPJ-servable after every statement (a rewrite must never break
-  * the layout contract). */
+/** Property fuzz for the row-level operations: seeded random layouts ×
+  * random UPDATE/DELETE/MERGE/MoR-DELETE/MoR-UPDATE/ADD COLUMNS
+  * sequences, each statement's table state compared against a
+  * driver-side MIRROR maintained with the same Spark expressions — so
+  * the comparison pins the STORAGE path (entry pruning, staging,
+  * replace commits, partition-column moves, tombstone anti-filters,
+  * conform projections) against pure dataframe semantics, not one
+  * expression dialect against another. MoR and evolution statements
+  * gate on each other (their combination refuses by contract). Also
+  * asserts the table stays SPJ-servable after every statement, and
+  * that a closing compaction changes nothing. */
 class SpjRowLevelFuzzSpec extends SparkSpec {
   import spark.implicits._
 
@@ -65,23 +67,36 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
         case 4 => ("grp IS NULL", col("grp").isNull)
       }
 
-      val nOps = 3 + rnd.nextInt(3)
+      // round-13 alphabet growth: merge-on-read statements and additive
+      // schema evolution join the pool — gated so the fuzzer never
+      // REQUESTS the refused tombstone+evolution combination (that
+      // refusal has its own spec; here every statement must serve)
+      var evolved = false
+      var evoSeq = 0
+      def tombstoned: Boolean = lake.spjLayout("fz_t").tombstoned
+      val nOps = 4 + rnd.nextInt(3)
       for (op <- 1 to nOps) {
         val (predSql, predCol) = randPred()
         val cond = coalesce(predCol, lit(false))
-        val kind = rnd.nextInt(4)
+        val kind = rnd.nextInt(7) match {
+          case 4 | 5 if evolved => rnd.nextInt(4) // MoR needs no evolution
+          case 6 if tombstoned => rnd.nextInt(4) // evolution needs no tombstones
+          case k => k
+        }
+        // mirror column-map that PRESERVES evolution-added columns
+        def mapCols(f: PartialFunction[String, org.apache.spark.sql.Column]): Unit =
+          mirror = mirror.select(mirror.columns.toSeq.map(c =>
+            f.applyOrElse(c, (n: String) => col(n)).as(c)): _*)
         kind match {
           case 0 => // UPDATE a value column
             val c = 1 + rnd.nextInt(5)
             spark.sql(s"UPDATE $cat.fz_t SET v = v + $c WHERE $predSql")
-            mirror = mirror.select(col("k"), col("grp"),
-              when(cond, col("v") + c).otherwise(col("v"))
-                .cast("decimal(10,2)").as("v"))
+            mapCols { case "v" =>
+              when(cond, col("v") + c).otherwise(col("v")).cast("decimal(10,2)") }
           case 1 => // UPDATE the PARTITION column: rows must move leaves
             val g = groups(rnd.nextInt(groups.length))
             spark.sql(s"UPDATE $cat.fz_t SET grp = '$g' WHERE $predSql")
-            mirror = mirror.select(col("k"),
-              when(cond, lit(g)).otherwise(col("grp")).as("grp"), col("v"))
+            mapCols { case "grp" => when(cond, lit(g)).otherwise(col("grp")) }
           case 2 => // DELETE (translatable or CoW-fallback per pred)
             spark.sql(s"DELETE FROM $cat.fz_t WHERE $predSql")
             mirror = mirror.where(cond =!= lit(true))
@@ -93,20 +108,45 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
             }.distinctBy(_._1)
             val src = srcRows.toDF("k", "grp", "bump")
             src.createOrReplaceTempView("fz_src")
+            // evolution-added columns insert as typed NULLs
+            val extraCols = mirror.columns.toSeq.filterNot(Set("k", "grp", "v"))
+            val insCols = (Seq("k", "grp", "v") ++ extraCols).mkString(", ")
+            val insVals = (Seq("s.k", "s.grp", "CAST(s.bump AS DECIMAL(10,2))") ++
+              extraCols.map(_ => "CAST(NULL AS DOUBLE)")).mkString(", ")
             spark.sql(
               s"""MERGE INTO $cat.fz_t t USING fz_src s ON t.k = s.k
                  |WHEN MATCHED THEN UPDATE SET t.v = t.v + s.bump
-                 |WHEN NOT MATCHED THEN INSERT (k, grp, v)
-                 |  VALUES (s.k, s.grp, CAST(s.bump AS DECIMAL(10,2)))""".stripMargin)
+                 |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
             val bump = src.select(col("k"), col("grp").as("s_grp"), col("bump"))
             val matchedOrKept = mirror.join(bump.select("k", "bump"), Seq("k"), "left")
-              .select(col("k"), col("grp"),
-                when(col("bump").isNotNull, col("v") + col("bump")).otherwise(col("v"))
-                  .cast("decimal(10,2)").as("v"))
+              .select(mirror.columns.toSeq.map {
+                case "v" => when(col("bump").isNotNull, col("v") + col("bump"))
+                  .otherwise(col("v")).cast("decimal(10,2)").as("v")
+                case other => col(other)
+              }: _*)
             val inserted = bump.join(mirror.select("k"), Seq("k"), "left_anti")
               .select(col("k"), col("s_grp").as("grp"),
                 col("bump").cast("decimal(10,2)").as("v"))
-            mirror = matchedOrKept.unionByName(inserted)
+            mirror = matchedOrKept.unionByName(inserted,
+              allowMissingColumns = true)
+          case 4 => // MERGE-ON-READ delete via the session routing knob
+            spark.conf.set("spark.graft.delete-mode", "merge-on-read")
+            try spark.sql(s"DELETE FROM $cat.fz_t WHERE $predSql")
+            finally spark.conf.unset("spark.graft.delete-mode")
+            mirror = mirror.where(cond =!= lit(true))
+          case 5 => // MERGE-ON-READ update (tombstone + layout-spec delta dir)
+            val c = 1 + rnd.nextInt(5)
+            lake.updateWhereMor(
+              Seq("v" -> (col("v") + c).cast("decimal(10,2)")), predCol,
+              "fz_t", spec)
+            mapCols { case "v" =>
+              when(cond, col("v") + c).otherwise(col("v")).cast("decimal(10,2)") }
+          case 6 => // additive evolution: a fresh nullable column
+            evoSeq += 1
+            val name = s"x$evoSeq"
+            spark.sql(s"ALTER TABLE $cat.fz_t ADD COLUMNS ($name DOUBLE)")
+            mirror = mirror.withColumn(name, lit(null).cast("double"))
+            evolved = true
         }
         mirror = mirror.localCheckpoint(true)
         assert(sortedRows(spark.table(s"$cat.fz_t")) === sortedRows(mirror),
@@ -114,6 +154,12 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
         // the layout contract survived the rewrite
         assert(lake.spjLayout("fz_t").spec === graft.sources.Transforms.canon(spec))
       }
+      // closure: compaction materializes tombstones (and rebases the
+      // evolved schema into one physical shape) — state must not move
+      lake.compact("fz_t", spec)
+      assert(sortedRows(spark.table(s"$cat.fz_t")) === sortedRows(mirror),
+        s"trial $trial diverged after the closing compact")
+      assert(!lake.spjLayout("fz_t").tombstoned)
     }
   }
 }

@@ -431,6 +431,46 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("multi-column TopN prunes past lead-value ties via the lexicographic prefix cap") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.spj.GraftSpjScan
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-tn2").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    // 8 commits: one (g, ts-slice) each — every file's g bound is a
+    // single value, so `ORDER BY g, ts LIMIT k` can split the g=1 tie
+    // on ts, where the leading-key cap must keep ALL g=1 files
+    var first = true
+    for (g <- 1L to 2L; slice <- 0 until 4) {
+      val rows = (0L until 50L)
+        .map(i => (slice * 50L + i, g, slice * 1000L + i)).toDF("k", "g", "ts")
+      if (first) { lake.createOrReplace(rows, "spj_tn2", Seq("bucket(2,k)")); first = false }
+      else lake.append(rows, "spj_tn2", Seq("bucket(2,k)"))
+    }
+    withSpj(root, "spj_t17") {
+      val want = lake.read("spj_tn2").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+        .sortBy(t => (t._1, t._2)).take(10)
+        .map(t => s"${t._1}|${t._2}|${t._3}")
+      val q = spark.table("spj_t17.spj_tn2")
+        .orderBy(col("g").asc, col("ts").asc)
+        .select(col("g"), col("ts"), col("k")).limit(10)
+      assert(q.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+        === want.toSeq)
+      val spj = collectPlan(q) { case b: BatchScanExec => b }
+        .map(_.scan).collectFirst { case s: GraftSpjScan => s }
+      assert(spj.isDefined)
+      assert(spj.get.description().contains("PushedTopN"))
+      assert(spj.get.description().contains("ts ASC"),
+        "the pushed TopN must carry the full sort prefix: " + spj.get.description())
+      val total = lake.spjLayout("spj_tn2").files.valuesIterator.map(_.size).sum
+      val g1Files = total / 2 // half the commits hold g=1
+      assert(spj.get.plannedFileCount < g1Files,
+        s"the tuple cap must beat the lead-only cap's $g1Files g=1 files: " +
+          s"kept ${spj.get.plannedFileCount} of $total")
+    }
+  }
+
   test("TopN with nulls: NULLS FIRST keeps null-bearing files, results exact") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-tnn").toString
     val lake = new Lakehouse(spark, root)
