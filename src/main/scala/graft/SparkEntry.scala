@@ -52,6 +52,7 @@ object SparkEntry {
     "q_spj_update" -> (Medallion.qSpjUpdate _),
     "q_spj_merge" -> (Medallion.qSpjMerge _),
     "q_spj_mor" -> (Medallion.qSpjMor _),
+    "q_spj_update_mor" -> (Medallion.qSpjUpdateMor _),
     "q_spj_alter" -> (Medallion.qSpjAlter _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
@@ -521,6 +522,18 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus <> 'P' AND o_orderkey % 97 <> 0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // merge-on-read UPDATE (delta row-level op): the oracle restates
+    // the final state via CASE; rewrote_leaves = 0 pins that every
+    // original file carried by reference (position deletes + one
+    // delta dir, never a leaf rewrite), tombstoned = 1 pins the
+    // snapshot carries the positional tombstone
+    "q_spj_update_mor" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+        |    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total,
+        |  CAST(0 AS BIGINT) AS rewrote_leaves, CAST(1 AS BIGINT) AS tombstoned
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // DSv2 ALTER TABLE lifecycle: pre-evolution rows (even keys) read
     // the added column as NULL ('PRE' group) and the renamed column's
     // values; post-evolution rows carry their status

@@ -1205,6 +1205,55 @@ object Medallion {
       .orderBy("o_orderstatus")
   }
 
+  /** `q_spj_update_mor` — Spark-native SQL UPDATE in MERGE-ON-READ
+    * mode through the DSv2 catalog ([[graft.sources.spj
+    * .GraftSpjDeltaOp]], Iceberg's `write.update.mode=merge-on-read`):
+    * the same statement as `q_spj_update`, but WIDE (every 'P'-status
+    * order doubles) and routed by `spark.graft.update-mode` onto the
+    * delta path — matched rows scan with their `(_file, _pos)` row
+    * ids, deletes land as ONE positional tombstone and images as ONE
+    * layout-spec delta dir, and `rewrote_leaves = 0` pins that every
+    * original file survived by reference (the CoW path would have
+    * rewritten every leaf holding a 'P' row — at 100 TB, the
+    * difference between O(matched rows) and a near-table rewrite for
+    * low-selectivity updates). `tombstoned = 1` pins the snapshot
+    * carries the tombstone; the readout aggregates the final state
+    * through the SPJ scan's per-file anti-filters. */
+  def qSpjUpdateMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjupdm").toString
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("o_price_d")),
+      "spjq_updm", Seq("bucket(8,o_custkey)"))
+    val before = lake.spjLayout("spjq_updm").files
+      .valuesIterator.flatten.map(_.path).toSet
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.conf.set("spark.graft.update-mode", "merge-on-read")
+    try spark.sql(
+      s"UPDATE $cat.spjq_updm SET o_price_d = o_price_d * 2 WHERE o_orderstatus = 'P'")
+    finally spark.conf.unset("spark.graft.update-mode")
+    val layoutAfter = lake.spjLayout("spjq_updm")
+    val after = layoutAfter.files.valuesIterator.flatten.map(_.path).toSet
+    val rewroteLeaves =
+      (before -- after).map(p => p.take(p.lastIndexOf('/'))).size.toLong
+    val tombstoned = if (layoutAfter.tombstoned) 1L else 0L
+    val rows = spark.table(s"$cat.spjq_updm")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_price_d")).cast("double").as("total"))
+      .orderBy("o_orderstatus")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), rewroteLeaves, tombstoned))
+    import spark.implicits._
+    rows.toSeq.toDF("o_orderstatus", "n", "total", "rewrote_leaves", "tombstoned")
+      .orderBy("o_orderstatus")
+  }
+
   /** `q_spj_merge` — Spark-native SQL MERGE INTO through the DSv2
     * catalog (the reference's exact upsert statement shape,
     * mongo_to_iceberg.py's `MERGE INTO … WHEN MATCHED … WHEN NOT

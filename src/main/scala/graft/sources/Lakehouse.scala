@@ -4870,6 +4870,48 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       }
     } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
   }
+
+  /** Conditional DELTA COMMIT — the commit leg of the DSv2
+    * MERGE-ON-READ row-level operations ([[graft.sources.spj]]
+    * delta UPDATE / MERGE / DELETE): land a positional tombstone
+    * (`_deletes-<snap>`, columns `__file`/`__pos` keyed on the pinned
+    * snapshot's files) and/or one new data dir of replacement images
+    * UNDER THE TABLE'S OWN LAYOUT, carrying every existing entry by
+    * reference — zero data files rewritten, the [[updateWhereMor]]
+    * commit shape driven from Spark's own delta write. The tombstone
+    * and the delta dir share the snapshot's sequence; tombstones
+    * apply only to LOWER sequences, so the tombstone can never
+    * swallow the images it ships with. CONDITIONAL on `baseSnap`
+    * exactly like [[replaceEntries]]: positions were derived against
+    * that snapshot's files, and re-applying them after a racing
+    * rewrite could delete the wrong rows — refuse with
+    * [[CommitConflictException]] and let the statement re-run. */
+  private[graft] def commitDelta(table: String, branch: String, baseSnap: Long,
+      positions: Option[DataFrame], inserts: Option[DataFrame],
+      partitionBy: Seq[String]): Long = {
+    val entries = snapshots(table).find(_._1 == baseSnap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no snapshot $baseSnap"))._2
+    val prevDeletes = snapshotDeletes(table).getOrElse(baseSnap, Seq.empty)
+    if (positions.isEmpty && inserts.isEmpty) return baseSnap // no-op statement
+    val snap = reserveSnap(table)
+    val delDir = s"_deletes-$snap"
+    val dataDir = s"data-$snap"
+    try {
+      positions.foreach(_.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(tableDir(table), delDir).toString))
+      inserts.foreach(writeDataDir(_, table, dataDir, partitionBy))
+      commit(table, snap,
+        entries ++ (if (inserts.isDefined) Seq(dataDir) else Nil),
+        branch, Some(Some(baseSnap)),
+        deletes = prevDeletes ++ (if (positions.isDefined) Seq(delDir) else Nil))
+    } catch {
+      case e: Throwable =>
+        abortSnap(table, snap, delDir)
+        fs.delete(new Path(tableDir(table), dataDir), true)
+        throw e
+    }
+  }
 }
 
 /** Thrown when a conditional commit loses the optimistic-concurrency

@@ -268,21 +268,56 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
 private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: String,
     branch: String = "main")
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-  with SupportsRowLevelOperations {
+  with SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   import org.apache.spark.sql.sources.Filter
 
+  /** Row-id metadata columns (`_file`, `_pos` — the Iceberg position
+    * shape), hidden unless named; omitted entirely when a data column
+    * shadows the name (that table then serves CoW row-level ops
+    * only). What the DELTA row-level operations key position deletes
+    * on. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (layout.schema.fieldNames.exists(SpjMetaColumns.Names.contains))
+      Array.empty
+    else SpjMetaColumns.Fields.map { f =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = f.name
+        override def dataType(): DataType = f.dataType
+        override def isNullable: Boolean = false
+      }
+    }
+
   /** Spark-native UPDATE / MERGE INTO (and the DELETE fallback for
-    * conditions beyond the [[SupportsDelete]] filter algebra): a
-    * group-based COPY-ON-WRITE operation — CoW scan over the pinned
-    * snapshot's entries, staged replace-data write, conditional
-    * entry-swap commit. See [[GraftSpjRowLevelOp]]. */
+    * conditions beyond the [[SupportsDelete]] filter algebra). Two
+    * write modes, the Iceberg pair, routed by the session's
+    * `spark.graft.update-mode` / `spark.graft.delete-mode`:
+    *  - COPY-ON-WRITE (default): group-based [[GraftSpjRowLevelOp]] —
+    *    CoW scan over the pinned snapshot's entries, staged
+    *    replace-data write, conditional entry-swap commit;
+    *  - MERGE-ON-READ: delta-based [[GraftSpjDeltaOp]] — matched rows
+    *    scan with their `(_file, _pos)` row ids, deletes land as a
+    *    positional tombstone and new images as one layout-spec data
+    *    dir, ZERO existing leaves rewritten. Falls back to CoW when
+    *    the table is schema-evolved (tombstones + evolution refuse by
+    *    contract) or a data column shadows the row-id names. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
-      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-        new GraftSpjRowLevelOp(root, tableName, branch, layout, info.command())
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation = {
+        import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+        val conf = SparkSession.active.conf
+        val knob = if (info.command() == Command.DELETE) "spark.graft.delete-mode"
+          else "spark.graft.update-mode"
+        val mor = conf.get(knob, "copy-on-write") == "merge-on-read"
+        if (mor && !layout.evolved && metadataColumns().nonEmpty)
+          new GraftSpjDeltaOp(root, tableName, branch, layout, info.command())
+        else
+          new GraftSpjRowLevelOp(root, tableName, branch, layout, info.command())
+      }
     }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
@@ -757,6 +792,16 @@ private[spj] object SpjReaders {
     val posDels = layout.deletes.collect { case t: SpjPosTombstone => t }
     def lcEq(a: String, b: String) = a.equalsIgnoreCase(b)
 
+    // ROW-ID metadata columns (`_file`, `_pos` — the Iceberg position
+    // shape): virtual, appended by the reader per row, never decoded
+    // from parquet. The delta row-level ops key position deletes on
+    // them; `_pos` additionally forces zero reader-side filters so the
+    // iteration index IS the raw file row index.
+    val metaNames: Seq[String] =
+      required.fieldNames.toSeq.filter(SpjMetaColumns.Names.contains)
+        .filterNot(layout.schema.fieldNames.contains)
+    val posRequested = metaNames.contains(SpjMetaColumns.Pos)
+
     // columns the equality anti-filter needs BEYOND Spark's required
     // set — read alongside, dropped by the final projection
     val extra: Seq[StructField] = eqDels.flatMap(_.keyCols.map(_._1)).distinct
@@ -773,7 +818,8 @@ private[spj] object SpjReaders {
       if (needId) StructType(Seq(keyField.get)) else new StructType()
     // declared data columns to decode, in required order plus extras
     val readDeclared: Seq[StructField] =
-      (required.fields.toSeq ++ extra).filterNot(f => idCol.contains(f.name))
+      (required.fields.toSeq ++ extra).filterNot(f =>
+        idCol.contains(f.name) || metaNames.contains(f.name))
 
     val dataDirs: Seq[String] =
       layout.files.valuesIterator.flatten.map(_.dataDir).toSeq.distinct.sorted
@@ -783,8 +829,8 @@ private[spj] object SpjReaders {
         noFilters: Boolean, fileSchema: StructType)
     def shapeOf(dir: String): DirShape = {
       val conform: Option[SpjDirConform] = layout.dirConforms.get(dir)
-      val noFilters = posDels.nonEmpty &&
-        posDels.exists(_.seq > graft.sources.SpjFile.seqOfDir(dir))
+      val noFilters = posRequested || (posDels.nonEmpty &&
+        posDels.exists(_.seq > graft.sources.SpjFile.seqOfDir(dir)))
       val fileFields: Seq[StructField] = conform match {
         case None => layout.schema.fields.toSeq.filterNot(f => idCol.contains(f.name))
         case Some(c) =>
@@ -831,10 +877,17 @@ private[spj] object SpjReaders {
       val conf: Configuration = spark.sessionState.newHadoopConf()
       val readerFn = new ParquetFileFormat().buildReaderWithPartitionValues(
         spark, fileSchema, partSchema, physRequired, dirFilters, rowOpt, conf)
-      val outSchema = StructType(physRequired.fields ++ partSchema.fields)
+      val outBase = StructType(physRequired.fields ++ partSchema.fields)
+      // row-id metadata fields append LAST (the reader joins them on);
+      // the eq-tombstone ordinals below reference the base prefix only
+      val outSchema =
+        if (metaNames.isEmpty) outBase
+        else StructType(outBase.fields ++ SpjMetaColumns.Fields)
       // final projection source ordinals in `out`, -1 = null-fill
       val srcOrdinals: Array[Int] = required.fields.map { f =>
-        if (idCol.contains(f.name)) physRequired.length
+        if (metaNames.contains(f.name))
+          outBase.length + SpjMetaColumns.Names.indexOf(f.name)
+        else if (idCol.contains(f.name)) physRequired.length
         else {
           val mi = maps.indexWhere(_._1.name == f.name)
           if (maps(mi)._2.isEmpty) -1
@@ -856,7 +909,8 @@ private[spj] object SpjReaders {
         }
         SpjEqSpec(t.seq, di, binds.map(_._1).toArray, binds.map(_._2).toArray)
       }.toArray
-      SpjReadVariant(readerFn, outSchema, srcOrdinals, eqSpecs)
+      SpjReadVariant(readerFn, outSchema, srcOrdinals, eqSpecs,
+        metaAppended = metaNames.nonEmpty)
     }.toArray
 
     // tombstone payloads ship ONCE per executor (broadcast), not per
@@ -881,13 +935,30 @@ private[graft] case class GraftBucketPartition(keys: Seq[Any], files: Array[SpjF
   override def partitionKey(): InternalRow = InternalRow.fromSeq(keys)
 }
 
+/** The row-id metadata columns every SPJ table exposes (unless a data
+  * column shadows the name): `_file` the absolute data file path in
+  * Hadoop `Path.toString` form — the SAME form `_metadata.file_path`
+  * yields on the ordinary read path, so position deletes keyed on it
+  * anti-join there too — and `_pos` the raw row index within the
+  * file. The delta row-level operations use them as the row id. */
+private[graft] object SpjMetaColumns {
+  val File = "_file"
+  val Pos = "_pos"
+  val Names: Seq[String] = Seq(File, Pos)
+  val Fields: Array[StructField] = Array(
+    StructField(File, StringType, nullable = false),
+    StructField(Pos, LongType, nullable = false))
+}
+
 /** One reader variant: the parquet decode function for one physical
   * dir shape, its output schema (pruned physical columns, identity
-  * injected LAST), the final-projection source ordinals (-1 =
-  * null-fill an added column) and the equality-tombstone bindings. */
+  * injected LAST, row-id metadata fields after that when requested),
+  * the final-projection source ordinals (-1 = null-fill an added
+  * column) and the equality-tombstone bindings. */
 private[spj] case class SpjReadVariant(
     readerFn: PartitionedFile => Iterator[InternalRow],
-    outSchema: StructType, srcOrdinals: Array[Int], eqSpecs: Array[SpjEqSpec])
+    outSchema: StructType, srcOrdinals: Array[Int], eqSpecs: Array[SpjEqSpec],
+    metaAppended: Boolean = false)
 
 /** Equality-tombstone key binding within a variant's output rows:
   * `delIdx` indexes the broadcast key-set array. */
@@ -913,7 +984,7 @@ private[spj] class GraftSpjReaderFactory(
       if (projs(vi) == null) {
         val v = variants(vi)
         projs(vi) =
-          if (v.outSchema == required &&
+          if (!v.metaAppended && v.outSchema == required &&
             v.srcOrdinals.zipWithIndex.forall { case (o, i) => o == i }) None
           else Some(UnsafeProjection.create(
             required.fields.toIndexedSeq.zip(v.srcOrdinals.toIndexedSeq).map {
@@ -943,6 +1014,11 @@ private[spj] class GraftSpjReaderFactory(
             case b: ColumnarBatch => b.rowIterator().asScala
             case r: InternalRow => Iterator.single(r)
           }
+      // RAW row index, counted before any filtering (meta variants
+      // read with zero pushed filters, so the pull-model pipeline
+      // keeps rawIdx current for the row in flight at every stage)
+      var rawIdx = -1L
+      if (v.metaAppended) it = it.map { r => rawIdx += 1; r }
       // POSITIONAL tombstones: drop recorded row indexes. Sound only
       // because tombstoned dirs read with zero pushed filters — the
       // iteration index IS the file row index.
@@ -974,7 +1050,16 @@ private[spj] class GraftSpjReaderFactory(
           }
         }
       }
-      projOf(vi).fold(it)(proj => it.map(proj))
+      // row-id metadata join: (_file, _pos) ride a per-file meta row
+      // through a JoinedRow into the final projection
+      if (v.metaAppended) {
+        val meta = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        meta.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f.path))
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+        val proj = projOf(vi).getOrElse(throw new IllegalStateException(
+          "metadata-appended reads always project"))
+        it.map { r => meta.setLong(1, rawIdx); proj(joined(r, meta)) }
+      } else projOf(vi).fold(it)(proj => it.map(proj))
     }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _

@@ -229,6 +229,189 @@ private[spj] class GraftSpjReplaceWrite(root: String, tableName: String,
   }
 }
 
+/** DELTA-BASED (merge-on-read) ROW-LEVEL OPERATIONS — the Iceberg v2
+  * position-delete DML shape, taken when the session routes
+  * `spark.graft.update-mode` / `delete-mode` to merge-on-read: the
+  * scan reads MATCHED rows (ordinary may-match file pruning — not the
+  * CoW scan's whole-entry strictness) together with their
+  * `(_file, _pos)` row ids ([[SpjMetaColumns]]), updates decompose to
+  * delete + insert pairs (`representUpdateAsDeleteAndInsert`), and
+  * the write stages two legs per task — position rows and new images.
+  * The driver commit lands ONE snapshot: a `_deletes-<snap>`
+  * positional tombstone plus (when images exist) one `data-<snap>`
+  * dir under the table's own layout ([[Lakehouse.commitDelta]]),
+  * carrying every existing entry BY REFERENCE. At 100 TB a wide
+  * low-selectivity UPDATE prices O(matched rows) instead of the CoW
+  * path's full-leaf rewrites — and the SPJ read path serves the
+  * result directly (per-file anti-filters), so compaction stays a
+  * throughput optimization, not a correctness step. Conditional on
+  * the scan's pinned snapshot, exactly like the CoW commit. */
+private[spj] class GraftSpjDeltaOp(root: String, tableName: String,
+    branch: String, layout: SpjLayout, cmd: RowLevelOperation.Command)
+  extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSpjScanBuilder(layout)
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    SpjMetaColumns.Names.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftSpjDeltaWrite(root, tableName, branch, layout, info.schema())
+    }
+  override def description(): String = s"GraftSpjDelta $cmd $tableName@$branch"
+}
+
+/** The delta write: per-task staged parquet for position deletes and
+  * new row images, one conditional snapshot at commit. */
+private[spj] class GraftSpjDeltaWrite(root: String, tableName: String,
+    branch: String, layout: SpjLayout, writeSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DeltaWrite
+  with org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val stagingDir =
+    s"$root/$tableName/_delta-staging-${java.util.UUID.randomUUID()}"
+
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = this
+  override def description(): String = s"GraftSpjDeltaWrite $tableName@$branch"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val spark = SparkSession.active
+    val rowJob = Job.getInstance(spark.sessionState.newHadoopConf())
+    val rowOwf = new ParquetFileFormat().prepareWrite(
+      spark, rowJob, Map.empty[String, String], writeSchema)
+    val rowConf = new SerializableConfiguration(rowJob.getConfiguration)
+    // SEPARATE job/conf per schema: prepareWrite embeds the write
+    // schema into the conf it is handed
+    val posJob = Job.getInstance(spark.sessionState.newHadoopConf())
+    val posOwf = new ParquetFileFormat().prepareWrite(
+      spark, posJob, Map.empty[String, String], GraftSpjDeltaWrite.PosSchema)
+    val posConf = new SerializableConfiguration(posJob.getConfiguration)
+    GraftSpjDeltaWriterFactory(rowOwf, rowConf, posOwf, posConf,
+      stagingDir, writeSchema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staged = messages.toSeq.collect { case m: GraftSpjDeltaStaged => m }
+    try {
+      val delPaths = staged.flatMap(_.posPath)
+      val rowPaths = staged.flatMap(_.rowPath)
+      val positions =
+        if (delPaths.isEmpty) None
+        else Some(spark.read.schema(GraftSpjDeltaWrite.PosSchema)
+          .parquet(delPaths: _*))
+      val inserts =
+        if (rowPaths.isEmpty) None
+        else Some(spark.read.schema(writeSchema).parquet(rowPaths: _*)
+          .select(layout.schema.fieldNames.toIndexedSeq
+            .map(org.apache.spark.sql.functions.col): _*))
+      new Lakehouse(spark, root).commitDelta(
+        tableName, branch, layout.snapshot, positions, inserts, layout.spec)
+    } finally deleteStaging(spark)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteStaging(SparkSession.active)
+
+  private def deleteStaging(spark: SparkSession): Unit = {
+    val p = new Path(stagingDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+}
+
+private[spj] object GraftSpjDeltaWrite {
+  /** The positional-tombstone schema — column names MUST match the
+    * `_deletes-<snap>` contract every reader anti-joins on. */
+  val PosSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("__file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("__pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+private[spj] case class GraftSpjDeltaStaged(rowPath: Option[String],
+    posPath: Option[String]) extends WriterCommitMessage
+
+private[spj] case class GraftSpjDeltaWriterFactory(
+    rowOwf: OutputWriterFactory, rowConf: SerializableConfiguration,
+    posOwf: OutputWriterFactory, posConf: SerializableConfiguration,
+    stagingDir: String, rowSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftSpjDeltaWriter(rowOwf, rowConf, posOwf, posConf,
+      stagingDir, rowSchema, partitionId, taskId)
+}
+
+/** One task's delta legs: `delete` stages the row id as a position
+  * row, `insert` stages the image; `update` never fires (updates are
+  * represented as delete + insert). Writers open lazily — a task that
+  * only deletes stages no row file and vice versa. */
+private[spj] class GraftSpjDeltaWriter(
+    rowOwf: OutputWriterFactory, rowConf: SerializableConfiguration,
+    posOwf: OutputWriterFactory, posConf: SerializableConfiguration,
+    stagingDir: String, rowSchema: StructType, partitionId: Int, taskId: Long)
+  extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private var rowWriter: OutputWriter = _
+  private var rowPath: String = _
+  private var posWriter: OutputWriter = _
+  private var posPath: String = _
+  private val posRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+
+  private def ctx(kind: String) = new TaskAttemptContextImpl(
+    (if (kind == "rows") rowConf else posConf).value,
+    new TaskAttemptID(new TaskID(new JobID(s"graft-delta-$kind", 0),
+      TaskType.MAP, partitionId), 0))
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    if (posWriter == null) {
+      val c = ctx("pos")
+      posPath = s"$stagingDir/pos/part-$partitionId-$taskId${posOwf.getFileExtension(c)}"
+      posWriter = posOwf.newInstance(posPath, GraftSpjDeltaWrite.PosSchema, c)
+    }
+    // id arrives in rowId() order: (_file, _pos)
+    posRow.update(0, id.getUTF8String(0).clone())
+    posRow.setLong(1, id.getLong(1))
+    posWriter.write(posRow)
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates are represented as delete + insert pairs")
+
+  override def insert(row: InternalRow): Unit = {
+    if (rowWriter == null) {
+      require(row.numFields == rowSchema.length,
+        s"delta insert row width ${row.numFields} != schema ${rowSchema.length}")
+      val c = ctx("rows")
+      rowPath = s"$stagingDir/rows/part-$partitionId-$taskId${rowOwf.getFileExtension(c)}"
+      rowWriter = rowOwf.newInstance(rowPath, rowSchema, c)
+    }
+    rowWriter.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (rowWriter != null) rowWriter.close()
+    if (posWriter != null) posWriter.close()
+    GraftSpjDeltaStaged(Option(rowPath), Option(posPath))
+  }
+  override def abort(): Unit = {
+    if (rowWriter != null) rowWriter.close()
+    if (posWriter != null) posWriter.close()
+  }
+  override def close(): Unit = ()
+}
+
 private[spj] class GraftSpjStagingWriterFactory(owf: OutputWriterFactory,
     conf: SerializableConfiguration, stagingDir: String, schema: StructType)
   extends DataWriterFactory {

@@ -267,6 +267,125 @@ class SpjMorEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("row-id metadata columns: _file and _pos serve per raw file row") {
+    val root = freshRoot("spj-meta")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 40L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "t", Seq("bucket(4,k)"))
+    withSpj(root, "spj_md1") {
+      val m = spark.sql("SELECT _file, _pos, k FROM spj_md1.t").collect()
+      assert(m.length === 40)
+      val files = lake.spjLayout("t").files.valuesIterator.flatten.map(_.path).toSet
+      assert(m.map(_.getString(0)).toSet === files,
+        "_file must be the layout's exact file paths")
+      // positions are dense 0..n-1 within each file
+      m.groupBy(_.getString(0)).foreach { case (_, rows) =>
+        assert(rows.map(_.getLong(1)).sorted.toSeq === (0L until rows.length))
+      }
+    }
+  }
+
+  test("MERGE-ON-READ UPDATE through the catalog: position deletes + one delta dir, zero leaves rewritten") {
+    val root = freshRoot("spj-dupd")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(
+      (1L to 50L).map(k => (k, k % 5, k * 1.0)).toDF("k", "g", "w"),
+      "t", Seq("bucket(4,k)"))
+    val entriesBefore = lake.snapshots("t").map(_._2).head.toSet
+    withSpj(root, "spj_md2") {
+      spark.conf.set("spark.graft.update-mode", "merge-on-read")
+      try spark.sql("UPDATE spj_md2.t SET w = w + 1000 WHERE g = 2")
+      finally spark.conf.unset("spark.graft.update-mode")
+      val snap = lake.currentSnapshot("t").get
+      val entriesAfter = lake.snapshots("t").find(_._1 == snap).get._2
+      // every original entry carried by reference + exactly one delta dir
+      assert(entriesAfter.toSet.intersect(entriesBefore) === entriesBefore,
+        "MoR update must carry every original entry")
+      assert((entriesAfter.toSet -- entriesBefore)
+        .map(_.takeWhile(_ != '/')).size === 1, "one delta data dir expected")
+      assert(lake.snapshotDeletes("t").getOrElse(snap, Seq.empty).nonEmpty,
+        "MoR update must commit a positional tombstone")
+      // BOTH read paths agree on the final state (pins that the delta
+      // writer's _file form matches _metadata.file_path)
+      val expect = (1L to 50L).map(k =>
+        (k, k % 5, if (k % 5 == 2) k * 1.0 + 1000 else k * 1.0))
+        .map(t => s"${t._1}|${t._2}|${t._3}").sorted
+      assert(sortedRows(spark.table("spj_md2.t")) === expect)
+      assert(sortedRows(lake.read("t")) === expect)
+    }
+  }
+
+  test("MERGE-ON-READ MERGE INTO: matched rows tombstone + re-image, unmatched insert, entries carried") {
+    val root = freshRoot("spj-dmrg")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(
+      (1L to 20L).map(k => (k, s"v$k", 0L)).toDF("k", "v", "n"),
+      "t", Seq("bucket(4,k)"))
+    val entriesBefore = lake.snapshots("t").map(_._2).head.toSet
+    withSpj(root, "spj_md3") {
+      Seq((5L, "five", 50L), (15L, "fifteen", 150L), (25L, "new", 250L))
+        .toDF("k", "v", "n").createOrReplaceTempView("dmrg_src")
+      spark.conf.set("spark.graft.update-mode", "merge-on-read")
+      try spark.sql(
+        """MERGE INTO spj_md3.t t USING dmrg_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.n = s.n
+          |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)""".stripMargin)
+      finally spark.conf.unset("spark.graft.update-mode")
+      val snap = lake.currentSnapshot("t").get
+      val entriesAfter = lake.snapshots("t").find(_._1 == snap).get._2
+      assert(entriesAfter.toSet.intersect(entriesBefore) === entriesBefore)
+      assert(lake.snapshotDeletes("t").getOrElse(snap, Seq.empty).nonEmpty)
+      val got = spark.table("spj_md3.t")
+      assert(got.count() === 21)
+      assert(sortedRows(got.where(col("k").isin(5L, 15L, 25L))) ===
+        Seq("15|fifteen|150", "25|new|250", "5|five|50"))
+      assert(sortedRows(got) === sortedRows(lake.read("t")))
+    }
+  }
+
+  test("MERGE-ON-READ DELETE beyond the filter algebra: the delta op tombstones matched positions") {
+    val root = freshRoot("spj-ddel")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 30L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "t", Seq("bucket(4,k)"))
+    val entriesBefore = lake.snapshots("t").map(_._2).head.toSet
+    withSpj(root, "spj_md4") {
+      spark.conf.set("spark.graft.delete-mode", "merge-on-read")
+      // pmod is beyond SupportsDelete's filter algebra — this must
+      // take the row-level path, which routes DELTA under the knob
+      try spark.sql("DELETE FROM spj_md4.t WHERE pmod(k, 7) = 3")
+      finally spark.conf.unset("spark.graft.delete-mode")
+      val snap = lake.currentSnapshot("t").get
+      assert(lake.snapshots("t").find(_._1 == snap).get._2.toSet === entriesBefore,
+        "a delete-only delta commit carries the entries unchanged")
+      assert(lake.snapshotDeletes("t").getOrElse(snap, Seq.empty).nonEmpty)
+      val expect = (1L to 30L).filterNot(_ % 7 == 3).map(k => s"$k|v$k").sorted
+      assert(sortedRows(spark.table("spj_md4.t")) === expect)
+      assert(sortedRows(lake.read("t")) === expect)
+    }
+  }
+
+  test("stacked MoR maintenance: a delta UPDATE over an already-tombstoned table serves on both paths") {
+    val root = freshRoot("spj-dstack")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 40L).map(k => (k, k % 4, k * 1.0)).toDF("k", "g", "w"),
+      "t", Seq("bucket(4,k)"))
+    lake.deleteWhereMor(col("g") === 0, "t")
+    withSpj(root, "spj_md5") {
+      spark.conf.set("spark.graft.update-mode", "merge-on-read")
+      try spark.sql("UPDATE spj_md5.t SET w = -1 WHERE g = 1")
+      finally spark.conf.unset("spark.graft.update-mode")
+      val expect = (1L to 40L).filterNot(_ % 4 == 0).map(k =>
+        s"$k|${k % 4}|${if (k % 4 == 1) -1.0 else k * 1.0}").sorted
+      assert(sortedRows(spark.table("spj_md5.t")) === expect)
+      assert(sortedRows(lake.read("t")) === expect)
+      // compaction closes the chapter: same rows, tombstones gone
+      lake.compact("t", Seq("bucket(4,k)"))
+      assert(!lake.spjLayout("t").tombstoned)
+      assert(sortedRows(spark.table("spj_md5.t")) === expect)
+    }
+  }
+
   test("time travel through the catalog serves the pre-delete snapshot un-filtered") {
     val root = freshRoot("spj-mortt")
     val lake = new Lakehouse(spark, root)

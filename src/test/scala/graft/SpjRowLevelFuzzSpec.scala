@@ -78,8 +78,8 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
       for (op <- 1 to nOps) {
         val (predSql, predCol) = randPred()
         val cond = coalesce(predCol, lit(false))
-        val kind = rnd.nextInt(7) match {
-          case 4 | 5 if evolved => rnd.nextInt(4) // MoR needs no evolution
+        val kind = rnd.nextInt(8) match {
+          case 4 | 5 | 7 if evolved => rnd.nextInt(4) // MoR needs no evolution
           case 6 if tombstoned => rnd.nextInt(4) // evolution needs no tombstones
           case k => k
         }
@@ -147,6 +147,13 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
             spark.sql(s"ALTER TABLE $cat.fz_t ADD COLUMNS ($name DOUBLE)")
             mirror = mirror.withColumn(name, lit(null).cast("double"))
             evolved = true
+          case 7 => // DELTA update: Spark-native UPDATE routed merge-on-read
+            val c = 1 + rnd.nextInt(5)
+            spark.conf.set("spark.graft.update-mode", "merge-on-read")
+            try spark.sql(s"UPDATE $cat.fz_t SET v = v + $c WHERE $predSql")
+            finally spark.conf.unset("spark.graft.update-mode")
+            mapCols { case "v" =>
+              when(cond, col("v") + c).otherwise(col("v")).cast("decimal(10,2)") }
         }
         mirror = mirror.localCheckpoint(true)
         assert(sortedRows(spark.table(s"$cat.fz_t")) === sortedRows(mirror),
