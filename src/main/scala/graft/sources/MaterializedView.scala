@@ -65,11 +65,13 @@ object MaterializedView {
     * nationkey). The fact side is the APPENDING side
     * (delta-maintained); dims are the enrichment side — a single-dim
     * view applies dim changes incrementally when [[dimDelta]]'s gates
-    * hold, and an ALL-INNER chain applies HEAD-hop movement
-    * incrementally too (the remaining hops re-enrich at their unmoved
-    * pins); deeper-hop movement recomputes (the subtractive algebra
-    * would need backward key propagation — see [[refresh]]). LEFT
-    * keeps unmatched left-side rows with null-extended dim columns. */
+    * hold, and an ALL-INNER chain applies ANY hop's movement
+    * incrementally (prefix hops enrich at their pins before the moved
+    * hop's changed rows join, suffix hops after; moved hops compose
+    * sequentially in [[refresh]]). LEFT keeps unmatched left-side
+    * rows with null-extended dim columns; a LEFT hop's movement is
+    * subtractive only in single-hop views (null-extension accounting
+    * compounds through chains — those recompute). */
   final case class JoinSpec(dim: String, factKey: String, dimKey: String,
       joinType: String = "inner") {
     require(joinType == "inner" || joinType == "left",
@@ -169,11 +171,24 @@ object MaterializedView {
   private[graft] def markDimRecompute(lake: Lakehouse, view: String,
       target: Seq[Long]): Unit =
     lake.writeMviewAux(view, s"pending:${target.mkString(",")}")
-  /** The dim snapshots whose DELTAS the view has already applied —
-    * read from the commit ledger itself (the negative batch-id
-    * namespace), which is atomic with the data, unlike the aux file. */
-  private def dimApplied(lake: Lakehouse, view: String): Seq[Long] =
-    lake.committedBatches(view).filter(_ < 0L).map(-_).toSeq
+  /** Per-hop partition of the negative batch-id namespace: hop 0
+    * commits as `-dimTo` (the pre-round-13 form, so existing ledgers
+    * decode unchanged), hop h > 0 as `-(h·2^40 + dimTo)` — snapshot
+    * ids are far below 2^40, so the two components never collide and
+    * each hop's applied-delta watermark reads back unambiguously. */
+  private val HopBase = 1L << 40
+  private def hopBatchId(hop: Int, dimTo: Long): Long = {
+    require(dimTo > 0 && dimTo < HopBase && hop >= 0,
+      s"dim snapshot $dimTo out of hop-batch range")
+    -(hop * HopBase + dimTo)
+  }
+  /** The dim snapshots whose DELTAS the view has already applied FOR
+    * ONE HOP — read from the commit ledger itself (the negative
+    * batch-id namespace), which is atomic with the data, unlike the
+    * aux file. */
+  private def dimApplied(lake: Lakehouse, view: String, hop: Int): Seq[Long] =
+    lake.committedBatches(view).filter(_ < 0L).map(-_)
+      .filter(v => (v / HopBase).toInt == hop).map(_ % HopBase).toSeq
 
   // ---- persisted definitions (`_mviews.jsonl`) ---------------------------
 
@@ -422,9 +437,12 @@ object MaterializedView {
     * (stats/bloom file skipping); above it a semi-join probe keeps
     * the path incremental — a 5,000-key backfill applies
     * subtractively instead of falling off a recompute cliff.
-    * EXACTLY-ONCE: the commit's idempotency batch id is `-dimTo` —
-    * the NEGATIVE namespace keeps dim-keyed commits from colliding
-    * with fact-snapshot batch ids, and [[watermark]]'s `.max` still
+    * EXACTLY-ONCE: the commit's idempotency batch id is the
+    * HOP-PARTITIONED [[hopBatchId]] (`-dimTo` for the head hop,
+    * `-(h·2^40 + dimTo)` deeper) — the NEGATIVE namespace keeps
+    * dim-keyed commits from colliding with fact-snapshot batch ids,
+    * the hop partition keeps two dims' snapshot counters from
+    * colliding with each other, and [[watermark]]'s `.max` still
     * reads the fact watermark. A crash after the commit but before
     * the aux dim-watermark write replays into the already-committed
     * batch id and converges (never a double-applied delta).
@@ -433,25 +451,32 @@ object MaterializedView {
     * costing a full fact re-aggregation. */
   private[graft] def dimDelta(lake: Lakehouse, d: ViewDef, factSnap: Long,
       dimFrom: Option[Long], dimTo: Long,
-      restPins: Seq[Long] = Seq.empty): Option[Long] = {
-    // multi-hop chains reach here only for HEAD-hop movement with the
-    // remaining hops UNMOVED (the caller gates): the changed keys'
-    // contributions re-enrich through hops 2..n at their pinned
-    // snapshots, identically on the plus and minus legs, so the
-    // subtractive algebra is untouched — unchanged-dim pairs cancel
-    // exactly as in the single-hop case
-    val j = d.joins.head
+      restPins: Seq[Long] = Seq.empty, hop: Int = 0): Option[Long] = {
+    // `hop` names the MOVED dim; `restPins` carries the OTHER hops'
+    // snapshots in chain order (prefix before, suffix after). Deep
+    // hops (hop > 0) reach here only for ALL-INNER chains (the caller
+    // gates): the changed keys' contributions re-enrich through the
+    // prefix hops at their pins AND the suffix hops at theirs,
+    // identically on the plus and minus legs, so the subtractive
+    // algebra is untouched — unchanged-dim pairs cancel exactly as in
+    // the single-hop case. A LEFT hop's movement is sound only at the
+    // head of a single-hop view (null-extension accounting compounds
+    // through deeper chains — those recompute).
+    val j = d.joins(hop)
+    if (j.joinType == "left" && d.joins.length > 1) return None
     if (!d.aggs.forall(a => a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll]))
       return None
     val countAlias = d.aggs.collectFirst { case CountAll(a) => a }
       .getOrElse(return None)
+    val prefixPins = restPins.take(hop)
+    val suffixPins = restPins.drop(hop)
     // The aux file is ADVISORY (it commits after the data): the
     // authoritative "deltas applied through" mark is the view's own
     // negative-batch-id ledger, atomic with each commit. A crash
     // between a delta commit and the aux write, followed by MORE dim
     // movement, must not replay the committed sub-interval — start
     // the CDC read at the furthest point either source proves.
-    val f0 = (dimFrom.toSeq ++ dimApplied(lake, d.view))
+    val f0 = (dimFrom.toSeq ++ dimApplied(lake, d.view, hop))
       .reduceOption(_ max _).getOrElse(return None) // no pin at all: recompute
     if (f0 == dimTo) // fully applied; only the aux needs converging
       return Some(lake.currentSnapshot(d.view).get)
@@ -460,7 +485,7 @@ object MaterializedView {
     // EXPIRED snapshot can't be read (readWhere would throw), so the
     // recompute fallback takes over before any plan is built
     if (!lake.snapshots(d.src).exists(_._1 == factSnap)) return None
-    val batchId = -dimTo
+    val batchId = hopBatchId(hop, dimTo)
     if (lake.committedBatches(d.view).contains(batchId))
       return Some(lake.currentSnapshot(d.view).get) // crash replay: converge aux only
     val cdc =
@@ -484,12 +509,23 @@ object MaterializedView {
     val inList: Option[Seq[Any]] =
       if (keyCount <= DimDeltaKeysCap) Some(keysCk.collect().map(_.get(0)).toSeq)
       else None
-    val fact = inList match {
-      case Some(vs) => lake.readWhere(col(j.factKey).isin(vs: _*),
-        d.src, atSnapshot = Some(factSnap))
-      case None => lake.readSnapshot(d.src, factSnap)
-        .join(keysCk, col(j.factKey) === col("__ck"), "left_semi")
-    }
+    // the moved hop's join column comes either from the FACT itself
+    // (star chains — the probe prunes the fact directly, whatever the
+    // hop index) or from an earlier dim (snowflake chains — the
+    // changed-row join restricts instead; one filtered fact pass)
+    val factBase = lake.readSnapshot(d.src, factSnap)
+    val keyOnFact = factBase.columns.contains(j.factKey)
+    val fact0 =
+      if (!keyOnFact) factBase
+      else inList match {
+        case Some(vs) => lake.readWhere(col(j.factKey).isin(vs: _*),
+          d.src, atSnapshot = Some(factSnap))
+        case None => factBase.join(keysCk, col(j.factKey) === col("__ck"), "left_semi")
+      }
+    // prefix hops enrich BEFORE the moved hop joins, at their pins
+    val fact =
+      if (hop == 0) fact0
+      else joined(lake, fact0, d.joins.take(hop), prefixPins)
     // LEFT joins additionally need per-key MATCH EXISTENCE at both dim
     // snapshots: the matched-pair algebra is additive per (fact, dim)
     // row, but a null-EXTENSION appears/disappears only when a key's
@@ -529,11 +565,11 @@ object MaterializedView {
           else ne.join(emptyDim, ne(j.factKey) === emptyDim(j.dimKey), "left")
           matched.unionByName(extended)
       }
-      // the REMAINING hops of a chain, pinned — all-inner by the
+      // the SUFFIX hops of the chain, pinned — all-inner by the
       // caller's gate, so no null-extension accounting compounds
       val enriched =
-        if (d.joins.length == 1) rows
-        else joined(lake, rows, d.joins.tail, restPins)
+        if (hop == d.joins.length - 1) rows
+        else joined(lake, rows, d.joins.drop(hop + 1), suffixPins)
       aggOf(enriched, d).select(d.groupCols.map(col) ++
         d.aggs.map(a => col(a.alias).as(prefix + a.alias)): _*)
     }
@@ -591,21 +627,34 @@ object MaterializedView {
     if (from == to && !dimMoved)
       return lake.currentSnapshot(d.view).get
     if (dimMoved) {
-      // subtractive dim maintenance applies when the moved dim's
-      // changed keys can name the affected FACT rows directly: the
-      // single-hop case (inner or left), and HEAD-hop-only movement of
-      // an all-inner chain (hop 1's factKey is a fact column; the
-      // remaining hops re-enrich at their UNMOVED pins on both legs).
-      // A deeper hop's movement would need its keys propagated
-      // backward through the chain (and a LEFT hop's null-extensions
-      // compound) — those recompute at the new pins, exactly-once.
-      val headOnly = dimAt.exists(at => at.tail == dimNow.tail)
+      // SUBTRACTIVE dim maintenance, any hop (round 13 closed the
+      // deep-hop recompute cliff): each moved hop's interval applies
+      // in chain order — already-applied hops pin at their NEW
+      // snapshots, not-yet-applied ones at their old pins, so the
+      // composition equals moving every dim at once. Gates: a LEFT
+      // hop's movement is sound only for single-hop views (its
+      // null-extension algebra lives in dimDelta); multi-hop chains
+      // must be ALL-INNER for any hop movement. Per-hop exactly-once
+      // rides the hop-partitioned negative batch-id namespace
+      // ([[hopBatchId]]); a mid-sequence failure falls back to the
+      // recompute, which is correct over any partial application.
       val innerChainOk = d.joins.length == 1 ||
         d.joins.forall(_.joinType == "inner")
-      val delta =
-        if (headOnly && innerChainOk)
-          dimDelta(lake, d, from, dimAt.map(_.head), dimNow.head, dimNow.tail)
-        else None
+      val delta: Option[Long] = dimAt match {
+        case Some(at) if innerChainOk =>
+          var pins = at
+          var last: Option[Long] = None
+          var ok = true
+          for (h <- d.joins.indices if ok && at(h) != dimNow(h)) {
+            dimDelta(lake, d, from, Some(pins(h)), dimNow(h),
+              pins.patch(h, Nil, 1), hop = h) match {
+              case Some(s) => pins = pins.updated(h, dimNow(h)); last = Some(s)
+              case None => ok = false
+            }
+          }
+          if (ok) last else None
+        case _ => None
+      }
       delta match {
         case Some(snap) =>
           writeDimWatermark(lake, d.view, dimNow)

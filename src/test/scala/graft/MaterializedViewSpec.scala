@@ -733,22 +733,24 @@ class MaterializedViewSpec extends SparkSpec {
     assert(MV.watermark(lake, StarDef) === lake.currentSnapshot("fact_t").get)
   }
 
-  test("multi-hop join view: DEEP-hop movement recomputes; HEAD-hop movement applies subtractively") {
+  test("multi-hop join view: DEEP-hop movement applies subtractively; emptied groups fall back") {
     val root = freshDir("graft-mview-stard")
     val lake = new Lakehouse(spark, root)
     lake.createOrReplace(custDf((1L, 100L), (2L, 200L)), "cust_t")
     lake.createOrReplace(natDf((100L, "FR"), (200L, "DE")), "nat_t")
     lake.createOrReplace(factDf((10L, 1L, dec("10.00")), (11L, 2L, dec("4.00"))), "fact_t")
     MV.create(lake, StarDef)
-    // hop-2 dim movement: re-label a nation (MoR update, CDC-readable —
-    // its keys would need BACKWARD propagation through cust; recompute)
+    // hop-2 dim movement that EMPTIES a group: re-labeling the only FR
+    // nation zeroes group FR, which the upsert path cannot retract —
+    // the subtractive leg computes the delta, trips the count-zero
+    // gate, and falls back to the recompute (correctness over speed)
     lake.updateWhereMor(Seq("nname" -> lit("FR2")), col("nid") === 100L, "nat_t")
     MV.refresh(lake, StarDef)
     assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
     assert(natMap(lake.read("sales_by_nation")) === Map(
       "FR2" -> ((dec("10.00"), 1L)), "DE" -> ((dec("4.00"), 1L))))
     assert(!lake.committedBatches("sales_by_nation").exists(_ < 0),
-      "deep-hop dim movement must take the recompute, not the dim-delta leg")
+      "an emptying deep-hop change must take the recompute, not the dim-delta leg")
     // both dim watermarks converged to the new pins
     assert(MV.dimWatermarkOf(lake, "sales_by_nation", 2) ===
       Some(Seq(lake.currentSnapshot("cust_t").get, lake.currentSnapshot("nat_t").get)))
@@ -773,6 +775,29 @@ class MaterializedViewSpec extends SparkSpec {
     // hop-1 append + fact append: delta paths end-to-end
     lake.append(custDf((9L, 200L)), "cust_t")
     lake.append(factDf((13L, 9L, dec("3.00"))), "fact_t")
+    MV.refresh(lake, StarDef)
+    assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
+    // DEEP-hop movement that empties NO group applies SUBTRACTIVELY
+    // (round 13): a second nation shares FR2's label; re-labeling it
+    // moves only its own rows, both groups stay populated, and the
+    // hop-2 delta lands under the hop-partitioned negative batch id
+    // (−(1·2^40 + snap)) — never a recompute, never confused with a
+    // head-hop id
+    lake.append(natDf((300L, "FR2")), "nat_t")
+    lake.append(custDf((5L, 300L)), "cust_t")
+    lake.append(factDf((14L, 5L, dec("2.00"))), "fact_t")
+    MV.refresh(lake, StarDef)
+    assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
+    lake.updateWhereMor(Seq("nname" -> lit("XX")), col("nid") === 300L, "nat_t")
+    MV.refresh(lake, StarDef)
+    assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
+    assert(natMap(lake.read("sales_by_nation"))("XX") === ((dec("2.00"), 1L)))
+    assert(lake.committedBatches("sales_by_nation")
+      .exists(b => b < 0 && -b >= (1L << 40)),
+      "a non-emptying hop-2 change must land through the subtractive leg " +
+        "in the hop-1 batch namespace")
+    // and the fact path still advances cleanly afterwards
+    lake.append(factDf((15L, 5L, dec("1.00"))), "fact_t")
     MV.refresh(lake, StarDef)
     assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
   }
