@@ -3364,7 +3364,16 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       snap <- currentSnapshot(table, branch)
       entries <- snapshots(table).find(_._1 == snap).map(_._2)
       if snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty ||
-        schemaLines(table).isEmpty
+        schemaLines(table).isEmpty || {
+          // positional tombstones compose with evolution, equality
+          // ones don't — the kind is the dir's parquet schema (one
+          // footer read per tombstone dir, tombstones are few)
+          snapshotDeletes(table).getOrElse(snap, Seq.empty).forall { d =>
+            scala.util.Try(
+              spark.read.parquet(new Path(tableDir(table), d).toString)
+                .columns.toSeq == Seq("__file", "__pos")).getOrElse(false)
+          }
+        }
       // evolved tables need every data dir's schema record and stable
       // partition-column names, or loadTable would refuse what SHOW
       // TABLES advertised
@@ -4565,16 +4574,21 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $snap"))._2
     // MERGE-ON-READ tombstones and committed schema evolution are each
     // SERVED (tombstones as per-file anti-filters in the DSv2 reader,
-    // evolution as per-dir conform projections) — but not together:
-    // equality-tombstone keys canonicalize against the PHYSICAL column
+    // evolution as per-dir conform projections) — and POSITIONAL
+    // tombstones compose with evolution too (a (file, row-index) pair
+    // names its row under any schema), which covers the common MoR
+    // surface (deleteWhereMor / updateWhereMor / the delta row-level
+    // ops all write positional). Only EQUALITY tombstones refuse the
+    // combination: their keys canonicalize against the PHYSICAL column
     // types, and a widening/rename between the tombstone write and the
     // read would make the key comparison silently miss. Loud refusal
     // beats a resurrection bug.
     val deletes = spjTombstones(table, snap)
     val evoLines = schemaLines(table)
-    require(deletes.isEmpty || evoLines.isEmpty,
-      s"$table@$branch carries BOTH merge-on-read tombstones and committed schema " +
-        "evolution — the SPJ scan serves each alone; compact() to serve the combination")
+    require(deletes.forall(_.isInstanceOf[SpjPosTombstone]) || evoLines.isEmpty,
+      s"$table@$branch carries EQUALITY merge-on-read tombstones alongside committed " +
+        "schema evolution — the SPJ scan serves positional tombstones with evolution, " +
+        "but equality keys don't canonicalize across physical schema changes; compact() first")
     val dataDirs0 = entries.map(_.takeWhile(_ != '/')).distinct
     // ZERO-ROW SCHEMA-MARKER dirs don't constrain the layout: an empty
     // `CREATE TABLE` and a rewrite that deleted every row both commit

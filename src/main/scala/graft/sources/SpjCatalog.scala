@@ -300,9 +300,10 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
     *  - MERGE-ON-READ: delta-based [[GraftSpjDeltaOp]] — matched rows
     *    scan with their `(_file, _pos)` row ids, deletes land as a
     *    positional tombstone and new images as one layout-spec data
-    *    dir, ZERO existing leaves rewritten. Falls back to CoW when
-    *    the table is schema-evolved (tombstones + evolution refuse by
-    *    contract) or a data column shadows the row-id names. */
+    *    dir, ZERO existing leaves rewritten. Positional tombstones
+    *    compose with schema evolution (a row index needs no name),
+    *    so evolved tables take the delta path too; only a data
+    *    column shadowing the row-id names falls back to CoW. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
@@ -313,7 +314,7 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
         val knob = if (info.command() == Command.DELETE) "spark.graft.delete-mode"
           else "spark.graft.update-mode"
         val mor = conf.get(knob, "copy-on-write") == "merge-on-read"
-        if (mor && !layout.evolved && metadataColumns().nonEmpty)
+        if (mor && metadataColumns().nonEmpty)
           new GraftSpjDeltaOp(root, tableName, branch, layout, info.command())
         else
           new GraftSpjRowLevelOp(root, tableName, branch, layout, info.command())
@@ -333,12 +334,10 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
     val lake = new Lakehouse(spark, root)
     // write-mode routing, same session knob as the lakehouse SQL
     // surface: merge-on-read tombstones the matched positions (zero
-    // leaves rewritten — the SPJ scan anti-filters them), copy-on-write
-    // rewrites the matched partition leaves. MoR on an EVOLVED table
-    // would create the refused tombstone+evolution combination — route
-    // those to CoW, which conforms at rewrite.
-    if (spark.conf.get("spark.graft.delete-mode", "copy-on-write") == "merge-on-read" &&
-      !layout.evolved)
+    // leaves rewritten — the SPJ scan anti-filters them; positional
+    // tombstones compose with schema evolution), copy-on-write
+    // rewrites the matched partition leaves.
+    if (spark.conf.get("spark.graft.delete-mode", "copy-on-write") == "merge-on-read")
       lake.deleteWhereMor(cond, tableName, branch)
     else
       lake.deleteWhere(cond, tableName, layout.spec, branch)

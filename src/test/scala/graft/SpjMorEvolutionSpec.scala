@@ -225,7 +225,7 @@ class SpjMorEvolutionSpec extends SparkSpec {
     }
   }
 
-  test("tombstones plus schema evolution together refuse loudly (compact first), then serve") {
+  test("EQUALITY tombstones plus schema evolution refuse loudly (compact first), then serve") {
     val root = freshRoot("spj-combo")
     val lake = new Lakehouse(spark, root)
     lake.createOrReplace((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
@@ -234,7 +234,7 @@ class SpjMorEvolutionSpec extends SparkSpec {
     lake.renameColumn("t", "v", "label")
     withSpj(root, "spj_me9") {
       val e = intercept[Exception](spark.table("spj_me9.t").collect())
-      assert(e.getMessage.contains("BOTH merge-on-read tombstones"),
+      assert(e.getMessage.contains("EQUALITY merge-on-read tombstones"),
         s"wanted the combination refusal, got: ${e.getMessage}")
       // SHOW TABLES must not advertise what loadTable refuses
       assert(!spark.sql("SHOW TABLES IN spj_me9").collect()
@@ -243,6 +243,39 @@ class SpjMorEvolutionSpec extends SparkSpec {
       assert(spark.table("spj_me9.t").count() === 9)
       assert(spark.sql("SHOW TABLES IN spj_me9").collect()
         .map(_.getString(1)).contains("t"))
+    }
+  }
+
+  test("POSITIONAL tombstones compose with schema evolution: MoR DML after ALTER TABLE serves") {
+    val root = freshRoot("spj-poscombo")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 30L).map(k => (k, k % 3, s"v$k")).toDF("k", "g", "v"),
+      "t", Seq("bucket(4,k)"))
+    withSpj(root, "spj_me12") {
+      spark.sql("ALTER TABLE spj_me12.t RENAME COLUMN v TO label")
+      spark.sql("ALTER TABLE spj_me12.t ADD COLUMNS (extra DOUBLE)")
+      // a (file, row-index) pair names its row under ANY schema — MoR
+      // delete and MoR update both serve over the evolved dirs
+      lake.deleteWhereMor(col("g") === 0, "t")
+      spark.conf.set("spark.graft.update-mode", "merge-on-read")
+      try spark.sql("UPDATE spj_me12.t SET extra = 7.5 WHERE g = 1")
+      finally spark.conf.unset("spark.graft.update-mode")
+      // SHOW TABLES keeps advertising (the probe reads the tombstone kind)
+      assert(spark.sql("SHOW TABLES IN spj_me12").collect()
+        .map(_.getString(1)).contains("t"))
+      val expect = (1L to 30L).filterNot(_ % 3 == 0).map(k =>
+        s"$k|${k % 3}|v$k|${if (k % 3 == 1) "7.5" else "null"}").sorted
+      assert(sortedRows(spark.table("spj_me12.t")) === expect)
+      assert(sortedRows(lake.read("t")) === expect)
+      // SPJ join over the evolved+tombstoned table stays Exchange-free
+      lake.createOrReplace((1L to 30L).map(k => (k, k * 2.0)).toDF("dk", "w"),
+        "d", Seq("bucket(4,dk)"))
+      val j = spark.table("spj_me12.t")
+        .join(spark.table("spj_me12.d"), col("k") === col("dk"))
+      assert(!Medallion.plansShuffle(j),
+        "positional tombstones + evolution must keep co-partitioning:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.count() === 20)
     }
   }
 
@@ -389,14 +422,17 @@ class SpjMorEvolutionSpec extends SparkSpec {
   test("time travel through the catalog serves the pre-delete snapshot un-filtered") {
     val root = freshRoot("spj-mortt")
     val lake = new Lakehouse(spark, root)
+    // unique table name: a bare `t` would collide with other suites'
+    // registered lakehouse views in the shared session, whose SQL
+    // front-end rewrites `VERSION AS OF` on registered names
     lake.createOrReplace((1L to 15L).map(k => (k, s"v$k")).toDF("k", "v"),
-      "t", Seq("bucket(4,k)"))
-    val before = lake.currentSnapshot("t").get
-    lake.deleteByKeyMor(Seq(1L, 2L).toDF("k"), "t")
+      "mortt", Seq("bucket(4,k)"))
+    val before = lake.currentSnapshot("mortt").get
+    lake.deleteByKeyMor(Seq(1L, 2L).toDF("k"), "mortt")
     withSpj(root, "spj_me11") {
-      assert(spark.sql(s"SELECT count(*) AS n FROM spj_me11.t VERSION AS OF $before")
+      assert(spark.sql(s"SELECT count(*) AS n FROM spj_me11.mortt VERSION AS OF $before")
         .collect().head.getLong(0) === 15L)
-      assert(spark.table("spj_me11.t").count() === 13L)
+      assert(spark.table("spj_me11.mortt").count() === 13L)
     }
   }
 }

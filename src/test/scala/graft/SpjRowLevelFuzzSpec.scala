@@ -68,21 +68,16 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
       }
 
       // round-13 alphabet growth: merge-on-read statements and additive
-      // schema evolution join the pool — gated so the fuzzer never
-      // REQUESTS the refused tombstone+evolution combination (that
-      // refusal has its own spec; here every statement must serve)
-      var evolved = false
+      // schema evolution join the pool — UNGATED: every MoR statement
+      // here writes POSITIONAL tombstones, which compose with
+      // evolution (only equality tombstones refuse the combination,
+      // and the alphabet has none)
       var evoSeq = 0
-      def tombstoned: Boolean = lake.spjLayout("fz_t").tombstoned
       val nOps = 4 + rnd.nextInt(3)
       for (op <- 1 to nOps) {
         val (predSql, predCol) = randPred()
         val cond = coalesce(predCol, lit(false))
-        val kind = rnd.nextInt(8) match {
-          case 4 | 5 | 7 if evolved => rnd.nextInt(4) // MoR needs no evolution
-          case 6 if tombstoned => rnd.nextInt(4) // evolution needs no tombstones
-          case k => k
-        }
+        val kind = rnd.nextInt(8)
         // mirror column-map that PRESERVES evolution-added columns
         def mapCols(f: PartialFunction[String, org.apache.spark.sql.Column]): Unit =
           mirror = mirror.select(mirror.columns.toSeq.map(c =>
@@ -146,7 +141,6 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
             val name = s"x$evoSeq"
             spark.sql(s"ALTER TABLE $cat.fz_t ADD COLUMNS ($name DOUBLE)")
             mirror = mirror.withColumn(name, lit(null).cast("double"))
-            evolved = true
           case 7 => // DELTA update: Spark-native UPDATE routed merge-on-read
             val c = 1 + rnd.nextInt(5)
             spark.conf.set("spark.graft.update-mode", "merge-on-read")
