@@ -493,22 +493,23 @@ object MaterializedView {
       catch { case _: IllegalArgumentException => return None }
     val dOld = cdc.where(col("_change_type") === "delete").drop("_change_type")
     val dNew = cdc.where(col("_change_type") === "insert").drop("_change_type")
-    // the changed-key set, reused across the fact probe and the
-    // null-extension probes — checkpointed so each consumer reads the
-    // materialized set, not the CDC plan again
-    val keysCk = dOld.select(col(j.dimKey)).union(dNew.select(col(j.dimKey)))
-      .distinct().toDF("__ck").localCheckpoint(true)
-    val keyCount = keysCk.count()
-    if (keyCount == 0) // net-empty interval: nothing to apply
+    // ONE bounded probe job decides the plan: ≤ cap keys collect to an
+    // IN list (readWhere's stats/bloom skipping prunes fact FILES —
+    // O(matching files)); larger sets keep the incremental path
+    // through a semi-join probe against the materialized key set (one
+    // fact pass filtered to the changed keys — a plan choice, still
+    // far cheaper than the full-recompute fallback this used to take)
+    val keysDf = dOld.select(col(j.dimKey)).union(dNew.select(col(j.dimKey)))
+      .distinct().toDF("__ck")
+    val probe = keysDf.limit(DimDeltaKeysCap + 1).collect()
+    if (probe.isEmpty) // net-empty interval: nothing to apply
       return Some(lake.currentSnapshot(d.view).get)
-    // BOUNDED key sets collect to an IN list (readWhere's stats/bloom
-    // skipping prunes fact FILES — O(matching files)); larger sets
-    // keep the incremental path through a semi-join probe (one fact
-    // pass filtered to the changed keys — a plan choice, still far
-    // cheaper than the full-recompute fallback this used to take)
     val inList: Option[Seq[Any]] =
-      if (keyCount <= DimDeltaKeysCap) Some(keysCk.collect().map(_.get(0)).toSeq)
+      if (probe.length <= DimDeltaKeysCap) Some(probe.map(_.get(0)).toIndexedSeq)
       else None
+    // materialized only when a consumer actually joins against it
+    // (above-cap probes, left-join null-extension legs)
+    lazy val keysCk = keysDf.localCheckpoint(true)
     // the moved hop's join column comes either from the FACT itself
     // (star chains — the probe prunes the fact directly, whatever the
     // hop index) or from an earlier dim (snowflake chains — the
