@@ -94,7 +94,13 @@ object Stress {
     // beyond-algebra DELETE whose predicate no ledger can bound pays
     // the honest full rewrite — compare the two lines
     import graft.sources.spj.GraftSpjCatalog
-    lake.createOrReplace(srcDf, "docs_rl", Seq("bucket(16,doc_id)"))
+    // a further 16× for the row-level legs (1.28M rows): wide-update
+    // write amplification only shows once the data outweighs the
+    // fixed commit cost
+    val rlDf = (0 until copies).map(i => srcDf.select(
+      (col("doc_id") + lit(i.toLong * copies * n)).as("doc_id"),
+      col("source"), col("n_chars"))).reduce(_.unionByName(_))
+    lake.createOrReplace(rlDf, "docs_rl", Seq("bucket(16,doc_id)"))
     spark.conf.set("spark.sql.catalog.stress_rl", classOf[GraftSpjCatalog].getName)
     spark.conf.set("spark.sql.catalog.stress_rl.root", lakeDir)
     val beforeRl = lake.spjLayout("docs_rl").files.valuesIterator.flatten.map(_.path).toSet
@@ -108,6 +114,32 @@ object Stress {
     t("rl_delete_unbounded") { // pmod: no stat can bound it — full CoW rewrite
       spark.sql("DELETE FROM stress_rl.docs_rl WHERE pmod(doc_id, 100003) = 7")
       spark.table("stress_rl.docs_rl").count()
+    }
+    // WIDE low-selectivity UPDATE (~30% of rows, every bucket touched):
+    // the round-12 watch item — CoW pays near-table leaf rewrites plus
+    // the staging pass (2× write amplification on the rewritten set);
+    // the round-13 DELTA path pays O(matched rows) positions + images
+    // and rewrites ZERO leaves. Compare the two lines; then price the
+    // tombstone-serving read (per-file anti-filter) against the clean
+    // read above.
+    t("rl_update_wide_cow") {
+      spark.sql(
+        "UPDATE stress_rl.docs_rl SET n_chars = n_chars + 1 WHERE pmod(doc_id, 10) < 3")
+      spark.table("stress_rl.docs_rl").count()
+    }
+    t("rl_update_wide_mor") {
+      spark.conf.set("spark.graft.update-mode", "merge-on-read")
+      try spark.sql(
+        "UPDATE stress_rl.docs_rl SET n_chars = n_chars + 1 WHERE pmod(doc_id, 10) < 3")
+      finally spark.conf.unset("spark.graft.update-mode")
+      val layout = lake.spjLayout("docs_rl")
+      println(s"STRESS rl_update_wide_mor tombstoned=${layout.tombstoned} " +
+        s"(zero leaves rewritten by construction)")
+      spark.table("stress_rl.docs_rl").count()
+    }
+    t("mor_read_groupby") { // the anti-filter price on a ~30%-tombstoned table
+      spark.table("stress_rl.docs_rl")
+        .groupBy(pmod(col("doc_id"), lit(7))).count().count()
     }
     graft.sources.Memo.release(spark)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
