@@ -419,6 +419,47 @@ class SpjMorEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("streaming from a schema-EVOLVED catalog table conforms mixed physical shapes per batch") {
+    val root = freshRoot("spj-evostream")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 15L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "evs", Seq("bucket(4,k)"))
+    lake.renameColumn("evs", "v", "label")
+    lake.addColumns("evs", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.DoubleType))))
+    lake.append(Seq((16L, "v16", 1.5)).toDF("k", "label", "extra"),
+      "evs", Seq("bucket(4,k)"))
+    withSpj(root, "spj_me13") {
+      val ckpt = freshRoot("spj-evostream-ckpt")
+      val out = freshRoot("spj-evostream-out")
+      // bootstrap drains BOTH physical shapes through one declared
+      // schema: pre-evolution dirs reverse-rename v->label and
+      // null-fill extra, the post-evolution dir reads as written
+      spark.readStream.table("spj_me13.evs").writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+      val emitted = spark.read.parquet(out)
+      assert(emitted.schema.fieldNames.sorted.toSeq === Seq("extra", "k", "label"))
+      assert(emitted.count() === 16)
+      assert(emitted.where(col("label") === "v7").count() === 1)
+      assert(emitted.where(col("extra").isNotNull).count() === 1)
+      // a tailing batch over a post-evolution append stays conformed
+      lake.append(Seq((17L, "v17", 2.5)).toDF("k", "label", "extra"),
+        "evs", Seq("bucket(4,k)"))
+      spark.readStream.table("spj_me13.evs").writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+      assert(spark.read.parquet(out).count() === 17)
+    }
+  }
+
   test("time travel through the catalog serves the pre-delete snapshot un-filtered") {
     val root = freshRoot("spj-mortt")
     val lake = new Lakehouse(spark, root)
