@@ -3396,29 +3396,43 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
             case (t, spec) if t == table && spec.nonEmpty => Transforms.canon(spec)
           }
           case Seq(levels) => Some(levels.map(Transforms.specOfPhys))
+          // mixed layouts DEGRADE to the flat scan when every level is
+          // derived (`_p_…` — no identity dir strips a column); the
+          // marker spec just flags servability for the listing
+          case many if many.forall(_.forall(_.startsWith("_p_"))) =>
+            Some(Seq(SpjLayout.MixedSpec))
           case _ => None
         }
       }
       if (specs match {
-        case Seq(s) => s.startsWith("bucket(") || !s.contains("(")
+        case Seq(SpjLayout.MixedSpec) => true
+        // single level: bucket/identity take the SPJ path, any other
+        // derived transform degrades to the flat scan — all servable
+        case Seq(_) => true
         case Seq(p, s) =>
-          (!p.contains("(") ||
+          ((!p.contains("(") ||
             p.matches("""(days|months|years|hours)\(.+\)""")) &&
-            s.startsWith("bucket(")
-        case _ => false
+            s.startsWith("bucket(")) ||
+            // both levels derived: flat-servable
+            (p.contains("(") && s.contains("("))
+        // deeper chains: servable iff every level is derived (flat)
+        case shapes => shapes.forall(_.contains("("))
       })
       // identity levels must DECODE: the column must be in the
       // metadata-resolvable schema with a supported key type — or
       // loadTable would refuse the very table SHOW TABLES advertised
-      if specs.filterNot(_.contains("(")).forall { c =>
-        metaSchema(table, entries, snap).exists(_.fields.exists(f =>
-          f.name == c && SpjLayout.supportedIdentityType(f.dataType)))
-      }
+      // (flat-degrading mixed tables have no identity levels)
+      if specs == Seq(SpjLayout.MixedSpec) ||
+        specs.filterNot(_.contains("(")).forall { c =>
+          metaSchema(table, entries, snap).exists(_.fields.exists(f =>
+            f.name == c && SpjLayout.supportedIdentityType(f.dataType)))
+        }
       // evolved tables: every partition column (identity, bucket key,
       // time-transform source) must still carry its original name in
       // the declared schema — spjLayout refuses renamed partition
-      // columns, so the probe must too
-      if schemaLines(table).isEmpty || {
+      // columns, so the probe must too (flat-degrading mixed tables
+      // make no partition claims at all)
+      if specs == Seq(SpjLayout.MixedSpec) || schemaLines(table).isEmpty || {
         val InnerRe = """\w+\((?:\d+,)?(.+)\)""".r
         val partCols = specs.map {
           case InnerRe(c) => c
@@ -4601,6 +4615,78 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         rc.nonEmpty && rc.values.forall(_._1 == 0L)
       }
     val (markerDirs, dataDirs) = dataDirs0.partition(emptyMarker)
+    // DEGRADED (flat-group) service for layout shapes the SPJ claims
+    // can't cover — MIXED specs from partition evolution, deeper or
+    // exotic transforms: when NO level is an identity dir (identity
+    // strips its column from the files; every `_p_…` level is derived
+    // and the files stay self-contained), the catalog still serves a
+    // CLAIM-FREE scan — UnknownPartitioning, no co-location / layout
+    // pruning / grouped-agg claims, but stats pruning, tombstones,
+    // evolution conforms, metadata columns and row-level ops all keep
+    // working. A mixed-layout table degrades to an ordinary scan
+    // instead of dead-ending the whole DSv2 surface.
+    def canFlat: Boolean = dataDirs.nonEmpty &&
+      dataDirs.forall(d => physDirLayout(table, d).forall(_.startsWith("_p_")))
+    def finishFlat(): SpjLayout = {
+      val schema = metaSchema(table, entries, snap).getOrElse(
+        throw new IllegalStateException(s"cannot resolve a schema for $table@$snap"))
+      val dirConformsF: Map[String, SpjDirConform] =
+        if (evoLines.isEmpty) Map.empty
+        else dataDirs.map { d =>
+          val seqD = scala.util.Try(d.stripPrefix("data-").toLong)
+            .getOrElse(Long.MaxValue)
+          val phys = dirSchema(table, d).getOrElse(throw new IllegalArgumentException(
+            s"$table's $d predates schema recording — compact() before an SPJ read " +
+              "of an evolved table"))
+          d -> SpjDirConform(
+            org.apache.spark.sql.types.StructType(
+              phys.fields.filterNot(_.name.startsWith("_p_"))),
+            evoLines.filter(l => l._1 > seqD && l._1 <= snap).flatMap(_._3))
+        }.toMap
+      def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.flatMap {
+          case s if s.isFile && s.getPath.getName.endsWith(".parquet") => Seq(s)
+          case s if s.isDirectory && (!s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.contains("=")) => walk(s.getPath)
+          case _ => Seq.empty
+        }
+      val fileEntries = entries.filterNot(e => markerDirs.contains(e.takeWhile(_ != '/')))
+      val files = fileEntries.groupBy(_.takeWhile(_ != '/')).toSeq
+        .flatMap { case (dataDir, es) =>
+          val roots = if (es.contains(dataDir)) Seq(dataDir) else es
+          val dirStats: Map[String, Map[String, (String, String, String)]] =
+            readStats(table, dataDir).groupBy(_._1).map { case (rel, ss) =>
+              rel -> ss.map(s => s._2 -> ((s._3, s._4, s._5))).toMap
+            }
+          val dirRows = readRowCounts(table, dataDir)
+          val dirSums = readSumsLedger(table, dataDir)
+          val dirSort = dirSortChain(table, dataDir)
+          val dirMarker = "/" + dataDir + "/"
+          roots.flatMap { e =>
+            val p = new Path(tableDir(table), e)
+            if (fs.exists(p)) walk(p) else Seq.empty
+          }.map { st =>
+            val full = st.getPath.toString
+            val rel = full.substring(full.indexOf(dirMarker) + 1)
+            SpjFile(full, st.getLen, dirStats.getOrElse(rel, Map.empty),
+              rows = dirRows.get(rel).map(_._1),
+              nulls = dirRows.get(rel).map(_._2).getOrElse(Map.empty),
+              sums = dirSums.getOrElse(rel, Map.empty),
+              sortedBy = dirSort,
+              entry = rel.take(rel.lastIndexOf('/')))
+          }
+        }.sortBy(_.path)
+      val g = math.max(1,
+        math.min(files.length, spark.sparkContext.defaultParallelism * 2))
+      val fmap = files.zipWithIndex.groupBy(_._2 % g)
+        .map { case (i, fsI) => i -> fsI.map(_._1) }
+      val declaredSpec = catalogEntries().collectFirst {
+        case (t, sp) if t == table && sp.nonEmpty => Transforms.canon(sp)
+      }
+      SpjLayout(schema, "", g, fmap, flatGroups = true,
+        writeSpec = Some(declaredSpec.getOrElse(Nil)),
+        snapshot = snap, deletes = deletes, dirConforms = dirConformsF)
+    }
     val physLevels = dataDirs.map(d => physDirLayout(table, d)).distinct match {
       case Seq() =>
         // nothing but markers: a freshly created (or fully emptied)
@@ -4614,11 +4700,14 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
             "storage-partitioned reads need a spec (CREATE TABLE … PARTITIONED BY)"))
         Transforms.canon(declared).map(s => Transforms.parse(s).phys)
       case Seq(levels) if levels.nonEmpty && levels.length <= 2 => levels
-      case other => throw new IllegalArgumentException(
-        s"$table is not uniformly 1- or 2-level-partitioned (layouts: ${
-          other.map(_.mkString("/")).mkString("; ")}) — " +
-          "storage-partitioned reads need the same bucket(n,k) / identity / " +
-          "identity+bucket spec on every data dir")
+      case other =>
+        if (canFlat) return finishFlat()
+        throw new IllegalArgumentException(
+          s"$table is not uniformly 1- or 2-level-partitioned (layouts: ${
+            other.map(_.mkString("/")).mkString("; ")}) — " +
+            "storage-partitioned reads need the same bucket(n,k) / identity / " +
+            "identity+bucket spec on every data dir (identity levels strip their " +
+            "column from the files, so mixed identity layouts cannot degrade)")
     }
     val BucketSpecRe = """bucket\((\d+),(.+)\)""".r
     val TimeSpecRe = """(days|months|years|hours)\((.+)\)""".r
@@ -4635,10 +4724,13 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           (Some(ip), false, Some((bp, nn.toInt, c)))
         case Seq((tp, TimeSpecRe(_, _)), (bp, BucketSpecRe(nn, c))) =>
           (Some(tp), true, Some((bp, nn.toInt, c)))
-        case other => throw new IllegalArgumentException(
-          s"$table is partitioned by ${other.map(_._2).mkString(", ")} — " +
-            "storage-partitioned reads serve bucket(n,k), identity, " +
-            "identity+bucket, and time-transform+bucket layouts only")
+        case other =>
+          if (canFlat) return finishFlat()
+          throw new IllegalArgumentException(
+            s"$table is partitioned by ${other.map(_._2).mkString(", ")} — " +
+              "storage-partitioned reads serve bucket(n,k), identity, " +
+              "identity+bucket, and time-transform+bucket layouts only " +
+              "(other derived-transform shapes degrade to a flat scan)")
       }
     val schema = metaSchema(table, entries, snap).getOrElse(
       throw new IllegalStateException(s"cannot resolve a schema for $table@$snap"))
@@ -5094,7 +5186,9 @@ private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructTyp
     outerTransformSpec: Option[String] = None,
     snapshot: Long = -1L,
     deletes: Seq[SpjTombstone] = Seq.empty,
-    dirConforms: Map[String, SpjDirConform] = Map.empty) {
+    dirConforms: Map[String, SpjDirConform] = Map.empty,
+    flatGroups: Boolean = false,
+    writeSpec: Option[Seq[String]] = None) {
   /** Snapshot carries merge-on-read tombstones: the reader applies
     * them per file; every ledger-exactness claim (pushed aggregates,
     * exact row counts, LIMIT/TopN file caps) must DECLINE — recorded
@@ -5113,9 +5207,12 @@ private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructTyp
   def identityCol: Option[String] =
     outerCol.orElse(
       if (outerTransformSpec.isDefined) None else identityKeys.map(_ => keyCol))
-  /** The bucket component (n, column); None for pure identity. */
+  /** The bucket component (n, column); None for pure identity and for
+    * DEGRADED flat-group layouts (whose indices are arbitrary file
+    * groups, not layout values — no pruning or co-location claims). */
   def bucketLevel: Option[(Int, String)] =
-    if (twoLevel || identityKeys.isEmpty) Some((nBuckets, keyCol)) else None
+    if (flatGroups) None
+    else if (twoLevel || identityKeys.isEmpty) Some((nBuckets, keyCol)) else None
   /** Total planned partitions (composite for two-level layouts). */
   def nParts: Int = identityKeys match {
     case Some(ks) if twoLevel => ks.length * nBuckets
@@ -5131,7 +5228,8 @@ private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructTyp
     identityIdxAt(i).map(ix => identityKeys.get(ix))
   /** Partition i's bucket component, when the layout has one. */
   def bucketAt(i: Int): Option[Int] =
-    if (twoLevel) Some(i % nBuckets)
+    if (flatGroups) None
+    else if (twoLevel) Some(i % nBuckets)
     else if (identityKeys.isEmpty) Some(i)
     else None
   def identityField: Option[org.apache.spark.sql.types.StructField] =
@@ -5145,9 +5243,11 @@ private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructTyp
     idAllowed.forall(a => identityIdxAt(i).forall(a.contains)) &&
       bkAllowed.forall(a => bucketAt(i).forall(a.contains))
   /** Canonical write-spec — what the DSv2 write path hands the
-    * Lakehouse writer so inserts land under the table's own layout. */
-  def spec: Seq[String] =
-    (outerTransformSpec.toSeq ++ identityCol ++
+    * Lakehouse writer so inserts land under the table's own layout
+    * (for flat-group layouts: the DECLARED catalog spec, or
+    * unpartitioned when none is declared). */
+  def spec: Seq[String] = writeSpec.getOrElse(
+    outerTransformSpec.toSeq ++ identityCol ++
       bucketLevel.map { case (n, k) => s"bucket($n,$k)" })
 }
 
@@ -5156,6 +5256,9 @@ private[graft] object SpjLayout {
   /** Hive's null-partition dir marker (what `partitionBy` writes for a
     * null key). */
   val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+  /** Servability-probe marker for mixed-layout tables that degrade to
+    * the flat scan (never a real write spec). */
+  val MixedSpec = "__mixed__"
 
   /** Canonical comparable image of row value `i` for equality-
     * tombstone matching — ONE function for both sides (the driver-side

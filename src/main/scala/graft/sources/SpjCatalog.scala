@@ -715,9 +715,13 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
   /** The contract that deletes the Exchange: each scan partition IS
     * one partition of the layout, keyed by its transform values —
     * (identity value), (bucket number), or (identity, bucket) for the
-    * two-level fact shape. */
+    * two-level fact shape. DEGRADED flat-group layouts (mixed specs)
+    * claim nothing: their indices are arbitrary file groups. */
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
+    if (layout.flatGroups)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        layout.nParts)
+    else new KeyGroupedPartitioning(
       (SpjTransforms.outer(layout).toSeq ++
         layout.identityCol.map(Expressions.identity) ++
         layout.bucketLevel.map { case (n, k) => Expressions.bucket(n, k) }).toArray,

@@ -460,6 +460,46 @@ class SpjMorEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("MIXED layouts degrade to the claim-free flat scan: reads, DML and tombstones all serve") {
+    val root = freshRoot("spj-flat")
+    val lake = new Lakehouse(spark, root)
+    // partition evolution: bucket(4) history, bucket(8) tail, plus an
+    // unpartitioned delta — three specs in one snapshot
+    lake.createOrReplace((1L to 20L).map(k => (k, s"v$k", 0.0)).toDF("k", "v", "w"),
+      "mixt", Seq("bucket(4,k)"))
+    lake.append((21L to 40L).map(k => (k, s"v$k", 0.0)).toDF("k", "v", "w"),
+      "mixt", Seq("bucket(8,k)"))
+    lake.append((41L to 50L).map(k => (k, s"v$k", 0.0)).toDF("k", "v", "w"), "mixt")
+    withSpj(root, "spj_me14") {
+      // the listing advertises it and the read serves, claim-free
+      assert(spark.sql("SHOW TABLES IN spj_me14").collect()
+        .map(_.getString(1)).contains("mixt"))
+      val got = spark.table("spj_me14.mixt")
+      assert(sortedRows(got) === sortedRows(lake.read("mixt")))
+      assert(got.count() === 50)
+      // no co-location claim: a join against a uniform bucket table
+      // must SHUFFLE and stay correct
+      lake.createOrReplace((1L to 50L).map(k => (k, k * 2.0)).toDF("dk", "x"),
+        "mixd", Seq("bucket(8,dk)"))
+      val j = got.join(spark.table("spj_me14.mixd"), col("k") === col("dk"))
+      assert(Medallion.plansShuffle(j),
+        "a flat-group scan must not claim co-partitioning")
+      assert(j.count() === 50)
+      // stats pruning still applies per file; filters stay exact
+      assert(got.where(col("k") === 25L).count() === 1)
+      // row-level DML over the mixed snapshot: CoW UPDATE and MoR
+      // DELETE both serve (flat entries rewrite/carry like any other)
+      spark.sql("UPDATE spj_me14.mixt SET w = 9.0 WHERE k = 7")
+      spark.conf.set("spark.graft.delete-mode", "merge-on-read")
+      try spark.sql("DELETE FROM spj_me14.mixt WHERE k > 45")
+      finally spark.conf.unset("spark.graft.delete-mode")
+      val after = spark.table("spj_me14.mixt")
+      assert(after.count() === 45)
+      assert(after.where(col("k") === 7L).select("w").collect().head.getDouble(0) === 9.0)
+      assert(sortedRows(after) === sortedRows(lake.read("mixt")))
+    }
+  }
+
   test("time travel through the catalog serves the pre-delete snapshot un-filtered") {
     val root = freshRoot("spj-mortt")
     val lake = new Lakehouse(spark, root)

@@ -1008,7 +1008,7 @@ class SpjSpec extends SparkSpec {
     }
   }
 
-  test("strictness: mixed-layout tables refuse the SPJ read loudly; tombstoned tables now SERVE") {
+  test("strictness: identity-mixed layouts refuse; tombstoned and derived-mixed tables now SERVE") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-s").toString
     val lake = new Lakehouse(spark, root)
     import spark.implicits._
@@ -1020,9 +1020,19 @@ class SpjSpec extends SparkSpec {
     lake.deleteWhereMor(col("k") === 2L, "spj_mor")
     assert(lake.spjLayout("spj_mor").tombstoned)
 
+    // derived-mixed layouts (bucket + unpartitioned) DEGRADE to the
+    // claim-free flat scan instead of refusing (SpjMorEvolutionSpec
+    // proves the read path; here the layout shape)
     lake.createOrReplace(df, "spj_mix", Seq("bucket(4,k)"))
     lake.append(df, "spj_mix") // unpartitioned second dir
-    val eMix = intercept[IllegalArgumentException] { lake.spjLayout("spj_mix") }
-    assert(eMix.getMessage.contains("bucket"))
+    val flat = lake.spjLayout("spj_mix")
+    assert(flat.flatGroups && flat.bucketLevel.isEmpty && flat.identityCol.isEmpty)
+
+    // an IDENTITY dir strips its column from the files — mixing it
+    // with another spec cannot degrade and must still refuse loudly
+    lake.createOrReplace(df, "spj_mixid", Seq("bucket(4,k)"))
+    lake.append(df, "spj_mixid", Seq("v")) // identity second dir
+    val eMix = intercept[IllegalArgumentException] { lake.spjLayout("spj_mixid") }
+    assert(eMix.getMessage.contains("identity"))
   }
 }
