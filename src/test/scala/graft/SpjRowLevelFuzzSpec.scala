@@ -28,7 +28,9 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
   test("random op sequences over random layouts equal the dataframe mirror") {
     val rnd = new scala.util.Random(1234)
     val groups = Array("A", "B", "C", "D")
-    for (trial <- 1 to 5) {
+    // 6 trials: the round-13 alphabet (8 statement kinds incl. MoR and
+    // evolution) needs the extra interleavings
+    for (trial <- 1 to 6) {
       val root = java.nio.file.Files.createTempDirectory(s"graft-rlf$trial").toString
       val lake = new Lakehouse(spark, root)
       val spec = rnd.nextInt(3) match {
