@@ -3087,6 +3087,28 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       require(!layoutSourcesOf(table).contains(lc(name)),
         s"cannot drop $name: it is a partition-layout source column " +
           s"(ALTER ... SET PARTITION SPEC first)")
+      // a LIVE equality tombstone keyed on this column would become
+      // unapplicable — the aligned data the anti-join runs against
+      // loses the key, silently resurrecting deleted rows. Refuse
+      // until a compaction materializes the deletes. (Positional
+      // tombstones are name-free and unaffected.)
+      currentSnapshot(table, branch).foreach { snap =>
+        snapshotDeletes(table).getOrElse(snap, Seq.empty).foreach { d =>
+          val seq = d.stripPrefix("_deletes-").toLong
+          val st = spark.read.parquet(new Path(tableDir(table), d).toString).schema
+          if (st.fieldNames.toSeq != Seq("__file", "__pos")) {
+            val renames = schemaLines(table)
+              .filter(l => l._1 > seq && l._1 <= snap).flatMap(_._3)
+            val mappedKeys = st.fieldNames.toSeq.map(n0 =>
+              renames.foldLeft(n0) { case (cur, (from, to)) =>
+                if (from.equalsIgnoreCase(cur)) to else cur
+              })
+            require(!mappedKeys.exists(k => lc(k) == lc(name)),
+              s"cannot drop $name: a live merge-on-read equality tombstone ($d) " +
+                "keys on it — compact() to materialize the deletes first")
+          }
+        }
+      }
       (org.apache.spark.sql.types.StructType(
         declared.fields.filterNot(x => lc(x.name) == lc(name))), Nil)
     }
@@ -3365,13 +3387,28 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       entries <- snapshots(table).find(_._1 == snap).map(_._2)
       if snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty ||
         schemaLines(table).isEmpty || {
-          // positional tombstones compose with evolution, equality
-          // ones don't — the kind is the dir's parquet schema (one
-          // footer read per tombstone dir, tombstones are few)
+          // tombstones compose with evolution when positional, or when
+          // every equality key forward-maps into the declared schema
+          // canonically — the same gate spjLayout enforces (one footer
+          // read per tombstone dir, tombstones are few)
+          val declared = declaredSchema(table, snap)
           snapshotDeletes(table).getOrElse(snap, Seq.empty).forall { d =>
-            scala.util.Try(
-              spark.read.parquet(new Path(tableDir(table), d).toString)
-                .columns.toSeq == Seq("__file", "__pos")).getOrElse(false)
+            scala.util.Try {
+              val st = spark.read.parquet(new Path(tableDir(table), d).toString).schema
+              st.fieldNames.toSeq == Seq("__file", "__pos") || {
+                val seq = d.stripPrefix("_deletes-").toLong
+                val renames = schemaLines(table)
+                  .filter(l => l._1 > seq && l._1 <= snap).flatMap(_._3)
+                st.fields.forall { f =>
+                  val mapped = renames.foldLeft(f.name) { case (cur, (from, to)) =>
+                    if (from.equalsIgnoreCase(cur)) to else cur
+                  }
+                  declared.exists(_.fields.exists(df =>
+                    df.name.equalsIgnoreCase(mapped) &&
+                      SpjLayout.canonCompatible(f.dataType, df.dataType)))
+                }
+              }
+            }.getOrElse(false)
           }
         }
       // evolved tables need every data dir's schema record and stable
@@ -3927,11 +3964,24 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   }
 
   /** Tombstone (sequence, key-rows) pairs a snapshot references, in
-    * commit order. */
+    * commit order. EQUALITY tombstone key columns are FORWARD-MAPPED
+    * through the renames committed after the tombstone and at-or-
+    * before the read snapshot — the data they anti-join against is
+    * aligned to the DECLARED schema ([[alignToDeclared]]), so a key
+    * recorded under a pre-rename name would otherwise silently fail
+    * to resolve (or worse, fail to match). */
   private def tombstones(table: String, snap: Long): Seq[(Long, DataFrame)] =
     snapshotDeletes(table).getOrElse(snap, Seq.empty).map { d =>
-      (d.stripPrefix("_deletes-").toLong,
-        spark.read.parquet(new Path(tableDir(table), d).toString))
+      val seq = d.stripPrefix("_deletes-").toLong
+      val df = spark.read.parquet(new Path(tableDir(table), d).toString)
+      val renames =
+        if (df.columns.toSeq == Seq("__file", "__pos")) Seq.empty // positional: name-free
+        else schemaLines(table).filter(l => l._1 > seq && l._1 <= snap).flatMap(_._3)
+      (seq, renames.foldLeft(df) { case (acc, (from, to)) =>
+        if (acc.columns.exists(_.equalsIgnoreCase(from)))
+          acc.withColumnRenamed(from, to)
+        else acc
+      })
     }
 
   /** Anti-join the tombstones that apply to `dataDir` (those with a
@@ -4588,21 +4638,43 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $snap"))._2
     // MERGE-ON-READ tombstones and committed schema evolution are each
     // SERVED (tombstones as per-file anti-filters in the DSv2 reader,
-    // evolution as per-dir conform projections) — and POSITIONAL
-    // tombstones compose with evolution too (a (file, row-index) pair
-    // names its row under any schema), which covers the common MoR
-    // surface (deleteWhereMor / updateWhereMor / the delta row-level
-    // ops all write positional). Only EQUALITY tombstones refuse the
-    // combination: their keys canonicalize against the PHYSICAL column
-    // types, and a widening/rename between the tombstone write and the
-    // read would make the key comparison silently miss. Loud refusal
-    // beats a resurrection bug.
-    val deletes = spjTombstones(table, snap)
+    // evolution as per-dir conform projections) — and they COMPOSE:
+    // positional tombstones name rows by (file, row-index) under any
+    // schema, and EQUALITY tombstones serve when every key column,
+    // FORWARD-MAPPED through the renames committed after the delete,
+    // still resolves in the declared schema within the same canonical
+    // comparison domain ([[SpjLayout.canonCompatible]] — integral
+    // families widen through [[SpjLayout.canonKey]], so int→bigint
+    // promotion is safe; a dropped key column or a cross-domain type
+    // change refuses loudly — a silently-missed key is a resurrection
+    // bug). The mapped names are what the reader binds per dir (its
+    // reverse-rename machinery then finds each dir's physical column).
     val evoLines = schemaLines(table)
-    require(deletes.forall(_.isInstanceOf[SpjPosTombstone]) || evoLines.isEmpty,
-      s"$table@$branch carries EQUALITY merge-on-read tombstones alongside committed " +
-        "schema evolution — the SPJ scan serves positional tombstones with evolution, " +
-        "but equality keys don't canonicalize across physical schema changes; compact() first")
+    val deletes: Seq[SpjTombstone] = {
+      val loaded = spjTombstones(table, snap)
+      if (evoLines.isEmpty) loaded
+      else loaded.map {
+        case t: SpjEqTombstone =>
+          val declared = declaredSchema(table, snap).getOrElse(
+            throw new IllegalStateException(s"$table: evolution lines without a declared schema"))
+          t.copy(keyCols = t.keyCols.map { case (n, dt) =>
+            val mapped = evoLines.filter(l => l._1 > t.seq && l._1 <= snap)
+              .flatMap(_._3).foldLeft(n) { case (cur, (from, to)) =>
+                if (from.equalsIgnoreCase(cur)) to else cur
+              }
+            val df = declared.fields.find(_.name.equalsIgnoreCase(mapped)).getOrElse(
+              throw new IllegalArgumentException(
+                s"$table@$branch: equality-tombstone key '$n' no longer resolves " +
+                  "after schema evolution — compact() to materialize the deletes"))
+            require(SpjLayout.canonCompatible(dt, df.dataType),
+              s"$table@$branch: equality-tombstone key '$n' changed type " +
+                s"(${dt.simpleString} -> ${df.dataType.simpleString}) beyond the " +
+                "canonical comparison domain — compact() to materialize the deletes")
+            (df.name, dt)
+          })
+        case t => t
+      }
+    }
     val dataDirs0 = entries.map(_.takeWhile(_ != '/')).distinct
     // ZERO-ROW SCHEMA-MARKER dirs don't constrain the layout: an empty
     // `CREATE TABLE` and a rewrite that deleted every row both commit
@@ -5259,6 +5331,29 @@ private[graft] object SpjLayout {
   /** Servability-probe marker for mixed-layout tables that degrade to
     * the flat scan (never a real write spec). */
   val MixedSpec = "__mixed__"
+
+  /** Do two column types share ONE canonical comparison domain under
+    * [[canonKey]]? Integral families unify (all widen to Long), so a
+    * promoted int→bigint column still matches its pre-promotion
+    * equality-tombstone keys; everything else must match its family
+    * exactly (float→double changes boxed representation — refuse). */
+  def canonCompatible(a: DataType, b: DataType): Boolean = {
+    def fam(d: DataType): Option[Any] = d match {
+      case ByteType | ShortType | IntegerType | LongType => Some("i")
+      case StringType => Some("s")
+      case DateType => Some("dt")
+      case TimestampType => Some("ts")
+      case BooleanType => Some("b")
+      case DoubleType => Some("d")
+      case FloatType => Some("f")
+      case dd: DecimalType => Some(("dec", dd.scale))
+      case _ => None
+    }
+    (fam(a), fam(b)) match {
+      case (Some(x), Some(y)) => x == y
+      case _ => false
+    }
+  }
 
   /** Canonical comparable image of row value `i` for equality-
     * tombstone matching — ONE function for both sides (the driver-side

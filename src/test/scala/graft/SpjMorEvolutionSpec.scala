@@ -225,24 +225,36 @@ class SpjMorEvolutionSpec extends SparkSpec {
     }
   }
 
-  test("EQUALITY tombstones plus schema evolution refuse loudly (compact first), then serve") {
+  test("EQUALITY tombstones compose with evolution when keys survive canonically; dropped keys refuse") {
     val root = freshRoot("spj-combo")
     val lake = new Lakehouse(spark, root)
-    lake.createOrReplace((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
+    lake.createOrReplace(
+      (1L to 10L).map(k => (k, k.toInt * 10, s"v$k")).toDF("k", "u", "v"),
       "t", Seq("bucket(4,k)"))
-    lake.deleteByKeyMor(Seq(2L).toDF("k"), "t")
+    lake.deleteByKeyMor(Seq(20, 50).toDF("u"), "t") // keyed on a NON-partition int
+    // renames of OTHER columns never touch the key; the key itself may
+    // even RENAME or WIDEN (canonKey unifies integral families) and
+    // the tombstone still lands — forward-mapped at load
     lake.renameColumn("t", "v", "label")
+    lake.renameColumn("t", "u", "uid")
+    lake.alterColumnType("t", "uid", org.apache.spark.sql.types.LongType)
     withSpj(root, "spj_me9") {
-      val e = intercept[Exception](spark.table("spj_me9.t").collect())
-      assert(e.getMessage.contains("EQUALITY merge-on-read tombstones"),
-        s"wanted the combination refusal, got: ${e.getMessage}")
-      // SHOW TABLES must not advertise what loadTable refuses
-      assert(!spark.sql("SHOW TABLES IN spj_me9").collect()
-        .map(_.getString(1)).contains("t"))
-      lake.compact("t", Seq("bucket(4,k)"))
-      assert(spark.table("spj_me9.t").count() === 9)
       assert(spark.sql("SHOW TABLES IN spj_me9").collect()
         .map(_.getString(1)).contains("t"))
+      assert(spark.table("spj_me9.t").count() === 8)
+      assert(spark.table("spj_me9.t").where(col("uid").isin(20L, 50L)).count() === 0)
+      assert(sortedRows(spark.table("spj_me9.t")) === sortedRows(lake.read("t")))
+      // DROPPING the key column would sever the only thing the
+      // tombstone can match on (silent resurrection on every read
+      // path) — the DROP itself refuses until compaction materializes
+      val e = intercept[Exception](lake.dropColumn("t", "uid"))
+      assert(e.getMessage.contains("equality tombstone"),
+        s"wanted the live-tombstone drop refusal, got: ${e.getMessage}")
+      lake.compact("t", Seq("bucket(4,k)"))
+      lake.dropColumn("t", "uid") // deletes materialized: drop lands
+      assert(spark.table("spj_me9.t").schema.fieldNames.toSeq === Seq("k", "label"))
+      assert(spark.table("spj_me9.t").count() === 8)
+      assert(sortedRows(spark.table("spj_me9.t")) === sortedRows(lake.read("t")))
     }
   }
 
