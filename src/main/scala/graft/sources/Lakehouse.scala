@@ -3385,17 +3385,22 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     for {
       snap <- currentSnapshot(table, branch)
       entries <- snapshots(table).find(_._1 == snap).map(_._2)
-      if snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty ||
-        schemaLines(table).isEmpty || {
-          // tombstones compose with evolution when positional, or when
-          // every equality key forward-maps into the declared schema
-          // canonically — the same gate spjLayout enforces (one footer
+      if snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty || {
+          // tombstones serve when positional (any size — above the
+          // broadcast gate they anti-join executor-side), or when
+          // equality AND under the gate AND (no evolution, or every
+          // key forward-maps into the declared schema canonically) —
+          // the same gates spjLayout/spjTombstones enforce (one footer
           // read per tombstone dir, tombstones are few)
           val declared = declaredSchema(table, snap)
           snapshotDeletes(table).getOrElse(snap, Seq.empty).forall { d =>
             scala.util.Try {
               val st = spark.read.parquet(new Path(tableDir(table), d).toString).schema
               st.fieldNames.toSeq == Seq("__file", "__pos") || {
+                // an equality payload too big to collect refuses the
+                // LOAD, so the probe must not advertise it
+                tombstoneSlices(table, d).map(_._2).sum <= spjTombstoneGate
+              } && (schemaLines(table).isEmpty || {
                 val seq = d.stripPrefix("_deletes-").toLong
                 val renames = schemaLines(table)
                   .filter(l => l._1 > seq && l._1 <= snap).flatMap(_._3)
@@ -3407,7 +3412,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
                     df.name.equalsIgnoreCase(mapped) &&
                       SpjLayout.canonCompatible(f.dataType, df.dataType)))
                 }
-              }
+              })
             }.getOrElse(false)
           }
         }
@@ -3418,6 +3423,21 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         val dataDirs = entries.map(_.takeWhile(_ != '/')).distinct
         dataDirs.forall(d => dirSchema(table, d).isDefined)
       }
+      // can an IDENTITY level named `c` serve on the FLAT path? Its
+      // path-borne value must re-inject under the declared schema:
+      // same (never-renamed) name, decodable type — the exact gates
+      // finishFlat enforces, so the probe never advertises what the
+      // flat load would refuse
+      flatIdentityOk = (c: String) =>
+        metaSchema(table, entries, snap).exists(_.fields.exists(f =>
+          f.name.equalsIgnoreCase(c) &&
+            SpjLayout.supportedIdentityType(f.dataType))) &&
+          schemaLines(table).flatMap(_._3).forall { case (f, t) =>
+            !f.equalsIgnoreCase(c) && !t.equalsIgnoreCase(c)
+          }
+      // every level either derived (`_p_…` spec form contains "(") or
+      // a flat-servable identity — the flat scan's acceptance rule
+      flatLevelOk = (s: String) => s.contains("(") || flatIdentityOk(s)
       specs <- {
         // zero-row schema-marker dirs (empty CREATE TABLE, fully-
         // emptied rewrites) don't constrain the layout — same rule as
@@ -3433,10 +3453,12 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
             case (t, spec) if t == table && spec.nonEmpty => Transforms.canon(spec)
           }
           case Seq(levels) => Some(levels.map(Transforms.specOfPhys))
-          // mixed layouts DEGRADE to the flat scan when every level is
-          // derived (`_p_…` — no identity dir strips a column); the
-          // marker spec just flags servability for the listing
-          case many if many.forall(_.forall(_.startsWith("_p_"))) =>
+          // MIXED layouts degrade to the flat scan: derived levels are
+          // self-contained, identity levels re-inject their path-borne
+          // value per file when the column still decodes under its
+          // original declared name; the marker spec just flags
+          // servability for the listing
+          case many if many.forall(_.map(Transforms.specOfPhys).forall(flatLevelOk)) =>
             Some(Seq(SpjLayout.MixedSpec))
           case _ => None
         }
@@ -3450,10 +3472,11 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           ((!p.contains("(") ||
             p.matches("""(days|months|years|hours)\(.+\)""")) &&
             s.startsWith("bucket(")) ||
-            // both levels derived: flat-servable
-            (p.contains("(") && s.contains("("))
-        // deeper chains: servable iff every level is derived (flat)
-        case shapes => shapes.forall(_.contains("("))
+            // non-canonical two-level shapes: flat-servable when every
+            // level is derived or a flat-servable identity
+            (flatLevelOk(p) && flatLevelOk(s))
+        // deeper chains: flat-servable under the same per-level rule
+        case shapes => shapes.forall(flatLevelOk)
       })
       // identity levels must DECODE: the column must be in the
       // metadata-resolvable schema with a supported key type — or
@@ -4689,19 +4712,44 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val (markerDirs, dataDirs) = dataDirs0.partition(emptyMarker)
     // DEGRADED (flat-group) service for layout shapes the SPJ claims
     // can't cover — MIXED specs from partition evolution, deeper or
-    // exotic transforms: when NO level is an identity dir (identity
-    // strips its column from the files; every `_p_…` level is derived
-    // and the files stay self-contained), the catalog still serves a
-    // CLAIM-FREE scan — UnknownPartitioning, no co-location / layout
-    // pruning / grouped-agg claims, but stats pruning, tombstones,
-    // evolution conforms, metadata columns and row-level ops all keep
-    // working. A mixed-layout table degrades to an ordinary scan
-    // instead of dead-ending the whole DSv2 surface.
-    def canFlat: Boolean = dataDirs.nonEmpty &&
-      dataDirs.forall(d => physDirLayout(table, d).forall(_.startsWith("_p_")))
+    // exotic transforms: the catalog still serves a CLAIM-FREE scan —
+    // UnknownPartitioning, no co-location / layout pruning /
+    // grouped-agg claims, but stats pruning, tombstones, evolution
+    // conforms, metadata columns and row-level ops all keep working.
+    // IDENTITY levels mix in too (round-14): each identity dir's value
+    // is right there in its `col=value` path segment, so the reader
+    // re-injects it PER FILE through the same partitionValues
+    // mechanism uniform identity layouts use ([[SpjFile.pathVals]] +
+    // [[SpjLayout.dirStrips]]) — a table that partition-evolved FROM
+    // `PARTITIONED BY (status)` TO `bucket(8,k)` reads claim-free
+    // instead of dead-ending. The stripped column must still carry its
+    // ORIGINAL name in the declared schema with a decodable type (a
+    // renamed strip column refuses, same rule as the uniform path).
+    // A mixed-layout table degrades to an ordinary scan instead of
+    // dead-ending the whole DSv2 surface.
+    def flatStrips(d: String): Seq[String] =
+      physDirLayout(table, d).filterNot(_.startsWith("_p_"))
+    def canFlat: Boolean = dataDirs.nonEmpty && {
+      val ms = metaSchema(table, entries, snap)
+      dataDirs.forall(d => flatStrips(d).forall(c =>
+        ms.exists(_.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+          SpjLayout.supportedIdentityType(f.dataType)))))
+    }
     def finishFlat(): SpjLayout = {
       val schema = metaSchema(table, entries, snap).getOrElse(
         throw new IllegalStateException(s"cannot resolve a schema for $table@$snap"))
+      val stripsOf: Map[String, Seq[String]] =
+        dataDirs.map(d => d -> flatStrips(d)).toMap
+      val allStrips = stripsOf.valuesIterator.flatten.toSeq.distinct
+      // renamed strip columns would desync the path segment from the
+      // declared name the reader injects under — refuse, like the
+      // uniform path's renamed-partition-column rule
+      val renamedStrips = evoLines.flatMap(_._3).filter { case (from, to) =>
+        allStrips.exists(s => s.equalsIgnoreCase(from) || s.equalsIgnoreCase(to))
+      }
+      require(renamedStrips.isEmpty,
+        s"$table renamed a partition column (${renamedStrips.map { case (f, t) => s"$f>$t" }
+          .mkString(", ")}) — compact() under the current schema before an SPJ read")
       val dirConformsF: Map[String, SpjDirConform] =
         if (evoLines.isEmpty) Map.empty
         else dataDirs.map { d =>
@@ -4710,9 +4758,11 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           val phys = dirSchema(table, d).getOrElse(throw new IllegalArgumentException(
             s"$table's $d predates schema recording — compact() before an SPJ read " +
               "of an evolved table"))
+          val strips = stripsOf(d)
           d -> SpjDirConform(
             org.apache.spark.sql.types.StructType(
-              phys.fields.filterNot(_.name.startsWith("_p_"))),
+              phys.fields.filterNot(f => f.name.startsWith("_p_") ||
+                strips.exists(_.equalsIgnoreCase(f.name)))),
             evoLines.filter(l => l._1 > seqD && l._1 <= snap).flatMap(_._3))
         }.toMap
       def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
@@ -4734,18 +4784,28 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           val dirSums = readSumsLedger(table, dataDir)
           val dirSort = dirSortChain(table, dataDir)
           val dirMarker = "/" + dataDir + "/"
+          val strips = stripsOf(dataDir)
           roots.flatMap { e =>
             val p = new Path(tableDir(table), e)
             if (fs.exists(p)) walk(p) else Seq.empty
           }.map { st =>
             val full = st.getPath.toString
             val rel = full.substring(full.indexOf(dirMarker) + 1)
+            // the identity level(s)' RAW path segments, re-injected per
+            // file by the reader (unescaped/decoded there)
+            val pv = strips.map { c =>
+              val marker = "/" + c + "="
+              val at = full.indexOf(marker)
+              require(at >= 0, s"data file outside its identity layout: $full")
+              c -> full.substring(at + marker.length).takeWhile(_ != '/')
+            }.toMap
             SpjFile(full, st.getLen, dirStats.getOrElse(rel, Map.empty),
               rows = dirRows.get(rel).map(_._1),
               nulls = dirRows.get(rel).map(_._2).getOrElse(Map.empty),
               sums = dirSums.getOrElse(rel, Map.empty),
               sortedBy = dirSort,
-              entry = rel.take(rel.lastIndexOf('/')))
+              entry = rel.take(rel.lastIndexOf('/')),
+              pathVals = pv)
           }
         }.sortBy(_.path)
       val g = math.max(1,
@@ -4757,7 +4817,8 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       }
       SpjLayout(schema, "", g, fmap, flatGroups = true,
         writeSpec = Some(declaredSpec.getOrElse(Nil)),
-        snapshot = snap, deletes = deletes, dirConforms = dirConformsF)
+        snapshot = snap, deletes = deletes, dirConforms = dirConformsF,
+        dirStrips = stripsOf.filter(_._2.nonEmpty))
     }
     val physLevels = dataDirs.map(d => physDirLayout(table, d)).distinct match {
       case Seq() =>
@@ -4776,10 +4837,11 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         if (canFlat) return finishFlat()
         throw new IllegalArgumentException(
           s"$table is not uniformly 1- or 2-level-partitioned (layouts: ${
-            other.map(_.mkString("/")).mkString("; ")}) — " +
-            "storage-partitioned reads need the same bucket(n,k) / identity / " +
-            "identity+bucket spec on every data dir (identity levels strip their " +
-            "column from the files, so mixed identity layouts cannot degrade)")
+            other.map(_.mkString("/")).mkString("; ")}) and cannot degrade to a " +
+            "flat scan: every identity level must still resolve under its ORIGINAL " +
+            "declared name with a string/integral/date type (a renamed or dropped " +
+            "path-borne partition column desyncs the injection — compact() under " +
+            "the current schema first)")
     }
     val BucketSpecRe = """bucket\((\d+),(.+)\)""".r
     val TimeSpecRe = """(days|months|years|hours)\((.+)\)""".r
@@ -4801,8 +4863,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           throw new IllegalArgumentException(
             s"$table is partitioned by ${other.map(_._2).mkString(", ")} — " +
               "storage-partitioned reads serve bucket(n,k), identity, " +
-              "identity+bucket, and time-transform+bucket layouts only " +
-              "(other derived-transform shapes degrade to a flat scan)")
+              "identity+bucket, and time-transform+bucket layouts; other shapes " +
+              "degrade to a flat scan only while every identity level still " +
+              "resolves under its ORIGINAL declared name with a " +
+              "string/integral/date type")
       }
     val schema = metaSchema(table, entries, snap).getOrElse(
       throw new IllegalStateException(s"cannot resolve a schema for $table@$snap"))
@@ -4922,7 +4986,14 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val dirConforms: Map[String, SpjDirConform] =
       if (evoLines.isEmpty) Map.empty
       else {
-        val partCols = layout0.identityCol.toSeq ++ layout0.bucketLevel.map(_._2)
+        // every column the layout derives from: identity, bucket key,
+        // AND a time-transform outer's SOURCE column (identityCol is
+        // None for transform outers, but the derived dirs still encode
+        // days(ts) etc. of a declared column — a renamed source would
+        // desync pruning and the reported partitioning just the same)
+        val partCols = layout0.identityCol.toSeq ++
+          layout0.bucketLevel.map(_._2).toSeq ++
+          layout0.outerTransformSpec.map(s => Transforms.parse(s).source)
         val renamedParts = evoLines.flatMap(_._3).filter { case (from, to) =>
           partCols.contains(from) || partCols.contains(to)
         }
@@ -4948,33 +5019,121 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   }
 
   /** Plan-time load of the merge-on-read tombstones `snap` references,
-    * canonicalized for the DSv2 read path: positional dirs to
-    * normalized-path → sorted-position maps, equality dirs to
-    * canonical key-tuple sets ([[SpjLayout.canonKey]]). Deleted-row-
-    * sized by the MoR write contract — the same sets the ordinary read
-    * path broadcasts per query — so the one driver collect here prices
-    * what that broadcast already pays, once per plan instead of once
-    * per anti-join. */
+    * canonicalized for the DSv2 read path — SIZE-GATED, because "load"
+    * here means a driver `executeCollect` and a wide low-selectivity
+    * MoR update on a big table (exactly the regime the delta mode
+    * targets) accumulates a tombstone payload that would OOM every
+    * query PLAN. Under the gate ([[Lakehouse.SpjTombstoneGateBytes]]
+    * of on-disk tombstone bytes, conf
+    * `spark.graft.spj.tombstone-broadcast-bytes`): collect and
+    * broadcast as before — positional dirs to normalized-path →
+    * sorted-position maps, equality dirs to canonical key-tuple sets
+    * ([[SpjLayout.canonKey]]), the same sets the ordinary read path
+    * broadcasts per query. ABOVE the gate:
+    *  - POSITIONAL dirs stay executor-side ([[SpjPosTombstoneFiles]]):
+    *    the layout records only the dir's parquet slices with their
+    *    `__file` footer bounds (O(slices) driver footer reads, never
+    *    O(rows)), and each scan task anti-joins just the slices naming
+    *    its own file — Iceberg's position-delete read path; plan cost
+    *    stays flat however wide the update was;
+    *  - EQUALITY dirs refuse loudly (an unbounded key set must probe
+    *    every row of every lower-sequence file — there is no per-file
+    *    slicing to hide behind): compact() to materialize, or raise
+    *    the gate. [[spjServableSpec]] applies the same gate, so SHOW
+    *    TABLES never advertises what the load would refuse. */
   private def spjTombstones(table: String, snap: Long): Seq[SpjTombstone] =
     snapshotDeletes(table).getOrElse(snap, Seq.empty).map { d =>
       val seq = d.stripPrefix("_deletes-").toLong
       val df = spark.read.parquet(new Path(tableDir(table), d).toString)
-      val rows = df.queryExecution.executedPlan.executeCollect()
-      if (df.columns.toSeq == Seq("__file", "__pos")) {
-        val byFile = rows.toSeq
-          .groupBy(r => new Path(r.getUTF8String(0).toString).toString)
-          .map { case (p, rs) => p -> rs.map(_.getLong(1)).toArray.sorted }
-        SpjPosTombstone(seq, byFile)
+      val positional = df.columns.toSeq == Seq("__file", "__pos")
+      val slices = tombstoneSlices(table, d)
+      if (slices.map(_._2).sum > spjTombstoneGate) {
+        if (positional) SpjPosTombstoneFiles(seq, withFileBounds(slices))
+        else throw new IllegalArgumentException(
+          s"$table's equality tombstone $d exceeds the SPJ broadcast gate " +
+            s"($spjTombstoneGate bytes; spark.graft.spj.tombstone-broadcast-bytes) — " +
+            "compact() to materialize the deletes, or raise the gate")
       } else {
-        val fields = df.schema.fields.toSeq
-        SpjEqTombstone(seq, fields.map(f => (f.name, f.dataType)),
-          rows.iterator.map { r =>
-            fields.zipWithIndex.map { case (f, i) =>
-              SpjLayout.canonKey(f.dataType, r, i)
-            }.toVector: Seq[Any]
-          }.toSet)
+        val rows = df.queryExecution.executedPlan.executeCollect()
+        if (positional) {
+          // recorded `__file` strings are the URL-ENCODED SparkPath form
+          // (both writers record from `_metadata.file_path` / the SPJ
+          // `_file` metadata column) — DECODE to the Hadoop Path form the
+          // reader's per-file lookup normalizes to; unencodable strings
+          // (a pre-unification tombstone) fall back to Path canon only
+          val byFile = rows.toSeq
+            .groupBy(r => decodeFilePath(r.getUTF8String(0).toString))
+            .map { case (p, rs) => p -> rs.map(_.getLong(1)).toArray.sorted }
+          SpjPosTombstone(seq, byFile)
+        } else {
+          val fields = df.schema.fields.toSeq
+          SpjEqTombstone(seq, fields.map(f => (f.name, f.dataType)),
+            rows.iterator.map { r =>
+              fields.zipWithIndex.map { case (f, i) =>
+                SpjLayout.canonKey(f.dataType, r, i)
+              }.toVector: Seq[Any]
+            }.toSet)
+        }
       }
     }
+
+  /** The SPJ tombstone broadcast gate, in ON-DISK tombstone bytes
+    * (compressed parquet — the cheapest honest proxy available without
+    * decoding): at the 16 MB default a positional payload decodes to a
+    * few tens of MB of driver heap, which matches what the ordinary
+    * read path's per-query broadcast already prices. Session-tunable. */
+  private def spjTombstoneGate: Long =
+    spark.conf.get("spark.graft.spj.tombstone-broadcast-bytes",
+      Lakehouse.SpjTombstoneGateBytes.toString).toLong
+
+  /** A tombstone dir's parquet slices as (path, length, no bounds) —
+    * tombstone dirs are flat (plain parquet writes, no partitioning). */
+  private def tombstoneSlices(table: String, d: String)
+      : Seq[(String, Long, Option[(String, String)])] =
+    fs.listStatus(new Path(tableDir(table), d)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toString, st.getLen, None))
+
+  /** Fill each slice's `(lo, hi)` bounds of its recorded `__file`
+    * column from the slice's own parquet footer — O(slices) driver
+    * metadata reads, never O(rows). A slice without usable stats keeps
+    * `None` (every task checks it — correct, just unpruned). */
+  private def withFileBounds(slices: Seq[(String, Long, Option[(String, String)])])
+      : Seq[(String, Long, Option[(String, String)])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    Lakehouse.parallelMeta(slices) { case (p, len, _) =>
+      val bounds = scala.util.Try {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
+        try {
+          val per = r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val chunk = b.getColumns.asScala
+              .find(_.getPath.toDotString == "__file").get
+            val st = chunk.getStatistics
+            require(st != null && st.hasNonNullValue, "no __file stats")
+            (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8,
+              st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8)
+          }
+          (per.map(_._1).min, per.map(_._2).max)
+        } finally r.close()
+      }.toOption
+      Seq((p, len, bounds))
+    }
+  }
+
+  /** Decode a recorded position-delete file path (URL-encoded SparkPath
+    * form, what `_metadata.file_path` and the SPJ `_file` column both
+    * yield) to canonical Hadoop `Path.toString` form — the form the SPJ
+    * reader derives from its own file statuses. Non-URI strings fall
+    * back to plain Path canonicalization (they were already unencoded). */
+  private def decodeFilePath(s: String): String =
+    scala.util.Try(
+      org.apache.spark.paths.SparkPath.fromUrlString(s).toPath.toString)
+      .getOrElse(new Path(s).toString)
 
   /** Conditional ENTRY REPLACEMENT — the commit leg of the DSv2
     * copy-on-write row-level operations ([[graft.sources.spj]]
@@ -5118,6 +5277,11 @@ object Lakehouse {
     * rewrite stays ~12 KB however long the table's history grows. */
   private[sources] val SegmentMaxLines = 64
 
+  /** Default SPJ tombstone broadcast gate (on-disk bytes; see
+    * [[Lakehouse.spjTombstones]]). Conf-overridable per session via
+    * `spark.graft.spj.tombstone-broadcast-bytes`. */
+  private[graft] val SpjTombstoneGateBytes: Long = 16L << 20
+
   /** Count of per-dir `_stats.jsonl` ledger opens — observability for
     * the manifest-list skip path (specs assert a pruned scan reads
     * ledgers for matching dirs only, not per table-history dir). */
@@ -5188,7 +5352,8 @@ private[graft] case class SpjFile(path: String, length: Long,
     nulls: Map[String, Long] = Map.empty,
     sums: Map[String, Option[java.math.BigDecimal]] = Map.empty,
     sortedBy: Seq[String] = Seq.empty,
-    entry: String = "") {
+    entry: String = "",
+    pathVals: Map[String, String] = Map.empty) {
   /** The data dir this file's entry belongs to (`data-<snap>`). */
   def dataDir: String = entry.takeWhile(_ != '/')
   /** The dir's commit sequence — what decides which merge-on-read
@@ -5218,9 +5383,24 @@ private[graft] case class SpjEqTombstone(seq: Long,
     keys: Set[Seq[Any]]) extends SpjTombstone
 
 /** POSITIONAL tombstone (Iceberg v2 position-delete shape): per
-  * normalized file path, the sorted row indexes deleted from it. */
+  * normalized file path, the sorted row indexes deleted from it.
+  * The UNDER-the-broadcast-gate representation — the whole payload
+  * ships to executors once, driver-materialized at plan time. */
 private[graft] case class SpjPosTombstone(seq: Long,
     byFile: Map[String, Array[Long]]) extends SpjTombstone
+
+/** POSITIONAL tombstone ABOVE the broadcast gate — the payload never
+  * touches the driver. The layout carries only the tombstone dir's
+  * parquet SLICES `(path, length, optional (lo, hi) bounds of the
+  * recorded `__file` column from the slice's own footer)`; each scan
+  * task opens just the slices whose bounds admit ITS data file and
+  * anti-joins executor-side (Iceberg's position-delete read path).
+  * Slices are naturally `__file`-clustered — the writers derive
+  * positions from per-file scan tasks — so a data file typically
+  * overlaps one slice. Recorded paths are the URL-encoded SparkPath
+  * form (both writers' contract), compared raw, no decode. */
+private[graft] case class SpjPosTombstoneFiles(seq: Long,
+    slices: Seq[(String, Long, Option[(String, String)])]) extends SpjTombstone
 
 /** Per-data-dir conform materials for SPJ reads of a SCHEMA-EVOLVED
   * table: the dir's recorded physical file schema (hidden `_p_…`
@@ -5260,7 +5440,8 @@ private[graft] case class SpjLayout(schema: org.apache.spark.sql.types.StructTyp
     deletes: Seq[SpjTombstone] = Seq.empty,
     dirConforms: Map[String, SpjDirConform] = Map.empty,
     flatGroups: Boolean = false,
-    writeSpec: Option[Seq[String]] = None) {
+    writeSpec: Option[Seq[String]] = None,
+    dirStrips: Map[String, Seq[String]] = Map.empty) {
   /** Snapshot carries merge-on-read tombstones: the reader applies
     * them per file; every ledger-exactness claim (pushed aggregates,
     * exact row counts, LIMIT/TopN file caps) must DECLINE — recorded
@@ -5335,8 +5516,15 @@ private[graft] object SpjLayout {
   /** Do two column types share ONE canonical comparison domain under
     * [[canonKey]]? Integral families unify (all widen to Long), so a
     * promoted int→bigint column still matches its pre-promotion
-    * equality-tombstone keys; everything else must match its family
-    * exactly (float→double changes boxed representation — refuse). */
+    * equality-tombstone keys; float and double unify too ([[canonKey]]
+    * widens float exactly to double — the same cast-then-compare the
+    * ordinary read path's anti-join performs after an allowed
+    * float→double promotion, so the two read paths agree bit-for-bit);
+    * everything else must match its family exactly. The gate runs
+    * against the DECLARED schema at layout build, and the unified
+    * domains are what make it sound per DIR too: any physical type the
+    * evolution surface can reach from a declared-compatible type stays
+    * inside the same canonical domain. */
   def canonCompatible(a: DataType, b: DataType): Boolean = {
     def fam(d: DataType): Option[Any] = d match {
       case ByteType | ShortType | IntegerType | LongType => Some("i")
@@ -5344,8 +5532,7 @@ private[graft] object SpjLayout {
       case DateType => Some("dt")
       case TimestampType => Some("ts")
       case BooleanType => Some("b")
-      case DoubleType => Some("d")
-      case FloatType => Some("f")
+      case DoubleType | FloatType => Some("d")
       case dd: DecimalType => Some(("dec", dd.scale))
       case _ => None
     }
@@ -5360,7 +5547,10 @@ private[graft] object SpjLayout {
     * tombstone collect and the executor-side data-row extraction), so
     * representation differences can never miss a delete. Integral
     * families widen to Long (an int file column under a long tombstone
-    * key compares equal), strings unbox from UTF8String, temporal
+    * key compares equal), floats widen EXACTLY to Double (a
+    * pre-promotion float dir under a post-promotion double tombstone
+    * key compares in one domain — the same cast the ordinary path's
+    * anti-join applies), strings unbox from UTF8String, temporal
     * types compare in their internal numeric form, and signed zeros
     * normalize so `0.0 = -0.0` matches Spark's join semantics (boxed
     * NaN == NaN is already true, also matching Spark). Null keys stay
@@ -5382,7 +5572,7 @@ private[graft] object SpjLayout {
       case DoubleType =>
         val v = row.getDouble(i); if (v == 0.0d) 0.0d else v
       case FloatType =>
-        val v = row.getFloat(i); if (v == 0.0f) 0.0f else v
+        val v = row.getFloat(i).toDouble; if (v == 0.0d) 0.0d else v
       case d: DecimalType =>
         row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
       case other => throw new UnsupportedOperationException(

@@ -354,7 +354,11 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
       layout.identityCol.map(Expressions.identity) ++
       layout.bucketLevel.map { case (n, k) => Expressions.bucket(n, k) }).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSpjScanBuilder(layout, Some((root, tableName, branch)))
+    new GraftSpjScanBuilder(layout, Some((root, tableName, branch)),
+      // Iceberg's option, Iceberg's default (false = fail loudly on a
+      // mid-stream MoR delete): only the streaming path consults it
+      skipDeleteSnapshots =
+        options.getBoolean("streaming-skip-delete-snapshots", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftSpjWriteBuilder(root, tableName, layout.spec, branch, info.schema())
 }
@@ -402,7 +406,8 @@ private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
   * so Spark keeps the exact predicate on top; a wrong-but-fast
   * pushdown is the one bug class this surface must never have. */
 private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
-    streamInfo: Option[(String, String, String)] = None)
+    streamInfo: Option[(String, String, String)] = None,
+    skipDeleteSnapshots: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -545,7 +550,7 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
         topN.map { case (ords, k) =>
           ords.map { case (c, asc, _) =>
             s"$c ${if (asc) "ASC" else "DESC"}" }.mkString(", ") + s" LIMIT $k" },
-        streamInfo)
+        streamInfo, skipDeleteSnapshots)
   }
 }
 
@@ -562,7 +567,8 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
     files0: Map[Int, Seq[SpjFile]],
     pushed: Seq[org.apache.spark.sql.sources.Filter], limit: Option[Int] = None,
     topN: Option[String] = None,
-    streamInfo: Option[(String, String, String)] = None)
+    streamInfo: Option[(String, String, String)] = None,
+    skipDeleteSnapshots: Boolean = false)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics with SupportsRuntimeV2Filtering
   with SupportsReportOrdering {
@@ -756,7 +762,8 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     streamInfo match {
       case Some((root, table, branch)) =>
-        new GraftSpjMicroBatchStream(root, table, branch, required)
+        new GraftSpjMicroBatchStream(root, table, branch, required,
+          skipDeleteSnapshots)
       case None => throw new UnsupportedOperationException(
         "this scan cannot stream (row-level operation scans are batch-only)")
     }
@@ -778,7 +785,7 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
   * pipeline is the bare decode + optional injection of before. */
 private[spj] object SpjReaders {
   import org.apache.spark.sql.sources.Filter
-  import graft.sources.{SpjDirConform, SpjEqTombstone, SpjPosTombstone}
+  import graft.sources.{SpjDirConform, SpjEqTombstone, SpjPosTombstone, SpjPosTombstoneFiles}
 
   def factory(layout: SpjLayout, required: StructType,
       pushed: Seq[Filter]): PartitionReaderFactory = {
@@ -793,6 +800,10 @@ private[spj] object SpjReaders {
     val keyField = layout.identityField
     val eqDels = layout.deletes.collect { case t: SpjEqTombstone => t }
     val posDels = layout.deletes.collect { case t: SpjPosTombstone => t }
+    // ABOVE-the-gate positional tombstones: the payload never touched
+    // the driver — tasks anti-join their own file's slices executor-
+    // side (see [[graft.sources.SpjPosTombstoneFiles]])
+    val lazyPos = layout.deletes.collect { case t: SpjPosTombstoneFiles => t }
     def lcEq(a: String, b: String) = a.equalsIgnoreCase(b)
 
     // ROW-ID metadata columns (`_file`, `_pos` — the Iceberg position
@@ -827,17 +838,31 @@ private[spj] object SpjReaders {
     val dataDirs: Seq[String] =
       layout.files.valuesIterator.flatten.map(_.dataDir).toSeq.distinct.sorted
 
-    // per-dir physical mapping: declared column -> physical file field
+    // per-dir physical mapping: declared column -> physical file field.
+    // `stripped` = the FLAT path's per-dir identity levels this dir's
+    // files don't store — their values ride each file's path segment
+    // ([[graft.sources.SpjFile.pathVals]]) and re-inject through the
+    // reader's partitionValues, exactly like the uniform identity
+    // injection (at most one of the two mechanisms is live: uniform
+    // layouts have no dirStrips, flat layouts have no identityCol)
     case class DirShape(maps: Seq[(StructField, Option[StructField])],
-        noFilters: Boolean, fileSchema: StructType)
+        noFilters: Boolean, fileSchema: StructType,
+        stripped: Seq[StructField])
     def shapeOf(dir: String): DirShape = {
       val conform: Option[SpjDirConform] = layout.dirConforms.get(dir)
-      val noFilters = posRequested || (posDels.nonEmpty &&
-        posDels.exists(_.seq > graft.sources.SpjFile.seqOfDir(dir)))
+      // any positional tombstone outranking the dir (broadcast OR
+      // lazy) forces filter-free reads: iteration order must be the
+      // raw file row order for the index anti-join to be sound
+      val noFilters = posRequested ||
+        posDels.exists(_.seq > graft.sources.SpjFile.seqOfDir(dir)) ||
+        lazyPos.exists(_.seq > graft.sources.SpjFile.seqOfDir(dir))
+      val stripNames = layout.dirStrips.getOrElse(dir, Nil)
       val fileFields: Seq[StructField] = conform match {
-        case None => layout.schema.fields.toSeq.filterNot(f => idCol.contains(f.name))
+        case None => layout.schema.fields.toSeq.filterNot(f =>
+          idCol.contains(f.name) || stripNames.exists(lcEq(_, f.name)))
         case Some(c) =>
-          c.physFileSchema.fields.toSeq.filterNot(f => idCol.exists(lcEq(_, f.name)))
+          c.physFileSchema.fields.toSeq.filterNot(f =>
+            idCol.exists(lcEq(_, f.name)) || stripNames.exists(lcEq(_, f.name)))
       }
       val renames = conform.map(_.renames).getOrElse(Seq.empty)
       // a dir's physical name for a DECLARED column: walk the renames
@@ -846,21 +871,27 @@ private[spj] object SpjReaders {
         renames.reverse.foldLeft(declared) { case (cur, (from, to)) =>
           if (lcEq(to, cur)) from else cur
         }
+      // only the strips the QUERY needs inject (required or tombstone
+      // keys — the same set readDeclared carries), in declared order
+      val stripped = readDeclared.filter(f => stripNames.exists(lcEq(_, f.name)))
       DirShape(readDeclared.map { f =>
         val pn = physNameOf(f.name)
-        f -> fileFields.find(ff => lcEq(ff.name, pn))
-      }, noFilters, StructType(fileFields))
+        f -> (if (stripNames.exists(lcEq(_, f.name))) None
+        else fileFields.find(ff => lcEq(ff.name, pn)))
+      }, noFilters, StructType(fileFields), stripped)
     }
     val dirShapes: Map[String, DirShape] = dataDirs.map(d => d -> shapeOf(d)).toMap
-    def keyOf(s: DirShape): (Seq[(String, Option[StructField])], Boolean, String) =
-      (s.maps.map { case (d, p) => (d.name, p) }, s.noFilters, s.fileSchema.json)
+    def keyOf(s: DirShape)
+        : (Seq[(String, Option[StructField])], Boolean, String, Seq[String]) =
+      (s.maps.map { case (d, p) => (d.name, p) }, s.noFilters, s.fileSchema.json,
+        s.stripped.map(_.name))
     val variantKeys = dataDirs.map(d => keyOf(dirShapes(d))).distinct
     val variantIdx: Map[String, Int] =
       dataDirs.map(d => d -> variantKeys.indexOf(keyOf(dirShapes(d)))).toMap
 
     val variants: Array[SpjReadVariant] = variantKeys.map { vk =>
       val rep = dataDirs.find(d => keyOf(dirShapes(d)) == vk).get
-      val DirShape(maps, noFilters, fileSchema) = dirShapes(rep)
+      val DirShape(maps, noFilters, fileSchema, stripped) = dirShapes(rep)
       val physRequired = StructType(maps.flatMap(_._2))
       // filters ride into the parquet reader only when they resolve
       // UNCHANGED in this dir (same name, same type — a renamed or
@@ -874,57 +905,85 @@ private[spj] object SpjReaders {
             d.name == r && p.exists(pf => pf.name == r && pf.dataType == d.dataType)
           }
         })
+      // the variant's injected columns: the global identity field (its
+      // value is the partition key) plus this dir's stripped levels
+      // (their values ride each file's pathVals)
+      val partSchemaV = StructType(partSchema.fields ++ stripped)
       // a FRESH Configuration per variant: buildReaderWithPartitionValues
       // embeds the requested schema into the conf it is handed — two
       // variants sharing one conf would clobber each other's projection
       val conf: Configuration = spark.sessionState.newHadoopConf()
       val readerFn = new ParquetFileFormat().buildReaderWithPartitionValues(
-        spark, fileSchema, partSchema, physRequired, dirFilters, rowOpt, conf)
-      val outBase = StructType(physRequired.fields ++ partSchema.fields)
+        spark, fileSchema, partSchemaV, physRequired, dirFilters, rowOpt, conf)
+      val outBase = StructType(physRequired.fields ++ partSchemaV.fields)
       // row-id metadata fields append LAST (the reader joins them on);
       // the eq-tombstone ordinals below reference the base prefix only
       val outSchema =
         if (metaNames.isEmpty) outBase
         else StructType(outBase.fields ++ SpjMetaColumns.Fields)
+      def stripOrd(name: String): Int = {
+        val si = stripped.indexWhere(sf => lcEq(sf.name, name))
+        if (si < 0) -1 else physRequired.length + partSchema.fields.length + si
+      }
       // final projection source ordinals in `out`, -1 = null-fill
       val srcOrdinals: Array[Int] = required.fields.map { f =>
         if (metaNames.contains(f.name))
           outBase.length + SpjMetaColumns.Names.indexOf(f.name)
         else if (idCol.contains(f.name)) physRequired.length
+        else if (stripOrd(f.name) >= 0) stripOrd(f.name)
         else {
           val mi = maps.indexWhere(_._1.name == f.name)
           if (maps(mi)._2.isEmpty) -1
           else maps.take(mi).count(_._2.isDefined)
         }
       }
-      // equality-tombstone key ordinals/types in `out` (physical types:
-      // tombstones and data share them — the evolved combination is
-      // refused at layout build)
+      // equality-tombstone key ordinals/types in `out` (PHYSICAL types —
+      // [[SpjLayout.canonKey]] widens them into the same canonical
+      // domain the layout gate proved against the declared schema). A
+      // dir written BEFORE a key column was ADDED has no physical field
+      // for it: every row in that dir reads NULL there, so the key
+      // binds as a null literal (ordinal -1) — a tombstone tuple with
+      // NULL in that slot null-safely matches, exactly as the ordinary
+      // path's `<=>` anti-join does over the aligned (null-filled) dir.
       val eqSpecs: Array[SpjEqSpec] = eqDels.zipWithIndex.map { case (t, di) =>
         val binds = t.keyCols.map { case (n, _) =>
           if (idCol.contains(n)) (physRequired.length, keyField.get.dataType)
+          else if (stripOrd(n) >= 0)
+            (stripOrd(n), stripped(stripped.indexWhere(sf => lcEq(sf.name, n))).dataType)
           else {
             val mi = maps.indexWhere(_._1.name == n)
-            require(mi >= 0 && maps(mi)._2.isDefined,
+            require(mi >= 0,
               s"equality-tombstone key $n unresolvable in dir $rep")
-            (maps.take(mi).count(_._2.isDefined), maps(mi)._2.get.dataType)
+            if (maps(mi)._2.isEmpty) (-1, NullType) // dir predates the ADD
+            else (maps.take(mi).count(_._2.isDefined), maps(mi)._2.get.dataType)
           }
         }
         SpjEqSpec(t.seq, di, binds.map(_._1).toArray, binds.map(_._2).toArray)
       }.toArray
       SpjReadVariant(readerFn, outSchema, srcOrdinals, eqSpecs,
-        metaAppended = metaNames.nonEmpty)
+        metaAppended = metaNames.nonEmpty, stripped = stripped.toArray)
     }.toArray
 
     // tombstone payloads ship ONCE per executor (broadcast), not per
-    // task closure — deleted-row-sized by the MoR write contract
+    // task closure — deleted-row-sized by the MoR write contract and
+    // gated by spjTombstones (above the gate, positional payloads stay
+    // on disk: only slice paths + bounds ship, via the factory itself)
     val sc = spark.sparkContext
     val bcEq = if (eqDels.isEmpty) null
       else sc.broadcast(eqDels.map(_.keys).toArray)
     val bcPos = if (posDels.isEmpty) null
       else sc.broadcast(posDels.map(t => (t.seq, t.byFile)).toArray)
+    // one reader function for the position-delete slices, built on the
+    // driver like the data variants' (it broadcasts its conf and ships)
+    val lazyReaderFn: PartitionedFile => Iterator[InternalRow] =
+      if (lazyPos.isEmpty) null
+      else new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, GraftSpjDeltaWrite.PosSchema, new StructType(),
+        GraftSpjDeltaWrite.PosSchema, Seq.empty, rowOpt,
+        spark.sessionState.newHadoopConf())
     new GraftSpjReaderFactory(variants, variantIdx, required,
-      keyed = partSchema.nonEmpty, tz, bcEq, bcPos)
+      keyed = partSchema.nonEmpty, tz, bcEq, bcPos,
+      lazyPos.map(t => (t.seq, t.slices)), lazyReaderFn)
   }
 }
 
@@ -940,9 +999,11 @@ private[graft] case class GraftBucketPartition(keys: Seq[Any], files: Array[SpjF
 
 /** The row-id metadata columns every SPJ table exposes (unless a data
   * column shadows the name): `_file` the absolute data file path in
-  * Hadoop `Path.toString` form — the SAME form `_metadata.file_path`
-  * yields on the ordinary read path, so position deletes keyed on it
-  * anti-join there too — and `_pos` the raw row index within the
+  * URL-ENCODED SparkPath form — bit-identical to what
+  * `_metadata.file_path` yields for the same file on the ordinary read
+  * path (NOT Hadoop `Path.toString`, which leaves e.g. spaces
+  * unencoded), so position deletes keyed on it anti-join there with
+  * plain string equality — and `_pos` the raw row index within the
   * file. The delta row-level operations use them as the row id. */
 private[graft] object SpjMetaColumns {
   val File = "_file"
@@ -954,14 +1015,18 @@ private[graft] object SpjMetaColumns {
 }
 
 /** One reader variant: the parquet decode function for one physical
-  * dir shape, its output schema (pruned physical columns, identity
-  * injected LAST, row-id metadata fields after that when requested),
-  * the final-projection source ordinals (-1 = null-fill an added
-  * column) and the equality-tombstone bindings. */
+  * dir shape, its output schema (pruned physical columns, injected
+  * identity/strip columns LAST, row-id metadata fields after that when
+  * requested), the final-projection source ordinals (-1 = null-fill an
+  * added column) and the equality-tombstone bindings. `stripped` names
+  * the FLAT path's per-dir identity levels whose values ride each
+  * file's path segments — the reader decodes them into the per-file
+  * partitionValues row. */
 private[spj] case class SpjReadVariant(
     readerFn: PartitionedFile => Iterator[InternalRow],
     outSchema: StructType, srcOrdinals: Array[Int], eqSpecs: Array[SpjEqSpec],
-    metaAppended: Boolean = false)
+    metaAppended: Boolean = false,
+    stripped: Array[StructField] = Array.empty)
 
 /** Equality-tombstone key binding within a variant's output rows:
   * `delIdx` indexes the broadcast key-set array. */
@@ -972,7 +1037,9 @@ private[spj] class GraftSpjReaderFactory(
     variants: Array[SpjReadVariant], variantIdx: Map[String, Int],
     required: StructType, keyed: Boolean, tz: String,
     bcEq: org.apache.spark.broadcast.Broadcast[Array[Set[Seq[Any]]]],
-    bcPos: org.apache.spark.broadcast.Broadcast[Array[(Long, Map[String, Array[Long]])]])
+    bcPos: org.apache.spark.broadcast.Broadcast[Array[(Long, Map[String, Array[Long]])]],
+    lazyPos: Seq[(Long, Seq[(String, Long, Option[(String, String)])])] = Seq.empty,
+    lazyReaderFn: PartitionedFile => Iterator[InternalRow] = null)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1006,11 +1073,26 @@ private[spj] class GraftSpjReaderFactory(
     val rows: Iterator[InternalRow] = p.files.iterator.flatMap { f =>
       val vi = variantIdx(f.dataDir)
       val v = variants(vi)
+      // the per-FILE partition-values row: the uniform identity value
+      // (a partition constant) plus any FLAT-path strip columns this
+      // dir's files don't store, decoded from the file's own path
+      // segments — the same decode the uniform identity keys take
+      val pvF =
+        if (v.stripped.isEmpty) pv
+        else InternalRow.fromSeq(
+          (if (keyed) Seq(p.keys.head) else Nil) ++
+            v.stripped.toSeq.map { sf =>
+              val raw = f.pathVals.find(_._1.equalsIgnoreCase(sf.name))
+                .getOrElse(throw new IllegalStateException(
+                  s"${f.path} carries no path value for stripped column ${sf.name}"))
+                ._2
+              graft.sources.SpjLayout.decodeIdentity(sf.dataType, raw)._2
+            })
       // the vectorized reader hands back ColumnarBatch under an
       // InternalRow-typed iterator (the FileScanRDD convention) —
       // flatten batches to their row view, exactly as ColumnarToRow does
       var it: Iterator[InternalRow] =
-        v.readerFn(PartitionedFile(pv, SparkPath.fromPathString(f.path),
+        v.readerFn(PartitionedFile(pvF, SparkPath.fromPathString(f.path),
           0L, f.length, Array.empty[String], 0L, f.length, Map.empty))
           .asInstanceOf[Iterator[Any]]
           .flatMap {
@@ -1024,15 +1106,43 @@ private[spj] class GraftSpjReaderFactory(
       if (v.metaAppended) it = it.map { r => rawIdx += 1; r }
       // POSITIONAL tombstones: drop recorded row indexes. Sound only
       // because tombstoned dirs read with zero pushed filters — the
-      // iteration index IS the file row index.
-      if (bcPos != null) {
+      // iteration index IS the file row index. BOTH representations
+      // (driver-broadcast under the gate, on-disk slices above it)
+      // fold into ONE set so a single index counter filters once.
+      if (bcPos != null || lazyPos.nonEmpty) {
         val dirSeq = f.dirSeq
-        val norm = new org.apache.hadoop.fs.Path(f.path).toString
-        val dels = bcPos.value.iterator
-          .filter(_._1 > dirSeq).flatMap(_._2.get(norm)).flatten.toArray
-        if (dels.nonEmpty) {
-          val set = new java.util.HashSet[java.lang.Long](dels.length * 2)
-          dels.foreach(set.add(_))
+        val set = new java.util.HashSet[java.lang.Long]()
+        if (bcPos != null) {
+          val norm = new org.apache.hadoop.fs.Path(f.path).toString
+          bcPos.value.iterator
+            .filter(_._1 > dirSeq).flatMap(_._2.get(norm)).flatten
+            .foreach(set.add(_))
+        }
+        // lazy slices: open only those whose recorded-`__file` footer
+        // bounds admit THIS file (slices are naturally file-clustered
+        // — the writers derive positions per scan task), filter to
+        // exact matches on the URL-encoded path both writers record
+        if (lazyPos.exists(_._1 > dirSeq)) {
+          val enc = SparkPath.fromPathString(f.path).urlEncoded
+          val encU = org.apache.spark.unsafe.types.UTF8String.fromString(enc)
+          lazyPos.iterator.filter(_._1 > dirSeq).flatMap(_._2).foreach {
+            case (sp, slen, bounds)
+                if bounds.forall { case (lo, hi) => lo <= enc && enc <= hi } =>
+              lazyReaderFn(PartitionedFile(InternalRow.empty,
+                SparkPath.fromPathString(sp), 0L, slen,
+                Array.empty[String], 0L, slen, Map.empty))
+                .asInstanceOf[Iterator[Any]]
+                .flatMap {
+                  case b: ColumnarBatch => b.rowIterator().asScala
+                  case r: InternalRow => Iterator.single(r)
+                }
+                .foreach { r =>
+                  if (r.getUTF8String(0) == encU) set.add(r.getLong(1))
+                }
+            case _ => ()
+          }
+        }
+        if (!set.isEmpty) {
           var idx = -1L
           it = it.filter { _ => idx += 1; !set.contains(idx) }
         }
@@ -1047,7 +1157,8 @@ private[spj] class GraftSpjReaderFactory(
           it = it.filter { r =>
             !applicable.exists { e =>
               val tup: Seq[Any] = e.ords.indices
-                .map(i => SpjLayout.canonKey(e.types(i), r, e.ords(i))).toVector
+                .map(i => if (e.ords(i) < 0) null // key column postdates this dir: reads NULL
+                else SpjLayout.canonKey(e.types(i), r, e.ords(i))).toVector
               keySets(e.delIdx).contains(tup)
             }
           }
@@ -1057,7 +1168,14 @@ private[spj] class GraftSpjReaderFactory(
       // through a JoinedRow into the final projection
       if (v.metaAppended) {
         val meta = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
-        meta.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f.path))
+        // `_file` carries the URL-ENCODED SparkPath form — the exact
+        // string `_metadata.file_path` yields for the same file on the
+        // ordinary read path, so position deletes recorded from either
+        // surface anti-join on the other with plain string equality
+        // (a root with e.g. spaces encodes as %20 there; the raw
+        // Hadoop Path.toString form would silently never match)
+        meta.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(
+          SparkPath.fromPathString(f.path).urlEncoded))
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
         val proj = projOf(vi).getOrElse(throw new IllegalStateException(
           "metadata-appended reads always project"))

@@ -20,13 +20,21 @@ import graft.sources.Lakehouse
   * batch reader ([[SpjReaders]]). The first batch is the full
   * snapshot at stream start. A REWRITE inside an interval (replace,
   * CoW DML, compaction) fails the stream loudly instead of silently
-  * re-emitting rewritten rows — Iceberg's incremental-read rule.
+  * re-emitting rewritten rows — Iceberg's incremental-read rule — and
+  * so does a MERGE-ON-READ DELETE inside an interval (rows left the
+  * table but no appended dir carries that fact; Iceberg fails delete
+  * snapshots too), unless the user opts into
+  * `option("streaming-skip-delete-snapshots", "true")` — Iceberg's
+  * own escape hatch. Delete PROPAGATION is the lakehouse CDC stream's
+  * job (`option("cdc")` on the graft-lakehouse-stream format). The
+  * BOOTSTRAP batch is unaffected either way: it reads the full
+  * snapshot through the anti-filtering reader, deletes applied.
   * Restart resumes from the checkpointed snapshot id;
   * `Trigger.AvailableNow` pins the head at start and drains to
   * exactly it. At 100 TB a tailing hop costs the delta's files,
   * never the table. */
 private[spj] class GraftSpjMicroBatchStream(root: String, table: String,
-    branch: String, required: StructType)
+    branch: String, required: StructType, skipDeleteSnapshots: Boolean = false)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def lake = new Lakehouse(SparkSession.active, root)
@@ -66,6 +74,24 @@ private[spj] class GraftSpjMicroBatchStream(root: String, table: String,
         s"$table was REWRITTEN between snapshots $from and $to " +
           s"(${removed.take(3).mkString(", ")} left the table) — streaming reads " +
           "serve append-only intervals; switch to batch refresh or CDC")
+      // MERGE-ON-READ deletes inside the interval add only a
+      // `_deletes-` dir — the appended-entry diff is blind to them, so
+      // a tailing replica would silently diverge (rows left the table
+      // and downstream never learns). Iceberg's posture, ours too:
+      // FAIL the interval loudly unless the user opted into skipping
+      // (`streaming-skip-delete-snapshots`, Iceberg's own option name —
+      // appended rows still stream, the deletes' effect is knowingly
+      // ignored). True delete propagation is the lakehouse CDC stream
+      // (format graft-lakehouse-stream, option("cdc")).
+      val allDels = l.snapshotDeletes(table)
+      val newDels = allDels.getOrElse(to, Seq.empty).toSet --
+        allDels.getOrElse(from, Seq.empty).toSet
+      if (newDels.nonEmpty && !skipDeleteSnapshots) throw new IllegalStateException(
+        s"$table committed merge-on-read DELETE(s) between snapshots $from and $to " +
+          s"(${newDels.toSeq.sorted.take(3).mkString(", ")}) — a tailing stream cannot " +
+          "represent removed rows; replicate deletes with the CDC stream " +
+          "(format graft-lakehouse-stream, option(\"cdc\", \"true\")) or opt into " +
+          "ignoring them with option(\"streaming-skip-delete-snapshots\", \"true\")")
       (toEntries -- fromEntries).map(_.takeWhile(_ != '/'))
     }
     // the layout AT the end snapshot: files grouped per partition with

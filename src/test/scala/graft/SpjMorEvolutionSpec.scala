@@ -512,6 +512,63 @@ class SpjMorEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("IDENTITY-mixed layouts serve claim-free: path-borne values re-inject per file (r14)") {
+    val root = freshRoot("spj-flatid")
+    val lake = new Lakehouse(spark, root)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LongType), StructField("status", StringType),
+      StructField("w", DoubleType)))
+    def df(rows: Seq[(Long, String, Double)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(t => Row(t._1, t._2, t._3)), 2), schema)
+    // partition evolution AWAY from an identity spec — the round-13
+    // refusal ("the stripped column is unrecoverable") was wrong: each
+    // identity dir's value is in its path segment, incl. the Hive null dir
+    lake.createOrReplace(
+      df((1L to 20L).map(k => (k, if (k % 5 == 0) null else s"s${k % 3}", k * 1.0))),
+      "flid", Seq("status"))
+    lake.append(df((21L to 40L).map(k => (k, s"s${k % 3}", k * 1.0))),
+      "flid", Seq("bucket(8,k)"))
+    withSpj(root, "spj_fi1") {
+      assert(spark.sql("SHOW TABLES IN spj_fi1").collect()
+        .map(_.getString(1)).contains("flid"),
+        "the probe must advertise an identity-mixed table")
+      val got = spark.table("spj_fi1.flid")
+      assert(sortedRows(got) === sortedRows(lake.read("flid")))
+      assert(got.count() === 40)
+      // the path-borne column round-trips exactly, nulls included
+      assert(got.where(col("status").isNull).count() === 4)
+      // s1 = k%3==1 minus the first batch's null-status k%5==0 slots
+      assert(got.where(col("status") === "s1").count() === 13)
+      // pruned projection that SKIPS the injected column still serves
+      assert(got.select("w").count() === 40)
+      // no co-location claim: joins shuffle and stay correct
+      lake.createOrReplace(
+        (1L to 40L).map(k => (k, k * 2.0)).toDF("dk", "x"), "flidd", Seq("bucket(8,dk)"))
+      val j = got.join(spark.table("spj_fi1.flidd"), col("k") === col("dk"))
+      assert(Medallion.plansShuffle(j), "a flat-group scan must not claim co-partitioning")
+      assert(j.count() === 40)
+      // EQUALITY tombstone keyed on the STRIPPED column: the reader
+      // binds it from the injected per-file value
+      lake.deleteByKeyMor(Seq("s2").toDF("status"), "flid")
+      assert(sortedRows(spark.table("spj_fi1.flid")) === sortedRows(lake.read("flid")))
+      assert(spark.table("spj_fi1.flid").where(col("status") === "s2").count() === 0)
+      // row-level DML over the mixed snapshot
+      spark.sql("UPDATE spj_fi1.flid SET w = -1 WHERE k = 4")
+      assert(spark.table("spj_fi1.flid").where(col("k") === 4)
+        .select("w").collect().head.getDouble(0) === -1.0)
+      assert(sortedRows(spark.table("spj_fi1.flid")) === sortedRows(lake.read("flid")))
+      // a RENAMED strip column desyncs the path segment from the
+      // declared name: probe and layout must both refuse
+      lake.renameColumn("flid", "status", "st")
+      assert(lake.spjServableSpec("flid").isEmpty,
+        "the probe must refuse a renamed flat-identity strip column")
+      val e = intercept[IllegalArgumentException](lake.spjLayout("flid"))
+      assert(e.getMessage.contains("ORIGINAL declared name"),
+        s"wanted the strip-column refusal, got: ${e.getMessage}")
+    }
+  }
+
   test("time travel through the catalog serves the pre-delete snapshot un-filtered") {
     val root = freshRoot("spj-mortt")
     val lake = new Lakehouse(spark, root)

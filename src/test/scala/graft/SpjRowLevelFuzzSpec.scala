@@ -7,16 +7,24 @@ import graft.sources.Lakehouse
 import graft.sources.spj.GraftSpjCatalog
 
 /** Property fuzz for the row-level operations: seeded random layouts ×
-  * random UPDATE/DELETE/MERGE/MoR-DELETE/MoR-UPDATE/ADD COLUMNS
-  * sequences, each statement's table state compared against a
-  * driver-side MIRROR maintained with the same Spark expressions — so
-  * the comparison pins the STORAGE path (entry pruning, staging,
-  * replace commits, partition-column moves, tombstone anti-filters,
-  * conform projections) against pure dataframe semantics, not one
-  * expression dialect against another. MoR and evolution statements
-  * gate on each other (their combination refuses by contract). Also
-  * asserts the table stays SPJ-servable after every statement, and
-  * that a closing compaction changes nothing. */
+  * random statement sequences over an 11-kind alphabet — UPDATE of
+  * value and partition columns, DELETE (translatable and
+  * beyond-algebra), MERGE, MoR DELETE/UPDATE ×3 routes, additive ADD
+  * COLUMNS, and (r14) EQUALITY-KEY MoR DELETE, RENAME COLUMN of the
+  * value column, and widening ALTER COLUMN TYPE — each statement's
+  * full table state compared against a driver-side MIRROR maintained
+  * with the same Spark expressions (the mirror TRACKS renames and type
+  * widenings), so the comparison pins the STORAGE path (entry pruning,
+  * staging, replace commits, partition-column moves, tombstone
+  * anti-filters incl. equality keys forward-mapped through later
+  * renames, conform projections) against pure dataframe semantics. All
+  * statement kinds run UNGATED on each other — positional tombstones
+  * compose with evolution by construction, and equality tombstones
+  * compose whenever their keys survive canonically (the alphabet's
+  * renames/widenings stay inside one canonical domain). When a live
+  * equality tombstone keys on a column, DROP COLUMN of it must refuse
+  * (asserted inline). Also asserts the table stays SPJ-servable after
+  * every statement, and that a closing compaction changes nothing. */
 class SpjRowLevelFuzzSpec extends SparkSpec {
   import spark.implicits._
 
@@ -28,8 +36,8 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
   test("random op sequences over random layouts equal the dataframe mirror") {
     val rnd = new scala.util.Random(1234)
     val groups = Array("A", "B", "C", "D")
-    // 6 trials: the round-13 alphabet (8 statement kinds incl. MoR and
-    // evolution) needs the extra interleavings
+    // 6 trials; each trial's tail deterministically covers the three
+    // r14 kinds (random draws alone could miss an 11-kind alphabet)
     for (trial <- 1 to 6) {
       val root = java.nio.file.Files.createTempDirectory(s"graft-rlf$trial").toString
       val lake = new Lakehouse(spark, root)
@@ -59,27 +67,32 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
       spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", root)
 
+      // the VALUE column's current name and declared type — renames and
+      // widenings move them; every later statement (and the mirror)
+      // must reference the current pair
+      var vName = "v"
+      var vType = "decimal(10,2)"
+      var renameSeq = 0
+
       def randPred(): (String, org.apache.spark.sql.Column) = rnd.nextInt(5) match {
         case 0 => val c = rnd.nextInt(40); (s"k < $c", col("k") < c)
         case 1 => val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
           (s"pmod(k, $m) = $r", pmod(col("k"), lit(m)) === r) // beyond the filter algebra
         case 2 => val g = groups(rnd.nextInt(groups.length))
           (s"grp = '$g'", col("grp") === g)
-        case 3 => val c = rnd.nextInt(900); (s"v > $c", col("v") > c)
+        case 3 => val c = rnd.nextInt(900); (s"$vName > $c", col(vName) > c)
         case 4 => ("grp IS NULL", col("grp").isNull)
       }
 
-      // round-13 alphabet growth: merge-on-read statements and additive
-      // schema evolution join the pool — UNGATED: every MoR statement
-      // here writes POSITIONAL tombstones, which compose with
-      // evolution (only equality tombstones refuse the combination,
-      // and the alphabet has none)
       var evoSeq = 0
-      val nOps = 4 + rnd.nextInt(3)
-      for (op <- 1 to nOps) {
+      // random body + a shuffled deterministic tail covering the three
+      // r14 kinds (8 = equality-key MoR delete, 9 = RENAME COLUMN,
+      // 10 = widening ALTER COLUMN TYPE)
+      val body = Seq.fill(4 + rnd.nextInt(3))(rnd.nextInt(11))
+      val kinds = body ++ rnd.shuffle(Seq(8, 9, 10))
+      for ((kind, op) <- kinds.zipWithIndex) {
         val (predSql, predCol) = randPred()
         val cond = coalesce(predCol, lit(false))
-        val kind = rnd.nextInt(8)
         // mirror column-map that PRESERVES evolution-added columns
         def mapCols(f: PartialFunction[String, org.apache.spark.sql.Column]): Unit =
           mirror = mirror.select(mirror.columns.toSeq.map(c =>
@@ -87,9 +100,9 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
         kind match {
           case 0 => // UPDATE a value column
             val c = 1 + rnd.nextInt(5)
-            spark.sql(s"UPDATE $cat.fz_t SET v = v + $c WHERE $predSql")
-            mapCols { case "v" =>
-              when(cond, col("v") + c).otherwise(col("v")).cast("decimal(10,2)") }
+            spark.sql(s"UPDATE $cat.fz_t SET $vName = $vName + $c WHERE $predSql")
+            mapCols { case n if n == vName =>
+              when(cond, col(vName) + c).otherwise(col(vName)).cast(vType) }
           case 1 => // UPDATE the PARTITION column: rows must move leaves
             val g = groups(rnd.nextInt(groups.length))
             spark.sql(s"UPDATE $cat.fz_t SET grp = '$g' WHERE $predSql")
@@ -106,24 +119,24 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
             val src = srcRows.toDF("k", "grp", "bump")
             src.createOrReplaceTempView("fz_src")
             // evolution-added columns insert as typed NULLs
-            val extraCols = mirror.columns.toSeq.filterNot(Set("k", "grp", "v"))
-            val insCols = (Seq("k", "grp", "v") ++ extraCols).mkString(", ")
-            val insVals = (Seq("s.k", "s.grp", "CAST(s.bump AS DECIMAL(10,2))") ++
+            val extraCols = mirror.columns.toSeq.filterNot(Set("k", "grp", vName))
+            val insCols = (Seq("k", "grp", vName) ++ extraCols).mkString(", ")
+            val insVals = (Seq("s.k", "s.grp", s"CAST(s.bump AS ${vType.toUpperCase})") ++
               extraCols.map(_ => "CAST(NULL AS DOUBLE)")).mkString(", ")
             spark.sql(
               s"""MERGE INTO $cat.fz_t t USING fz_src s ON t.k = s.k
-                 |WHEN MATCHED THEN UPDATE SET t.v = t.v + s.bump
+                 |WHEN MATCHED THEN UPDATE SET t.$vName = t.$vName + s.bump
                  |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
             val bump = src.select(col("k"), col("grp").as("s_grp"), col("bump"))
             val matchedOrKept = mirror.join(bump.select("k", "bump"), Seq("k"), "left")
               .select(mirror.columns.toSeq.map {
-                case "v" => when(col("bump").isNotNull, col("v") + col("bump"))
-                  .otherwise(col("v")).cast("decimal(10,2)").as("v")
+                case n if n == vName => when(col("bump").isNotNull, col(vName) + col("bump"))
+                  .otherwise(col(vName)).cast(vType).as(vName)
                 case other => col(other)
               }: _*)
             val inserted = bump.join(mirror.select("k"), Seq("k"), "left_anti")
               .select(col("k"), col("s_grp").as("grp"),
-                col("bump").cast("decimal(10,2)").as("v"))
+                col("bump").cast(vType).as(vName))
             mirror = matchedOrKept.unionByName(inserted,
               allowMissingColumns = true)
           case 4 => // MERGE-ON-READ delete via the session routing knob
@@ -134,10 +147,10 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
           case 5 => // MERGE-ON-READ update (tombstone + layout-spec delta dir)
             val c = 1 + rnd.nextInt(5)
             lake.updateWhereMor(
-              Seq("v" -> (col("v") + c).cast("decimal(10,2)")), predCol,
+              Seq(vName -> (col(vName) + c).cast(vType)), predCol,
               "fz_t", spec)
-            mapCols { case "v" =>
-              when(cond, col("v") + c).otherwise(col("v")).cast("decimal(10,2)") }
+            mapCols { case n if n == vName =>
+              when(cond, col(vName) + c).otherwise(col(vName)).cast(vType) }
           case 6 => // additive evolution: a fresh nullable column
             evoSeq += 1
             val name = s"x$evoSeq"
@@ -146,14 +159,60 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
           case 7 => // DELTA update: Spark-native UPDATE routed merge-on-read
             val c = 1 + rnd.nextInt(5)
             spark.conf.set("spark.graft.update-mode", "merge-on-read")
-            try spark.sql(s"UPDATE $cat.fz_t SET v = v + $c WHERE $predSql")
+            try spark.sql(s"UPDATE $cat.fz_t SET $vName = $vName + $c WHERE $predSql")
             finally spark.conf.unset("spark.graft.update-mode")
-            mapCols { case "v" =>
-              when(cond, col("v") + c).otherwise(col("v")).cast("decimal(10,2)") }
+            mapCols { case n if n == vName =>
+              when(cond, col(vName) + c).otherwise(col(vName)).cast(vType) }
+          case 8 => // EQUALITY-KEY MoR delete (r14): keys on k or the value
+            // column; the live tombstone must block DROP COLUMN of its key
+            if (rnd.nextBoolean() || spec.exists(_.contains("grp"))) {
+              val ks = (1 to 3).map(_ => rnd.nextInt(60).toLong).distinct
+              lake.deleteByKeyMor(ks.toDF("k"), "fz_t")
+              mirror = mirror.where(!col("k").isin(ks: _*))
+              // k may be a layout source (bucket key) — the layout
+              // refusal fires first there; otherwise the tombstone
+              // refusal must (either way the DROP never lands)
+              val e = intercept[Exception](lake.dropColumn("fz_t", "k"))
+              assert(e.getMessage.contains("equality tombstone") ||
+                e.getMessage.contains("partition-layout source"),
+                s"DROP of a live equality-tombstone key must refuse: ${e.getMessage}")
+            } else {
+              // keys on the CURRENT value column name: samples from the
+              // live table so the delete usually hits something
+              val sample = mirror.select(vName).limit(3).collect()
+                .map(_.getDecimal(0)).filter(_ != null).distinct.toSeq
+              if (sample.nonEmpty) {
+                lake.deleteByKeyMor(
+                  sample.toDF(vName).select(col(vName).cast(vType).as(vName)), "fz_t")
+                mirror = mirror.where(!col(vName).isin(sample: _*))
+                val e = intercept[Exception](lake.dropColumn("fz_t", vName))
+                assert(e.getMessage.contains("equality tombstone"),
+                  s"DROP of a live equality-tombstone key must refuse: ${e.getMessage}")
+              }
+            }
+          case 9 => // RENAME COLUMN (r14): the value column moves names —
+            // later statements AND any live equality tombstone keyed on
+            // the old name must forward-map
+            renameSeq += 1
+            val next = s"v_r$renameSeq"
+            spark.sql(s"ALTER TABLE $cat.fz_t RENAME COLUMN $vName TO $next")
+            mirror = mirror.withColumnRenamed(vName, next)
+            vName = next
+          case 10 => // widening ALTER COLUMN TYPE (r14): decimal precision
+            // grows, scale pinned — same canonical domain, so live
+            // equality tombstones keep applying
+            val newPrec = vType match {
+              case s if s.startsWith("decimal(") =>
+                s.stripPrefix("decimal(").takeWhile(_ != ',').toInt + 2
+            }
+            val next = s"decimal($newPrec,2)"
+            spark.sql(s"ALTER TABLE $cat.fz_t ALTER COLUMN $vName TYPE $next")
+            mirror = mirror.withColumn(vName, col(vName).cast(next))
+            vType = next
         }
         mirror = mirror.localCheckpoint(true)
         assert(sortedRows(spark.table(s"$cat.fz_t")) === sortedRows(mirror),
-          s"trial $trial diverged after op $op kind=$kind (spec=$spec, pred=$predSql); table cols=${spark.table(s"$cat.fz_t").columns.mkString(",")}")
+          s"trial $trial diverged after op ${op + 1} kind=$kind (spec=$spec, pred=$predSql); table cols=${spark.table(s"$cat.fz_t").columns.mkString(",")}")
         // the layout contract survived the rewrite
         assert(lake.spjLayout("fz_t").spec === graft.sources.Transforms.canon(spec))
       }

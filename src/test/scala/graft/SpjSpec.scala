@@ -1008,7 +1008,7 @@ class SpjSpec extends SparkSpec {
     }
   }
 
-  test("strictness: identity-mixed layouts refuse; tombstoned and derived-mixed tables now SERVE") {
+  test("strictness: tombstoned, derived-mixed AND identity-mixed tables all SERVE (r14)") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-s").toString
     val lake = new Lakehouse(spark, root)
     import spark.implicits._
@@ -1028,11 +1028,14 @@ class SpjSpec extends SparkSpec {
     val flat = lake.spjLayout("spj_mix")
     assert(flat.flatGroups && flat.bucketLevel.isEmpty && flat.identityCol.isEmpty)
 
-    // an IDENTITY dir strips its column from the files — mixing it
-    // with another spec cannot degrade and must still refuse loudly
+    // an IDENTITY dir strips its column from the files — but its value
+    // is right there in the path segment, so since r14 the mix DEGRADES
+    // to the flat scan with per-file injection instead of refusing
+    // (SpjMorEvolutionSpec proves the read; here the layout shape)
     lake.createOrReplace(df, "spj_mixid", Seq("bucket(4,k)"))
     lake.append(df, "spj_mixid", Seq("v")) // identity second dir
-    val eMix = intercept[IllegalArgumentException] { lake.spjLayout("spj_mixid") }
-    assert(eMix.getMessage.contains("identity"))
+    val flatId = lake.spjLayout("spj_mixid")
+    assert(flatId.flatGroups && flatId.dirStrips.nonEmpty,
+      "an identity-mixed table must degrade to the flat scan with strip injection")
   }
 }

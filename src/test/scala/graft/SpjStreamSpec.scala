@@ -115,6 +115,64 @@ class SpjStreamSpec extends SparkSpec {
     }
   }
 
+  test("a MERGE-ON-READ delete inside the interval fails the stream loudly; the skip option opts out") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ssd").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-ssd-ck").toString
+    sinkRoot = java.nio.file.Files.createTempDirectory("graft-ssd-sink").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.createOrReplace((1L to 12L).map(k => (k, k % 3)).toDF("k", "g"),
+      "ssd_t", Seq("bucket(2,k)"))
+    withSpj(root, "ssdc") {
+      drain("ssdc", "ssd_t", ck, "ssd_sink")
+      assert(new Lakehouse(spark, sinkRoot).read("ssd_sink").count() === 12L)
+      // a MoR delete adds ONLY a tombstone dir — the appended-entry
+      // diff is blind to it; silently continuing would diverge the
+      // replica, so the interval must refuse NAMING the tombstone
+      lake.deleteWhereMor(col("g") === 0, "ssd_t")
+      lake.append(Seq((13L, 1L)).toDF("k", "g"), "ssd_t", Seq("bucket(2,k)"))
+      val e = intercept[Exception] { drain("ssdc", "ssd_t", ck, "ssd_sink") }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(m => m.contains("merge-on-read DELETE") &&
+        m.contains("_deletes-")),
+        s"expected the loud MoR-delete refusal naming the tombstone, got: ${
+          messages(e).mkString(" | ")}")
+      // Iceberg's escape hatch: skip the delete snapshots knowingly —
+      // appended rows stream, the deletes' effect is ignored by choice
+      val ck2 = java.nio.file.Files.createTempDirectory("graft-ssd-ck2").toString
+      val q = spark.readStream
+        .option("streaming-skip-delete-snapshots", "true")
+        .table("ssdc.ssd_t").writeStream
+        .option("checkpointLocation", ck2)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          new Lakehouse(spark, sinkRoot).appendOnce(df, "ssd_skip", batchId = id); ()
+        }
+        .start()
+      try assert(q.awaitTermination(120000)) finally q.stop()
+      // the bootstrap under the option reads the CURRENT snapshot with
+      // deletes applied (the anti-filtering reader): 12 - 4 + 1
+      assert(new Lakehouse(spark, sinkRoot).read("ssd_skip").count() === 9L)
+      // and a TAILING interval under the option streams later appends
+      // even when another MoR delete lands mid-interval
+      lake.deleteWhereMor(col("k") === 2L, "ssd_t")
+      lake.append(Seq((14L, 2L)).toDF("k", "g"), "ssd_t", Seq("bucket(2,k)"))
+      val q2 = spark.readStream
+        .option("streaming-skip-delete-snapshots", "true")
+        .table("ssdc.ssd_t").writeStream
+        .option("checkpointLocation", ck2)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          new Lakehouse(spark, sinkRoot).appendOnce(df, "ssd_skip", batchId = id); ()
+        }
+        .start()
+      try assert(q2.awaitTermination(120000)) finally q2.stop()
+      assert(new Lakehouse(spark, sinkRoot).read("ssd_skip").count() === 10L,
+        "the tailing interval must deliver the append and skip the delete by choice")
+    }
+  }
+
   test("a rewrite inside the interval fails the stream loudly (append-only contract)") {
     val root = java.nio.file.Files.createTempDirectory("graft-ssr").toString
     val ck = java.nio.file.Files.createTempDirectory("graft-ssr-ck").toString

@@ -141,6 +141,32 @@ object Stress {
       spark.table("stress_rl.docs_rl")
         .groupBy(pmod(col("doc_id"), lit(7))).count().count()
     }
+    // MULTI-MILLION-ROW POSITIONAL TOMBSTONE (the round-13 scale-killer
+    // closed): force the broadcast gate low so the ~2M-position
+    // tombstone takes the ABOVE-GATE path — the plan never collects
+    // the payload to the driver; each task anti-joins only the slices
+    // naming its file. The read must stay row-exact vs the arithmetic
+    // truth and the plan must stay flat-cost however wide the delete.
+    val bigN = 6000000L
+    lake.createOrReplace(
+      spark.range(bigN).select(col("id").as("k"), pmod(col("id"), lit(3)).as("g")),
+      "docs_big", Seq("bucket(16,k)"))
+    t("mor_tombstone_2m_write") {
+      lake.deleteWhereMor(col("g") === 0, "docs_big") // ~2M positions
+      bigN / 3
+    }
+    spark.conf.set("spark.graft.spj.tombstone-broadcast-bytes", "262144")
+    try {
+      val dels = lake.spjLayout("docs_big").deletes
+      require(dels.nonEmpty &&
+        dels.forall(_.isInstanceOf[graft.sources.SpjPosTombstoneFiles]),
+        s"2M-position tombstone must take the executor-side path: $dels")
+      t("mor_tombstone_2m_read") { // row-exact over the lazy anti-join
+        val got = spark.table("stress_rl.docs_big").count()
+        require(got == bigN - bigN / 3, s"lazy anti-join lost rows: $got")
+        got
+      }
+    } finally spark.conf.unset("spark.graft.spj.tombstone-broadcast-bytes")
     graft.sources.Memo.release(spark)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lakeDir))
