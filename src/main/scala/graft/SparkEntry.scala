@@ -73,6 +73,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStream.streamEventsHourlyOracle(s, d)),
     "stream_spj_tail" ->
       ((s, d) => graft.streaming.EventStream.streamSpjTail(s, d)),
+    "stream_cdc_replicate" ->
+      ((s, d) => graft.streaming.EventStream.streamCdcReplicate(s, d)),
     "q_events_retention" -> (Relational.qEventsRetention _),
     "q_events_tophh" -> (Relational.qEventsTophh _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
@@ -970,6 +972,26 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |  CAST(1.0 AS DOUBLE) AS exactly_once
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // lake-to-lake CDC replication: the replica's rollup after a
+    // bootstrap + a catch-up batch netting (append, MoR UPDATE that
+    // doubles price on okey%11=5, MoR DELETE of F-status okey%10=3) +
+    // an idle run, restated straight from raw orders; replica_exact =
+    // the replica's row multiset equals the primary's (hash-exact
+    // reconstruction), exactly_once = idle-run invariance
+    "stream_cdc_replicate" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS total,
+        |  CAST(1.0 AS DOUBLE) AS replica_exact,
+        |  CAST(1.0 AS DOUBLE) AS exactly_once
+        |FROM (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 5
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2))
+        |      ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+        |)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_events_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id,

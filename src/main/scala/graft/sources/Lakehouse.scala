@@ -675,6 +675,34 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     if (purge) fs.delete(tableDir(table), true)
   }
 
+  /** `ALTER TABLE t RENAME TO u` — a pure metadata move: the table
+    * directory renames (every ledger inside is path-relative, so
+    * manifests, schemas, tombstones, branches and tags all move with
+    * it) and the persistent catalog line re-keys under the new name.
+    * Session temp views / DML routes of the old name unregister (a
+    * stale view over a moved path would error confusingly); re-attach
+    * with [[registerView]] under the new name, or read through a DSv2
+    * catalog which resolves names per statement. */
+  def renameTable(from: String, to: String): Unit =
+    tableLock(from).synchronized {
+      require(tableNames().contains(from), s"no such table: $from")
+      require(!tableNames().contains(to),
+        s"cannot rename $from to $to: $to already exists")
+      require(fs.rename(tableDir(from), tableDir(to)),
+        s"filesystem refused renaming $from to $to")
+      scala.util.Try(spark.catalog.dropTempView(from))
+      LakehouseRegistry.unregister(spark, from)
+      Lakehouse.locks.computeIfAbsent(catalogPath.toString, _ => new Object).synchronized {
+        val lines = readLines(catalogPath)
+        val moved = lines.map {
+          case l @ CatalogLine(t, cols) if unesc(t) == from =>
+            s"""{"table":"${jsonEsc(to)}","partitionBy":[$cols]}"""
+          case l => l
+        }
+        if (moved != lines) writeFile(catalogPath, moved.mkString("\n") + "\n")
+      }
+    }
+
   def branches(table: String): Seq[String] = {
     val names = fs.listStatus(tableDir(table)).toSeq.map(_.getPath.getName)
     (if (names.contains("_current")) Seq("main") else Seq.empty) ++
@@ -857,6 +885,77 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           .parquet(new Path(tableDir(table), dir).toString)
         commit(table, snap, prev, branch, Some(base), deletes = prevDeletes :+ dir)
       } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+    }
+
+  /** `CALL system.rewrite_position_deletes(t)` — materialize the
+    * current snapshot's LIVE EQUALITY tombstones into ONE positional
+    * tombstone, rewriting ZERO data files (Iceberg's
+    * rewrite_position_delete_files posture: equality deletes are
+    * cheap to write but expensive to carry — every read probes every
+    * row — and they BLOCK schema changes of their key columns).
+    * For each equality tombstone, the rows it currently deletes
+    * (null-safe key match against every LOWER-sequence data dir, the
+    * exact read-time semantics) are recorded as `(file, position)`
+    * pairs; one new snapshot carries every data entry by reference
+    * with the equality dirs replaced by the positional dir. After it:
+    * `DROP COLUMN` / cross-domain type changes of former key columns
+    * land (positions are name-free), reads stop paying the per-row
+    * key probe, and the SPJ broadcast gate stops seeing unbounded key
+    * sets — all WITHOUT compaction's full data rewrite. Cost: one
+    * filtered scan of the lower-sequence dirs per equality tombstone
+    * (matched-row-sized output); the superseded tombstone dirs stay
+    * on disk for time travel until expiry collects them. */
+  def rewritePositionDeletes(table: String, branch: String = "main"): Long =
+    retryingCommit(table, branch) { base =>
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val snap0 = base.getOrElse(
+        throw new IllegalArgumentException(s"no such table: $table"))
+      val entries = snapshots(table).find(_._1 == snap0).get._2
+      val dels = snapshotDeletes(table).getOrElse(snap0, Seq.empty)
+      val eqDirs = dels.filter { d =>
+        spark.read.parquet(new Path(tableDir(table), d).toString)
+          .columns.toSeq != Seq("__file", "__pos")
+      }
+      if (eqDirs.isEmpty) snap0 // nothing equality-shaped: no-op
+      else {
+        val eqSet = eqDirs.toSet
+        val mapped = tombstones(table, snap0)
+          .filter { case (seq, _) => eqSet.contains(s"_deletes-$seq") }
+        val byDataDir = entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+        // per tombstone: the rows it deletes NOW = null-safe key
+        // semi-join against each lower-sequence dir (applyTombstones
+        // with the join flipped to semi, positions from `_metadata`)
+        val hits = mapped.flatMap { case (seq, keys) =>
+          val kcols = keys.columns.toSeq
+          val ts = broadcast(keys.toDF(kcols.map("__ts_" + _): _*))
+          byDataDir.filter(_._1.stripPrefix("data-").toLong < seq)
+            .map { case (dataDir, dirEntries) =>
+              val df = openDirGroup(table, dataDir,
+                if (dirEntries.contains(dataDir)) Seq(dataDir) else dirEntries,
+                Some(snap0))
+              val cond = kcols.map(c => df(c) <=> ts("__ts_" + c)).reduce(_ && _)
+              df.join(ts, cond, "left_semi")
+                .select(col("_metadata.file_path").as("__file"),
+                  col("_metadata.row_index").as("__pos"))
+            }
+        }
+        val snap = reserveSnap(table)
+        val dir = s"_deletes-$snap"
+        try {
+          val positions = hits.reduceOption(_.unionByName(_)).getOrElse(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("__file",
+                  org.apache.spark.sql.types.StringType, nullable = false),
+                org.apache.spark.sql.types.StructField("__pos",
+                  org.apache.spark.sql.types.LongType, nullable = false)))))
+          positions.write.mode(SaveMode.Overwrite)
+            .parquet(new Path(tableDir(table), dir).toString)
+          commit(table, snap, entries, branch, Some(base),
+            deletes = dels.filterNot(eqSet) :+ dir)
+        } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
+      }
     }
 
   /** Idempotent FULL REPLACE keyed by a batch id — [[appendOnce]]'s
@@ -3026,15 +3125,48 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       }
     }
 
+  /** One validated evolution change over an (intermediate) declared
+    * schema: (current declared, snapshot entries) → (next declared,
+    * renames introduced). The unit [[alterSchemaGrouped]] folds so a
+    * multi-change `ALTER TABLE` commits ONE snapshot (Iceberg's
+    * grouped commit — no torn window between changes). */
+  private[graft] type SchemaStep =
+    (org.apache.spark.sql.types.StructType, Seq[String]) =>
+      (org.apache.spark.sql.types.StructType, Seq[(String, String)])
+
+  /** Apply several evolution steps as ONE metadata snapshot. Steps
+    * validate against the INTERMEDIATE schema in statement order
+    * (`ADD COLUMNS (x int), RENAME COLUMN x TO y` works; every
+    * validation that consults historical names sees the fold's current
+    * schema), and all introduced renames land on the single schema
+    * line in order — the readers' forward/reverse mapping folds are
+    * order-preserving within a line, so chained renames resolve
+    * exactly as two separate commits would. */
+  private[graft] def alterSchemaGrouped(table: String, steps: Seq[SchemaStep],
+      branch: String = "main"): Long = {
+    require(steps.nonEmpty, "ALTER TABLE needs at least one change")
+    evolveSchema(table, branch) { (declared, entries) =>
+      steps.foldLeft(
+        (declared, Seq.empty[(String, String)])) { case ((cur, rens), step) =>
+        val (next, r) = step(cur, entries)
+        (next, rens ++ r)
+      }
+    }
+  }
+
   /** `ALTER TABLE t ADD COLUMNS (…)` — additive-only evolution as a
     * metadata snapshot. Added columns must be nullable (existing rows
     * read NULL) and must not re-use any name the table ever had; type
     * changes are refused by construction (there is no surface that
     * narrows or rewrites an existing column). */
   def addColumns(table: String, cols: org.apache.spark.sql.types.StructType,
-      branch: String = "main"): Long = {
+      branch: String = "main"): Long =
+    evolveSchema(table, branch)(addColumnsStep(table, cols))
+
+  private[graft] def addColumnsStep(table: String,
+      cols: org.apache.spark.sql.types.StructType): SchemaStep = {
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
-    evolveSchema(table, branch) { (declared, entries) =>
+    (declared, entries) => {
       val taken = takenNames(table, entries, declared)
       cols.fields.foreach { f =>
         require(f.nullable,
@@ -3057,28 +3189,34 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * the table ever used. */
   def renameColumn(table: String, from: String, to: String,
       branch: String = "main"): Long =
-    evolveSchema(table, branch) { (declared, entries) =>
-      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-      val f = declared.fields.find(x => lc(x.name) == lc(from))
-        .getOrElse(throw new IllegalArgumentException(
-          s"$table has no column $from to rename"))
-      require(!takenNames(table, entries, declared).contains(lc(to)),
-        s"cannot rename $from to $to: $table already used that name")
-      val layoutSources = layoutSourcesOf(table)
-      require(!layoutSources.contains(lc(from)),
-        s"cannot rename $from: it is a partition-layout source column " +
-          s"(ALTER ... SET PARTITION SPEC first)")
-      (org.apache.spark.sql.types.StructType(
-        declared.fields.map(x => if (x eq f) x.copy(name = to) else x)),
-        Seq(f.name -> to))
-    }
+    evolveSchema(table, branch)(renameColumnStep(table, from, to))
+
+  private[graft] def renameColumnStep(table: String, from: String,
+      to: String): SchemaStep = (declared, entries) => {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val f = declared.fields.find(x => lc(x.name) == lc(from))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no column $from to rename"))
+    require(!takenNames(table, entries, declared).contains(lc(to)),
+      s"cannot rename $from to $to: $table already used that name")
+    val layoutSources = layoutSourcesOf(table)
+    require(!layoutSources.contains(lc(from)),
+      s"cannot rename $from: it is a partition-layout source column " +
+        s"(ALTER ... SET PARTITION SPEC first)")
+    (org.apache.spark.sql.types.StructType(
+      declared.fields.map(x => if (x eq f) x.copy(name = to) else x)),
+      Seq(f.name -> to))
+  }
 
   /** `ALTER TABLE t DROP COLUMN c` — metadata snapshot: the column
     * vanishes from reads and writes; old data stays in place (time
     * travel below the drop still shows it) and the name can never be
     * re-used. Refused for partition-layout source columns. */
   def dropColumn(table: String, name: String, branch: String = "main"): Long =
-    evolveSchema(table, branch) { (declared, _) =>
+    evolveSchema(table, branch)(dropColumnStep(table, name, branch))
+
+  private[graft] def dropColumnStep(table: String, name: String,
+      branch: String): SchemaStep = (declared, _) => {
       def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
       require(declared.fields.exists(x => lc(x.name) == lc(name)),
         s"$table has no column $name to drop")
@@ -3125,7 +3263,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * values must stay stable against the written tree). */
   def alterColumnType(table: String, name: String,
       newType: org.apache.spark.sql.types.DataType, branch: String = "main"): Long =
-    evolveSchema(table, branch) { (declared, _) =>
+    evolveSchema(table, branch)(alterColumnTypeStep(table, name, newType))
+
+  private[graft] def alterColumnTypeStep(table: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): SchemaStep = (declared, _) => {
       import org.apache.spark.sql.types._
       def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
       val f = declared.fields.find(x => lc(x.name) == lc(name))
@@ -4657,6 +4798,41 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       atSnapshot: Option[Long] = None): SpjLayout = {
     val snap = atSnapshot.getOrElse(currentSnapshot(table, branch).getOrElse(
       throw new IllegalArgumentException(s"no such table/branch: $table@$branch")))
+    // LAYOUT CACHE (r14): everything a layout is built from is
+    // immutable AT a snapshot — data dirs and their ledgers are
+    // write-once, tombstone dirs are referenced by snapshot id, schema
+    // evolution commits new snapshots — EXCEPT the declared catalog
+    // spec (mutable without a snapshot, feeds flat/empty writeSpec)
+    // and the tombstone broadcast gate (a session conf that picks the
+    // representation): both join the key. SPJ statements load the
+    // layout several times per query (plan, row-level scan, commit
+    // re-check); the cache makes every load after the first a map hit
+    // instead of a manifest+ledger+fs walk — the round-13 bench drift
+    // on the SPJ lifecycle queries was exactly this cost.
+    val stamp = scala.util.Try {
+      val st = fs.getFileStatus(catalogPath)
+      (st.getModificationTime, st.getLen)
+    }.getOrElse((0L, 0L))
+    // the snapshot's COMMIT WALL-CLOCK joins the key: a table dropped
+    // and re-created at the same path restarts its snapshot counter,
+    // and (path, snap) alone would serve the dead table's layout
+    val committedAt = snapshotTimes(table).collectFirst {
+      case (s, t) if s == snap => t
+    }.getOrElse(0L)
+    val key = (tableDir(table).toString, snap, committedAt, stamp, spjTombstoneGate)
+    val cached = Lakehouse.spjLayoutCache.synchronized {
+      Option(Lakehouse.spjLayoutCache.get(key))
+    }
+    cached.getOrElse {
+      val built = spjLayoutBuild(table, branch, snap)
+      Lakehouse.spjLayoutCache.synchronized {
+        Lakehouse.spjLayoutCache.put(key, built)
+      }
+      built
+    }
+  }
+
+  private def spjLayoutBuild(table: String, branch: String, snap: Long): SpjLayout = {
     val entries = snapshots(table).find(_._1 == snap)
       .getOrElse(throw new IllegalArgumentException(s"$table has no snapshot $snap"))._2
     // MERGE-ON-READ tombstones and committed schema evolution are each
@@ -5281,6 +5457,18 @@ object Lakehouse {
     * [[Lakehouse.spjTombstones]]). Conf-overridable per session via
     * `spark.graft.spj.tombstone-broadcast-bytes`. */
   private[graft] val SpjTombstoneGateBytes: Long = 16L << 20
+
+  /** Resolved [[SpjLayout]]s keyed by (table dir, snapshot, commit
+    * wall-clock, catalog stamp, tombstone gate) — bounded LRU (layouts
+    * hold file lists; 64 hot tables is plenty, evictions just
+    * rebuild). Access under the map's own monitor. */
+  private[graft] val spjLayoutCache =
+    new java.util.LinkedHashMap[(String, Long, Long, (Long, Long), Long), SpjLayout](
+      128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long, (Long, Long), Long), SpjLayout])
+          : Boolean = size() > 64
+    }
 
   /** Count of per-dir `_stats.jsonl` ledger opens — observability for
     * the manifest-list skip path (specs assert a pruned scan reads

@@ -31,6 +31,11 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *    removed name, empty result = nothing stale.
   *  - `rollback_to_snapshot(table, snapshot_id)` — branch-pointer
   *    move to an earlier committed snapshot.
+  *  - `rewrite_position_deletes(table)` — materialize live EQUALITY
+  *    tombstones into one positional tombstone, zero data files
+  *    rewritten ([[Lakehouse.rewritePositionDeletes]]): unblocks
+  *    `DROP COLUMN` of former key columns and removes the per-row key
+  *    probe from every read, far cheaper than a full compaction.
   *  - `refresh_mview(view)` — advance a [[MaterializedView]] to its
   *    source's current snapshot (delta-priced incremental merge;
   *    full recompute on rewritten intervals). The definition loads
@@ -70,6 +75,9 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
     case "rollback_to_snapshot" => Seq(
       AttributeReference("previous_snapshot_id", LongType)(),
       AttributeReference("current_snapshot_id", LongType)())
+    case "rewrite_position_deletes" => Seq(
+      AttributeReference("snapshot_id", LongType)(),
+      AttributeReference("converted_tombstones", LongType)())
     case "refresh_mview" => Seq(
       AttributeReference("snapshot_id", LongType)(),
       AttributeReference("source_snapshot_id", LongType)())
@@ -85,9 +93,9 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
       AttributeReference("column_name", StringType)())
     case other => throw new UnsupportedOperationException(
       s"unknown procedure: system.$other (supported: rewrite_data_files, " +
-        "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
-        "refresh_mview, refresh_ann_index, refresh_dedup_index, " +
-        "rebalance_ann_index, compute_sums)")
+        "rewrite_position_deletes, expire_snapshots, remove_orphan_files, " +
+        "rollback_to_snapshot, refresh_mview, refresh_ann_index, " +
+        "refresh_dedup_index, rebalance_ann_index, compute_sums)")
   }
 
   /** Positional parameter names per procedure; named args (`k => v`)
@@ -97,6 +105,7 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
     case "expire_snapshots" => Seq("table", "retain_last")
     case "remove_orphan_files" => Seq("table", "older_than_ms")
     case "rollback_to_snapshot" => Seq("table", "snapshot_id")
+    case "rewrite_position_deletes" => Seq("table")
     case "refresh_mview" => Seq("table")
     case "refresh_ann_index" => Seq("table")
     case "refresh_dedup_index" => Seq("table")
@@ -195,6 +204,15 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
         lake.rollback(table, snap, branch)
         lake.registerView(table, partitionBy)
         Seq(Row(prev, snap))
+
+      case "rewrite_position_deletes" =>
+        val before = lake.snapshotDeletes(table)
+          .getOrElse(lake.currentSnapshot(table, branch).getOrElse(-1L), Seq.empty)
+        val snap = lake.rewritePositionDeletes(table, branch)
+        val after = lake.snapshotDeletes(table).getOrElse(snap, Seq.empty)
+        lake.registerView(table, partitionBy)
+        // converted = equality dirs that left the live set
+        Seq(Row(snap, (before.toSet -- after.toSet).size.toLong))
 
       case "refresh_mview" =>
         val d = MaterializedView.load(lake, table).getOrElse(

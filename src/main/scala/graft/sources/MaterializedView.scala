@@ -63,15 +63,20 @@ object MaterializedView {
     * name a column introduced by an EARLIER dim (the snowflake shape:
     * orders ⋈ customer on custkey, then ⋈ nation on the customer's
     * nationkey). The fact side is the APPENDING side
-    * (delta-maintained); dims are the enrichment side — a single-dim
-    * view applies dim changes incrementally when [[dimDelta]]'s gates
-    * hold, and an ALL-INNER chain applies ANY hop's movement
-    * incrementally (prefix hops enrich at their pins before the moved
-    * hop's changed rows join, suffix hops after; moved hops compose
-    * sequentially in [[refresh]]). LEFT keeps unmatched left-side
-    * rows with null-extended dim columns; a LEFT hop's movement is
-    * subtractive only in single-hop views (null-extension accounting
-    * compounds through chains — those recompute). */
+    * (delta-maintained); dims are the enrichment side — ANY hop's
+    * movement applies incrementally when [[dimDelta]]'s gates hold
+    * (prefix hops enrich at their pins before the moved hop's changed
+    * rows join, suffix hops after; moved hops compose sequentially in
+    * [[refresh]]). LEFT keeps unmatched left-side rows with
+    * null-extended dim columns; since r14 a LEFT hop's movement is
+    * subtractive AT ANY CHAIN POSITION — the null-extension algebra
+    * (match-count-crossing-zero probes at the moved hop's two pins)
+    * composes because unmoved hops are PINNED (identical enrichment
+    * on the plus and minus legs, so their extensions cancel) and the
+    * reconstructed rows — matched pairs and null-extended rows alike —
+    * flow through the suffix hops under each hop's own join semantics,
+    * exactly as the from-scratch view would (a null key drops at an
+    * inner suffix, extends at a left one, on both legs). */
   final case class JoinSpec(dim: String, factKey: String, dimKey: String,
       joinType: String = "inner") {
     require(joinType == "inner" || joinType == "left",
@@ -453,17 +458,19 @@ object MaterializedView {
       dimFrom: Option[Long], dimTo: Long,
       restPins: Seq[Long] = Seq.empty, hop: Int = 0): Option[Long] = {
     // `hop` names the MOVED dim; `restPins` carries the OTHER hops'
-    // snapshots in chain order (prefix before, suffix after). Deep
-    // hops (hop > 0) reach here only for ALL-INNER chains (the caller
-    // gates): the changed keys' contributions re-enrich through the
-    // prefix hops at their pins AND the suffix hops at theirs,
-    // identically on the plus and minus legs, so the subtractive
-    // algebra is untouched — unchanged-dim pairs cancel exactly as in
-    // the single-hop case. A LEFT hop's movement is sound only at the
-    // head of a single-hop view (null-extension accounting compounds
-    // through deeper chains — those recompute).
+    // snapshots in chain order (prefix before, suffix after). The
+    // changed keys' contributions re-enrich through the prefix hops at
+    // their pins AND the suffix hops at theirs, identically on the
+    // plus and minus legs, so the subtractive algebra is untouched —
+    // unchanged-dim pairs cancel exactly as in the single-hop case.
+    // LEFT hops compose too (r14): an unmoved LEFT hop is pinned, so
+    // its null-extensions are identical on both legs and cancel; a
+    // MOVED left hop's extension legs (the two match-count probes
+    // below) rebuild rows whose moved-dim columns are NULL, and those
+    // rows then take the suffix hops under each hop's own semantics —
+    // dropping at inner suffixes, extending at left ones — exactly as
+    // the from-scratch view does, on both legs.
     val j = d.joins(hop)
-    if (j.joinType == "left" && d.joins.length > 1) return None
     if (!d.aggs.forall(a => a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll]))
       return None
     val countAlias = d.aggs.collectFirst { case CountAll(a) => a }
@@ -628,21 +635,17 @@ object MaterializedView {
     if (from == to && !dimMoved)
       return lake.currentSnapshot(d.view).get
     if (dimMoved) {
-      // SUBTRACTIVE dim maintenance, any hop (round 13 closed the
-      // deep-hop recompute cliff): each moved hop's interval applies
-      // in chain order — already-applied hops pin at their NEW
-      // snapshots, not-yet-applied ones at their old pins, so the
-      // composition equals moving every dim at once. Gates: a LEFT
-      // hop's movement is sound only for single-hop views (its
-      // null-extension algebra lives in dimDelta); multi-hop chains
-      // must be ALL-INNER for any hop movement. Per-hop exactly-once
-      // rides the hop-partitioned negative batch-id namespace
+      // SUBTRACTIVE dim maintenance, any hop, any inner/left mix (r13
+      // closed the deep-hop recompute cliff, r14 the left-hop one):
+      // each moved hop's interval applies in chain order —
+      // already-applied hops pin at their NEW snapshots,
+      // not-yet-applied ones at their old pins, so the composition
+      // equals moving every dim at once. Per-hop exactly-once rides
+      // the hop-partitioned negative batch-id namespace
       // ([[hopBatchId]]); a mid-sequence failure falls back to the
       // recompute, which is correct over any partial application.
-      val innerChainOk = d.joins.length == 1 ||
-        d.joins.forall(_.joinType == "inner")
       val delta: Option[Long] = dimAt match {
-        case Some(at) if innerChainOk =>
+        case Some(at) =>
           var pins = at
           var last: Option[Long] = None
           var ok = true

@@ -182,9 +182,10 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
     * commits (addColumns / renameColumn / dropColumn /
     * alterColumnType: schema lines + carried entries, zero data files
     * touched), and the evolved table keeps serving through the SPJ
-    * read path's per-dir conform projections. Multiple changes in one
-    * statement commit one snapshot each, in statement order — same
-    * end state as Iceberg's grouped commit, one more history line.
+    * read path's per-dir conform projections. A multi-change statement
+    * commits ONE grouped snapshot (r14 — Iceberg's atomic grouped
+    * commit: no torn window where a reader sees change 1 without
+    * change 2, and a failed later change leaves NOTHING applied).
     * Anything the evolution surface can't honor exactly (nested
     * fields, column positions, defaults, comments, non-widening type
     * changes, nullability tightening) refuses loudly rather than
@@ -199,7 +200,7 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
         s"nested column references are unsupported: ${names.mkString(".")}")
       names(0)
     }
-    changes.foreach {
+    val steps: Seq[Lakehouse#SchemaStep] = changes.toSeq.map {
       case a: TableChange.AddColumn =>
         require(a.isNullable,
           s"ADD COLUMNS ${one(a.fieldNames())}: added columns must be nullable " +
@@ -209,19 +210,20 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
         require(a.defaultValue() == null,
           "ADD COLUMNS with DEFAULT is unsupported")
         val f = StructField(one(a.fieldNames()), a.dataType())
-        lake.addColumns(ident.name(),
+        lake.addColumnsStep(ident.name(),
           StructType(Seq(if (a.comment() == null) f
           else f.withComment(a.comment()))))
       case r: TableChange.RenameColumn =>
-        lake.renameColumn(ident.name(), one(r.fieldNames()), r.newName())
+        lake.renameColumnStep(ident.name(), one(r.fieldNames()), r.newName())
       case d: TableChange.DeleteColumn =>
-        lake.dropColumn(ident.name(), one(d.fieldNames()))
+        lake.dropColumnStep(ident.name(), one(d.fieldNames()), "main")
       case u: TableChange.UpdateColumnType =>
-        lake.alterColumnType(ident.name(), one(u.fieldNames()), u.newDataType())
+        lake.alterColumnTypeStep(ident.name(), one(u.fieldNames()), u.newDataType())
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} — the " +
           "catalog maps ADD/RENAME/DROP COLUMN and widening ALTER COLUMN TYPE")
     }
+    lake.alterSchemaGrouped(ident.name(), steps)
     loadTable(ident)
   }
   /** `DROP TABLE cat.t` — MANAGED semantics (the catalog owns its
@@ -235,8 +237,22 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
     else { lake.dropTable(ident.name(), purge = true); true }
   }
   override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename is not supported")
+  /** `ALTER TABLE cat.t RENAME TO cat.u` — a pure metadata move
+    * ([[Lakehouse.renameTable]]: directory rename + catalog-line
+    * re-key; every ledger is path-relative so history, branches, tags
+    * and tombstones all travel). The next `loadTable(u)` resolves the
+    * moved table; `t` stops resolving atomically. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace().isEmpty && newIdent.namespace().isEmpty,
+      "RENAME TABLE operates on main-namespace tables " +
+        s"(got ${oldIdent.namespace().mkString(".")} -> ${newIdent.namespace().mkString(".")})")
+    val lake = new Lakehouse(SparkSession.active, root)
+    if (!lake.tableNames().contains(oldIdent.name()))
+      throw new NoSuchTableException(oldIdent)
+    if (lake.tableNames().contains(newIdent.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    lake.renameTable(oldIdent.name(), newIdent.name())
+  }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     ("bucket" +: GraftTimeFunction.Names).map(Identifier.of(Array.empty, _)).toArray

@@ -289,6 +289,66 @@ object EventStream {
     writer.start()
   }
 
+  /** `stream_cdc_replicate` — [[replicateChanges]] AT THE DRIVER
+    * SURFACE, the strongest streaming contract pinned cross-engine: a
+    * primary lake seeds from orders, a follower lake replicates its
+    * CDC changelog over one checkpoint across THREE runs (bootstrap;
+    * a catch-up spanning an append + a MoR UPDATE + a MoR DELETE in
+    * one interval; an idle run), and the readout rolls up the REPLICA.
+    * `replica_exact = 1.0` iff the replica's full row multiset equals
+    * the primary's (the in-engine hash-exact reconstruction check);
+    * `exactly_once = 1.0` iff the idle run moved nothing (rows AND
+    * sink snapshots). The oracle restates the net final state straight
+    * from raw orders — so the changelog a replica applies provably
+    * reproduces the primary's state, cross-engine, deletes included. */
+  def streamCdcReplicate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-cdcr-src").toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-cdcr-dst").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-cdcr-ck").toString
+    val src = new Lakehouse(spark, srcRoot)
+    val dst = new Lakehouse(spark, dstRoot)
+    val orders = graft.sources.Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("price"))
+    src.createOrReplace(orders.where(col("o_orderkey") % 7 =!= 0), "cdcr")
+    def sync(): Unit = {
+      val q = replicateChanges(
+        spark.readStream
+          .format("graft.streaming.LakehouseStreamProvider")
+          .option("root", srcRoot).option("table", "cdcr")
+          .option("cdc", "true").load(),
+        dst, "cdcr", Seq("o_orderkey"), checkpoint = Some(ck))
+      try q.awaitTermination() finally q.stop()
+    }
+    sync() // bootstrap: full snapshot as insert images
+    // three primary commits while the stream is down — the catch-up
+    // interval must net them into one exact batch
+    src.append(orders.where(col("o_orderkey") % 7 === 0), "cdcr")
+    src.updateWhereMor(
+      Seq("price" -> (col("price") * 2).cast("decimal(12,2)")),
+      col("o_orderkey") % 11 === 5, "cdcr")
+    src.deleteWhereMor(
+      col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 3, "cdcr")
+    sync() // catch-up
+    val rows2 = dst.read("cdcr").count()
+    val snaps2 = dst.snapshots("cdcr").size
+    sync() // idle
+    val exactlyOnce =
+      if (dst.read("cdcr").count() == rows2 &&
+        dst.snapshots("cdcr").size == snaps2) 1.0 else 0.0
+    val replicaExact =
+      if (dst.read("cdcr").exceptAll(src.read("cdcr")).isEmpty &&
+        src.read("cdcr").exceptAll(dst.read("cdcr")).isEmpty) 1.0 else 0.0
+    dst.read("cdcr")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"))
+      .withColumn("replica_exact", lit(replicaExact))
+      .withColumn("exactly_once", lit(exactlyOnce))
+      .orderBy("o_orderstatus")
+  }
+
   /** STREAMING ANOMALY SCREEN — train offline, score online: the
     * per-user moment stats computed over the historical batch table
     * ([[graft.operators.Relational.userValueStats]], the "model")

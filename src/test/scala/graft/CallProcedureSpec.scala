@@ -26,6 +26,47 @@ class CallProcedureSpec extends SparkSpec {
     assert(lake.readSnapshot("rw", 1L).count() === 1)
   }
 
+  test("rewrite_position_deletes: equality tombstones convert to positional; DROP COLUMN unblocks, reads row-equal (r14)") {
+    import spark.implicits._
+    val rootDir = freshRoot()
+    val lake = new Lakehouse(spark, rootDir)
+    lake.createOrReplace(
+      (1L to 30L).map(k => (k, k * 10, s"v$k")).toDF("k", "u", "v"),
+      "rpd", Seq("bucket(4,k)"))
+    lake.registerView("rpd", Seq("bucket(4,k)"))
+    lake.deleteByKeyMor(Seq(50L, 170L).toDF("u"), "rpd") // keyed on u
+    // a later append RE-INSERTS a deleted key — the equality tombstone
+    // must not reach it, and neither may the converted positions
+    lake.append(Seq((31L, 50L, "back")).toDF("k", "u", "v"), "rpd", Seq("bucket(4,k)"))
+    val expect = lake.read("rpd").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    assert(expect.length === 29) // 30 - 2 + 1 re-insert
+    // the live equality tombstone blocks dropping its key column
+    val e = intercept[Exception](lake.dropColumn("rpd", "u"))
+    assert(e.getMessage.contains("equality tombstone"))
+    val r = spark.sql("CALL system.rewrite_position_deletes('rpd')").head()
+    assert(r.getLong(1) === 1L, "one equality tombstone must convert")
+    // reads are bit-identical after the conversion, re-insert intact
+    val got = lake.read("rpd").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    assert(got === expect, "conversion must not move a single row")
+    assert(lake.read("rpd").where(col("u") === 50L).count() === 1,
+      "the re-inserted key must survive the converted positions")
+    // positions are name-free: the DROP now lands, rows still served
+    lake.dropColumn("rpd", "u")
+    assert(lake.read("rpd").columns.toSeq === Seq("k", "v"))
+    assert(lake.read("rpd").count() === 29)
+    // the SPJ path serves the converted table too
+    spark.conf.set("spark.sql.catalog.call_rpd",
+      classOf[graft.sources.spj.GraftSpjCatalog].getName)
+    spark.conf.set("spark.sql.catalog.call_rpd.root", rootDir)
+    assert(spark.table("call_rpd.rpd").count() === 29)
+    // idempotence: nothing equality-shaped left — a second call no-ops
+    val snaps = lake.snapshots("rpd").length
+    spark.sql("CALL system.rewrite_position_deletes('rpd')").head()
+    assert(lake.snapshots("rpd").length === snaps)
+  }
+
   test("rewrite_data_files sort clusters on explicit or declared sort order") {
     import spark.implicits._
     val lake = new Lakehouse(spark, freshRoot())

@@ -828,6 +828,80 @@ class MaterializedViewSpec extends SparkSpec {
     assert(natMap(spark.table("sqlstar_v"))("FR") === ((dec("12.00"), 2L)))
   }
 
+  test("LEFT-hop movement in a 2-hop chain applies subtractively at either position (r14)") {
+    val root = freshDir("graft-mview-lstar")
+    val lake = new Lakehouse(spark, root)
+    val LDef = MV.ViewDef("lsales_nat", "lfact_t",
+      groupCols = Seq("nname"),
+      aggs = Seq(MV.SumCol("price", "total"), MV.CountAll("n")),
+      joins = Seq(MV.JoinSpec("lcust_t", "cust", "cid", joinType = "left"),
+        MV.JoinSpec("lnat_t", "nid", "nid", joinType = "left")))
+    def recompute() = lake.read("lfact_t")
+      .join(lake.read("lcust_t"), col("cust") === col("cid"), "left")
+      .join(lake.read("lnat_t"), Seq("nid"), "left")
+      .groupBy("nname").agg(sum(col("price")).as("total"), count(lit(1)).as("n"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      Option(r.getAs[String]("nname")).getOrElse("∅") ->
+        ((r.getAs[java.math.BigDecimal]("total"), r.getAs[Long]("n")))).toMap
+    lake.createOrReplace(custDf((1L, 100L), (2L, 200L)).toDF("cid", "nid"), "lcust_t")
+    lake.createOrReplace(natDf((100L, "FR"), (200L, "DE")), "lnat_t")
+    // cust 9 NEVER matches: it keeps the null group populated so the
+    // head-hop move below is non-emptying (the count-zero gate is its
+    // own test elsewhere)
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")),
+      (12L, 3L, dec("6.00")), (19L, 9L, dec("7.00"))), "lfact_t")
+    MV.create(lake, LDef)
+    // custs 3 and 9 match nothing at hop 0: their rows null-extend
+    // straight through hop 1 into the null group
+    assert(m(lake.read("lsales_nat")) === Map(
+      "FR" -> ((dec("10.00"), 1L)), "DE" -> ((dec("4.00"), 1L)),
+      "∅" -> ((dec("13.00"), 2L))))
+    // MOVE THE LEFT HEAD HOP: cust 3 becomes matched — its rows leave
+    // the null group into FR, subtractively (hop-0 negative batch id)
+    lake.append(custDf((3L, 100L)).toDF("cid", "nid"), "lcust_t")
+    MV.refresh(lake, LDef)
+    assert(m(lake.read("lsales_nat")) === m(recompute()))
+    assert(m(lake.read("lsales_nat")) === Map(
+      "FR" -> ((dec("16.00"), 2L)), "DE" -> ((dec("4.00"), 1L)),
+      "∅" -> ((dec("7.00"), 1L))))
+    assert(lake.committedBatches("lsales_nat")
+      .exists(b => b < 0 && -b < (1L << 40)),
+      "a left HEAD-hop change must land through the subtractive leg")
+    // MOVE THE LEFT SUFFIX HOP non-emptily: two nations share label XX;
+    // MoR-deleting one sends only ITS rows to the (new) null group
+    lake.append(natDf((300L, "XX"), (301L, "XX")), "lnat_t")
+    lake.append(custDf((4L, 300L), (5L, 301L)).toDF("cid", "nid"), "lcust_t")
+    lake.append(factDf((13L, 4L, dec("2.00")), (14L, 5L, dec("3.00"))), "lfact_t")
+    MV.refresh(lake, LDef)
+    assert(m(lake.read("lsales_nat")) === m(recompute()))
+    val batchesBefore = lake.committedBatches("lsales_nat").toSet
+    lake.deleteByKeyMor(Seq(300L).toDF("nid"), "lnat_t")
+    MV.refresh(lake, LDef)
+    assert(m(lake.read("lsales_nat")) === m(recompute()))
+    assert(m(lake.read("lsales_nat"))("∅") === ((dec("9.00"), 2L)),
+      "the deleted nation's rows must join the null group")
+    assert(m(lake.read("lsales_nat"))("XX") === ((dec("3.00"), 1L)),
+      "the surviving same-label nation must keep its rows")
+    assert((lake.committedBatches("lsales_nat").toSet -- batchesBefore)
+      .exists(b => b < 0 && -b >= (1L << 40)),
+      "a left SUFFIX-hop change must land through the hop-1 subtractive leg")
+    // a suffix-hop re-insert CONVERTS a null-extension back: cust 4's
+    // rows leave the null group into ZZ (non-emptying — cust 9 stays)
+    lake.append(natDf((300L, "ZZ")), "lnat_t")
+    MV.refresh(lake, LDef)
+    assert(m(lake.read("lsales_nat")) === m(recompute()))
+    assert(m(lake.read("lsales_nat"))("∅") === ((dec("7.00"), 1L)))
+    assert(m(lake.read("lsales_nat"))("ZZ") === ((dec("2.00"), 1L)))
+    // fact path still advances after the left-hop legs
+    lake.append(factDf((15L, 5L, dec("1.00"))), "lfact_t")
+    MV.refresh(lake, LDef)
+    assert(m(lake.read("lsales_nat")) === m(recompute()))
+    // both dim watermarks converged to the new pins
+    assert(MV.dimWatermarkOf(lake, "lsales_nat", 2) ===
+      Some(Seq(lake.currentSnapshot("lcust_t").get, lake.currentSnapshot("lnat_t").get)))
+  }
+
   test("multi-hop definition persists as a joins array and reloads; left hops survive") {
     val root = freshDir("graft-mview-starp")
     val lake = new Lakehouse(spark, root)

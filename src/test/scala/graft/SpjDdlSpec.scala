@@ -136,6 +136,80 @@ class SpjDdlSpec extends SparkSpec {
     }
   }
 
+  test("multi-change ALTER commits ONE grouped snapshot; a failing change applies NOTHING (r14)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-g").toString
+    val lake = new Lakehouse(spark, root)
+    withSpj(root, "ddl7") {
+      spark.sql("CREATE TABLE ddl7.gt (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO ddl7.gt VALUES (1, 'a'), (2, 'b')")
+      val before = lake.snapshots("gt").length
+      // TWO changes in one statement (Spark's grammar groups multiple
+      // columns under one ADD COLUMNS) — exactly ONE history line
+      spark.sql("ALTER TABLE ddl7.gt ADD COLUMNS (n INT, weight DOUBLE)")
+      assert(lake.snapshots("gt").length === before + 1,
+        "a multi-change ALTER must commit exactly one grouped snapshot")
+      // MIXED-kind grouping through the API the catalog rides: add +
+      // rename-of-the-just-added + widen, one snapshot, later steps
+      // validating against the intermediate schema
+      val at = lake.snapshots("gt").length
+      lake.alterSchemaGrouped("gt", Seq(
+        lake.addColumnsStep("gt", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tag0",
+            org.apache.spark.sql.types.StringType)))),
+        lake.renameColumnStep("gt", "tag0", "tag"),
+        lake.alterColumnTypeStep("gt", "n", org.apache.spark.sql.types.LongType)))
+      assert(lake.snapshots("gt").length === at + 1,
+        "a mixed-kind grouped ALTER must commit exactly one snapshot")
+      assert(spark.table("ddl7.gt").schema.fieldNames.toSeq ===
+        Seq("k", "v", "n", "weight", "tag"))
+      assert(spark.table("ddl7.gt").schema("n").dataType ===
+        org.apache.spark.sql.types.LongType)
+      // atomicity: a failing later change leaves NOTHING applied — no
+      // snapshot, no schema movement (the torn window Iceberg's grouped
+      // commit closes). `v` already exists, so the second ADD refuses.
+      val snaps = lake.snapshots("gt").length
+      intercept[Exception](spark.sql(
+        "ALTER TABLE ddl7.gt ADD COLUMNS (ok STRING, v DOUBLE)"))
+      assert(lake.snapshots("gt").length === snaps,
+        "a failed grouped ALTER must commit nothing")
+      assert(!spark.table("ddl7.gt").schema.fieldNames.contains("ok"),
+        "the earlier change of a failed grouped ALTER must not survive")
+      // rows still serve under the final schema
+      assert(sortedRows(spark.table("ddl7.gt").select("k", "v")) ===
+        Seq("1|a", "2|b"))
+    }
+  }
+
+  test("ALTER TABLE cat.t RENAME TO moves the table: history, layout and catalog line travel (r14)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-r").toString
+    val lake = new Lakehouse(spark, root)
+    withSpj(root, "ddl8") {
+      spark.sql("CREATE TABLE ddl8.rn_a (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO ddl8.rn_a VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+      spark.sql("DELETE FROM ddl8.rn_a WHERE k = 2")
+      val history = lake.snapshots("rn_a").length
+      spark.sql("ALTER TABLE ddl8.rn_a RENAME TO rn_b")
+      // the old name stops resolving, the new one serves with FULL
+      // history and the same layout claims
+      intercept[Exception](spark.table("ddl8.rn_a").count())
+      assert(sortedRows(spark.table("ddl8.rn_b")) === Seq("1|x", "3|z"))
+      assert(lake.snapshots("rn_b").length === history)
+      assert(!spark.sql("SHOW TABLES IN ddl8").collect().map(_.getString(1)).contains("rn_a"))
+      assert(spark.sql("SHOW TABLES IN ddl8").collect().map(_.getString(1)).contains("rn_b"))
+      // the catalog line re-keyed: a fresh session handle sees the
+      // declared layout under the NEW name (durable re-registration)
+      assert(lake.catalogEntries().exists { case (t, spec) =>
+        t == "rn_b" && spec == Seq("bucket(4,k)") })
+      assert(!lake.catalogEntries().exists(_._1 == "rn_a"))
+      // DML keeps working against the moved table
+      spark.sql("INSERT INTO ddl8.rn_b VALUES (4, 'w')")
+      assert(spark.table("ddl8.rn_b").count() === 3)
+      // renaming onto an existing name refuses
+      spark.sql("CREATE TABLE ddl8.rn_c (k BIGINT) PARTITIONED BY (bucket(2, k))")
+      intercept[Exception](spark.sql("ALTER TABLE ddl8.rn_b RENAME TO rn_c"))
+    }
+  }
+
   test("ALTER TABLE on the catalog: ADD/RENAME/DROP COLUMN and widening TYPE, then INSERT + SPJ join stay green") {
     val root = java.nio.file.Files.createTempDirectory("graft-ddl-a").toString
     withSpj(root, "ddl5") {
