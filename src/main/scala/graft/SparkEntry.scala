@@ -75,6 +75,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStream.streamSpjTail(s, d)),
     "stream_cdc_replicate" ->
       ((s, d) => graft.streaming.EventStream.streamCdcReplicate(s, d)),
+    "stream_sessionize" ->
+      ((s, d) => graft.streaming.EventStream.streamSessionize(s, d)),
     "q_events_retention" -> (Relational.qEventsRetention _),
     "q_events_tophh" -> (Relational.qEventsTophh _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
@@ -542,7 +544,9 @@ object SparkEntry {
     "q_spj_alter" ->
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'PRE' END AS status_g,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(1.0 AS DOUBLE) AS grouped_commit,
+        |  CAST(1.0 AS DOUBLE) AS renamed
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // CDC changelog: the oracle restates the NET interval effect —
     // appended-then-deleted rows emit nothing, pre-existing deleted
@@ -992,6 +996,30 @@ object SparkEntry {
         |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
         |)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // TRUE streaming sessionization (flatMapGroupsWithState, event-time
+    // timeouts, three file-source micro-batches with sentinel-driven
+    // watermark flushes) must land bit-identically on the batch
+    // window-function restatement — the same oracle SQL as
+    // q_events_sessionize
+    "stream_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q_events_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id,

@@ -1391,9 +1391,23 @@ object Medallion {
     spark.sql(s"""INSERT INTO $cat.alt
       |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)), o_orderstatus
       |FROM spjalt_orders WHERE o_orderkey % 2 = 1""".stripMargin)
-    spark.table(s"$cat.alt")
+    // (r14) GROUPED ALTER: a two-column ADD in one statement must land
+    // exactly ONE snapshot (Iceberg's atomic grouped commit)
+    val lake = new graft.sources.Lakehouse(spark, root)
+    val before = lake.snapshots("alt").length
+    spark.sql(s"ALTER TABLE $cat.alt ADD COLUMNS (o_tag STRING, o_weight DOUBLE)")
+    val grouped = if (lake.snapshots("alt").length == before + 1) 1.0 else 0.0
+    // (r14) RENAME TO: a pure metadata move — the full history travels,
+    // the old name stops resolving, the moved table keeps serving
+    spark.sql(s"ALTER TABLE $cat.alt RENAME TO alt_moved")
+    val renamed =
+      if (scala.util.Try(spark.table(s"$cat.alt").count()).isFailure &&
+        lake.snapshots("alt_moved").length == before + 1) 1.0 else 0.0
+    spark.table(s"$cat.alt_moved")
       .groupBy(coalesce(col("o_status"), lit("PRE")).as("status_g"))
       .agg(count(lit(1)).as("n"), sum(col("o_amount")).cast("double").as("total"))
+      .withColumn("grouped_commit", lit(grouped))
+      .withColumn("renamed", lit(renamed))
       .orderBy("status_g")
   }
 

@@ -927,7 +927,9 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         // with the join flipped to semi, positions from `_metadata`)
         val hits = mapped.flatMap { case (seq, keys) =>
           val kcols = keys.columns.toSeq
-          val ts = broadcast(keys.toDF(kcols.map("__ts_" + _): _*))
+          // `keys` arrives gate-hinted from [[tombstones]] — big equality
+          // payloads (this procedure's very use case) must not force a broadcast
+          val ts = keys.toDF(kcols.map("__ts_" + _): _*)
           byDataDir.filter(_._1.stripPrefix("data-").toLong < seq)
             .map { case (dataDir, dirEntries) =>
               val df = openDirGroup(table, dataDir,
@@ -4141,11 +4143,20 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       val renames =
         if (df.columns.toSeq == Seq("__file", "__pos")) Seq.empty // positional: name-free
         else schemaLines(table).filter(l => l._1 > seq && l._1 <= snap).flatMap(_._3)
-      (seq, renames.foldLeft(df) { case (acc, (from, to)) =>
+      val mapped = renames.foldLeft(df) { case (acc, (from, to)) =>
         if (acc.columns.exists(_.equalsIgnoreCase(from)))
           acc.withColumnRenamed(from, to)
         else acc
-      })
+      }
+      // deleted-row-sized tombstones carry a BROADCAST hint from here
+      // (the hint survives the downstream renames/projections and
+      // prices ONCE per read, not once per dir-group); a payload past
+      // the shared SPJ broadcast gate ships un-hinted so the anti-join
+      // plans shuffle-side — executor memory must never scale with how
+      // wide a MoR update was. On-disk dir bytes, same proxy as the
+      // SPJ gate.
+      val small = tombstoneSlices(table, d).map(_._2).sum <= spjTombstoneGate
+      (seq, if (small) org.apache.spark.sql.functions.broadcast(mapped) else mapped)
     }
 
   /** Anti-join the tombstones that apply to `dataDir` (those with a
@@ -4177,7 +4188,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       val kcols = keys.columns.toSeq
       val ts = keys.toDF(kcols.map("__ts_" + _): _*)
       val cond = kcols.map(c => d(c) <=> ts("__ts_" + c)).reduce(_ && _)
-      d.join(broadcast(ts), cond, "left_anti")
+      // [[tombstones]] already hinted deleted-row-sized payloads for
+      // broadcast (once per read) and left above-gate ones un-hinted —
+      // the anti-join here just takes whatever plan that implies
+      d.join(ts, cond, "left_anti")
     }
     if (anyPositional) filtered.drop("__file", "__pos") else filtered
   }
@@ -4419,9 +4433,14 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     require(fromDels.forall(toDels.contains),
       s"$table: $fromSnap -> $toSnap dropped tombstones (a rewrite materialized them); " +
         "consume the full snapshot instead")
+    // deleted-row-sized tombstones carry the broadcast hint from here
+    // (same on-disk-bytes gate as every other tombstone consumer): an
+    // above-gate payload anti-joins shuffle-side instead of forcing
+    // executor memory to scale with how wide the MoR interval was
     def parsedDels(names: Seq[String]) = names.map { d =>
-      (d.stripPrefix("_deletes-").toLong,
-        spark.read.parquet(new Path(tableDir(table), d).toString))
+      val df = spark.read.parquet(new Path(tableDir(table), d).toString)
+      val small = tombstoneSlices(table, d).map(_._2).sum <= spjTombstoneGate
+      (d.stripPrefix("_deletes-").toLong, if (small) broadcast(df) else df)
     }
     val oldDels = parsedDels(fromDels)
     val newDels = parsedDels(toDels.filterNot(fromDels.toSet))
@@ -4447,7 +4466,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
             .withColumn("__pos", col("_metadata.row_index"))
           applicableNew.foldLeft(base) { case (d, (_, keys)) =>
             val ts = keys.toDF(keys.columns.map("__ts_" + _).toIndexedSeq: _*)
-            d.join(broadcast(ts), tombCond(d, ts, keys.columns.toSeq), "left_anti")
+            d.join(ts, tombCond(d, ts, keys.columns.toSeq), "left_anti")
           }.drop("__file", "__pos")
         }
         alive.withColumn("_change_type", lit("insert"))
@@ -4471,11 +4490,11 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
             .withColumn("__pos", col("_metadata.row_index"))
           val alive = oldDels.filter(_._1 > seqNo).foldLeft(base) { case (d, (_, keys)) =>
             val ts = keys.toDF(keys.columns.map("__ts_" + _).toIndexedSeq: _*)
-            d.join(broadcast(ts), tombCond(d, ts, keys.columns.toSeq), "left_anti")
+            d.join(ts, tombCond(d, ts, keys.columns.toSeq), "left_anti")
           }
           val matched = applicableNew.map { case (_, keys) =>
             val ts = keys.toDF(keys.columns.map("__ts_" + _).toIndexedSeq: _*)
-            alive.join(broadcast(ts), tombCond(alive, ts, keys.columns.toSeq), "left_semi")
+            alive.join(ts, tombCond(alive, ts, keys.columns.toSeq), "left_semi")
           }.reduce(_.unionByName(_))
           Some(matched.dropDuplicates("__file", "__pos")
             .drop("__file", "__pos").withColumn("_change_type", lit("delete")))

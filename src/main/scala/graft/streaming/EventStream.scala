@@ -349,6 +349,65 @@ object EventStream {
       .orderBy("o_orderstatus")
   }
 
+  /** `stream_sessionize` — TRUE incremental sessionization
+    * ([[sessionizeStream]]: one fixed-size [[OpenSession]] per user in
+    * the state store, event-time timeouts) exercised at the driver
+    * surface against the batch oracle. Determinism without waiting on
+    * wall clocks: the events feed as THREE file-source micro-batches —
+    * (1) every real event in one batch (a watermark only constrains
+    * batches after the one that advances it, so nothing drops), then
+    * (2, 3) two far-future SENTINEL events for a reserved user, each a
+    * day apart — batch 2's watermark advance passes every real
+    * session's gap and batch 3's processing fires the event-time
+    * timeouts, flushing every real open session; the sentinel's own
+    * final session never closes and so never emits. The readout is the
+    * per-session relation, hash-compared against the batch
+    * window-function restatement (the `q_events_sessionize` SQL) — the
+    * strongest batch/stream parity pin: custom streaming state,
+    * timeout flushes and session numbering all land bit-identically
+    * on what DuckDB computes from the raw table. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // BATCH read for staging (the normalized events reader); the
+    // stream below tails the staged copies
+    val events = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val stage = Files.createTempDirectory("graft-ssz").toString
+    val scratch = Files.createTempDirectory("graft-ssz-w").toString
+    val ck = Files.createTempDirectory("graft-ssz-ck").toString
+    def onePart(df: DataFrame, tag: String): Unit = {
+      val d = s"$scratch/$tag"
+      df.coalesce(1).write.parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$stage/$tag.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    def sentinel(days: Int) = spark.createDataFrame(Seq(
+      (-1L, new java.sql.Timestamp(maxTs.getTime + days * 86400000L), -1L)))
+      .toDF("user_id", "ts", "event_id")
+    // the file source orders batches by modification time: events
+    // first, sentinels after (sequential moves, mtime monotone)
+    onePart(events, "a-events"); Thread.sleep(5)
+    onePart(sentinel(1), "b-sentinel1"); Thread.sleep(5)
+    onePart(sentinel(2), "c-sentinel2")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val sessions = sessionizeStream(
+      toSessionEvents(stream.withWatermark("ts", "0 seconds")))
+    val sink = s"ssz_out_${System.nanoTime()}"
+    val q = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(sink)
+      .where(col("user_id") =!= -1L) // the sentinel's closed session
+      .orderBy("user_id", "session_id")
+  }
+
   /** STREAMING ANOMALY SCREEN — train offline, score online: the
     * per-user moment stats computed over the historical batch table
     * ([[graft.operators.Relational.userValueStats]], the "model")

@@ -118,6 +118,46 @@ class SpjTombstoneScaleSpec extends SparkSpec {
     }
   }
 
+  test("the ORDINARY read's tombstone anti-join drops its broadcast hint above the gate") {
+    val root = freshRoot("spj-obc")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 120L).map(k => (k, k % 4)).toDF("k", "g"),
+      "obc", Seq("bucket(4,k)"))
+    lake.deleteWhereMor(col("g") === 0, "obc")
+    def broadcastJoins(df: org.apache.spark.sql.DataFrame): Boolean = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def walk(p: SparkPlan): Boolean = p match {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan) || walk(a.initialPlan)
+        case other => other.children.exists(walk) || other.subqueries.exists(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val expect = (1L to 120L).count(_ % 4 != 0).toLong
+    // under the (default) gate: the deleted-row-sized tombstone rides a
+    // broadcast anti-join
+    val under = lake.read("obc")
+    assert(under.count() === expect)
+    assert(broadcastJoins(under), "an under-gate tombstone should broadcast:\n" +
+      under.queryExecution.executedPlan)
+    withGate(1L) {
+      // above the gate the HINT drops (Spark stays free to broadcast a
+      // side it sizes as small — disable auto-broadcast to observe the
+      // hint's absence): the anti-join plans shuffle-side, so executor
+      // memory never scales with the payload
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val over = lake.read("obc")
+        assert(over.count() === expect)
+        assert(!broadcastJoins(over),
+          "an above-gate tombstone must not force a broadcast anti-join:\n" +
+            over.queryExecution.executedPlan)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("streaming bootstrap over above-gate tombstones anti-filters executor-side") {
     val root = freshRoot("spj-lazystream")
     val lake = new Lakehouse(spark, root)
