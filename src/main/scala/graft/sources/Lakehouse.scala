@@ -188,18 +188,37 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   private def currentPtr(table: String, branch: String = "main") =
     new Path(tableDir(table), if (branch == "main") "_current" else s"_branch_$branch")
 
-  private def readLines(p: Path): Seq[String] = {
-    // crash-recovery: if the target is missing mid-swap, the complete
-    // temp written by writeFile is authoritative
-    val target =
-      if (fs.exists(p)) p
-      else new Path(p.getParent, p.getName + ".tmp")
-    if (!fs.exists(target)) Seq.empty
-    else {
-      val in = fs.open(target)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-        .split("\n").toSeq.filter(_.nonEmpty)
-      finally in.close()
+  private def readLines(p: Path): Seq[String] = readLinesAttempt(p,
+    new Path(p.getParent, p.getName + ".tmp"), attempt = 1)
+
+  /** Crash-recovery AND concurrent-swap tolerance for [[writeFile]]'s
+    * delete→rename pointer swap: if the target is missing, the
+    * complete temp is authoritative; if the chosen file VANISHES
+    * between resolution and open (a concurrent writer finished the
+    * swap — the race a stream's polling thread hits against a live
+    * commit), re-resolve and retry (bounded — a persistent
+    * FileNotFound is a real I/O problem and rethrows). The
+    * genuinely-absent common case (optional ledgers) stays two stat
+    * calls with no sleeps and no retries. */
+  private def readLinesAttempt(p: Path, tmpP: Path, attempt: Int): Seq[String] = {
+    val target = if (fs.exists(p)) p else tmpP
+    if (!fs.exists(target)) {
+      // neither visible at the instants checked: either genuinely
+      // absent (p still missing — the common case) or the rename
+      // landed between the two stats — re-resolve
+      if (fs.exists(p) && attempt < 8) readLinesAttempt(p, tmpP, attempt + 1)
+      else Seq.empty
+    } else {
+      try {
+        val in = fs.open(target)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+        finally in.close()
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          if (attempt >= 8) throw e
+          readLinesAttempt(p, tmpP, attempt + 1)
+      }
     }
   }
 
@@ -3266,6 +3285,37 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   def alterColumnType(table: String, name: String,
       newType: org.apache.spark.sql.types.DataType, branch: String = "main"): Long =
     evolveSchema(table, branch)(alterColumnTypeStep(table, name, newType))
+
+  /** `ALTER TABLE t ALTER COLUMN c FIRST | AFTER b` (and the position
+    * leg of `ADD COLUMNS (x int FIRST)`) — a pure REORDER of the
+    * declared schema as a metadata snapshot: no rename, no type
+    * change, no data movement. Every reader already conforms each dir
+    * BY NAME into declared order (`alignToDeclared` / the SPJ
+    * per-variant ordinals), so committed dirs of any physical order
+    * keep serving; positional consumers (positional `INSERT INTO`,
+    * `SELECT *`) see the new order from the commit on — SQL's
+    * contract; time travel below the commit sees the old order. */
+  private[graft] def moveColumnStep(table: String, name: String,
+      position: org.apache.spark.sql.connector.catalog.TableChange.ColumnPosition)
+      : SchemaStep = (declared, _) => {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val f = declared.fields.find(x => lc(x.name) == lc(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no column $name to move"))
+    val rest = declared.fields.filterNot(_ eq f)
+    val next = position match {
+      case _: TableChange.First => f +: rest
+      case a: TableChange.After =>
+        val i = rest.indexWhere(x => lc(x.name) == lc(a.column()))
+        require(i >= 0,
+          s"$table has no column ${a.column()} to position $name after")
+        (rest.take(i + 1) :+ f) ++ rest.drop(i + 1)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported column position ${other.getClass.getSimpleName}")
+    }
+    (org.apache.spark.sql.types.StructType(next), Nil)
+  }
 
   private[graft] def alterColumnTypeStep(table: String, name: String,
       newType: org.apache.spark.sql.types.DataType): SchemaStep = (declared, _) => {

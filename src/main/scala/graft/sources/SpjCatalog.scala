@@ -186,10 +186,14 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
     * commits ONE grouped snapshot (r14 — Iceberg's atomic grouped
     * commit: no torn window where a reader sees change 1 without
     * change 2, and a failed later change leaves NOTHING applied).
-    * Anything the evolution surface can't honor exactly (nested
-    * fields, column positions, defaults, comments, non-widening type
-    * changes, nullability tightening) refuses loudly rather than
-    * silently dropping the request. */
+    * COLUMN POSITIONS serve too (r14): `ADD COLUMNS (x int FIRST |
+    * AFTER c)` composes as add-then-move inside the grouped snapshot,
+    * and `ALTER COLUMN c FIRST | AFTER b` is a pure metadata REORDER —
+    * every reader conforms dirs by name into declared order already,
+    * so committed data of any physical order keeps serving. Anything
+    * the evolution surface can't honor exactly (nested fields,
+    * defaults, non-widening type changes, nullability tightening)
+    * refuses loudly rather than silently dropping the request. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     require(ident.namespace().isEmpty,
       s"ALTER TABLE lands on main — got namespace ${ident.namespace().mkString(".")}")
@@ -200,28 +204,33 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
         s"nested column references are unsupported: ${names.mkString(".")}")
       names(0)
     }
-    val steps: Seq[Lakehouse#SchemaStep] = changes.toSeq.map {
+    val steps: Seq[Lakehouse#SchemaStep] = changes.toSeq.flatMap {
       case a: TableChange.AddColumn =>
         require(a.isNullable,
           s"ADD COLUMNS ${one(a.fieldNames())}: added columns must be nullable " +
             "(existing rows read NULL)")
-        require(a.position() == null,
-          "ADD COLUMNS … FIRST/AFTER is unsupported (columns append at the end)")
         require(a.defaultValue() == null,
           "ADD COLUMNS with DEFAULT is unsupported")
         val f = StructField(one(a.fieldNames()), a.dataType())
-        lake.addColumnsStep(ident.name(),
+        // FIRST/AFTER composes as add-then-move INSIDE the one grouped
+        // snapshot — the declared order is pure metadata (r14)
+        Seq(lake.addColumnsStep(ident.name(),
           StructType(Seq(if (a.comment() == null) f
-          else f.withComment(a.comment()))))
+          else f.withComment(a.comment()))))) ++
+          Option(a.position()).map(p =>
+            lake.moveColumnStep(ident.name(), f.name, p))
       case r: TableChange.RenameColumn =>
-        lake.renameColumnStep(ident.name(), one(r.fieldNames()), r.newName())
+        Seq(lake.renameColumnStep(ident.name(), one(r.fieldNames()), r.newName()))
       case d: TableChange.DeleteColumn =>
-        lake.dropColumnStep(ident.name(), one(d.fieldNames()), "main")
+        Seq(lake.dropColumnStep(ident.name(), one(d.fieldNames()), "main"))
       case u: TableChange.UpdateColumnType =>
-        lake.alterColumnTypeStep(ident.name(), one(u.fieldNames()), u.newDataType())
+        Seq(lake.alterColumnTypeStep(ident.name(), one(u.fieldNames()), u.newDataType()))
+      case p: TableChange.UpdateColumnPosition =>
+        Seq(lake.moveColumnStep(ident.name(), one(p.fieldNames()), p.position()))
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} — the " +
-          "catalog maps ADD/RENAME/DROP COLUMN and widening ALTER COLUMN TYPE")
+          "catalog maps ADD/RENAME/DROP COLUMN, widening ALTER COLUMN TYPE, " +
+          "and FIRST/AFTER column positions")
     }
     lake.alterSchemaGrouped(ident.name(), steps)
     loadTable(ident)

@@ -180,6 +180,45 @@ class SpjDdlSpec extends SparkSpec {
     }
   }
 
+  test("column positions: ADD COLUMNS FIRST/AFTER and ALTER COLUMN AFTER reorder as metadata (r14)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-pos").toString
+    val lake = new Lakehouse(spark, root)
+    withSpj(root, "ddl9") {
+      spark.sql("CREATE TABLE ddl9.pt (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO ddl9.pt VALUES (1, 'a'), (2, 'b')")
+      val preOrder = lake.currentSnapshot("pt").get
+      // ADD ... FIRST: one grouped snapshot (add + move), old dirs
+      // conform by name — their rows read NULL in the new slot
+      val before = lake.snapshots("pt").length
+      spark.sql("ALTER TABLE ddl9.pt ADD COLUMNS (w DOUBLE FIRST)")
+      assert(lake.snapshots("pt").length === before + 1,
+        "ADD ... FIRST must commit one grouped snapshot")
+      assert(spark.table("ddl9.pt").schema.fieldNames.toSeq === Seq("w", "k", "v"))
+      assert(sortedRows(spark.table("ddl9.pt")) === Seq("null|1|a", "null|2|b"))
+      // pure reorder: ALTER COLUMN ... AFTER
+      spark.sql("ALTER TABLE ddl9.pt ALTER COLUMN w AFTER k")
+      assert(spark.table("ddl9.pt").schema.fieldNames.toSeq === Seq("k", "w", "v"))
+      // positional INSERT follows the NEW declared order (SQL contract)
+      spark.sql("INSERT INTO ddl9.pt VALUES (3, 2.5, 'c')")
+      assert(sortedRows(spark.table("ddl9.pt")) ===
+        Seq("1|null|a", "2|null|b", "3|2.5|c"))
+      // both read paths agree over the mixed physical orders
+      assert(sortedRows(spark.table("ddl9.pt")) === sortedRows(lake.read("pt")))
+      // time travel below the reorder sees the ORIGINAL order
+      assert(lake.readSnapshot("pt", preOrder).schema.fieldNames.toSeq ===
+        Seq("k", "v"))
+      // DML keeps serving (the reorder is invisible to name-based ops)
+      spark.sql("UPDATE ddl9.pt SET w = 9.0 WHERE k = 1")
+      assert(spark.table("ddl9.pt").where(col("k") === 1)
+        .select("w").collect().head.getDouble(0) === 9.0)
+      assert(sortedRows(spark.table("ddl9.pt")) === sortedRows(lake.read("pt")))
+      // moving after a missing column refuses; nothing applied
+      val snaps = lake.snapshots("pt").length
+      intercept[Exception](spark.sql("ALTER TABLE ddl9.pt ALTER COLUMN w AFTER nope"))
+      assert(lake.snapshots("pt").length === snaps)
+    }
+  }
+
   test("ALTER TABLE cat.t RENAME TO moves the table: history, layout and catalog line travel (r14)") {
     val root = java.nio.file.Files.createTempDirectory("graft-ddl-r").toString
     val lake = new Lakehouse(spark, root)

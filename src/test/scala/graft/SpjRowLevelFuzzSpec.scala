@@ -7,11 +7,11 @@ import graft.sources.Lakehouse
 import graft.sources.spj.GraftSpjCatalog
 
 /** Property fuzz for the row-level operations: seeded random layouts ×
-  * random statement sequences over an 11-kind alphabet — UPDATE of
+  * random statement sequences over a 12-kind alphabet — UPDATE of
   * value and partition columns, DELETE (translatable and
   * beyond-algebra), MERGE, MoR DELETE/UPDATE ×3 routes, additive ADD
   * COLUMNS, and (r14) EQUALITY-KEY MoR DELETE, RENAME COLUMN of the
-  * value column, and widening ALTER COLUMN TYPE — each statement's
+  * value column, widening ALTER COLUMN TYPE, and column MOVE (FIRST/AFTER reorders) — each statement's
   * full table state compared against a driver-side MIRROR maintained
   * with the same Spark expressions (the mirror TRACKS renames and type
   * widenings), so the comparison pins the STORAGE path (entry pruning,
@@ -54,9 +54,13 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
           new java.math.BigDecimal(f"${rnd.nextInt(1000)}%d.${rnd.nextInt(100)}%02d"))
       }.toDF("k", "grp", "v")
         .select(col("k"), col("grp"), col("v").cast("decimal(10,2)").as("v"))
-      // 1-3 commits of history
+      // 1-3 commits of history. The catalog LINE registers too (what
+      // any DDL-created table has): a statement sequence may DELETE
+      // every row, and the emptied table keeps loading only through
+      // its declared-spec fallback.
       var mirror = rows(20 + rnd.nextInt(20), 0)
       lake.createOrReplace(mirror, "fz_t", spec)
+      lake.registerView("fz_t", spec)
       (1 to rnd.nextInt(3)).foreach { c =>
         val extra = rows(5 + rnd.nextInt(10), 1000L * c)
         lake.append(extra, "fz_t", spec)
@@ -85,11 +89,11 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
       }
 
       var evoSeq = 0
-      // random body + a shuffled deterministic tail covering the three
+      // random body + a shuffled deterministic tail covering the four
       // r14 kinds (8 = equality-key MoR delete, 9 = RENAME COLUMN,
-      // 10 = widening ALTER COLUMN TYPE)
-      val body = Seq.fill(4 + rnd.nextInt(3))(rnd.nextInt(11))
-      val kinds = body ++ rnd.shuffle(Seq(8, 9, 10))
+      // 10 = widening ALTER COLUMN TYPE, 11 = column MOVE)
+      val body = Seq.fill(4 + rnd.nextInt(3))(rnd.nextInt(12))
+      val kinds = body ++ rnd.shuffle(Seq(8, 9, 10, 11))
       for ((kind, op) <- kinds.zipWithIndex) {
         val (predSql, predCol) = randPred()
         val cond = coalesce(predCol, lit(false))
@@ -198,6 +202,18 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
             spark.sql(s"ALTER TABLE $cat.fz_t RENAME COLUMN $vName TO $next")
             mirror = mirror.withColumnRenamed(vName, next)
             vName = next
+          case 11 => // column MOVE (r14): declared order is pure metadata;
+            // the mirror reorders identically (the compare is positional)
+            val first = rnd.nextBoolean()
+            spark.sql(s"ALTER TABLE $cat.fz_t ALTER COLUMN $vName " +
+              (if (first) "FIRST" else "AFTER grp"))
+            val rest = mirror.columns.toSeq.filterNot(_ == vName)
+            val order = if (first) vName +: rest
+            else {
+              val i = rest.indexOf("grp")
+              (rest.take(i + 1) :+ vName) ++ rest.drop(i + 1)
+            }
+            mirror = mirror.select(order.map(col): _*)
           case 10 => // widening ALTER COLUMN TYPE (r14): decimal precision
             // grows, scale pinned — same canonical domain, so live
             // equality tombstones keep applying
