@@ -43,7 +43,15 @@ case class MergeInsert(cond: Option[String],
 class Lakehouse(private[sources] val spark: SparkSession, private[sources] val root: String) {
 
   private def fs: FileSystem =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      // the RAW local fs, not the checksummed wrapper: ledger swaps
+      // must be one POSIX rename(2) — atomic REPLACE, no instant where
+      // the pointer is absent — while ChecksumFileSystem's rename is a
+      // multi-step data+crc dance with visible windows (and its .crc
+      // sidecars double every ledger's file count for no benefit here)
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
 
   private def tableDir(table: String) = new Path(root, table)
   private def manifest(table: String) = new Path(tableDir(table), "_snapshots.jsonl")
@@ -224,17 +232,24 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
 
   /** Durable file replace: write a temp file, then swap it in. A crash
     * mid-write leaves either the previous complete file or the
-    * complete temp beside it — never a truncated manifest/pointer. The
-    * delete+rename pair is the narrowest non-atomic window a plain
-    * FileSystem offers (HDFS/local rename won't overwrite); readers
-    * fall back to the temp if the target vanished inside it. */
+    * complete temp beside it — never a truncated manifest/pointer.
+    * RENAME-FIRST (r14): POSIX/local rename REPLACES an existing
+    * destination atomically, so on local filesystems there is NO
+    * instant where the pointer is absent — a reader polling `_current`
+    * against a storm of commits (a streaming source's offset thread)
+    * always sees a complete committed state. Filesystems that refuse
+    * an existing destination (HDFS semantics return false) fall back
+    * to the delete+rename pair, whose narrow window readers bridge
+    * via [[readLinesAttempt]]'s temp fallback + bounded retry. */
   private def writeFile(p: Path, content: String): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      fs.rename(tmp, p)
+    }
   }
 
   /** Parsed manifest: snapshot id → data entries composing it. An

@@ -283,6 +283,34 @@ class LakehouseSpec extends SparkSpec {
     assert(!fs.listStatus(lake.tableRoot("cc")).exists(_.getPath.getName.startsWith("_reserve-")))
   }
 
+  test("readers racing the pointer swap never crash or read a torn state (r14)") {
+    val lake = new Lakehouse(spark, freshRoot())
+    import spark.implicits._
+    lake.createOrReplace(Seq((0L, "seed")).toDF("k", "v"), "swp")
+    // one thread hammers the `_current` pointer read while commits swap
+    // it via delete+rename — the window a stream's polling thread hits:
+    // every read must return a COMMITTED snapshot id, never throw
+    // FileNotFound and never see the pointer as absent mid-swap
+    @volatile var failure: Option[Throwable] = None
+    @volatile var emptyReads = 0
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          if (lake.currentSnapshot("swp").isEmpty) emptyReads += 1
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    try (1 to 40).foreach(i =>
+      lake.append(Seq((i.toLong, s"w$i")).toDF("k", "v"), "swp"))
+    finally { stop = true; reader.join(30000) }
+    assert(failure.isEmpty, s"pointer reader crashed: ${failure.map(_.toString)}")
+    assert(emptyReads === 0,
+      s"$emptyReads reads saw the pointer absent mid-swap (a stream would stop)")
+    assert(lake.read("swp").count() === 41L)
+  }
+
   test("concurrent MoR deletes racing appends: no commit lost, tombstones apply consistently") {
     val lake = new Lakehouse(spark, freshRoot())
     import spark.implicits._
