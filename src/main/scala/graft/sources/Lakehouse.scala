@@ -3590,8 +3590,34 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * shapes disqualify. */
   private[graft] def spjServableSpec(table: String, branch: String = "main")
       : Option[Seq[String]] =
+    currentSnapshot(table, branch).flatMap { snap =>
+      // the probe prices one dir listing per data dir + one footer
+      // read per tombstone dir — cached under the layout cache's
+      // staleness-proof key so `SHOW TABLES` over a big catalog pays
+      // it once per (table, snapshot), not once per listing
+      val stamp = scala.util.Try {
+        val st = fs.getFileStatus(catalogPath)
+        (st.getModificationTime, st.getLen)
+      }.getOrElse((0L, 0L))
+      val committedAt = snapshotTimes(table).collectFirst {
+        case (s, t) if s == snap => t
+      }.getOrElse(0L)
+      val key = (tableDir(table).toString, snap, committedAt, stamp, spjTombstoneGate)
+      Lakehouse.spjProbeCache.synchronized {
+        Option(Lakehouse.spjProbeCache.get(key))
+      }.getOrElse {
+        val probed = spjServableSpecUncached(table, snap)
+        Lakehouse.spjProbeCache.synchronized {
+          Lakehouse.spjProbeCache.put(key, probed)
+        }
+        probed
+      }
+    }
+
+  private def spjServableSpecUncached(table: String, snap0: Long)
+      : Option[Seq[String]] =
     for {
-      snap <- currentSnapshot(table, branch)
+      snap <- Some(snap0)
       entries <- snapshots(table).find(_._1 == snap).map(_._2)
       if snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty || {
           // tombstones serve when positional (any size — above the
@@ -5552,6 +5578,18 @@ object Lakehouse {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Long, Long, (Long, Long), Long), SpjLayout])
           : Boolean = size() > 64
+    }
+
+  /** [[Lakehouse.spjServableSpec]] probe results under the same
+    * staleness-proof key as [[spjLayoutCache]] — a stored `None` is a
+    * cached refusal (the map's own absence is the miss). Cheap entries;
+    * a larger bound so catalog-wide `SHOW TABLES` stays resident. */
+  private[graft] val spjProbeCache =
+    new java.util.LinkedHashMap[(String, Long, Long, (Long, Long), Long),
+      Option[Seq[String]]](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long, (Long, Long), Long),
+            Option[Seq[String]]]): Boolean = size() > 256
     }
 
   /** Count of per-dir `_stats.jsonl` ledger opens — observability for
