@@ -705,6 +705,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       }
       if (kept.isEmpty) fs.delete(catalogPath, false)
       else writeFile(catalogPath, kept.mkString("\n") + "\n")
+      Lakehouse.catalogEpoch.incrementAndGet()
     }
     if (purge) fs.delete(tableDir(table), true)
   }
@@ -717,25 +718,71 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * stale view over a moved path would error confusingly); re-attach
     * with [[registerView]] under the new name, or read through a DSv2
     * catalog which resolves names per statement. */
-  def renameTable(from: String, to: String): Unit =
-    tableLock(from).synchronized {
+  def renameTable(from: String, to: String): Unit = {
+    // lock BOTH names (in name order, so two concurrent renames can't
+    // deadlock) — `to` must be held too or a concurrent CREATE of
+    // that name races the existence check below
+    val (lo, hi) = if (from <= to) (from, to) else (to, from)
+    tableLock(lo).synchronized { tableLock(hi).synchronized {
       require(tableNames().contains(from), s"no such table: $from")
       require(!tableNames().contains(to),
         s"cannot rename $from to $to: $to already exists")
-      require(fs.rename(tableDir(from), tableDir(to)),
-        s"filesystem refused renaming $from to $to")
+      // crash-recovery order: (1) ADD a catalog line for `to` while
+      // keeping `from`'s, (2) rename the dir, (3) drop `from`'s line.
+      // A crash at any point leaves the LIVE directory with its
+      // partition spec intact; the worst residue is one orphan line
+      // for a name with no directory, which catalogEntries readers
+      // ignore (no dir → not in tableNames) and a later CREATE of
+      // that name upserts over.
+      val catLock =
+        Lakehouse.locks.computeIfAbsent(catalogPath.toString, _ => new Object)
+      val fromCols: Option[String] = catLock.synchronized {
+        val cols = readLines(catalogPath).collectFirst {
+          case CatalogLine(t, cols) if unesc(t) == from => cols
+        }
+        cols.foreach { c =>
+          val lines = readLines(catalogPath).filterNot {
+            case CatalogLine(t, _) => unesc(t) == to
+            case _ => false
+          }
+          writeFile(catalogPath,
+            (lines :+ s"""{"table":"${jsonEsc(to)}","partitionBy":[$c]}""")
+              .mkString("\n") + "\n")
+          Lakehouse.catalogEpoch.incrementAndGet()
+        }
+        cols
+      }
+      try {
+        require(fs.rename(tableDir(from), tableDir(to)),
+          s"filesystem refused renaming $from to $to")
+      } catch {
+        case e: Throwable =>
+          // dir rename failed: retract `to`'s provisional line so the
+          // catalog matches the unmoved filesystem
+          if (fromCols.nonEmpty) catLock.synchronized {
+            val kept = readLines(catalogPath).filterNot {
+              case CatalogLine(t, _) => unesc(t) == to
+              case _ => false
+            }
+            if (kept.isEmpty) fs.delete(catalogPath, false)
+            else writeFile(catalogPath, kept.mkString("\n") + "\n")
+            Lakehouse.catalogEpoch.incrementAndGet()
+          }
+          throw e
+      }
       scala.util.Try(spark.catalog.dropTempView(from))
       LakehouseRegistry.unregister(spark, from)
-      Lakehouse.locks.computeIfAbsent(catalogPath.toString, _ => new Object).synchronized {
-        val lines = readLines(catalogPath)
-        val moved = lines.map {
-          case l @ CatalogLine(t, cols) if unesc(t) == from =>
-            s"""{"table":"${jsonEsc(to)}","partitionBy":[$cols]}"""
-          case l => l
+      catLock.synchronized {
+        val kept = readLines(catalogPath).filterNot {
+          case CatalogLine(t, _) => unesc(t) == from
+          case _ => false
         }
-        if (moved != lines) writeFile(catalogPath, moved.mkString("\n") + "\n")
+        if (kept.isEmpty) fs.delete(catalogPath, false)
+        else writeFile(catalogPath, kept.mkString("\n") + "\n")
+        Lakehouse.catalogEpoch.incrementAndGet()
       }
-    }
+    } }
+  }
 
   def branches(table: String): Seq[String] = {
     val names = fs.listStatus(tableDir(table)).toSeq.map(_.getPath.getName)
@@ -3185,6 +3232,21 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       steps.foldLeft(
         (declared, Seq.empty[(String, String)])) { case ((cur, rens), step) =>
         val (next, r) = step(cur, entries)
+        // each step validates against the INTERMEDIATE schema, but
+        // takenNames only sees on-disk history + that schema — a name
+        // renamed AWAY earlier in this group has left both, so a later
+        // step could re-introduce it and make the single committed
+        // schema line ambiguous for pre-group dirs (the rename line
+        // and the new physical column would both claim it). Union the
+        // group's accumulated rename from-names into the check here.
+        def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+        val froms = rens.map(p => lc(p._1)).toSet
+        val reAdded = next.fieldNames.find(n =>
+          froms.contains(lc(n)) && !cur.fieldNames.exists(c => lc(c) == lc(n)))
+        require(reAdded.isEmpty,
+          s"cannot introduce column ${reAdded.getOrElse("")}: an earlier change " +
+            "in this ALTER renamed that name away — recycling it in the same " +
+            "grouped commit would be ambiguous for pre-commit data")
         (next, rens ++ r)
       }
     }
@@ -3597,8 +3659,8 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       // it once per (table, snapshot), not once per listing
       val stamp = scala.util.Try {
         val st = fs.getFileStatus(catalogPath)
-        (st.getModificationTime, st.getLen)
-      }.getOrElse((0L, 0L))
+        (st.getModificationTime, st.getLen, Lakehouse.catalogEpoch.get)
+      }.getOrElse((0L, 0L, Lakehouse.catalogEpoch.get))
       val committedAt = snapshotTimes(table).collectFirst {
         case (s, t) if s == snap => t
       }.getOrElse(0L)
@@ -4826,6 +4888,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           case _ => false
         }
         writeFile(catalogPath, (kept :+ newLine).mkString("\n") + "\n")
+        Lakehouse.catalogEpoch.incrementAndGet()
       }
     }
 
@@ -4865,6 +4928,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           case _ => false
         }
         writeFile(catalogPath, (kept :+ newLine).mkString("\n") + "\n")
+        Lakehouse.catalogEpoch.incrementAndGet()
       }
     }
   }
@@ -4921,8 +4985,8 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     // on the SPJ lifecycle queries was exactly this cost.
     val stamp = scala.util.Try {
       val st = fs.getFileStatus(catalogPath)
-      (st.getModificationTime, st.getLen)
-    }.getOrElse((0L, 0L))
+      (st.getModificationTime, st.getLen, Lakehouse.catalogEpoch.get)
+    }.getOrElse((0L, 0L, Lakehouse.catalogEpoch.get))
     // the snapshot's COMMIT WALL-CLOCK joins the key: a table dropped
     // and re-created at the same path restarts its snapshot counter,
     // and (path, snap) alone would serve the dead table's layout
@@ -5558,6 +5622,16 @@ object Lakehouse {
   private[sources] val manifestCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), Seq[String]]()
 
+  /** Monotone counter bumped on EVERY `_catalog.jsonl` mutation in
+    * this JVM (register/drop/rename/bucketed lines). Joins the
+    * layout/probe cache keys because the file's (mtime, length) stamp
+    * alone can miss a same-length rewrite within the filesystem's
+    * mtime granularity (e.g. `SET PARTITION SPEC bucket(4,k)` →
+    * `bucket(8,k)`) and serve a stale writeSpec. Cross-process writers
+    * are still covered by the stamp; this closes the in-process fast
+    * path, which is where sub-granularity rewrites actually happen. */
+  private[sources] val catalogEpoch = new java.util.concurrent.atomic.AtomicLong()
+
   /** Lines per ledger segment before a commit starts the next one.
     * Bounds the bytes a commit rewrites: at 64 lines × ~200 B the
     * rewrite stays ~12 KB however long the table's history grows. */
@@ -5573,10 +5647,10 @@ object Lakehouse {
     * hold file lists; 64 hot tables is plenty, evictions just
     * rebuild). Access under the map's own monitor. */
   private[graft] val spjLayoutCache =
-    new java.util.LinkedHashMap[(String, Long, Long, (Long, Long), Long), SpjLayout](
+    new java.util.LinkedHashMap[(String, Long, Long, (Long, Long, Long), Long), SpjLayout](
       128, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long, (Long, Long), Long), SpjLayout])
+          e: java.util.Map.Entry[(String, Long, Long, (Long, Long, Long), Long), SpjLayout])
           : Boolean = size() > 64
     }
 
@@ -5585,10 +5659,10 @@ object Lakehouse {
     * cached refusal (the map's own absence is the miss). Cheap entries;
     * a larger bound so catalog-wide `SHOW TABLES` stays resident. */
   private[graft] val spjProbeCache =
-    new java.util.LinkedHashMap[(String, Long, Long, (Long, Long), Long),
+    new java.util.LinkedHashMap[(String, Long, Long, (Long, Long, Long), Long),
       Option[Seq[String]]](256, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long, (Long, Long), Long),
+          e: java.util.Map.Entry[(String, Long, Long, (Long, Long, Long), Long),
             Option[Seq[String]]]): Boolean = size() > 256
     }
 

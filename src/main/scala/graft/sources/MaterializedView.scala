@@ -573,8 +573,11 @@ object MaterializedView {
           else ne.join(emptyDim, ne(j.factKey) === emptyDim(j.dimKey), "left")
           matched.unionByName(extended)
       }
-      // the SUFFIX hops of the chain, pinned — all-inner by the
-      // caller's gate, so no null-extension accounting compounds
+      // the SUFFIX hops of the chain, pinned: each hop re-applies
+      // under its OWN join semantics (left hops included) on both the
+      // plus and minus legs — an unmoved hop's null-extensions are
+      // IDENTICAL on the two legs, so they cancel in the subtraction
+      // (the composition argument in [[dimDelta]]'s docstring)
       val enriched =
         if (hop == d.joins.length - 1) rows
         else joined(lake, rows, d.joins.drop(hop + 1), suffixPins)

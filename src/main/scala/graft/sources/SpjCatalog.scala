@@ -1146,13 +1146,20 @@ private[spj] class GraftSpjReaderFactory(
         // lazy slices: open only those whose recorded-`__file` footer
         // bounds admit THIS file (slices are naturally file-clustered
         // — the writers derive positions per scan task), filter to
-        // exact matches on the URL-encoded path both writers record
+        // exact matches on the URL-encoded path both writers record.
+        // The bounds compare in the STATS' domain — unsigned UTF-8
+        // bytes via UTF8String — not Java String (UTF-16 code unit)
+        // order: Path.toUri leaves non-ASCII unencoded, and the two
+        // orders diverge past the BMP, which would wrongly prune a
+        // slice and resurrect deleted rows.
         if (lazyPos.exists(_._1 > dirSeq)) {
           val enc = SparkPath.fromPathString(f.path).urlEncoded
           val encU = org.apache.spark.unsafe.types.UTF8String.fromString(enc)
+          def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
           lazyPos.iterator.filter(_._1 > dirSeq).flatMap(_._2).foreach {
             case (sp, slen, bounds)
-                if bounds.forall { case (lo, hi) => lo <= enc && enc <= hi } =>
+                if bounds.forall { case (lo, hi) =>
+                  u8(lo).compareTo(encU) <= 0 && encU.compareTo(u8(hi)) <= 0 } =>
               lazyReaderFn(PartitionedFile(InternalRow.empty,
                 SparkPath.fromPathString(sp), 0L, slen,
                 Array.empty[String], 0L, slen, Map.empty))
