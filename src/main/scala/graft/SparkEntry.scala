@@ -54,6 +54,7 @@ object SparkEntry {
     "q_spj_mor" -> (Medallion.qSpjMor _),
     "q_spj_update_mor" -> (Medallion.qSpjUpdateMor _),
     "q_spj_alter" -> (Medallion.qSpjAlter _),
+    "sql_nested_evolution" -> (Medallion.qSqlNestedEvolution _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -548,6 +549,20 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS grouped_commit,
         |  CAST(1.0 AS DOUBLE) AS renamed
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // NESTED schema evolution: pre-evolution rows (even keys) read the
+    // added struct field as NULL, post-evolution rows carry a grade;
+    // the renamed field resolves from both physical shapes and the
+    // dropped one is gone; the MoR delete (every 97th key) applies
+    // across struct shapes; both pins must hold
+    "sql_nested_evolution" ->
+      """SELECT o_orderstatus AS status_g,
+        |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS has_grade,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(1.0 AS DOUBLE) AS nested_meta_only,
+        |  CAST(1.0 AS DOUBLE) AS paths_agree
+        |FROM orders WHERE o_orderkey % 97 <> 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // CDC changelog: the oracle restates the NET interval effect —
     // appended-then-deleted rows emit nothing, pre-existing deleted
     // rows emit deletes, surviving appends emit inserts

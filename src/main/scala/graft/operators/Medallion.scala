@@ -1411,6 +1411,72 @@ object Medallion {
       .orderBy("status_g")
   }
 
+  /** `sql_nested_evolution` — NESTED (struct-field) schema evolution
+    * end-to-end (r15): the reference's own document shape
+    * (mongo_to_iceberg.py:36-60 declares `shipping_address{city,state,
+    * zip}`; silver_transformation.py:47-58 does struct surgery on it)
+    * evolves through `ALTER TABLE … ADD/RENAME/DROP COLUMN` on DOTTED
+    * paths, with DML between every DDL step. The table ends up mixing
+    * TWO physical struct shapes plus a merge-on-read delete; the final
+    * aggregate must read both shapes conformed — added nested fields
+    * NULL for pre-evolution dirs, renamed fields resolved, dropped
+    * fields gone — identically on the ordinary AND the DSv2/SPJ read
+    * paths. Pins: `nested_meta_only` (the nested DROP committed one
+    * snapshot and zero data dirs — pure metadata, Iceberg's rule) and
+    * `paths_agree` (both read paths produce the same aggregate). */
+  def qSqlNestedEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-nestevo").toString
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.orders(spark, dir).createOrReplaceTempView("nestevo_orders")
+    spark.sql(s"""CREATE TABLE $cat.nev (
+      |  o_orderkey BIGINT, o_custkey BIGINT, o_price DECIMAL(12,2),
+      |  meta STRUCT<status: STRING, prio: STRING>)
+      |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+    spark.sql(s"""INSERT INTO $cat.nev
+      |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)),
+      |  named_struct('status', o_orderstatus, 'prio', o_orderpriority)
+      |FROM nestevo_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    // nested ADD + RENAME (dotted paths through the DSv2 ALTER surface)
+    spark.sql(s"ALTER TABLE $cat.nev ADD COLUMNS (meta.grade STRING)")
+    spark.sql(s"ALTER TABLE $cat.nev RENAME COLUMN meta.prio TO priority")
+    // a post-evolution INSERT writes the full new shape physically
+    spark.sql(s"""INSERT INTO $cat.nev
+      |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)),
+      |  named_struct('status', o_orderstatus, 'priority', o_orderpriority,
+      |    'grade', substring(o_orderpriority, 1, 1))
+      |FROM nestevo_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+    // merge-on-read DELETE composes (positional tombstones are
+    // name-free — struct shape changes can't desync them)
+    val lake = new graft.sources.Lakehouse(spark, root)
+    lake.deleteWhereMor(col("o_orderkey") % 97 === 0, "nev")
+    // nested DROP must be a PURE METADATA commit: one snapshot, zero
+    // new data dirs
+    def dataDirs(): Int = {
+      val snaps = lake.snapshots("nev")
+      snaps.maxBy(_._1)._2.map(_.takeWhile(_ != '/')).distinct.length
+    }
+    val (snapsBefore, dirsBefore) = (lake.snapshots("nev").length, dataDirs())
+    spark.sql(s"ALTER TABLE $cat.nev DROP COLUMN meta.priority")
+    val metaOnly = if (lake.snapshots("nev").length == snapsBefore + 1 &&
+      dataDirs() == dirsBefore) 1.0 else 0.0
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(col("meta.status").as("status_g"),
+        when(col("meta.grade").isNotNull, 1L).otherwise(0L).as("has_grade"))
+      .agg(count(lit(1)).as("n"), sum(col("o_price")).cast("double").as("total"))
+    val viaCatalog = agg(spark.table(s"$cat.nev"))
+    val viaOrdinary = agg(lake.read("nev"))
+    val pathsAgree =
+      if (viaCatalog.exceptAll(viaOrdinary).isEmpty &&
+        viaOrdinary.exceptAll(viaCatalog).isEmpty) 1.0 else 0.0
+    viaCatalog
+      .withColumn("nested_meta_only", lit(metaOnly))
+      .withColumn("paths_agree", lit(pathsAgree))
+      .orderBy("status_g", "has_grade")
+  }
+
   /** `q_cdc_read` — the CDC CHANGELOG read at the driver surface
     * ([[graft.sources.Lakehouse.readChangesCdc]], the Iceberg
     * `changelog` / Delta CDF analog): baseline lands, a batch

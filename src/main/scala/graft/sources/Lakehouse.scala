@@ -3131,20 +3131,27 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val snap = asOf.getOrElse(Long.MaxValue)
     val dirSeq = scala.util.Try(
       dataDir.stripPrefix("data-").toLong).getOrElse(Long.MaxValue)
-    val renamed = lines.filter(l => l._1 > dirSeq && l._1 <= snap).flatMap(_._3)
-      .foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    val rens = lines.filter(l => l._1 > dirSeq && l._1 <= snap).flatMap(_._3)
     lines.filter(_._1 <= snap).lastOption.map(_._2) match {
-      case None => renamed
+      case None => // travel below the first declaration: physical
+        // schemas rule, only (top-level) renames could apply — and the
+        // filter above made them empty too (renames ride declarations)
+        rens.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
       case Some(declared) =>
         def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-        val have = renamed.schema.fields.map(f => lc(f.name) -> f.dataType).toMap
-        renamed.select(declared.fields.toSeq.map { f =>
-          have.get(lc(f.name)) match {
+        val have = df.schema.fields.map(f => lc(f.name) -> f).toMap
+        df.select(declared.fields.toSeq.map { f =>
+          // the dir's physical TOP-LEVEL name for this declared column
+          // (renames fold prefix-aware, so nested renames under it
+          // resolve inside conformColumn with the same pair list)
+          val physTop = NestedSchema.revPath(rens, f.name)
+          have.get(lc(physTop)) match {
             case None => lit(null).cast(f.dataType).as(f.name)
-            case Some(t) if t == f.dataType => col(f.name)
-            // physical type predates a widening merge (e.g. int dir
-            // under a long declaration): up-cast to the declaration
-            case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+            // identical type and no struct rebuild due: hand the
+            // column through untouched (keeps parquet pushdown alive)
+            case Some(pf) =>
+              NestedSchema.conformColumn(col(pf.name), pf.dataType,
+                f.dataType, f.name, rens).as(f.name)
           }
         }: _*)
     }
@@ -3157,10 +3164,15 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   private def takenNames(table: String, entries: Seq[String],
       declared: org.apache.spark.sql.types.StructType): Set[String] = {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    (declared.fieldNames.toSeq ++
-      schemaLines(table).flatMap(_._2.fieldNames) ++
+    // FULL dotted paths, structs recursed: uniqueness is per struct
+    // scope (`a.id` and `b.id` coexist; re-adding a dropped `a.id`
+    // refuses). Top-level names are the depth-1 paths, so every
+    // existing top-level check reads this set unchanged.
+    (NestedSchema.flatPaths(declared) ++
+      schemaLines(table).flatMap(l => NestedSchema.flatPaths(l._2)) ++
       entries.map(_.takeWhile(_ != '/')).distinct
-        .flatMap(d => dirSchema(table, d).toSeq.flatMap(_.fieldNames))
+        .flatMap(d => dirSchema(table, d).toSeq.flatMap(st =>
+          NestedSchema.flatPaths(st)))
     ).map(lc).toSet
   }
 
@@ -3276,7 +3288,26 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       val dup = cols.fieldNames.groupBy(_.toLowerCase(java.util.Locale.ROOT))
         .collectFirst { case (_, ns) if ns.length > 1 => ns.head }
       require(dup.isEmpty, s"duplicate column in ADD COLUMNS: ${dup.getOrElse("")}")
-      (org.apache.spark.sql.types.StructType(declared.fields ++ cols.fields), Nil)
+      // DOTTED names are NESTED adds (`shipping_address.country`):
+      // the new field appends to its parent STRUCT — a metadata-only
+      // change like the top-level form; dirs written before it read
+      // NULL there through the struct conform. The taken-path check
+      // above already ran against the FULL dotted path (takenNames
+      // flattens struct scopes), so recycled nested names refuse too.
+      val (nested, top) = cols.fields.partition(_.name.contains('.'))
+      val withTop =
+        org.apache.spark.sql.types.StructType(declared.fields ++ top)
+      val next = nested.foldLeft(withTop) { (sch, f) =>
+        val segs = NestedSchema.split(f.name)
+        NestedSchema.parentAt(sch, segs.init, table) // validates crossings
+        NestedSchema.updateParent(sch, segs.init) { st =>
+          require(!st.fields.exists(_.name.equalsIgnoreCase(segs.last)),
+            s"column ${f.name} already exists in $table")
+          org.apache.spark.sql.types.StructType(
+            st.fields :+ f.copy(name = segs.last))
+        }
+      }
+      (next, Nil)
     }
   }
 
@@ -3292,18 +3323,43 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   private[graft] def renameColumnStep(table: String, from: String,
       to: String): SchemaStep = (declared, entries) => {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    val f = declared.fields.find(x => lc(x.name) == lc(from))
-      .getOrElse(throw new IllegalArgumentException(
-        s"$table has no column $from to rename"))
-    require(!takenNames(table, entries, declared).contains(lc(to)),
-      s"cannot rename $from to $to: $table already used that name")
-    val layoutSources = layoutSourcesOf(table)
-    require(!layoutSources.contains(lc(from)),
-      s"cannot rename $from: it is a partition-layout source column " +
-        s"(ALTER ... SET PARTITION SPEC first)")
-    (org.apache.spark.sql.types.StructType(
-      declared.fields.map(x => if (x eq f) x.copy(name = to) else x)),
-      Seq(f.name -> to))
+    require(!to.contains('.'),
+      s"RENAME COLUMN takes a SIMPLE new name, got $to — a rename stays " +
+        "inside its struct scope (Iceberg's rule; moving a field between " +
+        "structs would need a data rewrite)")
+    if (from.contains('.')) {
+      // NESTED rename: same-scope, recorded as a pair of FULL dotted
+      // paths the readers' prefix-aware rename folds resolve
+      val segs = NestedSchema.split(from)
+      val parent = NestedSchema.parentAt(declared, segs.init, table)
+      val f = parent.fields.find(x => lc(x.name) == lc(segs.last))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table has no column $from to rename"))
+      val toPath = (segs.init :+ to).mkString(".")
+      require(!takenNames(table, entries, declared).contains(lc(toPath)),
+        s"cannot rename $from to $to: $table already used that name there")
+      require(!layoutSourcesOf(table).contains(lc(segs.head)),
+        s"cannot rename under ${segs.head}: it is a partition-layout source " +
+          "column (ALTER ... SET PARTITION SPEC first)")
+      val next = NestedSchema.updateParent(declared, segs.init) { st =>
+        org.apache.spark.sql.types.StructType(
+          st.fields.map(x => if (x eq f) x.copy(name = to) else x))
+      }
+      (next, Seq((segs.init :+ f.name).mkString(".") -> toPath))
+    } else {
+      val f = declared.fields.find(x => lc(x.name) == lc(from))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table has no column $from to rename"))
+      require(!takenNames(table, entries, declared).contains(lc(to)),
+        s"cannot rename $from to $to: $table already used that name")
+      val layoutSources = layoutSourcesOf(table)
+      require(!layoutSources.contains(lc(from)),
+        s"cannot rename $from: it is a partition-layout source column " +
+          s"(ALTER ... SET PARTITION SPEC first)")
+      (org.apache.spark.sql.types.StructType(
+        declared.fields.map(x => if (x eq f) x.copy(name = to) else x)),
+        Seq(f.name -> to))
+    }
   }
 
   /** `ALTER TABLE t DROP COLUMN c` — metadata snapshot: the column
@@ -3316,12 +3372,25 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   private[graft] def dropColumnStep(table: String, name: String,
       branch: String): SchemaStep = (declared, _) => {
       def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-      require(declared.fields.exists(x => lc(x.name) == lc(name)),
-        s"$table has no column $name to drop")
-      require(declared.fields.length > 1,
-        s"cannot drop $name: it is the only column of $table")
-      require(!layoutSourcesOf(table).contains(lc(name)),
-        s"cannot drop $name: it is a partition-layout source column " +
+      val segs = NestedSchema.split(name)
+      val nested = segs.length > 1
+      if (nested) {
+        // NESTED drop: the field vanishes from its parent struct —
+        // metadata-only, old data stays, travel below still shows it
+        val parent = NestedSchema.parentAt(declared, segs.init, table)
+        require(parent.fields.exists(x => lc(x.name) == lc(segs.last)),
+          s"$table has no column $name to drop")
+        require(parent.fields.length > 1,
+          s"cannot drop $name: it is the only field of its struct — " +
+            s"drop ${segs.init.mkString(".")} instead")
+      } else {
+        require(declared.fields.exists(x => lc(x.name) == lc(name)),
+          s"$table has no column $name to drop")
+        require(declared.fields.length > 1,
+          s"cannot drop $name: it is the only column of $table")
+      }
+      require(!layoutSourcesOf(table).contains(lc(segs.head)),
+        s"cannot drop $name: it is (under) a partition-layout source column " +
           s"(ALTER ... SET PARTITION SPEC first)")
       // a LIVE equality tombstone keyed on this column would become
       // unapplicable — the aligned data the anti-join runs against
@@ -3339,14 +3408,23 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
               renames.foldLeft(n0) { case (cur, (from, to)) =>
                 if (from.equalsIgnoreCase(cur)) to else cur
               })
-            require(!mappedKeys.exists(k => lc(k) == lc(name)),
+            // a nested drop guards its ROOT: a struct-typed equality
+            // key whose inside changes shape would desync the
+            // canonical key comparison
+            require(!mappedKeys.exists(k => lc(k) == lc(segs.head)),
               s"cannot drop $name: a live merge-on-read equality tombstone ($d) " +
                 "keys on it — compact() to materialize the deletes first")
           }
         }
       }
-      (org.apache.spark.sql.types.StructType(
-        declared.fields.filterNot(x => lc(x.name) == lc(name))), Nil)
+      if (nested)
+        (NestedSchema.updateParent(declared, segs.init) { st =>
+          org.apache.spark.sql.types.StructType(
+            st.fields.filterNot(x => lc(x.name) == lc(segs.last)))
+        }, Nil)
+      else
+        (org.apache.spark.sql.types.StructType(
+          declared.fields.filterNot(x => lc(x.name) == lc(name))), Nil)
     }
 
   /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — WIDENING type
@@ -3377,28 +3455,38 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       : SchemaStep = (declared, _) => {
     import org.apache.spark.sql.connector.catalog.TableChange
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    val f = declared.fields.find(x => lc(x.name) == lc(name))
-      .getOrElse(throw new IllegalArgumentException(
-        s"$table has no column $name to move"))
-    val rest = declared.fields.filterNot(_ eq f)
-    val next = position match {
-      case _: TableChange.First => f +: rest
-      case a: TableChange.After =>
-        val i = rest.indexWhere(x => lc(x.name) == lc(a.column()))
-        require(i >= 0,
-          s"$table has no column ${a.column()} to position $name after")
-        (rest.take(i + 1) :+ f) ++ rest.drop(i + 1)
-      case other => throw new UnsupportedOperationException(
-        s"unsupported column position ${other.getClass.getSimpleName}")
+    val segs = NestedSchema.split(name)
+    def reorder(scope: org.apache.spark.sql.types.StructType, leaf: String)
+        : org.apache.spark.sql.types.StructType = {
+      val f = scope.fields.find(x => lc(x.name) == lc(leaf))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table has no column $name to move"))
+      val rest = scope.fields.filterNot(_ eq f)
+      val next = position match {
+        case _: TableChange.First => f +: rest
+        case a: TableChange.After =>
+          val i = rest.indexWhere(x => lc(x.name) == lc(a.column()))
+          require(i >= 0,
+            s"$table has no column ${a.column()} to position $name after")
+          (rest.take(i + 1) :+ f) ++ rest.drop(i + 1)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported column position ${other.getClass.getSimpleName}")
+      }
+      org.apache.spark.sql.types.StructType(next)
     }
-    (org.apache.spark.sql.types.StructType(next), Nil)
+    if (segs.length > 1) {
+      NestedSchema.parentAt(declared, segs.init, table)
+      (NestedSchema.updateParent(declared, segs.init)(reorder(_, segs.last)), Nil)
+    } else (reorder(declared, name), Nil)
   }
 
   private[graft] def alterColumnTypeStep(table: String, name: String,
       newType: org.apache.spark.sql.types.DataType): SchemaStep = (declared, _) => {
       import org.apache.spark.sql.types._
       def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-      val f = declared.fields.find(x => lc(x.name) == lc(name))
+      val segs = NestedSchema.split(name)
+      val scope = NestedSchema.parentAt(declared, segs.init, table)
+      val f = scope.fields.find(x => lc(x.name) == lc(segs.last))
         .getOrElse(throw new IllegalArgumentException(
           s"$table has no column $name to promote"))
       val widens = (f.dataType, newType) match {
@@ -3413,11 +3501,19 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         s"cannot promote $name from ${f.dataType.simpleString} to " +
           s"${newType.simpleString}: only int->bigint, float->double and " +
           "decimal precision widening are metadata-safe (Iceberg's rule)")
-      require(!layoutSourcesOf(table).contains(lc(name)),
-        s"cannot promote $name: it is a partition-layout source column " +
-          "(ALTER ... SET PARTITION SPEC first)")
-      (StructType(declared.fields.map(x =>
-        if (x eq f) x.copy(dataType = newType) else x)), Nil)
+      require(!layoutSourcesOf(table).contains(lc(segs.head)),
+        s"cannot promote $name: it is (under) a partition-layout source " +
+          "column (ALTER ... SET PARTITION SPEC first)")
+      // a LIVE equality tombstone keyed on the promoted column (or the
+      // root of a nested promotion) keeps serving: [[SpjLayout
+      // .canonKey]] widens integral/floating families into one
+      // canonical comparison domain, and the ordinary path's anti-join
+      // runs over the ALIGNED (up-cast) data — same-domain equality
+      // survives the promotion on both paths.
+      (NestedSchema.updateParent(declared, segs.init) { st =>
+        StructType(st.fields.map(x =>
+          if (x eq f) x.copy(dataType = newType) else x))
+      }, Nil)
     }
 
   /** Source columns of the table's registered partition layout

@@ -246,10 +246,37 @@ case class LakehouseAddColumnsCommand(view: String, colsDdl: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, partitionBy) = LakehouseRegistry.lookup(spark, view)
       .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
-    val cols = try StructType.fromDDL(colsDdl) catch {
-      case e: Exception => throw new IllegalArgumentException(
-        s"cannot parse ADD COLUMNS list: ($colsDdl): ${e.getMessage}")
+    // DOTTED names (`shipping_address.country string`) are NESTED adds
+    // — `StructType.fromDDL` can't parse them, so split the list at
+    // depth-0 commas and build the fields by hand; plain lists keep
+    // the stock DDL parser (comments, char types, …)
+    def splitTop(ddl: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; var start = 0
+      ddl.zipWithIndex.foreach {
+        case (c, i) if c == '(' || c == '<' => depth += 1
+        case (c, i) if c == ')' || c == '>' => depth -= 1
+        case (',', i) if depth == 0 => out += ddl.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      out += ddl.substring(start)
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
     }
+    val cols =
+      if (!splitTop(colsDdl).exists(_.takeWhile(!_.isWhitespace).contains('.')))
+        try StructType.fromDDL(colsDdl) catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"cannot parse ADD COLUMNS list: ($colsDdl): ${e.getMessage}")
+        }
+      else StructType(splitTop(colsDdl).map { item =>
+        val name = item.takeWhile(!_.isWhitespace).stripPrefix("`").stripSuffix("`")
+        val typeDdl = item.drop(item.takeWhile(!_.isWhitespace).length).trim
+        val dt = try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(typeDdl)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"cannot parse ADD COLUMNS type for $name: $typeDdl: ${e.getMessage}") }
+        org.apache.spark.sql.types.StructField(name, dt)
+      })
     val snap = lake.addColumns(view, cols, lake.sessionBranch)
     lake.registerView(view, partitionBy) // temp view takes the evolved schema
     Seq(Row(snap))
@@ -771,12 +798,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*""".r
   private val AlterRenameColRe =
     ("""(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+RENAME\s+COLUMN\s+""" +
-      """`?([A-Za-z_]\w*)`?\s+TO\s+`?([A-Za-z_]\w*)`?\s*;?\s*""").r
+      """`?([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)`?\s+TO\s+`?([A-Za-z_]\w*)`?\s*;?\s*""").r
   private val AlterDropColRe =
-    """(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+DROP\s+COLUMNS?\s+`?([A-Za-z_]\w*)`?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+DROP\s+COLUMNS?\s+`?([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)`?\s*;?\s*""".r
   private val AlterTypeRe =
     ("""(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+ALTER\s+COLUMN\s+""" +
-      """`?([A-Za-z_]\w*)`?\s+TYPE\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""").r
+      """`?([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)`?\s+TYPE\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""").r
   private val BranchDdlRe =
     ("""(?is)\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+(CREATE|DROP)\s+BRANCH\s+""" +
       """`?([A-Za-z_]\w*)`?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r

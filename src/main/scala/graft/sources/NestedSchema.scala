@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit, struct, when}
+import org.apache.spark.sql.types._
+
+/** NESTED (struct-field) schema evolution support — the dotted-path
+  * algebra shared by the ordinary read path ([[Lakehouse.alignToDeclared]])
+  * and the SPJ/DSv2 read path ([[graft.spj]]'s per-variant conform).
+  *
+  * The reference's data model is nested documents (mongo_to_iceberg.py:
+  * 36-60 declares `shipping_address{city,state,zip}` and `items[]`;
+  * silver_transformation.py:47-58 does struct surgery on exactly that
+  * shape), and Iceberg evolves nested fields routinely — so `ALTER
+  * TABLE t ADD/RENAME/DROP COLUMN` accepts dotted paths
+  * (`shipping_address.country`) as metadata-only snapshots. Everything
+  * here is NAME-based, like the top-level machinery: a rename is
+  * recorded as a `from>to` pair of FULL dotted paths (each in the
+  * names current at its commit), and resolution folds those pairs
+  * prefix-aware, so a later rename of a PARENT struct transparently
+  * re-roots its children's earlier renames.
+  *
+  * Paths may only cross STRUCT levels: a segment under an array or map
+  * is refused loudly (evolving `items.element.sku` would need
+  * per-element lambda conforms on every read path — compact() under an
+  * explicit schema instead). */
+private[graft] object NestedSchema {
+  private def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** `cur` equals `name` or starts with `name` + "." (segment-aware,
+    * case-insensitive). */
+  private def atOrUnder(cur: String, name: String): Boolean =
+    cur.equalsIgnoreCase(name) ||
+      (cur.length > name.length &&
+        cur.regionMatches(true, 0, name, 0, name.length) &&
+        cur.charAt(name.length) == '.')
+
+  private def rebase(cur: String, from: String, to: String): String =
+    if (cur.equalsIgnoreCase(from)) to else to + cur.substring(from.length)
+
+  /** Map a PHYSICAL dotted path forward through renames (commit
+    * order) to its declared name. Prefix-aware: a parent rename moves
+    * every child path with it. */
+  def fwdPath(renames: Seq[(String, String)], path: String): String =
+    renames.foldLeft(path) { case (cur, (from, to)) =>
+      if (atOrUnder(cur, from)) rebase(cur, from, to) else cur
+    }
+
+  /** Map a DECLARED dotted path backward through renames (reverse
+    * commit order) to the physical name a dir written before them
+    * carries. */
+  def revPath(renames: Seq[(String, String)], path: String): String =
+    renames.reverseIterator.foldLeft(path) { case (cur, (from, to)) =>
+      if (atOrUnder(cur, to)) rebase(cur, to, from) else cur
+    }
+
+  /** Every dotted path a schema declares, structs recursed (the
+    * intermediate struct paths included). Feeds the recycled-name
+    * refusal: uniqueness is per FULL dotted path, i.e. per struct
+    * scope — `a.id` and `b.id` coexist, re-adding a dropped `a.id`
+    * refuses. */
+  def flatPaths(st: StructType, prefix: String = ""): Seq[String] =
+    st.fields.toSeq.flatMap { f =>
+      val p = prefix + f.name
+      p +: (f.dataType match {
+        case s: StructType => flatPaths(s, p + ".")
+        case _ => Nil
+      })
+    }
+
+  /** Resolve `path` (root segment excluded — pass the ROOT's type) to
+    * the chain of (owner struct, field) pairs, refusing non-struct
+    * crossings. */
+  def split(dotted: String): Seq[String] = dotted.split('.').toSeq
+
+  /** The parent StructType at `parentPath` (Nil = the schema itself),
+    * every crossed level verified to be a struct. */
+  def parentAt(schema: StructType, parentPath: Seq[String],
+      table: String): StructType =
+    parentPath.foldLeft(schema) { (cur, seg) =>
+      val f = cur.fields.find(_.name.equalsIgnoreCase(seg)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table has no column ${parentPath.mkString(".")}: $seg not found"))
+      f.dataType match {
+        case s: StructType => s
+        case other => throw new IllegalArgumentException(
+          s"cannot evolve under $seg: it is a ${other.simpleString}, not a " +
+            "struct — nested evolution crosses struct levels only")
+      }
+    }
+
+  /** Rebuild `schema` with the struct at `parentPath` replaced by
+    * `f(itself)`. Crossings validated by [[parentAt]] first. */
+  def updateParent(schema: StructType, parentPath: Seq[String])
+      (f: StructType => StructType): StructType =
+    parentPath match {
+      case Seq() => f(schema)
+      case seg +: rest =>
+        StructType(schema.fields.map { fld =>
+          if (fld.name.equalsIgnoreCase(seg))
+            fld.copy(dataType =
+              updateParent(fld.dataType.asInstanceOf[StructType], rest)(f))
+          else fld
+        })
+    }
+
+  /** Does conforming `phys` to `decl` need more than a Cast — i.e. is
+    * a by-name struct rebuild involved anywhere inside? */
+  def structConform(phys: DataType, decl: DataType): Boolean =
+    (phys, decl) match {
+      case (p: StructType, d: StructType) =>
+        p.fields.map(f => lc(f.name)).toSeq !=
+          d.fields.map(f => lc(f.name)).toSeq ||
+          p.fields.zip(d.fields).exists { case (pf, df) =>
+            structConform(pf.dataType, df.dataType) }
+      case _ => false
+    }
+
+  /** Conform a physical COLUMN to its declared type by NAME: structs
+    * rebuild recursively (declared order; fields the dir predates
+    * null-fill; dropped fields project away; renames resolve each
+    * declared child back to its physical name), leaves up-cast when
+    * widened. A null struct VALUE stays null — the rebuild must not
+    * manufacture a struct of nulls where the row stored none. */
+  def conformColumn(src: Column, phys: DataType, decl: DataType,
+      declPath: String, renames: Seq[(String, String)]): Column =
+    (phys, decl) match {
+      case (p, d) if p == d && !structConform(p, d) => src
+      case (p: StructType, d: StructType) =>
+        val built = struct(d.fields.toSeq.map { df =>
+          val childDecl = declPath + "." + df.name
+          val physLeaf = split(revPath(renames, childDecl)).last
+          p.fields.find(_.name.equalsIgnoreCase(physLeaf)) match {
+            case None => lit(null).cast(df.dataType).as(df.name)
+            case Some(pf) =>
+              conformColumn(src.getField(pf.name), pf.dataType, df.dataType,
+                childDecl, renames).as(df.name)
+          }
+        }: _*)
+        when(src.isNull, lit(null).cast(d)).otherwise(built.cast(d))
+      case (p, d) if p == d => src
+      case (_, d) => src.cast(d)
+    }
+
+  /** [[conformColumn]] at the Catalyst Expression level — the SPJ
+    * reader's per-variant UnsafeProjection conforms physical struct
+    * shapes with this (a plain Cast resolves struct casts
+    * POSITIONALLY, which is exactly wrong for by-name evolution). */
+  def conformExpr(src: org.apache.spark.sql.catalyst.expressions.Expression,
+      phys: DataType, decl: DataType, declPath: String,
+      renames: Seq[(String, String)], tz: String)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    (phys, decl) match {
+      case (p, d) if p == d && !structConform(p, d) => src
+      case (p: StructType, d: StructType) =>
+        val children = d.fields.toSeq.flatMap { df =>
+          val childDecl = declPath + "." + df.name
+          val physLeaf = split(revPath(renames, childDecl)).last
+          val pi = p.fields.indexWhere(_.name.equalsIgnoreCase(physLeaf))
+          val value =
+            if (pi < 0) Literal.create(null, df.dataType)
+            else conformExpr(GetStructField(src, pi, Some(p.fields(pi).name)),
+              p.fields(pi).dataType, df.dataType, childDecl, renames, tz)
+          Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(df.name),
+            StringType), value)
+        }
+        If(IsNull(src), Literal.create(null, d), CreateNamedStruct(children))
+      case (p, d) if p == d => src
+      case (_, d) => Cast(src, d, Some(tz))
+    }
+  }
+}

@@ -190,28 +190,32 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
     * AFTER c)` composes as add-then-move inside the grouped snapshot,
     * and `ALTER COLUMN c FIRST | AFTER b` is a pure metadata REORDER —
     * every reader conforms dirs by name into declared order already,
-    * so committed data of any physical order keeps serving. Anything
-    * the evolution surface can't honor exactly (nested fields,
-    * defaults, non-widening type changes, nullability tightening)
-    * refuses loudly rather than silently dropping the request. */
+    * so committed data of any physical order keeps serving. NESTED
+    * (struct-field) references are served too (r15): ADD/RENAME/DROP/
+    * widen/MOVE on a dotted path commits the same metadata-only
+    * snapshot kind, and dirs written before it conform their struct
+    * shapes per dir on both read paths. Anything the evolution surface
+    * can't honor exactly (paths crossing arrays/maps, defaults,
+    * non-widening type changes, nullability tightening) refuses
+    * loudly rather than silently dropping the request. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     require(ident.namespace().isEmpty,
       s"ALTER TABLE lands on main — got namespace ${ident.namespace().mkString(".")}")
     val lake = new Lakehouse(SparkSession.active, root)
     if (!lake.tableNames().contains(ident.name())) throw new NoSuchTableException(ident)
-    def one(names: Array[String]): String = {
-      require(names.length == 1,
-        s"nested column references are unsupported: ${names.mkString(".")}")
-      names(0)
-    }
+    // NESTED references (r15) pass through as DOTTED paths — the
+    // evolution steps navigate struct scopes and both read paths
+    // conform per dir ([[graft.sources.NestedSchema]]); paths crossing
+    // arrays/maps refuse inside the step
+    def dotted(names: Array[String]): String = names.mkString(".")
     val steps: Seq[Lakehouse#SchemaStep] = changes.toSeq.flatMap {
       case a: TableChange.AddColumn =>
         require(a.isNullable,
-          s"ADD COLUMNS ${one(a.fieldNames())}: added columns must be nullable " +
+          s"ADD COLUMNS ${dotted(a.fieldNames())}: added columns must be nullable " +
             "(existing rows read NULL)")
         require(a.defaultValue() == null,
           "ADD COLUMNS with DEFAULT is unsupported")
-        val f = StructField(one(a.fieldNames()), a.dataType())
+        val f = StructField(dotted(a.fieldNames()), a.dataType())
         // FIRST/AFTER composes as add-then-move INSIDE the one grouped
         // snapshot — the declared order is pure metadata (r14)
         Seq(lake.addColumnsStep(ident.name(),
@@ -220,13 +224,13 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
           Option(a.position()).map(p =>
             lake.moveColumnStep(ident.name(), f.name, p))
       case r: TableChange.RenameColumn =>
-        Seq(lake.renameColumnStep(ident.name(), one(r.fieldNames()), r.newName()))
+        Seq(lake.renameColumnStep(ident.name(), dotted(r.fieldNames()), r.newName()))
       case d: TableChange.DeleteColumn =>
-        Seq(lake.dropColumnStep(ident.name(), one(d.fieldNames()), "main"))
+        Seq(lake.dropColumnStep(ident.name(), dotted(d.fieldNames()), "main"))
       case u: TableChange.UpdateColumnType =>
-        Seq(lake.alterColumnTypeStep(ident.name(), one(u.fieldNames()), u.newDataType()))
+        Seq(lake.alterColumnTypeStep(ident.name(), dotted(u.fieldNames()), u.newDataType()))
       case p: TableChange.UpdateColumnPosition =>
-        Seq(lake.moveColumnStep(ident.name(), one(p.fieldNames()), p.position()))
+        Seq(lake.moveColumnStep(ident.name(), dotted(p.fieldNames()), p.position()))
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} — the " +
           "catalog maps ADD/RENAME/DROP COLUMN, widening ALTER COLUMN TYPE, " +
@@ -872,7 +876,7 @@ private[spj] object SpjReaders {
     // layouts have no dirStrips, flat layouts have no identityCol)
     case class DirShape(maps: Seq[(StructField, Option[StructField])],
         noFilters: Boolean, fileSchema: StructType,
-        stripped: Seq[StructField])
+        stripped: Seq[StructField], renames: Seq[(String, String)])
     def shapeOf(dir: String): DirShape = {
       val conform: Option[SpjDirConform] = layout.dirConforms.get(dir)
       // any positional tombstone outranking the dir (broadcast OR
@@ -903,20 +907,24 @@ private[spj] object SpjReaders {
         val pn = physNameOf(f.name)
         f -> (if (stripNames.exists(lcEq(_, f.name))) None
         else fileFields.find(ff => lcEq(ff.name, pn)))
-      }, noFilters, StructType(fileFields), stripped)
+      }, noFilters, StructType(fileFields), stripped, renames)
     }
     val dirShapes: Map[String, DirShape] = dataDirs.map(d => d -> shapeOf(d)).toMap
+    // `renames` joins the key: two dirs with IDENTICAL physical file
+    // schemas can still need DIFFERENT struct conforms when a nested
+    // rename was committed between them (top-level maps don't see it)
     def keyOf(s: DirShape)
-        : (Seq[(String, Option[StructField])], Boolean, String, Seq[String]) =
+        : (Seq[(String, Option[StructField])], Boolean, String, Seq[String],
+           Seq[(String, String)]) =
       (s.maps.map { case (d, p) => (d.name, p) }, s.noFilters, s.fileSchema.json,
-        s.stripped.map(_.name))
+        s.stripped.map(_.name), s.renames)
     val variantKeys = dataDirs.map(d => keyOf(dirShapes(d))).distinct
     val variantIdx: Map[String, Int] =
       dataDirs.map(d => d -> variantKeys.indexOf(keyOf(dirShapes(d)))).toMap
 
     val variants: Array[SpjReadVariant] = variantKeys.map { vk =>
       val rep = dataDirs.find(d => keyOf(dirShapes(d)) == vk).get
-      val DirShape(maps, noFilters, fileSchema, stripped) = dirShapes(rep)
+      val DirShape(maps, noFilters, fileSchema, stripped, dirRenames) = dirShapes(rep)
       val physRequired = StructType(maps.flatMap(_._2))
       // filters ride into the parquet reader only when they resolve
       // UNCHANGED in this dir (same name, same type — a renamed or
@@ -986,7 +994,8 @@ private[spj] object SpjReaders {
         SpjEqSpec(t.seq, di, binds.map(_._1).toArray, binds.map(_._2).toArray)
       }.toArray
       SpjReadVariant(readerFn, outSchema, srcOrdinals, eqSpecs,
-        metaAppended = metaNames.nonEmpty, stripped = stripped.toArray)
+        metaAppended = metaNames.nonEmpty, stripped = stripped.toArray,
+        renames = dirRenames)
     }.toArray
 
     // tombstone payloads ship ONCE per executor (broadcast), not per
@@ -1051,7 +1060,8 @@ private[spj] case class SpjReadVariant(
     readerFn: PartitionedFile => Iterator[InternalRow],
     outSchema: StructType, srcOrdinals: Array[Int], eqSpecs: Array[SpjEqSpec],
     metaAppended: Boolean = false,
-    stripped: Array[StructField] = Array.empty)
+    stripped: Array[StructField] = Array.empty,
+    renames: Seq[(String, String)] = Seq.empty)
 
 /** Equality-tombstone key binding within a variant's output rows:
   * `delIdx` indexes the broadcast key-set array. */
@@ -1086,10 +1096,20 @@ private[spj] class GraftSpjReaderFactory(
               case (f, ord) =>
                 if (ord < 0) Literal.create(null, f.dataType)
                 else {
-                  val src = BoundReference(ord,
-                    v.outSchema.fields(ord).dataType, nullable = true)
-                  if (v.outSchema.fields(ord).dataType == f.dataType) src
-                  else Cast(src, f.dataType, Some(tz))
+                  val srcT = v.outSchema.fields(ord).dataType
+                  val src = BoundReference(ord, srcT, nullable = true)
+                  if (srcT == f.dataType) src
+                  else (srcT, f.dataType) match {
+                    // physical struct shape differs (nested evolution,
+                    // or a nested-pruned required type): conform BY
+                    // NAME — a Cast resolves struct fields
+                    // POSITIONALLY, which is exactly wrong here
+                    case (p: org.apache.spark.sql.types.StructType,
+                          d: org.apache.spark.sql.types.StructType) =>
+                      graft.sources.NestedSchema.conformExpr(
+                        src, p, d, f.name, v.renames, tz)
+                    case _ => Cast(src, f.dataType, Some(tz))
+                  }
                 }
             }))
       }

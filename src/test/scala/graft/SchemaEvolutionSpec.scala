@@ -213,6 +213,91 @@ class SchemaEvolutionSpec extends SparkSpec {
     intercept[Exception](spark.sql("INSERT INTO t (k, x) VALUES (1.5, 2.0)"))
   }
 
+  test("NESTED evolution: add/rename/drop struct fields as metadata; mixed dirs conform; travel sees old shapes") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val df = Seq((1L, "NYC", "10001"), (2L, "SF", "94105")).toDF("k", "city", "zip")
+      .select(col("k"), struct(col("city"), col("zip")).as("addr"))
+    val v1 = lake.createOrReplace(df, "n")
+    lake.registerView("n")
+    // ADD a nested field (the reference's own shape: shipping_address
+    // grows a field) — old rows read NULL inside the struct
+    spark.sql("ALTER TABLE n ADD COLUMNS (addr.country STRING)")
+    assert(spark.table("n").schema("addr").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("city", "zip", "country"))
+    assert(spark.table("n").where(col("addr.country").isNull).count() === 2)
+    // a dir written AFTER the add carries the full shape physically
+    lake.append(Seq((3L, "LA", "90001", "US")).toDF("k", "city", "zip", "country")
+      .select(col("k"), struct(col("city"), col("zip"), col("country")).as("addr")), "n")
+    // RENAME a nested field: values resolve from BOTH physical shapes
+    spark.sql("ALTER TABLE n RENAME COLUMN addr.zip TO postal")
+    val rows = spark.table("n")
+      .select(col("k"), col("addr.postal"), col("addr.country")).orderBy("k").collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("10001", "94105", "90001"))
+    assert(rows.map(r => Option(r.getString(2))).toSeq === Seq(None, None, Some("US")))
+    // DML over the evolved nested shape (CoW rewrite conforms + rewrites)
+    spark.sql("UPDATE n SET addr = named_struct('city', addr.city, 'postal', " +
+      "addr.postal, 'country', 'USA') WHERE addr.country IS NULL")
+    assert(spark.table("n").where(col("addr.country") === "USA").count() === 2)
+    // DROP a nested field: vanishes from reads; travel below keeps it
+    val vDrop = lake.dropColumn("n", "addr.city")
+    assert(lake.read("n").schema("addr").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("postal", "country"))
+    assert(lake.readSnapshot("n", vDrop - 1).schema("addr").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq === Seq("city", "postal", "country"))
+    // travel below EVERYTHING sees the original nested shape and values
+    val old = lake.readSnapshot("n", v1)
+    assert(old.schema("addr").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("city", "zip"))
+    assert(old.select(col("addr.zip")).orderBy(col("addr.zip")).collect()
+      .map(_.getString(0)).toSeq === Seq("10001", "94105"))
+  }
+
+  test("NESTED evolution composes with a parent rename; recycled names, array crossings, empty structs refuse") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val df = Seq((1L, "NYC", "10001")).toDF("k", "city", "zip")
+      .select(col("k"), struct(col("city"), col("zip")).as("addr"),
+        array(struct(lit("sku1").as("sku"), lit(2).as("qty"))).as("items"))
+    lake.createOrReplace(df, "p")
+    lake.registerView("p")
+    // nested rename, THEN the parent renames: the prefix-aware fold
+    // re-roots the earlier nested rename under the new parent name
+    lake.renameColumn("p", "addr.zip", "postal")
+    lake.renameColumn("p", "addr", "address")
+    lake.append(Seq((2L, "SF", "94105")).toDF("k", "city", "postal")
+      .select(col("k"), struct(col("city"), col("postal")).as("address"),
+        array(struct(lit("sku2").as("sku"), lit(1).as("qty"))).as("items")), "p")
+    val got = lake.read("p").select(col("k"), col("address.postal"))
+      .orderBy("k").collect()
+    assert(got.map(_.getString(1)).toSeq === Seq("10001", "94105"))
+    // adding under the NEW parent name lands; the OLD parent is gone
+    lake.addColumns("p", StructType(Seq(StructField("address.country", StringType))))
+    assert(lake.read("p").schema("address").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("city", "postal", "country"))
+    intercept[IllegalArgumentException](
+      lake.addColumns("p", StructType(Seq(StructField("addr.x", StringType)))))
+    // a dropped nested name is reserved forever in its scope — but the
+    // SAME leaf name under a DIFFERENT struct stays free
+    lake.dropColumn("p", "address.city")
+    val e = intercept[IllegalArgumentException](
+      lake.addColumns("p", StructType(Seq(StructField("address.city", StringType)))))
+    assert(e.getMessage.contains("once existed"))
+    // paths crossing an ARRAY refuse loudly (per-element conforms are
+    // not served — compact() under an explicit schema instead)
+    val ea = intercept[IllegalArgumentException](
+      lake.addColumns("p", StructType(Seq(StructField("items.sku2", StringType)))))
+    assert(ea.getMessage.contains("not a struct"))
+    intercept[IllegalArgumentException](lake.renameColumn("p", "items.sku", "s"))
+    // dropping the LAST field of a struct refuses (drop the parent)
+    lake.dropColumn("p", "address.postal")
+    val el = intercept[IllegalArgumentException](lake.dropColumn("p", "address.country"))
+    assert(el.getMessage.contains("only field"))
+    // rename target must be SIMPLE (same-scope rule)
+    intercept[IllegalArgumentException](
+      lake.renameColumn("p", "address.country", "other.country"))
+  }
+
   test("evolution commits are snapshots: history records them and VACUUM keeps the schema") {
     val lake = new Lakehouse(spark, freshRoot())
     mk(lake)

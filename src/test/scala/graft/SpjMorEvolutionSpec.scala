@@ -585,4 +585,55 @@ class SpjMorEvolutionSpec extends SparkSpec {
       assert(spark.table("spj_me11.mortt").count() === 13L)
     }
   }
+
+  test("NESTED evolution serves on the SPJ path: struct shapes conform per dir, Exchange-free joins survive") {
+    val root = freshRoot("spj-nested")
+    val lake = new Lakehouse(spark, root)
+    val rows = (1L to 30L).map(k => (k, s"c$k", s"z$k")).toDF("k", "city", "zip")
+      .select(col("k"), struct(col("city"), col("zip")).as("addr"))
+    lake.createOrReplace(rows, "nt", Seq("bucket(4,k)"))
+    withSpj(root, "spj_me15") {
+      // nested ADD + RENAME through the DSv2 ALTER surface (the
+      // TableChange fieldNames arrays arrive multi-segment)
+      spark.sql("ALTER TABLE spj_me15.nt ADD COLUMNS (addr.country STRING)")
+      spark.sql("ALTER TABLE spj_me15.nt RENAME COLUMN addr.zip TO postal")
+      // a post-evolution INSERT writes the full new shape physically —
+      // the table now mixes two struct shapes
+      spark.sql("INSERT INTO spj_me15.nt VALUES " +
+        "(31, named_struct('city','LA','postal','90001','country','US'))")
+      val got = spark.table("spj_me15.nt")
+      assert(got.schema("addr").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq === Seq("city", "postal", "country"))
+      // both read paths agree row-for-row across the mixed shapes
+      assert(sortedRows(got.select(col("k"), col("addr.city"), col("addr.postal"),
+        col("addr.country"))) ===
+        sortedRows(lake.read("nt").select(col("k"), col("addr.city"),
+          col("addr.postal"), col("addr.country"))))
+      assert(got.where(col("addr.country").isNull).count() === 30L)
+      assert(got.where(col("addr.postal") === "z7").count() === 1L)
+      // nested DROP: the field vanishes on the catalog read too
+      spark.sql("ALTER TABLE spj_me15.nt DROP COLUMN addr.city")
+      assert(spark.table("spj_me15.nt").schema("addr").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq === Seq("postal", "country"))
+      assert(spark.table("spj_me15.nt").count() === 31L)
+      // the bucket layout claim survives nested evolution: same-key
+      // join against a same-spec table plans no Exchange
+      val dim = (1L to 31L).map(k => (k, k % 5)).toDF("k2", "grp")
+      lake.createOrReplace(dim, "nd", Seq("bucket(4,k2)"))
+      val j = spark.table("spj_me15.nt")
+        .join(spark.table("spj_me15.nd"), col("k") === col("k2"))
+      assert(!Medallion.plansShuffle(j),
+        "nested-evolved table must keep co-locating:\n" + j.queryExecution.executedPlan)
+      assert(j.count() === 31L)
+      // nested evolution composes with MoR deletes (positional
+      // tombstones are name-free): delete two rows, shapes still serve
+      lake.deleteWhereMor(col("k").isin(3L, 31L), "nt")
+      val after = spark.table("spj_me15.nt")
+      assert(after.count() === 29L)
+      assert(sortedRows(after.select(col("k"), col("addr.postal"), col("addr.country")))
+        === sortedRows(lake.read("nt").select(col("k"), col("addr.postal"),
+          col("addr.country"))))
+    }
+  }
 }
