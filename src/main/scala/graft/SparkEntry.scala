@@ -55,6 +55,7 @@ object SparkEntry {
     "q_spj_update_mor" -> (Medallion.qSpjUpdateMor _),
     "q_spj_alter" -> (Medallion.qSpjAlter _),
     "sql_nested_evolution" -> (Medallion.qSqlNestedEvolution _),
+    "stream_spj_cdc" -> (Medallion.qStreamSpjCdc _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -549,6 +550,23 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS grouped_commit,
         |  CAST(1.0 AS DOUBLE) AS renamed
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CDC on the DSv2 catalog stream: the oracle restates the net
+    // final state the replica must reach — every order except the
+    // deleted O-status okey%9=2 rows, price tripled where okey%13=4
+    "stream_spj_cdc" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS total,
+        |  CAST(1.0 AS DOUBLE) AS replica_exact,
+        |  CAST(1.0 AS DOUBLE) AS exactly_once
+        |FROM (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 4
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 3 AS DECIMAL(12,2))
+        |      ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 9 = 2)
+        |)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // NESTED schema evolution: pre-evolution rows (even keys) read the
     // added struct field as NULL, post-evolution rows carry a grade;
     // the renamed field resolves from both physical shapes and the
@@ -559,6 +577,7 @@ object SparkEntry {
         |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS has_grade,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  'mongo' AS src_tag,
         |  CAST(1.0 AS DOUBLE) AS nested_meta_only,
         |  CAST(1.0 AS DOUBLE) AS paths_agree
         |FROM orders WHERE o_orderkey % 97 <> 0

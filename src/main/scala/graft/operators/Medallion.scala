@@ -1462,10 +1462,15 @@ object Medallion {
     spark.sql(s"ALTER TABLE $cat.nev DROP COLUMN meta.priority")
     val metaOnly = if (lake.snapshots("nev").length == snapsBefore + 1 &&
       dataDirs() == dirsBefore) 1.0 else 0.0
+    // ADD COLUMN ... DEFAULT (r15): every existing dir predates the
+    // add, so BOTH paths must bind the EXISTS_DEFAULT literal — the
+    // readout's src_tag pins it cross-engine
+    spark.sql(s"ALTER TABLE $cat.nev ADD COLUMNS (src STRING DEFAULT 'mongo')")
     def agg(df: DataFrame): DataFrame = df
       .groupBy(col("meta.status").as("status_g"),
         when(col("meta.grade").isNotNull, 1L).otherwise(0L).as("has_grade"))
-      .agg(count(lit(1)).as("n"), sum(col("o_price")).cast("double").as("total"))
+      .agg(count(lit(1)).as("n"), sum(col("o_price")).cast("double").as("total"),
+        max(col("src")).as("src_tag"))
     val viaCatalog = agg(spark.table(s"$cat.nev"))
     val viaOrdinary = agg(lake.read("nev"))
     val pathsAgree =
@@ -1475,6 +1480,77 @@ object Medallion {
       .withColumn("nested_meta_only", lit(metaOnly))
       .withColumn("paths_agree", lit(pathsAgree))
       .orderBy("status_g", "has_grade")
+  }
+
+  /** `stream_spj_cdc` — CDC ON THE DSv2 CATALOG STREAM (r15):
+    * `readStream.option("cdc", "true").table("cat.t")` emits
+    * `_change_type`-tagged row deltas over snapshot-id offsets
+    * ([[graft.sources.spj.GraftSpjCdcMicroBatchStream]]) — the
+    * Iceberg-parity ergonomics the round-14 verdict ranked #3: delete
+    * propagation on the catalog surface itself, no format string. A
+    * primary BUCKET-partitioned catalog table seeds from orders; a
+    * follower lake applies the changelog via `applyChangesOnce` over
+    * ONE checkpoint across three AvailableNow runs — bootstrap, a
+    * catch-up whose single interval nets an append + a MoR UPDATE
+    * (price×3 on okey%13=4) + a MoR DELETE (O-status okey%9=2), and
+    * an idle run. Readout = the replica's status rollup with
+    * `replica_exact` (full-multiset equality vs the primary) and
+    * `exactly_once` (idle-run invariance) pinned; the oracle restates
+    * the net final state straight from raw orders. */
+  def qStreamSpjCdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.spj.GraftSpjCatalog
+    import org.apache.spark.sql.streaming.Trigger
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-scdc-src").toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-scdc-dst").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-scdc-ck").toString
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", srcRoot)
+    val src = new graft.sources.Lakehouse(spark, srcRoot)
+    val dst = new graft.sources.Lakehouse(spark, dstRoot)
+    val spec = Seq("bucket(8,o_orderkey)")
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("price"))
+    src.createOrReplace(orders.where(col("o_orderkey") % 7 =!= 0), "scdc", spec)
+    def sync(): Unit = {
+      val q = spark.readStream.option("cdc", "true").table(s"$cat.scdc")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price"),
+          col("_change_type"))
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          dst.applyChangesOnce(df, "scdc_rep", Seq("o_orderkey"), id); ()
+        }
+        .start()
+      try {
+        require(q.awaitTermination(180000), "stream_spj_cdc run timed out")
+      } finally q.stop()
+    }
+    sync() // bootstrap: the full snapshot as insert images
+    // three primary commits while the stream is down — one interval
+    src.append(orders.where(col("o_orderkey") % 7 === 0), "scdc", spec)
+    src.updateWhereMor(
+      Seq("price" -> (col("price") * 3).cast("decimal(12,2)")),
+      col("o_orderkey") % 13 === 4, "scdc", spec)
+    src.deleteWhereMor(
+      col("o_orderstatus") === "O" && col("o_orderkey") % 9 === 2, "scdc")
+    sync() // catch-up
+    val rows2 = dst.read("scdc_rep").count()
+    val snaps2 = dst.snapshots("scdc_rep").size
+    sync() // idle
+    val exactlyOnce =
+      if (dst.read("scdc_rep").count() == rows2 &&
+        dst.snapshots("scdc_rep").size == snaps2) 1.0 else 0.0
+    val replicaExact =
+      if (dst.read("scdc_rep").exceptAll(src.read("scdc")).isEmpty &&
+        src.read("scdc").exceptAll(dst.read("scdc_rep")).isEmpty) 1.0 else 0.0
+    dst.read("scdc_rep")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+      .withColumn("replica_exact", lit(replicaExact))
+      .withColumn("exactly_once", lit(exactlyOnce))
+      .orderBy("o_orderstatus")
   }
 
   /** `q_cdc_read` — the CDC CHANGELOG read at the driver surface

@@ -1025,16 +1025,30 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         val snap = reserveSnap(table)
         val dir = s"_deletes-$snap"
         try {
-          val positions = hits.reduceOption(_.unionByName(_)).getOrElse(
+          // BOUNDED plan width (r15): the semi-join branches number
+          // |equality tombstones| × |lower-sequence dirs| — a
+          // pathological many-tombstone table would otherwise plan one
+          // very wide union. Write the positions dir in GROUPS of at
+          // most [[Lakehouse.RewriteUnionBranches]] branches (first
+          // group overwrites, the rest append — the dir is invisible
+          // until the commit below references it), so plan size stays
+          // constant however many tombstones convert.
+          val dirPath = new Path(tableDir(table), dir).toString
+          val groups = hits.grouped(Lakehouse.RewriteUnionBranches).toSeq
+          if (groups.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField("__file",
                   org.apache.spark.sql.types.StringType, nullable = false),
                 org.apache.spark.sql.types.StructField("__pos",
-                  org.apache.spark.sql.types.LongType, nullable = false)))))
-          positions.write.mode(SaveMode.Overwrite)
-            .parquet(new Path(tableDir(table), dir).toString)
+                  org.apache.spark.sql.types.LongType, nullable = false))))
+              .write.mode(SaveMode.Overwrite).parquet(dirPath)
+          else groups.zipWithIndex.foreach { case (g, i) =>
+            g.reduce(_.unionByName(_)).write
+              .mode(if (i == 0) SaveMode.Overwrite else SaveMode.Append)
+              .parquet(dirPath)
+          }
           commit(table, snap, entries, branch, Some(base),
             deletes = dels.filterNot(eqSet) :+ dir)
         } catch { case e: Throwable => abortSnap(table, snap, dir); throw e }
@@ -3146,7 +3160,9 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           // resolve inside conformColumn with the same pair list)
           val physTop = NestedSchema.revPath(rens, f.name)
           have.get(lc(physTop)) match {
-            case None => lit(null).cast(f.dataType).as(f.name)
+            // a dir written before the column: its EXISTS_DEFAULT when
+            // declared (ADD COLUMN ... DEFAULT), else a typed NULL
+            case None => ColumnDefaults.fillColumn(f).as(f.name)
             // identical type and no struct rebuild due: hand the
             // column through untouched (keeps parquet pushdown alive)
             case Some(pf) =>
@@ -3279,8 +3295,14 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     (declared, entries) => {
       val taken = takenNames(table, entries, declared)
       cols.fields.foreach { f =>
-        require(f.nullable,
-          s"added column ${f.name} must be nullable: existing rows read NULL")
+        // an ADD ... DEFAULT validates its literal NOW (commit-time
+        // loudness beats a read-time parse failure) and may be
+        // non-nullable: no row ever reads NULL from it
+        ColumnDefaults.currentSql(f).foreach(sql =>
+          ColumnDefaults.literalFor(sql, f.dataType, f.name))
+        require(f.nullable || ColumnDefaults.currentSql(f).nonEmpty,
+          s"added column ${f.name} must be nullable or carry a DEFAULT: " +
+            "existing rows read NULL otherwise")
         require(!taken.contains(f.name.toLowerCase(java.util.Locale.ROOT)),
           s"column ${f.name} already exists (or once existed) in $table; " +
             "only new names can be added — a recycled name would resurrect old data")
@@ -3820,13 +3842,16 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       // same (never-renamed) name, decodable type — the exact gates
       // finishFlat enforces, so the probe never advertises what the
       // flat load would refuse
-      flatIdentityOk = (c: String) =>
+      // a RENAMED strip column serves since r15: the probe resolves
+      // the dir-time physical name through the forward rename chain,
+      // exactly like finishFlat does
+      flatIdentityOk = (c: String) => {
+        val decl = NestedSchema.fwdPath(
+          schemaLines(table).filter(_._1 <= snap).flatMap(_._3), c)
         metaSchema(table, entries, snap).exists(_.fields.exists(f =>
-          f.name.equalsIgnoreCase(c) &&
-            SpjLayout.supportedIdentityType(f.dataType))) &&
-          schemaLines(table).flatMap(_._3).forall { case (f, t) =>
-            !f.equalsIgnoreCase(c) && !t.equalsIgnoreCase(c)
-          }
+          f.name.equalsIgnoreCase(decl) &&
+            SpjLayout.supportedIdentityType(f.dataType)))
+      }
       // every level either derived (`_p_…` spec form contains "(") or
       // a flat-servable identity — the flat scan's acceptance rule
       flatLevelOk = (s: String) => s.contains("(") || flatIdentityOk(s)
@@ -4840,7 +4865,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       cols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     val df = spark.sql(query)
-    val target = read(table, sessionBranch).schema
+    // the DECLARED schema, not read().schema — the read projection's
+    // aliases drop StructField metadata, and the CURRENT_DEFAULT keys
+    // (ADD COLUMN ... DEFAULT) must reach the unlisted-column fill
+    val target = tableSchema(table, sessionBranch)
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     def upCastOk(s: org.apache.spark.sql.types.DataType,
         t: org.apache.spark.sql.types.DataType, name: String): Unit = {
@@ -4883,13 +4911,20 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       val renamed = df.toDF(df.columns.indices.map(i => s"__ins_$i"): _*)
       val byListed = listed.map(f => lc(f.name)).zipWithIndex.toMap
       target.fields.toSeq.foreach { f =>
-        require(byListed.contains(lc(f.name)) || f.nullable,
+        require(byListed.contains(lc(f.name)) || f.nullable ||
+          ColumnDefaults.currentSql(f).nonEmpty,
           s"INSERT INTO $table: unlisted column ${f.name} is not nullable")
       }
       renamed.select(target.fields.toSeq.map { f =>
         byListed.get(lc(f.name)) match {
           case Some(i) => col(s"__ins_$i").as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
+          // unlisted: the column's CURRENT_DEFAULT when declared
+          // (ADD COLUMN ... DEFAULT), else NULL
+          case None => ColumnDefaults.currentSql(f) match {
+            case Some(sql) => org.apache.spark.sql.functions.expr(sql)
+              .cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
         }
       }: _*)
     }
@@ -5168,17 +5203,24 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     // mechanism uniform identity layouts use ([[SpjFile.pathVals]] +
     // [[SpjLayout.dirStrips]]) — a table that partition-evolved FROM
     // `PARTITIONED BY (status)` TO `bucket(8,k)` reads claim-free
-    // instead of dead-ending. The stripped column must still carry its
-    // ORIGINAL name in the declared schema with a decodable type (a
-    // renamed strip column refuses, same rule as the uniform path).
+    // instead of dead-ending. A RENAAMED strip column serves too
+    // (r15): the dir's path segment carries the dir-time PHYSICAL
+    // name, so each strip forward-maps through the renames committed
+    // after its dir ([[NestedSchema.fwdPath]]) to the DECLARED field
+    // the reader injects under — name recycling is globally refused,
+    // which is what makes the full-chain forward map per-dir exact.
     // A mixed-layout table degrades to an ordinary scan instead of
     // dead-ending the whole DSv2 surface.
     def flatStrips(d: String): Seq[String] =
       physDirLayout(table, d).filterNot(_.startsWith("_p_"))
+    // physical strip name -> the DECLARED field it resolves to at
+    // `snap` (identity when never renamed)
+    def declStrip(c: String): String =
+      NestedSchema.fwdPath(evoLines.filter(_._1 <= snap).flatMap(_._3), c)
     def canFlat: Boolean = dataDirs.nonEmpty && {
       val ms = metaSchema(table, entries, snap)
       dataDirs.forall(d => flatStrips(d).forall(c =>
-        ms.exists(_.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+        ms.exists(_.fields.exists(f => f.name.equalsIgnoreCase(declStrip(c)) &&
           SpjLayout.supportedIdentityType(f.dataType)))))
     }
     def finishFlat(): SpjLayout = {
@@ -5186,16 +5228,11 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         throw new IllegalStateException(s"cannot resolve a schema for $table@$snap"))
       val stripsOf: Map[String, Seq[String]] =
         dataDirs.map(d => d -> flatStrips(d)).toMap
-      val allStrips = stripsOf.valuesIterator.flatten.toSeq.distinct
-      // renamed strip columns would desync the path segment from the
-      // declared name the reader injects under — refuse, like the
-      // uniform path's renamed-partition-column rule
-      val renamedStrips = evoLines.flatMap(_._3).filter { case (from, to) =>
-        allStrips.exists(s => s.equalsIgnoreCase(from) || s.equalsIgnoreCase(to))
-      }
-      require(renamedStrips.isEmpty,
-        s"$table renamed a partition column (${renamedStrips.map { case (f, t) => s"$f>$t" }
-          .mkString(", ")}) — compact() under the current schema before an SPJ read")
+      // the reader addresses strips by their DECLARED names (the
+      // variant schemas, pathVals keys and dirStrips all agree);
+      // only the path-segment markers keep the dir-time physical name
+      val declStripsOf: Map[String, Seq[String]] =
+        stripsOf.map { case (d, ss) => d -> ss.map(declStrip) }
       val dirConformsF: Map[String, SpjDirConform] =
         if (evoLines.isEmpty) Map.empty
         else dataDirs.map { d =>
@@ -5243,7 +5280,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
               val marker = "/" + c + "="
               val at = full.indexOf(marker)
               require(at >= 0, s"data file outside its identity layout: $full")
-              c -> full.substring(at + marker.length).takeWhile(_ != '/')
+              declStrip(c) -> full.substring(at + marker.length).takeWhile(_ != '/')
             }.toMap
             SpjFile(full, st.getLen, dirStats.getOrElse(rel, Map.empty),
               rows = dirRows.get(rel).map(_._1),
@@ -5264,7 +5301,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       SpjLayout(schema, "", g, fmap, flatGroups = true,
         writeSpec = Some(declaredSpec.getOrElse(Nil)),
         snapshot = snap, deletes = deletes, dirConforms = dirConformsF,
-        dirStrips = stripsOf.filter(_._2.nonEmpty))
+        dirStrips = declStripsOf.filter(_._2.nonEmpty))
     }
     val physLevels = dataDirs.map(d => physDirLayout(table, d)).distinct match {
       case Seq() =>
@@ -5310,9 +5347,9 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
             s"$table is partitioned by ${other.map(_._2).mkString(", ")} — " +
               "storage-partitioned reads serve bucket(n,k), identity, " +
               "identity+bucket, and time-transform+bucket layouts; other shapes " +
-              "degrade to a flat scan only while every identity level still " +
-              "resolves under its ORIGINAL declared name with a " +
-              "string/integral/date type")
+              "degrade to a flat scan only while every identity level " +
+              "(forward-mapped through any renames) resolves to a declared " +
+              "column with a string/integral/date type")
       }
     val schema = metaSchema(table, entries, snap).getOrElse(
       throw new IllegalStateException(s"cannot resolve a schema for $table@$snap"))
@@ -5732,6 +5769,12 @@ object Lakehouse {
     * Bounds the bytes a commit rewrites: at 64 lines × ~200 B the
     * rewrite stays ~12 KB however long the table's history grows. */
   private[sources] val SegmentMaxLines = 64
+
+  /** Max semi-join branches per write job in
+    * [[Lakehouse.rewritePositionDeletes]] — bounds the physical plan's
+    * union width however many equality tombstones convert (total work
+    * streams through in groups instead). */
+  private[sources] val RewriteUnionBranches = 32
 
   /** Default SPJ tombstone broadcast gate (on-disk bytes; see
     * [[Lakehouse.spjTombstones]]). Conf-overridable per session via

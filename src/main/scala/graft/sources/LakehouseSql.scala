@@ -262,20 +262,29 @@ case class LakehouseAddColumnsCommand(view: String, colsDdl: String)
       out += ddl.substring(start)
       out.toSeq.map(_.trim).filter(_.nonEmpty)
     }
+    val DefaultRe = """(?is)(.*?)\s+DEFAULT\s+(.+)""".r
     val cols =
-      if (!splitTop(colsDdl).exists(_.takeWhile(!_.isWhitespace).contains('.')))
+      if (!splitTop(colsDdl).exists(i =>
+        i.takeWhile(!_.isWhitespace).contains('.') || DefaultRe.matches(i)))
         try StructType.fromDDL(colsDdl) catch {
           case e: Exception => throw new IllegalArgumentException(
             s"cannot parse ADD COLUMNS list: ($colsDdl): ${e.getMessage}")
         }
       else StructType(splitTop(colsDdl).map { item =>
         val name = item.takeWhile(!_.isWhitespace).stripPrefix("`").stripSuffix("`")
-        val typeDdl = item.drop(item.takeWhile(!_.isWhitespace).length).trim
+        val rest = item.drop(item.takeWhile(!_.isWhitespace).length).trim
+        // `name type [DEFAULT <literal>]` — the default's SQL text
+        // rides the field metadata (graft.sources.ColumnDefaults)
+        val (typeDdl, defaultSql) = rest match {
+          case DefaultRe(t, d) => (t.trim, Some(d.trim))
+          case _ => (rest, None)
+        }
         val dt = try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseDataType(typeDdl)
         catch { case e: Exception => throw new IllegalArgumentException(
           s"cannot parse ADD COLUMNS type for $name: $typeDdl: ${e.getMessage}") }
-        org.apache.spark.sql.types.StructField(name, dt)
+        val f = org.apache.spark.sql.types.StructField(name, dt)
+        defaultSql.fold(f)(graft.sources.ColumnDefaults.withDefault(f, _))
       })
     val snap = lake.addColumns(view, cols, lake.sessionBranch)
     lake.registerView(view, partitionBy) // temp view takes the evolved schema

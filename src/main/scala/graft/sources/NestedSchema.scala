@@ -24,6 +24,80 @@ import org.apache.spark.sql.types._
   * is refused loudly (evolving `items.element.sku` would need
   * per-element lambda conforms on every read path — compact() under an
   * explicit schema instead). */
+/** `ADD COLUMN … DEFAULT <literal>` (r15) — Iceberg-v3-style INITIAL
+  * DEFAULTS as pure metadata, stored under Spark's OWN column-default
+  * keys in the declared schema's StructField metadata (so Spark's
+  * analyzer resolves `INSERT` statements that omit the column, and
+  * `schema.json` round-trips the default through the `_schemas.jsonl`
+  * ledger for free):
+  *  - `EXISTS_DEFAULT` — what rows written BEFORE the column existed
+  *    read (both read paths bind it where they null-filled);
+  *  - `CURRENT_DEFAULT` — what writes that omit the column get.
+  * Only plain FOLDABLE literals are accepted (validated at ALTER
+  * time): the read paths re-parse the SQL text into a [[Literal]]
+  * inside projections, which must never need an analyzer. */
+private[graft] object ColumnDefaults {
+  val CurrentKey = "CURRENT_DEFAULT"
+  val ExistsKey = "EXISTS_DEFAULT"
+
+  def existsSql(f: StructField): Option[String] =
+    if (f.metadata.contains(ExistsKey)) Some(f.metadata.getString(ExistsKey))
+    else None
+
+  def currentSql(f: StructField): Option[String] =
+    if (f.metadata.contains(CurrentKey)) Some(f.metadata.getString(CurrentKey))
+    else None
+
+  /** Attach both default keys to a field. */
+  def withDefault(f: StructField, sql: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(CurrentKey, sql).putString(ExistsKey, sql).build())
+
+  /** Parse a default's SQL text into the typed literal the read paths
+    * bind; throws (loudly, with the column named) on anything that is
+    * not a plain literal castable to the column type. */
+  def literalFor(sql: String, dt: DataType, name: String, tz: String = "UTC")
+      : org.apache.spark.sql.catalyst.expressions.Literal = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val parsed = try
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"cannot parse DEFAULT for column $name: $sql: ${e.getMessage}") }
+    val lit = parsed match {
+      case l: Literal => l
+      case other => throw new IllegalArgumentException(
+        s"DEFAULT for column $name must be a plain literal, got: $sql " +
+          s"(${other.getClass.getSimpleName})")
+    }
+    if (lit.dataType == dt) lit
+    else {
+      require(Cast.canAnsiCast(lit.dataType, dt),
+        s"DEFAULT $sql (${lit.dataType.simpleString}) cannot become " +
+          s"column $name's ${dt.simpleString}")
+      Literal.create(Cast(lit, dt, Some(tz), ansiEnabled = true).eval(null), dt)
+    }
+  }
+
+  /** The fill for a column a dir predates: its EXISTS_DEFAULT literal
+    * when declared, else a typed NULL — Column form (ordinary path). */
+  def fillColumn(f: StructField): Column =
+    existsSql(f) match {
+      case Some(sql) =>
+        literalFor(sql, f.dataType, f.name) // validate eagerly, loudly
+        org.apache.spark.sql.functions.expr(sql).cast(f.dataType)
+      case None => org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+    }
+
+  /** Expression form (the SPJ projection). */
+  def fillExpr(f: StructField, tz: String)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    existsSql(f) match {
+      case Some(sql) => literalFor(sql, f.dataType, f.name, tz)
+      case None =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(null, f.dataType)
+    }
+}
+
 private[graft] object NestedSchema {
   private def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
 
@@ -131,7 +205,7 @@ private[graft] object NestedSchema {
           val childDecl = declPath + "." + df.name
           val physLeaf = split(revPath(renames, childDecl)).last
           p.fields.find(_.name.equalsIgnoreCase(physLeaf)) match {
-            case None => lit(null).cast(df.dataType).as(df.name)
+            case None => ColumnDefaults.fillColumn(df).as(df.name)
             case Some(pf) =>
               conformColumn(src.getField(pf.name), pf.dataType, df.dataType,
                 childDecl, renames).as(df.name)
@@ -159,7 +233,7 @@ private[graft] object NestedSchema {
           val physLeaf = split(revPath(renames, childDecl)).last
           val pi = p.fields.indexWhere(_.name.equalsIgnoreCase(physLeaf))
           val value =
-            if (pi < 0) Literal.create(null, df.dataType)
+            if (pi < 0) ColumnDefaults.fillExpr(df, tz)
             else conformExpr(GetStructField(src, pi, Some(p.fields(pi).name)),
               p.fields(pi).dataType, df.dataType, childDecl, renames, tz)
           Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(df.name),

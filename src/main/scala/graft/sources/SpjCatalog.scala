@@ -210,12 +210,20 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
     def dotted(names: Array[String]): String = names.mkString(".")
     val steps: Seq[Lakehouse#SchemaStep] = changes.toSeq.flatMap {
       case a: TableChange.AddColumn =>
-        require(a.isNullable,
-          s"ADD COLUMNS ${dotted(a.fieldNames())}: added columns must be nullable " +
-            "(existing rows read NULL)")
-        require(a.defaultValue() == null,
-          "ADD COLUMNS with DEFAULT is unsupported")
-        val f = StructField(dotted(a.fieldNames()), a.dataType())
+        require(a.isNullable || a.defaultValue() != null,
+          s"ADD COLUMNS ${dotted(a.fieldNames())}: added columns must be " +
+            "nullable or carry a DEFAULT (existing rows read NULL otherwise)")
+        // `ADD COLUMN ... DEFAULT <literal>` (r15): Iceberg-v3-style
+        // initial defaults as metadata — old dirs read the literal on
+        // both paths, omitting writes get it, travel below sees neither
+        val f0 = StructField(dotted(a.fieldNames()), a.dataType())
+        val f = Option(a.defaultValue()) match {
+          case None => f0
+          case Some(d) =>
+            val sql = Option(d.getSql).getOrElse(throw new UnsupportedOperationException(
+              s"ADD COLUMNS ${f0.name}: DEFAULT without SQL text is unsupported"))
+            graft.sources.ColumnDefaults.withDefault(f0, sql)
+        }
         // FIRST/AFTER composes as add-then-move INSIDE the one grouped
         // snapshot — the declared order is pure metadata (r14)
         Seq(lake.addColumnsStep(ident.name(),
@@ -306,18 +314,28 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
     * shape), hidden unless named; omitted entirely when a data column
     * shadows the name (that table then serves CoW row-level ops
     * only). What the DELTA row-level operations key position deletes
-    * on. */
+    * on. Plus `_change_type` (r15): the CDC tag column — constant
+    * `insert` on batch reads (a snapshot IS its inserts), and the
+    * insert/delete discriminator on a CDC stream
+    * (`readStream.option("cdc", "true").table("cat.t")`). */
   override def metadataColumns()
-      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (layout.schema.fieldNames.exists(SpjMetaColumns.Names.contains))
-      Array.empty
-    else SpjMetaColumns.Fields.map { f =>
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    def mk(f: StructField) =
       new org.apache.spark.sql.connector.catalog.MetadataColumn {
         override def name(): String = f.name
         override def dataType(): DataType = f.dataType
         override def isNullable: Boolean = false
       }
-    }
+    val rowId =
+      if (layout.schema.fieldNames.exists(SpjMetaColumns.Names.contains))
+        Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn]
+      else SpjMetaColumns.Fields.map(mk)
+    val cdc =
+      if (layout.schema.fieldNames.exists(_.equalsIgnoreCase(SpjMetaColumns.ChangeType)))
+        Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn]
+      else Array(mk(SpjMetaColumns.ChangeTypeField))
+    rowId ++ cdc
+  }
 
   /** Spark-native UPDATE / MERGE INTO (and the DELETE fallback for
     * conditions beyond the [[SupportsDelete]] filter algebra). Two
@@ -343,7 +361,9 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
         val knob = if (info.command() == Command.DELETE) "spark.graft.delete-mode"
           else "spark.graft.update-mode"
         val mor = conf.get(knob, "copy-on-write") == "merge-on-read"
-        if (mor && metadataColumns().nonEmpty)
+        // the delta path needs the ROW-ID pair specifically (the CDC
+        // tag column's presence proves nothing about position deletes)
+        if (mor && metadataColumns().exists(_.name == SpjMetaColumns.File))
           new GraftSpjDeltaOp(root, tableName, branch, layout, info.command())
         else
           new GraftSpjRowLevelOp(root, tableName, branch, layout, info.command())
@@ -387,7 +407,12 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
       // Iceberg's option, Iceberg's default (false = fail loudly on a
       // mid-stream MoR delete): only the streaming path consults it
       skipDeleteSnapshots =
-        options.getBoolean("streaming-skip-delete-snapshots", false))
+        options.getBoolean("streaming-skip-delete-snapshots", false),
+      // `option("cdc", "true")` on readStream.table: the CHANGELOG
+      // stream — MoR deletes/updates between batches arrive as
+      // `_change_type`-tagged row deltas instead of failing the
+      // interval ([[GraftSpjCdcMicroBatchStream]])
+      cdc = options.getBoolean("cdc", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftSpjWriteBuilder(root, tableName, layout.spec, branch, info.schema())
 }
@@ -436,7 +461,8 @@ private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
   * pushdown is the one bug class this surface must never have. */
 private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
     streamInfo: Option[(String, String, String)] = None,
-    skipDeleteSnapshots: Boolean = false)
+    skipDeleteSnapshots: Boolean = false,
+    cdc: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -579,7 +605,39 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
         topN.map { case (ords, k) =>
           ords.map { case (c, asc, _) =>
             s"$c ${if (asc) "ASC" else "DESC"}" }.mkString(", ") + s" LIMIT $k" },
-        streamInfo, skipDeleteSnapshots)
+        streamInfo, skipDeleteSnapshots, cdc)
+  }
+}
+
+/** Splices the constant `_change_type` tag into each row at the
+  * requested ordinal (r15): the BATCH serving of the CDC tag column —
+  * a snapshot IS its inserts — and the insert leg of the CDC stream.
+  * The inner factory reads the data columns only; the splice is one
+  * row copy (delta-priced on streams; on batch reads the column is
+  * rare enough that the copy is acceptable). */
+private[spj] class GraftSpjTagFactory(inner: PartitionReaderFactory,
+    tagOrdinal: Int, outLen: Int, tag: String,
+    innerTypes: Array[DataType]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val in = inner.createReader(partition)
+    val tagU = org.apache.spark.unsafe.types.UTF8String.fromString(tag)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val out =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(outLen)
+      override def next(): Boolean = in.next()
+      override def get(): InternalRow = {
+        val r = in.get()
+        var i = 0; var j = 0
+        while (i < outLen) {
+          if (i == tagOrdinal) out.update(i, tagU)
+          else { out.update(i, r.get(j, innerTypes(j))); j += 1 }
+          i += 1
+        }
+        out
+      }
+      override def close(): Unit = in.close()
+    }
   }
 }
 
@@ -597,7 +655,8 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
     pushed: Seq[org.apache.spark.sql.sources.Filter], limit: Option[Int] = None,
     topN: Option[String] = None,
     streamInfo: Option[(String, String, String)] = None,
-    skipDeleteSnapshots: Boolean = false)
+    skipDeleteSnapshots: Boolean = false,
+    cdc: Boolean = false)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics with SupportsRuntimeV2Filtering
   with SupportsReportOrdering {
@@ -782,14 +841,28 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
     * strip it) — its value rides `partitionSchema`/`partitionValues`
     * through the same reader, then a projection restores the pruned
     * column order Spark asked for. */
-  override def createReaderFactory(): PartitionReaderFactory =
-    SpjReaders.factory(layout, required, pushed)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // a BATCH read naming `_change_type` serves the constant `insert`
+    // (a snapshot IS its inserts): the inner factory reads the data
+    // columns, the wrapper splices the tag at the requested ordinal
+    val ctIdx = required.fieldNames.indexWhere(_ == SpjMetaColumns.ChangeType)
+    if (ctIdx < 0) SpjReaders.factory(layout, required, pushed)
+    else {
+      val dataRequired = StructType(
+        required.fields.zipWithIndex.filter(_._2 != ctIdx).map(_._1))
+      new GraftSpjTagFactory(
+        SpjReaders.factory(layout, dataRequired, pushed), ctIdx,
+        required.length, "insert", dataRequired.fields.map(_.dataType))
+    }
+  }
 
   /** Micro-batch streaming of the catalog table —
     * `spark.readStream.table("cat.t")`; see [[GraftSpjMicroBatchStream]]. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     streamInfo match {
+      case Some((root, table, branch)) if cdc =>
+        new GraftSpjCdcMicroBatchStream(root, table, branch, required)
       case Some((root, table, branch)) =>
         new GraftSpjMicroBatchStream(root, table, branch, required,
           skipDeleteSnapshots)
@@ -987,6 +1060,13 @@ private[spj] object SpjReaders {
             val mi = maps.indexWhere(_._1.name == n)
             require(mi >= 0,
               s"equality-tombstone key $n unresolvable in dir $rep")
+            // a DEFAULTED added column reads its default in old dirs,
+            // not NULL — the null-literal bind would silently miss;
+            // refuse (compact() materializes the deletes)
+            require(maps(mi)._2.nonEmpty ||
+              graft.sources.ColumnDefaults.existsSql(maps(mi)._1).isEmpty,
+              s"equality-tombstone key $n has a DEFAULT and dir $rep predates " +
+                "the ADD — compact() to materialize the deletes first")
             if (maps(mi)._2.isEmpty) (-1, NullType) // dir predates the ADD
             else (maps.take(mi).count(_._2.isDefined), maps(mi)._2.get.dataType)
           }
@@ -1046,6 +1126,12 @@ private[graft] object SpjMetaColumns {
   val Fields: Array[StructField] = Array(
     StructField(File, StringType, nullable = false),
     StructField(Pos, LongType, nullable = false))
+  /** The CDC tag metadata column (r15): `insert` | `delete`. Batch
+    * reads serve the constant `insert`; the CDC micro-batch stream
+    * ([[GraftSpjCdcMicroBatchStream]]) tags per leg. */
+  val ChangeType = "_change_type"
+  val ChangeTypeField: StructField =
+    StructField(ChangeType, StringType, nullable = false)
 }
 
 /** One reader variant: the parquet decode function for one physical
@@ -1094,7 +1180,9 @@ private[spj] class GraftSpjReaderFactory(
           else Some(UnsafeProjection.create(
             required.fields.toIndexedSeq.zip(v.srcOrdinals.toIndexedSeq).map {
               case (f, ord) =>
-                if (ord < 0) Literal.create(null, f.dataType)
+                // a dir written before the column reads its
+                // EXISTS_DEFAULT when declared, else a typed NULL
+                if (ord < 0) graft.sources.ColumnDefaults.fillExpr(f, tz)
                 else {
                   val srcT = v.outSchema.fields(ord).dataType
                   val src = BoundReference(ord, srcT, nullable = true)

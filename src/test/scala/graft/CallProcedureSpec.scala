@@ -67,6 +67,34 @@ class CallProcedureSpec extends SparkSpec {
     assert(lake.snapshots("rpd").length === snaps)
   }
 
+  test("rewrite_position_deletes: MANY equality tombstones convert in bounded union groups (r15)") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    // 8 data dirs × 12 equality tombstones = 96 semi-join branches —
+    // enough to exercise three RewriteUnionBranches(=32) write groups
+    lake.createOrReplace((1L to 25L).map(k => (k, s"v$k")).toDF("k", "v"), "rpm")
+    lake.registerView("rpm")
+    (1 to 7).foreach { i =>
+      lake.append(((i * 25 + 1L) to (i * 25 + 25L)).map(k => (k, s"v$k"))
+        .toDF("k", "v"), "rpm")
+    }
+    // 12 separate MoR deletes, each keying a distinct stripe
+    (0 until 12).foreach { i =>
+      lake.deleteByKeyMor(Seq(i * 16 + 1L, i * 16 + 2L).toDF("k"), "rpm")
+    }
+    val expect = lake.read("rpm").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    assert(expect.length === 200 - 24)
+    val r = spark.sql("CALL system.rewrite_position_deletes('rpm')").head()
+    assert(r.getLong(1) === 12L, "all twelve equality tombstones must convert")
+    val got = lake.read("rpm").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    assert(got === expect, "grouped conversion must not move a single row")
+    // exactly one positional tombstone replaced the twelve
+    val snap = lake.currentSnapshot("rpm").get
+    assert(lake.snapshotDeletes("rpm").getOrElse(snap, Seq.empty).length === 1)
+  }
+
   test("rewrite_data_files sort clusters on explicit or declared sort order") {
     import spark.implicits._
     val lake = new Lakehouse(spark, freshRoot())

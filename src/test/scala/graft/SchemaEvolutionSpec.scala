@@ -298,6 +298,72 @@ class SchemaEvolutionSpec extends SparkSpec {
       lake.renameColumn("p", "address.country", "other.country"))
   }
 
+  test("ADD COLUMN ... DEFAULT: old rows read the default, omitting INSERTs materialize it, travel sees neither") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val v1 = lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "dft")
+    lake.registerView("dft")
+    spark.sql("ALTER TABLE dft ADD COLUMNS (tier STRING DEFAULT 'basic', score INT DEFAULT 10)")
+    // pre-evolution rows read the DEFAULT (not NULL) on the ordinary path
+    val old = lake.read("dft").orderBy("k").collect()
+    assert(old.map(_.getString(2)).toSeq === Seq("basic", "basic"))
+    assert(old.map(_.getInt(3)).toSeq === Seq(10, 10))
+    // an INSERT omitting the defaulted columns materializes them
+    spark.sql("INSERT INTO dft (k, v) VALUES (3, 'c')")
+    val r3 = lake.read("dft").where(col("k") === 3L).head()
+    assert(r3.getString(2) === "basic" && r3.getInt(3) === 10)
+    // an INSERT providing values keeps them
+    spark.sql("INSERT INTO dft (k, v, tier, score) VALUES (4, 'd', 'gold', 99)")
+    val r4 = lake.read("dft").where(col("k") === 4L).head()
+    assert(r4.getString(2) === "gold" && r4.getInt(3) === 99)
+    // filters over the defaulted column see the filled values
+    assert(lake.read("dft").where(col("tier") === "basic").count() === 3)
+    // time travel below the add sees neither column
+    assert(lake.readSnapshot("dft", v1).columns.toSeq === Seq("k", "v"))
+    // refusals: non-literal defaults, non-castable defaults
+    intercept[Exception](
+      spark.sql("ALTER TABLE dft ADD COLUMNS (bad INT DEFAULT rand())"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE dft ADD COLUMNS (bad2 INT DEFAULT 'zap')"))
+    // a NESTED add with a default fills inside the struct too
+    val lake2 = new Lakehouse(spark, freshRoot())
+    lake2.createOrReplace(
+      Seq((1L, "NYC")).toDF("k", "city")
+        .select(col("k"), struct(col("city")).as("addr")), "dftn")
+    lake2.registerView("dftn")
+    spark.sql("ALTER TABLE dftn ADD COLUMNS (addr.country STRING DEFAULT 'US')")
+    assert(lake2.read("dftn").select(col("addr.country")).head().getString(0) === "US")
+  }
+
+  test("ADD COLUMN ... DEFAULT serves on the SPJ path: old dirs read the default, DML composes") {
+    import spark.implicits._
+    import graft.sources.spj.GraftSpjCatalog
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "sdft", Seq("bucket(4,k)"))
+    spark.conf.set("spark.sql.catalog.sdftc", classOf[GraftSpjCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sdftc.root", root)
+    spark.sql("ALTER TABLE sdftc.sdft ADD COLUMNS (tier STRING DEFAULT 'basic')")
+    val got = spark.table("sdftc.sdft")
+    assert(got.where(col("tier") === "basic").count() === 20L)
+    assert(got.where(col("tier").isNull).count() === 0L)
+    // a post-evolution INSERT omitting the column gets the default via
+    // Spark's own CURRENT_DEFAULT resolution on the catalog surface
+    spark.sql("INSERT INTO sdftc.sdft (k, v) VALUES (21, 'v21')")
+    spark.sql("INSERT INTO sdftc.sdft VALUES (22, 'v22', 'gold')")
+    assert(spark.table("sdftc.sdft").where(col("tier") === "basic").count() === 21L)
+    assert(spark.table("sdftc.sdft").where(col("tier") === "gold").count() === 1L)
+    // both read paths agree row-for-row
+    val a = spark.table("sdftc.sdft").collect().map(_.toSeq.mkString("|")).sorted
+    val b = lake.read("sdft").collect().map(_.toSeq.mkString("|")).sorted
+    assert(a.toSeq === b.toSeq)
+    // MoR delete composes with a defaulted column (positional = name-free)
+    lake.deleteWhereMor(col("k") === 5L, "sdft")
+    assert(spark.table("sdftc.sdft").count() === 21L)
+    assert(spark.table("sdftc.sdft").where(col("k") === 5L).count() === 0L)
+  }
+
   test("evolution commits are snapshots: history records them and VACUUM keeps the schema") {
     val lake = new Lakehouse(spark, freshRoot())
     mk(lake)

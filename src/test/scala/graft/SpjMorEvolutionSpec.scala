@@ -558,14 +558,17 @@ class SpjMorEvolutionSpec extends SparkSpec {
       assert(spark.table("spj_fi1.flid").where(col("k") === 4)
         .select("w").collect().head.getDouble(0) === -1.0)
       assert(sortedRows(spark.table("spj_fi1.flid")) === sortedRows(lake.read("flid")))
-      // a RENAMED strip column desyncs the path segment from the
-      // declared name: probe and layout must both refuse
+      // a RENAMED strip column SERVES since r15: the path segment's
+      // dir-time physical name forward-maps to the declared field, so
+      // the probe keeps advertising and the rows stay path-equal —
+      // including the equality tombstone recorded under the OLD name
       lake.renameColumn("flid", "status", "st")
-      assert(lake.spjServableSpec("flid").isEmpty,
-        "the probe must refuse a renamed flat-identity strip column")
-      val e = intercept[IllegalArgumentException](lake.spjLayout("flid"))
-      assert(e.getMessage.contains("ORIGINAL declared name"),
-        s"wanted the strip-column refusal, got: ${e.getMessage}")
+      assert(lake.spjServableSpec("flid").nonEmpty,
+        "the probe must keep advertising a renamed flat-identity strip column")
+      val renamedGot = spark.table("spj_fi1.flid")
+      assert(renamedGot.columns.contains("st"))
+      assert(sortedRows(renamedGot) === sortedRows(lake.read("flid")))
+      assert(renamedGot.where(col("st") === "s2").count() === 0) // tombstone holds
     }
   }
 
@@ -583,6 +586,41 @@ class SpjMorEvolutionSpec extends SparkSpec {
       assert(spark.sql(s"SELECT count(*) AS n FROM spj_me11.mortt VERSION AS OF $before")
         .collect().head.getLong(0) === 15L)
       assert(spark.table("spj_me11.mortt").count() === 13L)
+    }
+  }
+
+  test("RENAMED partition-source columns serve on the flat path: strips forward-map to declared names (r15)") {
+    val root = freshRoot("spj-renstrip")
+    val lake = new Lakehouse(spark, root)
+    // identity-partitioned history, then partition-evolve AWAY, then
+    // rename the old source column — the round-14 dead end
+    val rows = (1L to 30L).map(k => (k, if (k % 3 == 0) "F" else "O", k * 1.0))
+      .toDF("k", "status", "w")
+    lake.createOrReplace(rows, "rns", Seq("status"))
+    lake.registerView("rns", Seq("status"))
+    spark.sql("ALTER TABLE rns SET PARTITION SPEC (bucket(4, k))")
+    lake.append((31L to 40L).map(k => (k, "P", k * 1.0)).toDF("k", "status", "w"),
+      "rns", Seq("bucket(4,k)"))
+    // the old identity source is no longer a layout source: rename lands
+    lake.renameColumn("rns", "status", "state")
+    withSpj(root, "spj_me16") {
+      val got = spark.table("spj_me16.rns")
+      // the renamed strip injects its path-borne values under the NEW name
+      assert(got.columns.toSeq === Seq("k", "state", "w"))
+      assert(sortedRows(got) === sortedRows(lake.read("rns")))
+      assert(got.where(col("state") === "F").count() === 10L)
+      assert(got.where(col("state") === "P").count() === 10L)
+      // SHOW TABLES advertises it (the probe agrees with the load)
+      assert(spark.sql("SHOW TABLES IN spj_me16").collect()
+        .map(_.getString(1)).contains("rns"))
+      // DML keeps working over the renamed-strip snapshot
+      spark.sql("UPDATE spj_me16.rns SET w = 0.0 WHERE k = 3")
+      assert(spark.table("spj_me16.rns").where(col("k") === 3L)
+        .select("w").head().getDouble(0) === 0.0)
+      // MoR delete composes
+      lake.deleteWhereMor(col("k") === 40L, "rns")
+      assert(spark.table("spj_me16.rns").count() === 39L)
+      assert(sortedRows(spark.table("spj_me16.rns")) === sortedRows(lake.read("rns")))
     }
   }
 

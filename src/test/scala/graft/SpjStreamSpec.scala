@@ -193,4 +193,101 @@ class SpjStreamSpec extends SparkSpec {
         s"expected the loud rewrite refusal, got: ${messages(e).mkString(" | ")}")
     }
   }
+
+  test("CDC on the catalog stream: a MoR update arrives as delete+insert; a replica reconstructs exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sscdc").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-sscdc-ck").toString
+    val repRoot = java.nio.file.Files.createTempDirectory("graft-sscdc-rep").toString
+    val lake = new Lakehouse(spark, root)
+    val rep = new Lakehouse(spark, repRoot)
+    import spark.implicits._
+    lake.createOrReplace((1L to 30L).map(k => (k, s"v$k", k * 1.0)).toDF("k", "v", "w"),
+      "cdt", Seq("bucket(4,k)"))
+    withSpj(root, "sscdc") {
+      // collected change batches (for shape assertions) + the replica
+      val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+      def drainCdc(): Unit = {
+        val q = spark.readStream.option("cdc", "true").table("sscdc.cdt")
+          .select(col("k"), col("v"), col("w"), col("_change_type"))
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            val rows = df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+            batches.synchronized { batches += ((id, rows)) }
+            rep.applyChangesOnce(df, "cdt_rep", Seq("k"), id); ()
+          }
+          .start()
+        try assert(q.awaitTermination(120000)) finally q.stop()
+      }
+      def replicaExact(): Unit = {
+        val p = lake.read("cdt")
+        val r = rep.read("cdt_rep")
+        assert(p.exceptAll(r).isEmpty && r.exceptAll(p).isEmpty,
+          "replica must equal the primary row-for-row")
+      }
+      // bootstrap: the full snapshot as inserts
+      drainCdc(); replicaExact()
+      assert(batches.flatMap(_._2).forall(_.endsWith("|insert")))
+      // interval with a MoR DELETE (k=3,7), a MoR UPDATE (w*10 on k=5)
+      // and an APPEND — deletes must arrive as `delete` rows, the
+      // update as its old image's delete plus its new image's insert
+      lake.deleteWhereMor(col("k").isin(3L, 7L), "cdt")
+      lake.updateWhereMor(Seq("w" -> (col("w") * 10)), col("k") === 5L, "cdt",
+        Seq("bucket(4,k)"))
+      lake.append(Seq((31L, "v31", 31.0)).toDF("k", "v", "w"), "cdt", Seq("bucket(4,k)"))
+      batches.clear()
+      drainCdc(); replicaExact()
+      val tail = batches.flatMap(_._2)
+      assert(tail.count(_ == "3|v3|3.0|delete") === 1)
+      assert(tail.count(_ == "7|v7|7.0|delete") === 1)
+      assert(tail.count(_ == "5|v5|5.0|delete") === 1) // the update's old image
+      assert(tail.count(_ == "5|v5|50.0|insert") === 1) // and its new image
+      assert(tail.count(_ == "31|v31|31.0|insert") === 1)
+      assert(tail.count(_.endsWith("|delete")) === 3)
+      // a row inserted AND deleted INSIDE one interval nets to nothing
+      lake.append(Seq((99L, "ghost", 9.9)).toDF("k", "v", "w"), "cdt", Seq("bucket(4,k)"))
+      lake.deleteWhereMor(col("k") === 99L, "cdt")
+      batches.clear()
+      drainCdc(); replicaExact()
+      assert(!batches.flatMap(_._2).exists(_.startsWith("99|")),
+        s"within-interval insert+delete must net out, got: ${batches.flatMap(_._2)}")
+      // idle drain: nothing re-emits (exactly-once)
+      batches.clear()
+      drainCdc(); replicaExact()
+      assert(batches.flatMap(_._2).isEmpty)
+      // a CDC stream that selects row-id metadata too gets real values
+      // alongside the tag (the emission carries the full metadataOutput)
+      val ck3 = java.nio.file.Files.createTempDirectory("graft-sscdc-ck3").toString
+      val metaRows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+      val q3 = spark.readStream.option("cdc", "true").table("sscdc.cdt")
+        .select(col("k"), col("_file"), col("_pos"), col("_change_type"))
+        .writeStream.option("checkpointLocation", ck3)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          metaRows.synchronized {
+            metaRows ++= df.collect().map(r =>
+              (r.getString(1), r.getLong(2), r.getString(3)))
+          }; ()
+        }.start()
+      try assert(q3.awaitTermination(120000)) finally q3.stop()
+      assert(metaRows.nonEmpty)
+      assert(metaRows.forall { case (f, p, ct) =>
+        f.contains("/data-") && p >= 0L && ct == "insert" })
+    }
+  }
+
+  test("batch reads serve _change_type as the constant insert") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ssct").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.createOrReplace((1L to 8L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "ctb", Seq("bucket(2,k)"))
+    withSpj(root, "ssctc") {
+      val got = spark.table("ssctc.ctb").select(col("k"), col("_change_type"))
+      assert(got.count() === 8L)
+      assert(got.where(col("_change_type") =!= "insert").count() === 0L)
+      // hidden unless named: SELECT * stays the data schema
+      assert(!spark.table("ssctc.ctb").columns.contains("_change_type"))
+    }
+  }
 }
