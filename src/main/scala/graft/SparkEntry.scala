@@ -556,8 +556,8 @@ object SparkEntry {
     "stream_range_join" ->
       """SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks_10m,
         |  CAST(1.0 AS DOUBLE) AS exactly_once
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id % 7 < 2) p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click' AND user_id % 7 < 2) c
         |  ON p.user_id = c.user_id AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     // CDC on the DSv2 catalog stream: the oracle restates the net

@@ -427,7 +427,12 @@ object EventStream {
     * grouping all land bit-identically cross-engine. */
   def streamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // a DETERMINISTIC user slice (2/7 of the population): the whole
+    // event span lands in one micro-batch, so the join buffers
+    // O(batch) state — the slice keeps the oracle exact while the
+    // bench pays for join semantics, not state-store volume
     val events = graft.sources.Tables.events(spark, dir)
+      .where(pmod(col("user_id"), lit(7)) < 2)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     val stage = Files.createTempDirectory("graft-srj").toString
     val scratch = Files.createTempDirectory("graft-srj-w").toString

@@ -276,6 +276,48 @@ class SpjStreamSpec extends SparkSpec {
     }
   }
 
+  test("CDC stream composes with schema evolution: a mid-stream ALTER conforms later batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sscdcev").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-sscdcev-ck").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.createOrReplace((1L to 12L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "cev", Seq("bucket(2,k)"))
+    withSpj(root, "sscdcev") {
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      def drainCdc(cols: Seq[String]): Unit = {
+        val q = spark.readStream.option("cdc", "true").table("sscdcev.cev")
+          .select(cols.map(col) :+ col("_change_type"): _*)
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            batches.synchronized {
+              batches += df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+            }; ()
+          }.start()
+        try assert(q.awaitTermination(120000)) finally q.stop()
+      }
+      drainCdc(Seq("k", "v")) // bootstrap: 12 inserts
+      assert(batches.flatten.size === 12)
+      // mid-stream: nested-free ALTER (add w/ default + rename),
+      // a MoR delete, and a post-evolution append — one interval
+      spark.sql("ALTER TABLE sscdcev.cev ADD COLUMNS (tier STRING DEFAULT 'basic')")
+      spark.sql("ALTER TABLE sscdcev.cev RENAME COLUMN v TO label")
+      lake.deleteWhereMor(col("k") === 5L, "cev")
+      spark.sql("INSERT INTO sscdcev.cev VALUES (13, 'v13', 'gold')")
+      batches.clear()
+      // the restart re-resolves the (evolved) schema: old checkpoints
+      // carry snapshot offsets only, so a widened column set serves
+      drainCdc(Seq("k", "label", "tier"))
+      val tail = batches.flatten
+      // the delete's old image conforms: renamed column resolves, the
+      // defaulted column reads its default
+      assert(tail.count(_ == "5|v5|basic|delete") === 1, s"got: $tail")
+      assert(tail.count(_ == "13|v13|gold|insert") === 1)
+      assert(tail.size === 2)
+    }
+  }
+
   test("batch reads serve _change_type as the constant insert") {
     val root = java.nio.file.Files.createTempDirectory("graft-ssct").toString
     val lake = new Lakehouse(spark, root)
