@@ -20,10 +20,13 @@ import org.apache.spark.sql.types._
   * prefix-aware, so a later rename of a PARENT struct transparently
   * re-roots its children's earlier renames.
   *
-  * Paths may only cross STRUCT levels: a segment under an array or map
-  * is refused loudly (evolving `items.element.sku` would need
-  * per-element lambda conforms on every read path — compact() under an
-  * explicit schema instead). */
+  * Paths cross STRUCT levels and — r15, second pass — ARRAYS OF
+  * STRUCTS via the `element` segment (`items.element.sku`, Iceberg's
+  * own addressing; the reference's `items[]` shape): per-element
+  * conforms ride `transform()` on the ordinary path and a pre-bound
+  * `ArrayTransform` in the SPJ projection. MAP values stay refused
+  * (no per-entry conform is served — compact() under an explicit
+  * schema instead). */
 /** `ADD COLUMN … DEFAULT <literal>` (r15) — Iceberg-v3-style INITIAL
   * DEFAULTS as pure metadata, stored under Spark's OWN column-default
   * keys in the declared schema's StructField metadata (so Spark's
@@ -138,6 +141,7 @@ private[graft] object NestedSchema {
       val p = prefix + f.name
       p +: (f.dataType match {
         case s: StructType => flatPaths(s, p + ".")
+        case ArrayType(s: StructType, _) => flatPaths(s, p + ".element.")
         case _ => Nil
       })
     }
@@ -147,35 +151,60 @@ private[graft] object NestedSchema {
     * crossings. */
   def split(dotted: String): Seq[String] = dotted.split('.').toSeq
 
-  /** The parent StructType at `parentPath` (Nil = the schema itself),
-    * every crossed level verified to be a struct. */
+  /** The parent StructType at `parentPath` (Nil = the schema itself).
+    * Crossed levels must be structs or — via the `element` segment —
+    * arrays of structs; anything else refuses loudly. */
   def parentAt(schema: StructType, parentPath: Seq[String],
-      table: String): StructType =
-    parentPath.foldLeft(schema) { (cur, seg) =>
-      val f = cur.fields.find(_.name.equalsIgnoreCase(seg)).getOrElse(
-        throw new IllegalArgumentException(
-          s"$table has no column ${parentPath.mkString(".")}: $seg not found"))
-      f.dataType match {
-        case s: StructType => s
+      table: String): StructType = {
+    val end = parentPath.foldLeft(schema: DataType) { (cur, seg) =>
+      cur match {
+        case ArrayType(et, _) =>
+          require(seg.equalsIgnoreCase("element"),
+            s"cannot evolve under an array by field name ($seg) — address " +
+              s"its elements as 'element' (${parentPath.mkString(".")})")
+          et
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(seg)).getOrElse(
+            throw new IllegalArgumentException(
+              s"$table has no column ${parentPath.mkString(".")}: $seg not found"))
+            .dataType
         case other => throw new IllegalArgumentException(
           s"cannot evolve under $seg: it is a ${other.simpleString}, not a " +
-            "struct — nested evolution crosses struct levels only")
+            "struct — nested evolution crosses structs and arrays of structs only")
       }
     }
+    end match {
+      case st: StructType => st
+      case ArrayType(_: StructType, _) => throw new IllegalArgumentException(
+        s"${parentPath.mkString(".")} is an array of structs — evolve its " +
+          "fields under '.element' (Iceberg's addressing)")
+      case other => throw new IllegalArgumentException(
+        s"cannot evolve under ${parentPath.mkString(".")}: it is a " +
+          s"${other.simpleString}, not a struct")
+    }
+  }
 
   /** Rebuild `schema` with the struct at `parentPath` replaced by
     * `f(itself)`. Crossings validated by [[parentAt]] first. */
   def updateParent(schema: StructType, parentPath: Seq[String])
       (f: StructType => StructType): StructType =
-    parentPath match {
-      case Seq() => f(schema)
-      case seg +: rest =>
-        StructType(schema.fields.map { fld =>
-          if (fld.name.equalsIgnoreCase(seg))
-            fld.copy(dataType =
-              updateParent(fld.dataType.asInstanceOf[StructType], rest)(f))
-          else fld
-        })
+    updateAt(schema, parentPath)(f).asInstanceOf[StructType]
+
+  private def updateAt(dt: DataType, path: Seq[String])
+      (f: StructType => StructType): DataType =
+    path match {
+      case Seq() => f(dt.asInstanceOf[StructType])
+      case seg +: rest => dt match {
+        case ArrayType(et, n) => ArrayType(updateAt(et, rest)(f), n)
+        case st: StructType =>
+          StructType(st.fields.map { fld =>
+            if (fld.name.equalsIgnoreCase(seg))
+              fld.copy(dataType = updateAt(fld.dataType, rest)(f))
+            else fld
+          })
+        case other => throw new IllegalStateException(
+          s"updateAt crossed a ${other.simpleString} (validated walk should refuse)")
+      }
     }
 
   /** Does conforming `phys` to `decl` need more than a Cast — i.e. is
@@ -187,6 +216,7 @@ private[graft] object NestedSchema {
           d.fields.map(f => lc(f.name)).toSeq ||
           p.fields.zip(d.fields).exists { case (pf, df) =>
             structConform(pf.dataType, df.dataType) }
+      case (ArrayType(p, _), ArrayType(d, _)) => structConform(p, d)
       case _ => false
     }
 
@@ -200,6 +230,12 @@ private[graft] object NestedSchema {
       declPath: String, renames: Seq[(String, String)]): Column =
     (phys, decl) match {
       case (p, d) if p == d && !structConform(p, d) => src
+      // ARRAY OF STRUCTS: per-element conform through transform();
+      // a null array stays null (transform propagates it)
+      case (ArrayType(pe, _), ArrayType(de, dn)) =>
+        org.apache.spark.sql.functions.transform(src, x =>
+          conformColumn(x, pe, de, declPath + ".element", renames))
+          .cast(ArrayType(de, dn))
       case (p: StructType, d: StructType) =>
         val built = struct(d.fields.toSeq.map { df =>
           val childDecl = declPath + "." + df.name
@@ -227,6 +263,15 @@ private[graft] object NestedSchema {
     import org.apache.spark.sql.catalyst.expressions._
     (phys, decl) match {
       case (p, d) if p == d && !structConform(p, d) => src
+      // ARRAY OF STRUCTS: a PRE-BOUND ArrayTransform (the lambda
+      // variable is constructed named, not unresolved — exactly what
+      // the analyzer's bind would produce, so the projection needs no
+      // analysis; higher-order functions evaluate via CodegenFallback
+      // inside UnsafeProjection, which is fine for evolved dirs)
+      case (ArrayType(pe, pn), ArrayType(de, _)) =>
+        val lv = NamedLambdaVariable("el", pe, pn)
+        val body = conformExpr(lv, pe, de, declPath + ".element", renames, tz)
+        ArrayTransform(src, LambdaFunction(body, Seq(lv)))
       case (p: StructType, d: StructType) =>
         val children = d.fields.toSeq.flatMap { df =>
           val childDecl = declPath + "." + df.name

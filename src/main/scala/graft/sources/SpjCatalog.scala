@@ -1189,11 +1189,15 @@ private[spj] class GraftSpjReaderFactory(
                   if (srcT == f.dataType) src
                   else (srcT, f.dataType) match {
                     // physical struct shape differs (nested evolution,
-                    // or a nested-pruned required type): conform BY
-                    // NAME — a Cast resolves struct fields
-                    // POSITIONALLY, which is exactly wrong here
+                    // array-element evolution, or a nested-pruned
+                    // required type): conform BY NAME — a Cast resolves
+                    // struct fields POSITIONALLY, which is exactly
+                    // wrong when names moved
                     case (p: org.apache.spark.sql.types.StructType,
                           d: org.apache.spark.sql.types.StructType) =>
+                      graft.sources.NestedSchema.conformExpr(
+                        src, p, d, f.name, v.renames, tz)
+                    case (p, d) if graft.sources.NestedSchema.structConform(p, d) =>
                       graft.sources.NestedSchema.conformExpr(
                         src, p, d, f.name, v.renames, tz)
                     case _ => Cast(src, f.dataType, Some(tz))

@@ -283,11 +283,11 @@ class SchemaEvolutionSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       lake.addColumns("p", StructType(Seq(StructField("address.city", StringType)))))
     assert(e.getMessage.contains("once existed"))
-    // paths crossing an ARRAY refuse loudly (per-element conforms are
-    // not served — compact() under an explicit schema instead)
+    // an ARRAY OF STRUCTS is addressed via '.element' (Iceberg's
+    // form); by-field-name addressing refuses with the pointer
     val ea = intercept[IllegalArgumentException](
       lake.addColumns("p", StructType(Seq(StructField("items.sku2", StringType)))))
-    assert(ea.getMessage.contains("not a struct"))
+    assert(ea.getMessage.contains("element"))
     intercept[IllegalArgumentException](lake.renameColumn("p", "items.sku", "s"))
     // dropping the LAST field of a struct refuses (drop the parent)
     lake.dropColumn("p", "address.postal")
@@ -296,6 +296,54 @@ class SchemaEvolutionSpec extends SparkSpec {
     // rename target must be SIMPLE (same-scope rule)
     intercept[IllegalArgumentException](
       lake.renameColumn("p", "address.country", "other.country"))
+  }
+
+  test("ARRAY-ELEMENT evolution: items.element fields add/rename/drop; both dirs' elements conform") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    val df = Seq((1L, Seq(("sku1", 2), ("sku2", 5))), (2L, Seq(("sku3", 1))))
+      .toDF("k", "raw")
+      .select(col("k"), expr(
+        "transform(raw, x -> named_struct('sku', x._1, 'qty', x._2))").as("items"))
+    val v1 = lake.createOrReplace(df, "ae")
+    lake.registerView("ae")
+    // ADD a field inside the array's element struct: every existing
+    // element reads NULL there
+    spark.sql("ALTER TABLE ae ADD COLUMNS (items.element.discount DOUBLE)")
+    val shape = lake.read("ae").schema("items").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(shape.fieldNames.toSeq === Seq("sku", "qty", "discount"))
+    assert(lake.read("ae")
+      .select(explode(col("items")).as("it")).where(col("it.discount").isNull)
+      .count() === 3)
+    // a post-evolution append carries the full element shape
+    lake.append(Seq((3L, Seq(("sku9", 7, 0.25)))).toDF("k", "raw")
+      .select(col("k"), expr(
+        "transform(raw, x -> named_struct('sku', x._1, 'qty', x._2, 'discount', x._3))")
+        .as("items")), "ae")
+    // RENAME an element field: values resolve from BOTH physical shapes
+    lake.renameColumn("ae", "items.element.sku", "code")
+    val codes = lake.read("ae").select(explode(col("items.code")).as("c"))
+      .collect().map(_.getString(0)).sorted
+    assert(codes.toSeq === Seq("sku1", "sku2", "sku3", "sku9"))
+    // DROP an element field; travel below sees the original shape
+    val vDrop = lake.dropColumn("ae", "items.element.qty")
+    assert(lake.read("ae").schema("items").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq === Seq("code", "discount"))
+    assert(lake.readSnapshot("ae", v1).schema("items").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("sku", "qty"))
+    assert(lake.readSnapshot("ae", v1)
+      .select(explode(col("items.qty")).as("q")).collect()
+      .map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 5))
+    // the dropped element name is reserved in its scope
+    val e = intercept[IllegalArgumentException](lake.addColumns("ae",
+      StructType(Seq(StructField("items.element.qty", IntegerType)))))
+    assert(e.getMessage.contains("once existed"))
+    // SQL dotted-path surface reaches elements too
+    spark.sql("ALTER TABLE ae ADD COLUMNS (items.element.note STRING)")
+    assert(lake.read("ae").select(explode(col("items.note")).as("n"))
+      .where(col("n").isNull).count() === 4)
   }
 
   test("ADD COLUMN ... DEFAULT: old rows read the default, omitting INSERTs materialize it, travel sees neither") {

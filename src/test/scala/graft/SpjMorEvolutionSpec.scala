@@ -674,4 +674,40 @@ class SpjMorEvolutionSpec extends SparkSpec {
           col("addr.country"))))
     }
   }
+
+  test("ARRAY-ELEMENT evolution serves on the SPJ path: per-element conforms ride the projection (r15)") {
+    val root = freshRoot("spj-arrel")
+    val lake = new Lakehouse(spark, root)
+    val rows = (1L to 20L).map(k => (k, Seq((s"s$k", k.toInt))))
+      .toDF("k", "raw")
+      .select(col("k"), expr(
+        "transform(raw, x -> named_struct('sku', x._1, 'qty', x._2))").as("items"))
+    lake.createOrReplace(rows, "art", Seq("bucket(4,k)"))
+    withSpj(root, "spj_me17") {
+      spark.sql("ALTER TABLE spj_me17.art ADD COLUMNS (items.element.discount DOUBLE)")
+      spark.sql("ALTER TABLE spj_me17.art RENAME COLUMN items.element.sku TO code")
+      spark.sql("INSERT INTO spj_me17.art VALUES " +
+        "(21, array(named_struct('code','s21','qty',21,'discount',0.5)))")
+      val got = spark.table("spj_me17.art")
+      assert(got.schema("items").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq === Seq("code", "qty", "discount"))
+      // both read paths agree element-for-element across the two shapes
+      assert(sortedRows(got.select(col("k"), explode(col("items")).as("it"))
+        .select(col("k"), col("it.code"), col("it.qty"), col("it.discount"))) ===
+        sortedRows(lake.read("art").select(col("k"), explode(col("items")).as("it"))
+          .select(col("k"), col("it.code"), col("it.qty"), col("it.discount"))))
+      assert(got.select(explode(col("items.discount")).as("d"))
+        .where(col("d").isNull).count() === 20L)
+      // element-field DROP serves too
+      spark.sql("ALTER TABLE spj_me17.art DROP COLUMN items.element.qty")
+      assert(spark.table("spj_me17.art").select(explode(col("items")).as("it"))
+        .select(col("it.code")).count() === 21L)
+      // co-location claims survive array-element evolution
+      val j = spark.table("spj_me17.art").join(
+        spark.table("spj_me17.art").select(col("k").as("k2")), col("k") === col("k2"))
+      assert(!Medallion.plansShuffle(j),
+        "array-element evolution must keep co-locating:\n" + j.queryExecution.executedPlan)
+    }
+  }
 }
