@@ -587,6 +587,11 @@ object SparkEntry {
         |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS has_grade,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 0
+        |    THEN o_orderkey % 7 + o_custkey % 5 ELSE o_orderkey % 7 END) AS BIGINT)
+        |    AS amount_sum,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 3 ELSE 0 END) AS BIGINT)
+        |    AS qty2_sum,
         |  'mongo' AS src_tag,
         |  CAST(1.0 AS DOUBLE) AS nested_meta_only,
         |  CAST(1.0 AS DOUBLE) AS paths_agree

@@ -1431,22 +1431,32 @@ object Medallion {
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
     Tables.orders(spark, dir).createOrReplaceTempView("nestevo_orders")
+    // the reference's FULL document shape: a struct (shipping_address)
+    // AND an array of structs (items[]) — mongo_to_iceberg.py:36-60
     spark.sql(s"""CREATE TABLE $cat.nev (
       |  o_orderkey BIGINT, o_custkey BIGINT, o_price DECIMAL(12,2),
-      |  meta STRUCT<status: STRING, prio: STRING>)
+      |  meta STRUCT<status: STRING, prio: STRING>,
+      |  items ARRAY<STRUCT<sku: BIGINT, qty: INT>>)
       |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
     spark.sql(s"""INSERT INTO $cat.nev
       |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)),
-      |  named_struct('status', o_orderstatus, 'prio', o_orderpriority)
+      |  named_struct('status', o_orderstatus, 'prio', o_orderpriority),
+      |  array(named_struct('sku', o_orderkey % 100, 'qty', CAST(o_orderkey % 7 AS INT)),
+      |        named_struct('sku', o_custkey % 100, 'qty', CAST(o_custkey % 5 AS INT)))
       |FROM nestevo_orders WHERE o_orderkey % 2 = 0""".stripMargin)
-    // nested ADD + RENAME (dotted paths through the DSv2 ALTER surface)
+    // nested ADD + RENAME (dotted paths through the DSv2 ALTER
+    // surface), struct AND array-element scopes
     spark.sql(s"ALTER TABLE $cat.nev ADD COLUMNS (meta.grade STRING)")
     spark.sql(s"ALTER TABLE $cat.nev RENAME COLUMN meta.prio TO priority")
+    spark.sql(s"ALTER TABLE $cat.nev ADD COLUMNS (items.element.qty2 INT)")
+    spark.sql(s"ALTER TABLE $cat.nev RENAME COLUMN items.element.qty TO amount")
     // a post-evolution INSERT writes the full new shape physically
     spark.sql(s"""INSERT INTO $cat.nev
       |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)),
       |  named_struct('status', o_orderstatus, 'priority', o_orderpriority,
-      |    'grade', substring(o_orderpriority, 1, 1))
+      |    'grade', substring(o_orderpriority, 1, 1)),
+      |  array(named_struct('sku', o_orderkey % 100, 'amount', CAST(o_orderkey % 7 AS INT),
+      |        'qty2', CAST(o_orderkey % 3 AS INT)))
       |FROM nestevo_orders WHERE o_orderkey % 2 = 1""".stripMargin)
     // merge-on-read DELETE composes (positional tombstones are
     // name-free — struct shape changes can't desync them)
@@ -1470,6 +1480,14 @@ object Medallion {
       .groupBy(col("meta.status").as("status_g"),
         when(col("meta.grade").isNotNull, 1L).otherwise(0L).as("has_grade"))
       .agg(count(lit(1)).as("n"), sum(col("o_price")).cast("double").as("total"),
+        // element-level readout: the RENAMED array field (`amount`)
+        // aggregates across BOTH physical element shapes, and the
+        // ADDED one (`qty2`) reads NULL in pre-evolution elements —
+        // aggregate(..) sums per row, then the group totals pin both
+        sum(expr("aggregate(items.amount, 0L, (a, x) -> a + coalesce(x, 0))"))
+          .as("amount_sum"),
+        sum(expr("aggregate(items.qty2, 0L, (a, x) -> a + coalesce(x, 0))"))
+          .as("qty2_sum"),
         max(col("src")).as("src_tag"))
     val viaCatalog = agg(spark.table(s"$cat.nev"))
     val viaOrdinary = agg(lake.read("nev"))

@@ -3121,7 +3121,13 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         perDir.flatten.foreach(st => st.fields.foreach { f =>
           fields.get(f.name) match {
             case None => fields(f.name) = f
-            case Some(prev) => if (prev.dataType != f.dataType) ok = false
+            // compare MODULO NULLABILITY: array/struct types EMBED
+            // containsNull / field-nullable flags, and two writers of
+            // the same logical shape routinely disagree on them (a
+            // CREATE marker's declared schema vs an INSERT's analyzed
+            // one) — catalogString renders the shape without them
+            case Some(prev) =>
+              if (prev.dataType.catalogString != f.dataType.catalogString) ok = false
           }
         })
         if (!ok) None
