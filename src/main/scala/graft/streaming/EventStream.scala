@@ -463,10 +463,18 @@ object EventStream {
         .start()
       try q.awaitTermination() finally q.stop()
     }
-    drain()
-    val rows1 = lake.read("srj_pairs").count()
-    drain() // replay over the same checkpoint: exactly-once
-    val exactlyOnce = if (lake.read("srj_pairs").count() == rows1) 1.0 else 0.0
+    // the run is state-store-FIXED-cost dominated (a stream-stream
+    // join keeps two stores per shuffle partition, checkpointed as
+    // many small files): 8 partitions, pinned by the checkpoint,
+    // cut the store count 4x while the sliced data still spreads
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val (rows1, exactlyOnce) = try {
+      drain()
+      val r1 = lake.read("srj_pairs").count()
+      drain() // replay over the same checkpoint: exactly-once
+      (r1, if (lake.read("srj_pairs").count() == r1) 1.0 else 0.0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     lake.read("srj_pairs")
       .groupBy(col("purchase_id").as("event_id"))
       .agg(count(col("click_id")).as("n_clicks_10m"))
