@@ -167,6 +167,41 @@ object Stress {
         got
       }
     } finally spark.conf.unset("spark.graft.spj.tombstone-broadcast-bytes")
+    // NESTED + ARRAY-ELEMENT conform at volume (r15): a 2M-row table
+    // with a struct and a 4-element array-of-structs column, evolved
+    // at BOTH depths — the read-through conform (struct rebuild +
+    // per-element ArrayTransform on the SPJ path, transform() on the
+    // ordinary path) must price like a projection, not a join
+    val nevN = 2000000L
+    lake.createOrReplace(
+      spark.range(nevN).select(col("id").as("k"),
+        struct(concat(lit("c"), pmod(col("id"), lit(1000))).as("city"),
+          pmod(col("id"), lit(97)).as("zip")).as("addr"),
+        expr("transform(sequence(0, 3), i -> " +
+          "named_struct('sku', id % 500, 'qty', CAST(id % 7 AS INT)))").as("items")),
+      "docs_nev", Seq("bucket(16,k)"))
+    lake.alterSchemaGrouped("docs_nev", Seq(
+      lake.addColumnsStep("docs_nev", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("addr.country",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("items.element.disc",
+          org.apache.spark.sql.types.DoubleType)))),
+      lake.renameColumnStep("docs_nev", "items.element.qty", "amount"),
+      lake.renameColumnStep("docs_nev", "addr.zip", "postal")))
+    t("nested_conform_2m_read") { // ordinary path: full conform scan
+      val got = lake.read("docs_nev")
+        .select(sum(expr("aggregate(items.amount, 0L, (a, x) -> a + x)")).as("s"),
+          count(col("addr.postal")).as("n")).head()
+      require(got.getLong(1) == nevN, s"conform lost rows: ${got.getLong(1)}")
+      got.getLong(0)
+    }
+    t("nested_conform_2m_spj") { // SPJ path: pre-bound ArrayTransform
+      val got = spark.table("stress_rl.docs_nev")
+        .select(sum(expr("aggregate(items.amount, 0L, (a, x) -> a + x)")).as("s"),
+          count(col("addr.postal")).as("n")).head()
+      require(got.getLong(1) == nevN, s"SPJ conform lost rows: ${got.getLong(1)}")
+      got.getLong(0)
+    }
     graft.sources.Memo.release(spark)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lakeDir))
