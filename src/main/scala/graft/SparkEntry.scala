@@ -14,8 +14,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Medallion.goldSalesReport(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2.
+    * INSERTION-ORDERED (r16): the bench and verify drivers iterate
+    * this map, and a hash-ordered `Map` reshuffles execution order
+    * whenever an entry is added — which moves shared-artifact warmup
+    * (e.g. [[graft.sources.Memo]] bases) between queries and makes
+    * round-over-round timings incomparable. A ListMap pins the order
+    * to this declaration. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     // §2.A — reference surface (medallion)
     "bronze_orders_nested" -> (Medallion.bronzeVerification _),
     "silver_enrich" -> (Medallion.silverVerification _),

@@ -737,17 +737,23 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       val catLock =
         Lakehouse.locks.computeIfAbsent(catalogPath.toString, _ => new Object)
       val fromCols: Option[String] = catLock.synchronized {
-        val cols = readLines(catalogPath).collectFirst {
+        val existing = readLines(catalogPath)
+        val cols = existing.collectFirst {
           case CatalogLine(t, cols) if unesc(t) == from => cols
         }
-        cols.foreach { c =>
-          val lines = readLines(catalogPath).filterNot {
-            case CatalogLine(t, _) => unesc(t) == to
-            case _ => false
-          }
-          writeFile(catalogPath,
-            (lines :+ s"""{"table":"${jsonEsc(to)}","partitionBy":[$c]}""")
-              .mkString("\n") + "\n")
+        // ALWAYS retract a pre-existing line for `to` (orphan residue
+        // of a crashed prior rename) — even when `from` carries no
+        // line of its own, or the renamed unpartitioned table would
+        // silently inherit the orphan's partitionBy
+        val retracted = existing.filterNot {
+          case CatalogLine(t, _) => unesc(t) == to
+          case _ => false
+        }
+        val next = retracted ++
+          cols.map(c => s"""{"table":"${jsonEsc(to)}","partitionBy":[$c]}""")
+        if (next != existing) {
+          if (next.isEmpty) fs.delete(catalogPath, false)
+          else writeFile(catalogPath, next.mkString("\n") + "\n")
           Lakehouse.catalogEpoch.incrementAndGet()
         }
         cols
@@ -3125,9 +3131,17 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
             // containsNull / field-nullable flags, and two writers of
             // the same logical shape routinely disagree on them (a
             // CREATE marker's declared schema vs an INSERT's analyzed
-            // one) — catalogString renders the shape without them
+            // one) — catalogString renders the shape without them.
+            // KEEP the MOST PERMISSIVE nullability of the agreeing
+            // shapes (r16): keeping the first-seen type could pin
+            // containsNull=false while a later dir actually holds null
+            // elements, and conformColumn's cast to that narrower type
+            // fails analysis at read time (Cast refuses narrowing).
             case Some(prev) =>
               if (prev.dataType.catalogString != f.dataType.catalogString) ok = false
+              else fields(f.name) = prev.copy(
+                dataType = Lakehouse.mostPermissive(prev.dataType, f.dataType),
+                nullable = prev.nullable || f.nullable)
           }
         })
         if (!ok) None
@@ -5765,6 +5779,27 @@ object Lakehouse {
   /** Intra-JVM per-table commit locks, keyed by absolute table path. */
   private[sources] val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Merge two SAME-SHAPE types (catalogString-equal) to the most
+    * permissive nullability — containsNull / valueContainsNull /
+    * field-nullable flags OR together, so a metadata-derived schema
+    * never narrows what some dir actually stores. */
+  private[sources] def mostPermissive(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (StructType(af), StructType(bf)) =>
+        StructType(af.zip(bf).map { case (x, y) =>
+          x.copy(dataType = mostPermissive(x.dataType, y.dataType),
+            nullable = x.nullable || y.nullable) })
+      case (ArrayType(ae, an), ArrayType(be, bn)) =>
+        ArrayType(mostPermissive(ae, be), an || bn)
+      case (MapType(ak, av, an), MapType(bk, bv, bn)) =>
+        MapType(mostPermissive(ak, bk), mostPermissive(av, bv), an || bn)
+      case _ => a
+    }
+  }
 
   /** Parsed manifest-list summaries keyed by (manifest path, mtime,
     * length) — see [[Lakehouse.dirSummaries]]. */

@@ -250,22 +250,62 @@ case class LakehouseAddColumnsCommand(view: String, colsDdl: String)
     // — `StructType.fromDDL` can't parse them, so split the list at
     // depth-0 commas and build the fields by hand; plain lists keep
     // the stock DDL parser (comments, char types, …)
+    // QUOTE-AWARE scanning (r16): both the depth-0 comma split and the
+    // DEFAULT keyword search skip single-quoted SQL string literals
+    // ('' = escaped quote) — otherwise `DEFAULT 'a,b'` splits mid-
+    // literal and a COMMENT containing " default " false-positives
+    // into the hand parser.
     def splitTop(ddl: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var depth = 0; var start = 0
-      ddl.zipWithIndex.foreach {
-        case (c, i) if c == '(' || c == '<' => depth += 1
-        case (c, i) if c == ')' || c == '>' => depth -= 1
-        case (',', i) if depth == 0 => out += ddl.substring(start, i); start = i + 1
-        case _ => ()
+      var depth = 0; var start = 0; var i = 0; var inQ = false
+      while (i < ddl.length) {
+        val c = ddl.charAt(i)
+        if (inQ) {
+          if (c == '\'') {
+            if (i + 1 < ddl.length && ddl.charAt(i + 1) == '\'') i += 1
+            else inQ = false
+          }
+        } else c match {
+          case '\'' => inQ = true
+          case '(' | '<' => depth += 1
+          case ')' | '>' => depth -= 1
+          case ',' if depth == 0 => out += ddl.substring(start, i); start = i + 1
+          case _ => ()
+        }
+        i += 1
       }
       out += ddl.substring(start)
       out.toSeq.map(_.trim).filter(_.nonEmpty)
     }
-    val DefaultRe = """(?is)(.*?)\s+DEFAULT\s+(.+)""".r
+    // index of a depth-0, unquoted, whitespace-bounded DEFAULT keyword
+    // (-1 = none) — the split point between the type DDL and the
+    // default's SQL text
+    def defaultIdx(item: String): Int = {
+      var depth = 0; var i = 0; var inQ = false
+      while (i < item.length) {
+        val c = item.charAt(i)
+        if (inQ) {
+          if (c == '\'') {
+            if (i + 1 < item.length && item.charAt(i + 1) == '\'') i += 1
+            else inQ = false
+          }
+        } else c match {
+          case '\'' => inQ = true
+          case '(' | '<' => depth += 1
+          case ')' | '>' => depth -= 1
+          case _ if depth == 0 && i > 0 && item.charAt(i - 1).isWhitespace &&
+            i + 7 <= item.length && item.regionMatches(true, i, "DEFAULT", 0, 7) &&
+            (i + 7 == item.length || item.charAt(i + 7).isWhitespace) =>
+            return i
+          case _ => ()
+        }
+        i += 1
+      }
+      -1
+    }
     val cols =
       if (!splitTop(colsDdl).exists(i =>
-        i.takeWhile(!_.isWhitespace).contains('.') || DefaultRe.matches(i)))
+        i.takeWhile(!_.isWhitespace).contains('.') || defaultIdx(i) >= 0))
         try StructType.fromDDL(colsDdl) catch {
           case e: Exception => throw new IllegalArgumentException(
             s"cannot parse ADD COLUMNS list: ($colsDdl): ${e.getMessage}")
@@ -275,9 +315,13 @@ case class LakehouseAddColumnsCommand(view: String, colsDdl: String)
         val rest = item.drop(item.takeWhile(!_.isWhitespace).length).trim
         // `name type [DEFAULT <literal>]` — the default's SQL text
         // rides the field metadata (graft.sources.ColumnDefaults)
-        val (typeDdl, defaultSql) = rest match {
-          case DefaultRe(t, d) => (t.trim, Some(d.trim))
-          case _ => (rest, None)
+        val (typeDdl, defaultSql) = defaultIdx(rest) match {
+          case -1 => (rest, None)
+          case k =>
+            val d = rest.substring(k + 7).trim
+            if (d.isEmpty) throw new IllegalArgumentException(
+              s"ADD COLUMNS: DEFAULT for $name names no literal: ($item)")
+            (rest.substring(0, k).trim, Some(d))
         }
         val dt = try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseDataType(typeDdl)

@@ -24,9 +24,13 @@ import org.apache.spark.sql.types._
   * STRUCTS via the `element` segment (`items.element.sku`, Iceberg's
   * own addressing; the reference's `items[]` shape): per-element
   * conforms ride `transform()` on the ordinary path and a pre-bound
-  * `ArrayTransform` in the SPJ projection. MAP values stay refused
-  * (no per-entry conform is served — compact() under an explicit
-  * schema instead). */
+  * `ArrayTransform` in the SPJ projection. MAP VALUES evolve too
+  * (r16) via the `value` segment (`attrs.value.unit`, Iceberg's own
+  * addressing): per-entry conforms ride `transform_values()` on the
+  * ordinary path and a pre-bound `TransformValues` in the SPJ
+  * projection. Map KEYS stay structural (no `key` evolution — a key
+  * is the entry's identity; rewrite under an explicit schema
+  * instead). */
 /** `ADD COLUMN … DEFAULT <literal>` (r15) — Iceberg-v3-style INITIAL
   * DEFAULTS as pure metadata, stored under Spark's OWN column-default
   * keys in the declared schema's StructField metadata (so Spark's
@@ -142,6 +146,7 @@ private[graft] object NestedSchema {
       p +: (f.dataType match {
         case s: StructType => flatPaths(s, p + ".")
         case ArrayType(s: StructType, _) => flatPaths(s, p + ".element.")
+        case MapType(_, s: StructType, _) => flatPaths(s, p + ".value.")
         case _ => Nil
       })
     }
@@ -163,6 +168,12 @@ private[graft] object NestedSchema {
             s"cannot evolve under an array by field name ($seg) — address " +
               s"its elements as 'element' (${parentPath.mkString(".")})")
           et
+        case MapType(_, vt, _) =>
+          require(seg.equalsIgnoreCase("value"),
+            s"cannot evolve under a map by field name ($seg) — address its " +
+              s"values as 'value' (${parentPath.mkString(".")}); map KEYS are " +
+              "the entries' identity and do not evolve")
+          vt
         case st: StructType =>
           st.fields.find(_.name.equalsIgnoreCase(seg)).getOrElse(
             throw new IllegalArgumentException(
@@ -170,7 +181,8 @@ private[graft] object NestedSchema {
             .dataType
         case other => throw new IllegalArgumentException(
           s"cannot evolve under $seg: it is a ${other.simpleString}, not a " +
-            "struct — nested evolution crosses structs and arrays of structs only")
+            "struct — nested evolution crosses structs, arrays of structs " +
+            "and map values only")
       }
     }
     end match {
@@ -178,6 +190,9 @@ private[graft] object NestedSchema {
       case ArrayType(_: StructType, _) => throw new IllegalArgumentException(
         s"${parentPath.mkString(".")} is an array of structs — evolve its " +
           "fields under '.element' (Iceberg's addressing)")
+      case MapType(_, _: StructType, _) => throw new IllegalArgumentException(
+        s"${parentPath.mkString(".")} is a map of structs — evolve its " +
+          "value fields under '.value' (Iceberg's addressing)")
       case other => throw new IllegalArgumentException(
         s"cannot evolve under ${parentPath.mkString(".")}: it is a " +
           s"${other.simpleString}, not a struct")
@@ -196,6 +211,7 @@ private[graft] object NestedSchema {
       case Seq() => f(dt.asInstanceOf[StructType])
       case seg +: rest => dt match {
         case ArrayType(et, n) => ArrayType(updateAt(et, rest)(f), n)
+        case MapType(kt, vt, n) => MapType(kt, updateAt(vt, rest)(f), n)
         case st: StructType =>
           StructType(st.fields.map { fld =>
             if (fld.name.equalsIgnoreCase(seg))
@@ -217,6 +233,7 @@ private[graft] object NestedSchema {
           p.fields.zip(d.fields).exists { case (pf, df) =>
             structConform(pf.dataType, df.dataType) }
       case (ArrayType(p, _), ArrayType(d, _)) => structConform(p, d)
+      case (MapType(_, p, _), MapType(_, d, _)) => structConform(p, d)
       case _ => false
     }
 
@@ -236,6 +253,13 @@ private[graft] object NestedSchema {
         org.apache.spark.sql.functions.transform(src, x =>
           conformColumn(x, pe, de, declPath + ".element", renames))
           .cast(ArrayType(de, dn))
+      // MAP OF STRUCT VALUES: per-entry conform through
+      // transform_values(); keys pass through untouched (they are the
+      // entries' identity — no key evolution) and a null map stays null
+      case (MapType(_, pv, _), MapType(dk, dv, dn)) =>
+        org.apache.spark.sql.functions.transform_values(src, (_, v) =>
+          conformColumn(v, pv, dv, declPath + ".value", renames))
+          .cast(MapType(dk, dv, dn))
       case (p: StructType, d: StructType) =>
         val built = struct(d.fields.toSeq.map { df =>
           val childDecl = declPath + "." + df.name
@@ -272,6 +296,15 @@ private[graft] object NestedSchema {
         val lv = NamedLambdaVariable("el", pe, pn)
         val body = conformExpr(lv, pe, de, declPath + ".element", renames, tz)
         ArrayTransform(src, LambdaFunction(body, Seq(lv)))
+      // MAP OF STRUCT VALUES: a pre-bound TransformValues, same
+      // no-analyzer contract as the ArrayTransform leg — the (key,
+      // value) lambda variables are constructed named, the key rides
+      // through untouched
+      case (MapType(pk, pv, pn), MapType(_, dv, _)) =>
+        val kv = NamedLambdaVariable("k", pk, nullable = false)
+        val vv = NamedLambdaVariable("v", pv, pn)
+        val body = conformExpr(vv, pv, dv, declPath + ".value", renames, tz)
+        TransformValues(src, LambdaFunction(body, Seq(kv, vv)))
       case (p: StructType, d: StructType) =>
         val children = d.fields.toSeq.flatMap { df =>
           val childDecl = declPath + "." + df.name

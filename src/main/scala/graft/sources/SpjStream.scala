@@ -270,17 +270,24 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
             "spark.graft.spj.tombstone-broadcast-bytes, or use the " +
             "format-string CDC stream (graft-lakehouse, option(\"cdc\"))")
       }
+      // byFile keys are the DECODED Hadoop-Path form (Lakehouse
+      // normalizes recorded `__file` strings on load) — compare in
+      // that same domain, exactly like the standard reader's bcPos
+      // lookup; the URL-encoded SparkPath form silently never matches
+      // on roots with encodable characters (space, %, non-ASCII)
       val posFiles: Set[String] = newTombs
         .collect { case t: SpjPosTombstone => t.byFile.keySet }.flatten.toSet
-      // an equality tombstone touches every LOWER-sequence dir: the
-      // union over the new ones is dirSeq < max(seq)
-      val eqMaxSeq: Long = newTombs
-        .collect { case t: SpjEqTombstone => t.seq }
-        .foldLeft(Long.MinValue)(math.max)
+      // an equality tombstone touches every LOWER-sequence dir —
+      // per-tombstone dir sets (r16): a dir is read only when SOME
+      // new equality tombstone's sequence exceeds it, so a two-
+      // tombstone interval with disjoint sequence ranges opens only
+      // the dirs each tombstone can actually touch (per-row
+      // seq-gating in the reader keeps it exact either way)
+      val eqSeqs: Seq[Long] = newTombs.collect { case t: SpjEqTombstone => t.seq }
       val preTops = fromEntries.map(_.takeWhile(_ != '/'))
       parts(f => preTops(f.entry.takeWhile(_ != '/')) && (
-        posFiles.contains(SparkPath.fromPathString(f.path).urlEncoded) ||
-          f.dirSeq < eqMaxSeq), leg = 1)
+        posFiles.contains(new org.apache.hadoop.fs.Path(f.path).toString) ||
+          eqSeqs.exists(f.dirSeq < _)), leg = 1)
     }
     (inserts ++ deletes).toArray
   }
@@ -330,11 +337,17 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
     val deleteInner = SpjReaders.factory(
       layout.copy(deletes = oldTombs), deleteSchema, Seq.empty)
     // merged new positional payloads (all under the gate — the plan
-    // refused otherwise): encoded file path -> sorted positions
+    // refused otherwise): byFile keys are the DECODED Hadoop-Path form
+    // (Lakehouse normalizes on load), but the reader's `_file` value
+    // is the URL-ENCODED SparkPath form — RE-ENCODE the keys here,
+    // driver-side, so the per-row lookup stays a plain string match
+    // (a root with e.g. spaces would otherwise silently drop every
+    // CDC delete event)
     val mergedPos: Map[String, Array[Long]] = newTombs
       .collect { case t: SpjPosTombstone => t.byFile.toSeq }.flatten
       .groupBy(_._1).map { case (f, xs) =>
-        f -> xs.flatMap(_._2).distinct.sorted.toArray }
+        SparkPath.fromPathString(f).urlEncoded ->
+          xs.flatMap(_._2).distinct.sorted.toArray }
     val eqSpecs: Seq[(Long, Array[Int], Array[org.apache.spark.sql.types.DataType],
         Set[Seq[Any]])] =
       eqTombs.map { t =>

@@ -346,6 +346,61 @@ class SchemaEvolutionSpec extends SparkSpec {
       .where(col("n").isNull).count() === 4)
   }
 
+  test("MAP-VALUE evolution: attrs.value fields add/rename/drop; both dirs' entries conform; keys stay structural") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    // MAP<STRING, STRUCT<qty INT, unit STRING>> — the document-model
+    // shape the reference's Mongo-style data carries
+    val df = Seq((1L, Seq("a" -> (2, "kg"), "b" -> (5, "m"))), (2L, Seq("c" -> (1, "kg"))))
+      .toDF("k", "raw")
+      .select(col("k"), expr(
+        "map_from_entries(transform(raw, x -> struct(x._1 as key, " +
+          "named_struct('qty', x._2._1, 'unit', x._2._2) as value)))").as("attrs"))
+    val v1 = lake.createOrReplace(df, "mv")
+    lake.registerView("mv")
+    // ADD a field inside the map's value struct: every existing entry
+    // reads NULL there
+    spark.sql("ALTER TABLE mv ADD COLUMNS (attrs.value.note STRING)")
+    val shape = lake.read("mv").schema("attrs").dataType
+      .asInstanceOf[MapType].valueType.asInstanceOf[StructType]
+    assert(shape.fieldNames.toSeq === Seq("qty", "unit", "note"))
+    assert(lake.read("mv")
+      .select(explode(col("attrs")).as(Seq("mk", "mval")))
+      .where(col("mval.note").isNull).count() === 3)
+    // a post-evolution append carries the full value shape
+    lake.append(Seq((3L, Seq("d" -> (7, "s", "fragile")))).toDF("k", "raw")
+      .select(col("k"), expr(
+        "map_from_entries(transform(raw, x -> struct(x._1 as key, " +
+          "named_struct('qty', x._2._1, 'unit', x._2._2, 'note', x._2._3) as value)))")
+        .as("attrs")), "mv")
+    // RENAME a value field: values resolve from BOTH physical shapes
+    lake.renameColumn("mv", "attrs.value.unit", "uom")
+    val uoms = lake.read("mv")
+      .select(explode(col("attrs")).as(Seq("mk", "mval")))
+      .select(col("mval.uom")).collect().map(_.getString(0)).sorted
+    assert(uoms.toSeq === Seq("kg", "kg", "m", "s"))
+    // DROP a value field; travel below sees the original shape
+    lake.dropColumn("mv", "attrs.value.qty")
+    assert(lake.read("mv").schema("attrs").dataType.asInstanceOf[MapType]
+      .valueType.asInstanceOf[StructType].fieldNames.toSeq === Seq("uom", "note"))
+    assert(lake.readSnapshot("mv", v1).schema("attrs").dataType
+      .asInstanceOf[MapType].valueType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("qty", "unit"))
+    assert(lake.readSnapshot("mv", v1)
+      .select(explode(col("attrs")).as(Seq("mk", "mval")))
+      .select(col("mval.qty")).collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 5))
+    // the dropped value-field name is reserved in its scope
+    val e = intercept[IllegalArgumentException](lake.addColumns("mv",
+      StructType(Seq(StructField("attrs.value.qty", IntegerType)))))
+    assert(e.getMessage.contains("once existed"))
+    // by-field-name addressing under a map refuses with the pointer;
+    // map KEYS do not evolve
+    val em = intercept[IllegalArgumentException](lake.addColumns("mv",
+      StructType(Seq(StructField("attrs.qty2", IntegerType)))))
+    assert(em.getMessage.contains("value"))
+    intercept[IllegalArgumentException](lake.renameColumn("mv", "attrs.key", "id"))
+  }
+
   test("ADD COLUMN ... DEFAULT: old rows read the default, omitting INSERTs materialize it, travel sees neither") {
     import spark.implicits._
     val lake = new Lakehouse(spark, freshRoot())
@@ -381,6 +436,46 @@ class SchemaEvolutionSpec extends SparkSpec {
     lake2.registerView("dftn")
     spark.sql("ALTER TABLE dftn ADD COLUMNS (addr.country STRING DEFAULT 'US')")
     assert(lake2.read("dftn").select(col("addr.country")).head().getString(0) === "US")
+  }
+
+  test("ADD COLUMNS parsing is quote-aware: commas inside DEFAULT literals, 'default' inside COMMENT text") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    lake.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "qa")
+    lake.registerView("qa")
+    // a comma INSIDE the quoted default must not split the column list
+    spark.sql("ALTER TABLE qa ADD COLUMNS (lbl STRING DEFAULT 'a,b', n INT DEFAULT 7)")
+    val r = lake.read("qa").head()
+    assert(r.getString(2) === "a,b" && r.getInt(3) === 7)
+    // ' default ' inside a COMMENT string must not reroute the item
+    // into the hand parser (the stock DDL parser handles COMMENT)
+    spark.sql("ALTER TABLE qa ADD COLUMNS (note STRING COMMENT 'the default path')")
+    assert(lake.read("qa").columns.toSeq ===
+      Seq("k", "v", "lbl", "n", "note"))
+    // an escaped quote inside the default survives the scan
+    spark.sql("ALTER TABLE qa ADD COLUMNS (q STRING DEFAULT 'it''s, fine')")
+    assert(lake.read("qa").select(col("q")).head().getString(0) === "it's, fine")
+    // a bare DEFAULT with no literal refuses loudly
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE qa ADD COLUMNS (bad STRING DEFAULT)"))
+    assert(e.getMessage.toLowerCase.contains("default"))
+  }
+
+  test("metadata schema merges nullability permissively: a null-element array dir never narrows the read type") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, freshRoot())
+    // dir 1: containsNull=false (Scala Seq[Long] infers non-null elements)
+    lake.createOrReplace(Seq((1L, Seq(1L, 2L))).toDF("k", "xs"), "nna")
+    // dir 2: containsNull=true with a REAL null element
+    lake.append(Seq((2L, Seq(Option(3L), Option.empty[Long]))).toDF("k", "xs"), "nna")
+    // the metadata-derived schema must take the permissive flag — the
+    // first-seen containsNull=false would make downstream conforms
+    // cast-narrow and fail analysis
+    val xsType = lake.tableSchema("nna").fields.find(_.name == "xs").get.dataType
+    assert(xsType.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull,
+      s"merged array type must keep containsNull=true, got $xsType")
+    val rows = lake.read("nna").orderBy("k").collect()
+    assert(rows.length === 2 && rows(1).getSeq[Any](1).contains(null))
   }
 
   test("ADD COLUMN ... DEFAULT serves on the SPJ path: old dirs read the default, DML composes") {

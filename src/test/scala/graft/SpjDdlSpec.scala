@@ -249,6 +249,31 @@ class SpjDdlSpec extends SparkSpec {
     }
   }
 
+  test("RENAME TO onto an orphan catalog line: an unpartitioned rename never inherits the orphan's spec (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-orph").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    // plant the orphan: a PARTITIONED catalog line whose directory is
+    // gone — exactly the residue a crashed prior rename leaves
+    withSpj(root, "ddlorph") {
+      spark.sql("CREATE TABLE ddlorph.orph_dst (k BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "orph_dst"), true)
+    assert(lake.catalogEntries().exists(_._1 == "orph_dst"),
+      "precondition: the orphan line must exist with no directory")
+    // an UNPARTITIONED table renames onto the orphaned name
+    lake.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "orph_src")
+    lake.renameTable("orph_src", "orph_dst")
+    // the stale line is gone: the renamed table carries NO partition
+    // spec instead of silently inheriting bucket(4,k)
+    assert(!lake.catalogEntries().exists(_._1 == "orph_dst"),
+      "the orphan's partitioned catalog line must be retracted")
+    assert(lake.read("orph_dst").count() === 2)
+  }
+
   test("ALTER TABLE on the catalog: ADD/RENAME/DROP COLUMN and widening TYPE, then INSERT + SPJ join stay green") {
     val root = java.nio.file.Files.createTempDirectory("graft-ddl-a").toString
     withSpj(root, "ddl5") {

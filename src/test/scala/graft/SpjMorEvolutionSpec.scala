@@ -710,4 +710,41 @@ class SpjMorEvolutionSpec extends SparkSpec {
         "array-element evolution must keep co-locating:\n" + j.queryExecution.executedPlan)
     }
   }
+
+  test("MAP-VALUE evolution serves on the SPJ path: per-entry conforms ride the projection (r16)") {
+    val root = freshRoot("spj-mapval")
+    val lake = new Lakehouse(spark, root)
+    val rows = (1L to 20L).map(k => (k, Seq((s"a$k", (k.toInt, "kg")))))
+      .toDF("k", "raw")
+      .select(col("k"), expr(
+        "map_from_entries(transform(raw, x -> struct(x._1 as key, " +
+          "named_struct('qty', x._2._1, 'unit', x._2._2) as value)))").as("attrs"))
+    lake.createOrReplace(rows, "mpt", Seq("bucket(4,k)"))
+    withSpj(root, "spj_me18") {
+      spark.sql("ALTER TABLE spj_me18.mpt ADD COLUMNS (attrs.value.note STRING)")
+      spark.sql("ALTER TABLE spj_me18.mpt RENAME COLUMN attrs.value.unit TO uom")
+      spark.sql("INSERT INTO spj_me18.mpt VALUES " +
+        "(21, map('a21', named_struct('qty', 21, 'uom', 's', 'note', 'n21')))")
+      val got = spark.table("spj_me18.mpt")
+      assert(got.schema("attrs").dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
+        .valueType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq === Seq("qty", "uom", "note"))
+      // both read paths agree entry-for-entry across the two shapes
+      def flat(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("k"), explode(col("attrs")).as(Seq("mk", "mval")))
+          .select(col("k"), col("mk"), col("mval.qty"), col("mval.uom"), col("mval.note"))
+      assert(sortedRows(flat(got)) === sortedRows(flat(lake.read("mpt"))))
+      assert(flat(got).where(col("note").isNull).count() === 20L)
+      // value-field DROP serves too
+      spark.sql("ALTER TABLE spj_me18.mpt DROP COLUMN attrs.value.qty")
+      assert(spark.table("spj_me18.mpt")
+        .select(explode(col("attrs")).as(Seq("mk", "mval")))
+        .select(col("mval.uom")).count() === 21L)
+      // co-location claims survive map-value evolution
+      val j = spark.table("spj_me18.mpt").join(
+        spark.table("spj_me18.mpt").select(col("k").as("k2")), col("k") === col("k2"))
+      assert(!Medallion.plansShuffle(j),
+        "map-value evolution must keep co-locating:\n" + j.queryExecution.executedPlan)
+    }
+  }
 }

@@ -318,6 +318,49 @@ class SpjStreamSpec extends SparkSpec {
     }
   }
 
+  test("CDC delete events survive a URL-encodable table root (space in path)") {
+    // positional-tombstone byFile keys are decoded Hadoop-Path form;
+    // the reader's `_file` is the URL-encoded SparkPath form — on a
+    // root with a space the two differ, and r16 normalizes both the
+    // planning filter and the per-row semi lookup so deletes still
+    // propagate (they used to silently drop, diverging the replica)
+    val root = java.nio.file.Files.createTempDirectory("graft enc cdc").toString
+    assert(root.contains(" "), "the test root must carry a URL-encodable char")
+    val ck = java.nio.file.Files.createTempDirectory("graft-enccdc-ck").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.createOrReplace((1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "enc_t", Seq("bucket(2,k)"))
+    withSpj(root, "ssenc") {
+      val events = scala.collection.mutable.ArrayBuffer.empty[String]
+      def drainCdc(): Unit = {
+        val q = spark.readStream.option("cdc", "true").table("ssenc.enc_t")
+          .select(col("k"), col("v"), col("_change_type"))
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            events.synchronized {
+              events ++= df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+            }; ()
+          }
+          .start()
+        try assert(q.awaitTermination(120000)) finally q.stop()
+      }
+      drainCdc() // bootstrap
+      events.clear()
+      // a POSITIONAL MoR delete (predicate) and an EQUALITY MoR delete
+      // (by key) in one interval — both legs must emit their rows
+      lake.deleteWhereMor(col("k") === 3L, "enc_t")
+      lake.deleteByKeyMor(Seq(11L).toDF("k"), "enc_t")
+      drainCdc()
+      assert(events.count(_ == "3|v3|delete") === 1,
+        s"positional delete must propagate on an encodable root, got: $events")
+      assert(events.count(_ == "11|v11|delete") === 1,
+        s"equality delete must propagate on an encodable root, got: $events")
+      assert(events.count(_.endsWith("|delete")) === 2)
+    }
+  }
+
   test("batch reads serve _change_type as the constant insert") {
     val root = java.nio.file.Files.createTempDirectory("graft-ssct").toString
     val lake = new Lakehouse(spark, root)
