@@ -64,6 +64,7 @@ object SparkEntry {
     "sql_nested_evolution" -> (Medallion.qSqlNestedEvolution _),
     "stream_spj_cdc" -> (Medallion.qStreamSpjCdc _),
     "stream_range_join" -> (graft.streaming.EventStream.streamRangeJoin _),
+    "stream_range_join_outer" -> (graft.streaming.EventStream.streamRangeJoinOuter _),
     // §2.B — relational core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -567,6 +568,16 @@ object SparkEntry {
         |JOIN (SELECT * FROM events WHERE event_type = 'click' AND user_id % 7 < 2) c
         |  ON p.user_id = c.user_id AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    // the OUTER variant: DuckDB's LEFT restatement — click-less
+    // purchases appear with n_clicks_10m = 0 (the watermark-flush
+    // null extension, counted as zero by count(click_id))
+    "stream_range_join_outer" ->
+      """SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks_10m,
+        |  CAST(1.0 AS DOUBLE) AS exactly_once
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id % 7 = 2) p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click' AND user_id % 7 = 2) c
+        |  ON p.user_id = c.user_id AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     // CDC on the DSv2 catalog stream: the oracle restates the net
     // final state the replica must reach — every order except the
     // deleted O-status okey%9=2 rows, price tripled where okey%13=4
@@ -599,6 +610,8 @@ object SparkEntry {
         |    AS amount_sum,
         |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 3 ELSE 0 END) AS BIGINT)
         |    AS qty2_sum,
+        |  CAST(sum(o_orderkey % 11) AS BIGINT) AS map_qty_sum,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS uom_kg,
         |  'mongo' AS src_tag,
         |  CAST(1.0 AS DOUBLE) AS nested_meta_only,
         |  CAST(1.0 AS DOUBLE) AS paths_agree

@@ -1436,27 +1436,32 @@ object Medallion {
     spark.sql(s"""CREATE TABLE $cat.nev (
       |  o_orderkey BIGINT, o_custkey BIGINT, o_price DECIMAL(12,2),
       |  meta STRUCT<status: STRING, prio: STRING>,
-      |  items ARRAY<STRUCT<sku: BIGINT, qty: INT>>)
+      |  items ARRAY<STRUCT<sku: BIGINT, qty: INT>>,
+      |  attrs MAP<STRING, STRUCT<qty: INT, unit: STRING>>)
       |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
     spark.sql(s"""INSERT INTO $cat.nev
       |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)),
       |  named_struct('status', o_orderstatus, 'prio', o_orderpriority),
       |  array(named_struct('sku', o_orderkey % 100, 'qty', CAST(o_orderkey % 7 AS INT)),
-      |        named_struct('sku', o_custkey % 100, 'qty', CAST(o_custkey % 5 AS INT)))
+      |        named_struct('sku', o_custkey % 100, 'qty', CAST(o_custkey % 5 AS INT))),
+      |  map('w', named_struct('qty', CAST(o_orderkey % 11 AS INT), 'unit', 'kg'))
       |FROM nestevo_orders WHERE o_orderkey % 2 = 0""".stripMargin)
     // nested ADD + RENAME (dotted paths through the DSv2 ALTER
-    // surface), struct AND array-element scopes
+    // surface), struct, array-element AND map-value scopes (r16)
     spark.sql(s"ALTER TABLE $cat.nev ADD COLUMNS (meta.grade STRING)")
     spark.sql(s"ALTER TABLE $cat.nev RENAME COLUMN meta.prio TO priority")
     spark.sql(s"ALTER TABLE $cat.nev ADD COLUMNS (items.element.qty2 INT)")
     spark.sql(s"ALTER TABLE $cat.nev RENAME COLUMN items.element.qty TO amount")
+    spark.sql(s"ALTER TABLE $cat.nev ADD COLUMNS (attrs.value.note STRING)")
+    spark.sql(s"ALTER TABLE $cat.nev RENAME COLUMN attrs.value.unit TO uom")
     // a post-evolution INSERT writes the full new shape physically
     spark.sql(s"""INSERT INTO $cat.nev
       |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)),
       |  named_struct('status', o_orderstatus, 'priority', o_orderpriority,
       |    'grade', substring(o_orderpriority, 1, 1)),
       |  array(named_struct('sku', o_orderkey % 100, 'amount', CAST(o_orderkey % 7 AS INT),
-      |        'qty2', CAST(o_orderkey % 3 AS INT)))
+      |        'qty2', CAST(o_orderkey % 3 AS INT))),
+      |  map('w', named_struct('qty', CAST(o_orderkey % 11 AS INT), 'uom', 'm', 'note', 'x'))
       |FROM nestevo_orders WHERE o_orderkey % 2 = 1""".stripMargin)
     // merge-on-read DELETE composes (positional tombstones are
     // name-free — struct shape changes can't desync them)
@@ -1488,6 +1493,13 @@ object Medallion {
           .as("amount_sum"),
         sum(expr("aggregate(items.qty2, 0L, (a, x) -> a + coalesce(x, 0))"))
           .as("qty2_sum"),
+        // map-value readouts (r16): `qty` aggregates across BOTH
+        // physical value shapes; the RENAMED `uom` resolves the old
+        // dirs' physical `unit` ('kg' rows all predate the rename)
+        sum(expr("aggregate(transform(map_values(attrs), v -> coalesce(v.qty, 0L)), " +
+          "0L, (a, x) -> a + x)")).as("map_qty_sum"),
+        sum(expr("size(filter(map_values(attrs), v -> v.uom = 'kg'))")
+          .cast("long")).as("uom_kg"),
         max(col("src")).as("src_tag"))
     val viaCatalog = agg(spark.table(s"$cat.nev"))
     val viaOrdinary = agg(lake.read("nev"))

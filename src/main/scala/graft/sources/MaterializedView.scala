@@ -16,11 +16,19 @@ import org.apache.spark.sql.functions._
   * Only MERGEABLE aggregates are supported — sum, count, min, max —
   * because those are exactly the ones whose partial results compose
   * associatively (Iceberg/Materialize incremental-view rule; avg is
-  * sum/count at read time). Min/max stay correct because the
-  * incremental path applies to APPEND-ONLY intervals: when the source
-  * history was rewritten (CoW delete/merge/compaction — detected by
-  * [[Lakehouse.readChanges]]' refusal), [[refresh]] falls back to a
-  * full recompute instead of merging unsoundly.
+  * sum/count at read time). Min/max stay correct on the fact path
+  * because the incremental leg applies to APPEND-ONLY intervals: when
+  * the source history was rewritten (CoW delete/merge/compaction —
+  * detected by [[Lakehouse.readChanges]]' refusal), [[refresh]] falls
+  * back to a full recompute instead of merging unsoundly. Under DIM
+  * RETRACTIONS (the subtractive [[dimDelta]] path) min/max apply via
+  * EXTREMUM SURVIVORSHIP (r16): a retraction whose own extremum is
+  * strictly inside the stored one cannot have removed it, so the group
+  * merges incrementally; only groups whose retraction reaches the
+  * stored extremum re-derive, and they re-derive alone (one pass
+  * filtered to exactly those groups) — a churning dim on a min/max
+  * dashboard view is O(delta) in the common case instead of a
+  * whole-fact re-aggregate per refresh.
   *
   * EXACTLY-ONCE without a side ledger: every refresh commit carries
   * the SOURCE SNAPSHOT it advanced the view to as its idempotency
@@ -432,8 +440,9 @@ object MaterializedView {
     * cardinality (an added duplicate of a matched key extends
     * nothing). Sound ONLY under gates, each of
     * which returns None so the caller recomputes:
-    *  - every aggregate is SUBTRACTABLE (sum/count; min/max can lose
-    *    their extremum on retraction), with a count(*) present to
+    *  - every aggregate is sum/count (subtracted) or min/max (merged
+    *    by extremum survivorship, r16 — exhausted groups re-derive
+    *    scoped, see the inline note), with a count(*) present to
     *    witness group emptiness;
     *  - the dim interval is CDC-readable (appends + MoR
     *    deletes/updates; a CoW rewrite refuses) — maintain enrichment
@@ -474,8 +483,22 @@ object MaterializedView {
     // dropping at inner suffixes, extending at left ones — exactly as
     // the from-scratch view does, on both legs.
     val j = d.joins(hop)
-    if (!d.aggs.forall(a => a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll]))
+    // MIN/MAX aggregates join the subtractable family (r16) through
+    // EXTREMUM SURVIVORSHIP: the stored group extremum is the sole
+    // candidate — a retraction whose own extremum is strictly inside
+    // it cannot have removed it (max(minus) < stored max ⇒ the stored
+    // max survives; symmetrically for min), so the group merges
+    // incrementally as greatest(stored, plus)/least(stored, plus).
+    // Only groups whose minus leg REACHES the stored extremum
+    // (candidate exhausted — the extremum row may be among the
+    // retracted) re-derive, and they re-derive ALONE: one pass
+    // filtered to exactly those groups, never the whole-view
+    // recompute this used to cost on every dim churn.
+    if (!d.aggs.forall(a => a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll] ||
+      a.isInstanceOf[MinCol] || a.isInstanceOf[MaxCol]))
       return None
+    val minmaxAggs = d.aggs.filter(a =>
+      a.isInstanceOf[MinCol] || a.isInstanceOf[MaxCol])
     val countAlias = d.aggs.collectFirst { case CountAll(a) => a }
       .getOrElse(return None)
     val prefixPins = restPins.take(hop)
@@ -594,13 +617,62 @@ object MaterializedView {
       gk(contrib(dim, nullKeys, prefix), d.groupCols).drop(d.groupCols: _*)
     val da = leg(dNew, nullNew, "__p_")
       .join(leg(dOld, nullOld, "__m_"), Seq("__gk"), "full_outer")
-      .select(col("__gk") +: d.aggs.map { a =>
-        (coalesce(col("__p_" + a.alias), lit(0)) -
-          coalesce(col("__m_" + a.alias), lit(0))).as("__d_" + a.alias)
+      .select(col("__gk") +: d.aggs.flatMap {
+        case a if a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll] =>
+          Seq((coalesce(col("__p_" + a.alias), lit(0)) -
+            coalesce(col("__m_" + a.alias), lit(0))).as("__d_" + a.alias))
+        // min/max carry BOTH partials: the merge below needs the plus
+        // side (candidate challenger) and the minus side (survivorship
+        // test against the stored extremum) separately
+        case a => Seq(col("__p_" + a.alias), col("__m_" + a.alias))
       }: _*)
     val t = lake.read(d.view)
     val viewSchema = t.schema
-    val (untouched, merged0) = mergeSplit(d, t, da)
+    val (untouched, merged0) =
+      if (minmaxAggs.isEmpty) mergeSplit(d, t, da)
+      else {
+        val tgk = gk(t, d.groupCols)
+        val untouchedMm = tgk
+          .join(da.select(col("__gk")), Seq("__gk"), "left_anti").drop("__gk")
+        val joinedMm = tgk.drop(d.groupCols: _*)
+          .join(da.select(col("__gk")), Seq("__gk"), "left_semi")
+          .join(da, Seq("__gk"), "full_outer")
+        // EXHAUSTED: the minus leg's extremum equals the stored one
+        // (the retracted rows may include the extremum row — duplicates
+        // make equality conservative, which is the sound direction); a
+        // group absent from the view (new group) is never exhausted
+        val exhausted = minmaxAggs.map {
+          case a: MinCol => col(a.alias).isNotNull &&
+            col("__m_" + a.alias).isNotNull && (col("__m_" + a.alias) <= col(a.alias))
+          case a => col(a.alias).isNotNull &&
+            col("__m_" + a.alias).isNotNull && (col("__m_" + a.alias) >= col(a.alias))
+        }.reduce(_ || _)
+        val tagged = joinedMm.withColumn("__exh", exhausted).localCheckpoint(true)
+        val exhKeys = tagged.where(col("__exh")).select(col("__gk"))
+        val survivorCols = d.groupCols.map(c => col("__gk").getField(c).as(c)) ++
+          d.aggs.map {
+            case a @ (_: SumCol | _: CountAll) => mergeCol(a)
+            case a: MinCol => least(col(a.alias), col("__p_" + a.alias)).as(a.alias)
+            case a: MaxCol => greatest(col(a.alias), col("__p_" + a.alias)).as(a.alias)
+          }
+        val survivors = tagged.where(!col("__exh")).select(survivorCols: _*)
+        if (exhKeys.head(1).isEmpty) (untouchedMm, survivors)
+        else {
+          // SCOPED re-derivation: exactly the exhausted groups, one
+          // filtered pass at the target pins — O(those groups' rows),
+          // never the whole view
+          val allPins = prefixPins ++ (dimTo +: suffixPins)
+          val reRows = gk(joined(lake, lake.readSnapshot(d.src, factSnap),
+            d.joins, allPins), d.groupCols)
+            .join(exhKeys, Seq("__gk"), "left_semi").drop("__gk")
+          val reagg = aggOf(reRows, d)
+          // a group whose rows ALL left the table must VANISH — the
+          // upsert cannot delete, so that (rare) retraction falls back
+          if (exhKeys.join(gk(reagg, d.groupCols).select(col("__gk")),
+            Seq("__gk"), "left_anti").head(1).nonEmpty) return None
+          (untouchedMm, survivors.unionByName(reagg))
+        }
+      }
     val merged = merged0
       .localCheckpoint(true) // feeds the emptiness gate AND the commit
     if (merged.isEmpty)
@@ -684,17 +756,14 @@ object MaterializedView {
           // must not leave a stale NUMERIC watermark that would feed a
           // later dimDelta an interval this recompute already folded in.
           markDimRecompute(lake, d.view, dimNow)
-          // the LOUD decline (ask #7): min/max aggregates are not
-          // subtractable — dim movement re-aggregates the whole fact,
-          // and the t.mviews readout must say so instead of the view
-          // paying it silently on every churn
-          val why =
-            if (!d.aggs.forall(a => a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll]))
-              "min/max aggregates are not subtractable: dim movement " +
-                "recomputes (cost bound: one full source re-aggregate per refresh)"
-            else "dim interval not incrementally applicable " +
-              "(no watermark, rollback, or non-append dim history)"
-          lake.writeMviewRefreshNote(d.view, "recompute", why)
+          // the LOUD decline: min/max dim churn now applies
+          // incrementally via extremum survivorship (r16), so this
+          // recompute fires only for structurally un-applicable
+          // intervals — the note names the remaining causes
+          lake.writeMviewRefreshNote(d.view, "recompute",
+            "dim interval not incrementally applicable (no watermark, " +
+              "rollback, non-append dim history, or a group vanished " +
+              "under retraction)")
           val rows = joined(lake, lake.readSnapshot(d.src, to), d.joins, dimNow)
           val snap =
             if (lake.committedBatches(d.view).contains(to))

@@ -262,13 +262,23 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
     val newSeqs = (toDels -- fromDels).map(_.stripPrefix("_deletes-").toLong)
     val deletes = if (newSeqs.isEmpty) Seq.empty else {
       val newTombs = layout.deletes.filter(t => newSeqs(t.seq))
-      newTombs.collectFirst { case t: SpjPosTombstoneFiles => t }.foreach { t =>
-        throw new IllegalStateException(
-          s"$table's positional tombstone _deletes-${t.seq} exceeds the broadcast " +
-            "gate — the CDC delete leg would materialize it on the driver; " +
-            "CALL rewrite_position_deletes / compact, raise " +
-            "spark.graft.spj.tombstone-broadcast-bytes, or use the " +
-            "format-string CDC stream (graft-lakehouse, option(\"cdc\"))")
+      // ABOVE-GATE positional tombstones serve LAZILY (r16): the
+      // payload never touches the driver — planning admits a
+      // pre-existing file when some new tombstone slice's recorded
+      // `__file` footer bounds contain its URL-encoded path (the same
+      // unsigned-UTF-8 bound test the batch path's lazy anti-filter
+      // uses), and the delete-leg reader opens the admitted slices
+      // executor-side per file. A big MoR delete now streams instead
+      // of refusing.
+      val lazyNew = newTombs.collect { case t: SpjPosTombstoneFiles => t }
+      def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      def lazyTouches(f: SpjFile): Boolean = lazyNew.nonEmpty && {
+        val encU = u8(SparkPath.fromPathString(f.path).urlEncoded)
+        lazyNew.exists(_.slices.exists {
+          case (_, _, None) => true // no footer bounds: open it, exact inside
+          case (_, _, Some((lo, hi))) =>
+            u8(lo).compareTo(encU) <= 0 && encU.compareTo(u8(hi)) <= 0
+        })
       }
       // byFile keys are the DECODED Hadoop-Path form (Lakehouse
       // normalizes recorded `__file` strings on load) — compare in
@@ -287,7 +297,7 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
       val preTops = fromEntries.map(_.takeWhile(_ != '/'))
       parts(f => preTops(f.entry.takeWhile(_ != '/')) && (
         posFiles.contains(new org.apache.hadoop.fs.Path(f.path).toString) ||
-          eqSeqs.exists(f.dirSeq < _)), leg = 1)
+          eqSeqs.exists(f.dirSeq < _) || lazyTouches(f)), leg = 1)
     }
     (inserts ++ deletes).toArray
   }
@@ -336,18 +346,34 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
     val posOrd = deleteSchema.fieldNames.indexOf(SpjMetaColumns.Pos)
     val deleteInner = SpjReaders.factory(
       layout.copy(deletes = oldTombs), deleteSchema, Seq.empty)
-    // merged new positional payloads (all under the gate — the plan
-    // refused otherwise): byFile keys are the DECODED Hadoop-Path form
-    // (Lakehouse normalizes on load), but the reader's `_file` value
-    // is the URL-ENCODED SparkPath form — RE-ENCODE the keys here,
-    // driver-side, so the per-row lookup stays a plain string match
-    // (a root with e.g. spaces would otherwise silently drop every
-    // CDC delete event)
+    // merged new positional payloads (under the gate): byFile keys are
+    // the DECODED Hadoop-Path form (Lakehouse normalizes on load), but
+    // the reader's `_file` value is the URL-ENCODED SparkPath form —
+    // RE-ENCODE the keys here, driver-side, so the per-row lookup
+    // stays a plain string match (a root with e.g. spaces would
+    // otherwise silently drop every CDC delete event)
     val mergedPos: Map[String, Array[Long]] = newTombs
       .collect { case t: SpjPosTombstone => t.byFile.toSeq }.flatten
       .groupBy(_._1).map { case (f, xs) =>
         SparkPath.fromPathString(f).urlEncoded ->
           xs.flatMap(_._2).distinct.sorted.toArray }
+    // ABOVE-GATE new positional tombstones (r16): slice paths + footer
+    // bounds ship; each delete-leg reader opens the slices its file's
+    // encoded path admits and collects that file's positions alone —
+    // the payload stays on disk, read executor-side, exactly the batch
+    // path's SpjPosTombstoneFiles contract
+    val lazySlices: Seq[(String, Long, Option[(String, String)])] = newTombs
+      .collect { case t: SpjPosTombstoneFiles => t.slices }.flatten
+    val lazyReaderFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[InternalRow] =
+      if (lazySlices.isEmpty) null
+      else new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+        .buildReaderWithPartitionValues(
+          SparkSession.active, GraftSpjDeltaWrite.PosSchema, new StructType(),
+          GraftSpjDeltaWrite.PosSchema, Seq.empty,
+          Map(org.apache.spark.sql.execution.datasources.FileFormat
+            .OPTION_RETURNING_BATCH -> "false"),
+          SparkSession.active.sessionState.newHadoopConf())
     val eqSpecs: Seq[(Long, Array[Int], Array[org.apache.spark.sql.types.DataType],
         Set[Seq[Any]])] =
       eqTombs.map { t =>
@@ -366,7 +392,7 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
           else deleteSchema.fieldNames.indexOf(m.name))).toArray
     new GraftSpjCdcReaderFactory(insertInner, deleteInner,
       deleteSchema, deleteOrdinals, fileOrd, posOrd,
-      GraftCdcSemi(mergedPos, eqSpecs))
+      GraftCdcSemi(mergedPos, eqSpecs, lazySlices, lazyReaderFn))
   }
 
   override def commit(end: Offset): Unit = ()
@@ -381,12 +407,19 @@ private[spj] case class GraftCdcPartition(leg: Byte, inner: GraftBucketPartition
   extends InputPartition
 
 /** The delete leg's matching payloads: merged new positional
-  * tombstones (encoded file path -> sorted raw row indexes) and the
+  * tombstones (encoded file path -> sorted raw row indexes), the
   * new equality tombstones' (seq, key ordinals in the delete-leg
-  * schema, declared key types, canonical key-tuple set). */
+  * schema, declared key types, canonical key-tuple set), and the
+  * ABOVE-GATE new positional tombstones as on-disk slice descriptors
+  * (path, length, optional recorded-`__file` footer bounds in the
+  * URL-encoded domain) with the parquet reader that opens them
+  * executor-side (r16 — lazy, never driver-materialized). */
 private[spj] case class GraftCdcSemi(
     pos: Map[String, Array[Long]],
-    eq: Seq[(Long, Array[Int], Array[org.apache.spark.sql.types.DataType], Set[Seq[Any]])])
+    eq: Seq[(Long, Array[Int], Array[org.apache.spark.sql.types.DataType], Set[Seq[Any]])],
+    lazySlices: Seq[(String, Long, Option[(String, String)])] = Seq.empty,
+    lazyReaderFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[InternalRow] = null)
 
 private[spj] class GraftSpjCdcReaderFactory(
     insertInner: PartitionReaderFactory,
@@ -420,11 +453,47 @@ private[spj] class GraftSpjCdcReaderFactory(
           seqCache.put(enc, s); s
         }
       }
+      // above-gate positional payloads load ONCE per distinct file:
+      // open only the slices whose footer bounds admit this file's
+      // encoded path, keep exactly its rows' positions (the batch
+      // path's lazy anti-filter, repurposed as a semi)
+      private val lazyCache = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
+      private def lazyPosOf(enc: String): java.util.HashSet[java.lang.Long] = {
+        val hit = lazyCache.get(enc)
+        if (hit != null) return hit
+        val set = new java.util.HashSet[java.lang.Long]()
+        if (semi.lazySlices.nonEmpty) {
+          val encU = org.apache.spark.unsafe.types.UTF8String.fromString(enc)
+          def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          semi.lazySlices.foreach {
+            case (sp, slen, bounds)
+                if bounds.forall { case (lo, hi) =>
+                  u8(lo).compareTo(encU) <= 0 && encU.compareTo(u8(hi)) <= 0 } =>
+              semi.lazyReaderFn(org.apache.spark.sql.execution.datasources
+                .PartitionedFile(InternalRow.empty,
+                  SparkPath.fromPathString(sp), 0L, slen,
+                  Array.empty[String], 0L, slen, Map.empty))
+                .asInstanceOf[Iterator[Any]]
+                .flatMap {
+                  case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+                    scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala
+                  case r: InternalRow => Iterator.single(r)
+                }
+                .foreach { r =>
+                  if (r.getUTF8String(0) == encU) set.add(r.getLong(1))
+                }
+            case _ => ()
+          }
+        }
+        lazyCache.put(enc, set)
+        set
+      }
       private def matched(r: InternalRow): Boolean = {
         val enc = r.getUTF8String(fileOrd).toString
         val pos = r.getLong(posOrd)
         val posHit = semi.pos.get(enc)
-          .exists(a => java.util.Arrays.binarySearch(a, pos) >= 0)
+          .exists(a => java.util.Arrays.binarySearch(a, pos) >= 0) ||
+          (semi.lazySlices.nonEmpty && lazyPosOf(enc).contains(pos))
         posHit || {
           val dirSeq = dirSeqOf(enc)
           semi.eq.exists { case (seq, ords, ts, keys) =>

@@ -482,6 +482,85 @@ object EventStream {
       .orderBy("event_id")
   }
 
+  /** `stream_range_join_outer` — the LEFT-OUTER stream-stream interval
+    * join at the driver surface (r16; [[clickPurchaseJoinOuter]],
+    * previously spec-only): the watermark-flush NULL-EXTENSION is the
+    * semantics most likely to diverge cross-engine — a click-less
+    * purchase emits exactly once, with null click columns, only after
+    * the watermark closes its 10-minute window. Same one-file staging
+    * as the inner oracle, THEN two sentinel drains (a far-future click
+    * + purchase each, user_id −1): outer state flushes on a LATER
+    * batch's watermark move, so the first sentinel advances both
+    * sides' watermarks past every real window and the second runs the
+    * batch that emits the held null-extended rows. A final replay over
+    * the same checkpoint must add nothing (`exactly_once`). Readout =
+    * per-purchase click count over the sentinel-filtered pair ledger —
+    * count(click_id) turns the null extension into the LEFT-join 0 —
+    * hash-compared against DuckDB's LEFT restatement of q_range_join. */
+  def streamRangeJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // a 1/7 user slice, disjoint choice from the inner oracle's 2/7 —
+    // the whole span lands in one micro-batch; cost is state-store
+    // count, not volume (same engineering note as stream_range_join)
+    val events = graft.sources.Tables.events(spark, dir)
+      .where(pmod(col("user_id"), lit(7)) === 2)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val stage = Files.createTempDirectory("graft-srjo").toString
+    val scratch = Files.createTempDirectory("graft-srjo-w").toString
+    val ck = Files.createTempDirectory("graft-srjo-ck").toString
+    def stageFile(df: DataFrame, name: String): Unit = {
+      val d = s"$scratch/$name"
+      df.coalesce(1).write.parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$stage/$name.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    stageFile(events, "all")
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    def sentinel(hours: Int): DataFrame = {
+      import spark.implicits._
+      val ts = new java.sql.Timestamp(maxTs.getTime + hours * 3600 * 1000L)
+      Seq((-1L, ts, -1L, "click"), (-1L, ts, -2L, "purchase"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+    }
+    val sinkRoot = Files.createTempDirectory("graft-srjo-sink").toString
+    val lake = new graft.sources.Lakehouse(spark, sinkRoot)
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(events.schema).parquet(stage)
+      val joined = clickPurchaseJoinOuter(
+        stream.where(col("event_type") === "click"),
+        stream.where(col("event_type") === "purchase"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          lake.appendOnce(df, "srjo_pairs", batchId = id); ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val exactlyOnce = try {
+      drain() // the real span, one micro-batch
+      stageFile(sentinel(1), "s1")
+      drain() // watermarks move past every real window
+      stageFile(sentinel(2), "s2")
+      drain() // the later batch that flushes held outer rows
+      val n = lake.read("srjo_pairs").count()
+      drain() // replay over the same checkpoint: exactly-once
+      if (lake.read("srjo_pairs").count() == n) 1.0 else 0.0
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    lake.read("srjo_pairs")
+      .where(col("user_id") >= 0L) // the sentinels' own rows
+      .groupBy(col("purchase_id").as("event_id"))
+      .agg(count(col("click_id")).as("n_clicks_10m"))
+      .withColumn("exactly_once", lit(exactlyOnce))
+      .orderBy("event_id")
+  }
+
   /** STREAMING ANOMALY SCREEN — train offline, score online: the
     * per-user moment stats computed over the historical batch table
     * ([[graft.operators.Relational.userValueStats]], the "model")

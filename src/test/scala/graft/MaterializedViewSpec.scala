@@ -400,36 +400,73 @@ class MaterializedViewSpec extends SparkSpec {
       "a group-emptying dim delete must NOT take the subtractive path")
   }
 
-  test("join view: min/max aggregates keep the recompute fallback on dim changes") {
+  test("join view: min/max dim churn applies incrementally (extremum survivorship); vanish falls back loudly") {
     val root = freshDir("graft-mview-joinmm")
     val lake = new Lakehouse(spark, root)
     val mmDef = MV.ViewDef("peak_by_seg", "fact_t",
       groupCols = Seq("seg"),
-      aggs = Seq(MV.MaxCol("price", "peak"), MV.CountAll("n")),
+      aggs = Seq(MV.MaxCol("price", "peak"), MV.MinCol("price", "low"),
+        MV.CountAll("n")),
       joins = Seq(MV.JoinSpec("dim_t", "cust", "cid")))
-    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL")), "dim_t")
+    def mmMap() = lake.read("peak_by_seg").collect()
+      .map(r => r.getAs[String]("seg") ->
+        ((r.getAs[java.math.BigDecimal]("peak"),
+          r.getAs[java.math.BigDecimal]("low"), r.getAs[Long]("n")))).toMap
+    def mmRecompute() = lake.read("fact_t")
+      .join(lake.read("dim_t"), col("cust") === col("cid"))
+      .groupBy("seg").agg(max(col("price")).as("peak"),
+        min(col("price")).as("low"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("seg") ->
+        ((r.getAs[java.math.BigDecimal]("peak"),
+          r.getAs[java.math.BigDecimal]("low"), r.getAs[Long]("n")))).toMap
+    lake.createOrReplace(
+      dimDf((1L, "AUTO"), (2L, "RETAIL"), (3L, "RETAIL"), (4L, "RETAIL")), "dim_t")
     lake.createOrReplace(factDf(
-      (10L, 1L, dec("10.00")), (11L, 2L, dec("9.00")), (12L, 2L, dec("3.00"))), "fact_t")
-    MV.create(lake, mmDef)
-    // cust 2 re-labels to AUTO: RETAIL's max must disappear, AUTO's
-    // must become 10.00 — subtraction can't retract a max, so recompute
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")),
+      (12L, 3L, dec("6.00")), (13L, 3L, dec("9.00")),
+      (14L, 4L, dec("5.00"))), "fact_t")
+    MV.create(lake, mmDef); MV.persist(lake, mmDef)
+    assert(mmMap() === Map("AUTO" -> ((dec("10.00"), dec("10.00"), 1L)),
+      "RETAIL" -> ((dec("9.00"), dec("4.00"), 4L))))
+    // SURVIVOR churn: cust 4 (value 5.00, strictly inside RETAIL's
+    // [4, 9]) re-labels — both extrema survive, the merge is purely
+    // incremental (subtractive batch id present, zero fact re-reads
+    // beyond the changed key's rows)
+    lake.updateWhereMor(Seq("seg" -> lit("AUTO")), col("cid") === 4L, "dim_t")
+    MV.refresh(lake, mmDef)
+    assert(mmMap() === mmRecompute())
+    assert(mmMap() === Map("AUTO" -> ((dec("10.00"), dec("5.00"), 2L)),
+      "RETAIL" -> ((dec("9.00"), dec("4.00"), 3L))))
+    assert(lake.committedBatches("peak_by_seg").exists(_ < 0),
+      "an inside-the-extrema dim churn must take the subtractive path")
+    val meta = lake.mviewsDf("fact_t").where(col("mview") === "peak_by_seg").head()
+    assert(meta.getAs[String]("last_refresh") === "incremental",
+      s"min/max dim churn must be incremental, note: ${meta.getAs[String]("refresh_note")}")
+    // EXHAUSTED churn: cust 3 carries RETAIL's max (9.00) — the minus
+    // leg reaches the stored extremum, so THAT group re-derives scoped
+    // while the result still lands through the subtractive commit
+    lake.updateWhereMor(Seq("seg" -> lit("AUTO")), col("cid") === 3L, "dim_t")
+    MV.refresh(lake, mmDef)
+    assert(mmMap() === mmRecompute())
+    assert(mmMap() === Map("AUTO" -> ((dec("10.00"), dec("5.00"), 4L)),
+      "RETAIL" -> ((dec("4.00"), dec("4.00"), 1L))))
+    assert(lake.mviewsDf("fact_t").where(col("mview") === "peak_by_seg")
+      .head().getAs[String]("last_refresh") === "incremental")
+    // VANISH: the last RETAIL key leaves — the upsert cannot delete a
+    // group, so the refresh falls back, LOUDLY
     lake.updateWhereMor(Seq("seg" -> lit("AUTO")), col("cid") === 2L, "dim_t")
     MV.refresh(lake, mmDef)
-    val got = lake.read("peak_by_seg").collect()
-      .map(r => r.getAs[String]("seg") ->
-        ((r.getAs[java.math.BigDecimal]("peak"), r.getAs[Long]("n")))).toMap
-    assert(got === Map("AUTO" -> ((dec("10.00"), 3L))))
-    assert(!lake.committedBatches("peak_by_seg").exists(_ < 0),
-      "min/max views must not take the subtractive path")
-    // (r15) the decline is LOUD: t.mviews names the recompute and why,
-    // so a churning dim over a min/max dashboard view is visible cost
-    MV.persist(lake, mmDef)
-    val meta = lake.mviewsDf("fact_t").where(col("mview") === "peak_by_seg").head()
-    assert(meta.getAs[String]("last_refresh") === "recompute")
-    assert(meta.getAs[String]("refresh_note").contains("not subtractable"))
+    assert(mmMap() === mmRecompute())
+    assert(mmMap() === Map("AUTO" -> ((dec("10.00"), dec("4.00"), 5L))))
+    val meta3 = lake.mviewsDf("fact_t").where(col("mview") === "peak_by_seg").head()
+    assert(meta3.getAs[String]("last_refresh") === "recompute")
+    assert(meta3.getAs[String]("refresh_note").contains("vanished"))
     // a sum/count sibling over the same churn reads `incremental`
+    lake.createOrReplace(
+      dimDf((1L, "AUTO"), (2L, "RETAIL"), (3L, "RETAIL"), (4L, "RETAIL")), "dim_t")
     MV.create(lake, JoinDef); MV.persist(lake, JoinDef)
-    lake.updateWhereMor(Seq("seg" -> lit("PROMO")), col("cid") === 1L, "dim_t")
+    // cust 4 re-labels (RETAIL keeps custs 2 and 3 — no group vanishes)
+    lake.updateWhereMor(Seq("seg" -> lit("PROMO")), col("cid") === 4L, "dim_t")
     MV.refresh(lake, JoinDef)
     val meta2 = lake.mviewsDf("fact_t").where(col("mview") === "sales_by_seg").head()
     assert(meta2.getAs[String]("last_refresh") === "incremental",

@@ -361,6 +361,49 @@ class SpjStreamSpec extends SparkSpec {
     }
   }
 
+  test("CDC serves ABOVE-GATE positional tombstones lazily: delete events stream, zero driver materialization (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sslazy").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-sslazy-ck").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.createOrReplace((1L to 40L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "lz_t", Seq("bucket(2,k)"))
+    withSpj(root, "sslz") {
+      val events = scala.collection.mutable.ArrayBuffer.empty[String]
+      def drainCdc(): Unit = {
+        val q = spark.readStream.option("cdc", "true").table("sslz.lz_t")
+          .select(col("k"), col("_change_type"))
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            events.synchronized {
+              events ++= df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+            }; ()
+          }
+          .start()
+        try assert(q.awaitTermination(120000)) finally q.stop()
+      }
+      drainCdc() // bootstrap
+      events.clear()
+      spark.conf.set("spark.graft.spj.tombstone-broadcast-bytes", "1")
+      try {
+        lake.deleteWhereMor(col("k") % 5 === 0, "lz_t")
+        // the REPRESENTATION is the claim: the tombstone stayed on disk
+        val dels = lake.spjLayout("lz_t").deletes
+        assert(dels.nonEmpty &&
+          dels.forall(_.isInstanceOf[graft.sources.SpjPosTombstoneFiles]),
+          s"above the gate the positional payload must stay on disk: $dels")
+        drainCdc()
+        val expect = (1L to 40L).filter(_ % 5 == 0).map(k => s"$k|delete").sorted
+        assert(events.sorted.toSeq === expect,
+          s"above-gate positional deletes must stream, got: ${events.sorted}")
+        // idle drain: exactly-once
+        events.clear(); drainCdc()
+        assert(events.isEmpty)
+      } finally spark.conf.unset("spark.graft.spj.tombstone-broadcast-bytes")
+    }
+  }
+
   test("batch reads serve _change_type as the constant insert") {
     val root = java.nio.file.Files.createTempDirectory("graft-ssct").toString
     val lake = new Lakehouse(spark, root)

@@ -167,6 +167,34 @@ object Stress {
         got
       }
     } finally spark.conf.unset("spark.graft.spj.tombstone-broadcast-bytes")
+    // CDC OVER AN ABOVE-GATE TOMBSTONE (r16): the catalog CDC stream's
+    // delete leg must emit ~2M delete events with the positional
+    // payload never touching the driver — slices open executor-side,
+    // per admitted file, exactly like the batch anti-filter
+    val ckBig = java.nio.file.Files.createTempDirectory("graft-stress-cdc").toString
+    val nDel = new java.util.concurrent.atomic.AtomicLong()
+    def drainBig(): Long = {
+      val q = spark.readStream.option("cdc", "true").table("stress_rl.docs_big")
+        .select(col("k"), col("_change_type"))
+        .writeStream.option("checkpointLocation", ckBig)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          nDel.addAndGet(df.where(col("_change_type") === "delete").count()); ()
+        }
+        .start()
+      try require(q.awaitTermination(600000), "CDC drain timed out")
+      finally q.stop()
+      nDel.get()
+    }
+    t("cdc_bootstrap_4m") { drainBig(); bigN - bigN / 3 }
+    lake.deleteWhereMor(col("g") === 1, "docs_big") // ~2M more positions
+    spark.conf.set("spark.graft.spj.tombstone-broadcast-bytes", "262144")
+    try t("cdc_above_gate_2m_dels") {
+      nDel.set(0)
+      val dels = drainBig()
+      require(dels == bigN / 3, s"CDC lazy delete leg lost events: $dels")
+      dels
+    } finally spark.conf.unset("spark.graft.spj.tombstone-broadcast-bytes")
     // NESTED + ARRAY-ELEMENT conform at volume (r15): a 2M-row table
     // with a struct and a 4-element array-of-structs column, evolved
     // at BOTH depths — the read-through conform (struct rebuild +
