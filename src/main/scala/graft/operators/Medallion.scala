@@ -147,11 +147,31 @@ object Medallion {
     * scale-factor dir as a namespace and query it with SQL. */
   def sqlCatalogQuery(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
-    spark.sql(
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        |FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 10""".stripMargin)
+    // (r16) the ad-hoc query SAVES as a persisted view (`_views.jsonl`,
+    // the Iceberg view-spec analog of the reference's notebook
+    // queries), the catalog re-opens cold, and the saved query serves —
+    // the oracle pins that the whole round-trip returns exactly the
+    // plain SELECT's rows
+    val root = java.nio.file.Files.createTempDirectory("graft-sqlcat").toString
+    spark.conf.set(graft.sources.LakehouseCtasCommand.RootConf, root)
+    try {
+      spark.sql(
+        """CREATE TABLE lhq_orders AS
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM orders""".stripMargin)
+      spark.sql(
+        """CREATE VIEW lhq_top AS
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM lhq_orders
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 10""".stripMargin)
+      // cold restore: the session forgets, the catalog remembers
+      spark.catalog.dropTempView("lhq_top")
+      spark.catalog.dropTempView("lhq_orders")
+      graft.sources.LakehouseRegistry.unregister(spark, "lhq_orders")
+      graft.sources.Lakehouse.openCatalog(spark, root)
+      spark.sql("SELECT * FROM lhq_top")
+    } finally spark.conf.unset(graft.sources.LakehouseCtasCommand.RootConf)
   }
 
   /** `sql_lakehouse_ddl` — the SQL DDL/DML lifecycle of a lakehouse

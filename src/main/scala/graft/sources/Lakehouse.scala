@@ -3764,12 +3764,14 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * (reference: query_iceberg.ipynb): one row per lakehouse table
     * with its current snapshot, snapshot count, and branches. */
   def tablesDf(): DataFrame = {
+    val mviews = MaterializedView.defs(this).map(_.view).toSet
     val rows = tableNames().map { t =>
       (t, currentSnapshot(t).getOrElse(-1L), snapshots(t).size.toLong,
-        branches(t).mkString(","))
-    }
+        branches(t).mkString(","),
+        if (mviews.contains(t)) "materialized_view" else "table")
+    } ++ sqlViews().map { case (v, _) => (v, -1L, 0L, "", "view") }.sortBy(_._1)
     spark.createDataFrame(rows)
-      .toDF("table_name", "current_snapshot", "n_snapshots", "branches")
+      .toDF("table_name", "current_snapshot", "n_snapshots", "branches", "type")
   }
 
   /** Every table directory under this lake root (manifest-bearing),
@@ -4967,7 +4969,85 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     read(table, sessionBranch).createOrReplaceTempView(table)
     LakehouseRegistry.register(spark, table, this, spec)
     persistCatalogEntry(table, spec)
+    // persisted SQL views re-analyze over the FRESH base registration:
+    // a temp view captures its plan at creation, so without this a
+    // view would keep serving the base table's pre-DML files
+    registerSqlViews()
   }
+
+  // ---- persisted plain SQL views ------------------------------------------
+  //
+  // `_views.jsonl` under the lake root records `CREATE VIEW v AS
+  // <select>` statements — the Iceberg view-spec analog (the ad-hoc
+  // saved-query surface of the reference's query notebook). Unlike
+  // mviews these store NO data: the SQL text re-analyzes against the
+  // session's registered lake tables on every (re-)registration, and
+  // [[Lakehouse.openCatalog]] restores them in a fresh session.
+
+  private def viewsPath = new Path(root, "_views.jsonl")
+  private val ViewLine = """\{"view":"(.*?)","sql":"(.*)"\}""".r
+
+  /** The persisted SQL views of this lake: (name, select text) in
+    * creation order (a view may reference earlier views). */
+  def sqlViews(): Seq[(String, String)] = readLines(viewsPath).flatMap {
+    case ViewLine(v, s) => Some(unesc(v) -> unesc(s))
+    case _ => None
+  }
+
+  /** `CREATE [OR REPLACE] VIEW name AS sql` — validate the text
+    * analyzes NOW (loudly), refuse name collisions with tables,
+    * materialized views and bucketed companions, persist the line,
+    * register the session temp view. */
+  def createSqlView(name: String, sql: String, orReplace: Boolean = false): Unit = {
+    require(orReplace || !sqlViews().exists(_._1.equalsIgnoreCase(name)),
+      s"view $name already exists (CREATE OR REPLACE VIEW to redefine)")
+    require(!tableNames().exists(_.equalsIgnoreCase(name)),
+      s"cannot CREATE VIEW $name: a lake table of that name exists")
+    require(!MaterializedView.defs(this).exists(_.view.equalsIgnoreCase(name)),
+      s"cannot CREATE VIEW $name: a materialized view of that name exists")
+    require(!bucketedEntries().exists(_._1.equalsIgnoreCase(name)),
+      s"cannot CREATE VIEW $name: a bucketed table of that name exists")
+    val df = spark.sql(sql) // analyze eagerly — a broken view refuses at CREATE
+    Lakehouse.locks.computeIfAbsent(viewsPath.toString, _ => new Object).synchronized {
+      val kept = readLines(viewsPath).filterNot {
+        case ViewLine(v, _) => unesc(v).equalsIgnoreCase(name)
+        case _ => false
+      }
+      writeFile(viewsPath,
+        (kept :+ s"""{"view":"${jsonEsc(name)}","sql":"${jsonEsc(sql)}"}""")
+          .mkString("\n") + "\n")
+    }
+    df.createOrReplaceTempView(name)
+  }
+
+  /** `DROP VIEW name` — retract the persisted line and the session
+    * temp view; refuses unknown names (tables are not views). */
+  def dropSqlView(name: String): Unit = {
+    require(sqlViews().exists(_._1.equalsIgnoreCase(name)),
+      s"$name is not a persisted view of this lake")
+    Lakehouse.locks.computeIfAbsent(viewsPath.toString, _ => new Object).synchronized {
+      val kept = readLines(viewsPath).filterNot {
+        case ViewLine(v, _) => unesc(v).equalsIgnoreCase(name)
+        case _ => false
+      }
+      if (kept.isEmpty) fs.delete(viewsPath, false)
+      else writeFile(viewsPath, kept.mkString("\n") + "\n")
+    }
+    scala.util.Try(spark.catalog.dropTempView(name))
+    ()
+  }
+
+  /** (Re-)register every persisted view's temp view, in creation
+    * order (later views may reference earlier ones). A view whose
+    * base was dropped must not poison unrelated DML: it logs and
+    * skips — `DROP VIEW` is the cleanup. */
+  private[sources] def registerSqlViews(): Unit =
+    sqlViews().foreach { case (v, s) =>
+      try spark.sql(s).createOrReplaceTempView(v)
+      catch { case e: Exception => System.err.println(
+        s"[graft] persisted view $v no longer analyzes (${e.getMessage}); " +
+          "DROP VIEW it or re-create its base table") }
+    }
 
   // ---- persistent catalog -------------------------------------------------
   //
@@ -5024,6 +5104,59 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
 
   /** `t.mviews` metadata relation — see [[MaterializedView.viewsDf]]. */
   def mviewsDf(table: String): DataFrame = MaterializedView.viewsDf(this, table)
+
+  /** `SHOW CREATE TABLE` (r16) — the table's FULL declared state as an
+    * executable statement list in spec vocabulary: the CREATE TABLE
+    * with every column's current type and top-level DEFAULT, the
+    * PARTITIONED BY spec, then one CALL per auxiliary declaration
+    * (write sort order, native-bloom columns). Replaying the list
+    * against a fresh root rebuilds an equivalent table (nested ADDed
+    * fields appear as part of their struct type; their EXISTS_DEFAULT
+    * back-fill is a property of THIS table's history, not of the
+    * rebuilt empty one). Today this readout is otherwise scattered
+    * across metadata tables. */
+  def showCreateStatements(table: String): Seq[String] = {
+    val schema = tableSchema(table)
+    def colDdl(f: org.apache.spark.sql.types.StructField): String = {
+      val base = s"${f.name} ${f.dataType.sql}"
+      ColumnDefaults.currentSql(f).fold(base)(d => s"$base DEFAULT $d")
+    }
+    val spec = catalogEntries().find(_._1 == table).map(_._2).getOrElse(Nil)
+    val create = s"CREATE TABLE $table (" +
+      schema.fields.map(colDdl).mkString(", ") + ")" +
+      (if (spec.nonEmpty) s" PARTITIONED BY (${spec.mkString(", ")})" else "")
+    val sortStmt = Some(sortOrderOf(table)).filter(_.nonEmpty)
+      .map(cs => s"CALL system.set_sort_order('$table', '${cs.mkString(",")}')")
+    val bloomStmt = Some(bloomDeclared(table).toSeq.sorted).filter(_.nonEmpty)
+      .map(cs => s"CALL system.set_bloom_columns('$table', '${cs.mkString(",")}')")
+    Seq(create) ++ sortStmt ++ bloomStmt
+  }
+
+  /** `DESCRIBE EXTENDED` rows (r16): every column with its type and
+    * DEFAULT, then the declared-state block — partition spec, sort
+    * order, bloom columns, branches, snapshot state, location. One
+    * statement for what was previously a metadata-table scavenger
+    * hunt. */
+  def describeRows(table: String): Seq[(String, String, String)] = {
+    val schema = tableSchema(table)
+    val cols = schema.fields.toSeq.map { f =>
+      (f.name, f.dataType.sql,
+        ColumnDefaults.currentSql(f).map(d => s"DEFAULT $d").orNull)
+    }
+    val spec = catalogEntries().find(_._1 == table).map(_._2).getOrElse(Nil)
+    cols ++ Seq(
+      ("", "", null),
+      ("# Detailed Table Information", "", null),
+      ("Location", s"$root/$table", null),
+      ("Partition Spec", spec.mkString(", "), null),
+      ("Sort Order", sortOrderOf(table).mkString(", "), null),
+      ("Bloom Columns", bloomDeclared(table).toSeq.sorted.mkString(", "), null),
+      ("Branches", branches(table).mkString(", "), null),
+      ("Current Snapshot", currentSnapshot(table).fold("")(_.toString), null),
+      ("Snapshots", snapshots(table).size.toString, null),
+      ("Type", if (MaterializedView.defs(this).exists(_.view == table))
+        "materialized_view" else "table", null))
+  }
 
   private def catalogPath = new Path(root, "_catalog.jsonl")
   private val CatalogLine = """\{"table":"(.*)","partitionBy":\[([^\]]*)\]\}""".r
@@ -5109,6 +5242,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     bucketedEntries().foreach { case (t, cols, n, p) =>
       if (!spark.catalog.tableExists(t)) Bucketed.register(spark, t, cols, n, p)
     }
+    // persisted SQL views restore LAST: their text analyzes against
+    // the tables registered above (registerView also refreshes them,
+    // but a catalog of only bucketed entries needs this explicit pass)
+    registerSqlViews()
   }
 
   /** STORAGE-PARTITIONED-JOIN layout of a table hidden-partitioned by

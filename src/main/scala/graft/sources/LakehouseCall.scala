@@ -91,11 +91,14 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
       AttributeReference("child_cells", LongType)())
     case "compute_sums" => Seq(
       AttributeReference("column_name", StringType)())
+    case "set_sort_order" | "set_bloom_columns" => Seq(
+      AttributeReference("column_name", StringType)())
     case other => throw new UnsupportedOperationException(
       s"unknown procedure: system.$other (supported: rewrite_data_files, " +
         "rewrite_position_deletes, expire_snapshots, remove_orphan_files, " +
         "rollback_to_snapshot, refresh_mview, refresh_ann_index, " +
-        "refresh_dedup_index, rebalance_ann_index, compute_sums)")
+        "refresh_dedup_index, rebalance_ann_index, compute_sums, " +
+        "set_sort_order, set_bloom_columns)")
   }
 
   /** Positional parameter names per procedure; named args (`k => v`)
@@ -111,6 +114,7 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
     case "refresh_dedup_index" => Seq("table")
     case "rebalance_ann_index" => Seq("table", "max_load", "force_top")
     case "compute_sums" => Seq("table", "columns")
+    case "set_sort_order" | "set_bloom_columns" => Seq("table", "columns")
     case _ => Seq("table")
   }
 
@@ -255,6 +259,22 @@ case class LakehouseCallCommand(proc: String, args: Seq[(Option[String], String)
             throw new IllegalArgumentException("compute_sums needs columns")))
           .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         lake.computeSums(table, cols, branch)
+        cols.map(Row(_))
+
+      case "set_sort_order" | "set_bloom_columns" =>
+        // declare the write sort order / native-bloom columns through
+        // SQL (r16) — the spec-vocabulary twins of declareSortOrder /
+        // declareBloomColumns, so SHOW CREATE TABLE's emitted script
+        // is fully executable
+        val cols = lit(m.getOrElse("columns",
+            throw new IllegalArgumentException(s"$proc needs columns")))
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val schema = lake.tableSchema(table, branch)
+        cols.foreach(c => require(
+          schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"$table has no column $c"))
+        if (proc == "set_sort_order") lake.declareSortOrder(table, cols)
+        else lake.declareBloomColumns(table, cols)
         cols.map(Row(_))
 
       case other => throw new UnsupportedOperationException(s"unknown procedure: system.$other")

@@ -544,22 +544,98 @@ case class LakehouseShowNamespacesCommand(catalog: String)
   override def run(spark: SparkSession): Seq[Row] = Seq(Row("default"))
 }
 
+/** `CREATE [OR REPLACE] VIEW v AS <select>` over registered lake
+  * tables (r16) — the Iceberg view-spec analog (the reference's saved
+  * ad-hoc queries, query_iceberg.ipynb): the SQL text persists in the
+  * owning lake's `_views.jsonl`, analyzes eagerly (a broken view
+  * refuses at CREATE), and [[Lakehouse.openCatalog]] restores it in a
+  * fresh session. NO data is stored — every read re-plans against the
+  * base tables' current state. */
+case class LakehouseCreateViewCommand(view: String, body: String,
+    orReplace: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("view", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val lake = LakehouseSqlUtil.bodyLake(spark, body).getOrElse(
+      throw new IllegalStateException(
+        s"CREATE VIEW $view: the body references no registered lakehouse table"))
+    lake.createSqlView(view, body, orReplace)
+    Seq(Row(view))
+  }
+}
+
+/** `DROP VIEW v` on a persisted lake view. */
+case class LakehouseDropViewCommand(view: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("view", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val lake = LakehouseSqlUtil.viewLake(spark, view).getOrElse(
+      throw new IllegalStateException(s"$view is not a persisted lakehouse view"))
+    lake.dropSqlView(view)
+    Seq(Row(view))
+  }
+}
+
+private[sources] object LakehouseSqlUtil {
+  /** The lake a view body belongs to: the first registered lake table
+    * — or, for views over views, persisted view — named in the text
+    * (identifier scan — false positives are harmless, the first
+    * REGISTERED hit decides). */
+  def bodyLake(spark: SparkSession, body: String): Option[Lakehouse] = {
+    val ids = """[A-Za-z_]\w*""".r.findAllIn(body).toSeq.distinct
+    ids.collectFirst(scala.Function.unlift(t =>
+        LakehouseRegistry.lookup(spark, t).map(_._1)))
+      .orElse(ids.collectFirst(scala.Function.unlift(viewLake(spark, _))))
+  }
+
+  /** The lake holding persisted view `v`, if any. */
+  def viewLake(spark: SparkSession, v: String): Option[Lakehouse] =
+    LakehouseRegistry.lakes(spark).map(_._2).distinct
+      .find(_.sqlViews().exists(_._1.equalsIgnoreCase(v)))
+}
+
 /** `SHOW TABLES IN <lake>` — the `SHOW TABLES IN nessie.sales` analog
   * through the parsed surface: routes to [[Lakehouse.tablesDf]]
-  * (table, current snapshot, snapshot count, branches). Pure manifest
-  * metadata; bounded by table count, not data size. */
+  * (table, current snapshot, snapshot count, branches, type — table |
+  * materialized_view | view). Pure manifest metadata; bounded by
+  * table count, not data size. */
 case class LakehouseShowTablesCommand(catalog: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("table_name", StringType)(),
     AttributeReference("current_snapshot", LongType)(),
     AttributeReference("n_snapshots", LongType)(),
-    AttributeReference("branches", StringType)())
+    AttributeReference("branches", StringType)(),
+    AttributeReference("type", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val lake = LakehouseRegistry.lakes(spark).collectFirst {
       case (name, l) if name.equalsIgnoreCase(catalog) => l
     }.getOrElse(throw new IllegalStateException(s"$catalog is not a registered lake catalog"))
     lake.tablesDf().collect().toSeq
+  }
+}
+
+/** `SHOW CREATE TABLE t` (r16) — the full declared state as an
+  * executable statement list: [[Lakehouse.showCreateStatements]]. */
+case class LakehouseShowCreateCommand(view: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, _) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    lake.showCreateStatements(view).map(Row(_))
+  }
+}
+
+/** `DESCRIBE EXTENDED t` (r16) — columns (with DEFAULTs) plus the
+  * declared-state block: [[Lakehouse.describeRows]]. */
+case class LakehouseDescribeCommand(view: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType)(),
+    AttributeReference("data_type", StringType)(),
+    AttributeReference("comment", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, _) = LakehouseRegistry.lookup(spark, view)
+      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
+    lake.describeRows(view).map { case (a, b, c) => Row(a, b, c) }
   }
 }
 
@@ -937,6 +1013,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)\s+IN\s+`?([A-Za-z_][\w.-]*)`?\s*;?\s*""".r
   private val ShowTablesRe =
     """(?is)\s*SHOW\s+TABLES\s+IN\s+`?([A-Za-z_][\w.-]*)`?\s*;?\s*""".r
+  // plain persisted views (r16): CREATE VIEW must NOT swallow Spark's
+  // own TEMP/GLOBAL TEMP view forms, and CREATE MATERIALIZED VIEW has
+  // its own grammar above — the pattern admits only the bare keyword
+  private val CreateViewRe =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+`?([A-Za-z_]\w*)`?\s+AS\s+(.+?)\s*;?\s*""".r
+  private val DropViewRe =
+    """(?is)\s*DROP\s+VIEW\s+`?([A-Za-z_]\w*)`?\s*;?\s*""".r
+  private val ShowCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+`?([A-Za-z_]\w*)`?\s*;?\s*""".r
+  private val DescribeExtRe =
+    """(?is)\s*DESC(?:RIBE)?\s+EXTENDED\s+`?([A-Za-z_]\w*)`?\s*;?\s*""".r
   private def isLake(name: String): Boolean =
     SparkSession.getActiveSession.exists(s =>
       LakehouseRegistry.lakes(s).exists(_._1.equalsIgnoreCase(name)))
@@ -1102,6 +1189,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case GroupAggIntercept(cmd) => cmd
     case ShowNamespacesRe(cat) if isLake(cat) => LakehouseShowNamespacesCommand(cat)
     case ShowTablesRe(cat) if isLake(cat) => LakehouseShowTablesCommand(cat)
+    case CreateViewRe(orRepl, view, body)
+        if SparkSession.getActiveSession
+          .exists(s => LakehouseSqlUtil.bodyLake(s, body).isDefined) =>
+      LakehouseCreateViewCommand(view, body.trim, orRepl != null)
+    case DropViewRe(view)
+        if SparkSession.getActiveSession
+          .exists(s => LakehouseSqlUtil.viewLake(s, view).isDefined) =>
+      LakehouseDropViewCommand(view)
+    case ShowCreateRe(table) if LakehouseRegistry.isRegistered(table) =>
+      LakehouseShowCreateCommand(table)
+    case DescribeExtRe(table) if LakehouseRegistry.isRegistered(table) =>
+      LakehouseDescribeCommand(table)
     case DeleteRe(table, where) if LakehouseRegistry.isRegistered(table) =>
       if (where != null && SubqueryRe.matches(where))
         throw new UnsupportedOperationException(

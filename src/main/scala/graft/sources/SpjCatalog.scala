@@ -72,6 +72,16 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
   }
   override def name(): String = catalogName
 
+  /** CREATE TABLE with column DEFAULTs (r16): Spark folds a declared
+    * default into the column metadata under its own
+    * CURRENT_DEFAULT/EXISTS_DEFAULT keys — exactly the representation
+    * [[graft.sources.ColumnDefaults]] stores and both read paths
+    * bind, so advertising the capability is all it takes. */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** `SHOW TABLES IN <cat>` lists every lake table whose layout this
     * catalog can SERVE ([[Lakehouse.spjServableSpec]], a manifest-only
     * probe — tombstoned and schema-evolved tables each serve; their

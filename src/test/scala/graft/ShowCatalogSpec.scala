@@ -48,6 +48,49 @@ class ShowCatalogSpec extends SparkSpec {
     assert(tables.forall(_.getString(3).contains("main")))
   }
 
+  test("persisted SQL views: CREATE VIEW survives a fresh catalog open, stays live under DML, drops cleanly (r16)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("k", "g", "w"), "vt_base")
+    lake.registerView("vt_base")
+    spark.sql("CREATE VIEW v_tot AS SELECT g, sum(w) AS tot FROM vt_base GROUP BY g")
+    assert(spark.sql("SELECT * FROM v_tot ORDER BY g").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq === Seq(("a", 40.0), ("b", 20.0)))
+    // LIVE under DML: an INSERT into the base must show through the view
+    spark.sql("INSERT INTO vt_base VALUES (4, 'b', 5.0)")
+    assert(spark.sql("SELECT tot FROM v_tot WHERE g = 'b'").head().getDouble(0) === 25.0)
+    // a view over a view (creation order carries the dependency)
+    spark.sql("CREATE VIEW v_top AS SELECT g FROM v_tot WHERE tot > 30")
+    assert(spark.sql("SELECT g FROM v_top").collect().map(_.getString(0)).toSeq === Seq("a"))
+    // SHOW TABLES lists both with the type column
+    val lakeName = new java.io.File(root).getName
+    val types = spark.sql(s"SHOW TABLES IN `$lakeName`").collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(types("vt_base") === "table" && types("v_tot") === "view" &&
+      types("v_top") === "view")
+    // collisions refuse in both directions
+    intercept[Exception](spark.sql("CREATE VIEW vt_base AS SELECT * FROM vt_base"))
+    intercept[Exception](spark.sql("CREATE VIEW v_tot AS SELECT * FROM vt_base"))
+    // CREATE OR REPLACE redefines
+    spark.sql("CREATE OR REPLACE VIEW v_top AS SELECT g FROM v_tot WHERE tot > 1")
+    assert(spark.sql("SELECT g FROM v_top").count() === 2)
+    // a FRESH session handle restores the views through openCatalog
+    Seq("vt_base", "v_tot", "v_top").foreach(spark.catalog.dropTempView)
+    graft.sources.LakehouseRegistry.unregister(spark, "vt_base")
+    Lakehouse.openCatalog(spark, root)
+    assert(spark.sql("SELECT tot FROM v_tot WHERE g = 'a'").head().getDouble(0) === 40.0)
+    assert(spark.sql("SELECT g FROM v_top").count() === 2)
+    // DROP VIEW retracts the line and the temp view
+    spark.sql("DROP VIEW v_top")
+    intercept[Exception](spark.sql("SELECT * FROM v_top").collect())
+    assert(!spark.sql(s"SHOW TABLES IN `$lakeName`").collect()
+      .exists(_.getString(0) == "v_top"))
+    // the persisted file keeps only the surviving view
+    assert(lake.sqlViews().map(_._1) === Seq("v_tot"))
+  }
+
   test("native SHOW TABLES and SHOW NAMESPACES still delegate for non-lake names") {
     // session catalog: must not be intercepted (name doesn't match a lake)
     val native = spark.sql("SHOW TABLES IN default")

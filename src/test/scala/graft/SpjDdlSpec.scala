@@ -249,6 +249,57 @@ class SpjDdlSpec extends SparkSpec {
     }
   }
 
+  test("SHOW CREATE TABLE round-trips: the emitted statements rebuild an equivalent table (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-sc").toString
+    val lake = new Lakehouse(spark, root)
+    withSpj(root, "ddlsc") {
+      spark.sql("CREATE TABLE ddlsc.sct (k BIGINT, v STRING, " +
+        "addr STRUCT<city: STRING, zip: BIGINT>) PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO ddlsc.sct VALUES (1, 'a', named_struct('city', 'NYC', 'zip', 10001L))")
+      // evolve: top-level DEFAULT add, rename, nested add — the
+      // readout must reflect the CURRENT declared state
+      spark.sql("ALTER TABLE ddlsc.sct ADD COLUMNS (tier STRING DEFAULT 'basic')")
+      spark.sql("ALTER TABLE ddlsc.sct RENAME COLUMN v TO label")
+      spark.sql("ALTER TABLE ddlsc.sct ADD COLUMNS (addr.country STRING)")
+      // auxiliary declarations land through the new CALLs
+      lake.registerView("sct", Seq("bucket(4,k)"))
+      spark.sql("CALL system.set_sort_order('sct', 'k')")
+      spark.sql("CALL system.set_bloom_columns('sct', 'label')")
+      val stmts = spark.sql("SHOW CREATE TABLE sct").collect().map(_.getString(0))
+      assert(stmts.length === 3, s"CREATE + two CALLs expected: ${stmts.mkString(" | ")}")
+      assert(stmts(0).contains("tier STRING DEFAULT 'basic'"), stmts(0))
+      assert(stmts(0).contains("label STRING") && !stmts(0).contains(" v STRING"), stmts(0))
+      assert(stmts(0).contains("country"), stmts(0))
+      assert(stmts(0).contains("PARTITIONED BY (bucket(4,k))"), stmts(0))
+      // REBUILD from the emitted script in a fresh root under a new name
+      val root2 = java.nio.file.Files.createTempDirectory("graft-ddl-sc2").toString
+      val lake2 = new Lakehouse(spark, root2)
+      spark.conf.set("spark.sql.catalog.ddlsc2", classOf[GraftSpjCatalog].getName)
+      spark.conf.set("spark.sql.catalog.ddlsc2.root", root2)
+      val rebuilt = stmts.map(_.replace("sct", "sct2"))
+      spark.sql(rebuilt(0).replaceFirst("CREATE TABLE sct2", "CREATE TABLE ddlsc2.sct2"))
+      lake2.registerView("sct2", Seq("bucket(4,k)"))
+      rebuilt.drop(1).foreach(spark.sql(_))
+      // equivalence: the rebuilt table's own readout matches modulo name
+      assert(lake2.showCreateStatements("sct2").map(_.replace("sct2", "sct")) ===
+        lake.showCreateStatements("sct").toSeq)
+      // the DEFAULT is live on the rebuilt table
+      spark.sql("INSERT INTO ddlsc2.sct2 (k, label, addr) VALUES " +
+        "(9, 'z', named_struct('city', 'SF', 'zip', 94105L, 'country', 'US'))")
+      assert(spark.table("ddlsc2.sct2").where(col("k") === 9L)
+        .head().getAs[String]("tier") === "basic")
+      // DESCRIBE EXTENDED: one statement reads back the whole state
+      val desc = spark.sql("DESCRIBE EXTENDED sct").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(desc("tier") === "STRING")
+      assert(desc("Partition Spec") === "bucket(4,k)")
+      assert(desc("Sort Order") === "k")
+      assert(desc("Bloom Columns") === "label")
+      assert(desc("Type") === "table")
+      assert(desc("Branches").contains("main"))
+    }
+  }
+
   test("RENAME TO onto an orphan catalog line: an unpartitioned rename never inherits the orphan's spec (r16)") {
     val root = java.nio.file.Files.createTempDirectory("graft-ddl-orph").toString
     val lake = new Lakehouse(spark, root)
