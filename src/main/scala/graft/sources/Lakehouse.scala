@@ -5837,6 +5837,47 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     if (removed.isEmpty && replacement.isEmpty) return baseSnap // provable no-op
     val snap = reserveSnap(table)
     val dir = s"data-$snap"
+    // MERGE-RETRY on a moved head (r16, Iceberg's validate-then-retry):
+    // the staged rewrite composes with CONCURRENT APPEND-SHAPED commits
+    // — re-read the head, require every removed entry still present
+    // (a concurrent rewrite of what we rewrote is a true conflict) and
+    // NO new tombstones (a MoR delete naming rows inside the removed
+    // entries would be silently resurrected by our higher-sequence
+    // rewrite — the client must re-plan, i.e. re-run the statement),
+    // then commit head − removed + ours, carrying the head's deletes.
+    def commitMerging(withDir: Seq[String] => Seq[String]): Long = {
+      var base = baseSnap
+      var dels = prevDeletes
+      var entries = withDir(clean)
+      var attempts = 0
+      while (true) {
+        try return commit(table, snap, entries, branch, Some(Some(base)),
+          deletes = dels)
+        catch {
+          case e: CommitConflictException =>
+            attempts += 1
+            val head = currentSnapshot(table, branch).getOrElse(throw e)
+            val headEntries = snapshots(table).find(_._1 == head)
+              .getOrElse(throw e)._2
+            val headExploded = headEntries.flatMap { en =>
+              if (en.contains("/")) Seq(en)
+              else dirLayout(table, en) match {
+                case Nil => Seq(en)
+                case own => leafDirs(new Path(tableDir(table), en), own.length)
+                  .map(l => s"$en/$l")
+              }
+            }
+            val headDels = snapshotDeletes(table).getOrElse(head, Seq.empty)
+            if (attempts > 12 || !removedSet.subsetOf(headExploded.toSet) ||
+              (removedSet.nonEmpty &&
+                (headDels.toSet -- prevDeletes.toSet).nonEmpty)) throw e
+            base = head
+            dels = headDels
+            entries = withDir(headExploded.filterNot(removedSet))
+        }
+      }
+      -1L // unreachable
+    }
     try {
       writeDataDir(replacement, table, dir, partitionBy)
       // a partitioned write of ZERO rows leaves no parquet files —
@@ -5847,11 +5888,9 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
             (s.isDirectory && hasParquet(s.getPath)))
       if (hasParquet(new Path(tableDir(table), dir)))
-        commit(table, snap, clean :+ dir, branch, Some(Some(baseSnap)),
-          deletes = prevDeletes)
+        commitMerging(_ :+ dir)
       else if (clean.nonEmpty) {
-        val committed = commit(table, snap, clean, branch, Some(Some(baseSnap)),
-          deletes = prevDeletes)
+        val committed = commitMerging(identity)
         fs.delete(new Path(tableDir(table), dir), true)
         committed
       } else {

@@ -576,11 +576,16 @@ case class LakehouseDropViewCommand(view: String) extends LeafRunnableCommand {
 
 private[sources] object LakehouseSqlUtil {
   /** The lake a view body belongs to: the first registered lake table
-    * — or, for views over views, persisted view — named in the text
-    * (identifier scan — false positives are harmless, the first
-    * REGISTERED hit decides). */
+    * — or, for views over views, persisted view — in TABLE POSITION
+    * (after FROM/JOIN). Table-position candidates decide first; the
+    * broad identifier scan is only the fallback (a shared session may
+    * have unrelated tables registered under common short names, and a
+    * select-list alias must never out-vote the FROM table). */
   def bodyLake(spark: SparkSession, body: String): Option[Lakehouse] = {
-    val ids = """[A-Za-z_]\w*""".r.findAllIn(body).toSeq.distinct
+    val fromIds = """(?i)\b(?:from|join)\s+`?([A-Za-z_]\w*)`?""".r
+      .findAllMatchIn(body).map(_.group(1)).toSeq.distinct
+    val ids = fromIds ++
+      """[A-Za-z_]\w*""".r.findAllIn(body).toSeq.distinct.filterNot(fromIds.contains)
     ids.collectFirst(scala.Function.unlift(t =>
         LakehouseRegistry.lookup(spark, t).map(_._1)))
       .orElse(ids.collectFirst(scala.Function.unlift(viewLake(spark, _))))

@@ -161,12 +161,15 @@ private[spj] class GraftSpjMicroBatchStream(root: String, table: String,
   * Bootstrap is the full snapshot as inserts (deletes applied — the
   * standard reader). True REWRITES (replace, CoW DML, compaction)
   * still fail loudly: the changelog cannot restate moved bytes.
-  * Refusals: above-gate NEW positional tombstones (the payload never
-  * touches the driver — `CALL rewrite_position_deletes` or the
-  * format-string CDC stream are the exits) and tables whose data
-  * columns shadow the row-id metadata names (the delete leg needs
-  * `_file`/`_pos`). Delta-priced at 100 TB: planning is O(appended
-  * dirs + tombstone-touched dirs), never a table diff. */
+  * Above-gate NEW positional tombstones serve LAZILY (r16): slice
+  * paths + footer bounds plan the touched files, and each delete-leg
+  * reader opens its file's admitted slices executor-side — the
+  * payload never touches the driver AND the stream never refuses.
+  * The one refusal left: tables whose data columns shadow the row-id
+  * metadata names (the delete leg needs `_file`/`_pos`).
+  * Delta-priced at 100 TB: planning is O(appended dirs +
+  * tombstone-touched files — equality legs stats-pruned per
+  * tombstone key), never a table diff. */
 private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
     branch: String, required: StructType)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
@@ -287,17 +290,24 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
       // on roots with encodable characters (space, %, non-ASCII)
       val posFiles: Set[String] = newTombs
         .collect { case t: SpjPosTombstone => t.byFile.keySet }.flatten.toSet
-      // an equality tombstone touches every LOWER-sequence dir —
-      // per-tombstone dir sets (r16): a dir is read only when SOME
-      // new equality tombstone's sequence exceeds it, so a two-
-      // tombstone interval with disjoint sequence ranges opens only
-      // the dirs each tombstone can actually touch (per-row
-      // seq-gating in the reader keeps it exact either way)
-      val eqSeqs: Seq[Long] = newTombs.collect { case t: SpjEqTombstone => t.seq }
+      // PER-TOMBSTONE file sets for the equality leg (r16): an
+      // equality tombstone can touch a lower-sequence file only when
+      // the file's recorded column stats admit at least one of its
+      // key tuples — so a two-tombstone interval whose keys live in
+      // disjoint dirs opens exactly those dirs, not every pre-existing
+      // one (per-row seq-gating in the reader keeps it exact; wide key
+      // sets skip the probe and degrade to the seq rule alone)
+      val eqNew = newTombs.collect { case t: SpjEqTombstone => t }
+      def eqTouches(f: SpjFile): Boolean = eqNew.exists { t =>
+        t.seq > f.dirSeq && (t.keys.size > 64 || t.keys.exists(tup =>
+          t.keyCols.zip(tup).forall { case ((c, _), v) =>
+            SpjPruning.mayMatch(f.stats, org.apache.spark.sql.sources.EqualTo(c, v))
+          }))
+      }
       val preTops = fromEntries.map(_.takeWhile(_ != '/'))
       parts(f => preTops(f.entry.takeWhile(_ != '/')) && (
         posFiles.contains(new org.apache.hadoop.fs.Path(f.path).toString) ||
-          eqSeqs.exists(f.dirSeq < _) || lazyTouches(f)), leg = 1)
+          eqTouches(f) || lazyTouches(f)), leg = 1)
     }
     (inserts ++ deletes).toArray
   }

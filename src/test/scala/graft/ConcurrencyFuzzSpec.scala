@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
 import graft.sources.Lakehouse
 import graft.sources.spj.GraftSpjCatalog
 
-/** CONCURRENCY fuzz (round-14 verdict ask #6): the optimistic-commit
-  * machinery (reserveSnap markers, conditional commits, retryingCommit)
-  * is spec'd elsewhere with choreographed races — here THREE real
-  * threads race interleaved DML and ALTER statements against ONE table
-  * with no coordination beyond the engine's own, and after quiescence
-  * the table must show
+/** CONCURRENCY fuzz (round-14 verdict ask #6; widened r16): the
+  * optimistic-commit machinery (reserveSnap markers, conditional
+  * commits, retryingCommit) is spec'd elsewhere with choreographed
+  * races — here FIVE real threads race interleaved statements against
+  * ONE table with no coordination beyond the engine's own: programmatic
+  * appends, CoW updates, ALTER (adds + MoR deletes + RENAME COLUMN),
+  * the DSv2 STATEMENT surface (UPDATE + update-only MERGE through
+  * `cat.ct`), and a BRANCH-scoped writer. After quiescence the table
+  * must show
   *  - NO LOST UPDATES: a counter column incremented N times by one
   *    thread lands at exactly seed + N on every row of its slice (a
   *    lost CoW rewrite under a racing append/delete/ALTER would show
@@ -36,11 +39,11 @@ class ConcurrencyFuzzSpec extends SparkSpec {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
 
-  test("three racing DML/ALTER threads: no lost updates, no torn schema, exact snapshot ledger") {
+  test("five racing threads (DML, ALTER+RENAME, DSv2 UPDATE/MERGE, branch writer): exact invariants") {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(
-        java.util.concurrent.Executors.newFixedThreadPool(3))
-    for (seed <- Seq(7, 42)) {
+        java.util.concurrent.Executors.newFixedThreadPool(5))
+    for (seed <- Seq(7, 42, 1337)) {
       val root = java.nio.file.Files.createTempDirectory(s"graft-conc$seed").toString
       val lake = new Lakehouse(spark, root)
       val spec = Seq("bucket(4,k)")
@@ -48,8 +51,12 @@ class ConcurrencyFuzzSpec extends SparkSpec {
       val seedRows = (1L to 300L).map(k => (k, s"g${k % 4}", k.toDouble))
         .toDF("k", "grp", "v")
       lake.createOrReplace(seedRows, "ct", spec)
+      lake.createBranch("ct", "side", lake.currentSnapshot("ct").get)
+      spark.conf.set(s"spark.sql.catalog.conc$seed", classOf[GraftSpjCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.conc$seed.root", root)
 
-      val nAppends = 6; val nUpdates = 10; val nAdds = 4; val nDeletes = 5
+      val nAppends = 6; val nUpdates = 8; val nAdds = 4; val nDeletes = 5
+      val nSqlUpdates = 4; val nMerges = 2; val nBranch = 3
       val appender = Future {
         (1 to nAppends).foreach { i =>
           lake.append(
@@ -77,33 +84,94 @@ class ConcurrencyFuzzSpec extends SparkSpec {
                 org.apache.spark.sql.types.IntegerType))))
           case Right(keys) => lake.deleteWhereMor(col("k").isin(keys: _*), "ct")
         }
+        // RENAME COLUMN races the tail of the mix — extra_1 is this
+        // thread's own earlier add, so no other thread names it
+        lake.renameColumn("ct", "extra_1", "extra_1r")
       }
-      Await.result(Future.sequence(Seq(appender, updater, alterer)), 300.seconds)
+      // the DSv2 STATEMENT surface races the programmatic one on the
+      // SAME table: UPDATE and an update-only MERGE (schema-agnostic
+      // legs — racing INSERT VALUES against ADD COLUMNS is an
+      // analyzer-level column-count ambiguity, not an engine race)
+      // statement-level retry on TRUE conflicts: the engine merges
+      // append-shaped concurrent commits into a CoW write by itself
+      // (replaceEntries' validate-then-retry), but a MoR tombstone
+      // landing inside the rewritten entries is a genuine serialization
+      // failure — the engine throws (never corrupts) and the CLIENT
+      // re-runs the statement, which re-plans from the fresh snapshot
+      // (the Iceberg client contract)
+      def retrying(stmt: String): Unit = {
+        var attempts = 0
+        while (attempts >= 0) {
+          try { spark.sql(stmt); attempts = -1 }
+          catch {
+            case e: Throwable
+                if attempts < 30 && Iterator.iterate(e)(_.getCause)
+                  .takeWhile(_ != null).take(8)
+                  .exists(_.isInstanceOf[graft.sources.CommitConflictException]) =>
+              attempts += 1
+          }
+        }
+      }
+      val dsv2 = Future {
+        (1 to nSqlUpdates).foreach { _ =>
+          retrying(s"UPDATE conc$seed.ct SET v = v + 2.0 WHERE k BETWEEN 101 AND 150")
+        }
+        (1 to nMerges).foreach { _ =>
+          retrying(
+            s"""MERGE INTO conc$seed.ct t
+               |USING (SELECT explode(sequence(151L, 160L)) AS k) s
+               |ON t.k = s.k
+               |WHEN MATCHED THEN UPDATE SET v = t.v + 10.0""".stripMargin)
+        }
+      }
+      // branch-scoped writer: its commits must NEVER leak into main
+      val brancher = Future {
+        (1 to nBranch).foreach { i =>
+          lake.append(
+            ((9000L + 10L * i) until (9010L + 10L * i)).map(k => (k, "gb", k.toDouble))
+              .toDF("k", "grp", "v"),
+            "ct", spec, branch = "side")
+        }
+      }
+      Await.result(Future.sequence(
+        Seq(appender, updater, alterer, dsv2, brancher)), 600.seconds)
 
       val got = lake.read("ct")
-      // NO LOST UPDATES: every slice row took exactly nUpdates increments
-      val offs = got.where(col("k") <= 50L)
-        .select((col("v") - col("k")).as("off")).distinct().collect()
-        .map(_.getDouble(0)).toSeq
-      assert(offs === Seq(nUpdates.toDouble),
-        s"seed $seed: lost/duplicated update — offsets $offs, wanted Seq($nUpdates.0)")
-      // exact cardinality: seed + appends - deletes
+      // NO LOST UPDATES: each disjoint slice took exactly its thread's
+      // increments — programmatic CoW, DSv2 UPDATE, DSv2 MERGE
+      def offsets(lo: Long, hi: Long): Seq[Double] =
+        got.where(col("k").between(lo, hi))
+          .select((col("v") - col("k")).as("off")).distinct().collect()
+          .map(_.getDouble(0)).toSeq
+      assert(offsets(1L, 50L) === Seq(nUpdates.toDouble),
+        s"seed $seed: lost/duplicated programmatic update")
+      assert(offsets(101L, 150L) === Seq(2.0 * nSqlUpdates),
+        s"seed $seed: lost/duplicated DSv2 UPDATE")
+      assert(offsets(151L, 160L) === Seq(10.0 * nMerges),
+        s"seed $seed: lost/duplicated DSv2 MERGE")
+      // exact cardinality: seed + appends - deletes (branch writes
+      // stay on the branch)
       assert(got.count() === 300L + nAppends * 10 - nDeletes * 2)
       assert(got.where(col("k").between(201L, 201L + 2 * nDeletes - 1)).count() === 0)
-      // NO TORN SCHEMA: all adds present exactly once, base columns intact
+      assert(got.where(col("k") >= 9000L).count() === 0,
+        s"seed $seed: branch-scoped appends leaked into main")
+      // the branch carries its seed rows plus ONLY its own appends
+      assert(lake.read("ct", "side").count() === 300L + nBranch * 10)
+      // NO TORN SCHEMA: all adds present exactly once, the rename
+      // applied (extra_1 gone, extra_1r present), base columns intact
       val cols = got.columns.toSeq
       assert(cols.take(3) === Seq("k", "grp", "v"))
-      assert(cols.drop(3).sorted === (1 to nAdds).map(i => s"extra_$i"))
+      assert(cols.drop(3).sorted ===
+        ((2 to nAdds).map(i => s"extra_$i") :+ "extra_1r").sorted)
       // NO LOST STATEMENTS: one snapshot per statement, ids unique
       val snaps = lake.snapshots("ct").map(_._1)
       assert(snaps.distinct.length === snaps.length)
-      assert(snaps.length === 1 + nAppends + nUpdates + nAdds + nDeletes,
+      assert(snaps.length === 1 + nAppends + nUpdates + nAdds + nDeletes +
+        1 + nSqlUpdates + nMerges + nBranch,
         s"seed $seed: expected one snapshot per statement, got ${snaps.length}")
       // LAYOUT CONTRACT: still SPJ-servable, both read paths row-equal
       assert(lake.spjServableSpec("ct").nonEmpty,
         s"seed $seed: table lost SPJ servability under the race")
-      spark.conf.set(s"spark.sql.catalog.conc$seed", classOf[GraftSpjCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.conc$seed.root", root)
       assert(sortedRows(spark.table(s"conc$seed.ct")) === sortedRows(got),
         s"seed $seed: SPJ and ordinary reads diverge after the race")
     }

@@ -172,15 +172,27 @@ class SpjRowLevelSpec extends SparkSpec {
     }
   }
 
-  test("replaceEntries refuses a stale base snapshot (serializable-or-fail)") {
+  test("replaceEntries under a moved head: append-shaped commits merge; true conflicts refuse (r16)") {
     val root = java.nio.file.Files.createTempDirectory("graft-rl-c").toString
     val lake = new Lakehouse(spark, root)
     import spark.implicits._
+    // APPEND-SHAPED concurrency MERGES (Iceberg's validate-then-retry):
+    // the staged write composes with a concurrent append — nothing lost
     val snap1 = lake.createOrReplace((1L to 8L).toDF("k"), "rl_c", Seq("bucket(2,k)"))
-    lake.append(Seq(9L).toDF("k"), "rl_c", Seq("bucket(2,k)")) // branch moves
+    lake.append(Seq(9L).toDF("k"), "rl_c", Seq("bucket(2,k)")) // head moves
+    lake.replaceEntries("rl_c", "main", snap1, Seq.empty,
+      Seq(99L).toDF("k"), Seq("bucket(2,k)"))
+    assert(lake.read("rl_c").collect().map(_.getLong(0)).sorted.toSeq ===
+      ((1L to 9L) :+ 99L), "the merge must keep the concurrent append AND the write")
+    // TRUE conflict refuses: a MoR tombstone landed after the base
+    // while entries are being REMOVED — merging would resurrect the
+    // deleted rows under the rewrite's higher sequence
+    val snapA = lake.createOrReplace((1L to 8L).toDF("k"), "rl_c2")
+    val entryA = lake.snapshots("rl_c2").find(_._1 == snapA).get._2.head
+    lake.deleteByKeyMor(Seq(3L).toDF("k"), "rl_c2")
     val e = intercept[graft.sources.CommitConflictException] {
-      lake.replaceEntries("rl_c", "main", snap1, Seq.empty,
-        Seq(99L).toDF("k"), Seq("bucket(2,k)"))
+      lake.replaceEntries("rl_c2", "main", snapA, Seq(entryA),
+        Seq(99L).toDF("k"), Nil)
     }
     assert(e.getMessage.contains("moved"))
   }
