@@ -488,11 +488,16 @@ object EventStream {
     * semantics most likely to diverge cross-engine — a click-less
     * purchase emits exactly once, with null click columns, only after
     * the watermark closes its 10-minute window. Same one-file staging
-    * as the inner oracle, THEN two sentinel drains (a far-future click
+    * as the inner oracle, plus two SENTINEL FILES (a far-future click
     * + purchase each, user_id −1): outer state flushes on a LATER
     * batch's watermark move, so the first sentinel advances both
     * sides' watermarks past every real window and the second runs the
-    * batch that emits the held null-extended rows. A final replay over
+    * batch that emits the held null-extended rows. All three files
+    * stage up front with ascending mtimes and `maxFilesPerTrigger=1`
+    * slices ONE AvailableNow run into the three ordered batches —
+    * two streaming runs total (the drain + the replay) instead of
+    * four, since a stream-stream join's cost here is state-store
+    * startup, not data. A final replay over
     * the same checkpoint must add nothing (`exactly_once`). Readout =
     * per-purchase click count over the sentinel-filtered pair ledger —
     * count(click_id) turns the null extension into the LEFT-join 0 —
@@ -516,7 +521,6 @@ object EventStream {
       Files.move(part.toPath, Paths.get(s"$stage/$name.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    stageFile(events, "all")
     val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
     def sentinel(hours: Int): DataFrame = {
       import spark.implicits._
@@ -524,10 +528,20 @@ object EventStream {
       Seq((-1L, ts, -1L, "click"), (-1L, ts, -2L, "purchase"))
         .toDF("user_id", "ts", "event_id", "event_type")
     }
+    // all three files up front, ascending mtimes (the file source
+    // orders batches by modification time under maxFilesPerTrigger=1)
+    stageFile(events, "a_all")
+    stageFile(sentinel(1), "b_s1")
+    stageFile(sentinel(2), "c_s2")
+    val t0 = System.currentTimeMillis()
+    Seq("a_all", "b_s1", "c_s2").zipWithIndex.foreach { case (n, i) =>
+      new java.io.File(s"$stage/$n.parquet").setLastModified(t0 - 30000 + i * 10000)
+    }
     val sinkRoot = Files.createTempDirectory("graft-srjo-sink").toString
     val lake = new graft.sources.Lakehouse(spark, sinkRoot)
     def drain(): Unit = {
-      val stream = spark.readStream.schema(events.schema).parquet(stage)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
       val joined = clickPurchaseJoinOuter(
         stream.where(col("event_type") === "click"),
         stream.where(col("event_type") === "purchase"))
@@ -544,11 +558,7 @@ object EventStream {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val exactlyOnce = try {
-      drain() // the real span, one micro-batch
-      stageFile(sentinel(1), "s1")
-      drain() // watermarks move past every real window
-      stageFile(sentinel(2), "s2")
-      drain() // the later batch that flushes held outer rows
+      drain() // data batch, then two watermark-advancing sentinel batches
       val n = lake.read("srjo_pairs").count()
       drain() // replay over the same checkpoint: exactly-once
       if (lake.read("srjo_pairs").count() == n) 1.0 else 0.0
