@@ -619,29 +619,47 @@ case class LakehouseShowTablesCommand(catalog: String)
 }
 
 /** `SHOW CREATE TABLE t` (r16) — the full declared state as an
-  * executable statement list: [[Lakehouse.showCreateStatements]]. */
+  * executable statement list: [[Lakehouse.showCreateStatements]] for
+  * tables; the recorded `CREATE VIEW … AS <text>` for persisted views. */
 case class LakehouseShowCreateCommand(view: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("createtab_stmt", StringType)())
-  override def run(spark: SparkSession): Seq[Row] = {
-    val (lake, _) = LakehouseRegistry.lookup(spark, view)
-      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
-    lake.showCreateStatements(view).map(Row(_))
-  }
+  override def run(spark: SparkSession): Seq[Row] =
+    LakehouseRegistry.lookup(spark, view) match {
+      case Some((lake, _)) => lake.showCreateStatements(view).map(Row(_))
+      case None =>
+        val lake = LakehouseSqlUtil.viewLake(spark, view).getOrElse(
+          throw new IllegalStateException(
+            s"$view is not a registered lakehouse table or persisted view"))
+        val sql = lake.sqlViews().find(_._1.equalsIgnoreCase(view)).get._2
+        Seq(Row(s"CREATE VIEW $view AS $sql"))
+    }
 }
 
 /** `DESCRIBE EXTENDED t` (r16) — columns (with DEFAULTs) plus the
-  * declared-state block: [[Lakehouse.describeRows]]. */
+  * declared-state block ([[Lakehouse.describeRows]]); persisted views
+  * describe their analyzed schema plus the view text. */
 case class LakehouseDescribeCommand(view: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("col_name", StringType)(),
     AttributeReference("data_type", StringType)(),
     AttributeReference("comment", StringType)())
-  override def run(spark: SparkSession): Seq[Row] = {
-    val (lake, _) = LakehouseRegistry.lookup(spark, view)
-      .getOrElse(throw new IllegalStateException(s"$view is not a registered lakehouse view"))
-    lake.describeRows(view).map { case (a, b, c) => Row(a, b, c) }
-  }
+  override def run(spark: SparkSession): Seq[Row] =
+    LakehouseRegistry.lookup(spark, view) match {
+      case Some((lake, _)) =>
+        lake.describeRows(view).map { case (a, b, c) => Row(a, b, c) }
+      case None =>
+        val lake = LakehouseSqlUtil.viewLake(spark, view).getOrElse(
+          throw new IllegalStateException(
+            s"$view is not a registered lakehouse table or persisted view"))
+        val sql = lake.sqlViews().find(_._1.equalsIgnoreCase(view)).get._2
+        spark.table(view).schema.fields.toSeq
+          .map(f => Row(f.name, f.dataType.sql, null)) ++ Seq(
+          Row("", "", null),
+          Row("# Detailed Table Information", "", null),
+          Row("Type", "view", null),
+          Row("View Text", sql, null))
+    }
 }
 
 /** `DROP TABLE t [PURGE]` on a registered lakehouse view: unregisters
@@ -1202,9 +1220,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if SparkSession.getActiveSession
           .exists(s => LakehouseSqlUtil.viewLake(s, view).isDefined) =>
       LakehouseDropViewCommand(view)
-    case ShowCreateRe(table) if LakehouseRegistry.isRegistered(table) =>
+    case ShowCreateRe(table)
+        if LakehouseRegistry.isRegistered(table) ||
+          SparkSession.getActiveSession
+            .exists(s => LakehouseSqlUtil.viewLake(s, table).isDefined) =>
       LakehouseShowCreateCommand(table)
-    case DescribeExtRe(table) if LakehouseRegistry.isRegistered(table) =>
+    case DescribeExtRe(table)
+        if LakehouseRegistry.isRegistered(table) ||
+          SparkSession.getActiveSession
+            .exists(s => LakehouseSqlUtil.viewLake(s, table).isDefined) =>
       LakehouseDescribeCommand(table)
     case DeleteRe(table, where) if LakehouseRegistry.isRegistered(table) =>
       if (where != null && SubqueryRe.matches(where))

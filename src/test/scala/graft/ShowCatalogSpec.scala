@@ -82,6 +82,12 @@ class ShowCatalogSpec extends SparkSpec {
     Lakehouse.openCatalog(spark, root)
     assert(spark.sql("SELECT tot FROM v_tot WHERE g = 'a'").head().getDouble(0) === 40.0)
     assert(spark.sql("SELECT g FROM v_top").count() === 2)
+    // SHOW CREATE TABLE / DESCRIBE EXTENDED serve views too (r16)
+    val vc = spark.sql("SHOW CREATE TABLE v_tot").head().getString(0)
+    assert(vc.startsWith("CREATE VIEW v_tot AS SELECT"), vc)
+    val vd = spark.sql("DESCRIBE EXTENDED v_tot").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(vd("Type") === "view" && vd.contains("View Text") && vd("g") === "STRING")
     // DROP VIEW retracts the line and the temp view
     spark.sql("DROP VIEW v_top")
     intercept[Exception](spark.sql("SELECT * FROM v_top").collect())
