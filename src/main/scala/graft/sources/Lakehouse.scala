@@ -4971,8 +4971,11 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     persistCatalogEntry(table, spec)
     // persisted SQL views re-analyze over the FRESH base registration:
     // a temp view captures its plan at creation, so without this a
-    // view would keep serving the base table's pre-DML files
-    registerSqlViews()
+    // view would keep serving the base table's pre-DML files. Scoped
+    // to views whose TEXT references this table (word match) — a DML
+    // statement must not pay V unrelated analyses; openCatalog's
+    // final pass restores the rest.
+    registerSqlViews(touching = Some(table))
   }
 
   // ---- persisted plain SQL views ------------------------------------------
@@ -5009,12 +5012,17 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       s"cannot CREATE VIEW $name: a bucketed table of that name exists")
     val df = spark.sql(sql) // analyze eagerly — a broken view refuses at CREATE
     Lakehouse.locks.computeIfAbsent(viewsPath.toString, _ => new Object).synchronized {
-      val kept = readLines(viewsPath).filterNot {
-        case ViewLine(v, _) => unesc(v).equalsIgnoreCase(name)
-        case _ => false
+      // OR REPLACE rewrites IN PLACE: the file's order is the restore
+      // order (later views may reference earlier ones), so replacing a
+      // base view must not demote it below its dependents
+      val newLine = s"""{"view":"${jsonEsc(name)}","sql":"${jsonEsc(sql)}"}"""
+      val lines = readLines(viewsPath)
+      val replaced = lines.map {
+        case ViewLine(v, _) if unesc(v).equalsIgnoreCase(name) => newLine
+        case l => l
       }
       writeFile(viewsPath,
-        (kept :+ s"""{"view":"${jsonEsc(name)}","sql":"${jsonEsc(sql)}"}""")
+        (if (replaced == lines) lines :+ newLine else replaced)
           .mkString("\n") + "\n")
     }
     df.createOrReplaceTempView(name)
@@ -5037,17 +5045,27 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     ()
   }
 
-  /** (Re-)register every persisted view's temp view, in creation
-    * order (later views may reference earlier ones). A view whose
-    * base was dropped must not poison unrelated DML: it logs and
-    * skips — `DROP VIEW` is the cleanup. */
-  private[sources] def registerSqlViews(): Unit =
+  /** (Re-)register persisted views' temp views, in creation order
+    * (later views may reference earlier ones). `touching` scopes the
+    * pass to views whose text names that table as a WORD — plus, once
+    * any view re-registers, every LATER view (it may read the
+    * refreshed one). A view whose base was dropped must not poison
+    * unrelated DML: it logs and skips — `DROP VIEW` is the cleanup. */
+  private[sources] def registerSqlViews(touching: Option[String] = None): Unit = {
+    val word = touching.map(t =>
+      java.util.regex.Pattern.compile(
+        "(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b"))
+    var cascade = false
     sqlViews().foreach { case (v, s) =>
-      try spark.sql(s).createOrReplaceTempView(v)
-      catch { case e: Exception => System.err.println(
-        s"[graft] persisted view $v no longer analyzes (${e.getMessage}); " +
-          "DROP VIEW it or re-create its base table") }
+      if (word.forall(_.matcher(s).find()) || cascade) {
+        cascade = true
+        try spark.sql(s).createOrReplaceTempView(v)
+        catch { case e: Exception => System.err.println(
+          s"[graft] persisted view $v no longer analyzes (${e.getMessage}); " +
+            "DROP VIEW it or re-create its base table") }
+      }
     }
+  }
 
   // ---- persistent catalog -------------------------------------------------
   //
@@ -5121,7 +5139,8 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       val base = s"${f.name} ${f.dataType.sql}"
       ColumnDefaults.currentSql(f).fold(base)(d => s"$base DEFAULT $d")
     }
-    val spec = catalogEntries().find(_._1 == table).map(_._2).getOrElse(Nil)
+    val spec = catalogEntries().find(_._1.equalsIgnoreCase(table))
+      .map(_._2).getOrElse(Nil)
     val create = s"CREATE TABLE $table (" +
       schema.fields.map(colDdl).mkString(", ") + ")" +
       (if (spec.nonEmpty) s" PARTITIONED BY (${spec.mkString(", ")})" else "")
@@ -5143,7 +5162,8 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       (f.name, f.dataType.sql,
         ColumnDefaults.currentSql(f).map(d => s"DEFAULT $d").orNull)
     }
-    val spec = catalogEntries().find(_._1 == table).map(_._2).getOrElse(Nil)
+    val spec = catalogEntries().find(_._1.equalsIgnoreCase(table))
+      .map(_._2).getOrElse(Nil)
     cols ++ Seq(
       ("", "", null),
       ("# Detailed Table Information", "", null),
@@ -5154,7 +5174,8 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       ("Branches", branches(table).mkString(", "), null),
       ("Current Snapshot", currentSnapshot(table).fold("")(_.toString), null),
       ("Snapshots", snapshots(table).size.toString, null),
-      ("Type", if (MaterializedView.defs(this).exists(_.view == table))
+      ("Type", if (MaterializedView.defs(this)
+          .exists(_.view.equalsIgnoreCase(table)))
         "materialized_view" else "table", null))
   }
 
@@ -5839,12 +5860,18 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val dir = s"data-$snap"
     // MERGE-RETRY on a moved head (r16, Iceberg's validate-then-retry):
     // the staged rewrite composes with CONCURRENT APPEND-SHAPED commits
-    // — re-read the head, require every removed entry still present
-    // (a concurrent rewrite of what we rewrote is a true conflict) and
-    // NO new tombstones (a MoR delete naming rows inside the removed
-    // entries would be silently resurrected by our higher-sequence
-    // rewrite — the client must re-plan, i.e. re-run the statement),
-    // then commit head − removed + ours, carrying the head's deletes.
+    // — re-read the head, require (1) entries were actually REMOVED
+    // (a pure-insert replace, e.g. a not-matched-only MERGE, must
+    // refuse: two concurrent inserts of the same absent key would both
+    // see empty removed sets and both land, a duplicate no serial
+    // execution produces — the client retry re-plans and takes the
+    // matched leg instead), (2) every removed entry still present (a
+    // concurrent rewrite of what we rewrote is a true conflict), and
+    // (3) NO new tombstones (a MoR delete naming rows inside the
+    // removed entries would be silently resurrected by our
+    // higher-sequence rewrite; one landing after our reserved sequence
+    // would wrongly apply to our new dir) — then commit
+    // head − removed + ours, carrying the head's deletes.
     def commitMerging(withDir: Seq[String] => Seq[String]): Long = {
       var base = baseSnap
       var dels = prevDeletes
@@ -5868,9 +5895,9 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
               }
             }
             val headDels = snapshotDeletes(table).getOrElse(head, Seq.empty)
-            if (attempts > 12 || !removedSet.subsetOf(headExploded.toSet) ||
-              (removedSet.nonEmpty &&
-                (headDels.toSet -- prevDeletes.toSet).nonEmpty)) throw e
+            if (attempts > 12 || removedSet.isEmpty ||
+              !removedSet.subsetOf(headExploded.toSet) ||
+              (headDels.toSet -- prevDeletes.toSet).nonEmpty) throw e
             base = head
             dels = headDels
             entries = withDir(headExploded.filterNot(removedSet))

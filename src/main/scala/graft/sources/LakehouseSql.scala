@@ -251,22 +251,23 @@ case class LakehouseAddColumnsCommand(view: String, colsDdl: String)
     // depth-0 commas and build the fields by hand; plain lists keep
     // the stock DDL parser (comments, char types, …)
     // QUOTE-AWARE scanning (r16): both the depth-0 comma split and the
-    // DEFAULT keyword search skip single-quoted SQL string literals
-    // ('' = escaped quote) — otherwise `DEFAULT 'a,b'` splits mid-
-    // literal and a COMMENT containing " default " false-positives
+    // DEFAULT keyword search skip SQL string literals — single- OR
+    // double-quoted (Spark's default dialect treats both as strings),
+    // doubled same-char = escape — otherwise `DEFAULT 'a,b'` splits
+    // mid-literal and a COMMENT containing " default " false-positives
     // into the hand parser.
     def splitTop(ddl: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var depth = 0; var start = 0; var i = 0; var inQ = false
+      var depth = 0; var start = 0; var i = 0; var q: Char = 0
       while (i < ddl.length) {
         val c = ddl.charAt(i)
-        if (inQ) {
-          if (c == '\'') {
-            if (i + 1 < ddl.length && ddl.charAt(i + 1) == '\'') i += 1
-            else inQ = false
+        if (q != 0) {
+          if (c == q) {
+            if (i + 1 < ddl.length && ddl.charAt(i + 1) == q) i += 1
+            else q = 0
           }
         } else c match {
-          case '\'' => inQ = true
+          case '\'' | '"' => q = c
           case '(' | '<' => depth += 1
           case ')' | '>' => depth -= 1
           case ',' if depth == 0 => out += ddl.substring(start, i); start = i + 1
@@ -281,16 +282,16 @@ case class LakehouseAddColumnsCommand(view: String, colsDdl: String)
     // (-1 = none) — the split point between the type DDL and the
     // default's SQL text
     def defaultIdx(item: String): Int = {
-      var depth = 0; var i = 0; var inQ = false
+      var depth = 0; var i = 0; var q: Char = 0
       while (i < item.length) {
         val c = item.charAt(i)
-        if (inQ) {
-          if (c == '\'') {
-            if (i + 1 < item.length && item.charAt(i + 1) == '\'') i += 1
-            else inQ = false
+        if (q != 0) {
+          if (c == q) {
+            if (i + 1 < item.length && item.charAt(i + 1) == q) i += 1
+            else q = 0
           }
         } else c match {
-          case '\'' => inQ = true
+          case '\'' | '"' => q = c
           case '(' | '<' => depth += 1
           case ')' | '>' => depth -= 1
           case _ if depth == 0 && i > 0 && item.charAt(i - 1).isWhitespace &&
@@ -577,18 +578,17 @@ case class LakehouseDropViewCommand(view: String) extends LeafRunnableCommand {
 private[sources] object LakehouseSqlUtil {
   /** The lake a view body belongs to: the first registered lake table
     * — or, for views over views, persisted view — in TABLE POSITION
-    * (after FROM/JOIN). Table-position candidates decide first; the
-    * broad identifier scan is only the fallback (a shared session may
-    * have unrelated tables registered under common short names, and a
-    * select-list alias must never out-vote the FROM table). */
+    * (after FROM/JOIN), and ONLY there. A broad identifier scan would
+    * hijack native CREATE VIEW statements whose body merely mentions a
+    * column/alias matching some registered lake table's name — when no
+    * table-position identifier resolves, the statement belongs to
+    * Spark's own catalog and must delegate untouched. */
   def bodyLake(spark: SparkSession, body: String): Option[Lakehouse] = {
     val fromIds = """(?i)\b(?:from|join)\s+`?([A-Za-z_]\w*)`?""".r
       .findAllMatchIn(body).map(_.group(1)).toSeq.distinct
-    val ids = fromIds ++
-      """[A-Za-z_]\w*""".r.findAllIn(body).toSeq.distinct.filterNot(fromIds.contains)
-    ids.collectFirst(scala.Function.unlift(t =>
+    fromIds.collectFirst(scala.Function.unlift(t =>
         LakehouseRegistry.lookup(spark, t).map(_._1)))
-      .orElse(ids.collectFirst(scala.Function.unlift(viewLake(spark, _))))
+      .orElse(fromIds.collectFirst(scala.Function.unlift(viewLake(spark, _))))
   }
 
   /** The lake holding persisted view `v`, if any. */

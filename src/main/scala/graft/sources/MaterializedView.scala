@@ -659,11 +659,32 @@ object MaterializedView {
         if (exhKeys.head(1).isEmpty) (untouchedMm, survivors)
         else {
           // SCOPED re-derivation: exactly the exhausted groups, one
-          // filtered pass at the target pins — O(those groups' rows),
-          // never the whole view
+          // filtered pass at the target pins. When every group column
+          // lives ON THE FACT and the exhausted key set is bounded,
+          // the pass is stats/bloom FILE-pruned (readWhere) — truly
+          // O(those groups' rows); otherwise it is one fact scan
+          // filtered to those groups (group keys born on a dim can't
+          // prune the fact), still never a whole-view rewrite
           val allPins = prefixPins ++ (dimTo +: suffixPins)
-          val reRows = gk(joined(lake, lake.readSnapshot(d.src, factSnap),
-            d.joins, allPins), d.groupCols)
+          val factForRe = {
+            val bounded =
+              if (d.groupCols.forall(factBase.columns.contains))
+                Some(exhKeys.limit(257).collect()).filter(_.length <= 256)
+              else None
+            bounded match {
+              case Some(rows) =>
+                val pred = rows.map { r =>
+                  val st = r.getStruct(0)
+                  d.groupCols.zipWithIndex.map { case (c, i) =>
+                    val v = st.get(i)
+                    if (v == null) col(c).isNull else col(c) === lit(v)
+                  }.reduce(_ && _)
+                }.reduce(_ || _)
+                lake.readWhere(pred, d.src, atSnapshot = Some(factSnap))
+              case None => lake.readSnapshot(d.src, factSnap)
+            }
+          }
+          val reRows = gk(joined(lake, factForRe, d.joins, allPins), d.groupCols)
             .join(exhKeys, Seq("__gk"), "left_semi").drop("__gk")
           val reagg = aggOf(reRows, d)
           // a group whose rows ALL left the table must VANISH — the

@@ -455,6 +455,12 @@ class SchemaEvolutionSpec extends SparkSpec {
     // an escaped quote inside the default survives the scan
     spark.sql("ALTER TABLE qa ADD COLUMNS (q STRING DEFAULT 'it''s, fine')")
     assert(lake.read("qa").select(col("q")).head().getString(0) === "it's, fine")
+    // DOUBLE-quoted literals (Spark's default dialect) scan identically
+    spark.sql("ALTER TABLE qa ADD COLUMNS (dq STRING DEFAULT \"x,y\", dn INT DEFAULT 3)")
+    val rdq = lake.read("qa").head()
+    assert(rdq.getAs[String]("dq") === "x,y" && rdq.getAs[Int]("dn") === 3)
+    spark.sql("ALTER TABLE qa ADD COLUMNS (note2 STRING COMMENT \"the default path\")")
+    assert(lake.read("qa").columns.contains("note2"))
     // a bare DEFAULT with no literal refuses loudly
     val e = intercept[Exception](
       spark.sql("ALTER TABLE qa ADD COLUMNS (bad STRING DEFAULT)"))

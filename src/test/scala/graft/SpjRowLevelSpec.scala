@@ -177,13 +177,24 @@ class SpjRowLevelSpec extends SparkSpec {
     val lake = new Lakehouse(spark, root)
     import spark.implicits._
     // APPEND-SHAPED concurrency MERGES (Iceberg's validate-then-retry):
-    // the staged write composes with a concurrent append — nothing lost
-    val snap1 = lake.createOrReplace((1L to 8L).toDF("k"), "rl_c", Seq("bucket(2,k)"))
-    lake.append(Seq(9L).toDF("k"), "rl_c", Seq("bucket(2,k)")) // head moves
-    lake.replaceEntries("rl_c", "main", snap1, Seq.empty,
-      Seq(99L).toDF("k"), Seq("bucket(2,k)"))
+    // a staged REWRITE (entries removed) composes with a concurrent
+    // append — nothing lost on either side
+    val snap1 = lake.createOrReplace((1L to 8L).toDF("k"), "rl_c")
+    val entry1 = lake.snapshots("rl_c").find(_._1 == snap1).get._2.head
+    lake.append(Seq(9L).toDF("k"), "rl_c") // head moves
+    lake.replaceEntries("rl_c", "main", snap1, Seq(entry1),
+      (101L to 108L).toDF("k"), Nil)
     assert(lake.read("rl_c").collect().map(_.getLong(0)).sorted.toSeq ===
-      ((1L to 9L) :+ 99L), "the merge must keep the concurrent append AND the write")
+      (9L +: (101L to 108L)),
+      "the merge must keep the concurrent append AND the rewrite")
+    // a PURE-INSERT replace (nothing removed) must NOT merge: two
+    // concurrent not-matched MERGE legs of the same absent key would
+    // both land — serializable-or-fail, the client re-plans
+    lake.append(Seq(10L).toDF("k"), "rl_c")
+    intercept[graft.sources.CommitConflictException] {
+      lake.replaceEntries("rl_c", "main", snap1, Seq.empty,
+        Seq(999L).toDF("k"), Nil)
+    }
     // TRUE conflict refuses: a MoR tombstone landed after the base
     // while entries are being REMOVED — merging would resurrect the
     // deleted rows under the rewrite's higher sequence
