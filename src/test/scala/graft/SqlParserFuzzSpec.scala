@@ -112,6 +112,17 @@ class SqlParserFuzzSpec extends SparkSpec {
           "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
         "DROP TABLE not_reg",
         "ALTER TABLE not_reg ADD COLUMNS (z INT)"),
+      // the r16 statement kinds on NON-lake names must delegate: a
+      // native CREATE VIEW whose body merely MENTIONS a registered
+      // lake table as a column/alias is Spark's, not ours
+      Seq("CREATE VIEW nv AS SELECT k FROM not_reg",
+        "CREATE OR REPLACE VIEW nv AS SELECT fz FROM not_reg",
+        "CREATE VIEW nv AS SELECT k AS fz_twin FROM not_reg",
+        "CREATE TEMPORARY VIEW tv AS SELECT k FROM not_reg",
+        "DROP VIEW not_a_view",
+        "SHOW CREATE TABLE not_reg",
+        "DESCRIBE EXTENDED not_reg",
+        "DESC EXTENDED not_reg"),
       // aggregate-LOOKING statements that must NOT hit metaAgg/groupAgg
       Seq("SELECT count(*) FROM not_reg",
         "SELECT count(*) FROM fz_twin",
