@@ -239,15 +239,15 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
           "retain snapshots longer than the stream's restart window)"))._2.toSet
     val toEntries = entriesAt(to)
     val layout = l.spjLayout(table, branch, Some(to))
-    def parts(keep: SpjFile => Boolean, leg: Byte): Seq[InputPartition] =
+    def parts(keep: (Int, SpjFile) => Boolean, leg: Byte): Seq[InputPartition] =
       (0 until layout.nParts).map { i =>
         GraftBucketPartition(
           layout.identityKeyAt(i).map(_._2).toSeq ++ layout.bucketAt(i),
-          layout.files.getOrElse(i, Seq.empty).filter(keep).toArray)
+          layout.files.getOrElse(i, Seq.empty).filter(keep(i, _)).toArray)
       }.filter(_.files.nonEmpty).map(GraftCdcPartition(leg, _))
     if (from == Bootstrap) {
       val tops = toEntries.map(_.takeWhile(_ != '/'))
-      return parts(f => tops(f.entry.takeWhile(_ != '/')), leg = 0).toArray
+      return parts((_, f) => tops(f.entry.takeWhile(_ != '/')), leg = 0).toArray
     }
     val fromEntries = entriesAt(from)
     val removed = fromEntries -- toEntries
@@ -261,7 +261,7 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
       s"$table dropped tombstones between snapshots $from and $to (a rewrite " +
         "materialized them) — consume the full snapshot instead")
     val appendedTops = (toEntries -- fromEntries).map(_.takeWhile(_ != '/'))
-    val inserts = parts(f => appendedTops(f.entry.takeWhile(_ != '/')), leg = 0)
+    val inserts = parts((_, f) => appendedTops(f.entry.takeWhile(_ != '/')), leg = 0)
     val newSeqs = (toDels -- fromDels).map(_.stripPrefix("_deletes-").toLong)
     val deletes = if (newSeqs.isEmpty) Seq.empty else {
       val newTombs = layout.deletes.filter(t => newSeqs(t.seq))
@@ -304,10 +304,39 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
             SpjPruning.mayMatch(f.stats, org.apache.spark.sql.sources.EqualTo(c, v))
           }))
       }
+      // BUCKET pruning per tombstone (r16): a single-column equality
+      // key ON the layout's bucket column maps through the layout
+      // hash — per-file stats can't discriminate hash-scattered bucket
+      // keys, the transform can; a tombstone that can't map (multi-col
+      // key, null/non-canonical value, wide set) admits every bucket
+      val eqBuckets: Option[Set[Int]] = layout.bucketLevel.flatMap { case (n, kc) =>
+        // hash-safe key types only: canonKey widens Int/Short/Byte to
+        // Long whose toString equals the layout hash input, and String
+        // passes through — Date/Timestamp/Decimal canonKeys do NOT
+        // stringify to the writer's dir encoding, so they admit all
+        import org.apache.spark.sql.types._
+        def hashSafe(dt: DataType) = dt match {
+          case StringType | LongType | IntegerType | ShortType | ByteType => true
+          case _ => false
+        }
+        val per = eqNew.map { t =>
+          if (t.keyCols.length == 1 && t.keyCols.head._1.equalsIgnoreCase(kc) &&
+            hashSafe(t.keyCols.head._2) && t.keys.size <= 1024) {
+            val cs = t.keys.toSeq.map(k => SpjPruning.canonicalOf(k.head))
+            if (cs.forall(_.isDefined))
+              Some(cs.flatten.map(SpjPruning.bucketOf(_, n)).toSet)
+            else None
+          } else None
+        }
+        if (per.isEmpty || per.exists(_.isEmpty)) None
+        else Some(per.flatten.reduce(_ ++ _))
+      }
+      def eqBucketOk(i: Int): Boolean = eqBuckets.forall(allowed =>
+        layout.bucketAt(i).forall(allowed.contains))
       val preTops = fromEntries.map(_.takeWhile(_ != '/'))
-      parts(f => preTops(f.entry.takeWhile(_ != '/')) && (
+      parts((i, f) => preTops(f.entry.takeWhile(_ != '/')) && (
         posFiles.contains(new org.apache.hadoop.fs.Path(f.path).toString) ||
-          eqTouches(f) || lazyTouches(f)), leg = 1)
+          (eqBucketOk(i) && eqTouches(f)) || lazyTouches(f)), leg = 1)
     }
     (inserts ++ deletes).toArray
   }

@@ -70,4 +70,30 @@ class SpjCdcPlanSpec extends SparkSpec {
     assert(events.sorted.toSeq === Seq("1005", "5"),
       s"pruned planning must not lose delete events: $events")
   }
+
+  test("equality keys on the bucket column prune the delete leg to their own buckets") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbk").toString
+    val lake = new Lakehouse(spark, root)
+    val n = 8
+    lake.createOrReplace((1L to 400L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "bk", Seq(s"bucket($n,k)"))
+    val from = lake.currentSnapshot("bk").get
+    // two single-key equality tombstones: stats can't discriminate
+    // hash-scattered bucket keys, the layout hash can
+    lake.deleteByKeyMor(Seq(7L).toDF("k"), "bk")
+    lake.deleteByKeyMor(Seq(19L).toDF("k"), "bk")
+    val to = lake.currentSnapshot("bk").get
+    val stream = new GraftSpjCdcMicroBatchStream(root, "bk", "main",
+      lake.tableSchema("bk"))
+    val parts = stream.planInputPartitions(LongOffset(from), LongOffset(to))
+    val deleteParts = parts.collect { case GraftCdcPartition(1, inner) => inner }
+      .filter(_.files.nonEmpty)
+    val expected = Set(SpjPruning.bucketOf("7", n), SpjPruning.bucketOf("19", n))
+    // planned delete-leg partitions carry (bucket) keys — exactly the
+    // tombstone keys' buckets, never all n
+    val planned = deleteParts.flatMap(_.keys).map(_.asInstanceOf[Int]).toSet
+    assert(planned === expected,
+      s"delete leg must plan only the keys' buckets: planned $planned, expected $expected")
+    assert(deleteParts.length < n, "bucket pruning must drop key-free buckets")
+  }
 }
