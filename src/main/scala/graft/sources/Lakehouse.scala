@@ -5012,18 +5012,21 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       s"cannot CREATE VIEW $name: a bucketed table of that name exists")
     val df = spark.sql(sql) // analyze eagerly — a broken view refuses at CREATE
     Lakehouse.locks.computeIfAbsent(viewsPath.toString, _ => new Object).synchronized {
-      // OR REPLACE rewrites IN PLACE: the file's order is the restore
-      // order (later views may reference earlier ones), so replacing a
-      // base view must not demote it below its dependents
+      // OR REPLACE rewrites IN PLACE (replacing a base view must not
+      // demote it below its dependents; restore order is additionally
+      // FIXPOINT-iterated in registerSqlViews, so even a replace that
+      // re-points a view at a LATER one restores). A found FLAG decides
+      // append-vs-replace — content equality would duplicate the line
+      // when the same text is re-issued.
       val newLine = s"""{"view":"${jsonEsc(name)}","sql":"${jsonEsc(sql)}"}"""
-      val lines = readLines(viewsPath)
-      val replaced = lines.map {
-        case ViewLine(v, _) if unesc(v).equalsIgnoreCase(name) => newLine
+      var found = false
+      val replaced = readLines(viewsPath).map {
+        case ViewLine(v, _) if unesc(v).equalsIgnoreCase(name) =>
+          found = true; newLine
         case l => l
       }
       writeFile(viewsPath,
-        (if (replaced == lines) lines :+ newLine else replaced)
-          .mkString("\n") + "\n")
+        (if (found) replaced else replaced :+ newLine).mkString("\n") + "\n")
     }
     df.createOrReplaceTempView(name)
   }
@@ -5045,25 +5048,60 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     ()
   }
 
-  /** (Re-)register persisted views' temp views, in creation order
-    * (later views may reference earlier ones). `touching` scopes the
-    * pass to views whose text names that table as a WORD — plus, once
-    * any view re-registers, every LATER view (it may read the
-    * refreshed one). A view whose base was dropped must not poison
-    * unrelated DML: it logs and skips — `DROP VIEW` is the cleanup. */
+  /** (Re-)register persisted views' temp views. `touching` scopes the
+    * pass to the REFERENCE CLOSURE of that table: views naming it as a
+    * word, plus views naming any view already in the set (views over
+    * views), whatever their file order. Registration runs in
+    * NAME-REFERENCE TOPOLOGICAL order — a view may depend on one
+    * recorded LATER (CREATE OR REPLACE re-pointed it), so file order
+    * alone is not a dependency order, and registering a dependent
+    * first would silently capture its dependency's STALE pre-pass
+    * plan. Cycles and ties keep file order; a view whose base was
+    * dropped logs and skips instead of poisoning unrelated DML
+    * (`DROP VIEW` is the cleanup). */
   private[sources] def registerSqlViews(touching: Option[String] = None): Unit = {
-    val word = touching.map(t =>
-      java.util.regex.Pattern.compile(
-        "(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b"))
-    var cascade = false
-    sqlViews().foreach { case (v, s) =>
-      if (word.forall(_.matcher(s).find()) || cascade) {
-        cascade = true
-        try spark.sql(s).createOrReplaceTempView(v)
-        catch { case e: Exception => System.err.println(
-          s"[graft] persisted view $v no longer analyzes (${e.getMessage}); " +
-            "DROP VIEW it or re-create its base table") }
+    val all = sqlViews()
+    def word(t: String) = java.util.regex.Pattern.compile(
+      "(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b")
+    val scoped = touching match {
+      case None => all
+      case Some(t) =>
+        val in = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        var frontier = Seq(t)
+        while (frontier.nonEmpty) {
+          val ws = frontier.map(word)
+          frontier = all.collect {
+            case (v, s) if !in.contains(v) && ws.exists(_.matcher(s).find()) =>
+              in(v) = s; v
+          }
+        }
+        in.toSeq
+    }
+    // TOPOLOGICAL registration order by name-reference (a view naming
+    // another registers AFTER it — fresh, never against the stale
+    // pre-pass temp view); ties and cycles keep file order
+    val names = scoped.map(_._1)
+    val deps: Map[String, Seq[String]] = scoped.map { case (v, s) =>
+      v -> names.filter(n => !n.equalsIgnoreCase(v) && word(n).matcher(s).find())
+    }.toMap
+    val ordered = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val done = scala.collection.mutable.HashSet.empty[String]
+    var remaining = scoped
+    var progress = true
+    while (remaining.nonEmpty && progress) {
+      progress = false
+      val (ready, blocked) = remaining.partition { case (v, _) =>
+        deps(v).forall(done.contains) }
+      if (ready.nonEmpty) {
+        progress = true; ordered ++= ready; done ++= ready.map(_._1)
+        remaining = blocked
       }
+    }
+    (ordered ++ remaining).foreach { case (v, s) =>
+      try spark.sql(s).createOrReplaceTempView(v)
+      catch { case e: Exception => System.err.println(
+        s"[graft] persisted view $v no longer analyzes (${e.getMessage}); " +
+          "DROP VIEW it or re-create its base table") }
     }
   }
 

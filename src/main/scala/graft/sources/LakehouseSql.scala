@@ -584,8 +584,13 @@ private[sources] object LakehouseSqlUtil {
     * table-position identifier resolves, the statement belongs to
     * Spark's own catalog and must delegate untouched. */
   def bodyLake(spark: SparkSession, body: String): Option[Lakehouse] = {
-    val fromIds = """(?i)\b(?:from|join)\s+`?([A-Za-z_]\w*)`?""".r
-      .findAllMatchIn(body).map(_.group(1)).toSeq.distinct
+    // table position = after FROM/JOIN, including comma-join lists and
+    // qualified names (every dot segment is a candidate — registered
+    // names are bare, so `lake.orders` resolves through `orders`)
+    val fromIds = """(?i)\b(?:from|join)\s+([`A-Za-z_][\w.`]*(?:\s*,\s*[`A-Za-z_][\w.`]*)*)""".r
+      .findAllMatchIn(body).map(_.group(1)).toSeq
+      .flatMap(_.split(',').toSeq).map(_.trim.replace("`", ""))
+      .flatMap(q => q +: q.split('.').toSeq).filter(_.nonEmpty).distinct
     fromIds.collectFirst(scala.Function.unlift(t =>
         LakehouseRegistry.lookup(spark, t).map(_._1)))
       .orElse(fromIds.collectFirst(scala.Function.unlift(viewLake(spark, _))))

@@ -427,6 +427,13 @@ object MaterializedView {
     * cliff punished. */
   private val DimDeltaKeysCap = 1024
 
+  /** Bound on the exhausted-group key collect for min/max scoped
+    * re-derivation ([[dimDelta]]): at or below it (and with every
+    * group column an atomic fact column), the re-derivation read is
+    * an OR-of-equalities `readWhere` — stats/bloom file-pruned;
+    * above it, one filtered full-fact pass. */
+  private val ExhaustedKeysCap = 256
+
   /** Apply a DIM-side change interval INCREMENTALLY: the view moves
     * from `fact@factSnap ⋈ dim@dimFrom` to `fact@factSnap ⋈
     * dim@dimTo` by subtractive merge — the CDC changelog of the dim
@@ -667,9 +674,22 @@ object MaterializedView {
           // prune the fact), still never a whole-view rewrite
           val allPins = prefixPins ++ (dimTo +: suffixPins)
           val factForRe = {
+            // group keys must be ATOMIC fact columns: lit(...) cannot
+            // build complex-typed literals (an array/struct group key
+            // would crash a refresh the plain scan path completes)
+            val atomicFactKeys = d.groupCols.forall(c =>
+              factBase.schema.fields.exists { f =>
+                import org.apache.spark.sql.types._
+                f.name == c && (f.dataType match {
+                  case _: StructType | _: ArrayType | _: MapType |
+                       _: UserDefinedType[_] => false
+                  case _ => true
+                })
+              })
             val bounded =
-              if (d.groupCols.forall(factBase.columns.contains))
-                Some(exhKeys.limit(257).collect()).filter(_.length <= 256)
+              if (atomicFactKeys)
+                Some(exhKeys.limit(ExhaustedKeysCap + 1).collect())
+                  .filter(_.length <= ExhaustedKeysCap)
               else None
             bounded match {
               case Some(rows) =>

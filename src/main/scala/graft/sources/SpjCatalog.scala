@@ -1658,15 +1658,16 @@ private[spj] object SpjPruning {
     sets.reduceOption(_ intersect _)
   }
 
+  /** [[canonical]], exposed for the CDC stream's per-tombstone bucket
+    * pruning (r16) — the canonical layout-hash string of an external
+    * value, what the writer encoded into dir names and [[bucketOf]]
+    * hashes. */
+  private[spj] def canonicalOf(v: Any): Option[String] = canonical(v)
+
   /** The write-side transform's cast-to-string canonical form — only
     * session-independent types map (same whitelist as Transforms;
     * dates print ISO, matching both `cast(d AS STRING)` and the
     * identity partition dir encoding). */
-  /** The canonical layout-hash string of an external value — what the
-    * writer encoded into dir names and [[bucketOf]] hashes; exposed
-    * for the CDC stream's per-tombstone bucket pruning (r16). */
-  private[spj] def canonicalOf(v: Any): Option[String] = canonical(v)
-
   private def canonical(v: Any): Option[String] = v match {
     case s: String => Some(s)
     case i: Long => Some(i.toString)

@@ -82,6 +82,23 @@ class ShowCatalogSpec extends SparkSpec {
     Lakehouse.openCatalog(spark, root)
     assert(spark.sql("SELECT tot FROM v_tot WHERE g = 'a'").head().getDouble(0) === 40.0)
     assert(spark.sql("SELECT g FROM v_top").count() === 2)
+    // re-issuing an IDENTICAL OR REPLACE must not duplicate the line
+    val nViews = lake.sqlViews().length
+    spark.sql("CREATE OR REPLACE VIEW v_top AS SELECT g FROM v_tot WHERE tot > 1")
+    assert(lake.sqlViews().length === nViews,
+      "identical OR REPLACE must rewrite in place, not append")
+    // OR REPLACE that RE-POINTS an early view at a LATER one must
+    // still cold-restore: registration is reference-topological, not
+    // file-ordered
+    spark.sql("CREATE VIEW v_sum AS SELECT g, sum(w) AS s2 FROM vt_base GROUP BY g")
+    spark.sql("CREATE OR REPLACE VIEW v_tot AS SELECT g, s2 AS tot FROM v_sum")
+    Seq("vt_base", "v_tot", "v_top", "v_sum").foreach(v =>
+      scala.util.Try(spark.catalog.dropTempView(v)))
+    graft.sources.LakehouseRegistry.unregister(spark, "vt_base")
+    Lakehouse.openCatalog(spark, root)
+    assert(spark.sql("SELECT tot FROM v_tot WHERE g = 'a'").head().getDouble(0) === 40.0)
+    assert(spark.sql("SELECT g FROM v_top").count() === 2,
+      "a view over a re-pointed view must survive the cold restore")
     // SHOW CREATE TABLE / DESCRIBE EXTENDED serve views too (r16)
     val vc = spark.sql("SHOW CREATE TABLE v_tot").head().getString(0)
     assert(vc.startsWith("CREATE VIEW v_tot AS SELECT"), vc)
@@ -93,8 +110,8 @@ class ShowCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT * FROM v_top").collect())
     assert(!spark.sql(s"SHOW TABLES IN `$lakeName`").collect()
       .exists(_.getString(0) == "v_top"))
-    // the persisted file keeps only the surviving view
-    assert(lake.sqlViews().map(_._1) === Seq("v_tot"))
+    // the persisted file keeps only the surviving views
+    assert(lake.sqlViews().map(_._1).toSet === Set("v_tot", "v_sum"))
   }
 
   test("native SHOW TABLES and SHOW NAMESPACES still delegate for non-lake names") {
