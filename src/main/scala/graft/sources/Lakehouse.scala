@@ -3824,18 +3824,21 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       if snapshotDeletes(table).getOrElse(snap, Seq.empty).isEmpty || {
           // tombstones serve when positional (any size — above the
           // broadcast gate they anti-join executor-side), or when
-          // equality AND under the gate AND (no evolution, or every
-          // key forward-maps into the declared schema canonically) —
-          // the same gates spjLayout/spjTombstones enforce (one footer
-          // read per tombstone dir, tombstones are few)
+          // equality AND every key type carries a canonical comparison
+          // domain (any size since r17 — above the gate the key set
+          // materializes per executor; a type canonKey would throw on
+          // refuses the LOAD, so the probe must not advertise it)
+          // AND (no evolution, or every key forward-maps into the
+          // declared schema canonically) — the same gates
+          // spjLayout/spjTombstones enforce (one footer read per
+          // tombstone dir, tombstones are few)
           val declared = declaredSchema(table, snap)
           snapshotDeletes(table).getOrElse(snap, Seq.empty).forall { d =>
             scala.util.Try {
               val st = spark.read.parquet(new Path(tableDir(table), d).toString).schema
               st.fieldNames.toSeq == Seq("__file", "__pos") || {
-                // an equality payload too big to collect refuses the
-                // LOAD, so the probe must not advertise it
-                tombstoneSlices(table, d).map(_._2).sum <= spjTombstoneGate
+                st.fields.forall(f =>
+                  SpjLayout.canonCompatible(f.dataType, f.dataType))
               } && (schemaLines(table).isEmpty || {
                 val seq = d.stripPrefix("_deletes-").toLong
                 val renames = schemaLines(table)
@@ -4025,6 +4028,31 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val changes = (target: DataFrame) => {
       assertMergeCardinality(target, source, table, keyCols)
       (source, source.select(keyCols.map(source(_)): _*))
+    }
+    if (partitionBy.isEmpty)
+      rewriteUnpartitioned(table, branch, keyCols, Some(batchId))(changes)
+    else
+      rewriteChangedPartitions(table, branch, keyCols, partitionBy, Some(batchId))(changes)
+  }
+
+  /** Exactly-once upsert PLUS keyed delete in ONE snapshot commit
+    * (r17): rows of `source` replace their keys, and `deleteKeys`'
+    * keys leave the table — atomically, through the same rewrite core
+    * as [[upsertOnce]] (changed keys = source keys ∪ delete keys;
+    * added rows = source). The mview maintenance's group-vanish leg
+    * needs exactly this shape — an upsert followed by a separate
+    * delete would expose a half-applied view between the two commits
+    * and replay ambiguously across a crash; one commit with one
+    * batch id does neither. A key in both inputs resolves as the
+    * upsert (the source image wins — same rule as
+    * [[applyChangesOnce]]'s insert-beats-delete). */
+  def upsertDeleteOnce(source: DataFrame, deleteKeys: DataFrame, table: String,
+      keyCols: Seq[String], batchId: Long, partitionBy: Seq[String] = Nil,
+      branch: String = "main"): Long = {
+    val changes = (target: DataFrame) => {
+      assertMergeCardinality(target, source, table, keyCols)
+      (source, source.select(keyCols.map(source(_)): _*)
+        .unionByName(deleteKeys.select(keyCols.map(deleteKeys(_)): _*)))
     }
     if (partitionBy.isEmpty)
       rewriteUnpartitioned(table, branch, keyCols, Some(batchId))(changes)
@@ -5010,7 +5038,23 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       s"cannot CREATE VIEW $name: a materialized view of that name exists")
     require(!bucketedEntries().exists(_._1.equalsIgnoreCase(name)),
       s"cannot CREATE VIEW $name: a bucketed table of that name exists")
-    val df = spark.sql(sql) // analyze eagerly — a broken view refuses at CREATE
+    // analyze eagerly — a broken view refuses at CREATE. One retry
+    // after a full view re-registration (r17): when the new text
+    // references an EARLIER view whose captured plan went stale under
+    // concurrent schema evolution (Spark's
+    // INCOMPATIBLE_COLUMN_CHANGES_AFTER_VIEW_WITH_PLAN_CREATION
+    // validation — e.g. a racing ALTER flipped a column's
+    // nullability), the dependency re-captures fresh and THIS text
+    // analyzes against the current state; a genuinely broken view
+    // still refuses loudly on the retry.
+    val df = try spark.sql(sql)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null &&
+            e.getMessage.contains("since the view plan was initially captured") =>
+        registerSqlViews()
+        spark.sql(sql)
+    }
     Lakehouse.locks.computeIfAbsent(viewsPath.toString, _ => new Object).synchronized {
       // OR REPLACE rewrites IN PLACE (replacing a base view must not
       // demote it below its dependents; restore order is additionally
@@ -5161,32 +5205,108 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   /** `t.mviews` metadata relation — see [[MaterializedView.viewsDf]]. */
   def mviewsDf(table: String): DataFrame = MaterializedView.viewsDf(this, table)
 
-  /** `SHOW CREATE TABLE` (r16) — the table's FULL declared state as an
-    * executable statement list in spec vocabulary: the CREATE TABLE
-    * with every column's current type and top-level DEFAULT, the
-    * PARTITIONED BY spec, then one CALL per auxiliary declaration
-    * (write sort order, native-bloom columns). Replaying the list
-    * against a fresh root rebuilds an equivalent table (nested ADDed
-    * fields appear as part of their struct type; their EXISTS_DEFAULT
-    * back-fill is a property of THIS table's history, not of the
-    * rebuilt empty one). Today this readout is otherwise scattered
-    * across metadata tables. */
+  /** `t.views` metadata relation (r17): the LAKE's persisted SQL
+    * views — name, recorded SELECT text, and creation ordinal (the
+    * `_views.jsonl` line position, which CREATE OR REPLACE keeps and
+    * DROP VIEW compacts — exactly the restore-order seed
+    * [[registerSqlViews]] starts from). Views are lake-scoped, so any
+    * registered table of the lake addresses the same relation, the
+    * way `t.refs` reads the table's pointer topology. Reads the live
+    * ledger: consistent with the file after OR REPLACE / DROP. */
+  def viewsDf(): DataFrame =
+    spark.createDataFrame(sqlViews().zipWithIndex.map {
+      case ((v, s), i) => (v, s, i.toLong)
+    }).toDF("view", "sql", "created_order")
+
+  /** `SHOW CREATE TABLE` (r16, nested DEFAULTs r17) — the table's
+    * FULL declared state as an executable statement list in spec
+    * vocabulary: the CREATE TABLE with every column's current type
+    * and top-level DEFAULT, one `ALTER TABLE … ADD COLUMNS` per
+    * NESTED field carrying a DEFAULT (inline DEFAULT is not
+    * expressible inside a STRUCT<> type — the add statement replays
+    * the declaration the way it was made), the PARTITIONED BY spec,
+    * then one CALL per auxiliary declaration (write sort order,
+    * native-bloom columns). Replaying the list against a fresh root
+    * rebuilds an equivalent table, nested defaults included: within
+    * each struct, fields from the FIRST defaulted one onward move to
+    * add statements in order — nested adds append, so the rebuilt
+    * struct keeps the field order (EXISTS_DEFAULT back-fill remains a
+    * property of THIS table's history, not of the rebuilt empty
+    * one). */
   def showCreateStatements(table: String): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
     val schema = tableSchema(table)
-    def colDdl(f: org.apache.spark.sql.types.StructField): String = {
+    // prune a type for the CREATE statement: at each struct level
+    // (struct, array element, map value), every field from the first
+    // DEFAULT-carrying one onward is emitted as a nested add (its own
+    // deep adds following), so appends reproduce the order exactly
+    def prune(dt: DataType, path: String)
+        : (DataType, Seq[(String, StructField, Option[String])]) = dt match {
+      case st: StructType =>
+        val rec = st.fields.toSeq.map { f =>
+          val (pdt, childAdds) = prune(f.dataType, s"$path${f.name}.")
+          (f.copy(dataType = pdt), childAdds)
+        }
+        val k = rec.indexWhere { case (f, _) =>
+          ColumnDefaults.currentSql(f).isDefined }
+        if (k < 0) (StructType(rec.map(_._1)), rec.flatMap(_._2))
+        else {
+          val (keep, moved) = rec.splitAt(k)
+          val adds = moved.flatMap { case (f, childAdds) =>
+            (s"$path${f.name}", f, ColumnDefaults.currentSql(f)) +: childAdds
+          }
+          (StructType(keep.map(_._1)), keep.flatMap(_._2) ++ adds)
+        }
+      case at: ArrayType =>
+        val (e, adds) = prune(at.elementType, s"${path}element.")
+        (at.copy(elementType = e), adds)
+      case mt: MapType =>
+        val (v, adds) = prune(mt.valueType, s"${path}value.")
+        (mt.copy(valueType = v), adds)
+      case other => (other, Seq.empty)
+    }
+    val pruned = schema.fields.toSeq.map { f =>
+      val (pdt, adds) = prune(f.dataType, s"${f.name}.")
+      (f.copy(dataType = pdt), adds)
+    }
+    def colDdl(f: StructField): String = {
       val base = s"${f.name} ${f.dataType.sql}"
       ColumnDefaults.currentSql(f).fold(base)(d => s"$base DEFAULT $d")
     }
     val spec = catalogEntries().find(_._1.equalsIgnoreCase(table))
       .map(_._2).getOrElse(Nil)
     val create = s"CREATE TABLE $table (" +
-      schema.fields.map(colDdl).mkString(", ") + ")" +
+      pruned.map(p => colDdl(p._1)).mkString(", ") + ")" +
       (if (spec.nonEmpty) s" PARTITIONED BY (${spec.mkString(", ")})" else "")
+    val nestedAdds = pruned.flatMap(_._2).map { case (p, f, d) =>
+      s"ALTER TABLE $table ADD COLUMNS ($p ${f.dataType.sql}" +
+        d.fold("")(x => s" DEFAULT $x") + ")"
+    }
     val sortStmt = Some(sortOrderOf(table)).filter(_.nonEmpty)
       .map(cs => s"CALL system.set_sort_order('$table', '${cs.mkString(",")}')")
     val bloomStmt = Some(bloomDeclared(table).toSeq.sorted).filter(_.nonEmpty)
       .map(cs => s"CALL system.set_bloom_columns('$table', '${cs.mkString(",")}')")
-    Seq(create) ++ sortStmt ++ bloomStmt
+    Seq(create) ++ nestedAdds ++ sortStmt ++ bloomStmt
+  }
+
+  /** Nested fields carrying a DEFAULT, as (dotted path in the nested
+    * add vocabulary — `element` for array elements, `value` for map
+    * values —, type SQL, default SQL): what DESCRIBE EXTENDED
+    * surfaces beyond the top-level column rows (r17). */
+  private def nestedDefaults(schema: org.apache.spark.sql.types.StructType)
+      : Seq[(String, String, String)] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def walk(dt: DataType, path: String): Seq[(String, String, String)] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap { f =>
+        ColumnDefaults.currentSql(f).map(d =>
+          (s"$path${f.name}", f.dataType.sql, d)).toSeq ++
+          walk(f.dataType, s"$path${f.name}.")
+      }
+      case at: ArrayType => walk(at.elementType, s"${path}element.")
+      case mt: MapType => walk(mt.valueType, s"${path}value.")
+      case _ => Seq.empty
+    }
+    schema.fields.toSeq.flatMap(f => walk(f.dataType, s"${f.name}."))
   }
 
   /** `DESCRIBE EXTENDED` rows (r16): every column with its type and
@@ -5199,6 +5319,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val cols = schema.fields.toSeq.map { f =>
       (f.name, f.dataType.sql,
         ColumnDefaults.currentSql(f).map(d => s"DEFAULT $d").orNull)
+    } ++ nestedDefaults(schema).map { case (p, t, d) =>
+      // NESTED defaults get their own dotted-path rows (r17): the
+      // top-level row's type SQL cannot carry them
+      (p, t, s"DEFAULT $d")
     }
     val spec = catalogEntries().find(_._1.equalsIgnoreCase(table))
       .map(_._2).getOrElse(Nil)
@@ -5389,12 +5513,19 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val deletes: Seq[SpjTombstone] = {
       val loaded = spjTombstones(table, snap)
       if (evoLines.isEmpty) loaded
-      else loaded.map {
-        case t: SpjEqTombstone =>
+      else {
+        // one key-mapping for BOTH equality representations (broadcast
+        // and lazy): forward-map each key column's name through the
+        // renames committed after the delete, refuse loudly when it no
+        // longer resolves canonically — a silently-missed key is a
+        // resurrection bug, identically on either path
+        def mapKeyCols(tseq: Long,
+            keyCols: Seq[(String, org.apache.spark.sql.types.DataType)])
+            : Seq[(String, org.apache.spark.sql.types.DataType)] = {
           val declared = declaredSchema(table, snap).getOrElse(
             throw new IllegalStateException(s"$table: evolution lines without a declared schema"))
-          t.copy(keyCols = t.keyCols.map { case (n, dt) =>
-            val mapped = evoLines.filter(l => l._1 > t.seq && l._1 <= snap)
+          keyCols.map { case (n, dt) =>
+            val mapped = evoLines.filter(l => l._1 > tseq && l._1 <= snap)
               .flatMap(_._3).foldLeft(n) { case (cur, (from, to)) =>
                 if (from.equalsIgnoreCase(cur)) to else cur
               }
@@ -5407,8 +5538,13 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
                 s"(${dt.simpleString} -> ${df.dataType.simpleString}) beyond the " +
                 "canonical comparison domain — compact() to materialize the deletes")
             (df.name, dt)
-          })
-        case t => t
+          }
+        }
+        loaded.map {
+          case t: SpjEqTombstone => t.copy(keyCols = mapKeyCols(t.seq, t.keyCols))
+          case t: SpjEqTombstoneFiles => t.copy(keyCols = mapKeyCols(t.seq, t.keyCols))
+          case t => t
+        }
       }
     }
     val dataDirs0 = entries.map(_.takeWhile(_ != '/')).distinct
@@ -5751,10 +5887,17 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     *    O(rows)), and each scan task anti-joins just the slices naming
     *    its own file — Iceberg's position-delete read path; plan cost
     *    stays flat however wide the update was;
-    *  - EQUALITY dirs refuse loudly (an unbounded key set must probe
-    *    every row of every lower-sequence file — there is no per-file
-    *    slicing to hide behind): compact() to materialize, or raise
-    *    the gate. [[spjServableSpec]] applies the same gate, so SHOW
+    *  - EQUALITY dirs stay executor-side too (r17,
+    *    [[SpjEqTombstoneFiles]]): the layout records the key COLUMNS
+    *    (schema-only footer read) and the dir's parquet slices; each
+    *    EXECUTOR materializes the canonical key-tuple set once from
+    *    the slices — a single-flight, LRU-bounded JVM cache keyed by
+    *    the write-once dir's (paths, bytes) identity — and every task
+    *    on that executor probes the shared set. The driver never
+    *    holds a key; plan cost is one footer read. Key types without
+    *    a canonical comparison domain ([[SpjLayout.canonKey]] would
+    *    throw executor-side) refuse at PLAN time instead, and
+    *    [[spjServableSpec]] applies the same type test, so SHOW
     *    TABLES never advertises what the load would refuse. */
   private def spjTombstones(table: String, snap: Long): Seq[SpjTombstone] =
     snapshotDeletes(table).getOrElse(snap, Seq.empty).map { d =>
@@ -5764,10 +5907,17 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       val slices = tombstoneSlices(table, d)
       if (slices.map(_._2).sum > spjTombstoneGate) {
         if (positional) SpjPosTombstoneFiles(seq, withFileBounds(slices))
-        else throw new IllegalArgumentException(
-          s"$table's equality tombstone $d exceeds the SPJ broadcast gate " +
-            s"($spjTombstoneGate bytes; spark.graft.spj.tombstone-broadcast-bytes) — " +
-            "compact() to materialize the deletes, or raise the gate")
+        else {
+          val fields = df.schema.fields.toSeq
+          fields.foreach(f => require(
+            SpjLayout.canonCompatible(f.dataType, f.dataType),
+            s"$table's equality tombstone $d keys on ${f.name} " +
+              s"(${f.dataType.simpleString}), which has no canonical comparison " +
+              "domain for the lazy executor-side probe — compact() to " +
+              "materialize the deletes"))
+          SpjEqTombstoneFiles(seq, fields.map(f => (f.name, f.dataType)),
+            df.schema, slices.map(s => (s._1, s._2)))
+        }
       } else {
         val rows = df.queryExecution.executedPlan.executeCollect()
         if (positional) {
@@ -6222,6 +6372,23 @@ private[graft] case class SpjPosTombstone(seq: Long,
   * form (both writers' contract), compared raw, no decode. */
 private[graft] case class SpjPosTombstoneFiles(seq: Long,
     slices: Seq[(String, Long, Option[(String, String)])]) extends SpjTombstone
+
+/** EQUALITY tombstone ABOVE the broadcast gate (r17) — the key set
+  * never touches the driver. The layout carries the key columns for
+  * binding (`keyCols`: declared-mapped names + RECORDED types, exactly
+  * the broadcast subtype's contract), the slices' own physical parquet
+  * schema (`fileSchema` — what the executor reads them with; after a
+  * committed rename the two name sets differ), and the tombstone dir's
+  * parquet slices. Each EXECUTOR materializes the canonical key-tuple
+  * set once per tombstone (single-flight, LRU-bounded — the spj
+  * package's SpjEqKeyCache) and every task on it probes the shared
+  * set; tuple order is `fileSchema` field order = `keyCols` order, and
+  * both sides canonicalize through [[SpjLayout.canonKey]], so a lazy
+  * probe can never disagree with the broadcast path's. */
+private[graft] case class SpjEqTombstoneFiles(seq: Long,
+    keyCols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    fileSchema: org.apache.spark.sql.types.StructType,
+    slices: Seq[(String, Long)]) extends SpjTombstone
 
 /** Per-data-dir conform materials for SPJ reads of a SCHEMA-EVOLVED
   * table: the dir's recorded physical file schema (hidden `_p_…`

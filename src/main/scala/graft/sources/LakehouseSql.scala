@@ -1432,7 +1432,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   private val MetaRe =
-    """(?i)`?([A-Za-z_]\w*)`?\.(history|snapshots|files|tags|partition_stats|partitions|refs|mviews)\b""".r
+    """(?i)`?([A-Za-z_]\w*)`?\.(history|snapshots|files|tags|partition_stats|partitions|refs|mviews|views)\b""".r
   private val VersionAsOfRe =
     """(?i)`?([A-Za-z_]\w*)`?\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val VersionTagRe =
@@ -1467,7 +1467,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def rewriteTimeTravel(sqlText: String): String = {
     // fast path: no travel syntax and no metadata-table ref — don't
     // touch the text
-    if (!"""(?i)\b(?:VERSION|TIMESTAMP)\s+AS\s+OF\b|\.(?:history|snapshots|files|tags|partition_stats|partitions|refs|mviews)\b"""
+    if (!"""(?i)\b(?:VERSION|TIMESTAMP)\s+AS\s+OF\b|\.(?:history|snapshots|files|tags|partition_stats|partitions|refs|mviews|views)\b"""
         .r.unanchored.matches(sqlText))
       return sqlText
     val sessionOpt = SparkSession.getActiveSession
@@ -1500,6 +1500,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             case "partition_stats" => lake.partitionStatsDf(view)
             case "refs" => lake.refsDf(view)
             case "mviews" => lake.mviewsDf(view)
+            case "views" => lake.viewsDf()
             case _ => lake.tagsDf(view)
           }).createOrReplaceTempView(tv)
           TravelViews.track(spark, tv)

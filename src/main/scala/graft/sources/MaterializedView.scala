@@ -453,9 +453,14 @@ object MaterializedView {
     *    witness group emptiness;
     *  - the dim interval is CDC-readable (appends + MoR
     *    deletes/updates; a CoW rewrite refuses) — maintain enrichment
-    *    dims MoR-style to keep join views delta-priced;
-    *  - no group's count reaches zero (a vanished group needs a
-    *    DELETE, which the upsert path cannot express atomically).
+    *    dims MoR-style to keep join views delta-priced.
+    * A group whose count reaches ZERO (all rows retracted) VANISHES
+    * incrementally since r17: its key rides the delete leg of the
+    * same snapshot commit as the upsert
+    * ([[Lakehouse.upsertDeleteOnce]] — atomic, batch-id idempotent),
+    * so even full-group retractions stay O(delta); only a NEGATIVE
+    * count (an over-retracting ledger, impossible under these gates)
+    * still refuses to the exact recompute.
     * The changed-key CARDINALITY is a plan choice, not a gate: up to
     * [[DimDeltaKeysCap]] keys the fact probe is an IN-pruned read
     * (stats/bloom file skipping); above it a semi-join probe keeps
@@ -635,6 +640,11 @@ object MaterializedView {
       }: _*)
     val t = lake.read(d.view)
     val viewSchema = t.schema
+    // min/max groups whose rows ALL left the table (exhausted AND
+    // absent from the scoped re-derivation) VANISH via the keyed
+    // delete leg of the commit below (r17) — this used to force a
+    // whole-view recompute; None = no such group this refresh
+    var vanishedMm: Option[DataFrame] = None
     val (untouched, merged0) =
       if (minmaxAggs.isEmpty) mergeSplit(d, t, da)
       else {
@@ -707,26 +717,50 @@ object MaterializedView {
           val reRows = gk(joined(lake, factForRe, d.joins, allPins), d.groupCols)
             .join(exhKeys, Seq("__gk"), "left_semi").drop("__gk")
           val reagg = aggOf(reRows, d)
-          // a group whose rows ALL left the table must VANISH — the
-          // upsert cannot delete, so that (rare) retraction falls back
-          if (exhKeys.join(gk(reagg, d.groupCols).select(col("__gk")),
-            Seq("__gk"), "left_anti").head(1).nonEmpty) return None
+          // a group whose rows ALL left the table VANISHES: its keys
+          // ride the commit's delete leg (upsertDeleteOnce below) —
+          // O(delta), atomic with the upsert, no recompute
+          val van = exhKeys.join(gk(reagg, d.groupCols).select(col("__gk")),
+            Seq("__gk"), "left_anti")
+            .select(d.groupCols.map(c => col("__gk").getField(c).as(c)): _*)
+            .localCheckpoint(true)
+          if (van.head(1).nonEmpty) vanishedMm = Some(van)
           (untouchedMm, survivors.unionByName(reagg))
         }
       }
     val merged = merged0
       .localCheckpoint(true) // feeds the emptiness gate AND the commit
-    if (merged.isEmpty)
+    if (merged.isEmpty && vanishedMm.isEmpty)
       return Some(lake.currentSnapshot(d.view).get)
-    // a zeroed group must VANISH from the view — possible only for a
-    // full recompute, so that (rare) retraction falls back
-    if (merged.where(col(countAlias) <= 0).head(1).nonEmpty) return None
+    val hasZeroed = merged.where(col(countAlias) <= 0).head(1).nonEmpty
+    // count < 0 would mean the subtractive ledger over-retracted —
+    // impossible under the soundness gates above, so refuse to the
+    // exact recompute rather than delete on a broken ledger
+    if (hasZeroed && merged.where(col(countAlias) < 0).head(1).nonEmpty)
+      return None
+    // a ZEROED group's rows all left the table: it VANISHES from the
+    // view, in the SAME snapshot commit as the upsert (r17; the
+    // nullable-group replace path drops it by simply not writing it)
+    val keep = if (hasZeroed) merged.where(col(countAlias) > 0) else merged
+    val vanZero =
+      if (hasZeroed)
+        Some(merged.where(col(countAlias) === 0).select(d.groupCols.map(col): _*))
+      else None
+    val vanKeys: Option[DataFrame] = (vanishedMm, vanZero) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
     def stable(df: DataFrame) = df.select(viewSchema.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
     Some(
-      if (nullFreeGroups(viewSchema, d))
-        lake.upsertOnce(stable(merged), d.view, d.groupCols, batchId = batchId)
-      else lake.replaceOnce(stable(untouched.unionByName(merged)),
+      if (nullFreeGroups(viewSchema, d)) vanKeys match {
+        case None =>
+          lake.upsertOnce(stable(keep), d.view, d.groupCols, batchId = batchId)
+        case Some(vk) =>
+          lake.upsertDeleteOnce(stable(keep), vk, d.view, d.groupCols,
+            batchId = batchId)
+      }
+      else lake.replaceOnce(stable(untouched.unionByName(keep)),
         d.view, batchId = batchId))
   }
 
@@ -803,8 +837,7 @@ object MaterializedView {
           // intervals — the note names the remaining causes
           lake.writeMviewRefreshNote(d.view, "recompute",
             "dim interval not incrementally applicable (no watermark, " +
-              "rollback, non-append dim history, or a group vanished " +
-              "under retraction)")
+              "rollback, or non-append dim history)")
           val rows = joined(lake, lake.readSnapshot(d.src, to), d.joins, dimNow)
           val snap =
             if (lake.committedBatches(d.view).contains(to))

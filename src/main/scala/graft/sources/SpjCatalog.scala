@@ -897,7 +897,7 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
   * pipeline is the bare decode + optional injection of before. */
 private[spj] object SpjReaders {
   import org.apache.spark.sql.sources.Filter
-  import graft.sources.{SpjDirConform, SpjEqTombstone, SpjPosTombstone, SpjPosTombstoneFiles}
+  import graft.sources.{SpjDirConform, SpjEqTombstone, SpjEqTombstoneFiles, SpjPosTombstone, SpjPosTombstoneFiles}
 
   def factory(layout: SpjLayout, required: StructType,
       pushed: Seq[Filter]): PartitionReaderFactory = {
@@ -916,6 +916,16 @@ private[spj] object SpjReaders {
     // the driver — tasks anti-join their own file's slices executor-
     // side (see [[graft.sources.SpjPosTombstoneFiles]])
     val lazyPos = layout.deletes.collect { case t: SpjPosTombstoneFiles => t }
+    // ABOVE-the-gate EQUALITY tombstones (r17): binding is identical
+    // to the broadcast subtype's — only WHERE the key set lives
+    // differs (per-executor materialization via [[SpjEqKeyCache]]).
+    // `eqAll` is the one (seq, keyCols) view the binding code sees;
+    // index order matters: broadcast specs first, lazy specs after,
+    // so a spec's delIdx resolves bcEq below `eqDels.length` and the
+    // lazy loads above it.
+    val lazyEq = layout.deletes.collect { case t: SpjEqTombstoneFiles => t }
+    val eqAll: Seq[(Long, Seq[(String, DataType)])] =
+      eqDels.map(t => (t.seq, t.keyCols)) ++ lazyEq.map(t => (t.seq, t.keyCols))
     def lcEq(a: String, b: String) = a.equalsIgnoreCase(b)
 
     // ROW-ID metadata columns (`_file`, `_pos` — the Iceberg position
@@ -930,7 +940,7 @@ private[spj] object SpjReaders {
 
     // columns the equality anti-filter needs BEYOND Spark's required
     // set — read alongside, dropped by the final projection
-    val extra: Seq[StructField] = eqDels.flatMap(_.keyCols.map(_._1)).distinct
+    val extra: Seq[StructField] = eqAll.flatMap(_._2.map(_._1)).distinct
       .filterNot(n => required.fieldNames.contains(n))
       .map(n => layout.schema.fields.find(_.name == n).getOrElse(
         throw new IllegalStateException(
@@ -939,7 +949,7 @@ private[spj] object SpjReaders {
     // on it (it is a partition constant, injected — never in the files)
     val needId = keyField.isDefined && (
       required.fieldNames.contains(idCol.get) ||
-        eqDels.exists(_.keyCols.exists(_._1 == idCol.get)))
+        eqAll.exists(_._2.exists(_._1 == idCol.get)))
     val partSchema =
       if (needId) StructType(Seq(keyField.get)) else new StructType()
     // declared data columns to decode, in required order plus extras
@@ -1061,8 +1071,8 @@ private[spj] object SpjReaders {
       // binds as a null literal (ordinal -1) — a tombstone tuple with
       // NULL in that slot null-safely matches, exactly as the ordinary
       // path's `<=>` anti-join does over the aligned (null-filled) dir.
-      val eqSpecs: Array[SpjEqSpec] = eqDels.zipWithIndex.map { case (t, di) =>
-        val binds = t.keyCols.map { case (n, _) =>
+      val eqSpecs: Array[SpjEqSpec] = eqAll.zipWithIndex.map { case ((tseq, tkeyCols), di) =>
+        val binds = tkeyCols.map { case (n, _) =>
           if (idCol.contains(n)) (physRequired.length, keyField.get.dataType)
           else if (stripOrd(n) >= 0)
             (stripOrd(n), stripped(stripped.indexWhere(sf => lcEq(sf.name, n))).dataType)
@@ -1081,7 +1091,7 @@ private[spj] object SpjReaders {
             else (maps.take(mi).count(_._2.isDefined), maps(mi)._2.get.dataType)
           }
         }
-        SpjEqSpec(t.seq, di, binds.map(_._1).toArray, binds.map(_._2).toArray)
+        SpjEqSpec(tseq, di, binds.map(_._1).toArray, binds.map(_._2).toArray)
       }.toArray
       SpjReadVariant(readerFn, outSchema, srcOrdinals, eqSpecs,
         metaAppended = metaNames.nonEmpty, stripped = stripped.toArray,
@@ -1105,9 +1115,21 @@ private[spj] object SpjReaders {
         spark, GraftSpjDeltaWrite.PosSchema, new StructType(),
         GraftSpjDeltaWrite.PosSchema, Seq.empty, rowOpt,
         spark.sessionState.newHadoopConf())
+    // ABOVE-GATE equality tombstones ship as load descriptors: slices
+    // + recorded key types + a per-tombstone parquet reader (each dir
+    // keeps its own write-time key schema). The key SET materializes
+    // executor-side, once per JVM ([[SpjEqKeyCache]]); delIdx order in
+    // eqSpecs puts these after the `eqDels.length` broadcast sets.
+    val lazyEqLoads: Array[SpjEqLazyLoad] = lazyEq.map { t =>
+      SpjEqLazyLoad(t.slices, t.fileSchema.fields.map(_.dataType),
+        new ParquetFileFormat().buildReaderWithPartitionValues(
+          spark, t.fileSchema, new StructType(), t.fileSchema, Seq.empty,
+          rowOpt, spark.sessionState.newHadoopConf()))
+    }.toArray
     new GraftSpjReaderFactory(variants, variantIdx, required,
       keyed = partSchema.nonEmpty, tz, bcEq, bcPos,
-      lazyPos.map(t => (t.seq, t.slices)), lazyReaderFn)
+      lazyPos.map(t => (t.seq, t.slices)), lazyReaderFn,
+      nBcEq = eqDels.length, lazyEq = lazyEqLoads)
   }
 }
 
@@ -1160,9 +1182,87 @@ private[spj] case class SpjReadVariant(
     renames: Seq[(String, String)] = Seq.empty)
 
 /** Equality-tombstone key binding within a variant's output rows:
-  * `delIdx` indexes the broadcast key-set array. */
+  * `delIdx` indexes the broadcast key-set array below the factory's
+  * `nBcEq`, the lazy load descriptors (minus `nBcEq`) at or above. */
 private[spj] case class SpjEqSpec(seq: Long, delIdx: Int,
     ords: Array[Int], types: Array[DataType])
+
+/** One ABOVE-GATE equality tombstone's executor-side load materials
+  * (r17): the tombstone dir's parquet slices, the RECORDED key types
+  * (the canonicalization domain — [[SpjLayout.canonKey]] widens both
+  * the tombstone rows and the probed data rows into one comparable
+  * image) and the parquet reader that opens the slices. Ships in the
+  * reader factory; the key payload stays on disk until a task needs
+  * it ([[SpjEqKeyCache.keysOf]]). */
+private[graft] case class SpjEqLazyLoad(
+    slices: Seq[(String, Long)],
+    keyTypes: Array[DataType],
+    readerFn: PartitionedFile => Iterator[InternalRow]) {
+  /** Stable payload identity: tombstone dirs are write-once, so the
+    * sorted slice-path set plus total bytes identify the key set
+    * across factories, queries and stream micro-batches. */
+  lazy val cacheKey: (String, Long) =
+    (slices.map(_._1).sorted.mkString("\n"), slices.map(_._2).sum)
+}
+
+/** Per-EXECUTOR materialized key sets for ABOVE-GATE equality
+  * tombstones: N tasks on one executor pay ONE slice read per
+  * tombstone (single-flight via an in-flight future map), and the
+  * sets are LRU-BOUNDED — an executor serving many huge tombstoned
+  * tables holds at most [[MaxSets]] materialized sets at once; a task
+  * needing an evicted one reloads (correct, just re-priced). The
+  * driver never holds a key on this path. */
+private[graft] object SpjEqKeyCache {
+  private val MaxSets = 4
+  private val sets =
+    new java.util.LinkedHashMap[(String, Long), Set[Seq[Any]]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Set[Seq[Any]]]): Boolean =
+        size() > MaxSets
+    }
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), java.util.concurrent.CompletableFuture[Set[Seq[Any]]]]()
+  /** Materializations actually performed (test hook: proves N tasks
+    * share one load). */
+  private[graft] val loads = new java.util.concurrent.atomic.AtomicLong()
+
+  def keysOf(load: SpjEqLazyLoad): Set[Seq[Any]] = {
+    val k = load.cacheKey
+    sets.synchronized(Option(sets.get(k))).getOrElse {
+      val fut = new java.util.concurrent.CompletableFuture[Set[Seq[Any]]]()
+      val prev = inflight.putIfAbsent(k, fut)
+      if (prev != null) prev.join()
+      else try {
+        loads.incrementAndGet()
+        val b = Set.newBuilder[Seq[Any]]
+        load.slices.foreach { case (sp, slen) =>
+          load.readerFn(PartitionedFile(InternalRow.empty,
+            SparkPath.fromPathString(sp), 0L, slen,
+            Array.empty[String], 0L, slen, Map.empty))
+            .asInstanceOf[Iterator[Any]]
+            .flatMap {
+              case cb: ColumnarBatch => cb.rowIterator().asScala
+              case r: InternalRow => Iterator.single(r)
+            }
+            .foreach { r =>
+              b += (load.keyTypes.indices.map(i =>
+                SpjLayout.canonKey(load.keyTypes(i), r, i)).toVector: Seq[Any])
+            }
+        }
+        val s = b.result()
+        sets.synchronized(sets.put(k, s))
+        fut.complete(s)
+        s
+      } catch {
+        // a failed load must not poison the key: joiners see the
+        // failure, the next task retries fresh
+        case e: Throwable => fut.completeExceptionally(e); throw e
+      } finally inflight.remove(k)
+    }
+  }
+
+  private[graft] def clear(): Unit = sets.synchronized(sets.clear())
+}
 
 private[spj] class GraftSpjReaderFactory(
     variants: Array[SpjReadVariant], variantIdx: Map[String, Int],
@@ -1170,7 +1270,9 @@ private[spj] class GraftSpjReaderFactory(
     bcEq: org.apache.spark.broadcast.Broadcast[Array[Set[Seq[Any]]]],
     bcPos: org.apache.spark.broadcast.Broadcast[Array[(Long, Map[String, Array[Long]])]],
     lazyPos: Seq[(Long, Seq[(String, Long, Option[(String, String)])])] = Seq.empty,
-    lazyReaderFn: PartitionedFile => Iterator[InternalRow] = null)
+    lazyReaderFn: PartitionedFile => Iterator[InternalRow] = null,
+    nBcEq: Int = 0,
+    lazyEq: Array[SpjEqLazyLoad] = Array.empty)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1302,18 +1404,27 @@ private[spj] class GraftSpjReaderFactory(
         }
       }
       // EQUALITY tombstones: null-safe canonical key-tuple probe,
-      // sequence-gated (later appends re-insert deleted keys freely)
+      // sequence-gated (later appends re-insert deleted keys freely).
+      // delIdx < nBcEq resolves the driver-broadcast sets; at or
+      // above it, the ABOVE-GATE sets — materialized once per
+      // executor from the tombstone's own slices (SpjEqKeyCache),
+      // resolved per FILE so a partition with no applicable lazy
+      // tombstone never triggers a load
       if (v.eqSpecs.nonEmpty) {
         val dirSeq = f.dirSeq
         val applicable = v.eqSpecs.filter(_.seq > dirSeq)
         if (applicable.nonEmpty) {
-          val keySets = bcEq.value
+          val keySets: Array[Set[Seq[Any]]] =
+            applicable.map(e =>
+              if (e.delIdx < nBcEq) bcEq.value(e.delIdx)
+              else SpjEqKeyCache.keysOf(lazyEq(e.delIdx - nBcEq)))
           it = it.filter { r =>
-            !applicable.exists { e =>
+            !applicable.indices.exists { ai =>
+              val e = applicable(ai)
               val tup: Seq[Any] = e.ords.indices
                 .map(i => if (e.ords(i) < 0) null // key column postdates this dir: reads NULL
                 else SpjLayout.canonKey(e.types(i), r, e.ords(i))).toVector
-              keySets(e.delIdx).contains(tup)
+              keySets(ai).contains(tup)
             }
           }
         }

@@ -173,7 +173,7 @@ private[spj] class GraftSpjMicroBatchStream(root: String, table: String,
 private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
     branch: String, required: StructType)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
-  import graft.sources.{SpjEqTombstone, SpjPosTombstone, SpjPosTombstoneFiles, SpjLayout}
+  import graft.sources.{SpjEqTombstone, SpjEqTombstoneFiles, SpjPosTombstone, SpjPosTombstoneFiles, SpjLayout}
   import org.apache.spark.sql.types.StructField
 
   // STREAMING OUTPUT CONTRACT: Spark applies no column pruning to a
@@ -298,45 +298,69 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
       // one (per-row seq-gating in the reader keeps it exact; wide key
       // sets skip the probe and degrade to the seq rule alone)
       val eqNew = newTombs.collect { case t: SpjEqTombstone => t }
-      def eqTouches(f: SpjFile): Boolean = eqNew.exists { t =>
+      def eqTombTouches(t: SpjEqTombstone, f: SpjFile): Boolean =
         t.seq > f.dirSeq && (t.keys.size > 64 || t.keys.exists(tup =>
           t.keyCols.zip(tup).forall { case ((c, _), v) =>
             SpjPruning.mayMatch(f.stats, org.apache.spark.sql.sources.EqualTo(c, v))
           }))
-      }
-      // BUCKET pruning per tombstone (r16): a single-column equality
-      // key ON the layout's bucket column maps through the layout
-      // hash — per-file stats can't discriminate hash-scattered bucket
-      // keys, the transform can; a tombstone that can't map (multi-col
-      // key, null/non-canonical value, wide set) admits every bucket
-      val eqBuckets: Option[Set[Int]] = layout.bucketLevel.flatMap { case (n, kc) =>
+      // ABOVE-GATE equality tombstones (r17): the keys live on disk —
+      // planning cannot stats- or bucket-prune per key, so every
+      // lower-sequence file is admitted (the reader's executor-side
+      // set probe keeps the emitted events exact); this is the same
+      // admit-all degradation a >64-key broadcast tombstone takes
+      val lazyEqNew = newTombs.collect { case t: SpjEqTombstoneFiles => t }
+      def lazyEqTouches(f: SpjFile): Boolean = lazyEqNew.exists(_.seq > f.dirSeq)
+      // BUCKET pruning per tombstone (r16; gated PER TOMBSTONE since
+      // r17 — the unioned allowed set over-admitted multi-tombstone
+      // intervals: tombstone A's buckets admitted files only
+      // tombstone B's stats touched): a single-column equality key ON
+      // the layout's bucket column maps through the layout hash —
+      // per-file stats can't discriminate hash-scattered bucket keys,
+      // the transform can; a tombstone that can't map (multi-col key,
+      // null/non-canonical value, wide set) admits every bucket
+      val eqBucketsPer: Seq[Option[Set[Int]]] = {
         // hash-safe key types only: canonKey widens Int/Short/Byte to
-        // Long whose toString equals the layout hash input, and String
-        // passes through — Date/Timestamp/Decimal canonKeys do NOT
-        // stringify to the writer's dir encoding, so they admit all
+        // Long whose toString equals the layout hash input, String
+        // passes through, and DATE canonKeys (epoch-day Longs, r17)
+        // re-print ISO — bit-identical to the writer's
+        // `cast(d AS STRING)` hash input, so `days×bucket` CDC tables
+        // prune equality deletes too. Timestamp/Decimal canonKeys do
+        // NOT stringify to the writer's dir encoding (and the bucket
+        // transform whitelist excludes them anyway): they admit all.
         import org.apache.spark.sql.types._
         def hashSafe(dt: DataType) = dt match {
-          case StringType | LongType | IntegerType | ShortType | ByteType => true
+          case StringType | LongType | IntegerType | ShortType | ByteType |
+               DateType => true
           case _ => false
         }
-        val per = eqNew.map { t =>
-          if (t.keyCols.length == 1 && t.keyCols.head._1.equalsIgnoreCase(kc) &&
-            hashSafe(t.keyCols.head._2) && t.keys.size <= 1024) {
-            val cs = t.keys.toSeq.map(k => SpjPruning.canonicalOf(k.head))
-            if (cs.forall(_.isDefined))
-              Some(cs.flatten.map(SpjPruning.bucketOf(_, n)).toSet)
-            else None
-          } else None
+        def canonOf(dt: DataType, v: Any): Option[String] = (dt, v) match {
+          case (DateType, d: java.lang.Long) =>
+            Some(java.time.LocalDate.ofEpochDay(d.longValue()).toString)
+          case _ => SpjPruning.canonicalOf(v)
         }
-        if (per.isEmpty || per.exists(_.isEmpty)) None
-        else Some(per.flatten.reduce(_ ++ _))
+        eqNew.map { t =>
+          layout.bucketLevel.flatMap { case (n, kc) =>
+            if (t.keyCols.length == 1 && t.keyCols.head._1.equalsIgnoreCase(kc) &&
+              hashSafe(t.keyCols.head._2) && t.keys.size <= 1024) {
+              val cs = t.keys.toSeq.map(k => canonOf(t.keyCols.head._2, k.head))
+              if (cs.forall(_.isDefined))
+                Some(cs.flatten.map(SpjPruning.bucketOf(_, n)).toSet)
+              else None
+            } else None
+          }
+        }
       }
-      def eqBucketOk(i: Int): Boolean = eqBuckets.forall(allowed =>
-        layout.bucketAt(i).forall(allowed.contains))
+      // a file admits when SOME tombstone passes BOTH its own bucket
+      // gate and its own stats probe — A's buckets never launder B's
+      def eqAdmits(i: Int, f: SpjFile): Boolean =
+        eqNew.zip(eqBucketsPer).exists { case (t, allowed) =>
+          allowed.forall(a => layout.bucketAt(i).forall(a.contains)) &&
+            eqTombTouches(t, f)
+        }
       val preTops = fromEntries.map(_.takeWhile(_ != '/'))
       parts((i, f) => preTops(f.entry.takeWhile(_ != '/')) && (
         posFiles.contains(new org.apache.hadoop.fs.Path(f.path).toString) ||
-          (eqBucketOk(i) && eqTouches(f)) || lazyTouches(f)), leg = 1)
+          eqAdmits(i, f) || lazyTouches(f) || lazyEqTouches(f)), leg = 1)
     }
     (inserts ++ deletes).toArray
   }
@@ -373,9 +397,15 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
         "delete leg cannot attribute rows; use the format-string CDC stream")
     val (newTombs, oldTombs) = layout.deletes.partition(t => newSeqs(t.seq))
     val eqTombs = newTombs.collect { case t: SpjEqTombstone => t }
+    // ABOVE-GATE new equality tombstones (r17): same binding as the
+    // broadcast kind, but the key set materializes executor-side
+    // (SpjEqKeyCache) — the delete leg streams a huge equality MoR
+    // delete with the driver never holding a key
+    val lazyEqTombs = newTombs.collect { case t: SpjEqTombstoneFiles => t }
     // the delete leg's read set: data columns + row-id pair + any
     // equality key columns the match still needs, each exactly once
-    val extraKeys = eqTombs.flatMap(_.keyCols).map(_._1).distinct
+    val extraKeys = (eqTombs.flatMap(_.keyCols) ++ lazyEqTombs.flatMap(_.keyCols))
+      .map(_._1).distinct
       .filterNot(n => innerRequired.fieldNames.exists(_.equalsIgnoreCase(n)))
       .map(n => layout.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalStateException(
@@ -421,6 +451,22 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
         val types = ords.map(o => deleteSchema.fields(o).dataType)
         (t.seq, ords, types, t.keys)
       }
+    val lazyEqSpecs: Seq[(Long, Array[Int],
+        Array[org.apache.spark.sql.types.DataType], SpjEqLazyLoad)] =
+      lazyEqTombs.map { t =>
+        val ords = t.keyCols.map { case (n, _) =>
+          deleteSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n)) }.toArray
+        val types = ords.map(o => deleteSchema.fields(o).dataType)
+        (t.seq, ords, types,
+          SpjEqLazyLoad(t.slices, t.fileSchema.fields.map(_.dataType),
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+              .buildReaderWithPartitionValues(
+                SparkSession.active, t.fileSchema, new StructType(),
+                t.fileSchema, Seq.empty,
+                Map(org.apache.spark.sql.execution.datasources.FileFormat
+                  .OPTION_RETURNING_BATCH -> "false"),
+                SparkSession.active.sessionState.newHadoopConf())))
+      }
     // final projection for the delete leg: emitted field -> ordinal in
     // deleteSchema (-1 = the tag slot); emission order is the insert
     // leg's — data ++ metaFields
@@ -431,7 +477,7 @@ private[spj] class GraftSpjCdcMicroBatchStream(root: String, table: String,
           else deleteSchema.fieldNames.indexOf(m.name))).toArray
     new GraftSpjCdcReaderFactory(insertInner, deleteInner,
       deleteSchema, deleteOrdinals, fileOrd, posOrd,
-      GraftCdcSemi(mergedPos, eqSpecs, lazySlices, lazyReaderFn))
+      GraftCdcSemi(mergedPos, eqSpecs, lazySlices, lazyReaderFn, lazyEqSpecs))
   }
 
   override def commit(end: Offset): Unit = ()
@@ -452,13 +498,18 @@ private[spj] case class GraftCdcPartition(leg: Byte, inner: GraftBucketPartition
   * ABOVE-GATE new positional tombstones as on-disk slice descriptors
   * (path, length, optional recorded-`__file` footer bounds in the
   * URL-encoded domain) with the parquet reader that opens them
-  * executor-side (r16 — lazy, never driver-materialized). */
+  * executor-side (r16 — lazy, never driver-materialized), and the
+  * ABOVE-GATE new EQUALITY tombstones (r17) with the same binding as
+  * `eq` but the key set as an executor-side load descriptor
+  * ([[SpjEqLazyLoad]] → [[SpjEqKeyCache]]) instead of a driver set. */
 private[spj] case class GraftCdcSemi(
     pos: Map[String, Array[Long]],
     eq: Seq[(Long, Array[Int], Array[org.apache.spark.sql.types.DataType], Set[Seq[Any]])],
     lazySlices: Seq[(String, Long, Option[(String, String)])] = Seq.empty,
     lazyReaderFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
-      Iterator[InternalRow] = null)
+      Iterator[InternalRow] = null,
+    lazyEq: Seq[(Long, Array[Int],
+      Array[org.apache.spark.sql.types.DataType], SpjEqLazyLoad)] = Seq.empty)
 
 private[spj] class GraftSpjCdcReaderFactory(
     insertInner: PartitionReaderFactory,
@@ -540,6 +591,16 @@ private[spj] class GraftSpjCdcReaderFactory(
               val tup: Seq[Any] = ords.indices.map(i =>
                 SpjLayout.canonKey(ts(i), r, ords(i))).toVector
               keys.contains(tup)
+            }
+          } ||
+          // above-gate equality: the executor-materialized set (one
+          // load per JVM via SpjEqKeyCache) probed with the same
+          // canonical tuple the broadcast branch builds
+          semi.lazyEq.exists { case (seq, ords, ts, load) =>
+            seq > dirSeq && {
+              val tup: Seq[Any] = ords.indices.map(i =>
+                SpjLayout.canonKey(ts(i), r, ords(i))).toVector
+              SpjEqKeyCache.keysOf(load).contains(tup)
             }
           }
         }

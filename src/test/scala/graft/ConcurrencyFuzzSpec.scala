@@ -39,10 +39,10 @@ class ConcurrencyFuzzSpec extends SparkSpec {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
 
-  test("five racing threads (DML, ALTER+RENAME, DSv2 UPDATE/MERGE, branch writer): exact invariants") {
+  test("six racing threads (DML, ALTER+RENAME, DSv2 UPDATE/MERGE, branch writer, VIEW DDL): exact invariants") {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(
-        java.util.concurrent.Executors.newFixedThreadPool(5))
+        java.util.concurrent.Executors.newFixedThreadPool(6))
     for (seed <- Seq(7, 42, 1337)) {
       val root = java.nio.file.Files.createTempDirectory(s"graft-conc$seed").toString
       val lake = new Lakehouse(spark, root)
@@ -133,8 +133,23 @@ class ConcurrencyFuzzSpec extends SparkSpec {
             "ct", spec, branch = "side")
         }
       }
+      // VIEW DDL thread (r17 — the topological registration +
+      // re-registration hook is order-sensitive): CREATE OR REPLACE
+      // of a base view over the racing table AND a dependent
+      // view-over-view, interleaved, while every DML statement above
+      // re-registers the reference closure
+      val nViewOps = 3
+      val vA = s"fzva_$seed"; val vB = s"fzvb_$seed"
+      val viewer = Future {
+        (1 to nViewOps).foreach { i =>
+          lake.createSqlView(vA,
+            s"SELECT k, grp, v + $i AS vv FROM conc$seed.ct", orReplace = true)
+          lake.createSqlView(vB,
+            s"SELECT count(1) AS n FROM $vA", orReplace = true)
+        }
+      }
       Await.result(Future.sequence(
-        Seq(appender, updater, alterer, dsv2, brancher)), 600.seconds)
+        Seq(appender, updater, alterer, dsv2, brancher, viewer)), 600.seconds)
 
       val got = lake.read("ct")
       // NO LOST UPDATES: each disjoint slice took exactly its thread's
@@ -174,6 +189,27 @@ class ConcurrencyFuzzSpec extends SparkSpec {
         s"seed $seed: table lost SPJ servability under the race")
       assert(sortedRows(spark.table(s"conc$seed.ct")) === sortedRows(got),
         s"seed $seed: SPJ and ordinary reads diverge after the race")
+      // VIEWS read the CURRENT base after quiescence. A racing ALTER
+      // can leave the LAST capture stale (Spark validates captured V2
+      // plans against the current schema — nullability flips count),
+      // so first model the contract: the next statement's
+      // registerView re-registers the reference closure fresh …
+      lake.registerView("ct", spec)
+      // … after which (whatever interleaving won) the LAST OR REPLACE
+      // text is on file and the registration points at the post-race
+      // table:
+      assert(lake.sqlViews().map(_._1).toSet === Set(vA, vB),
+        s"seed $seed: view ledger lost or duplicated a racing view")
+      assert(spark.table(vA).count() === got.count(),
+        s"seed $seed: base view went stale under the race")
+      assert(spark.sql(s"SELECT n FROM $vB").head().getLong(0) === got.count(),
+        s"seed $seed: dependent view went stale under the race")
+      // … and a COLD catalog open restores both in dependency order
+      Seq(vA, vB).foreach(v => scala.util.Try(spark.catalog.dropTempView(v)))
+      graft.sources.LakehouseRegistry.unregister(spark, "ct")
+      Lakehouse.openCatalog(spark, root)
+      assert(spark.sql(s"SELECT n FROM $vB").head().getLong(0) === got.count(),
+        s"seed $seed: cold restore lost the racing views")
     }
   }
 }

@@ -383,24 +383,34 @@ class MaterializedViewSpec extends SparkSpec {
       "a 5,000-key dim change must apply through the dim-delta path, not recompute")
   }
 
-  test("join view: a dim delete that empties a group falls back to recompute") {
+  test("join view: a dim delete that empties a group VANISHES it incrementally (delete leg, one commit)") {
     val root = freshDir("graft-mview-joindel")
     val lake = new Lakehouse(spark, root)
     lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL")), "dim_t")
     lake.createOrReplace(factDf(
       (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00"))), "fact_t")
-    MV.create(lake, JoinDef)
+    MV.create(lake, JoinDef); MV.persist(lake, JoinDef)
     import spark.implicits._
     lake.deleteByKeyMor(Seq(2L).toDF("cid"), "dim_t")
+    val viewSnaps = lake.snapshots("sales_by_seg").length
     MV.refresh(lake, JoinDef)
-    // RETAIL must VANISH (not linger as a zero row) — only the
-    // recompute can delete a group, so the delta path must decline
+    // RETAIL must VANISH (not linger as a zero row) — since r17 the
+    // subtractive path deletes it atomically with the upsert: one
+    // commit, O(delta), last_refresh stays incremental
     assert(segMap(lake.read("sales_by_seg")) === Map("AUTO" -> ((dec("10.00"), 1L))))
-    assert(!lake.committedBatches("sales_by_seg").exists(_ < 0),
-      "a group-emptying dim delete must NOT take the subtractive path")
+    assert(lake.committedBatches("sales_by_seg").exists(_ < 0),
+      "a group-emptying dim delete must take the subtractive path (r17)")
+    assert(lake.snapshots("sales_by_seg").length === viewSnaps + 1,
+      "the vanish must ride ONE snapshot commit, atomic with the upsert")
+    assert(lake.mviewsDf("fact_t").where(col("mview") === "sales_by_seg")
+      .head().getAs[String]("last_refresh") === "incremental")
+    // crash-REPLAY converges: a re-run refresh no-ops on the ledger
+    MV.refresh(lake, JoinDef)
+    assert(segMap(lake.read("sales_by_seg")) === Map("AUTO" -> ((dec("10.00"), 1L))))
+    assert(lake.snapshots("sales_by_seg").length === viewSnaps + 1)
   }
 
-  test("join view: min/max dim churn applies incrementally (extremum survivorship); vanish falls back loudly") {
+  test("join view: min/max dim churn applies incrementally (extremum survivorship); vanish deletes in the same commit") {
     val root = freshDir("graft-mview-joinmm")
     val lake = new Lakehouse(spark, root)
     val mmDef = MV.ViewDef("peak_by_seg", "fact_t",
@@ -452,15 +462,17 @@ class MaterializedViewSpec extends SparkSpec {
       "RETAIL" -> ((dec("4.00"), dec("4.00"), 1L))))
     assert(lake.mviewsDf("fact_t").where(col("mview") === "peak_by_seg")
       .head().getAs[String]("last_refresh") === "incremental")
-    // VANISH: the last RETAIL key leaves — the upsert cannot delete a
-    // group, so the refresh falls back, LOUDLY
+    // VANISH: the last RETAIL key leaves — since r17 the exhausted
+    // group that re-derives to NOTHING rides the commit's keyed
+    // delete leg: still incremental, still one commit
     lake.updateWhereMor(Seq("seg" -> lit("AUTO")), col("cid") === 2L, "dim_t")
     MV.refresh(lake, mmDef)
     assert(mmMap() === mmRecompute())
     assert(mmMap() === Map("AUTO" -> ((dec("10.00"), dec("4.00"), 5L))))
     val meta3 = lake.mviewsDf("fact_t").where(col("mview") === "peak_by_seg").head()
-    assert(meta3.getAs[String]("last_refresh") === "recompute")
-    assert(meta3.getAs[String]("refresh_note").contains("vanished"))
+    assert(meta3.getAs[String]("last_refresh") === "incremental",
+      s"a min/max vanish must stay incremental (r17), note: " +
+        meta3.getAs[String]("refresh_note"))
     // a sum/count sibling over the same churn reads `incremental`
     lake.createOrReplace(
       dimDf((1L, "AUTO"), (2L, "RETAIL"), (3L, "RETAIL"), (4L, "RETAIL")), "dim_t")
@@ -783,7 +795,7 @@ class MaterializedViewSpec extends SparkSpec {
     assert(MV.watermark(lake, StarDef) === lake.currentSnapshot("fact_t").get)
   }
 
-  test("multi-hop join view: DEEP-hop movement applies subtractively; emptied groups fall back") {
+  test("multi-hop join view: DEEP-hop movement applies subtractively; emptied groups vanish on-path") {
     val root = freshDir("graft-mview-stard")
     val lake = new Lakehouse(spark, root)
     lake.createOrReplace(custDf((1L, 100L), (2L, 200L)), "cust_t")
@@ -791,16 +803,16 @@ class MaterializedViewSpec extends SparkSpec {
     lake.createOrReplace(factDf((10L, 1L, dec("10.00")), (11L, 2L, dec("4.00"))), "fact_t")
     MV.create(lake, StarDef)
     // hop-2 dim movement that EMPTIES a group: re-labeling the only FR
-    // nation zeroes group FR, which the upsert path cannot retract —
-    // the subtractive leg computes the delta, trips the count-zero
-    // gate, and falls back to the recompute (correctness over speed)
+    // nation zeroes group FR and births FR2 — since r17 the
+    // subtractive leg deletes the zeroed group and upserts the new
+    // one in ONE commit, staying on the dim-delta path
     lake.updateWhereMor(Seq("nname" -> lit("FR2")), col("nid") === 100L, "nat_t")
     MV.refresh(lake, StarDef)
     assert(natMap(lake.read("sales_by_nation")) === natMap(starRecompute(lake)))
     assert(natMap(lake.read("sales_by_nation")) === Map(
       "FR2" -> ((dec("10.00"), 1L)), "DE" -> ((dec("4.00"), 1L))))
-    assert(!lake.committedBatches("sales_by_nation").exists(_ < 0),
-      "an emptying deep-hop change must take the recompute, not the dim-delta leg")
+    assert(lake.committedBatches("sales_by_nation").exists(_ < 0),
+      "an emptying deep-hop change must stay on the dim-delta leg (r17)")
     // both dim watermarks converged to the new pins
     assert(MV.dimWatermarkOf(lake, "sales_by_nation", 2) ===
       Some(Seq(lake.currentSnapshot("cust_t").get, lake.currentSnapshot("nat_t").get)))

@@ -114,6 +114,43 @@ class ShowCatalogSpec extends SparkSpec {
     assert(lake.sqlViews().map(_._1).toSet === Set("v_tot", "v_sum"))
   }
 
+  test("t.views metadata relation: name + SQL text + creation order, consistent after OR REPLACE / DROP (r17)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("k", "g", "w"), "mvr_base")
+    lake.registerView("mvr_base")
+    // no views yet: the relation reads EMPTY, not an error
+    assert(spark.sql("SELECT * FROM mvr_base.views").count() === 0)
+    spark.sql("CREATE VIEW mvr_v1 AS SELECT g, sum(w) AS tot FROM mvr_base GROUP BY g")
+    spark.sql("CREATE VIEW mvr_v2 AS SELECT g FROM mvr_v1 WHERE tot > 15")
+    val rows = spark.sql(
+      "SELECT view, sql, created_order FROM mvr_base.views ORDER BY created_order")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq("mvr_v1", "mvr_v2"))
+    assert(rows(0)._2 === "SELECT g, sum(w) AS tot FROM mvr_base GROUP BY g")
+    assert(rows.map(_._3).toSeq === Seq(0L, 1L))
+    // OR REPLACE rewrites IN PLACE: text changes, ordinal stays
+    spark.sql("CREATE OR REPLACE VIEW mvr_v1 AS SELECT g, sum(w) AS tot, count(1) AS n FROM mvr_base GROUP BY g")
+    val afterReplace = spark.sql(
+      "SELECT view, sql, created_order FROM mvr_base.views ORDER BY created_order")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(afterReplace.map(_._1).toSeq === Seq("mvr_v1", "mvr_v2"))
+    assert(afterReplace(0)._2.contains("count(1) AS n"))
+    assert(afterReplace(0)._3 === 0L)
+    // DROP compacts the ledger; the relation agrees
+    spark.sql("DROP VIEW mvr_v2")
+    assert(spark.sql("SELECT view FROM mvr_base.views").collect()
+      .map(_.getString(0)).toSeq === Seq("mvr_v1"))
+    // the relation agrees with _views.jsonl byte-for-byte
+    assert(spark.sql("SELECT view, sql FROM mvr_base.views").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq === lake.sqlViews())
+    // UNREGISTERED names fall through untouched — `nope.views` is not
+    // a lake relation, so Spark's own resolution errors, not ours
+    intercept[Exception](spark.sql("SELECT * FROM nope_such.views").collect())
+  }
+
   test("native SHOW TABLES and SHOW NAMESPACES still delegate for non-lake names") {
     // session catalog: must not be intercepted (name doesn't match a lake)
     val native = spark.sql("SHOW TABLES IN default")

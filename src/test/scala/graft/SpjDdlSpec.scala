@@ -300,6 +300,64 @@ class SpjDdlSpec extends SparkSpec {
     }
   }
 
+  test("SHOW CREATE TABLE surfaces NESTED defaults as replayable ADD COLUMNS; DESCRIBE EXTENDED lists them (r17)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-nd").toString
+    val lake = new Lakehouse(spark, root)
+    withSpj(root, "ddlnd") {
+      spark.sql("CREATE TABLE ddlnd.ndt (k BIGINT, " +
+        "addr STRUCT<city: STRING, zip: BIGINT>) PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO ddlnd.ndt VALUES (1, named_struct('city', 'NYC', 'zip', 10001L))")
+      // a DEFAULTed nested add, then a LATER plain nested add — the
+      // suffix rule must move BOTH to add statements so the rebuilt
+      // struct keeps the field order
+      spark.sql("ALTER TABLE ddlnd.ndt ADD COLUMNS (addr.country STRING DEFAULT 'FR')")
+      spark.sql("ALTER TABLE ddlnd.ndt ADD COLUMNS (addr.region STRING)")
+      lake.registerView("ndt", Seq("bucket(4,k)"))
+      val stmts = spark.sql("SHOW CREATE TABLE ndt").collect().map(_.getString(0))
+      assert(stmts.length === 3, s"CREATE + two nested adds expected: ${stmts.mkString(" | ")}")
+      // the CREATE's struct stops before the defaulted field
+      assert(stmts(0).contains("addr STRUCT<city: STRING, zip: BIGINT>"), stmts(0))
+      assert(!stmts(0).contains("country"), stmts(0))
+      assert(stmts(1) === "ALTER TABLE ndt ADD COLUMNS (addr.country STRING DEFAULT 'FR')", stmts(1))
+      assert(stmts(2) === "ALTER TABLE ndt ADD COLUMNS (addr.region STRING)", stmts(2))
+      // REBUILD from the emitted script in a fresh root under a new name
+      val root2 = java.nio.file.Files.createTempDirectory("graft-ddl-nd2").toString
+      val lake2 = new Lakehouse(spark, root2)
+      spark.conf.set("spark.sql.catalog.ddlnd2", classOf[GraftSpjCatalog].getName)
+      spark.conf.set("spark.sql.catalog.ddlnd2.root", root2)
+      val rebuilt = stmts.map(_.replace("ndt", "ndt2"))
+      spark.sql(rebuilt(0).replaceFirst("CREATE TABLE ndt2", "CREATE TABLE ddlnd2.ndt2"))
+      lake2.registerView("ndt2", Seq("bucket(4,k)"))
+      rebuilt.drop(1).foreach(spark.sql(_))
+      // field ORDER and the nested default both round-trip
+      assert(lake2.tableSchema("ndt2").fields.map(_.name).toSeq ===
+        lake.tableSchema("ndt").fields.map(_.name).toSeq)
+      assert(spark.table("ddlnd2.ndt2").schema("addr").dataType.catalogString ===
+        spark.table("ddlnd.ndt").schema("addr").dataType.catalogString)
+      assert(lake2.showCreateStatements("ndt2").map(_.replace("ndt2", "ndt")) ===
+        lake.showCreateStatements("ndt").toSeq)
+      // the nested CURRENT_DEFAULT is live on the rebuilt table: an
+      // INSERT omitting it reads 'FR' through the declared schema
+      spark.sql("INSERT INTO ddlnd2.ndt2 VALUES " +
+        "(7, named_struct('city', 'SF', 'zip', 94105L, 'country', 'US', 'region', 'CA'))")
+      val rebuiltAddr = spark.table("ddlnd2.ndt2").schema("addr").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(graft.sources.ColumnDefaults
+        .currentSql(rebuiltAddr("country")).contains("'FR'"),
+        "the rebuilt nested field must carry the DEFAULT")
+      // DESCRIBE EXTENDED lists the nested default as a dotted row
+      val desc = spark.sql("DESCRIBE EXTENDED ndt").collect()
+        .map(r => (r.getString(0), r.getString(2)))
+      assert(desc.contains(("addr.country", "DEFAULT 'FR'")),
+        s"nested default row missing: ${desc.mkString(", ")}")
+      // old rows (written before the add) read the default on both paths
+      assert(spark.table("ddlnd.ndt").where(col("k") === 1L)
+        .select(col("addr.country")).head().getString(0) === "FR")
+      assert(lake.read("ndt").where(col("k") === 1L)
+        .select(col("addr.country")).head().getString(0) === "FR")
+    }
+  }
+
   test("RENAME TO onto an orphan catalog line: an unpartitioned rename never inherits the orphan's spec (r16)") {
     val root = java.nio.file.Files.createTempDirectory("graft-ddl-orph").toString
     val lake = new Lakehouse(spark, root)

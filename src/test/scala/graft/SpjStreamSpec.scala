@@ -404,6 +404,55 @@ class SpjStreamSpec extends SparkSpec {
     }
   }
 
+  test("CDC serves ABOVE-GATE equality tombstones lazily: delete events stream, the driver never holds a key (r17)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sslzeq").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-sslzeq-ck").toString
+    val lake = new Lakehouse(spark, root)
+    import spark.implicits._
+    lake.createOrReplace((1L to 40L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "lzeq_t", Seq("bucket(2,k)"))
+    withSpj(root, "sslzeq") {
+      val events = scala.collection.mutable.ArrayBuffer.empty[String]
+      def drainCdc(): Unit = {
+        val q = spark.readStream.option("cdc", "true").table("sslzeq.lzeq_t")
+          .select(col("k"), col("_change_type"))
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            events.synchronized {
+              events ++= df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+            }; ()
+          }
+          .start()
+        try assert(q.awaitTermination(120000)) finally q.stop()
+      }
+      drainCdc() // bootstrap
+      events.clear()
+      spark.conf.set("spark.graft.spj.tombstone-broadcast-bytes", "1")
+      try {
+        lake.deleteByKeyMor((1L to 40L).filter(_ % 5 == 0).toDF("k"), "lzeq_t")
+        // the REPRESENTATION is the claim: the key set stayed on disk
+        val dels = lake.spjLayout("lzeq_t").deletes
+        assert(dels.nonEmpty &&
+          dels.forall(_.isInstanceOf[graft.sources.SpjEqTombstoneFiles]),
+          s"above the gate the equality key set must stay on disk: $dels")
+        drainCdc()
+        val expect = (1L to 40L).filter(_ % 5 == 0).map(k => s"$k|delete").sorted
+        assert(events.sorted.toSeq === expect,
+          s"above-gate equality deletes must stream, got: ${events.sorted}")
+        // idle drain: exactly-once
+        events.clear(); drainCdc()
+        assert(events.isEmpty)
+        // a LATER append re-inserts a deleted key: only an insert event
+        lake.append(Seq((10L, "renew")).toDF("k", "v"), "lzeq_t",
+          Seq("bucket(2,k)"))
+        drainCdc()
+        assert(events.sorted.toSeq === Seq("10|insert"),
+          s"seq-gating must let later appends re-insert deleted keys: $events")
+      } finally spark.conf.unset("spark.graft.spj.tombstone-broadcast-bytes")
+    }
+  }
+
   test("batch reads serve _change_type as the constant insert") {
     val root = java.nio.file.Files.createTempDirectory("graft-ssct").toString
     val lake = new Lakehouse(spark, root)

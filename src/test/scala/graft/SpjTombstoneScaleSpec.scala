@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.Medallion
-import graft.sources.{Lakehouse, SpjPosTombstone, SpjPosTombstoneFiles}
+import graft.sources.{Lakehouse, SpjEqTombstone, SpjEqTombstoneFiles, SpjPosTombstone, SpjPosTombstoneFiles}
 import graft.sources.spj.GraftSpjCatalog
 
 /** The SPJ plan-time tombstone materialization is BOUNDED (round-14's
@@ -94,28 +94,104 @@ class SpjTombstoneScaleSpec extends SparkSpec {
     }
   }
 
-  test("above-gate EQUALITY tombstones refuse loudly, and the probe agrees (never advertise the unservable)") {
+  test("above-gate EQUALITY tombstones serve lazily: zero driver keys, one executor load shared by all tasks, reads row-equal") {
     val root = freshRoot("spj-lazyeq")
     val lake = new Lakehouse(spark, root)
-    lake.createOrReplace((1L to 50L).map(k => (k, s"v$k")).toDF("k", "v"),
+    lake.createOrReplace((1L to 200L).map(k => (k, s"v$k")).toDF("k", "v"),
       "lze", Seq("bucket(4,k)"))
-    lake.deleteByKeyMor(Seq(3L, 9L).toDF("k"), "lze")
+    lake.deleteByKeyMor(Seq(3L, 9L, 40L, 77L).toDF("k"), "lze")
+    val expect = (1L to 200L).filterNot(Set(3L, 9L, 40L, 77L)).map(k => s"$k|v$k").sorted
     withGate(1L) {
-      assert(lake.spjServableSpec("lze").isEmpty,
-        "the probe must refuse an equality tombstone above the gate")
-      val e = intercept[IllegalArgumentException](lake.spjLayout("lze"))
-      assert(e.getMessage.contains("broadcast gate"),
-        s"wanted the gate refusal, got: ${e.getMessage}")
+      // the REPRESENTATION is the claim: above the gate no key set is
+      // collect()ed — the layout holds key columns + slices only
+      val dels = lake.spjLayout("lze").deletes
+      assert(dels.nonEmpty && dels.forall(_.isInstanceOf[SpjEqTombstoneFiles]),
+        s"above the gate every equality tombstone must stay on disk: $dels")
+      assert(dels.collect { case t: SpjEqTombstoneFiles => t }
+        .forall(t => t.keyCols.map(_._1) == Seq("k") && t.slices.nonEmpty))
+      // the probe AGREES — it advertises exactly what the load serves
+      assert(lake.spjServableSpec("lze").isDefined,
+        "the probe must advertise a lazily-servable equality tombstone")
       withSpj(root, "spj_ts2") {
-        assert(!spark.sql("SHOW TABLES IN spj_ts2").collect()
+        assert(spark.sql("SHOW TABLES IN spj_ts2").collect()
           .map(_.getString(1)).contains("lze"))
+        graft.sources.spj.SpjEqKeyCache.clear()
+        val before = graft.sources.spj.SpjEqKeyCache.loads.get()
+        val got = spark.table("spj_ts2.lze")
+        assert(sortedRows(got) === expect)
+        // 4 bucket tasks probed, the key set materialized ONCE per JVM
+        assert(graft.sources.spj.SpjEqKeyCache.loads.get() === before + 1,
+          "N tasks must share one executor-side key-set load")
+        assert(sortedRows(lake.read("lze")) === expect)
+        // pruned projection still anti-filters (the key column rides
+        // as an extra read, dropped by the final projection)
+        assert(got.select("v").count() === expect.size)
+        // the Exchange-free join property survives the lazy eq path
+        lake.createOrReplace((1L to 200L).map(k => (k, k * 2.0)).toDF("dk", "x"),
+          "lzed", Seq("bucket(4,dk)"))
+        val j = got.join(spark.table("spj_ts2.lzed"), col("k") === col("dk"))
+        assert(!Medallion.plansShuffle(j),
+          "lazy equality tombstones must not cost the SPJ join its co-partitioning:\n" +
+            j.queryExecution.executedPlan)
+        assert(j.count() === expect.size)
+        // exactness claims keep declining on a tombstoned snapshot
+        assert(got.limit(198).count() === expect.size.toLong)
       }
     }
-    // at the default gate the same table serves
-    assert(lake.spjServableSpec("lze").isDefined)
+    // back under the (default) gate: the broadcast representation
+    // returns and answers identically
+    val dels2 = lake.spjLayout("lze").deletes
+    assert(dels2.nonEmpty && dels2.forall(_.isInstanceOf[SpjEqTombstone]),
+      s"under the gate equality tombstones broadcast: $dels2")
     withSpj(root, "spj_ts2b") {
-      assert(spark.table("spj_ts2b.lze").count() === 48)
+      assert(sortedRows(spark.table("spj_ts2b.lze")) === expect)
     }
+  }
+
+  test("above-gate EQUALITY tombstones compose with schema evolution: renamed key binds, later appends re-insert") {
+    val root = freshRoot("spj-lazyeq-evo")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 80L).map(k => (k, k * 10)).toDF("id", "m"),
+      "lzev", Seq("bucket(4,id)"))
+    lake.deleteByKeyMor(Seq(5L, 6L, 7L).toDF("id"), "lzev")
+    // rename the KEY column after the delete: keyCols forward-map
+    lake.renameColumn("lzev", "id", "doc_id")
+    // a later append re-inserts a deleted key (seq-gating: it stays)
+    lake.append(Seq((6L, 606L)).toDF("doc_id", "m"), "lzev", Seq("bucket(4,doc_id)"))
+    val expect = ((1L to 80L).filterNot(Set(5L, 6L, 7L)).map(k => s"$k|${k * 10}") ++
+      Seq("6|606")).sorted
+    withGate(1L) {
+      val dels = lake.spjLayout("lzev").deletes
+      assert(dels.collect { case t: SpjEqTombstoneFiles => t }
+        .forall(_.keyCols.map(_._1) == Seq("doc_id")),
+        s"the lazy key column must forward-map through the rename: $dels")
+      withSpj(root, "spj_ts2e") {
+        assert(sortedRows(spark.table("spj_ts2e.lzev")
+          .select("doc_id", "m")) === expect)
+      }
+      assert(sortedRows(lake.read("lzev").select("doc_id", "m")) === expect)
+    }
+  }
+
+  test("above-gate MIXED positional + equality tombstones compose on one snapshot") {
+    val root = freshRoot("spj-lazymix")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 100L).map(k => (k, k % 5)).toDF("k", "g"),
+      "lzm", Seq("bucket(4,k)"))
+    lake.deleteWhereMor(col("g") === 0, "lzm") // positional
+    lake.deleteByKeyMor(Seq(7L, 11L).toDF("k"), "lzm") // equality
+    val expect = (1L to 100L).filter(k => k % 5 != 0 && k != 7L && k != 11L)
+      .map(k => s"$k|${k % 5}").sorted
+    withGate(1L) {
+      val dels = lake.spjLayout("lzm").deletes
+      assert(dels.exists(_.isInstanceOf[SpjPosTombstoneFiles]) &&
+        dels.exists(_.isInstanceOf[SpjEqTombstoneFiles]),
+        s"both kinds must stay on disk above the gate: $dels")
+      withSpj(root, "spj_ts2m") {
+        assert(sortedRows(spark.table("spj_ts2m.lzm")) === expect)
+      }
+    }
+    assert(sortedRows(lake.read("lzm")) === expect)
   }
 
   test("the ORDINARY read's tombstone anti-join drops its broadcast hint above the gate") {

@@ -195,6 +195,58 @@ object Stress {
       require(dels == bigN / 3, s"CDC lazy delete leg lost events: $dels")
       dels
     } finally spark.conf.unset("spark.graft.spj.tombstone-broadcast-bytes")
+    // ABOVE-GATE EQUALITY tombstone at scale (r17): a 1M-key MoR
+    // delete-by-key takes the lazy path — the driver never collects a
+    // key; each executor materializes the canonical key set ONCE from
+    // the tombstone slices (single-flight JVM cache) and every scan
+    // task probes the shared set. Batch read AND the CDC delete leg
+    // must stay row-exact at a 256 KiB gate.
+    val eqN = 3000000L
+    lake.createOrReplace(
+      spark.range(eqN).select(col("id").as("k"), pmod(col("id"), lit(3)).as("g")),
+      "docs_bigeq", Seq("bucket(16,k)"))
+    val ckEq = java.nio.file.Files.createTempDirectory("graft-stress-cdceq").toString
+    val nDelEq = new java.util.concurrent.atomic.AtomicLong()
+    def drainEq(): Long = {
+      val q = spark.readStream.option("cdc", "true").table("stress_rl.docs_bigeq")
+        .select(col("k"), col("_change_type"))
+        .writeStream.option("checkpointLocation", ckEq)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          nDelEq.addAndGet(df.where(col("_change_type") === "delete").count()); ()
+        }
+        .start()
+      try require(q.awaitTermination(600000), "CDC eq drain timed out")
+      finally q.stop()
+      nDelEq.get()
+    }
+    drainEq() // bootstrap the checkpoint before the tombstone
+    t("mor_eq_tombstone_1m_write") { // ~1M distinct keys, one tombstone dir
+      lake.deleteByKeyMor(
+        spark.range(eqN).where(col("id") % 3 === 0).select(col("id").as("k")),
+        "docs_bigeq")
+      eqN / 3
+    }
+    spark.conf.set("spark.graft.spj.tombstone-broadcast-bytes", "262144")
+    try {
+      val dels = lake.spjLayout("docs_bigeq").deletes
+      require(dels.nonEmpty &&
+        dels.forall(_.isInstanceOf[graft.sources.SpjEqTombstoneFiles]),
+        s"1M-key equality tombstone must take the executor-side path: $dels")
+      graft.sources.spj.SpjEqKeyCache.clear()
+      t("mor_eq_tombstone_1m_read") { // row-exact over the lazy set probe
+        val got = spark.table("stress_rl.docs_bigeq").count()
+        require(got == eqN - eqN / 3, s"lazy equality probe lost rows: $got")
+        got
+      }
+      require(graft.sources.spj.SpjEqKeyCache.loads.get() >= 1)
+      t("cdc_above_gate_1m_eq_dels") { // the CDC delete leg, same path
+        nDelEq.set(0)
+        val dels = drainEq()
+        require(dels == eqN / 3, s"CDC lazy equality leg lost events: $dels")
+        dels
+      }
+    } finally spark.conf.unset("spark.graft.spj.tombstone-broadcast-bytes")
     // NESTED + ARRAY-ELEMENT conform at volume (r15): a 2M-row table
     // with a struct and a 4-element array-of-structs column, evolved
     // at BOTH depths — the read-through conform (struct rebuild +
