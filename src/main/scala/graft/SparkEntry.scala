@@ -200,6 +200,10 @@ object SparkEntry {
     "pipeline_perplexity_filter" -> ((s, d) => Curate.pipelinePerplexityFilter(s, d)),
     // embedding-space decontamination vs the broadcast holdout
     "pipeline_decontaminate_semantic" -> ((s, d) => Dedup.pipelineDecontaminateSemantic(s, d)),
+    // r17 (appended last to keep bench order comparable): above-gate
+    // equality tombstones served lazily; group-vanish incremental mview
+    "q_spj_lazy_eq" -> (Medallion.qSpjLazyEq _),
+    "mview_vanish" -> (Medallion.mviewVanish _),
   )
 
   /** DuckDB-runnable ANSI SQL twins (same table names, same aliases,
@@ -2178,5 +2182,27 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
         |FROM cumt GROUP BY blk, win
         |ORDER BY blk, win""".stripMargin,
+    // above-gate equality MoR delete: the oracle restates the delete
+    // as an anti-predicate; lazy_eq = 1.0 pins that every tombstone
+    // stayed on disk (per-executor key-set materialization)
+    "q_spj_lazy_eq" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(1.0 AS DOUBLE) AS lazy_eq
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // group-vanish mview maintenance: the oracle restates the dim
+    // relabel; incremental_vanish = 1.0 pins that the refresh stayed
+    // subtractive (negative batch id) AND the emptied group vanished
+    "mview_vanish" ->
+      """WITH dim AS (SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'PROMO'
+        |    ELSE c_mktsegment END AS c_mktsegment FROM customer)
+        |SELECT c_mktsegment, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(1.0 AS DOUBLE) AS incremental_vanish
+        |FROM orders JOIN dim ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

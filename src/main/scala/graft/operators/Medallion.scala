@@ -1911,6 +1911,94 @@ object Medallion {
       .orderBy("c_mktsegment")
   }
 
+  /** `mview_vanish` (r17) — a dim retraction that EMPTIES a whole
+    * group stays on the incremental path: relabeling every BUILDING
+    * customer to PROMO zeroes the BUILDING group, whose key rides the
+    * keyed DELETE LEG of the same snapshot commit as the upsert
+    * ([[graft.sources.Lakehouse.upsertDeleteOnce]] — atomic, batch-id
+    * idempotent) instead of forcing the whole-view recompute this
+    * cost through r16. `incremental_vanish = 1.0` pins BOTH claims:
+    * the refresh committed through the subtractive path (negative
+    * dim-keyed batch id) AND the emptied group is GONE from the
+    * stored view (not lingering as a zero row). At 100 TB a
+    * segment-merge backfill on a dashboard view is O(changed keys),
+    * not a fact re-aggregate. */
+  def mviewVanish(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Lakehouse, MaterializedView => MV}
+    val root = java.nio.file.Files.createTempDirectory("graft-mvvan").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val d = MV.ViewDef("mvv_sales", "mvv_orders", Seq("c_mktsegment"),
+      Seq(MV.SumCol("price", "total_price"), MV.CountAll("n_orders")),
+      joins = Seq(MV.JoinSpec("mvv_customer", "o_custkey", "c_custkey")))
+    lake.createOrReplace(customer, "mvv_customer")
+    lake.createOrReplace(orders, "mvv_orders")
+    MV.create(lake, d)
+    lake.updateWhereMor(Seq("c_mktsegment" -> lit("PROMO")),
+      col("c_mktsegment") === "BUILDING", "mvv_customer")
+    MV.refresh(lake, d)
+    val incremental =
+      if (lake.committedBatches("mvv_sales").exists(_ < 0)) 1.0 else 0.0
+    val vanished = if (lake.read("mvv_sales")
+      .where(col("c_mktsegment") === "BUILDING").head(1).isEmpty) 1.0 else 0.0
+    lake.read("mvv_sales").select(
+      col("c_mktsegment"), col("n_orders"),
+      col("total_price").cast("double").as("total_price"),
+      lit(incremental * vanished).as("incremental_vanish"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** `q_spj_lazy_eq` (r17) — ABOVE-GATE EQUALITY MoR deletes served
+    * lazily: a delete-by-key whose on-disk key payload exceeds the
+    * SPJ broadcast gate (forced to 1 byte here) reads through the
+    * DSv2 catalog with the key set materialized PER EXECUTOR from the
+    * tombstone's own slices ([[graft.sources.spj.SpjEqKeyCache]] —
+    * single-flight, shared by every task on the JVM) — the driver
+    * never holds a key, closing the refusal this path carried through
+    * r16. `lazy_eq = 1.0` pins the REPRESENTATION (every tombstone of
+    * the layout stayed on disk as
+    * [[graft.sources.SpjEqTombstoneFiles]]); the rollup values are
+    * hash-exact vs DuckDB's anti-restatement, proving the executor
+    * probe drops exactly the deleted keys. At 100 TB a 100M-key
+    * equality delete plans with one schema-footer read. */
+  def qSpjLazyEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Lakehouse, SpjEqTombstoneFiles}
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjlzeq").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    lake.createOrReplace(orders, "lzeq_orders", Seq("bucket(8,o_orderkey)"))
+    lake.deleteByKeyMor(orders.where(col("o_orderkey") % 7 === 0)
+      .select("o_orderkey"), "lzeq_orders")
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val gateKey = "spark.graft.spj.tombstone-broadcast-bytes"
+    spark.conf.set(gateKey, "1")
+    try {
+      val dels = lake.spjLayout("lzeq_orders").deletes
+      val lazyRep = if (dels.nonEmpty &&
+        dels.forall(_.isInstanceOf[SpjEqTombstoneFiles])) 1.0 else 0.0
+      // freeze inside the conf scope: the LAZY representation must be
+      // the one that EXECUTES, not just the one inspected — a lazy
+      // return would re-plan after the finally restores the gate
+      val rows = spark.table(s"$cat.lzeq_orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+        .orderBy("o_orderstatus").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), lazyRep))
+      import spark.implicits._
+      rows.toSeq.toDF("o_orderstatus", "n", "total", "lazy_eq")
+        .orderBy("o_orderstatus")
+    } finally spark.conf.unset(gateKey)
+  }
+
   /** `sql_wap` — WRITE-AUDIT-PUBLISH through parsed SQL (the Iceberg
     * WAP pattern; the reference environment's Nessie branches exist
     * for exactly this): the clean baseline lands on main, the
