@@ -33,13 +33,15 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
 
-  test("random op sequences over random layouts equal the dataframe mirror") {
-    val rnd = new scala.util.Random(1234)
-    val groups = Array("A", "B", "C", "D")
-    // 6 trials; each trial's tail deterministically covers the three
-    // r14 kinds (random draws alone could miss an 11-kind alphabet)
-    for (trial <- 1 to 6) {
-      val root = java.nio.file.Files.createTempDirectory(s"graft-rlf$trial").toString
+  private val groups = Array("A", "B", "C", "D")
+
+  /** One seeded fuzz trial: random layout, random statement sequence
+    * plus the shuffled deterministic r14 tail, every state compared to
+    * the dataframe mirror. `tag` keys the temp roots so gate-forced
+    * reruns never collide with the default-gate trials. */
+  private def fuzzTrial(rnd: scala.util.Random, trial: Int, tag: String): Unit = {
+    {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$tag$trial").toString
       val lake = new Lakehouse(spark, root)
       val spec = rnd.nextInt(3) match {
         case 0 => Seq(s"bucket(${Seq(2, 4, 8)(rnd.nextInt(3))},k)")
@@ -239,5 +241,25 @@ class SpjRowLevelFuzzSpec extends SparkSpec {
         s"trial $trial diverged after the closing compact")
       assert(!lake.spjLayout("fz_t").tombstoned)
     }
+  }
+
+  test("random op sequences over random layouts equal the dataframe mirror") {
+    val rnd = new scala.util.Random(1234)
+    // 6 trials; each trial's tail deterministically covers the three
+    // r14 kinds (random draws alone could miss an 11-kind alphabet)
+    for (trial <- 1 to 6) fuzzTrial(rnd, trial, "rlf")
+  }
+
+  test("the same alphabet with EVERY tombstone above the gate: lazy positional + equality representations equal the mirror (r17)") {
+    // gate forced to 1 byte: every MoR delete/update the alphabet
+    // produces — positional AND equality, incl. equality keys that
+    // rename or widen mid-sequence — serves through the executor-side
+    // representations (SpjPosTombstoneFiles slices / SpjEqKeyCache
+    // key sets); the mirror compare proves the lazy path never
+    // resurrects or over-deletes a row under composition
+    val rnd = new scala.util.Random(98765)
+    spark.conf.set("spark.graft.spj.tombstone-broadcast-bytes", "1")
+    try for (trial <- 1 to 3) fuzzTrial(rnd, trial, "rlfl")
+    finally spark.conf.unset("spark.graft.spj.tombstone-broadcast-bytes")
   }
 }
