@@ -16,11 +16,18 @@ import org.apache.spark.sql.functions._
   * Only MERGEABLE aggregates are supported — sum, count, min, max —
   * because those are exactly the ones whose partial results compose
   * associatively (Iceberg/Materialize incremental-view rule; avg is
-  * sum/count at read time). Min/max stay correct on the fact path
-  * because the incremental leg applies to APPEND-ONLY intervals: when
-  * the source history was rewritten (CoW delete/merge/compaction —
-  * detected by [[Lakehouse.readChanges]]' refusal), [[refresh]] falls
-  * back to a full recompute instead of merging unsoundly. Under DIM
+  * sum/count at read time). FACT intervals apply incrementally in two
+  * shapes: append-only intervals merge their delta
+  * ([[Lakehouse.readChanges]]), and — r17 — MoR-TOMBSTONED intervals
+  * apply SUBTRACTIVELY for sum/count views through the CDC changelog
+  * ([[Lakehouse.readChangesCdc]] restates the interval net: appended
+  * rows as inserts, tombstone-matched old images as deletes), so a
+  * fact MoR delete/update is O(delta) instead of a fact
+  * re-aggregation, with fully-retracted groups vanishing through the
+  * commit's keyed delete leg. Min/max views keep the exact recompute
+  * under fact retraction (a retraction can exhaust a stored
+  * extremum); true rewrites (CoW delete/merge/compaction — both
+  * readers refuse) recompute as before instead of merging unsoundly. Under DIM
   * RETRACTIONS (the subtractive [[dimDelta]] path) min/max apply via
   * EXTREMUM SURVIVORSHIP (r16): a retraction whose own extremum is
   * strictly inside the stored one cannot have removed it, so the group
@@ -728,19 +735,32 @@ object MaterializedView {
           (untouchedMm, survivors.unionByName(reagg))
         }
       }
+    commitMerged(lake, d, viewSchema, untouched, merged0, vanishedMm,
+      countAlias, batchId)
+  }
+
+  /** Gate and commit a merged view state — shared by the dim-delta
+    * path and the CDC fact path (r17). Zeroed groups (and the min/max
+    * path's re-derived-to-nothing groups, via `vanishedMm`) VANISH
+    * through the keyed delete leg of the SAME snapshot commit as the
+    * upsert ([[Lakehouse.upsertDeleteOnce]], batch-id idempotent);
+    * the nullable-group replace path drops them by simply not writing
+    * them. A NEGATIVE count means the subtractive ledger
+    * over-retracted — impossible under the callers' soundness gates —
+    * so it returns None and the caller recomputes exactly rather than
+    * delete on a broken ledger. */
+  private def commitMerged(lake: Lakehouse, d: ViewDef,
+      viewSchema: org.apache.spark.sql.types.StructType,
+      untouched: DataFrame, merged0: DataFrame,
+      vanishedMm: Option[DataFrame], countAlias: String,
+      batchId: Long): Option[Long] = {
     val merged = merged0
       .localCheckpoint(true) // feeds the emptiness gate AND the commit
     if (merged.isEmpty && vanishedMm.isEmpty)
       return Some(lake.currentSnapshot(d.view).get)
     val hasZeroed = merged.where(col(countAlias) <= 0).head(1).nonEmpty
-    // count < 0 would mean the subtractive ledger over-retracted —
-    // impossible under the soundness gates above, so refuse to the
-    // exact recompute rather than delete on a broken ledger
     if (hasZeroed && merged.where(col(countAlias) < 0).head(1).nonEmpty)
       return None
-    // a ZEROED group's rows all left the table: it VANISHES from the
-    // view, in the SAME snapshot commit as the upsert (r17; the
-    // nullable-group replace path drops it by simply not writing it)
     val keep = if (hasZeroed) merged.where(col(countAlias) > 0) else merged
     val vanZero =
       if (hasZeroed)
@@ -849,19 +869,41 @@ object MaterializedView {
     }
     def enrich(rows: DataFrame): DataFrame =
       if (d.joins.isEmpty) rows else joined(lake, rows, d.joins, dimNow)
-    val delta =
-      try Some(lake.readChanges(d.src, from, to))
+    def recompute(): Long = {
+      lake.writeMviewRefreshNote(d.view, "recompute",
+        "source interval not incrementally applicable (rewrite, expired, " +
+          "or a min/max view under fact retraction)")
+      lake.replaceOnce(aggOf(enrich(lake.readSnapshot(d.src, to)), d),
+        d.view, batchId = to)
+    }
+    val delta: Option[Either[DataFrame, DataFrame]] =
+      try Some(Left(lake.readChanges(d.src, from, to)))
       catch {
-        // interval not append-only (rewrite/tombstones), or `from`
-        // expired out of the source manifest: recompute from scratch
-        case _: IllegalArgumentException => None
+        case _: IllegalArgumentException =>
+          // the interval is not append-only. MoR TOMBSTONES still
+          // decompose into row deltas (r17): the CDC changelog
+          // restates the interval NET — appended rows as inserts, the
+          // tombstone-matched rows' old images as deletes — so a fact
+          // MoR delete/update applies SUBTRACTIVELY instead of
+          // re-aggregating the fact. Gated to the subtractable
+          // sum/count family with a count(*) witness: a fact
+          // retraction can exhaust a stored MIN/MAX extremum, so
+          // min/max views keep the exact recompute here (their DIM
+          // retractions stay incremental via survivorship — that path
+          // re-derives exhausted groups from the fact, which a fact
+          // that itself shrank cannot anchor the same way). True
+          // rewrites (replace/CoW/compaction) and an expired `from`
+          // still refuse into the recompute.
+          if (d.aggs.forall(a =>
+              a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll]) &&
+            d.aggs.exists(_.isInstanceOf[CountAll]))
+            try Some(Right(lake.readChangesCdc(d.src, from, to)))
+            catch { case _: IllegalArgumentException => None }
+          else None
       }
     delta match {
-      case None =>
-        lake.writeMviewRefreshNote(d.view, "recompute",
-          "source interval not append-only (rewrite/tombstones) or expired")
-        lake.replaceOnce(aggOf(enrich(lake.readSnapshot(d.src, to)), d), d.view, batchId = to)
-      case Some(rows) =>
+      case None => recompute()
+      case Some(Left(rows)) =>
         lake.writeMviewRefreshNote(d.view, "incremental",
           "append interval merged into touched groups")
         val da = deltaOf(enrich(rows), d)
@@ -883,6 +925,33 @@ object MaterializedView {
           lake.upsertOnce(stable(merged), d.view, d.groupCols, batchId = to)
         else lake.replaceOnce(stable(untouched.unionByName(merged)),
           d.view, batchId = to)
+      case Some(Right(changes)) =>
+        // SUBTRACTIVE fact maintenance (r17): net per-group delta =
+        // insert-side partials minus delete-side partials, merged into
+        // the touched groups; a group whose rows all left VANISHES via
+        // commitMerged's delete leg. Enrichment runs at the CURRENT
+        // dim pins on BOTH legs — the dim-delta pass above already
+        // aligned the stored view to them, so a deleted row's
+        // subtracted contribution equals what the view holds for it.
+        val countAlias = d.aggs.collectFirst { case CountAll(a) => a }.get
+        val ins = changes.where(col("_change_type") === "insert")
+          .drop("_change_type")
+        val del = changes.where(col("_change_type") === "delete")
+          .drop("_change_type")
+        val plus = deltaOf(enrich(ins), d)
+        val minus = deltaOf(enrich(del), d).select(col("__gk") +:
+          d.aggs.map(a => col("__d_" + a.alias).as("__m_" + a.alias)): _*)
+        val da = plus.join(minus, Seq("__gk"), "full_outer")
+          .select(col("__gk") +: d.aggs.map(a =>
+            (coalesce(col("__d_" + a.alias), lit(0)) -
+              coalesce(col("__m_" + a.alias), lit(0))).as("__d_" + a.alias)): _*)
+        val t = lake.read(d.view)
+        val (untouched, merged0) = mergeSplit(d, t, da)
+        lake.writeMviewRefreshNote(d.view, "incremental",
+          "MoR interval applied subtractively (CDC changelog)")
+        commitMerged(lake, d, t.schema, untouched, merged0,
+          vanishedMm = None, countAlias, batchId = to)
+          .getOrElse(recompute())
     }
   }
 

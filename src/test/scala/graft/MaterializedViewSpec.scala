@@ -75,6 +75,96 @@ class MaterializedViewSpec extends SparkSpec {
       ((dec("15.00"), 2L, dec("5.00"), dec("10.00"))), "and must not double-count")
   }
 
+  test("a FACT MoR delete applies subtractively (CDC changelog): equals recompute, vanishes emptied groups, replays as a no-op (r17)") {
+    val root = freshDir("graft-mview-factmor")
+    val lake = new Lakehouse(spark, root)
+    val scDef = MV.ViewDef("sc_by_status", "orders_t",
+      groupCols = Seq("status"),
+      aggs = Seq(MV.SumCol("price", "total"), MV.CountAll("n")))
+    def scMap() = lake.read("sc_by_status").collect().map(r =>
+      r.getAs[String]("status") ->
+        ((r.getAs[java.math.BigDecimal]("total"), r.getAs[Long]("n")))).toMap
+    def scFull() = lake.read("orders_t").groupBy("status")
+      .agg(sum(col("price")).cast("decimal(18,2)").as("total"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("status") ->
+        ((r.getAs[java.math.BigDecimal]("total"), r.getAs[Long]("n")))).toMap
+    lake.createOrReplace(ordersDf(
+      (1L, "O", dec("10.00")), (2L, "O", dec("2.00")),
+      (3L, "F", dec("8.00")), (4L, "P", dec("4.00"))), "orders_t")
+    MV.create(lake, scDef); MV.persist(lake, scDef)
+    // an interval with BOTH an append and a MoR delete: readChanges
+    // refuses (tombstones), the CDC changelog restates it net
+    lake.append(ordersDf((5L, "F", dec("3.00"))), "orders_t")
+    lake.deleteWhereMor(col("id") === 2L, "orders_t")
+    val viewSnaps0 = lake.snapshots("sc_by_status").length
+    MV.refresh(lake, scDef)
+    assert(scMap() === scFull())
+    assert(scMap() === Map("O" -> ((dec("10.00"), 1L)),
+      "F" -> ((dec("11.00"), 2L)), "P" -> ((dec("4.00"), 1L))))
+    assert(lake.snapshots("sc_by_status").length === viewSnaps0 + 1,
+      "the subtractive fact refresh must commit ONE snapshot")
+    val meta = lake.mviewsDf("orders_t").where(col("mview") === "sc_by_status").head()
+    assert(meta.getAs[String]("last_refresh") === "incremental",
+      s"a fact MoR delete must stay incremental, note: ${meta.getAs[String]("refresh_note")}")
+    assert(meta.getAs[String]("refresh_note").contains("subtractively"))
+    // a MoR UPDATE nets as delete+insert: group totals move exactly
+    lake.updateWhereMor(Seq("price" -> lit(dec("9.00")).cast("decimal(18,2)")),
+      col("id") === 3L, "orders_t")
+    MV.refresh(lake, scDef)
+    assert(scMap() === scFull())
+    assert(scMap()("F") === ((dec("12.00"), 2L)))
+    // a MoR delete that empties a group: P vanishes, still incremental
+    lake.deleteWhereMor(col("status") === "P", "orders_t")
+    MV.refresh(lake, scDef)
+    assert(scMap() === scFull())
+    assert(!scMap().contains("P"), "the emptied group must vanish")
+    assert(lake.mviewsDf("orders_t").where(col("mview") === "sc_by_status")
+      .head().getAs[String]("last_refresh") === "incremental")
+    // crash-REPLAY converges: a re-run refresh no-ops on the ledger
+    val snaps = lake.snapshots("sc_by_status").length
+    MV.refresh(lake, scDef)
+    assert(lake.snapshots("sc_by_status").length === snaps)
+    assert(scMap() === scFull())
+    // a LEFT-JOIN view under a fact MoR delete: the minus leg
+    // re-enriches the deleted rows at the pinned dims — an UNMATCHED
+    // deleted fact decrements the null group, a matched one its
+    // segment — still subtractive, still one commit
+    lake.createOrReplace(dimDf((1L, "AUTO"), (2L, "RETAIL")), "dimf_t")
+    lake.createOrReplace(factDf(
+      (10L, 1L, dec("10.00")), (11L, 2L, dec("4.00")),
+      (12L, 9L, dec("7.00")), (13L, 9L, dec("1.00"))), "factf_t")
+    val jDef = MV.ViewDef("jf_sales", "factf_t", Seq("seg"),
+      Seq(MV.SumCol("price", "total"), MV.CountAll("n")),
+      joins = Seq(MV.JoinSpec("dimf_t", "cust", "cid", joinType = "left")))
+    def jMap() = lake.read("jf_sales").collect().map(r =>
+      Option(r.getAs[String]("seg")).getOrElse("NULL") ->
+        ((r.getAs[java.math.BigDecimal]("total"), r.getAs[Long]("n")))).toMap
+    MV.create(lake, jDef); MV.persist(lake, jDef)
+    assert(jMap() === Map("AUTO" -> ((dec("10.00"), 1L)),
+      "RETAIL" -> ((dec("4.00"), 1L)), "NULL" -> ((dec("8.00"), 2L))))
+    lake.deleteWhereMor(col("id") === 12L, "factf_t") // unmatched row leaves
+    lake.deleteWhereMor(col("id") === 11L, "factf_t") // RETAIL's only row leaves
+    MV.refresh(lake, jDef)
+    assert(jMap() === Map("AUTO" -> ((dec("10.00"), 1L)),
+      "NULL" -> ((dec("1.00"), 1L))),
+      "null group must decrement and the emptied segment must vanish")
+    assert(lake.mviewsDf("factf_t").where(col("mview") === "jf_sales")
+      .head().getAs[String]("last_refresh") === "incremental")
+    // a MIN/MAX view under the same fact retraction keeps the exact
+    // recompute (a retraction can exhaust a stored extremum, and the
+    // shrunk fact can't anchor the dim path's scoped re-derivation)
+    lake.createOrReplace(ordersDf(
+      (1L, "O", dec("10.00")), (2L, "O", dec("2.00")), (3L, "F", dec("8.00"))), "orders_t")
+    MV.create(lake, ViewDef); MV.persist(lake, ViewDef)
+    lake.deleteWhereMor(col("id") === 1L, "orders_t") // O's max leaves
+    MV.refresh(lake, ViewDef)
+    assert(asMap(lake.read("sales_by_status")) ===
+      asMap(MVTestAccess.aggOf(lake.read("orders_t"))))
+    assert(lake.mviewsDf("orders_t").where(col("mview") === "sales_by_status")
+      .head().getAs[String]("last_refresh") === "recompute")
+  }
+
   test("a source rewrite falls back to full recompute instead of merging unsoundly") {
     val root = freshDir("graft-mview-rw")
     val lake = new Lakehouse(spark, root)

@@ -173,6 +173,35 @@ class SpjTombstoneScaleSpec extends SparkSpec {
     }
   }
 
+  test("equality keys WITHOUT a canonical comparison domain refuse at plan time, and the probe agrees (any gate)") {
+    val root = freshRoot("spj-eqbin")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 30L).map(k => (k, Array(k.toByte), s"v$k"))
+      .toDF("k", "b", "v"), "eqb", Seq("bucket(4,k)"))
+    // an equality tombstone keyed on a BINARY column: no canonical
+    // comparison domain — canonKey cannot probe it on either
+    // representation, so BOTH the probe and the load must refuse
+    // (the ORDINARY read path still serves: its anti-join is a plain
+    // DataFrame null-safe join, no canonicalization involved)
+    lake.deleteByKeyMor(Seq(Array(3.toByte), Array(9.toByte)).toDF("b"), "eqb")
+    val expect = (1L to 30L).filterNot(k => k == 3L || k == 9L)
+      .map(k => s"$k|v$k").sorted
+    assert(sortedRows(lake.read("eqb").select("k", "v")) === expect)
+    for (gate <- Seq(1L, Lakehouse.SpjTombstoneGateBytes)) withGate(gate) {
+      assert(lake.spjServableSpec("eqb").isEmpty,
+        s"the probe must refuse a binary equality key (gate=$gate)")
+      val e = intercept[Exception](lake.spjLayout("eqb"))
+      assert(e.getMessage.contains("compact()"),
+        s"the load must refuse loudly with the exit named (gate=$gate): ${e.getMessage}")
+    }
+    // the ergonomics exit works: converting to positional serves
+    lake.rewritePositionDeletes("eqb")
+    assert(lake.spjServableSpec("eqb").isDefined)
+    withSpj(root, "spj_eqb") {
+      assert(sortedRows(spark.table("spj_eqb.eqb").select("k", "v")) === expect)
+    }
+  }
+
   test("above-gate MIXED positional + equality tombstones compose on one snapshot") {
     val root = freshRoot("spj-lazymix")
     val lake = new Lakehouse(spark, root)
