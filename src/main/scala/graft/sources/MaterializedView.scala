@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   * rows as inserts, tombstone-matched old images as deletes), so a
   * fact MoR delete/update is O(delta) instead of a fact
   * re-aggregation, with fully-retracted groups vanishing through the
-  * commit's keyed delete leg. Min/max views keep the exact recompute
-  * under fact retraction (a retraction can exhaust a stored
-  * extremum); true rewrites (CoW delete/merge/compaction — both
-  * readers refuse) recompute as before instead of merging unsoundly. Under DIM
+  * commit's keyed delete leg. Min/max ride the same pass via EXTREMUM
+  * SURVIVORSHIP (a retraction that reaches a stored extremum
+  * re-derives that group alone against the target snapshot); true
+  * rewrites (CoW delete/merge/compaction — both readers refuse)
+  * recompute as before instead of merging unsoundly. Under DIM
   * RETRACTIONS (the subtractive [[dimDelta]] path) min/max apply via
   * EXTREMUM SURVIVORSHIP (r16): a retraction whose own extremum is
   * strictly inside the stored one cannot have removed it, so the group
@@ -647,96 +648,121 @@ object MaterializedView {
       }: _*)
     val t = lake.read(d.view)
     val viewSchema = t.schema
-    // min/max groups whose rows ALL left the table (exhausted AND
-    // absent from the scoped re-derivation) VANISH via the keyed
-    // delete leg of the commit below (r17) — this used to force a
-    // whole-view recompute; None = no such group this refresh
-    var vanishedMm: Option[DataFrame] = None
-    val (untouched, merged0) =
-      if (minmaxAggs.isEmpty) mergeSplit(d, t, da)
-      else {
-        val tgk = gk(t, d.groupCols)
-        val untouchedMm = tgk
-          .join(da.select(col("__gk")), Seq("__gk"), "left_anti").drop("__gk")
-        val joinedMm = tgk.drop(d.groupCols: _*)
-          .join(da.select(col("__gk")), Seq("__gk"), "left_semi")
-          .join(da, Seq("__gk"), "full_outer")
-        // EXHAUSTED: the minus leg's extremum equals the stored one
-        // (the retracted rows may include the extremum row — duplicates
-        // make equality conservative, which is the sound direction); a
-        // group absent from the view (new group) is never exhausted
-        val exhausted = minmaxAggs.map {
-          case a: MinCol => col(a.alias).isNotNull &&
-            col("__m_" + a.alias).isNotNull && (col("__m_" + a.alias) <= col(a.alias))
-          case a => col(a.alias).isNotNull &&
-            col("__m_" + a.alias).isNotNull && (col("__m_" + a.alias) >= col(a.alias))
-        }.reduce(_ || _)
-        val tagged = joinedMm.withColumn("__exh", exhausted).localCheckpoint(true)
-        val exhKeys = tagged.where(col("__exh")).select(col("__gk"))
-        val survivorCols = d.groupCols.map(c => col("__gk").getField(c).as(c)) ++
-          d.aggs.map {
-            case a @ (_: SumCol | _: CountAll) => mergeCol(a)
-            case a: MinCol => least(col(a.alias), col("__p_" + a.alias)).as(a.alias)
-            case a: MaxCol => greatest(col(a.alias), col("__p_" + a.alias)).as(a.alias)
-          }
-        val survivors = tagged.where(!col("__exh")).select(survivorCols: _*)
-        if (exhKeys.head(1).isEmpty) (untouchedMm, survivors)
-        else {
-          // SCOPED re-derivation: exactly the exhausted groups, one
-          // filtered pass at the target pins. When every group column
-          // lives ON THE FACT and the exhausted key set is bounded,
-          // the pass is stats/bloom FILE-pruned (readWhere) — truly
-          // O(those groups' rows); otherwise it is one fact scan
-          // filtered to those groups (group keys born on a dim can't
-          // prune the fact), still never a whole-view rewrite
+    val (untouched, merged0, vanishedMm) =
+      if (minmaxAggs.isEmpty) {
+        val (u, m) = mergeSplit(d, t, da); (u, m, None)
+      } else survivorMerge(lake, d, t, da, minmaxAggs, factBase.schema,
+        pred => {
           val allPins = prefixPins ++ (dimTo +: suffixPins)
-          val factForRe = {
-            // group keys must be ATOMIC fact columns: lit(...) cannot
-            // build complex-typed literals (an array/struct group key
-            // would crash a refresh the plain scan path completes)
-            val atomicFactKeys = d.groupCols.forall(c =>
-              factBase.schema.fields.exists { f =>
-                import org.apache.spark.sql.types._
-                f.name == c && (f.dataType match {
-                  case _: StructType | _: ArrayType | _: MapType |
-                       _: UserDefinedType[_] => false
-                  case _ => true
-                })
-              })
-            val bounded =
-              if (atomicFactKeys)
-                Some(exhKeys.limit(ExhaustedKeysCap + 1).collect())
-                  .filter(_.length <= ExhaustedKeysCap)
-              else None
-            bounded match {
-              case Some(rows) =>
-                val pred = rows.map { r =>
-                  val st = r.getStruct(0)
-                  d.groupCols.zipWithIndex.map { case (c, i) =>
-                    val v = st.get(i)
-                    if (v == null) col(c).isNull else col(c) === lit(v)
-                  }.reduce(_ && _)
-                }.reduce(_ || _)
-                lake.readWhere(pred, d.src, atSnapshot = Some(factSnap))
-              case None => lake.readSnapshot(d.src, factSnap)
-            }
+          val base = pred match {
+            case Some(p) => lake.readWhere(p, d.src, atSnapshot = Some(factSnap))
+            case None => lake.readSnapshot(d.src, factSnap)
           }
-          val reRows = gk(joined(lake, factForRe, d.joins, allPins), d.groupCols)
-            .join(exhKeys, Seq("__gk"), "left_semi").drop("__gk")
-          val reagg = aggOf(reRows, d)
-          // a group whose rows ALL left the table VANISHES: its keys
-          // ride the commit's delete leg (upsertDeleteOnce below) —
-          // O(delta), atomic with the upsert, no recompute
-          val van = exhKeys.join(gk(reagg, d.groupCols).select(col("__gk")),
-            Seq("__gk"), "left_anti")
-            .select(d.groupCols.map(c => col("__gk").getField(c).as(c)): _*)
-            .localCheckpoint(true)
-          if (van.head(1).nonEmpty) vanishedMm = Some(van)
-          (untouchedMm, survivors.unionByName(reagg))
-        }
-      }
+          joined(lake, base, d.joins, allPins)
+        })
     commitMerged(lake, d, viewSchema, untouched, merged0, vanishedMm,
       countAlias, batchId)
+  }
+
+  /** Merge a min/max-bearing delta `da` — net sum/count columns
+    * (`__d_<alias>`) plus min/max PARTIAL PAIRS (`__p_/__m_<alias>`,
+    * the plus-leg candidate and the minus-leg retraction extremum) —
+    * into the stored view via EXTREMUM SURVIVORSHIP. Shared by the
+    * dim-delta and the fact-CDC subtractive paths (r17): the stored
+    * group extremum is the sole candidate — a retraction whose own
+    * extremum is strictly inside it cannot have removed it, so the
+    * group merges incrementally; only groups whose minus leg REACHES
+    * the stored extremum re-derive, and they re-derive ALONE through
+    * `factRowsAt` — the caller's reader of the fact rows the target
+    * state aggregates (ENRICHED through the full join chain at the
+    * target pins), `pred`-pruned (stats/bloom file skipping) when the
+    * exhausted key set is bounded and every group column is an atomic
+    * column of `factSchema`. Groups whose re-derivation comes back
+    * EMPTY return as the vanished set (third element) for the
+    * commit's keyed delete leg. */
+  private def survivorMerge(lake: Lakehouse, d: ViewDef, t: DataFrame,
+      da: DataFrame, minmaxAggs: Seq[AggCol],
+      factSchema: org.apache.spark.sql.types.StructType,
+      factRowsAt: Option[Column] => DataFrame)
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
+    val tgk = gk(t, d.groupCols)
+    val untouchedMm = tgk
+      .join(da.select(col("__gk")), Seq("__gk"), "left_anti").drop("__gk")
+    val joinedMm = tgk.drop(d.groupCols: _*)
+      .join(da.select(col("__gk")), Seq("__gk"), "left_semi")
+      .join(da, Seq("__gk"), "full_outer")
+    // EXHAUSTED: the minus leg's extremum equals the stored one
+    // (the retracted rows may include the extremum row — duplicates
+    // make equality conservative, which is the sound direction); a
+    // group absent from the view (new group) is never exhausted
+    val exhausted = minmaxAggs.map {
+      case a: MinCol => col(a.alias).isNotNull &&
+        col("__m_" + a.alias).isNotNull && (col("__m_" + a.alias) <= col(a.alias))
+      case a => col(a.alias).isNotNull &&
+        col("__m_" + a.alias).isNotNull && (col("__m_" + a.alias) >= col(a.alias))
+    }.reduce(_ || _)
+    val tagged = joinedMm.withColumn("__exh", exhausted).localCheckpoint(true)
+    val exhKeys = tagged.where(col("__exh")).select(col("__gk"))
+    val survivorCols = d.groupCols.map(c => col("__gk").getField(c).as(c)) ++
+      d.aggs.map {
+        case a @ (_: SumCol | _: CountAll) => mergeCol(a)
+        case a: MinCol => least(col(a.alias), col("__p_" + a.alias)).as(a.alias)
+        case a: MaxCol => greatest(col(a.alias), col("__p_" + a.alias)).as(a.alias)
+      }
+    val survivors = tagged.where(!col("__exh")).select(survivorCols: _*)
+    if (exhKeys.head(1).isEmpty) (untouchedMm, survivors, None)
+    else {
+      // SCOPED re-derivation: exactly the exhausted groups, one
+      // filtered pass at the target pins. When every group column
+      // lives ON THE FACT and the exhausted key set is bounded,
+      // the pass is stats/bloom FILE-pruned — truly O(those groups'
+      // rows); otherwise it is one fact scan filtered to those groups
+      // (group keys born on a dim can't prune the fact), still never
+      // a whole-view rewrite
+      val factForRe = {
+        // group keys must be ATOMIC fact columns: lit(...) cannot
+        // build complex-typed literals (an array/struct group key
+        // would crash a refresh the plain scan path completes)
+        val atomicFactKeys = d.groupCols.forall(c =>
+          factSchema.fields.exists { f =>
+            import org.apache.spark.sql.types._
+            f.name == c && (f.dataType match {
+              case _: StructType | _: ArrayType | _: MapType |
+                   _: UserDefinedType[_] => false
+              case _ => true
+            })
+          })
+        val bounded =
+          if (atomicFactKeys)
+            Some(exhKeys.limit(ExhaustedKeysCap + 1).collect())
+              .filter(_.length <= ExhaustedKeysCap)
+          else None
+        bounded match {
+          case Some(rows) =>
+            val pred = rows.map { r =>
+              val st = r.getStruct(0)
+              d.groupCols.zipWithIndex.map { case (c, i) =>
+                val v = st.get(i)
+                if (v == null) col(c).isNull else col(c) === lit(v)
+              }.reduce(_ && _)
+            }.reduce(_ || _)
+            factRowsAt(Some(pred))
+          case None => factRowsAt(None)
+        }
+      }
+      val reRows = gk(factForRe, d.groupCols)
+        .join(exhKeys, Seq("__gk"), "left_semi").drop("__gk")
+      val reagg = aggOf(reRows, d)
+      // a group whose rows ALL left the table VANISHES: its keys
+      // ride the commit's delete leg (upsertDeleteOnce) — O(delta),
+      // atomic with the upsert, no recompute
+      val van = exhKeys.join(gk(reagg, d.groupCols).select(col("__gk")),
+        Seq("__gk"), "left_anti")
+        .select(d.groupCols.map(c => col("__gk").getField(c).as(c)): _*)
+        .localCheckpoint(true)
+      (untouchedMm, survivors.unionByName(reagg),
+        if (van.head(1).nonEmpty) Some(van) else None)
+    }
   }
 
   /** Gate and commit a merged view state — shared by the dim-delta
@@ -871,8 +897,7 @@ object MaterializedView {
       if (d.joins.isEmpty) rows else joined(lake, rows, d.joins, dimNow)
     def recompute(): Long = {
       lake.writeMviewRefreshNote(d.view, "recompute",
-        "source interval not incrementally applicable (rewrite, expired, " +
-          "or a min/max view under fact retraction)")
+        "source interval not incrementally applicable (rewrite or expired)")
       lake.replaceOnce(aggOf(enrich(lake.readSnapshot(d.src, to)), d),
         d.view, batchId = to)
     }
@@ -885,17 +910,16 @@ object MaterializedView {
           // restates the interval NET — appended rows as inserts, the
           // tombstone-matched rows' old images as deletes — so a fact
           // MoR delete/update applies SUBTRACTIVELY instead of
-          // re-aggregating the fact. Gated to the subtractable
-          // sum/count family with a count(*) witness: a fact
-          // retraction can exhaust a stored MIN/MAX extremum, so
-          // min/max views keep the exact recompute here (their DIM
-          // retractions stay incremental via survivorship — that path
-          // re-derives exhausted groups from the fact, which a fact
-          // that itself shrank cannot anchor the same way). True
-          // rewrites (replace/CoW/compaction) and an expired `from`
-          // still refuse into the recompute.
+          // re-aggregating the fact. The whole mergeable family
+          // applies: sum/count subtract, MIN/MAX merge via extremum
+          // survivorship (a retraction that reaches a stored extremum
+          // re-derives that group alone against snapshot `to` — the
+          // exact state the view must equal). Needs a count(*)
+          // witness; true rewrites (replace/CoW/compaction) and an
+          // expired `from` still refuse into the recompute.
           if (d.aggs.forall(a =>
-              a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll]) &&
+              a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll] ||
+              a.isInstanceOf[MinCol] || a.isInstanceOf[MaxCol]) &&
             d.aggs.exists(_.isInstanceOf[CountAll]))
             try Some(Right(lake.readChangesCdc(d.src, from, to)))
             catch { case _: IllegalArgumentException => None }
@@ -927,13 +951,16 @@ object MaterializedView {
           d.view, batchId = to)
       case Some(Right(changes)) =>
         // SUBTRACTIVE fact maintenance (r17): net per-group delta =
-        // insert-side partials minus delete-side partials, merged into
+        // insert-side partials minus delete-side partials (min/max
+        // carry BOTH partials for the survivorship merge), merged into
         // the touched groups; a group whose rows all left VANISHES via
         // commitMerged's delete leg. Enrichment runs at the CURRENT
         // dim pins on BOTH legs — the dim-delta pass above already
         // aligned the stored view to them, so a deleted row's
         // subtracted contribution equals what the view holds for it.
         val countAlias = d.aggs.collectFirst { case CountAll(a) => a }.get
+        val minmaxAggs = d.aggs.filter(a =>
+          a.isInstanceOf[MinCol] || a.isInstanceOf[MaxCol])
         val ins = changes.where(col("_change_type") === "insert")
           .drop("_change_type")
         val del = changes.where(col("_change_type") === "delete")
@@ -942,15 +969,28 @@ object MaterializedView {
         val minus = deltaOf(enrich(del), d).select(col("__gk") +:
           d.aggs.map(a => col("__d_" + a.alias).as("__m_" + a.alias)): _*)
         val da = plus.join(minus, Seq("__gk"), "full_outer")
-          .select(col("__gk") +: d.aggs.map(a =>
-            (coalesce(col("__d_" + a.alias), lit(0)) -
-              coalesce(col("__m_" + a.alias), lit(0))).as("__d_" + a.alias)): _*)
+          .select(col("__gk") +: d.aggs.flatMap {
+            case a if a.isInstanceOf[SumCol] || a.isInstanceOf[CountAll] =>
+              Seq((coalesce(col("__d_" + a.alias), lit(0)) -
+                coalesce(col("__m_" + a.alias), lit(0))).as("__d_" + a.alias))
+            case a =>
+              Seq(col("__d_" + a.alias).as("__p_" + a.alias),
+                col("__m_" + a.alias))
+          }: _*)
         val t = lake.read(d.view)
-        val (untouched, merged0) = mergeSplit(d, t, da)
+        val (untouched, merged0, vanishedMm) =
+          if (minmaxAggs.isEmpty) {
+            val (u, m) = mergeSplit(d, t, da); (u, m, None)
+          } else survivorMerge(lake, d, t, da, minmaxAggs,
+            lake.readSnapshot(d.src, to).schema,
+            pred => enrich(pred match {
+              case Some(p) => lake.readWhere(p, d.src, atSnapshot = Some(to))
+              case None => lake.readSnapshot(d.src, to)
+            }))
         lake.writeMviewRefreshNote(d.view, "incremental",
           "MoR interval applied subtractively (CDC changelog)")
         commitMerged(lake, d, t.schema, untouched, merged0,
-          vanishedMm = None, countAlias, batchId = to)
+          vanishedMm, countAlias, batchId = to)
           .getOrElse(recompute())
     }
   }

@@ -151,18 +151,37 @@ class MaterializedViewSpec extends SparkSpec {
       "null group must decrement and the emptied segment must vanish")
     assert(lake.mviewsDf("factf_t").where(col("mview") === "jf_sales")
       .head().getAs[String]("last_refresh") === "incremental")
-    // a MIN/MAX view under the same fact retraction keeps the exact
-    // recompute (a retraction can exhaust a stored extremum, and the
-    // shrunk fact can't anchor the dim path's scoped re-derivation)
+    // a MIN/MAX view under the same fact retraction stays incremental
+    // via extremum survivorship: an INSIDE-the-extrema retraction
+    // merges purely; one that takes a stored extremum re-derives that
+    // group alone against the target snapshot
     lake.createOrReplace(ordersDf(
-      (1L, "O", dec("10.00")), (2L, "O", dec("2.00")), (3L, "F", dec("8.00"))), "orders_t")
+      (1L, "O", dec("10.00")), (2L, "O", dec("2.00")), (3L, "O", dec("5.00")),
+      (4L, "F", dec("8.00"))), "orders_t")
     MV.create(lake, ViewDef); MV.persist(lake, ViewDef)
-    lake.deleteWhereMor(col("id") === 1L, "orders_t") // O's max leaves
+    def mmNote() = lake.mviewsDf("orders_t")
+      .where(col("mview") === "sales_by_status").head()
+    lake.deleteWhereMor(col("id") === 3L, "orders_t") // strictly inside O's [2,10]
     MV.refresh(lake, ViewDef)
     assert(asMap(lake.read("sales_by_status")) ===
       asMap(MVTestAccess.aggOf(lake.read("orders_t"))))
-    assert(lake.mviewsDf("orders_t").where(col("mview") === "sales_by_status")
-      .head().getAs[String]("last_refresh") === "recompute")
+    assert(mmNote().getAs[String]("last_refresh") === "incremental",
+      s"an inside-the-extrema fact retraction must merge: ${mmNote().getAs[String]("refresh_note")}")
+    lake.deleteWhereMor(col("id") === 1L, "orders_t") // O's max leaves: exhausted
+    MV.refresh(lake, ViewDef)
+    assert(asMap(lake.read("sales_by_status")) ===
+      asMap(MVTestAccess.aggOf(lake.read("orders_t"))))
+    assert(asMap(lake.read("sales_by_status"))("O") ===
+      ((dec("2.00"), 1L, dec("2.00"), dec("2.00"))))
+    assert(mmNote().getAs[String]("last_refresh") === "incremental",
+      s"an exhausted extremum must re-derive scoped, not recompute: ${mmNote().getAs[String]("refresh_note")}")
+    // the last O row leaves: the min/max group VANISHES on-path
+    lake.deleteWhereMor(col("id") === 2L, "orders_t")
+    MV.refresh(lake, ViewDef)
+    assert(asMap(lake.read("sales_by_status")) ===
+      asMap(MVTestAccess.aggOf(lake.read("orders_t"))))
+    assert(!asMap(lake.read("sales_by_status")).contains("O"))
+    assert(mmNote().getAs[String]("last_refresh") === "incremental")
   }
 
   test("a source rewrite falls back to full recompute instead of merging unsoundly") {
