@@ -204,6 +204,7 @@ object SparkEntry {
     // equality tombstones served lazily; group-vanish incremental mview
     "q_spj_lazy_eq" -> (Medallion.qSpjLazyEq _),
     "mview_vanish" -> (Medallion.mviewVanish _),
+    "mview_fact_mor" -> (Medallion.mviewFactMor _),
   )
 
   /** DuckDB-runnable ANSI SQL twins (same table names, same aliases,
@@ -2204,5 +2205,17 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS incremental_vanish
         |FROM orders JOIN dim ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // fact MoR delete applied subtractively: the oracle restates the
+    // delete as an anti-predicate; incremental = 1.0 pins that the
+    // refresh stayed on the CDC path (no fact re-aggregation), with
+    // min/max riding extremum survivorship
+    "mview_fact_mor" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi,
+        |  CAST(1.0 AS DOUBLE) AS incremental
+        |FROM orders WHERE o_orderkey % 5 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

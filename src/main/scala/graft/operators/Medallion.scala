@@ -1952,6 +1952,44 @@ object Medallion {
       .orderBy("c_mktsegment")
   }
 
+  /** `mview_fact_mor` (r17) — a FACT MoR delete applies to the view
+    * SUBTRACTIVELY: the refresh interval carries tombstones (which
+    * the append-only reader refuses), so the CDC changelog restates
+    * it net and the per-group delta merges in — sum/count subtract,
+    * min/max ride extremum survivorship with exhausted groups
+    * re-derived alone against the target snapshot. `incremental =
+    * 1.0` pins that the refresh did NOT fall back to the fact
+    * re-aggregation this cost through r16; the rollup (min/max
+    * included — a %5 slice certainly carries some status's extremum)
+    * is hash-exact vs DuckDB's anti-restatement. At 100 TB a
+    * GDPR-style fact retraction against a dashboard view is
+    * O(deleted rows + touched groups). */
+  def mviewFactMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Lakehouse, MaterializedView => MV}
+    val root = java.nio.file.Files.createTempDirectory("graft-mvfm").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val d = MV.ViewDef("mvfm_sales", "mvfm_orders", Seq("o_orderstatus"),
+      Seq(MV.SumCol("price", "total"), MV.CountAll("n"),
+        MV.MinCol("price", "lo"), MV.MaxCol("price", "hi")))
+    lake.createOrReplace(orders, "mvfm_orders")
+    MV.create(lake, d); MV.persist(lake, d)
+    lake.deleteWhereMor(col("o_orderkey") % 5 === 0, "mvfm_orders")
+    MV.refresh(lake, d)
+    val incremental = if (lake.mviewsDf("mvfm_orders")
+      .where(col("mview") === "mvfm_sales").head()
+      .getAs[String]("last_refresh") == "incremental") 1.0 else 0.0
+    lake.read("mvfm_sales").select(
+      col("o_orderstatus"), col("n"),
+      col("total").cast("double").as("total"),
+      col("lo").cast("double").as("lo"),
+      col("hi").cast("double").as("hi"),
+      lit(incremental).as("incremental"))
+      .orderBy("o_orderstatus")
+  }
+
   /** `q_spj_lazy_eq` (r17) — ABOVE-GATE EQUALITY MoR deletes served
     * lazily: a delete-by-key whose on-disk key payload exceeds the
     * SPJ broadcast gate (forced to 1 byte here) reads through the

@@ -335,6 +335,52 @@ class MaterializedViewSpec extends SparkSpec {
     }
   }
 
+  test("property: random append/MoR-delete/MoR-update sequences stay incremental and equal the recompute at every step (r17)") {
+    // the subtractive fact algebra (sum/count nets, min/max extremum
+    // survivorship) must converge for ANY interleaving: seeded random
+    // statement sequences over the full min/max-bearing ViewDef,
+    // refreshed after every commit, compared to the one-shot aggregate
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val root = freshDir(s"graft-mview-morprop$trial")
+      val lake = new Lakehouse(spark, root)
+      val statuses = Array("O", "F", "P", "X")
+      def randRows(n: Int, base: Long) = (1L to n).map { i =>
+        (base + i, statuses(rnd.nextInt(statuses.length)),
+          dec(f"${rnd.nextInt(1000)}%d.${rnd.nextInt(100)}%02d"))
+      }
+      lake.createOrReplace(ordersDf(randRows(30, 0): _*), "orders_t")
+      MV.create(lake, ViewDef); MV.persist(lake, ViewDef)
+      var nextBase = 1000L
+      for (step <- 1 to 6) {
+        rnd.nextInt(3) match {
+          case 0 =>
+            lake.append(ordersDf(randRows(5 + rnd.nextInt(10), nextBase): _*),
+              "orders_t")
+            nextBase += 1000L
+          case 1 => // MoR delete: random slice (may empty groups, may no-op)
+            val m = 2 + rnd.nextInt(4)
+            lake.deleteWhereMor(pmod(col("id"), lit(m)) === rnd.nextInt(m),
+              "orders_t")
+          case 2 => // MoR update: a status re-label moves rows across groups
+            val fromS = statuses(rnd.nextInt(statuses.length))
+            val toS = statuses(rnd.nextInt(statuses.length))
+            lake.updateWhereMor(Seq("status" -> lit(toS)),
+              col("status") === fromS, "orders_t")
+        }
+        MV.refresh(lake, ViewDef)
+        assert(asMap(lake.read("sales_by_status")) ===
+          asMap(MVTestAccess.aggOf(lake.read("orders_t"))),
+          s"trial $trial diverged at step $step")
+        val note = lake.mviewsDf("orders_t")
+          .where(col("mview") === "sales_by_status").head()
+        assert(note.getAs[String]("last_refresh") === "incremental",
+          s"trial $trial step $step must stay incremental: " +
+            note.getAs[String]("refresh_note"))
+      }
+    }
+  }
+
   test("refresh schema is stable across many refreshes (decimal sums do not widen)") {
     val root = freshDir("graft-mview-schema")
     val lake = new Lakehouse(spark, root)
