@@ -779,11 +779,21 @@ object MaterializedView {
       viewSchema: org.apache.spark.sql.types.StructType,
       untouched: DataFrame, merged0: DataFrame,
       vanishedMm: Option[DataFrame], countAlias: String,
-      batchId: Long): Option[Long] = {
+      batchId: Long, advanceOnEmpty: Boolean = false): Option[Long] = {
     val merged = merged0
       .localCheckpoint(true) // feeds the emptiness gate AND the commit
     if (merged.isEmpty && vanishedMm.isEmpty)
-      return Some(lake.currentSnapshot(d.view).get)
+      // a NET-EMPTY delta: the dim path leaves the snapshot untouched
+      // (its watermark is the aux + negative-batch ledger), but the
+      // fact-CDC path must still RECORD batchId=to — the fact
+      // watermark IS the positive batch ledger, and skipping it would
+      // make every later refresh re-read this interval's prefix
+      return Some(
+        if (!advanceOnEmpty) lake.currentSnapshot(d.view).get
+        else lake.upsertOnce(
+          merged.select(viewSchema.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*),
+          d.view, d.groupCols, batchId = batchId))
     val hasZeroed = merged.where(col(countAlias) <= 0).head(1).nonEmpty
     if (hasZeroed && merged.where(col(countAlias) < 0).head(1).nonEmpty)
       return None
@@ -990,7 +1000,7 @@ object MaterializedView {
         lake.writeMviewRefreshNote(d.view, "incremental",
           "MoR interval applied subtractively (CDC changelog)")
         commitMerged(lake, d, t.schema, untouched, merged0,
-          vanishedMm, countAlias, batchId = to)
+          vanishedMm, countAlias, batchId = to, advanceOnEmpty = true)
           .getOrElse(recompute())
     }
   }

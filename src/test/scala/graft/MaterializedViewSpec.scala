@@ -126,6 +126,15 @@ class MaterializedViewSpec extends SparkSpec {
     MV.refresh(lake, scDef)
     assert(lake.snapshots("sc_by_status").length === snaps)
     assert(scMap() === scFull())
+    // a NET-EMPTY MoR interval (the delete matched nothing) still
+    // ADVANCES the fact watermark: batchId=to must land so later
+    // refreshes never re-read this interval's prefix
+    lake.deleteWhereMor(col("id") === 99999L, "orders_t")
+    MV.refresh(lake, scDef)
+    assert(lake.committedBatches("sc_by_status")
+      .contains(lake.currentSnapshot("orders_t").get),
+      "a net-empty CDC interval must still record its watermark")
+    assert(scMap() === scFull())
     // a LEFT-JOIN view under a fact MoR delete: the minus leg
     // re-enriches the deleted rows at the pinned dims — an UNMATCHED
     // deleted fact decrements the null group, a matched one its
