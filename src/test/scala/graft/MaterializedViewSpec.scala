@@ -269,6 +269,17 @@ class MaterializedViewSpec extends SparkSpec {
       spark, root, "sales_by_status", freshDir("graft-mview-stream-ck2"))
     try q2.awaitTermination(120000) finally q2.stop()
     assert(lake.snapshots("sales_by_status").size === snaps)
+    // a MoR delete arrives through the scheduler: the driven refresh
+    // takes the SUBTRACTIVE CDC path (r17), not the recompute
+    lake.deleteWhereMor(col("id") === 3L, "orders_t")
+    val q3 = graft.streaming.EventStream.maintainMview(
+      spark, root, "sales_by_status", freshDir("graft-mview-stream-ck3"))
+    try q3.awaitTermination(120000) finally q3.stop()
+    assert(asMap(lake.read("sales_by_status")) ===
+      asMap(MVTestAccess.aggOf(lake.read("orders_t"))))
+    assert(lake.mviewsDf("orders_t").where(col("mview") === "sales_by_status")
+      .head().getAs[String]("last_refresh") === "incremental",
+      "the scheduler-driven MoR refresh must stay subtractive")
   }
 
   test("view-over-view chain: refreshChain advances both hops to the source truth") {
