@@ -5107,6 +5107,31 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     val all = sqlViews()
     def word(t: String) = java.util.regex.Pattern.compile(
       "(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b")
+    // reference edges are LITERAL-BLIND (r17, the r16 review nit): a
+    // table/view name inside a quoted SQL string is data, not a
+    // dependency — blank string literals (single- OR double-quoted,
+    // doubled same-char = escape) before the word scan, so
+    // `SELECT 'about vt_base' FROM other` neither re-registers on
+    // vt_base DML nor perturbs the topological order
+    def noLits(s: String): String = {
+      val b = new java.lang.StringBuilder(s.length)
+      var i = 0; var q: Char = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (q != 0) {
+          if (c == q) {
+            if (i + 1 < s.length && s.charAt(i + 1) == q) { b.append("  "); i += 1 }
+            else { q = 0; b.append(' ') }
+          } else b.append(' ')
+        } else c match {
+          case '\'' | '"' => q = c; b.append(' ')
+          case other => b.append(other)
+        }
+        i += 1
+      }
+      b.toString
+    }
+    val bodyOf: Map[String, String] = all.map { case (v, s) => v -> noLits(s) }.toMap
     val scoped = touching match {
       case None => all
       case Some(t) =>
@@ -5115,7 +5140,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
         while (frontier.nonEmpty) {
           val ws = frontier.map(word)
           frontier = all.collect {
-            case (v, s) if !in.contains(v) && ws.exists(_.matcher(s).find()) =>
+            case (v, s) if !in.contains(v) && ws.exists(_.matcher(bodyOf(v)).find()) =>
               in(v) = s; v
           }
         }
@@ -5125,8 +5150,9 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     // another registers AFTER it — fresh, never against the stale
     // pre-pass temp view); ties and cycles keep file order
     val names = scoped.map(_._1)
-    val deps: Map[String, Seq[String]] = scoped.map { case (v, s) =>
-      v -> names.filter(n => !n.equalsIgnoreCase(v) && word(n).matcher(s).find())
+    val deps: Map[String, Seq[String]] = scoped.map { case (v, _) =>
+      v -> names.filter(n => !n.equalsIgnoreCase(v) &&
+        word(n).matcher(bodyOf(v)).find())
     }.toMap
     val ordered = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val done = scala.collection.mutable.HashSet.empty[String]

@@ -151,6 +151,35 @@ class ShowCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT * FROM nope_such.views").collect())
   }
 
+  test("view dependency edges are literal-blind (r17): quoted names are data, real references survive the strip") {
+    import spark.implicits._
+    val root = freshRoot()
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "w"), "lb_base")
+    lake.registerView("lb_base")
+    // a REAL dependency wrapped in literal noise: doubled-quote
+    // escapes and a mention of the view's own dependency inside
+    // strings — the scanner must strip the literals WITHOUT eating
+    // the FROM reference
+    spark.sql("CREATE VIEW lb_v1 AS SELECT k, w, 'it''s lb_base data' AS note " +
+      "FROM lb_base WHERE w > 5")
+    // a view naming lb_v1 ONLY inside a literal, really over lb_base:
+    // the false edge to lb_v1 is gone, the real one to lb_base stays
+    spark.sql("CREATE VIEW lb_v2 AS SELECT sum(w) AS s, 'not lb_v1' AS tag " +
+      "FROM lb_base")
+    // live under DML through the touching-scoped re-registration
+    spark.sql("INSERT INTO lb_base VALUES (3, 30.0)")
+    assert(spark.sql("SELECT count(*) FROM lb_v1").head().getLong(0) === 3L)
+    assert(spark.sql("SELECT s FROM lb_v2").head().getDouble(0) === 60.0)
+    // cold restore re-registers both in a sound order
+    Seq("lb_base", "lb_v1", "lb_v2").foreach(v =>
+      scala.util.Try(spark.catalog.dropTempView(v)))
+    graft.sources.LakehouseRegistry.unregister(spark, "lb_base")
+    Lakehouse.openCatalog(spark, root)
+    assert(spark.sql("SELECT count(*) FROM lb_v1").head().getLong(0) === 3L)
+    assert(spark.sql("SELECT s FROM lb_v2").head().getDouble(0) === 60.0)
+  }
+
   test("native SHOW TABLES and SHOW NAMESPACES still delegate for non-lake names") {
     // session catalog: must not be intercepted (name doesn't match a lake)
     val native = spark.sql("SHOW TABLES IN default")
