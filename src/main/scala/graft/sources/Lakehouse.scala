@@ -3826,12 +3826,12 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           // broadcast gate they anti-join executor-side), or when
           // equality AND every key type carries a canonical comparison
           // domain (any size since r17 — above the gate the key set
-          // materializes per executor; a type canonKey would throw on
-          // refuses the LOAD, so the probe must not advertise it)
-          // AND (no evolution, or every key forward-maps into the
-          // declared schema canonically) — the same gates
-          // spjLayout/spjTombstones enforce (one footer read per
-          // tombstone dir, tombstones are few)
+          // materializes per executor; a key type that canonKey
+          // would throw on refuses the LOAD, so the probe must not
+          // advertise it) AND (no evolution, or every key
+          // forward-maps into the declared schema canonically) — the
+          // same gates spjLayout/spjTombstones enforce (one footer
+          // read per tombstone dir, tombstones are few)
           val declared = declaredSchema(table, snap)
           snapshotDeletes(table).getOrElse(snap, Seq.empty).forall { d =>
             scala.util.Try {
