@@ -205,6 +205,9 @@ object SparkEntry {
     "q_spj_lazy_eq" -> (Medallion.qSpjLazyEq _),
     "mview_vanish" -> (Medallion.mviewVanish _),
     "mview_fact_mor" -> (Medallion.mviewFactMor _),
+    // grouped aggregate pushdown beyond identity shapes: per-file-
+    // constant group columns answer from the ledgers on any layout
+    "q_spj_group_stats" -> (Medallion.qSpjGroupStats _),
   )
 
   /** DuckDB-runnable ANSI SQL twins (same table names, same aliases,
@@ -2217,5 +2220,26 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS incremental
         |FROM orders WHERE o_orderkey % 5 <> 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // grouped pushdown beyond identity: the oracle restates the three
+    // write-clustered commits (per-status + an all-null slice) as a
+    // union; meta_only = 1.0 pins that the engine answered GROUP BY
+    // (status, gen) from the ledgers with zero data opens
+    "q_spj_group_stats" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus, CAST(1 AS BIGINT) AS gen, o_orderkey
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(2 AS BIGINT), o_orderkey
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT CAST(NULL AS VARCHAR), CAST(3 AS BIGINT), o_orderkey
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |)
+        |SELECT o_orderstatus, gen, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(o_orderkey) AS BIGINT) AS k_lo,
+        |  CAST(max(o_orderkey) AS BIGINT) AS k_hi,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS s_key,
+        |  CAST(1.0 AS DOUBLE) AS meta_only
+        |FROM t GROUP BY o_orderstatus, gen ORDER BY gen""".stripMargin,
   )
 }

@@ -860,6 +860,59 @@ object Medallion {
       .orderBy("o_orderstatus")
   }
 
+  /** `q_spj_group_stats` — GROUPED AGGREGATE PUSHDOWN BEYOND the
+    * identity shapes (r17): the DSv2 grouped readout accepts ANY group
+    * column set whose columns are PER-FILE CONSTANT — here a pure
+    * `bucket(4, o_orderkey)` layout (no identity level) written one
+    * order-status per commit, the write-clustered pattern: each file's
+    * ledger records min == max with zero nulls, proving
+    * single-valuedness, and an all-null commit keys the NULL group
+    * (nulls == rows) — so `GROUP BY o_orderstatus, gen` answers from
+    * the stats/rowcount/sums ledgers with ZERO data opens
+    * (`meta_only = 1.0` pins the driver-local LocalTableScan plan).
+    * At 100 TB a per-source/per-day append pipeline gets its GROUP BY
+    * source rollup as a metadata readout without declaring a
+    * partition level for the column. */
+  def qSpjGroupStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjgs").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    lake.declareSumColumns("spjq_gs", Seq("o_orderkey"))
+    lake.createOrReplace(
+      orders.where(col("o_orderstatus") === "F").withColumn("gen", lit(1L)),
+      "spjq_gs", Seq("bucket(4,o_orderkey)"))
+    lake.append(
+      orders.where(col("o_orderstatus") === "O").withColumn("gen", lit(2L)),
+      "spjq_gs", Seq("bucket(4,o_orderkey)"))
+    lake.append(
+      orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit(null).cast("string"))
+        .withColumn("gen", lit(3L)),
+      "spjq_gs", Seq("bucket(4,o_orderkey)"))
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val g = spark.sql(
+      s"""SELECT o_orderstatus, gen, count(*) AS cnt,
+         |  min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi,
+         |  sum(o_orderkey) AS s_key
+         |FROM $cat.spjq_gs GROUP BY o_orderstatus, gen""".stripMargin)
+    val rows = g.collect()
+    val metaOnly =
+      if (collectExec(g) { case l: LocalTableScanExec => l }.nonEmpty &&
+        collectExec(g) { case b: BatchScanExec => b }.isEmpty) 1.0 else 0.0
+    import spark.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), metaOnly)).toSeq
+      .toDF("o_orderstatus", "gen", "cnt", "k_lo", "k_hi", "s_key", "meta_only")
+      .orderBy("gen")
+  }
+
   /** `q_spj_daily_join` — CALENDAR-TRANSFORM × BUCKET layouts at the
     * driver surface (`years(o_orderdate) × bucket(8, o_custkey)` —
     * the time-partitioned bucketed fact canon; `days()` is the same

@@ -2080,21 +2080,22 @@ private[spj] object SpjMetaAgg {
         case _ => throw new IllegalArgumentException(s"unmapped ($tag, $dt)")
       }).toOption
 
-    /** The aggregate legs folded over `files` only. `keyConst` is the
-      * identity-partition special case: inside one identity partition
-      * the named column is a CONSTANT known from the dir path (the
-      * files themselves don't store it), so legs referencing it answer
-      * from that constant instead of the (absent) ledgers. */
-    def legsOver(files: Seq[SpjFile], keyConst: Option[(String, Any)])
+    /** The aggregate legs folded over `files` only. `keyConsts` holds
+      * the GROUP-CONSTANT columns: inside one group every file's value
+      * of a group column is the same known constant (from the identity
+      * dir path, which the files don't store, or from a per-file
+      * single-valuedness proof over the ledgers), so legs referencing
+      * one answer from that constant instead of the ledgers. */
+    def legsOver(files: Seq[SpjFile], keyConsts: Map[String, Any])
         : Option[Seq[(Any, DataType, String)]] = {
       if (files.exists(_.rows.isEmpty)) return None
       val totalRows = files.map(_.rows.get).sum
-      def isKey(f: StructField) = keyConst.exists(_._1 == f.name)
+      def isKey(f: StructField) = keyConsts.contains(f.name)
 
       // count(col): non-null totals need every file's null count
-      // recorded; the identity key is all-or-nothing null by dir
+      // recorded; a group-constant column is all-or-nothing null
       def nonNull(f: StructField): Option[Long] =
-        if (isKey(f)) Some(if (keyConst.get._2 == null) 0L else totalRows)
+        if (isKey(f)) Some(if (keyConsts(f.name) == null) 0L else totalRows)
         else {
           val per = files.map(sf => sf.nulls.get(f.name).map(n => sf.rows.get - n))
           if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
@@ -2105,7 +2106,7 @@ private[spj] object SpjMetaAgg {
       // unrecorded — unprovable, decline); all-null and empty files
       // are skipped exactly as SQL min/max skips them
       def bound(f: StructField, wantMin: Boolean): Option[Any] = {
-        if (isKey(f)) return Some(keyConst.get._2) // constant (null dir: SQL NULL)
+        if (isKey(f)) return Some(keyConsts(f.name)) // constant (null group: SQL NULL)
         val tag = tagOf(f.dataType)
         if (tag.isEmpty) return None
         val legs = files.flatMap { sf =>
@@ -2138,13 +2139,13 @@ private[spj] object SpjMetaAgg {
           case _ => return None
         }
         if (isKey(f)) { // constant × row count, exactly
-          if (keyConst.get._2 == null) return Some((null, resultType))
-          val total = new java.math.BigDecimal(keyConst.get._2.toString)
+          if (keyConsts(f.name) == null) return Some((null, resultType))
+          val total = new java.math.BigDecimal(keyConsts(f.name).toString)
             .multiply(java.math.BigDecimal.valueOf(totalRows))
           return resultType match {
             case LongType => scala.util.Try(total.longValueExact()).toOption
               .map(v => (v, LongType))
-            case _ => None // identity keys are never decimal-typed
+            case _ => None // group-constant columns are never decimal-typed
           }
         }
         var acc = java.math.BigDecimal.ZERO
@@ -2182,7 +2183,10 @@ private[spj] object SpjMetaAgg {
               sumOf(f).map { case (v, dt) => (v, dt, s"sum(${f.name})") })
           case _ => None
         }
-      if (legs.isEmpty || legs.exists(_.isEmpty)) None else Some(legs.map(_.get))
+      // ZERO legs is valid for a GROUPED call — `SELECT DISTINCT c`
+      // pushes as a group-only aggregation and the answer is just the
+      // group tuples; the GLOBAL branch guards against it itself
+      if (legs.exists(_.isEmpty)) None else Some(legs.map(_.get))
     }
 
     def aggFields(vals: Seq[(Any, DataType, String)]): Seq[StructField] =
@@ -2192,44 +2196,169 @@ private[spj] object SpjMetaAgg {
 
     agg.groupByExpressions().toSeq match {
       case Seq() => // GLOBAL: one finished row over every file
-        legsOver(layout.files.valuesIterator.flatten.toSeq, None).map { vals =>
+        if (agg.aggregateExpressions().isEmpty) return None // nothing to answer
+        legsOver(layout.files.valuesIterator.flatten.toSeq, Map.empty).map { vals =>
           (StructType(aggFields(vals)),
             Array(InternalRow.fromSeq(vals.map(_._1))),
             vals.map(_._3).mkString(", "))
         }
-      // GROUPED: grouped by the layout's IDENTITY column — each
-      // identity dir is one group, its key known from the path, its
-      // aggregates the same ledger fold restricted to its files (for
-      // an identity×bucket layout, unioned across the group's bucket
-      // partitions). The reference's gold rollup (gold_reporting.py:70
-      // GROUP BY city) priced as a metadata readout. Complete pushdown
-      // output contract: group columns first, then aggregate columns,
+      // GROUPED: every group column must be PER-FILE CONSTANT with the
+      // constant provable per file — the layout's IDENTITY column (its
+      // value known from the dir path; the r12 shape, identity×bucket
+      // included) or ANY column whose ledgers prove single-valuedness:
+      // zero recorded nulls and min == max under the declared type's
+      // tag (sound because evolution never reuses a column name, so a
+      // dir's ledger line under a declared name is always that logical
+      // column, and recorded bounds are exact values — the same
+      // exactness the min/max readout already rests on), with an
+      // all-null file keying the NULL group (nulls == rows). Files are
+      // grouped by their constant tuples and each group's aggregates
+      // are the same ledger fold over its files. Any file the proof
+      // can't reach sinks the whole pushdown — the real scan answers.
+      // Float/double group columns decline: SQL groups -0.0 with 0.0
+      // and NaN with NaN, which bit-printed bounds can't witness.
+      // Covers the reference's gold rollup (gold_reporting.py:70 GROUP
+      // BY city) as a metadata readout, and prices a write-clustered
+      // GROUP BY (per-status appends, sorted-by-day files) the same
+      // way on ANY layout shape — flat-group tables included — without
+      // a partition level for it. Complete pushdown output contract:
+      // group columns first (pushed order), then aggregate columns,
       // one row per group.
-      case Seq(nr: NamedReference)
-          if layout.identityCol.exists(c => nr.fieldNames().sameElements(Array(c))) =>
-        val idCol = layout.identityCol.get
-        val keys = layout.identityKeys.get
-        val perGroup = keys.indices.flatMap { g =>
-          val fs = layout.files.collect {
-            case (i, f) if layout.identityIdxAt(i).contains(g) => f
-          }.flatten.toSeq
-          // a group exists iff it has ≥1 row (a zero-row partition
-          // contributes no group, exactly like the scan)
-          if (fs.exists(_.rows.isEmpty)) return None // unrecorded: unprovable
-          else if (fs.isEmpty || fs.map(_.rows.get).sum == 0L) None
-          else legsOver(fs, Some((idCol, keys(g)._2))) match {
-            case None => return None // one un-provable group sinks all
-            case Some(vals) =>
-              Some((InternalRow.fromSeq(keys(g)._2 +: vals.map(_._1)), vals))
+      case gbs =>
+        val idCol = layout.identityCol
+        def groupable(dt: DataType): Boolean = dt match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               TimestampType | StringType => true
+          case _ => false
+        }
+        // PATH-DERIVED calendar groupings: year(d) / month(d) / day(d)
+        // over the layout's own calendar transform -- the derived dir
+        // key (epoch days / months / years since 1970) determines the
+        // value exactly when the SOURCE column is a DATE (the
+        // transform computes off epoch days, timezone-free, which is
+        // precisely SQL's year()/month()/day() on a date; TIMESTAMP
+        // sources decline -- SQL extracts in the SESSION zone, the
+        // transform in UTC). GROUP BY year(d) on a years(d) x bucket
+        // fact reads the year dirs' ledgers, zero data opens.
+        val outerT: Option[(String, String)] = layout.outerTransformSpec.collect {
+          case s if s.contains("(") =>
+            (s.takeWhile(_ != '('), s.dropWhile(_ != '(').drop(1).stripSuffix(")"))
+        }
+        def derived(e: org.apache.spark.sql.connector.expressions.Expression)
+            : Option[(StructField, Long => Any)] = {
+          // catalyst Year/Month/DayOfMonth translate to the V2
+          // Extract(field, source) node; EXTRACT-style general scalar
+          // functions share the same (name, child) shape
+          val named: Option[(String,
+              org.apache.spark.sql.connector.expressions.Expression)] = e match {
+            case x: org.apache.spark.sql.connector.expressions.Extract =>
+              Some((x.field(), x.source()))
+            case g: org.apache.spark.sql.connector.expressions.GeneralScalarExpression
+                if g.children().length == 1 =>
+              Some((g.name(), g.children()(0)))
+            case _ => None
+          }
+          named.flatMap { case (fname, child) =>
+            for {
+              (tname, src) <- outerT
+              nr <- child match {
+                case r: NamedReference if r.fieldNames().length == 1 =>
+                  Some(r.fieldNames()(0))
+                case _ => None
+              }
+              if nr.equalsIgnoreCase(src)
+              srcF <- layout.schema.fields.find(_.name.equalsIgnoreCase(src))
+              if srcF.dataType == DateType
+              fn <- (tname, fname) match {
+                case ("days", "YEAR") =>
+                  Some((k: Long) => java.time.LocalDate.ofEpochDay(k).getYear)
+                case ("days", "MONTH") =>
+                  Some((k: Long) => java.time.LocalDate.ofEpochDay(k).getMonthValue)
+                case ("days", "DAY") =>
+                  Some((k: Long) => java.time.LocalDate.ofEpochDay(k).getDayOfMonth)
+                case ("months", "YEAR") =>
+                  Some((k: Long) => (1970 + Math.floorDiv(k, 12)).toInt)
+                case ("months", "MONTH") =>
+                  Some((k: Long) => (Math.floorMod(k, 12) + 1).toInt)
+                case ("years", "YEAR") => Some((k: Long) => (1970 + k).toInt)
+                case _ => None
+              }
+            } yield (StructField(s"${fname.toLowerCase(java.util.Locale.ROOT)}_$src",
+              IntegerType, nullable = true), fn)
           }
         }
-        if (perGroup.isEmpty) return None // empty table: let the scan answer
+        // each group expression resolves to (output field, per-file
+        // constant extractor, schema-column name when the constant IS
+        // that column's value -- those feed legsOver's keyConsts)
+        val cols: Seq[(StructField, (Int, SpjFile) => Option[Any], Option[String])] =
+          gbs.map { e =>
+            colOf(e) match {
+              case Some(f) if idCol.contains(f.name) =>
+                // identity column: the constant is the dir-path key
+                (f, (i: Int, _: SpjFile) => layout.identityKeyAt(i).map(_._2),
+                  Some(f.name))
+              case Some(f) if groupable(f.dataType) =>
+                // ledger-proven single-valuedness: zero recorded nulls
+                // and min == max under the declared type's tag (sound:
+                // evolution never reuses a name, so a ledger line under
+                // a declared name is always that logical column, and
+                // recorded bounds are exact values -- the same
+                // exactness the min/max readout rests on); an all-null
+                // file keys the NULL group. Float/double decline: SQL
+                // groups -0.0 with 0.0 and NaN with NaN, which
+                // bit-printed bounds can't witness.
+                (f, (_: Int, sf: SpjFile) => sf.nulls.get(f.name).flatMap { n =>
+                  if (n == sf.rows.get) Some(null)
+                  else if (n != 0L) None // mixed null/value: not single-valued
+                  else sf.stats.get(f.name) match {
+                    case Some((t, lo, hi)) if t == tagOf(f.dataType) && lo == hi =>
+                      internal(f.dataType, t, lo)
+                    case _ => None
+                  }
+                }, Some(f.name))
+              case Some(_) => return None // un-groupable column type
+              case None => derived(e) match {
+                case Some((f, fn)) =>
+                  (f, (i: Int, _: SpjFile) => layout.identityKeyAt(i).map {
+                    case (_, k: java.lang.Long) => fn(k.longValue())
+                    case (_, null) => null // Hive null dir: NULL group
+                    case _ => return None // non-long derived key: unprovable
+                  }, None)
+                case None => return None // unprovable grouping: the scan answers
+              }
+            }
+          }
+        if (cols.map(_._1.name).distinct.length != cols.length) return None
+        val withIdx: Seq[(Int, SpjFile)] =
+          layout.files.toSeq.flatMap { case (i, fs) => fs.map(i -> _) }
+        if (withIdx.exists(_._2.rows.isEmpty)) return None // unrecorded: unprovable
+        // a zero-row file contributes no group, exactly like the scan
+        val live = withIdx.filter(_._2.rows.get > 0L)
+        val keyed: Seq[(Seq[Any], SpjFile)] = live.map { case (i, sf) =>
+          (cols.map(c => c._2(i, sf) match {
+            case Some(v) => v
+            case None => return None // one un-provable file sinks all
+          }), sf)
+        }
+        if (keyed.isEmpty) return None // empty table: let the scan answer
+        val perGroup = keyed.groupBy(_._1).toSeq.map { case (key, fs) =>
+          val consts = cols.zip(key).collect {
+            case ((_, _, Some(name)), v) => name -> v
+          }.toMap
+          legsOver(fs.map(_._2), consts) match {
+            case None => return None
+            case Some(vals) => (key, vals)
+          }
+        }.sortBy(_._1.map(v => if (v == null) " " else v.toString)
+          .mkString("")) // stable emission order across runs
         val schema = StructType(
-          layout.identityField.get.copy(nullable = true) +: aggFields(perGroup.head._2))
-        Some((schema, perGroup.map(_._1).toArray,
-          s"GROUP BY $idCol: " +
+          cols.map(_._1.copy(nullable = true)) ++ aggFields(perGroup.head._2))
+        Some((schema,
+          perGroup.map { case (key, vals) =>
+            InternalRow.fromSeq(key ++ vals.map(_._1))
+          }.toArray,
+          s"GROUP BY ${cols.map(_._1.name).mkString(", ")}: " +
             perGroup.head._2.map(_._3).mkString(", ")))
-      case _ => None // any other grouping: only the real scan is provable
     }
   }
 }

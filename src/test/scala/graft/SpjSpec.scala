@@ -611,6 +611,120 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("grouped pushdown beyond identity: per-file-constant group columns answer from the ledgers") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-gc").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    // one status per commit on a PURE BUCKET layout (no identity
+    // level): every file is single-valued on o_orderstatus, so the
+    // ledgers prove the grouping; the third commit nulls the column
+    // entirely (the NULL group keys from nulls == rows); `gen` is a
+    // second per-commit constant for the multi-column leg
+    val fpart = orders.where(col("o_orderstatus") === "F").withColumn("gen", lit(1L))
+    val opart = orders.where(col("o_orderstatus") === "O").withColumn("gen", lit(2L))
+    val npart = orders.where(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit(null).cast("string")).withColumn("gen", lit(3L))
+    val all = fpart.union(opart).union(npart)
+    lake.declareSumColumns("spj_gc", Seq("o_orderkey"))
+    lake.createOrReplace(fpart, "spj_gc", Seq("bucket(4,o_orderkey)"))
+    lake.append(opart, "spj_gc", Seq("bucket(4,o_orderkey)"))
+    lake.append(npart, "spj_gc", Seq("bucket(4,o_orderkey)"))
+    // an IDENTITY layout over the same data: GROUP BY pairs the
+    // path-borne identity key with the stat-proven constant
+    lake.createOrReplace(fpart, "spj_gi", Seq("o_orderstatus"))
+    lake.append(opart, "spj_gi", Seq("o_orderstatus"))
+    lake.append(npart, "spj_gi", Seq("o_orderstatus"))
+    withSpj(root, "spj_t31") {
+      def metaOnly(df: DataFrame, clue: String): Unit = {
+        assert(collectPlan(df) { case l: LocalTableScanExec => l }.nonEmpty,
+          s"$clue should plan driver-local rows:\n" + df.queryExecution.executedPlan)
+        assert(collectPlan(df) { case b: BatchScanExec => b }.isEmpty,
+          s"no file scan may remain under a complete grouped pushdown ($clue)")
+      }
+      // single non-partition group column, NULL group included
+      val q1 = spark.sql("""SELECT o_orderstatus, count(*) AS cnt,
+          min(o_orderkey) AS mn, max(o_orderkey) AS mx, sum(o_orderkey) AS sm
+        FROM spj_t31.spj_gc GROUP BY o_orderstatus""")
+      metaOnly(q1, "stat-constant grouping")
+      assert(sortedRows(q1) === sortedRows(all.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("cnt"), min("o_orderkey").as("mn"),
+        max("o_orderkey").as("mx"), sum("o_orderkey").as("sm"))))
+      // multi-column grouping: both columns per-file constant
+      val q2 = spark.sql("""SELECT o_orderstatus, gen, count(*) AS cnt,
+          max(o_orderkey) AS mx FROM spj_t31.spj_gc GROUP BY o_orderstatus, gen""")
+      metaOnly(q2, "multi-column stat-constant grouping")
+      assert(sortedRows(q2) === sortedRows(all.groupBy("o_orderstatus", "gen").agg(
+        count(lit(1)).as("cnt"), max("o_orderkey").as("mx"))))
+      // identity key × stat-constant column, null identity dir included
+      val q3 = spark.sql("""SELECT o_orderstatus, gen, count(*) AS cnt,
+          min(o_orderkey) AS mn FROM spj_t31.spj_gi GROUP BY o_orderstatus, gen""")
+      metaOnly(q3, "identity x stat-constant grouping")
+      assert(sortedRows(q3) === sortedRows(all.groupBy("o_orderstatus", "gen").agg(
+        count(lit(1)).as("cnt"), min("o_orderkey").as("mn"))))
+      // a genuinely multi-valued column keeps the real scan, rows exact
+      val q4 = spark.sql("""SELECT o_orderkey, count(*) AS cnt
+        FROM spj_t31.spj_gc GROUP BY o_orderkey""")
+      assert(collectPlan(q4) { case b: BatchScanExec => b }.nonEmpty,
+        "multi-valued grouping must decline to the scan")
+      assert(sortedRows(q4) === sortedRows(
+        all.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))))
+      // SELECT DISTINCT pushes as a group-only aggregation (zero agg
+      // legs): the answer is just the group tuples
+      val q5 = spark.sql("SELECT DISTINCT o_orderstatus FROM spj_t31.spj_gc")
+      metaOnly(q5, "DISTINCT on a stat-constant column")
+      assert(sortedRows(q5) === sortedRows(all.select("o_orderstatus").distinct()))
+    }
+  }
+
+  test("calendar-grouped pushdown: GROUP BY year/month over the layout's transform reads the dirs' ledgers") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-cg").toString
+    val lake = new Lakehouse(spark, root)
+    // DATE source column (timezone-free on both sides), with a few
+    // null dates for the Hive null dir -> NULL year group
+    val orders = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_custkey"),
+      when(col("o_orderkey") % 11 === 0, lit(null).cast("date"))
+        .otherwise(col("o_orderdate").cast("date")).as("d"))
+    lake.createOrReplace(orders, "spj_cgy", Seq("years(d)", "bucket(4,o_custkey)"))
+    lake.createOrReplace(orders, "spj_cgm", Seq("months(d)", "bucket(4,o_custkey)"))
+    withSpj(root, "spj_t32") {
+      def metaOnly(df: DataFrame, clue: String): Unit = {
+        assert(collectPlan(df) { case l: LocalTableScanExec => l }.nonEmpty,
+          s"$clue should plan driver-local rows:\n" + df.queryExecution.executedPlan)
+        assert(collectPlan(df) { case b: BatchScanExec => b }.isEmpty,
+          s"no file scan may remain under a complete grouped pushdown ($clue)")
+      }
+      // years(d) layout answers GROUP BY year(d) from the year dirs
+      val q1 = spark.sql("""SELECT year(d) AS yr, count(*) AS cnt,
+          min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        FROM spj_t32.spj_cgy GROUP BY year(d)""")
+      metaOnly(q1, "years-transform grouping")
+      assert(sortedRows(q1) === sortedRows(orders.groupBy(year(col("d")).as("yr"))
+        .agg(count(lit(1)).as("cnt"), min("o_orderkey").as("mn"),
+          max("o_orderkey").as("mx"))))
+      // months(d) layout answers BOTH year(d) and month(d) -- the
+      // month key determines each
+      val q2 = spark.sql("""SELECT year(d) AS yr, month(d) AS mo, count(*) AS cnt
+        FROM spj_t32.spj_cgm GROUP BY year(d), month(d)""")
+      metaOnly(q2, "months-transform grouping")
+      assert(sortedRows(q2) === sortedRows(orders
+        .groupBy(year(col("d")).as("yr"), month(col("d")).as("mo"))
+        .agg(count(lit(1)).as("cnt"))))
+      // a years layout cannot prove month(d): the real scan answers
+      val q3 = spark.sql("""SELECT month(d) AS mo, count(*) AS cnt
+        FROM spj_t32.spj_cgy GROUP BY month(d)""")
+      assert(collectPlan(q3) { case b: BatchScanExec => b }.nonEmpty,
+        "month over a years layout must decline to the scan")
+      assert(sortedRows(q3) === sortedRows(orders
+        .groupBy(month(col("d")).as("mo")).agg(count(lit(1)).as("cnt"))))
+    }
+  }
+
   test("identity SPJ: co-partitioned tables join with no Exchange") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-ij").toString
     val lake = new Lakehouse(spark, root)
