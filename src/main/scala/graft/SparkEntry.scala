@@ -2239,6 +2239,9 @@ object SparkEntry {
         |  CAST(min(o_orderkey) AS BIGINT) AS k_lo,
         |  CAST(max(o_orderkey) AS BIGINT) AS k_hi,
         |  CAST(sum(o_orderkey) AS BIGINT) AS s_key,
+        |  CAST(CAST(sum(o_orderkey) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(o_orderkey) AS DOUBLE) AS a_key,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
         |  CAST(1.0 AS DOUBLE) AS meta_only
         |FROM t GROUP BY o_orderstatus, gen ORDER BY gen""".stripMargin,
   )

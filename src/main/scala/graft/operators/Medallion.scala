@@ -900,7 +900,8 @@ object Medallion {
     val g = spark.sql(
       s"""SELECT o_orderstatus, gen, count(*) AS cnt,
          |  min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi,
-         |  sum(o_orderkey) AS s_key
+         |  sum(o_orderkey) AS s_key, avg(o_orderkey) AS a_key,
+         |  count(DISTINCT o_orderstatus) AS d_status
          |FROM $cat.spjq_gs GROUP BY o_orderstatus, gen""".stripMargin)
     val rows = g.collect()
     val metaOnly =
@@ -908,8 +909,10 @@ object Medallion {
         collectExec(g) { case b: BatchScanExec => b }.isEmpty) 1.0 else 0.0
     import spark.implicits._
     rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-      r.getLong(3), r.getLong(4), r.getLong(5), metaOnly)).toSeq
-      .toDF("o_orderstatus", "gen", "cnt", "k_lo", "k_hi", "s_key", "meta_only")
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7),
+      metaOnly)).toSeq
+      .toDF("o_orderstatus", "gen", "cnt", "k_lo", "k_hi", "s_key", "a_key",
+        "d_status", "meta_only")
       .orderBy("gen")
   }
 

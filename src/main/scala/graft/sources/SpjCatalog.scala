@@ -2080,16 +2080,42 @@ private[spj] object SpjMetaAgg {
         case _ => throw new IllegalArgumentException(s"unmapped ($tag, $dt)")
       }).toOption
 
+    def groupable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | StringType => true
+      case _ => false
+    }
+
+    // Per-file CONSTANT value of a column, when provable: the identity
+    // dir path (which the files don't store), or the LEDGER proof --
+    // zero recorded nulls and min == max under the declared type's tag
+    // (sound: evolution never reuses a column name, so a dir's ledger
+    // line under a declared name is always that logical column, and
+    // recorded bounds are exact footer values -- the same exactness
+    // the min/max readout rests on); an all-null file is the NULL
+    // constant. Callers must have checked rows.isDefined.
+    def fileConst(i: Int, sf: SpjFile, f: StructField): Option[Any] =
+      if (layout.identityCol.contains(f.name)) layout.identityKeyAt(i).map(_._2)
+      else sf.nulls.get(f.name).flatMap { n =>
+        if (n == sf.rows.get) Some(null)
+        else if (n != 0L) None // mixed null/value: not single-valued
+        else sf.stats.get(f.name) match {
+          case Some((t, lo, hi)) if t == tagOf(f.dataType) && lo == hi =>
+            internal(f.dataType, t, lo)
+          case _ => None
+        }
+      }
+
     /** The aggregate legs folded over `files` only. `keyConsts` holds
       * the GROUP-CONSTANT columns: inside one group every file's value
       * of a group column is the same known constant (from the identity
       * dir path, which the files don't store, or from a per-file
       * single-valuedness proof over the ledgers), so legs referencing
       * one answer from that constant instead of the ledgers. */
-    def legsOver(files: Seq[SpjFile], keyConsts: Map[String, Any])
+    def legsOver(files: Seq[(Int, SpjFile)], keyConsts: Map[String, Any])
         : Option[Seq[(Any, DataType, String)]] = {
-      if (files.exists(_.rows.isEmpty)) return None
-      val totalRows = files.map(_.rows.get).sum
+      if (files.exists(_._2.rows.isEmpty)) return None
+      val totalRows = files.map(_._2.rows.get).sum
       def isKey(f: StructField) = keyConsts.contains(f.name)
 
       // count(col): non-null totals need every file's null count
@@ -2097,7 +2123,8 @@ private[spj] object SpjMetaAgg {
       def nonNull(f: StructField): Option[Long] =
         if (isKey(f)) Some(if (keyConsts(f.name) == null) 0L else totalRows)
         else {
-          val per = files.map(sf => sf.nulls.get(f.name).map(n => sf.rows.get - n))
+          val per = files.map { case (_, sf) =>
+            sf.nulls.get(f.name).map(n => sf.rows.get - n) }
           if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
         }
 
@@ -2109,7 +2136,7 @@ private[spj] object SpjMetaAgg {
         if (isKey(f)) return Some(keyConsts(f.name)) // constant (null group: SQL NULL)
         val tag = tagOf(f.dataType)
         if (tag.isEmpty) return None
-        val legs = files.flatMap { sf =>
+        val legs = files.flatMap { case (_, sf) =>
           val nn = sf.nulls.get(f.name) match {
             case Some(nulls) => sf.rows.get - nulls
             case None => return None
@@ -2150,7 +2177,7 @@ private[spj] object SpjMetaAgg {
         }
         var acc = java.math.BigDecimal.ZERO
         var any = false
-        files.foreach { sf =>
+        files.foreach { case (_, sf) =>
           sf.sums.get(f.name) match {
             case Some(Some(v)) => acc = acc.add(v); any = true
             case Some(None) => // recorded all-null file: contributes nothing
@@ -2168,12 +2195,82 @@ private[spj] object SpjMetaAgg {
         }
       }
 
+      // count(DISTINCT col): the distinct non-null constants across
+      // the files -- provable only when EVERY non-empty file is
+      // single-valued on the column (identity dirs, write-clustered
+      // columns); one multi-valued file sinks the leg to the scan
+      def distinctOf(f: StructField): Option[Long] = {
+        if (isKey(f)) return nonNull(f).map(nn => if (nn == 0L) 0L else 1L)
+        if (!groupable(f.dataType)) return None
+        val seen = scala.collection.mutable.Set.empty[Any]
+        files.foreach { case (i, sf) =>
+          if (sf.rows.get > 0L) fileConst(i, sf, f) match {
+            case Some(null) => // all-null file: DISTINCT skips NULLs
+            case Some(v) => seen += v
+            case None => return None
+          }
+        }
+        Some(seen.size.toLong)
+      }
+
+      // avg(col): Spark's Average over an integral column accumulates
+      // the sum in DOUBLE -- order-dependent in general, but every
+      // partial sum of NON-NEGATIVE integers bounded by a total
+      // <= 2^53 is an exactly-representable integer, so the fold is
+      // order-independent and the ledger restatement is bit-exact.
+      // Gate: integral input, every non-empty file's recorded lower
+      // bound >= 0, exact total <= 2^53; divide by the NON-NULL count
+      // (avg skips nulls), both as the same IEEE double division
+      // Spark's Divide(sum, count) performs. Decimal and double
+      // inputs decline (decimal AVG divides at a shifted scale;
+      // double sums are order-lossy).
+      val MaxExactDouble = java.math.BigDecimal.valueOf(1L << 53)
+      def avgOf(f: StructField): Option[Any] = {
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => ()
+          case _ => return None
+        }
+        val nn = nonNull(f).getOrElse(return None)
+        if (nn == 0L) return Some(null) // zero non-null values: SQL NULL
+        if (isKey(f)) {
+          val c = new java.math.BigDecimal(keyConsts(f.name).toString)
+          val total = c.multiply(java.math.BigDecimal.valueOf(nn))
+          if (c.signum() < 0 || total.compareTo(MaxExactDouble) > 0) return None
+          return Some(total.doubleValue() / nn.toDouble)
+        }
+        files.foreach { case (_, sf) => // non-negativity proof per file
+          if (sf.rows.get > 0L && !sf.nulls.get(f.name).contains(sf.rows.get)) {
+            sf.stats.get(f.name) match {
+              case Some((t, lo, _)) if t == "long" &&
+                scala.util.Try(BigDecimal(lo) >= 0).getOrElse(false) => ()
+              case _ => return None
+            }
+          }
+        }
+        var acc = java.math.BigDecimal.ZERO
+        files.foreach { case (_, sf) =>
+          sf.sums.get(f.name) match {
+            case Some(Some(v)) => acc = acc.add(v)
+            case Some(None) => ()
+            case None => if (sf.rows.get > 0L) return None // unrecorded
+          }
+        }
+        if (acc.compareTo(MaxExactDouble) > 0) return None
+        Some(acc.doubleValue() / nn.toDouble)
+      }
+
       val legs: Seq[Option[(Any, DataType, String)]] =
         agg.aggregateExpressions().toSeq.map {
           case _: CountStar => Some((totalRows, LongType, "count(*)"))
           case c: Count if !c.isDistinct =>
             colOf(c.column).flatMap(f =>
               nonNull(f).map(n => (n, LongType, s"count(${f.name})")))
+          case c: Count if c.isDistinct =>
+            colOf(c.column).flatMap(f => distinctOf(f).map(n =>
+              (n, LongType, s"count(distinct ${f.name})")))
+          case a: Avg if !a.isDistinct =>
+            colOf(a.column).flatMap(f => avgOf(f).map(v =>
+              (v, DoubleType, s"avg(${f.name})")))
           case m: Min => colOf(m.column).flatMap(f =>
             bound(f, wantMin = true).map(v => (v, f.dataType, s"min(${f.name})")))
           case m: Max => colOf(m.column).flatMap(f =>
@@ -2197,7 +2294,8 @@ private[spj] object SpjMetaAgg {
     agg.groupByExpressions().toSeq match {
       case Seq() => // GLOBAL: one finished row over every file
         if (agg.aggregateExpressions().isEmpty) return None // nothing to answer
-        legsOver(layout.files.valuesIterator.flatten.toSeq, Map.empty).map { vals =>
+        legsOver(layout.files.toSeq.flatMap { case (i, fs) => fs.map(i -> _) },
+            Map.empty).map { vals =>
           (StructType(aggFields(vals)),
             Array(InternalRow.fromSeq(vals.map(_._1))),
             vals.map(_._3).mkString(", "))
@@ -2226,11 +2324,6 @@ private[spj] object SpjMetaAgg {
       // one row per group.
       case gbs =>
         val idCol = layout.identityCol
-        def groupable(dt: DataType): Boolean = dt match {
-          case ByteType | ShortType | IntegerType | LongType | DateType |
-               TimestampType | StringType => true
-          case _ => false
-        }
         // PATH-DERIVED calendar groupings: year(d) / month(d) / day(d)
         // over the layout's own calendar transform -- the derived dir
         // key (epoch days / months / years since 1970) determines the
@@ -2247,17 +2340,39 @@ private[spj] object SpjMetaAgg {
         def derived(e: org.apache.spark.sql.connector.expressions.Expression)
             : Option[(StructField, Long => Any)] = {
           // catalyst Year/Month/DayOfMonth translate to the V2
-          // Extract(field, source) node; EXTRACT-style general scalar
-          // functions share the same (name, child) shape
+          // Extract(field, source) node; trunc(d, fmt) to a two-child
+          // TRUNC general scalar whose format literal folds into the
+          // synthetic name; EXTRACT-style one-child general scalars
+          // share the Extract shape
           val named: Option[(String,
               org.apache.spark.sql.connector.expressions.Expression)] = e match {
             case x: org.apache.spark.sql.connector.expressions.Extract =>
               Some((x.field(), x.source()))
             case g: org.apache.spark.sql.connector.expressions.GeneralScalarExpression
+                if g.name() == "TRUNC" && g.children().length == 2 =>
+              g.children()(1) match {
+                case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                    if l.dataType() == StringType && l.value() != null =>
+                  Some((s"TRUNC_${l.value().toString.toUpperCase(java.util.Locale.ROOT)}",
+                    g.children()(0)))
+                case _ => None
+              }
+            case g: org.apache.spark.sql.connector.expressions.GeneralScalarExpression
                 if g.children().length == 1 =>
               Some((g.name(), g.children()(0)))
             case _ => None
           }
+          // trunc formats normalize to the period they start (Spark's
+          // own alias sets); the group value is a DATE (epoch days)
+          def truncPeriod(fmt: String): Option[String] = fmt match {
+            case "TRUNC_YEAR" | "TRUNC_YYYY" | "TRUNC_YY" => Some("Y")
+            case "TRUNC_MONTH" | "TRUNC_MON" | "TRUNC_MM" => Some("M")
+            case "TRUNC_QUARTER" => Some("Q")
+            case _ => None
+          }
+          def yearStart(y: Int): Int = java.time.LocalDate.of(y, 1, 1).toEpochDay.toInt
+          def monthStart(y: Int, m: Int): Int =
+            java.time.LocalDate.of(y, m, 1).toEpochDay.toInt
           named.flatMap { case (fname, child) =>
             for {
               (tname, src) <- outerT
@@ -2269,22 +2384,45 @@ private[spj] object SpjMetaAgg {
               if nr.equalsIgnoreCase(src)
               srcF <- layout.schema.fields.find(_.name.equalsIgnoreCase(src))
               if srcF.dataType == DateType
-              fn <- (tname, fname) match {
-                case ("days", "YEAR") =>
-                  Some((k: Long) => java.time.LocalDate.ofEpochDay(k).getYear)
-                case ("days", "MONTH") =>
-                  Some((k: Long) => java.time.LocalDate.ofEpochDay(k).getMonthValue)
-                case ("days", "DAY") =>
-                  Some((k: Long) => java.time.LocalDate.ofEpochDay(k).getDayOfMonth)
-                case ("months", "YEAR") =>
-                  Some((k: Long) => (1970 + Math.floorDiv(k, 12)).toInt)
-                case ("months", "MONTH") =>
-                  Some((k: Long) => (Math.floorMod(k, 12) + 1).toInt)
-                case ("years", "YEAR") => Some((k: Long) => (1970 + k).toInt)
-                case _ => None
+              fieldFn <- (tname, fname) match {
+                case ("days", "YEAR") => Some((IntegerType: DataType,
+                  (k: Long) => java.time.LocalDate.ofEpochDay(k).getYear))
+                case ("days", "MONTH") => Some((IntegerType: DataType,
+                  (k: Long) => java.time.LocalDate.ofEpochDay(k).getMonthValue))
+                case ("days", "DAY") => Some((IntegerType: DataType,
+                  (k: Long) => java.time.LocalDate.ofEpochDay(k).getDayOfMonth))
+                case ("months", "YEAR") => Some((IntegerType: DataType,
+                  (k: Long) => (1970 + Math.floorDiv(k, 12)).toInt))
+                case ("months", "MONTH") => Some((IntegerType: DataType,
+                  (k: Long) => (Math.floorMod(k, 12) + 1).toInt))
+                case ("years", "YEAR") => Some((IntegerType: DataType,
+                  (k: Long) => (1970 + k).toInt))
+                case (t, f0) => truncPeriod(f0).flatMap { per =>
+                  (t, per) match {
+                    case ("years", "Y") => Some((DateType: DataType,
+                      (k: Long) => yearStart(1970 + k.toInt)))
+                    case ("months", "Y") => Some((DateType: DataType,
+                      (k: Long) => yearStart(1970 + Math.floorDiv(k, 12).toInt)))
+                    case ("months", "M") => Some((DateType: DataType, (k: Long) =>
+                      monthStart(1970 + Math.floorDiv(k, 12).toInt,
+                        Math.floorMod(k, 12).toInt + 1)))
+                    case ("months", "Q") => Some((DateType: DataType, (k: Long) =>
+                      monthStart(1970 + Math.floorDiv(k, 12).toInt,
+                        (Math.floorMod(k, 12).toInt / 3) * 3 + 1)))
+                    case ("days", "Y") => Some((DateType: DataType, (k: Long) =>
+                      yearStart(java.time.LocalDate.ofEpochDay(k).getYear)))
+                    case ("days", "M") => Some((DateType: DataType, (k: Long) => {
+                      val ld = java.time.LocalDate.ofEpochDay(k)
+                      monthStart(ld.getYear, ld.getMonthValue) }))
+                    case ("days", "Q") => Some((DateType: DataType, (k: Long) => {
+                      val ld = java.time.LocalDate.ofEpochDay(k)
+                      monthStart(ld.getYear, ((ld.getMonthValue - 1) / 3) * 3 + 1) }))
+                    case _ => None
+                  }
+                }
               }
             } yield (StructField(s"${fname.toLowerCase(java.util.Locale.ROOT)}_$src",
-              IntegerType, nullable = true), fn)
+              fieldFn._1, nullable = true), fieldFn._2)
           }
         }
         // each group expression resolves to (output field, per-file
@@ -2298,24 +2436,11 @@ private[spj] object SpjMetaAgg {
                 (f, (i: Int, _: SpjFile) => layout.identityKeyAt(i).map(_._2),
                   Some(f.name))
               case Some(f) if groupable(f.dataType) =>
-                // ledger-proven single-valuedness: zero recorded nulls
-                // and min == max under the declared type's tag (sound:
-                // evolution never reuses a name, so a ledger line under
-                // a declared name is always that logical column, and
-                // recorded bounds are exact values -- the same
-                // exactness the min/max readout rests on); an all-null
-                // file keys the NULL group. Float/double decline: SQL
-                // groups -0.0 with 0.0 and NaN with NaN, which
-                // bit-printed bounds can't witness.
-                (f, (_: Int, sf: SpjFile) => sf.nulls.get(f.name).flatMap { n =>
-                  if (n == sf.rows.get) Some(null)
-                  else if (n != 0L) None // mixed null/value: not single-valued
-                  else sf.stats.get(f.name) match {
-                    case Some((t, lo, hi)) if t == tagOf(f.dataType) && lo == hi =>
-                      internal(f.dataType, t, lo)
-                    case _ => None
-                  }
-                }, Some(f.name))
+                // ledger-proven single-valuedness (fileConst); an
+                // all-null file keys the NULL group. Float/double
+                // decline: SQL groups -0.0 with 0.0 and NaN with NaN,
+                // which bit-printed bounds can't witness.
+                (f, (i: Int, sf: SpjFile) => fileConst(i, sf, f), Some(f.name))
               case Some(_) => return None // un-groupable column type
               case None => derived(e) match {
                 case Some((f, fn)) =>
@@ -2334,11 +2459,11 @@ private[spj] object SpjMetaAgg {
         if (withIdx.exists(_._2.rows.isEmpty)) return None // unrecorded: unprovable
         // a zero-row file contributes no group, exactly like the scan
         val live = withIdx.filter(_._2.rows.get > 0L)
-        val keyed: Seq[(Seq[Any], SpjFile)] = live.map { case (i, sf) =>
+        val keyed: Seq[(Seq[Any], (Int, SpjFile))] = live.map { case (i, sf) =>
           (cols.map(c => c._2(i, sf) match {
             case Some(v) => v
             case None => return None // one un-provable file sinks all
-          }), sf)
+          }), (i, sf))
         }
         if (keyed.isEmpty) return None // empty table: let the scan answer
         val perGroup = keyed.groupBy(_._1).toSeq.map { case (key, fs) =>

@@ -624,9 +624,12 @@ class SpjSpec extends SparkSpec {
     // entirely (the NULL group keys from nulls == rows); `gen` is a
     // second per-commit constant for the multi-column leg
     val fpart = orders.where(col("o_orderstatus") === "F").withColumn("gen", lit(1L))
+      .withColumn("sgn", col("o_orderkey") % 7 - 3)
     val opart = orders.where(col("o_orderstatus") === "O").withColumn("gen", lit(2L))
+      .withColumn("sgn", col("o_orderkey") % 7 - 3)
     val npart = orders.where(col("o_orderkey") % 10 === 0)
       .withColumn("o_orderstatus", lit(null).cast("string")).withColumn("gen", lit(3L))
+      .withColumn("sgn", col("o_orderkey") % 7 - 3)
     val all = fpart.union(opart).union(npart)
     lake.declareSumColumns("spj_gc", Seq("o_orderkey"))
     lake.createOrReplace(fpart, "spj_gc", Seq("bucket(4,o_orderkey)"))
@@ -676,6 +679,34 @@ class SpjSpec extends SparkSpec {
       val q5 = spark.sql("SELECT DISTINCT o_orderstatus FROM spj_t31.spj_gc")
       metaOnly(q5, "DISTINCT on a stat-constant column")
       assert(sortedRows(q5) === sortedRows(all.select("o_orderstatus").distinct()))
+      // avg over a provably NON-NEGATIVE integral column (every
+      // file's recorded lo >= 0, exact total <= 2^53) answers as the
+      // same IEEE sum/count division Spark performs; count(DISTINCT)
+      // over per-file-constant columns counts the constants
+      val q6 = spark.sql("""SELECT o_orderstatus, avg(o_orderkey) AS ak,
+          count(DISTINCT gen) AS dg
+        FROM spj_t31.spj_gc GROUP BY o_orderstatus""")
+      metaOnly(q6, "grouped avg + count distinct")
+      assert(sortedRows(q6) === sortedRows(all.groupBy("o_orderstatus").agg(
+        avg("o_orderkey").as("ak"), countDistinct("gen").as("dg"))))
+      val q7 = spark.sql("""SELECT avg(o_orderkey) AS ak,
+          count(DISTINCT o_orderstatus) AS ds FROM spj_t31.spj_gc""")
+      metaOnly(q7, "global avg + count distinct")
+      assert(sortedRows(q7) === sortedRows(all.agg(
+        avg("o_orderkey").as("ak"), countDistinct("o_orderstatus").as("ds"))))
+      // count(DISTINCT) over a multi-valued column declines to the scan
+      val q8 = spark.sql(
+        "SELECT count(DISTINCT o_orderkey) AS dk FROM spj_t31.spj_gc")
+      assert(collectPlan(q8) { case b: BatchScanExec => b }.nonEmpty,
+        "count distinct over a multi-valued column must decline")
+      assert(sortedRows(q8) === sortedRows(
+        all.agg(countDistinct("o_orderkey").as("dk"))))
+      // avg over a column with a negative recorded bound declines
+      // (the double fold's order-independence proof needs lo >= 0)
+      val q9 = spark.sql("SELECT avg(sgn) AS a FROM spj_t31.spj_gc")
+      assert(collectPlan(q9) { case b: BatchScanExec => b }.nonEmpty,
+        "avg over a mixed-sign column must decline to the scan")
+      assert(sortedRows(q9) === sortedRows(all.agg(avg("sgn").as("a"))))
     }
   }
 
@@ -722,6 +753,20 @@ class SpjSpec extends SparkSpec {
         "month over a years layout must decline to the scan")
       assert(sortedRows(q3) === sortedRows(orders
         .groupBy(month(col("d")).as("mo")).agg(count(lit(1)).as("cnt"))))
+      // trunc(d, fmt) groups by the period-start DATE the dir key
+      // proves: YEAR on a years layout, MM and QUARTER on months
+      val q4 = spark.sql("""SELECT trunc(d, 'YEAR') AS ys, count(*) AS cnt
+        FROM spj_t32.spj_cgy GROUP BY trunc(d, 'YEAR')""")
+      metaOnly(q4, "years trunc grouping")
+      assert(sortedRows(q4) === sortedRows(orders
+        .groupBy(trunc(col("d"), "year").as("ys")).agg(count(lit(1)).as("cnt"))))
+      val q5 = spark.sql("""SELECT trunc(d, 'MM') AS ms,
+          trunc(d, 'QUARTER') AS qs, count(*) AS cnt
+        FROM spj_t32.spj_cgm GROUP BY trunc(d, 'MM'), trunc(d, 'QUARTER')""")
+      metaOnly(q5, "months trunc grouping")
+      assert(sortedRows(q5) === sortedRows(orders
+        .groupBy(trunc(col("d"), "mm").as("ms"), trunc(col("d"), "quarter").as("qs"))
+        .agg(count(lit(1)).as("cnt"))))
     }
   }
 
