@@ -208,6 +208,12 @@ object SparkEntry {
     // grouped aggregate pushdown beyond identity shapes: per-file-
     // constant group columns answer from the ledgers on any layout
     "q_spj_group_stats" -> (Medallion.qSpjGroupStats _),
+    // claimed-exact identity filters: the conjunct vanishes from the
+    // plan and the filtered rollup stays a metadata readout
+    "q_spj_filter_claim" -> (Medallion.qSpjFilterClaim _),
+    // claimed days(date) window filters: BETWEEN vanishes, the
+    // windowed rollup reads only the window's day dirs' ledgers
+    "q_spj_time_claim" -> (Medallion.qSpjTimeClaim _),
   )
 
   /** DuckDB-runnable ANSI SQL twins (same table names, same aliases,
@@ -2244,5 +2250,28 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
         |  CAST(1.0 AS DOUBLE) AS meta_only
         |FROM t GROUP BY o_orderstatus, gen ORDER BY gen""".stripMargin,
+    // claimed identity filter + grouped readout: the oracle restates
+    // the filtered rollup; meta_only / no_filter pin that the engine
+    // answered from the kept dirs' ledgers with the conjunct gone
+    "q_spj_filter_claim" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sk,
+        |  CAST(CAST(sum(o_orderkey) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(o_orderkey) AS DOUBLE) AS ak,
+        |  CAST(1.0 AS DOUBLE) AS meta_only, CAST(1.0 AS DOUBLE) AS no_filter
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // claimed days(date) window: the oracle restates the windowed
+    // rollup; meta_only / no_filter pin the ledger-only, filter-free
+    // plan over the window's day dirs
+    "q_spj_time_claim" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sk,
+        |  CAST(min(o_orderkey) AS BIGINT) AS k_lo,
+        |  CAST(max(o_orderkey) AS BIGINT) AS k_hi,
+        |  CAST(1.0 AS DOUBLE) AS meta_only, CAST(1.0 AS DOUBLE) AS no_filter
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-15'
+        |  AND DATE '1995-02-14'""".stripMargin,
   )
 }

@@ -916,6 +916,97 @@ object Medallion {
       .orderBy("gen")
   }
 
+  /** `q_spj_filter_claim` — CLAIMED-EXACT IDENTITY FILTERS (r17): an
+    * `=`/`IN`/`IS [NOT] NULL` conjunct on the identity partition
+    * column is FULLY handled by dir pruning (every row of an identity
+    * dir carries the dir's decoded value; comparison happens in the
+    * injective canonical string domain the writer encoded), so the
+    * filter VANISHES from the plan instead of staying residual — and
+    * composes with the grouped metadata readout: a filtered rollup
+    * over an identity-partitioned fact answers from the kept dirs'
+    * ledgers with ZERO data opens and NO Filter node. `meta_only`
+    * pins the LocalTableScan plan, `no_filter` pins the vanished
+    * conjunct. At 100 TB this is the dashboard query — count/sum by
+    * segment WHERE segment IN (...) — priced as a driver-local
+    * metadata fold. */
+  def qSpjFilterClaim(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.{FilterExec, LocalTableScanExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjfc").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    lake.declareSumColumns("spjq_fc", Seq("o_orderkey"))
+    lake.createOrReplace(orders, "spjq_fc", Seq("o_orderstatus"))
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val g = spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sk,
+         |  avg(o_orderkey) AS ak
+         |FROM $cat.spjq_fc WHERE o_orderstatus IN ('F', 'O')
+         |GROUP BY o_orderstatus""".stripMargin)
+    val rows = g.collect()
+    val metaOnly =
+      if (collectExec(g) { case l: LocalTableScanExec => l }.nonEmpty &&
+        collectExec(g) { case b: BatchScanExec => b }.isEmpty) 1.0 else 0.0
+    val noFilter =
+      if (collectExec(g) { case f: FilterExec => f }.isEmpty) 1.0 else 0.0
+    import spark.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      metaOnly, noFilter)).toSeq
+      .toDF("o_orderstatus", "n", "sk", "ak", "meta_only", "no_filter")
+      .orderBy("o_orderstatus")
+  }
+
+  /** `q_spj_time_claim` — CLAIMED days(DATE) TIME-WINDOW FILTERS
+    * (r17): on a `days(d) × bucket` daily fact whose source column is
+    * a DATE, EVERY comparison conjunct on `d` — ranges included — is
+    * DIR-EXACT (a DATE is day-granular, so a day dir's rows all carry
+    * exactly the dir's date): the window predicate VANISHES from the
+    * plan and a windowed rollup answers from the kept day dirs'
+    * ledgers with ZERO data opens. The dominant dashboard shape at
+    * 100 TB — `count/sum WHERE d BETWEEN …` over years of daily
+    * partitions — priced as a driver-local metadata fold over O(window)
+    * dirs. `meta_only` pins the LocalTableScan plan, `no_filter` the
+    * vanished conjuncts. */
+  def qSpjTimeClaim(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.{FilterExec, LocalTableScanExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.Lakehouse
+    import graft.sources.spj.GraftSpjCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-spjtc").toString
+    val lake = new Lakehouse(spark, root)
+    // a two-month slice keeps the day-dir count bench-sized (the day
+    // count is date-span-bound, not SF-bound)
+    val orders = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-03-01")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("d"))
+    lake.declareSumColumns("spjq_tc", Seq("o_orderkey"))
+    lake.createOrReplace(orders, "spjq_tc", Seq("days(d)", "bucket(4,o_custkey)"))
+    val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val g = spark.sql(
+      s"""SELECT count(*) AS n, sum(o_orderkey) AS sk,
+         |  min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi
+         |FROM $cat.spjq_tc
+         |WHERE d BETWEEN DATE'1995-01-15' AND DATE'1995-02-14'""".stripMargin)
+    val rows = g.collect()
+    val metaOnly =
+      if (collectExec(g) { case l: LocalTableScanExec => l }.nonEmpty &&
+        collectExec(g) { case b: BatchScanExec => b }.isEmpty) 1.0 else 0.0
+    val noFilter =
+      if (collectExec(g) { case f: FilterExec => f }.isEmpty) 1.0 else 0.0
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      metaOnly, noFilter)).toSeq
+      .toDF("n", "sk", "k_lo", "k_hi", "meta_only", "no_filter")
+  }
+
   /** `q_spj_daily_join` — CALENDAR-TRANSFORM × BUCKET layouts at the
     * driver surface (`years(o_orderdate) × bucket(8, o_custkey)` —
     * the time-partitioned bucketed fact canon; `days()` is the same

@@ -422,7 +422,10 @@ private[spj] class GraftSpjTable(tableName: String, layout: SpjLayout, root: Str
       // stream — MoR deletes/updates between batches arrive as
       // `_change_type`-tagged row deltas instead of failing the
       // interval ([[GraftSpjCdcMicroBatchStream]])
-      cdc = options.getBoolean("cdc", false))
+      cdc = options.getBoolean("cdc", false),
+      // plain table reads may CLAIM dir-exact identity filters; the
+      // row-level DML scans (their own builders) never do
+      claimExact = true)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftSpjWriteBuilder(root, tableName, layout.spec, branch, info.schema())
 }
@@ -472,7 +475,8 @@ private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
 private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
     streamInfo: Option[(String, String, String)] = None,
     skipDeleteSnapshots: Boolean = false,
-    cdc: Boolean = false)
+    cdc: Boolean = false,
+    claimExact: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -480,17 +484,67 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
 
   private var required: StructType = layout.schema
   private var pushed: Array[Filter] = Array.empty
+  private var claimed: Array[Filter] = Array.empty
   private var aggAnswer: Option[(StructType, Array[InternalRow], String)] = None
   private var limit: Option[Int] = None
   // the longest prefix of the requested sort that binds to plain
   // schema columns, as (column, ascending, nullsFirst) triples
   private var topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** Is this conjunct DIR-EXACT on the identity column — the one
+    * filter class this source fully handles instead of keeping
+    * residual? Every row of an identity dir carries the dir's decoded
+    * value, and `=`/`IN`/`IS [NOT] NULL` tests against it compare in
+    * the canonical string domain the writer encoded (injective per
+    * canonicalizable type), so partition pruning drops EXACTLY the
+    * non-matching rows: the filter can vanish from the plan. Claimed
+    * only on the plain TABLE read path (`claimExact` — never the
+    * row-level DML scans, whose rewrite contracts own their
+    * conditions), and mirrors [[SpjPruning.allowedIdentity]]'s accept
+    * set exactly — a conjunct claimed here must be one that pruning
+    * provably enforces. */
+  private def dirExact(f: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    val idCol = if (layout.identityKeys.isDefined) layout.identityCol else None
+    // the days(DATE) family: every row of a day dir carries EXACTLY
+    // the dir's date (a DATE is day-granular), so ALL comparison
+    // conjuncts on the source column — ranges included — decide at
+    // dir level; months/years dirs hold many dates and never claim,
+    // and TIMESTAMP sources never claim (rows inside a day vary)
+    val daysSrc = SpjScanBuilderClaims.daysDateSource(layout)
+    def isDays(c0: String) = daysSrc.exists(_.equalsIgnoreCase(c0))
+    def day(v: Any) = SpjScanBuilderClaims.epochDay(v)
+    def ok(c: Filter): Boolean = c match {
+      case And(l, r) => ok(l) && ok(r)
+      case EqualTo(c0, v) => (idCol.contains(c0) && v != null &&
+        SpjPruning.canonicalOf(v).isDefined) || (isDays(c0) && day(v).isDefined)
+      case In(c0, vs) => (idCol.contains(c0) && vs.nonEmpty &&
+        vs.forall(v => v != null && SpjPruning.canonicalOf(v).isDefined)) ||
+        (isDays(c0) && vs.nonEmpty && vs.forall(day(_).isDefined))
+      case GreaterThan(c0, v) => isDays(c0) && day(v).isDefined
+      case GreaterThanOrEqual(c0, v) => isDays(c0) && day(v).isDefined
+      case LessThan(c0, v) => isDays(c0) && day(v).isDefined
+      case LessThanOrEqual(c0, v) => isDays(c0) && day(v).isDefined
+      case IsNull(c0) => idCol.contains(c0) || isDays(c0)
+      case IsNotNull(c0) => idCol.contains(c0) || isDays(c0)
+      case _ => false
+    }
+    (idCol.isDefined || daysSrc.isDefined) && ok(f)
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(SpjPruning.usable)
-    filters // ALL filters stay residual: pruning is may-match only
+    claimed = if (claimExact) filters.filter(dirExact) else Array.empty
+    // claimed conjuncts are FULLY handled (identity-dir pruning is
+    // row-exact for them); everything else stays residual — pruning
+    // on those is may-match only
+    filters.filterNot(claimed.contains)
   }
   override def pushedFilters(): Array[Filter] = pushed
+  /** Every pushed filter claimed — kept files' rows ALL match, so
+    * recorded counts/stats of the pruned file map stay exact. */
+  private def allClaimed: Boolean = pushed.forall(claimed.contains)
 
   /** GLOBAL aggregates answered from the ledgers — count(*) /
     * count(col) / min / max / sum read out of the row-count, null-
@@ -506,21 +560,43 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
   // O(files × agg-legs) metadata walk prices once per query, and only
   // pushAggregation commits the answer to the build
   private var probedAgg: Option[(AnyRef, Option[(StructType, Array[InternalRow], String)])] = None
+  /** The layout the metadata readout folds over: with CLAIMED filters
+    * the non-matching identity dirs drop first (partition-exact — the
+    * same allowedIdentity set the scan enforces; kept dirs' rows ALL
+    * match, so the ledger folds stay exact answers to the FILTERED
+    * query). An unclaimable mix declines at the gates below. */
+  private def aggLayout: Option[SpjLayout] =
+    if (claimed.isEmpty) Some(layout)
+    else {
+      val a: Option[Set[Int]] = (for {
+        ic <- layout.identityCol
+        keys <- layout.identityKeys
+        s0 <- SpjPruning.allowedIdentity(ic, keys, claimed.toSeq)
+      } yield s0).orElse(for {
+        src <- SpjScanBuilderClaims.daysDateSource(layout)
+        keys <- layout.identityKeys
+        s0 <- SpjScanBuilderClaims.allowedDerivedDays(keys, src, claimed.toSeq)
+      } yield s0)
+      a.map(keep => layout.copy(files = layout.files.map { case (b, fs) =>
+        b -> (if (layout.keepPartition(b, Some(keep), None)) fs
+        else Seq.empty[SpjFile])
+      }))
+    }
   private def probe(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Array[InternalRow], String)] = probedAgg match {
     case Some((ref, ans)) if ref eq agg => ans
     case _ =>
-      val ans = SpjMetaAgg.answer(layout, agg)
+      val ans = aggLayout.flatMap(SpjMetaAgg.answer(_, agg))
       probedAgg = Some((agg, ans))
       ans
   }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    pushed.isEmpty && probe(agg).isDefined
+    allClaimed && probe(agg).isDefined
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (pushed.nonEmpty) return false
+    if (!allClaimed) return false
     aggAnswer = probe(agg)
     // NOTE if Spark takes this as a PARTIAL pushdown (it probed
     // supportCompletePushDown first, so it won't — but the contract
@@ -537,8 +613,10 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
     * every file. */
   override def pushLimit(n: Int): Boolean = {
     // recorded row counts OVER-state a tombstoned snapshot's served
-    // rows — a count-based file cap could under-cover the limit
-    if (pushed.nonEmpty || aggAnswer.isDefined || layout.tombstoned) return false
+    // rows — a count-based file cap could under-cover the limit.
+    // CLAIMED identity filters keep the cap sound: the pruned map's
+    // kept files' rows all match, so their counts are exact
+    if (!allClaimed || aggAnswer.isDefined || layout.tombstoned) return false
     limit = Some(n)
     true
   }
@@ -559,7 +637,7 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     // same decline as pushLimit: tombstoned row counts can under-cover k
-    if (pushed.nonEmpty || aggAnswer.isDefined || n <= 0 || layout.tombstoned) return false
+    if (!allClaimed || aggAnswer.isDefined || n <= 0 || layout.tombstoned) return false
     if (orders.isEmpty) return false
     // bind the longest prefix of plain single-part schema columns;
     // boundary-tied files are kept (every keep test is inclusive)
@@ -586,17 +664,32 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
       GraftSpjAggScan(aggSchema, rows, desc)
     case None =>
       // static partition pruning, one set per LEVEL: identity values
-      // match the key dirs, bucket values map through the layout hash
+      // match the key dirs, bucket values map through the layout hash.
+      // CLAIMED conjuncts join the identity set explicitly — IS [NOT]
+      // NULL is claimable but not a stats-usable filter, and a claimed
+      // conjunct's ONLY enforcement is this pruning (its Filter node
+      // is gone from the plan)
       val allowedId = for {
         ic <- layout.identityCol
         keys <- layout.identityKeys
-        a <- SpjPruning.allowedIdentity(ic, keys, pushed.toSeq)
+        a <- SpjPruning.allowedIdentity(ic, keys, (pushed ++ claimed).distinct.toSeq)
+      } yield a
+      // claimed days(DATE) conjuncts decide at the derived-key level:
+      // the outer identityKeys ARE epoch days, dir-exact by the date's
+      // day granularity (this pruning is the claim's only enforcement)
+      val allowedDays = for {
+        src <- SpjScanBuilderClaims.daysDateSource(layout)
+        keys <- layout.identityKeys
+        if claimed.nonEmpty
+        a <- SpjScanBuilderClaims.allowedDerivedDays(keys, src, claimed.toSeq)
       } yield a
       val allowedBk = layout.bucketLevel.flatMap { case (n, k) =>
         SpjPruning.allowedBuckets(k, n, pushed.toSeq)
       }
+      val outerAllowed = (allowedId.toSeq ++ allowedDays.toSeq)
+        .reduceOption(_ intersect _)
       val pruned = layout.files.map { case (b, fs) =>
-        b -> (if (!layout.keepPartition(b, allowedId, allowedBk)) Seq.empty[SpjFile]
+        b -> (if (!layout.keepPartition(b, outerAllowed, allowedBk)) Seq.empty[SpjFile]
         else fs.filter(f => pushed.forall(SpjPruning.mayMatch(f.stats, _))))
       }
       val capped0 = limit.fold(pruned)(SpjPruning.capForLimit(pruned, _))
@@ -615,7 +708,7 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
         topN.map { case (ords, k) =>
           ords.map { case (c, asc, _) =>
             s"$c ${if (asc) "ASC" else "DESC"}" }.mkString(", ") + s" LIMIT $k" },
-        streamInfo, skipDeleteSnapshots, cdc)
+        streamInfo, skipDeleteSnapshots, cdc, claimed.toSeq)
   }
 }
 
@@ -666,7 +759,8 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
     topN: Option[String] = None,
     streamInfo: Option[(String, String, String)] = None,
     skipDeleteSnapshots: Boolean = false,
-    cdc: Boolean = false)
+    cdc: Boolean = false,
+    claimed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics with SupportsRuntimeV2Filtering
   with SupportsReportOrdering {
@@ -749,6 +843,7 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
   override def description(): String =
     s"GraftSpj ${layout.spec.mkString("/")} $plannedFileCount files" +
       (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]") +
+      (if (claimed.isEmpty) "" else s" ClaimedFilters: [${claimed.mkString(", ")}]") +
       limit.fold("")(n => s" PushedLimit: $n") +
       topN.fold("")(t => s" PushedTopN: [$t]")
 
@@ -763,7 +858,9 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, fs.map(_.length).sum))
     override def numRows(): java.util.OptionalLong =
-      if (pushed.isEmpty && limit.isEmpty && topN.isEmpty &&
+      // CLAIMED identity filters keep the count exact: every kept
+      // file's rows all match, non-matching dirs were emptied
+      if (pushed.forall(claimed.contains) && limit.isEmpty && topN.isEmpty &&
         !layout.tombstoned && fs.forall(_.rows.isDefined))
         java.util.OptionalLong.of(fs.map(_.rows.get).sum)
       else java.util.OptionalLong.empty()
@@ -869,7 +966,14 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
   /** Micro-batch streaming of the catalog table —
     * `spark.readStream.table("cat.t")`; see [[GraftSpjMicroBatchStream]]. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // the micro-batch planners read dirs by snapshot interval and do
+    // NOT apply claimed filters; a claimed filter reaching a stream
+    // would silently drop enforcement -- refuse loudly (Spark's
+    // streaming plans keep filters residual today, so this is a
+    // tripwire, not a path)
+    require(claimed.isEmpty,
+      s"claimed-exact filters cannot serve a streaming read: $claimed")
     streamInfo match {
       case Some((root, table, branch)) if cdc =>
         new GraftSpjCdcMicroBatchStream(root, table, branch, required)
@@ -879,6 +983,7 @@ private[graft] class GraftSpjScan(layout: SpjLayout, required: StructType,
       case None => throw new UnsupportedOperationException(
         "this scan cannot stream (row-level operation scans are batch-only)")
     }
+  }
 }
 
 /** Shared parquet reader-factory construction for the batch scan, the
@@ -1669,6 +1774,76 @@ private[spj] object SpjDml {
     case AlwaysTrue() => Some(lit(true))
     case AlwaysFalse() => Some(lit(false))
     case _ => None
+  }
+}
+
+/** The claim-classification helpers shared by the scan builder's
+  * `dirExact` test and the enforcement sets `build()`/`aggLayout`
+  * derive — one accept set, two consumers, so a claimable conjunct is
+  * by construction one the pruning enforces. */
+private[spj] object SpjScanBuilderClaims {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types.DateType
+
+  /** The days(src) source column when — and only when — its declared
+    * type is DATE: a DATE is day-granular, so a day dir's rows all
+    * carry exactly the dir's date and EVERY comparison conjunct on the
+    * column decides at dir level. TIMESTAMP sources never qualify. */
+  def daysDateSource(layout: SpjLayout): Option[String] =
+    layout.outerTransformSpec.collect {
+      case sp if sp.startsWith("days(") =>
+        sp.stripPrefix("days(").stripSuffix(")")
+    }.filter(src => layout.schema.fields.exists(f =>
+      f.name.equalsIgnoreCase(src) && f.dataType == DateType))
+
+  def epochDay(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  /** Outer-key indices the CLAIMED days-conjuncts admit: each derived
+    * key is the dir's epoch day (null for the Hive null dir — matched
+    * only by IS NULL, exactly like row semantics, since a comparison
+    * against NULL is never true). Conjuncts intersect. None only when
+    * a conjunct shape slipped past `dirExact` — callers must treat
+    * that as unprovable, never as admit-all. */
+  def allowedDerivedDays(keys: IndexedSeq[(String, Any)], src: String,
+      fs: Seq[Filter]): Option[Set[Int]] = {
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    def dayOf(i: Int): Option[Long] = keys(i)._2 match {
+      case k: java.lang.Long => Some(k.longValue())
+      case _ => None
+    }
+    def onSrc(c0: String) = c0.equalsIgnoreCase(src)
+    val sets: Seq[Option[Set[Int]]] = fs.flatMap(flat).map {
+      case EqualTo(c0, v) if onSrc(c0) =>
+        epochDay(v).map(d => keys.indices.filter(i => dayOf(i).contains(d)).toSet)
+      case In(c0, vs) if onSrc(c0) =>
+        val ds = vs.toSeq.map(epochDay)
+        if (ds.forall(_.isDefined)) {
+          val set = ds.flatten.toSet
+          Some(keys.indices.filter(i => dayOf(i).exists(set.contains)).toSet)
+        } else None
+      case GreaterThan(c0, v) if onSrc(c0) =>
+        epochDay(v).map(d => keys.indices.filter(i => dayOf(i).exists(_ > d)).toSet)
+      case GreaterThanOrEqual(c0, v) if onSrc(c0) =>
+        epochDay(v).map(d => keys.indices.filter(i => dayOf(i).exists(_ >= d)).toSet)
+      case LessThan(c0, v) if onSrc(c0) =>
+        epochDay(v).map(d => keys.indices.filter(i => dayOf(i).exists(_ < d)).toSet)
+      case LessThanOrEqual(c0, v) if onSrc(c0) =>
+        epochDay(v).map(d => keys.indices.filter(i => dayOf(i).exists(_ <= d)).toSet)
+      case IsNull(c0) if onSrc(c0) =>
+        Some(keys.indices.filter(i => keys(i)._2 == null).toSet)
+      case IsNotNull(c0) if onSrc(c0) =>
+        Some(keys.indices.filter(i => keys(i)._2 != null).toSet)
+      case _ => None // not a days conjunct: unprovable for this set
+    }
+    if (sets.isEmpty || sets.exists(_.isEmpty)) None
+    else Some(sets.flatten.reduce(_ intersect _))
   }
 }
 

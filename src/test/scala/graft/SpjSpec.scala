@@ -770,6 +770,142 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("claimed identity filters: dir-exact conjuncts vanish from the plan and compose with readouts") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-cf").toString
+    val lake = new Lakehouse(spark, root)
+    val orders = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    // identity layout over a remapped segment column: an escaped key
+    // ("A/B"), a plain key, and a NULL dir; `gen` is per-commit
+    // constant so the filtered grouped readout stays provable
+    def seg(v: String) = orders.where(col("o_orderstatus") === v)
+    val p1 = seg("F").withColumn("seg", lit("A/B")).withColumn("gen", lit(1L)).drop("o_orderstatus")
+    val p2 = seg("O").withColumn("seg", lit("W")).withColumn("gen", lit(2L)).drop("o_orderstatus")
+    val p3 = seg("P").withColumn("seg", lit(null).cast("string")).withColumn("gen", lit(3L)).drop("o_orderstatus")
+    lake.declareSumColumns("spj_cf", Seq("o_orderkey"))
+    lake.createOrReplace(p1, "spj_cf", Seq("seg"))
+    lake.append(p2, "spj_cf", Seq("seg"))
+    lake.append(p3, "spj_cf", Seq("seg"))
+    val all = p1.union(p2).union(p3)
+    withSpj(root, "spj_t33") {
+      def noFilterExec(df: DataFrame, clue: String): Unit =
+        assert(collectPlan(df) { case f: FilterExec => f }.isEmpty,
+          s"claimed conjuncts must vanish from the plan ($clue):\n" +
+            df.queryExecution.executedPlan)
+      // plain filtered scan: the = conjunct is fully handled by
+      // identity-dir pruning, no residual Filter remains (escaped key)
+      val q1 = spark.sql(
+        "SELECT o_orderkey FROM spj_t33.spj_cf WHERE seg = 'A/B'")
+      noFilterExec(q1, "equality on an escaped identity key")
+      assert(sortedRows(q1) === sortedRows(
+        all.where(col("seg") === "A/B").select("o_orderkey")))
+      // IS NULL claims the Hive null dir exactly
+      val q2 = spark.sql(
+        "SELECT o_orderkey FROM spj_t33.spj_cf WHERE seg IS NULL")
+      noFilterExec(q2, "IS NULL")
+      assert(sortedRows(q2) === sortedRows(
+        all.where(col("seg").isNull).select("o_orderkey")))
+      // claimed filter + grouped readout = filtered rollup with zero
+      // data opens (the r17 filtered-metadata composition)
+      val q3 = spark.sql("""SELECT gen, count(*) AS cnt, sum(o_orderkey) AS sm
+        FROM spj_t33.spj_cf WHERE seg IN ('A/B', 'W') GROUP BY gen""")
+      assert(collectPlan(q3) { case l: LocalTableScanExec => l }.nonEmpty &&
+        collectPlan(q3) { case b: BatchScanExec => b }.isEmpty,
+        "claimed filter + grouped readout must stay metadata-only:\n" +
+          q3.queryExecution.executedPlan)
+      assert(sortedRows(q3) === sortedRows(all.where(col("seg").isin("A/B", "W"))
+        .groupBy("gen").agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("sm"))))
+      // a residual conjunct keeps its Filter and declines the readout
+      val q4 = spark.sql("""SELECT count(*) AS cnt FROM spj_t33.spj_cf
+        WHERE seg = 'W' AND o_orderkey % 2 = 0""")
+      assert(collectPlan(q4) { case b: BatchScanExec => b }.nonEmpty,
+        "a residual conjunct must decline the metadata readout")
+      assert(sortedRows(q4) === sortedRows(all
+        .where(col("seg") === "W" && col("o_orderkey") % 2 === 0)
+        .agg(count(lit(1)).as("cnt"))))
+      // claimed filter + LIMIT: the file cap stays sound (kept files'
+      // rows all match), rows come only from the claimed dir
+      val q5 = spark.sql(
+        "SELECT seg, o_orderkey FROM spj_t33.spj_cf WHERE seg = 'W' LIMIT 5")
+      val got = q5.collect()
+      assert(got.length == 5 && got.forall(_.getString(0) == "W"))
+    }
+  }
+
+  test("claimed days(date) filters: time-range conjuncts vanish and window rollups stay metadata-only") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-spj-dc").toString
+    val lake = new Lakehouse(spark, root)
+    // a two-month slice keeps the day-dir count spec-sized
+    val orders = Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-04-01").select(
+      col("o_orderkey"), col("o_custkey"),
+      when(col("o_orderkey") % 13 === 0, lit(null).cast("date"))
+        .otherwise(col("o_orderdate").cast("date")).as("d"))
+    lake.declareSumColumns("spj_dc", Seq("o_orderkey"))
+    lake.createOrReplace(orders, "spj_dc", Seq("days(d)", "bucket(4,o_custkey)"))
+    // a TIMESTAMP-source days layout must never claim (rows inside a
+    // day vary below day granularity)
+    val ordersTs = Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-04-01").select(col("o_orderkey"),
+      col("o_custkey"), col("o_orderdate").cast("timestamp").as("ts"))
+    lake.createOrReplace(ordersTs, "spj_dt", Seq("days(ts)", "bucket(4,o_custkey)"))
+    withSpj(root, "spj_t34") {
+      def noFilterExec(df: DataFrame, clue: String): Unit =
+        assert(collectPlan(df) { case f: FilterExec => f }.isEmpty,
+          s"claimed conjuncts must vanish ($clue):\n" +
+            df.queryExecution.executedPlan)
+      val lo = "1995-02-01"
+      val hi = "1995-02-28"
+      // a BETWEEN window vanishes from the plan, rows exact
+      val q1 = spark.sql(s"""SELECT o_orderkey FROM spj_t34.spj_dc
+        WHERE d BETWEEN DATE'$lo' AND DATE'$hi'""")
+      noFilterExec(q1, "date BETWEEN")
+      assert(sortedRows(q1) === sortedRows(orders
+        .where(col("d").between(lo, hi)).select("o_orderkey")))
+      // windowed rollup = metadata readout with the filter gone
+      val q2 = spark.sql(s"""SELECT count(*) AS n, sum(o_orderkey) AS sk
+        FROM spj_t34.spj_dc WHERE d >= DATE'$lo' AND d < DATE'1995-03-01'""")
+      assert(collectPlan(q2) { case l: LocalTableScanExec => l }.nonEmpty &&
+        collectPlan(q2) { case b: BatchScanExec => b }.isEmpty,
+        "windowed rollup must stay metadata-only:\n" +
+          q2.queryExecution.executedPlan)
+      assert(sortedRows(q2) === sortedRows(orders
+        .where(col("d") >= lo && col("d") < "1995-03-01")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk"))))
+      // equality and IS NULL claim too
+      val day0 = orders.where(col("d").isNotNull).agg(min("d")).head.getDate(0)
+      val q3 = spark.sql(s"SELECT o_orderkey FROM spj_t34.spj_dc WHERE d = DATE'$day0'")
+      noFilterExec(q3, "date equality")
+      assert(sortedRows(q3) === sortedRows(orders
+        .where(col("d") === lit(day0)).select("o_orderkey")))
+      val q4 = spark.sql("SELECT o_orderkey FROM spj_t34.spj_dc WHERE d IS NULL")
+      noFilterExec(q4, "date IS NULL")
+      assert(sortedRows(q4) === sortedRows(orders
+        .where(col("d").isNull).select("o_orderkey")))
+      // windowed rollup composed with a derived calendar grouping
+      val q5 = spark.sql(s"""SELECT year(d) AS yr, count(*) AS n
+        FROM spj_t34.spj_dc WHERE d >= DATE'$lo' GROUP BY year(d)""")
+      assert(collectPlan(q5) { case l: LocalTableScanExec => l }.nonEmpty,
+        "window + calendar grouping must stay metadata-only:\n" +
+          q5.queryExecution.executedPlan)
+      assert(sortedRows(q5) === sortedRows(orders.where(col("d") >= lo)
+        .groupBy(year(col("d")).as("yr")).agg(count(lit(1)).as("n"))))
+      // timestamp-source days layout: the filter STAYS residual
+      val q6 = spark.sql(s"""SELECT o_orderkey FROM spj_t34.spj_dt
+        WHERE ts >= TIMESTAMP'1995-02-01 00:00:00'""")
+      assert(collectPlan(q6) { case f: FilterExec => f }.nonEmpty,
+        "timestamp days layouts must keep the filter residual")
+      assert(sortedRows(q6) === sortedRows(ordersTs
+        .where(col("ts") >= "1995-02-01 00:00:00").select("o_orderkey")))
+    }
+  }
+
   test("identity SPJ: co-partitioned tables join with no Exchange") {
     val root = java.nio.file.Files.createTempDirectory("graft-spj-ij").toString
     val lake = new Lakehouse(spark, root)
