@@ -99,6 +99,40 @@ class SpjMetaAggFuzzSpec extends SparkSpec {
         s"multi-valued grouping must decline to the scan (seed=$seed)")
       assert(sortedRows(ng) ===
         sortedRows(mirror.groupBy("ck").agg(count(lit(1)).as("c"))))
+      // CLAIMED-FILTER fuzz: on identity shapes the seg conjuncts are
+      // dir-exact (the Filter node must vanish and rows must equal the
+      // mirror); elsewhere the same conjuncts must stay residual with
+      // rows exact either way — the silent-wrongness class this guards
+      // is a claimed conjunct whose pruning enforcement diverges from
+      // row semantics
+      import org.apache.spark.sql.execution.FilterExec
+      val claimShapes: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        ("seg = 'A'", col("seg") === "A"),
+        ("seg IN ('A', 'B')", col("seg").isin("A", "B")),
+        ("seg IS NULL", col("seg").isNull),
+        ("seg IS NOT NULL", col("seg").isNotNull))
+      for ((sqlF, mirrorF) <- rng.shuffle(claimShapes).take(2)) {
+        val q = spark.sql(s"SELECT k FROM $cat.fz_ga WHERE $sqlF")
+        assert(sortedRows(q) === sortedRows(mirror.where(mirrorF).select("k")),
+          s"seed=$seed shape=$shape claim=$sqlF")
+        val identityShape = shape == 1 || shape == 2
+        assert(collectPlan(q) { case f: FilterExec => f }.isEmpty == identityShape,
+          s"claim residency wrong: seed=$seed shape=$shape claim=$sqlF\n" +
+            q.queryExecution.executedPlan)
+        // claimed (or residual) filter composed with a grouped readout
+        val qa = spark.sql(
+          s"SELECT gen, count(*) AS c, sum(k) AS sm FROM $cat.fz_ga " +
+            s"WHERE $sqlF GROUP BY gen")
+        assert(sortedRows(qa) === sortedRows(mirror.where(mirrorF)
+          .groupBy("gen").agg(count(lit(1)).as("c"), sum("k").as("sm"))),
+          s"seed=$seed shape=$shape claim-agg=$sqlF")
+        // an empty-match claim legitimately declines the readout (no
+        // groups to answer) and serves a zero-file scan instead
+        if (identityShape && mirror.where(mirrorF).limit(1).count() > 0)
+          assert(collectPlan(qa) { case l: LocalTableScanExec => l }.nonEmpty,
+            s"claimed filter + readout must stay metadata-only: " +
+              s"seed=$seed shape=$shape $sqlF\n" + qa.queryExecution.executedPlan)
+      }
     }
   }
 }
