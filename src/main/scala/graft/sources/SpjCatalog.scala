@@ -507,30 +507,29 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
   private def dirExact(f: Filter): Boolean = {
     import org.apache.spark.sql.sources._
     val idCol = if (layout.identityKeys.isDefined) layout.identityCol else None
-    // the days(DATE) family: every row of a day dir carries EXACTLY
-    // the dir's date (a DATE is day-granular), so ALL comparison
-    // conjuncts on the source column — ranges included — decide at
-    // dir level; months/years dirs hold many dates and never claim,
-    // and TIMESTAMP sources never claim (rows inside a day vary)
-    val daysSrc = SpjScanBuilderClaims.daysDateSource(layout)
-    def isDays(c0: String) = daysSrc.exists(_.equalsIgnoreCase(c0))
-    def day(v: Any) = SpjScanBuilderClaims.epochDay(v)
+    // the CALENDAR family ([[SpjScanBuilderClaims]]): on days(DATE)
+    // every comparison conjunct on the source column decides at dir
+    // level (a DATE is day-granular); on months/years(DATE) and
+    // hours(TIMESTAMP), RANGE conjuncts claim exactly when the bound
+    // lands ON a period boundary — an unaligned bound splits a dir
+    // and stays residual
+    val cal = SpjScanBuilderClaims.calendarSource(layout)
+    def calOk(c: Filter) = cal.exists(cc =>
+      SpjScanBuilderClaims.keyPred(cc, c).isDefined)
     def ok(c: Filter): Boolean = c match {
       case And(l, r) => ok(l) && ok(r)
       case EqualTo(c0, v) => (idCol.contains(c0) && v != null &&
-        SpjPruning.canonicalOf(v).isDefined) || (isDays(c0) && day(v).isDefined)
+        SpjPruning.canonicalOf(v).isDefined) || calOk(c)
       case In(c0, vs) => (idCol.contains(c0) && vs.nonEmpty &&
         vs.forall(v => v != null && SpjPruning.canonicalOf(v).isDefined)) ||
-        (isDays(c0) && vs.nonEmpty && vs.forall(day(_).isDefined))
-      case GreaterThan(c0, v) => isDays(c0) && day(v).isDefined
-      case GreaterThanOrEqual(c0, v) => isDays(c0) && day(v).isDefined
-      case LessThan(c0, v) => isDays(c0) && day(v).isDefined
-      case LessThanOrEqual(c0, v) => isDays(c0) && day(v).isDefined
-      case IsNull(c0) => idCol.contains(c0) || isDays(c0)
-      case IsNotNull(c0) => idCol.contains(c0) || isDays(c0)
+        calOk(c)
+      case _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual => calOk(c)
+      case IsNull(c0) => idCol.contains(c0) || calOk(c)
+      case IsNotNull(c0) => idCol.contains(c0) || calOk(c)
       case _ => false
     }
-    (idCol.isDefined || daysSrc.isDefined) && ok(f)
+    (idCol.isDefined || cal.isDefined) && ok(f)
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -573,9 +572,9 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
         keys <- layout.identityKeys
         s0 <- SpjPruning.allowedIdentity(ic, keys, claimed.toSeq)
       } yield s0).orElse(for {
-        src <- SpjScanBuilderClaims.daysDateSource(layout)
+        cc <- SpjScanBuilderClaims.calendarSource(layout)
         keys <- layout.identityKeys
-        s0 <- SpjScanBuilderClaims.allowedDerivedDays(keys, src, claimed.toSeq)
+        s0 <- SpjScanBuilderClaims.allowedDerivedCal(keys, cc, claimed.toSeq)
       } yield s0)
       a.map(keep => layout.copy(files = layout.files.map { case (b, fs) =>
         b -> (if (layout.keepPartition(b, Some(keep), None)) fs
@@ -674,14 +673,15 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
         keys <- layout.identityKeys
         a <- SpjPruning.allowedIdentity(ic, keys, (pushed ++ claimed).distinct.toSeq)
       } yield a
-      // claimed days(DATE) conjuncts decide at the derived-key level:
-      // the outer identityKeys ARE epoch days, dir-exact by the date's
-      // day granularity (this pruning is the claim's only enforcement)
+      // claimed calendar conjuncts decide at the derived-key level:
+      // the outer identityKeys ARE the periods (epoch days / months /
+      // years / hours), and the claim classification only accepted
+      // dir-exact bounds (this pruning is the claim's only enforcement)
       val allowedDays = for {
-        src <- SpjScanBuilderClaims.daysDateSource(layout)
+        cc <- SpjScanBuilderClaims.calendarSource(layout)
         keys <- layout.identityKeys
         if claimed.nonEmpty
-        a <- SpjScanBuilderClaims.allowedDerivedDays(keys, src, claimed.toSeq)
+        a <- SpjScanBuilderClaims.allowedDerivedCal(keys, cc, claimed.toSeq)
       } yield a
       val allowedBk = layout.bucketLevel.flatMap { case (n, k) =>
         SpjPruning.allowedBuckets(k, n, pushed.toSeq)
@@ -1783,18 +1783,34 @@ private[spj] object SpjDml {
   * by construction one the pruning enforces. */
 private[spj] object SpjScanBuilderClaims {
   import org.apache.spark.sql.sources._
-  import org.apache.spark.sql.types.DateType
+  import org.apache.spark.sql.types.{DateType, TimestampType}
 
-  /** The days(src) source column when — and only when — its declared
-    * type is DATE: a DATE is day-granular, so a day dir's rows all
-    * carry exactly the dir's date and EVERY comparison conjunct on the
-    * column decides at dir level. TIMESTAMP sources never qualify. */
-  def daysDateSource(layout: SpjLayout): Option[String] =
-    layout.outerTransformSpec.collect {
-      case sp if sp.startsWith("days(") =>
-        sp.stripPrefix("days(").stripSuffix(")")
-    }.filter(src => layout.schema.fields.exists(f =>
-      f.name.equalsIgnoreCase(src) && f.dataType == DateType))
+  private val HourMicros = 3600L * 1000000L
+
+  /** A calendar-claimable outer transform: days/months/years over a
+    * DATE source (unit domain: epoch days — a DATE is day-granular,
+    * so unit arithmetic is exact row arithmetic) or hours over a
+    * TIMESTAMP source (unit domain: UTC epoch micros — the storage
+    * granularity, so `ts > v` is exactly `ts >= v + 1µs`). */
+  final case class CalClaim(tname: String, src: String, isTs: Boolean)
+
+  def calendarSource(layout: SpjLayout): Option[CalClaim] =
+    layout.outerTransformSpec.flatMap { sp =>
+      val i = sp.indexOf('(')
+      if (i < 0) None
+      else {
+        val t = sp.substring(0, i)
+        val src = sp.substring(i + 1).stripSuffix(")")
+        layout.schema.fields.find(_.name.equalsIgnoreCase(src)).flatMap { f =>
+          (t, f.dataType) match {
+            case ("days" | "months" | "years", DateType) =>
+              Some(CalClaim(t, src, isTs = false))
+            case ("hours", TimestampType) => Some(CalClaim(t, src, isTs = true))
+            case _ => None
+          }
+        }
+      }
+    }
 
   def epochDay(v: Any): Option[Long] = v match {
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
@@ -1802,45 +1818,99 @@ private[spj] object SpjScanBuilderClaims {
     case _ => None
   }
 
-  /** Outer-key indices the CLAIMED days-conjuncts admit: each derived
-    * key is the dir's epoch day (null for the Hive null dir — matched
-    * only by IS NULL, exactly like row semantics, since a comparison
-    * against NULL is never true). Conjuncts intersect. None only when
-    * a conjunct shape slipped past `dirExact` — callers must treat
-    * that as unprovable, never as admit-all. */
-  def allowedDerivedDays(keys: IndexedSeq[(String, Any)], src: String,
+  private def unitOf(cc: CalClaim, v: Any): Option[Long] =
+    if (cc.isTs) v match {
+      case t: java.sql.Timestamp =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+      case _ => None
+    } else epochDay(v)
+
+  private def periodOf(cc: CalClaim, u: Long): Long = cc.tname match {
+    case "days" => u
+    case "months" =>
+      val ld = java.time.LocalDate.ofEpochDay(u)
+      (ld.getYear - 1970) * 12L + ld.getMonthValue - 1
+    case "years" => java.time.LocalDate.ofEpochDay(u).getYear - 1970L
+    case "hours" => Math.floorDiv(u, HourMicros)
+  }
+
+  private def periodStart(cc: CalClaim, p: Long): Long = cc.tname match {
+    case "days" => p
+    case "months" => java.time.LocalDate.of(
+      (1970 + Math.floorDiv(p, 12)).toInt, Math.floorMod(p, 12).toInt + 1, 1).toEpochDay
+    case "years" => java.time.LocalDate.of((1970 + p).toInt, 1, 1).toEpochDay
+    case "hours" => p * HourMicros
+  }
+
+  private def aligned(cc: CalClaim, u: Long): Boolean =
+    u == periodStart(cc, periodOf(cc, u))
+
+  /** A conjunct's image as a predicate on the DERIVED OUTER KEY —
+    * defined exactly when the conjunct is DIR-EXACT for the layout:
+    * every row of a period dir satisfies the conjunct iff the key
+    * does. Equality/IN only on days(DATE) (the one transform whose
+    * period IS the value granularity); range conjuncts on any
+    * calendar transform when the bound lands ON a period boundary
+    * (an unaligned bound splits a dir and declines); IS [NOT] NULL
+    * always (the Hive null dir). A comparison against NULL is never
+    * claimable — those literals fail unitOf. */
+  sealed trait KeyPred
+  case class KeyGe(p: Long) extends KeyPred
+  case class KeyLt(p: Long) extends KeyPred
+  case class KeyIn(s: Set[Long]) extends KeyPred
+  case object KeyNull extends KeyPred
+  case object KeyNotNull extends KeyPred
+
+  def keyPred(cc: CalClaim, f: Filter): Option[KeyPred] = {
+    def onSrc(c0: String) = c0.equalsIgnoreCase(cc.src)
+    f match {
+      case EqualTo(c0, v) if onSrc(c0) && cc.tname == "days" =>
+        unitOf(cc, v).map(u => KeyIn(Set(u)))
+      case In(c0, vs) if onSrc(c0) && cc.tname == "days" && vs.nonEmpty =>
+        val us = vs.toSeq.map(unitOf(cc, _))
+        if (us.forall(_.isDefined)) Some(KeyIn(us.flatten.toSet)) else None
+      case GreaterThanOrEqual(c0, v) if onSrc(c0) =>
+        unitOf(cc, v).filter(aligned(cc, _)).map(u => KeyGe(periodOf(cc, u)))
+      case GreaterThan(c0, v) if onSrc(c0) =>
+        unitOf(cc, v).map(_ + 1L).filter(aligned(cc, _))
+          .map(u => KeyGe(periodOf(cc, u)))
+      case LessThan(c0, v) if onSrc(c0) =>
+        unitOf(cc, v).filter(aligned(cc, _)).map(u => KeyLt(periodOf(cc, u)))
+      case LessThanOrEqual(c0, v) if onSrc(c0) =>
+        unitOf(cc, v).map(_ + 1L).filter(aligned(cc, _))
+          .map(u => KeyLt(periodOf(cc, u)))
+      case IsNull(c0) if onSrc(c0) => Some(KeyNull)
+      case IsNotNull(c0) if onSrc(c0) => Some(KeyNotNull)
+      case _ => None
+    }
+  }
+
+  /** Outer-key indices the CLAIMED calendar conjuncts admit: each
+    * derived key is the dir's period (null for the Hive null dir —
+    * matched only by IS NULL, exactly like row semantics). Conjuncts
+    * intersect. None only when a conjunct shape slipped past
+    * `dirExact` — callers must treat that as unprovable, never as
+    * admit-all. */
+  def allowedDerivedCal(keys: IndexedSeq[(String, Any)], cc: CalClaim,
       fs: Seq[Filter]): Option[Set[Int]] = {
     def flat(f: Filter): Seq[Filter] = f match {
       case And(l, r) => flat(l) ++ flat(r)
       case other => Seq(other)
     }
-    def dayOf(i: Int): Option[Long] = keys(i)._2 match {
+    def kOf(i: Int): Option[Long] = keys(i)._2 match {
       case k: java.lang.Long => Some(k.longValue())
       case _ => None
     }
-    def onSrc(c0: String) = c0.equalsIgnoreCase(src)
-    val sets: Seq[Option[Set[Int]]] = fs.flatMap(flat).map {
-      case EqualTo(c0, v) if onSrc(c0) =>
-        epochDay(v).map(d => keys.indices.filter(i => dayOf(i).contains(d)).toSet)
-      case In(c0, vs) if onSrc(c0) =>
-        val ds = vs.toSeq.map(epochDay)
-        if (ds.forall(_.isDefined)) {
-          val set = ds.flatten.toSet
-          Some(keys.indices.filter(i => dayOf(i).exists(set.contains)).toSet)
-        } else None
-      case GreaterThan(c0, v) if onSrc(c0) =>
-        epochDay(v).map(d => keys.indices.filter(i => dayOf(i).exists(_ > d)).toSet)
-      case GreaterThanOrEqual(c0, v) if onSrc(c0) =>
-        epochDay(v).map(d => keys.indices.filter(i => dayOf(i).exists(_ >= d)).toSet)
-      case LessThan(c0, v) if onSrc(c0) =>
-        epochDay(v).map(d => keys.indices.filter(i => dayOf(i).exists(_ < d)).toSet)
-      case LessThanOrEqual(c0, v) if onSrc(c0) =>
-        epochDay(v).map(d => keys.indices.filter(i => dayOf(i).exists(_ <= d)).toSet)
-      case IsNull(c0) if onSrc(c0) =>
-        Some(keys.indices.filter(i => keys(i)._2 == null).toSet)
-      case IsNotNull(c0) if onSrc(c0) =>
-        Some(keys.indices.filter(i => keys(i)._2 != null).toSet)
-      case _ => None // not a days conjunct: unprovable for this set
+    val sets: Seq[Option[Set[Int]]] = fs.flatMap(flat).map { c =>
+      keyPred(cc, c).map {
+        case KeyGe(p) => keys.indices.filter(i => kOf(i).exists(_ >= p)).toSet
+        case KeyLt(p) => keys.indices.filter(i => kOf(i).exists(_ < p)).toSet
+        case KeyIn(ps) => keys.indices.filter(i => kOf(i).exists(ps.contains)).toSet
+        case KeyNull => keys.indices.filter(i => keys(i)._2 == null).toSet
+        case KeyNotNull => keys.indices.filter(i => keys(i)._2 != null).toSet
+      }
     }
     if (sets.isEmpty || sets.exists(_.isEmpty)) None
     else Some(sets.flatten.reduce(_ intersect _))

@@ -855,6 +855,17 @@ class SpjSpec extends SparkSpec {
       .where(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-04-01").select(col("o_orderkey"),
       col("o_custkey"), col("o_orderdate").cast("timestamp").as("ts"))
     lake.createOrReplace(ordersTs, "spj_dt", Seq("days(ts)", "bucket(4,o_custkey)"))
+    // a years(d) table over the full span (few year dirs) and an
+    // hours(ts) table over a 10-day slice with a 4-hour spread
+    val ordersY = Tables.orders(spark, sf).select(col("o_orderkey"),
+      col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+    lake.createOrReplace(ordersY, "spj_yc", Seq("years(d)", "bucket(4,o_custkey)"))
+    val ordersH = Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-01-11")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate").cast("timestamp") +
+          expr("make_interval(0, 0, 0, 0, CAST(o_orderkey % 4 AS INT) * 4, 0, 0)")).as("ts"))
+    lake.createOrReplace(ordersH, "spj_hc", Seq("hours(ts)", "bucket(2,o_custkey)"))
     withSpj(root, "spj_t34") {
       def noFilterExec(df: DataFrame, clue: String): Unit =
         assert(collectPlan(df) { case f: FilterExec => f }.isEmpty,
@@ -903,6 +914,40 @@ class SpjSpec extends SparkSpec {
         "timestamp days layouts must keep the filter residual")
       assert(sortedRows(q6) === sortedRows(ordersTs
         .where(col("ts") >= "1995-02-01 00:00:00").select("o_orderkey")))
+      // years(d): a PERIOD-ALIGNED bound claims, an unaligned one
+      // stays residual (it splits a year dir) — rows exact either way
+      val q7 = spark.sql("""SELECT count(*) AS n FROM spj_t34.spj_yc
+        WHERE d >= DATE'1996-01-01'""")
+      assert(collectPlan(q7) { case f: FilterExec => f }.isEmpty &&
+        collectPlan(q7) { case l: LocalTableScanExec => l }.nonEmpty,
+        "aligned year bound must claim and stay metadata-only:\n" +
+          q7.queryExecution.executedPlan)
+      assert(sortedRows(q7) === sortedRows(ordersY
+        .where(col("d") >= "1996-01-01").agg(count(lit(1)).as("n"))))
+      val q8 = spark.sql("""SELECT o_orderkey FROM spj_t34.spj_yc
+        WHERE d >= DATE'1996-03-15'""")
+      assert(collectPlan(q8) { case f: FilterExec => f }.nonEmpty,
+        "an unaligned year bound must stay residual")
+      assert(sortedRows(q8) === sortedRows(ordersY
+        .where(col("d") >= "1996-03-15").select("o_orderkey")))
+      // hours(ts): hour-aligned bounds claim (UTC micros domain),
+      // sub-hour bounds stay residual
+      val q9 = spark.sql("""SELECT count(*) AS n FROM spj_t34.spj_hc
+        WHERE ts >= TIMESTAMP'1995-01-05 04:00:00'
+          AND ts < TIMESTAMP'1995-01-08 00:00:00'""")
+      assert(collectPlan(q9) { case f: FilterExec => f }.isEmpty &&
+        collectPlan(q9) { case l: LocalTableScanExec => l }.nonEmpty,
+        "hour-aligned bounds must claim and stay metadata-only:\n" +
+          q9.queryExecution.executedPlan)
+      assert(sortedRows(q9) === sortedRows(ordersH
+        .where(col("ts") >= "1995-01-05 04:00:00" && col("ts") < "1995-01-08 00:00:00")
+        .agg(count(lit(1)).as("n"))))
+      val q10 = spark.sql("""SELECT o_orderkey FROM spj_t34.spj_hc
+        WHERE ts >= TIMESTAMP'1995-01-05 04:30:00'""")
+      assert(collectPlan(q10) { case f: FilterExec => f }.nonEmpty,
+        "a sub-hour bound must stay residual")
+      assert(sortedRows(q10) === sortedRows(ordersH
+        .where(col("ts") >= "1995-01-05 04:30:00").select("o_orderkey")))
     }
   }
 
