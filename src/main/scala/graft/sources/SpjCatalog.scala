@@ -516,6 +516,14 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
     val cal = SpjScanBuilderClaims.calendarSource(layout)
     def calOk(c: Filter) = cal.exists(cc =>
       SpjScanBuilderClaims.keyPred(cc, c).isDefined)
+    // identity RANGE conjuncts claim in the unambiguous ordering
+    // domain only (integral/date — see rangeImage's string caveat)
+    def idRange(c0: String, v: Any) = idCol.contains(c0) &&
+      SpjScanBuilderClaims.rangeImage(v).isDefined &&
+      layout.identityField.exists(f => f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType => true
+        case _ => false
+      })
     def ok(c: Filter): Boolean = c match {
       case And(l, r) => ok(l) && ok(r)
       case EqualTo(c0, v) => (idCol.contains(c0) && v != null &&
@@ -523,8 +531,10 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
       case In(c0, vs) => (idCol.contains(c0) && vs.nonEmpty &&
         vs.forall(v => v != null && SpjPruning.canonicalOf(v).isDefined)) ||
         calOk(c)
-      case _: GreaterThan | _: GreaterThanOrEqual |
-           _: LessThan | _: LessThanOrEqual => calOk(c)
+      case GreaterThan(c0, v) => idRange(c0, v) || calOk(c)
+      case GreaterThanOrEqual(c0, v) => idRange(c0, v) || calOk(c)
+      case LessThan(c0, v) => idRange(c0, v) || calOk(c)
+      case LessThanOrEqual(c0, v) => idRange(c0, v) || calOk(c)
       case IsNull(c0) => idCol.contains(c0) || calOk(c)
       case IsNotNull(c0) => idCol.contains(c0) || calOk(c)
       case _ => false
@@ -567,19 +577,27 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
   private def aggLayout: Option[SpjLayout] =
     if (claimed.isEmpty) Some(layout)
     else {
-      val a: Option[Set[Int]] = (for {
-        ic <- layout.identityCol
-        keys <- layout.identityKeys
-        s0 <- SpjPruning.allowedIdentity(ic, keys, claimed.toSeq)
-      } yield s0).orElse(for {
-        cc <- SpjScanBuilderClaims.calendarSource(layout)
-        keys <- layout.identityKeys
-        s0 <- SpjScanBuilderClaims.allowedDerivedCal(keys, cc, claimed.toSeq)
-      } yield s0)
-      a.map(keep => layout.copy(files = layout.files.map { case (b, fs) =>
-        b -> (if (layout.keepPartition(b, Some(keep), None)) fs
-        else Seq.empty[SpjFile])
-      }))
+      val sets: Seq[Set[Int]] = Seq(
+        for {
+          ic <- layout.identityCol
+          keys <- layout.identityKeys
+          s0 <- SpjPruning.allowedIdentity(ic, keys, claimed.toSeq)
+        } yield s0,
+        for {
+          ic <- layout.identityCol
+          keys <- layout.identityKeys
+          s0 <- SpjScanBuilderClaims.allowedIdentityRange(keys, ic, claimed.toSeq)
+        } yield s0,
+        for {
+          cc <- SpjScanBuilderClaims.calendarSource(layout)
+          keys <- layout.identityKeys
+          s0 <- SpjScanBuilderClaims.allowedDerivedCal(keys, cc, claimed.toSeq)
+        } yield s0).flatten
+      sets.reduceOption(_ intersect _).map(keep =>
+        layout.copy(files = layout.files.map { case (b, fs) =>
+          b -> (if (layout.keepPartition(b, Some(keep), None)) fs
+          else Seq.empty[SpjFile])
+        }))
     }
   private def probe(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -683,11 +701,25 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
         if claimed.nonEmpty
         a <- SpjScanBuilderClaims.allowedDerivedCal(keys, cc, claimed.toSeq)
       } yield a
+      // claimed identity RANGE conjuncts (integral/date ordering
+      // domain) enforce on the decoded key values
+      val allowedIdRange = for {
+        ic <- layout.identityCol
+        keys <- layout.identityKeys
+        if claimed.nonEmpty
+        a <- SpjScanBuilderClaims.allowedIdentityRange(keys, ic, claimed.toSeq)
+      } yield a
       val allowedBk = layout.bucketLevel.flatMap { case (n, k) =>
         SpjPruning.allowedBuckets(k, n, pushed.toSeq)
       }
-      val outerAllowed = (allowedId.toSeq ++ allowedDays.toSeq)
-        .reduceOption(_ intersect _)
+      val outerAllowed = (allowedId.toSeq ++ allowedIdRange.toSeq ++
+        allowedDays.toSeq).reduceOption(_ intersect _)
+      // a claimed filter's ONLY enforcement is this pruning (its
+      // Filter node is gone): no enforcement set means silent wrong
+      // rows — refuse loudly instead (unreachable while dirExact and
+      // the enforcement helpers accept the same shapes)
+      require(claimed.isEmpty || outerAllowed.isDefined,
+        s"claimed filters lack an enforcement set: ${claimed.mkString(", ")}")
       val pruned = layout.files.map { case (b, fs) =>
         b -> (if (!layout.keepPartition(b, outerAllowed, allowedBk)) Seq.empty[SpjFile]
         else fs.filter(f => pushed.forall(SpjPruning.mayMatch(f.stats, _))))
@@ -1885,6 +1917,52 @@ private[spj] object SpjScanBuilderClaims {
       case IsNotNull(c0) if onSrc(c0) => Some(KeyNotNull)
       case _ => None
     }
+  }
+
+  /** RANGE claims on the IDENTITY column itself: an identity dir is
+    * single-valued, so any comparison decides at dir level — but only
+    * in an unambiguous ordering domain: integral and DATE identity
+    * columns compare as longs (epoch days for dates). STRING identity
+    * ranges never claim (Spark compares strings in UTF8 binary order,
+    * Java in UTF-16 code units — they diverge outside ASCII, and a
+    * divergence here would silently drop rows). Returns the numeric
+    * image, None when the value is outside the claimable domain. */
+  def rangeImage(v: Any): Option[Long] = v match {
+    case i: java.lang.Long => Some(i.longValue())
+    case i: java.lang.Integer => Some(i.longValue())
+    case i: java.lang.Short => Some(i.longValue())
+    case i: java.lang.Byte => Some(i.longValue())
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  /** Identity-key indices a claimed RANGE conjunct admits (the
+    * equality/null shapes stay with [[SpjPruning.allowedIdentity]]);
+    * null keys never satisfy a comparison. None when a conjunct shape
+    * slipped past `dirExact` — callers treat that as unprovable. */
+  def allowedIdentityRange(keys: IndexedSeq[(String, Any)], idCol: String,
+      fs: Seq[Filter]): Option[Set[Int]] = {
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    def keep(test: Long => Boolean): Set[Int] =
+      keys.indices.filter(i => rangeImage(keys(i)._2).exists(test)).toSet
+    def onId(c0: String) = c0 == idCol
+    val sets: Seq[Option[Set[Int]]] = fs.flatMap(flat).flatMap {
+      case GreaterThan(c0, v) if onId(c0) =>
+        Some(rangeImage(v).map(b => keep(_ > b)))
+      case GreaterThanOrEqual(c0, v) if onId(c0) =>
+        Some(rangeImage(v).map(b => keep(_ >= b)))
+      case LessThan(c0, v) if onId(c0) =>
+        Some(rangeImage(v).map(b => keep(_ < b)))
+      case LessThanOrEqual(c0, v) if onId(c0) =>
+        Some(rangeImage(v).map(b => keep(_ <= b)))
+      case _ => None // equality/null shapes: allowedIdentity's domain
+    }
+    if (sets.exists(_.isEmpty)) None
+    else Some(sets.flatten.foldLeft(keys.indices.toSet)(_ intersect _))
   }
 
   /** Outer-key indices the CLAIMED calendar conjuncts admit: each

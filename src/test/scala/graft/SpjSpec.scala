@@ -832,6 +832,30 @@ class SpjSpec extends SparkSpec {
         "SELECT seg, o_orderkey FROM spj_t33.spj_cf WHERE seg = 'W' LIMIT 5")
       val got = q5.collect()
       assert(got.length == 5 && got.forall(_.getString(0) == "W"))
+      // RANGE conjuncts on a NUMERIC identity column claim too (the
+      // decoded keys order as longs); string identity ranges stay
+      // residual (UTF8 vs UTF-16 ordering diverges outside ASCII)
+      lake.createOrReplace(p1, "spj_cr", Seq("gen"))
+      lake.append(p2, "spj_cr", Seq("gen"))
+      lake.append(p3, "spj_cr", Seq("gen"))
+      val q6 = spark.sql(
+        "SELECT o_orderkey FROM spj_t33.spj_cr WHERE gen >= 2")
+      noFilterExec(q6, "range on a numeric identity column")
+      assert(sortedRows(q6) === sortedRows(
+        all.where(col("gen") >= 2).select("o_orderkey")))
+      val q7 = spark.sql("""SELECT count(*) AS n, min(o_orderkey) AS mn
+        FROM spj_t33.spj_cr WHERE gen > 1 AND gen <= 2""")
+      assert(collectPlan(q7) { case l: LocalTableScanExec => l }.nonEmpty,
+        "identity range + readout must stay metadata-only:\n" +
+          q7.queryExecution.executedPlan)
+      assert(sortedRows(q7) === sortedRows(all
+        .where(col("gen") > 1 && col("gen") <= 2)
+        .agg(count(lit(1)).as("n"), min("o_orderkey").as("mn"))))
+      val q8 = spark.sql("SELECT o_orderkey FROM spj_t33.spj_cf WHERE seg > 'A'")
+      assert(collectPlan(q8) { case f: FilterExec => f }.nonEmpty,
+        "string identity ranges must stay residual")
+      assert(sortedRows(q8) === sortedRows(
+        all.where(col("seg") > "A").select("o_orderkey")))
     }
   }
 
