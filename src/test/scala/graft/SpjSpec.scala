@@ -972,6 +972,22 @@ class SpjSpec extends SparkSpec {
         "a sub-hour bound must stay residual")
       assert(sortedRows(q10) === sortedRows(ordersH
         .where(col("ts") >= "1995-01-05 04:30:00").select("o_orderkey")))
+      // claimed window + LIMIT: the file cap stays sound (kept dirs'
+      // rows all match), every returned row is inside the window
+      val q11 = spark.sql(s"""SELECT d, o_orderkey FROM spj_t34.spj_dc
+        WHERE d BETWEEN DATE'$lo' AND DATE'$hi' LIMIT 5""")
+      val got11 = q11.collect()
+      assert(got11.length == 5 && got11.forall(r =>
+        r.getDate(0).toString >= lo && r.getDate(0).toString <= hi),
+        s"claimed window + LIMIT must return only window rows: " +
+          got11.mkString(", "))
+      // claimed window + TopN: unique sort key makes the row set
+      // deterministic — must equal the mirror's exactly
+      val q12 = spark.sql(s"""SELECT o_orderkey FROM spj_t34.spj_dc
+        WHERE d >= DATE'$lo' ORDER BY o_orderkey LIMIT 3""")
+      assert(q12.collect().map(_.getLong(0)).toSeq === orders
+        .where(col("d") >= lo).select("o_orderkey")
+        .orderBy("o_orderkey").limit(3).collect().map(_.getLong(0)).toSeq)
     }
   }
 
