@@ -469,9 +469,17 @@ private[spj] class GraftSpjWriteBuilder(root: String, tableName: String,
   *    partitions, so SPJ alignment with the other side is untouched);
   *  - ROW-GROUP skipping: the accepted filters ride into the parquet
   *    reader, which skips row groups by footer stats.
-  * Every filter is ALSO returned as residual — pruning is may-match,
-  * so Spark keeps the exact predicate on top; a wrong-but-fast
-  * pushdown is the one bug class this surface must never have. */
+  * Filters return as residual by DEFAULT — pruning is may-match, so
+  * Spark keeps the exact predicate on top — with ONE carved-out
+  * exception: on the plain table read path (`claimExact`),
+  * [[dirExact]] conjuncts (identity equality/IN/null-tests, integral+
+  * date identity ranges, aligned calendar-transform ranges) are
+  * CLAIMED — dir-level pruning is row-exact for precisely those
+  * shapes, the Filter node vanishes, and a claim reaching `build()`
+  * without a matching enforcement set fails loudly closed (the
+  * tripwire in [[SpjScanBuilderClaims]]). Everything outside that
+  * accept set keeps the residual contract: a wrong-but-fast pushdown
+  * is still the one bug class this surface must never have. */
 private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
     streamInfo: Option[(String, String, String)] = None,
     skipDeleteSnapshots: Boolean = false,
@@ -617,8 +625,14 @@ private[spj] class GraftSpjScanBuilder(layout: SpjLayout,
     aggAnswer = probe(agg)
     // NOTE if Spark takes this as a PARTIAL pushdown (it probed
     // supportCompletePushDown first, so it won't — but the contract
-    // allows it), the one finished row is still a valid partial: the
-    // final aggregate folds a single count/min/max/sum leg unchanged
+    // allows it), the finished rows fold correctly for the
+    // count/min/max/sum legs, global AND grouped (Spark's partial
+    // rewrite folds Count as Sum-of-counts per group, one row per
+    // group here), and for group-only DISTINCT (re-grouping distinct
+    // rows is idempotent). The avg and count-DISTINCT legs would NOT
+    // be valid partials — those rely on Spark's own
+    // supportPartialAggPushDown gate, which refuses partial pushdown
+    // for exactly the avg/DISTINCT-aggregate shapes
     aggAnswer.isDefined
   }
 
@@ -1342,52 +1356,232 @@ private[graft] case class SpjEqLazyLoad(
     (slices.map(_._1).sorted.mkString("\n"), slices.map(_._2).sum)
 }
 
+/** Compact probe-only image of one equality tombstone's key set —
+  * what [[SpjEqKeyCache]] materializes per executor. Keys arrive as
+  * [[SpjLayout.canonKey]] tuples on both sides (load and probe), so a
+  * representation only has to be exact over the canonical domain. */
+private[graft] sealed trait SpjKeySet {
+  def contains(key: Seq[Any]): Boolean
+  def size: Int
+  /** Approximate retained heap bytes — the cache's budget currency. */
+  def bytes: Long
+}
+
+/** Single LONG-domain key column (integral/date/timestamp canonical
+  * families): a sorted deduplicated primitive array + binary-search
+  * probe. 8 bytes/key, zero boxing — the representation a 100 TB
+  * table's billion-row tombstone needs. */
+private[graft] final class SpjLongKeySet(sorted: Array[Long], hasNull: Boolean)
+    extends SpjKeySet {
+  def contains(key: Seq[Any]): Boolean = key.head match {
+    case null => hasNull
+    case l: Long => java.util.Arrays.binarySearch(sorted, l) >= 0
+    case _ => false
+  }
+  def size: Int = sorted.length + (if (hasNull) 1 else 0)
+  def bytes: Long = 32L + 8L * sorted.length
+}
+
+/** Single STRING key column: sorted deduplicated array, natural-order
+  * binary search. */
+private[graft] final class SpjStringKeySet(sorted: Array[String],
+    hasNull: Boolean, val bytes: Long) extends SpjKeySet {
+  def contains(key: Seq[Any]): Boolean = key.head match {
+    case null => hasNull
+    case s: String =>
+      java.util.Arrays.binarySearch(
+        sorted.asInstanceOf[Array[AnyRef]], s) >= 0
+    case _ => false
+  }
+  def size: Int = sorted.length + (if (hasNull) 1 else 0)
+}
+
+/** Fallback for multi-column / boolean / double / decimal keys: one
+  * flat tuple array sorted by hash code, probed by binary search on
+  * the hash then an equal-hash run scan. Still several-fold smaller
+  * than a hash set (no table, no node objects), structurally exact
+  * (`Seq` equality over canonical values). */
+private[graft] final class SpjGenericKeySet(hashes: Array[Int],
+    tuples: Array[Seq[Any]], val bytes: Long) extends SpjKeySet {
+  def size: Int = tuples.length
+  def contains(key: Seq[Any]): Boolean = {
+    val h = key.hashCode()
+    var i = java.util.Arrays.binarySearch(hashes, h)
+    if (i < 0) return false
+    while (i > 0 && hashes(i - 1) == h) i -= 1
+    while (i < hashes.length && hashes(i) == h) {
+      if (tuples(i) == key) return true
+      i += 1
+    }
+    false
+  }
+}
+
 /** Per-EXECUTOR materialized key sets for ABOVE-GATE equality
   * tombstones: N tasks on one executor pay ONE slice read per
-  * tombstone (single-flight via an in-flight future map), and the
-  * sets are LRU-BOUNDED — an executor serving many huge tombstoned
-  * tables holds at most [[MaxSets]] materialized sets at once; a task
-  * needing an evicted one reloads (correct, just re-priced). The
-  * driver never holds a key on this path. */
+  * tombstone (single-flight via an in-flight future map), the
+  * representation is compact ([[SpjLongKeySet]] primitive arrays for
+  * the dominant integral/date/timestamp single-key shape —
+  * 8 bytes/key instead of a boxed-tuple hash set), and the cache is
+  * BYTE-BOUNDED (r18): total retained bytes stay under
+  * `spark.graft.spj.eq-key-cache-bytes` (default 512 MiB) by LRU
+  * eviction — an evicted set reloads on next probe (correct, just
+  * re-priced). A SINGLE tombstone whose key set alone exceeds the
+  * budget fails LOUDLY at load with the documented exit
+  * (`CALL system.rewrite_position_deletes`) named, instead of
+  * OOMing mid-task. The driver never holds a key on this path.
+  *
+  * The budget reads a system property first (executors in a real
+  * cluster receive `spark.executor.extraJavaOptions -D` flags; local
+  * mode shares the driver JVM), then the SparkEnv conf. */
 private[graft] object SpjEqKeyCache {
-  private val MaxSets = 4
+  private[graft] val BudgetKey = "spark.graft.spj.eq-key-cache-bytes"
+  private val DefaultBudgetBytes = 512L << 20
+
+  private[graft] def budgetBytes: Long =
+    Option(System.getProperty(BudgetKey))
+      .orElse(Option(org.apache.spark.SparkEnv.get)
+        .flatMap(_.conf.getOption(BudgetKey)))
+      .map(_.toLong).getOrElse(DefaultBudgetBytes)
+
+  // access-ordered for LRU; all mutation under `sets.synchronized`
   private val sets =
-    new java.util.LinkedHashMap[(String, Long), Set[Seq[Any]]](8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Set[Seq[Any]]]): Boolean =
-        size() > MaxSets
-    }
+    new java.util.LinkedHashMap[(String, Long), SpjKeySet](8, 0.75f, true)
+  private var retained = 0L
   private val inflight = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), java.util.concurrent.CompletableFuture[Set[Seq[Any]]]]()
+    (String, Long), java.util.concurrent.CompletableFuture[SpjKeySet]]()
   /** Materializations actually performed (test hook: proves N tasks
     * share one load). */
   private[graft] val loads = new java.util.concurrent.atomic.AtomicLong()
+  /** Current retained bytes (test hook). */
+  private[graft] def cachedBytes: Long = sets.synchronized(retained)
 
-  def keysOf(load: SpjEqLazyLoad): Set[Seq[Any]] = {
+  private def overBudget(bytes: Long, budget: Long, load: SpjEqLazyLoad): Nothing =
+    throw new IllegalStateException(
+      s"equality-tombstone key set needs >$bytes bytes materialized per executor, " +
+        s"over the $BudgetKey budget of $budget — " +
+        "CALL system.rewrite_position_deletes('<table>') to convert the " +
+        "equality deletes to positional form (served slice-local, never " +
+        s"materialized), or raise the budget. Tombstone slices: " +
+        load.slices.map(_._1).take(3).mkString(", "))
+
+  /** Build the compact representation for `load`, aborting loudly the
+    * moment accumulation crosses `budget`. */
+  private def materialize(load: SpjEqLazyLoad, budget: Long): SpjKeySet = {
+    val rows: Iterator[InternalRow] = load.slices.iterator.flatMap {
+      case (sp, slen) =>
+        load.readerFn(PartitionedFile(InternalRow.empty,
+          SparkPath.fromPathString(sp), 0L, slen,
+          Array.empty[String], 0L, slen, Map.empty))
+          .asInstanceOf[Iterator[Any]]
+          .flatMap {
+            case cb: ColumnarBatch => cb.rowIterator().asScala
+            case r: InternalRow => Iterator.single(r)
+          }
+    }
+    val built: SpjKeySet = load.keyTypes match {
+      case Array(dt @ (ByteType | ShortType | IntegerType | LongType |
+          DateType | TimestampType)) =>
+        var arr = new Array[Long](1024)
+        var n = 0
+        var hasNull = false
+        rows.foreach { r =>
+          if (r.isNullAt(0)) hasNull = true
+          else {
+            if (n == arr.length) {
+              if (16L + 16L * n > budget) overBudget(8L * n, budget, load)
+              arr = java.util.Arrays.copyOf(arr, n * 2)
+            }
+            // primitive read mirroring canonKey's integral widening
+            arr(n) = dt match {
+              case LongType | TimestampType => r.getLong(0)
+              case IntegerType | DateType => r.getInt(0).toLong
+              case ShortType => r.getShort(0).toLong
+              case ByteType => r.getByte(0).toLong
+            }
+            n += 1
+          }
+        }
+        java.util.Arrays.sort(arr, 0, n)
+        var w = 0
+        var i = 0
+        while (i < n) { // dedupe in place (slices may repeat a key)
+          if (w == 0 || arr(w - 1) != arr(i)) { arr(w) = arr(i); w += 1 }
+          i += 1
+        }
+        new SpjLongKeySet(java.util.Arrays.copyOf(arr, w), hasNull)
+      case Array(StringType) =>
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        var est = 0L
+        var hasNull = false
+        rows.foreach { r =>
+          if (r.isNullAt(0)) hasNull = true
+          else {
+            val s = r.getUTF8String(0).toString
+            est += 48L + 2L * s.length
+            if (est > budget) overBudget(est, budget, load)
+            b += s
+          }
+        }
+        val arr = b.toArray
+        java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+        var w = 0
+        var i = 0
+        var bytes = 32L
+        while (i < arr.length) {
+          if (w == 0 || arr(w - 1) != arr(i)) {
+            arr(w) = arr(i); bytes += 48L + 2L * arr(i).length; w += 1
+          }
+          i += 1
+        }
+        new SpjStringKeySet(java.util.Arrays.copyOf(
+          arr.asInstanceOf[Array[AnyRef]], w).asInstanceOf[Array[String]],
+          hasNull, bytes)
+      case kts =>
+        val b = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+        var est = 0L
+        rows.foreach { r =>
+          val tup: Seq[Any] = kts.indices.map(i =>
+            SpjLayout.canonKey(kts(i), r, i)).toVector
+          est += 48L + 40L * kts.length // vector + boxed elements, rough
+          if (est > budget) overBudget(est, budget, load)
+          b += tup
+        }
+        val distinct = b.distinct
+        val perTuple = 48L + 40L * kts.length
+        val pairs = distinct.map(t => (t.hashCode(), t)).sortBy(_._1).toArray
+        new SpjGenericKeySet(pairs.map(_._1), pairs.map(_._2),
+          32L + perTuple * distinct.length)
+    }
+    // the authoritative single-set bound — the in-flight checks above
+    // only fire at growth points, this one always does
+    if (built.bytes > budget) overBudget(built.bytes, budget, load)
+    built
+  }
+
+  def keysOf(load: SpjEqLazyLoad): SpjKeySet = {
     val k = load.cacheKey
     sets.synchronized(Option(sets.get(k))).getOrElse {
-      val fut = new java.util.concurrent.CompletableFuture[Set[Seq[Any]]]()
+      val fut = new java.util.concurrent.CompletableFuture[SpjKeySet]()
       val prev = inflight.putIfAbsent(k, fut)
       if (prev != null) prev.join()
       else try {
         loads.incrementAndGet()
-        val b = Set.newBuilder[Seq[Any]]
-        load.slices.foreach { case (sp, slen) =>
-          load.readerFn(PartitionedFile(InternalRow.empty,
-            SparkPath.fromPathString(sp), 0L, slen,
-            Array.empty[String], 0L, slen, Map.empty))
-            .asInstanceOf[Iterator[Any]]
-            .flatMap {
-              case cb: ColumnarBatch => cb.rowIterator().asScala
-              case r: InternalRow => Iterator.single(r)
+        val budget = budgetBytes
+        val s = materialize(load, budget)
+        sets.synchronized {
+          if (!sets.containsKey(k)) {
+            sets.put(k, s)
+            retained += s.bytes
+            // evict LRU until back under budget — never the set a
+            // task is about to probe
+            val it = sets.entrySet().iterator()
+            while (retained > budget && sets.size() > 1 && it.hasNext) {
+              val e = it.next()
+              if (e.getKey != k) { retained -= e.getValue.bytes; it.remove() }
             }
-            .foreach { r =>
-              b += (load.keyTypes.indices.map(i =>
-                SpjLayout.canonKey(load.keyTypes(i), r, i)).toVector: Seq[Any])
-            }
+          }
         }
-        val s = b.result()
-        sets.synchronized(sets.put(k, s))
         fut.complete(s)
         s
       } catch {
@@ -1398,7 +1592,8 @@ private[graft] object SpjEqKeyCache {
     }
   }
 
-  private[graft] def clear(): Unit = sets.synchronized(sets.clear())
+  private[graft] def clear(): Unit =
+    sets.synchronized { sets.clear(); retained = 0L }
 }
 
 private[spj] class GraftSpjReaderFactory(
@@ -1551,17 +1746,20 @@ private[spj] class GraftSpjReaderFactory(
         val dirSeq = f.dirSeq
         val applicable = v.eqSpecs.filter(_.seq > dirSeq)
         if (applicable.nonEmpty) {
-          val keySets: Array[Set[Seq[Any]]] =
+          val keySets: Array[Seq[Any] => Boolean] =
             applicable.map(e =>
               if (e.delIdx < nBcEq) bcEq.value(e.delIdx)
-              else SpjEqKeyCache.keysOf(lazyEq(e.delIdx - nBcEq)))
+              else {
+                val ks = SpjEqKeyCache.keysOf(lazyEq(e.delIdx - nBcEq))
+                (t: Seq[Any]) => ks.contains(t)
+              })
           it = it.filter { r =>
             !applicable.indices.exists { ai =>
               val e = applicable(ai)
               val tup: Seq[Any] = e.ords.indices
                 .map(i => if (e.ords(i) < 0) null // key column postdates this dir: reads NULL
                 else SpjLayout.canonKey(e.types(i), r, e.ords(i))).toVector
-              keySets(ai).contains(tup)
+              keySets(ai)(tup)
             }
           }
         }
@@ -2797,8 +2995,11 @@ private[spj] object SpjMetaAgg {
             case None => return None
             case Some(vals) => (key, vals)
           }
-        }.sortBy(_._1.map(v => if (v == null) " " else v.toString)
-          .mkString("")) // stable emission order across runs
+        }.sortBy(_._1.map(v => if (v == null) "0" else "1" + v.toString))(
+          // stable emission order across runs: element-wise Seq
+          // ordering (never concatenated — ("ab","c") vs ("a","bc")
+          // must not collide), nulls tagged "0" ahead of values "1"+v
+          scala.math.Ordering.Implicits.seqOrdering[Seq, String])
         val schema = StructType(
           cols.map(_._1.copy(nullable = true)) ++ aggFields(perGroup.head._2))
         Some((schema,

@@ -76,15 +76,36 @@ private[graft] object Transforms {
     def derivedConjunct(op: String, v: Any): Option[(String, String, Any)] = None
   }
 
+  /** Exact `Math.floorDiv` of a LONG column by a positive constant,
+    * entirely in the long domain: truncating integral divide, minus
+    * one when the remainder is negative. The earlier double-division
+    * form (`floor(m / unit.toDouble)`) misbuckets micros within
+    * ~half an ulp of a bucket boundary once |epoch| leaves the
+    * double-exact window (|m| ≳ 2^53, i.e. |epoch hours| ≥ 2^22 for
+    * hours() — before ~1492 / after ~2448): a 9999-12-31
+    * 23:59:59.999999 sentinel rounded into the NEXT hour's dir, and
+    * a claimed aligned-range bound adjacent to the misplaced dir
+    * would silently include/exclude that row. Must agree bit-for-bit
+    * with the literal side's `Math.floorDiv` in [[litEpochDays]] /
+    * Hours.derivedConjunct and with the claim arithmetic in
+    * SpjScanBuilderClaims. */
+  private def floorDivLong(m: Column, unit: Long): Column = {
+    val t = org.apache.spark.sql.GraftShim.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftShim.expression(m),
+        org.apache.spark.sql.GraftShim.expression(lit(unit))))
+    // remainder sign probe via m - t*unit (never overflows: |t*unit| <= |m|)
+    when(m - t * lit(unit) < 0, t - lit(1L)).otherwise(t)
+  }
+
   /** Epoch day of a DATE/TIMESTAMP column (UTC). `datediff` on dates
-    * is calendar-free; timestamps floor their epoch micros — exact
-    * for |micros| < 2^53 (≈ ±285k years), enforced nowhere because no
-    * sane event time leaves that window. */
+    * is calendar-free; timestamps floor their epoch micros with an
+    * exact long floorDiv ([[floorDivLong]]) — correct over the whole
+    * timestamp domain, sentinel values included. */
   private def epochDays(df: DataFrame, source: String): Column =
     df.schema(source).dataType match {
       case DateType => datediff(df(source), lit(epoch0)).cast(LongType)
-      case TimestampType =>
-        floor(unix_micros(df(source)) / lit(DayMicros.toDouble)).cast(LongType)
+      case TimestampType => floorDivLong(unix_micros(df(source)), DayMicros)
       case t => throw new IllegalArgumentException(
         s"time partition transform needs a DATE/TIMESTAMP column; $source is ${t.simpleString}")
     }
@@ -149,8 +170,7 @@ private[graft] object Transforms {
     def spec = s"hours($source)"
     def phys = s"_p_hours_$source"
     def expr(df: DataFrame): Column = df.schema(source).dataType match {
-      case TimestampType =>
-        floor(unix_micros(df(source)) / lit(HourMicros.toDouble)).cast(LongType)
+      case TimestampType => floorDivLong(unix_micros(df(source)), HourMicros)
       case t => throw new IllegalArgumentException(
         s"hours() needs a TIMESTAMP column; $source is ${t.simpleString}")
     }

@@ -285,4 +285,91 @@ class SpjTombstoneScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("executor key cache is COMPACT and BYTE-BOUNDED: primitive long sets, LRU byte eviction, loud over-budget refusal (r18)") {
+    import graft.sources.spj.SpjEqKeyCache
+    val root = freshRoot("spj-eqbudget")
+    val lake = new Lakehouse(spark, root)
+    lake.createOrReplace((1L to 400L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "bga", Seq("bucket(4,k)"))
+    lake.deleteByKeyMor((1L to 100L).filter(_ % 2 == 0).toDF("k"), "bga")
+    lake.createOrReplace((1L to 400L).map(k => (k, k * 3)).toDF("k", "m"),
+      "bgb", Seq("bucket(4,k)"))
+    lake.deleteByKeyMor((200L to 240L).toDF("k"), "bgb")
+    val expA = (1L to 400L).filterNot(k => k <= 100L && k % 2 == 0)
+      .map(k => s"$k|v$k").sorted
+    val expB = (1L to 400L).filterNot(k => k >= 200L && k <= 240L)
+      .map(k => s"$k|${k * 3}").sorted
+    withGate(1L) {
+      withSpj(root, "spj_bgt") {
+        // 1) representation: a long-key tombstone materializes as a
+        // primitive array priced at ~8 bytes/key, and cachedBytes
+        // accounts for it
+        SpjEqKeyCache.clear()
+        assert(SpjEqKeyCache.cachedBytes === 0L)
+        assert(sortedRows(spark.table("spj_bgt.bga")) === expA)
+        val afterA = SpjEqKeyCache.cachedBytes
+        assert(afterA > 0L && afterA < 16L * 50 + 64L,
+          s"50 long keys must retain ~8 bytes each, got $afterA")
+        // 2) LRU byte eviction: a budget that fits only ONE set keeps
+        // total retained bytes under budget; the evicted set reloads
+        // on its next probe and stays row-equal
+        val budget = afterA + 200L // fits one ~400-byte set, not two
+        System.setProperty(SpjEqKeyCache.BudgetKey, budget.toString)
+        try {
+          assert(sortedRows(spark.table("spj_bgt.bgb")) === expB)
+          assert(SpjEqKeyCache.cachedBytes <= budget,
+            s"retained ${SpjEqKeyCache.cachedBytes} must stay under budget $budget")
+          val loadsBefore = SpjEqKeyCache.loads.get()
+          assert(sortedRows(spark.table("spj_bgt.bga")) === expA)
+          assert(SpjEqKeyCache.loads.get() > loadsBefore,
+            "the evicted set must RELOAD on its next probe")
+          assert(SpjEqKeyCache.cachedBytes <= budget)
+          // 3) a SINGLE tombstone over the budget refuses loudly with
+          // the documented exit named — never an OOM mid-task
+          System.setProperty(SpjEqKeyCache.BudgetKey, "64")
+          SpjEqKeyCache.clear()
+          val e = intercept[Exception] {
+            spark.table("spj_bgt.bga").count()
+          }
+          def chain(t: Throwable): Seq[String] =
+            if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+          assert(chain(e).exists(_.contains("rewrite_position_deletes")),
+            s"over-budget load must name the exit: ${chain(e)}")
+        } finally System.clearProperty(SpjEqKeyCache.BudgetKey)
+        // budget restored: serves again
+        SpjEqKeyCache.clear()
+        assert(sortedRows(spark.table("spj_bgt.bga")) === expA)
+      }
+    }
+  }
+
+  test("above-gate STRING and MULTI-COLUMN equality keys take the compact representations, reads row-equal (r18)") {
+    import graft.sources.spj.SpjEqKeyCache
+    val root = freshRoot("spj-eqrepr")
+    val lake = new Lakehouse(spark, root)
+    // string key: sorted-array representation
+    lake.createOrReplace((1L to 90L).map(k => (s"id$k", k)).toDF("sk", "n"),
+      "rps", Seq("bucket(4,sk)"))
+    lake.deleteByKeyMor(Seq("id7", "id40", "id88").toDF("sk"), "rps")
+    val expS = (1L to 90L).filterNot(Set(7L, 40L, 88L))
+      .map(k => s"id$k|$k").sorted
+    // two-column key: generic hash-sorted representation
+    lake.createOrReplace((1L to 90L).map(k => (k % 9, s"g${k % 7}", k))
+      .toDF("a", "b", "n"), "rpm", Seq("bucket(4,n)"))
+    lake.deleteByKeyMor(Seq((3L, "g4"), (5L, "g0")).toDF("a", "b"), "rpm")
+    val expM = (1L to 90L)
+      .filterNot(k => (k % 9 == 3 && k % 7 == 4) || (k % 9 == 5 && k % 7 == 0))
+      .map(k => s"${k % 9}|g${k % 7}|$k").sorted
+    withGate(1L) {
+      withSpj(root, "spj_rpr") {
+        SpjEqKeyCache.clear()
+        assert(sortedRows(spark.table("spj_rpr.rps")) === expS)
+        assert(sortedRows(spark.table("spj_rpr.rpm")) === expM)
+      }
+    }
+    // and under the gate the broadcast branch agrees
+    assert(sortedRows(lake.read("rps")) === expS)
+    assert(sortedRows(lake.read("rpm")) === expM)
+  }
 }

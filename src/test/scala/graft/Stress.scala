@@ -195,13 +195,17 @@ object Stress {
       require(dels == bigN / 3, s"CDC lazy delete leg lost events: $dels")
       dels
     } finally spark.conf.unset("spark.graft.spj.tombstone-broadcast-bytes")
-    // ABOVE-GATE EQUALITY tombstone at scale (r17): a 1M-key MoR
-    // delete-by-key takes the lazy path — the driver never collects a
-    // key; each executor materializes the canonical key set ONCE from
-    // the tombstone slices (single-flight JVM cache) and every scan
-    // task probes the shared set. Batch read AND the CDC delete leg
-    // must stay row-exact at a 256 KiB gate.
-    val eqN = 3000000L
+    // ABOVE-GATE EQUALITY tombstone at scale (r17, scaled 1M→10M keys
+    // in r18): a 10M-key MoR delete-by-key takes the lazy path — the
+    // driver never collects a key; each executor materializes the
+    // canonical key set ONCE from the tombstone slices (single-flight
+    // JVM cache) in the COMPACT primitive-array representation
+    // (8 bytes/key) and every scan task probes the shared set. Batch
+    // read AND the CDC delete leg must stay row-exact at a 256 KiB
+    // gate, and the measured executor memory ceiling is asserted:
+    // 10M long keys retain ≈80 MB, not the ~GB a boxed-tuple hash
+    // set would.
+    val eqN = 30000000L
     lake.createOrReplace(
       spark.range(eqN).select(col("id").as("k"), pmod(col("id"), lit(3)).as("g")),
       "docs_bigeq", Seq("bucket(16,k)"))
@@ -221,7 +225,7 @@ object Stress {
       nDelEq.get()
     }
     drainEq() // bootstrap the checkpoint before the tombstone
-    t("mor_eq_tombstone_1m_write") { // ~1M distinct keys, one tombstone dir
+    t("mor_eq_tombstone_10m_write") { // ~10M distinct keys, one tombstone dir
       lake.deleteByKeyMor(
         spark.range(eqN).where(col("id") % 3 === 0).select(col("id").as("k")),
         "docs_bigeq")
@@ -232,15 +236,21 @@ object Stress {
       val dels = lake.spjLayout("docs_bigeq").deletes
       require(dels.nonEmpty &&
         dels.forall(_.isInstanceOf[graft.sources.SpjEqTombstoneFiles]),
-        s"1M-key equality tombstone must take the executor-side path: $dels")
+        s"10M-key equality tombstone must take the executor-side path: $dels")
       graft.sources.spj.SpjEqKeyCache.clear()
-      t("mor_eq_tombstone_1m_read") { // row-exact over the lazy set probe
+      t("mor_eq_tombstone_10m_read") { // row-exact over the lazy set probe
         val got = spark.table("stress_rl.docs_bigeq").count()
         require(got == eqN - eqN / 3, s"lazy equality probe lost rows: $got")
         got
       }
       require(graft.sources.spj.SpjEqKeyCache.loads.get() >= 1)
-      t("cdc_above_gate_1m_eq_dels") { // the CDC delete leg, same path
+      // the measured executor-memory ceiling: the compact primitive
+      // representation retains ~8 bytes/key — 10M keys under 96 MB
+      // (a boxed Set[Seq[Any]] held the same keys in GBs)
+      val retained = graft.sources.spj.SpjEqKeyCache.cachedBytes
+      require(retained > 0L && retained <= 96L * 1024 * 1024,
+        s"10M-key compact set must retain <=96MB, got $retained")
+      t("cdc_above_gate_10m_eq_dels") { // the CDC delete leg, same path
         nDelEq.set(0)
         val dels = drainEq()
         require(dels == eqN / 3, s"CDC lazy equality leg lost events: $dels")
