@@ -681,6 +681,24 @@ object Medallion {
     }
   }
 
+  /** ONE-PASS multiset equality of two same-schema relations: tag each
+    * side ±1, aggregate net counts per full row, any nonzero ⇒ differ.
+    * Equivalent to `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty`
+    * (groupBy and exceptAll share null-safe row equality) but costs ONE
+    * union-aggregate job + a limit-1 probe instead of two full
+    * union-aggregate passes (optimization guide §1.2/§2.4: remove
+    * redundant passes — at 100 TB a replica-reconciliation check reads
+    * both tables once, not twice). */
+  private[graft] def sameMultiset(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    a.select(cols.map(col): _*).withColumn("__side", lit(1L))
+      .unionByName(b.select(cols.map(col): _*).withColumn("__side", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("__side")).as("__net"))
+      .where(col("__net") =!= 0L)
+      .isEmpty
+  }
+
   // plan probes for the SPJ DSv2 readouts below: does the executed
   // (possibly adaptive) plan contain the given node / a file scan?
   // AQE query stages are LEAVES whose subtree hangs off `.plan`.
@@ -986,7 +1004,19 @@ object Medallion {
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderdate").cast("date").as("d"))
     lake.declareSumColumns("spjq_tc", Seq("o_orderkey"))
-    lake.createOrReplace(orders, "spjq_tc", Seq("days(d)", "bucket(4,o_custkey)"))
+    // hash write distribution (Iceberg write.distribution-mode=hash):
+    // the 59-day × 4-bucket layout is ~236 leaves — an undistributed
+    // write from the narrow orders scan serializes all leaf writers in
+    // one task (measured 4.5 s of this query's 5.5 s) and at scale
+    // emits tasks×leaves files; one shuffle clusters rows per leaf so
+    // the leaf writers run in parallel, one file per leaf either way
+    val priorDistTc = spark.conf.getOption("spark.graft.write-distribution")
+    spark.conf.set("spark.graft.write-distribution", "hash")
+    try lake.createOrReplace(orders, "spjq_tc", Seq("days(d)", "bucket(4,o_custkey)"))
+    finally priorDistTc match {
+      case Some(v) => spark.conf.set("spark.graft.write-distribution", v)
+      case None => spark.conf.unset("spark.graft.write-distribution")
+    }
     val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -1034,12 +1064,22 @@ object Medallion {
       col("o_orderkey"), col("o_custkey"),
       col("o_orderdate").cast("date").as("o_orderdate"),
       col("o_totalprice"))
-    lake.createOrReplace(orders, "spjq_dj",
-      Seq("years(o_orderdate)", "bucket(8,o_custkey)"))
-    lake.createOrReplace(orders.select(
-      col("o_orderkey").as("p_orderkey"), col("o_custkey").as("p_custkey"),
-      col("o_orderdate").as("p_date")),
-      "spjq_djp", Seq("years(p_date)", "bucket(8,p_custkey)"))
+    // hash write distribution for the two 7-year × 8-bucket facts
+    // (~56 leaves each): parallel leaf writers instead of one serial
+    // task, one file per leaf — same rationale as q_spj_time_claim
+    val priorDistDj = spark.conf.getOption("spark.graft.write-distribution")
+    spark.conf.set("spark.graft.write-distribution", "hash")
+    try {
+      lake.createOrReplace(orders, "spjq_dj",
+        Seq("years(o_orderdate)", "bucket(8,o_custkey)"))
+      lake.createOrReplace(orders.select(
+        col("o_orderkey").as("p_orderkey"), col("o_custkey").as("p_custkey"),
+        col("o_orderdate").as("p_date")),
+        "spjq_djp", Seq("years(p_date)", "bucket(8,p_custkey)"))
+    } finally priorDistDj match {
+      case Some(v) => spark.conf.set("spark.graft.write-distribution", v)
+      case None => spark.conf.unset("spark.graft.write-distribution")
+    }
     val cat = s"graft_spj_${spjCatalogSeq.incrementAndGet()}"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -1670,9 +1710,7 @@ object Medallion {
         max(col("src")).as("src_tag"))
     val viaCatalog = agg(spark.table(s"$cat.nev"))
     val viaOrdinary = agg(lake.read("nev"))
-    val pathsAgree =
-      if (viaCatalog.exceptAll(viaOrdinary).isEmpty &&
-        viaOrdinary.exceptAll(viaCatalog).isEmpty) 1.0 else 0.0
+    val pathsAgree = if (sameMultiset(viaCatalog, viaOrdinary)) 1.0 else 0.0
     viaCatalog
       .withColumn("nested_meta_only", lit(metaOnly))
       .withColumn("paths_agree", lit(pathsAgree))
@@ -1740,8 +1778,7 @@ object Medallion {
       if (dst.read("scdc_rep").count() == rows2 &&
         dst.snapshots("scdc_rep").size == snaps2) 1.0 else 0.0
     val replicaExact =
-      if (dst.read("scdc_rep").exceptAll(src.read("scdc")).isEmpty &&
-        src.read("scdc").exceptAll(dst.read("scdc_rep")).isEmpty) 1.0 else 0.0
+      if (sameMultiset(dst.read("scdc_rep"), src.read("scdc"))) 1.0 else 0.0
     dst.read("scdc_rep")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))

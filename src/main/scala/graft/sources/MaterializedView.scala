@@ -598,10 +598,18 @@ object MaterializedView {
     val (nullOld, nullNew): (Option[DataFrame], Option[DataFrame]) =
       if (j.joinType == "inner") (None, None)
       else {
-        val o = unmatched(f0).localCheckpoint(true)
-        val n = unmatched(dimTo).localCheckpoint(true)
-        (if (o.head(1).isEmpty) None else Some(o),
-          if (n.head(1).isEmpty) None else Some(n))
+        // both pinned-dim probes materialize in ONE checkpoint and
+        // answer both emptiness gates with ONE aggregate — previously
+        // two checkpoints + two head(1) probes (4 jobs → 2, guide §1.2)
+        val both = unmatched(f0).withColumn("__w", lit(0))
+          .unionByName(unmatched(dimTo).withColumn("__w", lit(1)))
+          .localCheckpoint(true)
+        val sides = both.groupBy(col("__w")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val o = both.where(col("__w") === 0).drop("__w")
+        val n = both.where(col("__w") === 1).drop("__w")
+        (if (sides.getOrElse(0, 0L) == 0L) None else Some(o),
+          if (sides.getOrElse(1, 0L) == 0L) None else Some(n))
       }
     val emptyDim = cdc.drop("_change_type").limit(0)
     def contrib(dim: DataFrame, nullKeys: Option[DataFrame], prefix: String): DataFrame = {
@@ -710,7 +718,13 @@ object MaterializedView {
         case a: MaxCol => greatest(col(a.alias), col("__p_" + a.alias)).as(a.alias)
       }
     val survivors = tagged.where(!col("__exh")).select(survivorCols: _*)
-    if (exhKeys.head(1).isEmpty) (untouchedMm, survivors, None)
+    // ONE bounded probe decides emptiness AND boundedness AND hands
+    // over the keys: the previous head(1) emptiness job + separate
+    // limit-collect job collapse into this single action over the
+    // checkpointed `tagged` (guide §1.2 — fewer driver round-trips;
+    // the probe stays ≤ ExhaustedKeysCap+1 tiny rows either way)
+    val exhProbe = exhKeys.limit(ExhaustedKeysCap + 1).collect()
+    if (exhProbe.isEmpty) (untouchedMm, survivors, None)
     else {
       // SCOPED re-derivation: exactly the exhausted groups, one
       // filtered pass at the target pins. When every group column
@@ -734,8 +748,7 @@ object MaterializedView {
           })
         val bounded =
           if (atomicFactKeys)
-            Some(exhKeys.limit(ExhaustedKeysCap + 1).collect())
-              .filter(_.length <= ExhaustedKeysCap)
+            Some(exhProbe).filter(_.length <= ExhaustedKeysCap)
           else None
         bounded match {
           case Some(rows) =>
@@ -782,7 +795,16 @@ object MaterializedView {
       batchId: Long, advanceOnEmpty: Boolean = false): Option[Long] = {
     val merged = merged0
       .localCheckpoint(true) // feeds the emptiness gate AND the commit
-    if (merged.isEmpty && vanishedMm.isEmpty)
+    // ONE aggregate over the checkpointed delta answers all three
+    // gates (empty / any-zeroed / any-negative) — previously three
+    // separate probe jobs (isEmpty + two head(1) scans; guide §1.2)
+    val gateRow = merged.agg(
+      count(lit(1)).as("__n"),
+      count(when(col(countAlias) <= 0, 1)).as("__nonpos"),
+      count(when(col(countAlias) < 0, 1)).as("__neg")).head()
+    val (mergedEmpty, hasZeroed, hasNegative) =
+      (gateRow.getLong(0) == 0L, gateRow.getLong(1) > 0L, gateRow.getLong(2) > 0L)
+    if (mergedEmpty && vanishedMm.isEmpty)
       // a NET-EMPTY delta: the dim path leaves the snapshot untouched
       // (its watermark is the aux + negative-batch ledger), but the
       // fact-CDC path must still RECORD batchId=to — the fact
@@ -794,9 +816,7 @@ object MaterializedView {
           merged.select(viewSchema.map(f =>
             col(f.name).cast(f.dataType).as(f.name)): _*),
           d.view, d.groupCols, batchId = batchId))
-    val hasZeroed = merged.where(col(countAlias) <= 0).head(1).nonEmpty
-    if (hasZeroed && merged.where(col(countAlias) < 0).head(1).nonEmpty)
-      return None
+    if (hasNegative) return None
     val keep = if (hasZeroed) merged.where(col(countAlias) > 0) else merged
     val vanZero =
       if (hasZeroed)

@@ -338,8 +338,8 @@ object EventStream {
       if (dst.read("cdcr").count() == rows2 &&
         dst.snapshots("cdcr").size == snaps2) 1.0 else 0.0
     val replicaExact =
-      if (dst.read("cdcr").exceptAll(src.read("cdcr")).isEmpty &&
-        src.read("cdcr").exceptAll(dst.read("cdcr")).isEmpty) 1.0 else 0.0
+      if (graft.operators.Medallion.sameMultiset(
+        dst.read("cdcr"), src.read("cdcr"))) 1.0 else 0.0
     dst.read("cdcr")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
