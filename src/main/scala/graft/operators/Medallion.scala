@@ -1638,6 +1638,11 @@ object Medallion {
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSpjCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
     Tables.orders(spark, dir).createOrReplaceTempView("nestevo_orders")
+    // NOTE (r18): hash write distribution was tried here and REVERTED —
+    // shuffling the built nested rows (struct+array+map) cost more than
+    // the parallel parquet encode saved (measured 2.0 s of exchange+write
+    // vs 1.2 s serial write per insert); nested-row shuffle bytes are the
+    // dominant term, exactly guide §2.3's "shuffle fewer bytes"
     // the reference's FULL document shape: a struct (shipping_address)
     // AND an array of structs (items[]) — mongo_to_iceberg.py:36-60
     spark.sql(s"""CREATE TABLE $cat.nev (

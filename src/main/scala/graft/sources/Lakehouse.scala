@@ -1010,8 +1010,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       val entries = snapshots(table).find(_._1 == snap0).get._2
       val dels = snapshotDeletes(table).getOrElse(snap0, Seq.empty)
       val eqDirs = dels.filter { d =>
-        spark.read.parquet(new Path(tableDir(table), d).toString)
-          .columns.toSeq != Seq("__file", "__pos")
+        readTombstoneDir(table, d).columns.toSeq != Seq("__file", "__pos")
       }
       if (eqDirs.isEmpty) snap0 // nothing equality-shaped: no-op
       else {
@@ -3452,7 +3451,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
       currentSnapshot(table, branch).foreach { snap =>
         snapshotDeletes(table).getOrElse(snap, Seq.empty).foreach { d =>
           val seq = d.stripPrefix("_deletes-").toLong
-          val st = spark.read.parquet(new Path(tableDir(table), d).toString).schema
+          val st = readTombstoneDir(table, d).schema
           if (st.fieldNames.toSeq != Seq("__file", "__pos")) {
             val renames = schemaLines(table)
               .filter(l => l._1 > seq && l._1 <= snap).flatMap(_._3)
@@ -3845,7 +3844,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
           val declared = declaredSchema(table, snap)
           snapshotDeletes(table).getOrElse(snap, Seq.empty).forall { d =>
             scala.util.Try {
-              val st = spark.read.parquet(new Path(tableDir(table), d).toString).schema
+              val st = readTombstoneDir(table, d).schema
               st.fieldNames.toSeq == Seq("__file", "__pos") || {
                 st.fields.forall(f =>
                   SpjLayout.canonCompatible(f.dataType, f.dataType))
@@ -4463,6 +4462,26 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     reads.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Open a write-once tombstone dir WITHOUT the per-call schema-
+    * inference Spark job: the inferred schema caches by (dir path,
+    * dir mtime) in [[Lakehouse.tombstoneSchemaCache]] — MoR-heavy
+    * lifecycles re-open the same immutable dir many times, and each
+    * bare `spark.read.parquet` was one driver job. */
+  private[sources] def readTombstoneDir(table: String, d: String): DataFrame = {
+    val p = new Path(tableDir(table), d)
+    val key = (p.toString,
+      scala.util.Try(fs.getFileStatus(p).getModificationTime).getOrElse(0L))
+    val cached = Lakehouse.tombstoneSchemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(p.toString)
+    else {
+      val df = spark.read.parquet(p.toString)
+      if (Lakehouse.tombstoneSchemaCache.size > 512)
+        Lakehouse.tombstoneSchemaCache.clear()
+      Lakehouse.tombstoneSchemaCache.put(key, df.schema)
+      df
+    }
+  }
+
   /** Tombstone (sequence, key-rows) pairs a snapshot references, in
     * commit order. EQUALITY tombstone key columns are FORWARD-MAPPED
     * through the renames committed after the tombstone and at-or-
@@ -4473,7 +4492,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   private def tombstones(table: String, snap: Long): Seq[(Long, DataFrame)] =
     snapshotDeletes(table).getOrElse(snap, Seq.empty).map { d =>
       val seq = d.stripPrefix("_deletes-").toLong
-      val df = spark.read.parquet(new Path(tableDir(table), d).toString)
+      val df = readTombstoneDir(table, d)
       val renames =
         if (df.columns.toSeq == Seq("__file", "__pos")) Seq.empty // positional: name-free
         else schemaLines(table).filter(l => l._1 > seq && l._1 <= snap).flatMap(_._3)
@@ -4772,7 +4791,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     // above-gate payload anti-joins shuffle-side instead of forcing
     // executor memory to scale with how wide the MoR interval was
     def parsedDels(names: Seq[String]) = names.map { d =>
-      val df = spark.read.parquet(new Path(tableDir(table), d).toString)
+      val df = readTombstoneDir(table, d)
       val small = tombstoneSlices(table, d).map(_._2).sum <= spjTombstoneGate
       (d.stripPrefix("_deletes-").toLong, if (small) broadcast(df) else df)
     }
@@ -5938,7 +5957,7 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
   private def spjTombstones(table: String, snap: Long): Seq[SpjTombstone] =
     snapshotDeletes(table).getOrElse(snap, Seq.empty).map { d =>
       val seq = d.stripPrefix("_deletes-").toLong
-      val df = spark.read.parquet(new Path(tableDir(table), d).toString)
+      val df = readTombstoneDir(table, d)
       val positional = df.columns.toSeq == Seq("__file", "__pos")
       val slices = tombstoneSlices(table, d)
       if (slices.map(_._2).sum > spjTombstoneGate) {
@@ -6238,6 +6257,22 @@ object Lakehouse {
     * file itself changes (live tail growing, expiry consolidating). */
   private[sources] val manifestCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), Seq[String]]()
+
+  /** Inferred parquet schemas of WRITE-ONCE tombstone dirs, keyed by
+    * absolute dir path. A bare `spark.read.parquet(dir)` runs a
+    * schema-inference Spark JOB per call, and MoR-heavy lifecycles
+    * re-open the same immutable `_deletes-N` dir many times (every
+    * read/CDC/SPJ plan of the table) — profiled at 3-8 such jobs per
+    * driver query. Tombstone dirs are never rewritten after commit
+    * (compaction only deletes them), so a path-keyed cache is sound;
+    * `readChanges`/`readChangesCdc` refuse intervals whose tombstones
+    * were materialized away, and a re-created table path restarts in
+    * a fresh temp root; the dir MTIME joins the key anyway (a POSIX
+    * dir's mtime moves on entry create/delete) so even a same-path
+    * re-creation can never serve a stale schema. Bounded like
+    * [[manifestCache]]. */
+  private[sources] val tombstoneSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), org.apache.spark.sql.types.StructType]()
 
   /** Monotone counter bumped on EVERY `_catalog.jsonl` mutation in
     * this JVM (register/drop/rename/bucketed lines). Joins the

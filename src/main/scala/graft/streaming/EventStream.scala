@@ -397,12 +397,21 @@ object EventStream {
     val sessions = sessionizeStream(
       toSessionEvents(stream.withWatermark("ts", "0 seconds")))
     val sink = s"ssz_out_${System.nanoTime()}"
-    val q = sessions.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .option("checkpointLocation", ck)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    // state-store-FIXED-cost dominated, same engineering note as
+    // stream_range_join: the stateful op keeps one store per shuffle
+    // partition, checkpointed as many small files per micro-batch —
+    // 8 partitions (pinned by the checkpoint) cut the store count 4x
+    // while the per-user state still spreads
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(sink)
       .where(col("user_id") =!= -1L) // the sentinel's closed session
       .orderBy("user_id", "session_id")
