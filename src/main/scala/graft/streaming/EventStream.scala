@@ -45,7 +45,9 @@ object EventStream {
     * one driver-side metadata read, not a data scan. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val footer = spark.read.parquet(s"$dir/events.parquet").schema
+    // cached-schema load (graft.sources.Tables): avoids re-running the
+    // schema-inference job on the immutable testdata file per call
+    val footer = graft.sources.Tables.load(spark, dir, "events").schema
     val stream = spark.readStream
       .schema(footer)
       .option("pathGlobFilter", "events.parquet") // file source wants a dir
