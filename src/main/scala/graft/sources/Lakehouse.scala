@@ -4033,9 +4033,16 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * batch finds its id committed and changes nothing — the CDC-sink
     * counterpart of exactly-once append. */
   def upsertOnce(source: DataFrame, table: String, keyCols: Seq[String], batchId: Long,
-      partitionBy: Seq[String] = Nil, branch: String = "main"): Long = {
+      partitionBy: Seq[String] = Nil, branch: String = "main",
+      sourceKeyUnique: Boolean = false): Long = {
     val changes = (target: DataFrame) => {
-      assertMergeCardinality(target, source, table, keyCols)
+      // `sourceKeyUnique`: the caller PROVES the source is key-unique
+      // by construction (e.g. the mview maintenance sources are
+      // `groupBy(keyCols)` outputs) — a duplicate-key merge violation
+      // is then impossible and the guard's probe job (source groupBy +
+      // target semi-join, one Spark action per commit) is pure cost.
+      // Default keeps the guard: external sources make no such promise.
+      if (!sourceKeyUnique) assertMergeCardinality(target, source, table, keyCols)
       (source, source.select(keyCols.map(source(_)): _*))
     }
     if (partitionBy.isEmpty)
@@ -4057,9 +4064,10 @@ class Lakehouse(private[sources] val spark: SparkSession, private[sources] val r
     * [[applyChangesOnce]]'s insert-beats-delete). */
   def upsertDeleteOnce(source: DataFrame, deleteKeys: DataFrame, table: String,
       keyCols: Seq[String], batchId: Long, partitionBy: Seq[String] = Nil,
-      branch: String = "main"): Long = {
+      branch: String = "main", sourceKeyUnique: Boolean = false): Long = {
     val changes = (target: DataFrame) => {
-      assertMergeCardinality(target, source, table, keyCols)
+      // see upsertOnce: a provably key-unique source skips the guard
+      if (!sourceKeyUnique) assertMergeCardinality(target, source, table, keyCols)
       (source, source.select(keyCols.map(source(_)): _*)
         .unionByName(deleteKeys.select(keyCols.map(deleteKeys(_)): _*)))
     }

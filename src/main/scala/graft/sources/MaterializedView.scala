@@ -815,7 +815,7 @@ object MaterializedView {
         else lake.upsertOnce(
           merged.select(viewSchema.map(f =>
             col(f.name).cast(f.dataType).as(f.name)): _*),
-          d.view, d.groupCols, batchId = batchId))
+          d.view, d.groupCols, batchId = batchId, sourceKeyUnique = true))
     if (hasNegative) return None
     val keep = if (hasZeroed) merged.where(col(countAlias) > 0) else merged
     val vanZero =
@@ -829,12 +829,17 @@ object MaterializedView {
     def stable(df: DataFrame) = df.select(viewSchema.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
     Some(
+      // sourceKeyUnique: every commit source here is one row per
+      // wrapped group key by construction (tgk ⟗ da on __gk, and the
+      // survivor/re-derived legs partition the exhausted flag), so the
+      // merge-cardinality guard's probe job is provably redundant
       if (nullFreeGroups(viewSchema, d)) vanKeys match {
         case None =>
-          lake.upsertOnce(stable(keep), d.view, d.groupCols, batchId = batchId)
+          lake.upsertOnce(stable(keep), d.view, d.groupCols,
+            batchId = batchId, sourceKeyUnique = true)
         case Some(vk) =>
           lake.upsertDeleteOnce(stable(keep), vk, d.view, d.groupCols,
-            batchId = batchId)
+            batchId = batchId, sourceKeyUnique = true)
       }
       else lake.replaceOnce(stable(untouched.unionByName(keep)),
         d.view, batchId = batchId))
@@ -976,7 +981,8 @@ object MaterializedView {
           // no null group can exist: the keyed upsert applies, and a
           // future partition-scoped view carries untouched groups by
           // reference instead of rewriting them
-          lake.upsertOnce(stable(merged), d.view, d.groupCols, batchId = to)
+          lake.upsertOnce(stable(merged), d.view, d.groupCols, batchId = to,
+            sourceKeyUnique = true) // merged = one row per group key
         else lake.replaceOnce(stable(untouched.unionByName(merged)),
           d.view, batchId = to)
       case Some(Right(changes)) =>
